@@ -1,0 +1,112 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The flagship operator: latest-wins per-primary-key CDC merge.
+  *
+  * Re-expresses the semantics of
+  * /root/reference/DMSCDC_LoadIncremental.py:56-73 as pure
+  * `DataFrame => DataFrame` functions, Spark-first:
+  *
+  *   - target rows get sentinel ordering `(file_seq=0, rownum=1)`
+  *     (reference: `sortpath=lit("0")`, `rownum=lit(1)`, :64);
+  *   - change rows are sequenced within the batch by
+  *     `row_number() over (partition by pks order by file order)`
+  *     (reference W1, :61,65);
+  *   - union-by-name with null-fill gives schema evolution
+  *     (reference U1, :71);
+  *   - the latest version per key survives; deletes drop the key
+  *     (reference W2+P4+P5, :72-73).
+  *
+  * Documented deltas from the reference (SURVEY.md §7.4):
+  *   - `rank()` → `row_number()` with a total order: on exact
+  *     (file_seq, rownum) ties the reference emits BOTH rows (duplicate
+  *     hazard); we keep exactly one, deterministically.
+  *   - the ordering column is an explicit numeric `file_seq` instead of a
+  *     lexicographic file-name string; the file-based pipeline
+  *     ([[graft.io.CdcPipeline]]) derives it from sorted file names, so the
+  *     total order is identical.
+  *
+  * Scale notes (100 TB): the merge shuffles once on the PK hash (window)
+  * — unavoidable for latest-wins semantics — and Catalyst plans the
+  * union/window/filter in a single stage after the exchange. No
+  * collect(), no driver-side loops. The change batch is typically ≪
+  * target; AQE will broadcast the impacted-file semi-join side
+  * (see [[graft.io.CdcPipeline]]).
+  */
+object Merge {
+
+  /** Metadata columns synthesized during a merge; stripped from output. */
+  val FileSeq = "file_seq"
+  val RowNum = "rownum"
+  private val Rnk = "rnk"
+  private val metaCols = Seq(FileSeq, RowNum, Rnk)
+
+  /** Tag a full-load snapshot with `Op='I'`
+    * (reference DMSCDC_LoadInitial.py:28, parity with CDC format). */
+  def tagInitial(df: DataFrame): DataFrame =
+    df.withColumn(Op.column, lit(Op.Insert))
+
+  /** Insert-only path: tables without a primary key, or first-ever load
+    * (reference DMSCDC_LoadIncremental.py:56-57). NOT idempotent under
+    * replay — documented reference behavior (README.md:208-220). */
+  def insertOnly(changes: DataFrame): DataFrame =
+    changes.filter(col(Op.column) === Op.Insert)
+
+  /** Sequence a change batch: assign `rownum` = arrival order per key.
+    *
+    * `changes` must carry a `file_seq` column (commit order of the file
+    * the row came from); `intraFileOrder` breaks ties within a file.
+    * Reference W1 (DMSCDC_LoadIncremental.py:61,65) orders by file name
+    * only and inherits scan order within a file — nondeterministic under
+    * multi-split reads; we require an explicit total order.
+    */
+  def sequenceBatch(changes: DataFrame, pks: Seq[String], intraFileOrder: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(pks.map(col): _*)
+      .orderBy(col(FileSeq) +: intraFileOrder: _*)
+    changes.withColumn(RowNum, row_number().over(w))
+  }
+
+  /** Latest-wins merge of a sequenced change batch into a target.
+    *
+    * @param target  current table state (no metadata columns)
+    * @param changes change rows with `Op`, `file_seq` (>0) and `rownum`
+    *                columns (from [[sequenceBatch]])
+    * @param pks     primary-key column list (non-empty)
+    * @return        the post-merge table, schema = changes minus metadata
+    *                (reference `select(inputfile.columns)`, :73 — note the
+    *                reference drops target-only columns; we match that)
+    */
+  def applySequenced(target: DataFrame, changes: DataFrame, pks: Seq[String]): DataFrame = {
+    require(pks.nonEmpty, "latest-wins merge requires primary keys; use insertOnly")
+    val taggedTarget = target
+      .withColumn(FileSeq, lit(0L))
+      .withColumn(RowNum, lit(1L))
+    // By-name union with null-fill = schema evolution (reference U1, :71).
+    val unioned = changes.unionByName(taggedTarget, allowMissingColumns = true)
+    // row_number (not rank): deterministic single survivor on ties (§7.4).
+    val w = Window.partitionBy(pks.map(col): _*)
+      .orderBy(col(FileSeq).desc, col(RowNum).desc)
+    val outCols = changes.columns.filterNot(metaCols.contains)
+    unioned
+      .withColumn(Rnk, row_number().over(w))
+      .where(col(Rnk) === 1 && col(Op.column) =!= Op.Delete)
+      .select(outCols.map(col): _*)
+  }
+
+  /** Full merge: sequence the batch, then apply. `changes` carries `Op`
+    * and `file_seq`; intra-file order defaults to input order via a
+    * caller-supplied column (e.g. `_metadata.row_index` for real files,
+    * or an explicit `rownum`-precursor for synthetic batches). */
+  def mergeCdc(target: DataFrame, changes: DataFrame, pks: Seq[String],
+               intraFileOrder: Seq[Column]): DataFrame =
+    applySequenced(target, sequenceBatch(changes, pks, intraFileOrder), pks)
+
+  /** Strip the op-code column for final user-facing reads: the lake holds
+    * `Op` for parity with the reference's output (which keeps it —
+    * LoadInitial writes `Op='I'` into the lake, :28,34-36). */
+  def dropOp(df: DataFrame): DataFrame =
+    df.drop(Op.column)
+}

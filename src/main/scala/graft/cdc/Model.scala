@@ -1,0 +1,58 @@
+package graft.cdc
+
+/** Core CDC data model.
+  *
+  * Mirrors the semantics of the reference's change-record envelope
+  * (/root/reference/DMSCDC_LoadIncremental.py:57,73 — the leading `Op`
+  * column) and its per-table state item
+  * (/root/reference/DMSCDC_Controller.py:76-100), re-expressed as plain
+  * Scala case classes. No DynamoDB / Glue — state is local (see
+  * [[graft.state.StateStore]]).
+  */
+object Op {
+  val Insert = "I"
+  val Update = "U"
+  val Delete = "D"
+  /** Name of the op-code column every change record carries. */
+  val column = "Op"
+}
+
+/** Per-table configuration (external metadata, never in the data).
+  *
+  * The reference keeps these as comma-separated strings with the literal
+  * `"null"` meaning absent (DMSCDC_Controller.py:83-84,
+  * DMSCDC_LoadIncremental.py:56,60). We model absence as empty Seq.
+  */
+final case class TableConfig(
+    primaryKeys: Seq[String] = Nil,
+    partitionKeys: Seq[String] = Nil,
+    active: Boolean = false) {
+  def hasPrimaryKey: Boolean = primaryKeys.nonEmpty
+}
+
+object TableConfig {
+  /** Parse the reference's comma-separated-or-"null" convention
+    * (DMSCDC_LoadIncremental.py:56,60,76-77). */
+  def fromStrings(primaryKey: String, partitionKey: String, active: Boolean): TableConfig = {
+    def parse(s: String): Seq[String] =
+      if (s == null || s.isEmpty || s == "null") Nil
+      else s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    TableConfig(parse(primaryKey), parse(partitionKey), active)
+  }
+}
+
+/** Per-table watermark state. Defaults are the reference's verbatim
+  * (DMSCDC_Controller.py:83-89): full-load epoch `1900-01-01 00:00:00`
+  * and an incremental watermark that sorts before every real CDC file.
+  */
+final case class TableState(
+    lastFullLoadDate: String = TableState.EpochFullLoad,
+    lastIncrementalFile: String = "")
+
+object TableState {
+  val EpochFullLoad = "1900-01-01 00:00:00"
+  /** Reference default: `<table path> + "0.parquet"` — lexicographically
+    * before any `2<timestamp>` CDC file (DMSCDC_Controller.py:86). */
+  def initial(tableDir: String): TableState =
+    TableState(EpochFullLoad, tableDir.stripSuffix("/") + "/0.parquet")
+}

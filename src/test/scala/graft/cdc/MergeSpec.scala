@@ -1,0 +1,84 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target =
+    Seq(("I", 1, "a", 10.0), ("I", 2, "b", 20.0), ("I", 3, "c", 30.0))
+      .toDF("Op", "id", "name", "price")
+
+  test("upsert + delete: latest version per key survives, deletes drop the key") {
+    val changes = Seq(
+      ("U", 1, "a2", 11.0, 1L), // update id 1
+      ("D", 2, "b", 20.0, 1L),  // delete id 2
+      ("I", 4, "d", 40.0, 1L)   // insert id 4
+    ).toDF("Op", "id", "name", "price", "file_seq")
+    val out = Merge.mergeCdc(target, changes, Seq("id"), Seq(col("id")))
+      .orderBy("id").collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq == Seq(("U", 1, "a2"), ("I", 3, "c"), ("I", 4, "d")))
+  }
+
+  test("multi-op per key within one batch: file order then intra-file order wins") {
+    val changes = Seq(
+      ("U", 1, "v1", 1.0, 1L, 1L),
+      ("U", 1, "v2", 2.0, 1L, 2L), // later in same file
+      ("U", 1, "v3", 3.0, 2L, 1L)  // later file — final winner
+    ).toDF("Op", "id", "name", "price", "file_seq", "pos")
+    val seq = Merge.sequenceBatch(changes, Seq("id"), Seq(col("pos"))).drop("pos")
+    val merged = Merge.applySequenced(target, seq, Seq("id"))
+    val r = merged.filter($"id" === 1).collect()
+    assert(r.length == 1 && r(0).getAs[String]("name") == "v3")
+  }
+
+  test("insert-then-delete of a brand-new key in one batch leaves no row") {
+    val changes = Seq(
+      ("I", 9, "x", 1.0, 1L, 1L),
+      ("D", 9, "x", 1.0, 1L, 2L)
+    ).toDF("Op", "id", "name", "price", "file_seq", "pos")
+    val seq = Merge.sequenceBatch(changes, Seq("id"), Seq(col("pos"))).drop("pos")
+    val merged = Merge.applySequenced(target, seq, Seq("id"))
+    assert(merged.filter($"id" === 9).count() == 0)
+  }
+
+  test("schema evolution: new change column null-fills old target rows") {
+    val changes = Seq(("U", 1, "a2", 11.0, "extra", 1L))
+      .toDF("Op", "id", "name", "price", "note", "file_seq")
+    val merged = Merge.mergeCdc(target, changes, Seq("id"), Seq(col("id")))
+    assert(merged.columns.toSeq == Seq("Op", "id", "name", "price", "note"))
+    val byId = merged.collect().map(r => r.getAs[Int]("id") -> r.getAs[String]("note")).toMap
+    assert(byId(1) == "extra" && byId(2) == null && byId(3) == null)
+  }
+
+  test("idempotence: re-applying the same batch is a no-op") {
+    val changes = Seq(("U", 1, "a2", 11.0, 1L), ("D", 2, "b", 0.0, 1L))
+      .toDF("Op", "id", "name", "price", "file_seq")
+    val once = Merge.mergeCdc(target, changes, Seq("id"), Seq(col("id")))
+    val twice = Merge.mergeCdc(once, changes, Seq("id"), Seq(col("id")))
+    assert(once.orderBy("id").collect().toSeq == twice.orderBy("id").collect().toSeq)
+  }
+
+  test("batch-split invariance: merging files one at a time == all at once") {
+    val f1 = Seq(("U", 1, "a2", 11.0, 1L), ("I", 5, "e", 50.0, 1L))
+      .toDF("Op", "id", "name", "price", "file_seq")
+    val f2 = Seq(("D", 1, "a2", 11.0, 2L), ("U", 5, "e2", 55.0, 2L))
+      .toDF("Op", "id", "name", "price", "file_seq")
+    val atOnce = Merge.mergeCdc(target, f1.union(f2), Seq("id"), Seq(col("id")))
+    val stepwise = Merge.mergeCdc(
+      Merge.mergeCdc(target, f1, Seq("id"), Seq(col("id"))),
+      f2.withColumn("file_seq", lit(1L)), Seq("id"), Seq(col("id")))
+    assert(atOnce.orderBy("id").collect().toSeq == stepwise.orderBy("id").collect().toSeq)
+  }
+
+  test("insertOnly keeps only I rows; tagInitial adds Op='I'") {
+    val changes = Seq(("I", 7, "g", 1.0), ("U", 1, "x", 2.0), ("D", 2, "y", 3.0))
+      .toDF("Op", "id", "name", "price")
+    assert(Merge.insertOnly(changes).collect().map(_.getInt(1)).toSeq == Seq(7))
+    val snap = Seq((1, "a")).toDF("id", "name")
+    val tagged = Merge.tagInitial(snap)
+    assert(tagged.columns.contains("Op") &&
+      tagged.select("Op").head().getString(0) == "I")
+  }
+}
