@@ -1,0 +1,127 @@
+package graft.io
+
+import graft.cdc.{Merge, Op, TableConfig}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-based CDC load jobs: the Spark-native re-expression of the
+  * reference's LoadInitial and LoadIncremental
+  * (/root/reference/DMSCDC_LoadInitial.py:28-36,
+  * /root/reference/DMSCDC_LoadIncremental.py:41-87).
+  *
+  * Differences from the reference, all semantics-preserving (SURVEY.md §7.4):
+  *  - ordering: the reference orders change rows by lexicographic
+  *    `input_file_name()` with undefined intra-file order; we derive a dense
+  *    numeric `file_seq` from the sorted file names (same total order) and
+  *    break intra-file ties with `_metadata.row_index` — fully deterministic
+  *    under multi-split parallel reads;
+  *  - provenance: `_metadata.file_path` instead of `input_file_name()`
+  *    (survives joins/unions robustly);
+  *  - impacted-file row selection (reference J2 join) runs as an InSet
+  *    filter of the tiny collected file list — no extra shuffle or join of
+  *    the target.
+  *
+  * Scale: one PK-hash shuffle for the window (inherent to latest-wins), one
+  * broadcast semi-join, no driver materialization except the impacted-file
+  * *name* list (reference Y3 — bounded by file count, not rows).
+  */
+object CdcPipeline {
+
+  final case class MergeStats(rowsWritten: Long, impactedFiles: Seq[String], insertOnly: Boolean)
+
+  /** Provenance columns a tagged change batch carries (stripped pre-write). */
+  val SrcFile = "__src_file"
+  val RowIdx = "__row_idx"
+  private val TgtFile = "__tgt_file"
+
+  /** S1+P1+S5: full-snapshot load — read `LOAD*` files, tag `Op='I'`,
+    * overwrite target (DMSCDC_LoadInitial.py:28-36). */
+  def loadInitial(spark: SparkSession, loadFiles: Seq[String], outPath: String,
+                  cfg: TableConfig): Long = {
+    require(loadFiles.nonEmpty, "no snapshot files")
+    val snap0 = spark.read.parquet(loadFiles: _*)
+    val snap = if (snap0.columns.contains(Op.column)) snap0 else Merge.tagInitial(snap0)
+    CowWriter.writeInitial(snap, outPath, cfg.partitionKeys)
+    snap.count()
+  }
+
+  /** The flagship: incremental latest-wins merge with copy-on-write rewrite
+    * (DMSCDC_LoadIncremental.py:41-87). */
+  def loadIncremental(spark: SparkSession, cdcFiles: Seq[String], outPath: String,
+                      cfg: TableConfig): MergeStats = {
+    require(cdcFiles.nonEmpty, "no change files")
+    // Explicit file-list scan (S2): the watermark listing already did the
+    // file pruning — Spark never sees already-processed files.
+    val tagged = spark.read.parquet(cdcFiles: _*)
+      .withColumn(SrcFile, col("_metadata.file_path"))
+      .withColumn(RowIdx, col("_metadata.row_index"))
+    mergeTagged(spark, tagged, outPath, cfg)
+  }
+
+  /** Merge a change batch whose rows carry ([[SrcFile]], [[RowIdx]])
+    * provenance. Shared by the batch path above and the Structured
+    * Streaming `foreachBatch` path ([[graft.streaming.CdcStream]]). */
+  private[graft] def mergeTagged(spark: SparkSession, tagged: DataFrame, outPath: String,
+                                 cfg: TableConfig): MergeStats = {
+    import spark.implicits._
+
+    // Dense numeric file_seq from sorted names = the reference's
+    // lexicographic sortpath order (file name = commit order), 1-based so
+    // the target sentinel 0 sorts first. Tiny map → broadcast join.
+    val files = tagged.select(SrcFile).distinct().as[String].collect().sorted.toSeq
+    if (files.isEmpty) return MergeStats(0L, Nil, insertOnly = false)
+    val seqDf = files.zipWithIndex.map { case (f, i) => (f, (i + 1).toLong) }
+      .toDF(SrcFile, Merge.FileSeq)
+    val changes = tagged.join(broadcast(seqDf), SrcFile)
+
+    // S4: target-existence probe.
+    val p = new Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tgtExists = fs.exists(p) && fs.listStatus(p).nonEmpty
+
+    if (!cfg.hasPrimaryKey || !tgtExists) {
+      // P3: no-PK tables and first loads are insert-only appends.
+      val output = Merge.insertOnly(changes).drop(SrcFile, RowIdx, Merge.FileSeq)
+      CowWriter.appendMerged(output, outPath, cfg.partitionKeys)
+      MergeStats(output.count(), Nil, insertOnly = true)
+    } else {
+      val pks = cfg.primaryKeys
+      val target = spark.read.parquet(outPath)
+        .withColumn(TgtFile, col("_metadata.file_path"))
+
+      // W1: sequence the batch (rownum per key by file order + row order).
+      val sequenced = Merge.sequenceBatch(changes, pks, Seq(col(RowIdx)))
+        .drop(SrcFile, RowIdx)
+
+      // J1+A1+Y3: impacted target files — the only driver materialization,
+      // bounded by file count. Collected once and reused for both the
+      // row selection and the delete (SURVEY.md §3.3 collect-then-reuse note).
+      val impacted: Seq[String] = target
+        .join(sequenced.select(pks.map(col): _*).distinct(), pks, "left_semi")
+        .select(TgtFile).distinct().as[String].collect().toSeq.sorted
+
+      // J2 as a filter: all rows of impacted files (changed rows + innocent
+      // bystanders that must be rewritten). The file list is tiny → InSet
+      // probe, no shuffle, no second scan of changes.
+      val impactedRows = target
+        .where(col(TgtFile).isin(impacted: _*))
+        .drop(TgtFile)
+
+      // U1+W2+P4-P6: latest-wins merge of batch into impacted rows.
+      val output = Merge.applySequenced(impactedRows, sequenced, pks)
+
+      // Cache across the two actions (count for stats + write) so the merge
+      // plan runs once; reference achieves the same by accident of its two
+      // separate jobs.
+      output.persist()
+      try {
+        val n = output.count()
+        CowWriter.appendMerged(output, outPath, cfg.partitionKeys)
+        // C6: copy-on-write — drop the superseded files.
+        CowWriter.deleteFiles(impacted, spark.sparkContext.hadoopConfiguration)
+        MergeStats(n, impacted, insertOnly = false)
+      } finally output.unpersist()
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.state
+
+import graft.cdc.{TableConfig, TableState}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Per-table pipeline state: the reference keeps one DynamoDB item per table
+  * path with watermarks + config (/root/reference/DMSCDC_Controller.py:63-100,
+  * DMSCDC_ProcessTable.py:85-89,118-122). Locally we keep one flat JSON file
+  * per table. The store is tiny control-plane metadata (one item per table,
+  * not per row), so a file-per-table layout shards trivially and stays
+  * correct at 100 TB data scale — state volume scales with table count only.
+  */
+final case class TableItem(
+    path: String,
+    config: TableConfig = TableConfig(),
+    state: TableState = TableState())
+
+trait StateStore {
+  /** C2: get existing item or create with reference-default values
+    * (DMSCDC_Controller.py:76-100). */
+  def upsertDefaults(path: String): TableItem
+  def get(path: String): Option[TableItem]
+  def put(item: TableItem): Unit
+  /** C8: advance watermarks only after a successful load
+    * (DMSCDC_ProcessTable.py:85-89,118-122). */
+  def commitFullLoad(path: String, fullLoadDate: String): Unit =
+    get(path).foreach(i => put(i.copy(state = i.state.copy(lastFullLoadDate = fullLoadDate))))
+  def commitIncremental(path: String, lastFile: String): Unit =
+    get(path).foreach(i => put(i.copy(state = i.state.copy(lastIncrementalFile = lastFile))))
+  def all: Seq[TableItem]
+}
+
+/** One flat JSON object per table under `dir`. Atomic replace on write. */
+final class JsonFileStateStore(dir: String) extends StateStore {
+  private val root: Path = Paths.get(dir)
+  Files.createDirectories(root)
+
+  private def fileFor(path: String): Path =
+    root.resolve(path.replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
+
+  override def upsertDefaults(path: String): TableItem =
+    get(path).getOrElse {
+      val item = TableItem(path, TableConfig(), TableState.initial(path))
+      put(item); item
+    }
+
+  override def get(path: String): Option[TableItem] = {
+    val f = fileFor(path)
+    if (!Files.exists(f)) None
+    else Some(fromJson(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)))
+  }
+
+  override def put(item: TableItem): Unit = {
+    val tmp = Files.createTempFile(root, "state", ".tmp")
+    Files.write(tmp, toJson(item).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, fileFor(item.path), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def all: Seq[TableItem] =
+    Files.list(root).iterator().asScala
+      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+      .map(p => fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+
+  // --- flat string-JSON codec (state is a flat string map; no dep needed) ---
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+  private def toJson(i: TableItem): String = {
+    val kv = Seq(
+      "path" -> i.path,
+      "primaryKey" -> i.config.primaryKeys.mkString(","),
+      "partitionKey" -> i.config.partitionKeys.mkString(","),
+      "activeFlag" -> i.config.active.toString,
+      "lastFullLoadDate" -> i.state.lastFullLoadDate,
+      "lastIncrementalFile" -> i.state.lastIncrementalFile)
+    kv.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{\n  ", ",\n  ", "\n}\n")
+  }
+  private def fromJson(s: String): TableItem = {
+    val re = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    def unesc(x: String): String = x
+      .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+    val m = re.findAllMatchIn(s).map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+    def split(k: String) = m.getOrElse(k, "") match {
+      case "" | "null" => Nil
+      case v => v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    TableItem(
+      m.getOrElse("path", ""),
+      TableConfig(split("primaryKey"), split("partitionKey"),
+        m.get("activeFlag").contains("true")),
+      TableState(
+        m.getOrElse("lastFullLoadDate", TableState.EpochFullLoad),
+        m.getOrElse("lastIncrementalFile", "")))
+  }
+}

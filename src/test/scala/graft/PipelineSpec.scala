@@ -1,0 +1,135 @@
+package graft
+
+import graft.cdc.TableConfig
+import graft.io.{CdcPipeline, Discovery}
+import graft.state.{JsonFileStateStore, TableItem}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end pipeline test replicating the reference's manual walkthrough
+  * (FIXTURES.md §1): a raw bucket with LOAD snapshots + one incremental CDC
+  * batch (1 update + 1 delete + 1 insert + order inserts), run through
+  * Controller twice (second run must be a watermark no-op).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeParquetFile(df: DataFrame, dir: String, name: String): Unit = {
+    // Write a single parquet file with an exact (DMS-style) name.
+    val tmp = Files.createTempDirectory("stage").toString
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  private def products = (1001 to 1025).map(i =>
+    ("I", i, s"Product $i", s"Dept ${i % 5}", s"Cat ${i % 3}", BigDecimal(i) * 2))
+    .toDF("Op", "id", "name", "dept", "category", "price")
+
+  private def stores = (1001 to 1008).map(i =>
+    ("I", i, s"$i Main St", "City", "CA", "US", "90210"))
+    .toDF("Op", "id", "address1", "city", "state", "countrycode", "postcode")
+
+  test("walkthrough E2E: initial + incremental + watermark no-op rerun") {
+    val raw = Files.createTempDirectory("raw").toString
+    val lake = Files.createTempDirectory("lake").toString
+    val stateDir = Files.createTempDirectory("state").toString
+
+    writeParquetFile(products, s"$raw/sampledb/product", "LOAD00000001.parquet")
+    writeParquetFile(stores, s"$raw/sampledb/store", "LOAD00000001.parquet")
+
+    val store = new JsonFileStateStore(stateDir)
+    val ctl = new Controller(spark, store, raw, lake, parallelism = 2)
+
+    // Run 1 with inactive tables: everything skipped (C5 gate).
+    assert(ctl.runOnce().values.forall(_ == Controller.Skipped))
+
+    // Activate with PKs (the reference's human step, README.md:87).
+    Discovery.listTables(raw).foreach { t =>
+      val item = store.get(t.dir).get
+      store.put(item.copy(config = TableConfig(Seq("id"), Nil, active = true)))
+    }
+
+    // Run 2: initial loads.
+    val r2 = ctl.runOnce()
+    assert(r2("sampledb/product") == Controller.FullLoad(25))
+    assert(r2("sampledb/store") == Controller.FullLoad(8))
+    assert(spark.read.parquet(s"$lake/sampledb/product").count() == 25)
+
+    // Incremental batch = the reference's exact test vector
+    // (DMSCDC_SampleDB_Incremental.sql:3-6).
+    val productCdc = Seq(
+      ("U", 1001, "Sample Product", "Sample Dept", "Sample Category", BigDecimal(39.00)),
+      ("D", 1002, "Product 1002", "Dept 2", "Cat 2", BigDecimal(2004)))
+      .toDF("Op", "id", "name", "dept", "category", "price")
+    val storeCdc = Seq(("I", 1009, "125 Technology Dr.", "Irvine", "CA", "US", "92618"))
+      .toDF("Op", "id", "address1", "city", "state", "countrycode", "postcode")
+    writeParquetFile(productCdc, s"$raw/sampledb/product", "20260812-000000001.parquet")
+    writeParquetFile(storeCdc, s"$raw/sampledb/store", "20260812-000000001.parquet")
+
+    // Run 3: incremental merges.
+    val r3 = ctl.runOnce()
+    // rowsWritten counts the merge's output rows: product's two changes hit
+    // the single snapshot file (all 25 rows rewritten, minus the delete);
+    // store's insert touches no existing file (append of 1 row only).
+    assert(r3("sampledb/product") == Controller.Incremental(24, 1))
+    assert(r3("sampledb/store") == Controller.Incremental(1, 1))
+
+    val productLake = spark.read.parquet(s"$lake/sampledb/product")
+    assert(productLake.count() == 24) // 25 - 1 delete
+    assert(productLake.filter($"id" === 1002).count() == 0)
+    val p1001 = productLake.filter($"id" === 1001).collect()
+    assert(p1001.length == 1 && p1001(0).getAs[String]("name") == "Sample Product")
+    assert(spark.read.parquet(s"$lake/sampledb/store").count() == 9)
+
+    // Run 4: nothing new → no-op (C3/C4/C8 watermarks hold).
+    assert(ctl.runOnce().values.forall(_ == Controller.NoNewData))
+  }
+
+  test("partitioned initial load writes hive layout") {
+    val raw = Files.createTempDirectory("raw").toString
+    val lake = Files.createTempDirectory("lake").toString
+    val df = (1 to 100).map(i => ("I", i, s"n$i", i % 4)).toDF("Op", "id", "name", "bucket")
+    writeParquetFile(df, s"$raw/db/t", "LOAD00000001.parquet")
+    CdcPipeline.loadInitial(spark, Discovery.loadFiles(s"$raw/db/t"), s"$lake/db/t",
+      TableConfig(Seq("id"), Seq("bucket"), active = true))
+    val dirs = new java.io.File(s"$lake/db/t").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("bucket=0", "bucket=1", "bucket=2", "bucket=3"))
+    assert(spark.read.parquet(s"$lake/db/t").count() == 100)
+  }
+
+  test("copy-on-write: impacted files rewritten, untouched files kept") {
+    val lake = Files.createTempDirectory("lake").toString
+    val raw = Files.createTempDirectory("raw").toString
+    val out = s"$lake/db/t"
+    // two target files: keys 1-10 and 11-20
+    writeParquetFile((1 to 10).map(i => ("I", i, s"v$i")).toDF("Op", "id", "v"), out, "part-a.parquet")
+    writeParquetFile((11 to 20).map(i => ("I", i, s"v$i")).toDF("Op", "id", "v"), out, "part-b.parquet")
+    // change touches only key 3 → only part-a should be rewritten
+    writeParquetFile(Seq(("U", 3, "NEW")).toDF("Op", "id", "v"), s"$raw/db/t", "20260812-1.parquet")
+    val stats = CdcPipeline.loadIncremental(spark,
+      Seq(s"$raw/db/t/20260812-1.parquet"), out, TableConfig(Seq("id"), Nil, active = true))
+    assert(stats.impactedFiles.map(f => f.substring(f.lastIndexOf('/') + 1)) == Seq("part-a.parquet"))
+    val files = new java.io.File(out).listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.contains("part-b.parquet") && !files.contains("part-a.parquet"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 20)
+    assert(back.filter($"id" === 3).head().getAs[String]("v") == "NEW")
+  }
+
+  test("no-PK table: insert-only append semantics") {
+    val lake = Files.createTempDirectory("lake").toString
+    val raw = Files.createTempDirectory("raw").toString
+    writeParquetFile(Seq(("I", 1, "a"), ("U", 2, "b"), ("D", 3, "c"))
+      .toDF("Op", "id", "v"), s"$raw/db/t", "20260812-1.parquet")
+    val stats = CdcPipeline.loadIncremental(spark,
+      Seq(s"$raw/db/t/20260812-1.parquet"), s"$lake/db/t", TableConfig(Nil, Nil, active = true))
+    assert(stats.insertOnly && stats.rowsWritten == 1)
+    assert(spark.read.parquet(s"$lake/db/t").count() == 1)
+  }
+}

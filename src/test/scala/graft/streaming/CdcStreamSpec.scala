@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc.TableConfig
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+class CdcStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFile(df: DataFrame, dir: String, name: String): Unit = {
+    val tmp = Files.createTempDirectory("stage").toString
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  test("streaming CDC: AvailableNow catch-up merges files in commit order, checkpoint resumes") {
+    val raw = Files.createTempDirectory("rawS").toString + "/db/t"
+    val lake = Files.createTempDirectory("lakeS").toString + "/db/t"
+    val ckpt = Files.createTempDirectory("ckptS").toString
+    val cfg = TableConfig(Seq("id"), Nil, active = true)
+
+    // seed target via an initial snapshot applied as inserts
+    writeFile((1 to 5).map(i => ("I", i, s"v$i")).toDF("Op", "id", "v"), raw, "20260812-000001.parquet")
+    // then two CDC files: update then delete same key — final state must reflect the later file
+    writeFile(Seq(("U", 1, "updated"), ("I", 6, "v6")).toDF("Op", "id", "v"), raw, "20260812-000002.parquet")
+    writeFile(Seq(("D", 2, "v2"), ("U", 1, "final")).toDF("Op", "id", "v"), raw, "20260812-000003.parquet")
+
+    val q = CdcStream.start(spark, raw, lake, cfg, ckpt, Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+    q.awaitTermination()
+
+    val out = spark.read.parquet(lake)
+    assert(out.count() == 5) // 5 + insert 6 - delete 2
+    assert(out.filter($"id" === 1).head().getAs[String]("v") == "final")
+    assert(out.filter($"id" === 2).count() == 0)
+    assert(out.filter($"id" === 6).count() == 1)
+
+    // restart with a new file: checkpoint must process only the new one
+    writeFile(Seq(("U", 6, "v6b")).toDF("Op", "id", "v"), raw, "20260812-000004.parquet")
+    val q2 = CdcStream.start(spark, raw, lake, cfg, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    val out2 = spark.read.parquet(lake)
+    assert(out2.count() == 5)
+    assert(out2.filter($"id" === 6).head().getAs[String]("v") == "v6b")
+  }
+}
