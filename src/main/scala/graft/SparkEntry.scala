@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{CdcQueries, RelationalQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SURVEY.md §2 operator is exposed as a named query over the
+  * `/root/testdata/<sf>/` parquet tables, each with an equivalent DuckDB
+  * oracle in [[oracleSql]]. Query families:
+  *  - `cdc_*`  — the reference's CDC merge semantics on a deterministic
+  *    change fixture ([[graft.queries.CdcQueries]]);
+  *  - `rel_*`  — scans/filters/joins/aggregates/windows/unions
+  *    ([[graft.queries.RelationalQueries]]).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("cdc_merge")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CdcQueries.queries ++ RelationalQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    CdcQueries.oracles ++ RelationalQueries.oracles
 }

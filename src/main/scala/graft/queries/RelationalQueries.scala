@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Per-operator relational queries over the TPC-H-ish testdata, one per
+  * SURVEY.md §2 inventory row that is SQL-expressible (S1-S3, P1-P8, J1-J2,
+  * A1-A2, W1-W2, U1). Sums go through exact DECIMAL accumulation and back
+  * to DOUBLE so Spark's partial-aggregate tree and DuckDB's sequential sum
+  * produce bit-identical results (double summation is order-sensitive;
+  * decimal is exact).
+  */
+object RelationalQueries {
+
+  private def dec(c: org.apache.spark.sql.Column, scale: Int) =
+    c.cast(DecimalType(18, scale))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1+P6+P3: scan with projection + filter (predicate/projection pushdown
+    // reach the parquet scan — verified in BenchPlans).
+    "rel_scan_filter" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") < lit("1996-01-01").cast("timestamp") && col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")),
+
+    // A2-style grouped aggregation (TPC-H Q1 shape) with exact decimal sums.
+    "rel_agg_q1" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"), 2)).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"), 2)).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // J1: PK equi-join, small dimension broadcast.
+    "rel_join_pk" -> ((s, dir) =>
+      Tables(s, dir, "orders").join(
+        broadcast(Tables(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")),
+
+    // J1 composed 3-way with aggregation (join order + partial aggs).
+    "rel_join_agg" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(dec(col("l_extendedprice"), 2)).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // J2: left-semi join (the reference's impacted-file join shape).
+    "rel_semi_join" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders").where(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    // Anti-join complement (customers with no qualifying order).
+    "rel_anti_join" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders").where(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // A1: DISTINCT projection dedup.
+    "rel_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
+    // A2: scalar COUNT(DISTINCT) — the reference's repartition-count probe.
+    "rel_count_distinct" -> ((s, dir) =>
+      Tables(s, dir, "orders").agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        count(lit(1)).as("n_rows"))),
+
+    // W1: row_number latest-per-key (the merge's sequencing window).
+    "rel_window_rownum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
+    // W2: rank with the reference's tie semantics (desc ordering).
+    "rel_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice").desc)
+      Tables(s, dir, "orders")
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice", "rnk")
+    }),
+
+    // Aggregate-over-window (running sum per key, rows frame).
+    "rel_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("running_value",
+          sum(dec(col("value"), 2)).over(w).cast("double"))
+        .select("user_id", "event_id", "running_value")
+    }),
+
+    // U1: union-by-name with missing columns null-filled (schema evolution).
+    "rel_union_by_name" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val a = o.where(col("o_orderstatus") === "F").select("o_orderkey", "o_totalprice")
+      val b = o.where(col("o_orderstatus") === "O").select("o_orderkey", "o_orderpriority")
+      a.unionByName(b, allowMissingColumns = true)
+    }),
+
+    // Multi-way sort-merge join across the star schema (region→nation→
+    // customer→orders), mixing broadcast and shuffle joins.
+    "rel_star_join" -> ((s, dir) => {
+      val r = Tables(s, dir, "region")
+      val n = Tables(s, dir, "nation")
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"), 2)).cast("double").as("total"))
+    }),
+
+    // Grouped HAVING-style post-aggregation filter.
+    "rel_group_having" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"), 2)).cast("double").as("qty"))
+        .where(col("n") >= 3))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05""".stripMargin,
+
+    "rel_agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_join_pk" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "rel_join_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "rel_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+
+    "rel_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+
+    "rel_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "rel_count_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS n_cust,
+        |       count(DISTINCT o_orderstatus) AS n_status,
+        |       count(*) AS n_rows FROM orders""".stripMargin,
+
+    "rel_window_rownum" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+
+    "rel_window_rank" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |         rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS rnk
+        |  FROM orders) WHERE rnk <= 5""".stripMargin,
+
+    "rel_window_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
+
+    "rel_union_by_name" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL BY NAME
+        |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "rel_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "rel_group_having" ->
+      """SELECT l_partkey, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3""".stripMargin
+  )
+}
