@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines,
+  * expressed as pure Column functions (whole-stage-codegen'd, zero UDFs,
+  * zero shuffles — every operator here is per-row and scales linearly).
+  *
+  * Hashing is md5-based so every function is reproducible bit-for-bit in
+  * the DuckDB oracle: `hash60(s)` = first 15 hex digits of md5 as a 60-bit
+  * non-negative BIGINT (`('0x'||substr(md5(s),1,15))::BIGINT` in DuckDB).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (the testdata corpus is space-separated). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Deterministic 60-bit hash of a string, identical in DuckDB. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: an independent hash family member per integer seed
+    * (for MinHash signatures). */
+  def hash60Seeded(c: Column, seed: Column): Column =
+    hash60(concat(seed.cast("string"), lit(":"), c))
+
+  /** Normalized text: lowercase, trimmed, whitespace collapsed — the
+    * canonical form for exact-dup fingerprints. */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Exact-duplicate fingerprint (md5 of normalized text). */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** k-word shingles: `["a b c", "b c d", ...]` from the token array. */
+  def wordShingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+
+  /** Character n-grams of the normalized text. */
+  def charNgrams(c: Column, n: Int): Column = {
+    val s = normalize(c)
+    when(length(s) < n, array(s))
+      .otherwise(transform(sequence(lit(1), length(s) - (n - 1)),
+        i => s.substr(i, lit(n))))
+  }
+
+  /** MinHash signature: for each of `k` hash-family members, the minimum
+    * seeded hash over the distinct shingles. Per-row array math — no
+    * shuffle, no UDF; O(k · shingles) inside codegen. */
+  def minHashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(1), lit(k)),
+      seed => array_min(transform(array_distinct(shingles),
+        s => hash60Seeded(s, seed))))
+
+  /** LSH band keys from a MinHash signature: md5 of each band's
+    * concatenated rows (bands of `rowsPerBand`). Docs sharing any band key
+    * are near-duplicate candidates. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat(b.cast("string"), lit(":"),
+        md5(concat_ws(",", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))))
+
+  /** Column-arg bit shifts (`functions.shiftright/left` only take literal
+    * Int amounts; the SQL functions accept expressions). */
+  private def shr(c: Column, n: Column): Column = call_function("shiftright", c, n)
+  private def shl(c: Column, n: Column): Column = call_function("shiftleft", c, n)
+
+  /** 32-bit SimHash over the distinct tokens: bit j is set when the sum of
+    * (±1 by bit j of each token hash) is positive. */
+  def simHash32(toks: Column): Column = {
+    val distinctToks = array_distinct(toks)
+    val hashes = transform(distinctToks, t => hash60(t))
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, j) => acc + when(
+        aggregate(hashes, lit(0L),
+          (s, h) => s + (shr(h, j.cast("int")).bitwiseAND(1L) * 2L - 1L)) > 0L,
+        shl(lit(1L), j.cast("int"))).otherwise(0L))
+  }
+
+  /** Hamming distance between two SimHash values. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Jaccard similarity of two string arrays (as distinct sets) — exact
+    * integer set sizes, divided in double (bit-identical across engines). */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = array_distinct(a)
+    val bd = array_distinct(b)
+    val inter = size(array_intersect(ad, bd))
+    val uni = size(array_union(ad, bd))
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+
+  // ---- quality signals -----------------------------------------------
+
+  /** English-ish stopwords used by quality scoring and language ID. */
+  val StopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Fraction of tokens that are stopwords (exact int ratio → double). */
+  def stopwordRatio(toks: Column, stopwords: Seq[String] = StopwordsEn): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(sw, t))).cast("double")
+        / size(toks).cast("double"))
+  }
+
+  /** Mean token length (exact int ratio → double). */
+  def meanTokenLength(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"))
+
+  /** Type-token ratio: distinct tokens / tokens (lexical diversity). */
+  def typeTokenRatio(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+
+  /** Ratio of non-alphanumeric, non-space characters (punctuation/noise). */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double")
+        / length(c).cast("double"))
+
+  /** Composite quality score in [0,1]: blend of lexical diversity,
+    * stopword presence, token-length sanity, and low punctuation noise.
+    * Deterministic arithmetic over exact ratios. */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val lenScore = least(size(t).cast("double") / 100.0, lit(1.0))
+    val diversity = typeTokenRatio(t)
+    val stop = least(stopwordRatio(t) * 5.0, lit(1.0))
+    val punct = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    (lenScore + diversity + stop + punct) / 4.0
+  }
+}

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math as pure Column functions over `array<float>`
+  * columns (cast to double element-wise before accumulation so results are
+  * bit-identical to the DuckDB oracle's sequential fold).
+  *
+  * All per-row, codegen-friendly, shuffle-free; the pair-generation for
+  * kNN/ANN is where the distribution strategy lives (see
+  * [[graft.queries.SimilarityQueries]]).
+  */
+object VectorFunctions {
+
+  /** Element-wise cast to double (floats widen exactly). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product (deterministic accumulation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity (0 when either norm is zero). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Sign-LSH bucket for cosine similarity from the first `bits`
+    * axis-aligned hyperplanes: bit j set iff `v[j] > 0`. Exact comparisons
+    * (no float arithmetic) → identical bucketing in any engine; recall
+    * comes from multiple probes at query time. */
+  def signBucket(v: Column, bits: Int): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+      (acc, j) => acc + when(element_at(v, j + 1) > 0f,
+        call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L))
+}

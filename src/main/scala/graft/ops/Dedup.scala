@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, DataFrame in →
+  * DataFrame out. Scale design, per operator:
+  *
+  *  - exact: one hash-aggregate shuffle on a 128-bit fingerprint — the
+  *    minimal possible movement for exact dedup; at 100 TB the shuffle
+  *    carries only (fingerprint, id) pairs after partial aggregation.
+  *  - MinHash/LSH: per-row signature computation (no shuffle), then ONE
+  *    shuffle on band keys (explode → groupBy band). Candidate pairs are
+  *    generated per-bucket, so cost is Σ bucket² not n² — the standard
+  *    near-dup design at web scale. Skewed buckets (boilerplate text) are
+  *    capped with `maxBucketSize`.
+  *  - SimHash: per-row 32-bit sketch; near-dup pairs join on the sketch's
+  *    band prefixes (two 16-bit halves — Hamming ≤ k pigeonhole) instead
+  *    of n² comparisons.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per normalized-text fingerprint. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn("fingerprint", fingerprint(col(textCol)))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures + LSH band keys per document. */
+  def minHashed(docs: DataFrame, idCol: String, textCol: String,
+                shingleWords: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    docs.select(col(idCol),
+      minHashSignature(wordShingles(tokens(col(textCol)), shingleWords), k).as("signature"))
+      .withColumn("band_key", explode(lshBandKeys(col("signature"), bands, rows)))
+  }
+
+  /** LSH candidate near-duplicate pairs (id_a < id_b, distinct across
+    * bands), with estimated Jaccard from signature agreement. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleWords: Int = 3, k: Int = 16, bands: Int = 4,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val hashed = minHashed(docs, idCol, textCol, shingleWords, k, bands)
+    // Cap pathological buckets (boilerplate): count per band key, drop the
+    // heavy hitters — standard web-dedup guard, documented data loss.
+    val sized = hashed.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
+      .where(col("bucket_n") <= maxBucketSize)
+    val a = sized.select(col("band_key"), col(idCol).as("id_a"), col("signature").as("sig_a"))
+    val b = sized.select(col("band_key"), col(idCol).as("id_b"), col("signature").as("sig_b"))
+    a.join(b, Seq("band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x)
+          .cast("double") / k).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash sketch per document. */
+  def simHashed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), simHash32(tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
+    * joining on 16-bit halves (pigeonhole: distance ≤ 1 ⇒ one half equal;
+    * for larger thresholds both halves are candidate keys). */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sketched = simHashed(docs, idCol, textCol)
+      .withColumn("lo", col("simhash").bitwiseAND(0xFFFFL))
+      .withColumn("hi", shiftright(col("simhash"), 16).bitwiseAND(0xFFFFL))
+    def pairsOn(key: String) = {
+      val a = sketched.select(col(key), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+      val b = sketched.select(col(key), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+      a.join(b, Seq(key)).where(col("id_a") < col("id_b")).drop(key)
+    }
+    pairsOn("lo").unionByName(pairsOn("hi")).distinct()
+      .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity over candidate pairs: `pairs` must
+    * have (id_a, id_b); texts are joined in and compared as distinct
+    * shingle sets. Use after LSH candidate generation at scale. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
+                   shingleWords: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      wordShingles(tokens(col(textCol)), shingleWords).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed by batched per-partition
+  * decode/feature-extract operators.
+  *
+  * The Spark-side plumbing is real — schema contracts, partition-sized
+  * batching, feature schema — but the actual codec calls are STUBBED with
+  * a deterministic fake (`decodeStub`): image/audio libraries are not in
+  * this container. Swap `decodeStub` for a real decoder (JNI/javacpp) and
+  * nothing else changes. The batch shape mirrors Arrow-batch UDF executors:
+  * rows stream through `mapPartitions` so only one batch of decoded media
+  * is in memory per core at a time — the property that matters at 100 TB.
+  */
+object Multimodal {
+
+  /** Typed envelope for a media payload. */
+  final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
+
+  /** Deterministic fake features standing in for a real decoder. Derives
+    * "width/height/duration" from stable byte statistics so tests and
+    * oracles are reproducible. A real implementation replaces ONLY this. */
+  private[ops] def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Double) = {
+    val n = bytes.length
+    val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0x7fffffffL)
+    kind match {
+      case "image" => (((checksum % 1920) + 1).toInt, ((checksum % 1080) + 1).toInt, 0.0)
+      case "audio" => (1, 1, (n % 600) + (checksum % 1000) / 1000.0)
+      case _       => (((checksum % 3840) + 1).toInt, ((checksum % 2160) + 1).toInt, (n % 7200).toDouble)
+    }
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("duration_s", DoubleType, nullable = false)))
+
+  /** Decode + feature-extract over a media table with columns
+    * (media_id: long, kind: string, payload: binary). Batched
+    * per-partition; no shuffle — runs at scan parallelism. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds: Dataset[MediaRow] = media
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, k, b) => MediaRow(id, k, b) }
+    val out = ds.mapPartitions { it =>
+      // One decoded batch in flight per partition: the stub is cheap, a
+      // real codec is not — the iterator keeps memory bounded.
+      it.map { m =>
+        val (w, h, d) = decodeStub(m.kind, m.bytes)
+        (m.media_id, m.kind, m.bytes.length.toLong, w, h, d)
+      }
+    }.toDF("media_id", "kind", "n_bytes", "width", "height", "duration_s")
+    out
+  }
+
+  /** Frame-sample stub for video payloads: deterministic frame offsets
+    * (every `stride` bytes), the plumbing for a real frame extractor. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0)
+    media.select(col("media_id"), col("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("frame_offset",
+        explode(sequence(lit(0L), greatest(col("n_bytes") - 1, lit(0L)), lit(stride.toLong))))
+      .select("media_id", "frame_offset")
+  }
+
+  /** Build a deterministic media table from the documents corpus (UTF-8
+    * payloads): the fixture generator for tests/queries — binary columns
+    * with metadata, exactly the shape a real ingest would produce. */
+  def mediaFromDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col(idCol) % 3 + 1).cast("int")).as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"))
+}

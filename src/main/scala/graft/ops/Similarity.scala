@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Scale design: brute-force kNN is a broadcast of the (small) query set
+  * against the full corpus — one pass, no corpus shuffle, per-partition
+  * top-k via window over (query, cosine). The scale path buckets the
+  * corpus by a sign-LSH key so each query only scans its probe buckets
+  * (IVF-style cost: corpus/2^bits per probe); recall is tuned with
+  * `bits` (coarser buckets = higher recall, more scan).
+  */
+object Similarity {
+
+  /** Brute-force top-k cosine neighbors of each query vector.
+    * `queries` rows must carry (qidCol, vecCol); broadcast against corpus. */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, qidCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qidCol), col(vecCol).as("__qvec")))
+    val scored = corpus.select(col(idCol), col(vecCol).as("__cvec"))
+      .crossJoin(q)
+      .where(col(qidCol) =!= col(idCol))
+      .select(col(qidCol), col(idCol),
+        cosine(col("__qvec"), col("__cvec")).as("cos"))
+    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Corpus bucketed by sign-LSH of the first `bits` dimensions. */
+  def bucketed(corpus: DataFrame, vecCol: String, bits: Int): DataFrame =
+    corpus.withColumn("bucket", signBucket(col(vecCol), bits))
+
+  /** ANN top-k with Hamming-1 multi-probe: each query scans its own
+    * bucket plus the `bits` buckets one sign-flip away (1+bits probes →
+    * corpus·(1+bits)/2^bits of the data per query). Same output shape as
+    * [[bruteForceKnn]]; recall < 1 by design, tuned via bits/probes. */
+  def annKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, qidCol: String, k: Int, bits: Int): DataFrame = {
+    val bc = bucketed(corpus, vecCol, bits).select(col(idCol), col(vecCol).as("__cvec"), col("bucket"))
+    val probes = (0 until bits).map(j => col("bucket").bitwiseXOR(1L << j))
+    val bq = broadcast(bucketed(queries, vecCol, bits)
+      .withColumn("bucket", explode(array(col("bucket") +: probes: _*)))
+      .select(col(qidCol), col(vecCol).as("__qvec"), col("bucket")))
+    val scored = bc.join(bq, "bucket")
+      .where(col(qidCol) =!= col(idCol))
+      .select(col(qidCol), col(idCol), cosine(col("__qvec"), col("__cvec")).as("cos"))
+    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, restricted
+    * to same-bucket candidates (the scale path for embedding dedup). */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bits: Int): DataFrame = {
+    val b = bucketed(corpus, vecCol, bits)
+    val a = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val c = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(c, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

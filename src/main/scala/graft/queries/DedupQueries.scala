@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table, each mirrored by a
+  * DuckDB oracle built on the shared md5-based `hash60` construction
+  * (see [[graft.functions.TextFunctions]]).
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text")),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text",
+        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashed(docs(s, dir), "doc_id", "text")),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sub = docs(s, dir).where(col("doc_id") % 50 === 0)
+      val pairs = sub.select(col("doc_id").as("id_a"))
+        .crossJoin(sub.select(col("doc_id").as("id_b")))
+        .where(col("id_a") < col("id_b"))
+      Dedup.ngramJaccard(docs(s, dir), pairs, "doc_id", "text", shingleWords = 3)
+    })
+  )
+
+  /** Shared SQL fragments (DuckDB): tokenization, shingles, hash60. */
+  private val toksSql =
+    "regexp_split_to_array(trim(text), '\\s+')"
+  private def h60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
+  private val shinglesSql = // 3-word shingles, matching TextFunctions.wordShingles
+    s"""CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       | ELSE list_transform(range(1, len(t)-1),
+       |        i -> array_to_string(list_slice(t, i::INT, i::INT+2), ' ')) END""".stripMargin
+  private val signatureSql = // k=16 seeded min-hashes over distinct shingles
+    s"""list_transform(range(1,17), seed ->
+       |  list_min(list_transform(list_distinct(shingles),
+       |    s -> ${h60("seed::VARCHAR || ':' || s")})))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM toks),
+         |sig AS (SELECT doc_id, ($signatureSql) AS signature FROM sh),
+         |bands AS (
+         |  SELECT doc_id, signature,
+         |         unnest(list_transform(range(0,4), b -> b::VARCHAR || ':' ||
+         |           md5(array_to_string(list_slice(signature, (b*4+1)::INT, (b*4+4)::INT), ',')))) AS band_key
+         |  FROM sig),
+         |capped AS (
+         |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band_key) <= 1000)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  (len(list_filter(range(1,17), i -> a.signature[i::INT] = b.signature[i::INT]))::DOUBLE / 16) AS est_jaccard
+         |FROM capped a JOIN capped b USING (band_key)
+         |WHERE a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         list_transform(list_distinct($toksSql), x -> ${h60("x")}) AS hs
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0,32), j ->
+         |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> j::INT) & 1)*2 - 1)) > 0
+         |         THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM h""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         list_transform(list_distinct($toksSql), x -> ${h60("x")}) AS hs
+         |  FROM documents),
+         |sk AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0,32), j ->
+         |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> j::INT) & 1)*2 - 1)) > 0
+         |           THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM h),
+         |keyed AS (
+         |  SELECT doc_id, simhash, simhash & 65535 AS lo, (simhash >> 16) & 65535 AS hi FROM sk),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= 3""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id % 50 = 0),
+         |sh AS (SELECT doc_id, list_distinct($shinglesSql) AS s FROM toks)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+         |       ELSE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+         |            / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE END AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream queries over the `events` table: the batch equivalents of
+  * the Structured Streaming operators (tumbling windows, JSON props).
+  * `ts` arrives as nanos-since-epoch (see [[Tables.events]]); converting
+  * to micros preserves hour boundaries exactly.
+  */
+object EventQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour window aggregation per event type (the batch twin of
+    // the streaming windowed agg; Structured Streaming runs the same
+    // expression via readStream + watermark).
+    "events_window_hourly" -> ((s, dir) => {
+      // `ts` is nanos-since-epoch LONG (> 2^53, so no double detour): use
+      // integer `div` — truncation to micros matches DuckDB's parquet
+      // TIMESTAMP(NANOS) read, which truncates to its micro TIMESTAMP.
+      val e = Tables.events(s, dir)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      e.groupBy(date_trunc("hour", col("ts_utc")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+    }),
+
+    // JSON property extraction + aggregation (semi-structured props).
+    "events_json_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))),
+
+    // Sessionization-style gap analysis per user via lag window.
+    "events_user_gaps" -> ((s, dir) => {
+      // Work in truncated micros (matches DuckDB's ns→µs parquet read) and
+      // order by (µs, event_id) so equal-µs ties resolve identically.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("gap_s", ((col("ts_us") - col("prev_us")) / 1000000L).cast("double"))
+        .select("user_id", "event_id", "gap_s")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_window_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_json_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+        |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_user_gaps" ->
+      """SELECT user_id, event_id,
+        |  CAST((epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |       / 1000000 AS DOUBLE) AS gap_s
+        |FROM events""".stripMargin
+  )
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over the `embeddings` table (64-dim
+  * `array<float>`). The cosine math accumulates in double with a
+  * sequential fold on both engines, so values match bitwise.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
+  private def queriesDf(s: SparkSession, dir: String) =
+    emb(s, dir).where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Baseline: brute-force top-5 cosine neighbors of every 100th vector.
+    "sim_knn_brute" -> ((s, dir) =>
+      Similarity.bruteForceKnn(emb(s, dir), queriesDf(s, dir),
+        "vec_id", "embedding", "qid", k = 5)),
+
+    // Scale path: sign-LSH bucket assignment per vector.
+    "sim_lsh_bucket" -> ((s, dir) =>
+      Similarity.bucketed(emb(s, dir), "embedding", bits = 6)
+        .select("vec_id", "bucket")),
+
+    // ANN: single-probe bucketed top-3 (recall < 1 by design).
+    "sim_ann_lsh" -> ((s, dir) =>
+      Similarity.annKnn(emb(s, dir), queriesDf(s, dir),
+        "vec_id", "embedding", "qid", k = 3, bits = 6)),
+
+    // Embedding-cosine near-duplicate pairs within buckets.
+    "sim_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.4, bits = 6))
+  )
+
+  /** Shared SQL: sequential-fold dot product and cosine over FLOAT[]. */
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i::INT]::DOUBLE) * ($b[i::INT]::DOUBLE)))"
+  private def cosSql(a: String, b: String) =
+    s"""(CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) = 0 THEN 0.0
+       | ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END)""".stripMargin
+  private val bucketSql = // sign-LSH over first 6 dims, matching VectorFunctions.signBucket
+    """CAST(list_sum(list_transform(range(0,6), j ->
+      |  CASE WHEN embedding[(j+1)::INT] > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("qv", "embedding")} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "sim_lsh_bucket" ->
+      s"""SELECT vec_id, $bucketSql AS bucket FROM embeddings""",
+
+    "sim_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |q0 AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id % 100 = 0),
+         |q AS (
+         |  SELECT qid, qv, unnest(list_concat([bucket],
+         |    list_transform(range(0,6), j -> xor(bucket::UBIGINT, (1::BIGINT << j::INT)::UBIGINT)::BIGINT))) AS bucket
+         |  FROM q0),
+         |scored AS (
+         |  SELECT q.qid, b.vec_id, ${cosSql("qv", "embedding")} AS cos
+         |  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "sim_near_dup" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |         ${cosSql("a.embedding", "c.embedding")} AS cos
+         |  FROM b a JOIN b c USING (bucket)
+         |  WHERE a.vec_id < c.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4""".stripMargin
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis operators over the `documents` table. */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text", shingleWords = 3))
+  )
+
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+  private def h60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  private val langValues = TextAnalysis.LangStopwords.map { case (lang, words) =>
+    s"('$lang', [${words.map(w => s"'$w'").mkString(",")}])"
+  }.mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  len(list_distinct(toks))::BIGINT AS n_distinct,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+         |            / len(toks)::DOUBLE END AS mean_token_len,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE END AS type_token_ratio
+         |FROM t""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    len(text)::BIGINT AS n_chars,
+         |    len(toks)::BIGINT AS n_tokens,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, x -> list_contains(
+         |              ['the','a','an','of','to','in','and','is','it','that','for','on','with','as'], x)))::DOUBLE
+         |              / len(toks)::DOUBLE END AS stopword_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |         ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |              / len(text)::DOUBLE END AS punct_ratio,
+         |    least(len(toks)::DOUBLE / 100.0, 1.0) AS len_score,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE END AS diversity
+         |  FROM t)
+         |SELECT doc_id, n_chars, n_tokens, stopword_ratio, punct_ratio,
+         |  (len_score + diversity + least(stopword_ratio * 5.0, 1.0)
+         |   + (1.0 - least(punct_ratio * 4.0, 1.0))) / 4.0 AS quality
+         |FROM sig""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |hits AS (
+         |  SELECT doc_id, l.lang,
+         |         len(list_filter(toks, x -> list_contains(l.words, x)))::BIGINT AS hits
+         |  FROM t, (VALUES $langValues) l(lang, words)),
+         |best AS (
+         |  SELECT doc_id, lang, hits,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+         |  FROM hits)
+         |SELECT doc_id,
+         |       CASE WHEN hits = 0 THEN 'und' ELSE lang END AS predicted_lang,
+         |       hits AS stopword_hits
+         |FROM best WHERE rn = 1""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(1, len(toks)-1),
+         |                i -> array_to_string(list_slice(toks, i::INT, i::INT+2), ' ')) END AS shingles
+         |  FROM t)
+         |SELECT doc_id,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         |  list_min(list_transform(shingles, s -> ${h60("s")})) AS content_hash
+         |FROM sh""".stripMargin
+  )
+}

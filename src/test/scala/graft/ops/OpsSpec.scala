@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup finds identical normalized texts") {
+    val d = Seq((1L, "hello  world"), (2L, "Hello World"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(d, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("lsh candidate pairs include a true near-duplicate and self-consistency") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = Seq((1L, base), (2L, base + " extra"), (3L, "completely different words here now ok"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text", 3, 16, 4).collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
+    pairs.foreach(r => assert(r.getAs[Double]("est_jaccard") >= 0.0 &&
+      r.getAs[Double]("est_jaccard") <= 1.0))
+  }
+
+  test("simhash: identical docs get identical sketch; near docs small hamming") {
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val sk = Dedup.simHashed(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(1L) == sk(2L))
+    val ham = java.lang.Long.bitCount(sk(1L) ^ sk(3L))
+    assert(ham < 16, s"near-dup hamming $ham should be well under half the bits")
+  }
+
+  test("ngram jaccard: identical=1.0, disjoint=0.0") {
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(d, pairs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0 && out((1L, 3L)) == 0.0)
+  }
+
+  test("brute-force knn: self excluded, ranks contiguous, cosine in [-1,1]") {
+    val q = emb.where($"vec_id" % 100 === 0).select($"vec_id".as("qid"), $"embedding")
+    val out = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", "qid", 5)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("qid") != r.getAs[Long]("vec_id"))
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+    val perQ = rows.groupBy(_.getAs[Long]("qid"))
+    perQ.values.foreach(g => assert(g.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 5L)))
+  }
+
+  test("ann recall: bucketed top-1 matches brute-force top-1 for most queries") {
+    val q = emb.where($"vec_id" % 50 === 0).select($"vec_id".as("qid"), $"embedding")
+    val bf = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", "qid", 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    val ann = Similarity.annKnn(emb, q, "vec_id", "embedding", "qid", 1, bits = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    val hits = bf.keys.count(k => ann.get(k).contains(bf(k)))
+    // single-probe LSH: recall < 1 by design but must beat random (1/500)
+    assert(hits.toDouble / bf.size > 0.3, s"recall ${hits}/${bf.size} too low")
+  }
+
+  test("cosine of identical vectors is 1.0 (double fold)") {
+    val one = Seq((1L, Array(0.6f, 0.8f)), (2L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val c = one.select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("language id predicts via stopwords with deterministic tie-break") {
+    val d = Seq(
+      (1L, "the cat of the house is in the garden"),
+      (2L, "el perro de la casa y el gato"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "und")
+  }
+
+  test("quality score lands in [0,1] on the real corpus") {
+    val q = TextAnalysis.qualityScores(docs, "doc_id", "text")
+      .agg(min("quality"), max("quality")).head()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+  }
+
+  test("multimodal feature extraction is deterministic and complete") {
+    val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.length == docs.count())
+    f1.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") > 0)
+      val kind = r.getAs[String]("kind")
+      if (kind == "image") assert(r.getAs[Int]("width") >= 1 && r.getAs[Double]("duration_s") == 0.0)
+      if (kind == "audio") assert(r.getAs[Double]("duration_s") >= 0.0)
+    }
+  }
+
+  test("frame sampling emits stride-aligned offsets within payload") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(10), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, 64).collect()
+    frames.foreach(r => assert(r.getAs[Long]("frame_offset") % 64 == 0))
+    assert(frames.nonEmpty)
+  }
+}

@@ -9,6 +9,8 @@ import pandas as pd
 
 def normalize(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) == 0:
+        return df.reset_index(drop=True)
     # stable row sort over all columns (stringified for mixed types)
     key = df.astype(str).apply(lambda r: "\x00".join(r), axis=1)
     df = df.iloc[key.argsort(kind="mergesort")].reset_index(drop=True)
