@@ -1,0 +1,160 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.types._
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Native Catalyst expressions for text sketches (MinHash, SimHash,
+  * shingle content hash).
+  *
+  * The Column-function formulations (transform/aggregate lambdas) are
+  * correct but Spark evaluates higher-order array functions interpreted —
+  * k=16 MinHash over 5 k docs cost ~56 s at sf0.1. These expressions
+  * compute the identical result in one JVM eval per row: tokenize →
+  * shingle → one md5 per distinct shingle → k affine permutations
+  * `(a_i·x + b_i) mod (2^61−1)` — ~100× less interpreter overhead and one
+  * md5 instead of k per shingle.
+  *
+  * Every algorithm stays bit-for-bit reproducible in DuckDB SQL (see the
+  * `dedup_*` oracles): md5 is md5, and the affine coefficients are
+  * themselves md5-derived (`a_i = h60("a:"+i) & 0x7FFFFFFF | 1`).
+  */
+object Sketch {
+  /** 2^61 − 1 (Mersenne prime) — modulus of the affine MinHash family. */
+  val P: Long = 2305843009213693951L
+  /** 31-bit mask applied to shingle hashes so `a·x` fits in a signed 64. */
+  val Mask31: Long = 0x7FFFFFFFL
+
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+  private val hex = "0123456789abcdef".toCharArray
+
+  def md5Hex(s: String): String = {
+    val d = md5.get().digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hex((d(i) & 0xf0) >> 4)
+      out(2 * i + 1) = hex(d(i) & 0x0f)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** First 15 hex digits of md5 as a 60-bit long —
+    * `('0x'||substr(md5(s),1,15))::BIGINT` in DuckDB. */
+  def hash60(s: String): Long = {
+    val d = md5.get().digest(s.getBytes(StandardCharsets.UTF_8))
+    // first 15 hex digits = first 7 bytes + high nibble of byte 8
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  def tokens(s: String): Array[String] = s.trim.split("\\s+")
+
+  /** k-word shingles; single joined string when fewer than k tokens
+    * (mirrors TextFunctions.wordShingles / the SQL CASE). */
+  def shingles(toks: Array[String], k: Int): Array[String] =
+    if (toks.length < k) Array(toks.mkString(" "))
+    else Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" "))
+
+  /** Affine family coefficients, md5-derived (computable inline in SQL). */
+  def coeffA(i: Int): Long = (hash60(s"a:$i") & Mask31) | 1L
+  def coeffB(i: Int): Long = hash60(s"b:$i") & Mask31
+}
+
+/** MinHash signature of a text column: array<long> of length k. */
+case class MinHashSignatureExpr(child: Expression, k: Int, shingleWords: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  private lazy val as = Array.tabulate(k)(i => Sketch.coeffA(i + 1))
+  private lazy val bs = Array.tabulate(k)(i => Sketch.coeffB(i + 1))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sh = Sketch.shingles(Sketch.tokens(input.toString), shingleWords).distinct
+    val xs = sh.map(s => Sketch.hash60(s) & Sketch.Mask31)
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < xs.length) {
+        val v = (as(i) * xs(j) + bs(i)) % Sketch.P
+        if (v < m) m = v
+        j += 1
+      }
+      sig(i) = if (xs.isEmpty) 0L else m
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 32-bit SimHash of a text column (distinct whitespace tokens). */
+case class SimHash32Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = Sketch.tokens(input.toString).distinct
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      val h = Sketch.hash60(toks(i))
+      var j = 0
+      while (j < 32) {
+        counts(j) += (((h >> j) & 1L).toInt * 2 - 1)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Minimum raw shingle hash — a one-value content fingerprint. */
+case class ShingleMinHashExpr(child: Expression, shingleWords: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sh = Sketch.shingles(Sketch.tokens(input.toString), shingleWords)
+    var m = Long.MaxValue
+    var i = 0
+    while (i < sh.length) {
+      val v = Sketch.hash60(sh(i))
+      if (v < m) m = v
+      i += 1
+    }
+    java.lang.Long.valueOf(if (sh.isEmpty) 0L else m)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-facing constructors. */
+object TextSketches {
+  private def expr(c: Column) = GraftColumnShim.expression(c)
+  def minHashSignature(text: Column, k: Int, shingleWords: Int): Column =
+    GraftColumnShim.column(MinHashSignatureExpr(expr(text), k, shingleWords))
+  def simHash32(text: Column): Column =
+    GraftColumnShim.column(SimHash32Expr(expr(text)))
+  def shingleMinHash(text: Column, shingleWords: Int): Column =
+    GraftColumnShim.column(ShingleMinHashExpr(expr(text), shingleWords))
+}

@@ -48,40 +48,14 @@ object TextFunctions {
         i => s.substr(i, lit(n))))
   }
 
-  /** MinHash signature: for each of `k` hash-family members, the minimum
-    * seeded hash over the distinct shingles. Per-row array math — no
-    * shuffle, no UDF; O(k · shingles) inside codegen. */
-  def minHashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(1), lit(k)),
-      seed => array_min(transform(array_distinct(shingles),
-        s => hash60Seeded(s, seed))))
-
-  /** LSH band keys from a MinHash signature: md5 of each band's
-    * concatenated rows (bands of `rowsPerBand`). Docs sharing any band key
-    * are near-duplicate candidates. */
+  /** MinHash/SimHash sketches live in
+    * [[graft.expressions.TextSketches]] as native Catalyst expressions
+    * (the transform/aggregate formulation evaluates interpreted and was
+    * ~100x slower); LSH banding over a signature stays Column math. */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => concat(b.cast("string"), lit(":"),
         md5(concat_ws(",", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))))
-
-  /** Column-arg bit shifts (`functions.shiftright/left` only take literal
-    * Int amounts; the SQL functions accept expressions). */
-  private def shr(c: Column, n: Column): Column = call_function("shiftright", c, n)
-  private def shl(c: Column, n: Column): Column = call_function("shiftleft", c, n)
-
-  /** 32-bit SimHash over the distinct tokens: bit j is set when the sum of
-    * (±1 by bit j of each token hash) is positive. */
-  def simHash32(toks: Column): Column = {
-    val distinctToks = array_distinct(toks)
-    val hashes = transform(distinctToks, t => hash60(t))
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, j) => acc + when(
-        aggregate(hashes, lit(0L),
-          (s, h) => s + (shr(h, j.cast("int")).bitwiseAND(1L) * 2L - 1L)) > 0L,
-        shl(lit(1L), j.cast("int"))).otherwise(0L))
-  }
 
   /** Hamming distance between two SimHash values. */
   def hammingDistance(a: Column, b: Column): Column =

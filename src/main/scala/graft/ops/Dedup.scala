@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.expressions.TextSketches
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -32,7 +33,7 @@ object Dedup {
                 shingleWords: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
     docs.select(col(idCol),
-      minHashSignature(wordShingles(tokens(col(textCol)), shingleWords), k).as("signature"))
+      TextSketches.minHashSignature(col(textCol), k, shingleWords).as("signature"))
       .withColumn("band_key", explode(lshBandKeys(col("signature"), bands, rows)))
   }
 
@@ -44,9 +45,12 @@ object Dedup {
     val hashed = minHashed(docs, idCol, textCol, shingleWords, k, bands)
     // Cap pathological buckets (boilerplate): count per band key, drop the
     // heavy hitters — standard web-dedup guard, documented data loss.
+    // Persisted: both self-join sides read the (tiny: id+signature+band)
+    // sketch table instead of recomputing signatures per side.
     val sized = hashed.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
       .where(col("bucket_n") <= maxBucketSize)
+      .persist()
     val a = sized.select(col("band_key"), col(idCol).as("id_a"), col("signature").as("sig_a"))
     val b = sized.select(col("band_key"), col(idCol).as("id_b"), col("signature").as("sig_b"))
     a.join(b, Seq("band_key"))
@@ -60,16 +64,18 @@ object Dedup {
 
   /** SimHash sketch per document. */
   def simHashed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), simHash32(tokens(col(textCol))).as("simhash"))
+    docs.select(col(idCol), TextSketches.simHash32(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
     * joining on 16-bit halves (pigeonhole: distance ≤ 1 ⇒ one half equal;
     * for larger thresholds both halves are candidate keys). */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // Persisted: the sketch (id + 3 longs) feeds four join sides below.
     val sketched = simHashed(docs, idCol, textCol)
       .withColumn("lo", col("simhash").bitwiseAND(0xFFFFL))
       .withColumn("hi", shiftright(col("simhash"), 16).bitwiseAND(0xFFFFL))
+      .persist()
     def pairsOn(key: String) = {
       val a = sketched.select(col(key), col(idCol).as("id_a"), col("simhash").as("sh_a"))
       val b = sketched.select(col(key), col(idCol).as("id_b"), col("simhash").as("sh_b"))

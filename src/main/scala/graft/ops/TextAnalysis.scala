@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.expressions.TextSketches
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -70,6 +71,5 @@ object TextAnalysis {
                    shingleWords: Int = 3): DataFrame =
     docs.select(col(idCol),
       fingerprint(col(textCol)).as("fingerprint"),
-      array_min(transform(wordShingles(tokens(col(textCol)), shingleWords),
-        s => hash60(s))).as("content_hash"))
+      TextSketches.shingleMinHash(col(textCol), shingleWords).as("content_hash"))
 }

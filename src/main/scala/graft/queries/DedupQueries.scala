@@ -43,10 +43,13 @@ object DedupQueries {
     s"""CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
        | ELSE list_transform(range(1, len(t)-1),
        |        i -> array_to_string(list_slice(t, i::INT, i::INT+2), ' ')) END""".stripMargin
-  private val signatureSql = // k=16 seeded min-hashes over distinct shingles
-    s"""list_transform(range(1,17), seed ->
+  private val signatureSql = // k=16 affine min-hashes over distinct shingles:
+    // h_i(x) = (a_i * x + b_i) mod (2^61-1), x = hash60(shingle) & 0x7FFFFFFF,
+    // a_i/b_i md5-derived (graft.expressions.Sketch.coeffA/coeffB)
+    s"""list_transform(range(1,17), i ->
        |  list_min(list_transform(list_distinct(shingles),
-       |    s -> ${h60("seed::VARCHAR || ':' || s")})))""".stripMargin
+       |    s -> ((((${h60("'a:' || i")} & 2147483647) | 1) * (${h60("s")} & 2147483647)
+       |           + (${h60("'b:' || i")} & 2147483647)) % 2305843009213693951))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
