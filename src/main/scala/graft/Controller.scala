@@ -38,8 +38,10 @@ final class Controller(spark: SparkSession, store: StateStore,
 
   private val mtimeFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
 
-  /** One scheduled run over every discovered table; returns per-table actions. */
-  def runOnce(): Map[String, Action] = {
+  /** One scheduled run over every discovered table; returns per-table
+    * actions in execution order (a table can do a full load AND an
+    * incremental merge in the same run, like the reference's ProcessTable). */
+  def runOnce(): Map[String, List[Action]] = {
     val tables = Discovery.listTables(rawRoot, spark.sparkContext.hadoopConfiguration)
     tables.foreach(t => store.upsertDefaults(t.dir))
     val active = tables.filter(t => store.get(t.dir).exists(_.config.active))
@@ -50,12 +52,12 @@ final class Controller(spark: SparkSession, store: StateStore,
         Future(t.key -> processTable(t, store.get(t.dir).get))
       }
       val done = Await.result(Future.sequence(futures), Duration.Inf).toMap
-      tables.filterNot(active.contains).map(_.key -> (Skipped: Action)).toMap ++ done
+      tables.filterNot(active.contains).map(_.key -> List[Action](Skipped)).toMap ++ done
     } finally pool.shutdown()
   }
 
   /** ProcessTable logic for one table (DMSCDC_ProcessTable.py:60-122). */
-  private def processTable(t: Discovery.TableDir, item: TableItem): Action = {
+  private def processTable(t: Discovery.TableDir, item: TableItem): List[Action] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val outPath = s"${lakeRoot.stripSuffix("/")}/${t.schema}/${t.table}"
     val cfg: TableConfig = item.config
@@ -77,6 +79,7 @@ final class Controller(spark: SparkSession, store: StateStore,
       Incremental(stats.rowsWritten, batch.files.size)
     }
 
-    incr.orElse(fullLoad).getOrElse(NoNewData)
+    val actions = fullLoad.toList ++ incr.toList
+    if (actions.isEmpty) List(NoNewData) else actions
   }
 }

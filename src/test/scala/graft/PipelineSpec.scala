@@ -47,7 +47,7 @@ class PipelineSpec extends SparkSpec {
     val ctl = new Controller(spark, store, raw, lake, parallelism = 2)
 
     // Run 1 with inactive tables: everything skipped (C5 gate).
-    assert(ctl.runOnce().values.forall(_ == Controller.Skipped))
+    assert(ctl.runOnce().values.forall(_ == List(Controller.Skipped)))
 
     // Activate with PKs (the reference's human step, README.md:87).
     Discovery.listTables(raw).foreach { t =>
@@ -57,8 +57,8 @@ class PipelineSpec extends SparkSpec {
 
     // Run 2: initial loads.
     val r2 = ctl.runOnce()
-    assert(r2("sampledb/product") == Controller.FullLoad(25))
-    assert(r2("sampledb/store") == Controller.FullLoad(8))
+    assert(r2("sampledb/product") == List(Controller.FullLoad(25)))
+    assert(r2("sampledb/store") == List(Controller.FullLoad(8)))
     assert(spark.read.parquet(s"$lake/sampledb/product").count() == 25)
 
     // Incremental batch = the reference's exact test vector
@@ -77,8 +77,8 @@ class PipelineSpec extends SparkSpec {
     // rowsWritten counts the merge's output rows: product's two changes hit
     // the single snapshot file (all 25 rows rewritten, minus the delete);
     // store's insert touches no existing file (append of 1 row only).
-    assert(r3("sampledb/product") == Controller.Incremental(24, 1))
-    assert(r3("sampledb/store") == Controller.Incremental(1, 1))
+    assert(r3("sampledb/product") == List(Controller.Incremental(24, 1)))
+    assert(r3("sampledb/store") == List(Controller.Incremental(1, 1)))
 
     val productLake = spark.read.parquet(s"$lake/sampledb/product")
     assert(productLake.count() == 24) // 25 - 1 delete
@@ -88,7 +88,7 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$lake/sampledb/store").count() == 9)
 
     // Run 4: nothing new → no-op (C3/C4/C8 watermarks hold).
-    assert(ctl.runOnce().values.forall(_ == Controller.NoNewData))
+    assert(ctl.runOnce().values.forall(_ == List(Controller.NoNewData)))
   }
 
   test("partitioned initial load writes hive layout") {
