@@ -1,6 +1,7 @@
 package graft
 
-import graft.expressions.{MinHashSignatureExpr, ShingleMinHashExpr, SimHash32Expr}
+import graft.expressions.{CosineSimilarityExpr, DotProductExpr, MinHashSignatureExpr,
+  ShingleMinHashExpr, SignBucketExpr, SimHash32Expr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -37,6 +38,18 @@ object GraftFunctions {
     "graft_shingle_minhash" -> { exprs =>
       require(exprs.length == 2, "graft_shingle_minhash(text, shingle_words)")
       ShingleMinHashExpr(exprs.head, intArg(exprs(1), "shingle_words"))
+    },
+    "graft_cosine" -> { exprs =>
+      require(exprs.length == 2, "graft_cosine(vec_a, vec_b)")
+      CosineSimilarityExpr(exprs.head, exprs(1))
+    },
+    "graft_dot" -> { exprs =>
+      require(exprs.length == 2, "graft_dot(vec_a, vec_b)")
+      DotProductExpr(exprs.head, exprs(1))
+    },
+    "graft_sign_bucket" -> { exprs =>
+      require(exprs.length == 2, "graft_sign_bucket(vec, bits)")
+      SignBucketExpr(exprs.head, intArg(exprs(1), "bits"))
     })
 
   /** Session-scoped registration. Idempotent. */

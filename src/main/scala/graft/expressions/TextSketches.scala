@@ -148,6 +148,32 @@ case class ShingleMinHashExpr(child: Expression, shingleWords: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Stopword-hit counts per language: array<long> in the declared language
+  * order — one tokenization pass instead of one interpreted
+  * filter/array_contains pipeline per language. */
+case class LangHitsExpr(child: Expression, langWords: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  private lazy val sets: Array[Set[String]] = langWords.map(_.toSet).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = Sketch.tokens(input.toString)
+    val counts = new Array[Long](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      var l = 0
+      while (l < sets.length) {
+        if (sets(l).contains(toks(i))) counts(l) += 1L
+        l += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-facing constructors. */
 object TextSketches {
   private def expr(c: Column) = GraftColumnShim.expression(c)
@@ -157,4 +183,6 @@ object TextSketches {
     GraftColumnShim.column(SimHash32Expr(expr(text)))
   def shingleMinHash(text: Column, shingleWords: Int): Column =
     GraftColumnShim.column(ShingleMinHashExpr(expr(text), shingleWords))
+  def langHits(text: Column, langWords: Seq[Seq[String]]): Column =
+    GraftColumnShim.column(LangHitsExpr(expr(text), langWords))
 }

@@ -16,27 +16,23 @@ object VectorFunctions {
   /** Element-wise cast to double (floats widen exactly). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product (deterministic accumulation order). */
+  /** Sequential-fold dot product (deterministic accumulation order).
+    * Native expression — the aggregate/zip_with formulation evaluates
+    * interpreted per element (see graft.expressions.VectorExpressions). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VectorExpressions.dot(a, b)
 
   /** L2 norm. */
   def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Cosine similarity (0 when either norm is zero). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm(a) * norm(b)
-    when(n === 0.0, lit(0.0)).otherwise(d / n)
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosine(a, b)
 
   /** Sign-LSH bucket for cosine similarity from the first `bits`
     * axis-aligned hyperplanes: bit j set iff `v[j] > 0`. Exact comparisons
     * (no float arithmetic) → identical bucketing in any engine; recall
     * comes from multiple probes at query time. */
   def signBucket(v: Column, bits: Int): Column =
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-      (acc, j) => acc + when(element_at(v, j + 1) > 0f,
-        call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L))
+    graft.expressions.VectorExpressions.signBucket(v, bits)
 }

@@ -46,21 +46,19 @@ object TextAnalysis {
     * deterministic tie-break (count desc, language code asc), 'und' when
     * nothing matches. */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    val scored = LangStopwords.map { case (lang, words) =>
-      val sw = array(words.map(lit): _*)
-      struct(size(filter(t, x => array_contains(sw, x))).cast("long").as("hits"),
-        lit(lang).as("lang"))
+    // One native tokenization+membership pass → array of per-lang counts
+    // (declared order); the argmax over 5 elements is cheap Column math.
+    // Tie-break: max hits, then lexicographically smallest language code.
+    val hitsArr = TextSketches.langHits(col(textCol), LangStopwords.map(_._2))
+    val scored = LangStopwords.zipWithIndex.map { case ((lang, _), i) =>
+      struct(element_at(col("__hits"), i + 1).as("hits"), lit(lang).as("lang"))
     }
-    // argmax: sort (hits desc, lang asc) via array_max on (hits, negated-
-    // lexicographic) — simpler: reverse-sort structs; struct ordering is
-    // (hits, lang) lexicographic, so take max hits then min lang among ties.
     val arr = array(scored: _*)
     val maxHits = array_max(transform(arr, s => s.getField("hits")))
     val winner = array_min(transform(
       filter(arr, s => s.getField("hits") === maxHits),
       s => s.getField("lang")))
-    docs.select(col(idCol),
+    docs.withColumn("__hits", hitsArr).select(col(idCol),
       when(maxHits === 0L, lit("und")).otherwise(winner).as("predicted_lang"),
       maxHits.as("stopword_hits"))
   }
