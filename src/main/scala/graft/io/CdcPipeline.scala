@@ -87,7 +87,11 @@ object CdcPipeline {
       MergeStats(output.count(), Nil, insertOnly = true)
     } else {
       val pks = cfg.primaryKeys
-      val target = spark.read.parquet(outPath)
+      // mergeSchema: after an evolving merge the lake holds mixed footers
+      // (rewritten files carry new columns, untouched files don't); plain
+      // inference picks one footer and would silently drop bystander
+      // values of evolved columns on the next rewrite (EvolutionSpec).
+      val target = spark.read.option("mergeSchema", "true").parquet(outPath)
         .withColumn(TgtFile, col("_metadata.file_path"))
 
       // W1: sequence the batch (rownum per key by file order + row order).

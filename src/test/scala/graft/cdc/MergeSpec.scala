@@ -72,6 +72,16 @@ class MergeSpec extends SparkSpec {
     assert(atOnce.orderBy("id").collect().toSeq == stepwise.orderBy("id").collect().toSeq)
   }
 
+  test("reference parity: target-only columns drop when changes lack them") {
+    // The reference's final select(inputfile.columns) drops columns that
+    // exist only in the target (SURVEY.md §7.3 risk 3) — pinned here.
+    val evolvedTarget = target.withColumn("note", lit("x"))
+    val changes = Seq(("U", 1, "a2", 11.0, 1L))
+      .toDF("Op", "id", "name", "price", "file_seq")
+    val merged = Merge.mergeCdc(evolvedTarget, changes, Seq("id"), Seq(col("id")))
+    assert(merged.columns.toSeq == Seq("Op", "id", "name", "price"))
+  }
+
   test("insertOnly keeps only I rows; tagInitial adds Op='I'") {
     val changes = Seq(("I", 7, "g", 1.0), ("U", 1, "x", 2.0), ("D", 2, "y", 3.0))
       .toDF("Op", "id", "name", "price")
