@@ -55,6 +55,38 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF-style cluster assignment: nearest centroid by cosine (ties →
+    * smallest centroid id). `centroids` is small (it is broadcast); at
+    * scale it comes from a sampled k-means — any deterministic centroid
+    * set works, the index structure is the same. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String, cidCol: String): DataFrame = {
+    val c = broadcast(centroids.select(col(cidCol).as("__cid"), col(vecCol).as("__cvec")))
+    val scored = corpus.crossJoin(c)
+      .select(col("*"), cosine(col(vecCol), col("__cvec")).as("__ccos"))
+    val w = Window.partitionBy(idCol).orderBy(col("__ccos").desc, col("__cid"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .withColumn("cluster", col("__cid"))
+      .drop("__cid", "__cvec", "__ccos", "__rn")
+  }
+
+  /** IVF top-k: probe only the query's own cluster (single-probe). */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             idCol: String, vecCol: String, qidCol: String, cidCol: String,
+             k: Int): DataFrame = {
+    val bc = ivfAssign(corpus, centroids, idCol, vecCol, cidCol)
+      .select(col(idCol), col(vecCol).as("__cvec"), col("cluster"))
+    val bq = broadcast(ivfAssign(queries, centroids, qidCol, vecCol, cidCol)
+      .select(col(qidCol), col(vecCol).as("__qvec"), col("cluster")))
+    val scored = bc.join(bq, "cluster")
+      .where(col(qidCol) =!= col(idCol))
+      .select(col(qidCol), col(idCol), cosine(col("__qvec"), col("__cvec")).as("cos"))
+    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted
     * to same-bucket candidates (the scale path for embedding dedup). */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,

@@ -133,6 +133,18 @@ object RelationalQueries {
           sum(dec(col("o_totalprice"), 2)).cast("double").as("total"))
     }),
 
+    // Two broadcast dimensions on the fact table (part + supplier).
+    "rel_part_supplier" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      val su = Tables(s, dir, "supplier")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_brand", "s_name")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"), 2)).cast("double").as("qty"))
+    }),
+
     // Grouped HAVING-style post-aggregation filter.
     "rel_group_having" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
@@ -219,6 +231,14 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+
+    "rel_part_supplier" ->
+      """SELECT p_brand, s_name, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_name""".stripMargin,
 
     "rel_group_having" ->
       """SELECT l_partkey, count(*) AS n,

@@ -34,7 +34,24 @@ object SimilarityQueries {
     // Embedding-cosine near-duplicate pairs within buckets.
     "sim_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.4, bits = 6))
+        threshold = 0.4, bits = 6)),
+
+    // IVF path: nearest-centroid assignment (centroids = first 8 vectors,
+    // a deterministic stand-in for sampled k-means centers).
+    "sim_ivf_assign" -> ((s, dir) =>
+      Similarity.ivfAssign(emb(s, dir),
+        emb(s, dir).where(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding")),
+        "vec_id", "embedding", "cid")
+        .select("vec_id", "cluster")),
+
+    // IVF top-3 within the query's own cluster.
+    "sim_ivf_knn" -> ((s, dir) => {
+      val cents = emb(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      Similarity.ivfKnn(emb(s, dir), queriesDf(s, dir), cents,
+        "vec_id", "embedding", "qid", "cid", k = 3)
+    })
   )
 
   /** Shared SQL: sequential-fold dot product and cosine over FLOAT[]. */
@@ -71,6 +88,33 @@ object SimilarityQueries {
          |scored AS (
          |  SELECT q.qid, b.vec_id, ${cosSql("qv", "embedding")} AS cos
          |  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "sim_ivf_assign" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "cv")} AS ccos
+         |  FROM embeddings e, c),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |  FROM scored)
+         |SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1""".stripMargin,
+
+    "sim_ivf_knn" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
+         |    FROM embeddings e, c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, cluster FROM assign WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, a.vec_id, ${cosSql("qv", "a.embedding")} AS cos
+         |  FROM assign a JOIN q USING (cluster) WHERE a.vec_id <> q.qid),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)

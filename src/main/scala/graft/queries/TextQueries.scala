@@ -16,7 +16,19 @@ object TextQueries {
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
     "text_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text", shingleWords = 3))
+      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text", shingleWords = 3)),
+
+    // BPE-ish token accounting: regex word pieces + 4-char subword chunks
+    // (ceil(len/4) pieces per word — a codepoint-budget proxy for real BPE).
+    "text_bpe_tokens" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val words = regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+"), lit(0))
+      docs(s, dir).select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        aggregate(words, lit(0L),
+          (acc, w) => acc + ((length(w) + lit(3)) / lit(4)).cast("long"))
+          .as("n_subword_tokens"))
+    })
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -27,6 +39,14 @@ object TextQueries {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_tokens" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0) AS words
+         |  FROM documents)
+         |SELECT doc_id, len(words)::BIGINT AS n_words,
+         |  CAST(list_sum(list_transform(words, x -> (len(x)+3)//4)) AS BIGINT) AS n_subword_tokens
+         |FROM w""".stripMargin,
+
     "text_token_stats" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id,
