@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.GraftColumnShim
 import org.apache.spark.sql.types._
@@ -71,11 +71,21 @@ object Sketch {
 
 /** MinHash signature of a text column: array<long> of length k. */
 case class MinHashSignatureExpr(child: Expression, k: Int, shingleWords: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
   private lazy val as = Array.tabulate(k)(i => Sketch.coeffA(i + 1))
   private lazy val bs = Array.tabulate(k)(i => Sketch.coeffB(i + 1))
+
+  /** Called from both interpreted eval and generated code — keeps the
+    * surrounding projection inside whole-stage codegen. */
+  def compute(input: Object): GenericArrayData =
+    nullSafeEval(input).asInstanceOf[GenericArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSignatureExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val sh = Sketch.shingles(Sketch.tokens(input.toString), shingleWords).distinct
@@ -100,9 +110,16 @@ case class MinHashSignatureExpr(child: Expression, k: Int, shingleWords: Int)
 
 /** 32-bit SimHash of a text column (distinct whitespace tokens). */
 case class SimHash32Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
+
+  def compute(input: Object): Long = nullSafeEval(input).asInstanceOf[Long]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash32Expr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val toks = Sketch.tokens(input.toString).distinct
@@ -130,9 +147,16 @@ case class SimHash32Expr(child: Expression)
 
 /** Minimum raw shingle hash — a one-value content fingerprint. */
 case class ShingleMinHashExpr(child: Expression, shingleWords: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
+
+  def compute(input: Object): Long = nullSafeEval(input).asInstanceOf[Long]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleMinHash", this, classOf[ShingleMinHashExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val sh = Sketch.shingles(Sketch.tokens(input.toString), shingleWords)
@@ -152,10 +176,18 @@ case class ShingleMinHashExpr(child: Expression, shingleWords: Int)
   * order — one tokenization pass instead of one interpreted
   * filter/array_contains pipeline per language. */
 case class LangHitsExpr(child: Expression, langWords: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
   private lazy val sets: Array[Set[String]] = langWords.map(_.toSet).toArray
+
+  def compute(input: Object): GenericArrayData =
+    nullSafeEval(input).asInstanceOf[GenericArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langHits", this, classOf[LangHitsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val toks = Sketch.tokens(input.toString)

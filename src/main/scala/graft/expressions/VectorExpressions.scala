@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnShim
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -33,8 +33,17 @@ private object VecEval {
 
 /** Cosine similarity of two float vectors (0.0 when either norm is 0). */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  def compute(l: ArrayData, r: ArrayData): Double =
+    nullSafeEval(l, r).asInstanceOf[Double]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosine", this, classOf[CosineSimilarityExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -47,8 +56,17 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
 /** Sequential-fold dot product of two float vectors. */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  def compute(l: ArrayData, r: ArrayData): Double =
+    nullSafeEval(l, r).asInstanceOf[Double]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dot", this, classOf[DotProductExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
   override protected def nullSafeEval(l: Any, r: Any): Any =
     java.lang.Double.valueOf(VecEval.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -57,8 +75,16 @@ case class DotProductExpr(left: Expression, right: Expression)
 
 /** Sign-LSH bucket from the first `bits` dimensions (bit j ⇔ v[j] > 0). */
 case class SignBucketExpr(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
+
+  def compute(v: ArrayData): Long = nullSafeEval(v).asInstanceOf[Long]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signBucket", this, classOf[SignBucketExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     var out = 0L
