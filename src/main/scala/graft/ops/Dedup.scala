@@ -87,6 +87,44 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Resolve near-duplicate pairs into clusters: iterative min-label
+    * propagation (connected components), `cluster` = smallest id in the
+    * component, `keep` = canonical representative.
+    *
+    * Scale: each iteration is one join + partial-aggregated groupBy on the
+    * edge list; iteration count is the component diameter, which for dedup
+    * graphs (dense near-clique clusters) is small. Labels persist per
+    * iteration with the previous generation unpersisted — the standard
+    * iterative-Spark pattern (same shape as GraphX CC, without the dep).
+    */
+  def resolveClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                      maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) after every generation: persist alone keeps
+    // the LOGICAL plan growing each iteration (planning cost explodes
+    // after ~15 rounds); checkpointing truncates the lineage so each
+    // iteration plans against a flat in-memory relation.
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src")).agg(min("cluster").as("nmin"))
+        .select(col("src").as("nid"), col("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"), col("cluster"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("next"))
+        .localCheckpoint(true)
+      changed = updated.where(col("next") < col("cluster")).count()
+      labels = updated.select(col("id"), col("next").as("cluster"))
+      it += 1
+    }
+    labels.withColumn("keep", col("id") === col("cluster"))
+  }
+
   /** Exact n-gram Jaccard similarity over candidate pairs: `pairs` must
     * have (id_a, id_b); texts are joined in and compared as distinct
     * shingle sets. Use after LSH candidate generation at scale. */

@@ -26,6 +26,12 @@ object DedupQueries {
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
 
+    // Cluster resolution: SimHash near-dup pairs → connected components,
+    // keeper = smallest doc_id per cluster.
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.resolveClusters(
+        Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3))),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val sub = docs(s, dir).where(col("doc_id") % 50 === 0)
       val pairs = sub.select(col("doc_id").as("id_a"))
@@ -105,6 +111,39 @@ object DedupQueries {
          |  FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= 3""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE h AS (
+         |  SELECT doc_id,
+         |         list_transform(list_distinct($toksSql), x -> ${h60("x")}) AS hs
+         |  FROM documents),
+         |sk AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0,32), j ->
+         |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> j::INT) & 1)*2 - 1)) > 0
+         |           THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM h),
+         |keyed AS (
+         |  SELECT doc_id, simhash, simhash & 65535 AS lo, (simhash >> 16) & 65535 AS hi FROM sk),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM cand
+         |  WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS id, least(src, min(dst)) AS cluster,
+         |       least(src, min(dst)) = src AS keep
+         |FROM reach GROUP BY src""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH toks AS (

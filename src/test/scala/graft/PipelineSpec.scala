@@ -122,6 +122,27 @@ class PipelineSpec extends SparkSpec {
     assert(back.filter($"id" === 3).head().getAs[String]("v") == "NEW")
   }
 
+  test("partitioned incremental merge: copy-on-write inside hive partitions") {
+    val lake = Files.createTempDirectory("lake").toString + "/db/t"
+    val raw = Files.createTempDirectory("raw").toString + "/db/t"
+    val cfg = TableConfig(Seq("id"), Seq("bucket"), active = true)
+    writeParquetFile((1 to 40).map(i => ("I", i, s"v$i", i % 2)).toDF("Op", "id", "v", "bucket"),
+      raw, "LOAD00000001.parquet")
+    CdcPipeline.loadInitial(spark, Seq(s"$raw/LOAD00000001.parquet"), lake, cfg)
+    // update one key in bucket 0 → only bucket 0's file rewritten
+    writeParquetFile(Seq(("U", 2, "NEW", 0)).toDF("Op", "id", "v", "bucket"),
+      raw, "20260812-1.parquet")
+    val b1Before = new java.io.File(s"$lake/bucket=1").listFiles().map(_.getName).toSet
+    val stats = CdcPipeline.loadIncremental(spark, Seq(s"$raw/20260812-1.parquet"), lake, cfg)
+    assert(stats.impactedFiles.forall(_.contains("bucket=0")))
+    val b1After = new java.io.File(s"$lake/bucket=1").listFiles().map(_.getName).toSet
+    assert(b1After == b1Before, "untouched partition's files must not change")
+    val back = spark.read.parquet(lake)
+    assert(back.count() == 40)
+    assert(back.filter($"id" === 2).head().getAs[String]("v") == "NEW")
+    assert(back.filter($"bucket" === 0).count() == 20)
+  }
+
   test("no-PK table: insert-only append semantics") {
     val lake = Files.createTempDirectory("lake").toString
     val raw = Files.createTempDirectory("raw").toString

@@ -49,6 +49,17 @@ class OpsSpec extends SparkSpec {
     assert(out((1L, 2L)) == 1.0 && out((1L, 3L)) == 0.0)
   }
 
+  test("cluster resolution: chains collapse to one component, keeper = min id") {
+    // 1-2, 2-3, 3-4 form a chain (diameter 3); 10-11 is separate; 20 isolated (absent)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true) && out(2L) == (1L, false) &&
+      out(3L) == (1L, false) && out(4L) == (1L, false))
+    assert(out(10L) == (10L, true) && out(11L) == (10L, false))
+    assert(!out.contains(20L))
+  }
+
   test("brute-force knn: self excluded, ranks contiguous, cosine in [-1,1]") {
     val q = emb.where($"vec_id" % 100 === 0).select($"vec_id".as("qid"), $"embedding")
     val out = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", "qid", 5)
