@@ -66,25 +66,55 @@ object Dedup {
   def simHashed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), TextSketches.simHash32(col(textCol)).as("simhash"))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
-    * joining on 16-bit halves (pigeonhole: distance ≤ 1 ⇒ one half equal;
-    * for larger thresholds both halves are candidate keys). */
-  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    // Persisted: the sketch (id + 3 longs) feeds four join sides below.
-    val sketched = simHashed(docs, idCol, textCol)
+  /** Candidate pairs over a (id, simhash) table via 16-bit half keys
+    * (pigeonhole: Hamming ≤ 1 ⇒ one half equal; the same candidate rule
+    * bounds recall for thresholds up to 3 — a 2+1 bit split across halves
+    * is missed, identically to the SQL oracle). */
+  private def sketchPairs(sketches: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val keyed = sketches
       .withColumn("lo", col("simhash").bitwiseAND(0xFFFFL))
       .withColumn("hi", shiftright(col("simhash"), 16).bitwiseAND(0xFFFFL))
       .persist()
     def pairsOn(key: String) = {
-      val a = sketched.select(col(key), col(idCol).as("id_a"), col("simhash").as("sh_a"))
-      val b = sketched.select(col(key), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+      val a = keyed.select(col(key), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+      val b = keyed.select(col(key), col(idCol).as("id_b"), col("simhash").as("sh_b"))
       a.join(b, Seq(key)).where(col("id_a") < col("id_b")).drop(key)
     }
     pairsOn("lo").unionByName(pairsOn("hi")).distinct()
       .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    sketchPairs(simHashed(docs, idCol, textCol), idCol, maxHamming)
+
+  /** SimHash duplicate clusters at scale: identical sketches collapse to
+    * their min-id representative BEFORE pair generation (duplicate-heavy
+    * corpora produce near-clique pair sets — 937k pairs from 5k docs on
+    * the test corpus; reps cut that quadratic term), then connected
+    * components run on the representative graph and members rejoin.
+    * Produces exactly the fixed point of [[resolveClusters]] over
+    * [[simHashPairs]]: a sketch group is itself a clique (Hamming 0), and
+    * its representative carries the group's min id. */
+  def simHashClusters(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sketched = simHashed(docs, idCol, textCol).localCheckpoint(true)
+    val groups = sketched.groupBy("simhash")
+      .agg(min(col(idCol)).as("rep"), count(lit(1)).as("members"))
+      .localCheckpoint(true)
+    val repPairs = sketchPairs(
+      groups.select(col("rep").as(idCol), col("simhash")), idCol, maxHamming)
+    val repClusters = resolveClusters(repPairs)
+      .select(col("id").as("rep"), col("cluster"))
+    sketched.join(groups, "simhash")
+      .join(broadcast(repClusters), Seq("rep"), "left")
+      .where(col("members") >= 2 || col("cluster").isNotNull)
+      .select(col(idCol).as("id"),
+        coalesce(col("cluster"), col("rep")).as("cluster"))
+      .withColumn("keep", col("id") === col("cluster"))
   }
 
   /** Resolve near-duplicate pairs into clusters: iterative min-label
@@ -111,12 +141,21 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
+      // Phase 1: min over neighbor labels (one hop).
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src")).agg(min("cluster").as("nmin"))
         .select(col("src").as("nid"), col("nmin"))
-      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+      val hopped = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(col("id"), col("cluster"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("next"))
+      // Phase 2: pointer jump — follow the label's own label. Labels only
+      // decrease and stay within the component, so this is safe and turns
+      // diameter-bound convergence into ~log(diameter) iterations.
+      val updated = hopped.join(
+        labels.select(col("id").as("lid"), col("cluster").as("lcluster")),
+        hopped("next") === col("lid"), "left")
+        .select(hopped("id"), hopped("cluster"),
+          least(hopped("next"), coalesce(col("lcluster"), hopped("next"))).as("next"))
         .localCheckpoint(true)
       changed = updated.where(col("next") < col("cluster")).count()
       labels = updated.select(col("id"), col("next").as("cluster"))

@@ -27,10 +27,10 @@ object DedupQueries {
       Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
 
     // Cluster resolution: SimHash near-dup pairs → connected components,
-    // keeper = smallest doc_id per cluster.
+    // keeper = smallest doc_id per cluster (identical sketches collapsed
+    // to representatives before the quadratic pair step — the scale path).
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.resolveClusters(
-        Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3))),
+      Dedup.simHashClusters(docs(s, dir), "doc_id", "text", maxHamming = 3)),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val sub = docs(s, dir).where(col("doc_id") % 50 === 0)
