@@ -35,12 +35,23 @@ object CdcPipeline {
   val RowIdx = "__row_idx"
   private val TgtFile = "__tgt_file"
 
+  /** Change-file reader: parquet (the reference's DMS target) plus csv and
+    * json (DMS's other S3 target formats). Non-parquet formats infer
+    * schemas and carry a header row for csv. */
+  private def readChangeFiles(spark: SparkSession, files: Seq[String], format: String): DataFrame =
+    format match {
+      case "parquet" => spark.read.parquet(files: _*)
+      case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(files: _*)
+      case "json" => spark.read.json(files: _*)
+      case other => throw new IllegalArgumentException(s"unsupported change-file format: $other")
+    }
+
   /** S1+P1+S5: full-snapshot load — read `LOAD*` files, tag `Op='I'`,
     * overwrite target (DMSCDC_LoadInitial.py:28-36). */
   def loadInitial(spark: SparkSession, loadFiles: Seq[String], outPath: String,
-                  cfg: TableConfig): Long = {
+                  cfg: TableConfig, format: String = "parquet"): Long = {
     require(loadFiles.nonEmpty, "no snapshot files")
-    val snap0 = spark.read.parquet(loadFiles: _*)
+    val snap0 = readChangeFiles(spark, loadFiles, format)
     val snap = if (snap0.columns.contains(Op.column)) snap0 else Merge.tagInitial(snap0)
     CowWriter.writeInitial(snap, outPath, cfg.partitionKeys)
     snap.count()
@@ -49,13 +60,18 @@ object CdcPipeline {
   /** The flagship: incremental latest-wins merge with copy-on-write rewrite
     * (DMSCDC_LoadIncremental.py:41-87). */
   def loadIncremental(spark: SparkSession, cdcFiles: Seq[String], outPath: String,
-                      cfg: TableConfig): MergeStats = {
+                      cfg: TableConfig, format: String = "parquet"): MergeStats = {
     require(cdcFiles.nonEmpty, "no change files")
     // Explicit file-list scan (S2): the watermark listing already did the
     // file pruning — Spark never sees already-processed files.
-    val tagged = spark.read.parquet(cdcFiles: _*)
+    // Intra-file order: `_metadata.row_index` is parquet-only; csv/json
+    // CDC files are line-ordered single-split reads, where
+    // monotonically_increasing_id preserves scan order per file.
+    val base = readChangeFiles(spark, cdcFiles, format)
       .withColumn(SrcFile, col("_metadata.file_path"))
-      .withColumn(RowIdx, col("_metadata.row_index"))
+    val tagged =
+      if (format == "parquet") base.withColumn(RowIdx, col("_metadata.row_index"))
+      else base.withColumn(RowIdx, monotonically_increasing_id())
     mergeTagged(spark, tagged, outPath, cfg)
   }
 

@@ -1,0 +1,58 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Lake-table compaction: every incremental merge appends files (the
+  * reference's `coalesce(1)` bounds per-merge output but the file count
+  * still grows one-plus per batch — README.md:274 acknowledges the
+  * fragmentation). Periodic compaction rewrites a table directory into
+  * bounded-size files, hash-clustered by primary key so future merges
+  * touch few files per changed key.
+  *
+  * Safe against the pipeline's own crash semantics: the rewrite goes to a
+  * temp dir first, then swaps — a crash mid-compaction leaves the original
+  * table intact (same atomicity caveat as the reference's copy-on-write
+  * delete window, applied to a maintenance op instead of the hot path).
+  */
+object Compaction {
+
+  final case class Stats(filesBefore: Long, filesAfter: Long, rows: Long)
+
+  def compact(spark: SparkSession, tableDir: String, primaryKeys: Seq[String],
+              maxRecordsPerFile: Long = CowWriter.DefaultMaxRecordsPerFile): Stats = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(conf)
+
+    def countFiles(p: Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+
+    val before = countFiles(dir)
+    val df = spark.read.option("mergeSchema", "true").parquet(tableDir)
+    val rows = df.count()
+    val targetFiles = math.max(1L, (rows + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
+    val clustered =
+      if (primaryKeys.nonEmpty) df.repartition(targetFiles, primaryKeys.map(col): _*)
+      else df.repartition(targetFiles)
+
+    val tmp = new Path(dir.getParent, s".compact-${dir.getName}-${System.nanoTime()}")
+    clustered.write
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .mode("overwrite").parquet(tmp.toString)
+    // swap: move original aside, promote the compacted dir, drop original
+    val old = new Path(dir.getParent, s".old-${dir.getName}-${System.nanoTime()}")
+    if (!fs.rename(dir, old)) throw new java.io.IOException(s"rename $dir -> $old failed")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // roll back
+      throw new java.io.IOException(s"rename $tmp -> $dir failed")
+    }
+    fs.delete(old, true)
+    Stats(before, countFiles(dir), rows)
+  }
+}
