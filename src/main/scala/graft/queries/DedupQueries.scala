@@ -32,6 +32,25 @@ object DedupQueries {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.simHashClusters(docs(s, dir), "doc_id", "text", maxHamming = 3)),
 
+    // End-to-end dedup application: the corpus with cluster losers removed
+    // (keepers + docs in no near-dup cluster survive).
+    "dedup_apply" -> ((s, dir) => {
+      val losers = Dedup.simHashClusters(docs(s, dir), "doc_id", "text", maxHamming = 3)
+        .where(!col("keep")).select(col("id").as("doc_id"))
+      docs(s, dir).join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+    }),
+
+    // Deterministic hash-stratified sampling: keep ~p% per language
+    // (en kept at 10%, others at 50%) — reproducible train/eval splits.
+    "dedup_sample_stratified" -> ((s, dir) => {
+      import graft.functions.TextFunctions.hash60
+      val rate = when(col("lang") === "en", 10L).otherwise(50L)
+      docs(s, dir)
+        .where(hash60(concat(lit("sample:"), col("doc_id").cast("string"))) % 100 < rate)
+        .select("doc_id", "lang")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val sub = docs(s, dir).where(col("doc_id") % 50 === 0)
       val pairs = sub.select(col("doc_id").as("id_a"))
@@ -144,6 +163,46 @@ object DedupQueries {
          |SELECT src AS id, least(src, min(dst)) AS cluster,
          |       least(src, min(dst)) = src AS keep
          |FROM reach GROUP BY src""".stripMargin,
+
+    "dedup_apply" ->
+      s"""WITH RECURSIVE h AS (
+         |  SELECT doc_id,
+         |         list_transform(list_distinct($toksSql), x -> ${h60("x")}) AS hs
+         |  FROM documents),
+         |sk AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0,32), j ->
+         |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> j::INT) & 1)*2 - 1)) > 0
+         |           THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM h),
+         |keyed AS (
+         |  SELECT doc_id, simhash, simhash & 65535 AS lo, (simhash >> 16) & 65535 AS hi FROM sk),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM cand
+         |  WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |losers AS (
+         |  SELECT src AS id FROM reach GROUP BY src
+         |  HAVING least(src, min(dst)) <> src)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    "dedup_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h60("'sample:' || doc_id::VARCHAR")} % 100
+         |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH toks AS (

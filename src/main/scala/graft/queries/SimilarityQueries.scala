@@ -45,6 +45,20 @@ object SimilarityQueries {
         "vec_id", "embedding", "cid")
         .select("vec_id", "cluster")),
 
+    // Int8 scalar quantization stats per vector (the storage-compression
+    // path for 100 TB embedding tables): symmetric scale = max|x|/127.
+    "sim_quantize_i8" -> ((s, dir) => {
+      val xs = transform(col("embedding"), x => x.cast("double"))
+      val scale = aggregate(xs, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
+      val q = transform(xs, x =>
+        when(lit(scale) === 0.0, lit(0.0)).otherwise(
+          greatest(lit(-127.0), least(lit(127.0), round(x / scale)))))
+      emb(s, dir).select(col("vec_id"), scale.as("scale"),
+        aggregate(q, lit(0.0), (acc, x) => acc + x).cast("long").as("q_sum"),
+        aggregate(q, lit(127.0), (acc, x) => least(acc, x)).cast("long").as("q_min"),
+        aggregate(q, lit(-127.0), (acc, x) => greatest(acc, x)).cast("long").as("q_max"))
+    }),
+
     // IVF top-3 within the query's own cluster.
     "sim_ivf_knn" -> ((s, dir) => {
       val cents = emb(s, dir).where(col("vec_id") < 8)
@@ -92,6 +106,23 @@ object SimilarityQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)
          |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "sim_quantize_i8" ->
+      s"""WITH s AS (
+         |  SELECT vec_id,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale,
+         |    list_transform(embedding, x -> x::DOUBLE) AS xs
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, scale,
+         |    list_transform(xs, x -> CASE WHEN scale = 0 THEN 0.0
+         |      ELSE greatest(-127.0, least(127.0, round(x / scale))) END) AS qs
+         |  FROM s)
+         |SELECT vec_id, scale,
+         |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+         |  CAST(list_min(qs) AS BIGINT) AS q_min,
+         |  CAST(list_max(qs) AS BIGINT) AS q_max
+         |FROM q""".stripMargin,
 
     "sim_ivf_assign" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),

@@ -18,6 +18,19 @@ object TextQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text", shingleWords = 3)),
 
+    // Top-5 quality documents per language (curation shortlist; plans as
+    // WindowGroupLimit — partial top-k before the shuffle).
+    "text_topk_quality" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+      TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")
+        .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .select("lang", "doc_id", "quality", "rn")
+    }),
+
     // BPE-ish token accounting: regex word pieces + 4-char subword chunks
     // (ceil(len/4) pieces per word — a codepoint-budget proxy for real BPE).
     "text_bpe_tokens" -> ((s, dir) => {
@@ -39,6 +52,32 @@ object TextQueries {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_topk_quality" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+         |sig AS (
+         |  SELECT doc_id, lang,
+         |    least(len(toks)::DOUBLE / 100.0, 1.0) AS len_score,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE END AS diversity,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, x -> list_contains(
+         |              ['the','a','an','of','to','in','and','is','it','that','for','on','with','as'], x)))::DOUBLE
+         |              / len(toks)::DOUBLE END AS stopword_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |         ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |              / len(text)::DOUBLE END AS punct_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    (len_score + diversity + least(stopword_ratio * 5.0, 1.0)
+         |     + (1.0 - least(punct_ratio * 4.0, 1.0))) / 4.0 AS quality
+         |  FROM sig),
+         |r AS (
+         |  SELECT lang, doc_id, quality,
+         |         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn
+         |  FROM q)
+         |SELECT lang, doc_id, quality, rn FROM r WHERE rn <= 5""".stripMargin,
+
     "text_bpe_tokens" ->
       s"""WITH w AS (
          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0) AS words
