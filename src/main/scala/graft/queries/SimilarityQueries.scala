@@ -48,15 +48,19 @@ object SimilarityQueries {
     // Int8 scalar quantization stats per vector (the storage-compression
     // path for 100 TB embedding tables): symmetric scale = max|x|/127.
     "sim_quantize_i8" -> ((s, dir) => {
-      val xs = transform(col("embedding"), x => x.cast("double"))
-      val scale = aggregate(xs, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
-      val q = transform(xs, x =>
-        when(lit(scale) === 0.0, lit(0.0)).otherwise(
-          greatest(lit(-127.0), least(lit(127.0), round(x / scale)))))
-      emb(s, dir).select(col("vec_id"), scale.as("scale"),
-        aggregate(q, lit(0.0), (acc, x) => acc + x).cast("long").as("q_sum"),
-        aggregate(q, lit(127.0), (acc, x) => least(acc, x)).cast("long").as("q_min"),
-        aggregate(q, lit(-127.0), (acc, x) => greatest(acc, x)).cast("long").as("q_max"))
+      // Bind intermediates as real columns: referencing an expression tree
+      // inside a lambda would inline (and re-evaluate) it per element.
+      emb(s, dir)
+        .withColumn("__xs", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("scale",
+          aggregate(col("__xs"), lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0)
+        .withColumn("__q", transform(col("__xs"), x =>
+          when(col("scale") === 0.0, lit(0.0)).otherwise(
+            greatest(lit(-127.0), least(lit(127.0), round(x / col("scale")))))))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("__q"), lit(0.0), (acc, x) => acc + x).cast("long").as("q_sum"),
+          aggregate(col("__q"), lit(127.0), (acc, x) => least(acc, x)).cast("long").as("q_min"),
+          aggregate(col("__q"), lit(-127.0), (acc, x) => greatest(acc, x)).cast("long").as("q_max"))
     }),
 
     // IVF top-3 within the query's own cluster.
