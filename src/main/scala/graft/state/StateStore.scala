@@ -81,8 +81,26 @@ final class JsonFileStateStore(dir: String) extends StateStore {
   }
   private def fromJson(s: String): TableItem = {
     val re = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    def unesc(x: String): String = x
-      .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+    // single-pass unescape: sequential String.replace corrupts adjacent
+    // escapes (a literal backslash followed by 'n' round-trips as "\\n",
+    // which a naive replace("\\n","\n") would mangle)
+    def unesc(x: String): String = {
+      val sb = new StringBuilder(x.length)
+      var i = 0
+      while (i < x.length) {
+        if (x(i) == '\\' && i + 1 < x.length) {
+          x(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'u' =>
+              sb.append(Integer.parseInt(x.substring(i + 2, i + 6), 16).toChar); i += 6
+            case other => sb.append(other); i += 2
+          }
+        } else { sb.append(x(i)); i += 1 }
+      }
+      sb.toString
+    }
     val m = re.findAllMatchIn(s).map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
     def split(k: String) = m.getOrElse(k, "") match {
       case "" | "null" => Nil

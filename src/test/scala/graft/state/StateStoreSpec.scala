@@ -1,0 +1,47 @@
+package graft.state
+
+import graft.cdc.{TableConfig, TableState}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StateStoreSpec extends AnyFunSuite {
+
+  private def newStore = new JsonFileStateStore(Files.createTempDirectory("state").toString)
+
+  test("upsertDefaults creates the reference's default item exactly once") {
+    val store = newStore
+    val item = store.upsertDefaults("/raw/db/table")
+    assert(item.config == TableConfig())
+    assert(item.state.lastFullLoadDate == "1900-01-01 00:00:00")
+    assert(item.state.lastIncrementalFile == "/raw/db/table/0.parquet")
+    // second call returns the stored item, not fresh defaults
+    store.commitIncremental("/raw/db/table", "/raw/db/table/2026.parquet")
+    assert(store.upsertDefaults("/raw/db/table").state.lastIncrementalFile
+      == "/raw/db/table/2026.parquet")
+  }
+
+  test("round-trips config, composite keys, and hostile characters") {
+    val store = newStore
+    val item = TableItem("/raw/x/y",
+      TableConfig(Seq("id", "region"), Seq("dt"), active = true),
+      TableState("2026-08-12 00:00:00", "/raw/x/y/2026\"weird\\name\n.parquet"))
+    store.put(item)
+    assert(store.get("/raw/x/y").contains(item))
+    assert(store.all == Seq(item))
+  }
+
+  test("watermark commits are independent and ordered") {
+    val store = newStore
+    store.upsertDefaults("/t")
+    store.commitFullLoad("/t", "2026-01-01 00:00:00")
+    store.commitIncremental("/t", "/t/20260101.parquet")
+    val s = store.get("/t").get.state
+    assert(s == TableState("2026-01-01 00:00:00", "/t/20260101.parquet"))
+  }
+
+  test("commit on unknown table is a no-op, not a crash") {
+    val store = newStore
+    store.commitFullLoad("/missing", "2026-01-01 00:00:00")
+    assert(store.get("/missing").isEmpty)
+  }
+}
