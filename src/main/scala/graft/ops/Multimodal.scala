@@ -63,6 +63,19 @@ object Multimodal {
     out
   }
 
+  /** Resize plumbing: target-box scaling of the extracted dimensions
+    * (aspect-preserving fit). Works on [[extractFeatures]] output; the
+    * pixel-level resample would live in the decode stub's replacement —
+    * the dimension math and schema contract are the real part. */
+  def resizeTo(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0)
+    val scale = least(lit(maxW.toDouble) / col("width"),
+      least(lit(maxH.toDouble) / col("height"), lit(1.0)))
+    features
+      .withColumn("resized_w", greatest(floor(col("width") * scale).cast("int"), lit(1)))
+      .withColumn("resized_h", greatest(floor(col("height") * scale).cast("int"), lit(1)))
+  }
+
   /** Frame-sample stub for video payloads: deterministic frame offsets
     * (every `stride` bytes), the plumbing for a real frame extractor. */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {

@@ -122,6 +122,17 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("resize fits dimensions in the target box, preserving aspect") {
+    val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
+    val resized = Multimodal.resizeTo(Multimodal.extractFeatures(media), 640, 480).collect()
+    resized.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (rw, rh) = (r.getAs[Int]("resized_w"), r.getAs[Int]("resized_h"))
+      assert(rw <= 640 && rh <= 480 && rw >= 1 && rh >= 1)
+      if (w <= 640 && h <= 480) assert(rw == w && rh == h) // no upscale
+    }
+  }
+
   test("frame sampling emits stride-aligned offsets within payload") {
     val media = Multimodal.mediaFromDocuments(docs.limit(10), "doc_id", "text")
     val frames = Multimodal.sampleFrames(media, 64).collect()
