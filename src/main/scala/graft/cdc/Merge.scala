@@ -89,7 +89,7 @@ object Merge {
     // row_number (not rank): deterministic single survivor on ties (§7.4).
     val w = Window.partitionBy(pks.map(col): _*)
       .orderBy(col(FileSeq).desc, col(RowNum).desc)
-    val outCols = changes.columns.filterNot(metaCols.contains)
+    val outCols = changes.columns.filterNot(metaCols.contains).toIndexedSeq
     unioned
       .withColumn(Rnk, row_number().over(w))
       .where(col(Rnk) === 1 && col(Op.column) =!= Op.Delete)
