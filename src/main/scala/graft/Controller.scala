@@ -33,7 +33,8 @@ object Controller {
 
 final class Controller(spark: SparkSession, store: StateStore,
                        rawRoot: String, lakeRoot: String,
-                       parallelism: Int = 8) {
+                       parallelism: Int = 8,
+                       runTimeout: Duration = Duration(900, "s")) {
   import Controller._
 
   private val mtimeFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
@@ -51,7 +52,10 @@ final class Controller(spark: SparkSession, store: StateStore,
       val futures = active.map { t =>
         Future(t.key -> processTable(t, store.get(t.dir).get))
       }
-      val done = Await.result(Future.sequence(futures), Duration.Inf).toMap
+      // Reference parity: ProcessTable polls each load for at most 900 s
+      // (DMSCDC_ProcessTable.py:41-42); a hung table fails the run instead
+      // of wedging the scheduler.
+      val done = Await.result(Future.sequence(futures), runTimeout).toMap
       tables.filterNot(active.contains).map(_.key -> List[Action](Skipped)).toMap ++ done
     } finally pool.shutdown()
   }
