@@ -21,6 +21,7 @@ object Compaction {
   final case class Stats(filesBefore: Long, filesAfter: Long, rows: Long)
 
   def compact(spark: SparkSession, tableDir: String, primaryKeys: Seq[String],
+              partitionKeys: Seq[String] = Nil,
               maxRecordsPerFile: Long = CowWriter.DefaultMaxRecordsPerFile): Stats = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(tableDir)
@@ -38,11 +39,15 @@ object Compaction {
     val rows = df.count()
     val targetFiles = math.max(1L, (rows + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
     val clustered =
-      if (primaryKeys.nonEmpty) df.repartition(targetFiles, primaryKeys.map(col): _*)
+      if (partitionKeys.nonEmpty) df.repartition(partitionKeys.map(col): _*)
+      else if (primaryKeys.nonEmpty) df.repartition(targetFiles, primaryKeys.map(col): _*)
       else df.repartition(targetFiles)
 
     val tmp = new Path(dir.getParent, s".compact-${dir.getName}-${System.nanoTime()}")
-    clustered.write
+    val writer =
+      if (partitionKeys.nonEmpty) clustered.write.partitionBy(partitionKeys: _*)
+      else clustered.write
+    writer
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .mode("overwrite").parquet(tmp.toString)
     // swap: move original aside, promote the compacted dir, drop original

@@ -35,6 +35,22 @@ class CompactionSpec extends SparkSpec {
     assert(back.filter($"id" === 99).head().getAs[String]("note") == "extra")
   }
 
+  test("compaction preserves hive partitioning") {
+    val lake = Files.createTempDirectory("lake").toString + "/db/t"
+    // fragmented partitioned layout: 3 files per bucket
+    (0 until 3).foreach { i =>
+      writeFile((1 to 5).map(j => ("I", i * 100 + j, s"v$j")).toDF("Op", "id", "v"),
+        s"$lake/bucket=0", f"frag-a$i.parquet")
+      writeFile((1 to 5).map(j => ("I", i * 100 + j + 1000, s"w$j")).toDF("Op", "id", "v"),
+        s"$lake/bucket=1", f"frag-b$i.parquet")
+    }
+    val stats = Compaction.compact(spark, lake, Seq("id"), Seq("bucket"))
+    assert(stats.filesBefore == 6 && stats.filesAfter == 2 && stats.rows == 30)
+    val dirs = new java.io.File(lake).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("bucket=0", "bucket=1"), s"hive layout lost: $dirs")
+    assert(spark.read.parquet(lake).where($"bucket" === 0).count() == 15)
+  }
+
   test("compaction splits oversized tables into bounded files; merge still works after") {
     val lake = Files.createTempDirectory("lake").toString + "/db/t"
     val raw = Files.createTempDirectory("raw").toString + "/db/t"
