@@ -128,7 +128,7 @@ object Dedup {
     * iterative-Spark pattern (same shape as GraphX CC, without the dep).
     */
   def resolveClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                      maxIter: Int = 20): DataFrame = {
+                      maxIter: Int = 20, localThreshold: Long = 2000000L): DataFrame = {
     // localCheckpoint (eager) after every generation: persist alone keeps
     // the LOGICAL plan growing each iteration (planning cost explodes
     // after ~15 rounds); checkpointing truncates the lineage so each
@@ -136,6 +136,11 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().localCheckpoint(true)
+
+    // Small graphs (bounded by localThreshold edges) solve in one driver
+    // pass with union-find — one collect of (long, long) pairs instead of
+    // O(log diameter) distributed rounds. Bigger graphs use the loop.
+    if (edges.count() <= localThreshold) return localUnionFind(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint(true)
     var changed = 1L
@@ -162,6 +167,30 @@ object Dedup {
       it += 1
     }
     labels.withColumn("keep", col("id") === col("cluster"))
+  }
+
+  /** Driver-side union-find with path compression; min id becomes the
+    * component label. Input is the doubled edge list (both directions). */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb } // min-id root
+    }
+    val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+    rows.toDF("id", "cluster").withColumn("keep", col("id") === col("cluster"))
   }
 
   /** Exact n-gram Jaccard similarity over candidate pairs: `pairs` must
