@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.io.Bucketing
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted count equals plain groupBy count") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val plain = o.groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(o, Seq("o_orderstatus"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted decimal sum equals direct decimal sum exactly") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("total"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Skew.saltedSumDecimal(li, Seq("l_returnflag"), $"l_quantity", 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("salted join equals plain join") {
+    val o = spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_custkey")
+    val c = spark.read.parquet(s"$sf/customer.parquet").select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = o.join(c, "o_custkey").count()
+    val salted = Skew.saltedJoin(o, c, "o_custkey").count()
+    assert(salted == plain)
+  }
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    val warehouse = java.nio.file.Files.createTempDirectory("wh").toString
+    // session catalog points at default warehouse; use unique table names
+    val o = spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_totalprice")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Bucketing.writeBucketed(o, "bt_orders", "o_orderkey", 4)
+    Bucketing.writeBucketed(li, "bt_lineitem", "o_orderkey", 4)
+    val joined = Bucketing.readBucketed(spark, "bt_orders")
+      .join(Bucketing.readBucketed(spark, "bt_lineitem"), "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == li.count()) // every lineitem matches its order
+    spark.sql("DROP TABLE bt_orders")
+    spark.sql("DROP TABLE bt_lineitem")
+  }
+}
