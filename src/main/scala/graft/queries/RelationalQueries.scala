@@ -133,6 +133,30 @@ object RelationalQueries {
           sum(dec(col("o_totalprice"), 2)).cast("double").as("total"))
     }),
 
+    // Scalar-function surface: string/date/conditional functions commonly
+    // used in lake queries (all deterministic, engine-portable).
+    "rel_scalar_funcs" -> ((s, dir) =>
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("status_tag"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        when(col("o_totalprice") > 200000.0, lit("big")).otherwise(lit("small")).as("size_class"))),
+
+    // Min/max/avg aggregate surface (avg via exact decimal sum / count).
+    "rel_agg_minmax" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          (sum(dec(col("o_totalprice"), 2)).cast("double") / count(lit(1))).as("avg_price"),
+          min(col("o_orderdate")).as("first_order"),
+          max(col("o_orderdate")).as("last_order"))),
+
     // Two broadcast dimensions on the fact table (part + supplier).
     "rel_part_supplier" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
@@ -231,6 +255,26 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+
+    "rel_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS prio_upper,
+        |  substring(o_orderpriority, 1, 1) AS prio_code,
+        |  concat_ws('#', o_orderstatus, o_orderpriority) AS status_tag,
+        |  length(o_orderpriority)::BIGINT AS prio_len,
+        |  year(o_orderdate)::BIGINT AS o_year,
+        |  month(o_orderdate)::BIGINT AS o_month,
+        |  CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS size_class
+        |FROM orders""".stripMargin,
+
+    "rel_agg_minmax" ->
+      """SELECT o_orderstatus,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  min(o_orderdate) AS first_order,
+        |  max(o_orderdate) AS last_order
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "rel_part_supplier" ->
       """SELECT p_brand, s_name, count(*) AS n,

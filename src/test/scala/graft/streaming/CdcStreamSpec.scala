@@ -20,6 +20,24 @@ class CdcStreamSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  test("streaming CDC into a hive-partitioned lake table") {
+    val raw = Files.createTempDirectory("rawP").toString + "/db/t"
+    val lake = Files.createTempDirectory("lakeP").toString + "/db/t"
+    val ckpt = Files.createTempDirectory("ckptP").toString
+    val cfg = TableConfig(Seq("id"), Seq("bucket"), active = true)
+    writeFile((1 to 20).map(i => ("I", i, s"v$i", i % 2)).toDF("Op", "id", "v", "bucket"),
+      raw, "20260812-000001.parquet")
+    writeFile(Seq(("U", 2, "NEW", 0), ("D", 3, "v3", 1)).toDF("Op", "id", "v", "bucket"),
+      raw, "20260812-000002.parquet")
+    val q = CdcStream.start(spark, raw, lake, cfg, ckpt, Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val back = spark.read.parquet(lake)
+    assert(back.count() == 19) // 20 - 1 delete
+    assert(back.filter($"id" === 2).head().getAs[String]("v") == "NEW")
+    val dirs = new java.io.File(lake).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("bucket=0", "bucket=1"))
+  }
+
   test("streaming CDC: AvailableNow catch-up merges files in commit order, checkpoint resumes") {
     val raw = Files.createTempDirectory("rawS").toString + "/db/t"
     val lake = Files.createTempDirectory("lakeS").toString + "/db/t"
