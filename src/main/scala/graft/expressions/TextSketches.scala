@@ -172,6 +172,50 @@ case class ShingleMinHashExpr(child: Expression, shingleWords: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Winnowing-style rolling fingerprint: minimum Rabin-Karp hash over all
+  * `window`-char windows of the normalized text (base 257 mod 2^31−1 —
+  * products stay under 2^40, exactly representable in BIGINT for the SQL
+  * mirror). Stable under edits outside the minimizing window — the
+  * classic partial-duplicate fingerprint. */
+case class RollingMinHashExpr(child: Expression, window: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  private val B = 257L
+  private val M = 2147483647L // 2^31 - 1
+
+  def compute(input: Object): Long = nullSafeEval(input).asInstanceOf[Long]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollingMinHash", this, classOf[RollingMinHashExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val n = s.length
+    if (n == 0) return java.lang.Long.valueOf(0L)
+    val w = math.min(window, n)
+    // B^(w-1) mod M for the outgoing character
+    var bw = 1L
+    var k = 0
+    while (k < w - 1) { bw = (bw * B) % M; k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * B + s.charAt(i).toLong) % M; i += 1 }
+    var min = h
+    while (i < n) {
+      h = (h - (s.charAt(i - w).toLong * bw) % M + M) % M
+      h = (h * B + s.charAt(i).toLong) % M
+      if (h < min) min = h
+      i += 1
+    }
+    java.lang.Long.valueOf(min)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Stopword-hit counts per language: array<long> in the declared language
   * order — one tokenization pass instead of one interpreted
   * filter/array_contains pipeline per language. */
@@ -217,4 +261,6 @@ object TextSketches {
     GraftColumnShim.column(ShingleMinHashExpr(expr(text), shingleWords))
   def langHits(text: Column, langWords: Seq[Seq[String]]): Column =
     GraftColumnShim.column(LangHitsExpr(expr(text), langWords))
+  def rollingMinHash(text: Column, window: Int): Column =
+    GraftColumnShim.column(RollingMinHashExpr(expr(text), window))
 }

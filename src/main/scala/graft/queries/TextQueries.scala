@@ -31,6 +31,16 @@ object TextQueries {
         .select("lang", "doc_id", "quality", "rn")
     }),
 
+    // Winnowing-style rolling fingerprint: min Rabin-Karp hash over 16-char
+    // windows of the normalized text (partial-duplicate detection).
+    "text_rolling_fingerprint" -> ((s, dir) => {
+      import graft.expressions.TextSketches
+      import graft.functions.TextFunctions.normalize
+      import org.apache.spark.sql.functions.col
+      docs(s, dir).select(col("doc_id"),
+        TextSketches.rollingMinHash(normalize(col("text")), 16).as("rolling_fp"))
+    }),
+
     // BPE-ish token accounting: regex word pieces + 4-char subword chunks
     // (ceil(len/4) pieces per word — a codepoint-budget proxy for real BPE).
     "text_bpe_tokens" -> ((s, dir) => {
@@ -52,6 +62,21 @@ object TextQueries {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_rolling_fingerprint" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+         |  FROM documents),
+         |codes AS (
+         |  SELECT doc_id, len(t) AS n, least(16, len(t)) AS w,
+         |         list_transform(range(1, len(t)+1), i -> unicode(t[i::INT])::BIGINT) AS cs
+         |  FROM norm)
+         |SELECT doc_id,
+         |  CASE WHEN n = 0 THEN 0
+         |       ELSE list_min(list_transform(range(1, n - w + 2), i ->
+         |         list_reduce(list_slice(cs, i::INT, (i + w - 1)::INT),
+         |           (a, c) -> (a * 257 + c) % 2147483647))) END AS rolling_fp
+         |FROM codes""".stripMargin,
+
     "text_topk_quality" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
          |sig AS (

@@ -26,6 +26,23 @@ class SketchSpec extends AnyFunSuite {
     assert(Sketch.shingles(Array(""), 3).toSeq == Seq(""))
   }
 
+  test("rolling min-hash: naive recompute agrees with the rolling update") {
+    val B = 257L; val M = 2147483647L
+    def naive(s: String, w0: Int): Long = {
+      if (s.isEmpty) return 0L
+      val w = math.min(w0, s.length)
+      (0 to s.length - w).map { i =>
+        s.substring(i, i + w).foldLeft(0L)((a, c) => (a * B + c.toLong) % M)
+      }.min
+    }
+    val e = RollingMinHashExpr(org.apache.spark.sql.catalyst.expressions.Literal("x"), 16)
+    for (s <- Seq("", "a", "short", "the quick brown fox jumps over the lazy dog",
+                  "aaaaaaaaaaaaaaaaaaaaaaaa", "abc" * 40)) {
+      val got = e.compute(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(got == naive(s, 16), s"mismatch for '$s'")
+    }
+  }
+
   test("affine coefficients are odd (a) and in 31-bit range") {
     (1 to 16).foreach { i =>
       val a = Sketch.coeffA(i)
