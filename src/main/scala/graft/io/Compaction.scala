@@ -58,6 +58,9 @@ object Compaction {
       throw new java.io.IOException(s"rename $tmp -> $dir failed")
     }
     fs.delete(old, true)
+    // Drop cached file listings for the path — pre-compaction DataFrames
+    // would otherwise resolve to deleted files.
+    spark.catalog.refreshByPath(tableDir)
     Stats(before, countFiles(dir), rows)
   }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class GraftLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFile(df: DataFrame, dir: String, name: String): Unit = {
+    val tmp = Files.createTempDirectory("stage").toString
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  test("façade: discover → activate → sync → read → compact") {
+    val raw = Files.createTempDirectory("raw").toString
+    val out = Files.createTempDirectory("lake").toString
+    val st = Files.createTempDirectory("state").toString
+    writeFile(Seq(("I", 1, "a"), ("I", 2, "b")).toDF("Op", "id", "v"),
+      s"$raw/db/t", "LOAD00000001.parquet")
+
+    val lake = GraftLake(spark, raw, out, st)
+    assert(lake.tables() == Seq("db/t"))
+    assert(lake.sync()("db/t") == List(Controller.Skipped))
+
+    lake.activate("db", "t", primaryKeys = Seq("id"))
+    assert(lake.sync()("db/t") == List(Controller.FullLoad(2)))
+
+    writeFile(Seq(("U", 1, "a2"), ("I", 3, "c")).toDF("Op", "id", "v"),
+      s"$raw/db/t", "20260812-01.parquet")
+    assert(lake.sync()("db/t") == List(Controller.Incremental(3, 1)))
+
+    val df = lake.read("db", "t").orderBy("id")
+    assert(df.collect().map(r => (r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1, "a2"), (2, "b"), (3, "c")))
+
+    val stats = lake.compact("db", "t")
+    assert(stats.rows == 3)
+    assert(lake.read("db", "t").count() == 3)
+
+    // SQL functions registered by the factory (fresh read: compaction
+    // replaced the files under the pre-compaction DataFrame)
+    lake.read("db", "t").createOrReplaceTempView("lake_t")
+    assert(spark.sql("SELECT graft_simhash32(v) FROM lake_t").count() == 3)
+  }
+}
