@@ -133,6 +133,18 @@ object RelationalQueries {
           sum(dec(col("o_totalprice"), 2)).cast("double").as("total"))
     }),
 
+    // Salted two-phase aggregation (skew path): the salt is internal, the
+    // result equals a plain grouped count — which is exactly the oracle.
+    "rel_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedCount(Tables(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))),
+
+    // ROLLUP hierarchy totals (subtotal rows carry NULL keys).
+    "rel_rollup" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"), 2)).cast("double").as("qty"))),
+
     // Scalar-function surface: string/date/conditional functions commonly
     // used in lake queries (all deterministic, engine-portable).
     "rel_scalar_funcs" -> ((s, dir) =>
@@ -255,6 +267,15 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+
+    "rel_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "rel_scalar_funcs" ->
       """SELECT o_orderkey,
