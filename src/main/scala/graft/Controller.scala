@@ -29,6 +29,10 @@ object Controller {
   final case class FullLoad(rows: Long) extends Action
   final case class Incremental(rows: Long, files: Int) extends Action
   case object NoNewData extends Action
+  /** A table's load failed; its watermarks did NOT advance (C8) and the
+    * other tables' loads proceed — per-table isolation like the
+    * reference's independent Glue job runs. */
+  final case class Failed(error: String) extends Action
 }
 
 final class Controller(spark: SparkSession, store: StateStore,
@@ -50,7 +54,11 @@ final class Controller(spark: SparkSession, store: StateStore,
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = active.map { t =>
-        Future(t.key -> processTable(t, store.get(t.dir).get))
+        Future(t.key -> (scala.util.Try(processTable(t, store.get(t.dir).get)) match {
+          case scala.util.Success(actions) => actions
+          case scala.util.Failure(e) =>
+            List[Action](Failed(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }))
       }
       // Reference parity: ProcessTable polls each load for at most 900 s
       // (DMSCDC_ProcessTable.py:41-42); a hung table fails the run instead

@@ -143,6 +143,29 @@ class PipelineSpec extends SparkSpec {
     assert(back.filter($"bucket" === 0).count() == 20)
   }
 
+  test("one failing table does not abort the run; its watermark holds") {
+    val raw = Files.createTempDirectory("raw").toString
+    val lake = Files.createTempDirectory("lake").toString
+    val stateDir = Files.createTempDirectory("state").toString
+    writeParquetFile(Seq(("I", 1, "a")).toDF("Op", "id", "v"), s"$raw/db/good", "LOAD00000001.parquet")
+    // corrupt "parquet" file in the bad table
+    val badDir = new java.io.File(s"$raw/db/bad"); badDir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$raw/db/bad/LOAD00000001.parquet"), "not parquet at all")
+    val store = new JsonFileStateStore(stateDir)
+    val ctl = new Controller(spark, store, raw, lake, parallelism = 2)
+    ctl.runOnce() // register defaults
+    Discovery.listTables(raw).foreach { t =>
+      store.put(store.get(t.dir).get.copy(config = TableConfig(Seq("id"), Nil, active = true)))
+    }
+    val r = ctl.runOnce()
+    assert(r("db/good") == List(Controller.FullLoad(1)))
+    assert(r("db/bad").head.isInstanceOf[Controller.Failed])
+    // failed table's full-load watermark did not advance → retried next run
+    val badState = store.get(Discovery.listTables(raw).find(_.key == "db/bad").get.dir).get
+    assert(badState.state.lastFullLoadDate == "1900-01-01 00:00:00")
+  }
+
   test("no-PK table: insert-only append semantics") {
     val lake = Files.createTempDirectory("lake").toString
     val raw = Files.createTempDirectory("raw").toString
