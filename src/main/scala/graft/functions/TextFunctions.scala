@@ -20,11 +20,6 @@ object TextFunctions {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant: an independent hash family member per integer seed
-    * (for MinHash signatures). */
-  def hash60Seeded(c: Column, seed: Column): Column =
-    hash60(concat(seed.cast("string"), lit(":"), c))
-
   /** Normalized text: lowercase, trimmed, whitespace collapsed — the
     * canonical form for exact-dup fingerprints. */
   def normalize(c: Column): Column =
