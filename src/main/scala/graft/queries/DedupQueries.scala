@@ -57,6 +57,18 @@ object DedupQueries {
         .crossJoin(sub.select(col("doc_id").as("id_b")))
         .where(col("id_a") < col("id_b"))
       Dedup.ngramJaccard(docs(s, dir), pairs, "doc_id", "text", shingleWords = 3)
+    }),
+
+    // Character-trigram Jaccard over the normalized text (robust to
+    // whitespace/word-boundary edits that word shingles miss).
+    "dedup_char_ngram_jaccard" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{charNgrams, jaccard}
+      val sub = docs(s, dir).where(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), charNgrams(col("text"), 3).as("ng"))
+      val a = sub.select(col("doc_id").as("id_a"), col("ng").as("ng_a"))
+      val b = sub.select(col("doc_id").as("id_b"), col("ng").as("ng_b"))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), jaccard(col("ng_a"), col("ng_b")).as("jaccard"))
     })
   )
 
@@ -203,6 +215,21 @@ object DedupQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${h60("'sample:' || doc_id::VARCHAR")} % 100
          |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin,
+
+    "dedup_char_ngram_jaccard" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+         |  FROM documents WHERE doc_id % 100 = 0),
+         |ng AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(t) < 3 THEN [t]
+         |      ELSE list_transform(range(1, len(t)-1), i -> substr(t, i::INT, 3)) END) AS s
+         |  FROM norm)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+         |       ELSE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+         |            / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE END AS jaccard
+         |FROM ng a JOIN ng b ON a.doc_id < b.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH toks AS (
