@@ -2,7 +2,13 @@
 """Local stand-in for the driver's correctness gate: run graft.Verify at a
 scale factor, then execute each oracle SQL in DuckDB over the same parquet
 tables and compare results (schema-insensitive: columns sorted by name,
-rows sorted, values compared exactly after normalization)."""
+rows sorted, values compared exactly after normalization).
+
+Intended gate scale is sf0.01 (~3-4 min total). At sf0.1 the sketch-family
+oracles (simhash closure CTEs, rolling-fingerprint window folds) take tens
+of minutes in DuckDB's lambda evaluator even though the Spark side runs in
+seconds — the oracle SQL mirrors the algorithms for verifiability, not
+speed."""
 import json, math, os, subprocess, sys, tempfile, glob
 import duckdb
 import pandas as pd
