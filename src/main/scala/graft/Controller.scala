@@ -35,41 +35,70 @@ object Controller {
   final case class Failed(error: String) extends Action
 }
 
-final class Controller(spark: SparkSession, store: StateStore,
-                       rawRoot: String, lakeRoot: String,
-                       parallelism: Int = 8,
-                       runTimeout: Duration = Duration(900, "s")) {
+class Controller(spark: SparkSession, store: StateStore,
+                 rawRoot: String, lakeRoot: String,
+                 parallelism: Int = 8,
+                 tableTimeout: Duration = Duration(900, "s")) {
   import Controller._
 
   private val mtimeFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
 
   /** One scheduled run over every discovered table; returns per-table
     * actions in execution order (a table can do a full load AND an
-    * incremental merge in the same run, like the reference's ProcessTable). */
+    * incremental merge in the same run, like the reference's ProcessTable).
+    *
+    * Each table gets its OWN `tableTimeout` budget, measured from when its
+    * load starts (reference parity: ProcessTable polls each Glue job for at
+    * most 900 s from job start, DMSCDC_ProcessTable.py:41-42). A table that
+    * exceeds it reports `Failed(timeout)` and has its Spark jobs cancelled
+    * via its job group, while every other table's result is returned
+    * normally — one hung table no longer discards the whole run. Watermarks
+    * stay safe under cancellation: they commit inside [[processTable]] only
+    * after the load action completed (C8). */
   def runOnce(): Map[String, List[Action]] = {
     val tables = Discovery.listTables(rawRoot, spark.sparkContext.hadoopConfiguration)
     tables.foreach(t => store.upsertDefaults(t.dir))
     val active = tables.filter(t => store.get(t.dir).exists(_.config.active))
-    val pool = Executors.newFixedThreadPool(math.max(1, math.min(parallelism, math.max(1, active.size))))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val n = math.max(1, math.min(parallelism, math.max(1, active.size)))
+    // Two pools: workers run the Spark loads, waiters arm each table's
+    // budget when its worker slot frees (so queue time behind other tables
+    // is not charged against the table's own 900 s).
+    val workPool = Executors.newFixedThreadPool(n)
+    val waitPool = Executors.newFixedThreadPool(n)
+    val workEc = ExecutionContext.fromExecutor(workPool)
+    implicit val waitEc: ExecutionContext = ExecutionContext.fromExecutor(waitPool)
     try {
       val futures = active.map { t =>
-        Future(t.key -> (scala.util.Try(processTable(t, store.get(t.dir).get)) match {
-          case scala.util.Success(actions) => actions
-          case scala.util.Failure(e) =>
-            List[Action](Failed(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
-        }))
+        Future {
+          val group = s"graft-cdc-${t.key}"
+          val work = Future {
+            spark.sparkContext.setJobGroup(group, s"CDC load ${t.key}", interruptOnCancel = true)
+            try processTable(t, store.get(t.dir).get)
+            finally spark.sparkContext.clearJobGroup()
+          }(workEc)
+          t.key -> (scala.util.Try(Await.result(work, tableTimeout)) match {
+            case scala.util.Success(actions) => actions
+            case scala.util.Failure(_: java.util.concurrent.TimeoutException) =>
+              // Cancel the table's in-flight Spark jobs so a wedged load
+              // cannot keep writing (or advancing watermarks) after the
+              // run reported it failed.
+              spark.sparkContext.cancelJobGroup(group)
+              List[Action](Failed(s"timeout after $tableTimeout"))
+            case scala.util.Failure(e) =>
+              List[Action](Failed(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+          })
+        }
       }
-      // Reference parity: ProcessTable polls each load for at most 900 s
-      // (DMSCDC_ProcessTable.py:41-42); a hung table fails the run instead
-      // of wedging the scheduler.
-      val done = Await.result(Future.sequence(futures), runTimeout).toMap
+      // Bounded: every waiter's inner await is capped by tableTimeout, so
+      // the run takes at most ceil(active/n) * tableTimeout.
+      val done = futures.map(f => Await.result(f, Duration.Inf)).toMap
       tables.filterNot(active.contains).map(_.key -> List[Action](Skipped)).toMap ++ done
-    } finally pool.shutdown()
+    } finally { workPool.shutdown(); waitPool.shutdown() }
   }
 
-  /** ProcessTable logic for one table (DMSCDC_ProcessTable.py:60-122). */
-  private def processTable(t: Discovery.TableDir, item: TableItem): List[Action] = {
+  /** ProcessTable logic for one table (DMSCDC_ProcessTable.py:60-122).
+    * Overridable for fault-injection in tests. */
+  protected def processTable(t: Discovery.TableDir, item: TableItem): List[Action] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val outPath = s"${lakeRoot.stripSuffix("/")}/${t.schema}/${t.table}"
     val cfg: TableConfig = item.config

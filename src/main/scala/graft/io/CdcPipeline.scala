@@ -64,14 +64,19 @@ object CdcPipeline {
     require(cdcFiles.nonEmpty, "no change files")
     // Explicit file-list scan (S2): the watermark listing already did the
     // file pruning — Spark never sees already-processed files.
-    // Intra-file order: `_metadata.row_index` is parquet-only; csv/json
-    // CDC files are line-ordered single-split reads, where
-    // monotonically_increasing_id preserves scan order per file.
+    // Intra-file order: `_metadata.row_index` is parquet-only. csv/json
+    // files are line-ordered but Spark MAY split a large file across tasks
+    // (maxPartitionBytes) and bin-pack splits by size, so scan order alone
+    // is not the line order. A (file_block_start, monotonically_increasing
+    // _id) struct is: splits of one file order by their byte offset, and
+    // within a split the id is assigned in scan (= line) order. Struct
+    // ordering is lexicographic, so this sorts correctly as ONE column.
     val base = readChangeFiles(spark, cdcFiles, format)
       .withColumn(SrcFile, col("_metadata.file_path"))
     val tagged =
       if (format == "parquet") base.withColumn(RowIdx, col("_metadata.row_index"))
-      else base.withColumn(RowIdx, monotonically_increasing_id())
+      else base.withColumn(RowIdx,
+        struct(col("_metadata.file_block_start"), monotonically_increasing_id()))
     mergeTagged(spark, tagged, outPath, cfg)
   }
 

@@ -45,12 +45,15 @@ object Dedup {
     val hashed = minHashed(docs, idCol, textCol, shingleWords, k, bands)
     // Cap pathological buckets (boilerplate): count per band key, drop the
     // heavy hitters — standard web-dedup guard, documented data loss.
-    // Persisted: both self-join sides read the (tiny: id+signature+band)
-    // sketch table instead of recomputing signatures per side.
+    // Materialized once (eager localCheckpoint): both self-join sides read
+    // the (tiny: id+signature+band) sketch table instead of recomputing
+    // signatures per side, and the blocks are reclaimed by the context
+    // cleaner once the plan is unreachable — unlike persist(), which pins
+    // cache entries for the session (the round-1 cache-leak finding).
     val sized = hashed.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
       .where(col("bucket_n") <= maxBucketSize)
-      .persist()
+      .localCheckpoint(true)
     val a = sized.select(col("band_key"), col(idCol).as("id_a"), col("signature").as("sig_a"))
     val b = sized.select(col("band_key"), col(idCol).as("id_b"), col("signature").as("sig_b"))
     a.join(b, Seq("band_key"))
@@ -69,15 +72,25 @@ object Dedup {
   /** Candidate pairs over a (id, simhash) table via 16-bit half keys
     * (pigeonhole: Hamming ≤ 1 ⇒ one half equal; the same candidate rule
     * bounds recall for thresholds up to 3 — a 2+1 bit split across halves
-    * is missed, identically to the SQL oracle). */
-  private def sketchPairs(sketches: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    * is missed, identically to the SQL oracle).
+    *
+    * `maxBucketSize` caps each half-key bucket (independently per key
+    * space): the self-join is Σ bucket², so one boilerplate-heavy 16-bit
+    * bucket would otherwise go quadratic with no escape hatch — the same
+    * guard [[lshCandidatePairs]] applies, same documented data loss. */
+  private def sketchPairs(sketches: DataFrame, idCol: String, maxHamming: Int,
+                          maxBucketSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     val keyed = sketches
       .withColumn("lo", col("simhash").bitwiseAND(0xFFFFL))
       .withColumn("hi", shiftright(col("simhash"), 16).bitwiseAND(0xFFFFL))
-      .persist()
+      .withColumn("lo_n", count(lit(1)).over(w.partitionBy("lo")))
+      .withColumn("hi_n", count(lit(1)).over(w.partitionBy("hi")))
+      .localCheckpoint(true)
     def pairsOn(key: String) = {
-      val a = keyed.select(col(key), col(idCol).as("id_a"), col("simhash").as("sh_a"))
-      val b = keyed.select(col(key), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+      val capped = keyed.where(col(s"${key}_n") <= maxBucketSize)
+      val a = capped.select(col(key), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+      val b = capped.select(col(key), col(idCol).as("id_b"), col("simhash").as("sh_b"))
       a.join(b, Seq(key)).where(col("id_a") < col("id_b")).drop(key)
     }
     pairsOn("lo").unionByName(pairsOn("hi")).distinct()
@@ -88,8 +101,8 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame =
-    sketchPairs(simHashed(docs, idCol, textCol), idCol, maxHamming)
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    sketchPairs(simHashed(docs, idCol, textCol), idCol, maxHamming, maxBucketSize)
 
   /** SimHash duplicate clusters at scale: identical sketches collapse to
     * their min-id representative BEFORE pair generation (duplicate-heavy
@@ -100,13 +113,16 @@ object Dedup {
     * [[simHashPairs]]: a sketch group is itself a clique (Hamming 0), and
     * its representative carries the group's min id. */
   def simHashClusters(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val sketched = simHashed(docs, idCol, textCol).localCheckpoint(true)
     val groups = sketched.groupBy("simhash")
       .agg(min(col(idCol)).as("rep"), count(lit(1)).as("members"))
       .localCheckpoint(true)
+    // The bucket cap applies to the REPRESENTATIVE table (one row per
+    // distinct sketch): a million identical docs are one rep row, so the
+    // cap only bites on buckets of genuinely distinct near-dup sketches.
     val repPairs = sketchPairs(
-      groups.select(col("rep").as(idCol), col("simhash")), idCol, maxHamming)
+      groups.select(col("rep").as(idCol), col("simhash")), idCol, maxHamming, maxBucketSize)
     val repClusters = resolveClusters(repPairs)
       .select(col("id").as("rep"), col("cluster"))
     sketched.join(groups, "simhash")

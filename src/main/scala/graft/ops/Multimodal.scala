@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -17,9 +17,6 @@ import org.apache.spark.sql.types._
   * is in memory per core at a time — the property that matters at 100 TB.
   */
 object Multimodal {
-
-  /** Typed envelope for a media payload. */
-  final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
 
   /** Deterministic fake features standing in for a real decoder. Derives
     * "width/height/duration" from stable byte statistics so tests and
@@ -42,25 +39,52 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("duration_s", DoubleType, nullable = false)))
 
-  /** Decode + feature-extract over a media table with columns
-    * (media_id: long, kind: string, payload: binary). Batched
-    * per-partition; no shuffle — runs at scan parallelism. */
+  /** Feature extraction over a media table with columns (media_id: long,
+    * kind: string, payload: binary), fully declarative: the checksum is a
+    * codegen'd native expression ([[graft.expressions.ByteFoldChecksumExpr]])
+    * and the per-kind dimension math is Column arithmetic — one pass at
+    * scan parallelism inside whole-stage codegen, no serialization hop,
+    * identical output to [[extractFeaturesBatched]] (pinned in OpsSpec)
+    * and to the DuckDB `mm_features` oracle. */
   def extractFeatures(media: DataFrame): DataFrame = {
+    val kind = col("kind")
+    val n = col("n_bytes")
+    val cs = col("__cs")
+    media.select(col("media_id"), kind,
+      length(col("payload")).cast("long").as("n_bytes"),
+      graft.expressions.MediaExpressions.byteFoldChecksum(col("payload")).as("__cs"))
+      .select(col("media_id"), kind, n,
+        when(kind === "image", cs % 1920 + 1)
+          .when(kind === "audio", lit(1L))
+          .otherwise(cs % 3840 + 1).cast("int").as("width"),
+        when(kind === "image", cs % 1080 + 1)
+          .when(kind === "audio", lit(1L))
+          .otherwise(cs % 2160 + 1).cast("int").as("height"),
+        when(kind === "image", lit(0.0))
+          .when(kind === "audio",
+            (n % 600).cast("double") + (cs % 1000).cast("double") / 1000.0)
+          .otherwise((n % 7200).cast("double")).as("duration_s"))
+  }
+
+  /** The batched per-partition formulation: the substitution point for a
+    * REAL codec (JNI/javacpp decoders want partition-sized batches and
+    * per-partition init, which no per-row expression can host). Rows
+    * stream through `mapPartitions` directly from the typed iterator — one
+    * encode boundary, no intermediate case-class hop — so only one batch
+    * of decoded media is in memory per core at a time. Output is
+    * bit-identical to [[extractFeatures]] while the stub stands in. */
+  def extractFeaturesBatched(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val ds: Dataset[MediaRow] = media
+    media
       .select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
-      .map { case (id, k, b) => MediaRow(id, k, b) }
-    val out = ds.mapPartitions { it =>
-      // One decoded batch in flight per partition: the stub is cheap, a
-      // real codec is not — the iterator keeps memory bounded.
-      it.map { m =>
-        val (w, h, d) = decodeStub(m.kind, m.bytes)
-        (m.media_id, m.kind, m.bytes.length.toLong, w, h, d)
-      }
-    }.toDF("media_id", "kind", "n_bytes", "width", "height", "duration_s")
-    out
+      .mapPartitions { it =>
+        it.map { case (id, kind, bytes) =>
+          val (w, h, d) = decodeStub(kind, bytes)
+          (id, kind, bytes.length.toLong, w, h, d)
+        }
+      }.toDF("media_id", "kind", "n_bytes", "width", "height", "duration_s")
   }
 
   /** Resize plumbing: target-box scaling of the extracted dimensions

@@ -88,11 +88,33 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted
-    * to same-bucket candidates (the scale path for embedding dedup). */
+    * to bucketed candidates (the scale path for embedding dedup).
+    *
+    * Scale guards:
+    *  - `maxBucketSize` drops heavy buckets before the Σ bucket² self-join
+    *    (one dense embedding region would otherwise go quadratic —
+    *    the same cap [[graft.ops.Dedup.lshCandidatePairs]] uses);
+    *  - Hamming-1 multiprobe (as in [[annKnn]]) recovers pairs that a
+    *    single sign-flip separates, so recall is tuned by `bits`/probes
+    *    instead of being bucket-boundary-lossy. Each qualifying pair is
+    *    produced exactly once: a same-bucket pair matches only the
+    *    identity probe, a one-flip pair matches one probe per orientation
+    *    and the `id_a < id_b` filter keeps a single orientation. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, bits: Int): DataFrame = {
+                         threshold: Double, bits: Int,
+                         maxBucketSize: Int = 1000,
+                         multiprobe: Boolean = true): DataFrame = {
     val b = bucketed(corpus, vecCol, bits)
-    val a = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("bucket")))
+      .where(col("bucket_n") <= maxBucketSize)
+      // Materialized once (eager, cleaner-reclaimed): the probe-expanded
+      // side and the plain side both reuse the capped bucket table.
+      .localCheckpoint(true)
+    val a0 = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val probes = (0 until bits).map(j => col("bucket").bitwiseXOR(1L << j))
+    val a =
+      if (multiprobe) a0.withColumn("bucket", explode(array(col("bucket") +: probes: _*)))
+      else a0
     val c = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
     a.join(c, Seq("bucket"))
       .where(col("id_a") < col("id_b"))

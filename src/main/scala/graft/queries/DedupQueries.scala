@@ -24,18 +24,21 @@ object DedupQueries {
       Dedup.simHashed(docs(s, dir), "doc_id", "text")),
 
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3,
+        maxBucketSize = 1000)),
 
     // Cluster resolution: SimHash near-dup pairs → connected components,
     // keeper = smallest doc_id per cluster (identical sketches collapsed
     // to representatives before the quadratic pair step — the scale path).
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.simHashClusters(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+      Dedup.simHashClusters(docs(s, dir), "doc_id", "text", maxHamming = 3,
+        maxBucketSize = 1000)),
 
     // End-to-end dedup application: the corpus with cluster losers removed
     // (keepers + docs in no near-dup cluster survive).
     "dedup_apply" -> ((s, dir) => {
-      val losers = Dedup.simHashClusters(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      val losers = Dedup.simHashClusters(docs(s, dir), "doc_id", "text",
+        maxHamming = 3, maxBucketSize = 1000)
         .where(!col("keep")).select(col("id").as("doc_id"))
       docs(s, dir).join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source")
@@ -51,23 +54,30 @@ object DedupQueries {
         .select("doc_id", "lang")
     }),
 
+    // Exact word-shingle Jaccard over LSH candidate pairs: the composed
+    // scale path (LSH recall stage → exact verify stage) — candidate count
+    // is Σ bucket², never n², so the verify stage is shuffle-join linear
+    // in candidates.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sub = docs(s, dir).where(col("doc_id") % 50 === 0)
-      val pairs = sub.select(col("doc_id").as("id_a"))
-        .crossJoin(sub.select(col("doc_id").as("id_b")))
-        .where(col("id_a") < col("id_b"))
-      Dedup.ngramJaccard(docs(s, dir), pairs, "doc_id", "text", shingleWords = 3)
+      val d = docs(s, dir)
+      val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text",
+        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
+        .select("id_a", "id_b")
+      Dedup.ngramJaccard(d, pairs, "doc_id", "text", shingleWords = 3)
     }),
 
-    // Character-trigram Jaccard over the normalized text (robust to
-    // whitespace/word-boundary edits that word shingles miss).
+    // Character-trigram Jaccard verification of the same LSH candidates
+    // (robust to whitespace/word-boundary edits that word shingles miss).
     "dedup_char_ngram_jaccard" -> ((s, dir) => {
       import graft.functions.TextFunctions.{charNgrams, jaccard}
-      val sub = docs(s, dir).where(col("doc_id") % 100 === 0)
-        .select(col("doc_id"), charNgrams(col("text"), 3).as("ng"))
-      val a = sub.select(col("doc_id").as("id_a"), col("ng").as("ng_a"))
-      val b = sub.select(col("doc_id").as("id_b"), col("ng").as("ng_b"))
-      a.crossJoin(b).where(col("id_a") < col("id_b"))
+      val d = docs(s, dir)
+      val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text",
+        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
+        .select("id_a", "id_b")
+      val ng = d.select(col("doc_id"), charNgrams(col("text"), 3).as("ng"))
+      pairs
+        .join(ng.select(col("doc_id").as("id_a"), col("ng").as("ng_a")), "id_a")
+        .join(ng.select(col("doc_id").as("id_b"), col("ng").as("ng_b")), "id_b")
         .select(col("id_a"), col("id_b"), jaccard(col("ng_a"), col("ng_b")).as("jaccard"))
     })
   )
@@ -87,6 +97,75 @@ object DedupQueries {
        |  list_min(list_transform(list_distinct(shingles),
        |    s -> ((((${h60("'a:' || i")} & 2147483647) | 1) * (${h60("s")} & 2147483647)
        |           + (${h60("'b:' || i")} & 2147483647)) % 2305843009213693951))))""".stripMargin
+
+  /** SimHash sketch CTEs (h → sk), shared by the simhash oracle family. */
+  private val skCtes =
+    s"""h AS (
+       |  SELECT doc_id,
+       |         list_transform(list_distinct($toksSql), x -> ${h60("x")}) AS hs
+       |  FROM documents),
+       |sk AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0,32), j ->
+       |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> j::INT) & 1)*2 - 1)) > 0
+       |           THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS simhash
+       |  FROM h)""".stripMargin
+
+  /** Rep-collapsed capped candidate pairs (grp → … → pairs), mirroring
+    * [[graft.ops.Dedup.simHashClusters]]: identical sketches collapse to
+    * their min-id representative, the half-key bucket cap applies to the
+    * representative table, pairs are rep pairs at Hamming ≤ 3. */
+  private val repPairCtes =
+    s"""grp AS (
+       |  SELECT simhash, min(doc_id) AS rep, count(*) AS members FROM sk GROUP BY simhash),
+       |keyed AS (
+       |  SELECT rep, simhash, simhash & 65535 AS lo, (simhash >> 16) & 65535 AS hi FROM grp),
+       |capped AS (
+       |  SELECT *, count(*) OVER (PARTITION BY lo) AS lo_n,
+       |            count(*) OVER (PARTITION BY hi) AS hi_n FROM keyed),
+       |cand AS (
+       |  SELECT a.rep AS id_a, b.rep AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM capped a JOIN capped b ON a.lo = b.lo AND a.rep < b.rep
+       |  WHERE a.lo_n <= 1000
+       |  UNION
+       |  SELECT a.rep, b.rep, a.simhash, b.simhash
+       |  FROM capped a JOIN capped b ON a.hi = b.hi AND a.rep < b.rep
+       |  WHERE a.hi_n <= 1000),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= 3),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |repc AS (
+       |  SELECT src AS rep, least(src, min(dst)) AS cluster FROM reach GROUP BY src)""".stripMargin
+
+  /** MinHash/LSH candidate-pair CTEs (toks → … → lshcand), mirroring
+    * [[graft.ops.Dedup.lshCandidatePairs]] with the 1000-row bucket cap. */
+  private val lshCandCtes =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |shg AS (SELECT doc_id, ($shinglesSql) AS shingles FROM toks),
+       |sig AS (SELECT doc_id, ($signatureSql) AS signature FROM shg),
+       |bands AS (
+       |  SELECT doc_id, signature,
+       |         unnest(list_transform(range(0,4), b -> b::VARCHAR || ':' ||
+       |           md5(array_to_string(list_slice(signature, (b*4+1)::INT, (b*4+4)::INT), ',')))) AS band_key
+       |  FROM sig),
+       |bcapped AS (
+       |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band_key) <= 1000),
+       |lshcand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bcapped a JOIN bcapped b USING (band_key)
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  private def jaccardSql(a: String, b: String) =
+    s"""CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0
+       |     ELSE len(list_filter($a, x -> list_contains($b, x)))::DOUBLE
+       |          / len(list_distinct(list_concat($a, $b)))::DOUBLE END""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -122,92 +201,42 @@ object DedupQueries {
          |FROM h""".stripMargin,
 
     "dedup_simhash_pairs" ->
-      s"""WITH h AS (
-         |  SELECT doc_id,
-         |         list_transform(list_distinct($toksSql), x -> ${h60("x")}) AS hs
-         |  FROM documents),
-         |sk AS (
-         |  SELECT doc_id,
-         |    CAST(list_sum(list_transform(range(0,32), j ->
-         |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> j::INT) & 1)*2 - 1)) > 0
-         |           THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS simhash
-         |  FROM h),
+      s"""WITH $skCtes,
          |keyed AS (
          |  SELECT doc_id, simhash, simhash & 65535 AS lo, (simhash >> 16) & 65535 AS hi FROM sk),
+         |capped AS (
+         |  SELECT *, count(*) OVER (PARTITION BY lo) AS lo_n,
+         |            count(*) OVER (PARTITION BY hi) AS hi_n FROM keyed),
          |cand AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
-         |  FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id
+         |  FROM capped a JOIN capped b ON a.lo = b.lo AND a.doc_id < b.doc_id
+         |  WHERE a.lo_n <= 1000
          |  UNION
          |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-         |  FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id)
+         |  FROM capped a JOIN capped b ON a.hi = b.hi AND a.doc_id < b.doc_id
+         |  WHERE a.hi_n <= 1000)
          |SELECT id_a, id_b, CAST(bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= 3""".stripMargin,
 
     "dedup_clusters" ->
-      s"""WITH RECURSIVE h AS (
-         |  SELECT doc_id,
-         |         list_transform(list_distinct($toksSql), x -> ${h60("x")}) AS hs
-         |  FROM documents),
-         |sk AS (
-         |  SELECT doc_id,
-         |    CAST(list_sum(list_transform(range(0,32), j ->
-         |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> j::INT) & 1)*2 - 1)) > 0
-         |           THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS simhash
-         |  FROM h),
-         |keyed AS (
-         |  SELECT doc_id, simhash, simhash & 65535 AS lo, (simhash >> 16) & 65535 AS hi FROM sk),
-         |cand AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
-         |  FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-         |  FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM cand
-         |  WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= 3),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT src AS id, least(src, min(dst)) AS cluster,
-         |       least(src, min(dst)) = src AS keep
-         |FROM reach GROUP BY src""".stripMargin,
+      s"""WITH RECURSIVE $skCtes,
+         |$repPairCtes
+         |SELECT sk.doc_id AS id,
+         |       coalesce(repc.cluster, grp.rep) AS cluster,
+         |       sk.doc_id = coalesce(repc.cluster, grp.rep) AS keep
+         |FROM sk JOIN grp USING (simhash)
+         |LEFT JOIN repc ON grp.rep = repc.rep
+         |WHERE grp.members >= 2 OR repc.cluster IS NOT NULL""".stripMargin,
 
     "dedup_apply" ->
-      s"""WITH RECURSIVE h AS (
-         |  SELECT doc_id,
-         |         list_transform(list_distinct($toksSql), x -> ${h60("x")}) AS hs
-         |  FROM documents),
-         |sk AS (
-         |  SELECT doc_id,
-         |    CAST(list_sum(list_transform(range(0,32), j ->
-         |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> j::INT) & 1)*2 - 1)) > 0
-         |           THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS simhash
-         |  FROM h),
-         |keyed AS (
-         |  SELECT doc_id, simhash, simhash & 65535 AS lo, (simhash >> 16) & 65535 AS hi FROM sk),
-         |cand AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
-         |  FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-         |  FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM cand
-         |  WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= 3),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      s"""WITH RECURSIVE $skCtes,
+         |$repPairCtes,
          |losers AS (
-         |  SELECT src AS id FROM reach GROUP BY src
-         |  HAVING least(src, min(dst)) <> src)
+         |  SELECT sk.doc_id AS id
+         |  FROM sk JOIN grp USING (simhash)
+         |  LEFT JOIN repc ON grp.rep = repc.rep
+         |  WHERE (grp.members >= 2 OR repc.cluster IS NOT NULL)
+         |    AND sk.doc_id <> coalesce(repc.cluster, grp.rep))
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
@@ -217,28 +246,28 @@ object DedupQueries {
          |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin,
 
     "dedup_char_ngram_jaccard" ->
-      s"""WITH norm AS (
+      s"""WITH $lshCandCtes,
+         |norm AS (
          |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
-         |  FROM documents WHERE doc_id % 100 = 0),
+         |  FROM documents),
          |ng AS (
          |  SELECT doc_id,
          |    list_distinct(CASE WHEN len(t) < 3 THEN [t]
          |      ELSE list_transform(range(1, len(t)-1), i -> substr(t, i::INT, 3)) END) AS s
          |  FROM norm)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
-         |       ELSE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
-         |            / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE END AS jaccard
-         |FROM ng a JOIN ng b ON a.doc_id < b.doc_id""".stripMargin,
+         |SELECT c.id_a, c.id_b,
+         |  ${jaccardSql("a.s", "b.s")} AS jaccard
+         |FROM lshcand c
+         |JOIN ng a ON c.id_a = a.doc_id
+         |JOIN ng b ON c.id_b = b.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id % 50 = 0),
-         |sh AS (SELECT doc_id, list_distinct($shinglesSql) AS s FROM toks)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
-         |       ELSE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
-         |            / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE END AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id""".stripMargin
+      s"""WITH $lshCandCtes,
+         |sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM shg)
+         |SELECT c.id_a, c.id_b,
+         |  ${jaccardSql("a.s", "b.s")} AS jaccard
+         |FROM lshcand c
+         |JOIN sets a ON c.id_a = a.doc_id
+         |JOIN sets b ON c.id_b = b.doc_id""".stripMargin
   )
 }

@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries: a deterministic media table synthesized from
   * `documents` (UTF-8 payload bytes), exercising binary columns, metadata
-  * extraction, frame sampling, and the batched decode plumbing.
-  * `mm_features` has no oracle (the decode stub is JVM-side by design) —
-  * the driver records a rows-only check; scalatest pins its values.
+  * extraction, frame sampling, and the decode plumbing. All three queries
+  * (including `mm_features`, since the stub checksum became a native
+  * arithmetic expression) are DuckDB-oracle-checked.
   */
 object MultimodalQueries {
 
@@ -25,7 +25,8 @@ object MultimodalQueries {
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(media(s, dir).where(col("kind") === "video"), stride = 128)),
 
-    // Batched decode + feature extraction (stubbed codec, real plumbing).
+    // Feature extraction (stubbed codec as a native checksum expression;
+    // the batched mapPartitions twin is pinned equal in OpsSpec).
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(media(s, dir)))
   )
@@ -40,7 +41,35 @@ object MultimodalQueries {
 
     "mm_frame_sample" ->
       s"""SELECT doc_id AS media_id, unnest(range(0, octet_length(encode(text)), 128)) AS frame_offset
-         |FROM documents WHERE $kindSql = 'video'""".stripMargin
-    // mm_features: intentionally no oracle (JVM decode stub) — rows-only.
+         |FROM documents WHERE $kindSql = 'video'""".stripMargin,
+
+    // The decode stub's byte-fold checksum `(acc*31 + byte) mod 2^31` and
+    // the per-kind dimension math, byte-for-byte over the UTF-8 payload
+    // (bytes recovered from hex(blob) two chars at a time).
+    "mm_features" ->
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, $kindSql AS kind, encode(text) AS payload
+         |  FROM documents),
+         |bytes AS (
+         |  SELECT media_id, kind, octet_length(payload)::BIGINT AS n_bytes,
+         |    list_transform(range(0, octet_length(payload)),
+         |      i -> 16*(strpos('0123456789abcdef', substr(lower(hex(payload)), (2*i+1)::INT, 1))-1)
+         |         + strpos('0123456789abcdef', substr(lower(hex(payload)), (2*i+2)::INT, 1))-1) AS bs
+         |  FROM media),
+         |cs AS (
+         |  SELECT media_id, kind, n_bytes,
+         |    list_reduce(list_prepend(0::BIGINT, bs), (a, x) -> (a*31 + x) % 2147483648) AS c
+         |  FROM bytes)
+         |SELECT media_id, kind, n_bytes,
+         |  (CASE WHEN kind = 'image' THEN c % 1920 + 1
+         |        WHEN kind = 'audio' THEN 1
+         |        ELSE c % 3840 + 1 END)::INT AS width,
+         |  (CASE WHEN kind = 'image' THEN c % 1080 + 1
+         |        WHEN kind = 'audio' THEN 1
+         |        ELSE c % 2160 + 1 END)::INT AS height,
+         |  (CASE WHEN kind = 'image' THEN 0.0
+         |        WHEN kind = 'audio' THEN (n_bytes % 600)::DOUBLE + (c % 1000)::DOUBLE / 1000.0
+         |        ELSE (n_bytes % 7200)::DOUBLE END) AS duration_s
+         |FROM cs""".stripMargin
   )
 }

@@ -31,10 +31,11 @@ object SimilarityQueries {
       Similarity.annKnn(emb(s, dir), queriesDf(s, dir),
         "vec_id", "embedding", "qid", k = 3, bits = 6)),
 
-    // Embedding-cosine near-duplicate pairs within buckets.
+    // Embedding-cosine near-duplicate pairs: capped buckets + Hamming-1
+    // multiprobe (the boundary-robust scale path).
     "sim_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.4, bits = 6)),
+        threshold = 0.4, bits = 6, maxBucketSize = 1000)),
 
     // IVF path: nearest-centroid assignment (centroids = first 8 vectors,
     // a deterministic stand-in for sampled k-means centers).
@@ -156,12 +157,17 @@ object SimilarityQueries {
          |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin,
 
     "sim_near_dup" ->
-      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+      s"""WITH b0 AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000),
          |p AS (
-         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-         |         ${cosSql("a.embedding", "c.embedding")} AS cos
-         |  FROM b a JOIN b c USING (bucket)
-         |  WHERE a.vec_id < c.vec_id)
-         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4""".stripMargin
+         |  SELECT vec_id, embedding, unnest(list_concat([bucket],
+         |    list_transform(range(0,6), j -> xor(bucket::UBIGINT, (1::BIGINT << j::INT)::UBIGINT)::BIGINT))) AS bucket
+         |  FROM b),
+         |pairs AS (
+         |  SELECT p.vec_id AS id_a, c.vec_id AS id_b,
+         |         ${cosSql("p.embedding", "c.embedding")} AS cos
+         |  FROM p JOIN b c USING (bucket)
+         |  WHERE p.vec_id < c.vec_id)
+         |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin
   )
 }

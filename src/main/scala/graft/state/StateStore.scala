@@ -37,8 +37,15 @@ final class JsonFileStateStore(dir: String) extends StateStore {
   private val root: Path = Paths.get(dir)
   Files.createDirectories(root)
 
-  private def fileFor(path: String): Path =
-    root.resolve(path.replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
+  // Sanitizing alone is not injective (schema "a_b"/table "c" and schema
+  // "a"/table "b_c" both sanitize to "a_b_c"); a short hash of the raw path
+  // keeps distinct tables on distinct state files.
+  private def fileFor(path: String): Path = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes(StandardCharsets.UTF_8))
+    val h = digest.take(4).map(b => f"$b%02x").mkString
+    root.resolve(path.replaceAll("[^A-Za-z0-9._-]", "_") + s"-$h.json")
+  }
 
   override def upsertDefaults(path: String): TableItem =
     get(path).getOrElse {

@@ -57,6 +57,30 @@ object CdcStream {
       .start()
   }
 
+  /** Queue-shaped source adapter — the substitution point for DMS writing
+    * to a stream (Kinesis/Kafka) instead of S3 files. Any streaming
+    * DataFrame carrying the table's columns plus `Op` and a per-record
+    * monotonically increasing `seqCol` (queue offset, shard sequence
+    * number, arrival index) drives the IDENTICAL `foreachBatch`
+    * latest-wins merge: provenance is synthesized per record, so
+    * `mergeTagged`'s (file_seq, row_idx) total order degenerates to
+    * seqCol order — proving the merge shape has no file-semantics
+    * dependency. Exactly-once file-set tracking becomes the source's
+    * offset tracking in the same checkpoint. */
+  def startFromQueue(stream: DataFrame, seqCol: org.apache.spark.sql.Column,
+                     outPath: String, cfg: TableConfig, checkpoint: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val tagged = stream
+      .withColumn(SrcFile, lit("queue"))
+      .withColumn(RowIdx, seqCol)
+    tagged.writeStream
+      .queryName(s"cdc-queue-merge-${new Path(outPath).getName}")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) => mergeBatch(batch, outPath, cfg) }
+      .start()
+  }
+
   private val SrcFile = CdcPipeline.SrcFile
   private val RowIdx = CdcPipeline.RowIdx
 

@@ -47,31 +47,59 @@ object EventStreams {
         col("n"), col("total_value"))
 
   /** Gap-based sessionization with explicit state: events more than
-    * `gapUs` apart start a new session; closed sessions are emitted,
-    * the open one is carried in state across micro-batches. */
-  def sessionize(events: Dataset[Event], gapUs: Long): Dataset[Session] = {
+    * `gapUs` apart start a new session; closed sessions are emitted, the
+    * open one is carried in state across micro-batches.
+    *
+    * The open session is NOT held forever: an event-time timeout is armed
+    * at `last event + gap`, so once the watermark passes it the session is
+    * emitted and its state evicted — a user going quiet still produces
+    * their final session, and state stays bounded by the watermark (the
+    * round-1 advisory finding). In a one-shot batch execution Spark never
+    * fires group-state timeouts (there is no watermark progression), so
+    * batch runs emit only gap-closed sessions — use the streaming path
+    * when trailing sessions matter. */
+  def sessionize(events: Dataset[Event], gapUs: Long,
+                 watermarkDelay: String = "10 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_utc", watermarkDelay)
+      .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          val closed = Seq.newBuilder[Session]
-          var open = state.getOption
-          sorted.foreach { e =>
-            open match {
-              case Some(s) if e.ts_us - s.last_us <= gapUs =>
-                open = Some(OpenSession(s.start_us, e.ts_us, s.n + 1, s.total + e.value))
-              case Some(s) =>
-                closed += Session(userId, s.start_us, s.last_us, s.n, s.total)
-                open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
-              case None =>
-                open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+          if (state.hasTimedOut) {
+            // Watermark passed last_us + gap with no new events: the open
+            // session can never be extended — emit and evict.
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start_us, s.last_us, s.n, s.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val closed = Seq.newBuilder[Session]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts_us - s.last_us <= gapUs =>
+                  open = Some(OpenSession(s.start_us, e.ts_us, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, s.start_us, s.last_us, s.n, s.total)
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+              }
             }
+            open.foreach { s =>
+              state.update(s)
+              // Close when event time passes the gap; clamp above the
+              // current watermark (required by the GroupState contract for
+              // stragglers whose gap deadline already passed).
+              val target = s.last_us / 1000 + gapUs / 1000 + 1
+              state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
           }
-          open.foreach(state.update)
-          closed.result().iterator
       }
   }
 

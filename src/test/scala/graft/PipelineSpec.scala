@@ -166,6 +166,40 @@ class PipelineSpec extends SparkSpec {
     assert(badState.state.lastFullLoadDate == "1900-01-01 00:00:00")
   }
 
+  test("per-table timeout: slow table fails alone, sibling commits") {
+    val raw = Files.createTempDirectory("raw").toString
+    val lake = Files.createTempDirectory("lake").toString
+    val stateDir = Files.createTempDirectory("state").toString
+    writeParquetFile(Seq(("I", 1, "a")).toDF("Op", "id", "v"), s"$raw/db/good", "LOAD00000001.parquet")
+    writeParquetFile(Seq(("I", 2, "b")).toDF("Op", "id", "v"), s"$raw/db/slow", "LOAD00000001.parquet")
+    val store = new JsonFileStateStore(stateDir)
+    // Fault injection: the slow table's load wedges (never completes within
+    // its budget); the controller must report Failed(timeout) for it while
+    // the sibling's result and watermark commit normally.
+    val ctl = new Controller(spark, store, raw, lake, parallelism = 2,
+      tableTimeout = scala.concurrent.duration.Duration(2, "s")) {
+      override protected def processTable(t: Discovery.TableDir,
+                                          item: TableItem): List[Controller.Action] =
+        if (t.key == "db/slow") { Thread.sleep(15000); List(Controller.NoNewData) }
+        else super.processTable(t, item)
+    }
+    ctl.runOnce() // register defaults
+    Discovery.listTables(raw).foreach { t =>
+      store.put(store.get(t.dir).get.copy(config = TableConfig(Seq("id"), Nil, active = true)))
+    }
+    val r = ctl.runOnce()
+    assert(r("db/good") == List(Controller.FullLoad(1)))
+    r("db/slow") match {
+      case List(Controller.Failed(msg)) => assert(msg.contains("timeout"))
+      case other => fail(s"expected timeout failure, got $other")
+    }
+    // The timed-out table's watermark held (C8); the sibling's advanced.
+    val slowState = store.get(Discovery.listTables(raw).find(_.key == "db/slow").get.dir).get
+    assert(slowState.state.lastFullLoadDate == "1900-01-01 00:00:00")
+    val goodState = store.get(Discovery.listTables(raw).find(_.key == "db/good").get.dir).get
+    assert(goodState.state.lastFullLoadDate > "1900-01-01 00:00:00")
+  }
+
   test("no-PK table: insert-only append semantics") {
     val lake = Files.createTempDirectory("lake").toString
     val raw = Files.createTempDirectory("raw").toString

@@ -122,6 +122,62 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("extractFeatures: declarative and batched formulations agree bit-for-bit") {
+    val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
+    val a = Multimodal.extractFeatures(media).orderBy("media_id").collect().toSeq
+    val b = Multimodal.extractFeaturesBatched(media).orderBy("media_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("simhash pairs: heavy half-key buckets are capped; clusters survive via reps") {
+    val d = ((1L to 12L).map(i => (i, "same exact boilerplate text repeated verbatim")) :+
+      (100L, "something completely different entirely here")).toDF("doc_id", "text")
+    // 12 identical sketches = one 12-row half-key bucket on both halves:
+    // dropped at cap 10, fully paired at cap 100.
+    val capped = Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 3, maxBucketSize = 10)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 3, maxBucketSize = 100)
+    assert(uncapped.where($"id_a" <= 12 && $"id_b" <= 12).count() == 12 * 11 / 2)
+    // The cluster path collapses identical sketches to ONE representative
+    // row first, so even a tiny rep-level cap keeps the duplicate group.
+    val clusters = Dedup.simHashClusters(d, "doc_id", "text", maxHamming = 3, maxBucketSize = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    (1L to 12L).foreach(i => assert(clusters(i) == 1L))
+  }
+
+  test("cosine near-dup: multiprobe recovers sign-boundary pairs") {
+    val vs = Seq(
+      (1L, Array(0.01f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+      (2L, Array(-0.01f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+      (3L, Array(-1f, -1f, -1f, -1f, -1f, -1f, -1f, -1f))).toDF("vec_id", "embedding")
+    // vectors 1 and 2 are near-identical (cos ≈ 0.9999) but one sign flip
+    // apart in bucket space: lost without multiprobe, found with it.
+    val single = Similarity.cosineNearDupPairs(vs, "vec_id", "embedding",
+      threshold = 0.9, bits = 6, multiprobe = false).collect()
+    assert(!single.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    val multi = Similarity.cosineNearDupPairs(vs, "vec_id", "embedding",
+      threshold = 0.9, bits = 6).collect()
+    assert(multi.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("cosine near-dup recall: single-probe ⊆ multiprobe ⊆ brute force") {
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val brute = a.crossJoin(b).where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", VectorFunctions.cosine($"va", $"vb").as("cos"))
+      .where($"cos" >= 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.2, bits = 6, multiprobe = false)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val multi = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.2, bits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture must produce at least one near-dup pair")
+    assert(single.subsetOf(multi), "multiprobe must not lose single-probe pairs")
+    assert(multi.subsetOf(brute), "bucketed pairs must be true near-dups")
+  }
+
   test("resize fits dimensions in the target box, preserving aspect") {
     val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
     val resized = Multimodal.resizeTo(Multimodal.extractFeatures(media), 640, 480).collect()

@@ -38,6 +38,38 @@ class CdcStreamSpec extends SparkSpec {
     assert(dirs == Set("bucket=0", "bucket=1"))
   }
 
+  test("queue-shaped source: non-file stream drives the same merge") {
+    // BASELINE's "S3/Kinesis source" substitution point: a MemoryStream of
+    // (Op, id, v, seq) records — no files, provenance synthesized from the
+    // queue sequence — must produce the identical latest-wins lake state.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val lake = Files.createTempDirectory("lakeQ").toString + "/db/t"
+    val ckpt = Files.createTempDirectory("ckptQ").toString
+    val cfg = TableConfig(Seq("id"), Nil, active = true)
+    val input = MemoryStream[(String, Int, String, Long)]
+
+    val stream = input.toDF().toDF("Op", "id", "v", "seq")
+    val q = CdcStream.startFromQueue(stream, $"seq", lake, cfg, ckpt,
+      Trigger.ProcessingTime(0))
+    // batch 1: inserts
+    input.addData((1 to 5).map(i => ("I", i, s"v$i", i.toLong)): _*)
+    q.processAllAvailable()
+    assert(spark.read.parquet(lake).count() == 5)
+    // batch 2: two updates to one key in sequence order + a delete —
+    // the LAST sequence number must win, like the last file row does.
+    input.addData(("U", 1, "mid", 6L), ("U", 1, "final", 7L), ("D", 2, "v2", 8L))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(lake)
+    assert(back.count() == 4) // 5 - 1 delete
+    assert(back.filter($"id" === 1).head().getAs[String]("v") == "final")
+    assert(back.filter($"id" === 2).count() == 0)
+    // synthesized provenance columns never leak into the lake schema (the
+    // caller's own `seq` column persists, like a DMS transaction-seq would)
+    assert(back.columns.forall(!_.startsWith("__")))
+  }
+
   test("streaming CDC: AvailableNow catch-up merges files in commit order, checkpoint resumes") {
     val raw = Files.createTempDirectory("rawS").toString + "/db/t"
     val lake = Files.createTempDirectory("lakeS").toString + "/db/t"

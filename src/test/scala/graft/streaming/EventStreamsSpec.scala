@@ -37,29 +37,42 @@ class EventStreamsSpec extends SparkSpec {
 
   test("sessionize: gaps close sessions; state carries across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
+    val B = 3600000000L // base event time (1h) — keeps fixtures above the initial watermark
     val input = MemoryStream[Event]
-    val sessions = EventStreams.sessionize(input.toDS(), gapUs = 1000000L) // 1s gap
+    val sessions = EventStreams.sessionize(input.toDS(), gapUs = 1000000L) // 1s gap, 10s watermark
     val q = sessions.writeStream.format("memory").queryName("sess_out")
       .outputMode("append").start()
 
     // batch 1: user 1 has two events 0.5s apart (one session so far, still open)
-    input.addData(Event(1, 0L, 1L, "a", 1.0), Event(2, 500000L, 1L, "a", 2.0))
+    input.addData(Event(1, B, 1L, "a", 1.0), Event(2, B + 500000L, 1L, "a", 2.0))
     q.processAllAvailable()
     assert(spark.table("sess_out").count() == 0) // nothing closed yet
 
     // batch 2: user 1 event 10s later → closes the first session (proves
     // state survived the micro-batch boundary)
-    input.addData(Event(3, 10500000L, 1L, "a", 4.0))
+    input.addData(Event(3, B + 10500000L, 1L, "a", 4.0))
     q.processAllAvailable()
     val closed = spark.table("sess_out").as[Session].collect()
     assert(closed.length == 1)
-    assert(closed(0) == Session(1L, 0L, 500000L, 2, 3.0))
+    assert(closed(0) == Session(1L, B, B + 500000L, 2, 3.0))
 
-    // batch 3: another user interleaved; gap closes their session too
-    input.addData(Event(4, 0L, 2L, "b", 5.0), Event(5, 20000000L, 2L, "b", 6.0))
+    // batch 3: another user interleaved; the gap closes their first
+    // session, and the watermark (now 15s past user 1's gap deadline)
+    // fires the event-time timeout that emits user 1's trailing session.
+    input.addData(Event(4, B + 15000000L, 2L, "b", 5.0), Event(5, B + 35000000L, 2L, "b", 6.0))
     q.processAllAvailable()
     val all = spark.table("sess_out").as[Session].collect().sortBy(_.user_id)
-    assert(all.length == 2 && all(1) == Session(2L, 0L, 0L, 1, 5.0))
+    assert(all.contains(Session(2L, B + 15000000L, B + 15000000L, 1, 5.0)))
+    assert(all.contains(Session(1L, B + 10500000L, B + 10500000L, 1, 4.0)),
+      "user 1's trailing session must be emitted once the watermark passes its gap")
+
+    // batch 4: a third user far in the future pushes the watermark past
+    // user 2's open session too → its trailing session emits (state evicted).
+    input.addData(Event(6, B + 60000000L, 3L, "c", 1.0))
+    q.processAllAvailable()
+    val withTrailing = spark.table("sess_out").as[Session].collect()
+    assert(withTrailing.contains(Session(2L, B + 35000000L, B + 35000000L, 1, 6.0)),
+      "user 2's trailing session must be emitted by timeout")
     q.stop()
   }
 }
