@@ -28,20 +28,35 @@ object TextFunctions {
   /** Exact-duplicate fingerprint (md5 of normalized text). */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
-  /** k-word shingles: `["a b c", "b c d", ...]` from the token array. */
+  /** k-word shingles: `["a b c", "b c d", ...]` from the token array.
+    *
+    * PERFORMANCE: pass a BOUND column (a real attribute), not an
+    * expression like `tokens(col("text"))` — Column lambdas inline their
+    * argument, so an inlined `split` would re-tokenize the text once per
+    * shingle position. Project the token array first (`.select(tokens(c)
+    * .as("__toks"))`), then shingle the attribute. */
   def wordShingles(toks: Column, k: Int): Column =
     when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
 
-  /** Character n-grams of the normalized text. */
-  def charNgrams(c: Column, n: Int): Column = {
-    val s = normalize(c)
+  /** Character n-grams of the normalized text. Same binding rule as
+    * [[wordShingles]]: `c` must be a bound attribute, and this function
+    * normalizes it into a nested projection ONCE via a two-step select in
+    * the caller when hot — see [[charNgramsOf]] for the pre-normalized
+    * variant (the [[normalize]] regex inlined into the per-position lambda
+    * cost ~12 s over 2.8k docs at sf0.1). */
+  def charNgrams(c: Column, n: Int): Column = charNgramsOf(normalize(c), n)
+
+  /** Character n-grams of an ALREADY-NORMALIZED bound string attribute —
+    * the hot-path variant: bind `normalize(text)` as a real column first,
+    * so the lambda references a cheap attribute instead of re-running the
+    * normalization regex at every n-gram position. */
+  def charNgramsOf(s: Column, n: Int): Column =
     when(length(s) < n, array(s))
       .otherwise(transform(sequence(lit(1), length(s) - (n - 1)),
         i => s.substr(i, lit(n))))
-  }
 
   /** MinHash/SimHash sketches live in
     * [[graft.expressions.TextSketches]] as native Catalyst expressions
@@ -63,6 +78,18 @@ object TextFunctions {
     val bd = array_distinct(b)
     val inter = size(array_intersect(ad, bd))
     val uni = size(array_union(ad, bd))
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+
+  /** Jaccard of two ALREADY-DISTINCT string arrays:
+    * `|a∩b| / (|a| + |b| − |a∩b|)`. Same value as [[jaccard]] (set union
+    * size by inclusion–exclusion, exact integers), but the per-pair cost
+    * is ONE array_intersect instead of two array_distincts plus an
+    * array_union — the verify stage deduplicates each document's set once,
+    * not once per candidate pair. */
+  def jaccardDistinct(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(a) + size(b) - inter
     when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
   }
 

@@ -54,15 +54,27 @@ object Dedup {
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
       .where(col("bucket_n") <= maxBucketSize)
       .localCheckpoint(true)
-    val a = sized.select(col("band_key"), col(idCol).as("id_a"), col("signature").as("sig_a"))
-    val b = sized.select(col("band_key"), col(idCol).as("id_b"), col("signature").as("sig_b"))
-    a.join(b, Seq("band_key"))
+    // Distinct the candidate ID pairs FIRST (cheap long-pair shuffle), then
+    // compute est_jaccard once per surviving pair from re-joined
+    // signatures. The naive order — estimate then distinct — evaluates the
+    // interpreted zip_with/aggregate fold per RAW candidate row (Σ bucket²
+    // of them, every band a pair co-occurs in) and shuffles signature
+    // arrays through the distinct; this order pays one fold per unique
+    // pair. Same output: est_jaccard is determined by the pair.
+    val a = sized.select(col("band_key"), col(idCol).as("id_a"))
+    val b = sized.select(col("band_key"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("band_key"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val sigs = sized.select(col(idCol), col("signature")).distinct()
+    cand
+      .join(sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x)
           .cast("double") / k).as("est_jaccard"))
-      .distinct()
   }
 
   /** SimHash sketch per document. */
@@ -211,14 +223,26 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity over candidate pairs: `pairs` must
     * have (id_a, id_b); texts are joined in and compared as distinct
-    * shingle sets. Use after LSH candidate generation at scale. */
+    * shingle sets. Use after LSH candidate generation at scale.
+    *
+    * Verify-stage economics: shingle sets are built only for documents
+    * that appear in a candidate pair (semi-join first — at 100 TB the
+    * candidates are a sliver of the corpus), deduplicated ONCE per
+    * document, and each pair pays a single array_intersect. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
                    shingleWords: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol),
-      wordShingles(tokens(col(textCol)), shingleWords).as("sh"))
+    val ids = pairs.select(col("id_a").as(idCol))
+      .unionByName(pairs.select(col("id_b").as(idCol))).distinct()
+    // Two-step select: bind the token array as an attribute BEFORE the
+    // shingle lambda, otherwise `split` re-tokenizes per shingle position.
+    val sh = docs.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        array_distinct(wordShingles(col("__toks"), shingleWords)).as("sh"))
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 }

@@ -68,17 +68,26 @@ object DedupQueries {
 
     // Character-trigram Jaccard verification of the same LSH candidates
     // (robust to whitespace/word-boundary edits that word shingles miss).
+    // Trigram sets are built only for candidate docs (semi-join), distinct
+    // once per doc, one array_intersect per pair — verify-stage economics.
     "dedup_char_ngram_jaccard" -> ((s, dir) => {
-      import graft.functions.TextFunctions.{charNgrams, jaccard}
+      import graft.functions.TextFunctions.{charNgramsOf, jaccardDistinct, normalize}
       val d = docs(s, dir)
       val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text",
         shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
         .select("id_a", "id_b")
-      val ng = d.select(col("doc_id"), charNgrams(col("text"), 3).as("ng"))
+      val ids = pairs.select(col("id_a").as("doc_id"))
+        .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+      // normalize bound ONCE as an attribute, then trigrams over it — the
+      // lambda must not inline the normalization regex per position.
+      val ng = d.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), normalize(col("text")).as("__t"))
+        .select(col("doc_id"), array_distinct(charNgramsOf(col("__t"), 3)).as("ng"))
       pairs
         .join(ng.select(col("doc_id").as("id_a"), col("ng").as("ng_a")), "id_a")
         .join(ng.select(col("doc_id").as("id_b"), col("ng").as("ng_b")), "id_b")
-        .select(col("id_a"), col("id_b"), jaccard(col("ng_a"), col("ng_b")).as("jaccard"))
+        .select(col("id_a"), col("id_b"),
+          jaccardDistinct(col("ng_a"), col("ng_b")).as("jaccard"))
     })
   )
 
