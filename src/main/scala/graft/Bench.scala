@@ -29,7 +29,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries are independent: drop any blocks a query materialized
+      // (eager localCheckpoints) so storage memory from sketch-heavy
+      // queries does not squeeze the execution memory of later ones —
+      // the context cleaner alone only runs on periodic GC.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dt
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -145,6 +145,49 @@ case class SimHash32Expr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 60-bit SimHash of a text column (distinct whitespace tokens, bits from
+  * [[Sketch.hash60]]). The wide variant of [[SimHash32Expr]] for corpora
+  * where 32 bits saturate (random 32-bit sketches collide at billions of
+  * docs): 60 bits stay non-negative in a signed BIGINT, so the DuckDB
+  * mirror needs no unsigned casts, and four 15-bit bands give EXACT
+  * recall for Hamming ≤ 3 by pigeonhole (≤ 3 flipped bits cannot touch
+  * all four bands). */
+case class SimHash60Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  def compute(input: Object): Long = nullSafeEval(input).asInstanceOf[Long]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash60", this, classOf[SimHash60Expr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = Sketch.tokens(input.toString).distinct
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val h = Sketch.hash60(toks(i))
+      var j = 0
+      while (j < 60) {
+        counts(j) += (((h >> j) & 1L).toInt * 2 - 1)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Minimum raw shingle hash — a one-value content fingerprint. */
 case class ShingleMinHashExpr(child: Expression, shingleWords: Int)
     extends UnaryExpression {
@@ -257,6 +300,8 @@ object TextSketches {
     GraftColumnShim.column(MinHashSignatureExpr(expr(text), k, shingleWords))
   def simHash32(text: Column): Column =
     GraftColumnShim.column(SimHash32Expr(expr(text)))
+  def simHash60(text: Column): Column =
+    GraftColumnShim.column(SimHash60Expr(expr(text)))
   def shingleMinHash(text: Column, shingleWords: Int): Column =
     GraftColumnShim.column(ShingleMinHashExpr(expr(text), shingleWords))
   def langHits(text: Column, langWords: Seq[Seq[String]]): Column =

@@ -81,31 +81,33 @@ object Dedup {
   def simHashed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), TextSketches.simHash32(col(textCol)).as("simhash"))
 
-  /** Candidate pairs over a (id, simhash) table via 16-bit half keys
-    * (pigeonhole: Hamming ≤ 1 ⇒ one half equal; the same candidate rule
-    * bounds recall for thresholds up to 3 — a 2+1 bit split across halves
-    * is missed, identically to the SQL oracle).
+  /** Candidate pairs over a (id, simhash) table via `bands` keys of
+    * `bandBits` bits each (pigeonhole: Hamming ≤ bands−1 ⇒ at least one
+    * band equal, so recall is EXACT for thresholds up to bands−1; the
+    * 2-band 32-bit configuration bounds but does not guarantee recall at
+    * threshold 3, identically to its SQL oracle).
     *
-    * `maxBucketSize` caps each half-key bucket (independently per key
-    * space): the self-join is Σ bucket², so one boilerplate-heavy 16-bit
-    * bucket would otherwise go quadratic with no escape hatch — the same
-    * guard [[lshCandidatePairs]] applies, same documented data loss. */
+    * `maxBucketSize` caps each band bucket (independently per key space):
+    * the self-join is Σ bucket², so one boilerplate-heavy bucket would
+    * otherwise go quadratic with no escape hatch — the same guard
+    * [[lshCandidatePairs]] applies, same documented data loss. */
   private def sketchPairs(sketches: DataFrame, idCol: String, maxHamming: Int,
-                          maxBucketSize: Int): DataFrame = {
+                          maxBucketSize: Int, bands: Int = 2,
+                          bandBits: Int = 16): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val keyed = sketches
-      .withColumn("lo", col("simhash").bitwiseAND(0xFFFFL))
-      .withColumn("hi", shiftright(col("simhash"), 16).bitwiseAND(0xFFFFL))
-      .withColumn("lo_n", count(lit(1)).over(w.partitionBy("lo")))
-      .withColumn("hi_n", count(lit(1)).over(w.partitionBy("hi")))
-      .localCheckpoint(true)
+    val mask = (1L << bandBits) - 1
+    val keys = (0 until bands).map(j => s"bk$j")
+    val keyed = keys.zipWithIndex.foldLeft(sketches) { case (df, (k, j)) =>
+      df.withColumn(k, shiftright(col("simhash"), j * bandBits).bitwiseAND(mask))
+        .withColumn(s"${k}_n", count(lit(1)).over(w.partitionBy(k)))
+    }.localCheckpoint(true)
     def pairsOn(key: String) = {
       val capped = keyed.where(col(s"${key}_n") <= maxBucketSize)
       val a = capped.select(col(key), col(idCol).as("id_a"), col("simhash").as("sh_a"))
       val b = capped.select(col(key), col(idCol).as("id_b"), col("simhash").as("sh_b"))
       a.join(b, Seq(key)).where(col("id_a") < col("id_b")).drop(key)
     }
-    pairsOn("lo").unionByName(pairsOn("hi")).distinct()
+    keys.map(pairsOn).reduce(_ unionByName _).distinct()
       .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -115,6 +117,19 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
     sketchPairs(simHashed(docs, idCol, textCol), idCol, maxHamming, maxBucketSize)
+
+  /** 60-bit SimHash sketch per document — the wide sketch for corpora
+    * where 32 bits saturate (collisions at billions of docs). */
+  def simHashed60(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextSketches.simHash60(col(textCol)).as("simhash"))
+
+  /** 60-bit SimHash near-dup pairs via 4×15-bit bands: EXACT recall for
+    * `maxHamming` ≤ 3 (pigeonhole — 3 flipped bits cannot touch all four
+    * bands), with the same per-band bucket cap. */
+  def simHash60Pairs(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    sketchPairs(simHashed60(docs, idCol, textCol), idCol, maxHamming, maxBucketSize,
+      bands = 4, bandBits = 15)
 
   /** SimHash duplicate clusters at scale: identical sketches collapse to
     * their min-id representative BEFORE pair generation (duplicate-heavy

@@ -87,6 +87,28 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** One k-means centroid-update step over an assignment (Lloyd's
+    * iteration — the index-maintenance aggregation for the IVF path):
+    * per-(cluster, dimension) component sums and member counts.
+    * posexplode → partial agg → ONE shuffle on (cluster, dim); the new
+    * centroid is comp_sum/n driver-side or in a follow-up select.
+    *
+    * Component sums fold in `idCol` order (sorted struct array), so the
+    * result is bit-deterministic and DuckDB-mirrorable; a production loop
+    * free of the determinism requirement can use plain `avg` and accept
+    * floating-point reorder across partitions. */
+  def centroidUpdate(assigned: DataFrame, idCol: String, vecCol: String): DataFrame =
+    assigned
+      .select(col("cluster"), col(idCol).as("__vid"), posexplode(col(vecCol)))
+      .select(col("cluster"), col("pos").cast("long").as("dim"),
+        col("__vid"), col("col").cast("double").as("__v"))
+      .groupBy("cluster", "dim")
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("__vid"), col("__v").as("v")))),
+          lit(0.0), (acc, s) => acc + s.getField("v")).as("comp_sum"),
+        count(lit(1)).as("n"))
+
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted
     * to bucketed candidates (the scale path for embedding dedup).
     *

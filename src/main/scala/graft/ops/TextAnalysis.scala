@@ -70,4 +70,40 @@ object TextAnalysis {
     docs.select(col(idCol),
       fingerprint(col(textCol)).as("fingerprint"),
       TextSketches.shingleMinHash(col(textCol), shingleWords).as("content_hash"))
+
+  /** PII-pattern scan counts per document (emails, URLs, phone-shaped
+    * digit runs) — the screening pass a training-data pipeline runs before
+    * masking/filtering. RE2-compatible patterns (no backtracking
+    * constructs), so the same regexes run in the DuckDB oracle and, at
+    * scale, in any RE2-based scrubber. Per-row regex extraction: scan
+    * speed, no shuffle. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_urls") + col("n_phones") > 0L)
+  }
+
+  /** Repetition ratio: fraction of duplicated word bigrams,
+    * `1 − distinct(bigrams)/bigrams` — the classic boilerplate/spam
+    * signal (model-generated and templated text repeats n-grams). Exact
+    * integer ratio in double. */
+  def repetitionRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), wordShingles(col("__toks"), 2).as("__bg"))
+      .select(col(idCol),
+        size(col("__bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("__bg"))).cast("long").as("n_distinct_bigrams"))
+      .withColumn("repetition_ratio",
+        when(col("n_bigrams") === 0L, lit(0.0))
+          .otherwise(lit(1.0) - col("n_distinct_bigrams").cast("double")
+            / col("n_bigrams").cast("double")))
 }

@@ -27,6 +27,16 @@ object DedupQueries {
       Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3,
         maxBucketSize = 1000)),
 
+    // Wide (60-bit) SimHash: the sketch for corpora where 32 bits saturate.
+    "dedup_simhash60" -> ((s, dir) =>
+      Dedup.simHashed60(docs(s, dir), "doc_id", "text")),
+
+    // 4×15-bit banding — EXACT recall at Hamming ≤ 3 by pigeonhole
+    // (pinned against brute force in OpsSpec).
+    "dedup_simhash60_pairs" -> ((s, dir) =>
+      Dedup.simHash60Pairs(docs(s, dir), "doc_id", "text", maxHamming = 3,
+        maxBucketSize = 1000)),
+
     // Cluster resolution: SimHash near-dup pairs → connected components,
     // keeper = smallest doc_id per cluster (identical sketches collapsed
     // to representatives before the quadratic pair step — the scale path).
@@ -116,6 +126,19 @@ object DedupQueries {
        |sk AS (
        |  SELECT doc_id,
        |    CAST(list_sum(list_transform(range(0,32), j ->
+       |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> j::INT) & 1)*2 - 1)) > 0
+       |           THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS simhash
+       |  FROM h)""".stripMargin
+
+  /** 60-bit SimHash sketch CTEs (h → sk60), wide twin of [[skCtes]]. */
+  private val sk60Ctes =
+    s"""h AS (
+       |  SELECT doc_id,
+       |         list_transform(list_distinct($toksSql), x -> ${h60("x")}) AS hs
+       |  FROM documents),
+       |sk60 AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0,60), j ->
        |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> j::INT) & 1)*2 - 1)) > 0
        |           THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS simhash
        |  FROM h)""".stripMargin
@@ -224,6 +247,41 @@ object DedupQueries {
          |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
          |  FROM capped a JOIN capped b ON a.hi = b.hi AND a.doc_id < b.doc_id
          |  WHERE a.hi_n <= 1000)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= 3""".stripMargin,
+
+    "dedup_simhash60" ->
+      s"""WITH $sk60Ctes
+         |SELECT doc_id, simhash FROM sk60""".stripMargin,
+
+    "dedup_simhash60_pairs" ->
+      s"""WITH $sk60Ctes,
+         |keyed AS (
+         |  SELECT doc_id, simhash,
+         |         (simhash >> 0)  & 32767 AS bk0, (simhash >> 15) & 32767 AS bk1,
+         |         (simhash >> 30) & 32767 AS bk2, (simhash >> 45) & 32767 AS bk3
+         |  FROM sk60),
+         |capped AS (
+         |  SELECT *, count(*) OVER (PARTITION BY bk0) AS bk0_n,
+         |            count(*) OVER (PARTITION BY bk1) AS bk1_n,
+         |            count(*) OVER (PARTITION BY bk2) AS bk2_n,
+         |            count(*) OVER (PARTITION BY bk3) AS bk3_n FROM keyed),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM capped a JOIN capped b ON a.bk0 = b.bk0 AND a.doc_id < b.doc_id
+         |  WHERE a.bk0_n <= 1000
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM capped a JOIN capped b ON a.bk1 = b.bk1 AND a.doc_id < b.doc_id
+         |  WHERE a.bk1_n <= 1000
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM capped a JOIN capped b ON a.bk2 = b.bk2 AND a.doc_id < b.doc_id
+         |  WHERE a.bk2_n <= 1000
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+         |  FROM capped a JOIN capped b ON a.bk3 = b.bk3 AND a.doc_id < b.doc_id
+         |  WHERE a.bk3_n <= 1000)
          |SELECT id_a, id_b, CAST(bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= 3""".stripMargin,
 

@@ -28,7 +28,12 @@ object MultimodalQueries {
     // Feature extraction (stubbed codec as a native checksum expression;
     // the batched mapPartitions twin is pinned equal in OpsSpec).
     "mm_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(media(s, dir)))
+      Multimodal.extractFeatures(media(s, dir))),
+
+    // Aspect-preserving resize planning over the extracted dimensions.
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeTo(Multimodal.extractFeatures(media(s, dir)), 640, 480)
+        .select("media_id", "width", "height", "resized_w", "resized_h"))
   )
 
   private val kindSql = "(['image','audio','video'])[(doc_id % 3 + 1)::INT]"
@@ -70,6 +75,38 @@ object MultimodalQueries {
          |  (CASE WHEN kind = 'image' THEN 0.0
          |        WHEN kind = 'audio' THEN (n_bytes % 600)::DOUBLE + (c % 1000)::DOUBLE / 1000.0
          |        ELSE (n_bytes % 7200)::DOUBLE END) AS duration_s
-         |FROM cs""".stripMargin
+         |FROM cs""".stripMargin,
+
+    // resizeTo(640, 480): aspect-preserving fit of the mm_features
+    // dimensions — scale = min(maxW/w, maxH/h, 1), floor, clamp ≥ 1.
+    "mm_resize" ->
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, $kindSql AS kind, encode(text) AS payload
+         |  FROM documents),
+         |bytes AS (
+         |  SELECT media_id, kind,
+         |    list_transform(range(0, octet_length(payload)),
+         |      i -> 16*(strpos('0123456789abcdef', substr(lower(hex(payload)), (2*i+1)::INT, 1))-1)
+         |         + strpos('0123456789abcdef', substr(lower(hex(payload)), (2*i+2)::INT, 1))-1) AS bs
+         |  FROM media),
+         |cs AS (
+         |  SELECT media_id, kind,
+         |    list_reduce(list_prepend(0::BIGINT, bs), (a, x) -> (a*31 + x) % 2147483648) AS c
+         |  FROM bytes),
+         |dims AS (
+         |  SELECT media_id,
+         |    (CASE WHEN kind = 'image' THEN c % 1920 + 1
+         |          WHEN kind = 'audio' THEN 1
+         |          ELSE c % 3840 + 1 END)::INT AS width,
+         |    (CASE WHEN kind = 'image' THEN c % 1080 + 1
+         |          WHEN kind = 'audio' THEN 1
+         |          ELSE c % 2160 + 1 END)::INT AS height
+         |  FROM cs),
+         |scaled AS (
+         |  SELECT *, least(640.0 / width, least(480.0 / height, 1.0)) AS s FROM dims)
+         |SELECT media_id, width, height,
+         |  greatest(floor(width * s)::INT, 1) AS resized_w,
+         |  greatest(floor(height * s)::INT, 1) AS resized_h
+         |FROM scaled""".stripMargin
   )
 }

@@ -70,6 +70,15 @@ object SimilarityQueries {
         .select(col("vec_id").as("cid"), col("embedding"))
       Similarity.ivfKnn(emb(s, dir), queriesDf(s, dir), cents,
         "vec_id", "embedding", "qid", "cid", k = 3)
+    }),
+
+    // One Lloyd's-iteration centroid update over the IVF assignment
+    // (per-(cluster, dim) component sums + counts; deterministic fold).
+    "sim_centroid_update" -> ((s, dir) => {
+      val cents = emb(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val assigned = Similarity.ivfAssign(emb(s, dir), cents, "vec_id", "embedding", "cid")
+      Similarity.centroidUpdate(assigned, "vec_id", "embedding")
     })
   )
 
@@ -155,6 +164,24 @@ object SimilarityQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)
          |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "sim_centroid_update" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
+         |    FROM embeddings e, c) WHERE rn = 1),
+         |exploded AS (
+         |  SELECT cluster, vec_id,
+         |         unnest(range(len(embedding))) AS dim,
+         |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+         |  FROM assign)
+         |SELECT cluster, dim,
+         |  list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x) AS comp_sum,
+         |  count(*) AS n
+         |FROM exploded GROUP BY cluster, dim""".stripMargin,
 
     "sim_near_dup" ->
       s"""WITH b0 AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),

@@ -51,7 +51,15 @@ object TextQueries {
         aggregate(words, lit(0L),
           (acc, w) => acc + ((length(w) + lit(3)) / lit(4)).cast("long"))
           .as("n_subword_tokens"))
-    })
+    }),
+
+    // PII-pattern screening counts (emails / URLs / phone-shaped runs).
+    "text_pii_scan" -> ((s, dir) =>
+      TextAnalysis.piiScan(docs(s, dir), "doc_id", "text")),
+
+    // Duplicated-bigram ratio (boilerplate / generated-text signal).
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionRatio(docs(s, dir), "doc_id", "text"))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -171,6 +179,33 @@ object TextQueries {
          |SELECT doc_id,
          |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
          |  list_min(list_transform(shingles, s -> ${h60("s")})) AS content_hash
-         |FROM sh""".stripMargin
+         |FROM sh""".stripMargin,
+
+    "text_pii_scan" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+         |    len(regexp_extract_all(text, 'https?://[^\\s]+'))::BIGINT AS n_urls,
+         |    len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{7,}[0-9]'))::BIGINT AS n_phones
+         |  FROM documents)
+         |SELECT doc_id, n_emails, n_urls, n_phones,
+         |       (n_emails + n_urls + n_phones) > 0 AS has_pii
+         |FROM c""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(1, len(toks)),
+         |                i -> toks[i::INT] || ' ' || toks[(i+1)::INT]) END AS bigrams
+         |  FROM t)
+         |SELECT doc_id,
+         |  len(bigrams)::BIGINT AS n_bigrams,
+         |  len(list_distinct(bigrams))::BIGINT AS n_distinct_bigrams,
+         |  CASE WHEN len(bigrams) = 0 THEN 0.0
+         |       ELSE 1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams)::DOUBLE END
+         |    AS repetition_ratio
+         |FROM bg""".stripMargin
   )
 }

@@ -145,6 +145,20 @@ class OpsSpec extends SparkSpec {
     (1L to 12L).foreach(i => assert(clusters(i) == 1L))
   }
 
+  test("simhash60 4-band pairs: EXACT recall at hamming ≤ 3 vs brute force") {
+    val d = docs.limit(300)
+    val sk = Dedup.simHashed60(d, "doc_id", "text")
+    val a = sk.select($"doc_id".as("id_a"), $"simhash".as("sh_a"))
+    val b = sk.select($"doc_id".as("id_b"), $"simhash".as("sh_b"))
+    val brute = a.crossJoin(b).where($"id_a" < $"id_b")
+      .where(TextFunctions.hammingDistance($"sh_a", $"sh_b") <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = Dedup.simHash60Pairs(d, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // pigeonhole: ≤3 flipped bits cannot touch all four 15-bit bands
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
   test("cosine near-dup: multiprobe recovers sign-boundary pairs") {
     val vs = Seq(
       (1L, Array(0.01f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
