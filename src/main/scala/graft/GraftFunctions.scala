@@ -1,7 +1,8 @@
 package graft
 
-import graft.expressions.{CosineSimilarityExpr, DotProductExpr, MinHashSignatureExpr,
-  ShingleMinHashExpr, SignBucketExpr, SimHash32Expr}
+import graft.expressions.{ByteFoldChecksumExpr, CosineSimilarityExpr, DotProductExpr,
+  MinHashSignatureExpr, RollingMinHashExpr, ShingleMinHashExpr, SignBucketExpr,
+  SimHash32Expr, SimHash60Expr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -50,6 +51,18 @@ object GraftFunctions {
     "graft_sign_bucket" -> { exprs =>
       require(exprs.length == 2, "graft_sign_bucket(vec, bits)")
       SignBucketExpr(exprs.head, intArg(exprs(1), "bits"))
+    },
+    "graft_simhash60" -> { exprs =>
+      require(exprs.length == 1, "graft_simhash60(text)")
+      SimHash60Expr(exprs.head)
+    },
+    "graft_rolling_minhash" -> { exprs =>
+      require(exprs.length == 2, "graft_rolling_minhash(text, window)")
+      RollingMinHashExpr(exprs.head, intArg(exprs(1), "window"))
+    },
+    "graft_byte_checksum" -> { exprs =>
+      require(exprs.length == 1, "graft_byte_checksum(payload)")
+      ByteFoldChecksumExpr(exprs.head)
     })
 
   /** Session-scoped registration. Idempotent. */

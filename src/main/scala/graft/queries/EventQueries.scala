@@ -35,6 +35,41 @@ object EventQueries {
           sum(col("k")).as("sum_k"),
           max(col("k")).as("max_k"))),
 
+    // Batch sessionization: gap-based session assignment (lag + running sum
+    // of session-break flags), then per-session aggregation. This is the
+    // batch twin of [[graft.streaming.EventStreams.sessionize]] — same
+    // 30-minute gap rule, expressed as two window passes over one
+    // per-user shuffle (both windows share the user_id partitioning, so
+    // Catalyst plans a single Exchange).
+    "events_sessionize_batch" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gapUs = 1800L * 1000000L
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("brk")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // Pivot: per-user event-type counts as columns. Pivot values are given
+    // explicitly, so Spark skips the values-discovery job — one scan, one
+    // shuffle (required at any scale; implicit pivot adds a full extra
+    // aggregation just to enumerate values).
+    "events_pivot_type" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // Sessionization-style gap analysis per user via lag window.
     "events_user_gaps" -> ((s, dir) => {
       // Work in truncated micros (matches DuckDB's ns→µs parquet read) and
@@ -60,6 +95,31 @@ object EventQueries {
         |  CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
         |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_sessionize_batch" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts_us,
+        |         sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us, count(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "events_pivot_type" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "events_user_gaps" ->
       """SELECT user_id, event_id,

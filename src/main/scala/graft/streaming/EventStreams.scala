@@ -103,6 +103,19 @@ object EventStreams {
       }
   }
 
+  /** Streaming dedup by event id: drops re-deliveries (at-least-once
+    * sources re-emit on retry) arriving within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` keeps one state entry per key and —
+    * unlike plain `dropDuplicates` in streaming — evicts each entry once
+    * the watermark passes its event time, so state is O(keys per horizon),
+    * not O(all keys ever): the only shape that survives an unbounded
+    * stream. Batch twin: `dropDuplicates("event_id")`. */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_utc", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Adapt the raw events table (nanos `ts` LONG) to the typed stream. */
   def typedEvents(raw: DataFrame): Dataset[Event] = {
     import raw.sparkSession.implicits._

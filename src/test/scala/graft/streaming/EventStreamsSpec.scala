@@ -75,4 +75,33 @@ class EventStreamsSpec extends SparkSpec {
       "user 2's trailing session must be emitted by timeout")
     q.stop()
   }
+
+  test("dedupEvents: re-deliveries within the watermark are dropped across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val B = 3600000000L
+    val input = MemoryStream[Event]
+    val deduped = EventStreams.dedupEvents(input.toDS().toDF(), watermark = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+
+    // batch 1: id 2 delivered twice in one batch → emitted once
+    input.addData(Event(1, B, 1L, "a", 1.0), Event(2, B + 1000L, 1L, "a", 2.0),
+      Event(2, B + 1000L, 1L, "a", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L))
+
+    // batch 2: id 2 re-delivered (state held across the boundary) + new id 3
+    input.addData(Event(2, B + 2000L, 1L, "a", 2.0), Event(3, B + 3000L, 2L, "b", 3.0))
+    q.processAllAvailable()
+    assert(spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L))
+
+    // batch twin gives the same key set
+    val batchIds = Seq(Event(1, B, 1L, "a", 1.0), Event(2, B + 1000L, 1L, "a", 2.0),
+      Event(2, B + 2000L, 1L, "a", 2.0), Event(3, B + 3000L, 2L, "b", 3.0))
+      .toDF().dropDuplicates("event_id").select("event_id").as[Long].collect().sorted
+    assert(batchIds.toSeq == Seq(1L, 2L, 3L))
+    q.stop()
+  }
 }
