@@ -91,6 +91,35 @@ object TextAnalysis {
         col("n_emails") + col("n_urls") + col("n_phones") > 0L)
   }
 
+  /** Top-k distinguishing terms per document by TF-IDF with a log-free
+    * idf (`tf · N/df`): rank-equivalent to `tf · log(N/df)` within a
+    * document for df-monotone comparisons, and — unlike log — exactly
+    * reproducible across engines (only IEEE multiply/divide on exact
+    * integers, no transcendental library variance).
+    *
+    * Plan shape at scale: one explode of the token column feeding a
+    * (doc, term) partial-agg (map-side combine eats the duplicates), df
+    * derived from the tf table (no second scan), a term-keyed shuffle join
+    * against the vocabulary-sized df table, and a per-doc top-k window
+    * that plans as WindowGroupLimit (partial top-k before its shuffle). */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+  }
+
   /** Repetition ratio: fraction of duplicated word bigrams,
     * `1 − distinct(bigrams)/bigrams` — the classic boilerplate/spam
     * signal (model-generated and templated text repeats n-grams). Exact

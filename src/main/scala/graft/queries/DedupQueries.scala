@@ -76,6 +76,19 @@ object DedupQueries {
       Dedup.ngramJaccard(d, pairs, "doc_id", "text", shingleWords = 3)
     }),
 
+    // Benchmark decontamination: corpus docs sharing ≥2 distinct word
+    // trigrams with the (fixture) benchmark set — every doc_id % 50 == 0
+    // doc stands in for an eval suite. Self-pairs excluded (the benchmark
+    // here is a corpus subsample).
+    "dedup_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Decontaminate.contaminationPairs(
+        d, "doc_id", "text",
+        d.where(col("doc_id") % 50 === 0), "doc_id", "text",
+        shingleWords = 3, minShared = 2)
+        .where(col("doc_id") =!= col("bench_id"))
+    }),
+
     // Character-trigram Jaccard verification of the same LSH candidates
     // (robust to whitespace/word-boundary edits that word shingles miss).
     // Trigram sets are built only for candidate docs (semi-join), distinct
@@ -311,6 +324,15 @@ object DedupQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${h60("'sample:' || doc_id::VARCHAR")} % 100
          |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin,
+
+    "dedup_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS gram FROM toks)
+         |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+         |FROM grams c JOIN (SELECT * FROM grams WHERE doc_id % 50 = 0) b USING (gram)
+         |WHERE c.doc_id <> b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "dedup_char_ngram_jaccard" ->
       s"""WITH $lshCandCtes,

@@ -70,6 +70,14 @@ object EventQueries {
         .agg(count(lit(1)))
         .na.fill(0L)),
 
+    // Purchase attribution (the batch run of the stream-stream join in
+    // [[graft.streaming.EventStreams.attributedPurchases]] — watermarks
+    // no-op in batch, semantics identical).
+    "events_attribution" -> ((s, dir) =>
+      graft.streaming.EventStreams.attributedPurchases(
+        Tables.events(s, dir).select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value")))),
+
     // Sessionization-style gap analysis per user via lag window.
     "events_user_gaps" -> ((s, dir) => {
       // Work in truncated micros (matches DuckDB's ns→µs parquet read) and
@@ -120,6 +128,15 @@ object EventQueries {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "events_attribution" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |       p.value AS purchase_value
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000""".stripMargin,
 
     "events_user_gaps" ->
       """SELECT user_id, event_id,

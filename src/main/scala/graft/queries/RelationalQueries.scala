@@ -186,7 +186,59 @@ object RelationalQueries {
       Tables(s, dir, "lineitem")
         .groupBy("l_partkey")
         .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"), 2)).cast("double").as("qty"))
-        .where(col("n") >= 3))
+        .where(col("n") >= 3)),
+
+    // Bloom-pre-filtered semi join: the sketch prunes the fact scan before
+    // its shuffle; the exact semi join that follows removes false
+    // positives, so the result equals the plain semi join the oracle runs
+    // (see [[graft.ops.BloomJoin]] for the 100 TB rationale).
+    "rel_bloom_semi_join" -> ((s, dir) =>
+      graft.ops.BloomJoin.bloomSemiJoin(
+        Tables(s, dir, "lineitem"), "l_orderkey",
+        Tables(s, dir, "orders").where(col("o_totalprice") > 400000.0), "o_orderkey",
+        expectedItems = 1L << 14)
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // INTERSECT set semantics (customers in both price bands).
+    "rel_intersect" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.where(col("o_totalprice") > 300000.0).select("o_custkey")
+        .intersect(o.where(col("o_totalprice") < 50000.0).select("o_custkey"))
+    }),
+
+    // EXCEPT set semantics (high-value-only customers).
+    "rel_except" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.where(col("o_totalprice") > 300000.0).select("o_custkey")
+        .except(o.where(col("o_totalprice") < 50000.0).select("o_custkey"))
+    }),
+
+    // CUBE: all grouping-set combinations (subtotals carry NULL keys).
+    "rel_cube" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"), 2)).cast("double").as("qty"))),
+
+    // Navigation/distribution window functions (lead, first_value, ntile)
+    // over a total per-customer order (o_orderkey breaks date ties).
+    "rel_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    // Ordered string aggregation (collect_list is unordered in a
+    // distributed agg — array_sort makes the result deterministic, which
+    // is also the only portable semantics).
+    "rel_string_agg" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(array_join(array_sort(collect_list(col("o_orderstatus"))), ",").as("statuses"),
+          count(lit(1)).as("n")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -308,6 +360,40 @@ object RelationalQueries {
     "rel_group_having" ->
       """SELECT l_partkey, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-        |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3""".stripMargin
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3""".stripMargin,
+
+    "rel_bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)""".stripMargin,
+
+    "rel_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice < 50000.0""".stripMargin,
+
+    "rel_except" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice < 50000.0""".stripMargin,
+
+    "rel_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "rel_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "rel_string_agg" ->
+      """SELECT o_custkey,
+        |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_custkey""".stripMargin
   )
 }

@@ -59,7 +59,36 @@ object TextQueries {
 
     // Duplicated-bigram ratio (boilerplate / generated-text signal).
     "text_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionRatio(docs(s, dir), "doc_id", "text"))
+      TextAnalysis.repetitionRatio(docs(s, dir), "doc_id", "text")),
+
+    // Top-3 distinguishing terms per document (log-free TF-IDF).
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 3)),
+
+    // Exact interpolated token-count quantiles per language (corpus
+    // profiling). Dyadic percentages over integer counts are bit-exact in
+    // both engines (the interpolation arithmetic never rounds).
+    "text_token_quantiles" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      import org.apache.spark.sql.functions._
+      docs(s, dir)
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("lang")
+        .agg(percentile(col("n_tokens"), lit(0.25)).as("p25"),
+          percentile(col("n_tokens"), lit(0.5)).as("p50"),
+          percentile(col("n_tokens"), lit(0.75)).as("p75"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Fixed-width document-length histogram (100-char buckets).
+    "text_length_hist" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      docs(s, dir)
+        .groupBy(expr("n_chars div 100").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+    })
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -191,6 +220,37 @@ object TextQueries {
          |SELECT doc_id, n_emails, n_urls, n_phones,
          |       (n_emails + n_urls + n_phones) > 0 AS has_pii
          |FROM c""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term, tf, df,
+         |         tf::DOUBLE * (n_docs::DOUBLE / df::DOUBLE) AS score
+         |  FROM tf JOIN dfq USING (term), n),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "text_token_quantiles" ->
+      s"""WITH t AS (SELECT lang, len($toksSql)::BIGINT AS n_tokens FROM documents)
+         |SELECT lang,
+         |  quantile_cont(n_tokens, 0.25) AS p25,
+         |  quantile_cont(n_tokens, 0.5) AS p50,
+         |  quantile_cont(n_tokens, 0.75) AS p75,
+         |  count(*) AS n
+         |FROM t GROUP BY lang""".stripMargin,
+
+    "text_length_hist" ->
+      """SELECT CAST(n_chars // 100 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

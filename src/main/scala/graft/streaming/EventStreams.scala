@@ -116,6 +116,33 @@ object EventStreams {
       .withWatermark("ts_utc", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with watermark-bounded state: each purchase
+    * joined to the clicks by the same user in the preceding
+    * `attributionWindow`. The time-range predicate plus watermarks on BOTH
+    * sides is what lets Structured Streaming evict join state (a click
+    * older than watermark + window can never match a future purchase);
+    * without the range condition the state would grow forever. Shuffles
+    * both sides once on `user_id`. Runs unchanged in batch (watermarks
+    * no-op), which is how the oracle checks it. */
+  def attributedPurchases(events: DataFrame, attributionWindow: String = "30 minutes",
+                          watermark: String = "1 hour"): DataFrame = {
+    val base = events.withColumn("ts_utc", timestamp_micros(col("ts_us")))
+    val clicks = base.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_utc").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = base.where(col("event_type") === "purchase")
+      .select(col("user_id").as("user_id"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"), col("ts_utc").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $attributionWindow"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_value"))
+  }
+
   /** Adapt the raw events table (nanos `ts` LONG) to the typed stream. */
   def typedEvents(raw: DataFrame): Dataset[Event] = {
     import raw.sparkSession.implicits._

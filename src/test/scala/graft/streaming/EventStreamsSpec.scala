@@ -76,6 +76,43 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("attributedPurchases: stream-stream join matches across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val B = 3600000000L
+    val M = 60000000L // one minute in micros
+    val input = MemoryStream[Event]
+    val joined = EventStreams.attributedPurchases(input.toDS().toDF())
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+
+    // batch 1: click only — no purchase yet, no output
+    input.addData(Event(1, B, 1L, "click", 0.0))
+    q.processAllAvailable()
+    assert(spark.table("attr_out").count() == 0)
+
+    // batch 2: purchase 10 min after the click (state crossed the batch
+    // boundary), plus a purchase by another user with no click → no match
+    input.addData(Event(2, B + 10 * M, 1L, "purchase", 9.99),
+      Event(3, B + 10 * M, 2L, "purchase", 5.0))
+    q.processAllAvailable()
+    val got = spark.table("attr_out")
+      .select("user_id", "purchase_id", "click_id").as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1L)))
+
+    // batch 3: purchase 45 min after the click — outside the 30-min window
+    input.addData(Event(4, B + 45 * M, 1L, "purchase", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("attr_out").count() == 1)
+    q.stop()
+
+    // batch twin over the same events gives the same pairs
+    val batch = EventStreams.attributedPurchases(Seq(
+      Event(1, B, 1L, "click", 0.0), Event(2, B + 10 * M, 1L, "purchase", 9.99),
+      Event(3, B + 10 * M, 2L, "purchase", 5.0), Event(4, B + 45 * M, 1L, "purchase", 1.0))
+      .toDF()).select("purchase_id", "click_id").as[(Long, Long)].collect()
+    assert(batch.toSeq == Seq((2L, 1L)))
+  }
+
   test("dedupEvents: re-deliveries within the watermark are dropped across batches") {
     implicit val sqlCtx = spark.sqlContext
     val B = 3600000000L
