@@ -70,9 +70,14 @@ object DedupQueries {
     // in candidates.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
+      // Materialize the candidate list once: it feeds three plan branches
+      // (the ids semi-join and both sides of the verify join). Measured
+      // neutral at sf0.1 (ReuseExchange already dedups the identical
+      // subtrees) but makes the single-materialization guarantee explicit
+      // rather than dependent on an optimizer rule's applicability.
       val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text",
         shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b").localCheckpoint(true)
       Dedup.ngramJaccard(d, pairs, "doc_id", "text", shingleWords = 3)
     }),
 
@@ -96,9 +101,10 @@ object DedupQueries {
     "dedup_char_ngram_jaccard" -> ((s, dir) => {
       import graft.functions.TextFunctions.{charNgramsOf, jaccardDistinct, normalize}
       val d = docs(s, dir)
+      // Same three-branch reuse as dedup_ngram_jaccard → materialize once.
       val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text",
         shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b").localCheckpoint(true)
       val ids = pairs.select(col("id_a").as("doc_id"))
         .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
       // normalize bound ONCE as an attribute, then trigrams over it — the

@@ -231,6 +231,15 @@ object RelationalQueries {
         ntile(4).over(w).cast("long").as("quartile"))
     }),
 
+    // Global top-N: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    // per-partition heaps of N rows, no global sort, no full-data
+    // exchange (the only global-ordering shape that survives 100 TB).
+    "rel_topn_global" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)),
+
     // Ordered string aggregation (collect_list is unordered in a
     // distributed agg — array_sort makes the result deterministic, which
     // is also the only portable semantics).
@@ -389,6 +398,10 @@ object RelationalQueries {
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "rel_topn_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "rel_string_agg" ->
       """SELECT o_custkey,
