@@ -54,6 +54,27 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
     spark.read.option("mergeSchema", "true")
       .parquet(s"${lakeRoot.stripSuffix("/")}/$schema/$table")
 
+  /** Schema drift between the lake table and the raw source's current
+    * footprint (pre-flight check before `sync`): what would the next merge
+    * add/drop/retype, and is it lossless? Metadata-only — reads two
+    * parquet footers, runs no jobs. */
+  def drift(schema: String, table: String): Seq[io.SchemaDrift.Change] = {
+    // mergeSchema on BOTH sides: the union footprint is what the next
+    // merge will see (a single new change file must surface its column)
+    val incoming = spark.read.option("mergeSchema", "true")
+      .parquet(tableDir(schema, table)).schema
+    val currentPath = s"${lakeRoot.stripSuffix("/")}/$schema/$table"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(currentPath), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(currentPath))) Nil
+    else {
+      val current = spark.read.option("mergeSchema", "true").parquet(currentPath).schema
+      // the CDC op marker never counts as drift (present in change files,
+      // projected away by the merge)
+      io.SchemaDrift.diff(current, incoming).filterNot(_.column == cdc.Op.column)
+    }
+  }
+
   /** Maintenance compaction of one lake table (uses the stored keys). */
   def compact(schema: String, table: String): Compaction.Stats = {
     val cfg = store.get(tableDir(schema, table)).map(_.config).getOrElse(TableConfig())

@@ -240,6 +240,19 @@ object RelationalQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .limit(100)),
 
+    // Data-quality expectation suite: four row rules in ONE scan/agg pass
+    // plus a uniqueness check (see [[graft.ops.Quality]]). Rules chosen so
+    // both outcomes appear (not_null/unique pass; range/set/regex fail).
+    "dq_orders_suite" -> ((s, dir) => {
+      import graft.ops.Quality
+      Quality.suite(Tables(s, dir, "orders"),
+        Seq(Quality.notNull("o_custkey"),
+          Quality.inRange("o_totalprice", 0.0, 400000.0),
+          Quality.inSet("o_orderstatus", Seq("O", "F")),
+          Quality.matches("o_orderpriority", "^[1-3]-")),
+        uniqueKeys = Seq(Seq("o_orderkey")))
+    }),
+
     // Ordered string aggregation (collect_list is unordered in a
     // distributed agg — array_sort makes the result deterministic, which
     // is also the only portable semantics).
@@ -407,6 +420,34 @@ object RelationalQueries {
       """SELECT o_custkey,
         |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
         |  count(*) AS n
-        |FROM orders GROUP BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "dq_orders_suite" ->
+      """WITH w AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |                   AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |                   AND o_orderstatus NOT IN ('O','F')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |    CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+        |                   AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v4
+        |  FROM orders)
+        |SELECT 'not_null:o_custkey' AS rule, v1 AS violations, n AS n_rows, v1 = 0 AS pass FROM w
+        |UNION ALL
+        |SELECT 'range:o_totalprice', v2, n, v2 = 0 FROM w
+        |UNION ALL
+        |SELECT 'in_set:o_orderstatus', v3, n, v3 = 0 FROM w
+        |UNION ALL
+        |SELECT 'matches:o_orderpriority', v4, n, v4 = 0 FROM w
+        |UNION ALL
+        |SELECT 'unique:o_orderkey',
+        |       CAST(coalesce(sum(k - 1), 0) AS BIGINT),
+        |       CAST(coalesce(sum(k), 0) AS BIGINT),
+        |       coalesce(sum(k - 1), 0) = 0
+        |FROM (SELECT count(*) AS k FROM orders GROUP BY o_orderkey) g""".stripMargin
   )
 }

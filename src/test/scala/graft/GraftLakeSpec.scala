@@ -48,5 +48,17 @@ class GraftLakeSpec extends SparkSpec {
     // replaced the files under the pre-compaction DataFrame)
     lake.read("db", "t").createOrReplaceTempView("lake_t")
     assert(spark.sql("SELECT graft_simhash32(v) FROM lake_t").count() == 3)
+
+    // drift pre-flight: no drift yet (Op is filtered as a control column)
+    assert(lake.drift("db", "t").isEmpty)
+    // a change file adds a column → reported as a compatible addition
+    writeFile(Seq(("I", 4, "d", 1.5)).toDF("Op", "id", "v", "score"),
+      s"$raw/db/t", "20260812-02.parquet")
+    val changes = lake.drift("db", "t")
+    assert(changes == Seq(io.SchemaDrift.Added("score", org.apache.spark.sql.types.DoubleType)))
+    assert(io.SchemaDrift.isCompatible(changes))
+    // and the sync merges it (evolution path), after which drift is clear
+    assert(lake.sync()("db/t") == List(Controller.Incremental(1, 1)))
+    assert(lake.drift("db", "t").isEmpty)
   }
 }

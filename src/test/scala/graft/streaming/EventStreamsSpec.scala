@@ -76,6 +76,34 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("StreamMetrics accumulates batches, rows and state size from progress events") {
+    implicit val sqlCtx = spark.sqlContext
+    val metrics = new StreamMetrics
+    spark.streams.addListener(metrics)
+    try {
+      val B = 3600000000L
+      val input = MemoryStream[Event]
+      val q = EventStreams.windowedCounts(input.toDS().toDF())
+        .writeStream.format("memory").queryName("metrics_win")
+        .outputMode("append").start()
+      input.addData(Event(1, B, 1L, "a", 1.0), Event(2, B + 1000L, 1L, "b", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, B + 2000L, 2L, "a", 3.0))
+      q.processAllAvailable()
+      q.stop()
+      // progress events are delivered asynchronously on the listener bus
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      var s = metrics.summary("metrics_win")
+      while (System.nanoTime() < deadline &&
+        !s.exists(x => x.inputRows == 3 && x.batches >= 2)) {
+        Thread.sleep(50); s = metrics.summary("metrics_win")
+      }
+      assert(s.exists(_.inputRows == 3), s"expected 3 ingested rows, got $s")
+      assert(s.exists(_.batches >= 2), s"expected >= 2 batches, got $s")
+      assert(s.exists(_.stateRows > 0), s"windowed agg must report state rows, got $s")
+    } finally spark.streams.removeListener(metrics)
+  }
+
   test("attributedPurchases: stream-stream join matches across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val B = 3600000000L
