@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (last-value) join: attach to each left row the single most
+  * recent right row with `right.ts <= left.ts` for the same key — the
+  * standard time-series enrichment (trade←quote, purchase←click,
+  * reading←calibration) that plain SQL can only express as a quadratic
+  * range join + per-row argmax.
+  *
+  * Implementation is the union-window formulation, NOT a range join:
+  * tag both inputs, union them, and compute `last(right payload) IGNORE
+  * NULLS` over a per-key window ordered by (ts, side) with right rows
+  * sorting before coincident left rows. Cost is ONE shuffle of
+  * |left|+|right| rows on the key and a linear window pass — no
+  * candidate-pair blowup however dense the right side is (a range join
+  * pairs every left row with ALL its preceding right rows before the
+  * argmax; this never materializes more than the union).
+  *
+  * Right rows are first collapsed to one per (key, ts) — latest by
+  * `rightSeqCol` — so "most recent" is well-defined under timestamp ties
+  * (and the oracle's ASOF JOIN agrees bit-for-bit).
+  */
+object AsOfJoin {
+
+  /** @param rightCols right payload columns to attach (null when no right
+    *                  row precedes the left row)
+    * @param rightSeqCol tie-breaker among right rows sharing (key, ts):
+    *                    highest value wins */
+  def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           leftTs: String, rightTs: String, rightCols: Seq[String],
+           rightSeqCol: String): DataFrame = {
+    val key = keyCols.map(col)
+    // one right row per (key, ts): latest by seq
+    val tieW = Window.partitionBy((keyCols :+ rightTs).map(col): _*)
+      .orderBy(col(rightSeqCol).desc)
+    val r1 = right.withColumn("__rn", row_number().over(tieW)).where(col("__rn") === 1)
+
+    val passthrough = left.columns.filterNot(c => keyCols.contains(c) || c == leftTs).toSeq
+    val rTagged = r1.select(
+      key ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        passthrough.map(c => lit(null).as(c)) ++
+        rightCols.map(c => col(c).as(s"__r_$c")) :+ col(rightTs).as("__r_ts"): _*)
+    val lTagged = left.select(
+      key ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        passthrough.map(col) ++
+        rightCols.map(c => lit(null).as(s"__r_$c")) :+ lit(null).as("__r_ts"): _*)
+
+    // right rows (side 0) sort before coincident left rows (side 1), so a
+    // right row at exactly left.ts is eligible (<= semantics)
+    val w = Window.partitionBy(key: _*).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedCols = rightCols.map(c =>
+      last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)) :+
+      last(col("__r_ts"), ignoreNulls = true).over(w).as("__matched_ts")
+
+    rTagged.unionByName(lTagged)
+      .select(col("*") +: matchedCols: _*)
+      .where(col("__side") === 1)
+      .drop((Seq("__side") ++ rightCols.map(c => s"__r_$c") :+ "__r_ts"): _*)
+      .withColumnRenamed("__ts", leftTs)
+      .withColumnRenamed("__matched_ts", s"${rightTs}_matched")
+  }
+}

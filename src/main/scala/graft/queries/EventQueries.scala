@@ -11,6 +11,27 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventQueries {
 
+  /** Gap-based (30 min) per-user sessions: (user_id, session_seq,
+    * start_us, end_us, n_events). Shared by the sessionization query and
+    * the range-join fixture. */
+  private def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gapUs = 1800L * 1000000L
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window aggregation per event type (the batch twin of
     // the streaming windowed agg; Structured Streaming runs the same
@@ -41,22 +62,21 @@ object EventQueries {
     // 30-minute gap rule, expressed as two window passes over one
     // per-user shuffle (both windows share the user_id partitioning, so
     // Catalyst plans a single Exchange).
-    "events_sessionize_batch" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts_us", "event_id")
-      val gapUs = 1800L * 1000000L
-      Tables.events(s, dir)
-        .withColumn("ts_us", expr("ts div 1000"))
-        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
-        .withColumn("brk",
-          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
-            .otherwise(0L))
-        .withColumn("session_seq", sum(col("brk")).over(
-          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)))
-        .groupBy("user_id", "session_seq")
-        .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
-          count(lit(1)).as("n_events"))
+    "events_sessionize_batch" -> ((s, dir) => sessionizeBatch(s, dir)),
+
+    // Binned range join: every event matched to its containing session
+    // interval via bucket-explosion equi-join instead of the
+    // nested-loop plan an inequality join gets (see
+    // [[graft.ops.RangeJoin]]).
+    "events_range_join" -> ((s, dir) => {
+      val sessions = sessionizeBatch(s, dir)
+        .select("user_id", "session_seq", "start_us", "end_us")
+      val points = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      graft.ops.RangeJoin.pointInInterval(points, "ts_us",
+        sessions, "start_us", "end_us", Seq("user_id"),
+        bucketWidth = 3600L * 1000000L)
+        .select("event_id", "user_id", "session_seq")
     }),
 
     // Pivot: per-user event-type counts as columns. Pivot values are given
@@ -78,6 +98,20 @@ object EventQueries {
         Tables.events(s, dir).select(col("event_id"), expr("ts div 1000").as("ts_us"),
           col("user_id"), col("event_type"), col("value")))),
 
+    // As-of join: each purchase enriched with the user's most recent
+    // click at-or-before it (union-window formulation — one shuffle,
+    // linear; see [[graft.ops.AsOfJoin]]). Oracle: DuckDB's native ASOF.
+    "events_asof_click" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("user_id"), col("event_type"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+      graft.ops.AsOfJoin.asOf(purchases, clicks, Seq("user_id"),
+        "ts_us", "ts_us", Seq("click_id"), "click_id")
+    }),
+
     // Sessionization-style gap analysis per user via lag window.
     "events_user_gaps" -> ((s, dir) => {
       // Work in truncated micros (matches DuckDB's ns→µs parquet read) and
@@ -92,6 +126,24 @@ object EventQueries {
     })
   )
 
+  /** Shared sessionization CTEs (g → s → sess), mirroring
+    * [[sessionizeBatch]]. */
+  private val sessCtes =
+    """g AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, ts_us,
+      |         sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM g
+      |), sess AS (
+      |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |         min(ts_us) AS start_us, max(ts_us) AS end_us, count(*) AS n_events
+      |  FROM s GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "events_window_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
@@ -105,20 +157,16 @@ object EventQueries {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "events_sessionize_batch" ->
-      """WITH g AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-        |  FROM events
-        |), s AS (
-        |  SELECT user_id, ts_us,
-        |         sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-        |  FROM g
-        |)
-        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-        |       min(ts_us) AS start_us, max(ts_us) AS end_us, count(*) AS n_events
-        |FROM s GROUP BY 1, 2""".stripMargin,
+      s"""WITH $sessCtes
+         |SELECT user_id, session_seq, start_us, end_us, n_events FROM sess""".stripMargin,
+
+    "events_range_join" ->
+      s"""WITH $sessCtes,
+         |pts AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+         |SELECT p.event_id, p.user_id, sess.session_seq
+         |FROM pts p JOIN sess
+         |  ON p.user_id = sess.user_id
+         | AND p.ts_us BETWEEN sess.start_us AND sess.end_us""".stripMargin,
 
     "events_pivot_type" ->
       """SELECT user_id,
@@ -137,6 +185,21 @@ object EventQueries {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND epoch_us(c.ts) <= epoch_us(p.ts)
         | AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000""".stripMargin,
+
+    "events_asof_click" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c0 AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT * FROM c0
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts_us ORDER BY click_id DESC) = 1)
+        |SELECT p.user_id, p.purchase_id, p.ts_us,
+        |       c.click_id, c.ts_us AS ts_us_matched
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
 
     "events_user_gaps" ->
       """SELECT user_id, event_id,

@@ -79,6 +79,21 @@ object SimilarityQueries {
         .select(col("vec_id").as("cid"), col("embedding"))
       val assigned = Similarity.ivfAssign(emb(s, dir), cents, "vec_id", "embedding", "cid")
       Similarity.centroidUpdate(assigned, "vec_id", "embedding")
+    }),
+
+    // L2 normalization to unit vectors (the prep step before cosine =
+    // dot): norm via the native sequential-fold dot, then one exact IEEE
+    // division per element. `l2` is bound as an attribute before the
+    // transform lambda (inlining rule — else the fold re-runs per dim).
+    "sim_normalize" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.{dot, toDouble}
+      emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("l2"))
+        .select(col("vec_id"), col("l2"),
+          when(col("l2") === 0.0, toDouble(col("embedding")))
+            .otherwise(transform(col("embedding"), x => x.cast("double") / col("l2")))
+            .as("unit"))
     })
   )
 
@@ -182,6 +197,15 @@ object SimilarityQueries {
          |  list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x) AS comp_sum,
          |  count(*) AS n
          |FROM exploded GROUP BY cluster, dim""".stripMargin,
+
+    "sim_normalize" ->
+      s"""SELECT vec_id,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS l2,
+         |  CASE WHEN sqrt(${dotSql("embedding", "embedding")}) = 0
+         |       THEN list_transform(embedding, x -> x::DOUBLE)
+         |       ELSE list_transform(embedding,
+         |              x -> x::DOUBLE / sqrt(${dotSql("embedding", "embedding")})) END AS unit
+         |FROM embeddings""".stripMargin,
 
     "sim_near_dup" ->
       s"""WITH b0 AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
