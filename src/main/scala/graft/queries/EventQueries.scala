@@ -112,6 +112,19 @@ object EventQueries {
         "ts_us", "ts_us", Seq("click_id"), "click_id")
     }),
 
+    // Sliding (hopping) 1-hour windows every 30 minutes: each event lands
+    // in exactly two windows. Same `window()` expression Structured
+    // Streaming runs; batch explode of the window set (oracle mirrors the
+    // two hop-aligned starts per event).
+    "events_window_sliding" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      e.groupBy(window(col("ts_utc"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"))
+    }),
+
     // Sessionization-style gap analysis per user via lag window.
     "events_user_gaps" -> ((s, dir) => {
       // Work in truncated micros (matches DuckDB's ns→µs parquet read) and
@@ -200,6 +213,15 @@ object EventQueries {
         |       c.click_id, c.ts_us AS ts_us_matched
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    "events_window_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+        |w AS (
+        |  SELECT (t // 1800000000) * 1800000000 - k * 1800000000 AS win_start_us,
+        |         event_type
+        |  FROM e, (VALUES (0), (1)) AS hops(k))
+        |SELECT win_start_us, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "events_user_gaps" ->
       """SELECT user_id, event_id,

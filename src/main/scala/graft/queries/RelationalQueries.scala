@@ -253,6 +253,18 @@ object RelationalQueries {
         uniqueKeys = Seq(Seq("o_orderkey")))
     }),
 
+    // Distribution window functions: percent_rank / cume_dist over a
+    // total per-status order (both are exact integer-ratio doubles —
+    // rank arithmetic, engine-portable bit-for-bit).
+    "rel_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders").select(
+        col("o_orderstatus"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    }),
+
     // Ordered string aggregation (collect_list is unordered in a
     // distributed agg — array_sort makes the result deterministic, which
     // is also the only portable semantics).
@@ -415,6 +427,13 @@ object RelationalQueries {
     "rel_topn_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "rel_window_dist" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin,
 
     "rel_string_agg" ->
       """SELECT o_custkey,
