@@ -24,18 +24,21 @@ object Bench {
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      } finally {
+        // Queries are independent: drop any blocks a query materialized
+        // (eager localCheckpoints) so storage memory from sketch-heavy
+        // queries does not squeeze the execution memory of later ones —
+        // the context cleaner alone only runs on periodic GC. A FAILED
+        // query may have checkpointed before dying, so clean up on both
+        // paths.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Queries are independent: drop any blocks a query materialized
-      // (eager localCheckpoints) so storage memory from sketch-heavy
-      // queries does not squeeze the execution memory of later ones —
-      // the context cleaner alone only runs on periodic GC.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      dt
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

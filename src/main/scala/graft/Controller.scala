@@ -6,7 +6,7 @@ import graft.state.{StateStore, TableItem}
 import org.apache.spark.sql.SparkSession
 import java.time.format.DateTimeFormatter
 import java.time.{Instant, ZoneOffset}
-import java.util.concurrent.Executors
+import java.util.concurrent.{Callable, ConcurrentHashMap, ExecutionException, Executors, TimeUnit, Future => JFuture, TimeoutException => JTimeoutException}
 import scala.concurrent.duration.Duration
 import scala.concurrent.{Await, ExecutionContext, Future}
 
@@ -43,6 +43,22 @@ class Controller(spark: SparkSession, store: StateStore,
 
   private val mtimeFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
 
+  // Timed-out tables: their zombie loads (if the interrupt didn't take) are
+  // barred from committing watermarks; cleared when the table is next
+  // scheduled cleanly. Keyed by table key; lives across runOnce calls.
+  private val timedOut = ConcurrentHashMap.newKeySet[String]()
+  // Last submitted work per table, so a later runOnce can refuse to start a
+  // concurrent merge while a zombie is still on its thread.
+  private val inFlight = new ConcurrentHashMap[String, JFuture[List[Action]]]()
+
+  /** C8 commit gate: a load that outlived its timeout must not advance
+    * watermarks — the run already reported it Failed, and the next clean
+    * run will redo the work idempotently. */
+  protected final def commitFullLoad(t: Discovery.TableDir, stamp: String): Unit =
+    if (!timedOut.contains(t.key)) store.commitFullLoad(t.dir, stamp)
+  protected final def commitIncremental(t: Discovery.TableDir, watermark: String): Unit =
+    if (!timedOut.contains(t.key)) store.commitIncremental(t.dir, watermark)
+
   /** One scheduled run over every discovered table; returns per-table
     * actions in execution order (a table can do a full load AND an
     * incremental merge in the same run, like the reference's ProcessTable).
@@ -50,11 +66,18 @@ class Controller(spark: SparkSession, store: StateStore,
     * Each table gets its OWN `tableTimeout` budget, measured from when its
     * load starts (reference parity: ProcessTable polls each Glue job for at
     * most 900 s from job start, DMSCDC_ProcessTable.py:41-42). A table that
-    * exceeds it reports `Failed(timeout)` and has its Spark jobs cancelled
-    * via its job group, while every other table's result is returned
-    * normally — one hung table no longer discards the whole run. Watermarks
-    * stay safe under cancellation: they commit inside [[processTable]] only
-    * after the load action completed (C8). */
+    * exceeds it reports `Failed(timeout)` and is cancelled on three fronts:
+    * its in-flight Spark jobs via the job group, its worker THREAD via
+    * interrupt (so a load wedged driver-side — a stalled S3 listing, not a
+    * Spark job — frees its pool slot instead of starving later tables),
+    * and its watermark commits via a per-table timed-out flag (so a zombie
+    * that survives the interrupt cannot commit after the run already
+    * reported it Failed). If a zombie is STILL running when the table
+    * comes up in a later `runOnce`, that run skips the table with
+    * `Failed(previous load still running)` rather than race two concurrent
+    * merges over the same files. Watermarks stay safe under cancellation:
+    * they commit inside [[processTable]] only after the load action
+    * completed (C8), and only while the table is not flagged. */
   def runOnce(): Map[String, List[Action]] = {
     val tables = Discovery.listTables(rawRoot, spark.sparkContext.hadoopConfiguration)
     tables.foreach(t => store.upsertDefaults(t.dir))
@@ -65,28 +88,41 @@ class Controller(spark: SparkSession, store: StateStore,
     // is not charged against the table's own 900 s).
     val workPool = Executors.newFixedThreadPool(n)
     val waitPool = Executors.newFixedThreadPool(n)
-    val workEc = ExecutionContext.fromExecutor(workPool)
     implicit val waitEc: ExecutionContext = ExecutionContext.fromExecutor(waitPool)
     try {
       val futures = active.map { t =>
         Future {
           val group = s"graft-cdc-${t.key}"
-          val work = Future {
-            spark.sparkContext.setJobGroup(group, s"CDC load ${t.key}", interruptOnCancel = true)
-            try processTable(t, store.get(t.dir).get)
-            finally spark.sparkContext.clearJobGroup()
-          }(workEc)
-          t.key -> (scala.util.Try(Await.result(work, tableTimeout)) match {
-            case scala.util.Success(actions) => actions
-            case scala.util.Failure(_: java.util.concurrent.TimeoutException) =>
-              // Cancel the table's in-flight Spark jobs so a wedged load
-              // cannot keep writing (or advancing watermarks) after the
-              // run reported it failed.
-              spark.sparkContext.cancelJobGroup(group)
-              List[Action](Failed(s"timeout after $tableTimeout"))
-            case scala.util.Failure(e) =>
-              List[Action](Failed(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
-          })
+          val prior = inFlight.get(t.key)
+          if (prior != null && !prior.isDone)
+            t.key -> List[Action](Failed(
+              "previous load still running (timed out earlier; refusing a concurrent merge)"))
+          else {
+            timedOut.remove(t.key)
+            val work: JFuture[List[Action]] = workPool.submit(new Callable[List[Action]] {
+              override def call(): List[Action] = {
+                spark.sparkContext.setJobGroup(group, s"CDC load ${t.key}", interruptOnCancel = true)
+                try processTable(t, store.get(t.dir).get)
+                finally spark.sparkContext.clearJobGroup()
+              }
+            })
+            inFlight.put(t.key, work)
+            t.key -> (scala.util.Try(work.get(tableTimeout.toMillis, TimeUnit.MILLISECONDS)) match {
+              case scala.util.Success(actions) => actions
+              case scala.util.Failure(_: JTimeoutException) =>
+                // Three-front cancellation (see scaladoc): flag first so a
+                // load that races past the interrupt still cannot commit.
+                timedOut.add(t.key)
+                spark.sparkContext.cancelJobGroup(group)
+                work.cancel(true)
+                List[Action](Failed(s"timeout after $tableTimeout"))
+              case scala.util.Failure(e: ExecutionException) =>
+                val c = if (e.getCause != null) e.getCause else e
+                List[Action](Failed(s"${c.getClass.getSimpleName}: ${c.getMessage}"))
+              case scala.util.Failure(e) =>
+                List[Action](Failed(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+            })
+          }
         }
       }
       // Bounded: every waiter's inner await is capped by tableTimeout, so
@@ -108,7 +144,7 @@ class Controller(spark: SparkSession, store: StateStore,
       val stamp = mtimeFmt.format(Instant.ofEpochMilli(mtime))
       if (stamp > item.state.lastFullLoadDate) {
         val rows = CdcPipeline.loadInitial(spark, Discovery.loadFiles(t.dir, conf), outPath, cfg)
-        store.commitFullLoad(t.dir, stamp)
+        commitFullLoad(t, stamp)
         Some(FullLoad(rows))
       } else None
     }
@@ -116,7 +152,7 @@ class Controller(spark: SparkSession, store: StateStore,
     // C4: then apply any CDC files past the incremental watermark.
     val incr = Discovery.cdcFilesAfter(t.dir, item.state.lastIncrementalFile, conf).map { batch =>
       val stats = CdcPipeline.loadIncremental(spark, batch.files, outPath, cfg)
-      store.commitIncremental(t.dir, batch.newWatermark)
+      commitIncremental(t, batch.newWatermark)
       Incremental(stats.rowsWritten, batch.files.size)
     }
 

@@ -59,15 +59,33 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
     * add/drop/retype, and is it lossless? Metadata-only — reads two
     * parquet footers, runs no jobs. */
   def drift(schema: String, table: String): Seq[io.SchemaDrift.Change] = {
-    // mergeSchema on BOTH sides: the union footprint is what the next
-    // merge will see (a single new change file must surface its column)
-    val incoming = spark.read.option("mergeSchema", "true")
-      .parquet(tableDir(schema, table)).schema
+    // Incoming footprint: fold per-file footers NEWEST-LAST so a retyped
+    // column surfaces as TypeChanged. Spark's own mergeSchema read would
+    // THROW on e.g. int32→int64 across files — the exact drift scenario a
+    // pre-flight check exists to report as data, not as an exception.
+    // Raw DMS dirs are flat files (no hive partitions), so footer-only
+    // per-file reads see the full schema.
+    val rawDir = tableDir(schema, table)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rawFs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(rawDir), conf)
+    val rawFiles = rawFs.listStatus(new org.apache.hadoop.fs.Path(rawDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getModificationTime)
+    val incoming = org.apache.spark.sql.types.StructType(
+      rawFiles.foldLeft(scala.collection.immutable.ListMap.empty[String, org.apache.spark.sql.types.StructField]) {
+        (acc, f) =>
+          spark.read.parquet(f.getPath.toString).schema.fields
+            .foldLeft(acc)((m, fld) => m.updated(fld.name, fld))
+      }.values.toArray)
     val currentPath = s"${lakeRoot.stripSuffix("/")}/$schema/$table"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(currentPath), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(currentPath))) Nil
     else {
+      // The lake side is written by our own merge (per-column-consistent
+      // types), so Spark's mergeSchema is safe here — and it is the only
+      // reader that surfaces hive-partition columns, which per-file
+      // footers cannot see.
       val current = spark.read.option("mergeSchema", "true").parquet(currentPath).schema
       // the CDC op marker never counts as drift (present in change files,
       // projected away by the merge)

@@ -32,6 +32,19 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTs: String, rightTs: String, rightCols: Seq[String],
            rightSeqCol: String): DataFrame = {
+    // Fail fast on output-name collisions: a right payload column shadowing
+    // a left column (or the matched-ts alias) would silently produce a
+    // duplicate column name and break every downstream reference.
+    val clashes = rightCols.filter(left.columns.contains) ++
+      left.columns.filter(_ == s"${rightTs}_matched")
+    require(clashes.isEmpty,
+      s"asOf output collision on ${clashes.distinct.mkString(", ")}: " +
+        "rename the left column(s) or the right payload column(s) first")
+    val reserved = (left.columns ++ right.columns)
+      .filter(c => c == "__ts" || c == "__side" || c == "__rn" ||
+        c == "__matched_ts" || c.startsWith("__r_"))
+    require(reserved.isEmpty,
+      s"asOf reserves __ts/__side/__rn/__matched_ts/__r_* names; found ${reserved.distinct.mkString(", ")}")
     val key = keyCols.map(col)
     // one right row per (key, ts): latest by seq
     val tieW = Window.partitionBy((keyCols :+ rightTs).map(col): _*)

@@ -32,16 +32,28 @@ object Quality {
     Rule(s"matches:$c", col(c).isNotNull && !col(c).rlike(regex))
 
   /** Violation counts per rule — one scan, one partial-agg reduce.
-    * Output: (rule, violations, n_rows, pass). */
+    * Output: (rule, violations, n_rows, pass). Rule names are carried as
+    * data (lit), never spliced into SQL text, so any name is safe; an
+    * empty rule list yields zero rows with the same schema. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    // positional aliases: rule names are arbitrary strings and must not
+    // have to round-trip through identifier quoting
     val aggs = count(lit(1)).as("__n") +:
-      rules.map(r => sum(when(r.violation, 1L).otherwise(0L)).as(r.name))
+      rules.zipWithIndex.map { case (r, i) =>
+        sum(when(r.violation, 1L).otherwise(0L)).as(s"__v$i") }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    // one row → long format via stack (no shuffle; the input is 1 row)
-    val pairs = rules.map(r => s"'${r.name}', `${r.name}`").mkString(", ")
-    wide.selectExpr(s"stack(${rules.length}, $pairs) AS (rule, violations)", "__n AS n_rows")
-      .select(col("rule"), col("violations"), col("n_rows"),
-        (col("violations") === 0L).as("pass"))
+    if (rules.isEmpty)
+      wide.select(lit("").as("rule"), lit(0L).as("violations"),
+          col("__n").as("n_rows"), lit(true).as("pass"))
+        .where(lit(false))
+    else {
+      // one row → long format via explode (no shuffle; the input is 1 row)
+      val entries = rules.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.name).as("rule"), col(s"__v$i").as("violations")) }
+      wide.select(explode(array(entries: _*)).as("e"), col("__n").as("n_rows"))
+        .select(col("e.rule").as("rule"), col("e.violations").as("violations"),
+          col("n_rows"), (col("e.violations") === 0L).as("pass"))
+    }
   }
 
   /** Uniqueness expectation: rows per duplicated key combination.

@@ -55,8 +55,21 @@ final class JsonFileStateStore(dir: String) extends StateStore {
 
   override def get(path: String): Option[TableItem] = {
     val f = fileFor(path)
-    if (!Files.exists(f)) None
-    else Some(fromJson(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)))
+    if (Files.exists(f))
+      Some(fromJson(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)))
+    else {
+      // Pre-hash deployments named files "<sanitized>.json" (no digest).
+      // Silently ignoring those would reset every committed watermark and
+      // replay history, so migrate a matching legacy file in place. The
+      // path check guards against a sanitize-collision sibling's file.
+      val legacy = root.resolve(path.replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
+      if (!Files.exists(legacy)) None
+      else {
+        val item = fromJson(new String(Files.readAllBytes(legacy), StandardCharsets.UTF_8))
+        if (item.path != path) None
+        else { put(item); Files.deleteIfExists(legacy); Some(item) }
+      }
+    }
   }
 
   override def put(item: TableItem): Unit = {

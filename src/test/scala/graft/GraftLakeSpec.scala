@@ -61,4 +61,25 @@ class GraftLakeSpec extends SparkSpec {
     assert(lake.sync()("db/t") == List(Controller.Incremental(1, 1)))
     assert(lake.drift("db", "t").isEmpty)
   }
+
+  test("drift reports retypes across mixed-type raw files instead of throwing") {
+    val raw = Files.createTempDirectory("raw").toString
+    val out = Files.createTempDirectory("lake").toString
+    val st = Files.createTempDirectory("state").toString
+    writeFile(Seq(("I", 1, 10)).toDF("Op", "id", "qty"), s"$raw/db/r", "LOAD00000001.parquet")
+    val lake = GraftLake(spark, raw, out, st)
+    lake.activate("db", "r", primaryKeys = Seq("id"))
+    assert(lake.sync()("db/r") == List(Controller.FullLoad(1)))
+    // source retypes qty int→bigint; the OLD int32 file is still in the raw
+    // dir, so Spark's own mergeSchema read of the dir would throw here
+    writeFile(Seq(("U", 1, 20L)).toDF("Op", "id", "qty"), s"$raw/db/r", "20260812-01.parquet")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // pin mtime order: the retyped file is strictly newest
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$raw/db/r/20260812-01.parquet"),
+      System.currentTimeMillis() + 60000, -1)
+    val changes = lake.drift("db", "r")
+    assert(changes == Seq(io.SchemaDrift.TypeChanged("qty",
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)))
+    assert(io.SchemaDrift.isCompatible(changes))
+  }
 }

@@ -200,6 +200,42 @@ class PipelineSpec extends SparkSpec {
     assert(goodState.state.lastFullLoadDate > "1900-01-01 00:00:00")
   }
 
+  test("a load that outlives its timeout cannot commit watermarks") {
+    val raw = Files.createTempDirectory("raw").toString
+    val lake = Files.createTempDirectory("lake").toString
+    val stateDir = Files.createTempDirectory("state").toString
+    writeParquetFile(Seq(("I", 1, "a")).toDF("Op", "id", "v"), s"$raw/db/zombie", "LOAD00000001.parquet")
+    val store = new JsonFileStateStore(stateDir)
+    val attempted = new java.util.concurrent.CountDownLatch(1)
+    // Fault injection: the load wedges past its budget, SURVIVES the
+    // interrupt (swallows it), and then tries to commit the way the real
+    // pipeline does — the commit gate must hold the watermark.
+    val ctl = new Controller(spark, store, raw, lake, parallelism = 1,
+      tableTimeout = scala.concurrent.duration.Duration(1, "s")) {
+      override protected def processTable(t: Discovery.TableDir,
+                                          item: TableItem): List[Controller.Action] = {
+        try Thread.sleep(30000) catch { case _: InterruptedException => () }
+        commitFullLoad(t, "2026-08-12 00:00:00")
+        attempted.countDown()
+        List(Controller.FullLoad(1))
+      }
+    }
+    ctl.runOnce() // register defaults
+    Discovery.listTables(raw).foreach { t =>
+      store.put(store.get(t.dir).get.copy(config = TableConfig(Seq("id"), Nil, active = true)))
+    }
+    val r = ctl.runOnce()
+    r("db/zombie") match {
+      case List(Controller.Failed(msg)) => assert(msg.contains("timeout"))
+      case other => fail(s"expected timeout failure, got $other")
+    }
+    assert(attempted.await(20, java.util.concurrent.TimeUnit.SECONDS),
+      "zombie never reached its commit attempt")
+    val state = store.get(Discovery.listTables(raw).head.dir).get
+    assert(state.state.lastFullLoadDate == "1900-01-01 00:00:00",
+      "a timed-out load advanced its watermark")
+  }
+
   test("no-PK table: insert-only append semantics") {
     val lake = Files.createTempDirectory("lake").toString
     val raw = Files.createTempDirectory("raw").toString

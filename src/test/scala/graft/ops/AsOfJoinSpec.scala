@@ -31,6 +31,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.toSeq == Seq("b"))
   }
 
+  test("fails fast when a right payload column shadows a left column") {
+    val left = Seq((1L, 10L, 1.0)).toDF("key", "ts", "px")
+    val right = Seq((1L, 9L, 2.0, 1L)).toDF("key", "ts", "px", "qid")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, Seq("key"), "ts", "ts", Seq("px"), "qid")
+    }
+    assert(e.getMessage.contains("px"))
+    // reserved working names are rejected too
+    val badLeft = Seq((1L, 10L, "x")).toDF("key", "ts", "__side")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(badLeft, right.drop("px"), Seq("key"), "ts", "ts", Seq("qid"), "qid")
+    }
+  }
+
   test("union-window result equals the quadratic range-join formulation") {
     val rnd = new scala.util.Random(7)
     val left = (1 to 200).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))

@@ -39,6 +39,26 @@ class StateStoreSpec extends AnyFunSuite {
     assert(s == TableState("2026-01-01 00:00:00", "/t/20260101.parquet"))
   }
 
+  test("legacy pre-hash state files are migrated, not orphaned") {
+    val dir = Files.createTempDirectory("state")
+    val store = new JsonFileStateStore(dir.toString)
+    store.upsertDefaults("/raw/db/t")
+    store.commitIncremental("/raw/db/t", "/raw/db/t/42.parquet")
+    // simulate a pre-digest deployment: strip the digest suffix off the file
+    import scala.jdk.CollectionConverters._
+    val hashed = Files.list(dir).iterator().asScala.find(_.toString.endsWith(".json")).get
+    val legacy = dir.resolve("_raw_db_t.json")
+    Files.move(hashed, legacy)
+    val fresh = new JsonFileStateStore(dir.toString)
+    // a sanitize-collision sibling must NOT claim the legacy file...
+    assert(fresh.get("/raw/db_t").isEmpty)
+    assert(Files.exists(legacy))
+    // ...but the true owner reads it and migrates it to the digest name
+    assert(fresh.get("/raw/db/t").get.state.lastIncrementalFile == "/raw/db/t/42.parquet")
+    assert(!Files.exists(legacy))
+    assert(fresh.get("/raw/db/t").get.state.lastIncrementalFile == "/raw/db/t/42.parquet")
+  }
+
   test("commit on unknown table is a no-op, not a crash") {
     val store = newStore
     store.commitFullLoad("/missing", "2026-01-01 00:00:00")
