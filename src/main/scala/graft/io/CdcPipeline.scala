@@ -53,8 +53,11 @@ object CdcPipeline {
     require(loadFiles.nonEmpty, "no snapshot files")
     val snap0 = readChangeFiles(spark, loadFiles, format)
     val snap = if (snap0.columns.contains(Op.column)) snap0 else Merge.tagInitial(snap0)
-    CowWriter.writeInitial(snap, outPath, cfg.partitionKeys)
-    snap.count()
+    // Count via observed metrics ON the write pass — a count() after the
+    // write would re-scan the whole snapshot a second time just for stats.
+    val obs = org.apache.spark.sql.Observation()
+    CowWriter.writeInitial(snap.observe(obs, count(lit(1)).as("n")), outPath, cfg.partitionKeys)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** The flagship: incremental latest-wins merge with copy-on-write rewrite
@@ -102,10 +105,13 @@ object CdcPipeline {
     val tgtExists = fs.exists(p) && fs.listStatus(p).nonEmpty
 
     if (!cfg.hasPrimaryKey || !tgtExists) {
-      // P3: no-PK tables and first loads are insert-only appends.
+      // P3: no-PK tables and first loads are insert-only appends. Row count
+      // comes from observed metrics on the write itself (a count() after
+      // the write would re-read and re-transform the whole batch).
       val output = Merge.insertOnly(changes).drop(SrcFile, RowIdx, Merge.FileSeq)
-      CowWriter.appendMerged(output, outPath, cfg.partitionKeys)
-      MergeStats(output.count(), Nil, insertOnly = true)
+      val obs = org.apache.spark.sql.Observation()
+      CowWriter.appendMerged(output.observe(obs, count(lit(1)).as("n")), outPath, cfg.partitionKeys)
+      MergeStats(obs.get("n").asInstanceOf[Long], Nil, insertOnly = true)
     } else {
       val pks = cfg.primaryKeys
       // mergeSchema: after an evolving merge the lake holds mixed footers

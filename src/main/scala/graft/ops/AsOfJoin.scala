@@ -35,8 +35,11 @@ object AsOfJoin {
     // Fail fast on output-name collisions: a right payload column shadowing
     // a left column (or the matched-ts alias) would silently produce a
     // duplicate column name and break every downstream reference.
+    val matchedName = s"${rightTs}_matched"
     val clashes = rightCols.filter(left.columns.contains) ++
-      left.columns.filter(_ == s"${rightTs}_matched")
+      left.columns.filter(_ == matchedName) ++
+      rightCols.filter(_ == matchedName) ++
+      rightCols.diff(rightCols.distinct)
     require(clashes.isEmpty,
       s"asOf output collision on ${clashes.distinct.mkString(", ")}: " +
         "rename the left column(s) or the right payload column(s) first")

@@ -29,11 +29,13 @@ object Skew {
   }
 
   /** Salted sum in exact decimal (shards then merges — result identical to
-    * a direct sum because decimal addition is associative). */
+    * a direct sum because decimal addition is associative). Casts through
+    * the WIDEST decimal (38 digits): a narrower one would overflow to null
+    * under non-ANSI mode and silently drop rows from the sum. */
   def saltedSumDecimal(df: DataFrame, keys: Seq[String], valueCol: Column,
                        scale: Int, salts: Int = 16): DataFrame = {
     require(salts > 0)
-    val dec = valueCol.cast(org.apache.spark.sql.types.DecimalType(18, scale))
+    val dec = valueCol.cast(org.apache.spark.sql.types.DecimalType(38, scale))
     df.withColumn("__salt", (rand(seed = 42) * salts).cast("int"))
       .withColumn("__v", dec)
       .groupBy((keys.map(col) :+ col("__salt")): _*)

@@ -12,25 +12,30 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Token statistics per document. */
+  /** Token statistics per document. Tokenization is bound to a real
+    * attribute first (see repetitionRatio): four derived columns referencing
+    * an inlined tokens(...) would each re-tokenize the full text per row. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    docs.select(col(idCol),
-      size(t).cast("long").as("n_tokens"),
-      size(array_distinct(t)).cast("long").as("n_distinct"),
-      meanTokenLength(t).as("mean_token_len"),
-      typeTokenRatio(t).as("type_token_ratio"))
+    val t = col("__toks")
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        meanTokenLength(t).as("mean_token_len"),
+        typeTokenRatio(t).as("type_token_ratio"))
   }
 
-  /** Quality signals + composite score per document. */
+  /** Quality signals + composite score per document. Shared tokenization
+    * bound once, same as tokenStats. */
   def qualityScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    docs.select(col(idCol),
-      length(col(textCol)).cast("long").as("n_chars"),
-      size(t).cast("long").as("n_tokens"),
-      stopwordRatio(t).as("stopword_ratio"),
-      punctRatio(col(textCol)).as("punct_ratio"),
-      qualityScore(col(textCol)).as("quality"))
+    val t = col("__toks")
+    docs.select(col(idCol), col(textCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        size(t).cast("long").as("n_tokens"),
+        stopwordRatio(t).as("stopword_ratio"),
+        punctRatio(col(textCol)).as("punct_ratio"),
+        qualityScore(col(textCol)).as("quality"))
   }
 
   /** Stopword sets per language for the n-gram/stopword language-ID

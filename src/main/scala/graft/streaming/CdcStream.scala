@@ -50,7 +50,7 @@ object CdcStream {
         col("_metadata.row_index").as(RowIdx))
 
     stream.writeStream
-      .queryName(s"cdc-merge-${new Path(outPath).getName}")
+      .queryName(s"cdc-merge-${qualifiedName(outPath)}")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) => mergeBatch(batch, outPath, cfg) }
@@ -74,7 +74,7 @@ object CdcStream {
       .withColumn(SrcFile, lit("queue"))
       .withColumn(RowIdx, seqCol)
     tagged.writeStream
-      .queryName(s"cdc-queue-merge-${new Path(outPath).getName}")
+      .queryName(s"cdc-queue-merge-${qualifiedName(outPath)}")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) => mergeBatch(batch, outPath, cfg) }
@@ -83,6 +83,13 @@ object CdcStream {
 
   private val SrcFile = CdcPipeline.SrcFile
   private val RowIdx = CdcPipeline.RowIdx
+
+  // schema/table, not just table: Spark rejects two active queries with the
+  // same name, and every schema has its own "orders"
+  private def qualifiedName(outPath: String): String = {
+    val p = new Path(outPath)
+    Option(p.getParent).map(_.getName + "-").getOrElse("") + p.getName
+  }
 
   /** One micro-batch = one incremental merge — delegates to the shared
     * [[graft.io.CdcPipeline.mergeTagged]] (identical semantics to the batch
@@ -94,7 +101,21 @@ object CdcStream {
 
   /** Streaming file sources need an explicit schema; take it from the
     * existing files (the reference infers from Parquet footers the same
-    * way, DMSCDC_LoadIncremental.py:47). */
+    * way, DMSCDC_LoadIncremental.py:47).
+    *
+    * Infer under the SAME `2*` glob the stream reads (merged across files,
+    * so an evolved column in any CDC file is in the stream schema) — an
+    * unfiltered read could pick an Op-less LOAD* snapshot footer and fix a
+    * schema the merge can't use. If no CDC file exists yet (stream started
+    * right after the initial load), fall back to the snapshot schema plus
+    * the `Op` marker DMS adds to change records. */
   def sourceSchema(spark: SparkSession, tableDir: String): StructType =
-    spark.read.parquet(tableDir).schema
+    try spark.read.option("pathGlobFilter", "2*").option("mergeSchema", "true")
+      .parquet(tableDir).schema
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      val snap = spark.read.option("mergeSchema", "true").parquet(tableDir).schema
+      if (snap.fieldNames.contains(graft.cdc.Op.column)) snap
+      else StructType(org.apache.spark.sql.types.StructField(
+        graft.cdc.Op.column, org.apache.spark.sql.types.StringType) +: snap.fields)
+    }
 }

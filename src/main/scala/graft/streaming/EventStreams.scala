@@ -81,8 +81,19 @@ object EventStreams {
             var open = state.getOption
             sorted.foreach { e =>
               open match {
-                case Some(s) if e.ts_us - s.last_us <= gapUs =>
-                  open = Some(OpenSession(s.start_us, e.ts_us, s.n + 1, s.total + e.value))
+                // A late-but-in-watermark event can arrive BEHIND the open
+                // session (e.ts_us < last_us, even < start_us): extend with
+                // min/max so boundaries never regress — OpenSession(.., e.ts_us)
+                // here would move last_us backward, mis-splitting on the next
+                // event and re-arming the timeout too early.
+                case Some(s) if e.ts_us >= s.start_us - gapUs && e.ts_us - s.last_us <= gapUs =>
+                  open = Some(OpenSession(math.min(s.start_us, e.ts_us),
+                    math.max(s.last_us, e.ts_us), s.n + 1, s.total + e.value))
+                case Some(s) if e.ts_us < s.start_us - gapUs =>
+                  // straggler older than the open session by more than the
+                  // gap: it belongs to a session that already closed — emit
+                  // it as its own closed session, keep the open one intact
+                  closed += Session(userId, e.ts_us, e.ts_us, 1, e.value)
                 case Some(s) =>
                   closed += Session(userId, s.start_us, s.last_us, s.n, s.total)
                   open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))

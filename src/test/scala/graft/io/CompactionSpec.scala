@@ -51,6 +51,19 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(lake).where($"bucket" === 0).count() == 15)
   }
 
+  test("a file appended by a concurrent merge survives the compaction swap") {
+    val lake = Files.createTempDirectory("lake").toString + "/db/t"
+    writeFile((1 to 20).map(i => ("I", i, s"v$i")).toDF("Op", "id", "v"), lake, "base.parquet")
+    // the racing merge commits its file after the rewrite planned (and
+    // read) its input, right before the directory swap
+    val stats = Compaction.compact(spark, lake, Seq("id"), beforeSwap = () =>
+      writeFile(Seq(("I", 999, "late")).toDF("Op", "id", "v"), lake, "racer.parquet"))
+    assert(stats.rows == 20) // the rewrite itself saw the pinned snapshot
+    val back = spark.read.parquet(lake)
+    assert(back.count() == 21, "concurrently appended rows were lost in the swap")
+    assert(back.filter($"id" === 999).head().getAs[String]("v") == "late")
+  }
+
   test("compaction splits oversized tables into bounded files; merge still works after") {
     val lake = Files.createTempDirectory("lake").toString + "/db/t"
     val raw = Files.createTempDirectory("raw").toString + "/db/t"

@@ -76,6 +76,36 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sessionize: a late-but-in-watermark event cannot regress session boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val B = 3600000000L
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapUs = 1000000L) // 1s gap, 10s watermark
+    val q = sessions.writeStream.format("memory").queryName("sess_late_out")
+      .outputMode("append").start()
+
+    // batch 1: one event at B+1s → open session (1s, 1s)
+    input.addData(Event(1, B + 1000000L, 1L, "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event at B+0.4s (inside the watermark, within gap of
+    // the open session) followed by B+1.9s. Moving last_us backward to 0.4s
+    // would make 1.9s look > gap away and mis-split with end < start; the
+    // min/max extension keeps one session.
+    input.addData(Event(2, B + 400000L, 1L, "a", 1.0), Event(3, B + 1900000L, 1L, "a", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_late_out").count() == 0,
+      "late event must extend the open session, not split it")
+    // two more batches: first advances the watermark far past the gap
+    // deadline, second fires the armed timeout → the merged session emits
+    input.addData(Event(4, B + 60000000L, 2L, "b", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(5, B + 61000000L, 2L, "b", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("sess_late_out").as[Session].collect().filter(_.user_id == 1L)
+    assert(out.toSeq == Seq(Session(1L, B + 400000L, B + 1900000L, 3, 3.0)))
+    q.stop()
+  }
+
   test("StreamMetrics accumulates batches, rows and state size from progress events") {
     implicit val sqlCtx = spark.sqlContext
     val metrics = new StreamMetrics
