@@ -236,8 +236,13 @@ case class RollingMinHashExpr(child: Expression, window: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    val n = s.length
+    // Hash Unicode CODEPOINTS, not UTF-16 code units: the SQL mirror reads
+    // unicode(t[i]) per codepoint, and the rest of the text stack counts
+    // codepoints — charAt would split astral-plane chars into surrogate
+    // pairs and diverge on any non-BMP text. Codepoints reach 0x10FFFF so
+    // products stay < 2^52, still exact in the modular arithmetic.
+    val cps = input.toString.codePoints().toArray
+    val n = cps.length
     if (n == 0) return java.lang.Long.valueOf(0L)
     val w = math.min(window, n)
     // B^(w-1) mod M for the outgoing character
@@ -246,11 +251,11 @@ case class RollingMinHashExpr(child: Expression, window: Int)
     while (k < w - 1) { bw = (bw * B) % M; k += 1 }
     var h = 0L
     var i = 0
-    while (i < w) { h = (h * B + s.charAt(i).toLong) % M; i += 1 }
+    while (i < w) { h = (h * B + cps(i).toLong) % M; i += 1 }
     var min = h
     while (i < n) {
-      h = (h - (s.charAt(i - w).toLong * bw) % M + M) % M
-      h = (h * B + s.charAt(i).toLong) % M
+      h = (h - (cps(i - w).toLong * bw) % M + M) % M
+      h = (h * B + cps(i).toLong) % M
       if (h < min) min = h
       i += 1
     }

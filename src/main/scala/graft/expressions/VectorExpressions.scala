@@ -76,6 +76,8 @@ case class DotProductExpr(left: Expression, right: Expression)
 /** Sign-LSH bucket from the first `bits` dimensions (bit j ⇔ v[j] > 0). */
 case class SignBucketExpr(child: Expression, bits: Int)
     extends UnaryExpression {
+  // bits > 64 would silently alias (1L << j wraps at 64) and corrupt buckets
+  require(bits > 0 && bits <= 64, s"sign-bucket bits must be in 1..64, got $bits")
   override def dataType: DataType = LongType
 
   def compute(v: ArrayData): Long = nullSafeEval(v).asInstanceOf[Long]

@@ -106,8 +106,12 @@ object Multimodal {
     require(stride > 0)
     media.select(col("media_id"), col("payload"))
       .withColumn("n_bytes", length(col("payload")).cast("long"))
+      // empty payload → NO frames (explode of an empty array emits no row);
+      // clamping to sequence(0,0) would fabricate an offset into zero bytes
       .withColumn("frame_offset",
-        explode(sequence(lit(0L), greatest(col("n_bytes") - 1, lit(0L)), lit(stride.toLong))))
+        explode(when(col("n_bytes") > 0L,
+            sequence(lit(0L), col("n_bytes") - 1, lit(stride.toLong)))
+          .otherwise(array().cast("array<bigint>"))))
       .select("media_id", "frame_offset")
   }
 

@@ -39,13 +39,21 @@ final class JsonFileStateStore(dir: String) extends StateStore {
 
   // Sanitizing alone is not injective (schema "a_b"/table "c" and schema
   // "a"/table "b_c" both sanitize to "a_b_c"); a short hash of the raw path
-  // keeps distinct tables on distinct state files.
+  // keeps distinct tables on distinct state files. The human-readable
+  // prefix is capped (keeping the distinctive schema/table tail) so a deep
+  // bucket prefix cannot push the filename past the 255-byte limit — the
+  // digest carries the injectivity either way.
   private def fileFor(path: String): Path = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(path.getBytes(StandardCharsets.UTF_8))
     val h = digest.take(4).map(b => f"$b%02x").mkString
-    root.resolve(path.replaceAll("[^A-Za-z0-9._-]", "_") + s"-$h.json")
+    val sanitized = path.replaceAll("[^A-Za-z0-9._-]", "_")
+    val prefix = if (sanitized.length > 180) sanitized.takeRight(180) else sanitized
+    root.resolve(prefix + s"-$h.json")
   }
+
+  private def legacyFor(path: String): Path =
+    root.resolve(path.replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
 
   override def upsertDefaults(path: String): TableItem =
     get(path).getOrElse {
@@ -55,14 +63,19 @@ final class JsonFileStateStore(dir: String) extends StateStore {
 
   override def get(path: String): Option[TableItem] = {
     val f = fileFor(path)
-    if (Files.exists(f))
+    val legacy = legacyFor(path)
+    if (Files.exists(f)) {
+      // Finish an interrupted migration: a crash between put() and the
+      // legacy delete leaves both files, and all() would double-count.
+      if (Files.exists(legacy) &&
+          fromJson(new String(Files.readAllBytes(legacy), StandardCharsets.UTF_8)).path == path)
+        Files.deleteIfExists(legacy)
       Some(fromJson(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)))
-    else {
+    } else {
       // Pre-hash deployments named files "<sanitized>.json" (no digest).
       // Silently ignoring those would reset every committed watermark and
       // replay history, so migrate a matching legacy file in place. The
       // path check guards against a sanitize-collision sibling's file.
-      val legacy = root.resolve(path.replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
       if (!Files.exists(legacy)) None
       else {
         val item = fromJson(new String(Files.readAllBytes(legacy), StandardCharsets.UTF_8))
@@ -79,10 +92,19 @@ final class JsonFileStateStore(dir: String) extends StateStore {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  override def all: Seq[TableItem] =
-    Files.list(root).iterator().asScala
-      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
-      .map(p => fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+  override def all: Seq[TableItem] = {
+    val listing = Files.list(root) // close it: the stream holds a directory fd
+    val items =
+      try listing.iterator().asScala
+        .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+        .map(p => p -> fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+      finally listing.close()
+    // an interrupted migration can briefly leave a digest-named file AND
+    // its legacy twin: one item per table, the canonical (digest) file wins
+    items.groupBy(_._2.path).toSeq.sortBy(_._1).map { case (path, dupes) =>
+      dupes.find(_._1 == fileFor(path)).map(_._2).getOrElse(dupes.head._2)
+    }
+  }
 
   // --- flat string-JSON codec (state is a flat string map; no dep needed) ---
   private def esc(s: String): String =
@@ -113,8 +135,13 @@ final class JsonFileStateStore(dir: String) extends StateStore {
             case 'n' => sb.append('\n'); i += 2
             case 'r' => sb.append('\r'); i += 2
             case 't' => sb.append('\t'); i += 2
-            case 'u' =>
+            case 'u' if i + 6 <= x.length &&
+                x.substring(i + 2, i + 6).forall(c => Character.digit(c, 16) >= 0) =>
               sb.append(Integer.parseInt(x.substring(i + 2, i + 6), 16).toChar); i += 6
+            case 'u' =>
+              // truncated/malformed \u escape (hand-edited or torn file):
+              // keep it literally instead of crashing the whole store
+              sb.append("\\u"); i += 2
             case other => sb.append(other); i += 2
           }
         } else { sb.append(x(i)); i += 1 }

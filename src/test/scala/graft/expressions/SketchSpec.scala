@@ -28,16 +28,22 @@ class SketchSpec extends AnyFunSuite {
 
   test("rolling min-hash: naive recompute agrees with the rolling update") {
     val B = 257L; val M = 2147483647L
+    // naive reference over CODEPOINTS — the SQL mirror reads unicode(t[i])
     def naive(s: String, w0: Int): Long = {
-      if (s.isEmpty) return 0L
-      val w = math.min(w0, s.length)
-      (0 to s.length - w).map { i =>
-        s.substring(i, i + w).foldLeft(0L)((a, c) => (a * B + c.toLong) % M)
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) return 0L
+      val w = math.min(w0, cps.length)
+      (0 to cps.length - w).map { i =>
+        cps.slice(i, i + w).foldLeft(0L)((a, c) => (a * B + c.toLong) % M)
       }.min
     }
     val e = RollingMinHashExpr(org.apache.spark.sql.catalyst.expressions.Literal("x"), 16)
     for (s <- Seq("", "a", "short", "the quick brown fox jumps over the lazy dog",
-                  "aaaaaaaaaaaaaaaaaaaaaaaa", "abc" * 40)) {
+                  "aaaaaaaaaaaaaaaaaaaaaaaa", "abc" * 40,
+                  // non-BMP: astral chars are ONE codepoint (two UTF-16
+                  // units) — charAt-based hashing would diverge here
+                  "café 😀 naïve 😀😁 end",
+                  "😀")) {
       val got = e.compute(org.apache.spark.unsafe.types.UTF8String.fromString(s))
       assert(got == naive(s, 16), s"mismatch for '$s'")
     }

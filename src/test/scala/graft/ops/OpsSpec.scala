@@ -209,4 +209,13 @@ class OpsSpec extends SparkSpec {
     frames.foreach(r => assert(r.getAs[Long]("frame_offset") % 64 == 0))
     assert(frames.nonEmpty)
   }
+
+  test("frame sampling emits nothing for an empty payload") {
+    import spark.implicits._
+    val media = Seq((1L, Array.emptyByteArray), (2L, "abc".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(media, 64).collect()
+    assert(frames.map(_.getLong(0)).toSeq == Seq(2L),
+      "zero-byte payload must produce no frame offsets")
+  }
 }

@@ -59,6 +59,35 @@ class StateStoreSpec extends AnyFunSuite {
     assert(fresh.get("/raw/db/t").get.state.lastIncrementalFile == "/raw/db/t/42.parquet")
   }
 
+  test("interrupted migration (both files present) yields one item, then heals") {
+    val dir = Files.createTempDirectory("state")
+    val store = new JsonFileStateStore(dir.toString)
+    store.upsertDefaults("/raw/db/t")
+    // simulate the crash window: canonical file written, legacy not deleted
+    import scala.jdk.CollectionConverters._
+    val hashed = Files.list(dir).iterator().asScala.find(_.toString.endsWith(".json")).get
+    val legacy = dir.resolve("_raw_db_t.json")
+    Files.copy(hashed, legacy)
+    val fresh = new JsonFileStateStore(dir.toString)
+    assert(fresh.all.size == 1, "duplicate items for one table after torn migration")
+    fresh.get("/raw/db/t") // the read heals the leftover
+    assert(!Files.exists(legacy))
+  }
+
+  test("hostile state-file contents degrade gracefully") {
+    val dir = Files.createTempDirectory("state")
+    val store = new JsonFileStateStore(dir.toString)
+    // truncated unicode escape must not crash the parse (built by concat:
+    // a literal backslash-u in Scala source is itself an escape)
+    val torn = "{\"path\": \"/x\", \"lastFullLoadDate\": \"bad" + '\\' + "u00\"}"
+    Files.write(dir.resolve("bad-00000000.json"), torn.getBytes("UTF-8"))
+    assert(store.all.nonEmpty) // parses, escape kept literally
+    // very long table paths still map to a writable filename
+    val long = "/raw/" + ("deeply/nested/prefix/" * 20) + "schema/table"
+    store.upsertDefaults(long)
+    assert(store.get(long).exists(_.path == long))
+  }
+
   test("commit on unknown table is a no-op, not a crash") {
     val store = newStore
     store.commitFullLoad("/missing", "2026-01-01 00:00:00")
