@@ -220,6 +220,18 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(dec(col("l_quantity"), 2)).cast("double").as("qty"))),
 
+    // Explicit GROUPING SETS (the general form CUBE/ROLLUP specialize):
+    // one scan expands rows per set, one shuffle — at 100 TB this beats N
+    // separate GROUP BYs by N-1 scans.
+    "rel_grouping_sets" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"), 2)).cast("double").as("qty"))),
+
     // Navigation/distribution window functions (lead, first_value, ntile)
     // over a total per-customer order (o_orderkey breaks date ties).
     "rel_window_funcs" -> ((s, dir) => {
@@ -415,6 +427,12 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "rel_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
 
     "rel_window_funcs" ->
       """SELECT o_custkey, o_orderkey,

@@ -31,6 +31,23 @@ object TextQueries {
         .select("lang", "doc_id", "quality", "rn")
     }),
 
+    // Corpus-level vocabulary: top-20 word bigrams by frequency. Explode →
+    // partial agg (map-side combine eats per-doc duplicates) → top-N via
+    // TakeOrderedAndProject (per-partition heaps, no global sort) — the
+    // corpus-statistics shape that survives 100 TB. Full (n desc, bigram)
+    // tie-break keeps the cut boundary deterministic.
+    "text_top_ngrams" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{tokens, wordShingles}
+      import org.apache.spark.sql.functions._
+      docs(s, dir)
+        .select(tokens(col("text")).as("__toks"))
+        .select(explode(wordShingles(col("__toks"), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }),
+
     // Winnowing-style rolling fingerprint: min Rabin-Karp hash over 16-char
     // windows of the normalized text (partial-duplicate detection).
     "text_rolling_fingerprint" -> ((s, dir) => {
@@ -113,6 +130,16 @@ object TextQueries {
          |         list_reduce(list_slice(cs, i::INT, (i + w - 1)::INT),
          |           (a, c) -> (a * 257 + c) % 2147483647))) END AS rolling_fp
          |FROM codes""".stripMargin,
+
+    "text_top_ngrams" ->
+      s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
+         |bg AS (
+         |  SELECT unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+         |    ELSE list_transform(range(1, len(t)),
+         |           i -> array_to_string(list_slice(t, i::INT, i::INT+1), ' ')) END) AS bigram
+         |  FROM toks)
+         |SELECT bigram, count(*) AS n FROM bg
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
 
     "text_topk_quality" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
