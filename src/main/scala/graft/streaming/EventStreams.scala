@@ -154,6 +154,17 @@ object EventStreams {
         col("purchase_value"))
   }
 
+  /** Stream-static dimension enrichment: join the event stream against a
+    * BATCH dimension table (user → segment, product → category, …). The
+    * static side is planned per micro-batch as an ordinary broadcast hash
+    * join — no streaming state at all (nothing to watermark or evict), and
+    * a dimension refresh is picked up on the next batch when the static
+    * side is re-read (e.g. a parquet dir path). The canonical lookup shape
+    * at any scale: state cost zero, network cost one broadcast per batch. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String,
+                    joinType: String = "left"): DataFrame =
+    events.join(broadcast(dim), Seq(key), joinType)
+
   /** Adapt the raw events table (nanos `ts` LONG) to the typed stream. */
   def typedEvents(raw: DataFrame): Dataset[Event] = {
     import raw.sparkSession.implicits._

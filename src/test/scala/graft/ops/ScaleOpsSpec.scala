@@ -54,4 +54,17 @@ class ScaleOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE bt_orders")
     spark.sql("DROP TABLE bt_lineitem")
   }
+
+  test("grouping-sets query plans one Expand, top-ngrams plans TakeOrderedAndProject") {
+    val gs = graft.SparkEntry.queries("rel_grouping_sets")(spark, sf)
+    val gsPlan = gs.queryExecution.executedPlan.toString
+    // one scan expanded per grouping set — not N repeated aggregations
+    assert(gsPlan.contains("Expand"), s"expected Expand in:\n$gsPlan")
+
+    val tn = graft.SparkEntry.queries("text_top_ngrams")(spark, sf)
+    val tnPlan = tn.queryExecution.executedPlan.toString
+    // global top-N must be per-partition heaps, never a full global sort
+    assert(tnPlan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$tnPlan")
+  }
 }

@@ -106,6 +106,25 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val q = EventStreams.enrichWithDim(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    input.addData(Event(1, 1000L, 1L, "a", 1.0), Event(2, 2000L, 3L, "b", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(3, 3000L, 2L, "c", 3.0))
+    q.processAllAvailable()
+    val got = spark.table("enrich_out")
+      .select("event_id", "segment").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    // left join: unmatched user keeps the event with a null segment
+    assert(got == Map(1L -> "gold", 2L -> null, 3L -> "basic"))
+    q.stop()
+  }
+
   test("StreamMetrics accumulates batches, rows and state size from progress events") {
     implicit val sqlCtx = spark.sqlContext
     val metrics = new StreamMetrics
