@@ -265,6 +265,13 @@ object RelationalQueries {
         uniqueKeys = Seq(Seq("o_orderkey")))
     }),
 
+    // Column profiling: per-column null/distinct statistics in one agg
+    // pass (see [[graft.ops.Profile]]; exact distincts here for the
+    // oracle — the approx=true HLL path is the 100 TB shape).
+    "dq_profile_orders" -> ((s, dir) =>
+      graft.ops.Profile.profile(Tables(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
+
     // Distribution window functions: percent_rank / cume_dist over a
     // total per-status order (both are exact integer-ratio doubles —
     // rank arithmetic, engine-portable bit-for-bit).
@@ -458,6 +465,20 @@ object RelationalQueries {
         |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
         |  count(*) AS n
         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "dq_profile_orders" ->
+      """WITH w AS (
+        |  SELECT count(*) AS n,
+        |    count(*) - count(o_orderkey) AS null1, count(DISTINCT o_orderkey) AS dist1,
+        |    count(*) - count(o_custkey) AS null2, count(DISTINCT o_custkey) AS dist2,
+        |    count(*) - count(o_orderstatus) AS null3, count(DISTINCT o_orderstatus) AS dist3,
+        |    count(*) - count(o_totalprice) AS null4, count(DISTINCT o_totalprice) AS dist4
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS "column", n AS n_rows,
+        |       CAST(null1 AS BIGINT) AS n_nulls, CAST(dist1 AS BIGINT) AS n_distinct FROM w
+        |UNION ALL SELECT 'o_custkey', n, CAST(null2 AS BIGINT), CAST(dist2 AS BIGINT) FROM w
+        |UNION ALL SELECT 'o_orderstatus', n, CAST(null3 AS BIGINT), CAST(dist3 AS BIGINT) FROM w
+        |UNION ALL SELECT 'o_totalprice', n, CAST(null4 AS BIGINT), CAST(dist4 AS BIGINT) FROM w""".stripMargin,
 
     "dq_orders_suite" ->
       """WITH w AS (
