@@ -272,6 +272,14 @@ object RelationalQueries {
       graft.ops.Profile.profile(Tables(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
 
+    // Z-order (Morton) values for two-dimensional clustering (see
+    // [[graft.ops.ZOrder]] — the layout pass that makes parquet min/max
+    // prune on BOTH keys). The value function is the oracle-checked part;
+    // the repartitionByRange layout is pinned by ZOrderSpec.
+    "rel_zorder_value" -> ((s, dir) =>
+      Tables(s, dir, "orders").select(col("o_orderkey"),
+        graft.ops.ZOrder.zValue(col("o_custkey"), col("o_orderkey")).as("z"))),
+
     // Distribution window functions: percent_rank / cume_dist over a
     // total per-status order (both are exact integer-ratio doubles —
     // rank arithmetic, engine-portable bit-for-bit).
@@ -465,6 +473,17 @@ object RelationalQueries {
         |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
         |  count(*) AS n
         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "rel_zorder_value" ->
+      """WITH s AS (
+        |  SELECT o_orderkey,
+        |         o_custkey & 65535 AS a, o_orderkey & 65535 AS b
+        |  FROM orders),
+        |m1 AS (SELECT o_orderkey, (a | (a << 8)) & 16711935 AS a, (b | (b << 8)) & 16711935 AS b FROM s),
+        |m2 AS (SELECT o_orderkey, (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b FROM m1),
+        |m3 AS (SELECT o_orderkey, (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b FROM m2),
+        |m4 AS (SELECT o_orderkey, (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b FROM m3)
+        |SELECT o_orderkey, CAST(a | (b << 1) AS BIGINT) AS z FROM m4""".stripMargin,
 
     "dq_profile_orders" ->
       """WITH w AS (
