@@ -102,6 +102,29 @@ object CdcQueries {
       target(s, dir).join(changes(s, dir).select("o_orderkey").distinct(),
         Seq("o_orderkey"), "left_semi").select("o_orderkey")),
 
+    // Merge-maintained aggregate (see [[graft.ops.IncrementalAgg]]): the
+    // per-customer rollup refreshed by recomputing ONLY groups the batch
+    // touched, spliced into the pre-merge aggregate state. The oracle is
+    // the FULL recompute over the merged table — so a hash match proves
+    // incremental maintenance ≡ recompute-from-scratch on this fixture.
+    "cdc_incr_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val tgt = target(s, dir)
+      val chg = changes(s, dir)
+      val merged = Merge.mergeCdc(tgt, chg, Seq("o_orderkey"), Nil)
+      val aggs = Seq(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total_price"))
+      val prevAgg = tgt.groupBy("o_custkey").agg(aggs.head, aggs.tail: _*)
+      // groups that can change: owners of updated/deleted rows (old side)
+      // plus receivers of inserted/updated rows (change side)
+      val changedGroups = tgt
+        .join(chg.select("o_orderkey").distinct(), Seq("o_orderkey"), "left_semi")
+        .select("o_custkey")
+        .unionByName(chg.select("o_custkey"))
+      graft.ops.IncrementalAgg.refresh(merged, prevAgg, changedGroups,
+        Seq("o_custkey"), aggs)
+    }),
+
     // U1 schema evolution: changes carry a new column; merged target rows
     // null-fill it (reference CHANGELOG 1.1.0 behavior).
     "cdc_schema_evolution" -> ((s, dir) => {
@@ -136,6 +159,20 @@ object CdcQueries {
       s"""$fixtureSql
          |SELECT o_orderkey FROM target
          |WHERE o_orderkey IN (SELECT o_orderkey FROM changes)""".stripMargin,
+
+    "cdc_incr_agg" ->
+      s"""$fixtureSql,
+         | unioned AS (
+         |  SELECT * FROM changes UNION ALL SELECT * FROM target
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq DESC) AS rn
+         |  FROM unioned
+         |), merged AS (
+         |  SELECT $orderColsSql FROM ranked WHERE rn = 1 AND "Op" <> 'D'
+         |)
+         |SELECT o_custkey, count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         |FROM merged GROUP BY o_custkey""".stripMargin,
 
     "cdc_schema_evolution" ->
       s"""$fixtureSql,
