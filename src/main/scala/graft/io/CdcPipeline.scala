@@ -151,6 +151,10 @@ object CdcPipeline {
         CowWriter.appendMerged(output, outPath, cfg.partitionKeys)
         // C6: copy-on-write — drop the superseded files.
         CowWriter.deleteFiles(impacted, spark.sparkContext.hadoopConfiguration)
+        // The write refreshed cached listings for the path, but the deletes
+        // after it did not: a reader planned from the stale cache would hit
+        // FILE_NOT_EXIST on the dropped files. Invalidate once, here.
+        spark.catalog.refreshByPath(outPath)
         MergeStats(n, impacted, insertOnly = false)
       } finally output.unpersist()
     }
