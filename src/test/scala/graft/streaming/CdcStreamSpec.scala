@@ -140,6 +140,33 @@ class CdcStreamSpec extends SparkSpec {
     assert(got == Set((10L, 2L, 16L), (30L, 1L, 2L))) // grp 20 fully deleted
   }
 
+  test("restart picks up evolved CDC schema; earlier rows null-fill the new column") {
+    val raw = Files.createTempDirectory("rawE").toString + "/db/t"
+    val lake = Files.createTempDirectory("lakeE").toString + "/db/t"
+    val ckpt = Files.createTempDirectory("ckptE").toString
+    val cfg = TableConfig(Seq("id"), Nil, active = true)
+    writeFile((1 to 4).map(i => ("I", i, s"v$i")).toDF("Op", "id", "v"),
+      raw, "20260812-000001.parquet")
+    val q = CdcStream.start(spark, raw, lake, cfg, ckpt, Trigger.AvailableNow())
+    q.awaitTermination()
+    assert(!spark.read.parquet(lake).columns.contains("note"))
+
+    // the source evolves: a later CDC file carries a new column. The file
+    // stream's schema is fixed per run, so the NEW run's inferred schema
+    // (merged across CDC footers under the 2* glob) must include it, and
+    // the checkpoint must hand the new run only the new file.
+    writeFile(Seq(("U", 2, "v2b", "gift"), ("I", 5, "v5", "rush"))
+      .toDF("Op", "id", "v", "note"), raw, "20260812-000002.parquet")
+    val q2 = CdcStream.start(spark, raw, lake, cfg, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination()
+    val back = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert(back.count() == 5)
+    assert(back.filter($"id" === 2).head().getAs[String]("note") == "gift")
+    assert(back.filter($"id" === 5).head().getAs[String]("note") == "rush")
+    // bystander rows read as null for the evolved column (U1 semantics)
+    assert(back.filter($"id" === 1).head().getAs[String]("note") == null)
+  }
+
   test("streaming CDC: AvailableNow catch-up merges files in commit order, checkpoint resumes") {
     val raw = Files.createTempDirectory("rawS").toString + "/db/t"
     val lake = Files.createTempDirectory("lakeS").toString + "/db/t"
