@@ -29,10 +29,18 @@ object IncrementalAgg {
   def refresh(mergedTarget: DataFrame, prevAgg: DataFrame, changedGroups: DataFrame,
               groupKeys: Seq[String], aggs: Seq[Column]): DataFrame = {
     require(aggs.nonEmpty, "need at least one aggregate")
-    val cg = changedGroups.select(groupKeys.map(col): _*).distinct()
-    val recomputed = mergedTarget.join(broadcast(cg), groupKeys, "left_semi")
+    val cg = changedGroups.select(groupKeys.map(col): _*).distinct().alias("__cg")
+    // Null-safe (<=>): a null group key is a real aggregate group, and a
+    // plain equi-join would neither recompute nor evict it. No broadcast
+    // hint — the changed set is batch-driven and unbounded (a backfill can
+    // touch millions of groups); AQE picks broadcast when it fits.
+    def touched(df: DataFrame, alias: String, joinType: String) = {
+      val cond = groupKeys.map(k => col(s"$alias.$k") <=> col(s"__cg.$k")).reduce(_ && _)
+      df.alias(alias).join(cg, cond, joinType)
+    }
+    val recomputed = touched(mergedTarget, "__t", "left_semi")
       .groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val kept = prevAgg.join(broadcast(cg), groupKeys, "left_anti")
+    val kept = touched(prevAgg, "__p", "left_anti")
     kept.unionByName(recomputed)
   }
 }

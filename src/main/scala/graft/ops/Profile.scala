@@ -23,7 +23,9 @@ object Profile {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null$i"),
+        // count(when(...)) not sum(when(...)): sum over ZERO rows is null,
+        // and an empty table must profile as 0 nulls, not null nulls
+        count(when(col(c).isNull, lit(1))).as(s"__null$i"),
         (if (approx) approx_count_distinct(col(c)) else count_distinct(col(c)))
           .as(s"__dist$i"))
     }

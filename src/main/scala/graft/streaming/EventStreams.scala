@@ -79,6 +79,17 @@ object EventStreams {
             val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
             val closed = Seq.newBuilder[Session]
             var open = state.getOption
+            // Stragglers older than the open session by more than the gap
+            // belong to sessions that already closed. They still obey the
+            // gap rule among THEMSELVES (two stragglers 0.5s apart are one
+            // session), so accumulate them separately and flush at batch
+            // end; they never enter persistent state (their deadline is
+            // already past).
+            var straggler: Option[OpenSession] = None
+            def emitStraggler(): Unit = straggler.foreach { st =>
+              closed += Session(userId, st.start_us, st.last_us, st.n, st.total)
+              straggler = None
+            }
             sorted.foreach { e =>
               open match {
                 // A late-but-in-watermark event can arrive BEHIND the open
@@ -90,10 +101,16 @@ object EventStreams {
                   open = Some(OpenSession(math.min(s.start_us, e.ts_us),
                     math.max(s.last_us, e.ts_us), s.n + 1, s.total + e.value))
                 case Some(s) if e.ts_us < s.start_us - gapUs =>
-                  // straggler older than the open session by more than the
-                  // gap: it belongs to a session that already closed — emit
-                  // it as its own closed session, keep the open one intact
-                  closed += Session(userId, e.ts_us, e.ts_us, 1, e.value)
+                  straggler match {
+                    case Some(st) if e.ts_us - st.last_us <= gapUs =>
+                      straggler = Some(OpenSession(st.start_us,
+                        math.max(st.last_us, e.ts_us), st.n + 1, st.total + e.value))
+                    case Some(_) =>
+                      emitStraggler()
+                      straggler = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+                    case None =>
+                      straggler = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+                  }
                 case Some(s) =>
                   closed += Session(userId, s.start_us, s.last_us, s.n, s.total)
                   open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
@@ -101,6 +118,7 @@ object EventStreams {
                   open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
               }
             }
+            emitStraggler()
             open.foreach { s =>
               state.update(s)
               // Close when event time passes the gap; clamp above the

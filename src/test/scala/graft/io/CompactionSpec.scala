@@ -64,6 +64,19 @@ class CompactionSpec extends SparkSpec {
     assert(back.filter($"id" === 999).head().getAs[String]("v") == "late")
   }
 
+  test("an append that recreates the table dir mid-swap is absorbed, not stranded") {
+    val lake = Files.createTempDirectory("lake").toString + "/db/t"
+    writeFile((1 to 10).map(i => ("I", i, s"v$i")).toDF("Op", "id", "v"), lake, "base.parquet")
+    // the racer lands BETWEEN the two swap renames: the table dir was just
+    // moved aside, and the append recreates it — promotion must absorb it
+    val stats = Compaction.compact(spark, lake, Seq("id"), afterMoveAside = () =>
+      writeFile(Seq(("I", 888, "mid")).toDF("Op", "id", "v"), lake, "midswap.parquet"))
+    assert(stats.rows == 10)
+    val back = spark.read.parquet(lake)
+    assert(back.count() == 11, "mid-swap append was lost")
+    assert(back.filter($"id" === 888).head().getAs[String]("v") == "mid")
+  }
+
   test("compaction splits oversized tables into bounded files; merge still works after") {
     val lake = Files.createTempDirectory("lake").toString + "/db/t"
     val raw = Files.createTempDirectory("raw").toString + "/db/t"

@@ -37,4 +37,18 @@ class IncrementalAggSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(got == expected)
   }
+
+  test("the null group recomputes and evicts like any other group") {
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("v").cast("long")).as("sum_v"))
+    def grp(x: java.lang.Long, v: Int) = (x, v)
+    val before = Seq(grp(1L, 10), grp(null, 5), grp(null, 6)).toDF("grp", "v")
+    val prevAgg = before.groupBy("grp").agg(aggs.head, aggs.tail: _*)
+    // the merge deleted one null-group row; the null group MUST recompute
+    val after = Seq(grp(1L, 10), grp(null, 5)).toDF("grp", "v")
+    val changed = Seq(Option.empty[Long]).toDF("grp")
+    val got = IncrementalAgg.refresh(after, prevAgg, changed, Seq("grp"), aggs)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 10L), (-1L, 1L, 5L)),
+      "null group kept a stale aggregate")
+  }
 }

@@ -106,6 +106,26 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sessionize: stragglers within a gap of each other form one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val B = 3600000000L
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapUs = 1000000L) // 1s gap, 10s watermark
+    val q = sessions.writeStream.format("memory").queryName("sess_strag_out")
+      .outputMode("append").start()
+    // open session far ahead at B+8s
+    input.addData(Event(1, B + 8000000L, 1L, "a", 1.0))
+    q.processAllAvailable()
+    // two late events 0.5s apart, both >1 gap older than the open session:
+    // they belong together — ONE straggler session, not two singletons
+    input.addData(Event(2, B + 1000000L, 1L, "a", 2.0), Event(3, B + 1500000L, 1L, "a", 3.0))
+    q.processAllAvailable()
+    val strag = spark.table("sess_strag_out").as[Session].collect()
+    assert(strag.toSeq == Seq(Session(1L, B + 1000000L, B + 1500000L, 2, 5.0)),
+      s"stragglers mis-grouped: ${strag.toSeq}")
+    q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dimension") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
