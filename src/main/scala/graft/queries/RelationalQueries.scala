@@ -243,6 +243,20 @@ object RelationalQueries {
         ntile(4).over(w).cast("long").as("quartile"))
     }),
 
+    // RANGE-frame window (value-based, not row-based): 30-day trailing
+    // spend per customer. A RANGE frame includes ALL peers at equal order
+    // values, so the result is deterministic under ties where a rows-frame
+    // would not be; physically still one per-customer shuffle + linear
+    // sliding-frame pass.
+    "rel_window_range_frame" -> ((s, dir) => {
+      val days = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy("o_custkey").orderBy(days).rangeBetween(-30, 0)
+      Tables(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"), 2)).over(w).cast("double").as("sum_30d"),
+        count(lit(1)).over(w).cast("long").as("n_30d"))
+    }),
+
     // Global top-N: ORDER BY + LIMIT plans as TakeOrderedAndProject —
     // per-partition heaps of N rows, no global sort, no full-data
     // exchange (the only global-ordering shape that survives 100 TB).
@@ -473,6 +487,15 @@ object RelationalQueries {
         |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
         |  count(*) AS n
         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "rel_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30d,
+        |  count(*) OVER w AS n_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "rel_zorder_value" ->
       """WITH s AS (
