@@ -97,6 +97,28 @@ object TextQueries {
           count(lit(1)).as("n"))
     }),
 
+    // Sequence packing for training-batch construction: assign documents
+    // to context-budget packs (2048 tokens) via prefix-sum binning —
+    // pack_id = floor(tokens-before-me / budget) over a deterministic
+    // per-language order. One window pass over one per-lang shuffle; the
+    // classic sequential first-fit packer is O(n) single-threaded, this
+    // scales as an ordinary running sum and over-fills each pack by at
+    // most one document (the standard streaming-packing relaxation).
+    "text_pack_sequences" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      import org.apache.spark.sql.functions._
+      val budget = 2048L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("n_tokens", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("__cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr(s"(__cum - n_tokens) div $budget").as("pack_id"))
+    }),
+
     // Fixed-width document-length histogram (100-char buckets).
     "text_length_hist" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -130,6 +152,16 @@ object TextQueries {
          |         list_reduce(list_slice(cs, i::INT, (i + w - 1)::INT),
          |           (a, c) -> (a * 257 + c) % 2147483647))) END AS rolling_fp
          |FROM codes""".stripMargin,
+
+    "text_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, len($toksSql)::BIGINT AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 2048 AS pack_id FROM c""".stripMargin,
 
     "text_top_ngrams" ->
       s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
