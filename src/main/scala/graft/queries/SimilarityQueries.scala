@@ -85,6 +85,12 @@ object SimilarityQueries {
     // dot): norm via the native sequential-fold dot, then one exact IEEE
     // division per element. `l2` is bound as an attribute before the
     // transform lambda (inlining rule — else the fold re-runs per dim).
+    // The unit vector itself is digested to scalar folds (sum/min/max and
+    // its self-dot) for the comparison: the harness hashes flat columns
+    // and cannot sort/hash a raw array<double> column. Every digest is a
+    // sequential fold over IEEE-identical doubles, so it is bit-exact on
+    // both engines — four digests over 64 dims pin the array far tighter
+    // than a lossy stringification would.
     "sim_normalize" -> ((s, dir) => {
       import graft.functions.VectorFunctions.{dot, toDouble}
       emb(s, dir)
@@ -94,6 +100,13 @@ object SimilarityQueries {
           when(col("l2") === 0.0, toDouble(col("embedding")))
             .otherwise(transform(col("embedding"), x => x.cast("double") / col("l2")))
             .as("unit"))
+        .select(col("vec_id"), col("l2"),
+          aggregate(col("unit"), lit(0.0), (a, x) => a + x).as("unit_sum"),
+          array_min(col("unit")).as("unit_min"),
+          array_max(col("unit")).as("unit_max"),
+          // native DotProductExpr reads float arrays; `unit` is
+          // array<double>, so fold explicitly (sequential, bit-exact)
+          aggregate(col("unit"), lit(0.0), (a, x) => a + x * x).as("unit_dot"))
     })
   )
 
@@ -199,13 +212,20 @@ object SimilarityQueries {
          |FROM exploded GROUP BY cluster, dim""".stripMargin,
 
     "sim_normalize" ->
-      s"""SELECT vec_id,
-         |  sqrt(${dotSql("embedding", "embedding")}) AS l2,
-         |  CASE WHEN sqrt(${dotSql("embedding", "embedding")}) = 0
-         |       THEN list_transform(embedding, x -> x::DOUBLE)
-         |       ELSE list_transform(embedding,
-         |              x -> x::DOUBLE / sqrt(${dotSql("embedding", "embedding")})) END AS unit
-         |FROM embeddings""".stripMargin,
+      s"""WITH u AS (
+         |  SELECT vec_id,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS l2,
+         |    CASE WHEN sqrt(${dotSql("embedding", "embedding")}) = 0
+         |         THEN list_transform(embedding, x -> x::DOUBLE)
+         |         ELSE list_transform(embedding,
+         |                x -> x::DOUBLE / sqrt(${dotSql("embedding", "embedding")})) END AS unit
+         |  FROM embeddings)
+         |SELECT vec_id, l2,
+         |  list_sum(unit) AS unit_sum,
+         |  list_min(unit) AS unit_min,
+         |  list_max(unit) AS unit_max,
+         |  list_sum(list_transform(unit, x -> x * x)) AS unit_dot
+         |FROM u""".stripMargin,
 
     "sim_near_dup" ->
       s"""WITH b0 AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),

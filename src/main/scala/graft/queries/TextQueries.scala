@@ -161,7 +161,8 @@ object TextQueries {
          |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id
          |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM t)
-         |SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 2048 AS pack_id FROM c""".stripMargin,
+         |SELECT doc_id, lang, n_tokens,
+         |       ((cum - n_tokens) // 2048)::BIGINT AS pack_id FROM c""".stripMargin,
 
     "text_top_ngrams" ->
       s"""WITH toks AS (SELECT $toksSql AS t FROM documents),

@@ -11,6 +11,7 @@ seconds — the oracle SQL mirrors the algorithms for verifiability, not
 speed."""
 import json, math, os, subprocess, sys, tempfile, glob
 import duckdb
+import numpy as np
 import pandas as pd
 
 def normalize(df):
@@ -27,6 +28,19 @@ def compare(name, spark_df, duck_df):
         return f"SCHEMA: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
     if len(spark_df) != len(duck_df):
         return f"ROWS: spark={len(spark_df)} duck={len(duck_df)}"
+    # Driver-faithful strictness the value compare below would mask:
+    # (a) int-vs-float dtype drift (e.g. DuckDB HUGEINT sums → float64)
+    #     hash-mismatches on the driver even when values are equal;
+    # (b) array-valued columns crash the driver's lexsort outright.
+    for c in spark_df.columns:
+        sk, dk = spark_df[c].dtype.kind, duck_df[c].dtype.kind
+        if {sk, dk} <= {'i', 'u', 'f'} and ('f' in (sk, dk)) and sk != dk:
+            return f"DTYPE col={c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype} (driver hash would differ)"
+        for df, side in ((spark_df, 'spark'), (duck_df, 'duck')):
+            if df[c].dtype.kind == 'O' and len(df):
+                v = df[c].dropna()
+                if len(v) and isinstance(v.iloc[0], (list, tuple, np.ndarray)):
+                    return f"ARRAY col={c} ({side} side): driver cannot sort/hash array columns"
     a, b = normalize(spark_df), normalize(duck_df)
     for c in a.columns:
         av, bv = a[c], b[c]
