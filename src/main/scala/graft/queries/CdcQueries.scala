@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.cdc.{Merge, Op}
+import graft.cdc.{Merge, Op, Scd2, SnapshotDiff}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -125,6 +125,26 @@ object CdcQueries {
         Seq("o_custkey"), aggs)
     }),
 
+    // SCD Type-2 history: every version of every key with its validity
+    // interval — deletes close intervals without emitting rows (see
+    // [[graft.cdc.Scd2]]). Same single PK-hash exchange as the merge.
+    "cdc_scd2" -> ((s, dir) =>
+      Scd2.history(target(s, dir), changes(s, dir), Seq("o_orderkey"), Nil)
+        .select(col("o_orderkey"), col(Op.column), col("o_orderstatus"),
+          col("o_totalprice"), col("version"), col("valid_from_seq"),
+          col("valid_to_seq"), col("is_current"))),
+
+    // Snapshot diff: what did the batch do — added/removed/changed keys
+    // between the pre-merge target and the merged result (see
+    // [[graft.cdc.SnapshotDiff]]). Unchanged keys never leave the join.
+    "cdc_snapshot_diff" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+      val before = target(s, dir).select(cols.map(col): _*)
+      val after = Merge.mergeCdc(target(s, dir), changes(s, dir),
+        Seq("o_orderkey"), Nil).select(cols.map(col): _*)
+      SnapshotDiff.diff(before, after, Seq("o_orderkey"))
+    }),
+
     // U1 schema evolution: changes carry a new column; merged target rows
     // null-fill it (reference CHANGELOG 1.1.0 behavior).
     "cdc_schema_evolution" -> ((s, dir) => {
@@ -173,6 +193,49 @@ object CdcQueries {
          |SELECT o_custkey, count(*) AS n_orders,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          |FROM merged GROUP BY o_custkey""".stripMargin,
+
+    "cdc_scd2" ->
+      s"""$fixtureSql,
+         | sequenced AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq) AS rownum
+         |  FROM changes
+         |), unioned AS (
+         |  SELECT * FROM sequenced
+         |  UNION ALL SELECT *, 1 AS rownum FROM target
+         |), versioned AS (
+         |  SELECT o_orderkey, "Op", o_orderstatus, o_totalprice,
+         |    row_number() OVER w AS version,
+         |    file_seq AS valid_from_seq,
+         |    lead(file_seq) OVER w AS valid_to_seq
+         |  FROM unioned
+         |  WINDOW w AS (PARTITION BY o_orderkey ORDER BY file_seq, rownum)
+         |)
+         |SELECT o_orderkey, "Op", o_orderstatus, o_totalprice, version,
+         |       valid_from_seq, valid_to_seq, valid_to_seq IS NULL AS is_current
+         |FROM versioned WHERE "Op" <> 'D'""".stripMargin,
+
+    "cdc_snapshot_diff" ->
+      s"""$fixtureSql,
+         | unioned AS (
+         |  SELECT * FROM changes UNION ALL SELECT * FROM target
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq DESC) AS rn
+         |  FROM unioned
+         |), merged AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM ranked
+         |  WHERE rn = 1 AND "Op" <> 'D'
+         |), diffed AS (
+         |  SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+         |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
+         |         WHEN a.o_orderkey IS NULL THEN 'removed'
+         |         WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+         |              OR b.o_totalprice IS DISTINCT FROM a.o_totalprice THEN 'changed'
+         |    END AS change_type,
+         |    b.o_orderstatus AS old_o_orderstatus, a.o_orderstatus AS new_o_orderstatus,
+         |    b.o_totalprice AS old_o_totalprice, a.o_totalprice AS new_o_totalprice
+         |  FROM target b FULL OUTER JOIN merged a ON b.o_orderkey = a.o_orderkey
+         |)
+         |SELECT * FROM diffed WHERE change_type IS NOT NULL""".stripMargin,
 
     "cdc_schema_evolution" ->
       s"""$fixtureSql,

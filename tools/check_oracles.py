@@ -57,9 +57,11 @@ def compare(name, spark_df, duck_df):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="verify")
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     if not os.path.exists(os.path.join(out_dir, "oracle_sql.json")):
-        print(f"running graft.Verify {sf_dir} {out_dir} ...", flush=True)
-        r = subprocess.run(["sbt", f"runMain graft.Verify {sf_dir} {out_dir}"],
+        filt = f" {sys.argv[3]}" if only else ""
+        print(f"running graft.Verify {sf_dir} {out_dir}{filt} ...", flush=True)
+        r = subprocess.run(["sbt", f"runMain graft.Verify {sf_dir} {out_dir}{filt}"],
                            cwd="/root/repo", capture_output=True, text=True)
         if r.returncode != 0:
             print(r.stdout[-3000:]); print(r.stderr[-3000:]); sys.exit(1)
@@ -73,6 +75,8 @@ def main():
     n_ok = n_bad = 0
     results = {}
     for name in sorted(oracles):
+        if only and name not in only:
+            continue
         pq = os.path.join(out_dir, name)
         if not os.path.isdir(pq):
             print(f"  {name}: MISSING spark output"); n_bad += 1; continue
