@@ -1,0 +1,58 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-feed: the row-level audit log a lakehouse CDF endpoint
+  * emits — for every change row, its pre-image (the value the key held
+  * immediately before this operation) next to its post-image.
+  *
+  * Built from the same inputs as the merge (target state + sequenced
+  * change batch, reference DMSCDC_LoadIncremental.py:56-73): union the
+  * target as sequence 0, `lag()` each tracked column over the per-key
+  * commit order, and keep only the actual change rows. The pre-image of
+  * the first operation on a key is the target row (or NULL for inserts
+  * of brand-new keys); deletes carry their last-known values as the
+  * pre-image and NULL post-images.
+  *
+  * Scale: ONE shuffle on the PK hash — the identical exchange the merge
+  * itself needs (Catalyst reuses the window partitioning), then a
+  * per-key linear lag pass. No joins, no collect.
+  */
+object ChangeFeed {
+
+  /** @param target    current table state (no metadata columns)
+    * @param changes   change rows with `Op` and `file_seq` (>0)
+    * @param pks       primary-key columns (non-empty)
+    * @param trackCols data columns to emit pre/post images for
+    * @return one row per change operation: pks, `change_seq` (1-based
+    *         per-key operation index), `Op`, and `<c>_old` / `<c>_new`
+    *         per tracked column
+    */
+  def feed(target: DataFrame, changes: DataFrame, pks: Seq[String],
+           trackCols: Seq[String], intraFileOrder: Seq[Column] = Nil): DataFrame = {
+    require(pks.nonEmpty, "change feed requires primary keys")
+    val sequenced = Merge.sequenceBatch(changes, pks, intraFileOrder)
+    val taggedTarget = target
+      .withColumn(Merge.FileSeq, lit(0L))
+      .withColumn(Merge.RowNum, lit(1L))
+    val unioned = sequenced.unionByName(taggedTarget, allowMissingColumns = true)
+    val order = Seq(col(Merge.FileSeq), col(Merge.RowNum))
+    val w = Window.partitionBy(pks.map(col): _*).orderBy(order: _*)
+    // A key stops existing after a delete: the pre-image of whatever
+    // follows one (a re-insert) is NULL, not the deleted row's values.
+    val prevOp = lag(col(Op.column), 1).over(w)
+    val images = trackCols.flatMap { c =>
+      Seq(
+        when(prevOp.isNull || prevOp === Op.Delete, lit(null))
+          .otherwise(lag(col(c), 1).over(w)).as(s"${c}_old"),
+        when(col(Op.column) === Op.Delete, lit(null)).otherwise(col(c)).as(s"${c}_new"))
+    }
+    unioned
+      .select(pks.map(col) ++ Seq(col(Merge.RowNum).cast("long").as("change_seq"),
+        col(Merge.FileSeq), col(Op.column)) ++ images: _*)
+      .where(col(Merge.FileSeq) > 0L)
+      .drop(Merge.FileSeq)
+  }
+}

@@ -264,6 +264,78 @@ case class RollingMinHashExpr(child: Expression, window: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, MOSS): Rabin-Karp
+  * hashes of every `k`-codepoint window (same base-257 mod 2^31−1 rolling
+  * hash as [[RollingMinHashExpr]]), then the minimum over each run of `w`
+  * consecutive window hashes, distinct + sorted. Guarantee: two documents
+  * sharing any substring of length ≥ k + w − 1 share a fingerprint, and
+  * the set size is ~n/w — the index stays a constant fraction of the
+  * corpus. Sliding minima via monotonic deque (O(n) per document).
+  *
+  * DuckDB mirror: per-window hashes via list_reduce over codepoint
+  * slices, minima via list_min over list_slice, then
+  * list_sort(list_distinct(...)) — O(n·k + n·w) interpreted but value-
+  * identical (all arithmetic is exact modular integer math). */
+case class WinnowSetExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private val B = 257L
+  private val M = 2147483647L // 2^31 - 1
+
+  def compute(input: Object): GenericArrayData =
+    nullSafeEval(input).asInstanceOf[GenericArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowSet", this, classOf[WinnowSetExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val cps = input.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val kk = math.min(k, n)
+    // window hashes h(0..m-1), m = n - kk + 1
+    val m = n - kk + 1
+    val hs = new Array[Long](m)
+    var bw = 1L
+    var t = 0
+    while (t < kk - 1) { bw = (bw * B) % M; t += 1 }
+    var h = 0L
+    var i = 0
+    while (i < kk) { h = (h * B + cps(i).toLong) % M; i += 1 }
+    hs(0) = h
+    while (i < n) {
+      h = (h - (cps(i - kk).toLong * bw) % M + M) % M
+      h = (h * B + cps(i).toLong) % M
+      hs(i - kk + 1) = h
+      i += 1
+    }
+    // sliding min over w consecutive hashes (monotonic deque)
+    val ww = math.min(w, m)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0 // deque[head until tail) holds candidate indices
+    var j = 0
+    while (j < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(j)) tail -= 1
+      deque(tail) = j; tail += 1
+      if (deque(head) <= j - ww) head += 1
+      if (j >= ww - 1) out.add(hs(deque(head)))
+      j += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var x = 0
+    while (it.hasNext) { arr(x) = it.next(); x += 1 }
+    new GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Stopword-hit counts per language: array<long> in the declared language
   * order — one tokenization pass instead of one interpreted
   * filter/array_contains pipeline per language. */
@@ -313,4 +385,6 @@ object TextSketches {
     GraftColumnShim.column(LangHitsExpr(expr(text), langWords))
   def rollingMinHash(text: Column, window: Int): Column =
     GraftColumnShim.column(RollingMinHashExpr(expr(text), window))
+  def winnowSet(text: Column, k: Int, w: Int): Column =
+    GraftColumnShim.column(WinnowSetExpr(expr(text), k, w))
 }

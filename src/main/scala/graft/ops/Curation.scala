@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data assembly: domain-mixture
+  * sampling to a token budget, deterministic global shuffle + sharding,
+  * and an n-gram-LM fluency score.
+  *
+  * Scale design:
+  *  - [[domainMix]]: one shuffle partitioned by source domain, a running
+  *    sum per domain, and a filter — no collect, no per-domain jobs. The
+  *    per-domain window is the only serial dimension; domains are
+  *    processed in parallel and rows within a domain stream through a
+  *    single running-sum pass (same shape as text_pack_sequences).
+  *  - [[shuffleShard]]: per-row hash (no data movement to DECIDE the
+  *    shard) + one window per shard for positions. Writing the result
+  *    `partitionBy(shard)` gives the training-reader layout directly.
+  *  - [[bigramLmScore]]: two corpus-level aggregations (bigram counts,
+  *    context counts) joined back on the exploded bigram stream — three
+  *    key-hash shuffles total, all partial-aggregated map-side. No
+  *    broadcast of the vocabulary: at 100 TB the bigram table is huge,
+  *    so the join must be a shuffle hash join, and it is.
+  */
+object Curation {
+
+  /** Deterministic per-id shuffle key, identical in the DuckDB oracle:
+    * hash60 of "seed:id". */
+  private def shuffleKey(idCol: String, seed: String) =
+    hash60(concat(lit(seed + ":"), col(idCol).cast("string")))
+
+  /** Domain-mixture sampling: keep documents per source domain, in a
+    * deterministic pseudo-random order, until that domain's share of the
+    * total token budget is exhausted (classic data-mixture construction:
+    * "α_web of the tokens from web, α_code from code, ...").
+    *
+    * A domain missing from `weights` gets budget 0 (dropped). Each domain
+    * may overshoot its budget by at most the final document (streaming-
+    * packing relaxation — the same contract as text_pack_sequences).
+    *
+    * Output: (source, id, n_tokens, cum_tokens) for kept documents.
+    */
+  def domainMix(docs: DataFrame, idCol: String, textCol: String,
+                sourceCol: String, weights: Map[String, Double],
+                totalTokenBudget: Long, seed: String = "mix"): DataFrame = {
+    val budgets = weights.map { case (s, w) => s -> (w * totalTokenBudget).toLong }
+    val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
+      when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(col("__key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(sourceCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        shuffleKey(idCol, seed).as("__key"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") - col("n_tokens") < budgetCol)
+      .select(col(sourceCol), col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Deterministic global shuffle for training-data layout: every row
+    * gets a reproducible pseudo-random 60-bit key, a shard assignment
+    * (`key mod numShards`), and its position within the shard in key
+    * order. Seeded → re-runs produce the identical byte layout, and a
+    * different seed reshuffles without touching the data.
+    *
+    * Output: (id, shard, pos). Downstream writes
+    * `.repartition(col("shard")).sortWithinPartitions("pos")` +
+    * `partitionBy("shard")` for the reader layout.
+    */
+  def shuffleShard(docs: DataFrame, idCol: String, numShards: Int,
+                   seed: String = "shuffle"): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("__key"), col(idCol))
+    docs
+      .select(col(idCol), shuffleKey(idCol, seed).as("__key"))
+      .withColumn("shard", pmod(col("__key"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Bigram-LM fluency score: the mean add-one-smoothed conditional
+    * probability of each document's bigrams under a language model fit on
+    * the corpus itself — P(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V), where
+    * c(w1·) counts bigram contexts and V is the corpus vocabulary size.
+    *
+    * Deliberately LOG-FREE (arithmetic mean of probabilities, not mean
+    * log-prob): libm log() is not bit-portable across engines, while
+    * IEEE double division/addition is — the score is bit-identical in
+    * the DuckDB oracle. Monotonicity per document length class is
+    * preserved, which is what quality filtering consumes.
+    *
+    * The per-document mean folds probabilities in bigram-position order
+    * (sorted struct array), so partition order can't perturb the sum.
+    *
+    * Output: (id, n_bigrams, lm_score); documents with < 2 tokens score
+    * 0.0 with n_bigrams = 0.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toked = docs
+      .select(col(idCol), tokens(normalize(col(textCol))).as("__toks"))
+      .select(col(idCol),
+        when(size(col("__toks")) < 2, array())
+          .otherwise(wordShingles(col("__toks"), 2)).as("__bgs"))
+    val exploded = toked
+      .select(col(idCol), posexplode(col("__bgs")).as(Seq("pos", "bigram")))
+      .withColumn("ctx", split(col("bigram"), " ").getItem(0))
+
+    val bigramCounts = exploded.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val ctxCounts = exploded.groupBy("ctx").agg(count(lit(1)).as("c1"))
+    // Vocabulary size: distinct tokens over the corpus, as a 1-row frame
+    // broadcast onto the stream (a scalar, not a collect()).
+    val vocab = broadcast(
+      docs.select(explode(tokens(normalize(col(textCol)))).as("tok"))
+        .agg(count_distinct(col("tok")).as("v")))
+
+    val scored = exploded
+      .join(bigramCounts, "bigram")
+      .join(ctxCounts, "ctx")
+      .crossJoin(vocab)
+      .select(col(idCol), col("pos"),
+        ((col("c2") + lit(1L)).cast("double") /
+          (col("c1") + col("v")).cast("double")).as("p"))
+    val perDoc = scored
+      .groupBy(idCol)
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, s) => acc + s.getField("p")).as("__psum"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__psum") / col("n_bigrams").cast("double")).as("lm_score"))
+    // Re-attach empty documents (no bigrams → left anti of the scored set).
+    val empty = toked.where(size(col("__bgs")) === 0)
+      .select(col(idCol), lit(0L).as("n_bigrams"), lit(0.0).as("lm_score"))
+    perDoc.unionByName(empty)
+  }
+}

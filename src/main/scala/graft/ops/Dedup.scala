@@ -260,4 +260,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
   }
+
+  /** Winnowing fingerprints per document: (id, fp) exploded from the
+    * distinct sliding-min set of Rabin-Karp window hashes over the
+    * normalized text (see [[graft.expressions.WinnowSetExpr]]). Any
+    * shared substring of ≥ k + w − 1 codepoints guarantees a shared fp. */
+  def winnowed(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 16, w: Int = 8): DataFrame =
+    docs.select(col(idCol),
+      explode(TextSketches.winnowSet(normalize(col(textCol)), k, w)).as("fp"))
+
+  /** Exact-substring near-duplicate candidates (Lee et al.-style substring
+    * dedup, approximated by winnowing): documents sharing ≥ `minShared`
+    * winnow fingerprints, via an inverted fingerprint index.
+    *
+    * Scale shape: per-row sketching (no shuffle), ONE shuffle on fp for
+    * the inverted index, Σ posting² bounded by `maxPostings` — identical
+    * economics to [[lshCandidatePairs]]. Boilerplate fingerprints (page
+    * furniture shared by millions of documents) are dropped by the cap,
+    * the standard web-dedup tradeoff, and the cap is applied BEFORE the
+    * self-join so a hot fingerprint never materializes its quadratic
+    * bucket. */
+  def substringCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int = 16, w: Int = 8, minShared: Int = 2,
+                              maxPostings: Int = 200): DataFrame = {
+    val fps = winnowed(docs, idCol, textCol, k, w)
+      .localCheckpoint(true) // both self-join sides read the sketch table
+    val capped = fps.withColumn("posting_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .where(col("posting_n") <= maxPostings)
+    val a = capped.select(col("fp"), col(idCol).as("id_a"))
+    val b = capped.select(col("fp"), col(idCol).as("id_b"))
+    a.join(b, Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

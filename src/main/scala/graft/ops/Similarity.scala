@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -142,5 +142,51 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  /** Product-quantization code assignment: split each vector into `m`
+    * equal subvectors, assign each subvector to its nearest codebook
+    * entry by squared L2 (ties → lowest code), and pack the `m` codes
+    * into one BIGINT (code_i in base-256 digit i).
+    *
+    * `codebook` rows carry (cidCol ∈ [0, 256), vecCol full-width) — at
+    * scale it comes from sampled k-means, here from any deterministic
+    * vector subset. The codebook is collapsed to a single sorted
+    * array-of-structs row and broadcast, so assignment is PER-ROW Column
+    * math: zero corpus shuffle, zero explode — N·m·K distance folds
+    * stream through one projection (the minimal PQ-assign work).
+    *
+    * Squared-L2 folds accumulate left-to-right in double over fixed
+    * subvector order — bit-identical in the SQL mirror. */
+  def pqCodes(corpus: DataFrame, codebook: DataFrame, idCol: String,
+              vecCol: String, cidCol: String, m: Int): DataFrame = {
+    val cb = broadcast(codebook
+      .agg(array_sort(collect_list(struct(col(cidCol).as("cid"), col(vecCol).as("cvec"))))
+        .as("__cb")))
+    val dim = size(col(vecCol))
+    val sub = floor(dim / m).cast("int") // subvector width per row
+    def subDist(vec: Column, cvec: Column, i: Int) = {
+      // squared L2 over subspace i: fold over positions [i*sub+1, (i+1)*sub]
+      aggregate(
+        zip_with(slice(vec, lit(i) * sub + 1, sub), slice(cvec, lit(i) * sub + 1, sub),
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, d) => acc + d)
+    }
+    // Bind the per-subspace distance arrays as attributes BEFORE taking
+    // argmin: array_position + array_min would otherwise inline (and
+    // re-evaluate) the full distance transform twice per subspace.
+    val distCols = (0 until m).map(i =>
+      transform(col("__cb"), c => subDist(col(vecCol), c.getField("cvec"), i)).as(s"__d$i"))
+    // argmin = first index achieving the min — codebook sorted by cid,
+    // so ties resolve to the lowest code.
+    val codes = (0 until m).map(i =>
+      (array_position(col(s"__d$i"), array_min(col(s"__d$i"))) - 1L)
+        .cast("long").as(s"code$i"))
+    val packed = (0 until m).map(i => col(s"code$i") * lit(1L << (8 * i)))
+      .reduce(_ + _)
+    corpus.crossJoin(cb)
+      .select(col(idCol) +: distCols: _*)
+      .select(col(idCol) +: codes: _*)
+      .withColumn("pq_code", packed)
   }
 }

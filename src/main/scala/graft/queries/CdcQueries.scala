@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.cdc.{Merge, Op, Scd2, SnapshotDiff}
+import graft.cdc.{ChangeFeed, Merge, Op, Scd2, SnapshotDiff}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -145,6 +145,13 @@ object CdcQueries {
       SnapshotDiff.diff(before, after, Seq("o_orderkey"))
     }),
 
+    // Change-data-feed: per-operation pre/post images over the per-key
+    // commit order (see [[graft.cdc.ChangeFeed]]) — same single PK-hash
+    // exchange as the merge.
+    "cdc_change_feed" -> ((s, dir) =>
+      ChangeFeed.feed(target(s, dir), changes(s, dir), Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))),
+
     // U1 schema evolution: changes carry a new column; merged target rows
     // null-fill it (reference CHANGELOG 1.1.0 behavior).
     "cdc_schema_evolution" -> ((s, dir) => {
@@ -213,6 +220,32 @@ object CdcQueries {
          |SELECT o_orderkey, "Op", o_orderstatus, o_totalprice, version,
          |       valid_from_seq, valid_to_seq, valid_to_seq IS NULL AS is_current
          |FROM versioned WHERE "Op" <> 'D'""".stripMargin,
+
+    "cdc_change_feed" ->
+      s"""$fixtureSql,
+         | sequenced AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq) AS rownum
+         |  FROM changes
+         |), unioned AS (
+         |  SELECT * FROM sequenced
+         |  UNION ALL SELECT *, 1 AS rownum FROM target
+         |), lagged AS (
+         |  SELECT o_orderkey, rownum, file_seq, "Op",
+         |    lag("Op") OVER w AS prev_op,
+         |    lag(o_orderstatus) OVER w AS prev_status,
+         |    lag(o_totalprice) OVER w AS prev_price,
+         |    o_orderstatus, o_totalprice
+         |  FROM unioned
+         |  WINDOW w AS (PARTITION BY o_orderkey ORDER BY file_seq, rownum)
+         |)
+         |SELECT o_orderkey, rownum::BIGINT AS change_seq, "Op",
+         |  CASE WHEN prev_op IS NULL OR prev_op = 'D' THEN NULL
+         |       ELSE prev_status END AS o_orderstatus_old,
+         |  CASE WHEN "Op" = 'D' THEN NULL ELSE o_orderstatus END AS o_orderstatus_new,
+         |  CASE WHEN prev_op IS NULL OR prev_op = 'D' THEN NULL
+         |       ELSE prev_price END AS o_totalprice_old,
+         |  CASE WHEN "Op" = 'D' THEN NULL ELSE o_totalprice END AS o_totalprice_new
+         |FROM lagged WHERE file_seq > 0""".stripMargin,
 
     "cdc_snapshot_diff" ->
       s"""$fixtureSql,

@@ -117,7 +117,14 @@ object DedupQueries {
         .join(ng.select(col("doc_id").as("id_b"), col("ng").as("ng_b")), "id_b")
         .select(col("id_a"), col("id_b"),
           jaccardDistinct(col("ng_a"), col("ng_b")).as("jaccard"))
-    })
+    }),
+
+    // Exact-substring near-dup candidates via winnowing fingerprints
+    // (shared substrings of ≥ 16+8−1 = 23 normalized chars guarantee a
+    // shared fingerprint; inverted index capped at 200 postings/fp).
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringCandidatePairs(docs(s, dir), "doc_id", "text",
+        k = 16, w = 8, minShared = 2, maxPostings = 200))
   )
 
   /** Shared SQL fragments (DuckDB): tokenization, shingles, hash60. */
@@ -363,6 +370,40 @@ object DedupQueries {
          |  ${jaccardSql("a.s", "b.s")} AS jaccard
          |FROM lshcand c
          |JOIN sets a ON c.id_a = a.doc_id
-         |JOIN sets b ON c.id_b = b.doc_id""".stripMargin
+         |JOIN sets b ON c.id_b = b.doc_id""".stripMargin,
+
+    // Winnowing mirror: Rabin-Karp window hashes (base 257 mod 2^31−1,
+    // per codepoint, as text_rolling_fingerprint), sliding min over w=8
+    // consecutive hashes, distinct per doc → inverted index → capped
+    // self-join. All integer modular math — value-identical to the
+    // WinnowSetExpr native expression.
+    "dedup_substring" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+         |  FROM documents),
+         |cp AS (
+         |  SELECT doc_id, len(t) AS n, least(16, len(t)) AS kk,
+         |         list_transform(range(1, len(t)+1), i -> unicode(t[i::INT])::BIGINT) AS cs
+         |  FROM norm WHERE len(t) > 0),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, n - kk + 2), i ->
+         |      list_reduce(list_slice(cs, i::INT, (i + kk - 1)::INT),
+         |        (a, c) -> (a * 257 + c) % 2147483647)) AS h
+         |  FROM cp),
+         |wn AS (
+         |  SELECT doc_id, list_sort(list_distinct(
+         |    list_transform(range(1, len(h) - least(8, len(h)) + 2), j ->
+         |      list_min(list_slice(h, j::INT, (j + least(8, len(h)) - 1)::INT))))) AS fps
+         |  FROM hs),
+         |fpx AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+         |capped AS (
+         |  SELECT doc_id, fp FROM fpx
+         |  QUALIFY count(*) OVER (PARTITION BY fp) <= 200)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+         |FROM capped a JOIN capped b USING (fp)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2""".stripMargin
   )
 }

@@ -107,7 +107,18 @@ object SimilarityQueries {
           // native DotProductExpr reads float arrays; `unit` is
           // array<double>, so fold explicitly (sequential, bit-exact)
           aggregate(col("unit"), lit(0.0), (a, x) => a + x * x).as("unit_dot"))
-    })
+    }),
+
+    // Product quantization: 4 × 16-dim subspaces, 16-entry codebook
+    // (vectors 0-15 as deterministic stand-ins for k-means centers),
+    // codes packed into one BIGINT — the 64-byte→4-byte compression path
+    // for 100 TB embedding stores. Assignment is per-row Column math
+    // against a broadcast codebook: zero corpus shuffle.
+    "sim_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(emb(s, dir),
+        emb(s, dir).where(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("embedding")),
+        "vec_id", "embedding", "cid", m = 4))
   )
 
   /** Shared SQL: sequential-fold dot product and cosine over FLOAT[]. */
@@ -239,6 +250,33 @@ object SimilarityQueries {
          |         ${cosSql("p.embedding", "c.embedding")} AS cos
          |  FROM p JOIN b c USING (bucket)
          |  WHERE p.vec_id < c.vec_id)
-         |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin
+         |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
+
+    // PQ mirror: same 0.0-seeded left fold of squared diffs per subspace,
+    // first-min list_position for ties, base-256 packing.
+    "sim_pq_codes" -> {
+      def distSql(i: Int) =
+        s"""list_transform(cb, c -> list_reduce(list_prepend(0.0,
+           |    list_transform(range(0, 16), j ->
+           |      (embedding[(${i * 16} + j + 1)::INT]::DOUBLE
+           |         - struct_extract(c, 'cvec')[(${i * 16} + j + 1)::INT]::DOUBLE)
+           |      * (embedding[(${i * 16} + j + 1)::INT]::DOUBLE
+           |         - struct_extract(c, 'cvec')[(${i * 16} + j + 1)::INT]::DOUBLE))),
+           |  (a, x) -> a + x))""".stripMargin
+      s"""WITH cbl AS (
+         |  SELECT list(struct_pack(cid := vec_id, cvec := embedding) ORDER BY vec_id) AS cb
+         |  FROM embeddings WHERE vec_id < 16),
+         |d AS (
+         |  SELECT e.vec_id,
+         |    ${(0 until 4).map(i => s"${distSql(i)} AS d$i").mkString(",\n    ")}
+         |  FROM embeddings e CROSS JOIN cbl),
+         |codes AS (
+         |  SELECT vec_id,
+         |    ${(0 until 4).map(i => s"(list_position(d$i, list_min(d$i)) - 1)::BIGINT AS code$i").mkString(",\n    ")}
+         |  FROM d)
+         |SELECT vec_id, code0, code1, code2, code3,
+         |  (code0 + code1 * 256 + code2 * 65536 + code3 * 16777216)::BIGINT AS pq_code
+         |FROM codes""".stripMargin
+    }
   )
 }

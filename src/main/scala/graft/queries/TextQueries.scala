@@ -127,8 +127,33 @@ object TextQueries {
         .agg(count(lit(1)).as("n"),
           min(col("n_chars")).cast("long").as("min_chars"),
           max(col("n_chars")).cast("long").as("max_chars"))
-    })
+    }),
+
+    // Domain-mixture sampling: deterministic hash-ordered token budget
+    // per source (src0-9 weighted 1/16, src10+ 1/32 of an 8192-token
+    // budget — exactly-representable binary weights, so the
+    // weight×budget arithmetic can't drift between engines).
+    "text_domain_mix" -> ((s, dir) =>
+      graft.ops.Curation.domainMix(docs(s, dir), "doc_id", "text", "source",
+        DomainWeights, totalTokenBudget = 8192L, seed = "mix")),
+
+    // Deterministic training-data shuffle: reproducible 60-bit key →
+    // shard (mod 8) → position within shard.
+    "text_shuffle_shard" -> ((s, dir) =>
+      graft.ops.Curation.shuffleShard(docs(s, dir), "doc_id",
+        numShards = 8, seed = "shuffle")),
+
+    // Bigram-LM fluency: mean add-one-smoothed P(w2|w1) under a corpus
+    // model (log-free → bit-identical across engines).
+    "text_bigram_lm" -> ((s, dir) =>
+      graft.ops.Curation.bigramLmScore(docs(s, dir), "doc_id", "text"))
   )
+
+  /** Mixture weights for text_domain_mix: dyadic (exactly-representable)
+    * fractions so `(w * budget).toLong` is identical in any engine. */
+  private val DomainWeights: Map[String, Double] =
+    ((0 until 10).map(i => s"src$i" -> 0.0625) ++
+      (10 until 20).map(i => s"src$i" -> 0.03125)).toMap
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
   private def h60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
@@ -326,6 +351,56 @@ object TextQueries {
          |  CASE WHEN len(bigrams) = 0 THEN 0.0
          |       ELSE 1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams)::DOUBLE END
          |    AS repetition_ratio
-         |FROM bg""".stripMargin
+         |FROM bg""".stripMargin,
+
+    // budgets: 0.0625*8192 = 512 (src0-9), 0.03125*8192 = 256 (src10+);
+    // unknown sources → 0 (dropped) — mirrors Curation.domainMix exactly.
+    "text_domain_mix" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, len($toksSql)::BIGINT AS n_tokens,
+         |         ${h60("'mix:' || doc_id::VARCHAR")} AS key,
+         |         CASE WHEN source IN (${(0 until 10).map(i => s"'src$i'").mkString(",")}) THEN 512
+         |              WHEN source IN (${(10 until 20).map(i => s"'src$i'").mkString(",")}) THEN 256
+         |              ELSE 0 END AS budget
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM t)
+         |SELECT source, doc_id, n_tokens, cum_tokens::BIGINT AS cum_tokens
+         |FROM c WHERE cum_tokens - n_tokens < budget""".stripMargin,
+
+    "text_shuffle_shard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${h60("'shuffle:' || doc_id::VARCHAR")} AS key FROM documents)
+         |SELECT doc_id, (key % 8)::BIGINT AS shard,
+         |       row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)::BIGINT AS pos
+         |FROM t""".stripMargin,
+
+    "text_bigram_lm" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+         |  FROM documents),
+         |toks AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS tk FROM norm),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i ->
+         |    {'pos': i, 'bigram': tk[i::INT] || ' ' || tk[(i+1)::INT], 'ctx': tk[i::INT]})) AS s
+         |  FROM toks WHERE len(tk) >= 2),
+         |b AS (SELECT doc_id, s.pos AS pos, s.bigram AS bigram, s.ctx AS ctx FROM bg),
+         |c2 AS (SELECT bigram, count(*) AS c2 FROM b GROUP BY 1),
+         |c1 AS (SELECT ctx, count(*) AS c1 FROM b GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok)::BIGINT AS v
+         |      FROM (SELECT unnest(tk) AS tok FROM toks)),
+         |sc AS (
+         |  SELECT doc_id, pos, (c2 + 1)::DOUBLE / (c1 + v)::DOUBLE AS p
+         |  FROM b JOIN c2 USING (bigram) JOIN c1 USING (ctx) CROSS JOIN v),
+         |agg AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(0.0, list(p ORDER BY pos)), (a, x) -> a + x) AS psum,
+         |         count(*)::BIGINT AS n_bigrams
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, psum / n_bigrams AS lm_score FROM agg
+         |UNION ALL
+         |SELECT doc_id, 0::BIGINT, 0.0 FROM toks WHERE len(tk) < 2""".stripMargin
   )
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "web"),
+    (2L, "the quick brown fox jumps over the lazy dog", "web"),
+    (3L, "pack my box with five dozen liquor jugs", "web"),
+    (4L, "code code code", "code"),
+    (5L, "def main args unit", "code"),
+    (6L, "unweighted source text", "junk")
+  ).toDF("doc_id", "text", "source")
+
+  test("domainMix: respects per-source budgets, drops unweighted sources") {
+    val out = Curation.domainMix(docs, "doc_id", "text", "source",
+      Map("web" -> 0.5, "code" -> 0.5), totalTokenBudget = 16L)
+    val rows = out.collect()
+    // junk has no weight → excluded entirely
+    assert(!rows.exists(_.getAs[String]("source") == "junk"))
+    // every kept doc STARTED under its source budget (over-fill ≤ 1 doc)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens") < 8L)
+    }
+    // deterministic: same seed → same selection
+    val again = Curation.domainMix(docs, "doc_id", "text", "source",
+      Map("web" -> 0.5, "code" -> 0.5), totalTokenBudget = 16L).collect()
+    assert(rows.map(_.getLong(1)).sorted.sameElements(again.map(_.getLong(1)).sorted))
+  }
+
+  test("domainMix: budget large enough keeps everything weighted") {
+    val out = Curation.domainMix(docs, "doc_id", "text", "source",
+      Map("web" -> 0.5, "code" -> 0.5), totalTokenBudget = 1000L)
+    assert(out.count() == 5) // all but junk
+  }
+
+  test("shuffleShard: total order is a permutation, stable under re-run") {
+    val out = Curation.shuffleShard(docs, "doc_id", numShards = 3)
+    val rows = out.collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Long]("shard")).forall(s => s >= 0 && s < 3))
+    // positions are 1..count(shard) within each shard
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("pos")).sorted.sameElements(1L to rs.length))
+    }
+    val again = Curation.shuffleShard(docs, "doc_id", numShards = 3).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // a different seed produces a different layout (with 6 docs over
+    // 3 shards the probability of identical assignment is ~1/729)
+    val reseeded = Curation.shuffleShard(docs, "doc_id", numShards = 3, seed = "other").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet !=
+      reseeded.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("bigramLmScore: duplicate docs score identically; boilerplate beats noise") {
+    val out = Curation.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_bigrams"), r.getAs[Double]("lm_score"))).toMap
+    assert(out(1L) == out(2L)) // exact dup → identical score
+    // "code code code" repeats one bigram 2× (plus counts from doc 4 only)
+    // → its conditional probability dominates any unique bigram's
+    assert(out(4L)._2 > out(3L)._2)
+    assert(out.values.forall { case (n, p) => n == 0 || (p > 0.0 && p <= 1.0) })
+  }
+
+  test("bigramLmScore: sub-2-token docs emit n_bigrams=0, score 0") {
+    val tiny = Seq((1L, "word"), (2L, ""), (3L, "two tokens")).toDF("doc_id", "text")
+    val out = Curation.bigramLmScore(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_bigrams")).toMap
+    assert(out(1L) == 0L && out(2L) == 0L && out(3L) == 1L)
+  }
+}
