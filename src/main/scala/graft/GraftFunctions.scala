@@ -2,7 +2,7 @@ package graft
 
 import graft.expressions.{ByteFoldChecksumExpr, CosineSimilarityExpr, DotProductExpr,
   MinHashSignatureExpr, RollingMinHashExpr, ShingleMinHashExpr, SignBucketExpr,
-  SimHash32Expr, SimHash60Expr}
+  SimHash32Expr, SimHash60Expr, WinnowSetExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -63,6 +63,10 @@ object GraftFunctions {
     "graft_byte_checksum" -> { exprs =>
       require(exprs.length == 1, "graft_byte_checksum(payload)")
       ByteFoldChecksumExpr(exprs.head)
+    },
+    "graft_winnow_set" -> { exprs =>
+      require(exprs.length == 3, "graft_winnow_set(text, k, w)")
+      WinnowSetExpr(exprs.head, intArg(exprs(1), "k"), intArg(exprs(2), "w"))
     })
 
   /** Session-scoped registration. Idempotent. */

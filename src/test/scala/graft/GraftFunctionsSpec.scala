@@ -16,20 +16,23 @@ class GraftFunctionsSpec extends SparkSpec {
         |       graft_shingle_minhash(text, 2) AS ch,
         |       graft_simhash60(text) AS sh60,
         |       graft_rolling_minhash(text, 8) AS rmh,
-        |       graft_byte_checksum(CAST(text AS BINARY)) AS bck FROM t""".stripMargin).head()
+        |       graft_byte_checksum(CAST(text AS BINARY)) AS bck,
+        |       graft_winnow_set(text, 8, 4) AS ws FROM t""".stripMargin).head()
     val viaCol = df.select(
       TextSketches.simHash32($"text").as("sh"),
       TextSketches.minHashSignature($"text", 4, 2).as("sig"),
       TextSketches.shingleMinHash($"text", 2).as("ch"),
       TextSketches.simHash60($"text").as("sh60"),
       TextSketches.rollingMinHash($"text", 8).as("rmh"),
-      graft.expressions.MediaExpressions.byteFoldChecksum($"text".cast("binary")).as("bck")).head()
+      graft.expressions.MediaExpressions.byteFoldChecksum($"text".cast("binary")).as("bck"),
+      TextSketches.winnowSet($"text", 8, 4).as("ws")).head()
     assert(viaSql.getLong(0) == viaCol.getLong(0))
     assert(viaSql.getSeq[Long](1) == viaCol.getSeq[Long](1))
     assert(viaSql.getLong(2) == viaCol.getLong(2))
     assert(viaSql.getLong(3) == viaCol.getLong(3))
     assert(viaSql.getLong(4) == viaCol.getLong(4))
     assert(viaSql.get(5) == viaCol.get(5))
+    assert(viaSql.getSeq[Long](6) == viaCol.getSeq[Long](6))
   }
 
   test("non-literal k is rejected with a clear error") {
