@@ -33,7 +33,20 @@ object ChangeFeed {
   def feed(target: DataFrame, changes: DataFrame, pks: Seq[String],
            trackCols: Seq[String], intraFileOrder: Seq[Column] = Nil): DataFrame = {
     require(pks.nonEmpty, "change feed requires primary keys")
-    val sequenced = Merge.sequenceBatch(changes, pks, intraFileOrder)
+    feedSequenced(target, Merge.sequenceBatch(changes, pks, intraFileOrder), pks, trackCols)
+  }
+
+  /** [[feed]] over an already-sequenced batch (rows carry `file_seq` and
+    * `rownum`) — the entry point for pipelines that sequenced the batch
+    * for the merge anyway ([[graft.io.CdcPipeline]]): feed and merge then
+    * share one sequencing exchange.
+    *
+    * `target` may be restricted to the rows of impacted files: keys
+    * absent from the batch contribute no feed rows (the `file_seq > 0`
+    * filter drops them), so pre-images only need the impacted subset. */
+  def feedSequenced(target: DataFrame, sequenced: DataFrame, pks: Seq[String],
+                    trackCols: Seq[String]): DataFrame = {
+    require(pks.nonEmpty, "change feed requires primary keys")
     val taggedTarget = target
       .withColumn(Merge.FileSeq, lit(0L))
       .withColumn(Merge.RowNum, lit(1L))

@@ -30,6 +30,16 @@ object CdcPipeline {
 
   final case class MergeStats(rowsWritten: Long, impactedFiles: Seq[String], insertOnly: Boolean)
 
+  /** Optional change-data-feed sidecar for [[mergeTagged]]: per-operation
+    * pre/post image rows ([[graft.cdc.ChangeFeed]]) appended to `path`
+    * for the tracked columns. Written only on the PK merge path —
+    * insert-only loads (no PK, or first load) are snapshots, not change
+    * streams, and emit no feed. Delivery is at-least-once: a crash
+    * between the feed append and the checkpoint/state commit replays the
+    * batch, so consumers dedup on (pks, change_seq, batch marker). */
+  final case class ChangeFeedSink(path: String, trackCols: Seq[String],
+                                  batchTag: Option[Long] = None)
+
   /** Provenance columns a tagged change batch carries (stripped pre-write). */
   val SrcFile = "__src_file"
   val RowIdx = "__row_idx"
@@ -87,7 +97,8 @@ object CdcPipeline {
     * provenance. Shared by the batch path above and the Structured
     * Streaming `foreachBatch` path ([[graft.streaming.CdcStream]]). */
   private[graft] def mergeTagged(spark: SparkSession, tagged: DataFrame, outPath: String,
-                                 cfg: TableConfig): MergeStats = {
+                                 cfg: TableConfig,
+                                 changeFeed: Option[ChangeFeedSink] = None): MergeStats = {
     import spark.implicits._
 
     // Dense numeric file_seq from sorted names = the reference's
@@ -138,6 +149,18 @@ object CdcPipeline {
       val impactedRows = target
         .where(col(TgtFile).isin(impacted: _*))
         .drop(TgtFile)
+
+      // Change-feed sidecar: computed from the SAME sequenced batch and
+      // impacted rows the merge uses (keys outside the batch emit no feed
+      // rows, so the impacted subset is sufficient for pre-images), and
+      // written BEFORE the copy-on-write delete invalidates the target
+      // files it reads.
+      changeFeed.foreach { sink =>
+        val feed = graft.cdc.ChangeFeed.feedSequenced(
+          impactedRows, sequenced, pks, sink.trackCols)
+        val tagged = sink.batchTag.fold(feed)(id => feed.withColumn("batch_id", lit(id)))
+        tagged.write.mode("append").parquet(sink.path)
+      }
 
       // U1+W2+P4-P6: latest-wins merge of batch into impacted rows.
       val output = Merge.applySequenced(impactedRows, sequenced, pks)

@@ -57,6 +57,44 @@ object CdcStream {
       .start()
   }
 
+  /** [[start]] plus a change-data-feed sidecar: every micro-batch appends
+    * its per-operation pre/post image rows ([[graft.cdc.ChangeFeed]]) to
+    * `cdfPath`, tagged with the micro-batch id, before merging into the
+    * lake — the lakehouse "table_changes()" surface, maintained
+    * incrementally by the same stream that maintains the table.
+    *
+    * Delivery of the feed is at-least-once (a crash between the feed
+    * append and the checkpoint commit replays the batch); consumers dedup
+    * on (pks, change_seq, batch_id), which replays reproduce exactly. */
+  def startWithChangeFeed(spark: SparkSession, tableDir: String, outPath: String,
+                          cdfPath: String, trackCols: Seq[String], cfg: TableConfig,
+                          checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+                          maxFilesPerTrigger: Int = 100): StreamingQuery = {
+    require(cfg.hasPrimaryKey, "change feed requires primary keys")
+    val schema = sourceSchema(spark, tableDir)
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "2*")
+      .option("latestFirst", "false")
+      .parquet(tableDir)
+      .select(col("*"), col("_metadata.file_path").as(SrcFile),
+        col("_metadata.row_index").as(RowIdx))
+
+    stream.writeStream
+      .queryName(s"cdc-merge-cdf-${qualifiedName(outPath)}")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val sink = CdcPipeline.ChangeFeedSink(cdfPath, trackCols, Some(batchId))
+          CdcPipeline.mergeTagged(batch.sparkSession, batch, outPath, cfg,
+            changeFeed = Some(sink)): Unit
+        }
+      }
+      .start()
+  }
+
   /** Queue-shaped source adapter — the substitution point for DMS writing
     * to a stream (Kinesis/Kafka) instead of S3 files. Any streaming
     * DataFrame carrying the table's columns plus `Op` and a per-record

@@ -196,4 +196,38 @@ class CdcStreamSpec extends SparkSpec {
     assert(out2.count() == 5)
     assert(out2.filter($"id" === 6).head().getAs[String]("v") == "v6b")
   }
+
+  test("change-data-feed sidecar: per-batch pre/post images in the CDF log") {
+    val raw = Files.createTempDirectory("rawC").toString + "/db/t"
+    val lake = Files.createTempDirectory("lakeC").toString + "/db/t"
+    val cdf = Files.createTempDirectory("cdfC").toString + "/db/t_changes"
+    val ckpt = Files.createTempDirectory("ckptC").toString
+    val cfg = TableConfig(Seq("id"), Nil, active = true)
+    // batch 0: first load (insert-only path -> NO feed rows by contract)
+    writeFile((1 to 5).map(i => ("I", i, s"v$i")).toDF("Op", "id", "v"),
+      raw, "20260812-000001.parquet")
+    // batch 1: update + delete + brand-new insert -> three feed rows
+    writeFile(Seq(("U", 2, "NEW"), ("D", 3, "v3"), ("I", 9, "v9")).toDF("Op", "id", "v"),
+      raw, "20260812-000002.parquet")
+    val q = CdcStream.startWithChangeFeed(spark, raw, lake, cdf, Seq("v"), cfg, ckpt,
+      Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+    q.awaitTermination()
+
+    // lake state is the ordinary merge result
+    val back = spark.read.parquet(lake)
+    assert(back.count() == 5) // 5 + 1 insert - 1 delete
+    assert(back.filter($"id" === 2).head().getAs[String]("v") == "NEW")
+
+    // the CDF log holds exactly the second batch's operations
+    val feed = spark.read.parquet(cdf)
+    val rows = feed.collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("Op"),
+      r.getAs[String]("v_old"), r.getAs[String]("v_new"))).toSet
+    assert(rows == Set(
+      (2, "U", "v2", "NEW"),  // pre-image read from the pre-merge target
+      (3, "D", "v3", null),   // delete: post-image NULL
+      (9, "I", null, "v9")))  // brand-new key: pre-image NULL
+    // every feed row carries the emitting micro-batch id (batch 1: the
+    // first-load batch 0 emits nothing)
+    assert(feed.select("batch_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
