@@ -1,7 +1,8 @@
 package graft
 
-import graft.expressions.{ByteFoldChecksumExpr, CosineSimilarityExpr, DotProductExpr,
-  MinHashSignatureExpr, RollingMinHashExpr, ShingleMinHashExpr, SignBucketExpr,
+import graft.expressions.{ByteFoldChecksumExpr, CharNgramHashSetExpr,
+  CosineSimilarityExpr, DotProductExpr, MinHashSignatureExpr, RollingMinHashExpr,
+  ShingleHashSetExpr, ShingleMinHashExpr, SignBucketExpr,
   SimHash32Expr, SimHash60Expr, WinnowSetExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
@@ -67,6 +68,14 @@ object GraftFunctions {
     "graft_winnow_set" -> { exprs =>
       require(exprs.length == 3, "graft_winnow_set(text, k, w)")
       WinnowSetExpr(exprs.head, intArg(exprs(1), "k"), intArg(exprs(2), "w"))
+    },
+    "graft_char_ngram_hashset" -> { exprs =>
+      require(exprs.length == 2, "graft_char_ngram_hashset(text, n)")
+      CharNgramHashSetExpr(exprs.head, intArg(exprs(1), "n"))
+    },
+    "graft_shingle_hashset" -> { exprs =>
+      require(exprs.length == 2, "graft_shingle_hashset(text, shingle_words)")
+      ShingleHashSetExpr(exprs.head, intArg(exprs(1), "shingle_words"))
     })
 
   /** Session-scoped registration. Idempotent. */

@@ -264,6 +264,78 @@ case class RollingMinHashExpr(child: Expression, window: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct hash60 set of character n-grams, sorted — the hashed-shingle
+  * representation of a document for set-similarity verification (standard
+  * MinHash-literature practice: Jaccard over hashed shingles). One JVM
+  * pass replaces an interpreted per-position substring lambda, and the
+  * downstream joins/intersects move array<long> instead of array<string>.
+  * Mirrors `TextFunctions.charNgramsOf`: texts shorter than `n` hash the
+  * whole string (including empty). Positions are CODEPOINT-based, like
+  * the SQL mirror's substr. */
+case class CharNgramHashSetExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  def compute(input: Object): GenericArrayData =
+    nullSafeEval(input).asInstanceOf[GenericArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charNgramHashSet", this, classOf[CharNgramHashSetExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val cps = s.codePoints().toArray
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (cps.length < n) out.add(Sketch.hash60(s))
+    else {
+      var i = 0
+      while (i <= cps.length - n) {
+        out.add(Sketch.hash60(new String(cps, i, n)))
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var x = 0
+    while (it.hasNext) { arr(x) = it.next(); x += 1 }
+    new GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct hash60 set of k-word shingles, sorted — the word-level twin
+  * of [[CharNgramHashSetExpr]] (mirrors `Sketch.shingles`: fewer than k
+  * tokens hash the whole joined token string). */
+case class ShingleHashSetExpr(child: Expression, shingleWords: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  def compute(input: Object): GenericArrayData =
+    nullSafeEval(input).asInstanceOf[GenericArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashSet", this, classOf[ShingleHashSetExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sh = Sketch.shingles(Sketch.tokens(input.toString), shingleWords)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < sh.length) { out.add(Sketch.hash60(sh(i))); i += 1 }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var x = 0
+    while (it.hasNext) { arr(x) = it.next(); x += 1 }
+    new GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, MOSS): Rabin-Karp
   * hashes of every `k`-codepoint window (same base-257 mod 2^31−1 rolling
   * hash as [[RollingMinHashExpr]]), then the minimum over each run of `w`
@@ -387,4 +459,8 @@ object TextSketches {
     GraftColumnShim.column(RollingMinHashExpr(expr(text), window))
   def winnowSet(text: Column, k: Int, w: Int): Column =
     GraftColumnShim.column(WinnowSetExpr(expr(text), k, w))
+  def charNgramHashSet(text: Column, n: Int): Column =
+    GraftColumnShim.column(CharNgramHashSetExpr(expr(text), n))
+  def shingleHashSet(text: Column, k: Int): Column =
+    GraftColumnShim.column(ShingleHashSetExpr(expr(text), k))
 }

