@@ -94,4 +94,22 @@ class MergePropertySpec extends SparkSpec {
       a == b
     }, 15)
   }
+
+  test("change feed replay ≡ merge: last post-image per surviving key reconstructs the table") {
+    check(Prop.forAll(genOps.suchThat(_.nonEmpty)) { changes =>
+      val target = targetRows.toDF("Op", "id", "v")
+      val df = changes.map(c => (c.op, c.id, c.v, c.fileSeq, c.pos))
+        .toDF("Op", "id", "v", "file_seq", "pos")
+      val feed = ChangeFeed.feed(target, df, Seq("id"), Seq("v"), Seq(col("pos")))
+        .collect().map(r => (r.getAs[Int]("id"), r.getAs[Long]("change_seq"),
+          r.getAs[String]("Op"), r.getAs[Any]("v_new")))
+      // replay: fold feed rows per key in change_seq order over the target
+      var m = targetRows.map { case (op, id, v) => id -> (op, v) }.toMap
+      feed.sortBy(t => (t._1, t._2)).foreach { case (id, _, op, vNew) =>
+        if (op == Op.Delete) m -= id
+        else m += (id -> (op, vNew.asInstanceOf[Int]))
+      }
+      m == mergeSpark(changes)
+    }, 15)
+  }
 }
