@@ -58,4 +58,23 @@ object Scd2 {
       .withColumn("is_current", col("valid_to_seq").isNull)
       .drop(Merge.FileSeq, Merge.RowNum)
   }
+
+  /** Time travel: the table state as of the END of batch `seq` — every
+    * version whose validity interval covers the instant after `seq`.
+    * `asOf(history, 0)` is the original target (minus keys the target
+    * never had); `asOf(history, lastSeq)` equals the latest-wins merge
+    * (pinned in Scd2Spec and the `cdc_scd2_asof` oracle).
+    *
+    * Same-batch supersession is handled by the interval semantics: a
+    * version superseded within its own batch has `valid_to_seq ==
+    * valid_from_seq == seq` and is correctly excluded at `seq`.
+    *
+    * Scale: a FILTER over the history table — no window, no join; with
+    * the history stored partitioned/z-ordered on the interval columns,
+    * parquet min/max skips non-covering files. */
+  def asOf(history: DataFrame, seq: Long): DataFrame =
+    history
+      .where(col("valid_from_seq") <= seq &&
+        (col("valid_to_seq").isNull || col("valid_to_seq") > seq))
+      .drop("version", "valid_from_seq", "valid_to_seq", "is_current")
 }

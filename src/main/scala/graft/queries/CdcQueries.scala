@@ -134,6 +134,17 @@ object CdcQueries {
           col("o_totalprice"), col("version"), col("valid_from_seq"),
           col("valid_to_seq"), col("is_current"))),
 
+    // Time travel over the SCD2 history: table state as of the end of
+    // batch 1 (before file 2's updates/deletes landed) — a pure interval
+    // filter, no window, no join (see [[graft.cdc.Scd2.asOf]]).
+    "cdc_scd2_asof" -> ((s, dir) =>
+      Scd2.asOf(
+        Scd2.history(target(s, dir), changes(s, dir), Seq("o_orderkey"), Nil)
+          .select(col("o_orderkey"), col(Op.column), col("o_orderstatus"),
+            col("o_totalprice"), col("version"), col("valid_from_seq"),
+            col("valid_to_seq"), col("is_current")),
+        seq = 1L)),
+
     // Snapshot diff: what did the batch do — added/removed/changed keys
     // between the pre-merge target and the merged result (see
     // [[graft.cdc.SnapshotDiff]]). Unchanged keys never leave the join.
@@ -246,6 +257,26 @@ object CdcQueries {
          |       ELSE prev_price END AS o_totalprice_old,
          |  CASE WHEN "Op" = 'D' THEN NULL ELSE o_totalprice END AS o_totalprice_new
          |FROM lagged WHERE file_seq > 0""".stripMargin,
+
+    "cdc_scd2_asof" ->
+      s"""$fixtureSql,
+         | sequenced AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq) AS rownum
+         |  FROM changes
+         |), unioned AS (
+         |  SELECT * FROM sequenced
+         |  UNION ALL SELECT *, 1 AS rownum FROM target
+         |), versioned AS (
+         |  SELECT o_orderkey, "Op", o_orderstatus, o_totalprice,
+         |    file_seq AS valid_from_seq,
+         |    lead(file_seq) OVER w AS valid_to_seq
+         |  FROM unioned
+         |  WINDOW w AS (PARTITION BY o_orderkey ORDER BY file_seq, rownum)
+         |)
+         |SELECT o_orderkey, "Op", o_orderstatus, o_totalprice
+         |FROM versioned
+         |WHERE "Op" <> 'D' AND valid_from_seq <= 1
+         |  AND (valid_to_seq IS NULL OR valid_to_seq > 1)""".stripMargin,
 
     "cdc_snapshot_diff" ->
       s"""$fixtureSql,

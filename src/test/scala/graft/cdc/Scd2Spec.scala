@@ -84,4 +84,36 @@ class Scd2Spec extends SparkSpec {
     val after = Seq((1, "a", 99)).toDF("id", "name", "only_after")
     assert(SnapshotDiff.diff(before, after, Seq("id")).count() == 0)
   }
+
+  test("asOf: interval filter reproduces the state after each batch") {
+    val changes = Seq(
+      ("U", 1, "a2", 11.0, 1L),
+      ("D", 2, "b", 20.0, 1L),
+      ("U", 1, "a3", 12.0, 2L),
+      ("I", 9, "z", 90.0, 2L)
+    ).toDF("Op", "id", "name", "price", "file_seq")
+    val h = Scd2.history(target, changes, Seq("id"), Seq(col("id")))
+    def state(seq: Long) = Scd2.asOf(h, seq).collect()
+      .map(r => r.getAs[Int]("id") -> r.getAs[String]("name")).toMap
+    // seq 0: the original target
+    assert(state(0L) == Map(1 -> "a", 2 -> "b", 3 -> "c"))
+    // seq 1: update applied, key 2 deleted
+    assert(state(1L) == Map(1 -> "a2", 3 -> "c"))
+    // seq 2 == latest-wins merge result
+    val merged = Merge.mergeCdc(target, changes, Seq("id"), Seq(col("id")))
+      .collect().map(r => r.getAs[Int]("id") -> r.getAs[String]("name")).toMap
+    assert(state(2L) == merged)
+    assert(state(2L) == Map(1 -> "a3", 3 -> "c", 9 -> "z"))
+  }
+
+  test("asOf: same-batch supersession keeps only the batch's final version") {
+    val changes = Seq(
+      ("U", 1, "mid", 11.0, 1L),
+      ("U", 1, "final", 12.0, 1L)
+    ).toDF("Op", "id", "name", "price", "file_seq")
+    // intra-file order by price: "mid" precedes "final"
+    val h = Scd2.history(target, changes, Seq("id"), Seq(col("price")))
+    val s1 = Scd2.asOf(h, 1L).filter($"id" === 1).collect()
+    assert(s1.length == 1 && s1(0).getAs[String]("name") == "final")
+  }
 }

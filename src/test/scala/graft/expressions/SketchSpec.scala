@@ -57,4 +57,50 @@ class SketchSpec extends AnyFunSuite {
       assert(b >= 0 && b <= Sketch.Mask31)
     }
   }
+
+  test("winnow set: naive recompute agrees, including non-BMP text") {
+    val B = 257L; val M = 2147483647L
+    def naive(s: String, k0: Int, w0: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) return Seq.empty
+      val k = math.min(k0, cps.length)
+      val hs = (0 to cps.length - k).map { i =>
+        cps.slice(i, i + k).foldLeft(0L)((a, c) => (a * B + c.toLong) % M)
+      }
+      val w = math.min(w0, hs.length)
+      (0 to hs.length - w).map(j => hs.slice(j, j + w).min).distinct.sorted
+    }
+    val e = WinnowSetExpr(org.apache.spark.sql.catalyst.expressions.Literal("x"), 8, 4)
+    for (s <- Seq("", "tiny", "the quick brown fox jumps over the lazy dog and more text",
+                  "abab" * 30, "café 😀 naïve 😀😁 end padding to exceed window size")) {
+      val got = e.compute(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toLongArray().toSeq
+      assert(got == naive(s, 8, 4), s"mismatch for '$s'")
+    }
+  }
+
+  test("char-ngram hash set: codepoint positions, short-text collapse") {
+    def naive(s: String, n: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      val grams = if (cps.length < n) Seq(s)
+      else (0 to cps.length - n).map(i => new String(cps, i, n))
+      grams.map(Sketch.hash60).distinct.sorted
+    }
+    val e = CharNgramHashSetExpr(org.apache.spark.sql.catalyst.expressions.Literal("x"), 3)
+    for (s <- Seq("", "ab", "abc", "abcdef", "café 😀 naïve", "😀😁")) {
+      val got = e.compute(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toLongArray().toSeq
+      assert(got == naive(s, 3), s"mismatch for '$s'")
+    }
+  }
+
+  test("shingle hash set mirrors Sketch.shingles semantics") {
+    val e = ShingleHashSetExpr(org.apache.spark.sql.catalyst.expressions.Literal("x"), 3)
+    def run(s: String): Seq[Long] =
+      e.compute(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toLongArray().toSeq
+    assert(run("a b") == Seq(Sketch.hash60("a b")))
+    assert(run("a b c d") ==
+      Seq("a b c", "b c d").map(Sketch.hash60).distinct.sorted)
+    assert(run("") == Seq(Sketch.hash60("")))
+  }
 }
