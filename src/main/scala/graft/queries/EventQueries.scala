@@ -136,7 +136,16 @@ object EventQueries {
         .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
         .withColumn("gap_s", ((col("ts_us") - col("prev_us")) / 1000000L).cast("double"))
         .select("user_id", "event_id", "gap_s")
-    })
+    }),
+
+    // Ordered funnel view → click → purchase: earliest completion time
+    // per step, each step strictly after its predecessor (see
+    // [[graft.ops.Funnel]] — min-aggregates per step, co-partitioned
+    // joins, no per-user arrays).
+    "events_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.funnel(
+        Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_type", Seq("view", "click", "purchase")))
   )
 
   /** Shared sessionization CTEs (g → s → sess), mirroring
@@ -227,6 +236,26 @@ object EventQueries {
       """SELECT user_id, event_id,
         |  CAST((epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
         |       / 1000000 AS DOUBLE) AS gap_s
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |  (1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END)::BIGINT AS steps_completed
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
   )
 }

@@ -146,7 +146,33 @@ object TextQueries {
     // Bigram-LM fluency: mean add-one-smoothed P(w2|w1) under a corpus
     // model (log-free → bit-identical across engines).
     "text_bigram_lm" -> ((s, dir) =>
-      graft.ops.Curation.bigramLmScore(docs(s, dir), "doc_id", "text"))
+      graft.ops.Curation.bigramLmScore(docs(s, dir), "doc_id", "text")),
+
+    // End-to-end curation pipeline, composed from the operator library:
+    // exact-dedup keepers → quality gate (≥ 0.5) → domain-mixture budget
+    // → context packing (2048) with intra-pack offsets → shard layout.
+    // One flagship query proving the stages compose into the full
+    // training-data assembly a pipeline user runs — each stage keeps its
+    // own scale shape (hash-agg, scan filter, window per source, per-row
+    // hash).
+    "text_pipeline_e2e" -> ((s, dir) => {
+      import graft.functions.TextFunctions.hash60
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      val keep = graft.ops.Dedup.exact(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val quality = graft.ops.TextAnalysis.qualityScores(d, "doc_id", "text")
+        .where(col("quality") >= 0.5).select("doc_id")
+      val survivors = d.join(keep, Seq("doc_id"), "left_semi")
+        .join(quality, Seq("doc_id"), "left_semi")
+      graft.ops.Curation.domainMix(survivors, "doc_id", "text", "source",
+        DomainWeights, totalTokenBudget = 8192L, seed = "mix")
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          expr("(cum_tokens - n_tokens) div 2048").as("pack_id"),
+          expr("(cum_tokens - n_tokens) % 2048").as("pack_offset"),
+          pmod(hash60(concat(lit("shard:"), col("doc_id").cast("string"))), lit(8L))
+            .as("shard"))
+    })
   )
 
   /** Mixture weights for text_domain_mix: dyadic (exactly-representable)
@@ -376,6 +402,48 @@ object TextQueries {
          |SELECT doc_id, (key % 8)::BIGINT AS shard,
          |       row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)::BIGINT AS pos
          |FROM t""".stripMargin,
+
+    "text_pipeline_e2e" ->
+      s"""WITH keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |qt AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |qsig AS (
+         |  SELECT doc_id,
+         |    least(len(toks)::DOUBLE / 100.0, 1.0) AS len_score,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE END AS diversity,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, x -> list_contains(
+         |              ['the','a','an','of','to','in','and','is','it','that','for','on','with','as'], x)))::DOUBLE
+         |              / len(toks)::DOUBLE END AS stopword_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |         ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |              / len(text)::DOUBLE END AS punct_ratio
+         |  FROM qt),
+         |qpass AS (
+         |  SELECT doc_id FROM qsig
+         |  WHERE (len_score + diversity + least(stopword_ratio * 5.0, 1.0)
+         |         + (1.0 - least(punct_ratio * 4.0, 1.0))) / 4.0 >= 0.5),
+         |surv AS (
+         |  SELECT d.* FROM documents d
+         |  JOIN keep USING (doc_id) JOIN qpass USING (doc_id)),
+         |t AS (
+         |  SELECT source, doc_id, len($toksSql)::BIGINT AS n_tokens,
+         |         ${h60("'mix:' || doc_id::VARCHAR")} AS key,
+         |         CASE WHEN source IN (${(0 until 10).map(i => s"'src$i'").mkString(",")}) THEN 512
+         |              WHEN source IN (${(10 until 20).map(i => s"'src$i'").mkString(",")}) THEN 256
+         |              ELSE 0 END AS budget
+         |  FROM surv),
+         |c AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT source, doc_id, n_tokens,
+         |  ((cum - n_tokens) // 2048)::BIGINT AS pack_id,
+         |  ((cum - n_tokens) % 2048)::BIGINT AS pack_offset,
+         |  (${h60("'shard:' || doc_id::VARCHAR")} % 8)::BIGINT AS shard
+         |FROM c WHERE cum - n_tokens < budget""".stripMargin,
 
     "text_bigram_lm" ->
       s"""WITH norm AS (
