@@ -264,6 +264,54 @@ object Dedup {
         jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /** Persist a corpus's LSH band index as a bucketed table on `band_key`
+    * (see [[graft.io.Bucketing]]): incremental dedup then joins each
+    * incoming batch against the index with NO corpus-side exchange — the
+    * dominant cost of dedup-on-ingest at 100 TB is re-shuffling the
+    * corpus sketches per batch, and bucketing removes exactly that. */
+  def writeLshIndex(docs: DataFrame, idCol: String, textCol: String, table: String,
+                    buckets: Int, shingleWords: Int = 3, k: Int = 16,
+                    bands: Int = 4): Unit =
+    graft.io.Bucketing.writeBucketed(
+      minHashed(docs, idCol, textCol, shingleWords, k, bands), table, "band_key", buckets)
+
+  /** Candidate near-dup pairs of a NEW batch against a persisted LSH
+    * index: (id_new, id_corpus, est_jaccard). Sketch parameters must
+    * match the ones the index was written with.
+    *
+    * Plan shape (asserted in ScaleOpsSpec): the index scan is bucketed on
+    * `band_key`, which already satisfies both the heavy-bucket window's
+    * and the join's partitioning requirement — no `band_key` exchange
+    * exists anywhere in the plan. What does move: the batch (broadcast
+    * when small, hash-exchanged into the bucket layout otherwise) and the
+    * candidates-proportional distinct. `maxBucketSize` caps corpus
+    * postings per band key before the join, same guard as
+    * [[lshCandidatePairs]]. */
+  def lshCandidatesAgainstIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                                newDocs: DataFrame, idCol: String, textCol: String,
+                                shingleWords: Int = 3, k: Int = 16, bands: Int = 4,
+                                maxBucketSize: Int = 1000): DataFrame = {
+    val idx = graft.io.Bucketing.readBucketed(spark, table)
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("band_key"), col(idCol).as("id_corpus"), col("signature").as("sig_c"))
+    val batch = minHashed(newDocs, idCol, textCol, shingleWords, k, bands)
+      .select(col("band_key"), col(idCol).as("id_new"), col("signature").as("sig_n"))
+    // Estimate BEFORE the distinct: a pair co-occurs in ≤ `bands` band
+    // keys, so at most `bands` redundant folds per pair — cheaper than
+    // shuffling signature arrays through the distinct, and re-joining
+    // corpus signatures by id would shuffle the whole index (the cost
+    // bucketing exists to avoid). est_jaccard is determined by the pair,
+    // so the distinct on the (id, id, est) triple is exact.
+    batch.join(idx, "band_key")
+      .select(col("id_new"), col("id_corpus"),
+        (aggregate(zip_with(col("sig_n"), col("sig_c"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x)
+          .cast("double") / k).as("est_jaccard"))
+      .distinct()
+  }
+
   /** Winnowing fingerprints per document: (id, fp) exploded from the
     * distinct sliding-min set of Rabin-Karp window hashes over the
     * normalized text (see [[graft.expressions.WinnowSetExpr]]). Any

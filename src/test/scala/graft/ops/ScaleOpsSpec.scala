@@ -67,4 +67,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(tnPlan.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject in:\n$tnPlan")
   }
+
+  test("incremental dedup against a persisted LSH index: corpus side never shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.where($"doc_id" % 5 =!= 0L)
+    val batch = docs.where($"doc_id" % 5 === 0L)
+      .withColumn("doc_id", $"doc_id" + 1000000L) // disjoint id space
+    Dedup.writeLshIndex(corpus, "doc_id", "text", "lsh_index_t", buckets = 4)
+    try {
+      val cand = Dedup.lshCandidatesAgainstIndex(spark, "lsh_index_t",
+        batch, "doc_id", "text")
+      // equivalence: against-index candidates == the cross (new x corpus)
+      // slice of a full recompute over corpus+batch
+      val full = Dedup.lshCandidatePairs(corpus.unionByName(batch), "doc_id", "text")
+        .where(($"id_a" < 1000000L) =!= ($"id_b" < 1000000L)) // cross pairs only
+        .select(
+          org.apache.spark.sql.functions.greatest($"id_a", $"id_b").as("id_new"),
+          org.apache.spark.sql.functions.least($"id_a", $"id_b").as("id_corpus"),
+          $"est_jaccard")
+      val a = cand.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = full.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a == b, s"against-index=${a.size} full-cross=${b.size}")
+      assert(a.nonEmpty) // the fixture has near-dups across the split
+      // plan: the bucketed index scan feeds the cap window AND the join
+      // with no band_key exchange anywhere — the only hash exchange left
+      // is the candidates-proportional distinct (and the small batch side
+      // broadcasts)
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(band_key"),
+        s"corpus/band_key exchange should be eliminated by bucketing:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_index_t")
+  }
 }
