@@ -109,6 +109,19 @@ object SimilarityQueries {
           aggregate(col("unit"), lit(0.0), (a, x) => a + x * x).as("unit_dot"))
     }),
 
+    // Embedding-level dedup APPLICATION: near-dup pairs → connected
+    // components (graft.ops.Dedup.resolveClusters is sketch-agnostic) →
+    // keep the min vec_id per cluster; survivors = keepers + singletons.
+    "sim_dedup_apply" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.4, bits = 6, maxBucketSize = 1000)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val losers = graft.ops.Dedup.resolveClusters(pairs)
+        .where(!col("keep")).select(col("id").as("vec_id"))
+      e.join(losers, Seq("vec_id"), "left_anti").select("vec_id", "label")
+    }),
+
     // Product quantization: 4 × 16-dim subspaces, 16-entry codebook
     // (vectors 0-15 as deterministic stand-ins for k-means centers),
     // codes packed into one BIGINT — the 64-byte→4-byte compression path
@@ -130,6 +143,22 @@ object SimilarityQueries {
   private val bucketSql = // sign-LSH over first 6 dims, matching VectorFunctions.signBucket
     """CAST(list_sum(list_transform(range(0,6), j ->
       |  CASE WHEN embedding[(j+1)::INT] > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** Capped + multiprobe near-dup candidate CTEs (b0 → b → p → pairs),
+    * mirroring [[graft.ops.Similarity.cosineNearDupPairs]]; shared by the
+    * sim_near_dup and sim_dedup_apply oracles. */
+  private lazy val nearDupCtes =
+    s"""b0 AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000),
+       |p AS (
+       |  SELECT vec_id, embedding, unnest(list_concat([bucket],
+       |    list_transform(range(0,6), j -> xor(bucket::UBIGINT, (1::BIGINT << j::INT)::UBIGINT)::BIGINT))) AS bucket
+       |  FROM b),
+       |pairs AS (
+       |  SELECT p.vec_id AS id_a, c.vec_id AS id_b,
+       |         ${cosSql("p.embedding", "c.embedding")} AS cos
+       |  FROM p JOIN b c USING (bucket)
+       |  WHERE p.vec_id < c.vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_knn_brute" ->
@@ -239,18 +268,26 @@ object SimilarityQueries {
          |FROM u""".stripMargin,
 
     "sim_near_dup" ->
-      s"""WITH b0 AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-         |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000),
-         |p AS (
-         |  SELECT vec_id, embedding, unnest(list_concat([bucket],
-         |    list_transform(range(0,6), j -> xor(bucket::UBIGINT, (1::BIGINT << j::INT)::UBIGINT)::BIGINT))) AS bucket
-         |  FROM b),
-         |pairs AS (
-         |  SELECT p.vec_id AS id_a, c.vec_id AS id_b,
-         |         ${cosSql("p.embedding", "c.embedding")} AS cos
-         |  FROM p JOIN b c USING (bucket)
-         |  WHERE p.vec_id < c.vec_id)
+      s"""WITH $nearDupCtes
          |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
+
+    // Connected components over the same near-dup pairs (recursive CTE,
+    // like dedup_clusters): losers have a smaller reachable id.
+    "sim_dedup_apply" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+         |nd AS (SELECT id_a, id_b FROM pairs WHERE cos >= 0.4),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd
+         |  UNION SELECT id_b, id_a FROM nd),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |losers AS (
+         |  SELECT src AS vec_id FROM reach GROUP BY src
+         |  HAVING least(src, min(dst)) < src)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin,
 
     // PQ mirror: same 0.0-seeded left fold of squared diffs per subspace,
     // first-min list_position for ties, base-256 packing.
