@@ -184,6 +184,46 @@ object EventStreams {
     events.join(broadcast(dim), Seq(key), joinType)
 
   /** Adapt the raw events table (nanos `ts` LONG) to the typed stream. */
+  /** A user's funnel progress so far: earliest completion micros per
+    * step, -1 while the step is unreached. */
+  final case class FunnelState(times: Seq[Long])
+
+  /** Progress row emitted whenever a user's funnel advances. */
+  final case class FunnelProgress(user_id: Long, steps_completed: Int,
+                                  times: Seq[Long])
+
+  /** Streaming twin of [[graft.ops.Funnel]]: per-user funnel state
+    * maintained across micro-batches with `mapGroupsWithState`; a row is
+    * emitted each trigger the user advanced. State is O(steps) per user
+    * — never an event buffer.
+    *
+    * Ordering contract: events are processed in event-time order WITHIN
+    * each micro-batch (the group iterator is sorted here); an event
+    * arriving in a later trigger than one with a larger timestamp can
+    * only advance steps conservatively (it cannot retroactively enable a
+    * step-completion that needed it earlier). With triggers in event-time
+    * order the final state equals the batch funnel exactly (pinned in
+    * EventStreamsSpec). */
+  def funnelProgress(events: Dataset[Event], steps: Seq[String]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelProgress](GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val t = state.getOption.map(_.times.toArray)
+            .getOrElse(Array.fill(steps.size)(-1L))
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            stepIdx.get(e.event_type).foreach { i =>
+              val prevOk = i == 0 || (t(i - 1) >= 0 && e.ts_us > t(i - 1))
+              if (prevOk && (t(i) < 0 || e.ts_us < t(i))) t(i) = e.ts_us
+            }
+          }
+          state.update(FunnelState(t.toSeq))
+          FunnelProgress(user, t.takeWhile(_ >= 0).length, t.toSeq)
+      }
+  }
+
   def typedEvents(raw: DataFrame): Dataset[Event] = {
     import raw.sparkSession.implicits._
     raw.select(col("event_id"), expr("ts div 1000").as("ts_us"),

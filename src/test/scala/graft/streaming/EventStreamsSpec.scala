@@ -238,4 +238,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(batchIds.toSeq == Seq(1L, 2L, 3L))
     q.stop()
   }
+
+  test("streaming funnel: state advances across micro-batches, matches batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{Event, FunnelProgress}
+    val input = MemoryStream[Event]
+    val prog = EventStreams.funnelProgress(input.toDS(), Seq("view", "click", "purchase"))
+    val q = prog.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+
+    // batch 1: user 1 views; user 2 clicks without viewing (no progress)
+    input.addData(Event(1, 100L, 1L, "view", 0.0), Event(2, 100L, 2L, "click", 0.0))
+    q.processAllAvailable()
+    // batch 2: user 1 clicks (state carried) then purchases IN ORDER;
+    // user 2 finally views — click must NOT be retro-credited
+    input.addData(Event(3, 200L, 1L, "click", 0.0), Event(4, 300L, 1L, "purchase", 0.0),
+      Event(5, 200L, 2L, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    import org.apache.spark.sql.functions.col
+    val last = spark.table("funnel_out").groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("steps_completed").as("sc"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(last(1L) == 3)
+    assert(last(2L) == 1)
+
+    // equivalence with the batch operator over the same (in-order) events
+    val batch = Seq((1L, 100L, "view"), (2L, 100L, "click"),
+      (1L, 200L, "click"), (1L, 300L, "purchase"), (2L, 200L, "view"))
+      .toDF("user_id", "ts", "event_type")
+    val b = graft.ops.Funnel.funnel(batch, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("steps_completed")).toMap
+    assert(b.view.mapValues(_.toInt).toMap == last)
+  }
 }
