@@ -93,6 +93,34 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
     }
   }
 
+  /** Continuous sync of one table with a change-data-feed sidecar: the
+    * stream merges CDC files into the lake AND appends per-operation
+    * pre/post images to `<lakeRoot>/_changes/<schema>/<table>` (read them
+    * back with [[readChangeFeed]]). Uses the stored primary keys;
+    * `trackCols` defaults to every non-PK data column of the raw table. */
+  def streamWithChangeFeed(schema: String, table: String, checkpoint: String,
+                           trackCols: Seq[String] = Nil,
+                           maxFilesPerTrigger: Int = 100): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = tableDir(schema, table)
+    val cfg = store.get(raw).map(_.config).getOrElse(TableConfig())
+    require(cfg.hasPrimaryKey, s"$schema/$table has no primary keys configured")
+    val tracked =
+      if (trackCols.nonEmpty) trackCols
+      else streaming.CdcStream.sourceSchema(spark, raw).fieldNames.toSeq
+        .filterNot(c => cfg.primaryKeys.contains(c) || c == cdc.Op.column)
+    streaming.CdcStream.startWithChangeFeed(spark, raw,
+      s"${lakeRoot.stripSuffix("/")}/$schema/$table",
+      changeFeedPath(schema, table), tracked, cfg, checkpoint,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+  }
+
+  /** The change-data-feed log maintained by [[streamWithChangeFeed]]. */
+  def readChangeFeed(schema: String, table: String): DataFrame =
+    spark.read.parquet(changeFeedPath(schema, table))
+
+  private def changeFeedPath(schema: String, table: String): String =
+    s"${lakeRoot.stripSuffix("/")}/_changes/$schema/$table"
+
   /** Maintenance compaction of one lake table (uses the stored keys). */
   def compact(schema: String, table: String): Compaction.Stats = {
     val cfg = store.get(tableDir(schema, table)).map(_.config).getOrElse(TableConfig())

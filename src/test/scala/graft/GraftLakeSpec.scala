@@ -82,4 +82,32 @@ class GraftLakeSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)))
     assert(io.SchemaDrift.isCompatible(changes))
   }
+
+  test("façade: streamWithChangeFeed maintains lake + CDF log with inferred track columns") {
+    val raw = Files.createTempDirectory("rawF").toString
+    val out = Files.createTempDirectory("lakeF").toString
+    val st = Files.createTempDirectory("stateF").toString
+    val ckpt = Files.createTempDirectory("ckptF").toString
+    // CDC files only (2* glob): first file plays the first-load batch
+    writeFile((1 to 4).map(i => ("I", i, s"v$i")).toDF("Op", "id", "v"),
+      s"$raw/db/t", "20260812-01.parquet")
+    writeFile(Seq(("U", 2, "NEW"), ("D", 4, "v4")).toDF("Op", "id", "v"),
+      s"$raw/db/t", "20260812-02.parquet")
+
+    val lake = GraftLake(spark, raw, out, st)
+    lake.tables()
+    lake.activate("db", "t", primaryKeys = Seq("id"))
+    // one file per trigger: the first file must be its own first-load
+    // batch (an insert-only batch emits no feed), the second merges
+    val q = lake.streamWithChangeFeed("db", "t", ckpt, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+
+    assert(lake.read("db", "t").count() == 3) // 4 - 1 delete
+    val feed = lake.readChangeFeed("db", "t")
+    // track columns inferred = all non-PK data columns (just "v")
+    assert(feed.columns.contains("v_old") && feed.columns.contains("v_new"))
+    val rows = feed.collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("Op"),
+      r.getAs[String]("v_old"), r.getAs[String]("v_new"))).toSet
+    assert(rows == Set((2, "U", "v2", "NEW"), (4, "D", "v4", null)))
+  }
 }
