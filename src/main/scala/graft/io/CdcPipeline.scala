@@ -115,22 +115,38 @@ object CdcPipeline {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tgtExists = fs.exists(p) && fs.listStatus(p).nonEmpty
 
-    if (!cfg.hasPrimaryKey || !tgtExists) {
-      // P3: no-PK tables and first loads are insert-only appends. Row count
-      // comes from observed metrics on the write itself (a count() after
-      // the write would re-read and re-transform the whole batch).
+    if (!cfg.hasPrimaryKey) {
+      // P3: no-PK tables are insert-only appends (reference semantics,
+      // README.md:208-220 — not idempotent under replay, documented). Row
+      // count comes from observed metrics on the write itself (a count()
+      // after the write would re-read and re-transform the whole batch).
       val output = Merge.insertOnly(changes).drop(SrcFile, RowIdx, Merge.FileSeq)
       val obs = org.apache.spark.sql.Observation()
       CowWriter.appendMerged(output.observe(obs, count(lit(1)).as("n")), outPath, cfg.partitionKeys)
       MergeStats(obs.get("n").asInstanceOf[Long], Nil, insertOnly = true)
     } else {
       val pks = cfg.primaryKeys
-      // mergeSchema: after an evolving merge the lake holds mixed footers
-      // (rewritten files carry new columns, untouched files don't); plain
-      // inference picks one footer and would silently drop bystander
-      // values of evolved columns on the next rewrite (EvolutionSpec).
-      val target = spark.read.option("mergeSchema", "true").parquet(outPath)
-        .withColumn(TgtFile, col("_metadata.file_path"))
+      // First-ever load of a PK table: merge against an EMPTY target
+      // instead of the reference's insert-only filter
+      // (DMSCDC_LoadIncremental.py:49-57). The reference behavior SILENTLY
+      // DROPS updates/deletes when the first processed batch spans several
+      // change files (a backlogged stream folds many files into trigger 0)
+      // — latest-wins over an empty target applies them instead, and for
+      // an all-inserts batch the two are identical. A documented
+      // strict-improvement delta, like row_number-vs-rank (SURVEY §7.4).
+      //
+      // mergeSchema (existing target): after an evolving merge the lake
+      // holds mixed footers (rewritten files carry new columns, untouched
+      // files don't); plain inference picks one footer and would silently
+      // drop bystander values of evolved columns on the next rewrite
+      // (EvolutionSpec).
+      val target =
+        if (!tgtExists)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            changes.drop(SrcFile, RowIdx, Merge.FileSeq).schema)
+            .withColumn(TgtFile, lit(null).cast("string"))
+        else spark.read.option("mergeSchema", "true").parquet(outPath)
+          .withColumn(TgtFile, col("_metadata.file_path"))
 
       // W1: sequence the batch (rownum per key by file order + row order).
       val sequenced = Merge.sequenceBatch(changes, pks, Seq(col(RowIdx)))

@@ -97,8 +97,6 @@ class GraftLakeSpec extends SparkSpec {
     val lake = GraftLake(spark, raw, out, st)
     lake.tables()
     lake.activate("db", "t", primaryKeys = Seq("id"))
-    // one file per trigger: the first file must be its own first-load
-    // batch (an insert-only batch emits no feed), the second merges
     val q = lake.streamWithChangeFeed("db", "t", ckpt, maxFilesPerTrigger = 1)
     q.awaitTermination()
 
@@ -108,6 +106,7 @@ class GraftLakeSpec extends SparkSpec {
     assert(feed.columns.contains("v_old") && feed.columns.contains("v_new"))
     val rows = feed.collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("Op"),
       r.getAs[String]("v_old"), r.getAs[String]("v_new"))).toSet
-    assert(rows == Set((2, "U", "v2", "NEW"), (4, "D", "v4", null)))
+    val initial = (1 to 4).map(i => (i, "I", null, s"v$i")).toSet
+    assert(rows == initial ++ Set((2, "U", "v2", "NEW"), (4, "D", "v4", null)))
   }
 }

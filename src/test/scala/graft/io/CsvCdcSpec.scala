@@ -66,10 +66,11 @@ class CsvCdcSpec extends SparkSpec {
         |{"Op":"I","id":2,"v":"b"}
         |""".stripMargin)
     val cfg = TableConfig(Seq("id"), Nil, active = true)
-    // first load over empty target → insert-only path
+    // first load of a PK table merges against an empty target (so a
+    // multi-file first batch can't drop updates/deletes)
     val stats = CdcPipeline.loadIncremental(spark,
       Seq(s"$raw/20260812-000001.json"), lake, cfg, "json")
-    assert(stats.insertOnly && stats.rowsWritten == 2)
+    assert(!stats.insertOnly && stats.rowsWritten == 2)
     assert(spark.read.parquet(lake).count() == 2)
   }
 }

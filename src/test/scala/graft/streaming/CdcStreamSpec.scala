@@ -203,7 +203,8 @@ class CdcStreamSpec extends SparkSpec {
     val cdf = Files.createTempDirectory("cdfC").toString + "/db/t_changes"
     val ckpt = Files.createTempDirectory("ckptC").toString
     val cfg = TableConfig(Seq("id"), Nil, active = true)
-    // batch 0: first load (insert-only path -> NO feed rows by contract)
+    // batch 0: first load — a PK table merges against an empty target,
+    // so the feed records the initial inserts with NULL pre-images
     writeFile((1 to 5).map(i => ("I", i, s"v$i")).toDF("Op", "id", "v"),
       raw, "20260812-000001.parquet")
     // batch 1: update + delete + brand-new insert -> three feed rows
@@ -218,16 +219,14 @@ class CdcStreamSpec extends SparkSpec {
     assert(back.count() == 5) // 5 + 1 insert - 1 delete
     assert(back.filter($"id" === 2).head().getAs[String]("v") == "NEW")
 
-    // the CDF log holds exactly the second batch's operations
+    // the CDF log holds both batches' operations
     val feed = spark.read.parquet(cdf)
     val rows = feed.collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("Op"),
-      r.getAs[String]("v_old"), r.getAs[String]("v_new"))).toSet
-    assert(rows == Set(
-      (2, "U", "v2", "NEW"),  // pre-image read from the pre-merge target
-      (3, "D", "v3", null),   // delete: post-image NULL
-      (9, "I", null, "v9")))  // brand-new key: pre-image NULL
-    // every feed row carries the emitting micro-batch id (batch 1: the
-    // first-load batch 0 emits nothing)
-    assert(feed.select("batch_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+      r.getAs[String]("v_old"), r.getAs[String]("v_new"), r.getAs[Long]("batch_id"))).toSet
+    val batch0 = (1 to 5).map(i => (i, "I", null, s"v$i", 0L)).toSet
+    assert(rows == batch0 ++ Set(
+      (2, "U", "v2", "NEW", 1L),  // pre-image read from the pre-merge target
+      (3, "D", "v3", null, 1L),   // delete: post-image NULL
+      (9, "I", null, "v9", 1L)))  // brand-new key: pre-image NULL
   }
 }
