@@ -45,10 +45,15 @@ object Curation {
   def domainMix(docs: DataFrame, idCol: String, textCol: String,
                 sourceCol: String, weights: Map[String, Double],
                 totalTokenBudget: Long, seed: String = "mix"): DataFrame = {
-    val budgets = weights.map { case (s, w) => s -> (w * totalTokenBudget).toLong }
-    val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
-      when(col(sourceCol) === s, lit(b)).otherwise(acc)
-    }
+    // Budgets ride a broadcast-joined table, not a per-source CASE chain:
+    // a real source taxonomy has thousands of domains, and a 10k-branch
+    // expression tree is a planner/codegen hazard while a 10k-row
+    // broadcast is nothing. Inner join = sources without a weight drop.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val budgets = broadcast(
+      weights.toSeq.map { case (s, w) => (s, (w * totalTokenBudget).toLong) }
+        .toDF(sourceCol, "__budget"))
     val w = Window.partitionBy(sourceCol)
       .orderBy(col("__key"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -56,8 +61,9 @@ object Curation {
       .select(col(sourceCol), col(idCol),
         size(tokens(col(textCol))).cast("long").as("n_tokens"),
         shuffleKey(idCol, seed).as("__key"))
+      .join(budgets, sourceCol)
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .where(col("cum_tokens") - col("n_tokens") < budgetCol)
+      .where(col("cum_tokens") - col("n_tokens") < col("__budget"))
       .select(col(sourceCol), col(idCol), col("n_tokens"), col("cum_tokens"))
   }
 
