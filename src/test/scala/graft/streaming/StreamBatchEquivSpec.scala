@@ -105,4 +105,66 @@ class StreamBatchEquivSpec extends SparkSpec {
       lakeState(lakeS) == lakeState(lakeB)
     }, 6)
   }
+
+  test("CDF sidecar across restart: deduped feed replay ≡ one batch merge") {
+    val cfg = TableConfig(Seq("id"), Nil, active = true)
+    check(Prop.forAll(genOps) { changes =>
+      val root = Files.createTempDirectory("cdfEquiv").toString
+      val raw = s"$root/raw"
+      val lakeS = s"$root/lakeS"
+      val lakeB = s"$root/lakeB"
+      val cdf = s"$root/cdf"
+      val ckpt = s"$root/ckpt"
+
+      val load = Seq(("I", 1, -1), ("I", 2, -2), ("I", 3, -3)).toDF("Op", "id", "v")
+      writeFile(load, raw, "LOAD00000001.parquet")
+      val cdcNames = changes.groupBy(_.file).toSeq.sortBy(_._1).map { case (f, rows) =>
+        val name = f"20260812-${f + 1}%06d.parquet"
+        writeFile(rows.sortBy(_.pos).map(c => (c.op, c.id, c.v)).toDF("Op", "id", "v"), raw, name)
+        name
+      }
+      CdcPipeline.loadInitial(spark, Seq(s"$raw/LOAD00000001.parquet"), lakeB, cfg)
+      CdcPipeline.loadIncremental(spark, cdcNames.map(n => s"$raw/$n"), lakeB, cfg)
+
+      CdcPipeline.loadInitial(spark, Seq(s"$raw/LOAD00000001.parquet"), lakeS, cfg)
+      val splitAt = math.max(1, cdcNames.size / 2)
+      val staged = Files.createTempDirectory("stagedC").toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      cdcNames.drop(splitAt).foreach { n =>
+        fs.rename(new org.apache.hadoop.fs.Path(s"$raw/$n"),
+          new org.apache.hadoop.fs.Path(s"$staged/$n"))
+      }
+      val q1 = CdcStream.startWithChangeFeed(spark, raw, lakeS, cdf, Seq("v"), cfg, ckpt,
+        Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+      q1.awaitTermination()
+      cdcNames.drop(splitAt).foreach { n =>
+        fs.rename(new org.apache.hadoop.fs.Path(s"$staged/$n"),
+          new org.apache.hadoop.fs.Path(s"$raw/$n"))
+      }
+      val q2 = CdcStream.startWithChangeFeed(spark, raw, lakeS, cdf, Seq("v"), cfg, ckpt,
+        Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+      q2.awaitTermination()
+
+      // 1) the lake matches the batch merge
+      val lakesMatch = lakeState(lakeS) == lakeState(lakeB)
+
+      // 2) replaying the (at-least-once) feed — deduped on the documented
+      // (id, change_seq, batch_id) key, per-key order (batch_id,
+      // change_seq) — over the LOAD snapshot reconstructs the same state
+      val feed = spark.read.parquet(cdf)
+        .select("id", "change_seq", "batch_id", "Op", "v_new").distinct()
+        .collect()
+        .map(r => (r.getAs[Int]("id"), r.getAs[Long]("change_seq"),
+          r.getAs[Long]("batch_id"), r.getAs[String]("Op"),
+          Option(r.get(r.fieldIndex("v_new"))).map(_.asInstanceOf[Int])))
+      var m = Map(1 -> ("I", -1), 2 -> ("I", -2), 3 -> ("I", -3))
+      feed.sortBy(t => (t._1, t._3, t._2)).foreach { case (id, _, _, op, vNew) =>
+        if (op == Op.Delete) m -= id else m += (id -> (op, vNew.get))
+      }
+      val replayMatch =
+        m.map { case (id, (op, v)) => (op, id, v) }.toSet == lakeState(lakeB)
+
+      lakesMatch && replayMatch
+    }, 4)
+  }
 }
