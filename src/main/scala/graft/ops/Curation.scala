@@ -10,11 +10,11 @@ import org.apache.spark.sql.functions._
   * and an n-gram-LM fluency score.
   *
   * Scale design:
-  *  - [[domainMix]]: one shuffle partitioned by source domain, a running
-  *    sum per domain, and a filter — no collect, no per-domain jobs. The
-  *    per-domain window is the only serial dimension; domains are
-  *    processed in parallel and rows within a domain stream through a
-  *    single running-sum pass (same shape as text_pack_sequences).
+  *  - [[domainMix]]: per-domain running token sum via the two-phase
+  *    [[parallelRunningSum]] — parallelism is the slice count, NOT the
+  *    domain count, so a one-domain-dominated mixture (web ≈ 90% of a
+  *    pretraining corpus) still spreads across the cluster. No collect,
+  *    no per-domain jobs.
   *  - [[shuffleShard]]: per-row hash (no data movement to DECIDE the
   *    shard) + one window per shard for positions. Writing the result
   *    `partitionBy(shard)` gives the training-reader layout directly.
@@ -30,6 +30,61 @@ object Curation {
     * hash60 of "seed:id". */
   private def shuffleKey(idCol: String, seed: String) =
     hash60(concat(lit(seed + ":"), col(idCol).cast("string")))
+
+  /** Two-phase parallel running sum — the scale-safe replacement for
+    * `sum(value) over (partition by part order by order rows unbounded
+    * preceding)`, whose single-window plan routes EVERY row of one `part`
+    * value through one task. A real pretraining mixture is one-domain
+    * dominated (web ≈ 80-90% of tokens), so at 100 TB that one task sorts
+    * and scans most of the corpus.
+    *
+    * Phase 0: range-repartition by (part ++ order) so each task owns a
+    * contiguous slice of the global order (Spark's sampled global-sort
+    * partitioner), then pin the slice id with `spark_partition_id()`. The
+    * sliced projection is materialized eagerly (`localCheckpoint`, cleaner-
+    * reclaimed) because two consumers read it and range boundaries are
+    * sampled per-exchange — re-drawing them between consumers would
+    * mis-align offsets with slices.
+    * Phase 1: per-(part, slice) sums — a tiny table (≤ |parts| × slices).
+    * Phase 2: exclusive running sum over that tiny table per part (a window
+    * over ≤ `numSlices` rows) gives each slice's starting offset;
+    * broadcast-join it back and add the intra-slice running sum.
+    *
+    * Identical answer to the single window (offsets are exact, the order
+    * key must be a total order); parallelism = `numSlices` regardless of
+    * how skewed `part` is. Works for any orderable key types — balance
+    * comes from the range partitioner's sampling, not key uniformity.
+    */
+  def parallelRunningSum(df: DataFrame, partCols: Seq[String],
+                         orderCols: Seq[String], valueCol: String,
+                         resultCol: String, numSlices: Int = 0): DataFrame = {
+    val slices =
+      if (numSlices > 0) numSlices
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val rangeCols = (partCols ++ orderCols).map(col)
+    val sliced = df
+      .repartitionByRange(slices, rangeCols: _*)
+      .withColumn("__slice", spark_partition_id())
+      .localCheckpoint(true)
+    val sliceSums = sliced
+      .groupBy((partCols :+ "__slice").map(col): _*)
+      .agg(sum(col(valueCol)).as("__slice_sum"))
+    val offsetW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliceSums
+      .withColumn("__offset",
+        coalesce(sum(col("__slice_sum")).over(offsetW), lit(0L)))
+      .drop("__slice_sum")
+    val localW = Window
+      .partitionBy((partCols :+ "__slice").map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sliced
+      .join(broadcast(offsets), partCols :+ "__slice")
+      .withColumn(resultCol, sum(col(valueCol)).over(localW) + col("__offset"))
+      .drop("__slice", "__offset")
+  }
 
   /** Domain-mixture sampling: keep documents per source domain, in a
     * deterministic pseudo-random order, until that domain's share of the
@@ -54,15 +109,16 @@ object Curation {
     val budgets = broadcast(
       weights.toSeq.map { case (s, w) => (s, (w * totalTokenBudget).toLong) }
         .toDF(sourceCol, "__budget"))
-    val w = Window.partitionBy(sourceCol)
-      .orderBy(col("__key"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val keyed = docs
       .select(col(sourceCol), col(idCol),
         size(tokens(col(textCol))).cast("long").as("n_tokens"),
         shuffleKey(idCol, seed).as("__key"))
       .join(budgets, sourceCol)
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    // Running sum via the two-phase parallel prefix sum: one domain can be
+    // 90% of the corpus, so the naive Window.partitionBy(source) would put
+    // it through a single task (see [[parallelRunningSum]]).
+    parallelRunningSum(keyed, Seq(sourceCol), Seq("__key", idCol),
+      "n_tokens", "cum_tokens")
       .where(col("cum_tokens") - col("n_tokens") < col("__budget"))
       .select(col(sourceCol), col(idCol), col("n_tokens"), col("cum_tokens"))
   }

@@ -100,21 +100,19 @@ object TextQueries {
     // Sequence packing for training-batch construction: assign documents
     // to context-budget packs (2048 tokens) via prefix-sum binning —
     // pack_id = floor(tokens-before-me / budget) over a deterministic
-    // per-language order. One window pass over one per-lang shuffle; the
-    // classic sequential first-fit packer is O(n) single-threaded, this
-    // scales as an ordinary running sum and over-fills each pack by at
-    // most one document (the standard streaming-packing relaxation).
+    // per-language order. The running sum is Curation.parallelRunningSum
+    // (two-phase slice/offset prefix sum), so a one-language-dominated
+    // corpus still packs with full parallelism; the classic sequential
+    // first-fit packer is O(n) single-threaded, this over-fills each pack
+    // by at most one document (the standard streaming-packing relaxation).
     "text_pack_sequences" -> ((s, dir) => {
       import graft.functions.TextFunctions.tokens
       import org.apache.spark.sql.functions._
       val budget = 2048L
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy("n_tokens", "doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      docs(s, dir)
+      val t = docs(s, dir)
         .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("__cum", sum(col("n_tokens")).over(w))
+      graft.ops.Curation.parallelRunningSum(t, Seq("lang"),
+        Seq("n_tokens", "doc_id"), "n_tokens", "__cum")
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           expr(s"(__cum - n_tokens) div $budget").as("pack_id"))
     }),

@@ -66,6 +66,33 @@ class CurationSpec extends SparkSpec {
     assert(out.values.forall { case (n, p) => n == 0 || (p > 0.0 && p <= 1.0) })
   }
 
+  test("parallelRunningSum ≡ single-window running sum on a skewed fixture") {
+    import org.apache.spark.sql.expressions.Window
+    // 90% of rows in one domain — the shape that kills the naive window
+    val rows = (1L to 200L).map { i =>
+      (i, if (i <= 180) "web" else s"src${i % 4}", (i * 37 % 100) + 1)
+    }
+    val df = rows.toDF("id", "dom", "v")
+    val naive = df.withColumn("cum",
+      sum($"v").over(Window.partitionBy("dom").orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "dom", "v", "cum")
+    val par = Curation.parallelRunningSum(df, Seq("dom"), Seq("v", "id"), "v", "cum")
+      .select("id", "dom", "v", "cum")
+    assert(par.collect().toSet == naive.collect().toSet)
+    // the running-sum window partitions by (dom, slice), not dom alone —
+    // one dominant domain spreads over many tasks
+    val plan = par.queryExecution.executedPlan.toString
+    assert(plan.contains("__slice"), s"expected sliced window in:\n$plan")
+  }
+
+  test("domainMix is sliced: plan shows >1 window partition key per domain") {
+    val out = Curation.domainMix(docs, "doc_id", "text", "source",
+      Map("web" -> 0.5, "code" -> 0.5), totalTokenBudget = 1000L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__slice"), s"expected sliced prefix sum in:\n$plan")
+  }
+
   test("bigramLmScore: sub-2-token docs emit n_bigrams=0, score 0") {
     val tiny = Seq((1L, "word"), (2L, ""), (3L, "two tokens")).toDF("doc_id", "text")
     val out = Curation.bigramLmScore(tiny, "doc_id", "text")

@@ -68,6 +68,38 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected TakeOrderedAndProject in:\n$tnPlan")
   }
 
+  test("sliced prefix-sum queries match the single-window formulation on testdata") {
+    import graft.functions.TextFunctions.tokens
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // text_pack_sequences, as one naive window per language
+    val t = docs.select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_tokens"))
+    val naivePack = t.withColumn("__cum",
+      sum($"n_tokens").over(Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"doc_id", $"lang", $"n_tokens", expr("(__cum - n_tokens) div 2048").as("pack_id"))
+    val pack = graft.SparkEntry.queries("text_pack_sequences")(spark, sf)
+    assert(pack.collect().toSet == naivePack.collect().toSet)
+
+    // text_domain_mix, as one naive window per source
+    val weights = ((0 until 10).map(i => s"src$i" -> 0.0625) ++
+      (10 until 20).map(i => s"src$i" -> 0.03125)).toMap
+    val budgets = weights.toSeq.map { case (s, w) => (s, (w * 8192L).toLong) }
+      .toDF("source", "__budget")
+    val keyed = docs.select($"source", $"doc_id",
+      size(tokens($"text")).cast("long").as("n_tokens"),
+      graft.functions.TextFunctions.hash60(
+        concat(lit("mix:"), $"doc_id".cast("string"))).as("__key"))
+      .join(broadcast(budgets), "source")
+    val naiveMix = keyed.withColumn("cum_tokens",
+      sum($"n_tokens").over(Window.partitionBy("source").orderBy("__key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where($"cum_tokens" - $"n_tokens" < $"__budget")
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+    val mix = graft.SparkEntry.queries("text_domain_mix")(spark, sf)
+    assert(mix.collect().toSet == naiveMix.collect().toSet)
+  }
+
   test("incremental dedup against a persisted LSH index: corpus side never shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val corpus = docs.where($"doc_id" % 5 =!= 0L)
