@@ -183,19 +183,29 @@ object EventStreams {
                     joinType: String = "left"): DataFrame =
     events.join(broadcast(dim), Seq(key), joinType)
 
-  /** Adapt the raw events table (nanos `ts` LONG) to the typed stream. */
   /** A user's funnel progress so far: earliest completion micros per
     * step, -1 while the step is unreached. */
   final case class FunnelState(times: Seq[Long])
 
-  /** Progress row emitted whenever a user's funnel advances. */
+  /** Progress row: emitted when a user's funnel advances, and once more
+    * with `closed = true` when the funnel terminates (all steps completed,
+    * or the conversion window expired at the watermark). */
   final case class FunnelProgress(user_id: Long, steps_completed: Int,
-                                  times: Seq[Long])
+                                  times: Seq[Long], closed: Boolean)
 
   /** Streaming twin of [[graft.ops.Funnel]]: per-user funnel state
-    * maintained across micro-batches with `mapGroupsWithState`; a row is
-    * emitted each trigger the user advanced. State is O(steps) per user
-    * — never an event buffer.
+    * maintained across micro-batches with `flatMapGroupsWithState`; a row
+    * is emitted only on a trigger where the user ADVANCED a step, plus one
+    * terminal `closed = true` row. State is O(steps) per user — never an
+    * event buffer — and it is BOUNDED IN TIME too: funnels conventionally
+    * count conversions "within N days of entry", so an event-time timeout
+    * is armed at `entry (first-step time) + conversionWindowUs`. Once the
+    * watermark passes it, the user's final progress is emitted and the
+    * state evicted — an unbounded stream no longer accumulates state for
+    * every user ever seen. Users whose events never complete the entry
+    * step keep ZERO state. Events behind the watermark are dropped by the
+    * operator, so an evicted funnel cannot be resurrected by stragglers; a
+    * fresh in-watermark entry event starts a NEW funnel journey.
     *
     * Ordering contract: events are processed in event-time order WITHIN
     * each micro-batch (the group iterator is sorted here); an event
@@ -203,27 +213,63 @@ object EventStreams {
     * only advance steps conservatively (it cannot retroactively enable a
     * step-completion that needed it earlier). With triggers in event-time
     * order the final state equals the batch funnel exactly (pinned in
-    * EventStreamsSpec). */
-  def funnelProgress(events: Dataset[Event], steps: Seq[String]): Dataset[FunnelProgress] = {
+    * EventStreamsSpec). In one-shot batch execution timeouts never fire
+    * (same caveat as [[sessionize]]): only advancement/completion rows
+    * are emitted. */
+  def funnelProgress(events: Dataset[Event], steps: Seq[String],
+                     conversionWindowUs: Long = 7L * 24 * 3600 * 1000000L,
+                     watermarkDelay: String = "10 seconds"): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     events
+      .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_utc", watermarkDelay)
+      .as[Event]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelState, FunnelProgress](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
-          val t = state.getOption.map(_.times.toArray)
-            .getOrElse(Array.fill(steps.size)(-1L))
-          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-            stepIdx.get(e.event_type).foreach { i =>
-              val prevOk = i == 0 || (t(i - 1) >= 0 && e.ts_us > t(i - 1))
-              if (prevOk && (t(i) < 0 || e.ts_us < t(i))) t(i) = e.ts_us
+          if (state.hasTimedOut) {
+            // Conversion window expired: emit final progress, evict.
+            val t = state.get.times
+            state.remove()
+            Iterator.single(FunnelProgress(user, t.takeWhile(_ >= 0).length, t,
+              closed = true))
+          } else {
+            val t = state.getOption.map(_.times.toArray)
+              .getOrElse(Array.fill(steps.size)(-1L))
+            var advanced = false
+            it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              stepIdx.get(e.event_type).foreach { i =>
+                val prevOk = i == 0 || (t(i - 1) >= 0 && e.ts_us > t(i - 1))
+                if (prevOk && (t(i) < 0 || e.ts_us < t(i))) { t(i) = e.ts_us; advanced = true }
+              }
+            }
+            val completed = t.takeWhile(_ >= 0).length
+            if (completed == steps.size) {
+              // Fully converted — terminal row now, nothing left to expire.
+              if (state.exists) state.remove()
+              Iterator.single(FunnelProgress(user, completed, t.toSeq, closed = true))
+            } else if (t(0) < 0) {
+              // Never entered the funnel (out-of-order later steps can't be
+              // credited): keep zero state, emit nothing.
+              Iterator.empty
+            } else {
+              state.update(FunnelState(t.toSeq))
+              // Deadline = funnel entry + conversion window; clamped above
+              // the current watermark per the GroupState contract.
+              val deadlineMs = t(0) / 1000 + conversionWindowUs / 1000
+              state.setTimeoutTimestamp(
+                math.max(deadlineMs, state.getCurrentWatermarkMs + 1))
+              if (advanced)
+                Iterator.single(FunnelProgress(user, completed, t.toSeq, closed = false))
+              else Iterator.empty
             }
           }
-          state.update(FunnelState(t.toSeq))
-          FunnelProgress(user, t.takeWhile(_ >= 0).length, t.toSeq)
       }
   }
 
+  /** Adapt the raw events table (nanos `ts` LONG) to the typed stream. */
   def typedEvents(raw: DataFrame): Dataset[Event] = {
     import raw.sparkSession.implicits._
     raw.select(col("event_id"), expr("ts div 1000").as("ts_us"),

@@ -273,4 +273,63 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("steps_completed")).toMap
     assert(b.view.mapValues(_.toInt).toMap == last)
   }
+
+  test("streaming funnel: emits only on advancement; no-progress users keep no state") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.Event
+    val B = 3600000000L
+    val input = MemoryStream[Event]
+    val prog = EventStreams.funnelProgress(input.toDS(), Seq("view", "click"))
+    val q = prog.writeStream.format("memory").queryName("funnel_adv_out")
+      .outputMode("update").start()
+    // user 1 views (advances); user 2 clicks without viewing (no progress row)
+    input.addData(Event(1, B, 1L, "view", 0.0), Event(2, B, 2L, "click", 0.0))
+    q.processAllAvailable()
+    // user 1 sends an untracked event type: state exists but nothing advanced
+    input.addData(Event(3, B + 1000L, 1L, "scroll", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel_adv_out")
+      .select("user_id", "steps_completed", "closed").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(rows.toSeq == Seq((1L, 1, false)),
+      s"exactly one advancement row expected, got ${rows.toSeq}")
+  }
+
+  test("streaming funnel: conversion window evicts quiet state; stragglers can't resurrect it") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.Event
+    val B = 3600000000L
+    val S = 1000000L // one second in micros
+    val input = MemoryStream[Event]
+    // 5 s conversion window, 10 s watermark delay
+    val prog = EventStreams.funnelProgress(input.toDS(), Seq("view", "click"),
+      conversionWindowUs = 5L * S)
+    val q = prog.writeStream.format("memory").queryName("funnel_evict_out")
+      .outputMode("update").start()
+
+    // batch 1: user 1 enters the funnel at B
+    input.addData(Event(1, B, 1L, "view", 0.0))
+    q.processAllAvailable()
+    // batch 2 advances max event time to B+20s (watermark lags one batch);
+    // batch 3 applies watermark B+10s > deadline B+5s → timeout fires
+    input.addData(Event(2, B + 20 * S, 2L, "view", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(3, B + 21 * S, 2L, "view", 0.0))
+    q.processAllAvailable()
+    val afterEvict = spark.table("funnel_evict_out")
+      .where(col("user_id") === 1L)
+      .select("steps_completed", "closed").collect()
+      .map(r => (r.getInt(0), r.getBoolean(1))).toSet
+    assert(afterEvict == Set((1, false), (1, true)),
+      s"expected advancement + expiry rows for user 1, got $afterEvict")
+
+    // a straggler click behind the watermark must NOT resurrect the funnel
+    input.addData(Event(4, B + 1 * S, 1L, "click", 0.0))
+    q.processAllAvailable()
+    val afterLate = spark.table("funnel_evict_out")
+      .where(col("user_id") === 1L).count()
+    assert(afterLate == 2, "late event must be dropped, not resurrect evicted state")
+    q.stop()
+  }
 }
