@@ -74,9 +74,22 @@ object Similarity {
   /** IVF top-k: probe only the query's own cluster (single-probe). */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              idCol: String, vecCol: String, qidCol: String, cidCol: String,
-             k: Int): DataFrame = {
-    val bc = ivfAssign(corpus, centroids, idCol, vecCol, cidCol)
-      .select(col(idCol), col(vecCol).as("__cvec"), col("cluster"))
+             k: Int): DataFrame =
+    ivfKnnPreAssigned(ivfAssign(corpus, centroids, idCol, vecCol, cidCol),
+      queries, centroids, idCol, vecCol, qidCol, cidCol, k)
+
+  /** IVF top-k over a PRE-ASSIGNED corpus — `assigned` is the output of
+    * [[ivfAssign]] (columns idCol, vecCol, cluster), ideally persisted
+    * bucketed on `cluster` (see [[graft.io.Bucketing]]). Repeated query
+    * batches then reuse the index instead of re-scanning the corpus and
+    * recomputing N×K centroid distances per call — the IVF read path at
+    * 100 TB, where assignment runs once per index build and kNN runs per
+    * query batch. Only the (small) query side computes centroid
+    * assignments here. */
+  def ivfKnnPreAssigned(assigned: DataFrame, queries: DataFrame,
+                        centroids: DataFrame, idCol: String, vecCol: String,
+                        qidCol: String, cidCol: String, k: Int): DataFrame = {
+    val bc = assigned.select(col(idCol), col(vecCol).as("__cvec"), col("cluster"))
     val bq = broadcast(ivfAssign(queries, centroids, qidCol, vecCol, cidCol)
       .select(col(qidCol), col(vecCol).as("__qvec"), col("cluster")))
     val scored = bc.join(bq, "cluster")
@@ -149,7 +162,13 @@ object Similarity {
     * entry by squared L2 (ties → lowest code), and pack the `m` codes
     * into one BIGINT (code_i in base-256 digit i).
     *
-    * `codebook` rows carry (cidCol ∈ [0, 256), vecCol full-width) — at
+    * Each code is the 0-based RANK of the winning entry in cid-sorted
+    * order, not the cid value itself (they coincide for contiguous
+    * 0..K-1 cids). Guards: `m ≤ 8` and ≤ 256 codebook entries, else the
+    * base-256 packing would overflow/collide (enforced, with the same
+    * contract on the [[pqKnn]] read path).
+    *
+    * `codebook` rows carry (cidCol, vecCol full-width) — at
     * scale it comes from sampled k-means, here from any deterministic
     * vector subset. The codebook is collapsed to a single sorted
     * array-of-structs row and broadcast, so assignment is PER-ROW Column
@@ -160,23 +179,12 @@ object Similarity {
     * subvector order — bit-identical in the SQL mirror. */
   def pqCodes(corpus: DataFrame, codebook: DataFrame, idCol: String,
               vecCol: String, cidCol: String, m: Int): DataFrame = {
-    val cb = broadcast(codebook
-      .agg(array_sort(collect_list(struct(col(cidCol).as("cid"), col(vecCol).as("cvec"))))
-        .as("__cb")))
-    val dim = size(col(vecCol))
-    val sub = floor(dim / m).cast("int") // subvector width per row
-    def subDist(vec: Column, cvec: Column, i: Int) = {
-      // squared L2 over subspace i: fold over positions [i*sub+1, (i+1)*sub]
-      aggregate(
-        zip_with(slice(vec, lit(i) * sub + 1, sub), slice(cvec, lit(i) * sub + 1, sub),
-          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, d) => acc + d)
-    }
+    val cb = collectCodebook(codebook, cidCol, vecCol, m)
     // Bind the per-subspace distance arrays as attributes BEFORE taking
     // argmin: array_position + array_min would otherwise inline (and
     // re-evaluate) the full distance transform twice per subspace.
     val distCols = (0 until m).map(i =>
-      transform(col("__cb"), c => subDist(col(vecCol), c.getField("cvec"), i)).as(s"__d$i"))
+      transform(col("__cb"), c => subL2(col(vecCol), c.getField("cvec"), i, m)).as(s"__d$i"))
     // argmin = first index achieving the min — codebook sorted by cid,
     // so ties resolve to the lowest code.
     val codes = (0 until m).map(i =>
@@ -188,5 +196,71 @@ object Similarity {
       .select(col(idCol) +: distCols: _*)
       .select(col(idCol) +: codes: _*)
       .withColumn("pq_code", packed)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over packed PQ codes — the 100 TB
+    * ANN read path that [[pqCodes]] exists for: the scan touches only the
+    * 8-byte `pq_code` column, never the full vectors (a 64-float vector
+    * is 256 bytes; its 4-subspace code is 4). Per query, one lookup table
+    * of `K` exact query↔codebook subspace distances is computed per
+    * subspace and broadcast; each corpus row's approximate distance is
+    * then `m` array lookups on its unpacked code digits. Zero corpus
+    * shuffle until the final per-query top-k window.
+    *
+    * `codes` is the output of [[pqCodes]] (idCol, `pq_code`); `queries`
+    * carries raw vectors (qidCol, vecCol); `codebook`/`m` must be the
+    * SAME as at code-assignment time (codes are positional ranks in cid
+    * order — see [[pqCodes]]). Output: (qid, id, adc_dist, rank ≤ k),
+    * ascending approximate squared L2. */
+  def pqKnn(codes: DataFrame, queries: DataFrame, codebook: DataFrame,
+            idCol: String, vecCol: String, qidCol: String, cidCol: String,
+            m: Int, k: Int): DataFrame = {
+    val cb = collectCodebook(codebook, cidCol, vecCol, m)
+    // Per-query, per-subspace lookup tables over the broadcast codebook:
+    // bound as attributes so the argmin-free lookups below don't inline
+    // the distance transform.
+    val lutCols = (0 until m).map(i =>
+      transform(col("__cb"), c => subL2(col(vecCol), c.getField("cvec"), i, m)).as(s"__lut$i"))
+    val q = broadcast(queries.crossJoin(cb).select(col(qidCol) +: lutCols: _*))
+    // Unpack digit i = (pq_code >> 8i) & 255, then ADC distance = the sum
+    // of one LUT entry per subspace (left-to-right, bit-deterministic).
+    val dist = (0 until m).map(i =>
+      element_at(col(s"__lut$i"),
+        (shiftrightunsigned(col("pq_code"), 8 * i).bitwiseAND(lit(255L)) + 1L).cast("int")))
+      .reduce(_ + _)
+    val w = Window.partitionBy(qidCol).orderBy(col("adc_dist"), col(idCol))
+    codes.crossJoin(q)
+      .where(col(qidCol) =!= col(idCol))
+      .select(col(qidCol), col(idCol), dist.as("adc_dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Collapse + validate the codebook: one sorted array-of-structs row,
+    * broadcast. Codes are POSITIONS in cid-sorted order (0-based ranks),
+    * not cid values — with non-contiguous cids the code is the rank of
+    * the winning entry. ≤ 256 entries and m ≤ 8 keep the base-256 packing
+    * of [[pqCodes]] collision-free within one BIGINT. */
+  private def collectCodebook(codebook: DataFrame, cidCol: String,
+                              vecCol: String, m: Int): DataFrame = {
+    require(m >= 1 && m <= 8,
+      s"m must be in [1, 8]: $m base-256 digits would overflow the 64-bit pq_code")
+    val n = codebook.count()
+    require(n >= 1 && n <= 256,
+      s"codebook must have 1..256 entries, got $n: larger codebooks overflow a base-256 digit")
+    broadcast(codebook
+      .agg(array_sort(collect_list(struct(col(cidCol).as("cid"), col(vecCol).as("cvec"))))
+        .as("__cb")))
+  }
+
+  /** Squared L2 between subspace `i` of `vec` and of `cvec` (`m` equal
+    * subvectors; fold over positions [i·sub+1, (i+1)·sub], accumulating
+    * left-to-right in double — bit-identical in the SQL mirror). */
+  private def subL2(vec: Column, cvec: Column, i: Int, m: Int): Column = {
+    val sub = floor(size(vec) / m).cast("int") // subvector width per row
+    aggregate(
+      zip_with(slice(vec, lit(i) * sub + 1, sub), slice(cvec, lit(i) * sub + 1, sub),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, d) => acc + d)
   }
 }

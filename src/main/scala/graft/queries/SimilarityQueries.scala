@@ -131,7 +131,20 @@ object SimilarityQueries {
       Similarity.pqCodes(emb(s, dir),
         emb(s, dir).where(col("vec_id") < 16)
           .select(col("vec_id").as("cid"), col("embedding")),
-        "vec_id", "embedding", "cid", m = 4))
+        "vec_id", "embedding", "cid", m = 4)),
+
+    // PQ ADC read path: top-5 by asymmetric distance computed from the
+    // packed codes alone — per query one 16-entry LUT per subspace, per
+    // corpus row m digit lookups. The scan side touches only (vec_id,
+    // pq_code); raw vectors appear solely on the broadcast query side.
+    "sim_pq_knn" -> ((s, dir) => {
+      val cb = emb(s, dir).where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val codes = Similarity.pqCodes(emb(s, dir), cb,
+        "vec_id", "embedding", "cid", m = 4).select("vec_id", "pq_code")
+      Similarity.pqKnn(codes, queriesDf(s, dir), cb,
+        "vec_id", "embedding", "qid", "cid", m = 4, k = 5)
+    })
   )
 
   /** Shared SQL: sequential-fold dot product and cosine over FLOAT[]. */
@@ -291,29 +304,61 @@ object SimilarityQueries {
 
     // PQ mirror: same 0.0-seeded left fold of squared diffs per subspace,
     // first-min list_position for ties, base-256 packing.
-    "sim_pq_codes" -> {
-      def distSql(i: Int) =
-        s"""list_transform(cb, c -> list_reduce(list_prepend(0.0,
-           |    list_transform(range(0, 16), j ->
-           |      (embedding[(${i * 16} + j + 1)::INT]::DOUBLE
-           |         - struct_extract(c, 'cvec')[(${i * 16} + j + 1)::INT]::DOUBLE)
-           |      * (embedding[(${i * 16} + j + 1)::INT]::DOUBLE
-           |         - struct_extract(c, 'cvec')[(${i * 16} + j + 1)::INT]::DOUBLE))),
-           |  (a, x) -> a + x))""".stripMargin
-      s"""WITH cbl AS (
-         |  SELECT list(struct_pack(cid := vec_id, cvec := embedding) ORDER BY vec_id) AS cb
-         |  FROM embeddings WHERE vec_id < 16),
-         |d AS (
-         |  SELECT e.vec_id,
-         |    ${(0 until 4).map(i => s"${distSql(i)} AS d$i").mkString(",\n    ")}
-         |  FROM embeddings e CROSS JOIN cbl),
-         |codes AS (
-         |  SELECT vec_id,
-         |    ${(0 until 4).map(i => s"(list_position(d$i, list_min(d$i)) - 1)::BIGINT AS code$i").mkString(",\n    ")}
-         |  FROM d)
+    "sim_pq_codes" ->
+      s"""WITH $pqCodesCtes
          |SELECT vec_id, code0, code1, code2, code3,
          |  (code0 + code1 * 256 + code2 * 65536 + code3 * 16777216)::BIGINT AS pq_code
-         |FROM codes""".stripMargin
+         |FROM codes""".stripMargin,
+
+    // ADC mirror: per subspace, squared L2 between the query subvector
+    // and the codebook entry the CODE points at (rank+1 in cid order) —
+    // the same left-fold order as the Spark LUT lookups.
+    "sim_pq_knn" -> {
+      def adcSql(i: Int) = {
+        val cv = s"struct_extract(cb[(code$i + 1)::INT], 'cvec')"
+        s"""list_reduce(list_prepend(0.0,
+           |      list_transform(range(0, 16), j ->
+           |        (qv[(${i * 16} + j + 1)::INT]::DOUBLE - $cv[(${i * 16} + j + 1)::INT]::DOUBLE)
+           |        * (qv[(${i * 16} + j + 1)::INT]::DOUBLE - $cv[(${i * 16} + j + 1)::INT]::DOUBLE))),
+           |    (a, x) -> a + x)""".stripMargin
+      }
+      s"""WITH $pqCodesCtes,
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id,
+         |    ${(0 until 4).map(adcSql).mkString("\n    + ")} AS adc_dist
+         |  FROM codes c CROSS JOIN q CROSS JOIN cbl
+         |  WHERE c.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, vec_id, adc_dist, rank FROM ranked WHERE rank <= 5""".stripMargin
     }
   )
+
+  /** Shared PQ CTEs (cbl → d → codes): 16-entry codebook from the first
+    * 16 vectors, 4 × 16-dim subspace distances, first-min rank codes —
+    * mirrors [[graft.ops.Similarity.pqCodes]]; shared by the
+    * sim_pq_codes and sim_pq_knn oracles. */
+  private lazy val pqCodesCtes: String = {
+    def distSql(i: Int) =
+      s"""list_transform(cb, c -> list_reduce(list_prepend(0.0,
+         |    list_transform(range(0, 16), j ->
+         |      (embedding[(${i * 16} + j + 1)::INT]::DOUBLE
+         |         - struct_extract(c, 'cvec')[(${i * 16} + j + 1)::INT]::DOUBLE)
+         |      * (embedding[(${i * 16} + j + 1)::INT]::DOUBLE
+         |         - struct_extract(c, 'cvec')[(${i * 16} + j + 1)::INT]::DOUBLE))),
+         |  (a, x) -> a + x))""".stripMargin
+    s"""cbl AS (
+       |  SELECT list(struct_pack(cid := vec_id, cvec := embedding) ORDER BY vec_id) AS cb
+       |  FROM embeddings WHERE vec_id < 16),
+       |d AS (
+       |  SELECT e.vec_id,
+       |    ${(0 until 4).map(i => s"${distSql(i)} AS d$i").mkString(",\n    ")}
+       |  FROM embeddings e CROSS JOIN cbl),
+       |codes AS (
+       |  SELECT vec_id,
+       |    ${(0 until 4).map(i => s"(list_position(d$i, list_min(d$i)) - 1)::BIGINT AS code$i").mkString(",\n    ")}
+       |  FROM d)""".stripMargin
+  }
 }

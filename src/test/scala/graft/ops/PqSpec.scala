@@ -33,4 +33,76 @@ class PqSpec extends SparkSpec {
     val out = Similarity.pqCodes(pts, cb, "vec_id", "embedding", "cid", m = 1).collect()
     assert(out.head.getAs[Long]("code0") == 0L)
   }
+
+  test("pqKnn: ADC distance is exact when corpus vectors are codebook reconstructions") {
+    // Corpus = the 4 concatenations of the 2 codebook subvectors: every
+    // vector reconstructs exactly from its code, so ADC == true squared L2.
+    val combos = Seq(
+      (10L, Array(0f, 0f, 0f, 0f, 9f, 9f, 9f, 9f)), // (cb0, cb0)
+      (11L, Array(0f, 0f, 0f, 0f, 1f, 1f, 1f, 1f)), // (cb0, cb1)
+      (12L, Array(5f, 5f, 5f, 5f, 9f, 9f, 9f, 9f)), // (cb1, cb0)
+      (13L, Array(5f, 5f, 5f, 5f, 1f, 1f, 1f, 1f))  // (cb1, cb1)
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(combos, codebook, "vec_id", "embedding", "cid", m = 2)
+      .select("vec_id", "pq_code")
+    val q = Seq((99L, Array(1f, 0f, 0f, 0f, 8f, 9f, 9f, 9f))).toDF("qid", "embedding")
+    val got = Similarity.pqKnn(codes, q, codebook, "vec_id", "embedding", "qid", "cid",
+      m = 2, k = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("adc_dist"), r.getAs[Long]("rank"))).toMap
+    def l2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val qv = Array(1f, 0f, 0f, 0f, 8f, 9f, 9f, 9f)
+    val expect = Map(
+      10L -> l2(qv, Array(0f, 0f, 0f, 0f, 9f, 9f, 9f, 9f)),
+      11L -> l2(qv, Array(0f, 0f, 0f, 0f, 1f, 1f, 1f, 1f)),
+      12L -> l2(qv, Array(5f, 5f, 5f, 5f, 9f, 9f, 9f, 9f)),
+      13L -> l2(qv, Array(5f, 5f, 5f, 5f, 1f, 1f, 1f, 1f)))
+    expect.foreach { case (id, d) => assert(math.abs(got(id)._1 - d) < 1e-9) }
+    // ranking = ascending true distance
+    val byRank = got.toSeq.sortBy(_._2._2).map(_._1)
+    assert(byRank == expect.toSeq.sortBy(_._2).map(_._1))
+  }
+
+  test("pqKnn recall vs brute-force L2 on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = e.where($"vec_id" < 16).select($"vec_id".as("cid"), $"embedding")
+    val codes = Similarity.pqCodes(e, cb, "vec_id", "embedding", "cid", m = 4)
+      .select("vec_id", "pq_code")
+    val q = e.where($"vec_id" % 100 === 0).select($"vec_id".as("qid"), $"embedding")
+    // ADC is a SHORTLIST stage (scan codes, rerank survivors with exact
+    // math): assert the top-50 shortlist catches the exact top-5 far
+    // beyond chance. These synthetic embeddings are near-random — the
+    // hardest case for any quantizer — so chance recall is 50/499 ≈ 0.10;
+    // measured ADC shortlist recall is ~0.36.
+    val approx = Similarity.pqKnn(codes, q, cb, "vec_id", "embedding", "qid", "cid",
+      m = 4, k = 50)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+    // exact top-5 by squared L2 (not cosine — ADC approximates L2)
+    import org.apache.spark.sql.expressions.Window
+    val qv = e.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val exact = e.crossJoin(broadcast(qv)).where($"qid" =!= $"vec_id")
+      .select($"qid", $"vec_id",
+        aggregate(zip_with($"embedding", $"qv",
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (a, d) => a + d).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy($"d2", $"vec_id")))
+      .where($"rank" <= 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+    val recall = approx.toSet.intersect(exact.toSet).size.toDouble / exact.length
+    assert(recall >= 0.2, s"PQ ADC shortlist recall vs brute L2 too low: $recall")
+  }
+
+  test("pq guards: m > 8 and oversized codebooks are rejected") {
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodes(vecs, codebook, "vec_id", "embedding", "cid", m = 9)
+    }
+    val big = spark.range(257).select($"id".as("cid"),
+      array(lit(0f), lit(0f)).as("embedding"))
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodes(vecs, big, "vec_id", "embedding", "cid", m = 1)
+    }
+  }
 }

@@ -100,6 +100,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(mix.collect().toSet == naiveMix.collect().toSet)
   }
 
+  test("ivfKnnPreAssigned reuses the materialized assignment — no corpus centroid rescan") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = e.where($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    val assigned = Similarity.ivfAssign(e, cents, "vec_id", "embedding", "cid")
+      .localCheckpoint(true) // stands in for a persisted bucketed index
+    val q = e.where($"vec_id" % 100 === 0).select($"vec_id".as("qid"), $"embedding")
+    val reused = Similarity.ivfKnnPreAssigned(assigned, q, cents,
+      "vec_id", "embedding", "qid", "cid", k = 3)
+    val fresh = Similarity.ivfKnn(e, q, cents, "vec_id", "embedding", "qid", "cid", k = 3)
+    assert(reused.collect().toSet == fresh.collect().toSet)
+    // the only centroid crossJoin left is the tiny broadcast query side;
+    // the fresh path pays it on the corpus side too. (sparkPlan, not
+    // executedPlan: AQE's toString prints initial+final and double-counts)
+    def nBnlj(p: String) = p.split("BroadcastNestedLoopJoin").length - 1
+    assert(nBnlj(reused.queryExecution.sparkPlan.toString) == 1,
+      "pre-assigned path must not re-scan the corpus against centroids")
+    assert(nBnlj(fresh.queryExecution.sparkPlan.toString) == 2)
+  }
+
   test("incremental dedup against a persisted LSH index: corpus side never shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val corpus = docs.where($"doc_id" % 5 =!= 0L)
