@@ -114,9 +114,13 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
       maxFilesPerTrigger = maxFilesPerTrigger)
   }
 
-  /** The change-data-feed log maintained by [[streamWithChangeFeed]]. */
+  /** The change-data-feed log maintained by [[streamWithChangeFeed]].
+    * `batch_id` is the hive partition key of the log (one dir per
+    * micro-batch — the idempotent-replay unit and the incremental-read
+    * prune key), normalized back to BIGINT here. */
   def readChangeFeed(schema: String, table: String): DataFrame =
     spark.read.parquet(changeFeedPath(schema, table))
+      .withColumn("batch_id", org.apache.spark.sql.functions.col("batch_id").cast("long"))
 
   private def changeFeedPath(schema: String, table: String): String =
     s"${lakeRoot.stripSuffix("/")}/_changes/$schema/$table"

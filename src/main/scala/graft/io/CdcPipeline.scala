@@ -31,12 +31,14 @@ object CdcPipeline {
   final case class MergeStats(rowsWritten: Long, impactedFiles: Seq[String], insertOnly: Boolean)
 
   /** Optional change-data-feed sidecar for [[mergeTagged]]: per-operation
-    * pre/post image rows ([[graft.cdc.ChangeFeed]]) appended to `path`
+    * pre/post image rows ([[graft.cdc.ChangeFeed]]) written under `path`
     * for the tracked columns. Written only on the PK merge path —
     * insert-only loads (no PK, or first load) are snapshots, not change
-    * streams, and emit no feed. Delivery is at-least-once: a crash
-    * between the feed append and the checkpoint/state commit replays the
-    * batch, so consumers dedup on (pks, change_seq, batch marker). */
+    * streams, and emit no feed. With a `batchTag`, each batch writes its
+    * own `batch_id=<id>` partition and a completed partition is never
+    * rewritten, so at-least-once replays leave exactly one copy with the
+    * original pre-images (effectively exactly-once for the feed); without
+    * a tag the write is a plain append and replays duplicate. */
   final case class ChangeFeedSink(path: String, trackCols: Seq[String],
                                   batchTag: Option[Long] = None)
 
@@ -174,8 +176,24 @@ object CdcPipeline {
       changeFeed.foreach { sink =>
         val feed = graft.cdc.ChangeFeed.feedSequenced(
           impactedRows, sequenced, pks, sink.trackCols)
-        val tagged = sink.batchTag.fold(feed)(id => feed.withColumn("batch_id", lit(id)))
-        tagged.write.mode("append").parquet(sink.path)
+        sink.batchTag match {
+          case Some(id) =>
+            // Idempotent per-batch write: the micro-batch owns the
+            // hive-style partition dir `batch_id=<id>`. A replay that
+            // finds the partition COMPLETE (_SUCCESS present) skips the
+            // write — preserving the ORIGINAL pre-images, which a
+            // recompute after the merge landed could not reproduce
+            // (*_old would read post-merge values) — while a partial
+            // write from a crash mid-append is overwritten whole. The
+            // batch partition doubles as the consumer's incremental-read
+            // prune key.
+            val part = new Path(sink.path, s"batch_id=$id")
+            val pfs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!pfs.exists(new Path(part, "_SUCCESS")))
+              feed.write.mode("overwrite").parquet(part.toString)
+          case None =>
+            feed.write.mode("append").parquet(sink.path)
+        }
       }
 
       // U1+W2+P4-P6: latest-wins merge of batch into impacted rows.

@@ -63,9 +63,12 @@ object CdcStream {
     * lake — the lakehouse "table_changes()" surface, maintained
     * incrementally by the same stream that maintains the table.
     *
-    * Delivery of the feed is at-least-once (a crash between the feed
-    * append and the checkpoint commit replays the batch); consumers dedup
-    * on (pks, change_seq, batch_id), which replays reproduce exactly. */
+    * Feed delivery is effectively exactly-once: each micro-batch writes
+    * its own `batch_id=<id>` partition, and a replay (crash between feed
+    * write and checkpoint commit) skips a completed partition — so the
+    * log keeps the ORIGINAL pre-images, which a post-merge recompute
+    * could not reproduce — and rewrites a partial one whole. Rows within
+    * a batch are keyed (pks, change_seq, batch_id). */
   def startWithChangeFeed(spark: SparkSession, tableDir: String, outPath: String,
                           cdfPath: String, trackCols: Seq[String], cfg: TableConfig,
                           checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),

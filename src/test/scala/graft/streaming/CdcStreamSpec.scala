@@ -2,7 +2,9 @@ package graft.streaming
 
 import graft.SparkSpec
 import graft.cdc.TableConfig
+import graft.io.CdcPipeline
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.Files
 
@@ -219,8 +221,10 @@ class CdcStreamSpec extends SparkSpec {
     assert(back.count() == 5) // 5 + 1 insert - 1 delete
     assert(back.filter($"id" === 2).head().getAs[String]("v") == "NEW")
 
-    // the CDF log holds both batches' operations
+    // the CDF log holds both batches' operations (batch_id is the hive
+    // partition key of the log → cast back from the inferred int)
     val feed = spark.read.parquet(cdf)
+      .selectExpr("id", "Op", "v_old", "v_new", "CAST(batch_id AS BIGINT) AS batch_id")
     val rows = feed.collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("Op"),
       r.getAs[String]("v_old"), r.getAs[String]("v_new"), r.getAs[Long]("batch_id"))).toSet
     val batch0 = (1 to 5).map(i => (i, "I", null, s"v$i", 0L)).toSet
@@ -228,5 +232,39 @@ class CdcStreamSpec extends SparkSpec {
       (2, "U", "v2", "NEW", 1L),  // pre-image read from the pre-merge target
       (3, "D", "v3", null, 1L),   // delete: post-image NULL
       (9, "I", null, "v9", 1L)))  // brand-new key: pre-image NULL
+  }
+
+  test("change feed replay: re-merging a batch keeps one copy with original pre-images") {
+    val lake = Files.createTempDirectory("lakeR").toString + "/db/t"
+    val cdf = Files.createTempDirectory("cdfR").toString + "/db/t_changes"
+    val cfg = TableConfig(Seq("id"), Nil, active = true)
+    CdcPipeline.loadInitial(spark,
+      Seq.empty ++ { // seed via a staged LOAD file
+        val raw = Files.createTempDirectory("rawR").toString
+        writeFile((1 to 3).map(i => ("I", i, s"v$i")).toDF("Op", "id", "v"),
+          raw, "LOAD00000001.parquet")
+        Seq(s"$raw/LOAD00000001.parquet")
+      }, lake, cfg)
+    val batch = Seq(("U", 2, "NEW")).toDF("Op", "id", "v")
+      .withColumn(CdcPipeline.SrcFile, lit("20260812-000002.parquet"))
+      .withColumn(CdcPipeline.RowIdx, lit(0L))
+    val sink = CdcPipeline.ChangeFeedSink(cdf, Seq("v"), Some(7L))
+    CdcPipeline.mergeTagged(spark, batch, lake, cfg, Some(sink))
+    // crash-after-merge scenario: the same batch re-applies against the
+    // ALREADY-MERGED target (a recompute would see v_old = "NEW")
+    CdcPipeline.mergeTagged(spark, batch, lake, cfg, Some(sink))
+    val feed = spark.read.parquet(cdf).collect()
+    assert(feed.length == 1, "replay must not append a second feed copy")
+    assert(feed.head.getAs[String]("v_old") == "v2",
+      "completed batch partition must keep the ORIGINAL pre-image")
+    assert(feed.head.getAs[String]("v_new") == "NEW")
+
+    // partial-write healing: strip the _SUCCESS marker (simulated crash
+    // mid-feed-write) — the replay overwrites the partition whole
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$cdf/batch_id=7/_SUCCESS"), false)
+    CdcPipeline.mergeTagged(spark, batch, lake, cfg, Some(sink))
+    val healed = spark.read.parquet(cdf).collect()
+    assert(healed.length == 1, "incomplete partition must be rewritten, not appended")
   }
 }

@@ -148,11 +148,13 @@ class StreamBatchEquivSpec extends SparkSpec {
       // 1) the lake matches the batch merge
       val lakesMatch = lakeState(lakeS) == lakeState(lakeB)
 
-      // 2) replaying the (at-least-once) feed — deduped on the documented
-      // (id, change_seq, batch_id) key, per-key order (batch_id,
-      // change_seq) — over the LOAD snapshot reconstructs the same state
+      // 2) replaying the feed — keyed on (id, change_seq, batch_id), per-key
+      // order (batch_id, change_seq) — over the LOAD snapshot reconstructs
+      // the same state. The per-batch partition write makes the log
+      // effectively exactly-once; distinct() is belt-and-braces.
       val feed = spark.read.parquet(cdf)
-        .select("id", "change_seq", "batch_id", "Op", "v_new").distinct()
+        .selectExpr("id", "change_seq", "CAST(batch_id AS BIGINT) AS batch_id",
+          "Op", "v_new").distinct()
         .collect()
         .map(r => (r.getAs[Int]("id"), r.getAs[Long]("change_seq"),
           r.getAs[Long]("batch_id"), r.getAs[String]("Op"),
