@@ -45,8 +45,68 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
   }
 
   /** One scheduled run over every discovered table (initial loads +
-    * incremental merges as watermarks dictate). */
-  def sync(): Map[String, List[Controller.Action]] = controller.runOnce()
+    * incremental merges as watermarks dictate). Lake outputs are
+    * (re-)registered in the session catalog afterwards ([[registerAll]]),
+    * so `spark.sql("... FROM <schema>_<table>")` always sees the
+    * post-sync snapshot — copy-on-write replaces files, so a view planned
+    * before the sync would read deleted paths. */
+  def sync(): Map[String, List[Controller.Action]] = {
+    val res = controller.runOnce()
+    registerAll(): Unit
+    res
+  }
+
+  /** Continuous ingestion: one CDC stream per ACTIVE table, each with its
+    * own checkpoint under `<checkpointRoot>/<schema>/<table>` — the
+    * streaming twin of [[sync]] and the parity surface for the
+    * reference's 50-way concurrent per-table fan-out
+    * (/root/reference/DMSCDC_Controller.py:107-110). The returned
+    * [[graft.streaming.StreamManager]] surfaces per-table queries,
+    * metrics and failures, and restarts dead streams.
+    *
+    * Streams consume only CDC files (`2*`); run [[sync]] first when LOAD
+    * snapshots need an initial load (a PK table without one merges its
+    * first CDC batch against the empty target). */
+  def syncStreaming(checkpointRoot: String, maxFilesPerTrigger: Int = 100)
+      : streaming.StreamManager = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ts = Discovery.listTables(rawRoot, conf)
+    ts.foreach(t => store.upsertDefaults(t.dir))
+    val active = ts.filter(t => store.get(t.dir).exists(_.config.active))
+    val starters = active.map { t =>
+      t.key -> { () =>
+        val cfg = store.get(t.dir).map(_.config).getOrElse(TableConfig())
+        streaming.CdcStream.start(spark, t.dir,
+          s"${lakeRoot.stripSuffix("/")}/${t.key}", cfg,
+          s"${checkpointRoot.stripSuffix("/")}/${t.key}",
+          maxFilesPerTrigger = maxFilesPerTrigger)
+      }
+    }.toMap
+    new streaming.StreamManager(spark, starters).startAll()
+  }
+
+  /** Register a lake table as a named temp view (`<schema>_<table>` by
+    * default) — the local equivalent of the reference's Glue crawler
+    * cataloging the lake bucket for SQL users (SURVEY.md §1.1;
+    * /root/reference/DMSCDC_CloudTemplate_Source.yaml:210-232). The view
+    * captures the CURRENT file set; [[sync]] re-registers after each run
+    * because the copy-on-write merge replaces files. */
+  def register(schema: String, table: String): String = {
+    val name = s"${schema}_$table"
+    read(schema, table).createOrReplaceTempView(name)
+    name
+  }
+
+  /** Register every discovered table that has lake output; returns the
+    * view names. */
+  def registerAll(): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Discovery.listTables(rawRoot, conf).flatMap { t =>
+      val out = new org.apache.hadoop.fs.Path(s"${lakeRoot.stripSuffix("/")}/${t.key}")
+      val fs = out.getFileSystem(conf)
+      if (fs.exists(out)) Some(register(t.schema, t.table)) else None
+    }
+  }
 
   /** Read a lake table (mergeSchema: evolved tables read their union
     * schema). */

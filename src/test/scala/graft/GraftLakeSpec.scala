@@ -60,6 +60,12 @@ class GraftLakeSpec extends SparkSpec {
     // and the sync merges it (evolution path), after which drift is clear
     assert(lake.sync()("db/t") == List(Controller.Incremental(1, 1)))
     assert(lake.drift("db", "t").isEmpty)
+
+    // catalog: sync (re-)registered the lake table as a named view over
+    // the POST-merge file set — SQL by name sees the evolved snapshot
+    assert(spark.sql("SELECT count(*) FROM db_t").head().getLong(0) == 4)
+    assert(spark.sql("SELECT v FROM db_t WHERE id = 1").head().getString(0) == "a2")
+    assert(spark.sql("SELECT score FROM db_t WHERE id = 4").head().getDouble(0) == 1.5)
   }
 
   test("drift reports retypes across mixed-type raw files instead of throwing") {
@@ -108,5 +114,82 @@ class GraftLakeSpec extends SparkSpec {
       r.getAs[String]("v_old"), r.getAs[String]("v_new"))).toSet
     val initial = (1 to 4).map(i => (i, "I", null, s"v$i")).toSet
     assert(rows == initial ++ Set((2, "U", "v2", "NEW"), (4, "D", "v4", null)))
+  }
+
+  test("façade: syncStreaming fans out one stream per active table, independent checkpoints") {
+    val raw = Files.createTempDirectory("rawM").toString
+    val out = Files.createTempDirectory("lakeM").toString
+    val st = Files.createTempDirectory("stateM").toString
+    val ckpt = Files.createTempDirectory("ckptM").toString
+    writeFile(Seq(("I", 1, "a1"), ("I", 2, "a2")).toDF("Op", "id", "v"),
+      s"$raw/db/a", "20260812-01.parquet")
+    writeFile(Seq(("I", 1, "b1"), ("I", 2, "b2"), ("I", 3, "b3")).toDF("Op", "id", "v"),
+      s"$raw/db/b", "20260812-01.parquet")
+
+    val lake = GraftLake(spark, raw, out, st)
+    lake.tables()
+    lake.activate("db", "a", primaryKeys = Seq("id"))
+    lake.activate("db", "b", primaryKeys = Seq("id"))
+    val mgr = lake.syncStreaming(ckpt)
+    try {
+      mgr.awaitAll()
+      assert(mgr.queries.keySet == Set("db/a", "db/b"))
+      assert(mgr.failures.isEmpty, mgr.failures.toString)
+      assert(lake.read("db", "a").count() == 2)
+      assert(lake.read("db", "b").count() == 3)
+      assert(new java.io.File(s"$ckpt/db/a").isDirectory)
+      assert(new java.io.File(s"$ckpt/db/b").isDirectory)
+
+      // per-table metrics land asynchronously on the listener bus
+      // (inputRows counts source scans, and the merge re-reads the batch
+      // for file-list/impacted/count/write — so >= file rows, not ==)
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      var ok = false
+      while (System.nanoTime() < deadline && !ok) {
+        ok = mgr.metricsFor("db/a").exists(s => s.inputRows >= 2 && s.batches >= 1) &&
+          mgr.metricsFor("db/b").exists(s => s.inputRows >= 3 && s.batches >= 1)
+        if (!ok) Thread.sleep(50)
+      }
+      assert(ok, s"per-table metrics missing: a=${mgr.metricsFor("db/a")} b=${mgr.metricsFor("db/b")}")
+
+      // a second catch-up after new data: restart the finished queries
+      writeFile(Seq(("U", 1, "a1x")).toDF("Op", "id", "v"), s"$raw/db/a", "20260812-02.parquet")
+      mgr.startAll().awaitAll()
+      assert(lake.read("db", "a").where($"id" === 1).head().getAs[String]("v") == "a1x")
+    } finally mgr.stopAll()
+  }
+
+  test("StreamManager isolates a broken table and restartFailed recovers it") {
+    val raw = Files.createTempDirectory("rawB").toString
+    val out = Files.createTempDirectory("lakeB").toString
+    val st = Files.createTempDirectory("stateB").toString
+    val ckpt = Files.createTempDirectory("ckptB").toString
+    writeFile(Seq(("I", 1, "g1")).toDF("Op", "id", "v"), s"$raw/db/good", "20260812-01.parquet")
+    // corrupt parquet: schema inference at stream start throws
+    val badDir = new java.io.File(s"$raw/db/bad"); badDir.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$raw/db/bad/20260812-01.parquet"),
+      "not a parquet file".getBytes)
+
+    val lake = GraftLake(spark, raw, out, st)
+    lake.tables()
+    lake.activate("db", "good", primaryKeys = Seq("id"))
+    lake.activate("db", "bad", primaryKeys = Seq("id"))
+    val mgr = lake.syncStreaming(ckpt)
+    try {
+      mgr.awaitAll()
+      // the broken table failed; the good one is untouched by it
+      assert(mgr.failures.keySet == Set("db/bad"), mgr.failures.toString)
+      assert(lake.read("db", "good").count() == 1)
+
+      // repair the raw file, then restart only the dead stream
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$raw/db/bad/20260812-01.parquet"), false)
+      writeFile(Seq(("I", 7, "fixed")).toDF("Op", "id", "v"),
+        s"$raw/db/bad", "20260812-01.parquet")
+      assert(mgr.restartFailed() == Seq("db/bad"))
+      mgr.awaitAll()
+      assert(mgr.failures.isEmpty, mgr.failures.toString)
+      assert(lake.read("db", "bad").head().getAs[String]("v") == "fixed")
+    } finally mgr.stopAll()
   }
 }
