@@ -22,5 +22,18 @@ object Bucketing {
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
+  /** Append rows into an existing bucketed table, preserving the bucket
+    * layout (the spec must match the table's; `saveAsTable` validates).
+    * Each append adds one file per non-empty bucket — readers still get
+    * exchange-free joins (bucket files group by bucket id), at the cost
+    * of file-count growth: compact periodically (re-`writeBucketed`) on a
+    * high-churn table. */
+  def appendBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                     sorted: Boolean = true): Unit = {
+    require(buckets > 0)
+    val w = df.write.mode("append").format("parquet").bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
+
   def readBucketed(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

@@ -275,6 +275,19 @@ object Dedup {
     graft.io.Bucketing.writeBucketed(
       minHashed(docs, idCol, textCol, shingleWords, k, bands), table, "band_key", buckets)
 
+  /** Append a new batch's band rows to a persisted LSH index, preserving
+    * the bucket layout — the dedup-on-ingest loop closes: a batch is
+    * checked against the index ([[lshCandidatesAgainstIndex]]) and then
+    * BECOMES part of it, no corpus rebuild. Sketch parameters and bucket
+    * count must match the index's write-time values. Appends add one file
+    * per non-empty bucket; compact a high-churn index periodically with
+    * [[writeLshIndex]] over the full corpus. */
+  def appendToLshIndex(docs: DataFrame, idCol: String, textCol: String, table: String,
+                       buckets: Int, shingleWords: Int = 3, k: Int = 16,
+                       bands: Int = 4): Unit =
+    graft.io.Bucketing.appendBucketed(
+      minHashed(docs, idCol, textCol, shingleWords, k, bands), table, "band_key", buckets)
+
   /** Candidate near-dup pairs of a NEW batch against a persisted LSH
     * index: (id_new, id_corpus, est_jaccard). Sketch parameters must
     * match the ones the index was written with.
@@ -285,8 +298,14 @@ object Dedup {
     * exists anywhere in the plan. What does move: the batch (broadcast
     * when small, hash-exchanged into the bucket layout otherwise) and the
     * candidates-proportional distinct. `maxBucketSize` caps corpus
-    * postings per band key before the join, same guard as
-    * [[lshCandidatePairs]]. */
+    * postings per band key before the join — the same guard as
+    * [[lshCandidatePairs]], but with deliberately different SEMANTICS:
+    * here the cap bounds CORPUS-side postings only (the index is the
+    * quadratic risk; the incoming batch is small by construction), while
+    * the full recompute caps the combined corpus+batch bucket. Near the
+    * cap boundary the two paths may therefore disagree about which heavy
+    * buckets are dropped; equivalence holds for buckets below the cap on
+    * both sides. */
   def lshCandidatesAgainstIndex(spark: org.apache.spark.sql.SparkSession, table: String,
                                 newDocs: DataFrame, idCol: String, textCol: String,
                                 shingleWords: Int = 3, k: Int = 16, bands: Int = 4,

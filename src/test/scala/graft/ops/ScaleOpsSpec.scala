@@ -119,6 +119,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(nBnlj(fresh.queryExecution.sparkPlan.toString) == 2)
   }
 
+  test("LSH index append: index + appended batch ≡ full rebuild, still exchange-free") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = docs.where($"doc_id" % 5 =!= 0L)
+    val extra = docs.where($"doc_id" % 10 === 0L)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val probe = docs.where($"doc_id" % 10 === 5L)
+      .withColumn("doc_id", $"doc_id" + 2000000L)
+    Dedup.writeLshIndex(base, "doc_id", "text", "lsh_idx_app", buckets = 4)
+    Dedup.appendToLshIndex(extra, "doc_id", "text", "lsh_idx_app", buckets = 4)
+    Dedup.writeLshIndex(base.unionByName(extra), "doc_id", "text", "lsh_idx_rebuild",
+      buckets = 4)
+    try {
+      val viaAppend = Dedup.lshCandidatesAgainstIndex(spark, "lsh_idx_app",
+        probe, "doc_id", "text")
+      val viaRebuild = Dedup.lshCandidatesAgainstIndex(spark, "lsh_idx_rebuild",
+        probe, "doc_id", "text")
+      val a = viaAppend.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = viaRebuild.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a == b, s"append=${a.size} rebuild=${b.size}")
+      assert(a.nonEmpty)
+      // the appended index still reads bucketed with zero band_key exchange
+      val plan = viaAppend.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(band_key"),
+        s"band_key exchange must stay eliminated after append:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_app")
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_rebuild")
+    }
+  }
+
   test("incremental dedup against a persisted LSH index: corpus side never shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val corpus = docs.where($"doc_id" % 5 =!= 0L)
