@@ -45,12 +45,27 @@ object Bench {
     // JVM/codegen warm-up on a light query so the first measured query
     // doesn't absorb classloading costs.
     run("rel_distinct")
-    // Steady-state measurement: best of two runs per query (first runs
-    // showed up to 8x JIT/GC noise on otherwise sub-second queries).
-    val results = names.map(n => n -> math.min(run(n), run(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Steady-state measurement: three runs per query; report best (the
+    // steady-state number — early runs showed up to 8x JIT/GC noise on
+    // sub-second queries) AND the median, so a single noisy machine-moment
+    // is visible as spread instead of silently distorting the record.
+    val results = names.map { n =>
+      val times = Seq.fill(3)(run(n)).filter(_ >= 0).sorted
+      n -> times
+    }
+    def fmt(sel: Seq[Double] => Double) = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.isEmpty) -1.0 else sel(ts))
+    }.mkString("{", ",", "}")
+    val qs = fmt(_.head)
+    val p50s = fmt(ts => ts(ts.size / 2))
+    val total = results.flatMap(_._2.headOption).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50s,"sf":"$sfDir"}"""
+    println(line)
+    // Also land the line in a file: stdout tail-capture truncated past
+    // records (BENCH_r02/r03 lost the total and half the queries).
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     spark.stop()
   }
 }

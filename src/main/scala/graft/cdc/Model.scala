@@ -23,10 +23,17 @@ object Op {
   * `"null"` meaning absent (DMSCDC_Controller.py:83-84,
   * DMSCDC_LoadIncremental.py:56,60). We model absence as empty Seq.
   */
+/** @param replayGuard opt-in idempotent append for PK-less tables: the
+  *   insert-only load writes one hive partition per source CDC file with
+  *   dynamic partition overwrite, so an at-least-once replay rewrites a
+  *   file's partition with identical rows instead of duplicating it. Off
+  *   by default — the reference's documented non-idempotent append
+  *   (/root/reference/README.md:208-220) is the parity behavior. */
 final case class TableConfig(
     primaryKeys: Seq[String] = Nil,
     partitionKeys: Seq[String] = Nil,
-    active: Boolean = false) {
+    active: Boolean = false,
+    replayGuard: Boolean = false) {
   def hasPrimaryKey: Boolean = primaryKeys.nonEmpty
 }
 

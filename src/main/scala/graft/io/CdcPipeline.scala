@@ -46,6 +46,9 @@ object CdcPipeline {
   val SrcFile = "__src_file"
   val RowIdx = "__row_idx"
   private val TgtFile = "__tgt_file"
+  /** Partition column of the replay-guarded no-PK append (source file
+    * basename — the idempotent-overwrite unit). */
+  val IngestFile = "__ingest_file"
 
   /** Change-file reader: parquet (the reference's DMS target) plus csv and
     * json (DMS's other S3 target formats). Non-parquet formats infer
@@ -122,9 +125,28 @@ object CdcPipeline {
       // README.md:208-220 — not idempotent under replay, documented). Row
       // count comes from observed metrics on the write itself (a count()
       // after the write would re-read and re-transform the whole batch).
-      val output = Merge.insertOnly(changes).drop(SrcFile, RowIdx, Merge.FileSeq)
       val obs = org.apache.spark.sql.Observation()
-      CowWriter.appendMerged(output.observe(obs, count(lit(1)).as("n")), outPath, cfg.partitionKeys)
+      if (cfg.replayGuard) {
+        // Opt-in idempotence without a PK: one hive partition per SOURCE
+        // FILE (ahead of any configured partition keys), written with
+        // dynamic partition overwrite. A file's insert rows are a
+        // deterministic function of the file alone — no target state in
+        // the plan — so a replayed file REWRITES its partition with
+        // identical content instead of appending a second copy, whatever
+        // batch regrouping the retry used. Cost: a directory level per
+        // CDC file (compaction merges them).
+        val guarded = Merge.insertOnly(changes)
+          .withColumn(IngestFile, element_at(split(col(SrcFile), "/"), -1))
+          .drop(SrcFile, RowIdx, Merge.FileSeq)
+          .observe(obs, count(lit(1)).as("n"))
+        guarded.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(IngestFile +: cfg.partitionKeys: _*)
+          .parquet(outPath)
+      } else {
+        val output = Merge.insertOnly(changes).drop(SrcFile, RowIdx, Merge.FileSeq)
+        CowWriter.appendMerged(output.observe(obs, count(lit(1)).as("n")), outPath, cfg.partitionKeys)
+      }
       MergeStats(obs.get("n").asInstanceOf[Long], Nil, insertOnly = true)
     } else {
       val pks = cfg.primaryKeys

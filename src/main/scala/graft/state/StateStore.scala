@@ -116,6 +116,7 @@ final class JsonFileStateStore(dir: String) extends StateStore {
       "primaryKey" -> i.config.primaryKeys.mkString(","),
       "partitionKey" -> i.config.partitionKeys.mkString(","),
       "activeFlag" -> i.config.active.toString,
+      "replayGuard" -> i.config.replayGuard.toString,
       "lastFullLoadDate" -> i.state.lastFullLoadDate,
       "lastIncrementalFile" -> i.state.lastIncrementalFile)
     kv.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
@@ -156,7 +157,9 @@ final class JsonFileStateStore(dir: String) extends StateStore {
     TableItem(
       m.getOrElse("path", ""),
       TableConfig(split("primaryKey"), split("partitionKey"),
-        m.get("activeFlag").contains("true")),
+        m.get("activeFlag").contains("true"),
+        // absent in pre-guard state files → false (backward compatible)
+        m.get("replayGuard").contains("true")),
       TableState(
         m.getOrElse("lastFullLoadDate", TableState.EpochFullLoad),
         m.getOrElse("lastIncrementalFile", "")))

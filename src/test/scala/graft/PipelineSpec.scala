@@ -245,5 +245,38 @@ class PipelineSpec extends SparkSpec {
       Seq(s"$raw/db/t/20260812-1.parquet"), s"$lake/db/t", TableConfig(Nil, Nil, active = true))
     assert(stats.insertOnly && stats.rowsWritten == 1)
     assert(spark.read.parquet(s"$lake/db/t").count() == 1)
+    // reference-parity default: replay DUPLICATES (documented caveat)
+    CdcPipeline.loadIncremental(spark,
+      Seq(s"$raw/db/t/20260812-1.parquet"), s"$lake/db/t", TableConfig(Nil, Nil, active = true))
+    assert(spark.read.parquet(s"$lake/db/t").count() == 2)
+  }
+
+  test("no-PK replay guard: reprocessing the same file keeps exactly one copy") {
+    val lake = Files.createTempDirectory("lake").toString
+    val raw = Files.createTempDirectory("raw").toString
+    val cfg = TableConfig(Nil, Nil, active = true, replayGuard = true)
+    writeParquetFile(Seq(("I", 1, "a"), ("I", 2, "b")).toDF("Op", "id", "v"),
+      s"$raw/db/t", "20260812-1.parquet")
+    writeParquetFile(Seq(("I", 3, "c")).toDF("Op", "id", "v"),
+      s"$raw/db/t", "20260812-2.parquet")
+    val files = Seq(s"$raw/db/t/20260812-1.parquet", s"$raw/db/t/20260812-2.parquet")
+    val stats = CdcPipeline.loadIncremental(spark, files, s"$lake/db/t", cfg)
+    assert(stats.insertOnly && stats.rowsWritten == 3)
+    assert(spark.read.parquet(s"$lake/db/t").count() == 3)
+
+    // replay the WHOLE batch → partitions rewritten, still one copy
+    CdcPipeline.loadIncremental(spark, files, s"$lake/db/t", cfg)
+    assert(spark.read.parquet(s"$lake/db/t").count() == 3)
+
+    // replay with different batch regrouping (one file alone) → same
+    CdcPipeline.loadIncremental(spark, files.take(1), s"$lake/db/t", cfg)
+    val back = spark.read.parquet(s"$lake/db/t")
+    assert(back.count() == 3)
+    assert(back.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // and a genuinely new file still appends
+    writeParquetFile(Seq(("I", 4, "d")).toDF("Op", "id", "v"),
+      s"$raw/db/t", "20260812-3.parquet")
+    CdcPipeline.loadIncremental(spark, Seq(s"$raw/db/t/20260812-3.parquet"), s"$lake/db/t", cfg)
+    assert(spark.read.parquet(s"$lake/db/t").count() == 4)
   }
 }
