@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,13 +38,10 @@ object Curation {
     * dominated (web ≈ 80-90% of tokens), so at 100 TB that one task sorts
     * and scans most of the corpus.
     *
-    * Phase 0: range-repartition by (part ++ order) so each task owns a
-    * contiguous slice of the global order (Spark's sampled global-sort
-    * partitioner), then pin the slice id with `spark_partition_id()`. The
-    * sliced projection is materialized eagerly (`localCheckpoint`, cleaner-
-    * reclaimed) because two consumers read it and range boundaries are
-    * sampled per-exchange — re-drawing them between consumers would
-    * mis-align offsets with slices.
+    * Phase 0: assign every row a slice id that is contiguous in the
+    * (part, order) sort order — either caller-supplied (`sliceOf`, e.g.
+    * `key div width` when the leading order column is a uniform hash) or
+    * range-repartition by (part ++ order) and pin `spark_partition_id()`.
     * Phase 1: per-(part, slice) sums — a tiny table (≤ |parts| × slices).
     * Phase 2: exclusive running sum over that tiny table per part (a window
     * over ≤ `numSlices` rows) gives each slice's starting offset;
@@ -52,20 +49,41 @@ object Curation {
     *
     * Identical answer to the single window (offsets are exact, the order
     * key must be a total order); parallelism = `numSlices` regardless of
-    * how skewed `part` is. Works for any orderable key types — balance
-    * comes from the range partitioner's sampling, not key uniformity.
+    * how skewed `part` is.
+    *
+    * Materialization: the sliced projection feeds two consumers (slice
+    * sums, final window), so it is cached columnar (`persist()`, measured
+    * 2.3x over row-form `localCheckpoint` at 50M rows — SCALE.md §skew).
+    * With `sliceOf` the slice id is a pure function of the row, so the
+    * cache is advisory — evict/clearCache any time, answers are unchanged,
+    * and no extra shuffle exists (slice sums partial-agg on the scan; only
+    * the final window exchanges by (part, slice) hash). Without `sliceOf`
+    * the sampled range boundaries ARE the slice assignment: the single
+    * cached materialization is what keeps both consumers on one drawing
+    * (exchange-level reuse is not guaranteed once column pruning
+    * differentiates the two subtrees), so the entry must live until the
+    * query's last action; it holds only this narrow projection, and
+    * `spark.catalog.clearCache()` reclaims it afterwards.
+    *
+    * `sliceOf` contract: given the slice count, return an expression that
+    * is non-decreasing along `orderCols` within each `partCols` group and
+    * lands in [0, slices) — e.g. `n => expr(s"__key div $width")` for a
+    * uniform 60-bit hash key. Balance comes from key uniformity there,
+    * from the range partitioner's sampling otherwise.
     */
   def parallelRunningSum(df: DataFrame, partCols: Seq[String],
                          orderCols: Seq[String], valueCol: String,
-                         resultCol: String, numSlices: Int = 0): DataFrame = {
+                         resultCol: String, numSlices: Int = 0,
+                         sliceOf: Option[Int => Column] = None): DataFrame = {
     val slices =
       if (numSlices > 0) numSlices
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val rangeCols = (partCols ++ orderCols).map(col)
-    val sliced = df
-      .repartitionByRange(slices, rangeCols: _*)
-      .withColumn("__slice", spark_partition_id())
-      .localCheckpoint(true)
+    val sliced = (sliceOf match {
+      case Some(f) => df.withColumn("__slice", f(slices))
+      case None =>
+        df.repartitionByRange(slices, (partCols ++ orderCols).map(col): _*)
+          .withColumn("__slice", spark_partition_id())
+    }).persist()
     val sliceSums = sliced
       .groupBy((partCols :+ "__slice").map(col): _*)
       .agg(sum(col(valueCol)).as("__slice_sum"))
@@ -116,9 +134,16 @@ object Curation {
       .join(budgets, sourceCol)
     // Running sum via the two-phase parallel prefix sum: one domain can be
     // 90% of the corpus, so the naive Window.partitionBy(source) would put
-    // it through a single task (see [[parallelRunningSum]]).
+    // it through a single task (see [[parallelRunningSum]]). The order
+    // leads with the uniform 60-bit shuffle key, so the slice id is
+    // computed deterministically (`key div width`) — no sampled range
+    // shuffle, and the materialization is advisory-only.
     parallelRunningSum(keyed, Seq(sourceCol), Seq("__key", idCol),
-      "n_tokens", "cum_tokens")
+      "n_tokens", "cum_tokens",
+      sliceOf = Some { n =>
+        val width = ((1L << 60) + n - 1) / n
+        expr(s"__key div ${width}L")
+      })
       .where(col("cum_tokens") - col("n_tokens") < col("__budget"))
       .select(col(sourceCol), col(idCol), col("n_tokens"), col("cum_tokens"))
   }

@@ -86,6 +86,33 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("__slice"), s"expected sliced window in:\n$plan")
   }
 
+  test("parallelRunningSum deterministic sliceOf ≡ sampled-range slicing") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.hash60
+    // order leads with a uniform 60-bit hash, like domainMix's __key
+    val df = (1L to 300L).map { i => (i, if (i <= 270) "web" else "code", i % 7 + 1) }
+      .toDF("id", "dom", "v")
+      .withColumn("__key", hash60(concat(lit("s:"), $"id".cast("string"))))
+    val naive = df.withColumn("cum",
+      sum($"v").over(Window.partitionBy("dom").orderBy("__key", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "dom", "v", "cum")
+    val det = Curation.parallelRunningSum(df, Seq("dom"), Seq("__key", "id"),
+      "v", "cum",
+      sliceOf = Some { n =>
+        val width = ((1L << 60) + n - 1) / n
+        expr(s"__key div ${width}L")
+      }).select("id", "dom", "v", "cum")
+    assert(det.collect().toSet == naive.collect().toSet)
+    // deterministic slicing needs no range exchange: the only exchanges are
+    // the (part, slice) hash for the window and the tiny slice-sum agg
+    val plan = det.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), s"unexpected range exchange:\n$plan")
+    // the cache is advisory here: clearing it must not change the answer
+    spark.catalog.clearCache()
+    assert(det.collect().toSet == naive.collect().toSet)
+  }
+
   test("domainMix is sliced: plan shows >1 window partition key per domain") {
     val out = Curation.domainMix(docs, "doc_id", "text", "source",
       Map("web" -> 0.5, "code" -> 0.5), totalTokenBudget = 1000L)
