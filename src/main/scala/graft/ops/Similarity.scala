@@ -157,6 +157,49 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** SemDeDup — semantic deduplication by cluster-then-prune (Abbas et
+    * al. 2023, arXiv:2303.09540): assign every embedding to its nearest
+    * centroid, generate candidate pairs ONLY within a cluster, and drop
+    * every document that has a lower-id near-duplicate (cosine ≥
+    * `threshold`) in its cluster. The intra-cluster restriction is what
+    * makes semantic dedup tractable at 100 TB: candidate generation is
+    * Σ cluster² instead of N², and clusters are the unit of parallelism.
+    *
+    * Deterministic keep rule: the paper keeps one arbitrary member per
+    * near-dup group; here the kept member is the lowest id of any
+    * ≥-threshold pair — greedy per-pair, no iterative connected
+    * components, so the result is closed-form SQL (the oracle mirrors it
+    * exactly). For full transitive-group resolution compose with
+    * [[graft.ops.Dedup.resolveClusters]] on the pair set instead.
+    *
+    * Scale guards: `maxClusterSize` exempts oversized clusters from pair
+    * generation entirely (kept whole, like the capped buckets in
+    * [[cosineNearDupPairs]]) — one mega-cluster cannot go quadratic; the
+    * assignment is materialized once (eager, cleaner-reclaimed) because
+    * the pair self-join reads it twice and the final anti-join a third
+    * time.
+    *
+    * Output: (idCol, cluster) of KEPT documents. */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, idCol: String,
+               vecCol: String, cidCol: String, threshold: Double,
+               maxClusterSize: Int = 10000): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol, cidCol)
+      .select(col(idCol), col(vecCol), col("cluster"))
+      .localCheckpoint(true)
+    val capped = assigned
+      .withColumn("__cn", count(lit(1)).over(Window.partitionBy("cluster")))
+      .where(col("__cn") <= maxClusterSize)
+    val a = capped.select(col("cluster"), col(idCol).as("__id_a"), col(vecCol).as("__va"))
+    val b = capped.select(col("cluster"), col(idCol).as("__id_b"), col(vecCol).as("__vb"))
+    val dropped = a.join(b, "cluster")
+      .where(col("__id_a") < col("__id_b"))
+      .where(cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__id_b").as(idCol))
+      .distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"))
+  }
+
   /** Product-quantization code assignment: split each vector into `m`
     * equal subvectors, assign each subvector to its nearest codebook
     * entry by squared L2 (ties → lowest code), and pack the `m` codes

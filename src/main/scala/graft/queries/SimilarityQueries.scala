@@ -122,6 +122,17 @@ object SimilarityQueries {
       e.join(losers, Seq("vec_id"), "left_anti").select("vec_id", "label")
     }),
 
+    // SemDeDup (cluster-then-prune semantic dedup): candidate pairs only
+    // within a nearest-centroid cluster (8 deterministic centroids),
+    // drop any doc with a lower-id ≥0.4-cosine neighbor in its cluster.
+    // Σ cluster² pair generation with a per-cluster cap — the tractable
+    // 100 TB shape for embedding-level dedup.
+    "sim_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(emb(s, dir),
+        emb(s, dir).where(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding")),
+        "vec_id", "embedding", "cid", threshold = 0.4)),
+
     // Product quantization: 4 × 16-dim subspaces, 16-entry codebook
     // (vectors 0-15 as deterministic stand-ins for k-means centers),
     // codes packed into one BIGINT — the 64-byte→4-byte compression path
@@ -301,6 +312,28 @@ object SimilarityQueries {
          |  HAVING least(src, min(dst)) < src)
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin,
+
+    // SemDeDup mirror: nearest-centroid assignment (same CTE as
+    // sim_ivf_assign), intra-cluster pairs under the 10000 cap, drop ids
+    // with a lower-id ≥-threshold neighbor.
+    "sim_semdedup" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
+         |    FROM embeddings e, c) WHERE rn = 1),
+         |capped AS (
+         |  SELECT * FROM assign
+         |  QUALIFY count(*) OVER (PARTITION BY cluster) <= 10000),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM capped a JOIN capped b USING (cluster)
+         |  WHERE a.vec_id < b.vec_id
+         |    AND ${cosSql("a.embedding", "b.embedding")} >= 0.4)
+         |SELECT vec_id, cluster FROM assign
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
 
     // PQ mirror: same 0.0-seeded left fold of squared diffs per subspace,
     // first-min list_position for ties, base-256 packing.

@@ -192,6 +192,29 @@ class OpsSpec extends SparkSpec {
     assert(multi.subsetOf(brute), "bucketed pairs must be true near-dups")
   }
 
+  test("semDedup: drops higher-id near-dups within a cluster only; cap exempts") {
+    // Two well-separated clusters around (1,1,...) and (-1,-1,...).
+    // 1≈2 near-identical (same cluster → 2 dropped); 4≈5 near-identical
+    // but land in the other cluster (→ 5 dropped); 3 unique (kept).
+    val vs = Seq(
+      (1L, Array(1f, 1f, 1f, 1f)),
+      (2L, Array(1f, 1f, 1f, 0.99f)),
+      (3L, Array(1f, -0.2f, 1f, 1f)),
+      (4L, Array(-1f, -1f, -1f, -1f)),
+      (5L, Array(-1f, -1f, -0.99f, -1f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1f, 1f, 1f, 1f)), (1L, Array(-1f, -1f, -1f, -1f)))
+      .toDF("cid", "embedding")
+    val kept = Similarity.semDedup(vs, cents, "vec_id", "embedding", "cid",
+      threshold = 0.999).select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+    // over-cap clusters are exempt from pair generation — kept whole
+    val keptCapped = Similarity.semDedup(vs, cents, "vec_id", "embedding", "cid",
+      threshold = 0.999, maxClusterSize = 2).select("vec_id").as[Long].collect().toSet
+    assert(keptCapped.contains(2L), "capped cluster must be kept whole")
+    assert(keptCapped.contains(4L) && !keptCapped.contains(5L),
+      "2-member cluster under the cap still dedups")
+  }
+
   test("resize fits dimensions in the target box, preserving aspect") {
     val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
     val resized = Multimodal.resizeTo(Multimodal.extractFeatures(media), 640, 480).collect()
