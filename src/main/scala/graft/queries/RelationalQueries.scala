@@ -294,6 +294,24 @@ object RelationalQueries {
       Tables(s, dir, "orders").select(col("o_orderkey"),
         graft.ops.ZOrder.zValue(col("o_custkey"), col("o_orderkey")).as("z"))),
 
+    // Data-skipping read through a file-level stats index: orders written
+    // range-clustered on o_orderkey (8 files), per-file min/max built with
+    // one aggregation scan, then a selective key-range read opens ONLY the
+    // files whose interval can match — row-identical to the plain filter
+    // (the index changes which files are OPENED, never the answer).
+    "rel_stats_prune" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("statsprune").toString + "/orders"
+      Tables(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.mode("overwrite").parquet(t)
+      val stats = graft.io.StatsIndex.build(s, t, Seq("o_orderkey"))
+        .localCheckpoint(true)
+      graft.io.StatsIndex.prunedRead(s, t, stats, "o_orderkey",
+        Some(100L), Some(499L))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+    }),
+
     // Distribution window functions: percent_rank / cume_dist over a
     // total per-status order (both are exact integer-ratio doubles —
     // rank arithmetic, engine-portable bit-for-bit).
@@ -507,6 +525,11 @@ object RelationalQueries {
         |m3 AS (SELECT o_orderkey, (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b FROM m2),
         |m4 AS (SELECT o_orderkey, (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b FROM m3)
         |SELECT o_orderkey, CAST(a | (b << 1) AS BIGINT) AS z FROM m4""".stripMargin,
+
+    "rel_stats_prune" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 499""".stripMargin,
 
     "dq_profile_orders" ->
       """WITH w AS (
