@@ -185,6 +185,28 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
   private def changeFeedPath(schema: String, table: String): String =
     s"${lakeRoot.stripSuffix("/")}/_changes/$schema/$table"
 
+  /** Change-feed log retention (the log-level VACUUM): delete every
+    * `batch_id=<n>` partition of the feed with `n < keepFromBatchId`.
+    * Consumers that have checkpointed past the cutoff are unaffected —
+    * partition dirs are the feed's replay/prune unit, so expiry is a
+    * driver-side directory delete, no data job. Returns (deleted, kept)
+    * partition counts. A feed that never existed vacuums to (0, 0). */
+  def vacuumChangeFeed(schema: String, table: String,
+                       keepFromBatchId: Long): (Int, Int) = {
+    val dir = new org.apache.hadoop.fs.Path(changeFeedPath(schema, table))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) (0, 0)
+    else {
+      val parts = fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      val (expired, kept) = parts.partition(
+        _.getPath.getName.stripPrefix("batch_id=").toLong < keepFromBatchId)
+      expired.foreach(s => fs.delete(s.getPath, true))
+      spark.catalog.refreshByPath(changeFeedPath(schema, table))
+      (expired.size, kept.size)
+    }
+  }
+
   /** Maintenance compaction of one lake table (uses the stored keys). */
   def compact(schema: String, table: String): Compaction.Stats = {
     val cfg = store.get(tableDir(schema, table)).map(_.config).getOrElse(TableConfig())

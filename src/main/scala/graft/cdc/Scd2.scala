@@ -77,4 +77,19 @@ object Scd2 {
       .where(col("valid_from_seq") <= seq &&
         (col("valid_to_seq").isNull || col("valid_to_seq") > seq))
       .drop("version", "valid_from_seq", "valid_to_seq", "is_current")
+
+  /** History retention (the row-level VACUUM): drop every version whose
+    * interval closed at or before `cutoffSeq`. What remains answers
+    * [[asOf]] EXACTLY for any `seq >= cutoffSeq` (a version covering an
+    * instant after the cutoff has `valid_to_seq > cutoffSeq` and is
+    * retained) and is silently incomplete before it — the same contract
+    * as Delta's `VACUUM`/log retention, applied to interval rows.
+    * Current rows (`valid_to_seq` null) always survive, so the pruned
+    * history still contains the full latest-wins table.
+    *
+    * Scale: a filter — with the history partitioned on `valid_to_seq`
+    * ranges (or a [[graft.io.StatsIndex]] over it), pruning rewrites only
+    * the files that actually contain expired versions. */
+  def prune(history: DataFrame, cutoffSeq: Long): DataFrame =
+    history.where(col("valid_to_seq").isNull || col("valid_to_seq") > cutoffSeq)
 }

@@ -145,6 +145,18 @@ object CdcQueries {
             col("valid_to_seq"), col("is_current")),
         seq = 1L)),
 
+    // SCD2 history retention (row-level VACUUM): expire versions closed
+    // at or before seq 1; time travel stays exact from the cutoff on
+    // (see [[graft.cdc.Scd2.prune]] — pinned against unpruned asOf in
+    // Scd2Spec, row-identity pinned here).
+    "cdc_scd2_pruned" -> ((s, dir) =>
+      Scd2.prune(
+        Scd2.history(target(s, dir), changes(s, dir), Seq("o_orderkey"), Nil)
+          .select(col("o_orderkey"), col(Op.column), col("o_orderstatus"),
+            col("o_totalprice"), col("version"), col("valid_from_seq"),
+            col("valid_to_seq"), col("is_current")),
+        cutoffSeq = 1L)),
+
     // Snapshot diff: what did the batch do — added/removed/changed keys
     // between the pre-merge target and the merged result (see
     // [[graft.cdc.SnapshotDiff]]). Unchanged keys never leave the join.
@@ -231,6 +243,27 @@ object CdcQueries {
          |SELECT o_orderkey, "Op", o_orderstatus, o_totalprice, version,
          |       valid_from_seq, valid_to_seq, valid_to_seq IS NULL AS is_current
          |FROM versioned WHERE "Op" <> 'D'""".stripMargin,
+
+    "cdc_scd2_pruned" ->
+      s"""$fixtureSql,
+         | sequenced AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq) AS rownum
+         |  FROM changes
+         |), unioned AS (
+         |  SELECT * FROM sequenced
+         |  UNION ALL SELECT *, 1 AS rownum FROM target
+         |), versioned AS (
+         |  SELECT o_orderkey, "Op", o_orderstatus, o_totalprice,
+         |    row_number() OVER w AS version,
+         |    file_seq AS valid_from_seq,
+         |    lead(file_seq) OVER w AS valid_to_seq
+         |  FROM unioned
+         |  WINDOW w AS (PARTITION BY o_orderkey ORDER BY file_seq, rownum)
+         |)
+         |SELECT o_orderkey, "Op", o_orderstatus, o_totalprice, version,
+         |       valid_from_seq, valid_to_seq, valid_to_seq IS NULL AS is_current
+         |FROM versioned
+         |WHERE "Op" <> 'D' AND (valid_to_seq IS NULL OR valid_to_seq > 1)""".stripMargin,
 
     "cdc_change_feed" ->
       s"""$fixtureSql,

@@ -114,6 +114,20 @@ class GraftLakeSpec extends SparkSpec {
       r.getAs[String]("v_old"), r.getAs[String]("v_new"))).toSet
     val initial = (1 to 4).map(i => (i, "I", null, s"v$i")).toSet
     assert(rows == initial ++ Set((2, "U", "v2", "NEW"), (4, "D", "v4", null)))
+
+    // log-level vacuum: with maxFilesPerTrigger=1 the feed has one
+    // batch_id partition per file; expire everything before the last one
+    val batches = feed.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(batches.length >= 2)
+    val (deleted, kept) = lake.vacuumChangeFeed("db", "t", batches.last)
+    assert(deleted == batches.length - 1 && kept == 1)
+    val after = lake.readChangeFeed("db", "t")
+    assert(after.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(batches.last))
+    // idempotent + missing-feed behavior
+    assert(lake.vacuumChangeFeed("db", "t", batches.last) == ((0, 1)))
+    assert(lake.vacuumChangeFeed("db", "missing", 99L) == ((0, 0)))
   }
 
   test("façade: syncStreaming fans out one stream per active table, independent checkpoints") {

@@ -85,6 +85,26 @@ class Scd2Spec extends SparkSpec {
     assert(SnapshotDiff.diff(before, after, Seq("id")).count() == 0)
   }
 
+  test("prune: asOf stays exact at/after the cutoff, current rows always survive") {
+    val changes = Seq(
+      ("U", 1, "a2", 11.0, 1L), ("D", 2, "b", 20.0, 1L),
+      ("U", 1, "a3", 12.0, 2L), ("I", 4, "d", 40.0, 3L)
+    ).toDF("Op", "id", "name", "price", "file_seq")
+    val h = Scd2.history(target, changes, Seq("id"), Seq(col("id")))
+      .localCheckpoint(true)
+    val pruned = Scd2.prune(h, cutoffSeq = 2L)
+    // versions closed at seq <= 2 are gone, currents survive
+    assert(pruned.where($"valid_to_seq" <= 2L).count() == 0)
+    assert(pruned.where($"is_current").count() == h.where($"is_current").count())
+    // time travel at/after the cutoff is EXACT vs the unpruned history
+    for (seq <- 2L to 3L) {
+      assert(Scd2.asOf(pruned, seq).collect().map(_.toString).toSet ==
+        Scd2.asOf(h, seq).collect().map(_.toString).toSet, s"asOf($seq)")
+    }
+    // ...and incomplete before it (version 1 of id=1 expired)
+    assert(Scd2.asOf(pruned, 0L).count() < Scd2.asOf(h, 0L).count())
+  }
+
   test("asOf: interval filter reproduces the state after each batch") {
     val changes = Seq(
       ("U", 1, "a2", 11.0, 1L),
