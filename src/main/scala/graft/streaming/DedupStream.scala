@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Dedup-on-ingest as a stream: new document files are checked against
+  * the persisted bucketed LSH index ([[graft.ops.Dedup.writeLshIndex]]),
+  * near-duplicates are dropped, and the surviving documents both land in
+  * the clean output AND become part of the index — the closed loop that
+  * keeps a 100 TB corpus duplicate-free incrementally instead of
+  * re-running corpus-wide dedup per delivery.
+  *
+  * Per micro-batch (foreachBatch — the decision needs a join against the
+  * index, not a pure streaming operator):
+  *   1. intra-batch LSH pairs ([[graft.ops.Dedup.lshCandidatePairs]]);
+  *      a doc with a LOWER-id near-duplicate in the same batch drops;
+  *   2. cross-index candidates
+  *      ([[graft.ops.Dedup.lshCandidatesAgainstIndex]]): batch docs with
+  *      an above-threshold index neighbor drop. The index side never
+  *      shuffles (bucket layout, plan-asserted in ScaleOpsSpec);
+  *   3. survivors append to the clean output under their
+  *      `__batch_id=<id>` partition (dynamic-partition overwrite → a
+  *      replayed batch REWRITES its partition instead of duplicating it,
+  *      the [[CdcStream.startWithChangeFeed]] idempotence pattern) and
+  *      their band rows append to the index.
+  *
+  * Replay semantics: a crash between the index append and the checkpoint
+  * commit re-runs the batch against an index that already contains the
+  * batch's own rows. Those self-matches are filtered (`id_new <>
+  * id_corpus`), and re-appended band rows only duplicate postings for
+  * the same (id, band) — candidate pairs come out of a `distinct`, so
+  * decisions are unchanged. Periodic [[graft.ops.Dedup.writeLshIndex]]
+  * over the clean corpus compacts the duplicated postings away.
+  *
+  * First batch: if the index table does not exist yet it is created from
+  * the batch's survivors (`writeLshIndex`), so the stream bootstraps an
+  * empty corpus.
+  */
+object DedupStream {
+
+  val BatchCol = "__batch_id"
+
+  def start(spark: SparkSession, inputDir: String, cleanDir: String,
+            indexTable: String, idCol: String, textCol: String,
+            checkpoint: String, threshold: Double = 0.8, buckets: Int = 8,
+            shingleWords: Int = 3, k: Int = 16, bands: Int = 4,
+            maxBucketSize: Int = 1000,
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Int = 100): StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("latestFirst", "false")
+      .parquet(inputDir)
+
+    stream.writeStream
+      .queryName(s"dedup-ingest-$indexTable")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          ingestBatch(batch, batchId, cleanDir, indexTable, idCol, textCol,
+            threshold, buckets, shingleWords, k, bands, maxBucketSize)
+      }
+      .start()
+  }
+
+  /** One batch of the loop — also the batch-mode entry point (callable
+    * without a stream for backfills/tests). */
+  def ingestBatch(batch: DataFrame, batchId: Long, cleanDir: String,
+                  indexTable: String, idCol: String, textCol: String,
+                  threshold: Double, buckets: Int, shingleWords: Int,
+                  k: Int, bands: Int, maxBucketSize: Int): Unit = {
+    val spark = batch.sparkSession
+    // The batch feeds intra-pair generation, the index join, and the
+    // final writes — materialize once (eager, cleaner-reclaimed).
+    val docs = batch.localCheckpoint(true)
+
+    // 1. intra-batch: drop docs with a lower-id near-dup in this batch
+    val intraLosers = Dedup.lshCandidatePairs(docs, idCol, textCol,
+      shingleWords, k, bands, maxBucketSize)
+      .where(col("est_jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    val intraSurvivors = docs.join(intraLosers, Seq(idCol), "left_anti")
+
+    // 2. cross-index: drop docs with an above-threshold corpus neighbor
+    val survivors = (if (spark.catalog.tableExists(indexTable)) {
+      val crossLosers = Dedup.lshCandidatesAgainstIndex(spark, indexTable,
+        intraSurvivors, idCol, textCol, shingleWords, k, bands, maxBucketSize)
+        .where(col("est_jaccard") >= threshold && col("id_new") =!= col("id_corpus"))
+        .select(col("id_new").as(idCol)).distinct()
+      intraSurvivors.join(crossLosers, Seq(idCol), "left_anti")
+    } else intraSurvivors).localCheckpoint(true)
+
+    // 3a. clean output, idempotent per batch
+    val dyn = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.withColumn(BatchCol, lit(batchId))
+      .write.partitionBy(BatchCol).mode("overwrite").parquet(cleanDir)
+    finally dyn match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // 3b. survivors join the index
+    if (spark.catalog.tableExists(indexTable))
+      Dedup.appendToLshIndex(survivors, idCol, textCol, indexTable,
+        buckets, shingleWords, k, bands)
+    else
+      Dedup.writeLshIndex(survivors, idCol, textCol, indexTable,
+        buckets, shingleWords, k, bands)
+  }
+
+  /** The clean corpus the stream maintains (partition column dropped). */
+  def readClean(spark: SparkSession, cleanDir: String): DataFrame =
+    spark.read.parquet(cleanDir).drop(BatchCol)
+}

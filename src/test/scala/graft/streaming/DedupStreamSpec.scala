@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tA = "alpha beta gamma delta epsilon zeta eta theta"
+  private val tB = "totally different words appear here right now okay"
+  private val tC = "unique text for the fourth document indeed folks"
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("ingestBatch loop: intra-batch and cross-index dups drop, survivors join index") {
+    val clean = tmp("clean") + "/t"
+    val idx = "dedup_stream_idx_a"
+    val b1 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    val b2 = Seq((3L, tA), (4L, tC), (5L, tC)).toDF("doc_id", "text")
+
+    DedupStream.ingestBatch(b1, 0L, clean, idx, "doc_id", "text",
+      threshold = 0.8, buckets = 4, shingleWords = 3, k = 16, bands = 4,
+      maxBucketSize = 1000)
+    // batch 2: 3 duplicates corpus doc 1 (cross-index), 5 duplicates 4
+    // intra-batch (higher id loses)
+    DedupStream.ingestBatch(b2, 1L, clean, idx, "doc_id", "text",
+      threshold = 0.8, buckets = 4, shingleWords = 3, k = 16, bands = 4,
+      maxBucketSize = 1000)
+
+    val kept = DedupStream.readClean(spark, clean)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L))
+    assert(spark.table(idx).select("doc_id").distinct()
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+  }
+
+  test("replayed batch is idempotent: decisions and clean output unchanged") {
+    val clean = tmp("cleanR") + "/t"
+    val idx = "dedup_stream_idx_b"
+    val b1 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    val b2 = Seq((3L, tA), (4L, tC), (5L, tC)).toDF("doc_id", "text")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      DedupStream.ingestBatch(b, id, clean, idx, "doc_id", "text",
+        threshold = 0.8, buckets = 4, shingleWords = 3, k = 16, bands = 4,
+        maxBucketSize = 1000)
+    run(b1, 0L); run(b2, 1L)
+    // crash-after-index-append replay: batch 2 re-runs against an index
+    // already containing its own survivors
+    run(b2, 1L)
+    val rows = DedupStream.readClean(spark, clean).select("doc_id").as[Long].collect()
+    assert(rows.sorted.toSeq == Seq(1L, 2L, 4L), s"got ${rows.toSeq}")
+  }
+
+  test("streaming end-to-end: file stream bootstraps index and dedups") {
+    val in = tmp("in") + "/t"
+    val clean = tmp("cleanS") + "/t"
+    val ckpt = tmp("ckpt")
+    val idx = "dedup_stream_idx_c"
+    Seq((1L, tA), (2L, tB), (3L, tA), (4L, tC), (5L, tC))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(in)
+    val q = DedupStream.start(spark, in, clean, idx, "doc_id", "text",
+      checkpoint = ckpt, threshold = 0.8, buckets = 4)
+    q.awaitTermination()
+    assert(DedupStream.readClean(spark, clean)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+  }
+}
