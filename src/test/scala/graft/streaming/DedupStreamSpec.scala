@@ -14,56 +14,63 @@ class DedupStreamSpec extends SparkSpec {
 
   private def tmp(p: String) = Files.createTempDirectory(p).toString
 
+  /** Unique per run (a stale warehouse dir from an interrupted prior JVM
+    * would otherwise fail managed-table creation) and dropped after. */
+  private def withIndexTable(f: String => Unit): Unit = {
+    val idx = s"dedup_stream_idx_${System.nanoTime()}"
+    try f(idx) finally spark.sql(s"DROP TABLE IF EXISTS $idx")
+  }
+
+  private def run(b: org.apache.spark.sql.DataFrame, id: Long,
+                  clean: String, idx: String): Unit =
+    DedupStream.ingestBatch(b, id, clean, idx, "doc_id", "text",
+      threshold = 0.8, buckets = 4, shingleWords = 3, k = 16, bands = 4,
+      maxBucketSize = 1000)
+
   test("ingestBatch loop: intra-batch and cross-index dups drop, survivors join index") {
-    val clean = tmp("clean") + "/t"
-    val idx = "dedup_stream_idx_a"
-    val b1 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
-    val b2 = Seq((3L, tA), (4L, tC), (5L, tC)).toDF("doc_id", "text")
-
-    DedupStream.ingestBatch(b1, 0L, clean, idx, "doc_id", "text",
-      threshold = 0.8, buckets = 4, shingleWords = 3, k = 16, bands = 4,
-      maxBucketSize = 1000)
-    // batch 2: 3 duplicates corpus doc 1 (cross-index), 5 duplicates 4
-    // intra-batch (higher id loses)
-    DedupStream.ingestBatch(b2, 1L, clean, idx, "doc_id", "text",
-      threshold = 0.8, buckets = 4, shingleWords = 3, k = 16, bands = 4,
-      maxBucketSize = 1000)
-
-    val kept = DedupStream.readClean(spark, clean)
-      .select("doc_id").as[Long].collect().toSet
-    assert(kept == Set(1L, 2L, 4L))
-    assert(spark.table(idx).select("doc_id").distinct()
-      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+    withIndexTable { idx =>
+      val clean = tmp("clean") + "/t"
+      val b1 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+      val b2 = Seq((3L, tA), (4L, tC), (5L, tC)).toDF("doc_id", "text")
+      run(b1, 0L, clean, idx)
+      // batch 2: 3 duplicates corpus doc 1 (cross-index), 5 duplicates 4
+      // intra-batch (higher id loses)
+      run(b2, 1L, clean, idx)
+      val kept = DedupStream.readClean(spark, clean)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 4L))
+      assert(spark.table(idx).select("doc_id").distinct()
+        .as[Long].collect().toSet == Set(1L, 2L, 4L))
+    }
   }
 
   test("replayed batch is idempotent: decisions and clean output unchanged") {
-    val clean = tmp("cleanR") + "/t"
-    val idx = "dedup_stream_idx_b"
-    val b1 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
-    val b2 = Seq((3L, tA), (4L, tC), (5L, tC)).toDF("doc_id", "text")
-    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
-      DedupStream.ingestBatch(b, id, clean, idx, "doc_id", "text",
-        threshold = 0.8, buckets = 4, shingleWords = 3, k = 16, bands = 4,
-        maxBucketSize = 1000)
-    run(b1, 0L); run(b2, 1L)
-    // crash-after-index-append replay: batch 2 re-runs against an index
-    // already containing its own survivors
-    run(b2, 1L)
-    val rows = DedupStream.readClean(spark, clean).select("doc_id").as[Long].collect()
-    assert(rows.sorted.toSeq == Seq(1L, 2L, 4L), s"got ${rows.toSeq}")
+    withIndexTable { idx =>
+      val clean = tmp("cleanR") + "/t"
+      val b1 = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+      val b2 = Seq((3L, tA), (4L, tC), (5L, tC)).toDF("doc_id", "text")
+      run(b1, 0L, clean, idx)
+      run(b2, 1L, clean, idx)
+      // crash-after-index-append replay: batch 2 re-runs against an index
+      // already containing its own survivors
+      run(b2, 1L, clean, idx)
+      val rows = DedupStream.readClean(spark, clean).select("doc_id").as[Long].collect()
+      assert(rows.sorted.toSeq == Seq(1L, 2L, 4L), s"got ${rows.toSeq}")
+    }
   }
 
   test("streaming end-to-end: file stream bootstraps index and dedups") {
-    val in = tmp("in") + "/t"
-    val clean = tmp("cleanS") + "/t"
-    val ckpt = tmp("ckpt")
-    val idx = "dedup_stream_idx_c"
-    Seq((1L, tA), (2L, tB), (3L, tA), (4L, tC), (5L, tC))
-      .toDF("doc_id", "text").coalesce(1).write.parquet(in)
-    val q = DedupStream.start(spark, in, clean, idx, "doc_id", "text",
-      checkpoint = ckpt, threshold = 0.8, buckets = 4)
-    q.awaitTermination()
-    assert(DedupStream.readClean(spark, clean)
-      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    withIndexTable { idx =>
+      val in = tmp("in") + "/t"
+      val clean = tmp("cleanS") + "/t"
+      val ckpt = tmp("ckpt")
+      Seq((1L, tA), (2L, tB), (3L, tA), (4L, tC), (5L, tC))
+        .toDF("doc_id", "text").coalesce(1).write.parquet(in)
+      val q = DedupStream.start(spark, in, clean, idx, "doc_id", "text",
+        checkpoint = ckpt, threshold = 0.8, buckets = 4)
+      q.awaitTermination()
+      assert(DedupStream.readClean(spark, clean)
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    }
   }
 }
