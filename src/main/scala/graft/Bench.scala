@@ -38,6 +38,10 @@ object Bench {
         // query may have checkpointed before dying, so clean up on both
         // paths.
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // ... and Dataset-level cache entries (the curation prefix sum
+        // persists columnar) so the CacheManager doesn't accumulate
+        // entries across 100+ queries.
+        spark.catalog.clearCache()
       }
     }
 

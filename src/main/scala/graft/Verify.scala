@@ -27,8 +27,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Queries are independent — release any eagerly-checkpointed blocks.
+      // Queries are independent — release any eagerly-checkpointed blocks
+      // and Dataset-level cache entries (curation prefix sums persist).
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

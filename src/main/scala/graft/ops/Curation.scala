@@ -168,6 +168,73 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** DSIR-style importance scores (Xie et al. 2023, arXiv:2302.03169):
+    * rank raw documents by how target-like their hashed n-gram profile
+    * is. Features are unigrams + bigrams hashed into `buckets` slots;
+    * each bucket gets an add-one-smoothed likelihood ratio
+    * `((t_b+1)/(T+B)) / ((r_b+1)/(R+B))` between the target and raw
+    * corpus distributions, and a document scores the count-weighted MEAN
+    * ratio over its buckets.
+    *
+    * Deliberately LOG-FREE like [[bigramLmScore]]: the paper's
+    * log-likelihood-ratio needs `ln` (not bit-portable across engines);
+    * the arithmetic-mean ratio keeps every step IEEE-exact in the DuckDB
+    * oracle while preserving the ranking signal selection consumes
+    * (target-like buckets ratio > 1, off-target < 1). Selection is then
+    * deterministic top-k by (score, id) — the paper's Gumbel-top-k
+    * sampling needs logs too; seeded-hash tie-breaking keeps re-runs
+    * byte-identical, the property the rest of the curation stack
+    * guarantees.
+    *
+    * Scale shape: two feature streams (target's collapses to a ≤`buckets`-
+    * row table, raw's is materialized once for its two consumers), bucket
+    * stats are scalar/broadcast joins (a 4096-row ratio table is nothing),
+    * and the per-doc fold is bucket-sorted so partition order cannot
+    * perturb the double sum. No corpus-side shuffle beyond the per-doc
+    * (id, bucket) partial aggregation.
+    *
+    * Output: (idCol, n_feats, dsir_score) for every raw document.
+    */
+  def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0)
+    def feats(docs: DataFrame) = docs
+      .select(col(idCol), tokens(normalize(col(textCol))).as("__toks"))
+      .select(col(idCol),
+        concat(col("__toks"),
+          when(size(col("__toks")) < 2, typedLit(Array.empty[String]))
+            .otherwise(wordShingles(col("__toks"), 2))).as("__feats"))
+      .select(col(idCol), explode(col("__feats")).as("__feat"))
+      .select(col(idCol), pmod(hash60(col("__feat")), lit(buckets.toLong)).as("bucket"))
+    // Raw features feed the bucket stats AND the per-doc counts —
+    // materialized once (eager, cleaner-reclaimed (id, bucket) longs).
+    val rawF = feats(raw).localCheckpoint(true)
+    val tb = feats(target).groupBy("bucket").agg(count(lit(1)).as("t_b"))
+    val rb = rawF.groupBy("bucket").agg(count(lit(1)).as("r_b"))
+    // Scalar totals come from the tiny bucket tables, not extra passes.
+    val tTot = broadcast(tb.agg(sum(col("t_b")).cast("long").as("t_total")))
+    val rTot = broadcast(rb.agg(sum(col("r_b")).cast("long").as("r_total")))
+    val ratios = rb.join(tb, Seq("bucket"), "left")
+      .crossJoin(tTot).crossJoin(rTot)
+      .select(col("bucket"),
+        (((coalesce(col("t_b"), lit(0L)) + 1L).cast("double") *
+          (col("r_total") + buckets).cast("double")) /
+          ((col("r_b") + 1L).cast("double") *
+            (col("t_total") + buckets).cast("double"))).as("ratio"))
+    val terms = rawF.groupBy(idCol, "bucket").agg(count(lit(1)).as("c"))
+      .join(broadcast(ratios), "bucket")
+      .select(col(idCol), col("bucket"),
+        (col("c").cast("double") * col("ratio")).as("term"), col("c"))
+    terms.groupBy(idCol)
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("bucket"), col("term")))),
+          lit(0.0), (acc, s) => acc + s.getField("term")).as("__tsum"),
+        sum(col("c")).cast("long").as("n_feats"))
+      .select(col(idCol), col("n_feats"),
+        (col("__tsum") / col("n_feats").cast("double")).as("dsir_score"))
+  }
+
   /** Bigram-LM fluency score: the mean add-one-smoothed conditional
     * probability of each document's bigrams under a language model fit on
     * the corpus itself — P(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V), where

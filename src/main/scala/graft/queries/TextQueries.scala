@@ -146,6 +146,28 @@ object TextQueries {
     "text_bigram_lm" -> ((s, dir) =>
       graft.ops.Curation.bigramLmScore(docs(s, dir), "doc_id", "text")),
 
+    // DSIR importance scores: how target-like is each document's hashed
+    // unigram+bigram profile (target = the src0 domain; log-free mean
+    // likelihood ratio — see [[graft.ops.Curation.dsirScores]]).
+    "text_dsir_scores" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Curation.dsirScores(docs(s, dir),
+        docs(s, dir).where(col("source") === "src0"),
+        "doc_id", "text", buckets = 1024)
+    }),
+
+    // DSIR selection: deterministic top-100 by (score, id) — the
+    // data-selection read of the scores (global top-N plans as
+    // TakeOrderedAndProject, k rows per partition cross the exchange).
+    "text_dsir_select" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Curation.dsirScores(docs(s, dir),
+        docs(s, dir).where(col("source") === "src0"),
+        "doc_id", "text", buckets = 1024)
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // End-to-end curation pipeline, composed from the operator library:
     // exact-dedup keepers → quality gate (≥ 0.5) → domain-mixture budget
     // → context packing (2048) with intra-pack offsets → shard layout.
@@ -181,6 +203,45 @@ object TextQueries {
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
   private def h60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  /** DSIR mirror: same normalize → tokens → unigram+bigram features →
+    * hash-bucket pipeline, same add-one ratio expression order, same
+    * bucket-sorted 0.0-seeded left fold (Curation.dsirScores). */
+  private lazy val dsirSql = {
+    def featCte(name: String, where: String) =
+      s"""norm_$name AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+         |  FROM documents $where),
+         |toks_$name AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS tk FROM norm_$name),
+         |fb_$name AS (
+         |  SELECT doc_id, (${h60("feat")} % 1024) AS bucket FROM (
+         |    SELECT doc_id, unnest(list_concat(tk,
+         |      CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+         |           ELSE list_transform(range(1, len(tk)),
+         |                  i -> tk[i::INT] || ' ' || tk[(i+1)::INT]) END)) AS feat
+         |    FROM toks_$name))""".stripMargin
+    s"""WITH ${featCte("raw", "")},
+       |${featCte("tgt", "WHERE source = 'src0'")},
+       |tb AS (SELECT bucket, count(*) AS t_b FROM fb_tgt GROUP BY 1),
+       |rb AS (SELECT bucket, count(*) AS r_b FROM fb_raw GROUP BY 1),
+       |tt AS (SELECT sum(t_b)::BIGINT AS t_total FROM tb),
+       |rt AS (SELECT sum(r_b)::BIGINT AS r_total FROM rb),
+       |ratios AS (
+       |  SELECT rb.bucket,
+       |    ((coalesce(t_b, 0) + 1)::DOUBLE * (r_total + 1024)::DOUBLE) /
+       |    ((r_b + 1)::DOUBLE * (t_total + 1024)::DOUBLE) AS ratio
+       |  FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tt CROSS JOIN rt),
+       |db AS (SELECT doc_id, bucket, count(*) AS c FROM fb_raw GROUP BY 1, 2),
+       |terms AS (SELECT doc_id, bucket, c::DOUBLE * ratio AS term, c
+       |          FROM db JOIN ratios USING (bucket)),
+       |agg AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0.0, list(term ORDER BY bucket)), (a, x) -> a + x) AS tsum,
+       |    sum(c)::BIGINT AS n_feats
+       |  FROM terms GROUP BY doc_id)
+       |SELECT doc_id, n_feats, tsum / n_feats::DOUBLE AS dsir_score FROM agg""".stripMargin
+  }
 
   private val langValues = TextAnalysis.LangStopwords.map { case (lang, words) =>
     s"('$lang', [${words.map(w => s"'$w'").mkString(",")}])"
@@ -442,6 +503,12 @@ object TextQueries {
          |  ((cum - n_tokens) % 2048)::BIGINT AS pack_offset,
          |  (${h60("'shard:' || doc_id::VARCHAR")} % 8)::BIGINT AS shard
          |FROM c WHERE cum - n_tokens < budget""".stripMargin,
+
+    "text_dsir_scores" -> dsirSql,
+
+    "text_dsir_select" ->
+      s"""WITH scored AS ($dsirSql)
+         |SELECT * FROM scored ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin,
 
     "text_bigram_lm" ->
       s"""WITH norm AS (

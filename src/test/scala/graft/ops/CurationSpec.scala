@@ -120,6 +120,25 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("__slice"), s"expected sliced prefix sum in:\n$plan")
   }
 
+  test("dsirScores: target-like docs outrank off-target, deterministic") {
+    val target = Seq(
+      (100L, "physics energy momentum quantum field theory"),
+      (101L, "quantum field energy states physics momentum")
+    ).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "quantum field theory energy momentum physics"), // target-like
+      (2L, "buy cheap pills online casino winner click"),   // off-target
+      (3L, "physics energy and also casino pills")          // mixed
+    ).toDF("doc_id", "text")
+    val out = Curation.dsirScores(raw, target, "doc_id", "text", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("dsir_score")).toMap
+    assert(out(1L) > out(3L) && out(3L) > out(2L),
+      s"expected target-like > mixed > off-target, got $out")
+    val again = Curation.dsirScores(raw, target, "doc_id", "text", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("dsir_score")).toMap
+    assert(out == again)
+  }
+
   test("bigramLmScore: sub-2-token docs emit n_bigrams=0, score 0") {
     val tiny = Seq((1L, "word"), (2L, ""), (3L, "two tokens")).toDF("doc_id", "text")
     val out = Curation.bigramLmScore(tiny, "doc_id", "text")
