@@ -168,6 +168,34 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Deterministic train/val/test assignment: the seeded 60-bit document
+    * hash falls into consecutive integer intervals sized by the requested
+    * fractions — per-row math, no shuffle, no sampling pass, and the
+    * assignment is a pure function of (seed, id): reproducible across
+    * runs, stable under corpus growth (adding documents never reassigns
+    * existing ones — the property a random split lacks and a training
+    * pipeline needs), engine-portable (thresholds are exact integers).
+    *
+    * `fractions` must sum to ≤ 1; a remainder falls into the LAST named
+    * split (so ("train" 0.9, "val" 0.1) is exhaustive, and dyadic
+    * fractions make the `(cum * 2^60).toLong` thresholds exact).
+    * Compose with [[Decontaminate]] to scrub eval splits from train.
+    */
+  def splitAssign(docs: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)],
+                  seed: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9)
+    val max = 1L << 60
+    val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = cums.init.map(c => (c * max).toLong) :+ max
+    val key = shuffleKey(idCol, seed)
+    val assign = fractions.map(_._1).zip(thresholds).reverse
+      .foldLeft(lit(fractions.last._1)) { case (acc, (name, thr)) =>
+        when(key < thr, lit(name)).otherwise(acc)
+      }
+    docs.select(col(idCol), assign.as("split"))
+  }
+
   /** DSIR-style importance scores (Xie et al. 2023, arXiv:2302.03169):
     * rank raw documents by how target-like their hashed n-gram profile
     * is. Features are unigrams + bigrams hashed into `buckets` slots;

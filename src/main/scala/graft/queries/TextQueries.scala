@@ -146,6 +146,13 @@ object TextQueries {
     "text_bigram_lm" -> ((s, dir) =>
       graft.ops.Curation.bigramLmScore(docs(s, dir), "doc_id", "text")),
 
+    // Deterministic train/val/test assignment: seeded-hash interval
+    // split (7/8, 1/16, 1/16 — dyadic, exact thresholds), stable under
+    // corpus growth. Per-row math, no shuffle.
+    "text_split_assign" -> ((s, dir) =>
+      graft.ops.Curation.splitAssign(docs(s, dir), "doc_id",
+        Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625))),
+
     // DSIR importance scores: how target-like is each document's hashed
     // unigram+bigram profile (target = the src0 domain; log-free mean
     // likelihood ratio — see [[graft.ops.Curation.dsirScores]]).
@@ -503,6 +510,18 @@ object TextQueries {
          |  ((cum - n_tokens) % 2048)::BIGINT AS pack_offset,
          |  (${h60("'shard:' || doc_id::VARCHAR")} % 8)::BIGINT AS shard
          |FROM c WHERE cum - n_tokens < budget""".stripMargin,
+
+    "text_split_assign" -> {
+      val max = 1L << 60
+      val t1 = (0.875 * max).toLong
+      val t2 = ((0.875 + 0.0625) * max).toLong
+      s"""SELECT doc_id,
+         |  CASE WHEN ${h60("'split:' || doc_id::VARCHAR")} < ${t1}
+         |       THEN 'train'
+         |       WHEN ${h60("'split:' || doc_id::VARCHAR")} < ${t2}
+         |       THEN 'val' ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
 
     "text_dsir_scores" -> dsirSql,
 

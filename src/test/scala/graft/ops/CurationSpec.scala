@@ -139,6 +139,24 @@ class CurationSpec extends SparkSpec {
     assert(out == again)
   }
 
+  test("splitAssign: exhaustive, reproducible, stable under corpus growth") {
+    val fr = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val base = (1L to 400L).toDF("doc_id")
+    val a = Curation.splitAssign(base, "doc_id", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // roughly proportional (hash uniformity; generous bounds)
+    assert(a.values.count(_ == "train") > 240)
+    // growth stability: appending docs never reassigns existing ones
+    val grown = Curation.splitAssign((1L to 800L).toDF("doc_id"), "doc_id", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 400L).forall(i => grown(i) == a(i)))
+    // a different seed reshuffles
+    val reseeded = Curation.splitAssign(base, "doc_id", fr, seed = "other")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reseeded != a)
+  }
+
   test("bigramLmScore: sub-2-token docs emit n_bigrams=0, score 0") {
     val tiny = Seq((1L, "word"), (2L, ""), (3L, "two tokens")).toDF("doc_id", "text")
     val out = Curation.bigramLmScore(tiny, "doc_id", "text")
