@@ -226,18 +226,25 @@ object Curation {
   def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
                  textCol: String, buckets: Int = 4096): DataFrame = {
     require(buckets > 0)
+    // One native per-row pass builds the hashed feature multiset (see
+    // [[graft.expressions.HashedNgramBucketsExpr]] — the interpreted
+    // transform-lambda + hex-conv formulation was ~10x slower).
     def feats(docs: DataFrame) = docs
-      .select(col(idCol), tokens(normalize(col(textCol))).as("__toks"))
       .select(col(idCol),
-        concat(col("__toks"),
-          when(size(col("__toks")) < 2, typedLit(Array.empty[String]))
-            .otherwise(wordShingles(col("__toks"), 2))).as("__feats"))
-      .select(col(idCol), explode(col("__feats")).as("__feat"))
-      .select(col(idCol), pmod(hash60(col("__feat")), lit(buckets.toLong)).as("bucket"))
+        explode(graft.expressions.TextSketches.hashedNgramBuckets(
+          normalize(col(textCol)), buckets)).as("bucket"))
+    // Small-input parallelism: per-row hashing is CPU-bound, and a corpus
+    // that arrives as fewer splits than the session's parallelism (one
+    // small file locally) would hash on one task. At scale the scan has
+    // more splits than cores and this is a no-op — the corpus is never
+    // shuffled just to hash it.
+    val n = raw.sparkSession.sessionState.conf.numShufflePartitions
+    def widen(df: DataFrame) =
+      if (df.rdd.getNumPartitions < n) df.repartition(n) else df
     // Raw features feed the bucket stats AND the per-doc counts —
     // materialized once (eager, cleaner-reclaimed (id, bucket) longs).
-    val rawF = feats(raw).localCheckpoint(true)
-    val tb = feats(target).groupBy("bucket").agg(count(lit(1)).as("t_b"))
+    val rawF = feats(widen(raw)).localCheckpoint(true)
+    val tb = feats(widen(target)).groupBy("bucket").agg(count(lit(1)).as("t_b"))
     val rb = rawF.groupBy("bucket").agg(count(lit(1)).as("r_b"))
     // Scalar totals come from the tiny bucket tables, not extra passes.
     val tTot = broadcast(tb.agg(sum(col("t_b")).cast("long").as("t_total")))
