@@ -207,6 +207,42 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
     }
   }
 
+  /** Build (or rebuild) the persisted file-stats index of a lake table
+    * for `cols` — one aggregation scan, written next to the change feed
+    * under `_stats/`. Returns indexed file count. Rebuild after
+    * [[compact]]/heavy merge churn; [[readPruned]] stays correct on a
+    * stale index either way (unknown files scan, vanished files skip). */
+  def buildStatsIndex(schema: String, table: String, cols: Seq[String]): Long = {
+    val stats = io.StatsIndex.build(spark,
+      s"${lakeRoot.stripSuffix("/")}/$schema/$table", cols)
+    stats.write.mode("overwrite").parquet(statsPath(schema, table))
+    spark.read.parquet(statsPath(schema, table)).count()
+  }
+
+  /** Data-skipping range read of a lake table through its persisted
+    * stats index ([[buildStatsIndex]]); falls back to a full filtered
+    * scan when no index exists. */
+  def readPruned(schema: String, table: String, column: String,
+                 lower: Option[Any], upper: Option[Any]): DataFrame = {
+    val dir = s"${lakeRoot.stripSuffix("/")}/$schema/$table"
+    val sp = new org.apache.hadoop.fs.Path(statsPath(schema, table))
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sp)) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val base = spark.read.parquet(dir)
+      (lower, upper) match {
+        case (Some(l), Some(u)) => base.where(col(column).between(lit(l), lit(u)))
+        case (Some(l), None)    => base.where(col(column) >= lit(l))
+        case (None, Some(u))    => base.where(col(column) <= lit(u))
+        case (None, None)       => base
+      }
+    } else io.StatsIndex.prunedRead(spark, dir,
+      spark.read.parquet(statsPath(schema, table)), column, lower, upper)
+  }
+
+  private def statsPath(schema: String, table: String): String =
+    s"${lakeRoot.stripSuffix("/")}/_stats/$schema/$table"
+
   /** Maintenance compaction of one lake table (uses the stored keys). */
   def compact(schema: String, table: String): Compaction.Stats = {
     val cfg = store.get(tableDir(schema, table)).map(_.config).getOrElse(TableConfig())

@@ -62,22 +62,32 @@ object StatsIndex {
     * predicate to the survivors. Row-identical to
     * `spark.read.parquet(dir).where(between)` — the index changes which
     * files are OPENED, never the answer. Returns an empty (correctly
-    * typed) frame when every file prunes away. */
+    * typed) frame when every file prunes away.
+    *
+    * STALE-INDEX SAFE: the decision is reconciled against the table's
+    * CURRENT file listing — files the index has never seen (appended
+    * since `build`) are always scanned, and indexed files that no longer
+    * exist (compacted/deleted) are skipped. A stale index can only
+    * degrade pruning, never the answer; rebuild after rewrites to regain
+    * skipping. */
   def prunedRead(spark: SparkSession, tableDir: String, stats: DataFrame,
                  column: String, lower: Option[Any], upper: Option[Any]): DataFrame = {
-    val files = candidateFiles(stats, column, lower, upper)
+    val base = spark.read.parquet(tableDir)
+    val current = base.inputFiles.toSet
+    val known = stats.select("file").collect().map(_.getString(0)).toSet
+    val files = candidateFiles(stats, column, lower, upper).filter(current) ++
+      (current -- known)
     val exact: Column => Column = c => (lower, upper) match {
       case (Some(l), Some(u)) => c.between(lit(l), lit(u))
       case (Some(l), None)    => c >= lit(l)
       case (None, Some(u))    => c <= lit(u)
       case (None, None)       => lit(true)
     }
-    val base = spark.read.parquet(tableDir)
     if (files.isEmpty) base.limit(0)
     // basePath keeps hive-partition columns resolvable from an explicit
     // file list (the S2 scan shape, CdcPipeline.scala:75-94).
     else spark.read.schema(base.schema).option("basePath", tableDir)
-      .parquet(files: _*)
+      .parquet(files.toSeq: _*)
       .where(exact(col(column)))
   }
 }

@@ -186,9 +186,12 @@ object Similarity {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol, cidCol)
       .select(col(idCol), col(vecCol), col("cluster"))
       .localCheckpoint(true)
-    val capped = assigned
-      .withColumn("__cn", count(lit(1)).over(Window.partitionBy("cluster")))
-      .where(col("__cn") <= maxClusterSize)
+    // Over-cap clusters as a TINY broadcast list (≤ |centroids| rows)
+    // anti-joined away — a count window would re-shuffle and re-count the
+    // corpus once per self-join side; this is one partial agg.
+    val heavy = assigned.groupBy("cluster").agg(count(lit(1)).as("__cn"))
+      .where(col("__cn") > maxClusterSize).select("cluster")
+    val capped = assigned.join(broadcast(heavy), Seq("cluster"), "left_anti")
     val a = capped.select(col("cluster"), col(idCol).as("__id_a"), col(vecCol).as("__va"))
     val b = capped.select(col("cluster"), col(idCol).as("__id_b"), col(vecCol).as("__vb"))
     val dropped = a.join(b, "cluster")

@@ -66,6 +66,21 @@ class GraftLakeSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM db_t").head().getLong(0) == 4)
     assert(spark.sql("SELECT v FROM db_t WHERE id = 1").head().getString(0) == "a2")
     assert(spark.sql("SELECT score FROM db_t WHERE id = 4").head().getDouble(0) == 1.5)
+
+    // stats index: persisted build + data-skipping read through the
+    // facade equals the plain filter; works unbuilt (fallback) too
+    val unindexed = lake.readPruned("db", "t", "id", Some(2), Some(3))
+    assert(unindexed.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    assert(lake.buildStatsIndex("db", "t", Seq("id")) >= 1L)
+    val pruned = lake.readPruned("db", "t", "id", Some(2), Some(3))
+    assert(pruned.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    // stale-safe: another sync rewrites files; the old index still answers
+    writeFile(Seq(("I", 9, "z", 0.5)).toDF("Op", "id", "v", "score"),
+      s"$raw/db/t", "20260812-03.parquet")
+    lake.sync()
+    val afterSync = lake.readPruned("db", "t", "id", Some(2), Some(9))
+    assert(afterSync.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(2, 3, 4, 9))
   }
 
   test("drift reports retypes across mixed-type raw files instead of throwing") {

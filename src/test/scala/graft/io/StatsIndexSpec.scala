@@ -64,6 +64,22 @@ class StatsIndexSpec extends SparkSpec {
     assert(onX.count() == 64L * 8 && onY.count() == 64L * 8)
   }
 
+  test("stale index stays correct: appended files scan, vanished files skip") {
+    val dir = tmp()
+    spark.range(1000).select($"id").repartitionByRange(4, $"id").write.parquet(dir)
+    val stats = StatsIndex.build(spark, dir, Seq("id")).localCheckpoint(true)
+    // append rows OUTSIDE the indexed range after the build
+    spark.range(5000, 5100).select($"id").write.mode("append").parquet(dir)
+    val out = StatsIndex.prunedRead(spark, dir, stats, "id", Some(5000L), None)
+    assert(out.count() == 100L, "appended (unindexed) files must be scanned")
+    // delete one indexed file: reads of other ranges must not fail
+    val f = new org.apache.hadoop.fs.Path(
+      spark.read.parquet(dir).inputFiles.find(_.contains("part-00000")).get)
+    f.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(f, false)
+    val after = StatsIndex.prunedRead(spark, dir, stats, "id", Some(900L), Some(999L))
+    assert(after.count() == 100L)
+  }
+
   test("prunedRead keeps hive-partition columns via basePath") {
     val dir = tmp()
     spark.range(200).select($"id", ($"id" % 2).as("p"))
