@@ -157,6 +157,34 @@ class CurationSpec extends SparkSpec {
     assert(reseeded != a)
   }
 
+  test("parallelRunningSum property: ≡ single window for arbitrary skew/ties/slices") {
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genRows: Gen[(List[(Long, String, Long)], Int)] = for {
+      n <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, for {
+        dom <- Gen.frequency(8 -> Gen.const("web"), 1 -> Gen.const("code"),
+          1 -> Gen.oneOf("a", "b", "c"))
+        v <- Gen.choose(0L, 5L) // tiny range → heavy order-key ties
+      } yield (dom, v))
+      slices <- Gen.choose(1, 7)
+    } yield (rows.zipWithIndex.map { case ((d, v), i) => (i.toLong, d, v) }, slices)
+    val prop = Prop.forAll(genRows) { case (rows, slices) =>
+      val df = rows.toDF("id", "dom", "v")
+      val naive = df.withColumn("cum",
+        sum($"v").over(Window.partitionBy("dom").orderBy("v", "id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("id", "dom", "v", "cum").collect().map(_.toString).toSet
+      val par = Curation.parallelRunningSum(df, Seq("dom"), Seq("v", "id"),
+        "v", "cum", numSlices = slices)
+        .select("id", "dom", "v", "cum").collect().map(_.toString).toSet
+      par == naive
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bigramLmScore: sub-2-token docs emit n_bigrams=0, score 0") {
     val tiny = Seq((1L, "word"), (2L, ""), (3L, "two tokens")).toDF("doc_id", "text")
     val out = Curation.bigramLmScore(tiny, "doc_id", "text")
