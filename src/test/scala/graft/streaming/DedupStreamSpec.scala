@@ -59,6 +59,30 @@ class DedupStreamSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint restart: second delivery resumes and dedups against batch-1 index") {
+    withIndexTable { idx =>
+      val in = tmp("inR") + "/t"
+      val clean = tmp("cleanCk") + "/t"
+      val ckpt = tmp("ckptR")
+      def start() = DedupStream.start(spark, in, clean, idx, "doc_id", "text",
+        checkpoint = ckpt, threshold = 0.8, buckets = 4)
+      Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      start().awaitTermination()
+      // stream stopped (AvailableNow); a later delivery resumes from the
+      // same checkpoint — batch 1's files are not reprocessed, and the
+      // cross-index check sees batch 1's survivors
+      Seq((3L, tA), (4L, tC), (5L, tC)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      start().awaitTermination()
+      assert(DedupStream.readClean(spark, clean)
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+      // two distinct batch partitions: one per delivery
+      assert(spark.read.parquet(clean).select(DedupStream.BatchCol)
+        .distinct().count() == 2L)
+    }
+  }
+
   test("streaming end-to-end: file stream bootstraps index and dedups") {
     withIndexTable { idx =>
       val in = tmp("in") + "/t"
