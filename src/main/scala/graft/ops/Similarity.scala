@@ -122,6 +122,52 @@ object Similarity {
           lit(0.0), (acc, s) => acc + s.getField("v")).as("comp_sum"),
         count(lit(1)).as("n"))
 
+  /** Deterministic k-means training (Lloyd's iterations) — produces the
+    * centroid set the IVF/PQ/SemDeDup operators consume, instead of
+    * requiring one from outside. Init = the `k` lowest-id corpus vectors
+    * (deterministic; at 100 TB swap for any seeded sample — the loop is
+    * unchanged); each round assigns by cosine ([[ivfAssign]]) and
+    * recomputes means via the bit-deterministic [[centroidUpdate]] fold.
+    *
+    * Per iteration: one corpus pass + one (cluster, dim) shuffle of the
+    * component sums; only the k×dim centroid table (a few KB) returns to
+    * the driver — the corpus never does. A cluster that loses all
+    * members keeps its previous centroid (the standard empty-cluster
+    * fallback, deterministic).
+    *
+    * Output: (cidCol, vecCol`: array<float>`, like the corpus — means are
+    * computed in double and rounded once to float per component, `::REAL`
+    * in the SQL mirror); `iters = 0` returns the initial centroids. */
+  def kMeans(corpus: DataFrame, idCol: String, vecCol: String,
+             cidCol: String, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def toDf(cents: Seq[(Long, Seq[Float])]) = cents.toDF(cidCol, vecCol)
+    // Driver-side state is ONLY the k×dim centroid table (a few KB); the
+    // corpus itself never leaves the cluster.
+    var cents: Seq[(Long, Seq[Float])] = corpus
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }
+    var i = 0
+    while (i < iters) {
+      val assigned = ivfAssign(corpus, toDf(cents), idCol, vecCol, cidCol)
+      val rows = centroidUpdate(assigned, idCol, vecCol)
+        .select(col("cluster"), col("dim"),
+          (col("comp_sum") / col("n")).as("m"))
+        .collect()
+      // Means in double, rounded ONCE to float so the next assignment
+      // compares float vectors like the corpus (`::REAL` in the mirror).
+      val means = rows.groupBy(_.getLong(0)).map { case (c, rs) =>
+        c -> rs.sortBy(_.getLong(1)).map(_.getDouble(2).toFloat).toSeq
+      }
+      cents = cents.map { case (c, v) => (c, means.getOrElse(c, v)) }
+      i += 1
+    }
+    toDf(cents)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted
     * to bucketed candidates (the scale path for embedding dedup).
     *

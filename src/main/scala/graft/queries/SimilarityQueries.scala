@@ -122,6 +122,17 @@ object SimilarityQueries {
       e.join(losers, Seq("vec_id"), "left_anti").select("vec_id", "label")
     }),
 
+    // k-means training (one Lloyd's round over the deterministic first-8
+    // init): the centroid set the IVF/PQ/SemDeDup operators consume,
+    // exploded to flat (cid, dim, c) for the hash compare. Means fold
+    // bit-deterministically and round once to float (::REAL mirror).
+    "sim_kmeans_train" -> ((s, dir) =>
+      Similarity.kMeans(emb(s, dir), "vec_id", "embedding", "cid",
+        k = 8, iters = 1)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "c")))
+        .select(col("cid"), col("dim").cast("long").as("dim"),
+          col("c").cast("double").as("c"))),
+
     // SemDeDup (cluster-then-prune semantic dedup): candidate pairs only
     // within a nearest-centroid cluster (8 deterministic centroids),
     // drop any doc with a lower-id ≥0.4-cosine neighbor in its cluster.
@@ -312,6 +323,37 @@ object SimilarityQueries {
          |  HAVING least(src, min(dst)) < src)
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin,
+
+    // k-means mirror: first-8 init (row_number, not vec_id, so the cids
+    // are ranks like the Scala), one assign + deterministic component
+    // fold, mean rounded once to REAL; empty clusters keep their init.
+    "sim_kmeans_train" ->
+      s"""WITH init AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, init.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, init.cid) AS rn
+         |    FROM embeddings e, init) WHERE rn = 1),
+         |exploded AS (
+         |  SELECT cluster, vec_id,
+         |         unnest(range(len(embedding))) AS dim,
+         |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+         |  FROM assign),
+         |sums AS (
+         |  SELECT cluster, dim,
+         |    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x) AS comp_sum,
+         |    count(*) AS n
+         |  FROM exploded GROUP BY cluster, dim),
+         |iexp AS (
+         |  SELECT cid, unnest(range(len(cv))) AS dim,
+         |         unnest(list_transform(cv, x -> x::DOUBLE)) AS iv
+         |  FROM init)
+         |SELECT i.cid, i.dim::BIGINT AS dim,
+         |       coalesce((s.comp_sum / s.n)::REAL::DOUBLE, i.iv) AS c
+         |FROM iexp i LEFT JOIN sums s ON s.cluster = i.cid AND s.dim = i.dim""".stripMargin,
 
     // SemDeDup mirror: nearest-centroid assignment (same CTE as
     // sim_ivf_assign), intra-cluster pairs under the 10000 cap, drop ids

@@ -192,6 +192,36 @@ class OpsSpec extends SparkSpec {
     assert(multi.subsetOf(brute), "bucketed pairs must be true near-dups")
   }
 
+  test("kMeans: converges toward true centers, empty clusters keep init, deterministic") {
+    // two tight groups around (1,1,1,1) and (-1,-1,-1,-1); k=2 init = the
+    // two lowest-id vectors (one from each group)
+    val vs = Seq(
+      (1L, Array(1f, 1f, 1f, 1f)), (2L, Array(-1f, -1f, -1f, -1f)),
+      (3L, Array(0.9f, 1f, 1f, 1.1f)), (4L, Array(1.1f, 1f, 1f, 0.9f)),
+      (5L, Array(-0.9f, -1f, -1f, -1.1f)), (6L, Array(-1.1f, -1f, -1f, -0.9f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kMeans(vs, "vec_id", "embedding", "cid", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(cents.keySet == Set(0L, 1L))
+    // cluster 0 ≈ mean of the + group, cluster 1 ≈ mean of the − group
+    assert(cents(0L).forall(_ > 0.9f) && cents(1L).forall(_ < -0.9f))
+    assert(math.abs(cents(0L).head - 1.0f) < 0.05f)
+    // deterministic across runs
+    val again = Similarity.kMeans(vs, "vec_id", "embedding", "cid", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(cents == again)
+    // iters = 0 returns the init verbatim
+    val init = Similarity.kMeans(vs, "vec_id", "embedding", "cid", k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(init(0L) == Seq(1f, 1f, 1f, 1f) && init(1L) == Seq(-1f, -1f, -1f, -1f))
+    // a k larger than any nonempty cluster count: clusters that attract
+    // no members keep their init centroid (here duplicate init vectors
+    // lose every cosine tie to the lower cid)
+    val k4 = Similarity.kMeans(vs.limit(2), "vec_id", "embedding", "cid", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(k4.keySet == Set(0L, 1L))
+  }
+
   test("semDedup: drops higher-id near-dups within a cluster only; cap exempts") {
     // Two well-separated clusters around (1,1,...) and (-1,-1,...).
     // 1≈2 near-identical (same cluster → 2 dropped); 4≈5 near-identical
