@@ -144,6 +144,17 @@ object SimilarityQueries {
           .select(col("vec_id").as("cid"), col("embedding")),
         "vec_id", "embedding", "cid", threshold = 0.4)),
 
+    // End-to-end embedding pipeline (the embedding-side twin of
+    // text_pipeline_e2e): train centroids with one Lloyd's round, then
+    // SemDeDup against the TRAINED centroids — the composition a real
+    // corpus build runs (train → assign → prune), all deterministic.
+    "sim_embed_pipeline" -> ((s, dir) => {
+      val trained = Similarity.kMeans(emb(s, dir), "vec_id", "embedding",
+        "cid", k = 8, iters = 1)
+      Similarity.semDedup(emb(s, dir), trained, "vec_id", "embedding",
+        "cid", threshold = 0.4)
+    }),
+
     // Product quantization: 4 × 16-dim subspaces, 16-entry codebook
     // (vectors 0-15 as deterministic stand-ins for k-means centers),
     // codes packed into one BIGINT — the 64-byte→4-byte compression path
@@ -354,6 +365,55 @@ object SimilarityQueries {
          |SELECT i.cid, i.dim::BIGINT AS dim,
          |       coalesce((s.comp_sum / s.n)::REAL::DOUBLE, i.iv) AS c
          |FROM iexp i LEFT JOIN sums s ON s.cluster = i.cid AND s.dim = i.dim""".stripMargin,
+
+    // Pipeline mirror: the kmeans-train CTEs feed rebuilt centroid lists
+    // into the semdedup CTEs — one SQL chain for train → assign → prune.
+    "sim_embed_pipeline" ->
+      s"""WITH init AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |assign0 AS (
+         |  SELECT vec_id, embedding, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, init.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, init.cid) AS rn
+         |    FROM embeddings e, init) WHERE rn = 1),
+         |exploded AS (
+         |  SELECT cluster, vec_id,
+         |         unnest(range(len(embedding))) AS dim,
+         |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+         |  FROM assign0),
+         |sums AS (
+         |  SELECT cluster, dim,
+         |    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x) AS comp_sum,
+         |    count(*) AS n
+         |  FROM exploded GROUP BY cluster, dim),
+         |iexp AS (
+         |  SELECT cid, unnest(range(len(cv))) AS dim,
+         |         unnest(list_transform(cv, x -> x::DOUBLE)) AS iv
+         |  FROM init),
+         |newc AS (
+         |  SELECT cid, list(comp ORDER BY dim) AS cv FROM (
+         |    SELECT i.cid, i.dim,
+         |           coalesce((s.comp_sum / s.n)::REAL::DOUBLE, i.iv) AS comp
+         |    FROM iexp i LEFT JOIN sums s ON s.cluster = i.cid AND s.dim = i.dim)
+         |  GROUP BY cid),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, n.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "n.cv")} DESC, n.cid) AS rn
+         |    FROM embeddings e, newc n) WHERE rn = 1),
+         |capped AS (
+         |  SELECT * FROM assign
+         |  QUALIFY count(*) OVER (PARTITION BY cluster) <= 10000),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM capped a JOIN capped b USING (cluster)
+         |  WHERE a.vec_id < b.vec_id
+         |    AND ${cosSql("a.embedding", "b.embedding")} >= 0.4)
+         |SELECT vec_id, cluster FROM assign
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
 
     // SemDeDup mirror: nearest-centroid assignment (same CTE as
     // sim_ivf_assign), intra-cluster pairs under the 10000 cap, drop ids
