@@ -55,6 +55,16 @@ class ScaleOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE bt_lineitem")
   }
 
+  test("dsir: ratio table joins broadcast; corpus stream never sort-merge-joins") {
+    val out = graft.SparkEntry.queries("text_dsir_scores")(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    // the ≤buckets-row ratio table must ride a broadcast onto the per-doc
+    // counts — a sort-merge join here would shuffle the corpus stream by
+    // bucket, the exact exchange the design avoids
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected sort-merge join in:\n$plan")
+  }
+
   test("grouping-sets query plans one Expand, top-ngrams plans TakeOrderedAndProject") {
     val gs = graft.SparkEntry.queries("rel_grouping_sets")(spark, sf)
     val gsPlan = gs.queryExecution.executedPlan.toString
