@@ -102,25 +102,49 @@ object Similarity {
 
   /** One k-means centroid-update step over an assignment (Lloyd's
     * iteration — the index-maintenance aggregation for the IVF path):
-    * per-(cluster, dimension) component sums and member counts.
-    * posexplode → partial agg → ONE shuffle on (cluster, dim); the new
+    * per-(cluster, dimension) component sums and member counts; the new
     * centroid is comp_sum/n driver-side or in a follow-up select.
     *
-    * Component sums fold in `idCol` order (sorted struct array), so the
-    * result is bit-deterministic and DuckDB-mirrorable; a production loop
-    * free of the determinism requirement can use plain `avg` and accept
-    * floating-point reorder across partitions. */
-  def centroidUpdate(assigned: DataFrame, idCol: String, vecCol: String): DataFrame =
+    * Bit-determinism with BOUNDED per-group state (a two-phase sum, like
+    * [[Curation.parallelRunningSum]]'s slicing): a single id-sorted fold
+    * per (cluster, dim) would collect the cluster's full membership into
+    * one array — a head-heavy cluster (most real assignments have one)
+    * OOMs that task at scale. Instead each member gets a slice from a
+    * 60-bit id-hash (`h60("cslice:"+id) div width` — uniform regardless
+    * of id layout), phase 1 folds per (cluster, dim, slice) in `idCol`
+    * order (group size ≈ members/numSlices), phase 2 folds the
+    * ≤ numSlices slice sums in slice order (group size ≤ numSlices).
+    * Both folds have a fixed order that is a pure function of the rows,
+    * so the result is bit-deterministic and DuckDB-mirrorable — but it
+    * is the SLICED order: changing `numSlices` changes the (well-defined)
+    * floating-point sum. Phase 2's shuffle moves ≤ k·dims·numSlices rows.
+    * A production loop free of the determinism requirement can use plain
+    * `avg` and accept floating-point reorder across partitions. */
+  def centroidUpdate(assigned: DataFrame, idCol: String, vecCol: String,
+                     numSlices: Int = 1024): DataFrame = {
+    require(numSlices >= 1, s"numSlices must be >= 1: $numSlices")
+    val width = ((1L << 60) + numSlices - 1) / numSlices
     assigned
-      .select(col("cluster"), col(idCol).as("__vid"), posexplode(col(vecCol)))
+      .select(col("cluster"), col(idCol).as("__vid"),
+        graft.functions.TextFunctions.hash60(
+          concat(lit("cslice:"), col(idCol).cast("string"))).as("__skey"),
+        posexplode(col(vecCol)))
       .select(col("cluster"), col("pos").cast("long").as("dim"),
-        col("__vid"), col("col").cast("double").as("__v"))
-      .groupBy("cluster", "dim")
+        col("__vid"), expr(s"__skey div ${width}L").as("__slice"),
+        col("col").cast("double").as("__v"))
+      .groupBy("cluster", "dim", "__slice")
       .agg(
         aggregate(
           array_sort(collect_list(struct(col("__vid"), col("__v").as("v")))),
+          lit(0.0), (acc, s) => acc + s.getField("v")).as("__ssum"),
+        count(lit(1)).as("__n"))
+      .groupBy("cluster", "dim")
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("__slice"), col("__ssum").as("v")))),
           lit(0.0), (acc, s) => acc + s.getField("v")).as("comp_sum"),
-        count(lit(1)).as("n"))
+        sum(col("__n")).as("n"))
+  }
 
   /** Deterministic k-means training (Lloyd's iterations) — produces the
     * centroid set the IVF/PQ/SemDeDup operators consume, instead of
@@ -150,6 +174,10 @@ object Similarity {
       .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }
+    // A corpus with < k rows would silently hand IVF/PQ/SemDeDup consumers
+    // a differently-sized centroid set — fail loudly instead.
+    require(cents.length == k,
+      s"kMeans k = $k but the corpus has only ${cents.length} rows to init from")
     var i = 0
     while (i < iters) {
       val assigned = ivfAssign(corpus, toDf(cents), idCol, vecCol, cidCol)

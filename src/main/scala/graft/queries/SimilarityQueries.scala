@@ -190,6 +190,32 @@ object SimilarityQueries {
     """CAST(list_sum(list_transform(range(0,6), j ->
       |  CASE WHEN embedding[(j+1)::INT] > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT)""".stripMargin
 
+  /** Sliced deterministic component-sum CTEs (exploded → ssums → sums)
+    * over an assignment CTE, mirroring the two-phase bounded fold of
+    * [[graft.ops.Similarity.centroidUpdate]] at its default 1024 slices:
+    * slice = h60("cslice:"+id) div width, phase-1 fold per (cluster, dim,
+    * slice) in vec_id order, phase-2 fold of slice sums in slice order.
+    * Shared by the sim_centroid_update / sim_kmeans_train /
+    * sim_embed_pipeline oracles. */
+  private val sliceWidth: Long = ((1L << 60) + 1023) / 1024
+  private def slicedSumsCtes(assign: String): String =
+    s"""exploded AS (
+       |  SELECT cluster, vec_id,
+       |         (('0x'||substr(md5('cslice:' || vec_id::VARCHAR),1,15))::BIGINT // $sliceWidth) AS slice,
+       |         unnest(range(len(embedding))) AS dim,
+       |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+       |  FROM $assign),
+       |ssums AS (
+       |  SELECT cluster, dim, slice,
+       |    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x) AS ssum,
+       |    count(*) AS n
+       |  FROM exploded GROUP BY cluster, dim, slice),
+       |sums AS (
+       |  SELECT cluster, dim,
+       |    list_reduce(list_prepend(0.0, list(ssum ORDER BY slice)), (a, x) -> a + x) AS comp_sum,
+       |    sum(n)::BIGINT AS n
+       |  FROM ssums GROUP BY cluster, dim)""".stripMargin
+
   /** Capped + multiprobe near-dup candidate CTEs (b0 → b → p → pairs),
     * mirroring [[graft.ops.Similarity.cosineNearDupPairs]]; shared by the
     * sim_near_dup and sim_dedup_apply oracles. */
@@ -287,15 +313,8 @@ object SimilarityQueries {
          |           row_number() OVER (PARTITION BY e.vec_id
          |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
          |    FROM embeddings e, c) WHERE rn = 1),
-         |exploded AS (
-         |  SELECT cluster, vec_id,
-         |         unnest(range(len(embedding))) AS dim,
-         |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
-         |  FROM assign)
-         |SELECT cluster, dim,
-         |  list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x) AS comp_sum,
-         |  count(*) AS n
-         |FROM exploded GROUP BY cluster, dim""".stripMargin,
+         |${slicedSumsCtes("assign")}
+         |SELECT cluster, dim, comp_sum, n FROM sums""".stripMargin,
 
     "sim_normalize" ->
       s"""WITH u AS (
@@ -348,16 +367,7 @@ object SimilarityQueries {
          |           row_number() OVER (PARTITION BY e.vec_id
          |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, init.cid) AS rn
          |    FROM embeddings e, init) WHERE rn = 1),
-         |exploded AS (
-         |  SELECT cluster, vec_id,
-         |         unnest(range(len(embedding))) AS dim,
-         |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
-         |  FROM assign),
-         |sums AS (
-         |  SELECT cluster, dim,
-         |    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x) AS comp_sum,
-         |    count(*) AS n
-         |  FROM exploded GROUP BY cluster, dim),
+         |${slicedSumsCtes("assign")},
          |iexp AS (
          |  SELECT cid, unnest(range(len(cv))) AS dim,
          |         unnest(list_transform(cv, x -> x::DOUBLE)) AS iv
@@ -378,16 +388,7 @@ object SimilarityQueries {
          |           row_number() OVER (PARTITION BY e.vec_id
          |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, init.cid) AS rn
          |    FROM embeddings e, init) WHERE rn = 1),
-         |exploded AS (
-         |  SELECT cluster, vec_id,
-         |         unnest(range(len(embedding))) AS dim,
-         |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
-         |  FROM assign0),
-         |sums AS (
-         |  SELECT cluster, dim,
-         |    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x) AS comp_sum,
-         |    count(*) AS n
-         |  FROM exploded GROUP BY cluster, dim),
+         |${slicedSumsCtes("assign0")},
          |iexp AS (
          |  SELECT cid, unnest(range(len(cv))) AS dim,
          |         unnest(list_transform(cv, x -> x::DOUBLE)) AS iv

@@ -222,6 +222,43 @@ class OpsSpec extends SparkSpec {
     assert(k4.keySet == Set(0L, 1L))
   }
 
+  test("centroidUpdate: sliced two-phase fold is exact, deterministic, bounded") {
+    // 400 members all in ONE cluster — the skew shape that would OOM a
+    // single per-(cluster, dim) collect_list of the whole membership.
+    // Integer-valued components keep every double fold exact, so the
+    // sliced sum can be asserted against the closed form.
+    val n = 400
+    val vs = (1L to n).map(i => (i, Array(i.toFloat, (2 * i).toFloat)))
+      .toDF("vec_id", "embedding").withColumn("cluster", lit(0L))
+    def run() = Similarity.centroidUpdate(vs, "vec_id", "embedding", numSlices = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val out = run()
+    assert(out((0L, 0L)) == (n * (n + 1) / 2.0, n.toLong))
+    assert(out((0L, 1L)) == (n * (n + 1).toDouble, n.toLong))
+    assert(run() == out, "sliced fold must be deterministic across runs")
+    // the fold is hash-sliced: no phase-1 group holds the whole cluster
+    val width = ((1L << 60) + 7) / 8
+    val sliceMax = vs
+      .select(TextFunctions.hash60(
+        concat(lit("cslice:"), $"vec_id".cast("string"))).as("k"))
+      .select(expr(s"k div ${width}L").as("slice"))
+      .groupBy("slice").count().agg(max("count")).as[Long].head()
+    assert(sliceMax < n / 4, s"slices must bound group size, max=$sliceMax")
+    // and the plan actually groups by the slice key
+    val analyzed = Similarity.centroidUpdate(vs, "vec_id", "embedding")
+      .queryExecution.analyzed.toString
+    assert(analyzed.contains("__slice"), "phase-1 aggregation must be sliced")
+  }
+
+  test("kMeans: fails loudly when the corpus has fewer than k rows") {
+    val vs = Seq((1L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kMeans(vs, "vec_id", "embedding", "cid", k = 3, iters = 0)
+    }
+    assert(e.getMessage.contains("only 1 rows"))
+  }
+
   test("semDedup: drops higher-id near-dups within a cluster only; cap exempts") {
     // Two well-separated clusters around (1,1,...) and (-1,-1,...).
     // 1≈2 near-identical (same cluster → 2 dropped); 4≈5 near-identical
