@@ -202,7 +202,10 @@ object EventStreams {
     * is armed at `entry (first-step time) + conversionWindowUs`. Once the
     * watermark passes it, the user's final progress is emitted and the
     * state evicted — an unbounded stream no longer accumulates state for
-    * every user ever seen. Users whose events never complete the entry
+    * every user ever seen. Step CREDITING enforces the same window (an
+    * event past `entry + conversionWindowUs` never advances the funnel,
+    * window-inclusive), so the result is a function of the event data
+    * alone — not of micro-batch slicing or watermark lag. Users whose events never complete the entry
     * step keep ZERO state. Events behind the watermark are dropped by the
     * operator, so an evicted funnel cannot be resurrected by stragglers; a
     * fresh in-watermark entry event starts a NEW funnel journey.
@@ -242,7 +245,16 @@ object EventStreams {
             it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
               stepIdx.get(e.event_type).foreach { i =>
                 val prevOk = i == 0 || (t(i - 1) >= 0 && e.ts_us > t(i - 1))
-                if (prevOk && (t(i) < 0 || e.ts_us < t(i))) { t(i) = e.ts_us; advanced = true }
+                // The conversion window is part of the funnel DEFINITION,
+                // not just a state-eviction deadline: a step event past
+                // `entry + window` must never be credited, even when it is
+                // processed before the watermark passes the deadline —
+                // otherwise the result depends on micro-batch slicing /
+                // watermark lag (window-inclusive: ts == deadline counts).
+                val inWindow = i == 0 || e.ts_us <= t(0) + conversionWindowUs
+                if (prevOk && inWindow && (t(i) < 0 || e.ts_us < t(i))) {
+                  t(i) = e.ts_us; advanced = true
+                }
               }
             }
             val completed = t.takeWhile(_ >= 0).length

@@ -296,6 +296,48 @@ class EventStreamsSpec extends SparkSpec {
       s"exactly one advancement row expected, got ${rows.toSeq}")
   }
 
+  test("streaming funnel: past-window events never credit, under either batch slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.Event
+    val B = 3600000000L
+    val S = 1000000L // one second in micros
+    def run(name: String)(
+        feed: (MemoryStream[Event], org.apache.spark.sql.streaming.StreamingQuery) => Unit)
+        : Set[(Int, Boolean)] = {
+      val input = MemoryStream[Event]
+      val prog = EventStreams.funnelProgress(input.toDS(), Seq("view", "click"),
+        conversionWindowUs = 5L * S)
+      val q = prog.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      feed(input, q)
+      q.stop()
+      spark.table(name).where(col("user_id") === 1L)
+        .select("steps_completed", "closed").collect()
+        .map(r => (r.getInt(0), r.getBoolean(1))).toSet
+    }
+    // The click at B+6s is INSIDE the watermark but past the 5 s
+    // conversion window. Before the window gated crediting, it converted
+    // whenever it was processed before the watermark passed the deadline —
+    // i.e. the answer depended on trigger slicing. Both slicings must now
+    // agree: entered (1 step), never converted.
+    val oneBatch = run("funnel_win_a") { (in, q) =>
+      in.addData(Event(1, B, 1L, "view", 0.0), Event(2, B + 6 * S, 1L, "click", 0.0))
+      q.processAllAvailable()
+    }
+    val twoBatches = run("funnel_win_b") { (in, q) =>
+      in.addData(Event(1, B, 1L, "view", 0.0)); q.processAllAvailable()
+      in.addData(Event(2, B + 6 * S, 1L, "click", 0.0)); q.processAllAvailable()
+    }
+    assert(oneBatch == Set((1, false)), s"past-window click must not credit: $oneBatch")
+    assert(twoBatches == oneBatch, "result must be independent of micro-batch slicing")
+    // the window is inclusive: a click exactly at entry + window converts
+    val boundary = run("funnel_win_c") { (in, q) =>
+      in.addData(Event(1, B, 1L, "view", 0.0), Event(2, B + 5 * S, 1L, "click", 0.0))
+      q.processAllAvailable()
+    }
+    assert(boundary == Set((2, true)), s"window-inclusive boundary must convert: $boundary")
+  }
+
   test("streaming funnel: conversion window evicts quiet state; stragglers can't resurrect it") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.Event
