@@ -1,5 +1,6 @@
 package graft.io
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,24 +27,72 @@ import org.apache.spark.sql.functions._
   *    files is 100k rows) — driver-side collection of the surviving
   *    file list is the same documented file-list collect the CDC
   *    pipeline performs (SURVEY §3.3), NOT a data collect.
-  *  - Rebuild after compaction/merge rewrites (file names change); for
-  *    append-only tables, `build` over the appended files unions with
-  *    the existing index (same one-row-per-file shape).
+  *  - After a copy-on-write merge or compaction rewrites files, [[refresh]]
+  *    maintains the index INCREMENTALLY: stats rows of vanished files are
+  *    dropped and only never-seen files are scanned — the reference analog
+  *    is the scheduled re-crawl (DMSCDC_CloudTemplate_Source.yaml:210-232),
+  *    done as a delta instead of a full rebuild.
   */
 object StatsIndex {
+
+  /** Canonical file identity for index reconciliation: the decoded URI
+    * path. `input_file_name()` (stored in the index) and
+    * `DataFrame.inputFiles` (the live listing) render the same file with
+    * different scheme/percent-encoding conventions — an exact-string
+    * compare can empty `known ∩ current` and silently defeat pruning
+    * (answers stay correct; every file reads as "unseen"). */
+  private[io] def normFile(s: String): String = new Path(s).toUri.getPath
+
+  private def statAggs(cols: Seq[String]) = cols.flatMap { c =>
+    Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+  }
 
   /** Per-file stats for `cols` over a parquet directory: row count plus
     * min/max/null-count per column, one output row per physical file. */
   def build(spark: SparkSession, tableDir: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "stats index needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
-    }
     spark.read.parquet(tableDir)
       .select(input_file_name().as("file") +: cols.map(col): _*)
       .groupBy("file")
-      .agg(count(lit(1)).as("rows"), aggs: _*)
+      .agg(count(lit(1)).as("rows"), statAggs(cols): _*)
+  }
+
+  /** [[build]] over an explicit file subset of `tableDir` — the
+    * incremental unit [[refresh]] uses so maintenance cost scales with
+    * the delta, not the table. `basePath` keeps hive-partition columns
+    * resolvable from the explicit list (the S2 scan shape). */
+  def buildFiles(spark: SparkSession, tableDir: String, files: Seq[String],
+                 cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "stats index needs at least one column")
+    spark.read.option("basePath", tableDir).parquet(files: _*)
+      .select(input_file_name().as("file") +: cols.map(col): _*)
+      .groupBy("file")
+      .agg(count(lit(1)).as("rows"), statAggs(cols): _*)
+  }
+
+  /** Incremental index maintenance after ANY rewrite (copy-on-write
+    * merge, compaction, plain append): reconcile against the table's
+    * current listing — keep stats rows whose file still exists, scan ONLY
+    * files the index has never seen, drop rows for vanished files. The
+    * index row for an unchanged file is reused verbatim (no re-scan), so
+    * maintenance cost is proportional to the rewrite delta. `cols` must
+    * match the columns the index was built with. */
+  def refresh(spark: SparkSession, tableDir: String, stats: DataFrame,
+              cols: Seq[String]): DataFrame = {
+    val currentByNorm = spark.read.parquet(tableDir).inputFiles
+      .map(f => normFile(f) -> f).toMap
+    // One row per file — the same bounded driver-side file-list collect
+    // as candidateFiles/prunedRead (SURVEY §3.3), not a data collect.
+    val knownRaw = stats.select("file").collect().map(_.getString(0))
+    val knownNorm = knownRaw.map(normFile).toSet
+    val keptRaw = knownRaw.filter(f => currentByNorm.contains(normFile(f)))
+    val newFiles = currentByNorm.collect {
+      case (n, raw) if !knownNorm.contains(n) => raw
+    }.toSeq
+    val kept = stats.where(col("file").isin(keptRaw: _*))
+    if (newFiles.isEmpty) kept
+    else kept.unionByName(buildFiles(spark, tableDir, newFiles.sorted, cols))
   }
 
   /** The file subset whose [min, max] interval can intersect
@@ -68,15 +117,29 @@ object StatsIndex {
     * CURRENT file listing — files the index has never seen (appended
     * since `build`) are always scanned, and indexed files that no longer
     * exist (compacted/deleted) are skipped. A stale index can only
-    * degrade pruning, never the answer; rebuild after rewrites to regain
-    * skipping. */
+    * degrade pruning, never the answer; [[refresh]] after rewrites to
+    * regain skipping at delta cost. */
   def prunedRead(spark: SparkSession, tableDir: String, stats: DataFrame,
                  column: String, lower: Option[Any], upper: Option[Any]): DataFrame = {
     val base = spark.read.parquet(tableDir)
-    val current = base.inputFiles.toSet
-    val known = stats.select("file").collect().map(_.getString(0)).toSet
-    val files = candidateFiles(stats, column, lower, upper).filter(current) ++
-      (current -- known)
+    // Reconcile on NORMALIZED identity ([[normFile]]): the index stores
+    // input_file_name() strings while inputFiles renders URIs — an exact
+    // compare could classify every indexed file as unseen and silently
+    // defeat pruning. Scan paths are taken from the live listing. One
+    // collect serves both the known set and the candidate set (the stats
+    // table is one row per file — two jobs over it would double the
+    // fixed per-job latency that dominates this driver-side decision).
+    val lo = lower.map(v => col(s"max_$column") >= lit(v)).getOrElse(lit(true))
+    val hi = upper.map(v => col(s"min_$column") <= lit(v)).getOrElse(lit(true))
+    val idx = stats
+      .select(col("file"), coalesce(lo && hi, lit(false)).as("__cand"))
+      .collect().map(r => normFile(r.getString(0)) -> r.getBoolean(1))
+    val known = idx.map(_._1).toSet
+    val cand = idx.collect { case (f, true) => f }.toSet
+    val files = base.inputFiles.toSeq.filter { f =>
+      val n = normFile(f)
+      cand.contains(n) || !known.contains(n)
+    }
     val exact: Column => Column = c => (lower, upper) match {
       case (Some(l), Some(u)) => c.between(lit(l), lit(u))
       case (Some(l), None)    => c >= lit(l)

@@ -80,6 +80,65 @@ class StatsIndexSpec extends SparkSpec {
     assert(after.count() == 100L)
   }
 
+  test("refresh after a copy-on-write merge: delta-only maintenance restores pruning") {
+    val base = Files.createTempDirectory("statsrefresh").toString
+    val out = s"$base/t"
+    val cdc = s"$base/cdc"
+    // initial table: ids 0..999 range-clustered into 4 files (Op column
+    // like any merge-produced table carries)
+    spark.range(1000).select(lit("I").as("Op"), $"id", ($"id" * 2).as("v"))
+      .repartitionByRange(4, $"id").write.parquet(out)
+    // Tamper the built index rows with a marker so reuse is PROVABLE: a
+    // full rebuild would reset `rows`, delta maintenance preserves it for
+    // files it did not re-scan.
+    val marked = StatsIndex.build(spark, out, Seq("id"))
+      .withColumn("rows", col("rows") + 1000000L)
+      .localCheckpoint(true)
+    // CoW merge: update ids 10..19 — rewrites exactly the file holding
+    // them (deleting it) and appends the merged replacement
+    spark.range(10, 20).select(lit("U").as("Op"), $"id", lit(-1L).as("v"))
+      .coalesce(1).write.parquet(cdc)
+    val cdcFile = spark.read.parquet(cdc).inputFiles.head
+    graft.io.CdcPipeline.loadIncremental(spark, Seq(cdcFile), out,
+      graft.cdc.TableConfig(Seq("id"), Nil, active = true))
+
+    val refreshed = StatsIndex.refresh(spark, out, marked, Seq("id"))
+      .localCheckpoint(true)
+    val current = spark.read.parquet(out).inputFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    val indexed = refreshed.select("file").as[String].collect()
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    assert(indexed == current, "index must cover exactly the current files")
+    // 3 untouched files keep their marker (reused, not re-scanned); the
+    // merged replacement file(s) were freshly scanned
+    val markers = refreshed.select("rows").as[Long].collect()
+    assert(markers.count(_ > 1000000L) == 3, s"3 reused rows expected: ${markers.toSeq}")
+    assert(markers.count(_ < 1000000L) >= 1, "rewritten file must be freshly scanned")
+    // pruning works again through the refreshed index: an untouched range
+    // opens one file, and the merged values are visible
+    val pruned = StatsIndex.prunedRead(spark, out, refreshed, "id", Some(900L), Some(999L))
+    assert(pruned.inputFiles.length == 1, s"expected 1 file, got ${pruned.inputFiles.length}")
+    assert(pruned.count() == 100L)
+    val updated = StatsIndex.prunedRead(spark, out, refreshed, "id", Some(10L), Some(19L))
+      .select("v").as[Long].collect()
+    assert(updated.toSeq == Seq.fill(10)(-1L), "merge result must be visible through the index")
+  }
+
+  test("prunedRead reconciles on normalized file identity, not exact strings") {
+    val dir = tmp()
+    spark.range(1000).select($"id").repartitionByRange(4, $"id").write.parquet(dir)
+    // Re-render the stored file names with a different URI convention
+    // (scheme-less raw paths vs the listing's file: URIs): exact-string
+    // reconciliation would treat every file as unseen and scan all of them.
+    val stats = StatsIndex.build(spark, dir, Seq("id"))
+      .withColumn("file", regexp_replace(col("file"), "^file:/+", "/"))
+      .localCheckpoint(true)
+    val pruned = StatsIndex.prunedRead(spark, dir, stats, "id", Some(0L), Some(249L))
+    assert(pruned.inputFiles.length == 1,
+      s"URI-encoding drift must not defeat pruning: ${pruned.inputFiles.length} files")
+    assert(pruned.count() == 250L)
+  }
+
   test("prunedRead keeps hive-partition columns via basePath") {
     val dir = tmp()
     spark.range(200).select($"id", ($"id" % 2).as("p"))
