@@ -246,17 +246,24 @@ object Similarity {
     * exactly). For full transitive-group resolution compose with
     * [[graft.ops.Dedup.resolveClusters]] on the pair set instead.
     *
-    * Scale guards: `maxClusterSize` exempts oversized clusters from pair
-    * generation entirely (kept whole, like the capped buckets in
-    * [[cosineNearDupPairs]]) — one mega-cluster cannot go quadratic; the
+    * Scale guards: clusters over `maxClusterSize` do NOT generate the
+    * all-pairs self-join (one mega-cluster cannot go quadratic) — but
+    * they are not exempt either: the densest (most duplicate-rich)
+    * region is exactly where dedup matters most, so over-cap clusters
+    * fall back to sign-LSH sub-bucketing INSIDE the cluster (the
+    * [[cosineNearDupPairs]] shape, additionally keyed by cluster):
+    * pairs generate per (cluster, bucket) with Hamming-1 multiprobe,
+    * buckets over `heavyMaxBucketSize` are the residual quadratic guard.
+    * Recall within heavy clusters is LSH-bounded (tuned by `heavyBits`)
+    * instead of exact — the standard trade at this density. The
     * assignment is materialized once (eager, cleaner-reclaimed) because
-    * the pair self-join reads it twice and the final anti-join a third
-    * time.
+    * both pair paths and the final anti-join re-read it.
     *
     * Output: (idCol, cluster) of KEPT documents. */
   def semDedup(corpus: DataFrame, centroids: DataFrame, idCol: String,
                vecCol: String, cidCol: String, threshold: Double,
-               maxClusterSize: Int = 10000): DataFrame = {
+               maxClusterSize: Int = 10000, heavyBits: Int = 6,
+               heavyMaxBucketSize: Int = 1000): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol, cidCol)
       .select(col(idCol), col(vecCol), col("cluster"))
       .localCheckpoint(true)
@@ -268,11 +275,32 @@ object Similarity {
     val capped = assigned.join(broadcast(heavy), Seq("cluster"), "left_anti")
     val a = capped.select(col("cluster"), col(idCol).as("__id_a"), col(vecCol).as("__va"))
     val b = capped.select(col("cluster"), col(idCol).as("__id_b"), col(vecCol).as("__vb"))
-    val dropped = a.join(b, "cluster")
+    val droppedSmall = a.join(b, "cluster")
       .where(col("__id_a") < col("__id_b"))
       .where(cosine(col("__va"), col("__vb")) >= threshold)
       .select(col("__id_b").as(idCol))
-      .distinct()
+    // Heavy clusters: candidate pairs only within (cluster, LSH bucket),
+    // Hamming-1 multiprobe for sign-boundary pairs, capped buckets.
+    // Pair uniqueness as in [[cosineNearDupPairs]]: same-bucket pairs
+    // match only the identity probe; one-flip pairs match one probe per
+    // orientation and `id_a < id_b` keeps a single orientation.
+    val hb = assigned.join(broadcast(heavy), Seq("cluster"))
+      .withColumn("__bkt", signBucket(col(vecCol), heavyBits))
+      .withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy("cluster", "__bkt")))
+      .where(col("__bn") <= heavyMaxBucketSize)
+      .localCheckpoint(true)
+    val probes = (0 until heavyBits).map(j => col("__bkt").bitwiseXOR(1L << j))
+    val ha = hb
+      .select(col("cluster"), col("__bkt"), col(idCol).as("__id_a"), col(vecCol).as("__va"))
+      .withColumn("__bkt", explode(array(col("__bkt") +: probes: _*)))
+    val hc = hb
+      .select(col("cluster"), col("__bkt"), col(idCol).as("__id_b"), col(vecCol).as("__vb"))
+    val droppedHeavy = ha.join(hc, Seq("cluster", "__bkt"))
+      .where(col("__id_a") < col("__id_b"))
+      .where(cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__id_b").as(idCol))
+    val dropped = droppedSmall.unionByName(droppedHeavy).distinct()
     assigned.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cluster"))
   }

@@ -136,13 +136,16 @@ object SimilarityQueries {
     // SemDeDup (cluster-then-prune semantic dedup): candidate pairs only
     // within a nearest-centroid cluster (8 deterministic centroids),
     // drop any doc with a lower-id ≥0.4-cosine neighbor in its cluster.
-    // Σ cluster² pair generation with a per-cluster cap — the tractable
-    // 100 TB shape for embedding-level dedup.
+    // Σ cluster² pair generation with a per-cluster cap; clusters OVER
+    // the cap fall back to in-cluster LSH sub-bucketing (no exemption) —
+    // the cap of 60 keeps both branches exercised at gate scale. The
+    // tractable 100 TB shape for embedding-level dedup.
     "sim_semdedup" -> ((s, dir) =>
       Similarity.semDedup(emb(s, dir),
         emb(s, dir).where(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding")),
-        "vec_id", "embedding", "cid", threshold = 0.4)),
+        "vec_id", "embedding", "cid", threshold = 0.4,
+        maxClusterSize = 60)),
 
     // End-to-end embedding pipeline (the embedding-side twin of
     // text_pipeline_e2e): train centroids with one Lloyd's round, then
@@ -152,7 +155,7 @@ object SimilarityQueries {
       val trained = Similarity.kMeans(emb(s, dir), "vec_id", "embedding",
         "cid", k = 8, iters = 1)
       Similarity.semDedup(emb(s, dir), trained, "vec_id", "embedding",
-        "cid", threshold = 0.4)
+        "cid", threshold = 0.4, maxClusterSize = 60)
     }),
 
     // Product quantization: 4 × 16-dim subspaces, 16-entry codebook
@@ -215,6 +218,36 @@ object SimilarityQueries {
        |    list_reduce(list_prepend(0.0, list(ssum ORDER BY slice)), (a, x) -> a + x) AS comp_sum,
        |    sum(n)::BIGINT AS n
        |  FROM ssums GROUP BY cluster, dim)""".stripMargin
+
+  /** SemDeDup prune CTEs over an `assign` CTE (heavy → capped →
+    * dropped_small / hb → hp → dropped_heavy → dropped), mirroring
+    * [[graft.ops.Similarity.semDedup]]: under-cap clusters all-pairs,
+    * over-cap clusters via in-cluster sign-LSH buckets (6 bits, Hamming-1
+    * multiprobe, 1000-cap buckets). Shared by the sim_semdedup and
+    * sim_embed_pipeline oracles. */
+  private def semDedupCtes(maxClusterSize: Int): String =
+    s"""heavy AS (SELECT cluster FROM assign GROUP BY cluster HAVING count(*) > $maxClusterSize),
+       |capped AS (SELECT * FROM assign WHERE cluster NOT IN (SELECT cluster FROM heavy)),
+       |dropped_small AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM capped a JOIN capped b USING (cluster)
+       |  WHERE a.vec_id < b.vec_id
+       |    AND ${cosSql("a.embedding", "b.embedding")} >= 0.4),
+       |hb AS (
+       |  SELECT cluster, vec_id, embedding, $bucketSql AS bucket
+       |  FROM assign WHERE cluster IN (SELECT cluster FROM heavy)
+       |  QUALIFY count(*) OVER (PARTITION BY cluster, bucket) <= 1000),
+       |hp AS (
+       |  SELECT cluster, vec_id, embedding, unnest(list_concat([bucket],
+       |    list_transform(range(0,6), j -> xor(bucket::UBIGINT, (1::BIGINT << j::INT)::UBIGINT)::BIGINT))) AS bucket
+       |  FROM hb),
+       |dropped_heavy AS (
+       |  SELECT DISTINCT c.vec_id
+       |  FROM hp p JOIN hb c USING (cluster, bucket)
+       |  WHERE p.vec_id < c.vec_id
+       |    AND ${cosSql("p.embedding", "c.embedding")} >= 0.4),
+       |dropped AS (
+       |  SELECT vec_id FROM dropped_small UNION SELECT vec_id FROM dropped_heavy)""".stripMargin
 
   /** Capped + multiprobe near-dup candidate CTEs (b0 → b → p → pairs),
     * mirroring [[graft.ops.Similarity.cosineNearDupPairs]]; shared by the
@@ -405,20 +438,13 @@ object SimilarityQueries {
          |           row_number() OVER (PARTITION BY e.vec_id
          |             ORDER BY ${cosSql("e.embedding", "n.cv")} DESC, n.cid) AS rn
          |    FROM embeddings e, newc n) WHERE rn = 1),
-         |capped AS (
-         |  SELECT * FROM assign
-         |  QUALIFY count(*) OVER (PARTITION BY cluster) <= 10000),
-         |dropped AS (
-         |  SELECT DISTINCT b.vec_id
-         |  FROM capped a JOIN capped b USING (cluster)
-         |  WHERE a.vec_id < b.vec_id
-         |    AND ${cosSql("a.embedding", "b.embedding")} >= 0.4)
+         |${semDedupCtes(60)}
          |SELECT vec_id, cluster FROM assign
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
 
     // SemDeDup mirror: nearest-centroid assignment (same CTE as
-    // sim_ivf_assign), intra-cluster pairs under the 10000 cap, drop ids
-    // with a lower-id ≥-threshold neighbor.
+    // sim_ivf_assign), then the shared prune CTEs — all-pairs under the
+    // 60 cap, in-cluster LSH buckets over it.
     "sim_semdedup" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
          |assign AS (
@@ -427,14 +453,7 @@ object SimilarityQueries {
          |           row_number() OVER (PARTITION BY e.vec_id
          |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
          |    FROM embeddings e, c) WHERE rn = 1),
-         |capped AS (
-         |  SELECT * FROM assign
-         |  QUALIFY count(*) OVER (PARTITION BY cluster) <= 10000),
-         |dropped AS (
-         |  SELECT DISTINCT b.vec_id
-         |  FROM capped a JOIN capped b USING (cluster)
-         |  WHERE a.vec_id < b.vec_id
-         |    AND ${cosSql("a.embedding", "b.embedding")} >= 0.4)
+         |${semDedupCtes(60)}
          |SELECT vec_id, cluster FROM assign
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
 

@@ -259,27 +259,40 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("only 1 rows"))
   }
 
-  test("semDedup: drops higher-id near-dups within a cluster only; cap exempts") {
+  test("semDedup: drops higher-id near-dups; over-cap clusters prune via LSH fallback") {
     // Two well-separated clusters around (1,1,...) and (-1,-1,...).
     // 1≈2 near-identical (same cluster → 2 dropped); 4≈5 near-identical
-    // but land in the other cluster (→ 5 dropped); 3 unique (kept).
+    // but land in the other cluster (→ 5 dropped); 3 unique (kept);
+    // 6≈7 near-identical but ONE SIGN FLIP apart in bucket space (the
+    // multiprobe case for the heavy-cluster fallback → 7 dropped).
     val vs = Seq(
       (1L, Array(1f, 1f, 1f, 1f)),
       (2L, Array(1f, 1f, 1f, 0.99f)),
       (3L, Array(1f, -0.2f, 1f, 1f)),
       (4L, Array(-1f, -1f, -1f, -1f)),
-      (5L, Array(-1f, -1f, -0.99f, -1f))).toDF("vec_id", "embedding")
+      (5L, Array(-1f, -1f, -0.99f, -1f)),
+      (6L, Array(0.01f, 1f, 1f, 1f)),
+      (7L, Array(-0.01f, 1f, 1f, 1f))).toDF("vec_id", "embedding")
     val cents = Seq((0L, Array(1f, 1f, 1f, 1f)), (1L, Array(-1f, -1f, -1f, -1f)))
       .toDF("cid", "embedding")
-    val kept = Similarity.semDedup(vs, cents, "vec_id", "embedding", "cid",
-      threshold = 0.999).select("vec_id").as[Long].collect().toSet
-    assert(kept == Set(1L, 3L, 4L))
-    // over-cap clusters are exempt from pair generation — kept whole
-    val keptCapped = Similarity.semDedup(vs, cents, "vec_id", "embedding", "cid",
-      threshold = 0.999, maxClusterSize = 2).select("vec_id").as[Long].collect().toSet
-    assert(keptCapped.contains(2L), "capped cluster must be kept whole")
-    assert(keptCapped.contains(4L) && !keptCapped.contains(5L),
-      "2-member cluster under the cap still dedups")
+    def run(cap: Int = 10000, bucketCap: Int = 1000) =
+      Similarity.semDedup(vs, cents, "vec_id", "embedding", "cid",
+        threshold = 0.999, maxClusterSize = cap,
+        heavyMaxBucketSize = bucketCap)
+        .select("vec_id").as[Long].collect().toSet
+    val exact = run()
+    assert(exact == Set(1L, 3L, 4L, 6L))
+    // over-cap cluster 0 (5 members > cap 2) is NOT exempt: the LSH
+    // fallback still drops 2 (same bucket as 1) AND 7 (one flip from 6,
+    // recovered by multiprobe) — same answer as the all-pairs path here
+    val viaLsh = run(cap = 2)
+    assert(viaLsh == exact,
+      s"heavy-cluster LSH fallback must still prune near-dups: $viaLsh")
+    // the residual quadratic guard: over-cap BUCKETS inside a heavy
+    // cluster are exempt from pair generation
+    val guarded = run(cap = 2, bucketCap = 1)
+    assert(guarded == Set(1L, 2L, 3L, 4L, 6L, 7L),
+      s"over-cap buckets must be kept whole: $guarded")
   }
 
   test("resize fits dimensions in the target box, preserving aspect") {
