@@ -95,15 +95,13 @@ object DedupStream {
       intraSurvivors.join(crossLosers, Seq(idCol), "left_anti")
     } else intraSurvivors).localCheckpoint(true)
 
-    // 3a. clean output, idempotent per batch
-    val dyn = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try survivors.withColumn(BatchCol, lit(batchId))
-      .write.partitionBy(BatchCol).mode("overwrite").parquet(cleanDir)
-    finally dyn match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // 3a. clean output, idempotent per batch. The overwrite mode rides the
+    // WRITER, not the session conf: StreamManager runs N foreachBatch
+    // loops concurrently in one session, and a session-conf toggle here
+    // would race other threads' writes into full-overwrite mode.
+    survivors.withColumn(BatchCol, lit(batchId))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BatchCol).mode("overwrite").parquet(cleanDir)
     // 3b. survivors join the index
     if (spark.catalog.tableExists(indexTable))
       Dedup.appendToLshIndex(survivors, idCol, textCol, indexTable,
