@@ -51,19 +51,19 @@ object Curation {
     * key must be a total order); parallelism = `numSlices` regardless of
     * how skewed `part` is.
     *
-    * Materialization: the sliced projection feeds two consumers (slice
-    * sums, final window), so it is cached columnar (`persist()`, measured
-    * 2.3x over row-form `localCheckpoint` at 50M rows — SCALE.md §skew).
-    * With `sliceOf` the slice id is a pure function of the row, so the
-    * cache is advisory — evict/clearCache any time, answers are unchanged,
-    * and no extra shuffle exists (slice sums partial-agg on the scan; only
-    * the final window exchanges by (part, slice) hash). Without `sliceOf`
-    * the sampled range boundaries ARE the slice assignment: the single
-    * cached materialization is what keeps both consumers on one drawing
+    * Materialization: with `sliceOf` the slice id is a pure function of
+    * the row, so the two consumers (slice sums, final window) may safely
+    * recompute the projection — NOTHING is persisted, and a library
+    * caller leaks no cache entries (the slice-sum subtree partial-aggs
+    * on the scan; only the final window exchanges by (part, slice)
+    * hash). Without `sliceOf` the sampled range boundaries ARE the slice
+    * assignment: the single cached materialization (`persist()`, columnar
+    * — measured 2.3x over row-form `localCheckpoint` at 50M rows,
+    * SCALE.md §skew) is what keeps both consumers on one drawing
     * (exchange-level reuse is not guaranteed once column pruning
     * differentiates the two subtrees), so the entry must live until the
-    * query's last action; it holds only this narrow projection, and
-    * `spark.catalog.clearCache()` reclaims it afterwards.
+    * query's last action; it holds only this narrow projection, and the
+    * caller reclaims it afterwards (`spark.catalog.clearCache()`).
     *
     * `sliceOf` contract: given the slice count, return an expression that
     * is non-decreasing along `orderCols` within each `partCols` group and
@@ -78,12 +78,13 @@ object Curation {
     val slices =
       if (numSlices > 0) numSlices
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val sliced = (sliceOf match {
+    val sliced = sliceOf match {
       case Some(f) => df.withColumn("__slice", f(slices))
       case None =>
         df.repartitionByRange(slices, (partCols ++ orderCols).map(col): _*)
           .withColumn("__slice", spark_partition_id())
-    }).persist()
+          .persist()
+    }
     val sliceSums = sliced
       .groupBy((partCols :+ "__slice").map(col): _*)
       .agg(sum(col(valueCol)).as("__slice_sum"))
@@ -127,11 +128,16 @@ object Curation {
     val budgets = broadcast(
       weights.toSeq.map { case (s, w) => (s, (w * totalTokenBudget).toLong) }
         .toDF(sourceCol, "__budget"))
+    // Materialized once (eager, cleaner-reclaimed — NOT persist(): a
+    // cache entry would outlive the call for library callers): the
+    // tokenize pass is the expensive part and both prefix-sum consumers
+    // read this narrow (source, id, n_tokens, key, budget) projection.
     val keyed = docs
       .select(col(sourceCol), col(idCol),
         size(tokens(col(textCol))).cast("long").as("n_tokens"),
         shuffleKey(idCol, seed).as("__key"))
       .join(budgets, sourceCol)
+      .localCheckpoint(true)
     // Running sum via the two-phase parallel prefix sum: one domain can be
     // 90% of the corpus, so the naive Window.partitionBy(source) would put
     // it through a single task (see [[parallelRunningSum]]). The order

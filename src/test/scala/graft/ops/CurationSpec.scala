@@ -37,6 +37,14 @@ class CurationSpec extends SparkSpec {
     assert(out.count() == 5) // all but junk
   }
 
+  test("domainMix leaks no cache entries (sliceOf path persists nothing)") {
+    spark.catalog.clearCache()
+    Curation.domainMix(docs, "doc_id", "text", "source",
+      Map("web" -> 0.5, "code" -> 0.5), totalTokenBudget = 16L).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "library callers must not inherit cache entries from domainMix")
+  }
+
   test("shuffleShard: total order is a permutation, stable under re-run") {
     val out = Curation.shuffleShard(docs, "doc_id", numShards = 3)
     val rows = out.collect()
