@@ -123,15 +123,32 @@ object Similarity {
   def centroidUpdate(assigned: DataFrame, idCol: String, vecCol: String,
                      numSlices: Int = 1024): DataFrame = {
     require(numSlices >= 1, s"numSlices must be >= 1: $numSlices")
-    val width = ((1L << 60) + numSlices - 1) / numSlices
-    assigned
+    val rows = assigned
       .select(col("cluster"), col(idCol).as("__vid"),
-        graft.functions.TextFunctions.hash60(
-          concat(lit("cslice:"), col(idCol).cast("string"))).as("__skey"),
-        posexplode(col(vecCol)))
+        sliceHashKey(idCol), posexplode(col(vecCol)))
       .select(col("cluster"), col("pos").cast("long").as("dim"),
-        col("__vid"), expr(s"__skey div ${width}L").as("__slice"),
-        col("col").cast("double").as("__v"))
+        col("__vid"), sliceOfKey(numSlices), col("col").cast("double").as("__v"))
+    slicedComponentFold(rows)
+  }
+
+  /** The member's uniform 60-bit slice hash (see [[centroidUpdate]]). */
+  private def sliceHashKey(idCol: String): Column =
+    graft.functions.TextFunctions.hash60(
+      concat(lit("cslice:"), col(idCol).cast("string"))).as("__skey")
+
+  /** `__skey` → slice id via EXACT integer division (`div`; a double
+    * divide would mis-floor keys within ulp of a slice boundary and
+    * diverge from the oracle's BIGINT `//`). */
+  private def sliceOfKey(numSlices: Int): Column = {
+    val width = ((1L << 60) + numSlices - 1) / numSlices
+    expr(s"__skey div ${width}L").as("__slice")
+  }
+
+  /** The two-phase bounded deterministic fold over exploded component
+    * rows (cluster, dim, __vid, __slice, __v) — see [[centroidUpdate]]
+    * for the memory/determinism contract. */
+  private def slicedComponentFold(rows: DataFrame): DataFrame =
+    rows
       .groupBy("cluster", "dim", "__slice")
       .agg(
         aggregate(
@@ -144,7 +161,6 @@ object Similarity {
           array_sort(collect_list(struct(col("__slice"), col("__ssum").as("v")))),
           lit(0.0), (acc, s) => acc + s.getField("v")).as("comp_sum"),
         sum(col("__n")).as("n"))
-  }
 
   /** Deterministic k-means training (Lloyd's iterations) — produces the
     * centroid set the IVF/PQ/SemDeDup operators consume, instead of
@@ -192,6 +208,79 @@ object Similarity {
       }
       cents = cents.map { case (c, v) => (c, means.getOrElse(c, v)) }
       i += 1
+    }
+    toDf(cents)
+  }
+
+  /** Per-subspace PQ codebook training: Lloyd's iterations over the `m`
+    * equal-width subvectors SIMULTANEOUSLY — the training path that turns
+    * [[pqCodes]]/[[pqKnn]] from demo-grade (hand-picked codebook rows)
+    * into real product quantization. Assignment metric is squared L2 per
+    * subspace (the [[pqCodes]] metric — NOT [[kMeans]]'s cosine), ties →
+    * lowest code; means via the same bounded deterministic fold as
+    * [[centroidUpdate]].
+    *
+    * One corpus pass per iteration covers ALL m subspaces: codes are
+    * assigned against the broadcast codebook exactly as in [[pqCodes]]
+    * (per-row Column math, zero corpus shuffle), then one posexplode
+    * routes every component to (cluster = its subspace's code, dim) and
+    * one sliced two-phase fold computes all m×k×(dims/m) means. Driver
+    * state is only the k×dims centroid table.
+    *
+    * Output: (cidCol, vecCol) with FULL-WIDTH vectors — entry j is the
+    * concatenation of subspace-j centroids, which is exactly the codebook
+    * shape [[pqCodes]]/[[pqKnn]] consume (each subspace slices its own
+    * part; codes stay independent per subspace). Init = the k lowest-id
+    * corpus vectors (deterministic; at scale swap for a seeded sample).
+    * Empty (cluster, subspace) pairs keep their init subvector. Vector
+    * width must divide evenly by `m`. */
+  def kMeansSub(corpus: DataFrame, idCol: String, vecCol: String,
+                cidCol: String, m: Int, k: Int, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def toDf(cents: Seq[(Long, Seq[Float])]) = cents.toDF(cidCol, vecCol)
+    var cents: Seq[(Long, Seq[Float])] = corpus
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, j) => (j.toLong, r.getSeq[Float](1)) }
+    require(cents.length == k,
+      s"kMeansSub k = $k but the corpus has only ${cents.length} rows to init from")
+    require(cents.forall(_._2.length % m == 0),
+      s"vector width must divide evenly into $m subspaces")
+    var it = 0
+    while (it < iters) {
+      val cb = collectCodebook(toDf(cents), cidCol, vecCol, m)
+      val distCols = (0 until m).map(i =>
+        transform(col("__cb"), c => subL2(col(vecCol), c.getField("cvec"), i, m)).as(s"__d$i"))
+      val codeCols = (0 until m).map(i =>
+        (array_position(col(s"__d$i"), array_min(col(s"__d$i"))) - 1L)
+          .cast("long").as(s"__code$i"))
+      val coded = corpus.crossJoin(cb)
+        .select(col(idCol) +: col(vecCol) +: distCols: _*)
+        .select(col(idCol) +: col(vecCol) +: codeCols: _*)
+      // Route each exploded component to its subspace's cluster, then the
+      // shared sliced fold: one shuffle for all m subspaces.
+      val rows = coded
+        .select(col(idCol).as("__vid"), sliceHashKey(idCol),
+          array((0 until m).map(i => col(s"__code$i")): _*).as("__codes"),
+          size(col(vecCol)).as("__w"), posexplode(col(vecCol)))
+        .select(
+          element_at(col("__codes"),
+            (expr(s"pos div (__w div $m)") + 1).cast("int")).as("cluster"),
+          col("pos").cast("long").as("dim"), col("__vid"),
+          sliceOfKey(1024), col("col").cast("double").as("__v"))
+      // k×dims rows back to the driver — the centroid table, never data.
+      val means = slicedComponentFold(rows)
+        .select(col("cluster"), col("dim"), (col("comp_sum") / col("n")).as("mean"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      cents = cents.map { case (j, v) =>
+        (j, v.toIndexedSeq.zipWithIndex.map { case (old, d) =>
+          means.get((j, d.toLong)).map(_.toFloat).getOrElse(old)
+        })
+      }
+      it += 1
     }
     toDf(cents)
   }

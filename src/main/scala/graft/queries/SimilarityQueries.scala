@@ -169,6 +169,18 @@ object SimilarityQueries {
           .select(col("vec_id").as("cid"), col("embedding")),
         "vec_id", "embedding", "cid", m = 4)),
 
+    // PQ codebook TRAINING (one Lloyd's round over all 4 subspaces in a
+    // single corpus pass; squared-L2 assignment, first-16 deterministic
+    // init): the path that makes pqCodes/pqKnn real product quantization
+    // instead of a hand-picked codebook. Output exploded flat (cid, dim,
+    // c) for the hash compare, like sim_kmeans_train.
+    "sim_pq_train" -> ((s, dir) =>
+      Similarity.kMeansSub(emb(s, dir), "vec_id", "embedding", "cid",
+        m = 4, k = 16, iters = 1)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "c")))
+        .select(col("cid"), col("dim").cast("long").as("dim"),
+          col("c").cast("double").as("c"))),
+
     // PQ ADC read path: top-5 by asymmetric distance computed from the
     // packed codes alone — per query one 16-entry LUT per subspace, per
     // corpus row m digit lookups. The scan side touches only (vec_id,
@@ -464,6 +476,45 @@ object SimilarityQueries {
          |SELECT vec_id, code0, code1, code2, code3,
          |  (code0 + code1 * 256 + code2 * 65536 + code3 * 16777216)::BIGINT AS pq_code
          |FROM codes""".stripMargin,
+
+    // PQ-training mirror: one Lloyd's round per subspace — the shared
+    // codes CTEs assign against the init codebook (the 16 lowest vec_ids,
+    // which in this table are 0..15, so ranks == cids), then each
+    // component routes to its subspace's code and folds through the same
+    // sliced two-phase sum as sim_centroid_update; means round once to
+    // REAL, empty (cluster, subspace) slots keep their init subvector.
+    "sim_pq_train" ->
+      s"""WITH $pqCodesCtes,
+         |cwe AS (
+         |  SELECT c.vec_id, e.embedding, c.code0, c.code1, c.code2, c.code3
+         |  FROM codes c JOIN embeddings e USING (vec_id)),
+         |exploded AS (
+         |  SELECT list_extract([code0, code1, code2, code3],
+         |           (dim // (len(embedding) // 4) + 1)::INT) AS cluster,
+         |         dim, vec_id, slice, val
+         |  FROM (
+         |    SELECT vec_id, embedding, code0, code1, code2, code3,
+         |           (('0x'||substr(md5('cslice:' || vec_id::VARCHAR),1,15))::BIGINT // $sliceWidth) AS slice,
+         |           unnest(range(len(embedding))) AS dim,
+         |           unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+         |    FROM cwe)),
+         |ssums AS (
+         |  SELECT cluster, dim, slice,
+         |    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x) AS ssum,
+         |    count(*) AS n
+         |  FROM exploded GROUP BY cluster, dim, slice),
+         |sums AS (
+         |  SELECT cluster, dim,
+         |    list_reduce(list_prepend(0.0, list(ssum ORDER BY slice)), (a, x) -> a + x) AS comp_sum,
+         |    sum(n)::BIGINT AS n
+         |  FROM ssums GROUP BY cluster, dim),
+         |iexp AS (
+         |  SELECT vec_id AS cid, unnest(range(len(embedding))) AS dim,
+         |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS iv
+         |  FROM embeddings WHERE vec_id < 16)
+         |SELECT i.cid, i.dim::BIGINT AS dim,
+         |       coalesce((s.comp_sum / s.n)::REAL::DOUBLE, i.iv) AS c
+         |FROM iexp i LEFT JOIN sums s ON s.cluster = i.cid AND s.dim = i.dim""".stripMargin,
 
     // ADC mirror: per subspace, squared L2 between the query subvector
     // and the codebook entry the CODE points at (rank+1 in cid order) —
