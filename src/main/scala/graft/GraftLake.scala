@@ -53,6 +53,10 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
   def sync(): Map[String, List[Controller.Action]] = {
     val res = controller.runOnce()
     registerAll(): Unit
+    // persisted stats indexes follow the rewrite at delta cost (no-op for
+    // tables without one)
+    Discovery.listTables(rawRoot, spark.sparkContext.hadoopConfiguration)
+      .foreach(t => refreshStatsIndex(t.schema, t.table): Unit)
     res
   }
 
@@ -85,15 +89,38 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
     new streaming.StreamManager(spark, starters).startAll()
   }
 
-  /** Register a lake table as a named temp view (`<schema>_<table>` by
-    * default) — the local equivalent of the reference's Glue crawler
-    * cataloging the lake bucket for SQL users (SURVEY.md §1.1;
-    * /root/reference/DMSCDC_CloudTemplate_Source.yaml:210-232). The view
-    * captures the CURRENT file set; [[sync]] re-registers after each run
-    * because the copy-on-write merge replaces files. */
+  /** Register a lake table as a METASTORE-BACKED EXTERNAL table
+    * (`<schema>_<table>`) over its parquet dir — the local equivalent of
+    * the reference's Glue crawler cataloging the lake bucket for SQL
+    * users (SURVEY.md §1.1;
+    * /root/reference/DMSCDC_CloudTemplate_Source.yaml:210-232). Unlike
+    * the temp view this used to be, the entry outlives the defining
+    * session: any session sharing the catalog (`spark.newSession()`, or
+    * a later JVM over the same warehouse when the session runs with Hive
+    * support) queries the table by name with zero re-registration.
+    *
+    * Re-created on every call — a metadata-only drop/create (EXTERNAL:
+    * the data dir is never touched) — so the declared schema tracks
+    * merge-driven evolution and cached listings never point at
+    * copy-on-write-deleted files; [[sync]] re-registers after each run.
+    * Partitioned tables declare their stored partition keys and recover
+    * partitions from the directory layout. */
   def register(schema: String, table: String): String = {
     val name = s"${schema}_$table"
-    read(schema, table).createOrReplaceTempView(name)
+    val df = read(schema, table)
+    // a stale temp view from an older deployment would shadow the table
+    spark.catalog.dropTempView(name): Unit
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val parts = store.get(tableDir(schema, table))
+      .map(_.config.partitionKeys).getOrElse(Nil)
+      .filter(df.columns.contains)
+    val partClause =
+      if (parts.isEmpty) ""
+      else parts.map(p => s"`$p`").mkString("PARTITIONED BY (", ", ", ")")
+    val loc = s"${lakeRoot.stripSuffix("/")}/$schema/$table"
+    spark.sql(
+      s"CREATE TABLE `$name` (${df.schema.toDDL}) USING parquet $partClause LOCATION '$loc'")
+    if (parts.nonEmpty) spark.sql(s"MSCK REPAIR TABLE `$name`")
     name
   }
 
@@ -209,14 +236,44 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
 
   /** Build (or rebuild) the persisted file-stats index of a lake table
     * for `cols` — one aggregation scan, written next to the change feed
-    * under `_stats/`. Returns indexed file count. Rebuild after
-    * [[compact]]/heavy merge churn; [[readPruned]] stays correct on a
-    * stale index either way (unknown files scan, vanished files skip). */
+    * under `_stats/`. Returns indexed file count. After a [[sync]] or
+    * [[compact]] rewrites files, [[refreshStatsIndex]] (run automatically
+    * by both) maintains it at delta cost; [[readPruned]] stays correct on
+    * a stale index either way (unknown files scan, vanished files skip). */
   def buildStatsIndex(schema: String, table: String, cols: Seq[String]): Long = {
     val stats = io.StatsIndex.build(spark,
       s"${lakeRoot.stripSuffix("/")}/$schema/$table", cols)
     stats.write.mode("overwrite").parquet(statsPath(schema, table))
     spark.read.parquet(statsPath(schema, table)).count()
+  }
+
+  /** Incremental maintenance of a persisted stats index after a rewrite
+    * ([[io.StatsIndex.refresh]]: vanished files drop, only never-seen
+    * files scan — the reference's scheduled re-crawl, done as a delta).
+    * No-op when the table has no index. The indexed column set is
+    * recovered from the index's own schema (`min_<col>` markers), so
+    * callers don't restate it. Returns the indexed file count, or -1
+    * without an index. */
+  def refreshStatsIndex(schema: String, table: String): Long = {
+    val sp = new org.apache.hadoop.fs.Path(statsPath(schema, table))
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sp)) -1L
+    else {
+      val stats = spark.read.parquet(statsPath(schema, table))
+      val cols = stats.schema.fieldNames.toSeq
+        .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      val refreshed = io.StatsIndex.refresh(spark,
+        s"${lakeRoot.stripSuffix("/")}/$schema/$table", stats, cols)
+      // Write via temp-then-swap: the refresh output PLAN reads the old
+      // index files, so an in-place overwrite would delete its own input.
+      val tmp = new org.apache.hadoop.fs.Path(sp.getParent, s".refresh-${sp.getName}")
+      refreshed.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(sp, true)
+      if (!fs.rename(tmp, sp))
+        throw new java.io.IOException(s"stats-index swap $tmp -> $sp failed")
+      spark.catalog.refreshByPath(statsPath(schema, table))
+      spark.read.parquet(statsPath(schema, table)).count()
+    }
   }
 
   /** Data-skipping range read of a lake table through its persisted
@@ -243,11 +300,14 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
   private def statsPath(schema: String, table: String): String =
     s"${lakeRoot.stripSuffix("/")}/_stats/$schema/$table"
 
-  /** Maintenance compaction of one lake table (uses the stored keys). */
+  /** Maintenance compaction of one lake table (uses the stored keys);
+    * a persisted stats index follows the rewrite. */
   def compact(schema: String, table: String): Compaction.Stats = {
     val cfg = store.get(tableDir(schema, table)).map(_.config).getOrElse(TableConfig())
-    Compaction.compact(spark, s"${lakeRoot.stripSuffix("/")}/$schema/$table",
+    val stats = Compaction.compact(spark, s"${lakeRoot.stripSuffix("/")}/$schema/$table",
       cfg.primaryKeys, cfg.partitionKeys)
+    refreshStatsIndex(schema, table): Unit
+    stats
   }
 }
 

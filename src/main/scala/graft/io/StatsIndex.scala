@@ -92,7 +92,35 @@ object StatsIndex {
     }.toSeq
     val kept = stats.where(col("file").isin(keptRaw: _*))
     if (newFiles.isEmpty) kept
-    else kept.unionByName(buildFiles(spark, tableDir, newFiles.sorted, cols))
+    else {
+      val built = buildFiles(spark, tableDir, newFiles.sorted, cols)
+      // ZERO-ROW files produce no aggregation row (Spark routinely writes
+      // an empty partition-0 file on small rewrites) — synthesize their
+      // stats so the index converges to covering every current file.
+      // Null min/max excludes them from every range candidate set, which
+      // is exact for a rowless file.
+      val builtNorm = built.select("file").collect()
+        .map(r => normFile(r.getString(0))).toSet
+      val missing = newFiles.filterNot(f => builtNorm.contains(normFile(f)))
+      val withZero =
+        if (missing.isEmpty) built
+        else {
+          val schema = stats.schema
+          val rows = missing.sorted.map { f =>
+            org.apache.spark.sql.Row.fromSeq(schema.fields.toSeq.map { fld =>
+              fld.name match {
+                case "file" => f
+                case "rows" => 0L
+                case n if n.startsWith("nulls_") => 0L
+                case _ => null
+              }
+            })
+          }
+          import scala.jdk.CollectionConverters._
+          built.unionByName(spark.createDataFrame(rows.asJava, schema))
+        }
+      kept.unionByName(withZero)
+    }
   }
 
   /** The file subset whose [min, max] interval can intersect

@@ -83,6 +83,60 @@ class GraftLakeSpec extends SparkSpec {
       Seq(2, 3, 4, 9))
   }
 
+  test("catalog: registered tables are metastore-backed, visible from a new session") {
+    val raw = Files.createTempDirectory("rawC").toString
+    val out = Files.createTempDirectory("lakeC").toString
+    val st = Files.createTempDirectory("stateC").toString
+    writeFile(Seq(("I", 1, "x", "a"), ("I", 2, "y", "b"), ("I", 3, "x", "c"))
+      .toDF("Op", "id", "bucket", "v"), s"$raw/db/ct", "LOAD00000001.parquet")
+    val lake = GraftLake(spark, raw, out, st)
+    lake.tables()
+    lake.activate("db", "ct", primaryKeys = Seq("id"), partitionKeys = Seq("bucket"))
+    lake.sync()
+    assert(spark.sql("SELECT count(*) FROM db_ct").head().getLong(0) == 3)
+    // a FRESH session sharing the catalog queries by name with zero
+    // re-registration — the property a temp view cannot provide
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT v FROM db_ct WHERE id = 2").head().getString(0) == "b")
+    // hive partitions were recovered into the catalog entry
+    assert(s2.sql("SELECT count(*) FROM db_ct WHERE bucket = 'x'").head().getLong(0) == 2)
+    // schema evolution: the next sync re-registers the evolved schema,
+    // and new sessions see the new column
+    writeFile(Seq(("I", 4, "y", "d", 9.5)).toDF("Op", "id", "bucket", "v", "score"),
+      s"$raw/db/ct", "20260812-01.parquet")
+    lake.sync()
+    assert(spark.newSession().sql("SELECT score FROM db_ct WHERE id = 4")
+      .head().getDouble(0) == 9.5)
+  }
+
+  test("stats index follows sync and compact automatically") {
+    val raw = Files.createTempDirectory("rawS").toString
+    val out = Files.createTempDirectory("lakeS").toString
+    val st = Files.createTempDirectory("stateS").toString
+    writeFile((1 to 8).map(i => ("I", i, s"v$i")).toDF("Op", "id", "v"),
+      s"$raw/db/si", "LOAD00000001.parquet")
+    val lake = GraftLake(spark, raw, out, st)
+    lake.tables()
+    lake.activate("db", "si", primaryKeys = Seq("id"))
+    lake.sync()
+    assert(lake.buildStatsIndex("db", "si", Seq("id")) >= 1L)
+    def norm(f: String) = new org.apache.hadoop.fs.Path(f).toUri.getPath
+    def indexed = spark.read.parquet(s"$out/_stats/db/si")
+      .select("file").collect().map(r => norm(r.getString(0))).toSet
+    def current = lake.read("db", "si").inputFiles.map(norm).toSet
+    // a merge rewrites files; the next sync refreshes the index to match
+    writeFile(Seq(("U", 3, "NEW")).toDF("Op", "id", "v"),
+      s"$raw/db/si", "20260812-01.parquet")
+    lake.sync()
+    assert(indexed == current, "sync must refresh the persisted index")
+    assert(lake.readPruned("db", "si", "id", Some(3), Some(3))
+      .select("v").collect().map(_.getString(0)).toSeq == Seq("NEW"))
+    // compaction rewrites everything; the index follows
+    lake.compact("db", "si")
+    assert(indexed == current, "compact must refresh the persisted index")
+    assert(lake.readPruned("db", "si", "id", Some(2), Some(4)).count() == 3L)
+  }
+
   test("drift reports retypes across mixed-type raw files instead of throwing") {
     val raw = Files.createTempDirectory("raw").toString
     val out = Files.createTempDirectory("lake").toString
