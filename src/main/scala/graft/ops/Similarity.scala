@@ -71,12 +71,31 @@ object Similarity {
       .drop("__cid", "__cvec", "__ccos", "__rn")
   }
 
-  /** IVF top-k: probe only the query's own cluster (single-probe). */
+  /** The `nprobe` nearest centroids per row (rank by cosine desc, ties →
+    * smallest cid) — the query-side expansion for multi-probe IVF. One
+    * output row per (row, probed cluster); `nprobe = 1` ≡ [[ivfAssign]]
+    * with a probe_rank column. */
+  def ivfAssignTop(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                   vecCol: String, cidCol: String, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val c = broadcast(centroids.select(col(cidCol).as("__cid"), col(vecCol).as("__cvec")))
+    val scored = corpus.crossJoin(c)
+      .select(col("*"), cosine(col(vecCol), col("__cvec")).as("__ccos"))
+    val w = Window.partitionBy(idCol).orderBy(col("__ccos").desc, col("__cid"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nprobe)
+      .withColumn("cluster", col("__cid"))
+      .withColumn("probe_rank", col("__rn").cast("long"))
+      .drop("__cid", "__cvec", "__ccos", "__rn")
+  }
+
+  /** IVF top-k: probe the query's `nprobe` nearest clusters (the
+    * standard IVF recall knob — single-probe by default). */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              idCol: String, vecCol: String, qidCol: String, cidCol: String,
-             k: Int): DataFrame =
+             k: Int, nprobe: Int = 1): DataFrame =
     ivfKnnPreAssigned(ivfAssign(corpus, centroids, idCol, vecCol, cidCol),
-      queries, centroids, idCol, vecCol, qidCol, cidCol, k)
+      queries, centroids, idCol, vecCol, qidCol, cidCol, k, nprobe)
 
   /** IVF top-k over a PRE-ASSIGNED corpus — `assigned` is the output of
     * [[ivfAssign]] (columns idCol, vecCol, cluster), ideally persisted
@@ -85,12 +104,16 @@ object Similarity {
     * recomputing N×K centroid distances per call — the IVF read path at
     * 100 TB, where assignment runs once per index build and kNN runs per
     * query batch. Only the (small) query side computes centroid
-    * assignments here. */
+    * assignments here. `nprobe > 1` expands each query to its n nearest
+    * clusters ([[ivfAssignTop]]) — recall rises with scan cost
+    * corpus·nprobe/k_clusters, the standard IVF trade; the INDEX stays
+    * single-assignment either way. */
   def ivfKnnPreAssigned(assigned: DataFrame, queries: DataFrame,
                         centroids: DataFrame, idCol: String, vecCol: String,
-                        qidCol: String, cidCol: String, k: Int): DataFrame = {
+                        qidCol: String, cidCol: String, k: Int,
+                        nprobe: Int = 1): DataFrame = {
     val bc = assigned.select(col(idCol), col(vecCol).as("__cvec"), col("cluster"))
-    val bq = broadcast(ivfAssign(queries, centroids, qidCol, vecCol, cidCol)
+    val bq = broadcast(ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe)
       .select(col(qidCol), col(vecCol).as("__qvec"), col("cluster")))
     val scored = bc.join(bq, "cluster")
       .where(col(qidCol) =!= col(idCol))

@@ -72,6 +72,15 @@ object SimilarityQueries {
         "vec_id", "embedding", "qid", "cid", k = 3)
     }),
 
+    // IVF top-3 with nprobe=2: each query scans its TWO nearest clusters
+    // — the standard IVF recall knob (cost corpus·nprobe/k_clusters).
+    "sim_ivf_knn_probe2" -> ((s, dir) => {
+      val cents = emb(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      Similarity.ivfKnn(emb(s, dir), queriesDf(s, dir), cents,
+        "vec_id", "embedding", "qid", "cid", k = 3, nprobe = 2)
+    }),
+
     // One Lloyd's-iteration centroid update over the IVF assignment
     // (per-(cluster, dim) component sums + counts; deterministic fold).
     "sim_centroid_update" -> ((s, dir) => {
@@ -345,6 +354,31 @@ object SimilarityQueries {
          |scored AS (
          |  SELECT q.qid, a.vec_id, ${cosSql("qv", "a.embedding")} AS cos
          |  FROM assign a JOIN q USING (cluster) WHERE a.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // nprobe=2 mirror: the corpus index stays rank-1; the query side
+    // keeps its two nearest clusters (rank <= 2). A corpus vector joins
+    // at most once — its single assigned cluster either is probed or not.
+    "sim_ivf_knn_probe2" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
+         |    FROM embeddings e, c) WHERE rn = 1),
+         |qp AS (
+         |  SELECT vec_id AS qid, qv, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding AS qv, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
+         |    FROM embeddings e, c WHERE e.vec_id % 100 = 0) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT qp.qid, a.vec_id, ${cosSql("qv", "a.embedding")} AS cos
+         |  FROM assign a JOIN qp USING (cluster) WHERE a.vec_id <> qp.qid),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)

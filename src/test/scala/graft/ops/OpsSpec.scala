@@ -222,6 +222,21 @@ class OpsSpec extends SparkSpec {
     assert(k4.keySet == Set(0L, 1L))
   }
 
+  test("ivf multi-probe: recall rises with nprobe; probing all clusters = brute force") {
+    val cents = emb.where($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    val qs = emb.where($"vec_id" % 100 === 0).select($"vec_id".as("qid"), $"embedding")
+    val brute = Similarity.bruteForceKnn(emb, qs, "vec_id", "embedding", "qid", k = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def ivf(nprobe: Int) = Similarity.ivfKnn(emb, qs, cents,
+      "vec_id", "embedding", "qid", "cid", k = 3, nprobe = nprobe)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val r1 = ivf(1).intersect(brute).size
+    val r2 = ivf(2).intersect(brute).size
+    assert(r2 >= r1, s"recall must not drop with more probes: $r1 -> $r2")
+    // probing every cluster covers the whole corpus — exactly brute force
+    assert(ivf(8) == brute, "nprobe = #clusters must equal brute force")
+  }
+
   test("centroidUpdate: sliced two-phase fold is exact, deterministic, bounded") {
     // 400 members all in ONE cluster — the skew shape that would OOM a
     // single per-(cluster, dim) collect_list of the whole membership.
