@@ -252,11 +252,14 @@ object Curation {
     val rawF = feats(widen(raw)).localCheckpoint(true)
     val tb = feats(widen(target)).groupBy("bucket").agg(count(lit(1)).as("t_b"))
     val rb = rawF.groupBy("bucket").agg(count(lit(1)).as("r_b"))
-    // Scalar totals come from the tiny bucket tables, not extra passes.
-    val tTot = broadcast(tb.agg(sum(col("t_b")).cast("long").as("t_total")))
-    val rTot = broadcast(rb.agg(sum(col("r_b")).cast("long").as("r_total")))
+    // Scalar totals come from the tiny bucket tables, not extra passes —
+    // folded into ONE broadcast build (a 1x2 frame) instead of two
+    // separate broadcast exchanges.
+    val tots = broadcast(
+      tb.agg(sum(col("t_b")).cast("long").as("t_total"))
+        .crossJoin(rb.agg(sum(col("r_b")).cast("long").as("r_total"))))
     val ratios = rb.join(tb, Seq("bucket"), "left")
-      .crossJoin(tTot).crossJoin(rTot)
+      .crossJoin(tots)
       .select(col("bucket"),
         (((coalesce(col("t_b"), lit(0L)) + 1L).cast("double") *
           (col("r_total") + buckets).cast("double")) /
