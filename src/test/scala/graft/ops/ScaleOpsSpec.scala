@@ -110,6 +110,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(mix.collect().toSet == naiveMix.collect().toSet)
   }
 
+  test("round-6 plan shapes: two-exchange bounded fold, shuffle-free PQ assign, broadcast heavy gate") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = e.where($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    def nEx(p: String) = p.split("Exchange hashpartitioning").length - 1
+    // executedPlan BEFORE any action: exchanges are inserted (sparkPlan
+    // predates EnsureRequirements) and AQE prints the initial plan once.
+    // The sliced centroid fold is exactly two aggregate exchanges —
+    // (cluster, dim, slice) then (cluster, dim) — nothing else moves
+    val assigned = e.select($"vec_id", $"embedding", pmod($"vec_id", lit(8L)).as("cluster"))
+    val foldPlan = Similarity.centroidUpdate(assigned, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(nEx(foldPlan) == 2, s"expected exactly 2 exchanges in:\n$foldPlan")
+    // PQ code assignment is per-row math against a broadcast codebook:
+    // zero shuffles of the corpus
+    val codesPlan = Similarity.pqCodes(e, e.where($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding"),
+      "vec_id", "embedding", "cid", m = 4)
+      .queryExecution.executedPlan.toString
+    assert(nEx(codesPlan) == 0, s"PQ assign must not shuffle:\n$codesPlan")
+    // semDedup's over-cap gate (≤ |centroids| heavy-cluster ids) rides
+    // broadcasts — the corpus is never exchanged by cluster just to
+    // split heavy from capped. (The FINAL anti-join on id and the pair
+    // self-joins are corpus-sized on both sides; shuffle joins are the
+    // correct plan there and are not asserted against.)
+    val sdPlan = Similarity.semDedup(e, cents, "vec_id", "embedding", "cid",
+      threshold = 0.4, maxClusterSize = 60)
+      .queryExecution.sparkPlan.toString
+    assert(!"""SortMergeJoin \[cluster[^\n]*LeftAnti""".r.findFirstIn(sdPlan).isDefined,
+      s"heavy-cluster gate must stay broadcast:\n$sdPlan")
+    assert(sdPlan.contains("BroadcastHashJoin"), s"expected broadcast gate in:\n$sdPlan")
+  }
+
   test("ivfKnnPreAssigned reuses the materialized assignment — no corpus centroid rescan") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = e.where($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
