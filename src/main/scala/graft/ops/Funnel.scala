@@ -18,22 +18,34 @@ import org.apache.spark.sql.functions._
 object Funnel {
 
   /** @param steps ordered event types, e.g. Seq("view","click","purchase")
+    * @param conversionWindow when set, a step counts only within
+    *        `entry (t1) + window` (inclusive; same units as tsCol) — the
+    *        "converted within N days" funnel definition, matching the
+    *        window-gated crediting of
+    *        [[graft.streaming.EventStreams.funnelProgress]]
     * @return one row per user who completed step 1: userCol,
     *         `t1..tk` (earliest completion time per step, null once the
     *         funnel stalls), `steps_completed`
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
+             typeCol: String, steps: Seq[String],
+             conversionWindow: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel requires at least one step")
     val first = events.where(col(typeCol) === steps.head)
       .groupBy(userCol).agg(min(col(tsCol)).as("t1"))
     val full = steps.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
       val prev = s"t$i"
       val cur = s"t${i + 1}"
+      // t1 rides along for the window gate (it IS prev at step 2)
+      val accSel =
+        if (prev == "t1") acc.select(col(userCol), col(prev))
+        else acc.select(col(userCol), col(prev), col("t1"))
+      val inWindow = conversionWindow
+        .map(w => col("__ts") <= col("t1") + w).getOrElse(lit(true))
       val next = events.where(col(typeCol) === step)
         .select(col(userCol), col(tsCol).as("__ts"))
-        .join(acc.select(col(userCol), col(prev)), userCol)
-        .where(col("__ts") > col(prev))
+        .join(accSel, userCol)
+        .where(col("__ts") > col(prev) && inWindow)
         .groupBy(userCol).agg(min(col("__ts")).as(cur))
       acc.join(next, Seq(userCol), "left")
     }

@@ -145,7 +145,18 @@ object EventQueries {
     "events_funnel" -> ((s, dir) =>
       graft.ops.Funnel.funnel(
         Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
-        "user_id", "ts_us", "event_type", Seq("view", "click", "purchase")))
+        "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))),
+
+    // The same funnel with a ONE-DAY conversion window (between the p25
+    // and p50 of this table's first-click delay, so the gate genuinely
+    // splits the population): steps count only within entry + window
+    // (inclusive) — the "converted within N" definition, batch twin of
+    // the streaming funnel's window-gated crediting.
+    "events_funnel_window" -> ((s, dir) =>
+      graft.ops.Funnel.funnel(
+        Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"),
+        conversionWindow = Some(86400000000L)))
   )
 
   /** Shared sessionization CTEs (g → s → sess), mirroring
@@ -251,6 +262,31 @@ object EventQueries {
         |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
         |  FROM events e JOIN s2 ON e.user_id = s2.user_id
         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |  (1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END)::BIGINT AS steps_completed
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+
+    // Windowed mirror: each later step additionally bounded by
+    // t1 + 1 day (inclusive).
+    "events_funnel_window" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |    AND epoch_us(e.ts) <= s1.t1 + 86400000000
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |                JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        |    AND epoch_us(e.ts) <= s1.t1 + 86400000000
         |  GROUP BY e.user_id)
         |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
         |  (1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END

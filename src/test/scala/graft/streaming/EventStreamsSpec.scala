@@ -336,6 +336,14 @@ class EventStreamsSpec extends SparkSpec {
       q.processAllAvailable()
     }
     assert(boundary == Set((2, true)), s"window-inclusive boundary must convert: $boundary")
+    // the batch twin with the same window agrees on both fixtures
+    def batchSteps(clickAt: Long) = graft.ops.Funnel.funnel(
+      Seq((1L, B, "view"), (1L, clickAt, "click")).toDF("user_id", "ts_us", "event_type"),
+      "user_id", "ts_us", "event_type", Seq("view", "click"),
+      conversionWindow = Some(5 * S))
+      .where(col("user_id") === 1L).head().getAs[Long]("steps_completed")
+    assert(batchSteps(B + 6 * S) == 1L, "batch twin must not credit past the window")
+    assert(batchSteps(B + 5 * S) == 2L, "batch twin window is inclusive too")
   }
 
   test("streaming funnel: conversion window evicts quiet state; stragglers can't resurrect it") {
