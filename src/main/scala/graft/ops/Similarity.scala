@@ -496,6 +496,42 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF-PQ top-k — the composed 100 TB ANN read path (the FAISS IVFPQ
+    * shape): probe the query's `nprobe` nearest clusters and rank ONLY
+    * their members by asymmetric distance over packed PQ codes. The scan
+    * side is the 16-byte (id, cluster, pq_code) index — never raw
+    * vectors — and touches corpus·nprobe/k_clusters of it; per query one
+    * K-entry LUT per subspace rides the broadcast. Zero corpus shuffle
+    * until the final per-query top-k window.
+    *
+    * `indexed` = [[ivfAssign]]'s (idCol, cluster) joined with
+    * [[pqCodes]]'s (idCol, pq_code) — built once per index build, ideally
+    * persisted bucketed on `cluster`. `centroids` (coarse quantizer) and
+    * `codebook`/`m` (fine quantizer, same as at code-assignment time) are
+    * both broadcast. Output: (qid, id, adc_dist, rank ≤ k). */
+  def ivfPqKnn(indexed: DataFrame, queries: DataFrame, centroids: DataFrame,
+               codebook: DataFrame, idCol: String, vecCol: String,
+               qidCol: String, cidCol: String, m: Int, k: Int,
+               nprobe: Int = 1): DataFrame = {
+    val cb = collectCodebook(codebook, cidCol, vecCol, m)
+    val lutCols = (0 until m).map(i =>
+      transform(col("__cb"), c => subL2(col(vecCol), c.getField("cvec"), i, m)).as(s"__lut$i"))
+    val q = broadcast(
+      ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe)
+        .crossJoin(cb)
+        .select(col(qidCol) +: col("cluster") +: lutCols: _*))
+    val dist = (0 until m).map(i =>
+      element_at(col(s"__lut$i"),
+        (shiftrightunsigned(col("pq_code"), 8 * i).bitwiseAND(lit(255L)) + 1L).cast("int")))
+      .reduce(_ + _)
+    val w = Window.partitionBy(qidCol).orderBy(col("adc_dist"), col(idCol))
+    indexed.join(q, "cluster")
+      .where(col(qidCol) =!= col(idCol))
+      .select(col(qidCol), col(idCol), dist.as("adc_dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Collapse + validate the codebook: one sorted array-of-structs row,
     * broadcast. Codes are POSITIONS in cid-sorted order (0-based ranks),
     * not cid values — with non-contiguous cids the code is the rank of

@@ -190,6 +190,23 @@ object SimilarityQueries {
         .select(col("cid"), col("dim").cast("long").as("dim"),
           col("c").cast("double").as("c"))),
 
+    // IVF-PQ composition (the FAISS IVFPQ shape, the canonical 100 TB ANN
+    // read path): probe each query's 2 nearest of 8 clusters, rank their
+    // members by ADC over the packed codes — the scan side is the 16-byte
+    // (id, cluster, pq_code) index, never raw vectors.
+    "sim_ivfpq_knn" -> ((s, dir) => {
+      val cents = emb(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val cbq = emb(s, dir).where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val indexed = Similarity.ivfAssign(emb(s, dir), cents, "vec_id", "embedding", "cid")
+        .select("vec_id", "cluster")
+        .join(Similarity.pqCodes(emb(s, dir), cbq, "vec_id", "embedding", "cid", m = 4)
+          .select("vec_id", "pq_code"), "vec_id")
+      Similarity.ivfPqKnn(indexed, queriesDf(s, dir), cents, cbq,
+        "vec_id", "embedding", "qid", "cid", m = 4, k = 5, nprobe = 2)
+    }),
+
     // PQ ADC read path: top-5 by asymmetric distance computed from the
     // packed codes alone — per query one 16-entry LUT per subspace, per
     // corpus row m digit lookups. The scan side touches only (vec_id,
@@ -553,15 +570,7 @@ object SimilarityQueries {
     // ADC mirror: per subspace, squared L2 between the query subvector
     // and the codebook entry the CODE points at (rank+1 in cid order) —
     // the same left-fold order as the Spark LUT lookups.
-    "sim_pq_knn" -> {
-      def adcSql(i: Int) = {
-        val cv = s"struct_extract(cb[(code$i + 1)::INT], 'cvec')"
-        s"""list_reduce(list_prepend(0.0,
-           |      list_transform(range(0, 16), j ->
-           |        (qv[(${i * 16} + j + 1)::INT]::DOUBLE - $cv[(${i * 16} + j + 1)::INT]::DOUBLE)
-           |        * (qv[(${i * 16} + j + 1)::INT]::DOUBLE - $cv[(${i * 16} + j + 1)::INT]::DOUBLE))),
-           |    (a, x) -> a + x)""".stripMargin
-      }
+    "sim_pq_knn" ->
       s"""WITH $pqCodesCtes,
          |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
          |scored AS (
@@ -572,9 +581,51 @@ object SimilarityQueries {
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
          |  FROM scored)
+         |SELECT qid, vec_id, adc_dist, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // IVF-PQ mirror: rank-1 coarse assignment on the corpus, rank<=2
+    // probes on the query side (as sim_ivf_knn_probe2), ADC over the
+    // probed members' codes (as sim_pq_knn).
+    "sim_ivfpq_knn" ->
+      s"""WITH $pqCodesCtes,
+         |c2 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT e.vec_id, c2.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c2.cid) AS rn
+         |    FROM embeddings e, c2) WHERE rn = 1),
+         |qp AS (
+         |  SELECT vec_id AS qid, qv, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding AS qv, c2.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c2.cid) AS rn
+         |    FROM embeddings e, c2 WHERE e.vec_id % 100 = 0) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT qp.qid, a.vec_id,
+         |    ${(0 until 4).map(adcSql).mkString("\n    + ")} AS adc_dist
+         |  FROM assign a JOIN qp USING (cluster)
+         |       JOIN codes co ON co.vec_id = a.vec_id
+         |       CROSS JOIN cbl
+         |  WHERE a.vec_id <> qp.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
+         |  FROM scored)
          |SELECT qid, vec_id, adc_dist, rank FROM ranked WHERE rank <= 5""".stripMargin
-    }
   )
+
+  /** ADC term for subspace `i`: squared L2 between the `qv` subvector and
+    * the codebook entry `code<i>` points at (rank+1 in cid order) — the
+    * same left-fold order as the Spark LUT lookups. Shared by the
+    * sim_pq_knn and sim_ivfpq_knn oracles. */
+  private def adcSql(i: Int): String = {
+    val cv = s"struct_extract(cb[(code$i + 1)::INT], 'cvec')"
+    s"""list_reduce(list_prepend(0.0,
+       |      list_transform(range(0, 16), j ->
+       |        (qv[(${i * 16} + j + 1)::INT]::DOUBLE - $cv[(${i * 16} + j + 1)::INT]::DOUBLE)
+       |        * (qv[(${i * 16} + j + 1)::INT]::DOUBLE - $cv[(${i * 16} + j + 1)::INT]::DOUBLE))),
+       |    (a, x) -> a + x)""".stripMargin
+  }
 
   /** Shared PQ CTEs (cbl → d → codes): 16-entry codebook from the first
     * 16 vectors, 4 × 16-dim subspace distances, first-min rank codes —

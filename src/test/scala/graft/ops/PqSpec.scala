@@ -149,6 +149,29 @@ class PqSpec extends SparkSpec {
       s"training must materially improve recall: trained=$trained standIn=$standIn")
   }
 
+  test("ivfPqKnn: probing every cluster reduces exactly to plain PQ ADC search") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = e.where($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    val cb = e.where($"vec_id" < 16).select($"vec_id".as("cid"), $"embedding")
+    val codes = Similarity.pqCodes(e, cb, "vec_id", "embedding", "cid", m = 4)
+      .select("vec_id", "pq_code")
+    val indexed = Similarity.ivfAssign(e, cents, "vec_id", "embedding", "cid")
+      .select("vec_id", "cluster").join(codes, "vec_id")
+    val q = e.where($"vec_id" % 100 === 0).select($"vec_id".as("qid"), $"embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("adc_dist"), r.getAs[Long]("rank"))).toSet
+    val full = rows(Similarity.pqKnn(codes, q, cb, "vec_id", "embedding", "qid", "cid",
+      m = 4, k = 5))
+    val ivfpqAll = rows(Similarity.ivfPqKnn(indexed, q, cents, cb,
+      "vec_id", "embedding", "qid", "cid", m = 4, k = 5, nprobe = 8))
+    assert(ivfpqAll == full, "nprobe = #clusters must equal plain ADC search")
+    // fewer probes: results are a subset of the probed clusters, never empty
+    val one = Similarity.ivfPqKnn(indexed, q, cents, cb,
+      "vec_id", "embedding", "qid", "cid", m = 4, k = 5, nprobe = 1)
+    assert(one.count() > 0)
+  }
+
   test("pq guards: m > 8 and oversized codebooks are rejected") {
     intercept[IllegalArgumentException] {
       Similarity.pqCodes(vecs, codebook, "vec_id", "embedding", "cid", m = 9)
