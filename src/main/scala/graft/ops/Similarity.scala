@@ -532,6 +532,30 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Persist an IVF(-PQ) index hive-partitioned by `cluster`: at scale
+    * the probe set then prunes the SCAN to its partitions — index read
+    * cost is corpus·nprobe/k_clusters in bytes actually opened, not just
+    * rows filtered. `indexed` is [[ivfAssign]] output (optionally joined
+    * with [[pqCodes]]). */
+  def writeIvfIndex(indexed: DataFrame, dir: String): Unit =
+    indexed.write.mode("overwrite").partitionBy("cluster").parquet(dir)
+
+  /** Read back only the probed clusters of a persisted IVF index — the
+    * `cluster` filter is a static partition predicate, so planning opens
+    * only the matching `cluster=` directories. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   clusters: Seq[Long]): DataFrame =
+    spark.read.parquet(dir).where(col("cluster").isin(clusters: _*))
+
+  /** The distinct clusters a query batch probes at `nprobe` — a tiny
+    * driver-side list (≤ queries·nprobe ids, bounded by k_clusters) that
+    * feeds [[readIvfIndex]]'s partition pruning. */
+  def probedClusters(queries: DataFrame, centroids: DataFrame,
+                     qidCol: String, vecCol: String, cidCol: String,
+                     nprobe: Int): Seq[Long] =
+    ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe)
+      .select("cluster").distinct().collect().map(_.getLong(0)).toSeq.sorted
+
   /** Collapse + validate the codebook: one sorted array-of-structs row,
     * broadcast. Codes are POSITIONS in cid-sorted order (0-based ranks),
     * not cid values — with non-contiguous cids the code is the rank of

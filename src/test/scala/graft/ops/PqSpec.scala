@@ -172,6 +172,40 @@ class PqSpec extends SparkSpec {
     assert(one.count() > 0)
   }
 
+  test("persisted IVF-PQ index: probe set prunes the scan to its cluster partitions") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = e.where($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
+    val cb = e.where($"vec_id" < 16).select($"vec_id".as("cid"), $"embedding")
+    val indexed = Similarity.ivfAssign(e, cents, "vec_id", "embedding", "cid")
+      .select("vec_id", "cluster")
+      .join(Similarity.pqCodes(e, cb, "vec_id", "embedding", "cid", m = 4)
+        .select("vec_id", "pq_code"), "vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    Similarity.writeIvfIndex(indexed, dir)
+    // one query so its 2 probes are a strict subset of the 8 clusters
+    val q = e.where($"vec_id" === 100).select($"vec_id".as("qid"), $"embedding")
+    val probes = Similarity.probedClusters(q, cents, "qid", "embedding", "cid", nprobe = 2)
+    assert(probes.nonEmpty && probes.size < 8, s"fixture must probe a strict subset: $probes")
+    val pruned = Similarity.readIvfIndex(spark, dir, probes)
+    // partition pruning is visible in the files actually READ (inputFiles
+    // lists the pre-filter relation): only probed cluster= dirs appear
+    val touched = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+      .map(f => f.split("cluster=")(1).split("/")(0).toLong).toSet
+    assert(touched == probes.toSet, s"scan must open only probed partitions: $touched")
+    // and the plan carries the static partition filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"expected a partition filter in:\n$plan")
+    // and the pruned index answers identically to the full one
+    val full = Similarity.ivfPqKnn(
+      spark.read.parquet(dir), q, cents, cb,
+      "vec_id", "embedding", "qid", "cid", m = 4, k = 5, nprobe = 2)
+    val viaPruned = Similarity.ivfPqKnn(pruned, q, cents, cb,
+      "vec_id", "embedding", "qid", "cid", m = 4, k = 5, nprobe = 2)
+    assert(viaPruned.collect().toSet == full.collect().toSet)
+  }
+
   test("pq guards: m > 8 and oversized codebooks are rejected") {
     intercept[IllegalArgumentException] {
       Similarity.pqCodes(vecs, codebook, "vec_id", "embedding", "cid", m = 9)
