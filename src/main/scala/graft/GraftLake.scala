@@ -53,9 +53,17 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
   def sync(): Map[String, List[Controller.Action]] = {
     val res = controller.runOnce()
     registerAll(): Unit
-    // persisted stats indexes follow the rewrite at delta cost (no-op for
-    // tables without one)
+    // persisted stats indexes follow the rewrite at delta cost — only for
+    // tables this run actually LOADED (Skipped/NoNewData/Failed tables
+    // have unchanged files; refreshing them would churn a no-op listing +
+    // index rewrite per table per cron tick)
+    val changed = res.collect { case (key, actions)
+        if actions.exists {
+          case Controller.FullLoad(_) | Controller.Incremental(_, _) => true
+          case _ => false
+        } => key }.toSet
     Discovery.listTables(rawRoot, spark.sparkContext.hadoopConfiguration)
+      .filter(t => changed.contains(t.key))
       .foreach(t => refreshStatsIndex(t.schema, t.table): Unit)
     res
   }
@@ -106,21 +114,50 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
     * Partitioned tables declare their stored partition keys and recover
     * partitions from the directory layout. */
   def register(schema: String, table: String): String = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.CatalogTableType
     val name = s"${schema}_$table"
     val df = read(schema, table)
     // a stale temp view from an older deployment would shadow the table
     spark.catalog.dropTempView(name): Unit
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
     val parts = store.get(tableDir(schema, table))
       .map(_.config.partitionKeys).getOrElse(Nil)
       .filter(df.columns.contains)
-    val partClause =
-      if (parts.isEmpty) ""
-      else parts.map(p => s"`$p`").mkString("PARTITIONED BY (", ", ", ")")
     val loc = s"${lakeRoot.stripSuffix("/")}/$schema/$table"
-    spark.sql(
-      s"CREATE TABLE `$name` (${df.schema.toDDL}) USING parquet $partClause LOCATION '$loc'")
+    val catalog = spark.sessionState.catalog
+    val ident = TableIdentifier(name)
+    val existing =
+      if (catalog.tableExists(ident)) Some(catalog.getTableMetadata(ident)) else None
+    // NEVER drop an entry we did not create: dropping a MANAGED table
+    // deletes its data, and a VIEW is someone's definition — a name
+    // collision is a configuration error, not ours to resolve by delete.
+    existing.foreach { meta =>
+      require(meta.tableType == CatalogTableType.EXTERNAL,
+        s"catalog already holds a ${meta.tableType.name} table `$name` — " +
+          "refusing to replace it (rename one side)")
+    }
+    def cols(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSet
+    // Steady state (same location, schema, partitioning): keep the entry —
+    // no DROP/CREATE window for concurrent catalog-sharing readers.
+    val unchanged = existing.exists { meta =>
+      new org.apache.hadoop.fs.Path(meta.location).toUri.getPath ==
+        new org.apache.hadoop.fs.Path(loc).toUri.getPath &&
+        cols(meta.schema) == cols(df.schema) &&
+        meta.partitionColumnNames == parts
+    }
+    if (!unchanged) {
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val partClause =
+        if (parts.isEmpty) ""
+        else parts.map(p => s"`$p`").mkString("PARTITIONED BY (", ", ", ")")
+      spark.sql(
+        s"CREATE TABLE `$name` (${df.schema.toDDL}) USING parquet $partClause LOCATION '$loc'")
+    }
+    // merges add files (and possibly partitions) without touching the
+    // entry: recover new partitions, drop cached listings of deleted files
     if (parts.nonEmpty) spark.sql(s"MSCK REPAIR TABLE `$name`")
+    spark.catalog.refreshTable(name)
     name
   }
 

@@ -93,7 +93,11 @@ object StatsIndex {
     val kept = stats.where(col("file").isin(keptRaw: _*))
     if (newFiles.isEmpty) kept
     else {
+      // Materialized once (eager, cleaner-reclaimed — ≤ one row per new
+      // file): the zero-row probe below AND the caller's write both read
+      // it; an unmaterialized plan would re-run the delta scan twice.
       val built = buildFiles(spark, tableDir, newFiles.sorted, cols)
+        .localCheckpoint(true)
       // ZERO-ROW files produce no aggregation row (Spark routinely writes
       // an empty partition-0 file on small rewrites) — synthesize their
       // stats so the index converges to covering every current file.

@@ -255,8 +255,10 @@ object Similarity {
     * shape [[pqCodes]]/[[pqKnn]] consume (each subspace slices its own
     * part; codes stay independent per subspace). Init = the k lowest-id
     * corpus vectors (deterministic; at scale swap for a seeded sample).
-    * Empty (cluster, subspace) pairs keep their init subvector. Vector
-    * width must divide evenly by `m`. */
+    * Empty (cluster, subspace) pairs keep their init subvector. Init-row
+    * width must divide evenly by `m`; a corpus row's trailing
+    * `width mod m` dims are ignored — the same remainder rule the coder
+    * ([[subL2]]) applies. */
   def kMeansSub(corpus: DataFrame, idCol: String, vecCol: String,
                 cidCol: String, m: Int, k: Int, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
@@ -274,20 +276,21 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val cb = collectCodebook(toDf(cents), cidCol, vecCol, m)
-      val distCols = (0 until m).map(i =>
-        transform(col("__cb"), c => subL2(col(vecCol), c.getField("cvec"), i, m)).as(s"__d$i"))
-      val codeCols = (0 until m).map(i =>
-        (array_position(col(s"__d$i"), array_min(col(s"__d$i"))) - 1L)
-          .cast("long").as(s"__code$i"))
-      val coded = corpus.crossJoin(cb)
-        .select(col(idCol) +: col(vecCol) +: distCols: _*)
-        .select(col(idCol) +: col(vecCol) +: codeCols: _*)
+      // The coder's own assignment ([[withSubspaceCodes]]) — training and
+      // coding share one semantics by construction.
+      val coded = withSubspaceCodes(corpus, cb, Seq(idCol, vecCol), vecCol, m)
       // Route each exploded component to its subspace's cluster, then the
       // shared sliced fold: one shuffle for all m subspaces.
       val rows = coded
         .select(col(idCol).as("__vid"), sliceHashKey(idCol),
-          array((0 until m).map(i => col(s"__code$i")): _*).as("__codes"),
+          array((0 until m).map(i => col(s"code$i")): _*).as("__codes"),
           size(col(vecCol)).as("__w"), posexplode(col(vecCol)))
+        // Fold exactly the dims the coder reads: [[subL2]] slices m equal
+        // per-row subvectors and IGNORES a trailing remainder, so a
+        // ragged row's tail dims are dropped here too — without this
+        // filter they would route to subspace index m (out of range) and
+        // corrupt the fold with null clusters.
+        .where(col("pos") < expr(s"(__w div $m) * $m"))
         .select(
           element_at(col("__codes"),
             (expr(s"pos div (__w div $m)") + 1).cast("int")).as("cluster"),
@@ -324,23 +327,42 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, bits: Int,
                          maxBucketSize: Int = 1000,
-                         multiprobe: Boolean = true): DataFrame = {
-    val b = bucketed(corpus, vecCol, bits)
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("bucket")))
-      .where(col("bucket_n") <= maxBucketSize)
-      // Materialized once (eager, cleaner-reclaimed): the probe-expanded
-      // side and the plain side both reuse the capped bucket table.
-      .localCheckpoint(true)
-    val a0 = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val probes = (0 until bits).map(j => col("bucket").bitwiseXOR(1L << j))
-    val a =
-      if (multiprobe) a0.withColumn("bucket", explode(array(col("bucket") +: probes: _*)))
-      else a0
-    val c = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    a.join(c, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cos"))
+                         multiprobe: Boolean = true): DataFrame =
+    lshBucketPairs(corpus, Nil, idCol, vecCol, bits, maxBucketSize, multiprobe)
       .where(col("cos") >= threshold)
+
+  /** The shared capped-bucket multiprobe pair shape: sign-LSH bucket the
+    * rows, drop buckets over `maxBucketSize` (the quadratic guard),
+    * generate candidate pairs within `extraKeys ++ bucket` with optional
+    * Hamming-1 multiprobe. Used corpus-wide ([[cosineNearDupPairs]],
+    * `extraKeys = Nil`) and per-cluster ([[semDedup]]'s heavy fallback,
+    * `extraKeys = Seq("cluster")`). Each qualifying pair is produced
+    * exactly once: a same-bucket pair matches only the identity probe; a
+    * one-flip pair matches one probe per orientation and `id_a < id_b`
+    * keeps a single orientation. The capped bucket table is materialized
+    * once (eager, cleaner-reclaimed) — the probe-expanded side and the
+    * plain side both reuse it. Output: extraKeys ++ (id_a, id_b, cos). */
+  private def lshBucketPairs(df: DataFrame, extraKeys: Seq[String],
+                             idCol: String, vecCol: String, bits: Int,
+                             maxBucketSize: Int, multiprobe: Boolean): DataFrame = {
+    val keyCols = extraKeys.map(col)
+    val b = df.withColumn("__bkt", signBucket(col(vecCol), bits))
+      .withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy((extraKeys :+ "__bkt").map(col): _*)))
+      .where(col("__bn") <= maxBucketSize)
+      .localCheckpoint(true)
+    val a0 = b.select(keyCols ++ Seq(col("__bkt"),
+      col(idCol).as("id_a"), col(vecCol).as("__va")): _*)
+    val probes = (0 until bits).map(j => col("__bkt").bitwiseXOR(1L << j))
+    val a =
+      if (multiprobe) a0.withColumn("__bkt", explode(array(col("__bkt") +: probes: _*)))
+      else a0
+    val c = b.select(keyCols ++ Seq(col("__bkt"),
+      col(idCol).as("id_b"), col(vecCol).as("__vb")): _*)
+    a.join(c, extraKeys :+ "__bkt")
+      .where(col("id_a") < col("id_b"))
+      .select(keyCols ++ Seq(col("id_a"), col("id_b"),
+        cosine(col("__va"), col("__vb")).as("cos")): _*)
   }
 
   /** SemDeDup — semantic deduplication by cluster-then-prune (Abbas et
@@ -391,27 +413,13 @@ object Similarity {
       .where(col("__id_a") < col("__id_b"))
       .where(cosine(col("__va"), col("__vb")) >= threshold)
       .select(col("__id_b").as(idCol))
-    // Heavy clusters: candidate pairs only within (cluster, LSH bucket),
-    // Hamming-1 multiprobe for sign-boundary pairs, capped buckets.
-    // Pair uniqueness as in [[cosineNearDupPairs]]: same-bucket pairs
-    // match only the identity probe; one-flip pairs match one probe per
-    // orientation and `id_a < id_b` keeps a single orientation.
-    val hb = assigned.join(broadcast(heavy), Seq("cluster"))
-      .withColumn("__bkt", signBucket(col(vecCol), heavyBits))
-      .withColumn("__bn",
-        count(lit(1)).over(Window.partitionBy("cluster", "__bkt")))
-      .where(col("__bn") <= heavyMaxBucketSize)
-      .localCheckpoint(true)
-    val probes = (0 until heavyBits).map(j => col("__bkt").bitwiseXOR(1L << j))
-    val ha = hb
-      .select(col("cluster"), col("__bkt"), col(idCol).as("__id_a"), col(vecCol).as("__va"))
-      .withColumn("__bkt", explode(array(col("__bkt") +: probes: _*)))
-    val hc = hb
-      .select(col("cluster"), col("__bkt"), col(idCol).as("__id_b"), col(vecCol).as("__vb"))
-    val droppedHeavy = ha.join(hc, Seq("cluster", "__bkt"))
-      .where(col("__id_a") < col("__id_b"))
-      .where(cosine(col("__va"), col("__vb")) >= threshold)
-      .select(col("__id_b").as(idCol))
+    // Heavy clusters: the shared capped-bucket multiprobe pair shape
+    // ([[lshBucketPairs]]), additionally keyed by cluster.
+    val droppedHeavy = lshBucketPairs(
+      assigned.join(broadcast(heavy), Seq("cluster")), Seq("cluster"),
+      idCol, vecCol, heavyBits, heavyMaxBucketSize, multiprobe = true)
+      .where(col("cos") >= threshold)
+      .select(col("id_b").as(idCol))
     val dropped = droppedSmall.unionByName(droppedHeavy).distinct()
     assigned.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cluster"))
@@ -440,22 +448,33 @@ object Similarity {
   def pqCodes(corpus: DataFrame, codebook: DataFrame, idCol: String,
               vecCol: String, cidCol: String, m: Int): DataFrame = {
     val cb = collectCodebook(codebook, cidCol, vecCol, m)
-    // Bind the per-subspace distance arrays as attributes BEFORE taking
-    // argmin: array_position + array_min would otherwise inline (and
-    // re-evaluate) the full distance transform twice per subspace.
-    val distCols = (0 until m).map(i =>
-      transform(col("__cb"), c => subL2(col(vecCol), c.getField("cvec"), i, m)).as(s"__d$i"))
-    // argmin = first index achieving the min — codebook sorted by cid,
-    // so ties resolve to the lowest code.
-    val codes = (0 until m).map(i =>
-      (array_position(col(s"__d$i"), array_min(col(s"__d$i"))) - 1L)
-        .cast("long").as(s"code$i"))
     val packed = (0 until m).map(i => col(s"code$i") * lit(1L << (8 * i)))
       .reduce(_ + _)
-    corpus.crossJoin(cb)
-      .select(col(idCol) +: distCols: _*)
-      .select(col(idCol) +: codes: _*)
+    withSubspaceCodes(corpus, cb, Seq(idCol), vecCol, m)
       .withColumn("pq_code", packed)
+  }
+
+  /** The shared per-subspace nearest-code assignment: keep `keep` and
+    * append `code0..code{m-1}` against the collapsed broadcast codebook
+    * `cb` ([[collectCodebook]] output). Per-subspace distance arrays are
+    * bound as attributes BEFORE the argmin — array_position + array_min
+    * would otherwise inline (and re-evaluate) the full distance transform
+    * twice per subspace. argmin = first index achieving the min; the
+    * codebook is cid-sorted, so ties resolve to the lowest code. Used by
+    * the coder ([[pqCodes]]) and the trainer ([[kMeansSub]]) — ONE
+    * assignment semantics, which the 'same codebook as at
+    * code-assignment time' contract of [[pqKnn]]/[[ivfPqKnn]] relies on. */
+  private def withSubspaceCodes(corpus: DataFrame, cb: DataFrame,
+                                keep: Seq[String], vecCol: String,
+                                m: Int): DataFrame = {
+    val distCols = (0 until m).map(i =>
+      transform(col("__cb"), c => subL2(col(vecCol), c.getField("cvec"), i, m)).as(s"__d$i"))
+    val codeCols = (0 until m).map(i =>
+      (array_position(col(s"__d$i"), array_min(col(s"__d$i"))) - 1L)
+        .cast("long").as(s"code$i"))
+    corpus.crossJoin(cb)
+      .select(keep.map(col) ++ distCols: _*)
+      .select(keep.map(col) ++ codeCols: _*)
   }
 
   /** Asymmetric-distance (ADC) top-k over packed PQ codes — the 100 TB

@@ -23,21 +23,31 @@ object RelationalQueries {
     * [[graft.io.StatsIndex.refresh]]); rebuilding it inside every query
     * run would time fixture construction, not the indexed read path. */
   private val statsFixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
-  private def statsPruneFixture(s: SparkSession, dir: String): (String, DataFrame) =
-    statsFixtures.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
-      val base = java.nio.file.Files.createTempDirectory("statsprune").toString
-      val t = s"$base/orders"
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def statsPruneFixture(s: SparkSession, dir: String): (String, DataFrame) = {
+    // cache PATHS, not DataFrames — a cached frame would pin the session
+    // that built it, and the dirs are deleted on JVM exit
+    val base = statsFixtures.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      val b = java.nio.file.Files.createTempDirectory("statsprune")
       Tables(s, dir, "orders")
         .repartitionByRange(8, col("o_orderkey"))
-        .write.mode("overwrite").parquet(t)
+        .write.mode("overwrite").parquet(s"$b/orders")
       // The index persists as a (tiny) parquet table, like a deployment
       // would keep it — immune to the harness's between-query cache
       // clearing, which would evict a checkpointed frame's blocks.
-      graft.io.StatsIndex.build(s, t, Seq("o_orderkey"))
-        .coalesce(1).write.parquet(s"$base/stats")
-      (t, s.read.parquet(s"$base/stats"))
+      graft.io.StatsIndex.build(s, s"$b/orders", Seq("o_orderkey"))
+        .coalesce(1).write.parquet(s"$b/stats")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(b).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p): Unit)
+        catch { case _: Throwable => () }
+      }))
+      b.toString
     })
+    (s"$base/orders", s.read.parquet(s"$base/stats"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+P6+P3: scan with projection + filter (predicate/projection pushdown

@@ -257,6 +257,25 @@ object EventStreams {
                 }
               }
             }
+            // A late-but-in-watermark ENTRY event can move t(0) EARLIER,
+            // tightening the window; steps credited under the old entry
+            // may now lie past the new deadline and must be UNcredited
+            // (clearing step i also breaks the chain for i+1..) — else the
+            // final state depends on which trigger the late entry landed
+            // in. Re-searching earlier qualifying events is impossible
+            // (state holds only earliest times) and stays within the
+            // documented conservative cross-trigger contract.
+            if (t(0) >= 0) {
+              var i = 1
+              var broken = false
+              while (i < t.length) {
+                if (broken || (t(i) >= 0 && t(i) > t(0) + conversionWindowUs)) {
+                  if (t(i) >= 0) { t(i) = -1L; advanced = true }
+                  broken = true
+                }
+                i += 1
+              }
+            }
             val completed = t.takeWhile(_ >= 0).length
             if (completed == steps.size) {
               // Fully converted — terminal row now, nothing left to expire.

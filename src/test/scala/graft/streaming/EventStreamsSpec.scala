@@ -346,6 +346,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(batchSteps(B + 5 * S) == 2L, "batch twin window is inclusive too")
   }
 
+  test("streaming funnel: a late earlier entry tightens the window and uncredits steps") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.Event
+    val B = 3600000000L
+    val S = 1000000L
+    val input = MemoryStream[Event]
+    // 3 steps so a 2-step credit doesn't terminate the state
+    val prog = EventStreams.funnelProgress(input.toDS(),
+      Seq("view", "click", "purchase"), conversionWindowUs = 5L * S)
+    val q = prog.writeStream.format("memory").queryName("funnel_late_entry")
+      .outputMode("update").start()
+    // trigger 1: entry at B+2s, click at B+6s — within that window
+    input.addData(Event(1, B + 2 * S, 1L, "view", 0.0),
+      Event(2, B + 6 * S, 1L, "click", 0.0))
+    q.processAllAvailable()
+    // trigger 2: a LATE entry at B (inside the watermark) moves entry
+    // earlier; the credited click at B+6s is now past B+5s and must be
+    // uncredited — the emitted progress regresses to 1 step
+    input.addData(Event(3, B, 1L, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel_late_entry")
+      .select("steps_completed", "times").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+    assert(rows.map(_._1).toSeq == Seq(2, 1), s"expected 2-step then 1-step rows: ${rows.toSeq}")
+    val last = rows.last._2
+    assert(last == Seq(B, -1L, -1L), s"state must be entry-only after tightening: $last")
+    // the batch twin on the SAME events agrees with the corrected state
+    val batch = graft.ops.Funnel.funnel(
+      Seq((1L, B + 2 * S, "view"), (1L, B + 6 * S, "click"), (1L, B, "view"))
+        .toDF("user_id", "ts_us", "event_type"),
+      "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"),
+      conversionWindow = Some(5 * S))
+    assert(batch.head().getAs[Long]("steps_completed") == 1L)
+  }
+
   test("streaming funnel: conversion window evicts quiet state; stragglers can't resurrect it") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.Event
