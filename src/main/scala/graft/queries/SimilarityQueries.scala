@@ -207,6 +207,23 @@ object SimilarityQueries {
         "vec_id", "embedding", "qid", "cid", m = 4, k = 5, nprobe = 2)
     }),
 
+    // The fully-TRAINED ANN pipeline (the composition a real deployment
+    // runs): train the coarse quantizer (one cosine Lloyd's round, k=8),
+    // train the fine PQ codebook (one per-subspace L2 round, 4×16), build
+    // the (id, cluster, pq_code) index, then IVF-PQ search at nprobe=2 —
+    // every stage deterministic and mirrored in one SQL chain.
+    "sim_ann_pipeline" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val coarse = Similarity.kMeans(e, "vec_id", "embedding", "cid", k = 8, iters = 1)
+      val fine = Similarity.kMeansSub(e, "vec_id", "embedding", "cid", m = 4, k = 16, iters = 1)
+      val indexed = Similarity.ivfAssign(e, coarse, "vec_id", "embedding", "cid")
+        .select("vec_id", "cluster")
+        .join(Similarity.pqCodes(e, fine, "vec_id", "embedding", "cid", m = 4)
+          .select("vec_id", "pq_code"), "vec_id")
+      Similarity.ivfPqKnn(indexed, queriesDf(s, dir), coarse, fine,
+        "vec_id", "embedding", "qid", "cid", m = 4, k = 5, nprobe = 2)
+    }),
+
     // PQ ADC read path: top-5 by asymmetric distance computed from the
     // packed codes alone — per query one 16-entry LUT per subspace, per
     // corpus row m digit lookups. The scan side touches only (vec_id,
@@ -536,36 +553,8 @@ object SimilarityQueries {
     // REAL, empty (cluster, subspace) slots keep their init subvector.
     "sim_pq_train" ->
       s"""WITH $pqCodesCtes,
-         |cwe AS (
-         |  SELECT c.vec_id, e.embedding, c.code0, c.code1, c.code2, c.code3
-         |  FROM codes c JOIN embeddings e USING (vec_id)),
-         |exploded AS (
-         |  SELECT list_extract([code0, code1, code2, code3],
-         |           (dim // (len(embedding) // 4) + 1)::INT) AS cluster,
-         |         dim, vec_id, slice, val
-         |  FROM (
-         |    SELECT vec_id, embedding, code0, code1, code2, code3,
-         |           (('0x'||substr(md5('cslice:' || vec_id::VARCHAR),1,15))::BIGINT // $sliceWidth) AS slice,
-         |           unnest(range(len(embedding))) AS dim,
-         |           unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
-         |    FROM cwe)),
-         |ssums AS (
-         |  SELECT cluster, dim, slice,
-         |    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x) AS ssum,
-         |    count(*) AS n
-         |  FROM exploded GROUP BY cluster, dim, slice),
-         |sums AS (
-         |  SELECT cluster, dim,
-         |    list_reduce(list_prepend(0.0, list(ssum ORDER BY slice)), (a, x) -> a + x) AS comp_sum,
-         |    sum(n)::BIGINT AS n
-         |  FROM ssums GROUP BY cluster, dim),
-         |iexp AS (
-         |  SELECT vec_id AS cid, unnest(range(len(embedding))) AS dim,
-         |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS iv
-         |  FROM embeddings WHERE vec_id < 16)
-         |SELECT i.cid, i.dim::BIGINT AS dim,
-         |       coalesce((s.comp_sum / s.n)::REAL::DOUBLE, i.iv) AS c
-         |FROM iexp i LEFT JOIN sums s ON s.cluster = i.cid AND s.dim = i.dim""".stripMargin,
+         |$pqTrainCtes
+         |SELECT cid, dim, c FROM ptrain""".stripMargin,
 
     // ADC mirror: per subspace, squared L2 between the query subvector
     // and the codebook entry the CODE points at (rank+1 in cid order) —
@@ -578,6 +567,61 @@ object SimilarityQueries {
          |    ${(0 until 4).map(adcSql).mkString("\n    + ")} AS adc_dist
          |  FROM codes c CROSS JOIN q CROSS JOIN cbl
          |  WHERE c.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, vec_id, adc_dist, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // Trained-pipeline mirror, one SQL chain: fine PQ training (the
+    // sim_pq_train CTEs) → trained codebook lists → corpus codes vs the
+    // TRAINED codebook; coarse training (the sim_kmeans_train CTEs) →
+    // corpus rank-1 / query rank<=2 assignment vs the TRAINED centroids;
+    // then the sim_ivfpq_knn ADC shape over both trained quantizers.
+    "sim_ann_pipeline" ->
+      s"""WITH $pqCodesCtes,
+         |$pqTrainCtes,
+         |tcb AS (SELECT cid, list(c ORDER BY dim) AS cv FROM ptrain GROUP BY cid),
+         |tcbl AS (SELECT list(struct_pack(cid := cid, cvec := cv) ORDER BY cid) AS cb FROM tcb),
+         |${pqCodesCtesFrom("tcbl", "d2", "codes2")},
+         |init AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |assign0 AS (
+         |  SELECT vec_id, embedding, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, init.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, init.cid) AS rn
+         |    FROM embeddings e, init) WHERE rn = 1),
+         |${slicedSumsCtes("assign0")},
+         |iexp AS (
+         |  SELECT cid, unnest(range(len(cv))) AS dim,
+         |         unnest(list_transform(cv, x -> x::DOUBLE)) AS iv
+         |  FROM init),
+         |newc AS (
+         |  SELECT cid, list(comp ORDER BY dim) AS cv FROM (
+         |    SELECT i.cid, i.dim,
+         |           coalesce((s.comp_sum / s.n)::REAL::DOUBLE, i.iv) AS comp
+         |    FROM iexp i LEFT JOIN sums s ON s.cluster = i.cid AND s.dim = i.dim)
+         |  GROUP BY cid),
+         |cassign AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT e.vec_id, n.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "n.cv")} DESC, n.cid) AS rn
+         |    FROM embeddings e, newc n) WHERE rn = 1),
+         |qp AS (
+         |  SELECT vec_id AS qid, qv, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding AS qv, n.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "n.cv")} DESC, n.cid) AS rn
+         |    FROM embeddings e, newc n WHERE e.vec_id % 100 = 0) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT qp.qid, a.vec_id,
+         |    ${(0 until 4).map(adcSql).mkString("\n    + ")} AS adc_dist
+         |  FROM cassign a JOIN qp USING (cluster)
+         |       JOIN codes2 co ON co.vec_id = a.vec_id
+         |       CROSS JOIN tcbl
+         |  WHERE a.vec_id <> qp.qid),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
          |  FROM scored)
@@ -614,6 +658,46 @@ object SimilarityQueries {
          |SELECT qid, vec_id, adc_dist, rank FROM ranked WHERE rank <= 5""".stripMargin
   )
 
+  /** PQ-training fold CTEs (cwe → pexploded → pssums → psums → piexp →
+    * ptrain): one Lloyd's round per subspace over the init-codebook
+    * `codes` chain — each component routes to its subspace's code, folds
+    * through the sliced two-phase sum, means round once to REAL, empty
+    * (cluster, subspace) slots keep their init subvector. Mirrors
+    * [[graft.ops.Similarity.kMeansSub]] at m=4, k=16, iters=1; shared by
+    * the sim_pq_train and sim_ann_pipeline oracles. */
+  private lazy val pqTrainCtes: String =
+    s"""cwe AS (
+       |  SELECT c.vec_id, e.embedding, c.code0, c.code1, c.code2, c.code3
+       |  FROM codes c JOIN embeddings e USING (vec_id)),
+       |pexploded AS (
+       |  SELECT list_extract([code0, code1, code2, code3],
+       |           (dim // (len(embedding) // 4) + 1)::INT) AS cluster,
+       |         dim, vec_id, slice, val
+       |  FROM (
+       |    SELECT vec_id, embedding, code0, code1, code2, code3,
+       |           (('0x'||substr(md5('cslice:' || vec_id::VARCHAR),1,15))::BIGINT // $sliceWidth) AS slice,
+       |           unnest(range(len(embedding))) AS dim,
+       |           unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+       |    FROM cwe)),
+       |pssums AS (
+       |  SELECT cluster, dim, slice,
+       |    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x) AS ssum,
+       |    count(*) AS n
+       |  FROM pexploded GROUP BY cluster, dim, slice),
+       |psums AS (
+       |  SELECT cluster, dim,
+       |    list_reduce(list_prepend(0.0, list(ssum ORDER BY slice)), (a, x) -> a + x) AS comp_sum,
+       |    sum(n)::BIGINT AS n
+       |  FROM pssums GROUP BY cluster, dim),
+       |piexp AS (
+       |  SELECT vec_id AS cid, unnest(range(len(embedding))) AS dim,
+       |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS iv
+       |  FROM embeddings WHERE vec_id < 16),
+       |ptrain AS (
+       |  SELECT i.cid, i.dim::BIGINT AS dim,
+       |         coalesce((s.comp_sum / s.n)::REAL::DOUBLE, i.iv) AS c
+       |  FROM piexp i LEFT JOIN psums s ON s.cluster = i.cid AND s.dim = i.dim)""".stripMargin
+
   /** ADC term for subspace `i`: squared L2 between the `qv` subvector and
     * the codebook entry `code<i>` points at (rank+1 in cid order) — the
     * same left-fold order as the Spark LUT lookups. Shared by the
@@ -630,8 +714,22 @@ object SimilarityQueries {
   /** Shared PQ CTEs (cbl → d → codes): 16-entry codebook from the first
     * 16 vectors, 4 × 16-dim subspace distances, first-min rank codes —
     * mirrors [[graft.ops.Similarity.pqCodes]]; shared by the
-    * sim_pq_codes and sim_pq_knn oracles. */
-  private lazy val pqCodesCtes: String = {
+    * sim_pq_codes / sim_pq_knn / sim_pq_train / sim_ivfpq_knn oracles.
+    * [[pqCodesCtesFrom]] is the same chain against an arbitrary codebook
+    * CTE (for the trained-pipeline oracle). */
+  private lazy val pqCodesCtes: String =
+    s"""cbl AS (
+       |  SELECT list(struct_pack(cid := vec_id, cvec := embedding) ORDER BY vec_id) AS cb
+       |  FROM embeddings WHERE vec_id < 16),
+       |${pqCodesCtesFrom("cbl")}""".stripMargin
+
+  /** The d → codes chain of [[pqCodesCtes]] against a codebook CTE
+    * `cblName` that exposes one row with a cid-sorted
+    * `cb: list<struct(cid, cvec)>` column; CTE names are parameterized so
+    * two chains (init-codebook training, trained-codebook coding) can
+    * coexist in one oracle. */
+  private def pqCodesCtesFrom(cblName: String, dName: String = "d",
+                              codesName: String = "codes"): String = {
     def distSql(i: Int) =
       s"""list_transform(cb, c -> list_reduce(list_prepend(0.0,
          |    list_transform(range(0, 16), j ->
@@ -640,16 +738,13 @@ object SimilarityQueries {
          |      * (embedding[(${i * 16} + j + 1)::INT]::DOUBLE
          |         - struct_extract(c, 'cvec')[(${i * 16} + j + 1)::INT]::DOUBLE))),
          |  (a, x) -> a + x))""".stripMargin
-    s"""cbl AS (
-       |  SELECT list(struct_pack(cid := vec_id, cvec := embedding) ORDER BY vec_id) AS cb
-       |  FROM embeddings WHERE vec_id < 16),
-       |d AS (
+    s"""$dName AS (
        |  SELECT e.vec_id,
        |    ${(0 until 4).map(i => s"${distSql(i)} AS d$i").mkString(",\n    ")}
-       |  FROM embeddings e CROSS JOIN cbl),
-       |codes AS (
+       |  FROM embeddings e CROSS JOIN $cblName),
+       |$codesName AS (
        |  SELECT vec_id,
        |    ${(0 until 4).map(i => s"(list_position(d$i, list_min(d$i)) - 1)::BIGINT AS code$i").mkString(",\n    ")}
-       |  FROM d)""".stripMargin
+       |  FROM $dName)""".stripMargin
   }
 }
