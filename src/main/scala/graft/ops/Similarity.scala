@@ -56,19 +56,27 @@ object Similarity {
   }
 
   /** IVF-style cluster assignment: nearest centroid by cosine (ties →
-    * smallest centroid id). `centroids` is small (it is broadcast); at
-    * scale it comes from a sampled k-means — any deterministic centroid
-    * set works, the index structure is the same. */
+    * smallest centroid id). `centroids` is small (it collapses to ONE
+    * broadcast row, cid-sorted) — assignment is PER-ROW Column math: the
+    * cosine array binds as an attribute, argmax = first position of the
+    * max (ties → lowest cid). ZERO corpus shuffle — the
+    * explode-then-window formulation this replaces exchanged the whole
+    * corpus by id just to pick each row's max. At scale the centroid set
+    * comes from [[kMeans]] or a sampled variant — any deterministic
+    * centroid set works, the index structure is the same. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String, cidCol: String): DataFrame = {
-    val c = broadcast(centroids.select(col(cidCol).as("__cid"), col(vecCol).as("__cvec")))
-    val scored = corpus.crossJoin(c)
-      .select(col("*"), cosine(col(vecCol), col("__cvec")).as("__ccos"))
-    val w = Window.partitionBy(idCol).orderBy(col("__ccos").desc, col("__cid"))
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .withColumn("cluster", col("__cid"))
-      .drop("__cid", "__cvec", "__ccos", "__rn")
+    val c = broadcast(centroids.agg(
+      array_sort(collect_list(struct(col(cidCol).as("cid"), col(vecCol).as("cvec"))))
+        .as("__cents")))
+    corpus.crossJoin(c)
+      .withColumn("__ccos",
+        transform(col("__cents"), ct => cosine(col(vecCol), ct.getField("cvec"))))
+      .withColumn("cluster",
+        element_at(col("__cents"),
+          array_position(col("__ccos"), array_max(col("__ccos"))).cast("int"))
+          .getField("cid"))
+      .drop("__cents", "__ccos")
   }
 
   /** The `nprobe` nearest centroids per row (rank by cosine desc, ties →

@@ -129,6 +129,12 @@ class ScaleOpsSpec extends SparkSpec {
       "vec_id", "embedding", "cid", m = 4)
       .queryExecution.executedPlan.toString
     assert(nEx(codesPlan) == 0, s"PQ assign must not shuffle:\n$codesPlan")
+    // IVF assignment is the same shape (argmax over the broadcast
+    // centroid array) — the window formulation it replaced exchanged the
+    // whole corpus by id
+    val assignPlan = Similarity.ivfAssign(e, cents, "vec_id", "embedding", "cid")
+      .queryExecution.executedPlan.toString
+    assert(nEx(assignPlan) == 0, s"IVF assign must not shuffle:\n$assignPlan")
     // semDedup's over-cap gate (≤ |centroids| heavy-cluster ids) rides
     // broadcasts — the corpus is never exchanged by cluster just to
     // split heavy from capped. (The FINAL anti-join on id and the pair
