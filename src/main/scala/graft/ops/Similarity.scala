@@ -454,11 +454,16 @@ object Similarity {
     * Squared-L2 folds accumulate left-to-right in double over fixed
     * subvector order — bit-identical in the SQL mirror. */
   def pqCodes(corpus: DataFrame, codebook: DataFrame, idCol: String,
-              vecCol: String, cidCol: String, m: Int): DataFrame = {
+              vecCol: String, cidCol: String, m: Int,
+              extraCols: Seq[String] = Nil): DataFrame = {
     val cb = collectCodebook(codebook, cidCol, vecCol, m)
     val packed = (0 until m).map(i => col(s"code$i") * lit(1L << (8 * i)))
       .reduce(_ + _)
-    withSubspaceCodes(corpus, cb, Seq(idCol), vecCol, m)
+    // `extraCols` ride along so an IVF-PQ index builds in ONE pass:
+    // pqCodes(ivfAssign(...), ..., extraCols = Seq("cluster")) — both
+    // assignments are per-row math, so the (id, cluster, pq_code) index
+    // needs zero shuffles and no corpus self-join.
+    withSubspaceCodes(corpus, cb, idCol +: extraCols, vecCol, m)
       .withColumn("pq_code", packed)
   }
 

@@ -199,10 +199,12 @@ object SimilarityQueries {
         .select(col("vec_id").as("cid"), col("embedding"))
       val cbq = emb(s, dir).where(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding"))
-      val indexed = Similarity.ivfAssign(emb(s, dir), cents, "vec_id", "embedding", "cid")
-        .select("vec_id", "cluster")
-        .join(Similarity.pqCodes(emb(s, dir), cbq, "vec_id", "embedding", "cid", m = 4)
-          .select("vec_id", "pq_code"), "vec_id")
+      // index build = ONE shuffle-free pass: coarse assignment and PQ
+      // codes are both per-row math, composed in a single projection
+      val indexed = Similarity.pqCodes(
+        Similarity.ivfAssign(emb(s, dir), cents, "vec_id", "embedding", "cid"),
+        cbq, "vec_id", "embedding", "cid", m = 4, extraCols = Seq("cluster"))
+        .select("vec_id", "cluster", "pq_code")
       Similarity.ivfPqKnn(indexed, queriesDf(s, dir), cents, cbq,
         "vec_id", "embedding", "qid", "cid", m = 4, k = 5, nprobe = 2)
     }),
@@ -216,10 +218,10 @@ object SimilarityQueries {
       val e = emb(s, dir)
       val coarse = Similarity.kMeans(e, "vec_id", "embedding", "cid", k = 8, iters = 1)
       val fine = Similarity.kMeansSub(e, "vec_id", "embedding", "cid", m = 4, k = 16, iters = 1)
-      val indexed = Similarity.ivfAssign(e, coarse, "vec_id", "embedding", "cid")
-        .select("vec_id", "cluster")
-        .join(Similarity.pqCodes(e, fine, "vec_id", "embedding", "cid", m = 4)
-          .select("vec_id", "pq_code"), "vec_id")
+      val indexed = Similarity.pqCodes(
+        Similarity.ivfAssign(e, coarse, "vec_id", "embedding", "cid"),
+        fine, "vec_id", "embedding", "cid", m = 4, extraCols = Seq("cluster"))
+        .select("vec_id", "cluster", "pq_code")
       Similarity.ivfPqKnn(indexed, queriesDf(s, dir), coarse, fine,
         "vec_id", "embedding", "qid", "cid", m = 4, k = 5, nprobe = 2)
     }),
