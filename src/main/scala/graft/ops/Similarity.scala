@@ -162,6 +162,22 @@ object Similarity {
     slicedComponentFold(rows)
   }
 
+  /** The k init centroids, cids = ranks 0..k-1: the k lowest-id corpus
+    * vectors, or with a seed the k lowest by a seeded 60-bit id-hash —
+    * a deterministic pseudo-random draw (new seed = new draw), shared by
+    * [[kMeans]] and [[kMeansSub]]. */
+  private def initRows(corpus: DataFrame, idCol: String, vecCol: String,
+                       k: Int, initSeed: Option[String]): Seq[(Long, Seq[Float])] = {
+    val order = initSeed match {
+      case None => Seq(col(idCol))
+      case Some(seed) => Seq(graft.functions.TextFunctions.hash60(
+        concat(lit(seed + ":"), col(idCol).cast("string"))), col(idCol))
+    }
+    corpus.select(col(idCol), col(vecCol)).orderBy(order: _*).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, j) => (j.toLong, r.getSeq[Float](1)) }
+  }
+
   /** The member's uniform 60-bit slice hash (see [[centroidUpdate]]). */
   private def sliceHashKey(idCol: String): Column =
     graft.functions.TextFunctions.hash60(
@@ -195,10 +211,13 @@ object Similarity {
 
   /** Deterministic k-means training (Lloyd's iterations) — produces the
     * centroid set the IVF/PQ/SemDeDup operators consume, instead of
-    * requiring one from outside. Init = the `k` lowest-id corpus vectors
-    * (deterministic; at 100 TB swap for any seeded sample — the loop is
-    * unchanged); each round assigns by cosine ([[ivfAssign]]) and
-    * recomputes means via the bit-deterministic [[centroidUpdate]] fold.
+    * requiring one from outside. Init = the `k` lowest-id corpus vectors,
+    * or with `initSeed` the k lowest by a seeded 60-bit id-hash — a
+    * deterministic pseudo-random sample (reproducible per seed, a
+    * different seed re-draws), which is the init a 100 TB corpus wants:
+    * lowest-id rows are usually the oldest/most-correlated slice. Each
+    * round assigns by cosine ([[ivfAssign]]) and recomputes means via the
+    * bit-deterministic [[centroidUpdate]] fold.
     *
     * Per iteration: one corpus pass + one (cluster, dim) shuffle of the
     * component sums; only the k×dim centroid table (a few KB) returns to
@@ -210,17 +229,15 @@ object Similarity {
     * computed in double and rounded once to float per component, `::REAL`
     * in the SQL mirror); `iters = 0` returns the initial centroids. */
   def kMeans(corpus: DataFrame, idCol: String, vecCol: String,
-             cidCol: String, k: Int, iters: Int): DataFrame = {
+             cidCol: String, k: Int, iters: Int,
+             initSeed: Option[String] = None): DataFrame = {
     require(k >= 1 && iters >= 0)
     val spark = corpus.sparkSession
     import spark.implicits._
     def toDf(cents: Seq[(Long, Seq[Float])]) = cents.toDF(cidCol, vecCol)
     // Driver-side state is ONLY the k×dim centroid table (a few KB); the
     // corpus itself never leaves the cluster.
-    var cents: Seq[(Long, Seq[Float])] = corpus
-      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }
+    var cents: Seq[(Long, Seq[Float])] = initRows(corpus, idCol, vecCol, k, initSeed)
     // A corpus with < k rows would silently hand IVF/PQ/SemDeDup consumers
     // a differently-sized centroid set — fail loudly instead.
     require(cents.length == k,
@@ -268,15 +285,13 @@ object Similarity {
     * `width mod m` dims are ignored — the same remainder rule the coder
     * ([[subL2]]) applies. */
   def kMeansSub(corpus: DataFrame, idCol: String, vecCol: String,
-                cidCol: String, m: Int, k: Int, iters: Int): DataFrame = {
+                cidCol: String, m: Int, k: Int, iters: Int,
+                initSeed: Option[String] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     val spark = corpus.sparkSession
     import spark.implicits._
     def toDf(cents: Seq[(Long, Seq[Float])]) = cents.toDF(cidCol, vecCol)
-    var cents: Seq[(Long, Seq[Float])] = corpus
-      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
-      .collect().zipWithIndex
-      .map { case (r, j) => (j.toLong, r.getSeq[Float](1)) }
+    var cents: Seq[(Long, Seq[Float])] = initRows(corpus, idCol, vecCol, k, initSeed)
     require(cents.length == k,
       s"kMeansSub k = $k but the corpus has only ${cents.length} rows to init from")
     require(cents.forall(_._2.length % m == 0),

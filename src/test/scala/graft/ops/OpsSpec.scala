@@ -266,6 +266,23 @@ class OpsSpec extends SparkSpec {
     assert(analyzed.contains("__slice"), "phase-1 aggregation must be sliced")
   }
 
+  test("kMeans seeded init: reproducible per seed, re-drawn across seeds") {
+    def init(seed: Option[String]) = Similarity.kMeans(emb, "vec_id", "embedding",
+      "cid", k = 8, iters = 0, initSeed = seed)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val a = init(Some("a"))
+    assert(init(Some("a")) == a, "same seed must reproduce the same init")
+    assert(init(Some("b")) != a, "a different seed must draw differently")
+    assert(init(None) != a, "the seeded draw must differ from the lowest-id init")
+    // the downstream loop is unchanged: training from a seeded init is
+    // deterministic too
+    val t = Similarity.kMeans(emb, "vec_id", "embedding", "cid",
+      k = 8, iters = 1, initSeed = Some("a")).collect().map(_.toString).sorted
+    val t2 = Similarity.kMeans(emb, "vec_id", "embedding", "cid",
+      k = 8, iters = 1, initSeed = Some("a")).collect().map(_.toString).sorted
+    assert(t.sameElements(t2))
+  }
+
   test("kMeans: fails loudly when the corpus has fewer than k rows") {
     val vs = Seq((1L, Array(1f, 1f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
