@@ -69,12 +69,21 @@ object Similarity {
     val c = broadcast(centroids.agg(
       array_sort(collect_list(struct(col(cidCol).as("cid"), col(vecCol).as("cvec"))))
         .as("__cents")))
+    // Degenerate-input contract (matches the windowed formulation this
+    // replaced): an EMPTY centroid set assigns nothing (collect_list
+    // still emits one row with an empty array — filter it, else every
+    // corpus row would surface with cluster = NULL); a row whose cosines
+    // are all NULL (null/absent embedding) falls back to the lowest cid
+    // (the desc_nulls_last tie-break) instead of a silent NULL cluster.
     corpus.crossJoin(c)
+      .where(size(col("__cents")) > 0)
       .withColumn("__ccos",
         transform(col("__cents"), ct => cosine(col(vecCol), ct.getField("cvec"))))
       .withColumn("cluster",
         element_at(col("__cents"),
-          array_position(col("__ccos"), array_max(col("__ccos"))).cast("int"))
+          coalesce(
+            array_position(col("__ccos"), array_max(col("__ccos"))), lit(1L))
+            .cast("int"))
           .getField("cid"))
       .drop("__cents", "__ccos")
   }
@@ -279,7 +288,8 @@ object Similarity {
     * concatenation of subspace-j centroids, which is exactly the codebook
     * shape [[pqCodes]]/[[pqKnn]] consume (each subspace slices its own
     * part; codes stay independent per subspace). Init = the k lowest-id
-    * corpus vectors (deterministic; at scale swap for a seeded sample).
+    * corpus vectors, or with `initSeed` the k lowest by a seeded 60-bit
+    * id-hash — the same deterministic pseudo-random draw as [[kMeans]].
     * Empty (cluster, subspace) pairs keep their init subvector. Init-row
     * width must divide evenly by `m`; a corpus row's trailing
     * `width mod m` dims are ignored — the same remainder rule the coder

@@ -494,26 +494,7 @@ object SimilarityQueries {
     // Pipeline mirror: the kmeans-train CTEs feed rebuilt centroid lists
     // into the semdedup CTEs — one SQL chain for train → assign → prune.
     "sim_embed_pipeline" ->
-      s"""WITH init AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
-         |assign0 AS (
-         |  SELECT vec_id, embedding, cid AS cluster FROM (
-         |    SELECT e.vec_id, e.embedding, init.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, init.cid) AS rn
-         |    FROM embeddings e, init) WHERE rn = 1),
-         |${slicedSumsCtes("assign0")},
-         |iexp AS (
-         |  SELECT cid, unnest(range(len(cv))) AS dim,
-         |         unnest(list_transform(cv, x -> x::DOUBLE)) AS iv
-         |  FROM init),
-         |newc AS (
-         |  SELECT cid, list(comp ORDER BY dim) AS cv FROM (
-         |    SELECT i.cid, i.dim,
-         |           coalesce((s.comp_sum / s.n)::REAL::DOUBLE, i.iv) AS comp
-         |    FROM iexp i LEFT JOIN sums s ON s.cluster = i.cid AND s.dim = i.dim)
-         |  GROUP BY cid),
+      s"""WITH $coarseTrainCtes,
          |assign AS (
          |  SELECT vec_id, embedding, cid AS cluster FROM (
          |    SELECT e.vec_id, e.embedding, n.cid,
@@ -585,26 +566,7 @@ object SimilarityQueries {
          |tcb AS (SELECT cid, list(c ORDER BY dim) AS cv FROM ptrain GROUP BY cid),
          |tcbl AS (SELECT list(struct_pack(cid := cid, cvec := cv) ORDER BY cid) AS cb FROM tcb),
          |${pqCodesCtesFrom("tcbl", "d2", "codes2")},
-         |init AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
-         |assign0 AS (
-         |  SELECT vec_id, embedding, cid AS cluster FROM (
-         |    SELECT e.vec_id, e.embedding, init.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, init.cid) AS rn
-         |    FROM embeddings e, init) WHERE rn = 1),
-         |${slicedSumsCtes("assign0")},
-         |iexp AS (
-         |  SELECT cid, unnest(range(len(cv))) AS dim,
-         |         unnest(list_transform(cv, x -> x::DOUBLE)) AS iv
-         |  FROM init),
-         |newc AS (
-         |  SELECT cid, list(comp ORDER BY dim) AS cv FROM (
-         |    SELECT i.cid, i.dim,
-         |           coalesce((s.comp_sum / s.n)::REAL::DOUBLE, i.iv) AS comp
-         |    FROM iexp i LEFT JOIN sums s ON s.cluster = i.cid AND s.dim = i.dim)
-         |  GROUP BY cid),
+         |$coarseTrainCtes,
          |cassign AS (
          |  SELECT vec_id, cid AS cluster FROM (
          |    SELECT e.vec_id, n.cid,
@@ -659,6 +621,35 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT qid, vec_id, adc_dist, rank FROM ranked WHERE rank <= 5""".stripMargin
   )
+
+  /** Coarse k-means one-round training CTEs (init → assign0 → sliced
+    * sums → iexp → newc): first-8 init by vec_id rank, one cosine
+    * assignment, the sliced deterministic component fold, means rounded
+    * once to REAL with empty clusters keeping their init — `newc` is the
+    * trained centroid-list table downstream CTEs assign against. Mirrors
+    * [[graft.ops.Similarity.kMeans]] at k=8, iters=1; shared by the
+    * sim_embed_pipeline and sim_ann_pipeline oracles. */
+  private lazy val coarseTrainCtes: String =
+    s"""init AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |assign0 AS (
+       |  SELECT vec_id, embedding, cid AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, init.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, init.cid) AS rn
+       |    FROM embeddings e, init) WHERE rn = 1),
+       |${slicedSumsCtes("assign0")},
+       |iexp AS (
+       |  SELECT cid, unnest(range(len(cv))) AS dim,
+       |         unnest(list_transform(cv, x -> x::DOUBLE)) AS iv
+       |  FROM init),
+       |newc AS (
+       |  SELECT cid, list(comp ORDER BY dim) AS cv FROM (
+       |    SELECT i.cid, i.dim,
+       |           coalesce((s.comp_sum / s.n)::REAL::DOUBLE, i.iv) AS comp
+       |    FROM iexp i LEFT JOIN sums s ON s.cluster = i.cid AND s.dim = i.dim)
+       |  GROUP BY cid)""".stripMargin
 
   /** PQ-training fold CTEs (cwe → pexploded → pssums → psums → piexp →
     * ptrain): one Lloyd's round per subspace over the init-codebook

@@ -283,6 +283,23 @@ class OpsSpec extends SparkSpec {
     assert(t.sameElements(t2))
   }
 
+  test("ivfAssign degenerate inputs: empty centroids assign nothing; null vec -> lowest cid") {
+    val vs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val noCents = Seq.empty[(Long, Array[Float])].toDF("cid", "embedding")
+    assert(Similarity.ivfAssign(vs, noCents, "vec_id", "embedding", "cid").count() == 0,
+      "an empty centroid set must assign nothing, not emit NULL clusters")
+    // a null embedding has no defined nearest centroid — it falls back to
+    // the lowest cid (the desc_nulls_last tie-break), never a NULL cluster
+    val withNull = vs.unionByName(
+      Seq(3L).toDF("vec_id").withColumn("embedding",
+        lit(null).cast("array<float>")))
+    val cents = Seq((7L, Array(1f, 0f)), (9L, Array(0f, 1f))).toDF("cid", "embedding")
+    val out = Similarity.ivfAssign(withNull, cents, "vec_id", "embedding", "cid")
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 7L, 2L -> 9L, 3L -> 7L))
+  }
+
   test("kMeans: fails loudly when the corpus has fewer than k rows") {
     val vs = Seq((1L, Array(1f, 1f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
