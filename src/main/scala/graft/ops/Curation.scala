@@ -105,6 +105,37 @@ object Curation {
       .drop("__slice", "__offset")
   }
 
+  /** Temperature-scaled domain weights (the multilingual-training
+    * resampling rule at α = 1/2): each source's sampling weight is
+    * √tokens normalized over all sources, which up-weights small domains
+    * relative to proportional sampling without the floating-point
+    * variance a general `pow(n, α)` would carry — IEEE `sqrt` is
+    * correctly rounded, so the weights are bit-identical cross-engine.
+    *
+    * The normalizing Σ√tokens folds over a source-sorted array: the group
+    * is bounded by the domain taxonomy (a few thousand sources at most,
+    * by definition driver-tiny), so the deterministic fold is safe where
+    * a corpus-sized one would not be. `token_budget` = ⌊weight · total⌋ —
+    * feed it to [[domainMix]] (which accepts any per-source budget map)
+    * to materialize the tempered mixture.
+    *
+    * Output: (source, n_tokens, weight, token_budget). */
+  def temperatureWeights(docs: DataFrame, textCol: String, sourceCol: String,
+                         totalTokenBudget: Long): DataFrame = {
+    val bySrc = docs.groupBy(col(sourceCol))
+      .agg(sum(size(tokens(col(textCol)))).cast("long").as("n_tokens"))
+    val tot = bySrc.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(sourceCol).as("s"),
+          sqrt(col("n_tokens").cast("double")).as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")).as("__tot"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_tokens"),
+        (sqrt(col("n_tokens").cast("double")) / col("__tot")).as("weight"))
+      .withColumn("token_budget",
+        floor(col("weight") * totalTokenBudget).cast("long"))
+  }
+
   /** Domain-mixture sampling: keep documents per source domain, in a
     * deterministic pseudo-random order, until that domain's share of the
     * total token budget is exhausted (classic data-mixture construction:

@@ -125,6 +125,92 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "score", "rnk")
   }
 
+  /** Cross-corpus duplicated-span statistics per document: how much of a
+    * document's word `n`-gram content appears elsewhere in the corpus
+    * (count > 1 globally, including within-document repeats) — the span
+    * duplication signal behind C4/Lee-et-al-style span dedup, surfaced as
+    * a per-document rate so curation can threshold on it.
+    *
+    * Plan shape at scale: spans travel as 60-bit hashes (never the span
+    * text), one partial-agg shuffle builds the global span-frequency
+    * table, and one hash join flags each occurrence — no self-join, no
+    * per-group state beyond a count. Output: (id, n_spans, n_dup_spans,
+    * dup_rate). */
+  def spanDupRate(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(wordShingles(col("__toks"), n)).as("__g"))
+      .select(col(idCol), hash60(col("__g")).as("__gh"))
+    val counts = grams.groupBy("__gh").agg(count(lit(1)).as("__n"))
+    grams.join(counts, "__gh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__n") > 1L, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_rate",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
+
+  /** Gopher-style quality-rule cascade (Rae et al. 2021, arXiv:2112.11446
+    * table A1, the subset that is exact cross-engine arithmetic): word
+    * count bounds, mean-word-length bounds, symbol-to-word ratio ('#' and
+    * '...'), fraction of words containing an alphabetic character, and
+    * minimum distinct-stopword presence. Emits every signal AND its
+    * per-rule verdict so a pipeline can both filter (`pass`) and audit
+    * which rule fired. Per-row column math — scan speed, no shuffle. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+                  minStopwordKinds: Int = 2): DataFrame = {
+    val t = col("__toks")
+    val txt = col(textCol)
+    val hashes = length(txt) - length(regexp_replace(txt, "#", ""))
+    val ellipses = (length(txt) - length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3
+    val sw = array(graft.functions.TextFunctions.StopwordsEn.map(lit): _*)
+    docs.select(col(idCol), txt, tokens(txt).as("__toks"))
+      .select(col(idCol),
+        size(t).cast("long").as("n_words"),
+        meanTokenLength(t).as("mean_word_len"),
+        ((hashes + ellipses).cast("double") / size(t).cast("double"))
+          .as("symbol_ratio"),
+        (size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double")
+          / size(t).cast("double")).as("alpha_frac"),
+        size(array_intersect(array_distinct(t), sw)).cast("long")
+          .as("stopword_kinds"))
+      .withColumn("pass_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("pass_mean_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("pass_symbols", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("pass_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("pass_stopwords", col("stopword_kinds") >= minStopwordKinds)
+      .withColumn("pass",
+        col("pass_word_count") && col("pass_mean_len") && col("pass_symbols")
+          && col("pass_alpha") && col("pass_stopwords"))
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus' own top-k
+    * vocabulary (count desc, token asc — a deterministic cut): the
+    * garbage/non-text signal curation uses when no external vocabulary
+    * ships with the corpus. The vocabulary is top-k by CONSTRUCTION, so it
+    * broadcasts (k rows) and the flagging join is shuffle-free on the
+    * corpus side; the vocabulary build itself is one explode + partial-agg
+    * + global top-k (per-partition heaps, no global sort). */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int = 1000): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__tok")).limit(vocabSize)
+      .select(col("__tok"), lit(true).as("__iv"))
+    toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Repetition ratio: fraction of duplicated word bigrams,
     * `1 − distinct(bigrams)/bigrams` — the classic boilerplate/spam
     * signal (model-generated and templated text repeats n-grams). Exact

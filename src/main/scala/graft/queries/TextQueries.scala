@@ -199,7 +199,26 @@ object TextQueries {
           expr("(cum_tokens - n_tokens) % 2048").as("pack_offset"),
           pmod(hash60(concat(lit("shard:"), col("doc_id").cast("string"))), lit(8L))
             .as("shard"))
-    })
+    }),
+
+    // Cross-corpus duplicated-span rate (word trigrams): the C4-style
+    // span-duplication signal per document.
+    "text_span_dup_rate" -> ((s, dir) =>
+      TextAnalysis.spanDupRate(docs(s, dir), "doc_id", "text", n = 3)),
+
+    // Gopher-style quality-rule cascade: per-rule verdicts + overall pass.
+    "text_gopher_filter" -> ((s, dir) =>
+      TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text")),
+
+    // Out-of-vocabulary rate against the corpus' own top-20 vocabulary
+    // (the synthetic corpus has ~30 distinct words, so the cut bites).
+    "text_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(docs(s, dir), "doc_id", "text", vocabSize = 20)),
+
+    // Temperature-scaled (α = 1/2) domain sampling weights + budgets.
+    "text_domain_temperature" -> ((s, dir) =>
+      graft.ops.Curation.temperatureWeights(docs(s, dir), "text", "source",
+        totalTokenBudget = 8192L))
   )
 
   /** Mixture weights for text_domain_mix: dyadic (exactly-representable)
@@ -255,6 +274,73 @@ object TextQueries {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_span_dup_rate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |    ELSE list_transform(range(1, len(tk)-1),
+         |           i -> array_to_string(list_slice(tk, i::INT, i::INT+2), ' ')) END) AS gram
+         |  FROM t),
+         |gh AS (SELECT doc_id, ${h60("gram")} AS h FROM g),
+         |c AS (SELECT h, count(*) AS n FROM gh GROUP BY h)
+         |SELECT doc_id, count(*)::BIGINT AS n_spans,
+         |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+         |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS dup_rate
+         |FROM gh JOIN c USING (h)
+         |GROUP BY doc_id""".stripMargin,
+
+    "text_gopher_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    len(toks)::BIGINT AS n_words,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+         |              / len(toks)::DOUBLE END AS mean_word_len,
+         |    (len(text) - len(replace(text, '#', ''))
+         |     + (len(text) - len(replace(text, '...', ''))) // 3)::DOUBLE
+         |      / len(toks)::DOUBLE AS symbol_ratio,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+         |      / len(toks)::DOUBLE AS alpha_frac,
+         |    len(list_intersect(list_distinct(toks),
+         |      ['the','a','an','of','to','in','and','is','it','that','for','on','with','as']))::BIGINT
+         |      AS stopword_kinds
+         |  FROM t)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stopword_kinds,
+         |  n_words >= 50 AND n_words <= 100000 AS pass_word_count,
+         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS pass_mean_len,
+         |  symbol_ratio <= 0.1 AS pass_symbols,
+         |  alpha_frac >= 0.8 AS pass_alpha,
+         |  stopword_kinds >= 2 AS pass_stopwords,
+         |  (n_words >= 50 AND n_words <= 100000)
+         |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+         |    AND stopword_kinds >= 2 AS pass
+         |FROM sig""".stripMargin,
+
+    "text_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tk FROM documents),
+         |vocab AS (SELECT tk, true AS iv FROM (
+         |  SELECT tk, count(*) AS n FROM tok GROUP BY tk
+         |  ORDER BY n DESC, tk LIMIT 20)),
+         |f AS (SELECT doc_id, iv FROM tok LEFT JOIN vocab USING (tk))
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+         |  sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS oov_rate
+         |FROM f GROUP BY doc_id""".stripMargin,
+
+    "text_domain_temperature" ->
+      s"""WITH s AS (
+         |  SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (
+         |  SELECT list_reduce(list_prepend(0.0,
+         |    list(sqrt(n_tokens::DOUBLE) ORDER BY source)), (a, x) -> a + x) AS t
+         |  FROM s)
+         |SELECT source, n_tokens, sqrt(n_tokens::DOUBLE) / t AS weight,
+         |  CAST(floor(sqrt(n_tokens::DOUBLE) / t * 8192) AS BIGINT) AS token_budget
+         |FROM s CROSS JOIN tot""".stripMargin,
+
     "text_rolling_fingerprint" ->
       s"""WITH norm AS (
          |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t

@@ -45,6 +45,26 @@ class CurationSpec extends SparkSpec {
       "library callers must not inherit cache entries from domainMix")
   }
 
+  test("temperatureWeights: sqrt-scaled, normalized, budgets floor to longs") {
+    val out = Curation.temperatureWeights(docs, "text", "source",
+      totalTokenBudget = 1000L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set("web", "code", "junk"))
+    // weights normalize to 1 (exactly: the residual is one fold's rounding)
+    val wsum = out.values.map(_._2).sum
+    assert(math.abs(wsum - 1.0) < 1e-12)
+    // sqrt tempering: the small domain's weight exceeds its token share
+    val totTokens = out.values.map(_._1).sum.toDouble
+    val (jn, jw, _) = out("junk")
+    assert(jw > jn / totTokens, "sqrt must up-weight the smallest domain")
+    // budgets are floors of weight * total
+    out.values.foreach { case (_, w, b) => assert(b == math.floor(w * 1000L).toLong) }
+    // deterministic across runs
+    val again = Curation.temperatureWeights(docs, "text", "source", 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(again == out)
+  }
+
   test("shuffleShard: total order is a permutation, stable under re-run") {
     val out = Curation.shuffleShard(docs, "doc_id", numShards = 3)
     val rows = out.collect()

@@ -108,6 +108,56 @@ class OpsSpec extends SparkSpec {
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
   }
 
+  test("spanDupRate: flags exactly the trigrams duplicated across the corpus") {
+    // doc 1 and 2 share their full text (all trigrams duplicated); doc 3 is
+    // unique except it repeats one trigram internally (count > 1 globally)
+    val d = Seq(
+      (1L, "a b c d"), // trigrams: "a b c", "b c d"
+      (2L, "a b c d"),
+      (3L, "x y z x y z"), // "x y z", "y z x", "z x y", "x y z" — first/last dup
+      (4L, "p q r s")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.spanDupRate(d, "doc_id", "text", n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 2L, 1.0)))
+    assert(out(3L) == ((4L, 2L, 0.5)))
+    assert(out(4L) == ((2L, 0L, 0.0)))
+  }
+
+  test("gopherRules: each rule gates independently; pass is their conjunction") {
+    val longText = (Seq.fill(60)("the good dog ran fast and slow") :+ "end").mkString(" ")
+    val d = Seq(
+      (1L, longText), // passes everything
+      (2L, "the of short text here"), // < 50 words
+      (3L, ("xx " * 60) + "the of"), // mean word length < 3
+      (4L, Seq.fill(60)("#### #### the of").mkString(" ")) // symbol-heavy
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(!out(2L).getAs[Boolean]("pass_word_count") && !out(2L).getAs[Boolean]("pass"))
+    assert(!out(3L).getAs[Boolean]("pass_mean_len") && !out(3L).getAs[Boolean]("pass"))
+    assert(!out(4L).getAs[Boolean]("pass_symbols") && !out(4L).getAs[Boolean]("pass"))
+    // the signal columns are exact ratios
+    assert(out(1L).getAs[Double]("alpha_frac") == 1.0)
+    assert(out(1L).getAs[Long]("stopword_kinds") >= 2L)
+  }
+
+  test("oovRate: tokens outside the corpus top-k vocabulary are flagged") {
+    // vocab size 2 → the two most frequent tokens ("a", "b") are in-vocab
+    val d = Seq(
+      (1L, "a a b b"), // all in-vocab
+      (2L, "a b rare"), // 1/3 oov
+      (3L, "rare other odd") // all oov... but "rare" appears twice globally
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(d, "doc_id", "text", vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((4L, 0L)))
+    assert(out(2L) == ((3L, 1L)))
+    assert(out(3L) == ((3L, 3L)))
+  }
+
   test("multimodal feature extraction is deterministic and complete") {
     val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
     val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
