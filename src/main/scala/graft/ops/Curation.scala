@@ -150,15 +150,27 @@ object Curation {
   def domainMix(docs: DataFrame, idCol: String, textCol: String,
                 sourceCol: String, weights: Map[String, Double],
                 totalTokenBudget: Long, seed: String = "mix"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    domainMixBudgets(docs, idCol, textCol, sourceCol,
+      weights.toSeq.map { case (s, w) => (s, (w * totalTokenBudget).toLong) }
+        .toDF(sourceCol, "token_budget"), seed = seed)
+  }
+
+  /** [[domainMix]] with the per-source token budgets supplied as a
+    * DataFrame (sourceCol, `token_budget`) instead of a driver-side map —
+    * the composition point for budgets COMPUTED from the data, e.g.
+    * [[temperatureWeights]] output, with no collect in between. Sources
+    * absent from `budgets` drop (inner join). */
+  def domainMixBudgets(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, budgets: DataFrame,
+                       seed: String = "mix"): DataFrame = {
     // Budgets ride a broadcast-joined table, not a per-source CASE chain:
     // a real source taxonomy has thousands of domains, and a 10k-branch
     // expression tree is a planner/codegen hazard while a 10k-row
     // broadcast is nothing. Inner join = sources without a weight drop.
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val budgets = broadcast(
-      weights.toSeq.map { case (s, w) => (s, (w * totalTokenBudget).toLong) }
-        .toDF(sourceCol, "__budget"))
+    val b = broadcast(
+      budgets.select(col(sourceCol), col("token_budget").as("__budget")))
     // Materialized once (eager, cleaner-reclaimed — NOT persist(): a
     // cache entry would outlive the call for library callers): the
     // tokenize pass is the expensive part and both prefix-sum consumers
@@ -167,7 +179,7 @@ object Curation {
       .select(col(sourceCol), col(idCol),
         size(tokens(col(textCol))).cast("long").as("n_tokens"),
         shuffleKey(idCol, seed).as("__key"))
-      .join(budgets, sourceCol)
+      .join(b, sourceCol)
       .localCheckpoint(true)
     // Running sum via the two-phase parallel prefix sum: one domain can be
     // 90% of the corpus, so the naive Window.partitionBy(source) would put

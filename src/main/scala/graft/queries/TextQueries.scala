@@ -218,7 +218,27 @@ object TextQueries {
     // Temperature-scaled (α = 1/2) domain sampling weights + budgets.
     "text_domain_temperature" -> ((s, dir) =>
       graft.ops.Curation.temperatureWeights(docs(s, dir), "text", "source",
-        totalTokenBudget = 8192L))
+        totalTokenBudget = 8192L)),
+
+    // Curation flagship v2, composing this round's operators with no
+    // driver round-trip: Gopher rule gate → span-duplication gate →
+    // temperature-scaled budgets computed FROM the survivors
+    // (temperatureWeights → domainMixBudgets as DataFrames) → tempered
+    // domain mixture.
+    "text_curation_v2" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = docs(s, dir)
+      val gopher = TextAnalysis.gopherRules(d, "doc_id", "text", minWords = 30)
+        .where(col("pass")).select("doc_id")
+      val spans = TextAnalysis.spanDupRate(d, "doc_id", "text", n = 3)
+        .where(col("dup_rate") <= 0.9).select("doc_id")
+      val surv = d.join(gopher, Seq("doc_id"), "left_semi")
+        .join(spans, Seq("doc_id"), "left_semi")
+      val budgets = graft.ops.Curation.temperatureWeights(surv, "text", "source",
+        totalTokenBudget = 4096L)
+      graft.ops.Curation.domainMixBudgets(surv, "doc_id", "text", "source",
+        budgets, seed = "mix")
+    })
   )
 
   /** Mixture weights for text_domain_mix: dyadic (exactly-representable)
@@ -340,6 +360,66 @@ object TextQueries {
          |SELECT source, n_tokens, sqrt(n_tokens::DOUBLE) / t AS weight,
          |  CAST(floor(sqrt(n_tokens::DOUBLE) / t * 8192) AS BIGINT) AS token_budget
          |FROM s CROSS JOIN tot""".stripMargin,
+
+    "text_curation_v2" ->
+      s"""WITH t0 AS (SELECT doc_id, text, source, $toksSql AS toks FROM documents),
+         |gsig AS (
+         |  SELECT doc_id,
+         |    len(toks)::BIGINT AS n_words,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+         |              / len(toks)::DOUBLE END AS mean_word_len,
+         |    (len(text) - len(replace(text, '#', ''))
+         |     + (len(text) - len(replace(text, '...', ''))) // 3)::DOUBLE
+         |      / len(toks)::DOUBLE AS symbol_ratio,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+         |      / len(toks)::DOUBLE AS alpha_frac,
+         |    len(list_intersect(list_distinct(toks),
+         |      ['the','a','an','of','to','in','and','is','it','that','for','on','with','as']))::BIGINT
+         |      AS stopword_kinds
+         |  FROM t0),
+         |gpass AS (
+         |  SELECT doc_id FROM gsig
+         |  WHERE n_words >= 30 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stopword_kinds >= 2),
+         |g AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks)-1),
+         |           i -> array_to_string(list_slice(toks, i::INT, i::INT+2), ' ')) END) AS gram
+         |  FROM t0),
+         |gh AS (SELECT doc_id, ${h60("gram")} AS h FROM g),
+         |cgl AS (SELECT h, count(*) AS n FROM gh GROUP BY h),
+         |spass AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS dup_rate
+         |    FROM gh JOIN cgl USING (h) GROUP BY doc_id)
+         |  WHERE dup_rate <= 0.9),
+         |surv AS (
+         |  SELECT d.* FROM documents d
+         |  JOIN gpass USING (doc_id) JOIN spass USING (doc_id)),
+         |s AS (
+         |  SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM surv GROUP BY source),
+         |tot AS (
+         |  SELECT list_reduce(list_prepend(0.0,
+         |    list(sqrt(n_tokens::DOUBLE) ORDER BY source)), (a, x) -> a + x) AS t
+         |  FROM s),
+         |bud AS (
+         |  SELECT source, CAST(floor(sqrt(n_tokens::DOUBLE) / t * 4096) AS BIGINT) AS budget
+         |  FROM s CROSS JOIN tot),
+         |mt AS (
+         |  SELECT source, doc_id, len($toksSql)::BIGINT AS n_tokens,
+         |         ${h60("'mix:' || doc_id::VARCHAR")} AS key
+         |  FROM surv),
+         |c AS (
+         |  SELECT mt.*, bud.budget,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM mt JOIN bud USING (source))
+         |SELECT source, doc_id, n_tokens, cum::BIGINT AS cum_tokens
+         |FROM c WHERE cum - n_tokens < budget""".stripMargin,
 
     "text_rolling_fingerprint" ->
       s"""WITH norm AS (

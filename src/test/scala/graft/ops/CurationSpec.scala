@@ -65,6 +65,21 @@ class CurationSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("domainMixBudgets ≡ domainMix when budgets match; composes with temperatureWeights") {
+    val viaMap = Curation.domainMix(docs, "doc_id", "text", "source",
+      Map("web" -> 0.5, "code" -> 0.5), totalTokenBudget = 16L)
+      .collect().map(_.toString).sorted.toSeq
+    val budgets = Seq(("web", 8L), ("code", 8L)).toDF("source", "token_budget")
+    val viaDf = Curation.domainMixBudgets(docs, "doc_id", "text", "source", budgets)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaDf == viaMap)
+    // the composition point: tempered budgets flow in as a DataFrame with
+    // no driver collect, and every budgeted source is represented
+    val tempered = Curation.domainMixBudgets(docs, "doc_id", "text", "source",
+      Curation.temperatureWeights(docs, "text", "source", 1000L))
+    assert(tempered.select("source").distinct().count() == 3)
+  }
+
   test("shuffleShard: total order is a permutation, stable under re-run") {
     val out = Curation.shuffleShard(docs, "doc_id", numShards = 3)
     val rows = out.collect()

@@ -148,6 +148,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(sdPlan.contains("BroadcastHashJoin"), s"expected broadcast gate in:\n$sdPlan")
   }
 
+  test("curation plan shapes: broadcast vocab/budget joins, span table joined not self-joined") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    def nEx(p: String) = p.split("Exchange hashpartitioning").length - 1
+    // oovRate: the vocabulary is top-k by construction and must broadcast;
+    // the corpus-side token stream is exchanged only for the final per-doc
+    // aggregation (one exchange), never for the flagging join
+    val oovPlan = TextAnalysis.oovRate(d, "doc_id", "text", vocabSize = 20)
+      .queryExecution.executedPlan.toString
+    assert(oovPlan.contains("BroadcastHashJoin"),
+      s"vocab flagging join must broadcast:\n$oovPlan")
+    // spanDupRate: grams join their global counts — both sides hash by the
+    // 60-bit gram hash and the per-doc agg adds one more exchange; there
+    // must be NO cartesian/self-join of the corpus
+    val spanPlan = TextAnalysis.spanDupRate(d, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!spanPlan.contains("CartesianProduct"),
+      s"span stats must not cross-join:\n$spanPlan")
+    assert(nEx(spanPlan) <= 3, s"span stats should move ≤3 exchanges:\n$spanPlan")
+    // domainMixBudgets: computed budgets stay a broadcast table exactly
+    // like the map-driven path — the corpus never exchanges by source for
+    // the budget join
+    val budgets = Curation.temperatureWeights(d, "text", "source", 4096L)
+    val mixPlan = Curation.domainMixBudgets(d, "doc_id", "text", "source", budgets)
+      .queryExecution.sparkPlan.toString
+    assert(mixPlan.contains("BroadcastHashJoin"),
+      s"budget join must broadcast:\n$mixPlan")
+  }
+
   test("ivfKnnPreAssigned reuses the materialized assignment — no corpus centroid rescan") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = e.where($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding")
