@@ -138,10 +138,7 @@ object TextAnalysis {
     * dup_rate). */
   def spanDupRate(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 3): DataFrame = {
-    val grams = docs
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(wordShingles(col("__toks"), n)).as("__g"))
-      .select(col(idCol), hash60(col("__g")).as("__gh"))
+    val grams = spanHashes(docs, idCol, textCol, n)
     val counts = grams.groupBy("__gh").agg(count(lit(1)).as("__n"))
     grams.join(counts, "__gh")
       .groupBy(idCol)
@@ -150,6 +147,16 @@ object TextAnalysis {
       .withColumn("dup_rate",
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }
+
+  /** One row per word-`n`-gram occurrence, the span as its 60-bit hash:
+    * (idCol, `__gh`). The exploded span stream [[spanDupRate]] and the
+    * incremental span index ([[graft.streaming.CurationStream]]) share. */
+  private[graft] def spanHashes(docs: DataFrame, idCol: String,
+                                textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(wordShingles(col("__toks"), n)).as("__g"))
+      .select(col(idCol), hash60(col("__g")).as("__gh"))
 
   /** Gopher-style quality-rule cascade (Rae et al. 2021, arXiv:2112.11446
     * table A1, the subset that is exact cross-engine arithmetic): word

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ≥ 5 words, ≥ 2 distinct stopwords, all-alpha, mean word length in
+  // [3, 10] — each passes the Gopher gate at minWords = 5.
+  private val tA = "the quick brown fox jumps over a lazy dog today"
+  private val tB = "completely different words appear in the other document right here"
+  private val tC = "unique content for the fourth document arrives just now"
+  private val tShort = "too few words" // fails the word-count rule
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def withIndexTable(f: String => Unit): Unit = {
+    val idx = s"curation_stream_idx_${System.nanoTime()}"
+    try f(idx) finally spark.sql(s"DROP TABLE IF EXISTS $idx")
+  }
+
+  private def run(b: org.apache.spark.sql.DataFrame, id: Long,
+                  clean: String, idx: String): Unit =
+    CurationStream.ingestBatch(b, id, clean, idx, "doc_id", "text",
+      maxDupRate = 0.5, spanN = 3, buckets = 4, minWords = 5)
+
+  test("ingestBatch: gopher gate, cross-index span gate, intra-batch rate gate") {
+    withIndexTable { idx =>
+      val clean = tmp("curclean") + "/t"
+      val b1 = Seq((1L, tA), (2L, tB), (3L, tShort)).toDF("doc_id", "text")
+      run(b1, 0L, clean, idx)
+      // 3 fails gopher; 1 and 2 survive with all their spans indexed
+      assert(CurationStream.readClean(spark, clean)
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+      // batch 2: 4 re-delivers tA (every span already indexed → rate 1);
+      // 5 is fresh; 6 and 7 duplicate each other intra-batch — the gate is
+      // a QUALITY threshold, not keep-one dedup, so both drop (run
+      // DedupStream for keep-one semantics)
+      val b2 = Seq((4L, tA), (5L, tC), (6L, tB), (7L, tB)).toDF("doc_id", "text")
+      run(b2, 1L, clean, idx)
+      assert(CurationStream.readClean(spark, clean)
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+      // the index holds exactly the survivors' spans
+      val expectSpans = TextAnalysis.spanDupRate(
+        Seq((1L, tA), (2L, tB), (5L, tC)).toDF("doc_id", "text"),
+        "doc_id", "text", n = 3)
+        .agg(sum("n_spans")).as[Long].head()
+      assert(spark.table(idx).count() == expectSpans)
+    }
+  }
+
+  test("empty index, one batch ≡ the batch operators' own gate semantics") {
+    withIndexTable { idx =>
+      val clean = tmp("cureq") + "/t"
+      val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      CurationStream.ingestBatch(d, 0L, clean, idx, "doc_id", "text",
+        maxDupRate = 0.7, spanN = 3, buckets = 4, minWords = 30)
+      val streamed = CurationStream.readClean(spark, clean)
+        .select("doc_id").as[Long].collect().toSet
+      val gopher = TextAnalysis.gopherRules(d, "doc_id", "text", minWords = 30)
+        .where(col("pass")).select("doc_id")
+      val batch = d.join(gopher, Seq("doc_id"), "left_semi")
+      val expected = TextAnalysis.spanDupRate(batch, "doc_id", "text", n = 3)
+        .where(col("dup_rate") <= 0.7)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == expected)
+      assert(streamed.nonEmpty, "fixture must keep at least one document")
+    }
+  }
+
+  test("replayed batch is idempotent; duplicated postings don't flip later gates") {
+    withIndexTable { idx =>
+      val clean = tmp("currep") + "/t"
+      run(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"), 0L, clean, idx)
+      val b2 = Seq((4L, tA), (5L, tC)).toDF("doc_id", "text")
+      run(b2, 1L, clean, idx)
+      // crash-after-index-append replay: batch 1 re-runs against an index
+      // already holding its own spans — the __batch_id < batchId probe
+      // excludes them, so decisions repeat
+      run(b2, 1L, clean, idx)
+      assert(CurationStream.readClean(spark, clean)
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+      // later batch: a re-delivery of tC still drops (duplicated postings
+      // for tC's spans are membership-equivalent)
+      run(Seq((6L, tC)).toDF("doc_id", "text"), 2L, clean, idx)
+      assert(CurationStream.readClean(spark, clean)
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+    }
+  }
+
+  test("streaming end-to-end: file stream bootstraps the span index and gates") {
+    withIndexTable { idx =>
+      val in = tmp("curin") + "/t"
+      val clean = tmp("curcleanS") + "/t"
+      val ckpt = tmp("curckpt")
+      Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      def start() = CurationStream.start(spark, in, clean, idx, "doc_id",
+        "text", checkpoint = ckpt, maxDupRate = 0.5, spanN = 3, buckets = 4,
+        minWords = 5)
+      start().awaitTermination()
+      // second delivery resumes from the checkpoint: the re-crawl of tA
+      // gates against batch 1's index, the fresh doc lands
+      Seq((4L, tA), (5L, tC)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      start().awaitTermination()
+      assert(CurationStream.readClean(spark, clean)
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+    }
+  }
+}
