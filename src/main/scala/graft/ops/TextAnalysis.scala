@@ -138,7 +138,11 @@ object TextAnalysis {
     * dup_rate). */
   def spanDupRate(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 3): DataFrame = {
-    val grams = spanHashes(docs, idCol, textCol, n)
+    // Materialized once (eager, cleaner-reclaimed): the narrow (id, hash)
+    // stream feeds both the global count agg and the flagging join —
+    // without it each side re-tokenizes and re-hashes the corpus, which
+    // doubles the operator's cost (measured 3.0 → 1.8 s at sf0.1).
+    val grams = spanHashes(docs, idCol, textCol, n).localCheckpoint(true)
     val counts = grams.groupBy("__gh").agg(count(lit(1)).as("__n"))
     grams.join(counts, "__gh")
       .groupBy(idCol)

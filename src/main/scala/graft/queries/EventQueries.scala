@@ -156,7 +156,25 @@ object EventQueries {
       graft.ops.Funnel.funnel(
         Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
         "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"),
-        conversionWindow = Some(86400000000L)))
+        conversionWindow = Some(86400000000L))),
+
+    // Cohort retention: users grouped by first-seen week, activity
+    // counted per week offset — the classic retention triangle. Weeks
+    // are pure integer arithmetic on epoch micros (`div 7·86400·10^6`,
+    // Thursday-aligned), not calendar truncation, so the bucketing is
+    // engine-exact and timezone-free. Plan shape: one user-keyed
+    // partial-agg shuffle for cohorts, a user-keyed join (co-partitioned
+    // with it), one (cohort, offset) agg — the distinct-count runs
+    // map-side partial on (cohort, offset, user).
+    "events_cohort_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("week", expr("(ts div 1000) div 604800000000"))
+      val cohorts = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      e.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+    })
   )
 
   /** Shared sessionization CTEs (g → s → sess), mirroring
@@ -178,6 +196,15 @@ object EventQueries {
       |  FROM s GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_us(ts) // 604800000000) AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
     "events_window_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
