@@ -122,8 +122,13 @@ object Curation {
     * Output: (source, n_tokens, weight, token_budget). */
   def temperatureWeights(docs: DataFrame, textCol: String, sourceCol: String,
                          totalTokenBudget: Long): DataFrame = {
+    // Materialized once (eager, cleaner-reclaimed): bySrc is taxonomy-sized
+    // (a few thousand rows) but its subtree is the full corpus scan +
+    // tokenize, and both the normalizing total and the final select read
+    // it — exchange-level reuse across the two subtrees is not guaranteed.
     val bySrc = docs.groupBy(col(sourceCol))
       .agg(sum(size(tokens(col(textCol)))).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
     val tot = bySrc.agg(
       aggregate(
         array_sort(collect_list(struct(col(sourceCol).as("s"),
@@ -165,21 +170,11 @@ object Curation {
   def domainMixBudgets(docs: DataFrame, idCol: String, textCol: String,
                        sourceCol: String, budgets: DataFrame,
                        seed: String = "mix"): DataFrame = {
-    // Budgets ride a broadcast-joined table, not a per-source CASE chain:
-    // a real source taxonomy has thousands of domains, and a 10k-branch
-    // expression tree is a planner/codegen hazard while a 10k-row
-    // broadcast is nothing. Inner join = sources without a weight drop.
-    val b = broadcast(
-      budgets.select(col(sourceCol), col("token_budget").as("__budget")))
     // Materialized once (eager, cleaner-reclaimed — NOT persist(): a
     // cache entry would outlive the call for library callers): the
     // tokenize pass is the expensive part and both prefix-sum consumers
     // read this narrow (source, id, n_tokens, key, budget) projection.
-    val keyed = docs
-      .select(col(sourceCol), col(idCol),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"),
-        shuffleKey(idCol, seed).as("__key"))
-      .join(b, sourceCol)
+    val keyed = budgetKeyed(docs, idCol, textCol, sourceCol, budgets, seed)
       .localCheckpoint(true)
     // Running sum via the two-phase parallel prefix sum: one domain can be
     // 90% of the corpus, so the naive Window.partitionBy(source) would put
@@ -196,6 +191,26 @@ object Curation {
       .where(col("cum_tokens") - col("n_tokens") < col("__budget"))
       .select(col(sourceCol), col(idCol), col("n_tokens"), col("cum_tokens"))
   }
+
+  /** The pre-materialization (source, id, n_tokens, key, budget) projection
+    * of [[domainMixBudgets]] — the budget join happens HERE, before the
+    * eager materialization truncates the plan, so this is the frame plan
+    * assertions must inspect (ScaleOpsSpec).
+    *
+    * Budgets ride a broadcast-joined table, not a per-source CASE chain:
+    * a real source taxonomy has thousands of domains, and a 10k-branch
+    * expression tree is a planner/codegen hazard while a 10k-row
+    * broadcast is nothing. Inner join = sources without a weight drop. */
+  private[graft] def budgetKeyed(docs: DataFrame, idCol: String,
+                                 textCol: String, sourceCol: String,
+                                 budgets: DataFrame, seed: String): DataFrame =
+    docs
+      .select(col(sourceCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        shuffleKey(idCol, seed).as("__key"))
+      .join(broadcast(
+        budgets.select(col(sourceCol), col("token_budget").as("__budget"))),
+        sourceCol)
 
   /** Deterministic global shuffle for training-data layout: every row
     * gets a reproducible pseudo-random 60-bit key, a shard assignment

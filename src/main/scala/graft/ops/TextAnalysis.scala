@@ -210,7 +210,12 @@ object TextAnalysis {
     * + global top-k (per-partition heaps, no global sort). */
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
               vocabSize: Int = 1000): DataFrame = {
+    // Materialized once (eager, cleaner-reclaimed): the (id, token) stream
+    // feeds both the vocabulary build and the flagging join — the same
+    // shared-stream shape spanDupRate materializes, and without it each
+    // side re-scans and re-tokenizes the corpus.
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .localCheckpoint(true)
     val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("__tok")).limit(vocabSize)
       .select(col("__tok"), lit(true).as("__iv"))

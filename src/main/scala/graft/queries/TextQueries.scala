@@ -232,8 +232,12 @@ object TextQueries {
         .where(col("pass")).select("doc_id")
       val spans = TextAnalysis.spanDupRate(d, "doc_id", "text", n = 3)
         .where(col("dup_rate") <= 0.9).select("doc_id")
+      // Materialized once: surv feeds temperatureWeights (two consumers of
+      // its per-source agg) AND domainMixBudgets' keyed scan — without it
+      // each evaluation re-runs both gate joins.
       val surv = d.join(gopher, Seq("doc_id"), "left_semi")
         .join(spans, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       val budgets = graft.ops.Curation.temperatureWeights(surv, "text", "source",
         totalTokenBudget = 4096L)
       graft.ops.Curation.domainMixBudgets(surv, "doc_id", "text", "source",

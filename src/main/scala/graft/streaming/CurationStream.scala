@@ -17,20 +17,28 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * curated per delivery instead of re-running corpus-wide span stats.
   *
   * The span index is a bucketed table of (`__gh` 60-bit span hash,
-  * `__batch_id`): bucketed on the hash, so the per-batch membership probe
-  * (a distinct + join on `__gh`) never exchanges the index side — only
-  * the batch's own span stream moves. Appends add one file per non-empty
-  * bucket; compact a high-churn index periodically by rebuilding it from
-  * the clean corpus ([[buildSpanIndex]]).
+  * `__src_id` contributing document id): bucketed on the hash, so the
+  * per-batch membership probe (a distinct + join on `__gh`) never
+  * exchanges the index side — only the batch's own span stream moves.
+  * Appends add one file per non-empty bucket; compact a high-churn index
+  * periodically by rebuilding it from the clean corpus
+  * ([[buildSpanIndex]]).
   *
-  * Replay semantics: index rows carry the batch id that wrote them, and
-  * a batch only probes rows with `__batch_id < batchId` — a crash between
-  * the index append and the checkpoint commit re-runs the batch WITHOUT
-  * seeing its own spans, so decisions are identical; the re-appended
-  * rows only duplicate postings for the same span hash, and the gate
-  * asks set membership (not counts), so later decisions are unchanged
-  * too. The clean output is idempotent per batch via dynamic-partition
-  * overwrite (the [[DedupStream.ingestBatch]] pattern).
+  * Replay semantics are id-based, like [[DedupStream]]'s self-match
+  * filter: index rows carry the id of the document that contributed
+  * them, and a batch's probe excludes postings from the batch's OWN
+  * document ids (a broadcast anti-join — the batch side is tiny). A
+  * crash between the index append and the checkpoint commit re-runs the
+  * batch without seeing its own spans, so decisions are identical; the
+  * re-appended rows only duplicate postings for the same span hash, and
+  * the gate asks set membership (not counts), so later decisions are
+  * unchanged too. Because the exclusion keys on document ids — not on
+  * checkpoint-scoped batch ids — a stream restarted with a FRESH
+  * checkpoint still probes the whole accumulated index. Document ids
+  * must be unique across deliveries (the same contract DedupStream's
+  * `id_new <> id_corpus` filter carries). The clean output is idempotent
+  * per batch via dynamic-partition overwrite
+  * ([[IngestStream.writeClean]]; see its fresh-checkpoint contract).
   *
   * A document's spans count as duplicated if the span hash is in the
   * index (seen by ANY earlier batch) or occurs more than once within the
@@ -41,32 +49,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object CurationStream {
 
-  val BatchCol = "__batch_id"
+  val BatchCol = IngestStream.BatchCol
 
   def start(spark: SparkSession, inputDir: String, cleanDir: String,
             spanIndexTable: String, idCol: String, textCol: String,
             checkpoint: String, maxDupRate: Double = 0.9, spanN: Int = 3,
             buckets: Int = 8, minWords: Int = 50,
             trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Int = 100): StreamingQuery = {
-    val schema = spark.read.parquet(inputDir).schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .option("latestFirst", "false")
-      .parquet(inputDir)
-
-    stream.writeStream
-      .queryName(s"curation-ingest-$spanIndexTable")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          ingestBatch(batch, batchId, cleanDir, spanIndexTable, idCol,
-            textCol, maxDupRate, spanN, buckets, minWords)
-      }
-      .start()
-  }
+            maxFilesPerTrigger: Int = 100): StreamingQuery =
+    IngestStream.start(spark, inputDir, s"curation-ingest-$spanIndexTable",
+      checkpoint, trigger, maxFilesPerTrigger) { (batch, batchId) =>
+      ingestBatch(batch, batchId, cleanDir, spanIndexTable, idCol,
+        textCol, maxDupRate, spanN, buckets, minWords)
+    }
 
   /** One batch of the loop — also the batch-mode entry point (callable
     * without a stream for backfills/tests). */
@@ -89,15 +84,9 @@ object CurationStream {
     val spans = TextAnalysis.spanHashes(gated, idCol, textCol, spanN)
       .localCheckpoint(true)
     val intra = spans.groupBy("__gh").agg(count(lit(1)).as("__bn"))
-    // Known spans: distinct hash probe over the bucketed index — the
-    // distinct and the join both run in the bucket layout, no index-side
-    // exchange. Rows this batch wrote on a replayed attempt are excluded.
     val known =
       if (spark.catalog.tableExists(spanIndexTable))
-        Bucketing.readBucketed(spark, spanIndexTable)
-          .where(col(BatchCol) < batchId)
-          .select(col("__gh")).distinct()
-          .withColumn("__known", lit(true))
+        knownSpans(spark, spanIndexTable, docs.select(col(idCol)), idCol)
       else null
     val flaggedSpans = {
       val withIntra = spans.join(intra, "__gh")
@@ -114,32 +103,43 @@ object CurationStream {
     val survivors = gated.join(losers, Seq(idCol), "left_anti")
       .localCheckpoint(true)
 
-    // 3a. Clean output, idempotent per batch (writer-scoped dynamic
-    // partition overwrite — never a session-conf toggle).
-    survivors.withColumn(BatchCol, lit(batchId))
-      .write.option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BatchCol).mode("overwrite").parquet(cleanDir)
-    // 3b. Survivors' spans join the index.
+    // 3a. Clean output, idempotent per batch.
+    IngestStream.writeClean(survivors, batchId, cleanDir)
+    // 3b. Survivors' spans join the index, tagged with their source doc.
     val survivorSpans = spans
       .join(survivors.select(idCol), Seq(idCol), "left_semi")
-      .select(col("__gh")).withColumn(BatchCol, lit(batchId))
+      .select(col("__gh"), col(idCol).as("__src_id"))
     if (spark.catalog.tableExists(spanIndexTable))
       Bucketing.appendBucketed(survivorSpans, spanIndexTable, "__gh", buckets)
     else
       Bucketing.writeBucketed(survivorSpans, spanIndexTable, "__gh", buckets)
   }
 
+  /** The distinct span hashes the index already knows, EXCLUDING postings
+    * contributed by the given document ids (the current batch's — replay
+    * safety, see the object doc). The exclusion is a broadcast anti-join
+    * (the batch id set is micro-batch-sized) so the index side keeps its
+    * bucket layout: the distinct and the downstream membership join run
+    * with zero index-side exchange (plan-asserted in ScaleOpsSpec). */
+  private[graft] def knownSpans(spark: SparkSession, spanIndexTable: String,
+                                batchIds: DataFrame, idCol: String): DataFrame =
+    Bucketing.readBucketed(spark, spanIndexTable)
+      .join(broadcast(batchIds.select(col(idCol).as("__src_id"))),
+        Seq("__src_id"), "left_anti")
+      .select(col("__gh")).distinct()
+      .withColumn("__known", lit(true))
+
   /** Rebuild (compact) the span index from a document corpus — one file
-    * per bucket again after append churn. The rebuilt rows carry batch id
-    * −1 so every future batch probes them. */
+    * per bucket again after append churn, real contributor ids preserved
+    * so replay exclusion keeps working against the rebuilt rows. */
   def buildSpanIndex(docs: DataFrame, spanIndexTable: String, idCol: String,
                      textCol: String, spanN: Int = 3, buckets: Int = 8): Unit =
     Bucketing.writeBucketed(
       TextAnalysis.spanHashes(docs, idCol, textCol, spanN)
-        .select(col("__gh")).withColumn(BatchCol, lit(-1L)),
+        .select(col("__gh"), col(idCol).as("__src_id")),
       spanIndexTable, "__gh", buckets)
 
   /** The curated corpus the stream maintains (partition column dropped). */
   def readClean(spark: SparkSession, cleanDir: String): DataFrame =
-    spark.read.parquet(cleanDir).drop(BatchCol)
+    IngestStream.readClean(spark, cleanDir)
 }

@@ -40,7 +40,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object DedupStream {
 
-  val BatchCol = "__batch_id"
+  val BatchCol = IngestStream.BatchCol
 
   def start(spark: SparkSession, inputDir: String, cleanDir: String,
             indexTable: String, idCol: String, textCol: String,
@@ -48,25 +48,12 @@ object DedupStream {
             shingleWords: Int = 3, k: Int = 16, bands: Int = 4,
             maxBucketSize: Int = 1000,
             trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Int = 100): StreamingQuery = {
-    val schema = spark.read.parquet(inputDir).schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .option("latestFirst", "false")
-      .parquet(inputDir)
-
-    stream.writeStream
-      .queryName(s"dedup-ingest-$indexTable")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          ingestBatch(batch, batchId, cleanDir, indexTable, idCol, textCol,
-            threshold, buckets, shingleWords, k, bands, maxBucketSize)
-      }
-      .start()
-  }
+            maxFilesPerTrigger: Int = 100): StreamingQuery =
+    IngestStream.start(spark, inputDir, s"dedup-ingest-$indexTable",
+      checkpoint, trigger, maxFilesPerTrigger) { (batch, batchId) =>
+      ingestBatch(batch, batchId, cleanDir, indexTable, idCol, textCol,
+        threshold, buckets, shingleWords, k, bands, maxBucketSize)
+    }
 
   /** One batch of the loop — also the batch-mode entry point (callable
     * without a stream for backfills/tests). */
@@ -95,13 +82,8 @@ object DedupStream {
       intraSurvivors.join(crossLosers, Seq(idCol), "left_anti")
     } else intraSurvivors).localCheckpoint(true)
 
-    // 3a. clean output, idempotent per batch. The overwrite mode rides the
-    // WRITER, not the session conf: StreamManager runs N foreachBatch
-    // loops concurrently in one session, and a session-conf toggle here
-    // would race other threads' writes into full-overwrite mode.
-    survivors.withColumn(BatchCol, lit(batchId))
-      .write.option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BatchCol).mode("overwrite").parquet(cleanDir)
+    // 3a. clean output, idempotent per batch.
+    IngestStream.writeClean(survivors, batchId, cleanDir)
     // 3b. survivors join the index
     if (spark.catalog.tableExists(indexTable))
       Dedup.appendToLshIndex(survivors, idCol, textCol, indexTable,
@@ -113,5 +95,5 @@ object DedupStream {
 
   /** The clean corpus the stream maintains (partition column dropped). */
   def readClean(spark: SparkSession, cleanDir: String): DataFrame =
-    spark.read.parquet(cleanDir).drop(BatchCol)
+    IngestStream.readClean(spark, cleanDir)
 }

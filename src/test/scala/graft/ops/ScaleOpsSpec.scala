@@ -168,12 +168,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(nEx(spanPlan) <= 3, s"span stats should move ≤3 exchanges:\n$spanPlan")
     // domainMixBudgets: computed budgets stay a broadcast table exactly
     // like the map-driven path — the corpus never exchanges by source for
-    // the budget join
+    // the budget join. Inspect budgetKeyed (the PRE-materialization frame):
+    // domainMixBudgets checkpoints right after the join, so its own plan
+    // starts at a LogicalRDD and cannot contain the budget join at all.
     val budgets = Curation.temperatureWeights(d, "text", "source", 4096L)
-    val mixPlan = Curation.domainMixBudgets(d, "doc_id", "text", "source", budgets)
-      .queryExecution.sparkPlan.toString
+    val mixPlan = Curation.budgetKeyed(d, "doc_id", "text", "source", budgets, "mix")
+      .queryExecution.executedPlan.toString
     assert(mixPlan.contains("BroadcastHashJoin"),
       s"budget join must broadcast:\n$mixPlan")
+    assert(!mixPlan.contains("Exchange hashpartitioning(source"),
+      s"corpus must not exchange by source for the budget join:\n$mixPlan")
   }
 
   test("ivfKnnPreAssigned reuses the materialized assignment — no corpus centroid rescan") {

@@ -79,8 +79,8 @@ class CurationStreamSpec extends SparkSpec {
       val b2 = Seq((4L, tA), (5L, tC)).toDF("doc_id", "text")
       run(b2, 1L, clean, idx)
       // crash-after-index-append replay: batch 1 re-runs against an index
-      // already holding its own spans — the __batch_id < batchId probe
-      // excludes them, so decisions repeat
+      // already holding its own spans — the id-based probe excludes the
+      // batch's own postings, so decisions repeat
       run(b2, 1L, clean, idx)
       assert(CurationStream.readClean(spark, clean)
         .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
@@ -89,6 +89,44 @@ class CurationStreamSpec extends SparkSpec {
       run(Seq((6L, tC)).toDF("doc_id", "text"), 2L, clean, idx)
       assert(CurationStream.readClean(spark, clean)
         .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+    }
+  }
+
+  test("fresh checkpoint (batch ids restart at 0) still probes the whole index") {
+    withIndexTable { idx =>
+      val clean = tmp("curfresh") + "/t"
+      run(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"), 0L, clean, idx)
+      run(Seq((5L, tC)).toDF("doc_id", "text"), 1L, clean, idx)
+      // the stream loses its checkpoint and restarts: batch ids reset to
+      // 0. The probe keys on document ids, not checkpoint-scoped batch
+      // ids, so a re-crawl of tA still gates against docs 1/2/5's
+      // postings. (Fresh cleanDir per the IngestStream.writeClean
+      // contract — a reset stream must not recycle the old partitions.)
+      val clean2 = tmp("curfresh2") + "/t"
+      val tFresh = "nothing in the corpus resembles this sentence for it was never indexed"
+      run(Seq((8L, tA), (9L, tC), (10L, tFresh)).toDF("doc_id", "text"),
+        0L, clean2, idx)
+      assert(CurationStream.readClean(spark, clean2)
+        .select("doc_id").as[Long].collect().toSet == Set(10L),
+        "re-crawled docs must gate against the pre-reset index")
+    }
+  }
+
+  test("index probe runs in the bucket layout: zero index-side exchange") {
+    withIndexTable { idx =>
+      val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      CurationStream.buildSpanIndex(d.where($"doc_id" % 2 === 0L), idx,
+        "doc_id", "text", spanN = 3, buckets = 4)
+      val batchIds = d.where($"doc_id" % 2 === 1L).select("doc_id")
+      val known = CurationStream.knownSpans(spark, idx, batchIds, "doc_id")
+      val plan = known.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      // replay exclusion broadcasts the batch's ids; the distinct then
+      // runs on the scan's bucket partitioning — nothing exchanges
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"index probe must not exchange:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"replay exclusion must broadcast the batch ids:\n$plan")
     }
   }
 
