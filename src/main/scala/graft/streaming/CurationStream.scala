@@ -86,7 +86,7 @@ object CurationStream {
     val intra = spans.groupBy("__gh").agg(count(lit(1)).as("__bn"))
     val known =
       if (spark.catalog.tableExists(spanIndexTable))
-        knownSpans(spark, spanIndexTable, docs.select(col(idCol)), idCol)
+        knownSpans(spark, spanIndexTable, docs.select(col(idCol)), idCol, spans)
       else null
     val flaggedSpans = {
       val withIntra = spans.join(intra, "__gh")
@@ -115,17 +115,28 @@ object CurationStream {
       Bucketing.writeBucketed(survivorSpans, spanIndexTable, "__gh", buckets)
   }
 
-  /** The distinct span hashes the index already knows, EXCLUDING postings
-    * contributed by the given document ids (the current batch's — replay
-    * safety, see the object doc). The exclusion is a broadcast anti-join
-    * (the batch id set is micro-batch-sized) so the index side keeps its
-    * bucket layout: the distinct and the downstream membership join run
-    * with zero index-side exchange (plan-asserted in ScaleOpsSpec). */
+  /** The distinct span hashes the index already knows AMONG the batch's
+    * own spans, EXCLUDING postings contributed by the given document ids
+    * (the current batch's — replay safety, see the object doc).
+    *
+    * Shape per batch: the replay exclusion is a broadcast anti-join (the
+    * batch id set is micro-batch-sized) and the batch's span hashes
+    * semi-join the index BEFORE the distinct — both preserve the index
+    * scan's bucket layout, so nothing index-side exchanges (plan-asserted
+    * in CurationStreamSpec). The semi-join-then-distinct order is what
+    * bounds per-task state: a distinct over the RAW index would build
+    * hash tables proportional to the whole corpus' posting list every
+    * micro-batch, while this aggregates at most the batch's own distinct
+    * span count. The full index column scan per batch is inherent to a
+    * membership gate (uniform hashes defeat file pruning) but touches
+    * only the 8-byte `__gh` column. */
   private[graft] def knownSpans(spark: SparkSession, spanIndexTable: String,
-                                batchIds: DataFrame, idCol: String): DataFrame =
+                                batchIds: DataFrame, idCol: String,
+                                batchSpans: DataFrame): DataFrame =
     Bucketing.readBucketed(spark, spanIndexTable)
       .join(broadcast(batchIds.select(col(idCol).as("__src_id"))),
         Seq("__src_id"), "left_anti")
+      .join(batchSpans.select(col("__gh")).distinct(), Seq("__gh"), "left_semi")
       .select(col("__gh")).distinct()
       .withColumn("__known", lit(true))
 

@@ -117,16 +117,21 @@ class CurationStreamSpec extends SparkSpec {
       val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       CurationStream.buildSpanIndex(d.where($"doc_id" % 2 === 0L), idx,
         "doc_id", "text", spanN = 3, buckets = 4)
-      val batchIds = d.where($"doc_id" % 2 === 1L).select("doc_id")
-      val known = CurationStream.knownSpans(spark, idx, batchIds, "doc_id")
+      val batch = d.where($"doc_id" % 2 === 1L)
+      val spans = TextAnalysis.spanHashes(batch, "doc_id", "text", 3)
+      val known = CurationStream.knownSpans(spark, idx,
+        batch.select("doc_id"), "doc_id", spans)
       val plan = known.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
-      // replay exclusion broadcasts the batch's ids; the distinct then
-      // runs on the scan's bucket partitioning — nothing exchanges
-      assert(!plan.contains("Exchange hashpartitioning"),
-        s"index probe must not exchange:\n$plan")
-      assert(plan.contains("BroadcastHashJoin"),
-        s"replay exclusion must broadcast the batch ids:\n$plan")
+      // the index side never exchanges: replay exclusion broadcasts the
+      // batch ids, the batch's span set broadcasts for the semi-join, and
+      // the final distinct runs on the scan's bucket partitioning. The ONE
+      // exchange in the plan is the batch-side span-hash distinct — an
+      // index-side shuffle would make it ≥2.
+      def nEx(p: String) = p.split("Exchange hashpartitioning").length - 1
+      assert(nEx(plan) == 1, s"expected exactly the batch-side exchange:\n$plan")
+      assert(plan.split("BroadcastHashJoin").length - 1 == 2,
+        s"replay anti-join and span semi-join must both broadcast:\n$plan")
     }
   }
 
