@@ -310,13 +310,24 @@ object Dedup {
                                 newDocs: DataFrame, idCol: String, textCol: String,
                                 shingleWords: Int = 3, k: Int = 16, bands: Int = 4,
                                 maxBucketSize: Int = 1000): DataFrame = {
+    // Materialized once (eager, cleaner-reclaimed): the batch's band rows
+    // feed both the probe-key set and the candidate join.
+    val batch = minHashed(newDocs, idCol, textCol, shingleWords, k, bands)
+      .select(col("band_key"), col(idCol).as("id_new"), col("signature").as("sig_n"))
+      .localCheckpoint(true)
+    // The batch's band keys semi-join the index BEFORE the heavy-bucket
+    // window: a matching bucket keeps ALL its postings, so bucket_n is
+    // exact for every surviving key, and keys the batch doesn't probe
+    // would be dropped by the candidate join anyway — identical results,
+    // but the per-batch window sorts only the probed buckets instead of
+    // the whole accumulated index.
     val idx = graft.io.Bucketing.readBucketed(spark, table)
+      .join(broadcast(batch.select(col("band_key"))),
+        Seq("band_key"), "left_semi")
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
       .where(col("bucket_n") <= maxBucketSize)
       .select(col("band_key"), col(idCol).as("id_corpus"), col("signature").as("sig_c"))
-    val batch = minHashed(newDocs, idCol, textCol, shingleWords, k, bands)
-      .select(col("band_key"), col(idCol).as("id_new"), col("signature").as("sig_n"))
     // Estimate BEFORE the distinct: a pair co-occurs in ≤ `bands` band
     // keys, so at most `bands` redundant folds per pair — cheaper than
     // shuffling signature arrays through the distinct, and re-joining
