@@ -320,7 +320,12 @@ object Dedup {
     // exact for every surviving key, and keys the batch doesn't probe
     // would be dropped by the candidate join anyway — identical results,
     // but the per-batch window sorts only the probed buckets instead of
-    // the whole accumulated index.
+    // the whole accumulated index. The key set broadcasts UN-distinct-ed
+    // (≤ bands rows per doc — delivery-sized; a distinct would cost a
+    // band_key exchange, and the broadcast hash relation collapses
+    // duplicate keys anyway). Broadcast is a deliberate hint: batches are
+    // delivery-sized by contract (see DedupStream.ingestBatch); rebuild
+    // via writeLshIndex for corpus-scale backfills.
     val idx = graft.io.Bucketing.readBucketed(spark, table)
       .join(broadcast(batch.select(col("band_key"))),
         Seq("band_key"), "left_semi")

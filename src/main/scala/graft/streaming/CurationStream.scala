@@ -46,6 +46,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * exceeds `maxDupRate`. On an empty index this reduces exactly to the
   * batch semantics: gopherRules(pass) ∧ spanDupRate.dup_rate ≤
   * maxDupRate (spec-asserted).
+  *
+  * Migration: span indexes written by the earlier batch-id-scoped scheme
+  * carry `__batch_id` instead of `__src_id` and must be rebuilt
+  * ([[buildSpanIndex]] over the clean corpus) before a stream on this
+  * version runs against them — the probe's anti-join fails loudly on the
+  * missing column otherwise.
   */
 object CurationStream {
 
@@ -64,7 +70,9 @@ object CurationStream {
     }
 
   /** One batch of the loop — also the batch-mode entry point (callable
-    * without a stream for backfills/tests). */
+    * without a stream for tests and delivery-sized backfills; the probe
+    * sets broadcast by hint, so corpus-scale batches belong in the batch
+    * operators + [[buildSpanIndex]] instead). */
   def ingestBatch(batch: DataFrame, batchId: Long, cleanDir: String,
                   spanIndexTable: String, idCol: String, textCol: String,
                   maxDupRate: Double, spanN: Int, buckets: Int,
@@ -127,16 +135,27 @@ object CurationStream {
     * bounds per-task state: a distinct over the RAW index would build
     * hash tables proportional to the whole corpus' posting list every
     * micro-batch, while this aggregates at most the batch's own distinct
-    * span count. The full index column scan per batch is inherent to a
+    * span count. The full index scan per batch is inherent to a
     * membership gate (uniform hashes defeat file pruning) but touches
-    * only the 8-byte `__gh` column. */
+    * only the two 8-byte columns (`__gh`, plus `__src_id` for the replay
+    * exclusion).
+    *
+    * Both probe-side joins are broadcast by HINT, not by size estimate:
+    * a localCheckpoint'ed span stream carries no useful stats, and an
+    * auto-demotion to sort-merge would re-sort the whole index posting
+    * list per batch — the exact cost this shape exists to avoid. The
+    * hint is safe because both sets are delivery-sized (bounded by
+    * `maxFilesPerTrigger`); for corpus-scale BACKFILLS use the batch
+    * operators ([[graft.ops.TextAnalysis.spanDupRate]] +
+    * [[buildSpanIndex]]), not the ingest loop. */
   private[graft] def knownSpans(spark: SparkSession, spanIndexTable: String,
                                 batchIds: DataFrame, idCol: String,
                                 batchSpans: DataFrame): DataFrame =
     Bucketing.readBucketed(spark, spanIndexTable)
       .join(broadcast(batchIds.select(col(idCol).as("__src_id"))),
         Seq("__src_id"), "left_anti")
-      .join(batchSpans.select(col("__gh")).distinct(), Seq("__gh"), "left_semi")
+      .join(broadcast(batchSpans.select(col("__gh")).distinct()),
+        Seq("__gh"), "left_semi")
       .select(col("__gh")).distinct()
       .withColumn("__known", lit(true))
 

@@ -56,7 +56,10 @@ object DedupStream {
     }
 
   /** One batch of the loop — also the batch-mode entry point (callable
-    * without a stream for backfills/tests). */
+    * without a stream for tests and delivery-sized backfills; the band
+    * probe set broadcasts by hint in [[graft.ops.Dedup.lshCandidatesAgainstIndex]],
+    * so corpus-scale batches belong in a full [[graft.ops.Dedup.writeLshIndex]]
+    * rebuild instead). */
   def ingestBatch(batch: DataFrame, batchId: Long, cleanDir: String,
                   indexTable: String, idCol: String, textCol: String,
                   threshold: Double, buckets: Int, shingleWords: Int,

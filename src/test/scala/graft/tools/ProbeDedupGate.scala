@@ -21,6 +21,9 @@ object ProbeDedupGate {
   def main(args: Array[String]): Unit = {
     val thousands = if (args.nonEmpty) args(0).toInt else 100
     val n = thousands * 1000L
+    // The delivery's ids start at 10,000,000; a larger index would collide
+    // with them and the self-match filter would discard real postings.
+    require(n * 10 < 10000000L, s"index of ${n * 10} rows would overlap the delivery id space")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -29,13 +32,18 @@ object ProbeDedupGate {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Pseudo-random 40-token texts drawn from a 500-word vocabulary:
-    // plenty of incidental shingle collisions (live LSH buckets) without
-    // a degenerate all-duplicates corpus. Offset keeps id spaces disjoint.
+    // Pseudo-random 40-token texts over a vocabulary that GROWS with the
+    // probe size (10n words), so documents are globally distinct at both
+    // index sizes and LSH buckets stay far below maxBucketSize — a small
+    // fixed vocabulary would repeat whole documents with its period,
+    // pushing every 10x bucket over the cap and silently turning the
+    // larger run into cap-eliminated no-op work. Offset keeps id spaces
+    // disjoint (required above).
+    val vocab = lit(n * 10)
     def mk(rows: Long, offset: Long): DataFrame =
       spark.range(rows).select((col("id") + offset).as("id"),
         concat_ws(" ", (0 until 40).map(i =>
-          concat(lit("w"), pmod(col("id") * (2 * i + 1) + i, lit(500L)).cast("string"))): _*)
+          concat(lit("w"), pmod(col("id") * (2 * i + 1) + i, vocab).cast("string"))): _*)
           .as("text"))
 
     def ingestSecs(idxRows: Long, tag: String): Double = {

@@ -22,6 +22,9 @@ object ProbeIngestGate {
   def main(args: Array[String]): Unit = {
     val thousands = if (args.nonEmpty) args(0).toInt else 100
     val n = thousands * 1000L
+    // The delivery's ids start at 10,000,000; a larger index would collide
+    // with them and the replay exclusion would discard real postings.
+    require(n * 10 < 10000000L, s"index of ${n * 10} rows would overlap the delivery id space")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -30,15 +33,20 @@ object ProbeIngestGate {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Same corpus shape as ProbeSpanDup: 30% boilerplate (corpus-wide hot
-    // span keys), the rest pseudo-random 40-token texts. Offset keeps the
-    // delivery's id space disjoint from the index's.
+    // ProbeSpanDup's corpus shape (30% boilerplate = corpus-wide hot span
+    // keys, the rest pseudo-random 40-token texts), with two stopwords
+    // prepended so every document PASSES the Gopher gate and the probe
+    // actually measures the span gate (StopwordsEn is only 14 words; the
+    // bare w-token texts contain none and would all drop before any span
+    // work). Offset keeps the delivery's id space disjoint from the
+    // index's.
     def mk(rows: Long, offset: Long): DataFrame =
       spark.range(rows).select((col("id") + offset).as("id"),
         when(pmod(col("id"), lit(10L)) < 3L,
-          lit("all rights reserved click here to subscribe to our newsletter today"))
-          .otherwise(concat_ws(" ", (0 until 40).map(i =>
-            concat(lit("w"), pmod(col("id") * (2 * i + 1) + i, lit(500L)).cast("string"))): _*))
+          lit("all of the rights reserved click here to subscribe to our newsletter today"))
+          .otherwise(concat_ws(" ", lit("in") +: lit("the") +:
+            (0 until 40).map(i =>
+              concat(lit("w"), pmod(col("id") * (2 * i + 1) + i, lit(500L)).cast("string"))): _*))
           .as("text"))
 
     def ingestSecs(idxRows: Long, tag: String): Double = {
