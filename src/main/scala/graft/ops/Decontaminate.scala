@@ -39,6 +39,42 @@ object Decontaminate {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-document contamination fraction against the POOLED benchmark
+    * gram set — the decision rule training pipelines actually apply
+    * (drop a document when ≥ `threshold` of its distinct n-grams appear
+    * anywhere in the eval suite), vs [[contaminationPairs]]'s
+    * per-(doc, bench) evidence counts.
+    *
+    * Scale: identical shape to [[contaminationPairs]] — the benchmark's
+    * distinct grams broadcast; the corpus streams scan → shingle →
+    * explode → broadcast LEFT join (hits and misses both counted, so
+    * `n_grams` needs no second pass); the only Exchange is the per-doc
+    * count aggregation. Every document keeps ≥ 1 gram ([[wordShingles]]
+    * emits the whole-text shingle under `shingleWords` tokens), so the
+    * explode never drops a document and `overlap_frac` never divides by
+    * zero.
+    *
+    * Output: (doc_id, n_grams, n_shared, overlap_frac, contaminated). */
+  def contaminationScores(docs: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          shingleWords: Int = 3,
+                          threshold: Double = 0.5): DataFrame = {
+    def grams(df: DataFrame, keep: Seq[org.apache.spark.sql.Column],
+              text: String) =
+      df.select(keep :+ tokens(col(text)).as("__toks"): _*)
+        .select(keep :+
+          explode(array_distinct(wordShingles(col("__toks"), shingleWords))).as("gram"): _*)
+    val bg = broadcast(
+      grams(bench, Nil, benchTextCol).distinct().withColumn("__hit", lit(1)))
+    grams(docs, Seq(col(idCol).as("doc_id")), textCol)
+      .join(bg, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_shared"))
+      .withColumn("overlap_frac",
+        col("n_shared").cast("double") / col("n_grams").cast("double"))
+      .withColumn("contaminated", col("overlap_frac") >= threshold)
+  }
+
   /** The corpus with contaminated documents removed (anti-join on the
     * doc side of [[contaminationPairs]]). */
   def apply(docs: DataFrame, idCol: String, textCol: String,

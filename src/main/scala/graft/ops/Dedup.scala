@@ -264,6 +264,35 @@ object Dedup {
         jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /** Shingle-set CONTAINMENT over candidate pairs:
+    * `|A∩B| / min(|A|, |B|)` — the asymmetric near-subset detector that
+    * Jaccard misses (a document pasted inside a larger one scores low
+    * Jaccard because the union is dominated by the larger set, but its
+    * containment is ~1). Same verify-stage economics as [[ngramJaccard]]:
+    * hashed distinct shingle sets built once per candidate document
+    * (semi-join first), one array_intersect per pair; the intersect size
+    * binds as a real column so the ratio doesn't re-evaluate it.
+    * Output: (id_a, id_b, n_a, n_b, n_shared, containment). */
+  def ngramContainment(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       textCol: String, shingleWords: Int = 3): DataFrame = {
+    val ids = pairs.select(col("id_a").as(idCol))
+      .unionByName(pairs.select(col("id_b").as(idCol))).distinct()
+    val sh = docs.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        TextSketches.shingleHashSet(col(textCol), shingleWords).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_shared"))
+      .withColumn("containment",
+        when(least(col("n_a"), col("n_b")) === 0, lit(0.0))
+          .otherwise(col("n_shared").cast("double")
+            / least(col("n_a"), col("n_b")).cast("double")))
+  }
+
   /** Persist a corpus's LSH band index as a bucketed table on `band_key`
     * (see [[graft.io.Bucketing]]): incremental dedup then joins each
     * incoming batch against the index with NO corpus-side exchange — the

@@ -344,6 +344,28 @@ object Similarity {
     toDf(cents)
   }
 
+  /** Cluster-stratified diversity sample: keep at most `perCluster`
+    * members of each IVF cluster, chosen by a seeded 60-bit id-hash
+    * (deterministic; a new seed re-draws). Uniform sampling of a skewed
+    * embedding corpus keeps mostly head-region documents — stratifying by
+    * semantic cluster caps every region at the same budget, the standard
+    * coverage-preserving downsample for training data. `assigned` is
+    * [[ivfAssign]] output (idCol, ..., cluster).
+    *
+    * Scale: the rank-≤-n window plans as WindowGroupLimit — per-partition
+    * top-n heaps run BEFORE the cluster exchange, so shuffle input is
+    * ≤ partitions·perCluster rows per cluster, never the cluster's full
+    * membership (a mega-cluster costs the same as a small one). */
+  def clusterSample(assigned: DataFrame, idCol: String, perCluster: Int,
+                    seed: String): DataFrame = {
+    require(perCluster >= 1, s"perCluster must be >= 1: $perCluster")
+    val h = graft.functions.TextFunctions.hash60(
+      concat(lit(seed + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy("cluster").orderBy(h, col(idCol))
+    assigned.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= perCluster)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted
     * to bucketed candidates (the scale path for embedding dedup).
     *

@@ -94,6 +94,28 @@ object DedupQueries {
         .where(col("doc_id") =!= col("bench_id"))
     }),
 
+    // Shingle-set containment over the same LSH candidates:
+    // |A∩B| / min(|A|,|B|) — the asymmetric near-SUBSET detector (a doc
+    // pasted inside a larger one scores low Jaccard but ~1 containment).
+    "dedup_containment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text",
+        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
+        .select("id_a", "id_b").localCheckpoint(true)
+      Dedup.ngramContainment(d, pairs, "doc_id", "text", shingleWords = 3)
+    }),
+
+    // Pooled contamination fraction — the GPT-3/PaLM-style decision rule:
+    // a doc is contaminated when ≥ 50% of its distinct word trigrams
+    // appear ANYWHERE in the benchmark set (fixture: doc_id % 50 == 0
+    // stands in for the eval suite, as in dedup_decontaminate).
+    "dedup_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Decontaminate.contaminationScores(
+        d, "doc_id", "text", d.where(col("doc_id") % 50 === 0), "text",
+        shingleWords = 3, threshold = 0.5)
+    }),
+
     // Character-trigram Jaccard verification of the same LSH candidates
     // (robust to whitespace/word-boundary edits that word shingles miss).
     // Trigram sets are built only for candidate docs (semi-join), distinct
@@ -375,6 +397,34 @@ object DedupQueries {
          |FROM lshcand c
          |JOIN sets a ON c.id_a = a.doc_id
          |JOIN sets b ON c.id_b = b.doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $lshCandCtes,
+         |sets AS (SELECT doc_id,
+         |  list_distinct(list_transform(shingles, x -> ${h60("x")})) AS s FROM shg)
+         |SELECT c.id_a, c.id_b,
+         |  len(a.s)::BIGINT AS n_a, len(b.s)::BIGINT AS n_b,
+         |  len(list_filter(a.s, x -> list_contains(b.s, x)))::BIGINT AS n_shared,
+         |  CASE WHEN least(len(a.s), len(b.s)) = 0 THEN 0.0
+         |       ELSE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+         |            / least(len(a.s), len(b.s))::DOUBLE END AS containment
+         |FROM lshcand c
+         |JOIN sets a ON c.id_a = a.doc_id
+         |JOIN sets b ON c.id_b = b.doc_id""".stripMargin,
+
+    "dedup_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS gram FROM toks),
+         |bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+         |sc AS (
+         |  SELECT g.doc_id, count(*) AS n_grams, count(b.gram) AS n_shared
+         |  FROM grams g LEFT JOIN bg b ON g.gram = b.gram
+         |  GROUP BY 1)
+         |SELECT doc_id, n_grams, n_shared,
+         |       n_shared::DOUBLE / n_grams::DOUBLE AS overlap_frac,
+         |       n_shared::DOUBLE / n_grams::DOUBLE >= 0.5 AS contaminated
+         |FROM sc""".stripMargin,
 
     // Winnowing mirror: Rabin-Karp window hashes (base 257 mod 2^31−1,
     // per codepoint, as text_rolling_fingerprint), sliding min over w=8

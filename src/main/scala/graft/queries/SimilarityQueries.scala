@@ -46,6 +46,20 @@ object SimilarityQueries {
         "vec_id", "embedding", "cid")
         .select("vec_id", "cluster")),
 
+    // Cluster-stratified diversity sample: ≤ 20 members per IVF cluster
+    // by a seeded deterministic hash draw — the coverage-preserving
+    // downsample (uniform sampling would keep mostly head-cluster rows).
+    // Plans as WindowGroupLimit: per-partition top-n heaps BEFORE the
+    // cluster exchange (asserted in BenchPlans).
+    "sim_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterSample(
+        Similarity.ivfAssign(emb(s, dir),
+          emb(s, dir).where(col("vec_id") < 8)
+            .select(col("vec_id").as("cid"), col("embedding")),
+          "vec_id", "embedding", "cid"),
+        "vec_id", perCluster = 20, seed = "cs")
+        .select("vec_id", "cluster", "sample_rank")),
+
     // Int8 scalar quantization stats per vector (the storage-compression
     // path for 100 TB embedding tables): symmetric scale = max|x|/127.
     "sim_quantize_i8" -> ((s, dir) => {
@@ -377,6 +391,21 @@ object SimilarityQueries {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
          |  FROM scored)
          |SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1""".stripMargin,
+
+    "sim_cluster_sample" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
+         |    FROM embeddings e, c) WHERE rn = 1)
+         |SELECT vec_id, cluster,
+         |       row_number() OVER (PARTITION BY cluster
+         |         ORDER BY ('0x'||substr(md5('cs:' || vec_id::VARCHAR),1,15))::BIGINT,
+         |                  vec_id)::BIGINT AS sample_rank
+         |FROM assign
+         |QUALIFY sample_rank <= 20""".stripMargin,
 
     "sim_ivf_knn" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),

@@ -49,6 +49,63 @@ class OpsSpec extends SparkSpec {
     assert(out((1L, 2L)) == 1.0 && out((1L, 3L)) == 0.0)
   }
 
+  test("ngram containment: near-subset doc scores 1.0 where jaccard is low") {
+    val d = Seq(
+      (1L, "a b c d e"), // 3 shingles, all present in doc 2
+      (2L, "a b c d e f g h i j k l"), // 10 shingles
+      (3L, "x y z w v u t")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramContainment(d, pairs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r).toMap
+    val sub = out((1L, 2L))
+    assert(sub.getAs[Double]("containment") == 1.0)
+    assert(sub.getAs[Long]("n_shared") == sub.getAs[Long]("n_a"))
+    // the same pair under Jaccard is far from 1 — union dominated by the
+    // superset — which is exactly why the asymmetric measure exists
+    val jac = Dedup.ngramJaccard(d, Seq((1L, 2L)).toDF("id_a", "id_b"),
+      "doc_id", "text").collect()(0).getAs[Double]("jaccard")
+    assert(jac <= 0.3)
+    assert(out((1L, 3L)).getAs[Double]("containment") == 0.0)
+  }
+
+  test("contamination scores: bench copy = 1.0, disjoint = 0.0, partial counted exactly") {
+    val d = Seq(
+      (1L, "q w e r t y u"), // verbatim bench copy
+      (2L, "a b c d e f"), // disjoint
+      (3L, "q w e r zz xx yy")) // shares 2 of its 5 trigrams
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "q w e r t y u")).toDF("bench_id", "text")
+    val out = Decontaminate.contaminationScores(d, "doc_id", "text",
+      bench, "text", shingleWords = 3, threshold = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("overlap_frac") == 1.0 &&
+      out(1L).getAs[Boolean]("contaminated"))
+    assert(out(2L).getAs[Double]("overlap_frac") == 0.0 &&
+      !out(2L).getAs[Boolean]("contaminated"))
+    assert(out(3L).getAs[Long]("n_grams") == 5L &&
+      out(3L).getAs[Long]("n_shared") == 2L &&
+      !out(3L).getAs[Boolean]("contaminated"))
+  }
+
+  test("cluster sample: per-cluster cap, under-cap kept whole, seeded re-draw") {
+    val assigned = ((1L to 100L).map((_, 0L)) ++
+      Seq((200L, 1L), (201L, 1L), (202L, 1L))).toDF("vec_id", "cluster")
+    val rows = Similarity.clusterSample(assigned, "vec_id", perCluster = 10,
+      seed = "s1").collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    assert(byCluster(0L).length == 10)
+    assert(byCluster(1L).map(_.getAs[Long]("vec_id")).toSet ==
+      Set(200L, 201L, 202L), "an under-cap cluster keeps every member")
+    assert(rows.forall(_.getAs[Long]("sample_rank") <= 10))
+    // deterministic per seed; a different seed draws a different subset
+    val again = Similarity.clusterSample(assigned, "vec_id", 10, "s1").collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    val other = Similarity.clusterSample(assigned, "vec_id", 10, "s2").collect()
+      .filter(_.getAs[Long]("cluster") == 0L).map(_.getAs[Long]("vec_id")).toSet
+    assert(other != byCluster(0L).map(_.getAs[Long]("vec_id")).toSet,
+      "seed s2 should re-draw the head cluster's sample")
+  }
+
   test("cluster resolution: chains collapse to one component, keeper = min id") {
     // 1-2, 2-3, 3-4 form a chain (diameter 3); 10-11 is separate; 20 isolated (absent)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")

@@ -65,6 +65,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected sort-merge join in:\n$plan")
   }
 
+  test("cluster sample plans WindowGroupLimit; contamination stays broadcast") {
+    val cs = graft.SparkEntry.queries("sim_cluster_sample")(spark, sf)
+    val csPlan = cs.queryExecution.executedPlan.toString
+    // per-partition top-n heaps BEFORE the cluster exchange — a mega-
+    // cluster must never stream its full membership through one task
+    assert(csPlan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$csPlan")
+
+    val ct = graft.SparkEntry.queries("dedup_contamination")(spark, sf)
+    val ctPlan = ct.queryExecution.executedPlan.toString
+    // benchmark gram set rides a broadcast onto the exploded corpus gram
+    // stream; a sort-merge join here would shuffle the corpus by gram
+    assert(ctPlan.contains("BroadcastHashJoin"),
+      s"expected broadcast join in:\n$ctPlan")
+    assert(!ctPlan.contains("SortMergeJoin"),
+      s"unexpected sort-merge join in:\n$ctPlan")
+  }
+
   test("grouping-sets query plans one Expand, top-ngrams plans TakeOrderedAndProject") {
     val gs = graft.SparkEntry.queries("rel_grouping_sets")(spark, sf)
     val gsPlan = gs.queryExecution.executedPlan.toString
