@@ -58,15 +58,30 @@ object Decontaminate {
   def contaminationScores(docs: DataFrame, idCol: String, textCol: String,
                           bench: DataFrame, benchTextCol: String,
                           shingleWords: Int = 3,
-                          threshold: Double = 0.5): DataFrame = {
-    def grams(df: DataFrame, keep: Seq[org.apache.spark.sql.Column],
-              text: String) =
-      df.select(keep :+ tokens(col(text)).as("__toks"): _*)
-        .select(keep :+
-          explode(array_distinct(wordShingles(col("__toks"), shingleWords))).as("gram"): _*)
-    val bg = broadcast(
-      grams(bench, Nil, benchTextCol).distinct().withColumn("__hit", lit(1)))
-    grams(docs, Seq(col(idCol).as("doc_id")), textCol)
+                          threshold: Double = 0.5): DataFrame =
+    contaminationScoresAgainst(docs, idCol, textCol,
+      benchGramSet(bench, benchTextCol, shingleWords), shingleWords, threshold)
+
+  /** The benchmark's distinct gram set — compute ONCE and reuse when the
+    * same eval suite gates many corpora/deliveries (e.g. materialized at
+    * stream start by [[graft.streaming.CurationStream]] instead of
+    * re-shingling the suite every micro-batch). Output: (gram). */
+  def benchGramSet(bench: DataFrame, benchTextCol: String,
+                   shingleWords: Int = 3): DataFrame =
+    grams(bench, Nil, benchTextCol, shingleWords).distinct()
+
+  /** [[contaminationScores]] against a PRE-COMPUTED benchmark gram set
+    * ([[benchGramSet]] output). The gram set rides a broadcast HINT (a
+    * checkpointed/reused set carries no size stats, and an auto-demotion
+    * to sort-merge would shuffle the corpus gram stream — the exact
+    * exchange this shape avoids; eval suites are broadcast-sized by
+    * construction). */
+  def contaminationScoresAgainst(docs: DataFrame, idCol: String,
+                                 textCol: String, benchGrams: DataFrame,
+                                 shingleWords: Int = 3,
+                                 threshold: Double = 0.5): DataFrame = {
+    val bg = broadcast(benchGrams.select(col("gram")).withColumn("__hit", lit(1)))
+    grams(docs, Seq(col(idCol).as("doc_id")), textCol, shingleWords)
       .join(bg, Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_shared"))
@@ -74,6 +89,14 @@ object Decontaminate {
         col("n_shared").cast("double") / col("n_grams").cast("double"))
       .withColumn("contaminated", col("overlap_frac") >= threshold)
   }
+
+  /** One distinct-gram row per (kept columns, gram); tokens bound as an
+    * attribute before shingling (lambda-inlining rule). */
+  private def grams(df: DataFrame, keep: Seq[org.apache.spark.sql.Column],
+                    text: String, shingleWords: Int) =
+    df.select(keep :+ tokens(col(text)).as("__toks"): _*)
+      .select(keep :+
+        explode(array_distinct(wordShingles(col("__toks"), shingleWords))).as("gram"): _*)
 
   /** The corpus with contaminated documents removed (anti-join on the
     * doc side of [[contaminationPairs]]). */

@@ -6,10 +6,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-/** Quality + span-dedup curation on ingest, as a stream: new document
-  * files pass the Gopher rule gate ([[graft.ops.TextAnalysis.gopherRules]],
-  * per-row), then a span-duplication gate against a persisted span-hash
-  * index — a document whose word-n-gram spans are mostly already known to
+/** Quality + decontamination + span-dedup curation on ingest, as a
+  * stream: new document files pass the Gopher rule gate
+  * ([[graft.ops.TextAnalysis.gopherRules]], per-row), optionally a
+  * benchmark-decontamination gate (pooled overlap fraction against an
+  * eval suite whose gram set is computed ONCE at stream start — the
+  * leakage guard at delivery time), then a span-duplication gate against
+  * a persisted span-hash index — a document whose word-n-gram spans are mostly already known to
   * the corpus (boilerplate, templated or re-crawled content) drops, and
   * the survivors' spans BECOME part of the index. The incremental twin of
   * the batch [[graft.ops.TextAnalysis.spanDupRate]] gate, the same closed
@@ -62,12 +65,23 @@ object CurationStream {
             checkpoint: String, maxDupRate: Double = 0.9, spanN: Int = 3,
             buckets: Int = 8, minWords: Int = 50,
             trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Int = 100): StreamingQuery =
+            maxFilesPerTrigger: Int = 100,
+            bench: Option[DataFrame] = None, benchTextCol: String = "text",
+            benchShingleWords: Int = 3,
+            maxOverlapFrac: Double = 0.5): StreamingQuery = {
+    // The eval suite's gram set is computed ONCE at stream start (eager,
+    // cleaner-reclaimed) — the suite is static across the stream's life,
+    // so per-batch work is just the broadcast membership join.
+    val benchGrams = bench.map(b =>
+      graft.ops.Decontaminate.benchGramSet(b, benchTextCol, benchShingleWords)
+        .localCheckpoint(true))
     IngestStream.start(spark, inputDir, s"curation-ingest-$spanIndexTable",
       checkpoint, trigger, maxFilesPerTrigger) { (batch, batchId) =>
       ingestBatch(batch, batchId, cleanDir, spanIndexTable, idCol,
-        textCol, maxDupRate, spanN, buckets, minWords)
+        textCol, maxDupRate, spanN, buckets, minWords,
+        benchGrams, benchShingleWords, maxOverlapFrac)
     }
+  }
 
   /** One batch of the loop — also the batch-mode entry point (callable
     * without a stream for tests and delivery-sized backfills; the probe
@@ -76,15 +90,32 @@ object CurationStream {
   def ingestBatch(batch: DataFrame, batchId: Long, cleanDir: String,
                   spanIndexTable: String, idCol: String, textCol: String,
                   maxDupRate: Double, spanN: Int, buckets: Int,
-                  minWords: Int): Unit = {
+                  minWords: Int, benchGrams: Option[DataFrame] = None,
+                  benchShingleWords: Int = 3,
+                  maxOverlapFrac: Double = 0.5): Unit = {
     val spark = batch.sparkSession
     val docs = batch.localCheckpoint(true)
 
     // 1. Gopher rule gate — per-row, before any span work is paid.
     val gopherPass = TextAnalysis.gopherRules(docs, idCol, textCol,
       minWords = minWords).where(col("pass")).select(idCol)
-    val gated = docs.join(gopherPass, Seq(idCol), "left_semi")
-      .localCheckpoint(true)
+    val rulePassed = docs.join(gopherPass, Seq(idCol), "left_semi")
+
+    // 1b. Decontamination gate (optional): drop documents whose distinct
+    // gram overlap with the (precomputed, stream-static) eval-suite gram
+    // set is ≥ maxOverlapFrac — the leakage guard at delivery time, the
+    // incremental twin of [[graft.ops.Decontaminate.contaminationScores]].
+    // Stateless (the suite never changes mid-stream), so replays are
+    // trivially idempotent. Runs AFTER the per-row rules (cheapest gate
+    // first) and BEFORE any span/index work is paid.
+    val gated = (benchGrams match {
+      case None => rulePassed
+      case Some(bg) =>
+        val hits = graft.ops.Decontaminate.contaminationScoresAgainst(
+          rulePassed, idCol, textCol, bg, benchShingleWords, maxOverlapFrac)
+          .where(col("contaminated")).select(col("doc_id").as(idCol))
+        rulePassed.join(hits, Seq(idCol), "left_anti")
+    }).localCheckpoint(true)
 
     // 2. Span gate. The batch's span stream is materialized once (it
     // feeds the intra-batch counts, the index probe, and — for the

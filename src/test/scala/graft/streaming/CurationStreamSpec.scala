@@ -53,6 +53,31 @@ class CurationStreamSpec extends SparkSpec {
     }
   }
 
+  test("decontamination gate: bench near-copy drops, clean docs pass, ≡ batch rule") {
+    withIndexTable { idx =>
+      val clean = tmp("curdecon") + "/t"
+      // doc 1 shares all its trigrams with the bench doc; 2 is unrelated
+      val bench = Seq((100L, tA)).toDF("bench_id", "text")
+      val benchGrams = graft.ops.Decontaminate.benchGramSet(bench, "text", 3)
+        .localCheckpoint(true)
+      val b = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+      CurationStream.ingestBatch(b, 0L, clean, idx, "doc_id", "text",
+        maxDupRate = 0.5, spanN = 3, buckets = 4, minWords = 5,
+        benchGrams = Some(benchGrams), benchShingleWords = 3,
+        maxOverlapFrac = 0.5)
+      assert(CurationStream.readClean(spark, clean)
+        .select("doc_id").as[Long].collect().toSet == Set(2L),
+        "the bench copy must drop; the clean doc must pass")
+      // the dropped doc's spans must NOT have joined the index
+      val batchEquiv = graft.ops.Decontaminate.contaminationScoresAgainst(
+        b, "doc_id", "text", benchGrams, 3, 0.5)
+        .where(!col("contaminated")).select("doc_id").as[Long].collect().toSet
+      assert(batchEquiv == Set(2L), "stream gate ≡ the batch decision rule")
+      val idxSrc = spark.table(idx).select("__src_id").as[Long].collect().toSet
+      assert(idxSrc == Set(2L), "only survivors' spans enter the span index")
+    }
+  }
+
   test("empty index, one batch ≡ the batch operators' own gate semantics") {
     withIndexTable { idx =>
       val clean = tmp("cureq") + "/t"
