@@ -452,10 +452,23 @@ object Similarity {
   def semDedup(corpus: DataFrame, centroids: DataFrame, idCol: String,
                vecCol: String, cidCol: String, threshold: Double,
                maxClusterSize: Int = 10000, heavyBits: Int = 6,
-               heavyMaxBucketSize: Int = 1000): DataFrame = {
-    val assigned = ivfAssign(corpus, centroids, idCol, vecCol, cidCol)
-      .select(col(idCol), col(vecCol), col("cluster"))
-      .localCheckpoint(true)
+               heavyMaxBucketSize: Int = 1000): DataFrame =
+    semDedupAssigned(
+      ivfAssign(corpus, centroids, idCol, vecCol, cidCol)
+        .select(col(idCol), col(vecCol), col("cluster"))
+        .localCheckpoint(true),
+      idCol, vecCol, threshold, maxClusterSize, heavyBits, heavyMaxBucketSize)
+
+  /** [[semDedup]] over a PRE-ASSIGNED corpus — `assigned` carries
+    * (idCol, vecCol, cluster) and should already be MATERIALIZED
+    * (checkpointed/persisted): both pair paths and the final anti-join
+    * re-read it. Lets callers that already hold an assignment (e.g. the
+    * ingest gate [[graft.streaming.EmbedDedupStream]], which assigns each
+    * delivery once for the index probe) skip a second centroid pass. */
+  def semDedupAssigned(assigned: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, maxClusterSize: Int = 10000,
+                       heavyBits: Int = 6,
+                       heavyMaxBucketSize: Int = 1000): DataFrame = {
     // Over-cap clusters as a TINY broadcast list (≤ |centroids| rows)
     // anti-joined away — a count window would re-shuffle and re-count the
     // corpus once per self-join side; this is one partial agg.
