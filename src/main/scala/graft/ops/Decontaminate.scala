@@ -25,19 +25,13 @@ object Decontaminate {
     * de-duplicated per document, so `n_shared` counts distinct grams. */
   def contaminationPairs(docs: DataFrame, idCol: String, textCol: String,
                          bench: DataFrame, benchIdCol: String, benchTextCol: String,
-                         shingleWords: Int = 3, minShared: Int = 2): DataFrame = {
-    // tokens bound as a real attribute before shingling (lambda-inlining
-    // rule, see TextFunctions.wordShingles)
-    def grams(df: DataFrame, id: String, text: String, outId: String) =
-      df.select(col(id).as(outId), tokens(col(text)).as("__toks"))
-        .select(col(outId),
-          explode(array_distinct(wordShingles(col("__toks"), shingleWords))).as("gram"))
-    grams(docs, idCol, textCol, "doc_id")
-      .join(broadcast(grams(bench, benchIdCol, benchTextCol, "bench_id")), "gram")
+                         shingleWords: Int = 3, minShared: Int = 2): DataFrame =
+    grams(docs, Seq(col(idCol).as("doc_id")), textCol, shingleWords)
+      .join(broadcast(
+        grams(bench, Seq(col(benchIdCol).as("bench_id")), benchTextCol, shingleWords)), "gram")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-  }
 
   /** Per-document contamination fraction against the POOLED benchmark
     * gram set — the decision rule training pipelines actually apply
@@ -80,7 +74,12 @@ object Decontaminate {
                                  textCol: String, benchGrams: DataFrame,
                                  shingleWords: Int = 3,
                                  threshold: Double = 0.5): DataFrame = {
-    val bg = broadcast(benchGrams.select(col("gram")).withColumn("__hit", lit(1)))
+    // Defensive distinct: a non-distinct gram set would multiply every
+    // matching corpus gram through the join and silently corrupt BOTH
+    // counts (a no-op on [[benchGramSet]] output — the set is eval-suite-
+    // sized, so the dedup is broadcast-side cheap either way).
+    val bg = broadcast(benchGrams.select(col("gram")).distinct()
+      .withColumn("__hit", lit(1)))
     grams(docs, Seq(col(idCol).as("doc_id")), textCol, shingleWords)
       .join(bg, Seq("gram"), "left")
       .groupBy("doc_id")

@@ -99,7 +99,13 @@ object CurationStream {
     // 1. Gopher rule gate — per-row, before any span work is paid.
     val gopherPass = TextAnalysis.gopherRules(docs, idCol, textCol,
       minWords = minWords).where(col("pass")).select(idCol)
-    val rulePassed = docs.join(gopherPass, Seq(idCol), "left_semi")
+    // Materialized when the decontamination gate will consume it twice
+    // (scoring subtree + anti-join left side) — unmaterialized, the
+    // per-row rule math would re-run per consumer.
+    val rulePassed0 = docs.join(gopherPass, Seq(idCol), "left_semi")
+    val rulePassed =
+      if (benchGrams.isDefined) rulePassed0.localCheckpoint(true)
+      else rulePassed0
 
     // 1b. Decontamination gate (optional): drop documents whose distinct
     // gram overlap with the (precomputed, stream-static) eval-suite gram

@@ -27,13 +27,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * (the SemDeDup contract): a near-duplicate pair straddling a cluster
   * boundary is accepted recall loss, same as the batch operator.
   *
-  * Replay semantics are id-based like [[DedupStream]]'s: a crash between
-  * the index append and the checkpoint commit re-runs the batch against
-  * an index already holding the batch's own rows — self-matches are
-  * filtered (`id` inequality), re-appended rows only duplicate index
-  * entries for the same id, and decisions come out of a `distinct`, so
-  * they are unchanged. Compact a churned index by rebuilding from the
-  * clean corpus ([[buildIndex]]). Ids must be unique across deliveries.
+  * Replay semantics are id-based like [[CurationStream]]'s span probe: a
+  * crash between the index append and the checkpoint commit re-runs the
+  * batch against an index already holding the batch's own rows, so the
+  * probe EXCLUDES index entries whose id is in the current batch (a
+  * broadcast anti-join — the batch id set is micro-batch-sized). An `id`
+  * inequality alone would not be enough: the intra-delivery prune is
+  * LSH-bounded inside over-cap clusters, so two above-threshold batch
+  * rows CAN both survive it, and on replay each would see the other's
+  * indexed row and both would drop — different decisions than the first
+  * run. With the exclusion, re-appended rows only duplicate index
+  * entries and decisions are unchanged. Compact a churned index by
+  * rebuilding from the clean corpus ([[buildIndex]]). Ids must be
+  * unique across deliveries.
   *
   * Centroids are the stream-static coarse quantizer (train offline with
   * [[graft.ops.Similarity.kMeans]], like a FAISS IVF index); they are
@@ -85,20 +91,26 @@ object EmbedDedupStream {
       assigned.select(col(idCol), col(vecCol), col("cluster")),
       idCol, vecCol, threshold, maxClusterSize, heavyBits, heavyMaxBucketSize)
       .select(idCol)
+    // Materialized: it feeds the broadcast probe, the anti-join's left
+    // side, and the final writes — unmaterialized, the intra prune (the
+    // heaviest per-batch computation) would re-run per consumer.
     val intraSurvivors = assigned.join(intraKept, Seq(idCol), "left_semi")
+      .localCheckpoint(true)
 
     // 2. cross-index: drop batch rows with an above-threshold corpus
     // neighbor in their cluster. The probe reads only the delivery's
-    // clusters (partition pruning) and broadcasts the delivery side.
+    // clusters (partition pruning), excludes the batch's OWN ids (replay
+    // safety — see the object doc), and broadcasts the delivery side.
     val survivors = (if (indexExists(spark, indexDir)) {
-      val clusters = assigned.select(col("cluster").cast("long"))
+      val clusters = intraSurvivors.select(col("cluster").cast("long"))
         .distinct().collect().map(_.getLong(0)).toSeq.sorted
       val probe = broadcast(intraSurvivors
         .select(col("cluster"), col(idCol).as("__id_n"), col(vecCol).as("__vn")))
+      val batchIds = broadcast(assigned.select(col(idCol).as("__id_c")))
       val crossLosers = Similarity.readIvfIndex(spark, indexDir, clusters)
         .select(col("cluster"), col(idCol).as("__id_c"), col(vecCol).as("__vc"))
+        .join(batchIds, Seq("__id_c"), "left_anti")
         .join(probe, Seq("cluster"))
-        .where(col("__id_n") =!= col("__id_c"))
         .where(cosine(col("__vn"), col("__vc")) >= threshold)
         .select(col("__id_n").as(idCol)).distinct()
       intraSurvivors.join(crossLosers, Seq(idCol), "left_anti")
@@ -127,8 +139,17 @@ object EmbedDedupStream {
   def readClean(spark: SparkSession, cleanDir: String): DataFrame =
     IngestStream.readClean(spark, cleanDir)
 
+  /** True only when the index holds COMMITTED data: a crash during the
+    * bootstrap write leaves the directory with only `_temporary` debris,
+    * and a bare existence check would then route the replayed batch into
+    * `spark.read.parquet` of an empty index (schema-inference failure on
+    * every restart). Committed partitions always surface as `cluster=*`
+    * directories. */
   private def indexExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && Option(
+      fs.globStatus(new org.apache.hadoop.fs.Path(p, "cluster=*")))
+      .exists(_.nonEmpty)
   }
 }

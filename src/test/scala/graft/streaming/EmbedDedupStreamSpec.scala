@@ -62,6 +62,45 @@ class EmbedDedupStreamSpec extends SparkSpec {
     assert(rows.sorted.toSeq == Seq(1L, 3L, 5L), s"got ${rows.toSeq}")
   }
 
+  test("replay stays idempotent when the intra LSH prune misses an over-cap pair") {
+    val clean = tmp("edCleanH") + "/t"
+    val idx = tmp("edIdxH") + "/t"
+    // 8-dim: cluster mass on dim 7 (outside the 6 sign-bucket dims);
+    // x1/x2 have cosine ≈ 0.9999 but sign-buckets at Hamming 2 (dims 1-2
+    // flip), so the heavy path's Hamming-1 multiprobe misses the pair and
+    // BOTH survive the intra prune. maxClusterSize = 1 forces that path.
+    val c0 = v(0, 0, 0, 0, 0, 0, 1, 0)
+    val x1 = v(0.05, 0.05, 0, 0, 0, 0, 10, 0)
+    val x2 = v(-0.05, -0.05, 0, 0, 0, 0, 10, 0)
+    val cents1 = Seq((0L, c0)).toDF("cid", "embedding")
+    def runH(bid: Long): Unit =
+      EmbedDedupStream.ingestBatch(
+        Seq((1L, x1), (2L, x2)).toDF("vec_id", "embedding"), bid, clean,
+        idx, cents1, "vec_id", "embedding", "cid", threshold = 0.9,
+        maxClusterSize = 1, heavyBits = 6, heavyMaxBucketSize = 1000)
+    runH(0L)
+    val first = EmbedDedupStream.readClean(spark, clean)
+      .select("vec_id").as[Long].collect().toSet
+    assert(first == Set(1L, 2L), "LSH-missed pair: both survive the first run")
+    // crash-after-index-append replay: without the batch-id exclusion the
+    // exact cross-index scan would now drop BOTH rows
+    runH(0L)
+    val replayed = EmbedDedupStream.readClean(spark, clean)
+      .select("vec_id").as[Long].collect().toSet
+    assert(replayed == first, s"replay changed decisions: $first -> $replayed")
+  }
+
+  test("bootstrap-crash residue (dir with only _temporary) still bootstraps") {
+    val clean = tmp("edCleanB") + "/t"
+    val idx = tmp("edIdxB") + "/t"
+    Files.createDirectories(java.nio.file.Paths.get(idx, "_temporary"))
+    run(Seq((1L, a), (3L, b)), 0L, clean, idx)
+    assert(EmbedDedupStream.readClean(spark, clean)
+      .select("vec_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(spark.read.parquet(idx).select("vec_id")
+      .as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("one empty-index batch ≡ the batch semDedup operator") {
     val clean = tmp("edCleanE") + "/t"
     val idx = tmp("edIdxE") + "/t"

@@ -29,29 +29,31 @@ object ProbeEmbedGate {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // 16-dim pseudo-random unit-ish vectors spread over 32 clusters:
-    // dims 0-1 carry the cluster direction, the rest deterministic noise
-    // so near-dup hits stay rare (the probe times the gate, not drops).
+    // 32-dim pseudo-random vectors spread over 32 clusters: dim (id mod
+    // 32) carries a dominant spike (every id maps to exactly one
+    // cluster's direction, so the index populates ALL k partitions and
+    // every delivery touches every cluster — zero pruning headroom, the
+    // gate's worst case), the other dims deterministic noise so near-dup
+    // hits stay rare (the probe times the gate, not drops).
     val k = 32
     def mk(rows: Long, offset: Long): DataFrame =
       spark.range(rows).select((col("id") + offset).as("vec_id"),
-        array((0 until 16).map { d =>
+        array((0 until k).map { d =>
           (sin(col("id") * (d * 7 + 3) + d) +
-            when(pmod(col("id"), lit(k)) === d % k, 4.0).otherwise(0.0))
+            when(pmod(col("id"), lit(k)) === d, 4.0).otherwise(0.0))
             .cast("float")
         }: _*).as("embedding"))
-    // centroids: one-hot-ish on dim (cid mod 16) — deterministic spread
+    // centroids: one-hot on dim cid — k distinct directions
     val cents = spark.range(k).select(col("id").as("cid"),
-      array((0 until 16).map(d =>
-        when(pmod(col("id"), lit(16)) === d, 4.0).otherwise(0.0).cast("float")): _*)
+      array((0 until k).map(d =>
+        when(col("id") === d, 4.0).otherwise(0.0).cast("float")): _*)
         .as("embedding")).localCheckpoint(true)
 
-    def ingestSecs(idxRows: Long, tag: String): Double = {
+    def ingestSecs(idxRows: Long, tag: String, batch: DataFrame): Double = {
       val idxDir = Files.createTempDirectory(s"embIdx$tag").toString + "/t"
       val clean = Files.createTempDirectory(s"embClean$tag").toString + "/t"
       EmbedDedupStream.buildIndex(mk(idxRows, 0L), cents, "vec_id",
         "embedding", "cid", idxDir)
-      val batch = mk(10000L, 10000000L).localCheckpoint(true)
       def once(bid: Long): Double = {
         val t0 = System.nanoTime()
         EmbedDedupStream.ingestBatch(batch, bid, clean, idxDir, cents,
@@ -62,11 +64,23 @@ object ProbeEmbedGate {
       math.min(once(0L), once(1L))
     }
 
-    ingestSecs(10000L, "warm") // warm-up
-    val t1 = ingestSecs(n, "x1")
-    val t10 = ingestSecs(n * 10, "x10")
-    println(f"embed-ingest 10k vecs: vs ${n / 1000}%dk-vec index = $t1%.1fs, " +
-      f"vs ${n * 10 / 1000}%dk-vec index = $t10%.1fs, ratio ${t10 / t1}%.1fx")
+    // Spread delivery: 10k vectors touching ALL k clusters (no pruning
+    // headroom — the probe must scan the whole index).
+    val spread = mk(10000L, 10000000L).localCheckpoint(true)
+    // Confined delivery: ~10k vectors in 4 of k clusters — the pruning
+    // case (the probe opens only 4 `cluster=` partitions).
+    val confined = mk(80000L, 20000000L)
+      .where(pmod(col("vec_id"), lit(k)) < 4).localCheckpoint(true)
+
+    ingestSecs(10000L, "warm", spread) // warm-up
+    val t1 = ingestSecs(n, "x1", spread)
+    val t10 = ingestSecs(n * 10, "x10", spread)
+    val c10 = ingestSecs(n * 10, "x10c", confined)
+    println(f"embed-ingest 10k vecs (all-cluster spread): vs ${n / 1000}%dk-vec " +
+      f"index = $t1%.1fs, vs ${n * 10 / 1000}%dk-vec index = $t10%.1fs, " +
+      f"ratio ${t10 / t1}%.1fx")
+    println(f"embed-ingest ~10k vecs confined to 4/$k clusters vs " +
+      f"${n * 10 / 1000}%dk-vec index = $c10%.1fs (pruned scan)")
     spark.stop()
   }
 }
