@@ -90,12 +90,16 @@ object Decontaminate {
   }
 
   /** One distinct-gram row per (kept columns, gram); tokens bound as an
-    * attribute before shingling (lambda-inlining rule). */
+    * attribute before shingling (lambda-inlining rule). The explode rides
+    * a `col("*")` projection so `keep`'s aliases are applied exactly once
+    * (re-stating an aliased column in a second select would reference the
+    * pre-rename name and fail resolution). */
   private def grams(df: DataFrame, keep: Seq[org.apache.spark.sql.Column],
                     text: String, shingleWords: Int) =
     df.select(keep :+ tokens(col(text)).as("__toks"): _*)
-      .select(keep :+
-        explode(array_distinct(wordShingles(col("__toks"), shingleWords))).as("gram"): _*)
+      .select(col("*"),
+        explode(array_distinct(wordShingles(col("__toks"), shingleWords))).as("gram"))
+      .drop("__toks")
 
   /** The corpus with contaminated documents removed (anti-join on the
     * doc side of [[contaminationPairs]]). */

@@ -87,6 +87,17 @@ class OpsSpec extends SparkSpec {
       !out(3L).getAs[Boolean]("contaminated"))
   }
 
+  test("contamination pairs: distinct bench id column resolves; counts shared grams") {
+    val d = Seq((1L, "q w e r t"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val bench = Seq((9L, "q w e r t")).toDF("bid", "text")
+    val out = Decontaminate.contaminationPairs(d, "doc_id", "text",
+      bench, "bid", "text", shingleWords = 3, minShared = 2).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("doc_id") == 1L &&
+      out(0).getAs[Long]("bench_id") == 9L &&
+      out(0).getAs[Long]("n_shared") == 3L)
+  }
+
   test("cluster sample: per-cluster cap, under-cap kept whole, seeded re-draw") {
     val assigned = ((1L to 100L).map((_, 0L)) ++
       Seq((200L, 1L), (201L, 1L), (202L, 1L))).toDF("vec_id", "cluster")
