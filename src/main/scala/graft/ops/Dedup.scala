@@ -77,6 +77,46 @@ object Dedup {
           .cast("double") / k).as("est_jaccard"))
   }
 
+  /** LSH candidate near-duplicate pairs ACROSS two corpora (`id_a` from
+    * `a`, `id_b` from `b`, orientation preserved) with estimated Jaccard
+    * — the batch shape of cross-delivery contamination ("which new-crawl
+    * documents near-duplicate the reference corpus"). Unlike
+    * [[lshCandidatePairs]]' self-join, no within-side pairs are
+    * generated, and each side's band buckets are capped INDEPENDENTLY
+    * (the quadratic term is |bucket_a|·|bucket_b|). Sides may share ids —
+    * they are only labels here; callers joining a corpus against a
+    * filtered view of itself can drop `id_a === id_b` rows.
+    *
+    * Same two-stage economics as [[lshCandidatePairs]]: distinct the
+    * long-pair candidates FIRST, then compute one signature fold per
+    * unique pair. When `b` is a long-lived reference corpus, persist its
+    * sketches instead and use [[lshCandidatesAgainstIndex]] — this
+    * entry point re-sketches both sides and suits one-shot audits. */
+  def crossCorpusCandidates(a: DataFrame, b: DataFrame, idCol: String,
+                            textCol: String, shingleWords: Int = 3,
+                            k: Int = 16, bands: Int = 4,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame) =
+      minHashed(df, idCol, textCol, shingleWords, k, bands)
+        .withColumn("bucket_n", count(lit(1)).over(w.partitionBy("band_key")))
+        .where(col("bucket_n") <= maxBucketSize)
+        .localCheckpoint(true)
+    val ha = side(a)
+    val hb = side(b)
+    val cand = ha.select(col("band_key"), col(idCol).as("id_a"))
+      .join(hb.select(col("band_key"), col(idCol).as("id_b")), Seq("band_key"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(ha.select(col(idCol).as("id_a"), col("signature").as("sig_a")).distinct(), "id_a")
+      .join(hb.select(col(idCol).as("id_b"), col("signature").as("sig_b")).distinct(), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x)
+          .cast("double") / k).as("est_jaccard"))
+  }
+
   /** SimHash sketch per document. */
   def simHashed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), TextSketches.simHash32(col(textCol)).as("simhash"))

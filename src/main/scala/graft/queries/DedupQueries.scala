@@ -94,6 +94,17 @@ object DedupQueries {
         .where(col("doc_id") =!= col("bench_id"))
     }),
 
+    // Cross-corpus LSH dedup: which "new crawl" docs (odd ids) near-
+    // duplicate the "reference corpus" (even ids) — no within-side
+    // pairs, per-side bucket caps, orientation preserved.
+    "dedup_cross_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.crossCorpusCandidates(
+        d.where(col("doc_id") % 2 === 1), d.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", shingleWords = 3, k = 16, bands = 4,
+        maxBucketSize = 1000)
+    }),
+
     // Shingle-set containment over the same LSH candidates:
     // |A∩B| / min(|A|,|B|) — the asymmetric near-SUBSET detector (a doc
     // pasted inside a larger one scores low Jaccard but ~1 containment).
@@ -397,6 +408,28 @@ object DedupQueries {
          |FROM lshcand c
          |JOIN sets a ON c.id_a = a.doc_id
          |JOIN sets b ON c.id_b = b.doc_id""".stripMargin,
+
+    "dedup_cross_corpus" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM toks),
+         |sig AS (SELECT doc_id, ($signatureSql) AS signature FROM sh),
+         |bands AS (
+         |  SELECT doc_id, signature,
+         |         unnest(list_transform(range(0,4), b -> b::VARCHAR || ':' ||
+         |           md5(array_to_string(list_slice(signature, (b*4+1)::INT, (b*4+4)::INT), ',')))) AS band_key
+         |  FROM sig),
+         |ba AS (SELECT * FROM bands WHERE doc_id % 2 = 1
+         |       QUALIFY count(*) OVER (PARTITION BY band_key) <= 1000),
+         |bb AS (SELECT * FROM bands WHERE doc_id % 2 = 0
+         |       QUALIFY count(*) OVER (PARTITION BY band_key) <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ba a JOIN bb b USING (band_key))
+         |SELECT c.id_a, c.id_b,
+         |  (len(list_filter(range(1,17), i -> sa.signature[i::INT] = sb.signature[i::INT]))::DOUBLE / 16) AS est_jaccard
+         |FROM cand c
+         |JOIN sig sa ON c.id_a = sa.doc_id
+         |JOIN sig sb ON c.id_b = sb.doc_id""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH $lshCandCtes,

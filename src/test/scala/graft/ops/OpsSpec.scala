@@ -87,6 +87,22 @@ class OpsSpec extends SparkSpec {
       !out(3L).getAs[Boolean]("contaminated"))
   }
 
+  test("cross-corpus candidates: finds cross-side near-dups, never within-side pairs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val crawl = Seq((1L, base), (3L, "completely unrelated words right here")).toDF("doc_id", "text")
+    val ref = Seq((2L, base + " extra"), (4L, base + " extra"), (6L, "other unrelated reference text entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossCorpusCandidates(crawl, ref, "doc_id", "text").collect()
+    // 1 pairs with both near-identical reference docs; orientation a=crawl
+    val pairs = out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    // 2 and 4 are identical WITHIN the reference side — must not pair
+    assert(out.forall(r => Set(1L, 3L)(r.getAs[Long]("id_a"))))
+    assert(!pairs.contains((2L, 4L)) && !pairs.contains((4L, 2L)))
+    out.foreach(r => assert(r.getAs[Double]("est_jaccard") >= 0.0 &&
+      r.getAs[Double]("est_jaccard") <= 1.0))
+  }
+
   test("contamination pairs: distinct bench id column resolves; counts shared grams") {
     val d = Seq((1L, "q w e r t"), (2L, "a b c d e")).toDF("doc_id", "text")
     val bench = Seq((9L, "q w e r t")).toDF("bid", "text")
