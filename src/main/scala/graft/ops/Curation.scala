@@ -120,6 +120,31 @@ object Curation {
     * to materialize the tempered mixture.
     *
     * Output: (source, n_tokens, weight, token_budget). */
+  /** Per-domain quality floor (the FineWeb-style curation rule): within
+    * each `domainCol` group, drop the bottom `dropFrac` fraction of
+    * documents by quality percent_rank (ascending quality, ties broken
+    * by id — fully deterministic). percent_rank is exact integer-ratio
+    * arithmetic ((rank−1)/(n−1)), so the boundary compare is
+    * engine-portable bit-for-bit. Note the single-document-domain edge:
+    * its one doc has percent_rank 0 and drops at any dropFrac > 0 —
+    * rank floors are meaningful only for domains with ≥ 1/dropFrac
+    * documents; guard tiny domains upstream if they must survive.
+    *
+    * Scale: one hash exchange on `domainCol` + per-domain sort — the
+    * standard ranked-window shape (cf. `rel_window_dist`). Domains are
+    * the parallelism unit; a corpus where ONE domain dominates should
+    * precompute an approximate quality cutoff per domain (quantile
+    * sketch) and filter by it instead of ranking — same rule, sortless,
+    * at the cost of an approximate boundary. */
+  def qualityFloor(scored: DataFrame, domainCol: String, qualityCol: String,
+                   idCol: String, dropFrac: Double): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0, s"dropFrac in [0,1): $dropFrac")
+    val w = Window.partitionBy(domainCol)
+      .orderBy(col(qualityCol), col(idCol))
+    scored.withColumn("q_rank", percent_rank().over(w))
+      .where(col("q_rank") >= dropFrac)
+  }
+
   def temperatureWeights(docs: DataFrame, textCol: String, sourceCol: String,
                          totalTokenBudget: Long): DataFrame = {
     // Materialized once (eager, cleaner-reclaimed): bySrc is taxonomy-sized

@@ -20,6 +20,17 @@ object TextQueries {
 
     // Top-5 quality documents per language (curation shortlist; plans as
     // WindowGroupLimit — partial top-k before the shuffle).
+    // Per-domain quality floor: drop each source's bottom 20% by quality
+    // percent_rank (FineWeb-style curation rule; exact integer-ratio
+    // rank math, engine-portable — see Curation.qualityFloor).
+    "text_quality_floor" -> ((s, dir) => {
+      import graft.ops.{Curation, TextAnalysis}
+      val scored = TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")
+        .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+        .select("source", "doc_id", "quality")
+      Curation.qualityFloor(scored, "source", "quality", "doc_id", dropFrac = 0.2)
+    }),
+
     "text_topk_quality" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val w = org.apache.spark.sql.expressions.Window
@@ -486,6 +497,32 @@ object TextQueries {
          |         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn
          |  FROM q)
          |SELECT lang, doc_id, quality, rn FROM r WHERE rn <= 5""".stripMargin,
+
+    "text_quality_floor" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |sig AS (
+         |  SELECT doc_id, source,
+         |    least(len(toks)::DOUBLE / 100.0, 1.0) AS len_score,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE END AS diversity,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, x -> list_contains(
+         |              ['the','a','an','of','to','in','and','is','it','that','for','on','with','as'], x)))::DOUBLE
+         |              / len(toks)::DOUBLE END AS stopword_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |         ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |              / len(text)::DOUBLE END AS punct_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    (len_score + diversity + least(stopword_ratio * 5.0, 1.0)
+         |     + (1.0 - least(punct_ratio * 4.0, 1.0))) / 4.0 AS quality
+         |  FROM sig),
+         |r AS (
+         |  SELECT source, doc_id, quality,
+         |         percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id) AS q_rank
+         |  FROM q)
+         |SELECT source, doc_id, quality, q_rank FROM r WHERE q_rank >= 0.2""".stripMargin,
 
     "text_bpe_tokens" ->
       s"""WITH w AS (

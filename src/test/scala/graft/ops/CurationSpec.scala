@@ -45,6 +45,22 @@ class CurationSpec extends SparkSpec {
       "library callers must not inherit cache entries from domainMix")
   }
 
+  test("qualityFloor: per-domain bottom-fraction drop, exact rank boundary") {
+    val df = Seq(
+      ("a", 1L, 0.1), ("a", 2L, 0.2), ("a", 3L, 0.3), ("a", 4L, 0.4), ("a", 5L, 0.5),
+      ("b", 6L, 0.9), ("b", 7L, 0.8),
+      ("c", 8L, 0.5)).toDF("source", "doc_id", "quality")
+    val kept = Curation.qualityFloor(df, "source", "quality", "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    // a: ranks 0/.25/.5/.75/1 → doc 1 (rank 0) drops; b: 7 at rank 0 drops;
+    // c: a single-doc domain has percent_rank 0 and drops — rank floors
+    // are meaningful only for domains with ≥ 1/dropFrac docs (documented)
+    assert(kept == Set(2L, 3L, 4L, 5L, 6L))
+    // dropFrac 0 keeps everything (0 >= 0 includes single-doc domains)
+    assert(Curation.qualityFloor(df, "source", "quality", "doc_id", 0.0)
+      .count() == 8L)
+  }
+
   test("temperatureWeights: sqrt-scaled, normalized, budgets floor to longs") {
     val out = Curation.temperatureWeights(docs, "text", "source",
       totalTokenBudget = 1000L).collect()
