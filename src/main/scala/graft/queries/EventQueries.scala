@@ -47,6 +47,19 @@ object EventQueries {
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
     }),
 
+    // Per-hour distinct active users: exact here (the oracle needs exact
+    // values); at 100 TB swap count_distinct for approx_count_distinct —
+    // the HLL sketch turns the two-phase exact-distinct shuffle (rows ∝
+    // distinct pairs) into mergeable constant-size state, same query
+    // shape (the dq_profile approx=true pattern).
+    "events_unique_users" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      e.groupBy(date_trunc("hour", col("ts_utc")).as("hour"))
+        .agg(count_distinct(col("user_id")).as("unique_users"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // JSON property extraction + aggregation (semi-structured props).
     "events_json_agg" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -209,6 +222,11 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_unique_users" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+        |  count(DISTINCT user_id) AS unique_users, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
 
     "events_json_agg" ->
       """SELECT event_type, count(*) AS n,

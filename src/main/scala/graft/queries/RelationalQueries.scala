@@ -170,6 +170,19 @@ object RelationalQueries {
     "rel_salted_agg" -> ((s, dir) =>
       graft.ops.Skew.saltedCount(Tables(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))),
 
+    // Salted join for a skewed fact vs a small-but-unbroadcastable dim:
+    // result ≡ the plain equi-join (the oracle — salts only spread the
+    // shuffle; every fact row meets each matching dim row exactly once
+    // because the dim replicates to ALL salt shards).
+    "rel_salted_join" -> ((s, dir) => {
+      val fact = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          col("o_totalprice"))
+      val dim = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      graft.ops.Skew.saltedJoin(fact, dim, "custkey", salts = 8)
+    }),
+
     // ROLLUP hierarchy totals (subtotal rows carry NULL keys).
     "rel_rollup" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
@@ -447,6 +460,10 @@ object RelationalQueries {
     "rel_salted_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_salted_join" ->
+      """SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "rel_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
