@@ -100,6 +100,18 @@ object Multimodal {
       .withColumn("resized_h", greatest(floor(col("height") * scale).cast("int"), lit(1)))
   }
 
+  /** Exact payload dedup — step one of any media dedup pipeline: group
+    * by full-content hash, keep the lowest media id per group. Same
+    * single partial-agg shuffle as [[graft.ops.Dedup.exact]], skew-free
+    * by construction (md5 keys are uniform). The hash runs over the
+    * HEX-string form of the bytes, not the raw binary — the engine-
+    * portable formulation (DuckDB's md5 is VARCHAR-only); identity is
+    * unchanged since hex is injective. */
+  def exactDedup(media: DataFrame): DataFrame =
+    media.withColumn("payload_md5", md5(hex(col("payload"))))
+      .groupBy("payload_md5")
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Frame-sample stub for video payloads: deterministic frame offsets
     * (every `stride` bytes), the plumbing for a real frame extractor. */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {

@@ -30,6 +30,12 @@ object MultimodalQueries {
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(media(s, dir))),
 
+    // Exact payload dedup (content-hash grouping — step one of a media
+    // dedup pipeline; the sf corpus has no byte-identical payloads, so
+    // every group is a singleton here, which the oracle verifies too).
+    "mm_exact_dedup" -> ((s, dir) =>
+      Multimodal.exactDedup(media(s, dir))),
+
     // Aspect-preserving resize planning over the extracted dimensions.
     "mm_resize" -> ((s, dir) =>
       Multimodal.resizeTo(Multimodal.extractFeatures(media(s, dir)), 640, 480)
@@ -47,6 +53,14 @@ object MultimodalQueries {
     "mm_frame_sample" ->
       s"""SELECT doc_id AS media_id, unnest(range(0, octet_length(encode(text)), 128)) AS frame_offset
          |FROM documents WHERE $kindSql = 'video'""".stripMargin,
+
+    // md5 over the hex form of the payload (DuckDB md5 is VARCHAR-only;
+    // hex is injective, so grouping is exact content identity). Both
+    // engines emit uppercase hex for blobs.
+    "mm_exact_dedup" ->
+      """SELECT md5(hex(encode(text))) AS payload_md5,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // The decode stub's byte-fold checksum `(acc*31 + byte) mod 2^31` and
     // the per-kind dimension math, byte-for-byte over the UTF-8 payload
