@@ -478,6 +478,16 @@ class OpsSpec extends SparkSpec {
       s"over-cap buckets must be kept whole: $guarded")
   }
 
+  test("media exact dedup: byte-identical payloads collapse, keeper = min id") {
+    val m = Seq(
+      (1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](1, 2, 3)),
+      (3L, Array[Byte](1, 2, 4)), (4L, Array[Byte]())) // empty payload groups alone
+      .toDF("media_id", "payload")
+    val out = Multimodal.exactDedup(m).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("resize fits dimensions in the target box, preserving aspect") {
     val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
     val resized = Multimodal.resizeTo(Multimodal.extractFeatures(media), 640, 480).collect()
