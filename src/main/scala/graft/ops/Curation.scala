@@ -120,6 +120,27 @@ object Curation {
     * to materialize the tempered mixture.
     *
     * Output: (source, n_tokens, weight, token_budget). */
+  def temperatureWeights(docs: DataFrame, textCol: String, sourceCol: String,
+                         totalTokenBudget: Long): DataFrame = {
+    // Materialized once (eager, cleaner-reclaimed): bySrc is taxonomy-sized
+    // (a few thousand rows) but its subtree is the full corpus scan +
+    // tokenize, and both the normalizing total and the final select read
+    // it — exchange-level reuse across the two subtrees is not guaranteed.
+    val bySrc = docs.groupBy(col(sourceCol))
+      .agg(sum(size(tokens(col(textCol)))).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    val tot = bySrc.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(sourceCol).as("s"),
+          sqrt(col("n_tokens").cast("double")).as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")).as("__tot"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_tokens"),
+        (sqrt(col("n_tokens").cast("double")) / col("__tot")).as("weight"))
+      .withColumn("token_budget",
+        floor(col("weight") * totalTokenBudget).cast("long"))
+  }
+
   /** Per-domain quality floor (the FineWeb-style curation rule): within
     * each `domainCol` group, drop the bottom `dropFrac` fraction of
     * documents by quality percent_rank (ascending quality, ties broken
@@ -143,27 +164,6 @@ object Curation {
       .orderBy(col(qualityCol), col(idCol))
     scored.withColumn("q_rank", percent_rank().over(w))
       .where(col("q_rank") >= dropFrac)
-  }
-
-  def temperatureWeights(docs: DataFrame, textCol: String, sourceCol: String,
-                         totalTokenBudget: Long): DataFrame = {
-    // Materialized once (eager, cleaner-reclaimed): bySrc is taxonomy-sized
-    // (a few thousand rows) but its subtree is the full corpus scan +
-    // tokenize, and both the normalizing total and the final select read
-    // it — exchange-level reuse across the two subtrees is not guaranteed.
-    val bySrc = docs.groupBy(col(sourceCol))
-      .agg(sum(size(tokens(col(textCol)))).cast("long").as("n_tokens"))
-      .localCheckpoint(true)
-    val tot = bySrc.agg(
-      aggregate(
-        array_sort(collect_list(struct(col(sourceCol).as("s"),
-          sqrt(col("n_tokens").cast("double")).as("v")))),
-        lit(0.0), (acc, x) => acc + x.getField("v")).as("__tot"))
-    bySrc.crossJoin(broadcast(tot))
-      .select(col(sourceCol), col("n_tokens"),
-        (sqrt(col("n_tokens").cast("double")) / col("__tot")).as("weight"))
-      .withColumn("token_budget",
-        floor(col("weight") * totalTokenBudget).cast("long"))
   }
 
   /** Domain-mixture sampling: keep documents per source domain, in a

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.expressions.TextSketches
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, DataFrame in →
@@ -28,6 +28,29 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Estimated Jaccard from MinHash signature agreement: the fraction of
+    * the k signature slots where the two documents hash equal. The single
+    * shared definition — every candidate-pair entry point (self-join,
+    * cross-corpus, against-index) divides by the SAME k. */
+  private def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
+    aggregate(zip_with(sigA, sigB,
+      (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x)
+      .cast("double") / k
+
+  /** Cap pathological band buckets (boilerplate text): count per band
+    * key, drop the heavy hitters — standard web-dedup guard, documented
+    * data loss. Materialized once (eager localCheckpoint): every
+    * downstream join side reads the (tiny: id+signature+band) sketch
+    * table instead of recomputing signatures per side, and the blocks
+    * are reclaimed by the context cleaner once the plan is unreachable —
+    * unlike persist(), which pins cache entries for the session (the
+    * round-1 cache-leak finding). */
+  private def cappedSketches(hashed: DataFrame, maxBucketSize: Int): DataFrame =
+    hashed.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
+      .where(col("bucket_n") <= maxBucketSize)
+      .localCheckpoint(true)
+
   /** MinHash signatures + LSH band keys per document. */
   def minHashed(docs: DataFrame, idCol: String, textCol: String,
                 shingleWords: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
@@ -42,18 +65,8 @@ object Dedup {
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleWords: Int = 3, k: Int = 16, bands: Int = 4,
                         maxBucketSize: Int = 1000): DataFrame = {
-    val hashed = minHashed(docs, idCol, textCol, shingleWords, k, bands)
-    // Cap pathological buckets (boilerplate): count per band key, drop the
-    // heavy hitters — standard web-dedup guard, documented data loss.
-    // Materialized once (eager localCheckpoint): both self-join sides read
-    // the (tiny: id+signature+band) sketch table instead of recomputing
-    // signatures per side, and the blocks are reclaimed by the context
-    // cleaner once the plan is unreachable — unlike persist(), which pins
-    // cache entries for the session (the round-1 cache-leak finding).
-    val sized = hashed.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
-      .where(col("bucket_n") <= maxBucketSize)
-      .localCheckpoint(true)
+    val sized =
+      cappedSketches(minHashed(docs, idCol, textCol, shingleWords, k, bands), maxBucketSize)
     // Distinct the candidate ID pairs FIRST (cheap long-pair shuffle), then
     // compute est_jaccard once per surviving pair from re-joined
     // signatures. The naive order — estimate then distinct — evaluates the
@@ -72,9 +85,7 @@ object Dedup {
       .join(sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x)
-          .cast("double") / k).as("est_jaccard"))
+        estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
   }
 
   /** LSH candidate near-duplicate pairs ACROSS two corpora (`id_a` from
@@ -96,12 +107,8 @@ object Dedup {
                             textCol: String, shingleWords: Int = 3,
                             k: Int = 16, bands: Int = 4,
                             maxBucketSize: Int = 1000): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
     def side(df: DataFrame) =
-      minHashed(df, idCol, textCol, shingleWords, k, bands)
-        .withColumn("bucket_n", count(lit(1)).over(w.partitionBy("band_key")))
-        .where(col("bucket_n") <= maxBucketSize)
-        .localCheckpoint(true)
+      cappedSketches(minHashed(df, idCol, textCol, shingleWords, k, bands), maxBucketSize)
     val ha = side(a)
     val hb = side(b)
     val cand = ha.select(col("band_key"), col(idCol).as("id_a"))
@@ -112,9 +119,7 @@ object Dedup {
       .join(ha.select(col(idCol).as("id_a"), col("signature").as("sig_a")).distinct(), "id_a")
       .join(hb.select(col(idCol).as("id_b"), col("signature").as("sig_b")).distinct(), "id_b")
       .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x)
-          .cast("double") / k).as("est_jaccard"))
+        estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
   }
 
   /** SimHash sketch per document. */
@@ -410,9 +415,7 @@ object Dedup {
     // so the distinct on the (id, id, est) triple is exact.
     batch.join(idx, "band_key")
       .select(col("id_new"), col("id_corpus"),
-        (aggregate(zip_with(col("sig_n"), col("sig_c"),
-          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x)
-          .cast("double") / k).as("est_jaccard"))
+        estJaccard(col("sig_n"), col("sig_c"), k).as("est_jaccard"))
       .distinct()
   }
 

@@ -106,9 +106,16 @@ object Multimodal {
     * by construction (md5 keys are uniform). The hash runs over the
     * HEX-string form of the bytes, not the raw binary — the engine-
     * portable formulation (DuckDB's md5 is VARCHAR-only); identity is
-    * unchanged since hex is injective. */
+    * unchanged since hex is injective.
+    *
+    * NULL payloads (a failed fetch/decode upstream) are EXCLUDED: a null
+    * carries no content identity, but `md5(hex(NULL))` is NULL and
+    * groupBy treats NULLs as equal — without the filter every unfetched
+    * row would collapse into one bogus "duplicate" group and a
+    * downstream apply keyed on keep_id would drop distinct media. */
   def exactDedup(media: DataFrame): DataFrame =
-    media.withColumn("payload_md5", md5(hex(col("payload"))))
+    media.where(col("payload").isNotNull)
+      .withColumn("payload_md5", md5(hex(col("payload"))))
       .groupBy("payload_md5")
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 

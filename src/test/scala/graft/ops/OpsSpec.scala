@@ -488,6 +488,16 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("media exact dedup excludes NULL payloads instead of grouping them") {
+    // md5(hex(NULL)) is NULL and groupBy treats NULLs as equal: without
+    // the filter, distinct unfetched media would collapse into one group
+    val m = Seq((1L, Array[Byte](9)), (2L, null), (3L, null))
+      .toDF("media_id", "payload")
+    val out = Multimodal.exactDedup(m).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("keep_id") == 1L
+      && out.head.getAs[Long]("n_copies") == 1L)
+  }
+
   test("resize fits dimensions in the target box, preserving aspect") {
     val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
     val resized = Multimodal.resizeTo(Multimodal.extractFeatures(media), 640, 480).collect()
