@@ -166,6 +166,44 @@ object Curation {
       .where(col("q_rank") >= dropFrac)
   }
 
+  /** Sortless per-domain quality floor — the scale path [[qualityFloor]]'s
+    * scaladoc points at for skew-dominated corpora: instead of ranking
+    * every document inside its domain (a per-domain SORT whose
+    * parallelism unit is the domain — one mega-domain serializes), compute
+    * one quantile cutoff per domain with a bounded sketch and filter by
+    * it at scan speed.
+    *
+    * `q_cutoff` is the smallest quality value whose cumulative frequency
+    * reaches `dropFrac` (both Spark's `percentile_approx` in its exact
+    * regime and DuckDB's `quantile_disc` implement exactly this statistic
+    * — probed cross-engine, so the oracle hash-matches; no interpolation
+    * arithmetic is involved, the cutoff is an element of the data).
+    * Documents with quality ≥ the cutoff survive — the cutoff document
+    * itself is kept, so the realized drop fraction is strictly BELOW
+    * `dropFrac`, and the kept set is always a superset of
+    * [[qualityFloor]]'s at the same fraction (percent_rank < cume_dist
+    * pointwise; the containment is pinned in CurationSpec).
+    *
+    * Scale: one partial-aggregated exchange of taxonomy-sized sketch
+    * state (bounded by `accuracy` per domain, independent of domain
+    * size — the property the rank path lacks), a broadcast of the tiny
+    * cutoff table, and a scan-speed filter. NO sort, NO per-domain
+    * window; the scored input is evaluated twice (once under the
+    * aggregate, once as the probe side), which at 100 TB is the right
+    * trade — re-scoring is scan-cheap, materializing the corpus is not.
+    * Beyond the exact regime (> `accuracy` docs in a domain) the cutoff
+    * is approximate within the sketch's rank-error bound; the kept-set
+    * semantics stay deterministic for a given cutoff.
+    * Output: scored columns + `q_cutoff`. */
+  def qualityFloorByCutoff(scored: DataFrame, domainCol: String, qualityCol: String,
+                           dropFrac: Double, accuracy: Int = 10000): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0, s"dropFrac in [0,1): $dropFrac")
+    val cutoffs = scored.groupBy(col(domainCol))
+      .agg(percentile_approx(col(qualityCol), lit(dropFrac), lit(accuracy)).as("q_cutoff"))
+    scored.join(broadcast(cutoffs), Seq(domainCol))
+      .where(col(qualityCol) >= col("q_cutoff"))
+  }
+
   /** Domain-mixture sampling: keep documents per source domain, in a
     * deterministic pseudo-random order, until that domain's share of the
     * total token budget is exhausted (classic data-mixture construction:

@@ -31,6 +31,17 @@ object TextQueries {
       Curation.qualityFloor(scored, "source", "quality", "doc_id", dropFrac = 0.2)
     }),
 
+    // The sortless floor: per-domain quantile-sketch cutoff + scan filter
+    // instead of a per-domain rank — the shape that survives one domain
+    // dominating the corpus (no sort; bounded sketch state per domain).
+    "text_quality_cutoff" -> ((s, dir) => {
+      import graft.ops.{Curation, TextAnalysis}
+      val scored = TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")
+        .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+        .select("source", "doc_id", "quality")
+      Curation.qualityFloorByCutoff(scored, "source", "quality", dropFrac = 0.2)
+    }),
+
     "text_topk_quality" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val w = org.apache.spark.sql.expressions.Window
@@ -523,6 +534,34 @@ object TextQueries {
          |         percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id) AS q_rank
          |  FROM q)
          |SELECT source, doc_id, quality, q_rank FROM r WHERE q_rank >= 0.2""".stripMargin,
+
+    // quantile_disc mirrors percentile_approx's exact regime bit-for-bit:
+    // both return the smallest element whose cumulative frequency reaches
+    // the fraction (no interpolation — the cutoff is a data value).
+    "text_quality_cutoff" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |sig AS (
+         |  SELECT doc_id, source,
+         |    least(len(toks)::DOUBLE / 100.0, 1.0) AS len_score,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE END AS diversity,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, x -> list_contains(
+         |              ['the','a','an','of','to','in','and','is','it','that','for','on','with','as'], x)))::DOUBLE
+         |              / len(toks)::DOUBLE END AS stopword_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |         ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |              / len(text)::DOUBLE END AS punct_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    (len_score + diversity + least(stopword_ratio * 5.0, 1.0)
+         |     + (1.0 - least(punct_ratio * 4.0, 1.0))) / 4.0 AS quality
+         |  FROM sig),
+         |cut AS (
+         |  SELECT source, quantile_disc(quality, 0.2) AS q_cutoff FROM q GROUP BY 1)
+         |SELECT q.source, q.doc_id, q.quality, cut.q_cutoff
+         |FROM q JOIN cut USING (source) WHERE q.quality >= cut.q_cutoff""".stripMargin,
 
     "text_bpe_tokens" ->
       s"""WITH w AS (

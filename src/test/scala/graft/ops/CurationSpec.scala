@@ -61,6 +61,40 @@ class CurationSpec extends SparkSpec {
       .count() == 8L)
   }
 
+  test("qualityFloorByCutoff: data-value boundary, superset of the rank floor, sortless") {
+    val df = Seq(
+      ("a", 1L, 0.1), ("a", 2L, 0.2), ("a", 3L, 0.3), ("a", 4L, 0.4), ("a", 5L, 0.5),
+      ("b", 6L, 0.9), ("b", 7L, 0.8),
+      ("c", 8L, 0.5)).toDF("source", "doc_id", "quality")
+    val out = Curation.qualityFloorByCutoff(df, "source", "quality", 0.2)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    // a (n=5, f=0.2): cutoff = smallest q with cume_dist >= 0.2 = 0.1
+    //   (cume 1/5) — the cutoff doc itself survives, so ALL of a is kept;
+    // b (n=2): cutoff = 0.8 (cume 1/2 >= 0.2) → both kept;
+    // c (n=1): cutoff = 0.5 → kept (single-doc domains survive, unlike
+    //   the rank floor which drops them at any dropFrac > 0)
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    // the kept set always contains the rank floor's (percent_rank <
+    // cume_dist pointwise below the top rank)
+    val rankKept = Curation.qualityFloor(df, "source", "quality", "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rankKept.subsetOf(kept))
+    // the cutoff is a data value of its own domain
+    out.collect().foreach { r =>
+      assert(Set(0.1, 0.2, 0.3, 0.4, 0.5, 0.8, 0.9).contains(r.getAs[Double]("q_cutoff")))
+    }
+    // the scale claim: NO sort, NO window anywhere in the physical plan —
+    // a skew-dominated domain costs sketch merges, not a per-domain sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortExec") && !plan.contains("Window"),
+      s"cutoff floor must stay sortless:\n$plan")
+    // a larger fraction drops the bottom: a (f=0.5) → cutoff 0.3
+    val tight = Curation.qualityFloorByCutoff(
+      df.where(col("source") === "a"), "source", "quality", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tight == Set(3L, 4L, 5L))
+  }
+
   test("temperatureWeights: sqrt-scaled, normalized, budgets floor to longs") {
     val out = Curation.temperatureWeights(docs, "text", "source",
       totalTokenBudget = 1000L).collect()
