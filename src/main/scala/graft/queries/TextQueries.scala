@@ -107,6 +107,11 @@ object TextQueries {
     // Exact interpolated token-count quantiles per language (corpus
     // profiling). Dyadic percentages over integer counts are bit-exact in
     // both engines (the interpolation arithmetic never rounds).
+    // Exact percentile is scale-safe HERE (unlike a collect_list fold):
+    // Spark's Percentile agg buffers a value→count map, so per-lang state
+    // is O(distinct token counts) — bounded by max document length, not
+    // corpus size. Corpora with unbounded value domains should use the
+    // sketch path instead (see qualityFloorByCutoff / percentile_approx).
     "text_token_quantiles" -> ((s, dir) => {
       import graft.functions.TextFunctions.tokens
       import org.apache.spark.sql.functions._
