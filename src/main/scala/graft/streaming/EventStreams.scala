@@ -300,10 +300,17 @@ object EventStreams {
       }
   }
 
-  /** Adapt the raw events table (nanos `ts` LONG) to the typed stream. */
+  /** Adapt the raw events table to the typed stream. `ts` has shipped as
+    * both nanos-since-epoch LONG and micros TIMESTAMP (see
+    * [[graft.queries.Tables.events]]) — normalize to epoch micros either
+    * way (UTC session timezone makes the timestamp cast epoch-exact). */
   def typedEvents(raw: DataFrame): Dataset[Event] = {
     import raw.sparkSession.implicits._
-    raw.select(col("event_id"), expr("ts div 1000").as("ts_us"),
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    raw.select(col("event_id"), tsUs.as("ts_us"),
       col("user_id"), col("event_type"), col("value")).as[Event]
   }
 }
