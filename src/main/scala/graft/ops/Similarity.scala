@@ -624,6 +624,38 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked candidate
+    * lists — the standard hybrid-retrieval combiner: each candidate scores
+    * `Σ_lists 1/(kConst + rank)`, absent-from-a-list contributes 0, and
+    * the fused top-k re-ranks by that score. Rank-based (not
+    * score-based), so the two retrievers need no score calibration — the
+    * canonical use is fusing a recall-limited ANN list with a second
+    * retriever (a different LSH family, IVF probes, or a lexical ranker).
+    *
+    * Inputs carry (qidCol, idCol, rank) — the output shape of
+    * [[annKnn]]/[[ivfKnn]]/[[pqKnn]]. Both are already per-query top-k
+    * tables (≤ k rows per query), so the full-outer join and the final
+    * window touch only candidate-sized data — fusion cost is independent
+    * of corpus size. Arithmetic is IEEE double division + one two-term
+    * add in fixed (a, b) order — bit-reproducible across engines.
+    *
+    * Output: (qidCol, idCol, rrf_score, rank ≤ k). */
+  def rrfFuse(a: DataFrame, b: DataFrame, qidCol: String, idCol: String,
+              k: Int, kConst: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(kConst >= 0, s"kConst must be >= 0: $kConst")
+    val ra = a.select(col(qidCol), col(idCol), col("rank").as("__ra"))
+    val rb = b.select(col(qidCol), col(idCol), col("rank").as("__rb"))
+    val fused = ra.join(rb, Seq(qidCol, idCol), "full_outer")
+      .select(col(qidCol), col(idCol),
+        (coalesce(lit(1.0) / (lit(kConst.toLong) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kConst.toLong) + col("__rb")), lit(0.0)))
+          .as("rrf_score"))
+    val w = Window.partitionBy(qidCol).orderBy(col("rrf_score").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Persist an IVF(-PQ) index hive-partitioned by `cluster`: at scale
     * the probe set then prunes the SCAN to its partitions — index read
     * cost is corpus·nprobe/k_clusters in bytes actually opened, not just

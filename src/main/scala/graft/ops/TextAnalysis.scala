@@ -96,6 +96,57 @@ object TextAnalysis {
         col("n_emails") + col("n_urls") + col("n_phones") > 0L)
   }
 
+  /** PII masking — the scrub pass [[piiScan]] screens for: emails, then
+    * URLs, then phone-shaped digit runs are replaced with typed
+    * placeholder tags. Replacement ORDER is part of the contract: emails
+    * first (an address must not have its digits half-eaten by the phone
+    * pattern), URLs second (query strings carry digit runs), phones last.
+    * Same RE2-compatible patterns as the scan, so the masked output is
+    * reproducible in any RE2-based scrubber; per-row regex rewrite — scan
+    * speed, no shuffle, and the plan prunes to (id, text). */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), lit(EmailRe), lit("<EMAIL>")),
+          lit(UrlRe), lit("<URL>")),
+        lit(PhoneRe), lit("<PHONE>"))
+    // Bind both once so the three-regex rewrite runs a single time per
+    // row; was_redacted is an exact inequality against the original (a
+    // literal "<EMAIL>" already present in the source is not a rewrite).
+    docs.select(col(idCol), col(textCol).as("__orig"), redacted.as("redacted"))
+      .select(col(idCol), col("redacted"),
+        (col("redacted") =!= col("__orig")).as("was_redacted"))
+  }
+
+  /** Fixed-size token chunks with stride — the context-window preparation
+    * step for training sequences and retrieval passages: chunk `i` covers
+    * tokens `[i·stride, i·stride + chunkSize)`, so consecutive chunks
+    * overlap by `chunkSize - stride` tokens (stride = chunkSize ⇒
+    * disjoint). A chunk starts at every stride boundary `< n_tokens`, so
+    * the final chunk may be short but no token is left uncovered.
+    *
+    * Per-row column math: tokenize once, `sequence` generates the stride
+    * starts, one `posexplode` + `slice` emits the chunks — no shuffle, no
+    * UDF, and output order is a pure function of the row (chunk_id =
+    * start div stride, exact). At 100 TB this runs at scan speed and the
+    * fan-out (≈ n_tokens/stride rows per doc) stays partition-local.
+    *
+    * Output: (idCol, chunk_id, n_chunk_tokens, chunk_text). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        slice(col("__toks"), col("col") + 1, lit(chunkSize)).as("__chunk"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
   /** Top-k distinguishing terms per document by TF-IDF with a log-free
     * idf (`tf · N/df`): rank-equivalent to `tf · log(N/df)` within a
     * document for df-monotone comparisons, and — unlike log — exactly

@@ -203,6 +203,20 @@ object RelationalQueries {
         month(col("o_orderdate")).cast("long").as("o_month"),
         when(col("o_totalprice") > 200000.0, lit("big")).otherwise(lit("small")).as("size_class"))),
 
+    // Wide-to-long unpivot (the melt shape feature pipelines feed to
+    // generic per-metric aggregators): four lineitem measures → (metric,
+    // value) rows via the native unpivot operator — an Expand node, one
+    // scan, no join/shuffle; 4× row fan-out stays partition-local.
+    "rel_unpivot" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .where(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")),
+
     // Min/max/avg aggregate surface (avg via exact decimal sum / count).
     "rel_agg_minmax" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -480,6 +494,21 @@ object RelationalQueries {
         |  month(o_orderdate)::BIGINT AS o_month,
         |  CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS size_class
         |FROM orders""".stripMargin,
+
+    // UNION ALL mirror of the unpivot (metric names in the Spark
+    // operator's declared measure order; row multiset is order-free).
+    "rel_unpivot" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |         l_quantity, l_extendedprice, l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey % 50 = 0)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src""".stripMargin,
 
     "rel_agg_minmax" ->
       """SELECT o_orderstatus,

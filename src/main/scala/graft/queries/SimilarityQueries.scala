@@ -95,6 +95,20 @@ object SimilarityQueries {
         "vec_id", "embedding", "qid", "cid", k = 3, nprobe = 2)
     }),
 
+    // Hybrid-retrieval fusion: reciprocal-rank fusion of the LSH ANN list
+    // (recall-limited, multiprobe) and the IVF list — the standard
+    // combiner when two retrievers see different candidate sets. Fusion
+    // touches only the two top-5 tables (candidate-sized, not corpus).
+    "sim_rrf" -> ((s, dir) => {
+      val cents = emb(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val a = Similarity.annKnn(emb(s, dir), queriesDf(s, dir),
+        "vec_id", "embedding", "qid", k = 5, bits = 6)
+      val b = Similarity.ivfKnn(emb(s, dir), queriesDf(s, dir), cents,
+        "vec_id", "embedding", "qid", "cid", k = 5)
+      Similarity.rrfFuse(a, b, "qid", "vec_id", k = 3)
+    }),
+
     // One Lloyd's-iteration centroid update over the IVF assignment
     // (per-(cluster, dim) component sums + counts; deterministic fold).
     "sim_centroid_update" -> ((s, dir) => {
@@ -364,6 +378,51 @@ object SimilarityQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)
          |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // RRF mirror: the ann_lsh CTEs at k=5 (a_*), the ivf_knn CTEs at k=5
+    // (i_*), then the fused score 1/(60+rank_a) + 1/(60+rank_b) with
+    // absent-list terms contributing 0.0 — same fixed (a, b) add order as
+    // Similarity.rrfFuse, all-IEEE.
+    "sim_rrf" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |a_q0 AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id % 100 = 0),
+         |a_q AS (
+         |  SELECT qid, qv, unnest(list_concat([bucket],
+         |    list_transform(range(0,6), j -> xor(bucket::UBIGINT, (1::BIGINT << j::INT)::UBIGINT)::BIGINT))) AS bucket
+         |  FROM a_q0),
+         |a_scored AS (
+         |  SELECT a_q.qid, b.vec_id, ${cosSql("qv", "embedding")} AS cos
+         |  FROM b JOIN a_q USING (bucket) WHERE b.vec_id <> a_q.qid),
+         |a_top AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM a_scored QUALIFY rank <= 5),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |i_assign AS (
+         |  SELECT vec_id, embedding, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
+         |    FROM embeddings e, c) WHERE rn = 1),
+         |i_q AS (SELECT vec_id AS qid, embedding AS qv, cluster FROM i_assign WHERE vec_id % 100 = 0),
+         |i_scored AS (
+         |  SELECT i_q.qid, ia.vec_id, ${cosSql("qv", "ia.embedding")} AS cos
+         |  FROM i_assign ia JOIN i_q USING (cluster) WHERE ia.vec_id <> i_q.qid),
+         |i_top AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM i_scored QUALIFY rank <= 5),
+         |fused AS (
+         |  SELECT coalesce(a_top.qid, i_top.qid) AS qid,
+         |         coalesce(a_top.vec_id, i_top.vec_id) AS vec_id,
+         |         coalesce(1.0::DOUBLE / (60 + a_top.rank), 0.0::DOUBLE)
+         |           + coalesce(1.0::DOUBLE / (60 + i_top.rank), 0.0::DOUBLE) AS rrf_score
+         |  FROM a_top FULL OUTER JOIN i_top
+         |    ON a_top.qid = i_top.qid AND a_top.vec_id = i_top.vec_id)
+         |SELECT qid, vec_id, rrf_score,
+         |       row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, vec_id)::BIGINT AS rank
+         |FROM fused
+         |QUALIFY rank <= 3""".stripMargin,
 
     "sim_quantize_i8" ->
       s"""WITH s AS (

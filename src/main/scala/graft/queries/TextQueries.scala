@@ -96,6 +96,17 @@ object TextQueries {
     "text_pii_scan" -> ((s, dir) =>
       TextAnalysis.piiScan(docs(s, dir), "doc_id", "text")),
 
+    // PII masking: the scrub pass after the screen — emails → <EMAIL>,
+    // URLs → <URL>, phone runs → <PHONE>, in that order (contract).
+    "text_pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(docs(s, dir), "doc_id", "text")),
+
+    // Fixed-size token chunks with stride-64 overlap (context-window /
+    // retrieval-passage preparation; final short chunk included).
+    "text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(docs(s, dir), "doc_id", "text",
+        chunkSize = 128, stride = 64)),
+
     // Duplicated-bigram ratio (boilerplate / generated-text signal).
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionRatio(docs(s, dir), "doc_id", "text")),
@@ -647,6 +658,35 @@ object TextQueries {
          |  FROM documents)
          |SELECT doc_id, n_emails, n_urls, n_phones,
          |       (n_emails + n_urls + n_phones) > 0 AS has_pii
+         |FROM c""".stripMargin,
+
+    // Same patterns + order as the Spark side: emails, then URLs, then
+    // phones; 'g' = global (Spark regexp_replace is global by default).
+    "text_pii_redact" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(text,
+         |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |        'https?://[^\\s]+', '<URL>', 'g'),
+         |      '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+         |  FROM documents)
+         |SELECT doc_id, redacted, redacted <> text AS was_redacted FROM r""".stripMargin,
+
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks,
+         |         unnest(generate_series(0, len(toks) - 1, 64)) AS strt
+         |  FROM t),
+         |c AS (
+         |  SELECT doc_id, strt // 64 AS chunk_id,
+         |         toks[strt + 1 : strt + 128] AS chunk
+         |  FROM s)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |       len(chunk)::BIGINT AS n_chunk_tokens,
+         |       array_to_string(chunk, ' ') AS chunk_text
          |FROM c""".stripMargin,
 
     "text_tfidf" ->

@@ -524,4 +524,52 @@ class OpsSpec extends SparkSpec {
     assert(frames.map(_.getLong(0)).toSeq == Seq(2L),
       "zero-byte payload must produce no frame offsets")
   }
+
+  test("chunkTokens: stride overlap, final short chunk, exact chunk ids") {
+    val d = Seq((1L, "t1 t2 t3 t4 t5")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(d, "doc_id", "text", chunkSize = 3, stride = 2)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("n_chunk_tokens"),
+        r.getAs[String]("chunk_text")))
+    assert(out.toSeq == Seq(
+      (0L, 3L, "t1 t2 t3"),   // [0, 3)
+      (1L, 3L, "t3 t4 t5"),   // [2, 5) — overlaps by chunkSize - stride = 1
+      (2L, 1L, "t5")))        // [4, 5) — final short chunk, token 5 covered
+  }
+
+  test("chunkTokens: disjoint when stride == chunkSize; every token covered once") {
+    val d = Seq((1L, (1 to 10).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(d, "doc_id", "text", chunkSize = 4, stride = 4)
+      .collect()
+    assert(out.map(_.getAs[Long]("n_chunk_tokens")).sum == 10L)
+    assert(out.length == 3) // 4 + 4 + 2
+  }
+
+  test("piiRedact masks email before the phone pattern can split it") {
+    val d = Seq(
+      (1L, "mail me9123456789@ex.com or call +1 (415) 555-0199 via https://x.io/a?q=12345"),
+      (2L, "clean text, no identifiers here"),
+      (3L, "already says <EMAIL> literally")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("redacted"), r.getAs[Boolean]("was_redacted"))).toMap
+    assert(out(1L)._1 == "mail <EMAIL> or call <PHONE> via <URL>")
+    assert(out(1L)._2)
+    assert(out(2L) == ("clean text, no identifiers here", false))
+    // a literal tag in the source is NOT a rewrite
+    assert(out(3L) == ("already says <EMAIL> literally", false))
+  }
+
+  test("rrfFuse: overlap sums both lists, absent-list candidates score one term") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "vec_id", "rank")
+    val b = Seq((1L, 10L, 2L), (1L, 12L, 1L)).toDF("qid", "vec_id", "rank")
+    val out = Similarity.rrfFuse(a, b, "qid", "vec_id", k = 3, kConst = 60)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("rrf_score"), r.getAs[Long]("rank")))
+    // 10: 1/61 + 1/62 (both lists) > 12: 1/61 > 11: 1/62
+    assert(out.map(_._1).toSeq == Seq(10L, 12L, 11L))
+    assert(out(0)._2 == 1.0 / 61 + 1.0 / 62)
+    assert(out(1)._2 == 1.0 / 61 && out(2)._2 == 1.0 / 62)
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
+  }
 }

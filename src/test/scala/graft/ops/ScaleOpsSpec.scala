@@ -96,6 +96,33 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected TakeOrderedAndProject in:\n$tnPlan")
   }
 
+  test("round-6b plan shapes: chunk/redact/unpivot stay exchange-free; rrf fuses candidate-sized tables") {
+    def nEx(p: String) = p.split("Exchange hashpartitioning").length - 1
+
+    // Per-row fan-out ops: one scan, zero shuffles (fan-out stays
+    // partition-local — the property that makes them scan-speed at 100 TB).
+    for (q <- Seq("text_chunk", "text_pii_redact")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(nEx(plan) == 0, s"$q should plan zero hash exchanges:\n$plan")
+    }
+
+    // Native unpivot: one Expand over one scan, no join and no exchange.
+    val up = graft.SparkEntry.queries("rel_unpivot")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(up.contains("Expand"), s"expected Expand in:\n$up")
+    assert(nEx(up) == 0 && !up.contains("Join"),
+      s"unpivot must be a single-scan Expand, not a join/shuffle:\n$up")
+
+    // RRF: the fusion join runs over the two top-k tables (candidate-
+    // sized), and the final re-rank window partitions by qid only —
+    // corpus-sized data never reaches the fusion subtree.
+    val rrf = graft.SparkEntry.queries("sim_rrf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(rrf.contains("SortMergeJoin FullOuter") || rrf.contains("ShuffledHashJoin FullOuter")
+      || rrf.contains("FullOuter"), s"expected a full-outer fusion join in:\n$rrf")
+  }
+
   test("sliced prefix-sum queries match the single-window formulation on testdata") {
     import graft.functions.TextFunctions.tokens
     import org.apache.spark.sql.expressions.Window
