@@ -204,6 +204,48 @@ object Curation {
       .where(col(qualityCol) >= col("q_cutoff"))
   }
 
+  /** Per-domain robust length outliers via median/MAD (median absolute
+    * deviation): flag documents whose token count deviates from their
+    * domain's median by more than `k` MADs — the robust alternative to a
+    * mean/stddev z-score (one pathological domain tail cannot drag the
+    * center, unlike a mean) and a standard curation screen for
+    * absurdly-short boilerplate and absurdly-long concatenation junk
+    * RELATIVE to each domain's own length profile (a fixed global cutoff
+    * misclassifies whole domains).
+    *
+    * Engine-exact by construction: counts are integers < 2^53, medians
+    * interpolate at 0.5 (exact halving of exact integers), deviations are
+    * exact half-integer doubles, and their median halves exactly again —
+    * every compare is on exact IEEE values, so the DuckDB mirror is
+    * bit-identical. (A quality-score MAD would interpolate arbitrary
+    * doubles, where engines may legally differ in formula — this operator
+    * deliberately sticks to the integer-count metric.)
+    *
+    * Scale: two `percentile` aggregations whose per-domain state is
+    * O(distinct token counts) — bounded by max document length, not
+    * corpus size (same argument as text_token_quantiles) — each followed
+    * by a broadcast of the taxonomy-sized center table; the corpus is
+    * never sorted and never shuffled (only the tiny aggregates move). Two
+    * corpus passes; at 100 TB swap the second median for
+    * `percentile_approx` if re-scan dominates.
+    *
+    * Output: (idCol, domainCol, n_tokens, med, mad, is_outlier). */
+  def lengthOutliers(docs: DataFrame, idCol: String, textCol: String,
+                     domainCol: String, k: Double = 4.0): DataFrame = {
+    require(k > 0.0, s"k must be > 0: $k")
+    val t = docs.select(col(idCol), col(domainCol),
+      size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val med = t.groupBy(domainCol)
+      .agg(percentile(col("n_tokens"), lit(0.5)).as("med"))
+    val dev = t.join(broadcast(med), Seq(domainCol))
+      .withColumn("absdev", abs(col("n_tokens") - col("med")))
+    val mad = dev.groupBy(domainCol)
+      .agg(percentile(col("absdev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq(domainCol))
+      .select(col(idCol), col(domainCol), col("n_tokens"), col("med"), col("mad"),
+        (col("absdev") > lit(k) * col("mad")).as("is_outlier"))
+  }
+
   /** Domain-mixture sampling: keep documents per source domain, in a
     * deterministic pseudo-random order, until that domain's share of the
     * total token budget is exhausted (classic data-mixture construction:

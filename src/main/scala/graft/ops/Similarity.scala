@@ -624,6 +624,30 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Embedding-space outlier screen: assign each vector to its nearest
+    * centroid ([[ivfAssign]] semantics) and flag rows whose cosine to
+    * that centroid falls below `minCos` — far-from-every-centroid points
+    * are embedding-space outliers (decode junk, off-distribution content,
+    * mis-embedded rows), the standard cheap screen before clustering-
+    * based curation consumes the assignment.
+    *
+    * Scale: both steps are per-row math against the broadcast centroid
+    * table — zero corpus shuffle, scan speed; the one extra cosine per
+    * row (vs reusing the assignment's internal max) keeps the operator
+    * composable with any pre-assigned input shape.
+    *
+    * Output: (idCol, cluster, centroid_cos, is_outlier). */
+  def centroidOutliers(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                       vecCol: String, cidCol: String,
+                       minCos: Double): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol, cidCol)
+    val c = broadcast(centroids.select(col(cidCol).as("cluster"), col(vecCol).as("__cv")))
+    assigned.join(c, "cluster")
+      .select(col(idCol), col("cluster"),
+        cosine(col(vecCol), col("__cv")).as("centroid_cos"))
+      .withColumn("is_outlier", col("centroid_cos") < minCos)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked candidate
     * lists — the standard hybrid-retrieval combiner: each candidate scores
     * `Σ_lists 1/(kConst + rank)`, absent-from-a-list contributes 0, and

@@ -95,6 +95,15 @@ object SimilarityQueries {
         "vec_id", "embedding", "qid", "cid", k = 3, nprobe = 2)
     }),
 
+    // Embedding-space outlier screen: cosine to the assigned (nearest)
+    // centroid below threshold ⇒ off-distribution row. Per-row math
+    // against broadcast centroids — zero corpus shuffle.
+    "sim_centroid_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(emb(s, dir),
+        emb(s, dir).where(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding")),
+        "vec_id", "embedding", "cid", minCos = 0.1)),
+
     // Hybrid-retrieval fusion: reciprocal-rank fusion of the LSH ANN list
     // (recall-limited, multiprobe) and the IVF list — the standard
     // combiner when two retrievers see different candidate sets. Fusion
@@ -378,6 +387,20 @@ object SimilarityQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)
          |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // Outlier mirror: the ivf_assign ranked CTE keeps its winning cosine
+    // (rn = 1 row), which IS the centroid cosine the Spark side recomputes
+    // — same fold, same value.
+    "sim_centroid_outliers" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |ranked AS (
+         |  SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "cv")} AS ccos,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
+         |  FROM embeddings e, c)
+         |SELECT vec_id, cid AS cluster, ccos AS centroid_cos,
+         |       ccos < 0.1 AS is_outlier
+         |FROM ranked WHERE rn = 1""".stripMargin,
 
     // RRF mirror: the ann_lsh CTEs at k=5 (a_*), the ivf_knn CTEs at k=5
     // (i_*), then the fused score 1/(60+rank_a) + 1/(60+rank_b) with

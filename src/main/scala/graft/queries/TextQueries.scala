@@ -107,6 +107,12 @@ object TextQueries {
       TextAnalysis.chunkTokens(docs(s, dir), "doc_id", "text",
         chunkSize = 128, stride = 64)),
 
+    // Per-source robust length outliers (median/MAD on token counts —
+    // integer metric keeps every interpolation engine-exact).
+    "text_length_outliers" -> ((s, dir) =>
+      graft.ops.Curation.lengthOutliers(docs(s, dir), "doc_id", "text",
+        "source", k = 4.0)),
+
     // Duplicated-bigram ratio (boilerplate / generated-text signal).
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionRatio(docs(s, dir), "doc_id", "text")),
@@ -688,6 +694,22 @@ object TextQueries {
          |       len(chunk)::BIGINT AS n_chunk_tokens,
          |       array_to_string(chunk, ' ') AS chunk_text
          |FROM c""".stripMargin,
+
+    // Median/MAD mirror: quantile_cont at 0.5 over integer counts and
+    // half-integer deviations — exact halving both times, so the compare
+    // against k·MAD is on bit-identical values.
+    "text_length_outliers" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len($toksSql)::BIGINT AS n_tokens FROM documents),
+         |med AS (SELECT source, quantile_cont(n_tokens, 0.5) AS med FROM t GROUP BY source),
+         |d AS (
+         |  SELECT t.doc_id, t.source, t.n_tokens, med.med,
+         |         abs(t.n_tokens - med.med) AS absdev
+         |  FROM t JOIN med USING (source)),
+         |mad AS (SELECT source, quantile_cont(absdev, 0.5) AS mad FROM d GROUP BY source)
+         |SELECT d.doc_id, d.source, d.n_tokens, d.med, mad.mad,
+         |       d.absdev > 4.0 * mad.mad AS is_outlier
+         |FROM d JOIN mad USING (source)""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH toks AS (

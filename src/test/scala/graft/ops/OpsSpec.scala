@@ -560,6 +560,38 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == ("already says <EMAIL> literally", false))
   }
 
+  test("lengthOutliers: deviation beyond k MADs flags; per-domain centers") {
+    // domain a: lengths 10,10,10,10,100 → med 10, absdevs 0,0,0,0,90 → mad 0
+    //   ⇒ any deviation > 0 flags (100 flags; the 10s don't: 0 > 0 false)
+    // domain b: lengths 1..5 → med 3, absdevs 2,1,0,1,2 → mad 1 ⇒ none > 4
+    def doc(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val d = (Seq.fill(4)(10) :+ 100).zipWithIndex.map { case (n, i) => (i.toLong, doc(n), "a") } ++
+      (1 to 5).map(n => (10L + n, doc(n), "b"))
+    val out = Curation.lengthOutliers(d.toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source", k = 4.0).collect()
+    val flagged = out.filter(_.getAs[Boolean]("is_outlier")).map(_.getAs[Long]("doc_id"))
+    assert(flagged.toSeq == Seq(4L), s"only the 100-token doc flags: ${flagged.toSeq}")
+    val b = out.filter(_.getAs[String]("source") == "b")
+    assert(b.forall(r => r.getAs[Double]("med") == 3.0 && r.getAs[Double]("mad") == 1.0))
+  }
+
+  test("centroidOutliers: below-threshold cosine flags; assignment matches ivfAssign") {
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val out = Similarity.centroidOutliers(emb, cents, "vec_id", "embedding", "cid",
+      minCos = 0.5)
+    val rows = out.collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_outlier") == (r.getAs[Double]("centroid_cos") < 0.5))
+    }
+    // the cluster column must agree with the plain assignment
+    val assign = Similarity.ivfAssign(emb, cents, "vec_id", "embedding", "cid")
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(assign(r.getAs[Long]("vec_id")) == r.getAs[Long]("cluster")))
+  }
+
   test("rrfFuse: overlap sums both lists, absent-list candidates score one term") {
     val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "vec_id", "rank")
     val b = Seq((1L, 10L, 2L), (1L, 12L, 1L)).toDF("qid", "vec_id", "rank")
