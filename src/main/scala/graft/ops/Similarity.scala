@@ -624,6 +624,38 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Bucketed kNN graph over the WHOLE corpus: each row's top-k cosine
+    * neighbors among its sign-LSH candidates — the input shape for
+    * graph-based curation (connected-component dedup families, label
+    * propagation, graph sampling). Distinct from [[annKnn]], whose query
+    * side is a small broadcast set: here every row is a query, so the
+    * candidate generation is the capped-bucket self-join of
+    * [[cosineNearDupPairs]] (Σ bucket² with `maxBucketSize` the quadratic
+    * guard, Hamming-1 multiprobe for boundary recall) — never N² and
+    * never a corpus broadcast.
+    *
+    * Each undirected candidate pair feeds BOTH directions, then a per-src
+    * top-k window that plans as WindowGroupLimit (per-partition heaps
+    * before the exchange), so a hub node costs what any node costs.
+    * Recall is LSH-bounded (tuned by `bits`/multiprobe), the standard
+    * trade for corpus-wide graphs.
+    *
+    * Output: (src, dst, cos, rank ≤ k). */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               bits: Int, maxBucketSize: Int = 1000,
+               multiprobe: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val pairs = lshBucketPairs(corpus, Nil, idCol, vecCol, bits,
+      maxBucketSize, multiprobe)
+    val directed = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionByName(pairs
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    directed.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-space outlier screen: assign each vector to its nearest
     * centroid ([[ivfAssign]] semantics) and flag rows whose cosine to
     * that centroid falls below `minCos` — far-from-every-centroid points

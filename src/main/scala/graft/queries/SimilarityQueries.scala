@@ -95,6 +95,12 @@ object SimilarityQueries {
         "vec_id", "embedding", "qid", "cid", k = 3, nprobe = 2)
     }),
 
+    // Corpus-wide kNN graph (graph-based curation input): every row's
+    // top-3 neighbors among its capped-bucket multiprobe candidates.
+    "sim_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+        k = 3, bits = 6, maxBucketSize = 1000)),
+
     // Embedding-space outlier screen: cosine to the assigned (nearest)
     // centroid below threshold ⇒ off-distribution row. Per-row math
     // against broadcast centroids — zero corpus shuffle.
@@ -387,6 +393,21 @@ object SimilarityQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)
          |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // kNN-graph mirror: the shared capped-bucket multiprobe pair CTEs,
+    // both orientations, per-src top-3.
+    "sim_knn_graph" ->
+      s"""WITH $nearDupCtes,
+         |directed AS (
+         |  SELECT id_a AS src, id_b AS dst, cos FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst, cos FROM pairs),
+         |ranked AS (
+         |  SELECT src, dst, cos,
+         |         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |  FROM directed)
+         |SELECT src, dst, cos, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 3""".stripMargin,
 
     // Outlier mirror: the ivf_assign ranked CTE keeps its winning cosine
     // (rn = 1 row), which IS the centroid cosine the Spark side recomputes

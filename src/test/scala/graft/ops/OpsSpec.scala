@@ -592,6 +592,35 @@ class OpsSpec extends SparkSpec {
     rows.foreach(r => assert(assign(r.getAs[Long]("vec_id")) == r.getAs[Long]("cluster")))
   }
 
+  test("knnGraph: per-src cap, directed twin edges, WindowGroupLimit plan") {
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3, bits = 6)
+    val edges = g.collect()
+    val bySrc = edges.groupBy(_.getAs[Long]("src"))
+    assert(bySrc.values.forall(_.length <= 3))
+    bySrc.values.foreach { es =>
+      val sorted = es.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      // rank order follows (cos desc, dst asc)
+      val pairs = sorted.map(r => (r.getAs[Double]("cos"), r.getAs[Long]("dst")))
+      assert(pairs.sliding(2).forall {
+        case Array((c1, d1), (c2, d2)) => c1 > c2 || (c1 == c2 && d1 < d2)
+        case _ => true
+      })
+    }
+    // every candidate pair fed both directions: an edge's reverse exists
+    // as a CANDIDATE, so if dst has spare capacity (< k edges) the
+    // reverse edge must be present.
+    val edgeSet = edges.map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    edges.foreach { r =>
+      val (s0, d0) = (r.getAs[Long]("src"), r.getAs[Long]("dst"))
+      if (bySrc(d0).length < 3) assert(edgeSet.contains((d0, s0)),
+        s"$d0 has spare capacity but is missing reverse edge to $s0")
+    }
+    // top-k must plan as WindowGroupLimit (partial heaps before exchange)
+    val plan = g.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("rrfFuse: overlap sums both lists, absent-list candidates score one term") {
     val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "vec_id", "rank")
     val b = Seq((1L, 10L, 2L), (1L, 12L, 1L)).toDF("qid", "vec_id", "rank")
