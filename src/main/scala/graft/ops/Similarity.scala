@@ -656,6 +656,20 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Mutual-kNN filter over a [[knnGraph]] edge list: keep an edge only
+    * if its REVERSE also survived the per-node top-k — the standard
+    * hub-suppression step before graph clustering (a hub that ranks in
+    * everyone's top-k rarely ranks them back, so asymmetric edges are
+    * mostly hub noise; mutual edges are the high-precision backbone).
+    *
+    * One self-semi-join on the (already top-k-pruned, ≤ N·k row) edge
+    * list — candidate-sized work, corpus-independent. Output: the
+    * surviving subset of `graph`, columns unchanged. */
+  def mutualKnn(graph: DataFrame): DataFrame = {
+    val rev = graph.select(col("dst").as("src"), col("src").as("dst"))
+    graph.join(rev, Seq("src", "dst"), "left_semi")
+  }
+
   /** Embedding-space outlier screen: assign each vector to its nearest
     * centroid ([[ivfAssign]] semantics) and flag rows whose cosine to
     * that centroid falls below `minCos` — far-from-every-centroid points

@@ -101,6 +101,13 @@ object SimilarityQueries {
       Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
         k = 3, bits = 6, maxBucketSize = 1000)),
 
+    // Mutual-kNN backbone: edges of the kNN graph whose reverse also
+    // survived top-k (hub-suppression before graph clustering).
+    "sim_mutual_knn" -> ((s, dir) =>
+      Similarity.mutualKnn(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000))),
+
     // Embedding-space outlier screen: cosine to the assigned (nearest)
     // centroid below threshold ⇒ off-distribution row. Per-row math
     // against broadcast centroids — zero corpus shuffle.
@@ -408,6 +415,23 @@ object SimilarityQueries {
          |  FROM directed)
          |SELECT src, dst, cos, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // Mutual-kNN mirror: the kNN-graph ranked CTE self-joined on the
+    // reversed pair, both sides within top-3.
+    "sim_mutual_knn" ->
+      s"""WITH $nearDupCtes,
+         |directed AS (
+         |  SELECT id_a AS src, id_b AS dst, cos FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst, cos FROM pairs),
+         |ranked AS (
+         |  SELECT src, dst, cos,
+         |         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |  FROM directed),
+         |topk AS (SELECT * FROM ranked WHERE rank <= 3)
+         |SELECT t.src, t.dst, t.cos, CAST(t.rank AS BIGINT) AS rank
+         |FROM topk t
+         |WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)""".stripMargin,
 
     // Outlier mirror: the ivf_assign ranked CTE keeps its winning cosine
     // (rn = 1 row), which IS the centroid cosine the Spark side recomputes

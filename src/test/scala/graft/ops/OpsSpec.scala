@@ -621,6 +621,17 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("mutualKnn keeps exactly the edges whose reverse survived top-k") {
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3, bits = 6)
+    val edges = g.collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    val mutual = Similarity.mutualKnn(g).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    assert(mutual.nonEmpty && mutual.subsetOf(edges))
+    assert(mutual == edges.filter { case (s0, d0) => edges.contains((d0, s0)) })
+    // the mutual backbone is symmetric by construction
+    assert(mutual.forall { case (s0, d0) => mutual.contains((d0, s0)) })
+  }
+
   test("rrfFuse: overlap sums both lists, absent-list candidates score one term") {
     val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "vec_id", "rank")
     val b = Seq((1L, 10L, 2L), (1L, 12L, 1L)).toDF("qid", "vec_id", "rank")
