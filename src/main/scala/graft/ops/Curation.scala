@@ -225,9 +225,11 @@ object Curation {
     * O(distinct token counts) — bounded by max document length, not
     * corpus size (same argument as text_token_quantiles) — each followed
     * by a broadcast of the taxonomy-sized center table; the corpus is
-    * never sorted and never shuffled (only the tiny aggregates move). Two
-    * corpus passes; at 100 TB swap the second median for
-    * `percentile_approx` if re-scan dominates.
+    * never sorted and never shuffled (only the tiny aggregates move). The
+    * (id, domain, count) projection is materialized once (eager,
+    * cleaner-reclaimed) so its four consumers reuse three longs per row
+    * instead of re-tokenizing the corpus per subtree. NULL domains form
+    * their own group (null-safe joins), so no row silently disappears.
     *
     * Output: (idCol, domainCol, n_tokens, med, mad, is_outlier). */
   def lengthOutliers(docs: DataFrame, idCol: String, textCol: String,
@@ -235,13 +237,19 @@ object Curation {
     require(k > 0.0, s"k must be > 0: $k")
     val t = docs.select(col(idCol), col(domainCol),
       size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    // groupBy keeps a NULL-domain group; the probe joins must too, or
+    // NULL-domain rows vanish from the output (inner join on a null key
+    // never matches) — join null-safely on a renamed key instead.
     val med = t.groupBy(domainCol)
       .agg(percentile(col("n_tokens"), lit(0.5)).as("med"))
-    val dev = t.join(broadcast(med), Seq(domainCol))
+      .withColumnRenamed(domainCol, "__dom")
+    val dev = t.join(broadcast(med), col(domainCol) <=> col("__dom")).drop("__dom")
       .withColumn("absdev", abs(col("n_tokens") - col("med")))
     val mad = dev.groupBy(domainCol)
       .agg(percentile(col("absdev"), lit(0.5)).as("mad"))
-    dev.join(broadcast(mad), Seq(domainCol))
+      .withColumnRenamed(domainCol, "__dom")
+    dev.join(broadcast(mad), col(domainCol) <=> col("__dom")).drop("__dom")
       .select(col(idCol), col(domainCol), col("n_tokens"), col("med"), col("mad"),
         (col("absdev") > lit(k) * col("mad")).as("is_outlier"))
   }

@@ -137,6 +137,10 @@ object TextAnalysis {
                   chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
     require(stride >= 1, s"stride must be >= 1: $stride")
+    // stride > chunkSize would leave (stride - chunkSize) tokens out of
+    // every window — silently violating the full-coverage contract above.
+    require(stride <= chunkSize,
+      s"stride ($stride) must be <= chunkSize ($chunkSize): larger strides skip tokens")
     docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"),
         posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride))))

@@ -15,19 +15,22 @@ object Tables {
     * The generated table has shipped in two layouts: parquet
     * TIMESTAMP(NANOS) — which vanilla Spark 4 refuses to read, so the
     * legacy flag surfaces it as a nanos LONG directly — and plain
-    * TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ. For the
-    * latter, `unix_micros(cast to timestamp)` under the suite's fixed UTC
-    * session timezone recovers the exact epoch micros (the same statistic
-    * DuckDB's `epoch_us(ts)` computes in the oracles), and ×1000 restores
-    * the nanos contract (epoch nanos ≈ 1.8e18 ≪ Long.Max — no overflow).
-    * We never output `ts` itself, so oracle comparison is unaffected. */
+    * TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ. Layout
+    * dispatch lives in ONE place —
+    * [[graft.streaming.EventStreams.tsMicros]] — which recovers exact
+    * epoch micros either way (the same statistic DuckDB's `epoch_us(ts)`
+    * computes in the oracles); ×1000 restores the nanos contract here
+    * (epoch nanos ≈ 1.8e18 ≪ Long.Max — no overflow). The LONG layout
+    * passes through untouched (`div 1000` then `* 1000` would floor away
+    * sub-micro detail). We never output `ts` itself, so oracle comparison
+    * is unaffected. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = apply(spark, sfDir, "events")
     df.schema("ts").dataType match {
       case LongType => df
       case _ => df.withColumn("ts",
-        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+        graft.streaming.EventStreams.tsMicros(df) * lit(1000L))
     }
   }
 }

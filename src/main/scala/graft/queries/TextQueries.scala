@@ -705,11 +705,11 @@ object TextQueries {
          |d AS (
          |  SELECT t.doc_id, t.source, t.n_tokens, med.med,
          |         abs(t.n_tokens - med.med) AS absdev
-         |  FROM t JOIN med USING (source)),
+         |  FROM t JOIN med ON t.source IS NOT DISTINCT FROM med.source),
          |mad AS (SELECT source, quantile_cont(absdev, 0.5) AS mad FROM d GROUP BY source)
          |SELECT d.doc_id, d.source, d.n_tokens, d.med, mad.mad,
          |       d.absdev > 4.0 * mad.mad AS is_outlier
-         |FROM d JOIN mad USING (source)""".stripMargin,
+         |FROM d JOIN mad ON d.source IS NOT DISTINCT FROM mad.source""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH toks AS (

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -300,17 +300,23 @@ object EventStreams {
       }
   }
 
-  /** Adapt the raw events table to the typed stream. `ts` has shipped as
-    * both nanos-since-epoch LONG and micros TIMESTAMP (see
-    * [[graft.queries.Tables.events]]) — normalize to epoch micros either
-    * way (UTC session timezone makes the timestamp cast epoch-exact). */
-  def typedEvents(raw: DataFrame): Dataset[Event] = {
-    import raw.sparkSession.implicits._
-    val tsUs = raw.schema("ts").dataType match {
+  /** Epoch-micros expression for a raw events frame's `ts` column. The
+    * generated table has shipped in two layouts — nanos-since-epoch LONG
+    * (legacy-flag read of TIMESTAMP(NANOS)) and micros TIMESTAMP (read as
+    * TIMESTAMP_NTZ) — and every consumer dispatches HERE so a third
+    * layout (or a cast fix) is a one-place change. The timestamp cast is
+    * epoch-exact under the suite's fixed UTC session timezone. */
+  def tsMicros(raw: DataFrame): Column =
+    raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
       case _ => unix_micros(col("ts").cast("timestamp"))
     }
-    raw.select(col("event_id"), tsUs.as("ts_us"),
+
+  /** Adapt the raw events table to the typed stream (`ts` normalized to
+    * epoch micros via [[tsMicros]], either shipped layout). */
+  def typedEvents(raw: DataFrame): Dataset[Event] = {
+    import raw.sparkSession.implicits._
+    raw.select(col("event_id"), tsMicros(raw).as("ts_us"),
       col("user_id"), col("event_type"), col("value")).as[Event]
   }
 }

@@ -575,6 +575,25 @@ class OpsSpec extends SparkSpec {
     assert(b.forall(r => r.getAs[Double]("med") == 3.0 && r.getAs[Double]("mad") == 1.0))
   }
 
+  test("lengthOutliers: NULL-domain rows form their own group, never vanish") {
+    val d = Seq((1L, "a b c", null: String), (2L, "a b c d e", null: String),
+      (3L, "x", "s")).toDF("doc_id", "text", "source")
+    val out = Curation.lengthOutliers(d, "doc_id", "text", "source").collect()
+    assert(out.length == 3, "null-domain rows must not be dropped by the center joins")
+    val nulls = out.filter(_.isNullAt(1))
+    // null group: lengths 3,5 → med 4.0, absdevs 1.0 → mad 1.0, none flag
+    assert(nulls.length == 2)
+    assert(nulls.forall(r => r.getAs[Double]("med") == 4.0 &&
+      r.getAs[Double]("mad") == 1.0 && !r.getAs[Boolean]("is_outlier")))
+  }
+
+  test("chunkTokens rejects stride > chunkSize (would skip tokens)") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(d, "doc_id", "text", chunkSize = 4, stride = 8)
+    }
+  }
+
   test("centroidOutliers: below-threshold cosine flags; assignment matches ivfAssign") {
     val cents = emb.where(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding"))

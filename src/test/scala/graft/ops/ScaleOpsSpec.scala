@@ -119,8 +119,16 @@ class ScaleOpsSpec extends SparkSpec {
     // corpus-sized data never reaches the fusion subtree.
     val rrf = graft.SparkEntry.queries("sim_rrf")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(rrf.contains("SortMergeJoin FullOuter") || rrf.contains("ShuffledHashJoin FullOuter")
-      || rrf.contains("FullOuter"), s"expected a full-outer fusion join in:\n$rrf")
+    // pin the fusion join to an EQUI full-outer (SMJ/shuffled-hash print
+    // their key lists before the join type), not a nested-loop FullOuter
+    // that lost its join keys
+    assert("(SortMergeJoin|ShuffledHashJoin) \\[[^\\]]+\\], \\[[^\\]]+\\], FullOuter".r
+      .findFirstIn(rrf).isDefined,
+      s"fusion join must stay a keyed SMJ/shuffled-hash full outer:\n$rrf")
+    // broadcast-centroid cross joins (BNLJ Cross) are fine; a FullOuter
+    // BNLJ would mean the fusion join lost its keys
+    assert("BroadcastNestedLoopJoin[^\\n]*FullOuter".r.findFirstIn(rrf).isEmpty,
+      s"fusion must never degrade to a nested-loop full outer:\n$rrf")
   }
 
   test("sliced prefix-sum queries match the single-window formulation on testdata") {

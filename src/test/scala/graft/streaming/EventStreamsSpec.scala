@@ -15,15 +15,11 @@ class EventStreamsSpec extends SparkSpec {
     val batchRaw = spark.read.parquet(s"$dir/events.parquet")
     val schema = batchRaw.schema
 
-    // `ts` has shipped as both nanos LONG (legacy-flag read) and micros
-    // TIMESTAMP — normalize to micros either way (see Tables.events).
-    val tsUs =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        expr("ts div 1000")
-      else unix_micros(col("ts").cast("timestamp"))
     val stream2 = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val typedStream = stream2.select(col("event_id"), tsUs.as("ts_us"),
+    // shared layout dispatch — nanos LONG or micros TIMESTAMP (schemas match)
+    val typedStream = stream2.select(col("event_id"),
+      EventStreams.tsMicros(batchRaw).as("ts_us"),
       col("user_id"), col("event_type"), col("value"))
     val q = EventStreams.windowedCounts(typedStream)
       .writeStream.format("memory").queryName("win_out")
