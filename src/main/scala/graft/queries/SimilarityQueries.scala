@@ -108,6 +108,24 @@ object SimilarityQueries {
         Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
           k = 3, bits = 6, maxBucketSize = 1000))),
 
+    // Graph-based dedup: high-similarity MUTUAL kNN edges as duplicate
+    // evidence → connected components → keep the lowest id per family,
+    // drop the rest. The graph path complements sim_dedup_apply's
+    // threshold-pair path: mutual top-k evidence is hub-robust (a
+    // boilerplate vector similar to everything can't chain families
+    // together through one-directional edges).
+    "sim_graph_dedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val edges = Similarity.mutualKnn(
+          Similarity.knnGraph(e, "vec_id", "embedding", k = 3, bits = 6))
+        .where(col("cos") >= 0.4 && col("src") < col("dst"))
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+        .localCheckpoint(true)
+      val losers = graft.ops.Dedup.resolveClusters(edges)
+        .where(!col("keep")).select(col("id").as("vec_id"))
+      e.join(losers, Seq("vec_id"), "left_anti").select("vec_id", "label")
+    }),
+
     // Embedding-space outlier screen: cosine to the assigned (nearest)
     // centroid below threshold ⇒ off-distribution row. Per-row math
     // against broadcast centroids — zero corpus shuffle.
@@ -415,6 +433,36 @@ object SimilarityQueries {
          |  FROM directed)
          |SELECT src, dst, cos, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // Graph-dedup mirror: mutual top-3 edges at cos >= 0.4, transitive
+    // closure by recursive CTE, keep the least id per component.
+    "sim_graph_dedup" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+         |directed AS (
+         |  SELECT id_a AS src, id_b AS dst, cos FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst, cos FROM pairs),
+         |ranked AS (
+         |  SELECT src, dst, cos,
+         |         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |  FROM directed),
+         |topk AS (SELECT * FROM ranked WHERE rank <= 3),
+         |mut AS (
+         |  SELECT t.src, t.dst, t.cos FROM topk t
+         |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
+         |nd AS (SELECT src AS id_a, dst AS id_b FROM mut WHERE cos >= 0.4 AND src < dst),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd
+         |  UNION SELECT id_b, id_a FROM nd),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |losers AS (
+         |  SELECT src AS vec_id FROM reach GROUP BY src
+         |  HAVING least(src, min(dst)) < src)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin,
 
     // Mutual-kNN mirror: the kNN-graph ranked CTE self-joined on the
     // reversed pair, both sides within top-3.
