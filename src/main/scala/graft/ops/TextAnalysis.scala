@@ -104,17 +104,23 @@ object TextAnalysis {
     * Same RE2-compatible patterns as the scan, so the masked output is
     * reproducible in any RE2-based scrubber; per-row regex rewrite — scan
     * speed, no shuffle, and the plan prunes to (id, text). */
-  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val redacted =
+  /** The masking expression itself — for callers that rewrite a text
+    * column in place (e.g. scrub-on-ingest,
+    * [[graft.streaming.CurationStream]]) rather than consuming the
+    * (id, redacted, was_redacted) frame. */
+  def piiRedactCol(text: Column): Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), lit(EmailRe), lit("<EMAIL>")),
-          lit(UrlRe), lit("<URL>")),
-        lit(PhoneRe), lit("<PHONE>"))
+        regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+        lit(UrlRe), lit("<URL>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // Bind both once so the three-regex rewrite runs a single time per
     // row; was_redacted is an exact inequality against the original (a
     // literal "<EMAIL>" already present in the source is not a rewrite).
-    docs.select(col(idCol), col(textCol).as("__orig"), redacted.as("redacted"))
+    docs.select(col(idCol), col(textCol).as("__orig"),
+        piiRedactCol(col(textCol)).as("redacted"))
       .select(col(idCol), col("redacted"),
         (col("redacted") =!= col("__orig")).as("was_redacted"))
   }

@@ -68,7 +68,8 @@ object CurationStream {
             maxFilesPerTrigger: Int = 100,
             bench: Option[DataFrame] = None, benchTextCol: String = "text",
             benchShingleWords: Int = 3,
-            maxOverlapFrac: Double = 0.5): StreamingQuery = {
+            maxOverlapFrac: Double = 0.5,
+            redactPii: Boolean = false): StreamingQuery = {
     // The eval suite's gram set is computed ONCE at stream start (eager,
     // cleaner-reclaimed) — the suite is static across the stream's life,
     // so per-batch work is just the broadcast membership join.
@@ -79,7 +80,7 @@ object CurationStream {
       checkpoint, trigger, maxFilesPerTrigger) { (batch, batchId) =>
       ingestBatch(batch, batchId, cleanDir, spanIndexTable, idCol,
         textCol, maxDupRate, spanN, buckets, minWords,
-        benchGrams, benchShingleWords, maxOverlapFrac)
+        benchGrams, benchShingleWords, maxOverlapFrac, redactPii)
     }
   }
 
@@ -92,7 +93,8 @@ object CurationStream {
                   maxDupRate: Double, spanN: Int, buckets: Int,
                   minWords: Int, benchGrams: Option[DataFrame] = None,
                   benchShingleWords: Int = 3,
-                  maxOverlapFrac: Double = 0.5): Unit = {
+                  maxOverlapFrac: Double = 0.5,
+                  redactPii: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val docs = batch.localCheckpoint(true)
 
@@ -148,8 +150,17 @@ object CurationStream {
     val survivors = gated.join(losers, Seq(idCol), "left_anti")
       .localCheckpoint(true)
 
-    // 3a. Clean output, idempotent per batch.
-    IngestStream.writeClean(survivors, batchId, cleanDir)
+    // 3a. Clean output, idempotent per batch — optionally PII-masked
+    // (scrub-on-ingest: emails → URLs → phones, the same ordered rewrite
+    // as the batch [[TextAnalysis.piiRedact]]). Gates and the span index
+    // always see the ORIGINAL text: redaction must not mask duplicate
+    // evidence, and replays stay byte-identical either way (the rewrite
+    // is a pure function of the row).
+    val out =
+      if (redactPii)
+        survivors.withColumn(textCol, TextAnalysis.piiRedactCol(col(textCol)))
+      else survivors
+    IngestStream.writeClean(out, batchId, cleanDir)
     // 3b. Survivors' spans join the index, tagged with their source doc.
     val survivorSpans = spans
       .join(survivors.select(idCol), Seq(idCol), "left_semi")

@@ -53,6 +53,28 @@ class CurationStreamSpec extends SparkSpec {
     }
   }
 
+  test("redactPii masks the clean output but the span index keeps original evidence") {
+    withIndexTable { idx =>
+      val clean = tmp("curredact") + "/t"
+      val tPii = "please contact me at me@ex.com for the offer of today"
+      val b = Seq((1L, tPii), (2L, tB)).toDF("doc_id", "text")
+      CurationStream.ingestBatch(b, 0L, clean, idx, "doc_id", "text",
+        maxDupRate = 0.5, spanN = 3, buckets = 4, minWords = 5, redactPii = true)
+      val out = CurationStream.readClean(spark, clean)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      assert(out(1L) == "please contact me at <EMAIL> for the offer of today")
+      assert(out(2L) == tB, "clean text passes through byte-identical")
+      // the index keeps ORIGINAL spans, so redaction cannot mask
+      // duplicate evidence: an unredacted re-delivery still gates out
+      val b2 = Seq((3L, tPii)).toDF("doc_id", "text")
+      CurationStream.ingestBatch(b2, 1L, clean, idx, "doc_id", "text",
+        maxDupRate = 0.5, spanN = 3, buckets = 4, minWords = 5, redactPii = true)
+      assert(!CurationStream.readClean(spark, clean)
+        .select($"doc_id").as[Long].collect().contains(3L),
+        "unredacted re-delivery must still hit the original-span index")
+    }
+  }
+
   test("decontamination gate: bench near-copy drops, clean docs pass, ≡ batch rule") {
     withIndexTable { idx =>
       val clean = tmp("curdecon") + "/t"
