@@ -107,6 +107,23 @@ object TextQueries {
       TextAnalysis.chunkTokens(docs(s, dir), "doc_id", "text",
         chunkSize = 128, stride = 64)),
 
+    // Chunk → pack end-to-end: disjoint 128-token chunks greedily packed
+    // into 512-token training sequences by global (doc, chunk) order —
+    // the context-window prep pipeline (chunking keeps documents intact
+    // at boundaries; packing fills sequences without splitting a chunk).
+    // The running sum is the two-phase parallel prefix sum, so one
+    // mega-corpus never serializes through a single window task.
+    "text_chunk_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val chunks = TextAnalysis.chunkTokens(docs(s, dir), "doc_id", "text",
+        chunkSize = 128, stride = 128)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+      graft.ops.Curation.parallelRunningSum(chunks, Nil,
+        Seq("doc_id", "chunk_id"), "n_chunk_tokens", "__cum")
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          expr("(__cum - n_chunk_tokens) div 512").as("pack_id"))
+    }),
+
     // Per-source robust length outliers (median/MAD on token counts —
     // integer metric keeps every interpolation engine-exact).
     "text_length_outliers" -> ((s, dir) =>
@@ -694,6 +711,26 @@ object TextQueries {
          |       len(chunk)::BIGINT AS n_chunk_tokens,
          |       array_to_string(chunk, ' ') AS chunk_text
          |FROM c""".stripMargin,
+
+    // Chunk→pack mirror: the text_chunk CTEs at 128/128 (disjoint), then
+    // the same exclusive running sum // 512 as text_pack_sequences.
+    "text_chunk_pack" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks,
+         |         unnest(generate_series(0, len(toks) - 1, 128)) AS strt
+         |  FROM t),
+         |ch AS (
+         |  SELECT doc_id, strt // 128 AS chunk_id,
+         |         len(toks[strt + 1 : strt + 128])::BIGINT AS n_chunk_tokens
+         |  FROM s),
+         |c AS (
+         |  SELECT doc_id, chunk_id, n_chunk_tokens,
+         |         sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM ch)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, n_chunk_tokens,
+         |       ((cum - n_chunk_tokens) // 512)::BIGINT AS pack_id FROM c""".stripMargin,
 
     // Median/MAD mirror: quantile_cont at 0.5 over integer counts and
     // half-integer deviations — exact halving both times, so the compare
