@@ -15,6 +15,17 @@ object SimilarityQueries {
     emb(s, dir).where(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding"))
 
+  /** Apply a duplicate-pair set to the corpus: resolve connected
+    * components, drop every non-keeper, return the surviving
+    * (vec_id, label) frame — the shared tail of sim_dedup_apply and
+    * sim_graph_dedup (ONE copy, so a change to keeper semantics hits
+    * both dedup-application paths at once). */
+  private def applyPairDedup(corpus: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = graft.ops.Dedup.resolveClusters(pairs)
+      .where(!col("keep")).select(col("id").as("vec_id"))
+    corpus.join(losers, Seq("vec_id"), "left_anti").select("vec_id", "label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Baseline: brute-force top-5 cosine neighbors of every 100th vector.
     "sim_knn_brute" -> ((s, dir) =>
@@ -115,15 +126,12 @@ object SimilarityQueries {
     // boilerplate vector similar to everything can't chain families
     // together through one-directional edges).
     "sim_graph_dedup" -> ((s, dir) => {
-      val e = emb(s, dir)
       val edges = Similarity.mutualKnn(
-          Similarity.knnGraph(e, "vec_id", "embedding", k = 3, bits = 6))
+          Similarity.knnGraph(emb(s, dir), "vec_id", "embedding", k = 3, bits = 6))
         .where(col("cos") >= 0.4 && col("src") < col("dst"))
         .select(col("src").as("id_a"), col("dst").as("id_b"))
         .localCheckpoint(true)
-      val losers = graft.ops.Dedup.resolveClusters(edges)
-        .where(!col("keep")).select(col("id").as("vec_id"))
-      e.join(losers, Seq("vec_id"), "left_anti").select("vec_id", "label")
+      applyPairDedup(emb(s, dir), edges)
     }),
 
     // Embedding-space outlier screen: cosine to the assigned (nearest)
@@ -190,13 +198,10 @@ object SimilarityQueries {
     // components (graft.ops.Dedup.resolveClusters is sketch-agnostic) →
     // keep the min vec_id per cluster; survivors = keepers + singletons.
     "sim_dedup_apply" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+      val pairs = Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
         threshold = 0.4, bits = 6, maxBucketSize = 1000)
         .select("id_a", "id_b").localCheckpoint(true)
-      val losers = graft.ops.Dedup.resolveClusters(pairs)
-        .where(!col("keep")).select(col("id").as("vec_id"))
-      e.join(losers, Seq("vec_id"), "left_anti").select("vec_id", "label")
+      applyPairDedup(emb(s, dir), pairs)
     }),
 
     // k-means training (one Lloyd's round over the deterministic first-8
@@ -390,6 +395,23 @@ object SimilarityQueries {
        |  FROM p JOIN b c USING (bucket)
        |  WHERE p.vec_id < c.vec_id)""".stripMargin
 
+  /** kNN-graph CTE chain over [[nearDupCtes]]' pair set: both edge
+    * orientations, per-src rank by (cos desc, dst), top-3 — ONE copy of
+    * the graph mirror, shared by the sim_knn_graph / sim_mutual_knn /
+    * sim_graph_dedup oracles (same reason nearDupCtes is shared: an
+    * edit to the graph semantics must hit every mirror at once). */
+  private lazy val knnGraphCtes =
+    s"""$nearDupCtes,
+       |directed AS (
+       |  SELECT id_a AS src, id_b AS dst, cos FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst, cos FROM pairs),
+       |ranked AS (
+       |  SELECT src, dst, cos,
+       |         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+       |  FROM directed),
+       |topk AS (SELECT * FROM ranked WHERE rank <= 3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
@@ -422,31 +444,14 @@ object SimilarityQueries {
     // kNN-graph mirror: the shared capped-bucket multiprobe pair CTEs,
     // both orientations, per-src top-3.
     "sim_knn_graph" ->
-      s"""WITH $nearDupCtes,
-         |directed AS (
-         |  SELECT id_a AS src, id_b AS dst, cos FROM pairs
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst, cos FROM pairs),
-         |ranked AS (
-         |  SELECT src, dst, cos,
-         |         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
-         |  FROM directed)
+      s"""WITH $knnGraphCtes
          |SELECT src, dst, cos, CAST(rank AS BIGINT) AS rank
-         |FROM ranked WHERE rank <= 3""".stripMargin,
+         |FROM topk""".stripMargin,
 
     // Graph-dedup mirror: mutual top-3 edges at cos >= 0.4, transitive
     // closure by recursive CTE, keep the least id per component.
     "sim_graph_dedup" ->
-      s"""WITH RECURSIVE $nearDupCtes,
-         |directed AS (
-         |  SELECT id_a AS src, id_b AS dst, cos FROM pairs
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst, cos FROM pairs),
-         |ranked AS (
-         |  SELECT src, dst, cos,
-         |         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
-         |  FROM directed),
-         |topk AS (SELECT * FROM ranked WHERE rank <= 3),
+      s"""WITH RECURSIVE $knnGraphCtes,
          |mut AS (
          |  SELECT t.src, t.dst, t.cos FROM topk t
          |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
@@ -467,16 +472,7 @@ object SimilarityQueries {
     // Mutual-kNN mirror: the kNN-graph ranked CTE self-joined on the
     // reversed pair, both sides within top-3.
     "sim_mutual_knn" ->
-      s"""WITH $nearDupCtes,
-         |directed AS (
-         |  SELECT id_a AS src, id_b AS dst, cos FROM pairs
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst, cos FROM pairs),
-         |ranked AS (
-         |  SELECT src, dst, cos,
-         |         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
-         |  FROM directed),
-         |topk AS (SELECT * FROM ranked WHERE rank <= 3)
+      s"""WITH $knnGraphCtes
          |SELECT t.src, t.dst, t.cos, CAST(t.rank AS BIGINT) AS rank
          |FROM topk t
          |WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)""".stripMargin,
