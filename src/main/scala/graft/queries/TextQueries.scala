@@ -124,6 +124,28 @@ object TextQueries {
           expr("(__cum - n_chunk_tokens) div 512").as("pack_id"))
     }),
 
+    // Training-prep pipeline e2e over the round's new operators:
+    // per-source MAD length-outlier screen → PII masking → disjoint
+    // 128-token chunking of the MASKED text (training must never see the
+    // raw PII, so redaction precedes tokenization — "<PHONE>" is one
+    // token where "+1 (415) 555-0199" was three) → greedy 512-token
+    // sequence packing by global (doc, chunk) order.
+    "text_prep_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val kept = graft.ops.Curation.lengthOutliers(
+          docs(s, dir), "doc_id", "text", "source", k = 4.0)
+        .where(!col("is_outlier")).select("doc_id")
+      val masked = docs(s, dir).join(kept, Seq("doc_id"), "left_semi")
+        .withColumn("text", TextAnalysis.piiRedactCol(col("text")))
+      val chunks = TextAnalysis.chunkTokens(masked, "doc_id", "text",
+        chunkSize = 128, stride = 128)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+      graft.ops.Curation.parallelRunningSum(chunks, Nil,
+        Seq("doc_id", "chunk_id"), "n_chunk_tokens", "__cum")
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          expr("(__cum - n_chunk_tokens) div 512").as("pack_id"))
+    }),
+
     // Per-source robust length outliers (median/MAD on token counts —
     // integer metric keeps every interpolation engine-exact).
     "text_length_outliers" -> ((s, dir) =>
@@ -716,6 +738,47 @@ object TextQueries {
     // the same exclusive running sum // 512 as text_pack_sequences.
     "text_chunk_pack" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks,
+         |         unnest(generate_series(0, len(toks) - 1, 128)) AS strt
+         |  FROM t),
+         |ch AS (
+         |  SELECT doc_id, strt // 128 AS chunk_id,
+         |         len(toks[strt + 1 : strt + 128])::BIGINT AS n_chunk_tokens
+         |  FROM s),
+         |c AS (
+         |  SELECT doc_id, chunk_id, n_chunk_tokens,
+         |         sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM ch)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, n_chunk_tokens,
+         |       ((cum - n_chunk_tokens) // 512)::BIGINT AS pack_id FROM c""".stripMargin,
+
+    // Prep-pipeline mirror: MAD screen CTEs → regexp_replace chain on
+    // survivors → chunk CTEs over the MASKED text → exclusive running
+    // sum // 512 (same chain as the Spark side, stage for stage).
+    "text_prep_pipeline" ->
+      s"""WITH lt AS (
+         |  SELECT doc_id, source, len($toksSql)::BIGINT AS n_tokens FROM documents),
+         |med AS (SELECT source, quantile_cont(n_tokens, 0.5) AS med FROM lt GROUP BY source),
+         |d AS (
+         |  SELECT lt.doc_id, lt.source, lt.n_tokens, med.med,
+         |         abs(lt.n_tokens - med.med) AS absdev
+         |  FROM lt JOIN med ON lt.source IS NOT DISTINCT FROM med.source),
+         |mad AS (SELECT source, quantile_cont(absdev, 0.5) AS mad FROM d GROUP BY source),
+         |kept AS (
+         |  SELECT d.doc_id FROM d JOIN mad ON d.source IS NOT DISTINCT FROM mad.source
+         |  WHERE NOT (d.absdev > 4.0 * mad.mad)),
+         |masked AS (
+         |  SELECT doc_id,
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(text,
+         |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |        'https?://[^\\s]+', '<URL>', 'g'),
+         |      '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS text
+         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)),
+         |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM masked),
          |s AS (
          |  SELECT doc_id, toks,
          |         unnest(generate_series(0, len(toks) - 1, 128)) AS strt
