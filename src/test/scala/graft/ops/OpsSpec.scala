@@ -651,6 +651,35 @@ class OpsSpec extends SparkSpec {
     assert(mutual.forall { case (s0, d0) => mutual.contains((d0, s0)) })
   }
 
+  test("centroidOutliers with an empty centroid set assigns (and flags) nothing") {
+    val cents = emb.where(col("vec_id") < 0)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    // ivfAssign's degenerate-input contract: empty centroids assign no
+    // rows, so the outlier screen emits zero rows rather than NULLs.
+    assert(Similarity.centroidOutliers(emb, cents, "vec_id", "embedding",
+      "cid", minCos = 0.5).count() == 0)
+  }
+
+  test("chunkTokens: null text yields no chunks; single token yields one") {
+    val d = Seq((1L, null: String), (2L, "only")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(d, "doc_id", "text", chunkSize = 4, stride = 4)
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L),
+      "null text must produce no chunk rows (sequence over null explodes to nothing)")
+    assert(out.head.getAs[Long]("n_chunk_tokens") == 1L
+      && out.head.getAs[String]("chunk_text") == "only")
+  }
+
+  test("rrfFuse at kConst = 0 ranks purely by 1/rank sums") {
+    val a = Seq((1L, 10L, 1L)).toDF("qid", "vec_id", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 10L, 2L)).toDF("qid", "vec_id", "rank")
+    val out = Similarity.rrfFuse(a, b, "qid", "vec_id", k = 2, kConst = 0)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("rrf_score")))
+    // 10: 1/1 + 1/2 = 1.5 beats 11: 1/1 = 1.0
+    assert(out.toSeq == Seq((10L, 1.5), (11L, 1.0)))
+  }
+
   test("rrfFuse: overlap sums both lists, absent-list candidates score one term") {
     val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "vec_id", "rank")
     val b = Seq((1L, 10L, 2L), (1L, 12L, 1L)).toDF("qid", "vec_id", "rank")
