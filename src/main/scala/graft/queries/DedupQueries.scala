@@ -40,6 +40,29 @@ object DedupQueries {
     // Cluster resolution: SimHash near-dup pairs → connected components,
     // keeper = smallest doc_id per cluster (identical sketches collapsed
     // to representatives before the quadratic pair step — the scale path).
+    // Dedup cascade e2e — the order a production pipeline runs: exact
+    // dedup first (cheap fingerprint groupBy eats the bulk copies), then
+    // MinHash-LSH near-dup on the exact KEEPERS only (the expensive stage
+    // sees the shrunken corpus), components resolved, lowest id kept.
+    "dedup_cascade" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fp = d.select(col("doc_id"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      val exactKeepers = fp.groupBy("fingerprint")
+        .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val stage1 = d.join(exactKeepers, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      val pairs = Dedup.lshCandidatePairs(stage1, "doc_id", "text",
+        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
+        .where(col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val losers = Dedup.resolveClusters(pairs)
+        .where(!col("keep")).select(col("id").as("doc_id"))
+      stage1.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+    }),
+
     "dedup_clusters" -> ((s, dir) =>
       Dedup.simHashClusters(docs(s, dir), "doc_id", "text", maxHamming = 3,
         maxBucketSize = 1000)),
@@ -345,6 +368,44 @@ object DedupQueries {
          |  WHERE a.bk3_n <= 1000)
          |SELECT id_a, id_b, CAST(bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= 3""".stripMargin,
+
+    // Cascade mirror: exact keepers by normalized-md5 min-id, the
+    // MinHash-LSH chain over the SURVIVORS, est-jaccard >= 0.5 pairs,
+    // recursive closure, least-id keeper per component.
+    "dedup_cascade" ->
+      s"""WITH RECURSIVE fp AS (
+         |  SELECT doc_id,
+         |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM documents),
+         |keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |surv AS (SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM keep1)),
+         |toks AS (SELECT doc_id, $toksSql AS t FROM surv),
+         |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM toks),
+         |sig AS (SELECT doc_id, ($signatureSql) AS signature FROM sh),
+         |bands AS (
+         |  SELECT doc_id, signature,
+         |         unnest(list_transform(range(0,4), b -> b::VARCHAR || ':' ||
+         |           md5(array_to_string(list_slice(signature, (b*4+1)::INT, (b*4+4)::INT), ',')))) AS band_key
+         |  FROM sig),
+         |capped AS (
+         |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band_key) <= 1000),
+         |nd AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM capped a JOIN capped b USING (band_key)
+         |  WHERE a.doc_id < b.doc_id
+         |    AND (len(list_filter(range(1,17), i -> a.signature[i::INT] = b.signature[i::INT]))::DOUBLE / 16) >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd
+         |  UNION SELECT id_b, id_a FROM nd),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |losers AS (
+         |  SELECT src AS doc_id FROM reach GROUP BY src
+         |  HAVING least(src, min(dst)) < src)
+         |SELECT doc_id, lang, source FROM surv
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $skCtes,
