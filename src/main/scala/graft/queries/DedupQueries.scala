@@ -37,20 +37,17 @@ object DedupQueries {
       Dedup.simHash60Pairs(docs(s, dir), "doc_id", "text", maxHamming = 3,
         maxBucketSize = 1000)),
 
-    // Cluster resolution: SimHash near-dup pairs → connected components,
-    // keeper = smallest doc_id per cluster (identical sketches collapsed
-    // to representatives before the quadratic pair step — the scale path).
     // Dedup cascade e2e — the order a production pipeline runs: exact
     // dedup first (cheap fingerprint groupBy eats the bulk copies), then
     // MinHash-LSH near-dup on the exact KEEPERS only (the expensive stage
     // sees the shrunken corpus), components resolved, lowest id kept.
     "dedup_cascade" -> ((s, dir) => {
       val d = docs(s, dir)
-      val fp = d.select(col("doc_id"),
-        graft.functions.TextFunctions.fingerprint(col("text")).as("fingerprint"))
-      val exactKeepers = fp.groupBy("fingerprint")
-        .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
+      // Stage 1 reuses the canonical exact-dedup rule — keep_id IS the
+      // per-fingerprint keeper, so a change to Dedup.exact's
+      // normalization or keeper rule reaches the cascade automatically.
+      val exactKeepers = Dedup.exact(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
       val stage1 = d.join(exactKeepers, Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
       val pairs = Dedup.lshCandidatePairs(stage1, "doc_id", "text",
@@ -63,6 +60,9 @@ object DedupQueries {
         .select("doc_id", "lang", "source")
     }),
 
+    // Cluster resolution: SimHash near-dup pairs → connected components,
+    // keeper = smallest doc_id per cluster (identical sketches collapsed
+    // to representatives before the quadratic pair step — the scale path).
     "dedup_clusters" -> ((s, dir) =>
       Dedup.simHashClusters(docs(s, dir), "doc_id", "text", maxHamming = 3,
         maxBucketSize = 1000)),
@@ -262,8 +262,8 @@ object DedupQueries {
 
   /** MinHash/LSH candidate-pair CTEs (toks → … → lshcand), mirroring
     * [[graft.ops.Dedup.lshCandidatePairs]] with the 1000-row bucket cap. */
-  private val lshCandCtes =
-    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+  private def lshCandCtesFrom(src: String) =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM $src),
        |shg AS (SELECT doc_id, ($shinglesSql) AS shingles FROM toks),
        |sig AS (SELECT doc_id, ($signatureSql) AS signature FROM shg),
        |bands AS (
@@ -277,6 +277,7 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bcapped a JOIN bcapped b USING (band_key)
        |  WHERE a.doc_id < b.doc_id)""".stripMargin
+  private val lshCandCtes = lshCandCtesFrom("documents")
 
   private def jaccardSql(a: String, b: String) =
     s"""CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0
@@ -379,21 +380,13 @@ object DedupQueries {
          |  FROM documents),
          |keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
          |surv AS (SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM keep1)),
-         |toks AS (SELECT doc_id, $toksSql AS t FROM surv),
-         |sh AS (SELECT doc_id, ($shinglesSql) AS shingles FROM toks),
-         |sig AS (SELECT doc_id, ($signatureSql) AS signature FROM sh),
-         |bands AS (
-         |  SELECT doc_id, signature,
-         |         unnest(list_transform(range(0,4), b -> b::VARCHAR || ':' ||
-         |           md5(array_to_string(list_slice(signature, (b*4+1)::INT, (b*4+4)::INT), ',')))) AS band_key
-         |  FROM sig),
-         |capped AS (
-         |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band_key) <= 1000),
+         |${lshCandCtesFrom("surv")},
+         |sigs AS (SELECT doc_id, signature FROM sig),
          |nd AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM capped a JOIN capped b USING (band_key)
-         |  WHERE a.doc_id < b.doc_id
-         |    AND (len(list_filter(range(1,17), i -> a.signature[i::INT] = b.signature[i::INT]))::DOUBLE / 16) >= 0.5),
+         |  SELECT c.id_a, c.id_b
+         |  FROM lshcand c JOIN sigs a ON c.id_a = a.doc_id
+         |                 JOIN sigs b ON c.id_b = b.doc_id
+         |  WHERE (len(list_filter(range(1,17), i -> a.signature[i::INT] = b.signature[i::INT]))::DOUBLE / 16) >= 0.5),
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM nd
          |  UNION SELECT id_b, id_a FROM nd),

@@ -335,6 +335,57 @@ object TextQueries {
       (10 until 20).map(i => s"src$i" -> 0.03125)).toMap
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** The PII masking rewrite over a SQL expression — the SINGLE mirror of
+    * [[graft.ops.TextAnalysis.piiRedactCol]] (email → URL → phone order,
+    * global flag); shared by the text_pii_redact and text_prep_pipeline
+    * oracles so a pattern fix reaches every mirror at once. */
+  private def piiRedactSql(e: String) =
+    s"""regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace($e,
+       |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |        'https?://[^\\s]+', '<URL>', 'g'),
+       |      '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g')""".stripMargin
+
+  /** Median/MAD screen CTEs (lt/med/d/mad) over `src` — the SINGLE mirror
+    * of [[graft.ops.Curation.lengthOutliers]]' centers (null-safe joins,
+    * quantile_cont at 0.5); shared by text_length_outliers and
+    * text_prep_pipeline. */
+  private def madCtes(src: String) =
+    s"""lt AS (
+       |  SELECT doc_id, source, len($toksSql)::BIGINT AS n_tokens FROM $src),
+       |med AS (SELECT source, quantile_cont(n_tokens, 0.5) AS med FROM lt GROUP BY source),
+       |d AS (
+       |  SELECT lt.doc_id, lt.source, lt.n_tokens, med.med,
+       |         abs(lt.n_tokens - med.med) AS absdev
+       |  FROM lt JOIN med ON lt.source IS NOT DISTINCT FROM med.source),
+       |mad AS (SELECT source, quantile_cont(absdev, 0.5) AS mad FROM d GROUP BY source)""".stripMargin
+
+  /** Chunk CTEs (s/ch) over a CTE named `t` carrying (doc_id, toks) — the
+    * SINGLE mirror of [[graft.ops.TextAnalysis.chunkTokens]]' stride/slice
+    * arithmetic; shared by text_chunk, text_chunk_pack, and
+    * text_prep_pipeline. */
+  private def chunkCtes(chunkSize: Int, stride: Int) =
+    s"""s AS (
+       |  SELECT doc_id, toks,
+       |         unnest(generate_series(0, len(toks) - 1, $stride)) AS strt
+       |  FROM t),
+       |ch AS (
+       |  SELECT doc_id, strt // $stride AS chunk_id,
+       |         toks[strt + 1 : strt + $chunkSize] AS chunk
+       |  FROM s)""".stripMargin
+
+  /** The exclusive-prefix-sum packing tail (c) + final projection over the
+    * `ch` chunk CTE — shared by text_chunk_pack and text_prep_pipeline. */
+  private def packTailSql(budget: Int) =
+    s"""c AS (
+       |  SELECT doc_id, chunk_id, len(chunk)::BIGINT AS n_chunk_tokens,
+       |         sum(len(chunk)::BIGINT) OVER (ORDER BY doc_id, chunk_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM ch)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, n_chunk_tokens,
+       |       ((cum - n_chunk_tokens) // $budget)::BIGINT AS pack_id FROM c""".stripMargin
   private def h60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
 
   /** DSIR mirror: same normalize → tokens → unigram+bigram features →
@@ -710,103 +761,46 @@ object TextQueries {
     "text_pii_redact" ->
       s"""WITH r AS (
          |  SELECT doc_id, text,
-         |    regexp_replace(
-         |      regexp_replace(
-         |        regexp_replace(text,
-         |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |        'https?://[^\\s]+', '<URL>', 'g'),
-         |      '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+         |    ${piiRedactSql("text")} AS redacted
          |  FROM documents)
          |SELECT doc_id, redacted, redacted <> text AS was_redacted FROM r""".stripMargin,
 
     "text_chunk" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (
-         |  SELECT doc_id, toks,
-         |         unnest(generate_series(0, len(toks) - 1, 64)) AS strt
-         |  FROM t),
-         |c AS (
-         |  SELECT doc_id, strt // 64 AS chunk_id,
-         |         toks[strt + 1 : strt + 128] AS chunk
-         |  FROM s)
+         |${chunkCtes(chunkSize = 128, stride = 64)}
          |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
          |       len(chunk)::BIGINT AS n_chunk_tokens,
          |       array_to_string(chunk, ' ') AS chunk_text
-         |FROM c""".stripMargin,
+         |FROM ch""".stripMargin,
 
     // Chunk→pack mirror: the text_chunk CTEs at 128/128 (disjoint), then
     // the same exclusive running sum // 512 as text_pack_sequences.
     "text_chunk_pack" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (
-         |  SELECT doc_id, toks,
-         |         unnest(generate_series(0, len(toks) - 1, 128)) AS strt
-         |  FROM t),
-         |ch AS (
-         |  SELECT doc_id, strt // 128 AS chunk_id,
-         |         len(toks[strt + 1 : strt + 128])::BIGINT AS n_chunk_tokens
-         |  FROM s),
-         |c AS (
-         |  SELECT doc_id, chunk_id, n_chunk_tokens,
-         |         sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM ch)
-         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, n_chunk_tokens,
-         |       ((cum - n_chunk_tokens) // 512)::BIGINT AS pack_id FROM c""".stripMargin,
+         |${chunkCtes(chunkSize = 128, stride = 128)},
+         |${packTailSql(budget = 512)}""".stripMargin,
 
     // Prep-pipeline mirror: MAD screen CTEs → regexp_replace chain on
     // survivors → chunk CTEs over the MASKED text → exclusive running
     // sum // 512 (same chain as the Spark side, stage for stage).
     "text_prep_pipeline" ->
-      s"""WITH lt AS (
-         |  SELECT doc_id, source, len($toksSql)::BIGINT AS n_tokens FROM documents),
-         |med AS (SELECT source, quantile_cont(n_tokens, 0.5) AS med FROM lt GROUP BY source),
-         |d AS (
-         |  SELECT lt.doc_id, lt.source, lt.n_tokens, med.med,
-         |         abs(lt.n_tokens - med.med) AS absdev
-         |  FROM lt JOIN med ON lt.source IS NOT DISTINCT FROM med.source),
-         |mad AS (SELECT source, quantile_cont(absdev, 0.5) AS mad FROM d GROUP BY source),
+      s"""WITH ${madCtes("documents")},
          |kept AS (
          |  SELECT d.doc_id FROM d JOIN mad ON d.source IS NOT DISTINCT FROM mad.source
          |  WHERE NOT (d.absdev > 4.0 * mad.mad)),
          |masked AS (
          |  SELECT doc_id,
-         |    regexp_replace(
-         |      regexp_replace(
-         |        regexp_replace(text,
-         |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |        'https?://[^\\s]+', '<URL>', 'g'),
-         |      '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS text
+         |    ${piiRedactSql("text")} AS text
          |  FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)),
-         |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM masked),
-         |s AS (
-         |  SELECT doc_id, toks,
-         |         unnest(generate_series(0, len(toks) - 1, 128)) AS strt
-         |  FROM t),
-         |ch AS (
-         |  SELECT doc_id, strt // 128 AS chunk_id,
-         |         len(toks[strt + 1 : strt + 128])::BIGINT AS n_chunk_tokens
-         |  FROM s),
-         |c AS (
-         |  SELECT doc_id, chunk_id, n_chunk_tokens,
-         |         sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM ch)
-         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, n_chunk_tokens,
-         |       ((cum - n_chunk_tokens) // 512)::BIGINT AS pack_id FROM c""".stripMargin,
+         |t AS (SELECT doc_id, $toksSql AS toks FROM masked),
+         |${chunkCtes(chunkSize = 128, stride = 128)},
+         |${packTailSql(budget = 512)}""".stripMargin,
 
     // Median/MAD mirror: quantile_cont at 0.5 over integer counts and
     // half-integer deviations — exact halving both times, so the compare
     // against k·MAD is on bit-identical values.
     "text_length_outliers" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, source, len($toksSql)::BIGINT AS n_tokens FROM documents),
-         |med AS (SELECT source, quantile_cont(n_tokens, 0.5) AS med FROM t GROUP BY source),
-         |d AS (
-         |  SELECT t.doc_id, t.source, t.n_tokens, med.med,
-         |         abs(t.n_tokens - med.med) AS absdev
-         |  FROM t JOIN med ON t.source IS NOT DISTINCT FROM med.source),
-         |mad AS (SELECT source, quantile_cont(absdev, 0.5) AS mad FROM d GROUP BY source)
+      s"""WITH ${madCtes("documents")}
          |SELECT d.doc_id, d.source, d.n_tokens, d.med, mad.mad,
          |       d.absdev > 4.0 * mad.mad AS is_outlier
          |FROM d JOIN mad ON d.source IS NOT DISTINCT FROM mad.source""".stripMargin,
