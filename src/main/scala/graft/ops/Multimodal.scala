@@ -134,6 +134,30 @@ object Multimodal {
       .select("media_id", "frame_offset")
   }
 
+  /** Per-frame features: [[sampleFrames]]' stride-aligned offsets, each
+    * with its frame's byte count and the native byte-fold checksum of the
+    * frame WINDOW `[offset, offset + stride)` — the compose-then-extract
+    * shape of a video feature pipeline (sample frames, featurize each),
+    * with the decode step stubbed by the same checksum expression
+    * [[extractFeatures]] uses. Payload stays in-row through the explode
+    * (no re-join with the media table) and the slice + fold are per-row
+    * codegen — scan speed, fan-out partition-local, zero shuffle. */
+  def frameFeatures(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0)
+    media.select(col("media_id"), col("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("frame_offset",
+        explode(when(col("n_bytes") > 0L,
+            sequence(lit(0L), col("n_bytes") - 1, lit(stride.toLong)))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col("media_id"), col("frame_offset"),
+        least(lit(stride.toLong), col("n_bytes") - col("frame_offset"))
+          .as("frame_bytes"),
+        graft.expressions.MediaExpressions.byteFoldChecksum(
+          expr(s"substring(payload, frame_offset + 1, $stride)"))
+          .as("frame_checksum"))
+  }
+
   /** Build a deterministic media table from the documents corpus (UTF-8
     * payloads): the fixture generator for tests/queries — binary columns
     * with metadata, exactly the shape a real ingest would produce. */

@@ -25,6 +25,13 @@ object MultimodalQueries {
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(media(s, dir).where(col("kind") === "video"), stride = 128)),
 
+    // Sample-then-featurize per frame: stride-64 windows of the video
+    // payloads, each with its byte count and window checksum (the video
+    // feature-pipeline compose; payload rides the explode, no re-join).
+    "mm_frame_features" -> ((s, dir) =>
+      Multimodal.frameFeatures(
+        media(s, dir).where(col("kind") === "video"), stride = 64)),
+
     // Feature extraction (stubbed codec as a native checksum expression;
     // the batched mapPartitions twin is pinned equal in OpsSpec).
     "mm_features" -> ((s, dir) =>
@@ -53,6 +60,35 @@ object MultimodalQueries {
     "mm_frame_sample" ->
       s"""SELECT doc_id AS media_id, unnest(range(0, octet_length(encode(text)), 128)) AS frame_offset
          |FROM documents WHERE $kindSql = 'video'""".stripMargin,
+
+    // Per-frame mirror: same stride series, frame window sliced from the
+    // payload's HEX form (DuckDB blobs don't slice, but substr on the hex
+    // string clamps at the end exactly like Spark's binary substring —
+    // byte i = hex chars 2i+1..2i+2), then the same (a*31 + byte) % 2^31
+    // fold as mm_features over the window.
+    "mm_frame_features" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, lower(hex(encode(text))) AS ph,
+         |         octet_length(encode(text))::BIGINT AS n_bytes
+         |  FROM documents WHERE $kindSql = 'video' AND octet_length(encode(text)) > 0),
+         |f AS (
+         |  SELECT media_id, ph, n_bytes,
+         |         unnest(generate_series(0, n_bytes - 1, 64)) AS frame_offset
+         |  FROM m),
+         |sl AS (
+         |  SELECT media_id, frame_offset,
+         |         least(64, n_bytes - frame_offset)::BIGINT AS frame_bytes,
+         |         substr(ph, (2 * frame_offset + 1)::INT, 128) AS fh
+         |  FROM f),
+         |bytes AS (
+         |  SELECT media_id, frame_offset, frame_bytes,
+         |    list_transform(range(0, len(fh) // 2),
+         |      i -> 16*(strpos('0123456789abcdef', substr(fh, (2*i+1)::INT, 1))-1)
+         |         + strpos('0123456789abcdef', substr(fh, (2*i+2)::INT, 1))-1) AS bs
+         |  FROM sl)
+         |SELECT media_id, frame_offset, frame_bytes,
+         |  list_reduce(list_prepend(0::BIGINT, bs), (a, x) -> (a*31 + x) % 2147483648) AS frame_checksum
+         |FROM bytes""".stripMargin,
 
     // md5 over the hex form of the payload (DuckDB md5 is VARCHAR-only;
     // hex is injective, so grouping is exact content identity). Both

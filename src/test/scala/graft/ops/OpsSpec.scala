@@ -516,6 +516,22 @@ class OpsSpec extends SparkSpec {
     assert(frames.nonEmpty)
   }
 
+  test("frameFeatures: window checksums; single-window payload equals whole-payload checksum") {
+    import spark.implicits._
+    val media = Seq((1L, "abcdefgh".getBytes("UTF-8")), (2L, Array.emptyByteArray))
+      .toDF("media_id", "payload")
+    val out = Multimodal.frameFeatures(media, stride = 5).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("frame_offset"),
+        r.getAs[Long]("frame_bytes"), r.getAs[Long]("frame_checksum")))
+    // 8 bytes at stride 5 → windows [0,5) and [5,8); empty payload → none
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 0L, 5L), (1L, 5L, 3L)))
+    // a payload within one stride folds identically to extractFeatures'
+    // whole-payload checksum
+    val whole = graft.expressions.ByteFoldChecksumExpr(null).compute("abcde".getBytes("UTF-8"))
+    assert(out.head._4 == whole)
+  }
+
   test("frame sampling emits nothing for an empty payload") {
     import spark.implicits._
     val media = Seq((1L, Array.emptyByteArray), (2L, "abc".getBytes("UTF-8")))
