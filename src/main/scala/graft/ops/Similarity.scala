@@ -656,6 +656,28 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Recall@k of an approximate kNN result against exact ground truth —
+    * the evaluation operator that closes the ANN tuning loop (bits /
+    * nprobe / codebook size trade recall for scan cost; this measures
+    * what a setting actually buys). Both inputs carry (qidCol, idCol)
+    * top-k rows ([[bruteForceKnn]] output as `truth`, any of
+    * [[annKnn]]/[[ivfKnn]]/[[pqKnn]]/[[ivfPqKnn]] as `approx`); per query
+    * the recall is |truth ∩ approx| / |truth|. Candidate-sized work
+    * (≤ k rows per query per side) — corpus-independent, like
+    * [[rrfFuse]]. The division is one IEEE op on exact integers, so the
+    * value is engine-exact. Output: (qidCol, k, n_hits, recall). */
+  def recallAtK(truth: DataFrame, approx: DataFrame, qidCol: String,
+                idCol: String): DataFrame = {
+    val hits = approx.select(col(qidCol), col(idCol)).withColumn("__hit", lit(1L))
+    truth.select(col(qidCol), col(idCol))
+      .join(hits, Seq(qidCol, idCol), "left")
+      .groupBy(qidCol)
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col(qidCol), col("k"), col("n_hits"),
+        (col("n_hits").cast("double") / col("k").cast("double")).as("recall"))
+  }
+
   /** Mutual-kNN filter over a [[knnGraph]] edge list: keep an edge only
     * if its REVERSE also survived the per-node top-k — the standard
     * hub-suppression step before graph clustering (a hub that ranks in

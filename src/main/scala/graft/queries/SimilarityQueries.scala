@@ -143,6 +143,19 @@ object SimilarityQueries {
           .select(col("vec_id").as("cid"), col("embedding")),
         "vec_id", "embedding", "cid", minCos = 0.1)),
 
+    // ANN evaluation: recall@5 of single-probe IVF against brute-force
+    // ground truth, per query — the measurement that closes the
+    // bits/nprobe tuning loop (candidate-sized work, corpus-independent).
+    "sim_ann_recall" -> ((s, dir) => {
+      val cents = emb(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val truth = Similarity.bruteForceKnn(emb(s, dir), queriesDf(s, dir),
+        "vec_id", "embedding", "qid", k = 5)
+      val approx = Similarity.ivfKnn(emb(s, dir), queriesDf(s, dir), cents,
+        "vec_id", "embedding", "qid", "cid", k = 5)
+      Similarity.recallAtK(truth, approx, "qid", "vec_id")
+    }),
+
     // Hybrid-retrieval fusion: reciprocal-rank fusion of the LSH ANN list
     // (recall-limited, multiprobe) and the IVF list — the standard
     // combiner when two retrievers see different candidate sets. Fusion
@@ -490,6 +503,39 @@ object SimilarityQueries {
          |SELECT vec_id, cid AS cluster, ccos AS centroid_cos,
          |       ccos < 0.1 AS is_outlier
          |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // Recall mirror: brute top-5 as truth, the ivf_knn CTEs at k=5 as the
+    // approx list, per-qid |truth ∩ approx| / 5.
+    "sim_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |t_scored AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("qv", "embedding")} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |truth AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM t_scored QUALIFY rank <= 5),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
+         |    FROM embeddings e, c) WHERE rn = 1),
+         |iq AS (SELECT vec_id AS qid, embedding AS qv, cluster FROM assign WHERE vec_id % 100 = 0),
+         |i_scored AS (
+         |  SELECT iq.qid, ia.vec_id, ${cosSql("qv", "ia.embedding")} AS cos
+         |  FROM assign ia JOIN iq USING (cluster) WHERE ia.vec_id <> iq.qid),
+         |approx AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM i_scored QUALIFY rank <= 5)
+         |SELECT t.qid, count(*)::BIGINT AS k,
+         |       sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hits,
+         |       sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)::DOUBLE
+         |         / count(*)::DOUBLE AS recall
+         |FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.vec_id = a.vec_id
+         |GROUP BY t.qid""".stripMargin,
 
     // RRF mirror: the ann_lsh CTEs at k=5 (a_*), the ivf_knn CTEs at k=5
     // (i_*), then the fused score 1/(60+rank_a) + 1/(60+rank_b) with

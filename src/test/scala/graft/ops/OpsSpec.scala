@@ -696,6 +696,19 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 1.5), (11L, 1.0)))
   }
 
+  test("recallAtK: identical lists score 1.0, disjoint 0.0, partial exact fraction") {
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("qid", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L), (3L, 99L))
+      .toDF("qid", "vec_id")
+    val out = Similarity.recallAtK(truth, approx, "qid", "vec_id").collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("k"), r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+  }
+
   test("rrfFuse: overlap sums both lists, absent-list candidates score one term") {
     val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "vec_id", "rank")
     val b = Seq((1L, 10L, 2L), (1L, 12L, 1L)).toDF("qid", "vec_id", "rank")
