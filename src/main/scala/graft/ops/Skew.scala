@@ -12,6 +12,27 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Key-distribution diagnostics — the pre-flight that decides whether a
+    * join/agg key needs salting or AQE skew handling before a 100 TB run
+    * commits to a plan: per-key counts reduced to corpus-level shape
+    * metrics (key count, row count, heaviest key's rows and share, mean
+    * rows per key). One partial-aggregated exchange on the key plus one
+    * scalar aggregation over the (much smaller) per-key count table; the
+    * divisions are single IEEE ops on exact integer counts, so the
+    * numbers are engine-exact. A `top_share` far above `1 / n_keys`
+    * flags the salting candidates. Output: one row. */
+  def keyStats(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("__n"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("__n")).as("n_rows"),
+      max(col("__n")).as("max_key_rows"),
+      (max(col("__n")).cast("double") / sum(col("__n")).cast("double"))
+        .as("top_share"),
+      (sum(col("__n")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean_key_rows"))
+  }
+
   /** Two-phase salted aggregation: groupBy (key, salt) partial-aggregates
     * into `salts` shards per key, then merges shards. Use when one key
     * dominates the shuffle (e.g. counting a heavy-hitter event type at

@@ -138,6 +138,25 @@ object EventQueries {
           col("event_type"), col("n"))
     }),
 
+    // Per-user activity profile: event counts, distinct active days
+    // (integer epoch-day arithmetic — timezone-free, engine-exact),
+    // first/last event micros, and the exact decimal value total. One
+    // partial-aggregated exchange on user_id; the per-user state is a
+    // handful of scalars + a bounded distinct-day set (≤ days in the
+    // stream horizon), so the profile scales with users, not events.
+    "events_user_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("day")).as("active_days"),
+          min(col("ts_us")).as("first_us"),
+          max(col("ts_us")).as("last_us"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    }),
+
     // Sessionization-style gap analysis per user via lag window.
     "events_user_gaps" -> ((s, dir) => {
       // Work in truncated micros (matches DuckDB's ns→µs parquet read) and
@@ -287,6 +306,15 @@ object EventQueries {
         |  FROM e, (VALUES (0), (1)) AS hops(k))
         |SELECT win_start_us, event_type, count(*) AS n
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "events_user_profile" ->
+      """SELECT user_id,
+        |  count(*)::BIGINT AS n_events,
+        |  count(DISTINCT epoch_us(ts) // 86400000000)::BIGINT AS active_days,
+        |  min(epoch_us(ts)) AS first_us,
+        |  max(epoch_us(ts)) AS last_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "events_user_gaps" ->
       """SELECT user_id, event_id,

@@ -217,6 +217,11 @@ object RelationalQueries {
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
           "metric", "value")),
 
+    // Join-key skew diagnostics: the shape metrics that decide whether
+    // l_partkey needs salting before a fact-fact join at scale.
+    "rel_key_skew" -> ((s, dir) =>
+      graft.ops.Skew.keyStats(Tables(s, dir, "lineitem"), "l_partkey")),
+
     // Min/max/avg aggregate surface (avg via exact decimal sum / count).
     "rel_agg_minmax" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -509,6 +514,15 @@ object RelationalQueries {
         |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src""".stripMargin,
+
+    "rel_key_skew" ->
+      """WITH c AS (SELECT l_partkey, count(*)::BIGINT AS n FROM lineitem GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_keys,
+        |       sum(n)::BIGINT AS n_rows,
+        |       max(n)::BIGINT AS max_key_rows,
+        |       max(n)::DOUBLE / sum(n)::DOUBLE AS top_share,
+        |       sum(n)::DOUBLE / count(*)::DOUBLE AS mean_key_rows
+        |FROM c""".stripMargin,
 
     "rel_agg_minmax" ->
       """SELECT o_orderstatus,
