@@ -325,8 +325,27 @@ object TextQueries {
         totalTokenBudget = 4096L)
       graft.ops.Curation.domainMixBudgets(surv, "doc_id", "text", "source",
         budgets, seed = "mix")
+    }),
+
+    // BM25 lexical retrieval (rational-idf variant — exactly reproducible
+    // cross-engine; see Retrieval.bm25TopK): top-5 docs per query over a
+    // fixed literal query set, the lexical side of hybrid retrieval
+    // (pairs with the ANN operators under sim_rrf-style fusion).
+    "text_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val q = Bm25Queries.toDF("qid", "qtext")
+      graft.ops.Retrieval.bm25TopK(docs(s, dir), q, "doc_id", "text",
+        "qid", "qtext", k = 5)
     })
   )
+
+  /** The fixed BM25 query set (terms drawn from the synthetic corpus
+    * vocabulary) — one copy, shared by the query and its oracle VALUES. */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    (0L, "spark merge join"),
+    (1L, "window sort batch stream"),
+    (2L, "customer order line data"),
+    (3L, "vector quantile zorder"))
 
   /** Mixture weights for text_domain_mix: dyadic (exactly-representable)
     * fractions so `(w * budget).toLong` is identical in any engine. */
@@ -335,6 +354,10 @@ object TextQueries {
       (10 until 20).map(i => s"src$i" -> 0.03125)).toMap
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** [[Bm25Queries]] as a SQL VALUES list (single copy of the fixture). */
+  private def bm25ValuesSql: String =
+    Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
   /** The PII masking rewrite over a SQL expression — the SINGLE mirror of
     * [[graft.ops.TextAnalysis.piiRedactCol]] (email → URL → phone order,
@@ -820,6 +843,41 @@ object TextQueries {
          |  FROM scored)
          |SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
          |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // Mirrors Retrieval.bm25TopK exactly: rational idf, the same
+    // parenthesization (IEEE double ops on exact inputs), the per-(qid,
+    // doc) contribution folded in term order. Constants are written as
+    // the same double expressions Spark evaluates (1.2::DOUBLE + 1.0
+    // rather than the literal 2.2, whose nearest double differs from the
+    // computed sum).
+    "text_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*)::BIGINT AS nd, sum(dl)::BIGINT AS tt FROM dl),
+         |q(qid, qtext) AS (VALUES $bm25ValuesSql),
+         |qt AS (SELECT qid::BIGINT AS qid,
+         |         unnest(list_distinct(regexp_split_to_array(trim(qtext), '\\s+'))) AS term
+         |       FROM q),
+         |cand AS (
+         |  SELECT qt.qid, tf.doc_id, tf.term,
+         |    ((((nd::DOUBLE - df::DOUBLE) + 0.5::DOUBLE) / (df::DOUBLE + 0.5::DOUBLE))
+         |     * (tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE)))
+         |    / (tf::DOUBLE + (1.2::DOUBLE * (0.25::DOUBLE
+         |         + ((0.75::DOUBLE * dl::DOUBLE) / (tt::DOUBLE / nd::DOUBLE))))) AS v
+         |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+         |       JOIN dl USING (doc_id), stats),
+         |scored AS (
+         |  SELECT qid, doc_id,
+         |    list_reduce(list_prepend(0.0, list(v ORDER BY term)), (a, x) -> a + x) AS score
+         |  FROM cand GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin,
 
     "text_token_quantiles" ->
       s"""WITH t AS (SELECT lang, len($toksSql)::BIGINT AS n_tokens FROM documents)
