@@ -692,6 +692,31 @@ object Similarity {
     graph.join(rev, Seq("src", "dst"), "left_semi")
   }
 
+  /** Per-node kNN density over a [[knnGraph]] edge list: the mean cosine
+    * of each node's surviving top-k edges — the local-redundancy signal
+    * behind density-based pruning (D4, Tirumala et al. 2023,
+    * arXiv:2308.12284: points whose neighborhoods are tightest sit in the
+    * most over-represented regions, so dropping the densest fraction
+    * diversifies the corpus). `prune` flags nodes with density ≥
+    * `threshold`; isolated nodes (no candidate edges) never appear — by
+    * construction they are the UNIQUE points density pruning must keep,
+    * so callers drop exactly the flagged ids.
+    *
+    * One agg over the already top-k-pruned (≤ N·k row) edge list —
+    * candidate-sized work; the per-node fold is over ≤ k edges in rank
+    * order (bounded, deterministic), and the division is one IEEE op.
+    * Output: (src, n_edges, density, prune). */
+  def knnDensity(graph: DataFrame, threshold: Double): DataFrame =
+    graph.groupBy("src")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        aggregate(
+          array_sort(collect_list(struct(col("rank"), col("cos").as("v")))),
+          lit(0.0), (acc, s) => acc + s.getField("v")).as("__sum"))
+      .select(col("src"), col("n_edges"),
+        (col("__sum") / col("n_edges").cast("double")).as("density"))
+      .withColumn("prune", col("density") >= threshold)
+
   /** Embedding-space outlier screen: assign each vector to its nearest
     * centroid ([[ivfAssign]] semantics) and flag rows whose cosine to
     * that centroid falls below `minCos` — far-from-every-centroid points

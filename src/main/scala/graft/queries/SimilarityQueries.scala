@@ -119,6 +119,14 @@ object SimilarityQueries {
         Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
           k = 3, bits = 6, maxBucketSize = 1000))),
 
+    // kNN-density pruning signal (D4-style): mean top-k edge cosine per
+    // node; density ≥ 0.35 flags over-represented regions for dropping.
+    "sim_knn_density" -> ((s, dir) =>
+      Similarity.knnDensity(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000),
+        threshold = 0.35)),
+
     // Graph-based dedup: high-similarity MUTUAL kNN edges as duplicate
     // evidence → connected components → keep the lowest id per family,
     // drop the rest. The graph path complements sim_dedup_apply's
@@ -489,6 +497,17 @@ object SimilarityQueries {
          |SELECT t.src, t.dst, t.cos, CAST(t.rank AS BIGINT) AS rank
          |FROM topk t
          |WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)""".stripMargin,
+
+    // Density mirror: per-src mean of top-k cosines, folded in rank
+    // order (same bounded deterministic fold as the Spark side).
+    "sim_knn_density" ->
+      s"""WITH $knnGraphCtes,
+         |d AS (
+         |  SELECT src, count(*)::BIGINT AS n_edges,
+         |    list_reduce(list_prepend(0.0, list(cos ORDER BY rank)), (a, x) -> a + x)
+         |      / count(*)::DOUBLE AS density
+         |  FROM topk GROUP BY src)
+         |SELECT src, n_edges, density, density >= 0.35 AS prune FROM d""".stripMargin,
 
     // Outlier mirror: the ivf_assign ranked CTE keeps its winning cosine
     // (rn = 1 row), which IS the centroid cosine the Spark side recomputes

@@ -667,6 +667,22 @@ class OpsSpec extends SparkSpec {
     assert(mutual.forall { case (s0, d0) => mutual.contains((d0, s0)) })
   }
 
+  test("knnDensity: mean of top-k cosines per node, threshold flags, isolated absent") {
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3, bits = 6)
+    val d = Similarity.knnDensity(g, threshold = 0.35).collect()
+      .map(r => r.getAs[Long]("src") ->
+        (r.getAs[Long]("n_edges"), r.getAs[Double]("density"), r.getAs[Boolean]("prune")))
+      .toMap
+    val byNode = g.collect().groupBy(_.getAs[Long]("src"))
+    assert(d.keySet == byNode.keySet) // exactly the nodes with edges
+    byNode.foreach { case (s0, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos"))
+      val mean = sorted.foldLeft(0.0)(_ + _) / rows.length
+      val (n, dens, prune) = d(s0)
+      assert(n == rows.length && dens == mean && prune == (mean >= 0.35))
+    }
+  }
+
   test("centroidOutliers with an empty centroid set assigns (and flags) nothing") {
     val cents = emb.where(col("vec_id") < 0)
       .select(col("vec_id").as("cid"), col("embedding"))
