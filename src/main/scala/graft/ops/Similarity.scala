@@ -717,6 +717,50 @@ object Similarity {
         (col("__sum") / col("n_edges").cast("double")).as("density"))
       .withColumn("prune", col("density") >= threshold)
 
+  /** Bounded-round label propagation over an UNDIRECTED edge list (e.g.
+    * the [[mutualKnn]] backbone): spread a small seed labeling (quality
+    * tier, topic, license class) to unlabeled neighbors by neighbor-label
+    * majority — the standard semi-supervised annotation amplifier for
+    * training corpora, where a few curated labels annotate the rest of an
+    * embedding neighborhood.
+    *
+    * Deterministic contract: labeled nodes are CLAMPED (a seed, or a node
+    * labeled in an earlier round, never relabels — monotone frontier
+    * growth), each round labels every currently-unlabeled node that has
+    * ≥ 1 labeled neighbor with the majority label over its labeled
+    * neighbors, ties → smallest label. Plain counts (not cosine-weighted)
+    * keep the vote exact integer arithmetic — no float fold to order.
+    *
+    * Scale: per round one hash join of the edge list against the label
+    * frontier, one (node, label) partial-agg, and a WindowGroupLimit-
+    * shaped argmax; `rounds` is small (diameter-bounded), and the label
+    * table is `localCheckpoint`ed per round to truncate the iterative
+    * lineage (the same guard [[graft.ops.Dedup.resolveClusters]] uses).
+    * Edges should be the (already candidate-sized) graph output, not raw
+    * data. Output: (idCol, labelCol, round) — round 0 = seed, r ≥ 1 =
+    * labeled in round r; unreached nodes are absent. */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame, idCol: String,
+                     labelCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var labels = seeds.select(col(idCol), col(labelCol), lit(0L).as("round"))
+      .localCheckpoint(true)
+    var r = 1
+    while (r <= rounds) {
+      val nbr = e
+        .join(labels.select(col(idCol).as("dst"), col(labelCol)), "dst")
+        .join(labels.select(col(idCol).as("src")), Seq("src"), "left_anti")
+        .groupBy(col("src"), col(labelCol)).agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy("src").orderBy(col("__c").desc, col(labelCol))
+      val newly = nbr.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("src").as(idCol), col(labelCol), lit(r.toLong).as("round"))
+      labels = labels.unionByName(newly).localCheckpoint(true)
+      r += 1
+    }
+    labels
+  }
+
   /** Embedding-space outlier screen: assign each vector to its nearest
     * centroid ([[ivfAssign]] semantics) and flag rows whose cosine to
     * that centroid falls below `minCos` — far-from-every-centroid points

@@ -127,6 +127,18 @@ object SimilarityQueries {
           k = 3, bits = 6, maxBucketSize = 1000),
         threshold = 0.35)),
 
+    // Semi-supervised label spread: every 10th vector seeds its true
+    // label; two majority-vote rounds over the mutual-kNN backbone
+    // (clamped, tie → smallest label — fully deterministic).
+    "sim_label_prop" -> ((s, dir) => {
+      val edges = Similarity.mutualKnn(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000))
+      val seeds = emb(s, dir).where(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      Similarity.labelPropagate(edges, seeds, "vec_id", "label", rounds = 2)
+    }),
+
     // Graph-based dedup: high-similarity MUTUAL kNN edges as duplicate
     // evidence → connected components → keep the lowest id per family,
     // drop the rest. The graph path complements sim_dedup_apply's
@@ -508,6 +520,36 @@ object SimilarityQueries {
          |      / count(*)::DOUBLE AS density
          |  FROM topk GROUP BY src)
          |SELECT src, n_edges, density, density >= 0.35 AS prune FROM d""".stripMargin,
+
+    // Label-propagation mirror: the mutual-edge CTE, then the two
+    // majority-vote rounds unrolled (clamped frontier, tie → min label).
+    "sim_label_prop" ->
+      s"""WITH $knnGraphCtes,
+         |mut AS (
+         |  SELECT t.src, t.dst FROM topk t
+         |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
+         |l0 AS (SELECT vec_id, label::BIGINT AS label, 0::BIGINT AS round
+         |       FROM embeddings WHERE vec_id % 10 = 0),
+         |n1 AS (
+         |  SELECT m.src, l.label, count(*) AS c
+         |  FROM mut m JOIN l0 l ON m.dst = l.vec_id
+         |  WHERE m.src NOT IN (SELECT vec_id FROM l0)
+         |  GROUP BY 1, 2),
+         |w1 AS (SELECT src, label,
+         |         row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+         |       FROM n1),
+         |l1 AS (SELECT * FROM l0
+         |       UNION ALL SELECT src, label, 1::BIGINT FROM w1 WHERE rn = 1),
+         |n2 AS (
+         |  SELECT m.src, l.label, count(*) AS c
+         |  FROM mut m JOIN l1 l ON m.dst = l.vec_id
+         |  WHERE m.src NOT IN (SELECT vec_id FROM l1)
+         |  GROUP BY 1, 2),
+         |w2 AS (SELECT src, label,
+         |         row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+         |       FROM n2)
+         |SELECT vec_id, label, round FROM l1
+         |UNION ALL SELECT src, label, 2::BIGINT FROM w2 WHERE rn = 1""".stripMargin,
 
     // Outlier mirror: the ivf_assign ranked CTE keeps its winning cosine
     // (rn = 1 row), which IS the centroid cosine the Spark side recomputes

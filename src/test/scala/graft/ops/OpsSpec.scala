@@ -683,6 +683,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagate: clamped seeds, majority with min-label ties, round tags, frontier growth") {
+    import spark.implicits._
+    // Path 1-2-3-4 plus node 5 adjacent to both seeds 1 (label 10) and 3
+    // (label 20): 5 sees a 1-1 tie in round 1 → min label wins (10).
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (3L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (3L, 20L)).toDF("vec_id", "label")
+    val got = Similarity.labelPropagate(edges, seeds, "vec_id", "label", rounds = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (10L, 0L) && got(3L) == (20L, 0L))   // seeds clamped
+    assert(got(2L)._2 == 1L && got(4L) == (20L, 1L))       // 1-hop in round 1
+    assert(got(2L)._1 == 10L)                              // 2's tie (10 vs 20) → min
+    assert(got(5L) == (10L, 1L))                           // 5's tie → min label
+    // zero rounds = seeds only; reruns identical
+    assert(Similarity.labelPropagate(edges, seeds, "vec_id", "label", 0).count() == 2)
+    val again = Similarity.labelPropagate(edges, seeds, "vec_id", "label", rounds = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == got)
+  }
+
   test("centroidOutliers with an empty centroid set assigns (and flags) nothing") {
     val cents = emb.where(col("vec_id") < 0)
       .select(col("vec_id").as("cid"), col("embedding"))
