@@ -38,4 +38,41 @@ object Profile {
       .select(col("e.column").as("column"), col("n_rows"),
         col("e.n_nulls").as("n_nulls"), col("e.n_distinct").as("n_distinct"))
   }
+
+  /** Per-group z-scores over an integer metric series — the volume-
+    * anomaly screen for ingest monitoring (an hour whose event count sits
+    * `threshold` population standard deviations from its group's mean is
+    * flagged; pipelines alert on it before bad data propagates).
+    *
+    * Exactness contract: `valueCol` must be integral (counts) — n, Σv,
+    * Σv² accumulate as exact LONG sums, so the group statistics are
+    * order-independent, and the only floating-point work is a fixed
+    * expression of those exact sums (IEEE divide/subtract and one
+    * correctly-rounded sqrt — bit-identical cross-engine). Zero-variance
+    * groups score z = 0 everywhere (no divide-by-zero NaN). Σv² caps the
+    * domain: |v| must stay ≤ ~3·10⁹ per row at a billion rows per group
+    * to keep the squared sum inside a LONG — counts of real buckets are
+    * far below it.
+    *
+    * Plan: one partial-agg pass for the per-group stats (tiny — one row
+    * per group), broadcast back over the series. Output: the series
+    * columns + (z, is_anomaly). */
+  def zScores(series: DataFrame, groupCols: Seq[String], valueCol: String,
+              threshold: Double): DataFrame = {
+    require(threshold >= 0, s"threshold must be >= 0: $threshold")
+    val v = col(valueCol)
+    val stats = series.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"), sum(v).as("__s1"),
+        sum(v * v).as("__s2"))
+    val cntD = col("__cnt").cast("double")
+    val s1D = col("__s1").cast("double")
+    val mean = s1D / cntD
+    val variance = (col("__s2").cast("double") - ((s1D * s1D) / cntD)) / cntD
+    val z = when(variance <= 0.0, lit(0.0))
+      .otherwise((v.cast("double") - mean) / sqrt(variance))
+    series.join(broadcast(stats), groupCols)
+      .withColumn("z", z)
+      .withColumn("is_anomaly", abs(col("z")) >= threshold)
+      .drop("__cnt", "__s1", "__s2")
+  }
 }

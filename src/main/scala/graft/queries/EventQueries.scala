@@ -47,6 +47,19 @@ object EventQueries {
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
     }),
 
+    // Hourly-volume anomaly screen per event type: z-score of each hour's
+    // count against its type's distribution (exact LONG sums → IEEE
+    // z-expression; see Profile.zScores), |z| >= 2 flags the hour.
+    "events_anomaly" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      val hourly = e.groupBy(date_trunc("hour", col("ts_utc")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.Profile.zScores(hourly, Seq("event_type"), "n", threshold = 2.0)
+        .select("hour", "event_type", "n", "z", "is_anomaly")
+    }),
+
     // Per-hour distinct active users: exact here (the oracle needs exact
     // values); at 100 TB swap count_distinct for approx_count_distinct —
     // the HLL sketch turns the two-phase exact-distinct shuffle (rows ∝
@@ -246,6 +259,26 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS hour,
         |  count(DISTINCT user_id) AS unique_users, count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Mirrors Profile.zScores exactly: exact LONG sums, then the same
+    // parenthesized IEEE expression (one correctly-rounded sqrt).
+    "events_anomaly" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*)::BIGINT AS cnt,
+        |         sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
+        |  FROM h GROUP BY 1),
+        |z AS (
+        |  SELECT hour, h.event_type, n,
+        |    CASE WHEN ((s2::DOUBLE - ((s1::DOUBLE * s1::DOUBLE) / cnt::DOUBLE)) / cnt::DOUBLE) <= 0.0
+        |         THEN 0.0
+        |         ELSE (n::DOUBLE - (s1::DOUBLE / cnt::DOUBLE))
+        |              / sqrt((s2::DOUBLE - ((s1::DOUBLE * s1::DOUBLE) / cnt::DOUBLE)) / cnt::DOUBLE)
+        |    END AS z
+        |  FROM h JOIN st USING (event_type))
+        |SELECT hour, event_type, n, z, abs(z) >= 2.0 AS is_anomaly FROM z""".stripMargin,
 
     "events_json_agg" ->
       """SELECT event_type, count(*) AS n,
