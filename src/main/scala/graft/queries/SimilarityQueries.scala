@@ -127,6 +127,16 @@ object SimilarityQueries {
           k = 3, bits = 6, maxBucketSize = 1000),
         threshold = 0.35)),
 
+    // JL sign random projection 64 → 16 (deterministic hash-drawn ±1
+    // matrix), exploded to (vec_id, dim, value) — the driver compare
+    // cannot hash array columns.
+    "sim_random_proj" -> ((s, dir) =>
+      Similarity.randomProject(emb(s, dir), "embedding", "proj",
+        inDim = 64, outDim = 16, seed = "rp")
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          col("col").as("value"))),
+
     // Semi-supervised label spread: every 10th vector seeds its true
     // label; two majority-vote rounds over the mutual-kNN backbone
     // (clamped, tie → smallest label — fully deterministic).
@@ -520,6 +530,22 @@ object SimilarityQueries {
          |      / count(*)::DOUBLE AS density
          |  FROM topk GROUP BY src)
          |SELECT src, n_edges, density, density >= 0.35 AS prune FROM d""".stripMargin,
+
+    // Random-projection mirror: rebuild the same md5-drawn sign matrix in
+    // SQL, then the identical zip-multiply fold in i order per (vec, j).
+    "sim_random_proj" ->
+      s"""WITH m AS (
+         |  SELECT i, j,
+         |    CASE WHEN ('0x' || substr(md5('rp:' || i::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT % 2 = 0
+         |         THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS sign
+         |  FROM range(64) t(i) CROSS JOIN range(16) u(j)),
+         |p AS (
+         |  SELECT e.vec_id, m.j,
+         |    list_reduce(
+         |      list_prepend(0.0, list(m.sign * (e.embedding[(m.i + 1)::INT]::DOUBLE) ORDER BY m.i)),
+         |      (a, x) -> a + x) / sqrt(16::DOUBLE) AS value
+         |  FROM embeddings e CROSS JOIN m GROUP BY e.vec_id, m.j)
+         |SELECT vec_id, j::BIGINT AS dim, value FROM p""".stripMargin,
 
     // Label-propagation mirror: the mutual-edge CTE, then the two
     // majority-vote rounds unrolled (clamped frontier, tie → min label).

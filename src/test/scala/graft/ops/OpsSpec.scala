@@ -683,6 +683,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("randomProject: deterministic, distance-preserving on average, null on bad width") {
+    import spark.implicits._
+    val p = Similarity.randomProject(emb, "embedding", "proj", 64, 16, "rp")
+      .select("vec_id", "proj")
+    val rows = p.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.values.forall(_.length == 16))
+    // determinism: exact same values on rerun
+    val again = Similarity.randomProject(emb, "embedding", "proj", 64, 16, "rp")
+      .select("vec_id", "proj").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again == rows)
+    // JL sanity: mean squared norm is preserved in expectation — check the
+    // aggregate ratio lands in a loose band rather than per-pair bounds.
+    val orig = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val ratios = rows.toSeq.map { case (id, pv) =>
+      val on = orig(id).map(x => x * x).sum
+      val pn = pv.map(x => x * x).sum
+      pn / on
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 2.0, s"mean norm ratio $mean out of band")
+    // a wrong-width vector surfaces as null components, not silent truncation
+    val bad = Seq((99L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val badP = Similarity.randomProject(bad, "embedding", "proj", 64, 16, "rp")
+      .select(org.apache.spark.sql.functions.col("proj")).collect().head.getSeq[Any](0)
+    assert(badP.forall(_ == null))
+  }
+
   test("labelPropagate: clamped seeds, majority with min-label ties, round tags, frontier growth") {
     import spark.implicits._
     // Path 1-2-3-4 plus node 5 adjacent to both seeds 1 (label 10) and 3
