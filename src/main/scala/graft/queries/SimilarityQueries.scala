@@ -356,10 +356,12 @@ object SimilarityQueries {
     })
   )
 
-  /** Shared SQL: sequential-fold dot product and cosine over FLOAT[]. */
+  /** Shared SQL: sequential-fold dot product and cosine over FLOAT[].
+    * `cosSql` is package-visible — the hybrid-retrieval oracle in
+    * [[TextQueries]] reuses the ONE cosine mirror. */
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i::INT]::DOUBLE) * ($b[i::INT]::DOUBLE)))"
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     s"""(CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) = 0 THEN 0.0
        | ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END)""".stripMargin
   private val bucketSql = // sign-LSH over first 6 dims, matching VectorFunctions.signBucket

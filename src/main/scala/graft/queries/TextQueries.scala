@@ -336,6 +336,31 @@ object TextQueries {
       val q = Bm25Queries.toDF("qid", "qtext")
       graft.ops.Retrieval.bm25TopK(docs(s, dir), q, "doc_id", "text",
         "qid", "qtext", k = 5)
+    }),
+
+    // Query-by-example hybrid retrieval — the composed retrieval
+    // frontend: exemplar documents query BOTH the lexical index (BM25
+    // over their text, self excluded post-ranking) and the vector side
+    // (brute cosine kNN over their embedding; at scale swap in
+    // ivfPqKnn — same output shape), fused rank-wise by RRF. Every
+    // stage is an existing oracle-checked operator; this pins the
+    // composition.
+    "text_hybrid_retrieval" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = docs(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      val ex = Seq(0L, 100L, 200L, 300L)
+      val q = d.where(col("doc_id").isin(ex: _*))
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val lex = graft.ops.Retrieval.bm25TopK(d, q, "doc_id", "text",
+          "qid", "qtext", k = 10)
+        .where(col("doc_id") =!= col("qid"))
+      val qe = e.where(col("vec_id").isin(ex: _*))
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val sem = graft.ops.Similarity.bruteForceKnn(e, qe,
+          "vec_id", "embedding", "qid", k = 10)
+        .withColumnRenamed("vec_id", "doc_id")
+      graft.ops.Similarity.rrfFuse(lex, sem, "qid", "doc_id", k = 5)
     })
   )
 
@@ -358,6 +383,41 @@ object TextQueries {
   /** [[Bm25Queries]] as a SQL VALUES list (single copy of the fixture). */
   private def bm25ValuesSql: String =
     Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** The BM25 CTE chain through `r` (ranked lexical list) over a
+    * caller-supplied query CTE `q(qid, qtext)` — ONE mirror of
+    * [[graft.ops.Retrieval.bm25TopK]] (rational idf, identical
+    * parenthesization: IEEE double ops on exact inputs; constants written
+    * as the same double expressions Spark evaluates, e.g. `1.2 + 1.0`
+    * rather than the literal `2.2`, whose nearest double differs from the
+    * computed sum; the per-(qid, doc) contribution folded in term order),
+    * shared by the text_bm25 and text_hybrid_retrieval oracles. */
+  private def bm25Ctes(qDef: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*)::BIGINT AS nd, sum(dl)::BIGINT AS tt FROM dl),
+       |$qDef,
+       |qt AS (SELECT qid::BIGINT AS qid,
+       |         unnest(list_distinct(regexp_split_to_array(trim(qtext), '\\s+'))) AS term
+       |       FROM q),
+       |cand AS (
+       |  SELECT qt.qid, tf.doc_id, tf.term,
+       |    ((((nd::DOUBLE - df::DOUBLE) + 0.5::DOUBLE) / (df::DOUBLE + 0.5::DOUBLE))
+       |     * (tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE)))
+       |    / (tf::DOUBLE + (1.2::DOUBLE * (0.25::DOUBLE
+       |         + ((0.75::DOUBLE * dl::DOUBLE) / (tt::DOUBLE / nd::DOUBLE))))) AS v
+       |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+       |       JOIN dl USING (doc_id), stats),
+       |scored AS (
+       |  SELECT qid, doc_id,
+       |    list_reduce(list_prepend(0.0, list(v ORDER BY term)), (a, x) -> a + x) AS score
+       |  FROM cand GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)""".stripMargin
 
   /** The PII masking rewrite over a SQL expression — the SINGLE mirror of
     * [[graft.ops.TextAnalysis.piiRedactCol]] (email → URL → phone order,
@@ -844,40 +904,42 @@ object TextQueries {
          |SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
          |FROM r WHERE rnk <= 3""".stripMargin,
 
-    // Mirrors Retrieval.bm25TopK exactly: rational idf, the same
-    // parenthesization (IEEE double ops on exact inputs), the per-(qid,
-    // doc) contribution folded in term order. Constants are written as
-    // the same double expressions Spark evaluates (1.2::DOUBLE + 1.0
-    // rather than the literal 2.2, whose nearest double differs from the
-    // computed sum).
+    // Mirrors Retrieval.bm25TopK exactly (see bm25Ctes) over the fixed
+    // literal query set.
     "text_bm25" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
-         |stats AS (SELECT count(*)::BIGINT AS nd, sum(dl)::BIGINT AS tt FROM dl),
-         |q(qid, qtext) AS (VALUES $bm25ValuesSql),
-         |qt AS (SELECT qid::BIGINT AS qid,
-         |         unnest(list_distinct(regexp_split_to_array(trim(qtext), '\\s+'))) AS term
-         |       FROM q),
-         |cand AS (
-         |  SELECT qt.qid, tf.doc_id, tf.term,
-         |    ((((nd::DOUBLE - df::DOUBLE) + 0.5::DOUBLE) / (df::DOUBLE + 0.5::DOUBLE))
-         |     * (tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE)))
-         |    / (tf::DOUBLE + (1.2::DOUBLE * (0.25::DOUBLE
-         |         + ((0.75::DOUBLE * dl::DOUBLE) / (tt::DOUBLE / nd::DOUBLE))))) AS v
-         |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
-         |       JOIN dl USING (doc_id), stats),
-         |scored AS (
-         |  SELECT qid, doc_id,
-         |    list_reduce(list_prepend(0.0, list(v ORDER BY term)), (a, x) -> a + x) AS score
-         |  FROM cand GROUP BY 1, 2),
-         |r AS (
-         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
-         |  FROM scored)
+      s"""WITH ${bm25Ctes(s"q(qid, qtext) AS (VALUES $bm25ValuesSql)")}
          |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 5""".stripMargin,
+
+    // Query-by-example hybrid retrieval mirror: the shared BM25 chain
+    // (exemplar texts as queries, self excluded after ranking — matching
+    // the Spark-side post-rank filter), brute-force cosine kNN over the
+    // exemplar embeddings, reciprocal-rank fusion (same formula as the
+    // sim_rrf mirror).
+    "text_hybrid_retrieval" ->
+      s"""WITH ${bm25Ctes(
+        "q AS (SELECT doc_id AS qid, text AS qtext FROM documents WHERE doc_id IN (0, 100, 200, 300))")},
+         |lex AS (SELECT qid, doc_id, rank FROM r WHERE rank <= 10 AND doc_id <> qid),
+         |eq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |       WHERE vec_id IN (0, 100, 200, 300)),
+         |s_scored AS (
+         |  SELECT eq.qid, e.vec_id AS doc_id,
+         |         ${SimilarityQueries.cosSql("qv", "e.embedding")} AS cos
+         |  FROM embeddings e CROSS JOIN eq WHERE e.vec_id <> eq.qid),
+         |sem AS (
+         |  SELECT qid, doc_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rank
+         |  FROM s_scored QUALIFY rank <= 10),
+         |fused AS (
+         |  SELECT coalesce(lex.qid, sem.qid) AS qid,
+         |         coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         |         coalesce(1.0::DOUBLE / (60 + lex.rank), 0.0::DOUBLE)
+         |           + coalesce(1.0::DOUBLE / (60 + sem.rank), 0.0::DOUBLE) AS rrf_score
+         |  FROM lex FULL OUTER JOIN sem
+         |    ON lex.qid = sem.qid AND lex.doc_id = sem.doc_id)
+         |SELECT qid, doc_id, rrf_score,
+         |       row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank
+         |FROM fused QUALIFY rank <= 5""".stripMargin,
 
     "text_token_quantiles" ->
       s"""WITH t AS (SELECT lang, len($toksSql)::BIGINT AS n_tokens FROM documents)
