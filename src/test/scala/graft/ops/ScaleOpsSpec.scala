@@ -131,6 +131,26 @@ class ScaleOpsSpec extends SparkSpec {
       s"fusion must never degrade to a nested-loop full outer:\n$rrf")
   }
 
+  test("round-6c plan shapes: bm25 broadcasts the query side; random projection stays exchange-free") {
+    def nEx(p: String) = p.split("Exchange hashpartitioning").length - 1
+
+    // BM25: the query-term join must be a broadcast (candidate generation
+    // touches only query-term postings, never shuffles the posting table
+    // against the query set), and the corpus-sized work is bounded to the
+    // posting-table build + its df/dl derivations.
+    val bm = graft.SparkEntry.queries("text_bm25")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(bm.contains("BroadcastHashJoin"),
+      s"bm25 query side must broadcast:\n$bm")
+
+    // JL projection: per-row column math over one scan — zero exchanges
+    // up to the exploded output (the property that makes it scan-speed).
+    val rp = graft.SparkEntry.queries("sim_random_proj")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(nEx(rp) == 0 && !rp.contains("Join"),
+      s"random projection must plan a single-scan projection:\n$rp")
+  }
+
   test("sliced prefix-sum queries match the single-window formulation on testdata") {
     import graft.functions.TextFunctions.tokens
     import org.apache.spark.sql.expressions.Window
