@@ -137,6 +137,25 @@ object SimilarityQueries {
         .select(col("vec_id"), col("pos").cast("long").as("dim"),
           col("col").as("value"))),
 
+    // Cluster topic labeling (cross-modal): assign embeddings to
+    // clusters, join the documents table on the shared id, rank each
+    // cluster's top-5 distinguishing terms by the log-free TF-IDF — the
+    // "what is IN this cluster" readout curation runs before sampling or
+    // pruning a semantic region.
+    "sim_cluster_topics" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val assigned = Similarity.ivfAssign(e, cents, "vec_id", "embedding", "cid")
+        .select(col("vec_id"), col("cluster"))
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val joined = assigned
+        .join(d, assigned("vec_id") === d("doc_id"))
+        .select(col("cluster"), col("text"))
+      graft.ops.TextAnalysis.tfIdfTopTerms(joined, "cluster", "text", k = 5)
+        .withColumnRenamed("doc_id", "cluster")
+    }),
+
     // Semi-supervised label spread: every 10th vector seeds its true
     // label; two majority-vote rounds over the mutual-kNN backbone
     // (clamped, tie → smallest label — fully deterministic).
@@ -548,6 +567,36 @@ object SimilarityQueries {
          |      (a, x) -> a + x) / sqrt(16::DOUBLE) AS value
          |  FROM embeddings e CROSS JOIN m GROUP BY e.vec_id, m.j)
          |SELECT vec_id, j::BIGINT AS dim, value FROM p""".stripMargin,
+
+    // Cluster-topics mirror: the ivf_assign chain, documents joined on
+    // the shared id, then the text_tfidf scoring shape keyed by cluster
+    // (n = joined row count — corpus-relative idf, same as the Spark
+    // side's tfIdfTopTerms contract).
+    "sim_cluster_topics" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |scored0 AS (
+         |  SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "cv")} AS ccos
+         |  FROM embeddings e, c),
+         |assign AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM scored0) WHERE rn = 1),
+         |joined AS (
+         |  SELECT a.cluster, d.text FROM assign a JOIN documents d ON a.vec_id = d.doc_id),
+         |toks AS (
+         |  SELECT cluster, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM joined),
+         |tf AS (SELECT cluster, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM joined),
+         |sc AS (
+         |  SELECT cluster, term, tf, df,
+         |         tf::DOUBLE * (n_docs::DOUBLE / df::DOUBLE) AS score
+         |  FROM tf JOIN dfq USING (term), n),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY score DESC, term) AS rnk
+         |  FROM sc)
+         |SELECT cluster, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 5""".stripMargin,
 
     // Label-propagation mirror: the mutual-edge CTE, then the two
     // majority-vote rounds unrolled (clamped frontier, tie → min label).
