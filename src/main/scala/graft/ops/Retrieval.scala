@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,22 +60,93 @@ object Retrieval {
     // Exact integer sums/counts, so avgdl is one IEEE division on exact
     // inputs — identical in the mirror.
     val stats = dl.agg(count(lit(1)).as("__nd"), sum("dl").as("__tt"))
-    val qt = broadcast(queries.select(col(qidCol),
-      explode(array_distinct(tokens(col(qtextCol)))).as("term")))
-    val avgdl = col("__tt").cast("double") / col("__nd").cast("double")
-    val idf = (col("__nd").cast("double") - col("df").cast("double") + lit(0.5)) /
-      (col("df").cast("double") + lit(0.5))
-    val contrib = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
-      (col("tf").cast("double") +
-        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
     val cand = tf
-      .join(qt, "term")             // broadcast: only query-term postings survive
+      .join(queryTerms(queries, qidCol, qtextCol), "term") // broadcast: only query-term postings survive
       .join(dfq, "term")            // candidate-sized probe of the vocab table
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
-      .select(col(qidCol), col(idCol), col("term"), contrib.as("__v"))
-    // Fold the ≤|query terms| contributions in term order — deterministic
-    // and bounded (same contract as Similarity's sliced folds).
+      .select(col(qidCol), col(idCol), col("term"),
+        bm25Contrib(k1, b).as("__v"))
+    rankCandidates(cand, qidCol, idCol, k)
+  }
+
+  /** Persist a BM25 index: the (doc, term, tf, dl) posting table bucketed
+    * by `term` (dl denormalized onto each posting so the read path never
+    * re-joins the corpus) plus a one-row `<table>_stats` sidecar
+    * (n_docs, total_tokens). The 100 TB shape: the inverted index builds
+    * ONCE (the corpus-sized tokenize + partial-agg this pays), and every
+    * query batch afterwards touches only its terms' buckets
+    * ([[bm25AgainstIndex]]) — the same index-then-probe contract as
+    * [[Dedup.writeLshIndex]] / [[Similarity.writeIvfIndex]]. df is NOT
+    * stored: it is exactly the posting count of a term, which the probe
+    * recounts over the (complete) surviving postings of each probed term
+    * — so appends to the index never leave a stale df behind. */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     table: String, buckets: Int): Unit = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    graft.io.Bucketing.writeBucketed(tf.join(dl, idCol), table, "term", buckets)
+    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
+      .write.mode("overwrite").format("parquet").saveAsTable(table + "_stats")
+  }
+
+  /** BM25 top-k against a persisted [[writeBm25Index]] index — the read
+    * path that never re-scans the corpus: the query's distinct terms
+    * broadcast-semi-join the term-bucketed posting table (only probed
+    * buckets contribute; the index side needs NO exchange — its bucket
+    * layout already satisfies both the df window's and the join's
+    * partitioning), df is recounted per probed term over its complete
+    * surviving postings (exact — see [[writeBm25Index]]), and scoring +
+    * top-k run over candidate-sized data. Scores are bit-identical to
+    * [[bm25TopK]] on the same corpus (spec-asserted): same contribution
+    * expression, same term-order fold. */
+  def bm25AgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                       table: String, queries: DataFrame, qidCol: String,
+                       qtextCol: String, k: Int, k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val qt = queryTerms(queries, qidCol, qtextCol)
+    val postings = graft.io.Bucketing.readBucketed(spark, table)
+    val idCol = postings.columns.head // (idCol, term, tf, dl) write order
+    val stats = spark.table(table + "_stats")
+      .select(col("n_docs").as("__nd"), col("total_tokens").as("__tt"))
+    val probed = postings
+      .join(broadcast(qt.select("term")), Seq("term"), "left_semi")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val cand = probed
+      .join(qt, "term")
+      .crossJoin(broadcast(stats))
+      .select(col(qidCol), col(idCol), col("term"),
+        bm25Contrib(k1, b).as("__v"))
+    rankCandidates(cand, qidCol, idCol, k)
+  }
+
+  /** The broadcast (qid, distinct term) expansion both paths probe with. */
+  private def queryTerms(queries: DataFrame, qidCol: String,
+                         qtextCol: String): DataFrame =
+    broadcast(queries.select(col(qidCol),
+      explode(array_distinct(tokens(col(qtextCol)))).as("term")))
+
+  /** The per-(query, doc, term) BM25 contribution over bound columns
+    * (tf, df, dl, __nd, __tt) — ONE expression shared by the recompute
+    * and against-index paths (and mirrored verbatim in the oracle SQL). */
+  private def bm25Contrib(k1: Double, b: Double): Column = {
+    val avgdl = col("__tt").cast("double") / col("__nd").cast("double")
+    val idf = (col("__nd").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+  }
+
+  /** Fold the ≤|query terms| contributions per (query, doc) in term order
+    * (deterministic, bounded — same contract as Similarity's sliced
+    * folds), then rank per query. */
+  private def rankCandidates(cand: DataFrame, qidCol: String, idCol: String,
+                             k: Int): DataFrame = {
     val scored = cand.groupBy(qidCol, idCol)
       .agg(aggregate(
         array_sort(collect_list(struct(col("term"), col("__v").as("v")))),

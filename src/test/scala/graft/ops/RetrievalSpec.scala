@@ -45,4 +45,25 @@ class RetrievalSpec extends SparkSpec {
   test("duplicate query terms count once") {
     assert(run("b b b").toSeq == run("b").toSeq)
   }
+
+  test("against-index path: bit-identical to recompute; index side plans no term exchange") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = Seq((0L, "spark merge join"), (1L, "window sort batch stream"))
+      .toDF("qid", "qtext")
+    val table = "bm25_idx_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
+    Retrieval.writeBm25Index(corpus, "doc_id", "text", table, buckets = 8)
+    val viaIndex = Retrieval.bm25AgainstIndex(spark, table, q, "qid", "qtext", k = 5)
+    val recompute = Retrieval.bm25TopK(corpus, q, "doc_id", "text", "qid", "qtext", k = 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(key(viaIndex) == key(recompute))
+    // The index side must ride its bucket layout: no hashpartitioning
+    // exchange on `term` anywhere in the probe plan (the df window and
+    // the candidate join are both satisfied by the bucketing).
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(!"Exchange hashpartitioning\\(term".r.findFirstIn(plan).isDefined,
+      s"index probe must not exchange on term:\n$plan")
+  }
 }
