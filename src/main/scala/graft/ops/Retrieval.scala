@@ -93,6 +93,35 @@ object Retrieval {
       .write.mode("overwrite").format("parquet").saveAsTable(table + "_stats")
   }
 
+  /** Append a new batch's postings to a persisted BM25 index, preserving
+    * the term-bucket layout, and roll the one-row stats sidecar forward
+    * (n_docs += batch docs, total_tokens += batch tokens — exact integer
+    * adds, so an indexed-then-appended corpus scores bit-identically to a
+    * from-scratch index over the union; df needs no maintenance at all
+    * because the probe recounts it from postings). Batch ids must be NEW
+    * (an id already indexed would double its postings — same contract as
+    * [[Dedup.appendToLshIndex]]). Appends add one file per non-empty
+    * bucket; compact a high-churn index by re-running [[writeBm25Index]]
+    * over the full corpus. */
+  def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
+                        docs: DataFrame, idCol: String, textCol: String,
+                        table: String, buckets: Int): Unit = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    graft.io.Bucketing.appendBucketed(tf.join(dl, idCol), table, "term", buckets)
+    val rolled = spark.table(table + "_stats")
+      .unionByName(dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens")))
+      .agg(sum("n_docs").as("n_docs"), sum("total_tokens").as("total_tokens"))
+      // The sidecar is being overwritten in place — detach the new row
+      // from the table it reads, or the write truncates its own input.
+      .localCheckpoint(true)
+    rolled.write.mode("overwrite").format("parquet")
+      .saveAsTable(table + "_stats")
+  }
+
   /** BM25 top-k against a persisted [[writeBm25Index]] index — the read
     * path that never re-scans the corpus: the query's distinct terms
     * broadcast-semi-join the term-bucketed posting table (only probed
