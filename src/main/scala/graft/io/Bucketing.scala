@@ -15,9 +15,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** Delete a managed table's default filesystem location when the
+    * catalog has NO entry for the table — exactly the state a crashed
+    * write (or a metastore that did not survive the JVM while the
+    * warehouse directory did) leaves behind. Without this,
+    * `mode("overwrite").saveAsTable` takes the CREATE path on the
+    * missing catalog entry and dies with LOCATION_ALREADY_EXISTS on the
+    * stale directory. No-op when the table exists (overwrite handles
+    * it) or the location is absent. */
+  def clearOrphanLocation(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val parts = table.split('.')
+      val (db, tbl) =
+        if (parts.length == 2) (parts(0), parts(1))
+        else (spark.catalog.currentDatabase, parts.last)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.catalog.getDatabase(db).locationUri,
+        tbl.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     sorted: Boolean = true): Unit = {
     require(buckets > 0)
+    clearOrphanLocation(df.sparkSession, table)
     val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }

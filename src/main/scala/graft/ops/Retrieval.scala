@@ -70,56 +70,181 @@ object Retrieval {
     rankCandidates(cand, qidCol, idCol, k)
   }
 
-  /** Persist a BM25 index: the (doc, term, tf, dl) posting table bucketed
-    * by `term` (dl denormalized onto each posting so the read path never
-    * re-joins the corpus) plus a one-row `<table>_stats` sidecar
-    * (n_docs, total_tokens). The 100 TB shape: the inverted index builds
-    * ONCE (the corpus-sized tokenize + partial-agg this pays), and every
+  /** Persist a BM25 index: the (doc, term, tf, dl, __seg) posting table
+    * bucketed by `term` (dl denormalized onto each posting so the read
+    * path never re-joins the corpus), a `<table>_docs` doc-length
+    * sidecar bucketed by id (one row per doc version — the O(n_docs)
+    * lookup table CDC maintenance reads instead of the postings), an
+    * append-only `<table>_segments` ledger (one row per committed write:
+    * exact integer doc/token contributions — see
+    * [[graft.io.SegmentedIndex]]), and a `<table>_tombstones` table
+    * (empty at build). The 100 TB shape: the inverted index builds ONCE
+    * (the corpus-sized tokenize + partial-agg this pays), and every
     * query batch afterwards touches only its terms' buckets
     * ([[bm25AgainstIndex]]) — the same index-then-probe contract as
     * [[Dedup.writeLshIndex]] / [[Similarity.writeIvfIndex]]. df is NOT
-    * stored: it is exactly the posting count of a term, which the probe
-    * recounts over the (complete) surviving postings of each probed term
-    * — so appends to the index never leave a stale df behind. */
+    * stored: it is exactly the live posting count of a term, which the
+    * probe recounts over the surviving postings of each probed term — so
+    * appends and tombstones never leave a stale df behind. */
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
                      table: String, buckets: Int): Unit = {
+    val spark = docs.sparkSession
+    val SegCol = graft.io.SegmentedIndex.SegCol
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
-    graft.io.Bucketing.writeBucketed(tf.join(dl, idCol), table, "term", buckets)
-    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
-      .write.mode("overwrite").format("parquet").saveAsTable(table + "_stats")
+      .localCheckpoint(true) // postings join + docs sidecar + stats row
+    graft.io.Bucketing.writeBucketed(
+      tf.join(dl, idCol).withColumn(SegCol, lit(0L)), table, "term", buckets)
+    graft.io.Bucketing.writeBucketed(
+      dl.withColumn(SegCol, lit(0L)), table + "_docs", idCol, buckets)
+    val tombT = graft.io.SegmentedIndex.tombstoneTable(table)
+    graft.io.Bucketing.clearOrphanLocation(spark, tombT)
+    dl.select(col(idCol), lit(0L).as("below_seg"), col("dl")).limit(0)
+      .write.mode("overwrite").format("parquet").saveAsTable(tombT)
+    val s = dl.agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tt")).head()
+    graft.io.SegmentedIndex.initLedger(spark, table, idCol,
+      s.getLong(0), s.getLong(1))
   }
 
   /** Append a new batch's postings to a persisted BM25 index, preserving
-    * the term-bucket layout, and roll the one-row stats sidecar forward
-    * (n_docs += batch docs, total_tokens += batch tokens — exact integer
-    * adds, so an indexed-then-appended corpus scores bit-identically to a
-    * from-scratch index over the union; df needs no maintenance at all
-    * because the probe recounts it from postings). Batch ids must be NEW
-    * (an id already indexed would double its postings — same contract as
-    * [[Dedup.appendToLshIndex]]). Appends add one file per non-empty
-    * bucket; compact a high-churn index by re-running [[writeBm25Index]]
-    * over the full corpus. */
+    * the term-bucket layout. Exactly-once under at-least-once delivery:
+    * the write is ledger-gated on `batchId` (a replayed batch no-ops)
+    * and crash-resumable (committed parts of a half-finished append are
+    * detected by segment probes and skipped — see
+    * [[graft.io.SegmentedIndex]]). Batch ids must be NEW document ids
+    * (an id already live in the index would double its postings; route
+    * re-deliveries of CHANGED documents through [[updateBm25Index]]).
+    * An indexed-then-appended corpus scores bit-identically to a
+    * from-scratch index over the union: ledger adds are exact integer
+    * arithmetic and df is recounted per probe. Appends add one file per
+    * non-empty bucket; compact a high-churn index with
+    * [[compactBm25Index]]. */
   def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
                         docs: DataFrame, idCol: String, textCol: String,
-                        table: String, buckets: Int): Unit = {
+                        table: String, buckets: Int, batchId: String): Unit = {
+    val SI = graft.io.SegmentedIndex
+    if (SI.hasBatch(spark, table, batchId)) return
+    val seg = SI.nextSeg(spark, table)
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
-    graft.io.Bucketing.appendBucketed(tf.join(dl, idCol), table, "term", buckets)
-    val rolled = spark.table(table + "_stats")
-      .unionByName(dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens")))
-      .agg(sum("n_docs").as("n_docs"), sum("total_tokens").as("total_tokens"))
-      // The sidecar is being overwritten in place — detach the new row
-      // from the table it reads, or the write truncates its own input.
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl")).localCheckpoint(true)
+    if (!SI.segPresent(spark, table, seg))
+      graft.io.Bucketing.appendBucketed(
+        tf.join(dl, idCol).withColumn(SI.SegCol, lit(seg)), table, "term", buckets)
+    if (!SI.segPresent(spark, table + "_docs", seg))
+      graft.io.Bucketing.appendBucketed(
+        dl.withColumn(SI.SegCol, lit(seg)), table + "_docs", idCol, buckets)
+    val s = dl.agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tt")).head()
+    SI.appendLedger(spark, table, seg, batchId, s.getLong(0), s.getLong(1), idCol)
+  }
+
+  /** CDC maintenance of a persisted BM25 index — the engine's own
+    * latest-wins upsert/delete semantics propagated to the inverted
+    * index at O(change batch) cost, NOT an O(index) rewrite: changed ids
+    * are TOMBSTONED (`(id, below_seg = this segment)` — readers drop all
+    * older versions), upserted documents re-append fresh postings at
+    * this segment (their own tombstone does not kill them: `__seg` is
+    * not below itself), and the ledger/tombstone pair keeps the corpus
+    * stats exact (each killed version subtracts its own recorded dl —
+    * looked up in the O(n_docs) `_docs` sidecar, never the postings).
+    * After maintenance, [[bm25AgainstIndex]] is hash-identical to a
+    * from-scratch index over the merged corpus (oracle-checked).
+    *
+    * `changes` is a MERGED change set — at most one row per id, the
+    * shape [[graft.cdc.Merge.applySequenced]] emits — with `opCol` = "D"
+    * for deletes (any other value upserts `textCol`). Ledger-gated on
+    * `batchId` (replay no-ops) and crash-resumable like
+    * [[appendToBm25Index]]; deleting an id that is not live is a no-op
+    * (no tombstone, no stats drift). Tombstones accumulate until
+    * [[compactBm25Index]] folds them away. */
+  def updateBm25Index(spark: org.apache.spark.sql.SparkSession,
+                      changes: DataFrame, idCol: String, textCol: String,
+                      opCol: String, table: String, buckets: Int,
+                      batchId: String): Unit = {
+    val SI = graft.io.SegmentedIndex
+    if (SI.hasBatch(spark, table, batchId)) return
+    val seg = SI.nextSeg(spark, table)
+    val docsT = table + "_docs"
+    val tombT = SI.tombstoneTable(table)
+    val changedIds = changes.select(col(idCol)).distinct().localCheckpoint(true)
+    val upserts = changes.where(col(opCol) =!= "D")
+
+    // Fresh postings for the upserted documents, tagged with this segment.
+    val tf = upserts
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    rolled.write.mode("overwrite").format("parquet")
-      .saveAsTable(table + "_stats")
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl")).localCheckpoint(true)
+    if (!SI.segPresent(spark, table, seg))
+      graft.io.Bucketing.appendBucketed(
+        tf.join(dl, idCol).withColumn(SI.SegCol, lit(seg)), table, "term", buckets)
+    if (!SI.segPresent(spark, docsT, seg))
+      graft.io.Bucketing.appendBucketed(
+        dl.withColumn(SI.SegCol, lit(seg)), docsT, idCol, buckets)
+
+    // Tombstone the LIVE prior version of every changed id (reads only
+    // the doc-length sidecar — O(n_docs) rows of three columns, with the
+    // change set broadcast; everything is restricted to pre-`seg` state
+    // so a crash-resume re-derives identical rows). The recorded dl is
+    // the exact token count the stats lose with that version.
+    if (spark.table(tombT).where(col("below_seg") === seg).limit(1).isEmpty) {
+      val prior = spark.table(docsT)
+        .join(broadcast(changedIds), Seq(idCol), "left_semi")
+        .where(col(SI.SegCol) < seg)
+      val latest = prior.withColumn("__rn",
+          row_number().over(Window.partitionBy(idCol).orderBy(col(SI.SegCol).desc)))
+        .where(col("__rn") === 1).drop("__rn")
+      val priorTombs = spark.table(tombT).where(col("below_seg") < seg)
+        .join(broadcast(changedIds), Seq(idCol), "left_semi")
+        .groupBy(idCol).agg(max("below_seg").as("__mb"))
+      val liveOld = latest.join(priorTombs, Seq(idCol), "left")
+        .where(col(SI.SegCol) >= coalesce(col("__mb"), lit(Long.MinValue)))
+      liveOld.select(col(idCol), lit(seg).as("below_seg"), col("dl"))
+        .write.mode("append").format("parquet").saveAsTable(tombT)
+    }
+
+    val s = dl.agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tt")).head()
+    SI.appendLedger(spark, table, seg, batchId, s.getLong(0), s.getLong(1), idCol)
+  }
+
+  /** Fold accumulated segments and tombstones into a fresh segment-0
+    * index — the scheduled churn control (the probe's tombstone
+    * broadcast and the appended-file count both reset). All four tables
+    * are fully rewritten under `__next` names before any swap, so data
+    * is never lost mid-compaction; the swap sequence itself is not
+    * crash-atomic (single maintenance writer; a crash between swaps
+    * means re-running [[writeBm25Index]] over the corpus — the
+    * reference's own rebuild remedy). */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       table: String, buckets: Int): Unit = {
+    val SI = graft.io.SegmentedIndex
+    val idCol = SI.idColOf(spark, table)
+    val docsT = table + "_docs"
+    val tombT = SI.tombstoneTable(table)
+    val tomb = SI.tombstoneMax(spark, table, idCol)
+    val postLive = SI.dropDead(spark.table(table), tomb, idCol)
+      .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
+    val docsLive = SI.dropDead(spark.table(docsT), tomb, idCol)
+      .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
+    graft.io.Bucketing.writeBucketed(postLive, table + "__next", "term", buckets)
+    graft.io.Bucketing.writeBucketed(docsLive, docsT + "__next", idCol, buckets)
+    graft.io.Bucketing.clearOrphanLocation(spark, tombT + "__next")
+    docsLive.select(col(idCol), lit(0L).as("below_seg"), col("dl")).limit(0)
+      .write.mode("overwrite").format("parquet").saveAsTable(tombT + "__next")
+    val s = docsLive.agg(count(lit(1)).as("nd"),
+      coalesce(sum("dl"), lit(0L)).as("tt")).head()
+    val ledT = SI.ledgerTable(table)
+    graft.io.Bucketing.clearOrphanLocation(spark, ledT + "__next")
+    spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(0L, SI.BaseBatch, s.getLong(0), s.getLong(1), idCol)),
+        SI.ledger(spark, table).schema)
+      .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(ledT + "__next")
+    Seq(table, docsT, tombT, ledT).foreach(SI.swapNext(spark, _))
   }
 
   /** BM25 top-k against a persisted [[writeBm25Index]] index — the read
@@ -127,23 +252,36 @@ object Retrieval {
     * broadcast-semi-join the term-bucketed posting table (only probed
     * buckets contribute; the index side needs NO exchange — its bucket
     * layout already satisfies both the df window's and the join's
-    * partitioning), df is recounted per probed term over its complete
-    * surviving postings (exact — see [[writeBm25Index]]), and scoring +
-    * top-k run over candidate-sized data. Scores are bit-identical to
-    * [[bm25TopK]] on the same corpus (spec-asserted): same contribution
-    * expression, same term-order fold. */
+    * partitioning, and the tombstone exclusion is a broadcast join that
+    * preserves it), dead versions are dropped, df is recounted per
+    * probed term over its complete LIVE postings, corpus stats come from
+    * the ledger minus the tombstoned versions (exact integers), and
+    * scoring + top-k run over candidate-sized data. Scores are
+    * bit-identical to [[bm25TopK]] on the live corpus (spec- and
+    * oracle-asserted, including after [[updateBm25Index]]). */
   def bm25AgainstIndex(spark: org.apache.spark.sql.SparkSession,
                        table: String, queries: DataFrame, qidCol: String,
                        qtextCol: String, k: Int, k1: Double = 1.2,
                        b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    val SI = graft.io.SegmentedIndex
     val qt = queryTerms(queries, qidCol, qtextCol)
     val postings = graft.io.Bucketing.readBucketed(spark, table)
-    val idCol = postings.columns.head // (idCol, term, tf, dl) write order
-    val stats = spark.table(table + "_stats")
-      .select(col("n_docs").as("__nd"), col("total_tokens").as("__tt"))
-    val probed = postings
-      .join(broadcast(qt.select("term")), Seq("term"), "left_semi")
+    val idCol = SI.idColOf(spark, table) // ledger-recorded, never positional
+    require(postings.columns.contains(idCol),
+      s"index $table lacks its ledger-recorded id column '$idCol': " +
+        postings.columns.mkString(", "))
+    val led = SI.ledger(spark, table)
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("__ln"),
+        coalesce(sum("total_tokens"), lit(0L)).as("__lt"))
+    val tombAgg = SI.tombstones(spark, table)
+      .agg(count(lit(1)).as("__tn"), coalesce(sum("dl"), lit(0L)).as("__td"))
+    val stats = led.crossJoin(tombAgg)
+      .select((col("__ln") - col("__tn")).as("__nd"),
+        (col("__lt") - col("__td")).as("__tt"))
+    val probed = SI.dropDead(
+      postings.join(broadcast(qt.select("term")), Seq("term"), "left_semi"),
+      SI.tombstoneMax(spark, table, idCol), idCol)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
     val cand = probed
       .join(qt, "term")

@@ -9,6 +9,14 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // Per-run warehouse: managed-table locations must not outlive the
+      // in-memory catalog (a fixed ./spark-warehouse does, and the stale
+      // location breaks the next run's CREATE with
+      // LOCATION_ALREADY_EXISTS). The library write path is additionally
+      // hardened (Bucketing.clearOrphanLocation), but specs should never
+      // depend on tree state a previous JVM left behind.
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-test-wh").toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -51,8 +51,6 @@ class RetrievalSpec extends SparkSpec {
     val q = Seq((0L, "spark merge join"), (1L, "window sort batch stream"))
       .toDF("qid", "qtext")
     val table = "bm25_idx_spec"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
     Retrieval.writeBm25Index(corpus, "doc_id", "text", table, buckets = 8)
     val viaIndex = Retrieval.bm25AgainstIndex(spark, table, q, "qid", "qtext", k = 5)
     val recompute = Retrieval.bm25TopK(corpus, q, "doc_id", "text", "qid", "qtext", k = 5)
