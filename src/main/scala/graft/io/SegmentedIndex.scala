@@ -115,6 +115,52 @@ object SegmentedIndex {
       .where(col(SegCol) >= coalesce(col("__below"), lit(Long.MinValue)))
       .drop("__below")
 
+  // ---- path-based variant (for indexes that are parquet DIRECTORIES,
+  // not catalog tables — e.g. the hive-partitioned IVF index). The
+  // ledger lives in a SIBLING directory `<dir>_segments` (same naming as
+  // the table-backed indexes' `<table>_segments`): index readers never
+  // see it by construction, partition overwrites never touch it, and —
+  // unlike an underscore-prefixed subdirectory — Spark's source path
+  // filter does not silently drop it on read-back.
+
+  private def pathLedgerDir(dir: String): String =
+    dir.stripSuffix("/") + "_segments"
+
+  private def pathLedgerExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(pathLedgerDir(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
+  /** Ledger of a directory index: (seg, batch_id, n_docs). Empty frame
+    * when the index has no ledger yet. */
+  def pathLedger(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    if (pathLedgerExists(spark, dir)) spark.read.parquet(pathLedgerDir(dir))
+    else Seq.empty[(Long, String, Long)].toDF("seg", "batch_id", "n_docs")
+  }
+
+  def pathHasBatch(spark: SparkSession, dir: String, batchId: String): Boolean =
+    !pathLedger(spark, dir).where(col("batch_id") === batchId).isEmpty
+
+  def pathNextSeg(spark: SparkSession, dir: String): Long =
+    pathLedger(spark, dir).agg(coalesce(max("seg"), lit(0L))).head().getLong(0) + 1L
+
+  def pathAppendLedger(spark: SparkSession, dir: String, seg: Long,
+                       batchId: String, nDocs: Long): Unit = {
+    import spark.implicits._
+    Seq((seg, batchId, nDocs)).toDF("seg", "batch_id", "n_docs")
+      .coalesce(1).write.mode("append").parquet(pathLedgerDir(dir))
+  }
+
+  /** Reset the ledger to the single base row of a fresh build (an index
+    * overwrite must not inherit a stale ledger's batch ids). */
+  def pathInitLedger(spark: SparkSession, dir: String, nDocs: Long): Unit = {
+    import spark.implicits._
+    Seq((0L, BaseBatch, nDocs)).toDF("seg", "batch_id", "n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(pathLedgerDir(dir))
+  }
+
   /** Swap `table + "__next"` into `table`'s name (compaction commit):
     * drop the old table, rename the fresh one. The fresh table is fully
     * written first, so a crash between the two steps loses the NAME, not

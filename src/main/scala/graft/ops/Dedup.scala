@@ -342,25 +342,107 @@ object Dedup {
     * (see [[graft.io.Bucketing]]): incremental dedup then joins each
     * incoming batch against the index with NO corpus-side exchange — the
     * dominant cost of dedup-on-ingest at 100 TB is re-shuffling the
-    * corpus sketches per batch, and bucketing removes exactly that. */
+    * corpus sketches per batch, and bucketing removes exactly that.
+    * Rows carry the writing segment and the index gets a
+    * `<table>_segments` ledger + `<table>_tombstones` table (see
+    * [[graft.io.SegmentedIndex]]) so appends are exactly-once and CDC
+    * changes maintain the index in O(batch) ([[updateLshIndex]]). */
   def writeLshIndex(docs: DataFrame, idCol: String, textCol: String, table: String,
                     buckets: Int, shingleWords: Int = 3, k: Int = 16,
-                    bands: Int = 4): Unit =
-    graft.io.Bucketing.writeBucketed(
-      minHashed(docs, idCol, textCol, shingleWords, k, bands), table, "band_key", buckets)
+                    bands: Int = 4): Unit = {
+    val SI = graft.io.SegmentedIndex
+    val spark = docs.sparkSession
+    val sketch = minHashed(docs, idCol, textCol, shingleWords, k, bands)
+      .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
+    graft.io.Bucketing.writeBucketed(sketch, table, "band_key", buckets)
+    val tombT = SI.tombstoneTable(table)
+    graft.io.Bucketing.clearOrphanLocation(spark, tombT)
+    sketch.select(col(idCol), lit(0L).as("below_seg")).limit(0)
+      .write.mode("overwrite").format("parquet").saveAsTable(tombT)
+    // Exactly `bands` band rows per doc, so the doc count needs no
+    // second corpus pass.
+    SI.initLedger(spark, table, idCol, sketch.count() / bands, 0L)
+  }
 
   /** Append a new batch's band rows to a persisted LSH index, preserving
     * the bucket layout — the dedup-on-ingest loop closes: a batch is
     * checked against the index ([[lshCandidatesAgainstIndex]]) and then
-    * BECOMES part of it, no corpus rebuild. Sketch parameters and bucket
-    * count must match the index's write-time values. Appends add one file
-    * per non-empty bucket; compact a high-churn index periodically with
-    * [[writeLshIndex]] over the full corpus. */
+    * BECOMES part of it, no corpus rebuild. Exactly-once under
+    * at-least-once delivery: ledger-gated on `batchId` (a replayed batch
+    * no-ops) and crash-resumable (see [[graft.io.SegmentedIndex]]).
+    * Batch ids must be NEW; route changed documents through
+    * [[updateLshIndex]]. Sketch parameters and bucket count must match
+    * the index's write-time values. Appends add one file per non-empty
+    * bucket; compact a high-churn index with [[compactLshIndex]]. */
   def appendToLshIndex(docs: DataFrame, idCol: String, textCol: String, table: String,
                        buckets: Int, shingleWords: Int = 3, k: Int = 16,
-                       bands: Int = 4): Unit =
-    graft.io.Bucketing.appendBucketed(
-      minHashed(docs, idCol, textCol, shingleWords, k, bands), table, "band_key", buckets)
+                       bands: Int = 4, batchId: String): Unit = {
+    val SI = graft.io.SegmentedIndex
+    val spark = docs.sparkSession
+    if (SI.hasBatch(spark, table, batchId)) return
+    val seg = SI.nextSeg(spark, table)
+    val sketch = minHashed(docs, idCol, textCol, shingleWords, k, bands)
+      .withColumn(SI.SegCol, lit(seg)).localCheckpoint(true)
+    if (!SI.segPresent(spark, table, seg))
+      graft.io.Bucketing.appendBucketed(sketch, table, "band_key", buckets)
+    SI.appendLedger(spark, table, seg, batchId, sketch.count() / bands, 0L, idCol)
+  }
+
+  /** CDC maintenance of a persisted LSH index — the engine's latest-wins
+    * upsert/delete semantics at O(change batch) cost: every changed id is
+    * tombstoned below this segment (probes drop all older versions — a
+    * tombstone for an id the index never held is inert and folds away at
+    * compaction), and upserted documents re-sketch at this segment.
+    * After maintenance, [[lshCandidatesAgainstIndex]] sees exactly the
+    * band rows a from-scratch index over the merged corpus would hold
+    * (spec-asserted). `changes` is a merged change set (≤ 1 row per id,
+    * [[graft.cdc.Merge.applySequenced]]'s shape), `opCol` = "D" deletes.
+    * Ledger-gated on `batchId`; crash-resumable. */
+  def updateLshIndex(spark: org.apache.spark.sql.SparkSession,
+                     changes: DataFrame, idCol: String, textCol: String,
+                     opCol: String, table: String, buckets: Int,
+                     shingleWords: Int = 3, k: Int = 16, bands: Int = 4,
+                     batchId: String): Unit = {
+    val SI = graft.io.SegmentedIndex
+    if (SI.hasBatch(spark, table, batchId)) return
+    val seg = SI.nextSeg(spark, table)
+    val tombT = SI.tombstoneTable(table)
+    val sketch = minHashed(changes.where(col(opCol) =!= "D"), idCol, textCol,
+        shingleWords, k, bands)
+      .withColumn(SI.SegCol, lit(seg)).localCheckpoint(true)
+    if (!SI.segPresent(spark, table, seg))
+      graft.io.Bucketing.appendBucketed(sketch, table, "band_key", buckets)
+    if (spark.table(tombT).where(col("below_seg") === seg).limit(1).isEmpty)
+      changes.select(col(idCol)).distinct()
+        .select(col(idCol), lit(seg).as("below_seg"))
+        .write.mode("append").format("parquet").saveAsTable(tombT)
+    SI.appendLedger(spark, table, seg, batchId, sketch.count() / bands, 0L, idCol)
+  }
+
+  /** Fold accumulated segments and tombstones into a fresh segment-0 LSH
+    * index (same churn-control contract and crash caveat as
+    * [[Retrieval.compactBm25Index]]). */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      table: String, buckets: Int): Unit = {
+    val SI = graft.io.SegmentedIndex
+    val idCol = SI.idColOf(spark, table)
+    val tombT = SI.tombstoneTable(table)
+    val live = SI.dropDead(spark.table(table),
+        SI.tombstoneMax(spark, table, idCol), idCol)
+      .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
+    graft.io.Bucketing.writeBucketed(live, table + "__next", "band_key", buckets)
+    graft.io.Bucketing.clearOrphanLocation(spark, tombT + "__next")
+    live.select(col(idCol), lit(0L).as("below_seg")).limit(0)
+      .write.mode("overwrite").format("parquet").saveAsTable(tombT + "__next")
+    val ledT = SI.ledgerTable(table)
+    graft.io.Bucketing.clearOrphanLocation(spark, ledT + "__next")
+    import spark.implicits._
+    val nDocs = live.select(col(idCol)).distinct().count()
+    Seq((0L, SI.BaseBatch, nDocs, 0L, idCol))
+      .toDF("seg", "batch_id", "n_docs", "total_tokens", "id_col")
+      .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(ledT + "__next")
+    Seq(table, tombT, ledT).foreach(SI.swapNext(spark, _))
+  }
 
   /** Candidate near-dup pairs of a NEW batch against a persisted LSH
     * index: (id_new, id_corpus, est_jaccard). Sketch parameters must
@@ -400,9 +482,19 @@ object Dedup {
     // duplicate keys anyway). Broadcast is a deliberate hint: batches are
     // delivery-sized by contract (see DedupStream.ingestBatch); rebuild
     // via writeLshIndex for corpus-scale backfills.
-    val idx = graft.io.Bucketing.readBucketed(spark, table)
-      .join(broadcast(batch.select(col("band_key"))),
-        Seq("band_key"), "left_semi")
+    val SI = graft.io.SegmentedIndex
+    require(SI.idColOf(spark, table) == idCol,
+      s"index $table was written with id column '${SI.idColOf(spark, table)}', not '$idCol'")
+    // Dead (tombstoned) versions drop BEFORE the heavy-bucket window so
+    // bucket_n counts exactly the live postings a from-scratch index
+    // over the merged corpus would hold; the broadcast tombstone join
+    // preserves the bucket partitioning, so the plan stays free of
+    // band_key exchanges (plan-asserted in ScaleOpsSpec).
+    val idx = SI.dropDead(
+      graft.io.Bucketing.readBucketed(spark, table)
+        .join(broadcast(batch.select(col("band_key"))),
+          Seq("band_key"), "left_semi"),
+      SI.tombstoneMax(spark, table, idCol), idCol)
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
       .where(col("bucket_n") <= maxBucketSize)

@@ -862,9 +862,108 @@ object Similarity {
     * the probe set then prunes the SCAN to its partitions — index read
     * cost is corpus·nprobe/k_clusters in bytes actually opened, not just
     * rows filtered. `indexed` is [[ivfAssign]] output (optionally joined
-    * with [[pqCodes]]). */
-  def writeIvfIndex(indexed: DataFrame, dir: String): Unit =
-    indexed.write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    * with [[pqCodes]]). Rows are segment-tagged and the index gets a
+    * `_segments` ledger directory (invisible to readers — see
+    * [[graft.io.SegmentedIndex]]) so [[appendToIvfIndex]] is exactly-once
+    * and [[updateIvfIndex]] maintains the index under CDC changes. */
+  def writeIvfIndex(indexed: DataFrame, dir: String): Unit = {
+    val SI = graft.io.SegmentedIndex
+    val spark = indexed.sparkSession
+    val seg0 = indexed.withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
+    seg0.write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    SI.pathInitLedger(spark, dir, seg0.count())
+  }
+
+  /** Append a batch to a persisted IVF index, exactly-once under
+    * at-least-once delivery: ledger-gated on `batchId` (replay no-ops)
+    * and crash-resumable (data committed but ledger row lost → the
+    * retry detects the segment in the data files and appends only the
+    * ledger row). `indexed` must be assigned rows (same columns the
+    * index was written with, minus `__seg`). Batch ids must be NEW;
+    * route changed documents through [[updateIvfIndex]]. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexed: DataFrame, dir: String, batchId: String): Unit = {
+    val SI = graft.io.SegmentedIndex
+    if (SI.pathHasBatch(spark, dir, batchId)) return
+    val seg = SI.pathNextSeg(spark, dir)
+    val tagged = indexed.withColumn(SI.SegCol, lit(seg)).localCheckpoint(true)
+    // Bootstrap doubles as append: mode("append") creates the directory,
+    // so the first batch needs no separate write path (and a replayed
+    // first batch is still ledger-gated). The segment probe only runs
+    // against committed partitions.
+    if (!ivfIndexExists(spark, dir) ||
+        spark.read.parquet(dir).where(col(SI.SegCol) === seg).limit(1).isEmpty)
+      tagged.write.mode("append").partitionBy("cluster").parquet(dir)
+    SI.pathAppendLedger(spark, dir, seg, batchId, tagged.count())
+  }
+
+  /** True only when the index directory holds COMMITTED data: a crash
+    * during a bootstrap write leaves only `_temporary` debris (and the
+    * ledger dir is underscore-hidden too); committed partitions always
+    * surface as `cluster=*` directories. */
+  def ivfIndexExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && Option(
+      fs.globStatus(new org.apache.hadoop.fs.Path(p, "cluster=*")))
+      .exists(_.nonEmpty)
+  }
+
+  /** CDC maintenance of a persisted IVF index — partition-level
+    * copy-on-write, the [[graft.io.CowWriter]] idea applied to the
+    * cluster layout: changed ids are located with a COLUMN-PRUNED scan
+    * (only the id column and the `cluster` partition value are read —
+    * at 100 TB the vectors dominate index bytes and are never touched),
+    * then ONLY the impacted cluster partitions are rewritten (old rows
+    * anti-joined out, upserts re-assigned under the fixed coarse
+    * quantizer and appended) via dynamic partition overwrite; a cluster
+    * left empty is cleared explicitly (dynamic overwrite cannot express
+    * an empty partition). Cost is O(id column + impacted partitions),
+    * not O(index). Re-clustering (new centroids) remains a rebuild —
+    * the standard IVF lifecycle. `changes` is a merged change set (≤ 1
+    * row per id), `opCol` = "D" deletes. Ledger-gated on `batchId`;
+    * the rewrite is idempotent under replay (re-removing and re-adding
+    * the same change set converges to the same partition contents). */
+  def updateIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     changes: DataFrame, centroids: DataFrame, idCol: String,
+                     vecCol: String, cidCol: String, opCol: String,
+                     dir: String, batchId: String): Unit = {
+    val SI = graft.io.SegmentedIndex
+    if (SI.pathHasBatch(spark, dir, batchId)) return
+    val seg = SI.pathNextSeg(spark, dir)
+    val changedIds = changes.select(col(idCol)).distinct().localCheckpoint(true)
+    val assignedNew = ivfAssign(changes.where(col(opCol) =!= "D"),
+        centroids, idCol, vecCol, cidCol)
+      .select(col(idCol), col(vecCol), col("cluster"))
+      .withColumn(SI.SegCol, lit(seg)).localCheckpoint(true)
+    // Impacted partitions: where changed ids live now (column-pruned
+    // scan) plus where upserts land.
+    val oldClusters = spark.read.parquet(dir)
+      .select(col("cluster").cast("long"), col(idCol))
+      .join(broadcast(changedIds), Seq(idCol), "left_semi")
+      .select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    val newClusters = assignedNew.select(col("cluster").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val impacted = (oldClusters ++ newClusters).toSeq.sorted
+    if (impacted.nonEmpty) {
+      val rewritten = readIvfIndex(spark, dir, impacted)
+        .join(broadcast(changedIds), Seq(idCol), "left_anti")
+        .unionByName(assignedNew)
+        .localCheckpoint(true) // impacted-partition-sized; detaches the read
+      rewritten.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster").parquet(dir)
+      val survivors = rewritten.select(col("cluster").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (impacted.toSet -- survivors).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(base, s"cluster=$c"), true)
+      }
+    }
+    SI.pathAppendLedger(spark, dir, seg, batchId,
+      assignedNew.select(col(idCol)).distinct().count())
+  }
 
   /** Read back only the probed clusters of a persisted IVF index — the
     * `cluster` filter is a static partition predicate, so planning opens

@@ -106,6 +106,34 @@ object SimilarityQueries {
         "vec_id", "embedding", "qid", "cid", k = 3, nprobe = 2)
     }),
 
+    // CDC-maintained IVF index: build the cluster-partitioned persisted
+    // index, apply a merged change batch (vectors ≡ 1 mod 9 replaced by
+    // their successor's embedding — may move clusters — vectors ≡ 4
+    // mod 9 deleted) via Similarity.updateIvfIndex — partition-level
+    // copy-on-write, only impacted clusters rewritten — then read the
+    // index back. Must equal a from-scratch assignment over the merged
+    // corpus (the oracle).
+    "sim_ivf_after_update" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.lit
+      val e = emb(s, dir)
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val upd = e.as("a").where(col("a.vec_id") % 9 === 1L)
+        .join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1L)
+        .select(col("a.vec_id").as("vec_id"), col("b.embedding").as("embedding"),
+          lit("U").as("op"))
+      val dels = e.where(col("vec_id") % 9 === 4L)
+        .select(col("vec_id"), col("embedding"), lit("D").as("op"))
+      val idx = java.nio.file.Files.createTempDirectory("ivf_upd_q").toString + "/idx"
+      Similarity.writeIvfIndex(
+        Similarity.ivfAssign(e, cents, "vec_id", "embedding", "cid")
+          .select(col("vec_id"), col("embedding"), col("cluster")), idx)
+      Similarity.updateIvfIndex(s, upd.unionByName(dels), cents,
+        "vec_id", "embedding", "cid", "op", idx, batchId = "chg1")
+      s.read.parquet(idx)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    }),
+
     // Corpus-wide kNN graph (graph-based curation input): every row's
     // top-3 neighbors among its capped-bucket multiprobe candidates.
     "sim_knn_graph" -> ((s, dir) =>
@@ -742,6 +770,30 @@ object SimilarityQueries {
          |scored AS (
          |  SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "cv")} AS ccos
          |  FROM embeddings e, c),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |  FROM scored)
+         |SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1""".stripMargin,
+
+    // CDC-maintained IVF index mirror: assignment from scratch over the
+    // merged corpus (successor-embedding updates applied, deletes
+    // removed) under the same fixed centroid set.
+    "sim_ivf_after_update" ->
+      s"""WITH upd AS (
+         |  SELECT a.vec_id, b.embedding
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         |  WHERE a.vec_id % 9 = 1),
+         |changed AS (
+         |  SELECT vec_id FROM upd
+         |  UNION SELECT vec_id FROM embeddings WHERE vec_id % 9 = 4),
+         |merged AS (
+         |  SELECT e.vec_id, e.embedding FROM embeddings e
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM changed)
+         |  UNION ALL SELECT vec_id, embedding FROM upd),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT m.vec_id, c.cid, ${cosSql("m.embedding", "cv")} AS ccos
+         |  FROM merged m, c),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
          |  FROM scored)

@@ -338,6 +338,32 @@ object TextQueries {
         "qid", "qtext", k = 5)
     }),
 
+    // CDC-maintained BM25 index: build the persisted index over the full
+    // corpus, apply a merged change batch (docs ≡ 1 mod 7 rewritten,
+    // docs ≡ 3 mod 7 deleted) through Retrieval.updateBm25Index —
+    // O(batch) tombstone maintenance, NOT a rebuild — then probe. The
+    // oracle computes BM25 from scratch over the merged corpus: the
+    // maintained index must be hash-identical to it (exact ledger stats,
+    // tombstone-excluded df recount, same fold order).
+    "text_bm25_after_update" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val d = docs(s, dir)
+      val changes = d.where(col("doc_id") % 7 === 1L)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" refreshed merge batch")).as("text"),
+          lit("U").as("op"))
+        .unionByName(d.where(col("doc_id") % 7 === 3L)
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit("D").as("op")))
+      val table = s"bm25_upd_idx_${math.abs(dir.hashCode)}"
+      graft.ops.Retrieval.writeBm25Index(d, "doc_id", "text", table, buckets = 8)
+      graft.ops.Retrieval.updateBm25Index(s, changes, "doc_id", "text", "op",
+        table, 8, batchId = "chg1")
+      val q = Bm25Queries.toDF("qid", "qtext")
+      graft.ops.Retrieval.bm25AgainstIndex(s, table, q, "qid", "qtext", k = 5)
+    }),
+
     // Query-by-example hybrid retrieval — the composed retrieval
     // frontend: exemplar documents query BOTH the lexical index (BM25
     // over their text, self excluded post-ranking) and the vector side
@@ -392,9 +418,9 @@ object TextQueries {
     * rather than the literal `2.2`, whose nearest double differs from the
     * computed sum; the per-(qid, doc) contribution folded in term order),
     * shared by the text_bm25 and text_hybrid_retrieval oracles. */
-  private def bm25Ctes(qDef: String): String =
+  private def bm25Ctes(qDef: String, src: String = "documents"): String =
     s"""toks AS (
-       |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |  SELECT doc_id, unnest($toksSql) AS term FROM $src),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
@@ -908,6 +934,19 @@ object TextQueries {
     // literal query set.
     "text_bm25" ->
       s"""WITH ${bm25Ctes(s"q(qid, qtext) AS (VALUES $bm25ValuesSql)")}
+         |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // CDC-maintained index mirror: BM25 from scratch over the MERGED
+    // corpus (updates applied, deletes removed) — what the tombstone-
+    // maintained index must reproduce bit-for-bit.
+    "text_bm25_after_update" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 1 THEN text || ' refreshed merge batch'
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 3),
+         |${bm25Ctes(s"q(qid, qtext) AS (VALUES $bm25ValuesSql)", "corpus")}
          |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 5""".stripMargin,
 

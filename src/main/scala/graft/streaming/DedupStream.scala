@@ -87,10 +87,13 @@ object DedupStream {
 
     // 3a. clean output, idempotent per batch.
     IngestStream.writeClean(survivors, batchId, cleanDir)
-    // 3b. survivors join the index
+    // 3b. survivors join the index — ledger-gated on the micro-batch id,
+    // so a replayed batch's append is a no-op (exactly-once; the
+    // id-based self-match filter above remains for the pre-ledger
+    // window between data commit and ledger commit).
     if (spark.catalog.tableExists(indexTable))
       Dedup.appendToLshIndex(survivors, idCol, textCol, indexTable,
-        buckets, shingleWords, k, bands)
+        buckets, shingleWords, k, bands, batchId = s"b$batchId")
     else
       Dedup.writeLshIndex(survivors, idCol, textCol, indexTable,
         buckets, shingleWords, k, bands)

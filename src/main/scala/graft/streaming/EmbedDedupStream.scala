@@ -101,7 +101,7 @@ object EmbedDedupStream {
     // neighbor in their cluster. The probe reads only the delivery's
     // clusters (partition pruning), excludes the batch's OWN ids (replay
     // safety — see the object doc), and broadcasts the delivery side.
-    val survivors = (if (indexExists(spark, indexDir)) {
+    val survivors = (if (Similarity.ivfIndexExists(spark, indexDir)) {
       val clusters = intraSurvivors.select(col("cluster").cast("long"))
         .distinct().collect().map(_.getLong(0)).toSeq.sorted
       val probe = broadcast(intraSurvivors
@@ -118,12 +118,15 @@ object EmbedDedupStream {
 
     // 3a. clean output (original batch columns), idempotent per batch.
     IngestStream.writeClean(survivors.drop("cluster"), batchId, cleanDir)
-    // 3b. survivors join the cluster-partitioned index.
-    val indexRows = survivors.select(col(idCol), col(vecCol), col("cluster"))
-    if (indexExists(spark, indexDir))
-      indexRows.write.mode("append").partitionBy("cluster").parquet(indexDir)
-    else
-      Similarity.writeIvfIndex(indexRows, indexDir)
+    // 3b. survivors join the cluster-partitioned index — ledger-gated on
+    // the micro-batch id ([[graft.ops.Similarity.appendToIvfIndex]]), so
+    // a replayed batch's append is a no-op instead of a duplicated
+    // posting set; bootstrap is the same call (append creates the
+    // directory). The id-based probe exclusion above remains for the
+    // window between the data commit and the ledger commit.
+    Similarity.appendToIvfIndex(spark,
+      survivors.select(col(idCol), col(vecCol), col("cluster")),
+      indexDir, s"b$batchId")
   }
 
   /** Rebuild (compact) the index from a clean corpus — one fresh file
@@ -139,17 +142,4 @@ object EmbedDedupStream {
   def readClean(spark: SparkSession, cleanDir: String): DataFrame =
     IngestStream.readClean(spark, cleanDir)
 
-  /** True only when the index holds COMMITTED data: a crash during the
-    * bootstrap write leaves the directory with only `_temporary` debris,
-    * and a bare existence check would then route the replayed batch into
-    * `spark.read.parquet` of an empty index (schema-inference failure on
-    * every restart). Committed partitions always surface as `cluster=*`
-    * directories. */
-  private def indexExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && Option(
-      fs.globStatus(new org.apache.hadoop.fs.Path(p, "cluster=*")))
-      .exists(_.nonEmpty)
-  }
 }

@@ -280,7 +280,8 @@ class ScaleOpsSpec extends SparkSpec {
     val probe = docs.where($"doc_id" % 10 === 5L)
       .withColumn("doc_id", $"doc_id" + 2000000L)
     Dedup.writeLshIndex(base, "doc_id", "text", "lsh_idx_app", buckets = 4)
-    Dedup.appendToLshIndex(extra, "doc_id", "text", "lsh_idx_app", buckets = 4)
+    Dedup.appendToLshIndex(extra, "doc_id", "text", "lsh_idx_app", buckets = 4,
+      batchId = "b1")
     Dedup.writeLshIndex(base.unionByName(extra), "doc_id", "text", "lsh_idx_rebuild",
       buckets = 4)
     try {
