@@ -87,6 +87,26 @@ object Multimodal {
       }.toDF("media_id", "kind", "n_bytes", "width", "height", "duration_s")
   }
 
+  /** REAL metadata decode over a media table (media_id, kind, payload):
+    * parses actual PNG IHDR / JPEG SOF / WAV fmt container headers from
+    * the binary payload via the native
+    * [[graft.expressions.MediaHeaderExpr]] — no codec library, pure
+    * byte arithmetic inside whole-stage codegen, zero shuffle. Fields a
+    * format does not define are NULL; garbage payloads degrade to
+    * format='unknown'. This supersedes the checksum stand-in for the
+    * metadata half of decode ([[extractFeatures]] remains as the
+    * deterministic-fake twin the batched-codec seam is pinned against). */
+  def decodeHeaders(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("kind"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      graft.expressions.MediaHeaderExpr.mediaHeader(col("payload")).as("__h"))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("__h.format").as("format"),
+        col("__h.width").as("width"), col("__h.height").as("height"),
+        col("__h.channels").as("channels"),
+        col("__h.sample_rate").as("sample_rate"),
+        col("__h.duration_ms").as("duration_ms"))
+
   /** Resize plumbing: target-box scaling of the extracted dimensions
     * (aspect-preserving fit). Works on [[extractFeatures]] output; the
     * pixel-level resample would live in the decode stub's replacement —
@@ -167,4 +187,60 @@ object Multimodal {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col(idCol) % 3 + 1).cast("int")).as("kind"),
       encode(col(textCol), "UTF-8").as("payload"))
+
+  private def be32(v: Int): Array[Byte] = Array(
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+  private def le32(v: Int): Array[Byte] = Array(
+    v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Deterministic REAL-header payloads (id-derived dimensions — the
+    * single fixture formula the mm_decode_meta oracle mirrors):
+    * id ≡ 0 (mod 3) → PNG, ≡ 1 → JPEG, ≡ 2 → WAV. */
+  private[ops] def buildHeaderPayload(id: Long, body: Array[Byte]): Array[Byte] =
+    (id % 3) match {
+      case 0 =>
+        val w = (id % 1920 + 1).toInt; val h = (id % 1080 + 1).toInt
+        Array(0x89.toByte) ++ ascii("PNG") ++
+          Array(0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+          be32(13) ++ ascii("IHDR") ++ be32(w) ++ be32(h) ++
+          Array[Byte](8, 6, 0, 0, 0) ++ be32(0) ++ body
+      case 1 =>
+        val w = (id % 3840 + 1).toInt; val h = (id % 2160 + 1).toInt
+        // SOI, APP0 (JFIF), SOF0 (len 11: precision + dims + 1 component)
+        Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+          ascii("JFIF") ++ Array[Byte](0, 1, 1, 0) ++ be16(1) ++ be16(1) ++
+          Array[Byte](0, 0) ++
+          Array(0xff, 0xc0).map(_.toByte) ++ be16(11) ++ Array[Byte](8) ++
+          be16(h) ++ be16(w) ++ Array[Byte](1, 0x11, 0) ++
+          body ++ Array(0xff, 0xd9).map(_.toByte)
+      case _ =>
+        val channels = (id % 2 + 1).toInt
+        val sampleRate = (8000 * (id % 4 + 1)).toInt
+        val byteRate = sampleRate * channels * 2
+        val dataBytes = ((id % 100 + 1) * 1000).toInt
+        ascii("RIFF") ++ le32(36 + dataBytes) ++ ascii("WAVE") ++
+          ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+          le32(sampleRate) ++ le32(byteRate) ++ le16(channels * 2) ++
+          le16(16) ++ ascii("data") ++ le32(dataBytes) ++ body
+    }
+
+  /** Media fixture with REAL container headers (PNG/JPEG/WAV bytes the
+    * [[decodeHeaders]] parser actually decodes), document text as the
+    * payload body. Fixture generation only — a per-row encode hop is
+    * fine here; the decode path itself is a native expression. */
+  def mediaWithRealHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val kind = if (id % 3 == 2) "audio" else "image"
+        (id, kind,
+          buildHeaderPayload(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }.toDF("media_id", "kind", "payload")
+  }
 }

@@ -26,8 +26,8 @@ object Retrieval {
     * IEEE double arithmetic on exactly-representable inputs (counts, 0.5,
     * and the parsed k1/b literals), with the per-(query, doc) sum folded
     * in term order — no transcendental-library variance, so the oracle
-    * hash-matches bitwise. Callers needing classic log idf can post-map
-    * df → ln(...) and accept engine-level ulp drift.
+    * hash-matches bitwise. Callers needing classic log-idf rankings pass
+    * `logIdf = true` (spec-pinned semantics, ulp-variant scores).
     *
     * Plan shape at scale: ONE tokenize+explode pass builds the (doc,
     * term, tf) posting table (map-side combine eats duplicate terms);
@@ -45,7 +45,8 @@ object Retrieval {
     * Output: (qidCol, idCol, score, rank ≤ k), score descending. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
                textCol: String, qidCol: String, qtextCol: String, k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               logIdf: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     // Posting table (doc, term, tf) — three consumers (df, dl, scoring
     // join) read it, so materialize once instead of re-tokenizing the
@@ -66,7 +67,7 @@ object Retrieval {
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .select(col(qidCol), col(idCol), col("term"),
-        bm25Contrib(k1, b).as("__v"))
+        bm25Contrib(k1, b, logIdf).as("__v"))
     rankCandidates(cand, qidCol, idCol, k)
   }
 
@@ -262,7 +263,7 @@ object Retrieval {
   def bm25AgainstIndex(spark: org.apache.spark.sql.SparkSession,
                        table: String, queries: DataFrame, qidCol: String,
                        qtextCol: String, k: Int, k1: Double = 1.2,
-                       b: Double = 0.75): DataFrame = {
+                       b: Double = 0.75, logIdf: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val SI = graft.io.SegmentedIndex
     val qt = queryTerms(queries, qidCol, qtextCol)
@@ -287,7 +288,7 @@ object Retrieval {
       .join(qt, "term")
       .crossJoin(broadcast(stats))
       .select(col(qidCol), col(idCol), col("term"),
-        bm25Contrib(k1, b).as("__v"))
+        bm25Contrib(k1, b, logIdf).as("__v"))
     rankCandidates(cand, qidCol, idCol, k)
   }
 
@@ -299,11 +300,21 @@ object Retrieval {
 
   /** The per-(query, doc, term) BM25 contribution over bound columns
     * (tf, df, dl, __nd, __tt) — ONE expression shared by the recompute
-    * and against-index paths (and mirrored verbatim in the oracle SQL). */
-  private def bm25Contrib(k1: Double, b: Double): Column = {
+    * and against-index paths (and mirrored verbatim in the oracle SQL).
+    * `logIdf = true` switches to textbook log idf
+    * `ln((N − df + 0.5)/(df + 0.5))` — the classic Robertson weighting a
+    * consumer of standard BM25 rankings expects. The log is monotone in
+    * the rational argument, so single-term rankings are IDENTICAL
+    * (spec-asserted); multi-term sums differ (the rational variant
+    * weights rare terms more steeply) and `ln` carries engine-level ulp
+    * variance, so log-idf results are spec-pinned rather than
+    * hash-oracled (the repo's exactness convention). */
+  private def bm25Contrib(k1: Double, b: Double,
+                          logIdf: Boolean = false): Column = {
     val avgdl = col("__tt").cast("double") / col("__nd").cast("double")
-    val idf = (col("__nd").cast("double") - col("df").cast("double") + lit(0.5)) /
+    val ratio = (col("__nd").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
+    val idf = if (logIdf) log(ratio) else ratio
     idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))

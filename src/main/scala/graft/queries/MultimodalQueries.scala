@@ -37,6 +37,17 @@ object MultimodalQueries {
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(media(s, dir))),
 
+    // REAL header decode: payloads carrying actual PNG/JPEG/WAV container
+    // bytes (id-derived dimensions), parsed by the native
+    // MediaHeaderExpr — big-endian IHDR/SOF fields, little-endian RIFF
+    // chunk walk, exact integer duration. The oracle recomputes every
+    // field from the fixture formula, so a parser that misreads any
+    // offset or endianness hash-mismatches.
+    "mm_decode_meta" -> ((s, dir) =>
+      Multimodal.decodeHeaders(
+        Multimodal.mediaWithRealHeaders(Tables(s, dir, "documents"),
+          "doc_id", "text"))),
+
     // Exact payload dedup (content-hash grouping — step one of a media
     // dedup pipeline; the sf corpus has no byte-identical payloads, so
     // every group is a singleton here, which the oracle verifies too).
@@ -126,6 +137,26 @@ object MultimodalQueries {
          |        WHEN kind = 'audio' THEN (n_bytes % 600)::DOUBLE + (c % 1000)::DOUBLE / 1000.0
          |        ELSE (n_bytes % 7200)::DOUBLE END) AS duration_s
          |FROM cs""".stripMargin,
+
+    // mm_decode_meta mirror: every field from the fixture's id-derived
+    // formula (header sizes: PNG 33 B, JPEG 34 B, WAV 44 B around the
+    // UTF-8 body; WAV duration is exact integer division of declared
+    // data bytes by byte rate).
+    "mm_decode_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS kind,
+        |  (octet_length(encode(text))
+        |    + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 34 ELSE 44 END)::BIGINT AS n_bytes,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |  (CASE doc_id % 3 WHEN 0 THEN doc_id % 1920 + 1
+        |        WHEN 1 THEN doc_id % 3840 + 1 END)::INT AS width,
+        |  (CASE doc_id % 3 WHEN 0 THEN doc_id % 1080 + 1
+        |        WHEN 1 THEN doc_id % 2160 + 1 END)::INT AS height,
+        |  (CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1 END)::INT AS channels,
+        |  (CASE WHEN doc_id % 3 = 2 THEN 8000 * (doc_id % 4 + 1) END)::INT AS sample_rate,
+        |  (CASE WHEN doc_id % 3 = 2 THEN ((doc_id % 100 + 1) * 1000) * 1000
+        |     // (8000 * (doc_id % 4 + 1) * (doc_id % 2 + 1) * 2) END)::BIGINT AS duration_ms
+        |FROM documents""".stripMargin,
 
     // resizeTo(640, 480): aspect-preserving fit of the mm_features
     // dimensions — scale = min(maxW/w, maxH/h, 1), floor, clamp ≥ 1.

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** The real header parser against hand-built and adversarial payloads. */
+class MediaHeaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def decodeOne(bytes: Array[Byte]): Row =
+    Multimodal.decodeHeaders(
+      Seq((1L, "x", bytes)).toDF("media_id", "kind", "payload"))
+      .select("format", "width", "height", "channels", "sample_rate", "duration_ms")
+      .head()
+
+  test("fixture payloads round-trip: built dimensions == parsed dimensions") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Multimodal.decodeHeaders(
+      Multimodal.mediaWithRealHeaders(docs, "doc_id", "text"))
+    assert(got.where(col("format") === "unknown").count() == 0)
+    val bad = got.where(
+      (col("media_id") % 3 === 0 &&
+        (col("format") =!= "png" ||
+          col("width") =!= (col("media_id") % 1920 + 1).cast("int") ||
+          col("height") =!= (col("media_id") % 1080 + 1).cast("int"))) ||
+      (col("media_id") % 3 === 1 &&
+        (col("format") =!= "jpeg" ||
+          col("width") =!= (col("media_id") % 3840 + 1).cast("int") ||
+          col("height") =!= (col("media_id") % 2160 + 1).cast("int"))) ||
+      (col("media_id") % 3 === 2 &&
+        (col("format") =!= "wav" ||
+          col("channels") =!= (col("media_id") % 2 + 1).cast("int") ||
+          col("sample_rate") =!= (lit(8000) * (col("media_id") % 4 + 1)).cast("int"))))
+    assert(bad.count() == 0)
+  }
+
+  test("garbage, empty, and truncated payloads degrade to unknown — never throw") {
+    assert(decodeOne(Array.empty[Byte]).getString(0) == "unknown")
+    assert(decodeOne("just some text".getBytes).getString(0) == "unknown")
+    // PNG signature but truncated before IHDR data
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    assert(decodeOne(pngSig).getString(0) == "unknown")
+    // JPEG SOI but no SOF anywhere
+    assert(decodeOne(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).getString(0) == "unknown")
+    // RIFF/WAVE with a data chunk but no fmt chunk
+    val noFmt = "RIFF".getBytes ++ Array[Byte](8, 0, 0, 0) ++ "WAVE".getBytes ++
+      "data".getBytes ++ Array[Byte](0, 0, 0, 0)
+    assert(decodeOne(noFmt).getString(0) == "unknown")
+    // WAV declaring a data size far past the payload end (truncated file):
+    // walk must terminate and still report the fmt metadata it saw.
+    val truncated = Multimodal.buildHeaderPayload(2L, Array.empty[Byte])
+    val r = decodeOne(truncated)
+    assert(r.getString(0) == "wav" && r.getInt(3) == 1)
+  }
+
+  test("JPEG parser skips padding and APPn segments to find a later SOF2 (progressive)") {
+    // SOI, fill byte, APP1 of 4 bytes, then SOF2.
+    val b = Array(0xff, 0xd8).map(_.toByte) ++
+      Array(0xff.toByte) ++ // fill byte before next marker
+      Array(0xff, 0xe1).map(_.toByte) ++ Array[Byte](0, 4, 1, 2) ++
+      Array(0xff, 0xc2).map(_.toByte) ++ Array[Byte](0, 11, 8) ++
+      Array[Byte](1, 0) ++ // height 256
+      Array[Byte](0, 77) ++ // width 77
+      Array[Byte](1, 0x11, 0)
+    val r = decodeOne(b)
+    assert(r.getString(0) == "jpeg" && r.getInt(1) == 77 && r.getInt(2) == 256)
+  }
+
+  test("WAV odd-sized chunks are word-aligned (pad byte honored)") {
+    // A 3-byte junk chunk (odd → 1 pad byte) before fmt/data.
+    val fmtData = Array[Byte](1, 0) ++ Array[Byte](2, 0) ++ // pcm, stereo
+      Array[Byte](0x44.toByte, 0xac.toByte, 0, 0) ++ // 44100
+      Array[Byte](0x10.toByte, 0xb1.toByte, 2, 0) ++ // byte rate 176400
+      Array[Byte](4, 0) ++ Array[Byte](16, 0)
+    val b = "RIFF".getBytes ++ Array[Byte](100, 0, 0, 0) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ Array[Byte](3, 0, 0, 0) ++ Array[Byte](9, 9, 9, 0) ++
+      "fmt ".getBytes ++ Array[Byte](16, 0, 0, 0) ++ fmtData ++
+      "data".getBytes ++ Array[Byte]((176400 % 256).toByte, (176400 / 256 % 256).toByte, (176400 / 65536).toByte, 0)
+    val r = decodeOne(b)
+    assert(r.getString(0) == "wav" && r.getInt(3) == 2 && r.getInt(4) == 44100)
+    assert(r.getLong(5) == 1000L) // exactly one second of data
+  }
+}

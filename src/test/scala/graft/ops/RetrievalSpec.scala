@@ -46,6 +46,50 @@ class RetrievalSpec extends SparkSpec {
     assert(run("b b b").toSeq == run("b").toSeq)
   }
 
+  test("logIdf: single-term rankings identical to rational idf; scores are ln of ratio") {
+    val rational = run("a")
+    val logged = Retrieval.bm25TopK(docs, Seq((0L, "a")).toDF("qid", "qtext"),
+      "doc_id", "text", "qid", "qtext", 10, logIdf = true)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rational.map(x => (x._1, x._3)).toSeq == logged.map(x => (x._1, x._3)).toSeq)
+    assert(logged.zip(rational)
+      .forall { case (l, r) => l._2 < r._2 }) // ln(x) < x for the x ≥ 1 here
+  }
+
+  test("logIdf divergence (documented): one rare term vs three mid terms flips the order") {
+    // 20 docs, all dl = 3: docA carries the df=1 term 'ra'; docB carries
+    // three df=5 terms m1 m2 m3 (each also in 4 other docs). Rational
+    // idf: A = 19.5/1.5 = 13 > B = 3·(15.5/5.5) ≈ 8.45. Log idf:
+    // A = ln 13 ≈ 2.56 < B = 3·ln(15.5/5.5) ≈ 3.11 — the steeper
+    // rare-term weighting of the rational variant, pinned here.
+    val fix = (Seq((1L, "ra x0 y0"), (2L, "m1 m2 m3")) ++
+      (0 until 4).flatMap(i => Seq(
+        (10L + i, s"m1 f$i g$i"), (20L + i, s"m2 f$i h$i"), (30L + i, s"m3 f$i j$i"))) ++
+      (0 until 6).map(i => (40L + i, s"z$i w$i v$i"))).toDF("doc_id", "text")
+    assert(fix.count() == 20)
+    val q = Seq((0L, "ra m1 m2 m3")).toDF("qid", "qtext")
+    def top(logIdf: Boolean): Long =
+      Retrieval.bm25TopK(fix, q, "doc_id", "text", "qid", "qtext", 1,
+        logIdf = logIdf).head().getLong(1)
+    assert(top(logIdf = false) == 1L)
+    assert(top(logIdf = true) == 2L)
+  }
+
+  test("against-index path honors logIdf (ranking equal to log recompute)") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val table = "bm25_logidf_spec"
+    Retrieval.writeBm25Index(docs, "doc_id", "text", table, buckets = 2)
+    val viaIndex = Retrieval.bm25AgainstIndex(spark, table,
+      Seq((0L, "a b")).toDF("qid", "qtext"), "qid", "qtext", 10, logIdf = true)
+    val recompute = Retrieval.bm25TopK(docs, Seq((0L, "a b")).toDF("qid", "qtext"),
+      "doc_id", "text", "qid", "qtext", 10, logIdf = true)
+    assert(key(viaIndex) == key(recompute))
+    Seq(table, table + "_docs", table + "_segments", table + "_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("against-index path: bit-identical to recompute; index side plans no term exchange") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = Seq((0L, "spark merge join"), (1L, "window sort batch stream"))
