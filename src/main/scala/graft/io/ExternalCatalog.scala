@@ -1,0 +1,67 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+
+/** Metastore registration for PATH-based datasets (hive-partitioned
+  * parquet directories that are not `saveAsTable` tables — e.g. the IVF
+  * vector index). The registration makes a directory discoverable by
+  * NAME from any session sharing the catalog — the same durability
+  * [[graft.GraftLake.register]] gives lake tables (the reference's
+  * Glue-crawler analog, DMSCDC_CloudTemplate_Source.yaml:210-232) —
+  * while keeping the write paths plain directory writes (no metastore
+  * round-trip per maintenance batch).
+  */
+object ExternalCatalog {
+
+  /** Register `dir` as a metastore-backed EXTERNAL parquet table.
+    * Idempotent and cheap to re-call: an unchanged entry (same location,
+    * columns, partitioning) is kept as-is — no DROP/CREATE window for
+    * concurrent catalog-sharing readers — and every call re-syncs
+    * partitions (`MSCK ... SYNC PARTITIONS`: recovers directories a
+    * maintenance append created AND drops entries whose directories a
+    * partition-level rewrite deleted) and refreshes cached file
+    * listings. Call again after any out-of-band directory maintenance.
+    *
+    * Never replaces an entry it did not create: a MANAGED table at the
+    * name would be dropped WITH its data, and a VIEW is someone's
+    * definition — both refuse loudly. */
+  def registerParquetDir(spark: SparkSession, name: String, dir: String,
+                         partitionCols: Seq[String]): String = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.CatalogTableType
+    val df = spark.read.parquet(dir)
+    val missing = partitionCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"partition columns ${missing.mkString(", ")} absent from $dir schema")
+    spark.catalog.dropTempView(name): Unit
+    val catalog = spark.sessionState.catalog
+    val ident = TableIdentifier(name)
+    val existing =
+      if (catalog.tableExists(ident)) Some(catalog.getTableMetadata(ident)) else None
+    existing.foreach { meta =>
+      require(meta.tableType == CatalogTableType.EXTERNAL,
+        s"catalog already holds a ${meta.tableType.name} table `$name` — " +
+          "refusing to replace it (rename one side)")
+    }
+    def cols(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSet
+    val unchanged = existing.exists { meta =>
+      new org.apache.hadoop.fs.Path(meta.location).toUri.getPath ==
+        new org.apache.hadoop.fs.Path(dir).toUri.getPath &&
+        cols(meta.schema) == cols(df.schema) &&
+        meta.partitionColumnNames == partitionCols
+    }
+    if (!unchanged) {
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val partClause =
+        if (partitionCols.isEmpty) ""
+        else partitionCols.map(p => s"`$p`").mkString("PARTITIONED BY (", ", ", ")")
+      spark.sql(
+        s"CREATE TABLE `$name` (${df.schema.toDDL}) USING parquet $partClause LOCATION '$dir'")
+    }
+    if (partitionCols.nonEmpty)
+      spark.sql(s"MSCK REPAIR TABLE `$name` SYNC PARTITIONS")
+    spark.catalog.refreshTable(name)
+    name
+  }
+}

@@ -414,10 +414,18 @@ object Curation {
     // that arrives as fewer splits than the session's parallelism (one
     // small file locally) would hash on one task. At scale the scan has
     // more splits than cores and this is a no-op — the corpus is never
-    // shuffled just to hash it.
-    val n = raw.sparkSession.sessionState.conf.numShufflePartitions
+    // shuffled just to hash it. The small-vs-large probe reads optimizer
+    // plan STATS (size estimate), not `df.rdd` — an RDD conversion would
+    // plan a row-deserialization stage per call just to count splits. A
+    // scan splits at `files.maxPartitionBytes`, so an input estimated
+    // below n·maxPartitionBytes cannot arrive as ≥ n splits.
+    val sc = raw.sparkSession.sessionState.conf
+    val n = sc.numShufflePartitions
+    val widenBelow = BigInt(n) * sc.filesMaxPartitionBytes
     def widen(df: DataFrame) =
-      if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes < widenBelow)
+        df.repartition(n)
+      else df
     // Raw features feed the bucket stats AND the per-doc counts —
     // materialized once (eager, cleaner-reclaimed (id, bucket) longs).
     val rawF = feats(widen(raw)).localCheckpoint(true)

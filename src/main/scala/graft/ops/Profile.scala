@@ -52,7 +52,10 @@ object Profile {
     * groups score z = 0 everywhere (no divide-by-zero NaN). Σv² caps the
     * domain: |v| must stay ≤ ~3·10⁹ per row at a billion rows per group
     * to keep the squared sum inside a LONG — counts of real buckets are
-    * far below it.
+    * far below it. The cap is ENFORCED, not just documented: max|v| and
+    * the group count ride along in the same stats pass, and a group
+    * whose count·max² could wrap a LONG raises a loud error instead of
+    * emitting silently-wrapped (wrong, possibly z = 0) scores.
     *
     * Plan: one partial-agg pass for the per-group stats (tiny — one row
     * per group), broadcast back over the series. Output: the series
@@ -63,16 +66,25 @@ object Profile {
     val v = col(valueCol)
     val stats = series.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__cnt"), sum(v).as("__s1"),
-        sum(v * v).as("__s2"))
+        sum(v * v).as("__s2"), max(abs(v.cast("double"))).as("__ma"))
     val cntD = col("__cnt").cast("double")
     val s1D = col("__s1").cast("double")
     val mean = s1D / cntD
     val variance = (col("__s2").cast("double") - ((s1D * s1D) / cntD)) / cntD
-    val z = when(variance <= 0.0, lit(0.0))
+    // Σv² ≤ count·max² exactly; Java long addition wraps silently on
+    // overflow, so detect the only state that could have wrapped and
+    // fail loudly (9.0e18 < Long.MaxValue leaves margin far beyond the
+    // double rounding of the product).
+    val overflow = cntD * col("__ma") * col("__ma") >= lit(9.0e18)
+    val z = when(overflow, raise_error(format_string(
+        "zScores: %s values up to |%s| over %s rows overflow LONG in " +
+          "sum(v*v) - pre-scale or pre-validate the metric",
+        lit(valueCol), col("__ma"), col("__cnt"))).cast("double"))
+      .when(variance <= 0.0, lit(0.0))
       .otherwise((v.cast("double") - mean) / sqrt(variance))
     series.join(broadcast(stats), groupCols)
       .withColumn("z", z)
       .withColumn("is_anomaly", abs(col("z")) >= threshold)
-      .drop("__cnt", "__s1", "__s2")
+      .drop("__cnt", "__s1", "__s2", "__ma")
   }
 }

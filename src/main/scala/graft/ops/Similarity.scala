@@ -697,6 +697,186 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Persist a maintained corpus kNN graph: the [[knnGraph]] edge list
+    * as a segment-tagged bucketed table (`table`, bucketed by `src` —
+    * per-src reads and rewrites stay exchange-free) plus a sign-LSH
+    * vector store (`table + "_vecs"`, bucketed by the LSH key `__bkt` —
+    * the structure a NEW delivery probes to find its cross-corpus
+    * candidate pairs without rescanning vectors), with the
+    * [[graft.io.SegmentedIndex]] ledger/tombstone pair making
+    * maintenance exactly-once. Build once over the current corpus (an
+    * EMPTY corpus frame is a valid bootstrap for stream-from-scratch),
+    * then feed deliveries through [[appendToKnnGraphIndex]] (or the
+    * streaming wrapper [[graft.streaming.GraphStream]]).
+    *
+    * The graph parameters (k, bits, maxBucketSize) are FIXED at build
+    * time by construction — maintenance must pass the same values
+    * (changing them is a rebuild, like re-clustering an IVF index). */
+  def buildKnnGraphIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                         table: String, buckets: Int, k: Int, bits: Int,
+                         maxBucketSize: Int = 1000): Unit = {
+    val SI = graft.io.SegmentedIndex
+    val spark = corpus.sparkSession
+    val edges = knnGraph(corpus, idCol, vecCol, k, bits, maxBucketSize)
+      .withColumn(SI.SegCol, lit(0L))
+    graft.io.Bucketing.writeBucketed(edges, table, "src", buckets)
+    graft.io.Bucketing.writeBucketed(
+      corpus.select(col(idCol), col(vecCol),
+          signBucket(col(vecCol), bits).as("__bkt"))
+        .withColumn(SI.SegCol, lit(0L)),
+      table + "_vecs", "__bkt", buckets)
+    val tombT = SI.tombstoneTable(table)
+    graft.io.Bucketing.clearOrphanLocation(spark, tombT)
+    corpus.select(col(idCol).as("src"), lit(0L).as("below_seg")).limit(0)
+      .write.mode("overwrite").format("parquet").saveAsTable(tombT)
+    SI.initLedger(spark, table, "src", corpus.count(), 0L)
+  }
+
+  /** Fold one NEW delivery into a persisted [[buildKnnGraphIndex]]
+    * graph — the incremental twin of [[knnGraph]], at per-delivery cost
+    * independent of corpus size:
+    *
+    *  - intra-delivery edges come from [[knnGraph]] over the batch alone
+    *    (micro-batch-sized);
+    *  - cross-corpus candidates come from probing the vector store: the
+    *    batch's identity + Hamming-1 LSH keys broadcast-join the
+    *    `__bkt`-bucketed store (index side: NO exchange — its bucket
+    *    layout already matches), probed buckets over `maxBucketSize`
+    *    are dropped (the same quadratic guard as the batch operator);
+    *  - then ONLY affected nodes (batch ids + corpus ids that gained a
+    *    candidate edge) have their top-k re-ranked: existing live edges
+    *    of those nodes (≤ k each) union the new edges, and the rewrite
+    *    is an append at this segment + a per-node tombstone — nodes the
+    *    delivery never touched are not read, not written.
+    *
+    *  Top-k folding is exact (`top_k(A ∪ B) = top_k(top_k(A) ∪ B)`), so
+    *  the maintained graph equals batch [[knnGraph]] over the union
+    *  corpus whenever no bucket crosses `maxBucketSize`
+    *  (spec-asserted); when the cap binds, the two sides cap at
+    *  different times (index-side count at probe time vs global count)
+    *  — the documented LSH-recall divergence. Ids must be NEW (unique
+    *  across deliveries, the [[graft.streaming.EmbedDedupStream]]
+    *  contract). Exactly-once under at-least-once delivery: ledger-gated
+    *  on `batchId`, crash-resumable via segment probes, and the probe
+    *  excludes the batch's own ids so a replay over a half-committed
+    *  vector store recomputes identical edges. */
+  def appendToKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                            batch: DataFrame, idCol: String, vecCol: String,
+                            table: String, buckets: Int, k: Int, bits: Int,
+                            maxBucketSize: Int = 1000, batchId: String): Unit = {
+    val SI = graft.io.SegmentedIndex
+    val vecsT = table + "_vecs"
+    val tombT = SI.tombstoneTable(table)
+    // The index tables may have been appended by ANOTHER session since
+    // this one last listed them (a prior stream micro-batch ran in its
+    // own foreachBatch clone); a stale relation cache here would make
+    // the probe silently miss corpus rows. Refresh is metadata-only.
+    Seq(table, vecsT, tombT, SI.ledgerTable(table))
+      .foreach(spark.catalog.refreshTable)
+    if (SI.hasBatch(spark, table, batchId)) return
+    val seg = SI.nextSeg(spark, table)
+    val b = batch.select(col(idCol), col(vecCol),
+      signBucket(col(vecCol), bits).as("__bkt")).localCheckpoint(true)
+
+    // 1. vector store gains the delivery's rows (probe excludes them
+    // below, so writing first keeps retries deterministic).
+    if (!SI.segPresent(spark, vecsT, seg))
+      graft.io.Bucketing.appendBucketed(
+        b.withColumn(SI.SegCol, lit(seg)), vecsT, "__bkt", buckets)
+
+    // 2. new edges = intra-delivery top-k ∪ cross-corpus candidates.
+    val intra = knnGraph(b.drop("__bkt"), idCol, vecCol, k, bits, maxBucketSize)
+      .select(col("src"), col("dst"), col("cos"))
+    val probes = (0 until bits).map(j => col("__bkt").bitwiseXOR(1L << j))
+    val batchProbes = b.select(col(idCol).as("__id_n"), col(vecCol).as("__vn"),
+      explode(array(col("__bkt") +: probes: _*)).as("__bkt"))
+    val batchIds = b.select(col(idCol).as("__id_c"))
+    // Probed buckets FIRST (broadcast semi-join — the per-bucket counts
+    // below are unchanged by dropping never-probed buckets, and the
+    // cap's sort then runs over probed-bucket rows only, not the whole
+    // store), then the quadratic guard at probe time — the same cap as
+    // the batch operator. Neither step exchanges the store: both the
+    // window and the join ride its `__bkt` bucket layout.
+    val store = spark.table(vecsT)
+      .join(broadcast(batchProbes.select("__bkt").distinct()), Seq("__bkt"), "left_semi")
+      .select(col("__bkt"), col(idCol).as("__id_c"), col(vecCol).as("__vc"))
+      .join(broadcast(batchIds), Seq("__id_c"), "left_anti")
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("__bkt")))
+      .where(col("__bn") <= maxBucketSize)
+    val cross = store.join(broadcast(batchProbes), Seq("__bkt"))
+      .select(col("__id_n"), col("__id_c"), cosine(col("__vn"), col("__vc")).as("cos"))
+    val newEdges = intra
+      .unionByName(cross.select(col("__id_n").as("src"), col("__id_c").as("dst"), col("cos")))
+      .unionByName(cross.select(col("__id_c").as("src"), col("__id_n").as("dst"), col("cos")))
+      .localCheckpoint(true) // candidate-sized; feeds rank, tombstones, ledger
+
+    // 3. re-rank ONLY affected nodes: existing live top-k (≤ k rows per
+    // node, read exchange-free off the src bucketing) ∪ new edges.
+    val affected = newEdges.select("src").distinct().localCheckpoint(true)
+    val existing = SI.dropDead(spark.table(table).where(col(SI.SegCol) < seg),
+        SI.tombstoneMax(spark, table, "src"), "src")
+      .join(broadcast(affected), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val merged = existing.unionByName(newEdges)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .localCheckpoint(true) // detach from the store before writing into it
+    if (!SI.segPresent(spark, table, seg))
+      graft.io.Bucketing.appendBucketed(
+        merged.withColumn(SI.SegCol, lit(seg)), table, "src", buckets)
+    // 4. tombstone the affected nodes' PRIOR versions (this segment's
+    // own rows survive: dead iff __seg < below_seg).
+    if (spark.table(tombT).where(col("below_seg") === seg).limit(1).isEmpty)
+      affected.select(col("src"), lit(seg).as("below_seg"))
+        .write.mode("append").format("parquet").saveAsTable(tombT)
+    SI.appendLedger(spark, table, seg, batchId, b.count(), newEdges.count(), "src")
+  }
+
+  /** The live maintained graph — [[knnGraph]]-shaped (src, dst, cos,
+    * rank): latest top-k version per node (tombstones drop superseded
+    * versions via a broadcast join that preserves the src bucketing). */
+  def readKnnGraph(spark: org.apache.spark.sql.SparkSession,
+                   table: String): DataFrame = {
+    val SI = graft.io.SegmentedIndex
+    // stream maintenance appends from per-batch cloned sessions; a
+    // long-lived reader session must not serve its stale file listing
+    Seq(table, SI.tombstoneTable(table)).foreach(spark.catalog.refreshTable)
+    SI.dropDead(spark.table(table), SI.tombstoneMax(spark, table, "src"), "src")
+      .select(col("src"), col("dst"), col("cos"), col("rank"))
+  }
+
+  /** Fold accumulated graph segments and tombstones into a fresh
+    * segment-0 index (same churn-control contract and crash caveat as
+    * [[Retrieval.compactBm25Index]]): live edge versions and the vector
+    * store rewrite under `__next` names, tombstones and ledger reset,
+    * then the four tables swap. Probe results are unchanged
+    * (spec-asserted); what resets is the read path's tombstone broadcast
+    * and the per-bucket appended-file count. */
+  def compactKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                           table: String, buckets: Int): Unit = {
+    val SI = graft.io.SegmentedIndex
+    val vecsT = table + "_vecs"
+    val tombT = SI.tombstoneTable(table)
+    val ledT = SI.ledgerTable(table)
+    val liveEdges = SI.dropDead(spark.table(table),
+        SI.tombstoneMax(spark, table, "src"), "src")
+      .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
+    val liveVecs = spark.table(vecsT)
+      .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
+    graft.io.Bucketing.writeBucketed(liveEdges, table + "__next", "src", buckets)
+    graft.io.Bucketing.writeBucketed(liveVecs, vecsT + "__next", "__bkt", buckets)
+    graft.io.Bucketing.clearOrphanLocation(spark, tombT + "__next")
+    liveEdges.select(col("src"), lit(0L).as("below_seg")).limit(0)
+      .write.mode("overwrite").format("parquet").saveAsTable(tombT + "__next")
+    graft.io.Bucketing.clearOrphanLocation(spark, ledT + "__next")
+    import spark.implicits._
+    Seq((0L, SI.BaseBatch, liveVecs.count(), 0L, "src"))
+      .toDF("seg", "batch_id", "n_docs", "total_tokens", "id_col")
+      .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(ledT + "__next")
+    Seq(table, vecsT, tombT, ledT).foreach(SI.swapNext(spark, _))
+  }
+
   /** Recall@k of an approximate kNN result against exact ground truth —
     * the evaluation operator that closes the ANN tuning loop (bits /
     * nprobe / codebook size trade recall for scan cost; this measures
@@ -964,6 +1144,20 @@ object Similarity {
     SI.pathAppendLedger(spark, dir, seg, batchId,
       assignedNew.select(col(idCol)).distinct().count())
   }
+
+  /** Register a persisted IVF index in the metastore as an EXTERNAL
+    * table over its directory — a fresh session (or a later JVM sharing
+    * the catalog) then discovers the index by NAME instead of a
+    * passed-around path, with the `cluster` partition layout declared so
+    * `WHERE cluster IN (...)` probes stay partition-pruned through the
+    * catalog read path too. Re-call after [[appendToIvfIndex]] /
+    * [[updateIvfIndex]] maintenance: the call is idempotent and re-syncs
+    * partition entries (including dropping entries for cluster
+    * directories a partition rewrite deleted). The data directory is
+    * never touched (EXTERNAL) — registration is metadata-only. */
+  def registerIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, name: String): String =
+    graft.io.ExternalCatalog.registerParquetDir(spark, name, dir, Seq("cluster"))
 
   /** Read back only the probed clusters of a persisted IVF index — the
     * `cluster` filter is a static partition predicate, so planning opens

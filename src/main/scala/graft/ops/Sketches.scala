@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.functions.TextFunctions.hash60
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality / frequency sketches — the bounded-state
+  * summaries a 100 TB corpus is profiled with when exact global counts
+  * are too expensive to keep hot:
+  *
+  *  - [[hllRegisters]]/[[hllEstimate]] — HyperLogLog (Flajolet et al.
+  *    2007): per-group distinct-count registers. m registers of a few
+  *    bits replace a distinct-count's per-key state; registers built on
+  *    disjoint corpus parts (partitions, ingest segments, days) merge by
+  *    per-bucket MAX into exactly the whole-corpus registers — so a
+  *    maintained stats sidecar can answer "distinct tokens per source"
+  *    without ever re-scanning history (the same segment-ledger idea as
+  *    [[graft.io.SegmentedIndex]], applied to profile state).
+  *  - [[cmsBuild]]/[[cmsEstimate]] — count-min sketch (Cormode &
+  *    Muthukrishnan 2005): depth×width counters estimate any item's
+  *    frequency with one-sided error (never under, over only on hash
+  *    collision). Cells built on disjoint parts merge by per-cell SUM
+  *    into exactly the whole-corpus sketch.
+  *
+  * Exactness contract (the repo convention): hashing is the mirrored
+  * [[hash60]]; HLL's 2^-r terms are `1.0 / (1L << r)` — exact IEEE
+  * doubles, no `pow` — folded in bucket order; CMS cells are exact LONG
+  * counts and the estimate is an integer MIN. Every operator is
+  * hash-oracle-checkable in DuckDB, merge laws included.
+  *
+  * Plan shape: register/cell building is one tokenize/explode pass into
+  * a partial agg whose map-side combine collapses each task's output to
+  * SKETCH size (≤ groups·m, resp. depth·width rows) before the
+  * exchange; estimates touch sketch-sized or watchlist-sized data only.
+  */
+object Sketches {
+
+  /** Number of leading-zeros-plus-one (rho) of the hash remainder `w`
+    * within `wBits` bits: `w = 0` → wBits + 1 (all zeros). `bin()` is
+    * exact integer formatting in both engines — no log2. */
+  private def rho(w: Column, wBits: Int): Column =
+    when(w === 0L, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w)))
+
+  private def log2i(m: Int): Int = {
+    require(m >= 2 && (m & (m - 1)) == 0, s"m must be a power of two >= 2: $m")
+    java.lang.Integer.numberOfTrailingZeros(m)
+  }
+
+  /** HLL registers of `valueCol` per group: (groupCols..., bucket,
+    * register). The 60-bit [[hash60]] splits into a bucket (low log2(m)
+    * bits) and a remainder whose leading-zero rank is the register
+    * candidate; the register is the per-bucket MAX — which is exactly
+    * why sketches of disjoint parts merge losslessly ([[hllMerge]]).
+    * Absent buckets mean register 0 (no row of the group hashed there);
+    * [[hllEstimate]] accounts for them without materializing zeros. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   m: Int): DataFrame = {
+    val p = log2i(m)
+    val h = hash60(concat(lit("hll:"), col(valueCol)))
+    df.select(groupCols.map(col) :+
+        h.bitwiseAND(lit(m - 1).cast("long")).as("bucket") :+
+        shiftrightunsigned(h, p).as("__w"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(rho(col("__w"), 60 - p)).cast("long").as("register"))
+  }
+
+  /** Merge register sets built on disjoint corpus parts: per-bucket MAX.
+    * Associative/commutative/idempotent — registers of any partition of
+    * the corpus merge to exactly the single-pass registers
+    * (oracle-checked by `text_hll_merged`). */
+  def hllMerge(parts: Seq[DataFrame], groupCols: Seq[String]): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("register").as("register"))
+
+  /** Raw HLL estimate per group from a register set:
+    * `alpha_m · m² / (Σ_j 2^(−r_j))`, absent buckets contributing
+    * 2^0 = 1. Output: (groupCols..., n_buckets_set, hll_distinct).
+    *
+    * Deliberately the RAW estimator — no small-range linear-counting or
+    * large-range corrections (both need `ln`, which carries engine ulp
+    * variance; the repo's exactness convention). `n_buckets_set` rides
+    * along so a consumer can apply corrections downstream: small-range
+    * bias shows as n_buckets_set ≪ m. The 2^-r sum folds in bucket
+    * order — deterministic, mirrored. */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+                  m: Int): DataFrame = {
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val inv2r = lit(1.0) /
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(register AS INT))").cast("double")
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets_set"),
+        aggregate(
+          array_sort(collect_list(struct(col("bucket"), inv2r.as("v")))),
+          lit(0.0), (acc, s) => acc + s.getField("v")).as("__fold"))
+      .select(groupCols.map(col) :+ col("n_buckets_set") :+
+        (alpha * lit(m.toDouble) * lit(m.toDouble) /
+          ((lit(m.toLong) - col("n_buckets_set")).cast("double") + col("__fold")))
+          .as("hll_distinct"): _*)
+  }
+
+  /** One-call per-group approximate distinct count. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  m: Int = 64): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol, m), groupCols, m)
+
+  /** Count-min sketch of `valueCol` occurrences: (row, col, cnt) cells,
+    * `depth` hash rows × `width` columns. One explode(depth) over the
+    * value stream into a partial-agg count — each task's map-side
+    * combine caps its shuffle output at depth·width cells regardless of
+    * input size. */
+  def cmsBuild(df: DataFrame, valueCol: String, depth: Int,
+               width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad sketch shape: $depth x $width")
+    df.select(col(valueCol).as("__v"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("row"), cmsCol(col("row"), col("__v"), width).as("col"))
+      .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches of disjoint corpus parts: per-cell SUM (exact —
+    * counts are additive), same shape required. */
+  def cmsMerge(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy("row", "col").agg(sum("cnt").as("cnt"))
+
+  /** Frequency estimates for a (small, broadcast) watchlist of items:
+    * per item the MIN over its depth cells, absent cells counting 0.
+    * One-sided error: estimate ≥ true count always; > only when every
+    * row collides. Output: (itemCol, cms_count). */
+  def cmsEstimate(cms: DataFrame, items: DataFrame, itemCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    val probes = broadcast(items
+      .select(col(itemCol), explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col(itemCol), col("row"),
+        cmsCol(col("row"), col(itemCol), width).as("col")))
+    probes.join(cms, Seq("row", "col"), "left")
+      .groupBy(itemCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+  }
+
+  /** The row-seeded cell column of an item: mirrored verbatim in the
+    * oracle (`('0x'||substr(md5(i||':cms:'||v),1,15))::BIGINT % width`). */
+  private def cmsCol(row: Column, v: Column, width: Int): Column =
+    pmod(hash60(concat(row.cast("string"), lit(":cms:"), v)), lit(width.toLong))
+}

@@ -16,6 +16,31 @@ object DedupQueries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text")),
 
+    // CDC-maintained LSH index: build the persisted band-bucketed index
+    // over the full corpus, apply a merged change batch (docs ≡ 1 mod 7
+    // rewritten, docs ≡ 3 mod 7 deleted — the text_bm25_after_update
+    // fixture) through Dedup.updateLshIndex (tombstones + re-sketch at
+    // O(batch), NOT a rebuild), then probe a fresh delivery against it.
+    // The oracle sketches the MERGED corpus from scratch: the maintained
+    // index must produce identical candidates.
+    "dedup_lsh_after_update" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val changes = d.where(col("doc_id") % 7 === 1L)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" refreshed merge batch")).as("text"),
+          lit("U").as("op"))
+        .unionByName(d.where(col("doc_id") % 7 === 3L)
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit("D").as("op")))
+      val table = s"lsh_upd_idx_${math.abs(dir.hashCode)}"
+      Dedup.writeLshIndex(d, "doc_id", "text", table, buckets = 8)
+      Dedup.updateLshIndex(s, changes, "doc_id", "text", "op", table,
+        buckets = 8, batchId = "chg1")
+      val probe = d.where(col("doc_id") % 10 === 5L)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.lshCandidatesAgainstIndex(s, table, probe, "doc_id", "text")
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text",
         shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)),
@@ -279,12 +304,46 @@ object DedupQueries {
        |  WHERE a.doc_id < b.doc_id)""".stripMargin
   private val lshCandCtes = lshCandCtesFrom("documents")
 
+  /** Band-row CTE chain (doc_id, signature, band_key) from any
+    * (doc_id, text) source, CTE names prefixed to allow two chains in
+    * one query (corpus + probe batch for the against-index mirror). */
+  private def bandCtesFrom(src: String, pre: String) =
+    s"""${pre}toks AS (SELECT doc_id, $toksSql AS t FROM $src),
+       |${pre}shg AS (SELECT doc_id, ($shinglesSql) AS shingles FROM ${pre}toks),
+       |${pre}sig AS (SELECT doc_id, ($signatureSql) AS signature FROM ${pre}shg),
+       |${pre}bands AS (
+       |  SELECT doc_id, signature,
+       |         unnest(list_transform(range(0,4), b -> b::VARCHAR || ':' ||
+       |           md5(array_to_string(list_slice(signature, (b*4+1)::INT, (b*4+4)::INT), ',')))) AS band_key
+       |  FROM ${pre}sig)""".stripMargin
+
   private def jaccardSql(a: String, b: String) =
     s"""CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0
        |     ELSE len(list_filter($a, x -> list_contains($b, x)))::DOUBLE
        |          / len(list_distinct(list_concat($a, $b)))::DOUBLE END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Merged-corpus mirror of the maintained-index probe: the CDC-updated
+    // index must be indistinguishable from a from-scratch sketch of the
+    // merged corpus. Cap semantics follow lshCandidatesAgainstIndex:
+    // corpus-side postings only (the probe batch is delivery-sized).
+    "dedup_lsh_after_update" ->
+      s"""WITH merged AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 1 THEN text || ' refreshed merge batch'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 3),
+         |newdocs AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 = 5),
+         |${bandCtesFrom("merged", "c")},
+         |${bandCtesFrom("newdocs", "n")},
+         |ccapped AS (
+         |  SELECT * FROM cbands QUALIFY count(*) OVER (PARTITION BY band_key) <= 1000)
+         |SELECT DISTINCT n.doc_id AS id_new, c.doc_id AS id_corpus,
+         |  (len(list_filter(range(1,17), i -> n.signature[i::INT] = c.signature[i::INT]))::DOUBLE / 16) AS est_jaccard
+         |FROM nbands n JOIN ccapped c USING (band_key)""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |       min(doc_id) AS keep_id, count(*) AS n_copies

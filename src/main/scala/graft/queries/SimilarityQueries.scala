@@ -140,6 +140,28 @@ object SimilarityQueries {
       Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
         k = 3, bits = 6, maxBucketSize = 1000)),
 
+    // Incrementally MAINTAINED kNN graph: bootstrap the persisted graph
+    // index from a third of the corpus, fold the other two thirds in as
+    // ingest deliveries (Similarity.appendToKnnGraphIndex — new rows
+    // LSH-probe the bucketed vector store, only affected nodes re-rank),
+    // then read the live graph. Must equal the batch knnGraph over the
+    // union corpus (the sim_knn_graph oracle, verbatim) — the top-k fold
+    // is exact and the fixture stays under every bucket cap.
+    "sim_graph_after_ingest" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val t = "sim_graph_ingest_q"
+      Similarity.buildKnnGraphIndex(e.where(col("vec_id") % 3 === 0L),
+        "vec_id", "embedding", t, buckets = 8, k = 3, bits = 6,
+        maxBucketSize = 1000)
+      Similarity.appendToKnnGraphIndex(s, e.where(col("vec_id") % 3 === 1L),
+        "vec_id", "embedding", t, buckets = 8, k = 3, bits = 6,
+        maxBucketSize = 1000, batchId = "g1")
+      Similarity.appendToKnnGraphIndex(s, e.where(col("vec_id") % 3 === 2L),
+        "vec_id", "embedding", t, buckets = 8, k = 3, bits = 6,
+        maxBucketSize = 1000, batchId = "g2")
+      Similarity.readKnnGraph(s, t)
+    }),
+
     // Mutual-kNN backbone: edges of the kNN graph whose reverse also
     // survived top-k (hub-suppression before graph clustering).
     "sim_mutual_knn" -> ((s, dir) =>
@@ -536,6 +558,13 @@ object SimilarityQueries {
     // kNN-graph mirror: the shared capped-bucket multiprobe pair CTEs,
     // both orientations, per-src top-3.
     "sim_knn_graph" ->
+      s"""WITH $knnGraphCtes
+         |SELECT src, dst, cos, CAST(rank AS BIGINT) AS rank
+         |FROM topk""".stripMargin,
+
+    // The maintained graph must equal the batch graph over the union
+    // corpus — same mirror verbatim.
+    "sim_graph_after_ingest" ->
       s"""WITH $knnGraphCtes
          |SELECT src, dst, cos, CAST(rank AS BIGINT) AS rank
          |FROM topk""".stripMargin,

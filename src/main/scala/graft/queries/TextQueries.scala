@@ -387,6 +387,67 @@ object TextQueries {
           "vec_id", "embedding", "qid", k = 10)
         .withColumnRenamed("vec_id", "doc_id")
       graft.ops.Similarity.rrfFuse(lex, sem, "qid", "doc_id", k = 5)
+    }),
+
+    // HyperLogLog distinct-token profile per source: 64 MAX-mergeable
+    // registers per group replace per-key distinct state — the bounded
+    // sketch a 100 TB profiling sidecar keeps instead of re-counting
+    // distincts. Raw estimator (no log-based corrections — engine-exact;
+    // n_buckets_set rides along for downstream correction).
+    "text_hll_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, explode}
+      val terms = docs(s, dir).select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      graft.ops.Sketches.hllDistinct(terms, Seq("source"), "term", m = 64)
+    }),
+
+    // HLL merge law: registers built independently on the doc_id-parity
+    // halves MAX-merge into EXACTLY the single-pass registers — the
+    // property that lets per-segment sketches answer whole-corpus
+    // questions without rescans. The oracle computes the single pass.
+    "text_hll_merged" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, explode}
+      val d = docs(s, dir)
+      def terms(part: DataFrame) = part.select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      val r0 = graft.ops.Sketches.hllRegisters(
+        terms(d.where(col("doc_id") % 2 === 0L)), Seq("source"), "term", m = 64)
+      val r1 = graft.ops.Sketches.hllRegisters(
+        terms(d.where(col("doc_id") % 2 === 1L)), Seq("source"), "term", m = 64)
+      graft.ops.Sketches.hllEstimate(
+        graft.ops.Sketches.hllMerge(Seq(r0, r1), Seq("source")), Seq("source"), m = 64)
+    }),
+
+    // Count-min watchlist frequencies: a 4×256 sketch (map-side combine
+    // caps each task's shuffle output at the sketch size) estimates the
+    // stopword watchlist's counts with one-sided error — never under.
+    "text_cms_counts" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, explode}
+      val terms = docs(s, dir).select(
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      val cms = graft.ops.Sketches.cmsBuild(terms, "term", depth = 4, width = 256)
+      graft.ops.Sketches.cmsEstimate(cms,
+        graft.functions.TextFunctions.StopwordsEn.toDF("term"), "term",
+        depth = 4, width = 256)
+    }),
+
+    // CMS merge law: cell-SUM of the parity-half sketches ≡ the
+    // single-pass sketch (counts are additive) — same oracle as
+    // text_cms_counts, equality IS the distributed-maintenance claim.
+    "text_cms_merged" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, explode}
+      val d = docs(s, dir)
+      def terms(part: DataFrame) = part.select(
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      val c0 = graft.ops.Sketches.cmsBuild(
+        terms(d.where(col("doc_id") % 2 === 0L)), "term", depth = 4, width = 256)
+      val c1 = graft.ops.Sketches.cmsBuild(
+        terms(d.where(col("doc_id") % 2 === 1L)), "term", depth = 4, width = 256)
+      graft.ops.Sketches.cmsEstimate(graft.ops.Sketches.cmsMerge(Seq(c0, c1)),
+        graft.functions.TextFunctions.StopwordsEn.toDF("term"), "term",
+        depth = 4, width = 256)
     })
   )
 
@@ -540,7 +601,56 @@ object TextQueries {
     s"('$lang', [${words.map(w => s"'$w'").mkString(",")}])"
   }.mkString(", ")
 
+  /** HLL mirror over the full corpus — shared verbatim by
+    * text_hll_distinct and text_hll_merged (the merge law says the
+    * parity-half MAX-merge must equal this single pass). m = 64, p = 6:
+    * bucket = low 6 bits, 54-bit remainder, rho = 55 − bitlen (bin() is
+    * exact integer formatting in both engines, no log2), 2^-r written as
+    * 1/(1<<r) (exact doubles, no pow), folded in bucket order. */
+  private val hllSql =
+    s"""WITH toks AS (SELECT source, unnest($toksSql) AS term FROM documents),
+       |h AS (SELECT source, ${h60("'hll:'||term")} AS h FROM toks),
+       |r AS (SELECT source, h % 64 AS bucket,
+       |        CASE WHEN (h // 64) = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+       |      FROM h),
+       |regs AS (SELECT source, bucket, max(rho)::BIGINT AS register FROM r GROUP BY 1, 2),
+       |est AS (SELECT source, count(*)::BIGINT AS n_buckets_set,
+       |        list_reduce(list_prepend(0.0::DOUBLE,
+       |          list((1.0::DOUBLE / ((1::BIGINT << register::INT)::DOUBLE)) ORDER BY bucket)),
+       |          (a, x) -> a + x) AS fold
+       |      FROM regs GROUP BY 1)
+       |SELECT source, n_buckets_set,
+       |  ((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 64.0::DOUBLE))
+       |    * 64.0::DOUBLE * 64.0::DOUBLE)
+       |  / ((64 - n_buckets_set)::DOUBLE + fold) AS hll_distinct
+       |FROM est""".stripMargin
+
+  /** CMS mirror (4×256, watchlist = the stopword fixture) — shared by
+    * text_cms_counts and text_cms_merged (cell sums are additive, so the
+    * parity-half SUM-merge must equal this single pass). */
+  private val cmsSql = {
+    val watch = graft.functions.TextFunctions.StopwordsEn
+      .map(t => s"('$t')").mkString(", ")
+    s"""WITH toks AS (SELECT unnest($toksSql) AS term FROM documents),
+       |cells AS (
+       |  SELECT i, ${h60("i::VARCHAR||':cms:'||term")} % 256 AS col,
+       |         count(*)::BIGINT AS cnt
+       |  FROM toks, range(4) t(i) GROUP BY 1, 2),
+       |watch(term) AS (VALUES $watch),
+       |probe AS (
+       |  SELECT term, i, ${h60("i::VARCHAR||':cms:'||term")} % 256 AS col
+       |  FROM watch, range(4) t(i))
+       |SELECT term, min(coalesce(cnt, 0::BIGINT))::BIGINT AS cms_count
+       |FROM probe LEFT JOIN cells USING (i, col)
+       |GROUP BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_hll_distinct" -> hllSql,
+    "text_hll_merged" -> hllSql,
+    "text_cms_counts" -> cmsSql,
+    "text_cms_merged" -> cmsSql,
+
     "text_span_dup_rate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |g AS (

@@ -104,6 +104,41 @@ class IvfMaintenanceSpec extends SparkSpec {
     assert(contents(dir) == afterUpd)
   }
 
+  test("registered index is discoverable by name from a fresh session; re-register syncs maintenance") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_reg").toString + "/idx"
+    val base = emb.where($"vec_id" < 100L)
+    Similarity.writeIvfIndex(indexRows(base), dir)
+    val name = Similarity.registerIvfIndex(spark, dir, "ivf_reg_spec")
+    // a FRESH session sharing the catalog resolves the index by NAME —
+    // no path passed around (the property a bare parquet dir lacks)
+    val s2 = spark.newSession()
+    assert(s2.table(name).count() == spark.read.parquet(dir).count())
+    // catalog reads keep the partition layout: a cluster predicate is a
+    // PartitionFilter on the scan (prunes directories, not just rows)
+    val someCluster = spark.read.parquet(dir)
+      .select($"cluster".cast("long")).head().getLong(0)
+    val scan = s2.table(name).where(col("cluster") === someCluster)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(scan).nonEmpty,
+      s"cluster predicate not pushed to PartitionFilters:\n$scan")
+    // registration is idempotent (unchanged entry kept, no DROP window)
+    Similarity.registerIvfIndex(spark, dir, "ivf_reg_spec")
+    // maintenance that DELETES a whole cluster directory: re-register
+    // SYNCs the dropped partition out of the catalog entry
+    val victim = spark.read.parquet(dir).groupBy($"cluster".cast("long").as("c"))
+      .count().orderBy("count", "c").head().getLong(0)
+    val changes = spark.read.parquet(dir).where($"cluster".cast("long") === victim)
+      .select("vec_id").join(emb, Seq("vec_id"))
+      .select($"vec_id", $"embedding", lit("D").as("op"))
+    Similarity.updateIvfIndex(spark, changes, cents, "vec_id", "embedding",
+      "cid", "op", dir, batchId = "reg_d1")
+    Similarity.registerIvfIndex(spark, dir, "ivf_reg_spec")
+    val byName = spark.newSession().table(name)
+    assert(byName.count() == spark.read.parquet(dir).count())
+    assert(byName.where($"cluster".cast("long") === victim).isEmpty)
+    spark.sql("DROP TABLE IF EXISTS ivf_reg_spec")
+  }
+
   test("a cluster emptied by deletes is cleared, not left stale") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_empty").toString + "/idx"
     val tiny = emb.where($"vec_id" < 50L)

@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches: HLL accuracy + MAX-merge law, CMS one-sided
+  * error + SUM-merge law. */
+class SketchAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val terms = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("source"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    .localCheckpoint(true)
+
+  private def regSet(df: DataFrame): Set[(String, Long, Long)] =
+    df.select(col("source"), col("bucket"), col("register"))
+      .as[(String, Long, Long)].collect().toSet
+
+  test("HLL raw estimate lands within the expected error band past the small-range zone") {
+    // controlled cardinalities: group g holds ids g*100000 .. +n(g)-1,
+    // every value distinct, n >> m so the raw estimator is in its band
+    val vals = Seq(("g2k", 2000L), ("g10k", 10000L)).map { case (g, n) =>
+      spark.range(n).select(lit(g).as("source"),
+        (col("id") + lit(g.hashCode.toLong.abs * 100000L)).cast("string").as("term"))
+    }.reduce(_ unionByName _)
+    val est = Sketches.hllDistinct(vals, Seq("source"), "term", m = 64)
+      .select(col("source"), col("hll_distinct")).as[(String, Double)].collect().toMap
+    // raw HLL at m=64: ~1.04/√64 ≈ 13% relative stddev — allow 3σ
+    assert(math.abs(est("g2k") - 2000) / 2000.0 < 0.4, s"g2k: ${est("g2k")}")
+    assert(math.abs(est("g10k") - 10000) / 10000.0 < 0.4, s"g10k: ${est("g10k")}")
+    // small-range zone is DETECTABLE, not silently wrong: far fewer than
+    // m buckets set flags the raw estimate as needing linear counting
+    val small = Sketches.hllDistinct(terms.where(col("source") === "src1"),
+      Seq("source"), "term", m = 64)
+      .select(col("n_buckets_set")).as[Long].head()
+    assert(small < 40, s"small group should leave most of m=64 buckets unset: $small")
+  }
+
+  test("HLL merge law: parity-split registers MAX-merge to the single-pass registers") {
+    val whole = Sketches.hllRegisters(terms, Seq("source"), "term", m = 64)
+    val h = abs(hash(col("term"))) % 3
+    val parts = (0 until 3).map(i =>
+      Sketches.hllRegisters(terms.where(h === i), Seq("source"), "term", m = 64))
+    assert(regSet(Sketches.hllMerge(parts, Seq("source"))) == regSet(whole))
+  }
+
+  test("CMS estimates are one-sided and mostly exact at low load factor") {
+    val cms = Sketches.cmsBuild(terms, "term", depth = 4, width = 1024)
+    val watch = graft.functions.TextFunctions.StopwordsEn.toDF("term")
+    val est = Sketches.cmsEstimate(cms, watch, "term", depth = 4, width = 1024)
+      .as[(String, Long)].collect().toMap
+    val exact = terms.join(watch, "term").groupBy("term").count()
+      .as[(String, Long)].collect().toMap
+    graft.functions.TextFunctions.StopwordsEn.foreach { t =>
+      val truth = exact.getOrElse(t, 0L)
+      assert(est(t) >= truth, s"$t: CMS under-estimated ${est(t)} < $truth")
+    }
+    // depth 4 × width 1024 over a few-thousand-term vocabulary: at least
+    // one of the 4 rows should be collision-free for most watch terms
+    val exactHits = est.count { case (t, e) => e == exact.getOrElse(t, 0L) }
+    assert(exactHits >= est.size / 2, s"only $exactHits/${est.size} exact")
+  }
+
+  test("CMS merge law: parity-split cells SUM-merge to the single-pass sketch") {
+    def cells(df: DataFrame): Set[(Int, Long, Long)] =
+      df.select(col("row").cast("int"), col("col"), col("cnt"))
+        .as[(Int, Long, Long)].collect().toSet
+    val whole = Sketches.cmsBuild(terms, "term", depth = 4, width = 256)
+    val h = abs(hash(col("term"), col("source"))) % 4
+    val parts = (0 until 4).map(i =>
+      Sketches.cmsBuild(terms.where(h === i), "term", depth = 4, width = 256))
+    assert(cells(Sketches.cmsMerge(parts)) == cells(whole))
+  }
+
+  test("sketch build collapses to sketch-sized partial aggregates (no raw-term shuffle)") {
+    val cms = Sketches.cmsBuild(terms, "term", depth = 4, width = 256)
+    val plan = cms.queryExecution.executedPlan.toString
+    // a partial count must run before the exchange (map-side combine
+    // collapses each task's output to ≤ depth·width cells)
+    assert(plan.contains("partial_count"), s"no partial aggregate:\n$plan")
+    val hll = Sketches.hllRegisters(terms, Seq("source"), "term", m = 64)
+    val hplan = hll.queryExecution.executedPlan.toString
+    assert(hplan.contains("partial_max"), s"no partial max:\n$hplan")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Incremental kNN-graph maintenance: the streamed graph must equal the
+  * batch [[Similarity.knnGraph]] over the union corpus (exact — the
+  * fixture stays under every bucket cap, so the documented LSH-recall
+  * divergence never triggers), and maintenance must be exactly-once
+  * under replay. */
+class GraphStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").localCheckpoint(true)
+
+  private val K = 5
+  private val Bits = 6
+
+  private def graphSet(df: DataFrame): Set[(Long, Long, Double, Long)] =
+    df.select(col("src"), col("dst"), col("cos"), col("rank"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+  private def append(chunk: DataFrame, table: String, batchId: String): Unit =
+    Similarity.appendToKnnGraphIndex(spark, chunk, "vec_id", "embedding",
+      table, buckets = 8, k = K, bits = Bits, maxBucketSize = 1000, batchId)
+
+  test("maintained graph ≡ batch knnGraph over the union corpus; backbone matches") {
+    val table = "knn_graph_spec_inc"
+    val c1 = emb.where($"vec_id" % 3 === 0L)
+    val c2 = emb.where($"vec_id" % 3 === 1L)
+    val c3 = emb.where($"vec_id" % 3 === 2L)
+    Similarity.buildKnnGraphIndex(c1, "vec_id", "embedding", table,
+      buckets = 8, k = K, bits = Bits)
+    append(c2, table, "b1")
+    append(c3, table, "b2")
+    val streamed = graphSet(Similarity.readKnnGraph(spark, table))
+    val batch = graphSet(Similarity.knnGraph(emb, "vec_id", "embedding", K, Bits))
+    assert(streamed == batch,
+      s"streamed ${streamed.size} edges vs batch ${batch.size}; " +
+        s"only-streamed=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    assert(graphSet(GraphStream.readBackbone(spark, table)) ==
+      graphSet(Similarity.mutualKnn(Similarity.knnGraph(emb, "vec_id", "embedding", K, Bits))))
+  }
+
+  test("replayed delivery no-ops: graph and ledger unchanged (exactly-once)") {
+    val table = "knn_graph_spec_replay"
+    Similarity.buildKnnGraphIndex(emb.where($"vec_id" < 200L),
+      "vec_id", "embedding", table, buckets = 8, k = K, bits = Bits)
+    val extra = emb.where($"vec_id" >= 200L && $"vec_id" < 250L)
+    append(extra, table, "b1")
+    val once = graphSet(Similarity.readKnnGraph(spark, table))
+    val ledgerOnce = graft.io.SegmentedIndex.ledger(spark, table).count()
+    append(extra, table, "b1")
+    assert(graphSet(Similarity.readKnnGraph(spark, table)) == once)
+    assert(graft.io.SegmentedIndex.ledger(spark, table).count() == ledgerOnce)
+    // compaction folds segments + tombstones away without changing the graph
+    Similarity.compactKnnGraphIndex(spark, table, buckets = 8)
+    assert(graphSet(Similarity.readKnnGraph(spark, table)) == once)
+    assert(graft.io.SegmentedIndex.tombstones(spark, table).isEmpty)
+    // and maintenance keeps working on the compacted index
+    append(emb.where($"vec_id" >= 250L && $"vec_id" < 270L), table, "b2")
+    assert(graphSet(Similarity.readKnnGraph(spark, table)) ==
+      graphSet(Similarity.knnGraph(emb.where($"vec_id" < 270L),
+        "vec_id", "embedding", K, Bits)))
+  }
+
+  test("empty-corpus bootstrap + file stream end-to-end equals the batch graph") {
+    val table = "knn_graph_spec_stream"
+    val in = Files.createTempDirectory("gsIn").toString + "/t"
+    val ckpt = Files.createTempDirectory("gsCkpt").toString
+    Similarity.buildKnnGraphIndex(emb.limit(0), "vec_id", "embedding", table,
+      buckets = 8, k = K, bits = Bits)
+    def run() = GraphStream.start(spark, in, table, "vec_id", "embedding",
+      buckets = 8, k = K, bits = Bits, checkpoint = ckpt).awaitTermination()
+    val half1 = emb.where($"vec_id" % 2 === 0L)
+    val half2 = emb.where($"vec_id" % 2 === 1L)
+    half1.coalesce(1).write.mode("append").parquet(in)
+    run()
+    half2.coalesce(1).write.mode("append").parquet(in)
+    run()
+    val streamed = graphSet(GraphStream.readGraph(spark, table))
+    val batch = graphSet(Similarity.knnGraph(emb, "vec_id", "embedding", K, Bits))
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}; " +
+        s"only-streamed=${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+  }
+}
