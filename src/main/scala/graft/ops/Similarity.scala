@@ -982,6 +982,61 @@ object Similarity {
     labels
   }
 
+  /** Bounded-round PageRank over an UNDIRECTED candidate edge list
+    * (e.g. the [[mutualKnn]] backbone, where every surviving edge
+    * appears in both orientations): the centrality signal behind
+    * importance-weighted corpus curation — a document central to a
+    * dense semantic neighborhood is the representative worth keeping /
+    * upsampling; leaves are the periphery to prune first (the inverse
+    * of [[knnDensity]]'s redundancy signal, and a cheap seed-picker for
+    * [[labelPropagate]]).
+    *
+    * Semantics: nodes are the edge list's src set; r₀ = 1/N; each round
+    * r' (u) = (1−d)/N + d·Σ_{v→u} r(v)/deg(v). Fixed `rounds` (no
+    * convergence test — deterministic plan depth), dangling mass is not
+    * redistributed (every node of a mutual edge list has deg ≥ 1 by
+    * construction). Engine-exact by the repo convention: 1/N and
+    * r/deg are single IEEE divisions on exact integers, the neighbor
+    * sum folds in contributor (src) order, and (1−d) is mirrored as the
+    * same double SUBTRACTION, not a pre-rounded literal.
+    *
+    * Scale: per round one hash join of the (already candidate-sized,
+    * ≤ N·k row) edge list against the rank table, one partial-agg fold
+    * bounded by ≤ k contributions per node, and a broadcast-free
+    * node-table join; rank tables are `localCheckpoint`ed per round to
+    * truncate the iterative lineage (the [[labelPropagate]] guard).
+    * Output: (node, pr). */
+  def pageRank(edges: DataFrame, rounds: Int,
+               damping: Double = 0.85): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint(true)
+    val n = deg.count()
+    require(n > 0, "pageRank over an empty edge list")
+    val invN = lit(1.0) / lit(n.toDouble)
+    var r = deg.select(col("src").as("node"), invN.as("pr")).localCheckpoint(true)
+    var t = 0
+    while (t < rounds) {
+      val contrib = e
+        .join(r.select(col("node").as("src"), col("pr")), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), col("src"),
+          (col("pr") / col("__deg").cast("double")).as("c"))
+      val sums = contrib.groupBy("node")
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src"), col("c").as("v")))),
+          lit(0.0), (acc, s) => acc + s.getField("v")).as("__s"))
+      r = deg.select(col("src").as("node"))
+        .join(sums, Seq("node"), "left")
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) * invN +
+            lit(damping) * coalesce(col("__s"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+      t += 1
+    }
+    r
+  }
+
   /** Embedding-space outlier screen: assign each vector to its nearest
     * centroid ([[ivfAssign]] semantics) and flag rows whose cosine to
     * that centroid falls below `minCos` — far-from-every-centroid points

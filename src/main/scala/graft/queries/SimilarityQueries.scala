@@ -169,6 +169,18 @@ object SimilarityQueries {
         Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
           k = 3, bits = 6, maxBucketSize = 1000))),
 
+    // Bounded-round PageRank over the mutual backbone: the centrality
+    // signal for importance-weighted curation (keep/upsample the
+    // representative core of a semantic neighborhood, prune the
+    // periphery). 2 rounds, d = 0.85; engine-exact fold order.
+    "sim_pagerank" -> ((s, dir) => {
+      val edges = Similarity.mutualKnn(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000))
+      Similarity.pageRank(edges, rounds = 2)
+        .select(col("node").as("vec_id"), col("pr"))
+    }),
+
     // kNN-density pruning signal (D4-style): mean top-k edge cosine per
     // node; density ≥ 0.35 flags over-represented regions for dropping.
     "sim_knn_density" -> ((s, dir) =>
@@ -568,6 +580,45 @@ object SimilarityQueries {
       s"""WITH $knnGraphCtes
          |SELECT src, dst, cos, CAST(rank AS BIGINT) AS rank
          |FROM topk""".stripMargin,
+
+    // PageRank mirror, 2 rounds unrolled. Every float op matches the
+    // Spark expression shape: 1/N and r/deg single divisions, the
+    // neighbor sum folded in contributor (src) order, and the teleport
+    // term written as (1.0 - 0.85) * (1.0 / n) — the same computed
+    // doubles, not pre-rounded literals.
+    "sim_pagerank" ->
+      s"""WITH $knnGraphCtes,
+         |mut AS (
+         |  SELECT t.src, t.dst FROM topk t
+         |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
+         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM mut GROUP BY 1),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+         |r0 AS (SELECT src AS node, (1.0::DOUBLE / n::DOUBLE) AS pr FROM deg, nn),
+         |c1 AS (
+         |  SELECT m.dst AS node, m.src AS src, r.pr / d.deg::DOUBLE AS c
+         |  FROM mut m JOIN r0 r ON r.node = m.src JOIN deg d ON d.src = m.src),
+         |s1 AS (
+         |  SELECT node,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY src)), (a, x) -> a + x) AS s
+         |  FROM c1 GROUP BY 1),
+         |r1 AS (
+         |  SELECT d.src AS node,
+         |    (1.0::DOUBLE - 0.85::DOUBLE) * (1.0::DOUBLE / n::DOUBLE)
+         |      + 0.85::DOUBLE * coalesce(s.s, 0.0::DOUBLE) AS pr
+         |  FROM deg d CROSS JOIN nn LEFT JOIN s1 s ON s.node = d.src),
+         |c2 AS (
+         |  SELECT m.dst AS node, m.src AS src, r.pr / d.deg::DOUBLE AS c
+         |  FROM mut m JOIN r1 r ON r.node = m.src JOIN deg d ON d.src = m.src),
+         |s2 AS (
+         |  SELECT node,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY src)), (a, x) -> a + x) AS s
+         |  FROM c2 GROUP BY 1),
+         |r2 AS (
+         |  SELECT d.src AS node,
+         |    (1.0::DOUBLE - 0.85::DOUBLE) * (1.0::DOUBLE / n::DOUBLE)
+         |      + 0.85::DOUBLE * coalesce(s.s, 0.0::DOUBLE) AS pr
+         |  FROM deg d CROSS JOIN nn LEFT JOIN s2 s ON s.node = d.src)
+         |SELECT node AS vec_id, pr FROM r2""".stripMargin,
 
     // Graph-dedup mirror: mutual top-3 edges at cos >= 0.4, transitive
     // closure by recursive CTE, keep the least id per component.

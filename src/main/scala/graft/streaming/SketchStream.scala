@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.ops.Sketches
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Corpus-profile maintenance on ingest — the streaming use of the
+  * sketch merge laws ([[graft.ops.Sketches]]): each delivery appends its
+  * OWN small HLL register set and CMS cell set (segment-tagged,
+  * ledger-gated exactly-once), and readers fold the segments with the
+  * lossless merges (per-bucket MAX, per-cell SUM). The profile a 100 TB
+  * ingest pipeline actually keeps: per-delivery state is sketch-sized,
+  * no corpus rescan ever, and the merged answer is IDENTICAL to a
+  * single pass over everything ingested (the oracle-checked merge laws
+  * `text_hll_merged` / `text_cms_merged`, applied per micro-batch).
+  *
+  * Tables: `<table>_hll` (groupCols..., bucket, register, __seg) and
+  * `<table>_cms` (row, col, cnt, __seg), with `<table>`'s segment
+  * ledger. Readers never see `__seg` — [[readDistinctProfile]] /
+  * [[readTermCounts]] fold it away. Compaction is the read-side fold
+  * written back (not implemented — segments are sketch-sized, ≤
+  * groups·m + depth·width rows each; a year of hourly deliveries is
+  * still tiny).
+  */
+object SketchStream {
+
+  def start(spark: SparkSession, inputDir: String, table: String,
+            groupCols: Seq[String], valueCol: String, checkpoint: String,
+            m: Int = 64, depth: Int = 4, width: Int = 256,
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Int = 100): StreamingQuery =
+    IngestStream.start(spark, inputDir,
+      s"sketch-ingest-${math.abs(table.hashCode.toLong)}",
+      checkpoint, trigger, maxFilesPerTrigger) { (batch, batchId) =>
+      ingestBatch(batch, s"b$batchId", table, groupCols, valueCol, m, depth, width)
+    }
+
+  /** One delivery's sketches appended — also the batch-mode entry point.
+    * Exactly-once: ledger-gated on `batchId`, crash-resumable via
+    * segment probes (the [[graft.io.SegmentedIndex]] contract). */
+  def ingestBatch(batch: DataFrame, batchId: String, table: String,
+                  groupCols: Seq[String], valueCol: String,
+                  m: Int, depth: Int, width: Int): Unit = {
+    val spark = batch.sparkSession
+    val SI = graft.io.SegmentedIndex
+    val hllT = table + "_hll"
+    val cmsT = table + "_cms"
+    bootstrap(spark, table, batch, groupCols, m)
+    Seq(hllT, cmsT, SI.ledgerTable(table)).foreach(spark.catalog.refreshTable)
+    if (SI.hasBatch(spark, table, batchId)) return
+    val seg = SI.nextSeg(spark, table)
+    if (!SI.segPresent(spark, hllT, seg))
+      Sketches.hllRegisters(batch, groupCols, valueCol, m)
+        .withColumn(SI.SegCol, lit(seg))
+        .write.mode("append").format("parquet").saveAsTable(hllT)
+    if (!SI.segPresent(spark, cmsT, seg))
+      Sketches.cmsBuild(batch, valueCol, depth, width)
+        .withColumn(SI.SegCol, lit(seg))
+        .write.mode("append").format("parquet").saveAsTable(cmsT)
+    SI.appendLedger(spark, table, seg, batchId, batch.count(), 0L, valueCol)
+  }
+
+  /** Create the (empty) sketch tables + ledger on first contact. */
+  private def bootstrap(spark: SparkSession, table: String, batch: DataFrame,
+                        groupCols: Seq[String], m: Int): Unit = {
+    val SI = graft.io.SegmentedIndex
+    if (spark.catalog.tableExists(table + "_hll")) return
+    graft.io.Bucketing.clearOrphanLocation(spark, table + "_hll")
+    batch.select(groupCols.map(col) :+ lit(0L).as("bucket") :+
+        lit(0L).as("register") :+ lit(0L).as(SI.SegCol): _*).limit(0)
+      .write.mode("overwrite").format("parquet").saveAsTable(table + "_hll")
+    graft.io.Bucketing.clearOrphanLocation(spark, table + "_cms")
+    spark.range(0).select(lit(0L).as("row"), lit(0L).as("col"),
+        lit(0L).as("cnt"), lit(0L).as(SI.SegCol)).limit(0)
+      .write.mode("overwrite").format("parquet").saveAsTable(table + "_cms")
+    SI.initLedger(spark, table, "__value", 0L, 0L)
+  }
+
+  /** The merged distinct-count profile over everything ingested —
+    * identical to a single [[Sketches.hllDistinct]] pass (MAX-merge is
+    * lossless). Register fold is segment-count-bounded per (group,
+    * bucket); the estimate reads sketch-sized data only. */
+  def readDistinctProfile(spark: SparkSession, table: String,
+                          groupCols: Seq[String], m: Int = 64): DataFrame = {
+    spark.catalog.refreshTable(table + "_hll")
+    Sketches.hllEstimate(
+      spark.table(table + "_hll")
+        .groupBy((groupCols :+ "bucket").map(col): _*)
+        .agg(max("register").as("register")),
+      groupCols, m)
+  }
+
+  /** Merged watchlist frequency estimates over everything ingested —
+    * identical to a single-pass CMS (SUM-merge is exact). */
+  def readTermCounts(spark: SparkSession, table: String, items: DataFrame,
+                     itemCol: String, depth: Int = 4,
+                     width: Int = 256): DataFrame = {
+    spark.catalog.refreshTable(table + "_cms")
+    Sketches.cmsEstimate(
+      spark.table(table + "_cms").groupBy("row", "col").agg(sum("cnt").as("cnt")),
+      items, itemCol, depth, width)
+  }
+}
