@@ -41,8 +41,57 @@ case class ByteFoldChecksumExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 60-bit blockhash perceptual sketch of a binary payload: the bytes
+  * split into 60 contiguous blocks (byte j of n belongs to block
+  * ⌊j·60/n⌋), bit i is set iff `60·blockSum_i > totalSum` (the block's
+  * byte mass above the global average, compared by exact integer
+  * cross-multiplication — no division, no floats). A few changed bytes
+  * flip at most their blocks' bits, so perceptually-near payloads sit at
+  * small Hamming distance — the binary-payload twin of SimHash, feeding
+  * the same 4×15-bit band machinery (exact recall at Hamming ≤ 3).
+  * 60 bits keeps the value in the repo's nonnegative hash convention.
+  * Empty payloads hash to 0. */
+case class BlockHash60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  def compute(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](60)
+    var total = 0L
+    var j = 0
+    while (j < n) {
+      val v = (bytes(j) & 0xff).toLong
+      sums((j.toLong * 60L / n).toInt) += v
+      total += v
+      j += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 60) {
+      if (60L * sums(i) > total) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("blockHash", this, classOf[BlockHash60Expr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object MediaExpressions {
   /** Byte-fold checksum of a binary column (see [[ByteFoldChecksumExpr]]). */
   def byteFoldChecksum(payload: Column): Column =
     GraftColumnShim.column(ByteFoldChecksumExpr(GraftColumnShim.expression(payload)))
+
+  /** 60-bit blockhash perceptual sketch (see [[BlockHash60Expr]]). */
+  def blockHash60(payload: Column): Column =
+    GraftColumnShim.column(BlockHash60Expr(GraftColumnShim.expression(payload)))
 }

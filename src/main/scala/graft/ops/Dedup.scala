@@ -136,9 +136,9 @@ object Dedup {
     * the self-join is Σ bucket², so one boilerplate-heavy bucket would
     * otherwise go quadratic with no escape hatch — the same guard
     * [[lshCandidatePairs]] applies, same documented data loss. */
-  private def sketchPairs(sketches: DataFrame, idCol: String, maxHamming: Int,
-                          maxBucketSize: Int, bands: Int = 2,
-                          bandBits: Int = 16): DataFrame = {
+  private[ops] def sketchPairs(sketches: DataFrame, idCol: String, maxHamming: Int,
+                               maxBucketSize: Int, bands: Int = 2,
+                               bandBits: Int = 16): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val mask = (1L << bandBits) - 1
     val keys = (0 until bands).map(j => s"bk$j")

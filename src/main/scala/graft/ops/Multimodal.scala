@@ -139,6 +139,28 @@ object Multimodal {
       .groupBy("payload_md5")
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** 60-bit blockhash perceptual sketch per payload (see
+    * [[graft.expressions.BlockHash60Expr]]) — the NEAR-duplicate stage a
+    * media dedup pipeline runs after [[exactDedup]]'s content-hash pass:
+    * exact hashing misses a re-encoded / padded / trimmed copy, while
+    * the block-mass profile survives local byte churn. Per-row codegen'd
+    * arithmetic, zero shuffle — scan speed at any corpus size. */
+  def blockHashed(media: DataFrame): DataFrame =
+    media.where(col("payload").isNotNull)
+      .select(col("media_id"),
+        graft.expressions.MediaExpressions.blockHash60(col("payload")).as("phash"))
+
+  /** Perceptual near-dup candidate pairs at Hamming ≤ `maxHamming` over
+    * the blockhash — the same 4×15-bit band machinery as 60-bit SimHash
+    * ([[Dedup.simHash60Pairs]]): pigeonhole gives EXACT recall for
+    * thresholds ≤ 3, band buckets capped against a boilerplate-heavy
+    * payload going quadratic. Output: (id_a, id_b, hamming). */
+  def phashPairs(media: DataFrame, maxHamming: Int = 3,
+                 maxBucketSize: Int = 1000): DataFrame =
+    Dedup.sketchPairs(
+      blockHashed(media).select(col("media_id"), col("phash").as("simhash")),
+      "media_id", maxHamming, maxBucketSize, bands = 4, bandBits = 15)
+
   /** Frame-sample stub for video payloads: deterministic frame offsets
     * (every `stride` bytes), the plumbing for a real frame extractor. */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {

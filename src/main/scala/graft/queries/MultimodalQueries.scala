@@ -57,12 +57,103 @@ object MultimodalQueries {
     // Aspect-preserving resize planning over the extracted dimensions.
     "mm_resize" -> ((s, dir) =>
       Multimodal.resizeTo(Multimodal.extractFeatures(media(s, dir)), 640, 480)
-        .select("media_id", "width", "height", "resized_w", "resized_h"))
+        .select("media_id", "width", "height", "resized_w", "resized_h")),
+
+    // 60-bit blockhash perceptual sketch per payload (block byte-mass
+    // vs global mass, exact integer cross-multiplication — the
+    // binary-payload SimHash twin).
+    "mm_phash" -> ((s, dir) =>
+      Multimodal.blockHashed(media(s, dir))),
+
+    // Perceptual near-dup pairs at Hamming ≤ 3 over corpus ∪ perturbed
+    // copies (each payload re-emitted with its FIRST BYTE rewritten,
+    // same length, under id+100000 — the local corruption exact hashing
+    // can never match): the 4-band pigeonhole pair machinery on the
+    // blockhash.
+    "mm_phash_pairs" -> ((s, dir) => {
+      val m = media(s, dir)
+      val perturbed = Tables(s, dir, "documents").select(
+        (col("doc_id") + 100000L).as("media_id"),
+        lit("image").as("kind"),
+        encode(concat(lit("Z"), expr("substring(text, 2)")), "UTF-8").as("payload"))
+      Multimodal.phashPairs(m.unionByName(perturbed), maxHamming = 3)
+    })
   )
 
   private val kindSql = "(['image','audio','video'])[(doc_id % 3 + 1)::INT]"
 
+  /** Blockhash CTE chain (media(media_id, payload-as-hex, n) → hh
+    * (media_id, phash)) from any media CTE named `media` exposing
+    * (media_id, ph, n): per byte the block is ⌊i·60/n⌋, per block the
+    * mass sum, bit i iff 60·blockSum > totalSum — the
+    * [[graft.expressions.BlockHash60Expr]] arithmetic verbatim. */
+  private val phashCtes =
+    s"""b AS (SELECT media_id, ph, n, unnest(range(0, n)) AS i FROM media),
+       |pv AS (
+       |  SELECT media_id, (i * 60) // n AS blk,
+       |    16*(strpos('0123456789abcdef', substr(ph, (2*i+1)::INT, 1))-1)
+       |      + strpos('0123456789abcdef', substr(ph, (2*i+2)::INT, 1))-1 AS v
+       |  FROM b),
+       |bs AS (SELECT media_id, blk, sum(v)::BIGINT AS bsum FROM pv GROUP BY 1, 2),
+       |tot AS (SELECT media_id, sum(bsum)::BIGINT AS total FROM bs GROUP BY 1),
+       |hbits AS (
+       |  SELECT bs.media_id,
+       |    sum(CASE WHEN 60 * bsum > total THEN (1::BIGINT << blk::INT) ELSE 0 END)::BIGINT AS phash
+       |  FROM bs JOIN tot USING (media_id) GROUP BY 1),
+       |hh AS (
+       |  SELECT m.media_id, coalesce(hbits.phash, 0)::BIGINT AS phash
+       |  FROM media m LEFT JOIN hbits USING (media_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "mm_phash" ->
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, lower(hex(encode(text))) AS ph,
+         |         octet_length(encode(text))::BIGINT AS n
+         |  FROM documents),
+         |$phashCtes
+         |SELECT media_id, phash FROM hh""".stripMargin,
+
+    "mm_phash_pairs" ->
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, lower(hex(encode(text))) AS ph,
+         |         octet_length(encode(text))::BIGINT AS n
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS media_id,
+         |         lower(hex(encode('Z' || substr(text, 2)))) AS ph,
+         |         octet_length(encode('Z' || substr(text, 2)))::BIGINT AS n
+         |  FROM documents),
+         |$phashCtes,
+         |keyed AS (
+         |  SELECT media_id, phash,
+         |         (phash >> 0)  & 32767 AS bk0, (phash >> 15) & 32767 AS bk1,
+         |         (phash >> 30) & 32767 AS bk2, (phash >> 45) & 32767 AS bk3
+         |  FROM hh),
+         |capped AS (
+         |  SELECT *, count(*) OVER (PARTITION BY bk0) AS bk0_n,
+         |            count(*) OVER (PARTITION BY bk1) AS bk1_n,
+         |            count(*) OVER (PARTITION BY bk2) AS bk2_n,
+         |            count(*) OVER (PARTITION BY bk3) AS bk3_n FROM keyed),
+         |cand AS (
+         |  SELECT a.media_id AS id_a, b.media_id AS id_b, a.phash AS h_a, b.phash AS h_b
+         |  FROM capped a JOIN capped b ON a.bk0 = b.bk0 AND a.media_id < b.media_id
+         |  WHERE a.bk0_n <= 1000
+         |  UNION
+         |  SELECT a.media_id, b.media_id, a.phash, b.phash
+         |  FROM capped a JOIN capped b ON a.bk1 = b.bk1 AND a.media_id < b.media_id
+         |  WHERE a.bk1_n <= 1000
+         |  UNION
+         |  SELECT a.media_id, b.media_id, a.phash, b.phash
+         |  FROM capped a JOIN capped b ON a.bk2 = b.bk2 AND a.media_id < b.media_id
+         |  WHERE a.bk2_n <= 1000
+         |  UNION
+         |  SELECT a.media_id, b.media_id, a.phash, b.phash
+         |  FROM capped a JOIN capped b ON a.bk3 = b.bk3 AND a.media_id < b.media_id
+         |  WHERE a.bk3_n <= 1000)
+         |SELECT id_a, id_b,
+         |       bit_count(xor(h_a::UBIGINT, h_b::UBIGINT))::BIGINT AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(h_a::UBIGINT, h_b::UBIGINT)) <= 3""".stripMargin,
     "mm_media_meta" ->
       s"""SELECT doc_id AS media_id, $kindSql AS kind,
          |       octet_length(encode(text))::BIGINT AS n_bytes

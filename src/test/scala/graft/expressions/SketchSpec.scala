@@ -94,6 +94,25 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("blockhash60: empty → 0, reference bit math, same-length locality") {
+    val e = BlockHash60Expr(org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    assert(e.compute(Array.emptyByteArray) == 0L)
+    // reference recompute for an arbitrary payload
+    val bytes = (0 until 300).map(i => ((i * 37 + 11) % 251).toByte).toArray
+    val sums = new Array[Long](60)
+    var total = 0L
+    bytes.zipWithIndex.foreach { case (b, j) =>
+      val v = (b & 0xff).toLong; sums(j * 60 / bytes.length) += v; total += v
+    }
+    val expect = (0 until 60).map(i => if (60L * sums(i) > total) 1L << i else 0L).sum
+    assert(e.compute(bytes) == expect)
+    // a single corrupted byte (same length) flips at most a few bits:
+    // the locality that makes the sketch a NEAR-dup detector
+    val corrupted = bytes.clone(); corrupted(5) = 0
+    val d = java.lang.Long.bitCount(e.compute(bytes) ^ e.compute(corrupted))
+    assert(d <= 3, s"single-byte corruption moved $d bits")
+  }
+
   test("shingle hash set mirrors Sketch.shingles semantics") {
     val e = ShingleHashSetExpr(org.apache.spark.sql.catalyst.expressions.Literal("x"), 3)
     def run(s: String): Seq[Long] =
