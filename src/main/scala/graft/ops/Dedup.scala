@@ -28,6 +28,69 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Corpus-wide PASSAGE dedup with text reconstruction — the
+    * C4/RefinedWeb-style step that REMOVES duplicated passages from
+    * documents instead of dropping whole documents: the token stream
+    * splits into disjoint `window`-token chunks, every chunk keeps only
+    * its globally FIRST occurrence (lexicographic (doc, position) — the
+    * deterministic "first writer wins" rule), and each document's
+    * surviving chunks re-concatenate in position order. Boilerplate that
+    * recurs across documents (headers, navigation, license blocks)
+    * disappears everywhere but its first appearance while the host
+    * documents survive.
+    *
+    * Chunk identity travels as the mirrored 60-bit hash (collision odds
+    * are the usual 2^-60-per-pair; the oracle uses the same hash, so
+    * behavior is identical cross-engine). Scale: one partial-agg
+    * exchange on chunk hashes (the movement any global dedup pays —
+    * after map-side combine it carries one (hash, min-owner) pair per
+    * distinct chunk), one hash join of chunks against that
+    * distinct-sized table, and one per-doc reassembly agg whose state is
+    * the document's own ≤ n_chunks kept chunks. The reassembly fold is
+    * position-ordered (deterministic strings).
+    *
+    * Output: (idCol, text_dedup, n_chunks, n_dropped) — every input
+    * document appears (a fully-duplicated document keeps an empty
+    * text_dedup, the signal to drop it downstream). */
+  def passageDedup(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 3): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val w = lit(window)
+    val chunks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode(
+          when(size(col("__toks")) === 0, array().cast("array<string>"))
+            .otherwise(transform(
+              // ceil(n/w) chunks — exact int arithmetic (shiftright-free
+              // floor of (n + w − 1) / w via integral division)
+              sequence(lit(0),
+                floor((size(col("__toks")) + lit(window - 1)).cast("double") / w)
+                  .cast("int") - 1),
+              i => concat_ws(" ", slice(col("__toks"), i * w + 1, w)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .withColumn("__h", hash60(col("chunk")))
+      .localCheckpoint(true) // feeds first-occurrence agg, keep join, per-doc totals
+    val first = chunks.groupBy("__h")
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"))
+    val kept = chunks.join(first, "__h")
+      .where(col(idCol) === col("__first").getField(idCol) &&
+        col("chunk_idx") === col("__first").getField("chunk_idx"))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("__kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk"))).as("text_dedup"))
+    docs.select(col(idCol))
+      .join(chunks.groupBy(idCol).agg(count(lit(1)).as("n_chunks")), Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        (coalesce(col("n_chunks"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** Estimated Jaccard from MinHash signature agreement: the fraction of
     * the k signature slots where the two documents hash equal. The single
     * shared definition — every candidate-pair entry point (self-join,

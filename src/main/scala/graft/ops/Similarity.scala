@@ -729,6 +729,12 @@ object Similarity {
     graft.io.Bucketing.clearOrphanLocation(spark, tombT)
     corpus.select(col(idCol).as("src"), lit(0L).as("below_seg")).limit(0)
       .write.mode("overwrite").format("parquet").saveAsTable(tombT)
+    // the vector store gets its OWN tombstones: [[updateKnnGraphIndex]]
+    // retires changed vectors without rewriting bucket files
+    val vecTombT = SI.tombstoneTable(table + "_vecs")
+    graft.io.Bucketing.clearOrphanLocation(spark, vecTombT)
+    corpus.select(col(idCol), lit(0L).as("below_seg")).limit(0)
+      .write.mode("overwrite").format("parquet").saveAsTable(vecTombT)
     SI.initLedger(spark, table, "src", corpus.count(), 0L)
   }
 
@@ -771,7 +777,7 @@ object Similarity {
     // this one last listed them (a prior stream micro-batch ran in its
     // own foreachBatch clone); a stale relation cache here would make
     // the probe silently miss corpus rows. Refresh is metadata-only.
-    Seq(table, vecsT, tombT, SI.ledgerTable(table))
+    Seq(table, vecsT, tombT, SI.tombstoneTable(vecsT), SI.ledgerTable(table))
       .foreach(spark.catalog.refreshTable)
     if (SI.hasBatch(spark, table, batchId)) return
     val seg = SI.nextSeg(spark, table)
@@ -797,8 +803,10 @@ object Similarity {
     // store), then the quadratic guard at probe time — the same cap as
     // the batch operator. Neither step exchanges the store: both the
     // window and the join ride its `__bkt` bucket layout.
-    val store = spark.table(vecsT)
-      .join(broadcast(batchProbes.select("__bkt").distinct()), Seq("__bkt"), "left_semi")
+    val store = SI.dropDead(
+        spark.table(vecsT)
+          .join(broadcast(batchProbes.select("__bkt").distinct()), Seq("__bkt"), "left_semi"),
+        SI.tombstoneMax(spark, vecsT, idCol), idCol)
       .select(col("__bkt"), col(idCol).as("__id_c"), col(vecCol).as("__vc"))
       .join(broadcast(batchIds), Seq("__id_c"), "left_anti")
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy("__bkt")))
@@ -833,6 +841,135 @@ object Similarity {
     SI.appendLedger(spark, table, seg, batchId, b.count(), newEdges.count(), "src")
   }
 
+  /** CDC maintenance of a persisted kNN-graph index — the engine's
+    * latest-wins upsert/delete semantics propagated to the GRAPH, the
+    * fourth index family after BM25 / LSH / IVF: a changed vector's old
+    * row retires from the vector store by tombstone, the upserted
+    * vector re-enters like a delivery, and — the graph-specific part —
+    * every node whose top-k REFERENCED a changed vector has a hole (or
+    * a stale cosine) that cannot be patched from stored edges alone, so
+    * those nodes REPAIR BY RE-PROBING: their (live) vectors probe the
+    * bucketed store exactly like a delivery and their top-k recomputes
+    * from the complete candidate set (probe recall ⊇ original edge
+    * recall — buckets are a pure function of the unchanged vectors — so
+    * the repair is exact, not a degradation). Nodes merely GAINING an
+    * upserted neighbor re-rank old-∪-new like an append. After
+    * maintenance the graph equals batch [[knnGraph]] over the merged
+    * corpus (oracle-checked, `sim_graph_after_update`), caps aside.
+    *
+    * Cost is O(change batch + in-edges of changed nodes + probed
+    * buckets) — deleting a hub that sits in many nodes' top-k repairs
+    * all of them (their top-k genuinely changed; no design avoids that
+    * work), but nodes the change never touched are not read, not
+    * written. Exactly-once: ledger-gated on `batchId`, crash-resumable
+    * (all reads are seg-gated so a retry recomputes identical rows).
+    * `changes` is a merged change set (≤ 1 row per id), `opCol` = "D"
+    * deletes; deleting an absent id is a no-op row. */
+  def updateKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                          changes: DataFrame, idCol: String, vecCol: String,
+                          opCol: String, table: String, buckets: Int, k: Int,
+                          bits: Int, maxBucketSize: Int = 1000,
+                          batchId: String): Unit = {
+    val SI = graft.io.SegmentedIndex
+    val vecsT = table + "_vecs"
+    val tombT = SI.tombstoneTable(table)
+    val vecTombT = SI.tombstoneTable(vecsT)
+    Seq(table, vecsT, tombT, vecTombT, SI.ledgerTable(table))
+      .foreach(spark.catalog.refreshTable)
+    if (SI.hasBatch(spark, table, batchId)) return
+    val seg = SI.nextSeg(spark, table)
+    val changedIds = changes.select(col(idCol)).distinct().localCheckpoint(true)
+    val upserts = changes.where(col(opCol) =!= "D")
+      .select(col(idCol), col(vecCol), signBucket(col(vecCol), bits).as("__bkt"))
+      .localCheckpoint(true)
+    val upsertIds = upserts.select(col(idCol))
+    val deletedIds = changes.where(col(opCol) === "D").select(col(idCol))
+
+    // 1. Vector-store maintenance: retire every changed id's prior rows,
+    // land the upserted vectors at this segment. (Their own tombstone
+    // does not kill them: __seg is not below itself.)
+    if (spark.table(vecTombT).where(col("below_seg") === seg).limit(1).isEmpty)
+      changedIds.select(col(idCol), lit(seg).as("below_seg"))
+        .write.mode("append").format("parquet").saveAsTable(vecTombT)
+    if (!SI.segPresent(spark, vecsT, seg))
+      graft.io.Bucketing.appendBucketed(
+        upserts.withColumn(SI.SegCol, lit(seg)), vecsT, "__bkt", buckets)
+
+    // Replay-deterministic state views: vec tombstones THROUGH this
+    // segment (just written), edge tombstones strictly BEFORE it (this
+    // segment's edge tombstones may exist on a retry and must not hide
+    // the pre-update edges the computation reads).
+    val liveStore = SI.dropDead(spark.table(vecsT),
+      SI.tombstoneMax(spark, vecsT, idCol), idCol)
+    val priorEdgeTomb = broadcast(
+      SI.tombstones(spark, table).where(col("below_seg") < seg)
+        .groupBy("src").agg(max("below_seg").as("__below")))
+    val oldLive = SI.dropDead(spark.table(table).where(col(SI.SegCol) < seg),
+      priorEdgeTomb, "src")
+
+    // 2. Repair set: upserted nodes (their own neighborhood changed) +
+    // every node holding an edge to a changed id (hole / stale cosine).
+    val repairSrcs = upsertIds
+      .unionByName(oldLive
+        .join(broadcast(changedIds.select(col(idCol).as("dst"))), Seq("dst"), "left_semi")
+        .select(col("src").as(idCol)))
+      .join(broadcast(deletedIds), Seq(idCol), "left_anti")
+      .distinct().localCheckpoint(true)
+
+    // 3. Probe the live store from the repair nodes' (live) vectors —
+    // the delivery shape: identity + Hamming-1 keys, bucket cap at probe
+    // time, self-pairs excluded (a node is its own best match).
+    val probeVecs = liveStore
+      .join(broadcast(repairSrcs), Seq(idCol), "left_semi")
+      .select(col(idCol).as("__id_n"), col(vecCol).as("__vn"), col("__bkt"))
+    val probes = (0 until bits).map(j => col("__bkt").bitwiseXOR(1L << j))
+    val probeKeys = probeVecs
+      .select(col("__id_n"), col("__vn"),
+        explode(array(col("__bkt") +: probes: _*)).as("__bkt"))
+      .localCheckpoint(true)
+    val cand = SI.dropDead(
+        spark.table(vecsT)
+          .join(broadcast(probeKeys.select("__bkt").distinct()), Seq("__bkt"), "left_semi"),
+        SI.tombstoneMax(spark, vecsT, idCol), idCol)
+      .select(col("__bkt"), col(idCol).as("__id_c"), col(vecCol).as("__vc"))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("__bkt")))
+      .where(col("__bn") <= maxBucketSize)
+      .join(broadcast(probeKeys), Seq("__bkt"))
+      .where(col("__id_n") =!= col("__id_c"))
+      .select(col("__id_n"), col("__id_c"), cosine(col("__vn"), col("__vc")).as("cos"))
+      .localCheckpoint(true)
+
+    // 4. New top-k: repair nodes rank their COMPLETE probed candidates;
+    // nodes that merely gained an upserted neighbor rank old ∪ new.
+    val repairEdges = cand
+      .select(col("__id_n").as("src"), col("__id_c").as("dst"), col("cos"))
+    val gainEdges = cand
+      .join(broadcast(upsertIds.select(col(idCol).as("__id_n"))), Seq("__id_n"), "left_semi")
+      .join(broadcast(repairSrcs.select(col(idCol).as("__id_c"))), Seq("__id_c"), "left_anti")
+      .select(col("__id_c").as("src"), col("__id_n").as("dst"), col("cos"))
+    val gainSrcs = gainEdges.select(col("src").as(idCol)).distinct().localCheckpoint(true)
+    val gainOld = oldLive
+      .join(broadcast(gainSrcs.select(col(idCol).as("src"))), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val merged = repairEdges.unionByName(gainEdges).unionByName(gainOld)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .localCheckpoint(true)
+    if (!SI.segPresent(spark, table, seg))
+      graft.io.Bucketing.appendBucketed(
+        merged.withColumn(SI.SegCol, lit(seg)), table, "src", buckets)
+    // 5. Tombstone prior versions of every rewritten node AND of deleted
+    // nodes (whose edge lists die with them, no replacement rows).
+    if (spark.table(tombT).where(col("below_seg") === seg).limit(1).isEmpty)
+      repairSrcs.unionByName(gainSrcs)
+        .unionByName(deletedIds).distinct()
+        .select(col(idCol).as("src"), lit(seg).as("below_seg"))
+        .write.mode("append").format("parquet").saveAsTable(tombT)
+    SI.appendLedger(spark, table, seg, batchId,
+      upserts.count(), merged.count(), "src")
+  }
+
   /** The live maintained graph — [[knnGraph]]-shaped (src, dst, cos,
     * rank): latest top-k version per node (tombstones drop superseded
     * versions via a broadcast join that preserves the src bucketing). */
@@ -859,22 +996,30 @@ object Similarity {
     val vecsT = table + "_vecs"
     val tombT = SI.tombstoneTable(table)
     val ledT = SI.ledgerTable(table)
+    val vecTombT = SI.tombstoneTable(vecsT)
+    // the vec store's id column: the tombstone schema is exactly
+    // (idCol, below_seg), so the id is the one non-structural column
+    val vIdCol = spark.table(vecTombT).columns.filterNot(_ == "below_seg").head
     val liveEdges = SI.dropDead(spark.table(table),
         SI.tombstoneMax(spark, table, "src"), "src")
       .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
-    val liveVecs = spark.table(vecsT)
+    val liveVecs = SI.dropDead(spark.table(vecsT),
+        SI.tombstoneMax(spark, vecsT, vIdCol), vIdCol)
       .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
     graft.io.Bucketing.writeBucketed(liveEdges, table + "__next", "src", buckets)
     graft.io.Bucketing.writeBucketed(liveVecs, vecsT + "__next", "__bkt", buckets)
     graft.io.Bucketing.clearOrphanLocation(spark, tombT + "__next")
     liveEdges.select(col("src"), lit(0L).as("below_seg")).limit(0)
       .write.mode("overwrite").format("parquet").saveAsTable(tombT + "__next")
+    graft.io.Bucketing.clearOrphanLocation(spark, vecTombT + "__next")
+    liveVecs.select(col(vIdCol), lit(0L).as("below_seg")).limit(0)
+      .write.mode("overwrite").format("parquet").saveAsTable(vecTombT + "__next")
     graft.io.Bucketing.clearOrphanLocation(spark, ledT + "__next")
     import spark.implicits._
     Seq((0L, SI.BaseBatch, liveVecs.count(), 0L, "src"))
       .toDF("seg", "batch_id", "n_docs", "total_tokens", "id_col")
       .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(ledT + "__next")
-    Seq(table, vecsT, tombT, ledT).foreach(SI.swapNext(spark, _))
+    Seq(table, vecsT, tombT, vecTombT, ledT).foreach(SI.swapNext(spark, _))
   }
 
   /** Recall@k of an approximate kNN result against exact ground truth —

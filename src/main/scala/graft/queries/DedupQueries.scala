@@ -202,6 +202,14 @@ object DedupQueries {
           jaccardDistinct(col("ng_a"), col("ng_b")).as("jaccard"))
     }),
 
+    // Passage-level dedup with text reconstruction (C4/RefinedWeb
+    // style): disjoint 3-token chunks, first global occurrence wins,
+    // documents rebuilt from their surviving chunks — recurring
+    // boilerplate vanishes everywhere but its first appearance while
+    // host documents survive.
+    "dedup_passage_apply" -> ((s, dir) =>
+      Dedup.passageDedup(docs(s, dir), "doc_id", "text", window = 3)),
+
     // Exact-substring near-dup candidates via winnowing fingerprints
     // (shared substrings of ≥ 16+8−1 = 23 normalized chars guarantee a
     // shared fingerprint; inverted index capped at 200 postings/fp).
@@ -343,6 +351,36 @@ object DedupQueries {
          |SELECT DISTINCT n.doc_id AS id_new, c.doc_id AS id_corpus,
          |  (len(list_filter(range(1,17), i -> n.signature[i::INT] = c.signature[i::INT]))::DOUBLE / 16) AS est_jaccard
          |FROM nbands n JOIN ccapped c USING (band_key)""".stripMargin,
+
+    // Passage-dedup mirror: same ceil(n/3) disjoint chunks (list_slice
+    // clamps at the end exactly like Spark's slice), same 60-bit chunk
+    // hash, first occurrence = lexicographic (doc_id, chunk_idx) min,
+    // reassembly string_agg in position order.
+    "dedup_passage_apply" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |ch AS (
+         |  SELECT doc_id, unnest(range(0, (len(tk) + 2) // 3)) AS chunk_idx, tk
+         |  FROM t),
+         |cx AS (
+         |  SELECT doc_id, chunk_idx,
+         |    array_to_string(list_slice(tk, (chunk_idx*3+1)::INT, (chunk_idx*3+3)::INT), ' ') AS chunk
+         |  FROM ch),
+         |hx AS (SELECT doc_id, chunk_idx, chunk, ${h60("chunk")} AS h FROM cx),
+         |k AS (
+         |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM hx),
+         |kept AS (SELECT doc_id, chunk_idx, chunk FROM k WHERE rn = 1),
+         |agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS kept_chunks,
+         |         string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
+         |  FROM kept GROUP BY 1),
+         |nch AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM hx GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.text_dedup, '') AS text_dedup,
+         |  coalesce(n.n_chunks, 0)::BIGINT AS n_chunks,
+         |  (coalesce(n.n_chunks, 0) - coalesce(a.kept_chunks, 0))::BIGINT AS n_dropped
+         |FROM documents d
+         |LEFT JOIN nch n USING (doc_id)
+         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,

@@ -152,6 +152,33 @@ object RelationalQueries {
 
     // Multi-way sort-merge join across the star schema (region→nation→
     // customer→orders), mixing broadcast and shuffle joins.
+    // TPC-H Q5 shape: the canonical 6-table regional-revenue join — two
+    // fact-fact equi-joins (lineitem ⋈ orders ⋈ customer, shuffle on
+    // their keys), the supplier co-nationality condition, and the
+    // nation/region dims broadcast with the region filter pushed into
+    // the broadcast side. Revenue folds in exact DECIMAL
+    // (price·(1−discount)) and casts once at the end.
+    "rel_tpch_q5" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val su = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r.where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(dec(col("l_extendedprice"), 2) *
+            (dec(lit(1), 2) - dec(col("l_discount"), 2)))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "rel_star_join" -> ((s, dir) => {
       val r = Tables(s, dir, "region")
       val n = Tables(s, dir, "nation")
@@ -466,6 +493,20 @@ object RelationalQueries {
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
         |UNION ALL BY NAME
         |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "rel_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
 
     "rel_star_join" ->
       """SELECT r_name, n_name, count(*) AS n_orders,

@@ -162,6 +162,31 @@ object SimilarityQueries {
       Similarity.readKnnGraph(s, t)
     }),
 
+    // CDC-maintained kNN graph: build the persisted graph over the full
+    // corpus, apply the sim_ivf_after_update change batch (vectors ≡ 1
+    // mod 9 replaced by their successor's embedding, ≡ 4 mod 9 deleted)
+    // through Similarity.updateKnnGraphIndex — nodes referencing a
+    // changed vector repair by re-probing the store, nodes gaining an
+    // upserted neighbor re-rank old ∪ new — then read the live graph.
+    // Must equal batch knnGraph over the merged corpus (the oracle).
+    "sim_graph_after_update" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.lit
+      val e = emb(s, dir)
+      val upd = e.as("a").where(col("a.vec_id") % 9 === 1L)
+        .join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1L)
+        .select(col("a.vec_id").as("vec_id"), col("b.embedding").as("embedding"),
+          lit("U").as("op"))
+      val dels = e.where(col("vec_id") % 9 === 4L)
+        .select(col("vec_id"), col("embedding"), lit("D").as("op"))
+      val t = "sim_graph_upd_q"
+      Similarity.buildKnnGraphIndex(e, "vec_id", "embedding", t,
+        buckets = 8, k = 3, bits = 6, maxBucketSize = 1000)
+      Similarity.updateKnnGraphIndex(s, upd.unionByName(dels),
+        "vec_id", "embedding", "op", t, buckets = 8, k = 3, bits = 6,
+        maxBucketSize = 1000, batchId = "chg1")
+      Similarity.readKnnGraph(s, t)
+    }),
+
     // Mutual-kNN backbone: edges of the kNN graph whose reverse also
     // survived top-k (hub-suppression before graph clustering).
     "sim_mutual_knn" -> ((s, dir) =>
@@ -508,8 +533,8 @@ object SimilarityQueries {
   /** Capped + multiprobe near-dup candidate CTEs (b0 → b → p → pairs),
     * mirroring [[graft.ops.Similarity.cosineNearDupPairs]]; shared by the
     * sim_near_dup and sim_dedup_apply oracles. */
-  private lazy val nearDupCtes =
-    s"""b0 AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+  private def nearDupCtesFrom(src: String) =
+    s"""b0 AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM $src),
        |b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000),
        |p AS (
        |  SELECT vec_id, embedding, unnest(list_concat([bucket],
@@ -520,14 +545,15 @@ object SimilarityQueries {
        |         ${cosSql("p.embedding", "c.embedding")} AS cos
        |  FROM p JOIN b c USING (bucket)
        |  WHERE p.vec_id < c.vec_id)""".stripMargin
+  private lazy val nearDupCtes = nearDupCtesFrom("embeddings")
 
   /** kNN-graph CTE chain over [[nearDupCtes]]' pair set: both edge
     * orientations, per-src rank by (cos desc, dst), top-3 — ONE copy of
     * the graph mirror, shared by the sim_knn_graph / sim_mutual_knn /
     * sim_graph_dedup oracles (same reason nearDupCtes is shared: an
     * edit to the graph semantics must hit every mirror at once). */
-  private lazy val knnGraphCtes =
-    s"""$nearDupCtes,
+  private def knnGraphCtesFrom(src: String) =
+    s"""${nearDupCtesFrom(src)},
        |directed AS (
        |  SELECT id_a AS src, id_b AS dst, cos FROM pairs
        |  UNION ALL
@@ -537,6 +563,7 @@ object SimilarityQueries {
        |         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
        |  FROM directed),
        |topk AS (SELECT * FROM ranked WHERE rank <= 3)""".stripMargin
+  private lazy val knnGraphCtes = knnGraphCtesFrom("embeddings")
 
   val oracles: Map[String, String] = Map(
     "sim_knn_brute" ->
@@ -578,6 +605,20 @@ object SimilarityQueries {
     // corpus — same mirror verbatim.
     "sim_graph_after_ingest" ->
       s"""WITH $knnGraphCtes
+         |SELECT src, dst, cos, CAST(rank AS BIGINT) AS rank
+         |FROM topk""".stripMargin,
+
+    // Maintained-graph-after-update mirror: batch knnGraph over the
+    // MERGED corpus (upserts applied, deletes removed) — the maintained
+    // index must be indistinguishable from a fresh build.
+    "sim_graph_after_update" ->
+      s"""WITH merged AS (
+         |  SELECT e.vec_id,
+         |    CASE WHEN e.vec_id % 9 = 1 AND s.embedding IS NOT NULL
+         |         THEN s.embedding ELSE e.embedding END AS embedding
+         |  FROM embeddings e LEFT JOIN embeddings s ON s.vec_id = e.vec_id + 1
+         |  WHERE e.vec_id % 9 <> 4),
+         |${knnGraphCtesFrom("merged")}
          |SELECT src, dst, cos, CAST(rank AS BIGINT) AS rank
          |FROM topk""".stripMargin,
 

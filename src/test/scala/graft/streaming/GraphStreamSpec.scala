@@ -69,6 +69,49 @@ class GraphStreamSpec extends SparkSpec {
         "vec_id", "embedding", K, Bits)))
   }
 
+  test("update + delete: maintained graph ≡ fresh build over the merged corpus; replay no-ops") {
+    val table = "knn_graph_spec_upd"
+    Similarity.buildKnnGraphIndex(emb, "vec_id", "embedding", table,
+      buckets = 8, k = K, bits = Bits)
+    // move vectors ≡ 1 mod 9 onto their successor's embedding, delete
+    // ≡ 4 mod 9 (the sim_ivf_after_update fixture), ghost-delete one
+    val upd = emb.as("a").where($"a.vec_id" % 9 === 1L)
+      .join(emb.as("b"), $"b.vec_id" === $"a.vec_id" + 1L)
+      .select($"a.vec_id".as("vec_id"), $"b.embedding".as("embedding"),
+        lit("U").as("op"))
+    val dels = emb.where($"vec_id" % 9 === 4L)
+      .select($"vec_id", $"embedding", lit("D").as("op"))
+      .unionByName(Seq((99999999L, "D")).toDF("vec_id", "op")
+        .withColumn("embedding", lit(null).cast(emb.schema("embedding").dataType))
+        .select("vec_id", "embedding", "op"))
+    val changes = upd.unionByName(dels).localCheckpoint(true)
+    Similarity.updateKnnGraphIndex(spark, changes, "vec_id", "embedding",
+      "op", table, buckets = 8, k = K, bits = Bits, maxBucketSize = 1000,
+      batchId = "u1")
+    val mergedCorpus = emb
+      .join(changes.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding")
+      .unionByName(upd.select("vec_id", "embedding"))
+      .localCheckpoint(true)
+    val expect = graphSet(Similarity.knnGraph(mergedCorpus, "vec_id", "embedding", K, Bits))
+    val got = graphSet(Similarity.readKnnGraph(spark, table))
+    assert(got == expect,
+      s"got ${got.size} vs expect ${expect.size}; " +
+        s"only-got=${(got -- expect).take(3)} only-expect=${(expect -- got).take(3)}")
+    // replay no-ops
+    Similarity.updateKnnGraphIndex(spark, changes, "vec_id", "embedding",
+      "op", table, buckets = 8, k = K, bits = Bits, maxBucketSize = 1000,
+      batchId = "u1")
+    assert(graphSet(Similarity.readKnnGraph(spark, table)) == expect)
+    // appends keep working after an update (and see the merged state)
+    val extra = emb.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+      .where($"vec_id" % 97 === 0L)
+    append(extra, table, "b_after_upd")
+    assert(graphSet(Similarity.readKnnGraph(spark, table)) ==
+      graphSet(Similarity.knnGraph(mergedCorpus.unionByName(extra),
+        "vec_id", "embedding", K, Bits)))
+  }
+
   test("empty-corpus bootstrap + file stream end-to-end equals the batch graph") {
     val table = "knn_graph_spec_stream"
     val in = Files.createTempDirectory("gsIn").toString + "/t"
