@@ -150,15 +150,12 @@ object SimilarityQueries {
     "sim_graph_after_ingest" -> ((s, dir) => {
       val e = emb(s, dir)
       val t = "sim_graph_ingest_q"
-      Similarity.buildKnnGraphIndex(e.where(col("vec_id") % 3 === 0L),
+      Similarity.buildKnnGraphIndex(e.where(col("vec_id") % 2 === 0L),
         "vec_id", "embedding", t, buckets = 8, k = 3, bits = 6,
         maxBucketSize = 1000)
-      Similarity.appendToKnnGraphIndex(s, e.where(col("vec_id") % 3 === 1L),
+      Similarity.appendToKnnGraphIndex(s, e.where(col("vec_id") % 2 === 1L),
         "vec_id", "embedding", t, buckets = 8, k = 3, bits = 6,
         maxBucketSize = 1000, batchId = "g1")
-      Similarity.appendToKnnGraphIndex(s, e.where(col("vec_id") % 3 === 2L),
-        "vec_id", "embedding", t, buckets = 8, k = 3, bits = 6,
-        maxBucketSize = 1000, batchId = "g2")
       Similarity.readKnnGraph(s, t)
     }),
 
