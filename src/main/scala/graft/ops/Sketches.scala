@@ -86,6 +86,11 @@ object Sketches {
     * order — deterministic, mirrored. */
   def hllEstimate(registers: DataFrame, groupCols: Seq[String],
                   m: Int): DataFrame = {
+    // a register set built (or merged) under a DIFFERENT m would
+    // silently mis-estimate — the bucket domain is the cheap witness
+    val maxB = registers.agg(max("bucket")).head()
+    require(maxB.isNullAt(0) || maxB.getLong(0) < m,
+      s"register set holds bucket ${maxB.get(0)} >= m=$m — built under a different m")
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
     val inv2r = lit(1.0) /
       expr("shiftleft(CAST(1 AS BIGINT), CAST(register AS INT))").cast("double")
@@ -132,6 +137,15 @@ object Sketches {
     * row collides. Output: (itemCol, cms_count). */
   def cmsEstimate(cms: DataFrame, items: DataFrame, itemCol: String,
                   depth: Int, width: Int): DataFrame = {
+    // shape mismatch (cells built/merged under a different depth×width)
+    // would silently under-probe — the cell domain is the cheap witness
+    // (the sketch is ≤ depth·width rows; this agg costs nothing)
+    val bounds = cms.agg(max("row"), max("col")).head()
+    require(bounds.isNullAt(0) ||
+      (bounds.getAs[Number](0).longValue < depth &&
+        bounds.getAs[Number](1).longValue < width),
+      s"sketch holds cell (${bounds.get(0)}, ${bounds.get(1)}) outside " +
+        s"$depth x $width — built under a different shape")
     val probes = broadcast(items
       .select(col(itemCol), explode(sequence(lit(0), lit(depth - 1))).as("row"))
       .select(col(itemCol), col("row"),

@@ -75,6 +75,21 @@ class SketchAggSpec extends SparkSpec {
     assert(cells(Sketches.cmsMerge(parts)) == cells(whole))
   }
 
+  test("shape mismatch fails loudly instead of silently mis-estimating") {
+    val regs = Sketches.hllRegisters(terms, Seq("source"), "term", m = 64)
+    val e1 = intercept[IllegalArgumentException] {
+      Sketches.hllEstimate(regs, Seq("source"), m = 16)
+    }
+    assert(e1.getMessage.contains("different m"))
+    val cms = Sketches.cmsBuild(terms, "term", depth = 4, width = 256)
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.cmsEstimate(cms,
+        graft.functions.TextFunctions.StopwordsEn.toDF("term"), "term",
+        depth = 2, width = 256)
+    }
+    assert(e2.getMessage.contains("different shape"))
+  }
+
   test("sketch build collapses to sketch-sized partial aggregates (no raw-term shuffle)") {
     val cms = Sketches.cmsBuild(terms, "term", depth = 4, width = 256)
     val plan = cms.queryExecution.executedPlan.toString

@@ -112,6 +112,26 @@ class GraphStreamSpec extends SparkSpec {
         "vec_id", "embedding", K, Bits)))
   }
 
+  test("store probe rides the __bkt bucket layout: no store-side exchange") {
+    val table = "knn_graph_spec_plan"
+    Similarity.buildKnnGraphIndex(emb, "vec_id", "embedding", table,
+      buckets = 8, k = K, bits = Bits)
+    // the probe shape appendToKnnGraphIndex/updateKnnGraphIndex build:
+    // broadcast probed-key semi-join + per-bucket cap window — both must
+    // be satisfied by the store's bucketing, leaving NO __bkt exchange
+    val keys = org.apache.spark.sql.functions.broadcast(
+      Seq(1L, 2L, 3L).toDF("__bkt"))
+    val probed = spark.table(table + "_vecs")
+      .join(keys, Seq("__bkt"), "left_semi")
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__bkt")))
+      .where(col("__bn") <= 1000)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(__bkt"),
+      s"store must not exchange on __bkt:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$plan")
+  }
+
   test("empty-corpus bootstrap + file stream end-to-end equals the batch graph") {
     val table = "knn_graph_spec_stream"
     val in = Files.createTempDirectory("gsIn").toString + "/t"
