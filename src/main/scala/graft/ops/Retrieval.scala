@@ -71,6 +71,45 @@ object Retrieval {
     rankCandidates(cand, qidCol, idCol, k)
   }
 
+  /** Adjacent-bigram PHRASE ranking — the proximity half of lexical
+    * retrieval that bag-of-words BM25 cannot see: "merge join" as a
+    * phrase is different evidence than `merge` and `join` scattered
+    * across a document. Candidates are docs sharing ≥ 1 of the query's
+    * adjacent token bigrams; the rank key is the count of DISTINCT
+    * query bigrams the doc contains (exact integers — no weighting to
+    * calibrate), ties by id. Compose with [[bm25TopK]] rank-wise via
+    * [[Similarity.rrfFuse]] (no score mixing — the repo's fusion
+    * convention, `text_phrase_retrieval`).
+    *
+    * Plan shape: ONE tokenize pass builds the distinct (doc, bigram)
+    * table (map-side combine; the bigram table is the corpus-sized cost
+    * — at scale, persist it bucketed by bigram like the BM25 postings);
+    * query bigrams broadcast, so candidate generation touches only
+    * matching bigrams' rows and scoring is candidate-sized. A
+    * single-token query has no bigrams and contributes no rows (the
+    * fusion degrades to pure BM25). Output: (qidCol, idCol,
+    * phrase_hits, rank ≤ k). */
+  def phraseTopK(docs: DataFrame, queries: DataFrame, idCol: String,
+                 textCol: String, qidCol: String, qtextCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def bigrams(toks: Column) =
+      when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    val db = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(bigrams(col("__t"))).as("bigram"))
+      .distinct()
+    val qb = broadcast(
+      queries.select(col(qidCol), tokens(col(qtextCol)).as("__t"))
+        .select(col(qidCol), explode(array_distinct(bigrams(col("__t")))).as("bigram")))
+    val hits = db.join(qb, "bigram")
+      .groupBy(qidCol, idCol).agg(count(lit(1)).as("phrase_hits"))
+    val w = Window.partitionBy(qidCol).orderBy(col("phrase_hits").desc, col(idCol))
+    hits.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Persist a BM25 index: the (doc, term, tf, dl, __seg) posting table
     * bucketed by `term` (dl denormalized onto each posting so the read
     * path never re-joins the corpus), a `<table>_docs` doc-length

@@ -389,6 +389,21 @@ object TextQueries {
       graft.ops.Similarity.rrfFuse(lex, sem, "qid", "doc_id", k = 5)
     }),
 
+    // Phrase-aware retrieval: BM25 bag-of-words ranking fused rank-wise
+    // (RRF) with adjacent-bigram phrase evidence — a doc containing the
+    // query's exact phrases climbs past scatter matches, no score
+    // calibration involved.
+    "text_phrase_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val q = Bm25Queries.toDF("qid", "qtext")
+      val lex = graft.ops.Retrieval.bm25TopK(d, q, "doc_id", "text",
+        "qid", "qtext", k = 10)
+      val phr = graft.ops.Retrieval.phraseTopK(d, q, "doc_id", "text",
+        "qid", "qtext", k = 10)
+      graft.ops.Similarity.rrfFuse(lex, phr, "qid", "doc_id", k = 5)
+    }),
+
     // HyperLogLog distinct-token profile per source: 64 MAX-mergeable
     // registers per group replace per-key distinct state — the bounded
     // sketch a 100 TB profiling sidecar keeps instead of re-counting
@@ -1086,6 +1101,41 @@ object TextQueries {
          |           + coalesce(1.0::DOUBLE / (60 + sem.rank), 0.0::DOUBLE) AS rrf_score
          |  FROM lex FULL OUTER JOIN sem
          |    ON lex.qid = sem.qid AND lex.doc_id = sem.doc_id)
+         |SELECT qid, doc_id, rrf_score,
+         |       row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank
+         |FROM fused QUALIFY rank <= 5""".stripMargin,
+
+    // Phrase-retrieval mirror: the shared BM25 chain + distinct
+    // adjacent-bigram hit counts, fused with the same RRF formula.
+    "text_phrase_retrieval" ->
+      s"""WITH ${bm25Ctes(s"q(qid, qtext) AS (VALUES $bm25ValuesSql)")},
+         |lex AS (SELECT qid, doc_id, rank FROM r WHERE rank <= 10),
+         |dtk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |dbi AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t)),
+         |      i -> t[i::INT] || ' ' || t[(i+1)::INT])) AS bigram
+         |  FROM dtk),
+         |qtk AS (SELECT qid::BIGINT AS qid,
+         |          regexp_split_to_array(trim(qtext), '\\s+') AS t FROM q),
+         |qbi AS (
+         |  SELECT qid, unnest(list_distinct(list_transform(range(1, len(t)),
+         |    i -> t[i::INT] || ' ' || t[(i+1)::INT]))) AS bigram
+         |  FROM qtk),
+         |ph AS (
+         |  SELECT qid, doc_id, count(*)::BIGINT AS hits
+         |  FROM dbi JOIN qbi USING (bigram) GROUP BY 1, 2),
+         |phr AS (
+         |  SELECT qid, doc_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY hits DESC, doc_id) AS rank
+         |  FROM ph QUALIFY rank <= 10),
+         |fused AS (
+         |  SELECT coalesce(lex.qid, phr.qid) AS qid,
+         |         coalesce(lex.doc_id, phr.doc_id) AS doc_id,
+         |         coalesce(1.0::DOUBLE / (60 + lex.rank), 0.0::DOUBLE)
+         |           + coalesce(1.0::DOUBLE / (60 + phr.rank), 0.0::DOUBLE) AS rrf_score
+         |  FROM lex FULL OUTER JOIN phr
+         |    ON lex.qid = phr.qid AND lex.doc_id = phr.doc_id)
          |SELECT qid, doc_id, rrf_score,
          |       row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank
          |FROM fused QUALIFY rank <= 5""".stripMargin,
