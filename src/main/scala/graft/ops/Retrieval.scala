@@ -97,13 +97,115 @@ object Retrieval {
       when(size(toks) < 2, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), size(toks) - 1),
           i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-    val db = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
-      .select(col(idCol), explode(bigrams(col("__t"))).as("bigram"))
-      .distinct()
+    val db = bigramRows(docs, idCol, textCol)
     val qb = broadcast(
       queries.select(col(qidCol), tokens(col(qtextCol)).as("__t"))
         .select(col(qidCol), explode(array_distinct(bigrams(col("__t")))).as("bigram")))
     val hits = db.join(qb, "bigram")
+      .groupBy(qidCol, idCol).agg(count(lit(1)).as("phrase_hits"))
+    val w = Window.partitionBy(qidCol).orderBy(col("phrase_hits").desc, col(idCol))
+    hits.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** The distinct (id, bigram) rows [[phraseTopK]] and the phrase index
+    * share — one tokenize pass, map-side-combined distinct. */
+  private def bigramRows(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    def bigrams(toks: Column) =
+      when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(bigrams(col("__t"))).as("bigram"))
+      .distinct()
+  }
+
+  /** Persist the phrase (distinct adjacent-bigram) index, bucketed by
+    * `bigram` — the scale path [[phraseTopK]]'s scaladoc promises: the
+    * corpus-sized bigram build happens ONCE and every query batch probes
+    * only its bigrams' buckets. Same segment-ledger contract as every
+    * other index family ([[graft.io.SegmentedIndex]]): exactly-once
+    * appends ([[appendToPhraseIndex]]), latest-wins CDC maintenance
+    * ([[updatePhraseIndex]]), probes that drop tombstoned versions. */
+  def writePhraseIndex(docs: DataFrame, idCol: String, textCol: String,
+                       table: String, buckets: Int): Unit = {
+    val spark = docs.sparkSession
+    val SI = graft.io.SegmentedIndex
+    val rows = bigramRows(docs, idCol, textCol)
+      .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
+    graft.io.Bucketing.writeBucketed(rows, table, "bigram", buckets)
+    val tombT = SI.tombstoneTable(table)
+    graft.io.Bucketing.clearOrphanLocation(spark, tombT)
+    rows.select(col(idCol), lit(0L).as("below_seg")).limit(0)
+      .write.mode("overwrite").format("parquet").saveAsTable(tombT)
+    SI.initLedger(spark, table, idCol, docs.count(), 0L)
+  }
+
+  /** Append a NEW batch's bigram rows (ids must be new; changed docs go
+    * through [[updatePhraseIndex]]). Ledger-gated, crash-resumable. */
+  def appendToPhraseIndex(spark: org.apache.spark.sql.SparkSession,
+                          docs: DataFrame, idCol: String, textCol: String,
+                          table: String, buckets: Int, batchId: String): Unit = {
+    val SI = graft.io.SegmentedIndex
+    if (SI.hasBatch(spark, table, batchId)) return
+    val seg = SI.nextSeg(spark, table)
+    val rows = bigramRows(docs, idCol, textCol)
+      .withColumn(SI.SegCol, lit(seg)).localCheckpoint(true)
+    if (!SI.segPresent(spark, table, seg))
+      graft.io.Bucketing.appendBucketed(rows, table, "bigram", buckets)
+    SI.appendLedger(spark, table, seg, batchId,
+      docs.select(col(idCol)).distinct().count(), 0L, idCol)
+  }
+
+  /** CDC maintenance: changed ids tombstone below this segment, upserts
+    * re-derive bigram rows at it — O(change batch), not O(index). After
+    * maintenance [[phraseAgainstIndex]] sees exactly a from-scratch
+    * index over the merged corpus (oracle-checked,
+    * `text_phrase_after_update`). */
+  def updatePhraseIndex(spark: org.apache.spark.sql.SparkSession,
+                        changes: DataFrame, idCol: String, textCol: String,
+                        opCol: String, table: String, buckets: Int,
+                        batchId: String): Unit = {
+    val SI = graft.io.SegmentedIndex
+    if (SI.hasBatch(spark, table, batchId)) return
+    val seg = SI.nextSeg(spark, table)
+    val tombT = SI.tombstoneTable(table)
+    val rows = bigramRows(changes.where(col(opCol) =!= "D"), idCol, textCol)
+      .withColumn(SI.SegCol, lit(seg)).localCheckpoint(true)
+    if (!SI.segPresent(spark, table, seg))
+      graft.io.Bucketing.appendBucketed(rows, table, "bigram", buckets)
+    if (spark.table(tombT).where(col("below_seg") === seg).limit(1).isEmpty)
+      changes.select(col(idCol)).distinct()
+        .select(col(idCol), lit(seg).as("below_seg"))
+        .write.mode("append").format("parquet").saveAsTable(tombT)
+    SI.appendLedger(spark, table, seg, batchId,
+      changes.where(col(opCol) =!= "D").select(col(idCol)).distinct().count(),
+      0L, idCol)
+  }
+
+  /** [[phraseTopK]] against the persisted index: the query's distinct
+    * bigrams broadcast-semi-join the bucketed table (no index-side
+    * exchange — same plan claim as [[bm25AgainstIndex]]), dead versions
+    * drop, and the distinct-hit count + rank run candidate-sized. */
+  def phraseAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                         table: String, queries: DataFrame, qidCol: String,
+                         qtextCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val SI = graft.io.SegmentedIndex
+    val idCol = SI.idColOf(spark, table)
+    def bigrams(toks: Column) =
+      when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    val qb = broadcast(
+      queries.select(col(qidCol), tokens(col(qtextCol)).as("__t"))
+        .select(col(qidCol), explode(array_distinct(bigrams(col("__t")))).as("bigram")))
+    val idx = SI.dropDead(
+      graft.io.Bucketing.readBucketed(spark, table)
+        .join(broadcast(qb.select("bigram")), Seq("bigram"), "left_semi"),
+      SI.tombstoneMax(spark, table, idCol), idCol)
+    val hits = idx.join(qb, "bigram")
       .groupBy(qidCol, idCol).agg(count(lit(1)).as("phrase_hits"))
     val w = Window.partitionBy(qidCol).orderBy(col("phrase_hits").desc, col(idCol))
     hits.withColumn("rank", row_number().over(w).cast("long"))

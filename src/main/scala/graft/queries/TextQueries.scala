@@ -404,6 +404,29 @@ object TextQueries {
       graft.ops.Similarity.rrfFuse(lex, phr, "qid", "doc_id", k = 5)
     }),
 
+    // CDC-maintained phrase index: build, apply the %7 change batch
+    // (rewrites + deletes) through Retrieval.updatePhraseIndex, probe.
+    // The oracle counts distinct-bigram hits over the merged corpus —
+    // the maintained index must be indistinguishable from it.
+    "text_phrase_after_update" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val d = docs(s, dir)
+      val changes = d.where(col("doc_id") % 7 === 1L)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" refreshed merge batch")).as("text"),
+          lit("U").as("op"))
+        .unionByName(d.where(col("doc_id") % 7 === 3L)
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit("D").as("op")))
+      val table = s"phrase_upd_idx_${math.abs(dir.hashCode)}"
+      graft.ops.Retrieval.writePhraseIndex(d, "doc_id", "text", table, buckets = 8)
+      graft.ops.Retrieval.updatePhraseIndex(s, changes, "doc_id", "text", "op",
+        table, 8, batchId = "chg1")
+      graft.ops.Retrieval.phraseAgainstIndex(s, table,
+        Bm25Queries.toDF("qid", "qtext"), "qid", "qtext", k = 5)
+    }),
+
     // HyperLogLog distinct-token profile per source: 64 MAX-mergeable
     // registers per group replace per-key distinct state — the bounded
     // sketch a 100 TB profiling sidecar keeps instead of re-counting
@@ -1139,6 +1162,34 @@ object TextQueries {
          |SELECT qid, doc_id, rrf_score,
          |       row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank
          |FROM fused QUALIFY rank <= 5""".stripMargin,
+
+    // Maintained-phrase-index mirror: distinct-bigram hit ranking over
+    // the MERGED corpus.
+    "text_phrase_after_update" ->
+      s"""WITH merged AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 1 THEN text || ' refreshed merge batch'
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 3),
+         |q(qid, qtext) AS (VALUES $bm25ValuesSql),
+         |dtk AS (SELECT doc_id, $toksSql AS t FROM merged),
+         |dbi AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t)),
+         |      i -> t[i::INT] || ' ' || t[(i+1)::INT])) AS bigram
+         |  FROM dtk),
+         |qtk AS (SELECT qid::BIGINT AS qid,
+         |          regexp_split_to_array(trim(qtext), '\\s+') AS t FROM q),
+         |qbi AS (
+         |  SELECT qid, unnest(list_distinct(list_transform(range(1, len(t)),
+         |    i -> t[i::INT] || ' ' || t[(i+1)::INT]))) AS bigram
+         |  FROM qtk),
+         |ph AS (
+         |  SELECT qid, doc_id, count(*)::BIGINT AS phrase_hits
+         |  FROM dbi JOIN qbi USING (bigram) GROUP BY 1, 2)
+         |SELECT qid, doc_id, phrase_hits,
+         |       row_number() OVER (PARTITION BY qid ORDER BY phrase_hits DESC, doc_id)::BIGINT AS rank
+         |FROM ph QUALIFY rank <= 5""".stripMargin,
 
     "text_token_quantiles" ->
       s"""WITH t AS (SELECT lang, len($toksSql)::BIGINT AS n_tokens FROM documents)

@@ -127,4 +127,30 @@ class RetrievalMaintenanceSpec extends SparkSpec {
     assert(spark.table(t).where(col("__seg") =!= 0L).count() == 0)
     dropIndex(t)
   }
+
+  test("phrase index: build + append + update ≡ recompute over the union; replay no-ops") {
+    val t = "phrase_maint_idx"
+    val pq = Seq((0L, "a b"), (1L, "e f a")).toDF("qid", "qtext")
+    def probeP(): Set[(Long, Long, Long, Long)] =
+      Retrieval.phraseAgainstIndex(spark, t, pq, "qid", "qtext", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def recompute(corpus: DataFrame): Set[(Long, Long, Long, Long)] =
+      Retrieval.phraseTopK(corpus, pq, "doc_id", "text", "qid", "qtext", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    Retrieval.writePhraseIndex(base.where($"doc_id" <= 3L), "doc_id", "text", t, buckets = 4)
+    Retrieval.appendToPhraseIndex(spark, base.where($"doc_id" > 3L),
+      "doc_id", "text", t, 4, "a1")
+    assert(probeP() == recompute(base))
+    // replayed append no-ops
+    Retrieval.appendToPhraseIndex(spark, base.where($"doc_id" > 3L),
+      "doc_id", "text", t, 4, "a1")
+    assert(probeP() == recompute(base))
+    // CDC update: maintained ≡ from-scratch over the merged corpus
+    Retrieval.updatePhraseIndex(spark, changes, "doc_id", "text", "op", t, 4, "c1")
+    assert(probeP() == recompute(merged))
+    Retrieval.updatePhraseIndex(spark, changes, "doc_id", "text", "op", t, 4, "c1")
+    assert(probeP() == recompute(merged))
+    Seq(t, t + "_tombstones", t + "_segments")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
 }
