@@ -335,4 +335,28 @@ class ScaleOpsSpec extends SparkSpec {
         s"corpus/band_key exchange should be eliminated by bucketing:\n$plan")
     } finally spark.sql("DROP TABLE IF EXISTS lsh_index_t")
   }
+
+  test("phrase index probe: bucketed scan, zero bigram exchange, ≡ recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    import spark.implicits._
+    val q = Seq((0L, "merge join order"), (1L, "data stream batch"))
+      .toDF("qid", "qtext")
+    Retrieval.writePhraseIndex(docs, "doc_id", "text", "phrase_idx_plan", buckets = 4)
+    try {
+      val viaIdx = Retrieval.phraseAgainstIndex(spark, "phrase_idx_plan",
+        q, "qid", "qtext", k = 10)
+      val fresh = Retrieval.phraseTopK(docs, q, "doc_id", "text",
+        "qid", "qtext", k = 10)
+      def s4(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(s4(viaIdx) == s4(fresh))
+      assert(s4(viaIdx).nonEmpty)
+      val plan = viaIdx.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(bigram"),
+        s"bigram exchange should be eliminated by bucketing:\n$plan")
+    } finally Seq("phrase_idx_plan", "phrase_idx_plan_tombstones",
+      "phrase_idx_plan_segments")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
