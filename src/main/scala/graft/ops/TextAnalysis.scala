@@ -303,4 +303,47 @@ object TextAnalysis {
         when(col("n_bigrams") === 0L, lit(0.0))
           .otherwise(lit(1.0) - col("n_distinct_bigrams").cast("double")
             / col("n_bigrams").cast("double")))
+
+  /** Per-group composition drift: the L1 distance between each group's
+    * hashed-term distribution and the whole corpus' — the monitoring
+    * signal that flags a mis-crawled / contaminated / off-distribution
+    * source (or ingest day) before it skews a training mixture. Terms
+    * hash into `buckets` (the mirrored 60-bit hash), so per-group state
+    * is `buckets` counters regardless of vocabulary size — the same
+    * bounded-state trick as DSIR's hashed features — and drift is
+    * `Σ_b |c_gb/n_g − C_b/N|` with every division an exact-input IEEE
+    * op, folded in bucket order (engine-exact; L1 ∈ [0, 2]).
+    *
+    * Plan: one tokenize pass into a (group, bucket) partial-agg (≤
+    * groups·buckets rows after map-side combine); totals and the corpus
+    * distribution derive from that tiny table; the fold is
+    * bucket-bounded. Output: (groupCol, n_tokens, l1_drift). */
+  def sourceDrift(docs: DataFrame, groupCol: String, textCol: String,
+                  buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val gb = docs
+      .select(col(groupCol),
+        explode(tokens(col(textCol))).as("term"))
+      .select(col(groupCol),
+        pmod(hash60(col("term")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(groupCol, "bucket").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // group totals, corpus buckets, grid all read it
+    val gt = gb.groupBy(groupCol).agg(sum("c").as("n_tokens"))
+    val cb = gb.groupBy("bucket").agg(sum("c").as("ct"))
+    val tot = broadcast(cb.agg(sum("ct").as("N")))
+    // grid = every (group, corpus bucket): a group missing a bucket
+    // contributes |0 − C_b/N| — absent rows must still count
+    val grid = gt.crossJoin(broadcast(cb))
+      .join(gb, Seq(groupCol, "bucket"), "left")
+      .crossJoin(tot)
+      .select(col(groupCol), col("n_tokens"), col("bucket"),
+        abs(coalesce(col("c"), lit(0L)).cast("double") / col("n_tokens").cast("double")
+          - col("ct").cast("double") / col("N").cast("double")).as("__d"))
+    grid.groupBy(groupCol)
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("bucket"), col("__d").as("v")))),
+          lit(0.0), (acc, s) => acc + s.getField("v")).as("l1_drift"))
+      .select(col(groupCol), col("n_tokens"), col("l1_drift"))
+  }
 }

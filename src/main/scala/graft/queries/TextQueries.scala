@@ -404,6 +404,13 @@ object TextQueries {
       graft.ops.Similarity.rrfFuse(lex, phr, "qid", "doc_id", k = 5)
     }),
 
+    // Per-source composition drift: L1 distance between each source's
+    // hashed-term distribution and the corpus-wide one — flags a
+    // mis-crawled or contaminated source before it skews a mixture.
+    // Bounded state (256 buckets per group), engine-exact fold.
+    "text_source_drift" -> ((s, dir) =>
+      TextAnalysis.sourceDrift(docs(s, dir), "source", "text", buckets = 256)),
+
     // CDC-maintained phrase index: build, apply the %7 change batch
     // (rewrites + deletes) through Retrieval.updatePhraseIndex, probe.
     // The oracle counts distinct-bigram hits over the merged corpus —
@@ -1162,6 +1169,29 @@ object TextQueries {
          |SELECT qid, doc_id, rrf_score,
          |       row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank
          |FROM fused QUALIFY rank <= 5""".stripMargin,
+
+    // Drift mirror: same hashed-bucket distributions, the per-group L1
+    // folded in bucket order over the corpus' bucket grid (absent
+    // buckets contribute the corpus mass).
+    "text_source_drift" ->
+      s"""WITH toks AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |gb AS (
+         |  SELECT source, ${h60("term")} % 256 AS bucket, count(*)::BIGINT AS c
+         |  FROM toks GROUP BY 1, 2),
+         |gt AS (SELECT source, sum(c)::BIGINT AS n_tokens FROM gb GROUP BY 1),
+         |cb AS (SELECT bucket, sum(c)::BIGINT AS ct FROM gb GROUP BY 1),
+         |tot AS (SELECT sum(ct)::BIGINT AS N FROM cb),
+         |grid AS (
+         |  SELECT gt.source, gt.n_tokens, cb.bucket,
+         |    abs(coalesce(gb.c, 0)::DOUBLE / gt.n_tokens::DOUBLE
+         |        - cb.ct::DOUBLE / tot.N::DOUBLE) AS d
+         |  FROM gt CROSS JOIN cb
+         |  LEFT JOIN gb ON gb.source = gt.source AND gb.bucket = cb.bucket
+         |  CROSS JOIN tot)
+         |SELECT source, any_value(n_tokens) AS n_tokens,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY bucket)),
+         |    (a, x) -> a + x) AS l1_drift
+         |FROM grid GROUP BY source""".stripMargin,
 
     // Maintained-phrase-index mirror: distinct-bigram hit ranking over
     // the MERGED corpus.
