@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge training — the tokenizer-training
+  * step of an LLM data pipeline (learn the merge table on the corpus the
+  * model will train on), expressed in the shape that survives 100 TB:
+  *
+  *   - ONE corpus-sized pass builds the (word, freq) table (map-side
+  *     combine collapses duplicate words per task, so the shuffle moves
+  *     vocabulary-sized data — the classic BPE reduction: training
+  *     operates on word STATISTICS, never the corpus);
+  *   - each merge round is one vocabulary-sized aggregation (adjacent
+  *     symbol pairs, frequency-weighted) whose single argmax row comes to
+  *     the driver — bounded driver state, the [[Similarity.kMeans]]
+  *     centroid-loop contract;
+  *   - merge application is a per-row string rewrite on the vocabulary
+  *     table (no shuffle), and the learned table is `numMerges` rows.
+  *
+  * Symbol sequences travel as DOUBLE-SPACE-joined strings
+  * (`"  l  o  w  "`): tokens are whitespace-split so symbols can never
+  * contain a space, and a literal replace of `" a  b "` with `" ab "` is
+  * exactly the classic left-to-right non-overlapping pair merge (the
+  * shared delimiter cannot be consumed twice — property-checked against
+  * the list fold in BpeSpec). Counts are exact LONGs and the argmax
+  * tie-break is (count desc, left asc, right asc), so training is
+  * deterministic and engine-portable: the DuckDB oracle re-derives the
+  * same merges from the same statistics (`text_bpe_train`).
+  */
+object Bpe {
+
+  /** One learned merge: 1-based rank, the pair, its weighted count. */
+  final case class Merge(rank: Long, lhs: String, rhs: String, n: Long)
+
+  private val Sep = "  "
+
+  /** `"  l  o  w  "` — every symbol wrapped by double-space delimiters. */
+  private def srep(w: Column): Column =
+    concat(lit(Sep), regexp_replace(w, "(.)", "$1" + Sep))
+
+  /** Back from the string representation to the symbol array. */
+  private def syms(s: Column): Column =
+    filter(split(s, Sep), x => x =!= "")
+
+  /** The merge-pair rewrite: `" a  b "` → `" ab "` over the shared
+    * single-space borders — equivalent to the left-to-right list fold. */
+  private def applyMerge(s: Column, lhs: String, rhs: String): Column =
+    replace(s, lit(" " + lhs + Sep + rhs + " "), lit(" " + lhs + rhs + " "))
+
+  /** The vocabulary-sized (w, freq, s) training table. */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("s", srep(col("w")))
+
+  /** Train `numMerges` merges on the corpus. Returns fewer if the
+    * vocabulary runs out of adjacent pairs first (every word fused to a
+    * single symbol). */
+  def trainMerges(docs: DataFrame, textCol: String,
+                  numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    // Eager checkpoint: every round's argmax job starts from the
+    // materialized vocabulary, not a re-tokenization of the corpus.
+    var words = wordTable(docs, textCol).localCheckpoint(true)
+    val out = Seq.newBuilder[Merge]
+    var rank = 1L
+    while (rank <= numMerges) {
+      val top = words
+        .select(col("freq"), syms(col("s")).as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("l"),
+            element_at(col("t"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) rank = numMerges + 1L
+      else {
+        val m = Merge(rank, top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        out += m
+        rank += 1
+        if (rank <= numMerges)
+          // Checkpoint per round: keeps each argmax job one vocabulary
+          // pass instead of re-playing the whole replace chain.
+          words = words.withColumn("s", applyMerge(col("s"), m.lhs, m.rhs))
+            .localCheckpoint(true)
+      }
+    }
+    out.result()
+  }
+
+  /** The learned merge table as a DataFrame (rank, lhs, rhs, n). */
+  def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF()
+  }
+
+  /** The vocabulary segmented by a learned merge list: (w, freq,
+    * n_bpe) — merges applied in rank order as one chained per-row
+    * rewrite (no iteration jobs, no shuffle beyond the word count). */
+  def segmentVocab(docs: DataFrame, textCol: String,
+                   merges: Seq[Merge]): DataFrame = {
+    val sFinal = merges.sortBy(_.rank).foldLeft(col("s")) { (c, m) =>
+      applyMerge(c, m.lhs, m.rhs)
+    }
+    wordTable(docs, textCol)
+      .select(col("w"), col("freq"), size(syms(sFinal)).cast("long").as("n_bpe"))
+  }
+}

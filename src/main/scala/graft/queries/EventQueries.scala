@@ -183,6 +183,25 @@ object EventQueries {
         .select("user_id", "event_id", "gap_s")
     }),
 
+    // First-order Markov transition matrix of the event stream: per-user
+    // ordered next-event pairs → (from, to) counts and row-normalized
+    // probabilities. One window pass + one pair-sized aggregation; the
+    // matrix is |event types|² — driver-safe at any corpus size. The
+    // probability is one IEEE division on exact LONG counts.
+    "events_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val pairs = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val byFrom = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+      pairs.withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(byFrom).cast("double"))
+    }),
+
     // Ordered funnel view → click → purchase: earliest completion time
     // per step, each step strictly after its predecessor (see
     // [[graft.ops.Funnel]] — min-aggregates per step, co-partitioned
@@ -354,6 +373,18 @@ object EventQueries {
         |  CAST((epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
         |       / 1000000 AS DOUBLE) AS gap_s
         |FROM events""".stripMargin,
+
+    "events_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  (n::DOUBLE / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)) AS p
+        |FROM pairs""".stripMargin,
 
     "events_funnel" ->
       """WITH s1 AS (

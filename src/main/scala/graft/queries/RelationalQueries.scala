@@ -179,6 +179,54 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q3 shape (shipping-priority top-N): date-filtered fact-fact
+    // join (lineitem ⋈ orders shuffle on the order key — both filters
+    // pushed to the scans), the segment-filtered customer join (customer
+    // scales with the corpus, so NOT broadcast — AQE picks the strategy
+    // at runtime sizes), exact-DECIMAL revenue fold, and a global top-10
+    // with the unique order key as tie-break (TakeOrderedAndProject —
+    // per-partition top-10, never a full sort).
+    "rel_tpch_q3" -> ((s, dir) => {
+      val cut = lit("1998-06-01").cast("timestamp")
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      li.where(col("l_shipdate") > cut)
+        .join(o.where(col("o_orderdate") < cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c.where(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(dec(col("l_extendedprice"), 2) *
+            (dec(lit(1), 2) - dec(col("l_discount"), 2)))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q10 shape (returned-item revenue per customer, one quarter):
+    // returnflag + date filters at the scans, two fact-sized equi-joins,
+    // the nation dim broadcast, top-20 losers by exact-DECIMAL revenue
+    // with the unique customer key as tie-break.
+    "rel_tpch_q10" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      li.where(col("l_returnflag") === "R")
+        .join(o.where(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-04-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(dec(col("l_extendedprice"), 2) *
+            (dec(lit(1), 2) - dec(col("l_discount"), 2)))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     "rel_star_join" -> ((s, dir) => {
       val r = Tables(s, dir, "region")
       val n = Tables(s, dir, "nation")
@@ -507,6 +555,35 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+
+    "rel_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_shipdate > TIMESTAMP '1998-06-01'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "rel_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "rel_star_join" ->
       """SELECT r_name, n_name, count(*) AS n_orders,

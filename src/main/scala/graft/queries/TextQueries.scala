@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.TextAnalysis
+import graft.ops.{Bpe, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Text-analysis operators over the `documents` table. */
@@ -90,6 +90,35 @@ object TextQueries {
         aggregate(words, lit(0L),
           (acc, w) => acc + ((length(w) + lit(3)) / lit(4)).cast("long"))
           .as("n_subword_tokens"))
+    }),
+
+    // Distributed BPE merge training: 8 merge rounds on the corpus
+    // word-frequency table (the real tokenizer-training step — one
+    // corpus pass, then vocabulary-sized rounds with a 1-row argmax on
+    // the driver; deterministic (count desc, lhs, rhs) tie-break). The
+    // oracle re-derives the same merges via a chained-CTE fold.
+    "text_bpe_train" -> ((s, dir) =>
+      Bpe.mergeTable(s, Bpe.trainMerges(docs(s, dir), "text", BpeMerges))),
+
+    // The learned merges applied back to the corpus: per-source token
+    // compression stats (the fertility/compression read a tokenizer
+    // trainer checks before accepting a merge table). Segmentation is a
+    // vocabulary-sized chained rewrite; docs join the segmented
+    // vocabulary on the word key.
+    "text_bpe_segment" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      val vocab = Bpe.segmentVocab(d, "text", Bpe.trainMerges(d, "text", BpeMerges))
+      val sw = d.where(col("text").isNotNull)
+        .select(col("source"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("source", "w").agg(count(lit(1)).as("f"))
+      sw.join(vocab.select("w", "n_bpe"), "w")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"), sum("f").as("n_tokens"),
+          sum(col("f") * col("n_bpe")).as("n_bpe_tokens"),
+          (sum(col("f") * col("n_bpe")).cast("double") /
+            sum("f").cast("double")).as("avg_bpe_per_token"))
     }),
 
     // PII-pattern screening counts (emails / URLs / phone-shaped runs).
@@ -511,6 +540,44 @@ object TextQueries {
       (10 until 20).map(i => s"src$i" -> 0.03125)).toMap
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Merge rounds for the BPE queries — shared by the Spark side and the
+    * generated oracle CTE chain so they always train the same table. */
+  private val BpeMerges = 8
+
+  /** The BPE training fold as chained CTEs — the oracle mirror of
+    * [[graft.ops.Bpe.trainMerges]]: w0 is the word-frequency table with
+    * the double-space symbol string, and each round i derives pair
+    * counts (p_i), the deterministic argmax (b_i: count desc, l, r) and
+    * the merged vocabulary (w_i) by the same literal string replace the
+    * Spark side applies. `withFinal` additionally emits the
+    * post-last-merge vocabulary w_m for the segmentation oracle. */
+  private def bpeCtes(m: Int, withFinal: Boolean): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""w0 AS (
+         |  SELECT w, count(*) AS freq,
+         |    '  ' || list_aggregate(regexp_split_to_array(w, ''), 'string_agg', '  ') || '  ' AS s
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents WHERE text IS NOT NULL) t
+         |  WHERE w <> '' GROUP BY w)""".stripMargin)
+    for (i <- 1 to m) {
+      sb.append(
+        s""",
+           |p$i AS (
+           |  SELECT pr[pi] AS l, pr[pi+1] AS r, sum(freq) AS n
+           |  FROM (SELECT freq, list_filter(string_split(s, '  '), x -> x <> '') AS pr
+           |        FROM w${i - 1}) t,
+           |       unnest(range(1, len(pr))) AS u(pi)
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1)""".stripMargin)
+      if (i < m || withFinal) sb.append(
+        s""",
+           |w$i AS (
+           |  SELECT w, freq, replace(s, ' ' || l || '  ' || r || ' ', ' ' || l || r || ' ') AS s
+           |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin)
+    }
+    sb.toString
+  }
 
   /** [[Bm25Queries]] as a SQL VALUES list (single copy of the fixture). */
   private def bm25ValuesSql: String =
@@ -946,6 +1013,26 @@ object TextQueries {
          |SELECT doc_id, len(words)::BIGINT AS n_words,
          |  CAST(list_sum(list_transform(words, x -> (len(x)+3)//4)) AS BIGINT) AS n_subword_tokens
          |FROM w""".stripMargin,
+
+    "text_bpe_train" ->
+      s"""WITH ${bpeCtes(BpeMerges, withFinal = false)}
+         |${(1 to BpeMerges).map(i =>
+             s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, n::BIGINT AS n FROM b$i")
+             .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    "text_bpe_segment" ->
+      s"""WITH ${bpeCtes(BpeMerges, withFinal = true)},
+         |vocab AS (
+         |  SELECT w, len(list_filter(string_split(s, '  '), x -> x <> ''))::BIGINT AS n_bpe
+         |  FROM w$BpeMerges),
+         |sw AS (
+         |  SELECT source, w, count(*) AS f
+         |  FROM (SELECT source, unnest($toksSql) AS w FROM documents WHERE text IS NOT NULL) t
+         |  WHERE w <> '' GROUP BY 1, 2)
+         |SELECT source, count(*) AS n_words, sum(f)::BIGINT AS n_tokens,
+         |  sum(f * n_bpe)::BIGINT AS n_bpe_tokens,
+         |  (sum(f * n_bpe)::DOUBLE / sum(f)::DOUBLE) AS avg_bpe_per_token
+         |FROM sw JOIN vocab USING (w) GROUP BY 1""".stripMargin,
 
     "text_token_stats" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
