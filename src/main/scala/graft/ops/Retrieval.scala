@@ -185,9 +185,10 @@ object Retrieval {
   }
 
   /** [[phraseTopK]] against the persisted index: the query's distinct
-    * bigrams broadcast-semi-join the bucketed table (no index-side
-    * exchange — same plan claim as [[bm25AgainstIndex]]), dead versions
-    * drop, and the distinct-hit count + rank run candidate-sized. */
+    * bigrams become a literal InSet on the bucket column (bucket-file
+    * pruning + no index-side exchange — same plan claims as
+    * [[bm25AgainstIndex]]), dead versions drop, and the distinct-hit
+    * count + rank run candidate-sized. */
   def phraseAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                          table: String, queries: DataFrame, qidCol: String,
                          qtextCol: String, k: Int): DataFrame = {
@@ -201,9 +202,12 @@ object Retrieval {
     val qb = broadcast(
       queries.select(col(qidCol), tokens(col(qtextCol)).as("__t"))
         .select(col(qidCol), explode(array_distinct(bigrams(col("__t")))).as("bigram")))
+    // Literal InSet on the bucket column → bucket-file pruning, same
+    // driver-bounded collect as [[bm25AgainstIndex]]'s probed terms.
+    val probedBigrams = qb.select("bigram").distinct().collect().map(_.getString(0))
     val idx = SI.dropDead(
       graft.io.Bucketing.readBucketed(spark, table)
-        .join(broadcast(qb.select("bigram")), Seq("bigram"), "left_semi"),
+        .where(col("bigram").isin(probedBigrams.toSeq: _*)),
       SI.tombstoneMax(spark, table, idCol), idCol)
     val hits = idx.join(qb, "bigram")
       .groupBy(qidCol, idCol).agg(count(lit(1)).as("phrase_hits"))
@@ -391,16 +395,19 @@ object Retrieval {
 
   /** BM25 top-k against a persisted [[writeBm25Index]] index — the read
     * path that never re-scans the corpus: the query's distinct terms
-    * broadcast-semi-join the term-bucketed posting table (only probed
-    * buckets contribute; the index side needs NO exchange — its bucket
-    * layout already satisfies both the df window's and the join's
-    * partitioning, and the tombstone exclusion is a broadcast join that
-    * preserves it), dead versions are dropped, df is recounted per
-    * probed term over its complete LIVE postings, corpus stats come from
-    * the ledger minus the tombstoned versions (exact integers), and
-    * scoring + top-k run over candidate-sized data. Scores are
-    * bit-identical to [[bm25TopK]] on the live corpus (spec- and
-    * oracle-asserted, including after [[updateBm25Index]]). */
+    * become a LITERAL InSet filter on the term-bucketed posting table,
+    * so the scan BUCKET-PRUNES to the probed terms' files
+    * (SelectedBucketsCount ≤ probed terms — at 100 TB the probe opens
+    * |probed buckets| of the inverted index, not all of it) and the
+    * index side needs NO exchange — its bucket layout already satisfies
+    * both the df window's and the join's partitioning, and the tombstone
+    * exclusion is a broadcast join that preserves it. Dead versions are
+    * dropped, df is recounted per probed term over its complete LIVE
+    * postings, corpus stats come from the ledger minus the tombstoned
+    * versions (exact integers), and scoring + top-k run over
+    * candidate-sized data. Scores are bit-identical to [[bm25TopK]] on
+    * the live corpus (spec- and oracle-asserted, including after
+    * [[updateBm25Index]]). */
   def bm25AgainstIndex(spark: org.apache.spark.sql.SparkSession,
                        table: String, queries: DataFrame, qidCol: String,
                        qtextCol: String, k: Int, k1: Double = 1.2,
@@ -408,7 +415,18 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1: $k")
     val SI = graft.io.SegmentedIndex
     val qt = queryTerms(queries, qidCol, qtextCol)
+    // The probed terms as a LITERAL predicate, not (only) a join: the
+    // query batch is a broadcast by contract, so its distinct terms are
+    // driver-bounded (same sanction as the IVF probed-cluster list), and
+    // a literal InSet on the bucket column lets the scan BUCKET-PRUNE —
+    // only the probed terms' bucket FILES are opened
+    // (SelectedBucketsCount, spec-asserted). A broadcast semi-join alone
+    // filters rows but still reads every bucket file, which at 100 TB is
+    // the difference between touching |probed buckets| and the whole
+    // inverted index.
+    val probedTerms = qt.select("term").distinct().collect().map(_.getString(0))
     val postings = graft.io.Bucketing.readBucketed(spark, table)
+      .where(col("term").isin(probedTerms.toSeq: _*))
     val idCol = SI.idColOf(spark, table) // ledger-recorded, never positional
     require(postings.columns.contains(idCol),
       s"index $table lacks its ledger-recorded id column '$idCol': " +
@@ -421,8 +439,7 @@ object Retrieval {
     val stats = led.crossJoin(tombAgg)
       .select((col("__ln") - col("__tn")).as("__nd"),
         (col("__lt") - col("__td")).as("__tt"))
-    val probed = SI.dropDead(
-      postings.join(broadcast(qt.select("term")), Seq("term"), "left_semi"),
+    val probed = SI.dropDead(postings,
       SI.tombstoneMax(spark, table, idCol), idCol)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
     val cand = probed

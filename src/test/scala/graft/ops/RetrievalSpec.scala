@@ -108,4 +108,28 @@ class RetrievalSpec extends SparkSpec {
     assert(!"Exchange hashpartitioning\\(term".r.findFirstIn(plan).isDefined,
       s"index probe must not exchange on term:\n$plan")
   }
+
+  test("against-index probe bucket-prunes the scan to the probed terms' files") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val table = s"bm25_prune_spec_${System.nanoTime()}"
+    Retrieval.writeBm25Index(corpus, "doc_id", "text", table, buckets = 32)
+    try {
+      val viaIndex = Retrieval.bm25AgainstIndex(spark, table,
+        Seq((0L, "merge join")).toDF("qid", "qtext"), "qid", "qtext", k = 5)
+      val plan = viaIndex.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined, s"expected a bucket-pruned scan in:\n$plan")
+      // Two probed terms can touch at most two of the 32 buckets.
+      assert(m.get.group(1).toInt <= 2 && m.get.group(2).toInt == 32,
+        s"expected <= 2 of 32 buckets, got ${m.get.matched}")
+      // ...and the pruned probe still scores identically to recompute.
+      val recompute = Retrieval.bm25TopK(corpus,
+        Seq((0L, "merge join")).toDF("qid", "qtext"),
+        "doc_id", "text", "qid", "qtext", k = 5)
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(key(viaIndex) == key(recompute))
+    } finally Seq(table, table + "_docs", table + "_segments", table + "_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
