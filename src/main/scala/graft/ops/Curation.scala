@@ -373,6 +373,55 @@ object Curation {
     docs.select(col(idCol), assign.as("split"))
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling — the
+    * weighted subsampling primitive ("sample `n` documents with
+    * inclusion probability ∝ weight", e.g. token count, so the draw is
+    * token-budget-faithful): documents line up in the seeded-hash
+    * shuffle order, and `n` evenly-spaced pointers (stride `W/n`, seeded
+    * start offset) sweep the cumulative-weight axis once. A document is
+    * drawn once per pointer landing in its weight interval — `n_copies`
+    * can exceed 1 for items heavier than the stride (the honest PPS
+    * semantic; Σ n_copies = n exactly).
+    *
+    * Fully deterministic and engine-portable: weights are exact LONGs,
+    * the cumulative axis comes from the two-phase
+    * [[parallelRunningSum]] (hash-sliced — no single-task window, no
+    * skew sensitivity), and the pointer arithmetic is a fixed IEEE
+    * expression tree on exact inputs (stride `W/n` is one division, the
+    * start fraction is the seed hash over 2^60), mirrored verbatim in
+    * the oracle — so the drawn multiset hash-matches cross-engine
+    * (`text_pps_sample`). Per-row cost past the prefix sum is two
+    * `ceil`s and a broadcast of the (W, start) scalar row.
+    *
+    * Output: (idCol, weight, n_copies ≥ 1). */
+  def ppsSample(docs: DataFrame, idCol: String, weightCol: String,
+                n: Long, seed: String = "pps"): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1: $n")
+    val keyed = docs
+      .select(col(idCol), col(weightCol).cast("long").as("__w"),
+        shuffleKey(idCol, seed).as("__key"))
+      .where(col("__w") > 0)
+    val cum = parallelRunningSum(keyed, Seq.empty, Seq("__key", idCol),
+      "__w", "__cum",
+      sliceOf = Some { s =>
+        val width = ((1L << 60) + s - 1) / s
+        expr(s"__key div ${width}L")
+      })
+    // One broadcast scalar row: total weight + the seeded start fraction
+    // (hash over 2^60 — division by a power of two, exact).
+    val params = keyed.agg(sum("__w").as("__tot"))
+      .select(col("__tot"), (hash60(lit("start:" + seed)).cast("double") /
+        lit((1L << 60).toDouble)).as("__f"))
+    val step = col("__tot").cast("double") / lit(n).cast("double")
+    val r = col("__f") * step
+    val copies = (ceil((col("__cum").cast("double") - r) / step) -
+      ceil(((col("__cum") - col("__w")).cast("double") - r) / step)).cast("long")
+    cum.crossJoin(broadcast(params))
+      .withColumn("n_copies", copies)
+      .where(col("n_copies") >= 1)
+      .select(col(idCol), col("__w").as("weight"), col("n_copies"))
+  }
+
   /** DSIR-style importance scores (Xie et al. 2023, arXiv:2302.03169):
     * rank raw documents by how target-like their hashed n-gram profile
     * is. Features are unigrams + bigrams hashed into `buckets` slots;

@@ -121,6 +121,14 @@ object TextQueries {
             sum("f").cast("double")).as("avg_bpe_per_token"))
     }),
 
+    // Weighted corpus subsampling: 500 systematic PPS draws with
+    // inclusion probability ∝ n_chars (the token-budget-faithful
+    // subsample). Deterministic pointer sweep over the hash-shuffled
+    // cumulative-weight axis; the drawn multiset hash-matches the
+    // oracle's identical IEEE pointer arithmetic.
+    "text_pps_sample" -> ((s, dir) =>
+      graft.ops.Curation.ppsSample(docs(s, dir), "doc_id", "n_chars", n = 500)),
+
     // PII-pattern screening counts (emails / URLs / phone-shaped runs).
     "text_pii_scan" -> ((s, dir) =>
       TextAnalysis.piiScan(docs(s, dir), "doc_id", "text")),
@@ -1013,6 +1021,27 @@ object TextQueries {
          |SELECT doc_id, len(words)::BIGINT AS n_words,
          |  CAST(list_sum(list_transform(words, x -> (len(x)+3)//4)) AS BIGINT) AS n_subword_tokens
          |FROM w""".stripMargin,
+
+    "text_pps_sample" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, n_chars AS w, ${h60("'pps:' || doc_id::VARCHAR")} AS key
+         |  FROM documents WHERE n_chars > 0),
+         |c AS (
+         |  SELECT doc_id, w,
+         |    sum(w) OVER (ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM k),
+         |p AS (
+         |  SELECT sum(w)::BIGINT AS tot,
+         |    (${h60("'start:pps'")})::DOUBLE / 1152921504606846976.0 AS f
+         |  FROM k)
+         |SELECT * FROM (
+         |  SELECT doc_id, w AS weight,
+         |    (ceil((cum::DOUBLE - f * (tot::DOUBLE / CAST(500 AS DOUBLE)))
+         |          / (tot::DOUBLE / CAST(500 AS DOUBLE)))
+         |     - ceil(((cum - w)::DOUBLE - f * (tot::DOUBLE / CAST(500 AS DOUBLE)))
+         |          / (tot::DOUBLE / CAST(500 AS DOUBLE))))::BIGINT AS n_copies
+         |  FROM c, p) t
+         |WHERE n_copies >= 1""".stripMargin,
 
     "text_bpe_train" ->
       s"""WITH ${bpeCtes(BpeMerges, withFinal = false)}
