@@ -32,6 +32,33 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: each anchor's top-k
+    * most-similar corpus vectors with a DIFFERENT label — the
+    * near-boundary negatives a contrastive loss learns most from (the
+    * in-batch-random alternative wastes gradient on easy negatives).
+    * Output: (qidCol, idCol, cos, rank ≤ k).
+    *
+    * This is the brute variant (anchors broadcast against one corpus
+    * pass — oracle-exact, `sim_hard_negatives`); at corpus×corpus scale
+    * swap the candidate source for the bucketed paths ([[annKnn]] /
+    * [[ivfPqKnn]] candidates, then the same different-label filter +
+    * top-k — identical output shape). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, qidCol: String,
+                    k: Int): DataFrame = {
+    val q = broadcast(anchors.select(col(qidCol), col(vecCol).as("__qvec"),
+      col(labelCol).as("__qlab")))
+    val scored = corpus
+      .select(col(idCol), col(vecCol).as("__cvec"), col(labelCol))
+      .crossJoin(q)
+      .where(col(labelCol) =!= col("__qlab"))
+      .select(col(qidCol), col(idCol),
+        cosine(col("__qvec"), col("__cvec")).as("cos"))
+    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Corpus bucketed by sign-LSH of the first `bits` dimensions. */
   def bucketed(corpus: DataFrame, vecCol: String, bits: Int): DataFrame =
     corpus.withColumn("bucket", signBucket(col(vecCol), bits))

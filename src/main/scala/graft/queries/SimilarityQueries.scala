@@ -32,6 +32,16 @@ object SimilarityQueries {
       Similarity.bruteForceKnn(emb(s, dir), queriesDf(s, dir),
         "vec_id", "embedding", "qid", k = 5)),
 
+    // Hard-negative mining: every 100th vector's top-5 most-similar
+    // corpus vectors with a DIFFERENT label — contrastive-training
+    // negative selection (the brute oracle-exact variant; scale path =
+    // the bucketed kNN candidates + the same label filter).
+    "sim_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(emb(s, dir),
+        emb(s, dir).where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding"), col("label")),
+        "vec_id", "embedding", "label", "qid", k = 5)),
+
     // Scale path: sign-LSH bucket assignment per vector.
     "sim_lsh_bucket" -> ((s, dir) =>
       Similarity.bucketed(emb(s, dir), "embedding", bits = 6)
@@ -568,6 +578,18 @@ object SimilarityQueries {
          |scored AS (
          |  SELECT q.qid, e.vec_id, ${cosSql("qv", "embedding")} AS cos
          |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "sim_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv, label AS qlab
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("qv", "embedding")} AS cos
+         |  FROM embeddings e, q WHERE e.label <> q.qlab),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)

@@ -79,4 +79,41 @@ object RetrievalStream {
                         textCol: String, table: String, buckets: Int): Unit =
     if (!spark.catalog.tableExists(table))
       Retrieval.writeBm25Index(batch.limit(0), idCol, textCol, table, buckets)
+
+  /** The phrase (adjacent-bigram) index's streaming twin — same
+    * contracts as the BM25 methods above; pair both on one input stream
+    * for a fully-maintained lexical frontend (BM25 ⊕ phrase by RRF). */
+  def startPhrase(spark: SparkSession, inputDir: String, indexTable: String,
+                  idCol: String, textCol: String, checkpoint: String,
+                  buckets: Int = 64,
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  maxFilesPerTrigger: Int = 100): StreamingQuery =
+    IngestStream.start(spark, inputDir, s"phrase-ingest-$indexTable",
+      checkpoint, trigger, maxFilesPerTrigger) { (batch, batchId) =>
+      phraseBatch(batch, batchId, indexTable, idCol, textCol, buckets)
+    }
+
+  /** One phrase append batch — batch-mode entry point. */
+  def phraseBatch(batch: DataFrame, batchId: Long, indexTable: String,
+                  idCol: String, textCol: String, buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    if (!spark.catalog.tableExists(indexTable))
+      Retrieval.writePhraseIndex(batch.limit(0), idCol, textCol,
+        indexTable, buckets)
+    Retrieval.appendToPhraseIndex(spark, batch, idCol, textCol, indexTable,
+      buckets, batchId = s"b$batchId")
+  }
+
+  /** One phrase CDC batch — upserts re-derive bigrams, deletes
+    * tombstone ([[graft.ops.Retrieval.updatePhraseIndex]]). */
+  def phraseCdcBatch(batch: DataFrame, batchId: Long, indexTable: String,
+                     idCol: String, textCol: String, opCol: String,
+                     buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    if (!spark.catalog.tableExists(indexTable))
+      Retrieval.writePhraseIndex(batch.limit(0), idCol, textCol,
+        indexTable, buckets)
+    Retrieval.updatePhraseIndex(spark, batch, idCol, textCol, opCol,
+      indexTable, buckets, batchId = s"b$batchId")
+  }
 }

@@ -56,6 +56,29 @@ class RetrievalStreamSpec extends SparkSpec {
     dropIndex(t)
   }
 
+  test("phrase deliveries: append + CDC ≡ recompute over the merged corpus; replay no-ops") {
+    val t = s"phrase_stream_${System.nanoTime()}"
+    val b1 = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "alpha beta delta", "I"), (2L, "gamma delta epsilon", "U"))
+      .toDF("doc_id", "text", "op")
+    RetrievalStream.phraseBatch(b1, 0L, t, "doc_id", "text", buckets = 2)
+    RetrievalStream.phraseCdcBatch(b2, 1L, t, "doc_id", "text", "op", buckets = 2)
+    val pq = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("qid", "qtext")
+    val merged = Seq((1L, "alpha beta gamma"), (2L, "gamma delta epsilon"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    def pkey(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = pkey(Retrieval.phraseTopK(merged, pq, "doc_id", "text",
+      "qid", "qtext", k = 10))
+    def probeP() = pkey(Retrieval.phraseAgainstIndex(spark, t, pq,
+      "qid", "qtext", k = 10))
+    assert(probeP() == want && want.nonEmpty)
+    RetrievalStream.phraseCdcBatch(b2, 1L, t, "doc_id", "text", "op", buckets = 2)
+    assert(probeP() == want)
+    Seq(t, t + "_segments", t + "_tombstones")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("file stream end-to-end: checkpoint restart resumes the fold") {
     val t = s"bm25_fs_${System.nanoTime()}"
     val in = Files.createTempDirectory("bm25in").toString + "/t"
