@@ -373,6 +373,33 @@ object Curation {
     docs.select(col(idCol), assign.as("split"))
   }
 
+  /** Epoch plan — the data-mixing arithmetic for budgets that EXCEED a
+    * source's corpus ("3.2 epochs of wiki"): each source's token budget
+    * decomposes exactly as `budget = full_epochs · n_tokens +
+    * remainder_tokens` (0 ≤ remainder < n_tokens). Full passes
+    * replicate the source whole; the remainder is drawn weighted
+    * ([[ppsSample]] with the remainder as its budget, or
+    * [[domainMixBudgets]]). One corpus pass (the per-source token agg —
+    * map-side combined, taxonomy-sized result) + a broadcast of the
+    * budget table; all arithmetic exact LONGs, so the plan is
+    * hash-oracled (`text_epoch_plan`). Sources with zero tokens are
+    * excluded (no epoch of nothing).
+    *
+    * Output: (source, n_tokens, budget, full_epochs, remainder_tokens). */
+  def epochPlan(docs: DataFrame, textCol: String, sourceCol: String,
+                budgets: Map[String, Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bdf = broadcast(budgets.toSeq.sortBy(_._1).toDF(sourceCol, "budget"))
+    docs.groupBy(col(sourceCol))
+      .agg(sum(size(tokens(col(textCol)))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .join(bdf, sourceCol)
+      .select(col(sourceCol), col("n_tokens"), col("budget"),
+        expr("budget div n_tokens").as("full_epochs"),
+        (col("budget") % col("n_tokens")).as("remainder_tokens"))
+  }
+
   /** Systematic probability-proportional-to-size (PPS) sampling — the
     * weighted subsampling primitive ("sample `n` documents with
     * inclusion probability ∝ weight", e.g. token count, so the draw is

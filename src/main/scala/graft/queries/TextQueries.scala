@@ -121,6 +121,12 @@ object TextQueries {
             sum("f").cast("double")).as("avg_bpe_per_token"))
     }),
 
+    // Epoch plan: per-source full-pass + remainder decomposition of the
+    // mixing budgets — the "3.2 epochs of wiki" arithmetic, exact LONGs.
+    "text_epoch_plan" -> ((s, dir) =>
+      graft.ops.Curation.epochPlan(docs(s, dir), "text", "source",
+        EpochBudgets.toMap)),
+
     // Weighted corpus subsampling: 500 systematic PPS draws with
     // inclusion probability ∝ n_chars (the token-budget-faithful
     // subsample). Deterministic pointer sweep over the hash-shuffled
@@ -441,6 +447,32 @@ object TextQueries {
       graft.ops.Similarity.rrfFuse(lex, phr, "qid", "doc_id", k = 5)
     }),
 
+    // The maintained lexical frontend end-to-end: BM25 + phrase indexes
+    // built via two RetrievalStream deliveries each (even then odd doc
+    // ids), probed and fused exactly like text_phrase_retrieval — the
+    // ingest path must be indistinguishable from recompute over the
+    // union, so the TWO queries share one oracle.
+    "text_retrieval_after_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val d = docs(s, dir)
+      val bt = "bm25_ingest_q"
+      val pt = "phrase_ingest_q"
+      Seq(bt, bt + "_docs", bt + "_segments", bt + "_tombstones",
+        pt, pt + "_segments", pt + "_tombstones")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      val even = d.where(col("doc_id") % 2 === 0)
+      val odd = d.where(col("doc_id") % 2 === 1)
+      graft.streaming.RetrievalStream.ingestBatch(even, 0L, bt, "doc_id", "text", buckets = 8)
+      graft.streaming.RetrievalStream.ingestBatch(odd, 1L, bt, "doc_id", "text", buckets = 8)
+      graft.streaming.RetrievalStream.phraseBatch(even, 0L, pt, "doc_id", "text", buckets = 8)
+      graft.streaming.RetrievalStream.phraseBatch(odd, 1L, pt, "doc_id", "text", buckets = 8)
+      val q = Bm25Queries.toDF("qid", "qtext")
+      val lex = graft.ops.Retrieval.bm25AgainstIndex(s, bt, q, "qid", "qtext", k = 10)
+      val phr = graft.ops.Retrieval.phraseAgainstIndex(s, pt, q, "qid", "qtext", k = 10)
+      graft.ops.Similarity.rrfFuse(lex, phr, "qid", "doc_id", k = 5)
+    }),
+
     // Per-source composition drift: L1 distance between each source's
     // hashed-term distribution and the corpus-wide one — flags a
     // mis-crawled or contaminated source before it skews a mixture.
@@ -552,6 +584,14 @@ object TextQueries {
   /** Merge rounds for the BPE queries — shared by the Spark side and the
     * generated oracle CTE chain so they always train the same table. */
   private val BpeMerges = 8
+
+  /** text_epoch_plan budgets — ONE copy, Spark map + oracle VALUES;
+    * spans under-budget (epochs = 0), near-1, and multi-epoch sources. */
+  private val EpochBudgets: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", 40000L + 35000L * i))
+
+  private def epochBudgetsSql: String =
+    EpochBudgets.map { case (s0, b) => s"('$s0', ${b}::BIGINT)" }.mkString(", ")
 
   /** The BPE training fold as chained CTEs — the oracle mirror of
     * [[graft.ops.Bpe.trainMerges]]: w0 is the word-frequency table with
@@ -764,6 +804,43 @@ object TextQueries {
        |FROM probe LEFT JOIN cells USING (i, col)
        |GROUP BY 1""".stripMargin
   }
+
+  /** One copy of the BM25 ⊕ phrase RRF oracle — shared by the
+    * recompute query (text_phrase_retrieval) and the maintained-index
+    * composition (text_retrieval_after_ingest), whose probe is
+    * bit-identical to recompute by design. */
+  private lazy val phraseRetrievalOracle: String =
+    s"""WITH ${bm25Ctes(s"q(qid, qtext) AS (VALUES $bm25ValuesSql)")},
+         |lex AS (SELECT qid, doc_id, rank FROM r WHERE rank <= 10),
+         |dtk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |dbi AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(t)),
+         |      i -> t[i::INT] || ' ' || t[(i+1)::INT])) AS bigram
+         |  FROM dtk),
+         |qtk AS (SELECT qid::BIGINT AS qid,
+         |          regexp_split_to_array(trim(qtext), '\\s+') AS t FROM q),
+         |qbi AS (
+         |  SELECT qid, unnest(list_distinct(list_transform(range(1, len(t)),
+         |    i -> t[i::INT] || ' ' || t[(i+1)::INT]))) AS bigram
+         |  FROM qtk),
+         |ph AS (
+         |  SELECT qid, doc_id, count(*)::BIGINT AS hits
+         |  FROM dbi JOIN qbi USING (bigram) GROUP BY 1, 2),
+         |phr AS (
+         |  SELECT qid, doc_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY hits DESC, doc_id) AS rank
+         |  FROM ph QUALIFY rank <= 10),
+         |fused AS (
+         |  SELECT coalesce(lex.qid, phr.qid) AS qid,
+         |         coalesce(lex.doc_id, phr.doc_id) AS doc_id,
+         |         coalesce(1.0::DOUBLE / (60 + lex.rank), 0.0::DOUBLE)
+         |           + coalesce(1.0::DOUBLE / (60 + phr.rank), 0.0::DOUBLE) AS rrf_score
+         |  FROM lex FULL OUTER JOIN phr
+         |    ON lex.qid = phr.qid AND lex.doc_id = phr.doc_id)
+         |SELECT qid, doc_id, rrf_score,
+         |       row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank
+         |FROM fused QUALIFY rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_hll_distinct" -> hllSql,
@@ -1022,6 +1099,16 @@ object TextQueries {
          |  CAST(list_sum(list_transform(words, x -> (len(x)+3)//4)) AS BIGINT) AS n_subword_tokens
          |FROM w""".stripMargin,
 
+    "text_epoch_plan" ->
+      s"""WITH b(source, budget) AS (VALUES $epochBudgetsSql),
+         |t AS (
+         |  SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1)
+         |SELECT t.source, n_tokens, budget,
+         |  (budget // n_tokens)::BIGINT AS full_epochs,
+         |  (budget % n_tokens)::BIGINT AS remainder_tokens
+         |FROM t JOIN b USING (source) WHERE n_tokens > 0""".stripMargin,
+
     "text_pps_sample" ->
       s"""WITH k AS (
          |  SELECT doc_id, n_chars AS w, ${h60("'pps:' || doc_id::VARCHAR")} AS key
@@ -1253,38 +1340,11 @@ object TextQueries {
 
     // Phrase-retrieval mirror: the shared BM25 chain + distinct
     // adjacent-bigram hit counts, fused with the same RRF formula.
-    "text_phrase_retrieval" ->
-      s"""WITH ${bm25Ctes(s"q(qid, qtext) AS (VALUES $bm25ValuesSql)")},
-         |lex AS (SELECT qid, doc_id, rank FROM r WHERE rank <= 10),
-         |dtk AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |dbi AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_transform(range(1, len(t)),
-         |      i -> t[i::INT] || ' ' || t[(i+1)::INT])) AS bigram
-         |  FROM dtk),
-         |qtk AS (SELECT qid::BIGINT AS qid,
-         |          regexp_split_to_array(trim(qtext), '\\s+') AS t FROM q),
-         |qbi AS (
-         |  SELECT qid, unnest(list_distinct(list_transform(range(1, len(t)),
-         |    i -> t[i::INT] || ' ' || t[(i+1)::INT]))) AS bigram
-         |  FROM qtk),
-         |ph AS (
-         |  SELECT qid, doc_id, count(*)::BIGINT AS hits
-         |  FROM dbi JOIN qbi USING (bigram) GROUP BY 1, 2),
-         |phr AS (
-         |  SELECT qid, doc_id,
-         |         row_number() OVER (PARTITION BY qid ORDER BY hits DESC, doc_id) AS rank
-         |  FROM ph QUALIFY rank <= 10),
-         |fused AS (
-         |  SELECT coalesce(lex.qid, phr.qid) AS qid,
-         |         coalesce(lex.doc_id, phr.doc_id) AS doc_id,
-         |         coalesce(1.0::DOUBLE / (60 + lex.rank), 0.0::DOUBLE)
-         |           + coalesce(1.0::DOUBLE / (60 + phr.rank), 0.0::DOUBLE) AS rrf_score
-         |  FROM lex FULL OUTER JOIN phr
-         |    ON lex.qid = phr.qid AND lex.doc_id = phr.doc_id)
-         |SELECT qid, doc_id, rrf_score,
-         |       row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank
-         |FROM fused QUALIFY rank <= 5""".stripMargin,
+    "text_phrase_retrieval" -> phraseRetrievalOracle,
+
+    // The maintained-frontend probe is spec- and design-identical to
+    // recompute over the union, so it shares the recompute oracle.
+    "text_retrieval_after_ingest" -> phraseRetrievalOracle,
 
     // Drift mirror: same hashed-bucket distributions, the per-group L1
     // folded in bucket order over the corpus' bucket grid (absent
