@@ -249,6 +249,73 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
   private def changeFeedPath(schema: String, table: String): String =
     s"${lakeRoot.stripSuffix("/")}/_changes/$schema/$table"
 
+  /** Default search-index table name for a lake table. */
+  def searchIndexName(schema: String, table: String): String =
+    s"${schema}_${table}_bm25"
+
+  /** Keep a BM25 search index in lockstep with a lake table, driven by
+    * its change-data-feed — the composition of the engine's two halves:
+    * the CDC lake is the system of record, the feed
+    * ([[streamWithChangeFeed]]) is its op log, and this folds every
+    * not-yet-applied feed batch into the persisted inverted index via
+    * [[graft.ops.Retrieval.updateBm25Index]] (upserts re-index, deletes
+    * tombstone, exactly-once per feed batch via the segment ledger — a
+    * crash or re-run simply resumes at the first unapplied batch).
+    *
+    * Bootstrap writes an EMPTY index, so the entire corpus enters
+    * through gated feed batches — no mark-already-applied bookkeeping,
+    * and the first call is as crash-safe as every later one. Contract:
+    * the feed must cover the table's history (stream with
+    * [[streamWithChangeFeed]] from the initial load), and
+    * [[vacuumChangeFeed]] must only expire batches this index has
+    * already applied.
+    *
+    * Within a feed batch, each key's ops collapse latest-wins (max
+    * `change_seq` per key — the same merged-change shape
+    * `Merge.applySequenced` emits). After a sync, probing the index
+    * ([[graft.ops.Retrieval.bm25AgainstIndex]]) scores exactly like a
+    * fresh index over the lake table's current state (spec-asserted).
+    *
+    * @return ids of the feed batches applied by this call. */
+  def syncSearchIndex(schema: String, table: String, textCol: String,
+                      indexTable: String = "", buckets: Int = 64): Seq[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cfg = store.get(tableDir(schema, table)).map(_.config).getOrElse(TableConfig())
+    require(cfg.primaryKeys.size == 1,
+      s"$schema/$table: search index needs exactly one primary-key column, " +
+        s"got ${cfg.primaryKeys}")
+    val idCol = cfg.primaryKeys.head
+    val idx = if (indexTable.nonEmpty) indexTable else searchIndexName(schema, table)
+    val feed = readChangeFeed(schema, table)
+    require(feed.columns.contains(s"${textCol}_new"),
+      s"$schema/$table feed does not track '$textCol' " +
+        s"(columns: ${feed.columns.mkString(", ")})")
+    if (!spark.catalog.tableExists(idx))
+      ops.Retrieval.writeBm25Index(
+        feed.limit(0).select(col(idCol), col(s"${textCol}_new").as(textCol)),
+        idCol, textCol, idx, buckets)
+    // Feed batches are a bounded driver list (the reference's own
+    // collect-then-reuse file-list structure, SURVEY §3.3).
+    val batches = feed.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    batches.filter { bid =>
+      val batchId = s"cf$bid"
+      if (io.SegmentedIndex.hasBatch(spark, idx, batchId)) false
+      else {
+        val w = Window.partitionBy(idCol).orderBy(col("change_seq").desc)
+        val merged = feed.where(col("batch_id") === bid)
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .select(col(idCol), col(s"${textCol}_new").as(textCol),
+            col(cdc.Op.column).as("__op"))
+        ops.Retrieval.updateBm25Index(spark, merged, idCol, textCol, "__op",
+          idx, buckets, batchId)
+        true
+      }
+    }.toSeq
+  }
+
   /** Change-feed log retention (the log-level VACUUM): delete every
     * `batch_id=<n>` partition of the feed with `n < keepFromBatchId`.
     * Consumers that have checkpointed past the cutoff are unaffected —

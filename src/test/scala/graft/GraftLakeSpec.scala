@@ -275,4 +275,42 @@ class GraftLakeSpec extends SparkSpec {
       assert(lake.read("db", "bad").head().getAs[String]("v") == "fixed")
     } finally mgr.stopAll()
   }
+
+  test("façade: syncSearchIndex folds the change feed into a BM25 index ≡ fresh index over lake state") {
+    import graft.ops.Retrieval
+    val raw = Files.createTempDirectory("rawS").toString
+    val out = Files.createTempDirectory("lakeS").toString
+    val st = Files.createTempDirectory("stateS").toString
+    val ckpt = Files.createTempDirectory("ckptS").toString
+    writeFile((1 to 4).map(i => ("I", i, s"alpha beta doc$i")).toDF("Op", "id", "v"),
+      s"$raw/db/s", "20260812-01.parquet")
+    writeFile(Seq(("U", 2, "gamma gamma delta"), ("D", 4, "alpha beta doc4"))
+      .toDF("Op", "id", "v"), s"$raw/db/s", "20260812-02.parquet")
+
+    val lake = GraftLake(spark, raw, out, st)
+    lake.tables()
+    lake.activate("db", "s", primaryKeys = Seq("id"))
+    lake.streamWithChangeFeed("db", "s", ckpt, maxFilesPerTrigger = 1)
+      .awaitTermination()
+
+    val idx = lake.searchIndexName("db", "s")
+    try {
+      val applied = lake.syncSearchIndex("db", "s", "v", buckets = 2)
+      assert(applied.nonEmpty)
+      // re-sync: everything already applied (ledger-gated)
+      assert(lake.syncSearchIndex("db", "s", "v", buckets = 2).isEmpty)
+
+      val q = Seq((0L, "alpha gamma"), (1L, "beta delta")).toDF("qid", "qtext")
+      def key(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.get(1).toString, r.getDouble(2), r.getLong(3))).toSet
+      val probe = Retrieval.bm25AgainstIndex(spark, idx, q, "qid", "qtext", k = 10)
+      val fresh = Retrieval.bm25TopK(lake.read("db", "s").select(col("id"), col("v")),
+        q, "id", "v", "qid", "qtext", k = 10)
+      assert(key(probe) == key(fresh) && key(probe).nonEmpty)
+      // the deleted doc is gone, the updated doc scores on its NEW text
+      val ids = probe.select(col("id")).distinct().collect().map(_.get(0).toString).toSet
+      assert(!ids.contains("4"))
+    } finally Seq(idx, idx + "_docs", idx + "_segments", idx + "_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
