@@ -113,4 +113,33 @@ object Bpe {
     wordTable(docs, textCol)
       .select(col("w"), col("freq"), size(syms(sFinal)).cast("long").as("n_bpe"))
   }
+
+  /** ENCODE the corpus with a learned merge list: one ordered
+    * (idCol, pos, piece) row per BPE token — the production tokenize
+    * step. The segmentation runs ONCE on the vocabulary (pieces arrays,
+    * same chained rewrite as [[segmentVocab]]); documents then join
+    * their words to it (vocabulary-sized equi-join — broadcast when the
+    * vocab fits, shuffle on the word key otherwise) and the (word
+    * index, piece index) pair flattens to the global position. Piece
+    * STRINGS are emitted rather than ids — an id table is one dense-rank
+    * over the distinct pieces if needed, and strings keep the output
+    * self-describing. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    val sFinal = merges.sortBy(_.rank).foldLeft(col("s")) { (c, m) =>
+      applyMerge(c, m.lhs, m.rhs)
+    }
+    val vocab = wordTable(docs, textCol)
+      .select(col("w"), syms(sFinal).as("__pieces"))
+    val words = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__widx", "w")))
+      .where(col("w") =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__widx", "__sidx")
+    words.join(vocab, "w")
+      .select(col(idCol), col("__widx"),
+        posexplode(col("__pieces")).as(Seq("__sidx", "piece")))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("pos"), col("piece"))
+  }
 }

@@ -202,6 +202,35 @@ object EventQueries {
         col("n").cast("double") / sum(col("n")).over(byFrom).cast("double"))
     }),
 
+    // Top user journeys: each session's first-5 event-type path, ranked
+    // by frequency — the path-mining readout over the same gap
+    // sessionization. Per-session state is ≤ 5 ordered types (bounded
+    // fold); the path table is session-sized and the global top-20 plans
+    // as TakeOrderedAndProject.
+    "events_top_paths" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gapUs = 1800L * 1000000L
+      val rows = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("brk")).over(
+          w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("rn", row_number().over(
+          W.partitionBy("user_id", "session_seq").orderBy("ts_us", "event_id")))
+        .where(col("rn") <= 5)
+      rows.groupBy("user_id", "session_seq")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    }),
+
     // Ordered funnel view → click → purchase: earliest completion time
     // per step, each step strictly after its predecessor (see
     // [[graft.ops.Funnel]] — min-aggregates per step, co-partitioned
@@ -316,6 +345,30 @@ object EventQueries {
          |FROM pts p JOIN sess
          |  ON p.user_id = sess.user_id
          | AND p.ts_us BETWEEN sess.start_us AND sess.end_us""".stripMargin,
+
+    "events_top_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |         sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+        |                               ORDER BY ts_us, event_id) AS rn
+        |  FROM s),
+        |paths AS (
+        |  SELECT user_id, session_seq,
+        |         string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions
+        |FROM paths GROUP BY 1
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 20""".stripMargin,
 
     "events_pivot_type" ->
       """SELECT user_id,

@@ -227,6 +227,29 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // TPC-H Q18 shape (large-volume customers): the having-subquery
+    // pattern as a self-semi-join — lineitem aggregates once to find
+    // big orders (map-side partial agg), re-joins itself on the order
+    // key, then orders + customer attach. Exact DECIMAL threshold and
+    // quantity fold; global top-100 by totalprice with the unique order
+    // key as tie-break (TakeOrderedAndProject).
+    "rel_tpch_q18" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"), 2)).as("__sq"))
+        .where(col("__sq") > 250)
+        .select("l_orderkey")
+      li.join(big, "l_orderkey")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(sum(dec(col("l_quantity"), 2)).cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     "rel_star_join" -> ((s, dir) => {
       val r = Tables(s, dir, "region")
       val n = Tables(s, dir, "nation")
@@ -584,6 +607,21 @@ object RelationalQueries {
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "rel_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem
+        |JOIN big USING (l_orderkey)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "rel_star_join" ->
       """SELECT r_name, n_name, count(*) AS n_orders,

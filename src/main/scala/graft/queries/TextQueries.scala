@@ -135,6 +135,16 @@ object TextQueries {
     "text_pps_sample" -> ((s, dir) =>
       graft.ops.Curation.ppsSample(docs(s, dir), "doc_id", "n_chars", n = 500)),
 
+    // The production tokenize step: encode every document with the
+    // learned merges, keep the first 32 ordered (pos, piece) rows per
+    // doc — order-preserving BPE segmentation, hash-oracled.
+    "text_bpe_encode" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = docs(s, dir)
+      Bpe.encode(d, "doc_id", "text", Bpe.trainMerges(d, "text", BpeMerges))
+        .where(col("pos") <= 32)
+    }),
+
     // PII-pattern screening counts (emails / URLs / phone-shaped runs).
     "text_pii_scan" -> ((s, dir) =>
       TextAnalysis.piiScan(docs(s, dir), "doc_id", "text")),
@@ -461,11 +471,16 @@ object TextQueries {
       Seq(bt, bt + "_docs", bt + "_segments", bt + "_tombstones",
         pt, pt + "_segments", pt + "_tombstones")
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      // Base build from the even half + ONE ingest delivery of the odd
+      // half per index (the empty-bootstrap two-delivery variant is
+      // spec-covered in RetrievalStreamSpec; trimmed here to keep the
+      // per-round bench write count bounded, as with
+      // sim_graph_after_ingest).
       val even = d.where(col("doc_id") % 2 === 0)
       val odd = d.where(col("doc_id") % 2 === 1)
-      graft.streaming.RetrievalStream.ingestBatch(even, 0L, bt, "doc_id", "text", buckets = 8)
+      graft.ops.Retrieval.writeBm25Index(even, "doc_id", "text", bt, buckets = 8)
       graft.streaming.RetrievalStream.ingestBatch(odd, 1L, bt, "doc_id", "text", buckets = 8)
-      graft.streaming.RetrievalStream.phraseBatch(even, 0L, pt, "doc_id", "text", buckets = 8)
+      graft.ops.Retrieval.writePhraseIndex(even, "doc_id", "text", pt, buckets = 8)
       graft.streaming.RetrievalStream.phraseBatch(odd, 1L, pt, "doc_id", "text", buckets = 8)
       val q = Bm25Queries.toDF("qid", "qtext")
       val lex = graft.ops.Retrieval.bm25AgainstIndex(s, bt, q, "qid", "qtext", k = 10)
@@ -1098,6 +1113,26 @@ object TextQueries {
          |SELECT doc_id, len(words)::BIGINT AS n_words,
          |  CAST(list_sum(list_transform(words, x -> (len(x)+3)//4)) AS BIGINT) AS n_subword_tokens
          |FROM w""".stripMargin,
+
+    "text_bpe_encode" ->
+      s"""WITH ${bpeCtes(BpeMerges, withFinal = true)},
+         |vocabp AS (
+         |  SELECT w, list_filter(string_split(s, '  '), x -> x <> '') AS pieces
+         |  FROM w$BpeMerges),
+         |dtk AS (SELECT doc_id, $toksSql AS t FROM documents WHERE text IS NOT NULL),
+         |dw AS (
+         |  SELECT doc_id, i AS widx, t[i] AS w
+         |  FROM dtk, unnest(range(1, len(t)+1)) AS u(i)
+         |  WHERE t[i] <> ''),
+         |dp AS (
+         |  SELECT doc_id, widx, j AS sidx, pieces[j] AS piece
+         |  FROM dw JOIN vocabp USING (w), unnest(range(1, len(pieces)+1)) AS v(j)),
+         |enc AS (
+         |  SELECT doc_id, piece,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) AS pos
+         |  FROM dp)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, piece
+         |FROM enc WHERE pos <= 32""".stripMargin,
 
     "text_epoch_plan" ->
       s"""WITH b(source, budget) AS (VALUES $epochBudgetsSql),

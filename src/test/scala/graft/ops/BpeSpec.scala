@@ -78,6 +78,16 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encode emits the textbook segmentation in document order") {
+    val merges = Bpe.trainMerges(fixture, "text", 6)
+    val doc = Seq((7L, "newest lower widest")).toDF("doc_id", "text")
+    val got = Bpe.encode(doc, "doc_id", "text", merges)
+      .orderBy("pos").collect().map(r => (r.getLong(1), r.getString(2)))
+    // newest→[n,ewest], lower→[low,e,r], widest→[w,i,d,est], in order
+    assert(got.toSeq == Seq(1L -> "n", 2L -> "ewest", 3L -> "low",
+      4L -> "e", 5L -> "r", 6L -> "w", 7L -> "i", 8L -> "d", 9L -> "est"))
+  }
+
   test("vocabulary exhausted before numMerges: returns what was learnable") {
     val docs = Seq((0L, "a b a b b")).toDF("doc_id", "text")
     // Single-character words: no adjacent pairs at all.
