@@ -373,6 +373,31 @@ object Curation {
     docs.select(col(idCol), assign.as("split"))
   }
 
+  /** Curriculum ordering: assign every document a training PHASE by
+    * global quality quantile (phase 1 = highest-quality band — train on
+    * the cleanest data first, the standard curriculum schedule) and a
+    * seeded shuffle key WITHIN the phase; reading in (phase, pos_key)
+    * order is the curriculum. Boundaries come from one bounded-state
+    * percentile sketch (exact in the ≤`accuracy`-distinct regime, the
+    * [[qualityFloorByCutoff]] convention) broadcast as a single row;
+    * phase assignment is a per-row fold over `phases − 1` cutoffs —
+    * scan-speed, no corpus sort, no skew sensitivity.
+    *
+    * Output: (idCol, qualityCol, phase ∈ [1, phases], pos_key). */
+  def curriculumOrder(scored: DataFrame, idCol: String, qualityCol: String,
+                      phases: Int, seed: String = "curriculum",
+                      accuracy: Int = 10000): DataFrame = {
+    require(phases >= 2, s"phases must be >= 2: $phases")
+    val fracs = (1 until phases).map(j => j.toDouble / phases)
+    val cuts = scored.agg(percentile_approx(col(qualityCol),
+      array(fracs.map(lit): _*), lit(accuracy)).as("__cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("phase", (lit(1) + aggregate(col("__cuts"), lit(0),
+        (acc, c) => acc + when(col(qualityCol) < c, 1).otherwise(0))).cast("long"))
+      .withColumn("pos_key", shuffleKey(idCol, seed))
+      .select(col(idCol), col(qualityCol), col("phase"), col("pos_key"))
+  }
+
   /** Epoch plan — the data-mixing arithmetic for budgets that EXCEED a
     * source's corpus ("3.2 epochs of wiki"): each source's token budget
     * decomposes exactly as `budget = full_epochs · n_tokens +

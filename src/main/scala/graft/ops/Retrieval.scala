@@ -184,6 +184,32 @@ object Retrieval {
       0L, idCol)
   }
 
+  /** Fold the phrase index's segments and tombstones into a fresh
+    * segment-0 table — same churn control and swap contract as
+    * [[compactBm25Index]] (full `__next` rewrite before any swap;
+    * single maintenance writer). */
+  def compactPhraseIndex(spark: org.apache.spark.sql.SparkSession,
+                         table: String, buckets: Int): Unit = {
+    val SI = graft.io.SegmentedIndex
+    val idCol = SI.idColOf(spark, table)
+    val tombT = SI.tombstoneTable(table)
+    val live = SI.dropDead(spark.table(table),
+        SI.tombstoneMax(spark, table, idCol), idCol)
+      .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
+    graft.io.Bucketing.writeBucketed(live, table + "__next", "bigram", buckets)
+    graft.io.Bucketing.clearOrphanLocation(spark, tombT + "__next")
+    live.select(col(idCol), lit(0L).as("below_seg")).limit(0)
+      .write.mode("overwrite").format("parquet").saveAsTable(tombT + "__next")
+    val nd = live.select(col(idCol)).distinct().count()
+    val ledT = SI.ledgerTable(table)
+    graft.io.Bucketing.clearOrphanLocation(spark, ledT + "__next")
+    spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(0L, SI.BaseBatch, nd, 0L, idCol)),
+        SI.ledger(spark, table).schema)
+      .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(ledT + "__next")
+    Seq(table, tombT, ledT).foreach(SI.swapNext(spark, _))
+  }
+
   /** [[phraseTopK]] against the persisted index: the query's distinct
     * bigrams become a literal InSet on the bucket column (bucket-file
     * pruning + no index-side exchange — same plan claims as

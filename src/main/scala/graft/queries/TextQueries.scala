@@ -121,6 +121,16 @@ object TextQueries {
             sum("f").cast("double")).as("avg_bpe_per_token"))
     }),
 
+    // Curriculum ordering: 4 quality phases (phase 1 = cleanest band)
+    // + seeded in-phase shuffle key — reading in (phase, pos_key) order
+    // IS the training curriculum.
+    "text_curriculum" -> ((s, dir) => {
+      import graft.ops.{Curation, TextAnalysis}
+      val scored = TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "quality")
+      Curation.curriculumOrder(scored, "doc_id", "quality", phases = 4)
+    }),
+
     // Epoch plan: per-source full-pass + remainder decomposition of the
     // mixing budgets — the "3.2 epochs of wiki" arithmetic, exact LONGs.
     "text_epoch_plan" -> ((s, dir) =>
@@ -1133,6 +1143,32 @@ object TextQueries {
          |  FROM dp)
          |SELECT doc_id, CAST(pos AS BIGINT) AS pos, piece
          |FROM enc WHERE pos <= 32""".stripMargin,
+
+    "text_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    least(len(toks)::DOUBLE / 100.0, 1.0) AS len_score,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE END AS diversity,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, x -> list_contains(
+         |              ['the','a','an','of','to','in','and','is','it','that','for','on','with','as'], x)))::DOUBLE
+         |              / len(toks)::DOUBLE END AS stopword_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |         ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |              / len(text)::DOUBLE END AS punct_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id,
+         |    (len_score + diversity + least(stopword_ratio * 5.0, 1.0)
+         |     + (1.0 - least(punct_ratio * 4.0, 1.0))) / 4.0 AS quality
+         |  FROM sig),
+         |cuts AS (SELECT quantile_disc(quality, [0.25, 0.5, 0.75]) AS cs FROM q)
+         |SELECT doc_id, quality,
+         |  (1 + len(list_filter(cs, c -> quality < c)))::BIGINT AS phase,
+         |  ${h60("'curriculum:' || doc_id::VARCHAR")} AS pos_key
+         |FROM q, cuts""".stripMargin,
 
     "text_epoch_plan" ->
       s"""WITH b(source, budget) AS (VALUES $epochBudgetsSql),

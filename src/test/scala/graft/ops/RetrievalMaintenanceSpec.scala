@@ -150,6 +150,12 @@ class RetrievalMaintenanceSpec extends SparkSpec {
     assert(probeP() == recompute(merged))
     Retrieval.updatePhraseIndex(spark, changes, "doc_id", "text", "op", t, 4, "c1")
     assert(probeP() == recompute(merged))
+    // compaction folds segments + tombstones away; probe unchanged
+    Retrieval.compactPhraseIndex(spark, t, buckets = 4)
+    assert(spark.table(t + "_tombstones").count() == 0)
+    assert(spark.table(t + "_segments").count() == 1)
+    assert(spark.table(t).where(col("__seg") =!= 0L).count() == 0)
+    assert(probeP() == recompute(merged))
     Seq(t, t + "_tombstones", t + "_segments")
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
