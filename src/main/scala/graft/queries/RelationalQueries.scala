@@ -492,7 +492,101 @@ object RelationalQueries {
       Tables(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(array_join(array_sort(collect_list(col("o_orderstatus"))), ",").as("statuses"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // join customer↔filtered orders, a null-aware count(o_orderkey) that
+    // yields 0 for match-less customers (count(col) skips the null-filled
+    // right side — exactly where engines disagree), then a second
+    // aggregation over the counts. Both sides scale with the corpus, so
+    // neither is broadcast: shuffle join on the customer key, then the
+    // two shuffles of the double aggregation. The order filter rides in
+    // the scan, NOT the join condition, which is equivalent for LEFT
+    // OUTER (right-side-only predicate) and keeps it pushed to parquet.
+    "rel_tpch_q13" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .where(col("o_orderpriority").startsWith("5-") && col("o_totalprice") > 150000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Null-key FULL OUTER semantics pin: join keys made nullable on BOTH
+    // sides (a null key matches nothing — not even another null — so
+    // those rows surface on their own side null-filled), then null-aware
+    // aggregates over the join output. Unmatched orders land in the NULL
+    // c_mktsegment group; count(col) vs count(*) and null-skipping sum
+    // pin the null-fill-through-aggregation contract.
+    "rel_outer_join" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("k"))
+      val c = Tables(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        when(col("c_custkey") % 5 === 0, lit(null))
+          .otherwise(col("c_custkey")).as("ck"))
+      o.join(c, col("k") === col("ck"), "full_outer")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_orders"),
+          count(col("c_custkey")).as("n_matched_cust"),
+          sum(dec(col("o_totalprice"), 2)).cast("double").as("total"))
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // scalar subquery `l_quantity < 0.2 * avg(l_quantity per part)`
+    // decorrelated into ONE per-part aggregate joined back on the part
+    // key — the subquery runs once as a grouped agg, never per row. The
+    // brand dim filter broadcasts and is applied BEFORE both the agg and
+    // the probe side (restricting to the filtered partkeys leaves the
+    // per-part avg unchanged). The 0.2·avg comparison is cross-multiplied
+    // into exact decimals (5·n·qty < Σqty) so no engine-specific decimal
+    // division rounding can flip a row.
+    "rel_tpch_q17" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part").where(col("p_brand") === "Brand#23")
+      val liF = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val perPart = liF.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(dec(col("l_quantity"), 2)).as("__sumq"),
+          count(lit(1)).cast("decimal(10,0)").as("__nq"))
+      liF.join(perPart, col("l_partkey") === col("pk"))
+        .where(col("l_quantity").cast(DecimalType(9, 2)) * lit(5) * col("__nq") < col("__sumq"))
+        .agg((sum(dec(col("l_extendedprice"), 2)).cast("double") / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_cheap"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // EXISTS / NOT EXISTS chain as left-SEMI + left-ANTI self-joins over
+    // one shared lateness-flagged fact (computed once, reused three
+    // times). Equi-key on the order key with the supplier inequality as
+    // a residual condition — hash/sort-merge joins, never a nested loop.
+    // "Late" adapts the reference's receipt-vs-commit lag to this
+    // schema: shipped >90 days after the order date. Global top-100 by
+    // (numwait desc, s_name) plans as TakeOrderedAndProject.
+    "rel_tpch_q21" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders").where(col("o_orderstatus") === "F")
+      val su = Tables(s, dir, "supplier")
+      val f = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+      val l2 = f.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val l3 = f.where(col("late"))
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      f.where(col("late"))
+        .join(l2, col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"), "left_anti")
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -818,6 +912,65 @@ object RelationalQueries {
         |       CAST(coalesce(sum(k - 1), 0) AS BIGINT),
         |       CAST(coalesce(sum(k), 0) AS BIGINT),
         |       coalesce(sum(k - 1), 0) = 0
-        |FROM (SELECT count(*) AS k FROM orders GROUP BY o_orderkey) g""".stripMargin
+        |FROM (SELECT count(*) AS k FROM orders GROUP BY o_orderkey) g""".stripMargin,
+
+    "rel_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey
+        |   AND o_orderpriority LIKE '5-%' AND o_totalprice > 150000.0
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+
+    "rel_outer_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS k
+        |  FROM orders),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey END AS ck
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n_rows,
+        |       count(o_orderkey) AS n_orders,
+        |       count(c_custkey) AS n_matched_cust,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM o FULL OUTER JOIN c ON k = ck
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "rel_tpch_q17" ->
+      """WITH lif AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |pp AS (
+        |  SELECT l_partkey AS pk,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sumq,
+        |         CAST(count(*) AS DECIMAL(10,0)) AS nq
+        |  FROM lif GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |       count(*) AS n_cheap
+        |FROM lif JOIN pp ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(9,2)) * 5 * nq < sumq""".stripMargin,
+
+    "rel_tpch_q21" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, count(*) AS numwait
+        |FROM f l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM f l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM f l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin
   )
 }

@@ -336,6 +336,29 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_index_t")
   }
 
+  test("outer-join + decorrelated-subquery shapes: keyed joins only, never nested-loop") {
+    // r8: Q13/Q17/Q21 + the null-key full-outer pin all carry equi keys —
+    // a BroadcastNestedLoopJoin or CartesianProduct anywhere means a join
+    // lost its keys (the one plan shape that cannot survive 100 TB)
+    for (q <- Seq("rel_tpch_q13", "rel_outer_join", "rel_tpch_q17", "rel_tpch_q21")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must not plan a nested loop:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q must not cross-join:\n$plan")
+    }
+    // Q17's decorrelated form: the brand dim broadcasts; the per-part avg
+    // is ONE grouped aggregate joined back — never a per-row subquery.
+    val q17 = graft.SparkEntry.queries("rel_tpch_q17")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q17.contains("BroadcastHashJoin"), s"brand dim must broadcast:\n$q17")
+    // Q21's global top-100 plans as per-partition heaps.
+    val q21 = graft.SparkEntry.queries("rel_tpch_q21")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q21.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$q21")
+  }
+
   test("phrase index probe: bucketed scan, zero bigram exchange, ≡ recompute") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     import spark.implicits._
