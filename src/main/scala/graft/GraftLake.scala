@@ -249,6 +249,12 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
   private def changeFeedPath(schema: String, table: String): String =
     s"${lakeRoot.stripSuffix("/")}/_changes/$schema/$table"
 
+  /** True when the table's change feed has produced ≥ 1 batch. */
+  private def feedExists(schema: String, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(changeFeedPath(schema, table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Default search-index table name for a lake table. */
   def searchIndexName(schema: String, table: String): String =
     s"${schema}_${table}_bm25"
@@ -287,6 +293,14 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
         s"got ${cfg.primaryKeys}")
     val idCol = cfg.primaryKeys.head
     val idx = if (indexTable.nonEmpty) indexTable else searchIndexName(schema, table)
+    // Contract-level guard: before the first streamWithChangeFeed batch
+    // the feed directory does not exist, and the raw read would surface
+    // as a path-not-found AnalysisException instead of pointing at the
+    // prerequisite (r7 ADVICE).
+    require(feedExists(schema, table),
+      s"$schema/$table has no change feed at ${changeFeedPath(schema, table)} — " +
+        "stream the table with streamWithChangeFeed before syncSearchIndex " +
+        "(the index bootstraps empty and fills from feed batches)")
     val feed = readChangeFeed(schema, table)
     require(feed.columns.contains(s"${textCol}_new"),
       s"$schema/$table feed does not track '$textCol' " +

@@ -49,13 +49,67 @@ object SegmentedIndex {
   def ledgerTable(table: String): String = table + "_segments"
   def tombstoneTable(table: String): String = table + "_tombstones"
 
-  /** Full ledger: (seg, batch_id, n_docs, total_tokens, id_col). */
-  def ledger(spark: SparkSession, table: String): DataFrame =
-    spark.table(ledgerTable(table))
+  // ---- generation pointer (crash-atomic compaction commit) ----
+  //
+  // Compaction rewrites an index family's 3-5 tables; renaming them into
+  // place one at a time is not crash-atomic (a crash mid-sequence left a
+  // mixed-generation index that PROBED WRONG until rebuilt — the r7
+  // verdict's finding). Instead, generation N+1 is fully written under
+  // `<table>__g<N+1>`-derived names and COMMITTED by appending one row to
+  // the tiny `<table>_gen` pointer table — a single parquet write, the
+  // only step that changes what readers resolve. A crash anywhere leaves
+  // probes on a COMPLETE generation (old before the append, new after);
+  // re-running the compaction converges (same next-gen names, overwrite
+  // mode). Old-generation tables drop AFTER the commit, best-effort — a
+  // crash there orphans tables, never mixes them.
 
-  /** Tombstones: (<id_col>, below_seg[, dl]) — schema owned per family. */
+  /** Pointer table of a logical index name: append-only (gen) rows;
+    * the live generation is max(gen), 0 when the pointer is absent
+    * (fresh builds write generation 0 under the plain names). */
+  def genPointerTable(table: String): String = table + "_gen"
+
+  /** Physical base name of `table` at generation `gen`. */
+  def physName(table: String, gen: Long): String =
+    if (gen == 0L) table else s"${table}__g$gen"
+
+  def currentGen(spark: SparkSession, table: String): Long = {
+    val p = genPointerTable(table)
+    if (!spark.catalog.tableExists(p)) 0L
+    else {
+      spark.catalog.refreshTable(p) // maintenance may run in another session
+      spark.table(p).agg(coalesce(max("gen"), lit(0L))).head().getLong(0)
+    }
+  }
+
+  /** Resolve a LOGICAL index name to its live generation's physical base
+    * name. Idempotent on already-physical names (they have no pointer).
+    * Every probe/maintenance entry point resolves once, then derives
+    * sidecar names from the resolved base. */
+  def resolve(spark: SparkSession, table: String): String =
+    physName(table, currentGen(spark, table))
+
+  /** Drop the generation pointer — every fresh (overwrite) build calls
+    * this first so the rebuilt index resolves to the plain names. */
+  def resetGen(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${genPointerTable(table)}")
+
+  private def commitGen(spark: SparkSession, table: String, gen: Long): Unit = {
+    import spark.implicits._
+    val p = genPointerTable(table)
+    Bucketing.clearOrphanLocation(spark, p)
+    Seq(gen).toDF("gen").coalesce(1)
+      .write.mode("append").format("parquet").saveAsTable(p)
+  }
+
+  /** Full ledger: (seg, batch_id, n_docs, total_tokens, id_col).
+    * Resolves `table` through the generation pointer. */
+  def ledger(spark: SparkSession, table: String): DataFrame =
+    spark.table(ledgerTable(resolve(spark, table)))
+
+  /** Tombstones: (<id_col>, below_seg[, dl]) — schema owned per family.
+    * Resolves `table` through the generation pointer. */
   def tombstones(spark: SparkSession, table: String): DataFrame =
-    spark.table(tombstoneTable(table))
+    spark.table(tombstoneTable(resolve(spark, table)))
 
   /** True when `batchId` already committed (its ledger row exists). */
   def hasBatch(spark: SparkSession, table: String, batchId: String): Boolean =
@@ -161,13 +215,115 @@ object SegmentedIndex {
       .coalesce(1).write.mode("overwrite").parquet(pathLedgerDir(dir))
   }
 
-  /** Swap `table + "__next"` into `table`'s name (compaction commit):
-    * drop the old table, rename the fresh one. The fresh table is fully
-    * written first, so a crash between the two steps loses the NAME, not
-    * the data — re-running the compaction recovers (it rebuilds from
-    * `__next`'s source and re-swaps). */
-  def swapNext(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"ALTER TABLE ${table}__next RENAME TO $table")
+  // ---- shared lifecycle steps (the four index families' write/append/
+  // update methods differ in ROW DERIVATION; the segment mechanics below
+  // are identical and live here once) ----
+
+  /** Crash-resume-idempotent bucketed append: tag `rows` with `seg` and
+    * append, unless that segment already committed to `physTable` (a
+    * retry after the data write but before the ledger row). */
+  def appendSegment(spark: SparkSession, physTable: String, rows: DataFrame,
+                    bucketCol: String, buckets: Int, seg: Long): Unit =
+    if (!segPresent(spark, physTable, seg))
+      Bucketing.appendBucketed(rows.withColumn(SegCol, lit(seg)),
+        physTable, bucketCol, buckets)
+
+  /** Once-per-segment tombstone append: `rows` must carry
+    * `below_seg = seg`; a retry that already wrote this segment's
+    * tombstones no-ops (the same crash-resume gate as the data append). */
+  def tombstoneSegment(spark: SparkSession, physTable: String,
+                       rows: => DataFrame, seg: Long): Unit = {
+    val tombT = tombstoneTable(physTable)
+    if (spark.table(tombT).where(col("below_seg") === seg).limit(1).isEmpty)
+      rows.write.mode("append").format("parquet").saveAsTable(tombT)
+  }
+
+  /** (Re)create the EMPTY tombstone table of a fresh build/compaction
+    * with `template`'s schema. */
+  def initTombstones(spark: SparkSession, physTable: String,
+                     template: DataFrame): Unit = {
+    val tombT = tombstoneTable(physTable)
+    Bucketing.clearOrphanLocation(spark, tombT)
+    template.limit(0).write.mode("overwrite").format("parquet").saveAsTable(tombT)
+  }
+
+  /** Live corpus stats by LEDGER ARITHMETIC: Σ ledger contributions
+    * minus what the tombstoned versions recorded — exactly the stats the
+    * BM25 probe derives at read time, so compaction re-baselines to the
+    * same numbers. (Exact under double updates: every tombstone row
+    * retires ONE previously-live version.) Families whose tombstones
+    * carry no `dl` lose 0 tokens per tombstone. */
+  def liveLedgerStats(spark: SparkSession, physTable: String): (Long, Long) = {
+    val l = ledger(spark, physTable)
+      .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("total_tokens"), lit(0L)))
+      .head()
+    val t = tombstones(spark, physTable)
+    val dlSum =
+      if (t.columns.contains("dl")) coalesce(sum("dl"), lit(0L))
+      else coalesce(sum(lit(0L)), lit(0L))
+    val ta = t.agg(count(lit(1)), dlSum).head()
+    (l.getLong(0) - ta.getLong(0), l.getLong(1) - ta.getLong(1))
+  }
+
+  /** One data table of a compacting index family. `suffix` "" is the
+    * main table; sidecars ("_docs", "_vecs") name themselves relative to
+    * the base. A sidecar sharing the MAIN table's tombstones (BM25's doc
+    * sidecar) passes `ownTombstones = false`; `tombExtraCols` are
+    * payload columns the tombstone rows carry (BM25's `dl`). */
+  final case class CompactTable(suffix: String, bucketCol: String,
+                                idCol: String, ownTombstones: Boolean,
+                                tombExtraCols: Seq[String] = Nil)
+
+  /** Generic crash-atomic compaction: fold every data table's live rows
+    * (tombstones applied) into segment 0 of generation N+1, write the
+    * fresh tombstone/ledger tables under the next-generation names, then
+    * COMMIT with the single generation-pointer append and drop the old
+    * generation. `ledgerStats` maps the live frames (by suffix) to the
+    * fresh ledger's (n_docs, total_tokens). `beforeCommit`/`afterCommit`
+    * are crash-injection seams (specs throw there to pin that a crash on
+    * either side of the commit leaves probes on a complete generation).
+    * Single maintenance writer per index, as everywhere. */
+  def compact(spark: SparkSession, table: String, buckets: Int,
+              tables: Seq[CompactTable],
+              ledgerStats: Map[String, DataFrame] => (Long, Long),
+              ledgerIdCol: String,
+              beforeCommit: () => Unit = () => (),
+              afterCommit: () => Unit = () => ()): Unit = {
+    import spark.implicits._
+    val gen = currentGen(spark, table)
+    val cur = physName(table, gen)
+    val next = physName(table, gen + 1L)
+    val live: Map[String, DataFrame] = tables.map { t =>
+      val tombOwner = if (t.ownTombstones) cur + t.suffix else cur
+      t.suffix -> dropDead(spark.table(cur + t.suffix),
+          tombstoneMax(spark, tombOwner, t.idCol), t.idCol)
+        .withColumn(SegCol, lit(0L)).localCheckpoint(true)
+    }.toMap
+    val (nd, tt) = ledgerStats(live)
+    tables.foreach { t =>
+      Bucketing.writeBucketed(live(t.suffix), next + t.suffix, t.bucketCol, buckets)
+      if (t.ownTombstones)
+        initTombstones(spark, next + t.suffix,
+          live(t.suffix).select(col(t.idCol) +: lit(0L).as("below_seg") +:
+            t.tombExtraCols.map(col): _*))
+    }
+    val ledT = ledgerTable(next)
+    Bucketing.clearOrphanLocation(spark, ledT)
+    Seq((0L, BaseBatch, nd, tt, ledgerIdCol))
+      .toDF("seg", "batch_id", "n_docs", "total_tokens", "id_col")
+      .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(ledT)
+    beforeCommit()
+    commitGen(spark, table, gen + 1L)
+    afterCommit()
+    // Cleanup of ALL superseded generations (≤ gen, including ones a
+    // crashed earlier cleanup orphaned) — best-effort, post-commit.
+    (0L to gen).map(physName(table, _)).foreach { old =>
+      tables.foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${old + t.suffix}")
+        if (t.ownTombstones)
+          spark.sql(s"DROP TABLE IF EXISTS ${tombstoneTable(old + t.suffix)}")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS ${ledgerTable(old)}")
+    }
   }
 }

@@ -415,13 +415,12 @@ object Dedup {
                     bands: Int = 4): Unit = {
     val SI = graft.io.SegmentedIndex
     val spark = docs.sparkSession
+    SI.resetGen(spark, table) // fresh build owns the plain names again
     val sketch = minHashed(docs, idCol, textCol, shingleWords, k, bands)
       .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
     graft.io.Bucketing.writeBucketed(sketch, table, "band_key", buckets)
-    val tombT = SI.tombstoneTable(table)
-    graft.io.Bucketing.clearOrphanLocation(spark, tombT)
-    sketch.select(col(idCol), lit(0L).as("below_seg")).limit(0)
-      .write.mode("overwrite").format("parquet").saveAsTable(tombT)
+    SI.initTombstones(spark, table,
+      sketch.select(col(idCol), lit(0L).as("below_seg")))
     // Exactly `bands` band rows per doc, so the doc count needs no
     // second corpus pass.
     SI.initLedger(spark, table, idCol, sketch.count() / bands, 0L)
@@ -442,13 +441,13 @@ object Dedup {
                        bands: Int = 4, batchId: String): Unit = {
     val SI = graft.io.SegmentedIndex
     val spark = docs.sparkSession
-    if (SI.hasBatch(spark, table, batchId)) return
-    val seg = SI.nextSeg(spark, table)
+    val t = SI.resolve(spark, table)
+    if (SI.hasBatch(spark, t, batchId)) return
+    val seg = SI.nextSeg(spark, t)
     val sketch = minHashed(docs, idCol, textCol, shingleWords, k, bands)
-      .withColumn(SI.SegCol, lit(seg)).localCheckpoint(true)
-    if (!SI.segPresent(spark, table, seg))
-      graft.io.Bucketing.appendBucketed(sketch, table, "band_key", buckets)
-    SI.appendLedger(spark, table, seg, batchId, sketch.count() / bands, 0L, idCol)
+      .localCheckpoint(true)
+    SI.appendSegment(spark, t, sketch, "band_key", buckets, seg)
+    SI.appendLedger(spark, t, seg, batchId, sketch.count() / bands, 0L, idCol)
   }
 
   /** CDC maintenance of a persisted LSH index — the engine's latest-wins
@@ -467,44 +466,36 @@ object Dedup {
                      shingleWords: Int = 3, k: Int = 16, bands: Int = 4,
                      batchId: String): Unit = {
     val SI = graft.io.SegmentedIndex
-    if (SI.hasBatch(spark, table, batchId)) return
-    val seg = SI.nextSeg(spark, table)
-    val tombT = SI.tombstoneTable(table)
+    val t = SI.resolve(spark, table)
+    if (SI.hasBatch(spark, t, batchId)) return
+    val seg = SI.nextSeg(spark, t)
     val sketch = minHashed(changes.where(col(opCol) =!= "D"), idCol, textCol,
         shingleWords, k, bands)
-      .withColumn(SI.SegCol, lit(seg)).localCheckpoint(true)
-    if (!SI.segPresent(spark, table, seg))
-      graft.io.Bucketing.appendBucketed(sketch, table, "band_key", buckets)
-    if (spark.table(tombT).where(col("below_seg") === seg).limit(1).isEmpty)
+      .localCheckpoint(true)
+    SI.appendSegment(spark, t, sketch, "band_key", buckets, seg)
+    SI.tombstoneSegment(spark, t,
       changes.select(col(idCol)).distinct()
-        .select(col(idCol), lit(seg).as("below_seg"))
-        .write.mode("append").format("parquet").saveAsTable(tombT)
-    SI.appendLedger(spark, table, seg, batchId, sketch.count() / bands, 0L, idCol)
+        .select(col(idCol), lit(seg).as("below_seg")), seg)
+    SI.appendLedger(spark, t, seg, batchId, sketch.count() / bands, 0L, idCol)
   }
 
   /** Fold accumulated segments and tombstones into a fresh segment-0 LSH
-    * index (same churn-control contract and crash caveat as
-    * [[Retrieval.compactBm25Index]]). */
+    * index, committed by the single generation-pointer append (same
+    * crash-atomic contract as [[Retrieval.compactBm25Index]]). The
+    * ledger doc count recounts live sketched ids (docs with no shingles
+    * hold no band rows and are not index members — unlike the BM25/
+    * phrase corpus stats, this ledger field counts SKETCHES). */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
-                      table: String, buckets: Int): Unit = {
+                      table: String, buckets: Int,
+                      beforeCommit: () => Unit = () => (),
+                      afterCommit: () => Unit = () => ()): Unit = {
     val SI = graft.io.SegmentedIndex
-    val idCol = SI.idColOf(spark, table)
-    val tombT = SI.tombstoneTable(table)
-    val live = SI.dropDead(spark.table(table),
-        SI.tombstoneMax(spark, table, idCol), idCol)
-      .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
-    graft.io.Bucketing.writeBucketed(live, table + "__next", "band_key", buckets)
-    graft.io.Bucketing.clearOrphanLocation(spark, tombT + "__next")
-    live.select(col(idCol), lit(0L).as("below_seg")).limit(0)
-      .write.mode("overwrite").format("parquet").saveAsTable(tombT + "__next")
-    val ledT = SI.ledgerTable(table)
-    graft.io.Bucketing.clearOrphanLocation(spark, ledT + "__next")
-    import spark.implicits._
-    val nDocs = live.select(col(idCol)).distinct().count()
-    Seq((0L, SI.BaseBatch, nDocs, 0L, idCol))
-      .toDF("seg", "batch_id", "n_docs", "total_tokens", "id_col")
-      .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(ledT + "__next")
-    Seq(table, tombT, ledT).foreach(SI.swapNext(spark, _))
+    val cur = SI.resolve(spark, table)
+    val idCol = SI.idColOf(spark, cur)
+    SI.compact(spark, table, buckets,
+      Seq(SI.CompactTable("", "band_key", idCol, ownTombstones = true)),
+      live => (live("").select(col(idCol)).distinct().count(), 0L),
+      idCol, beforeCommit, afterCommit)
   }
 
   /** Candidate near-dup pairs of a NEW batch against a persisted LSH
@@ -546,18 +537,19 @@ object Dedup {
     // delivery-sized by contract (see DedupStream.ingestBatch); rebuild
     // via writeLshIndex for corpus-scale backfills.
     val SI = graft.io.SegmentedIndex
-    require(SI.idColOf(spark, table) == idCol,
-      s"index $table was written with id column '${SI.idColOf(spark, table)}', not '$idCol'")
+    val t = SI.resolve(spark, table)
+    require(SI.idColOf(spark, t) == idCol,
+      s"index $table was written with id column '${SI.idColOf(spark, t)}', not '$idCol'")
     // Dead (tombstoned) versions drop BEFORE the heavy-bucket window so
     // bucket_n counts exactly the live postings a from-scratch index
     // over the merged corpus would hold; the broadcast tombstone join
     // preserves the bucket partitioning, so the plan stays free of
     // band_key exchanges (plan-asserted in ScaleOpsSpec).
     val idx = SI.dropDead(
-      graft.io.Bucketing.readBucketed(spark, table)
+      graft.io.Bucketing.readBucketed(spark, t)
         .join(broadcast(batch.select(col("band_key"))),
           Seq("band_key"), "left_semi"),
-      SI.tombstoneMax(spark, table, idCol), idCol)
+      SI.tombstoneMax(spark, t, idCol), idCol)
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
       .where(col("bucket_n") <= maxBucketSize)

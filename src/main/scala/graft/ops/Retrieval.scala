@@ -127,19 +127,26 @@ object Retrieval {
     * only its bigrams' buckets. Same segment-ledger contract as every
     * other index family ([[graft.io.SegmentedIndex]]): exactly-once
     * appends ([[appendToPhraseIndex]]), latest-wins CDC maintenance
-    * ([[updatePhraseIndex]]), probes that drop tombstoned versions. */
+    * ([[updatePhraseIndex]]), probes that drop tombstoned versions.
+    *
+    * Ledger `n_docs` semantics: docs holding ≥ 1 indexed bigram (a
+    * single-token doc is not an index member) — the SAME count at
+    * build, append, update and compaction, like the LSH family's
+    * sketched-doc count. It is INFORMATIONAL: unlike BM25's corpus
+    * stats, no phrase probe derives a score from it, and CDC tombstones
+    * for never-indexed ids (inserts, ghost deletes) are inert rows the
+    * ledger arithmetic deliberately does not subtract. */
   def writePhraseIndex(docs: DataFrame, idCol: String, textCol: String,
                        table: String, buckets: Int): Unit = {
     val spark = docs.sparkSession
     val SI = graft.io.SegmentedIndex
+    SI.resetGen(spark, table) // fresh build owns the plain names again
     val rows = bigramRows(docs, idCol, textCol)
       .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
     graft.io.Bucketing.writeBucketed(rows, table, "bigram", buckets)
-    val tombT = SI.tombstoneTable(table)
-    graft.io.Bucketing.clearOrphanLocation(spark, tombT)
-    rows.select(col(idCol), lit(0L).as("below_seg")).limit(0)
-      .write.mode("overwrite").format("parquet").saveAsTable(tombT)
-    SI.initLedger(spark, table, idCol, docs.count(), 0L)
+    SI.initTombstones(spark, table, rows.select(col(idCol), lit(0L).as("below_seg")))
+    SI.initLedger(spark, table, idCol,
+      rows.select(col(idCol)).distinct().count(), 0L)
   }
 
   /** Append a NEW batch's bigram rows (ids must be new; changed docs go
@@ -148,14 +155,13 @@ object Retrieval {
                           docs: DataFrame, idCol: String, textCol: String,
                           table: String, buckets: Int, batchId: String): Unit = {
     val SI = graft.io.SegmentedIndex
-    if (SI.hasBatch(spark, table, batchId)) return
-    val seg = SI.nextSeg(spark, table)
-    val rows = bigramRows(docs, idCol, textCol)
-      .withColumn(SI.SegCol, lit(seg)).localCheckpoint(true)
-    if (!SI.segPresent(spark, table, seg))
-      graft.io.Bucketing.appendBucketed(rows, table, "bigram", buckets)
-    SI.appendLedger(spark, table, seg, batchId,
-      docs.select(col(idCol)).distinct().count(), 0L, idCol)
+    val t = SI.resolve(spark, table)
+    if (SI.hasBatch(spark, t, batchId)) return
+    val seg = SI.nextSeg(spark, t)
+    val rows = bigramRows(docs, idCol, textCol).localCheckpoint(true)
+    SI.appendSegment(spark, t, rows, "bigram", buckets, seg)
+    SI.appendLedger(spark, t, seg, batchId,
+      rows.select(col(idCol)).distinct().count(), 0L, idCol)
   }
 
   /** CDC maintenance: changed ids tombstone below this segment, upserts
@@ -168,46 +174,37 @@ object Retrieval {
                         opCol: String, table: String, buckets: Int,
                         batchId: String): Unit = {
     val SI = graft.io.SegmentedIndex
-    if (SI.hasBatch(spark, table, batchId)) return
-    val seg = SI.nextSeg(spark, table)
-    val tombT = SI.tombstoneTable(table)
+    val t = SI.resolve(spark, table)
+    if (SI.hasBatch(spark, t, batchId)) return
+    val seg = SI.nextSeg(spark, t)
     val rows = bigramRows(changes.where(col(opCol) =!= "D"), idCol, textCol)
-      .withColumn(SI.SegCol, lit(seg)).localCheckpoint(true)
-    if (!SI.segPresent(spark, table, seg))
-      graft.io.Bucketing.appendBucketed(rows, table, "bigram", buckets)
-    if (spark.table(tombT).where(col("below_seg") === seg).limit(1).isEmpty)
+      .localCheckpoint(true)
+    SI.appendSegment(spark, t, rows, "bigram", buckets, seg)
+    SI.tombstoneSegment(spark, t,
       changes.select(col(idCol)).distinct()
-        .select(col(idCol), lit(seg).as("below_seg"))
-        .write.mode("append").format("parquet").saveAsTable(tombT)
-    SI.appendLedger(spark, table, seg, batchId,
-      changes.where(col(opCol) =!= "D").select(col(idCol)).distinct().count(),
-      0L, idCol)
+        .select(col(idCol), lit(seg).as("below_seg")), seg)
+    SI.appendLedger(spark, t, seg, batchId,
+      rows.select(col(idCol)).distinct().count(), 0L, idCol)
   }
 
   /** Fold the phrase index's segments and tombstones into a fresh
-    * segment-0 table — same churn control and swap contract as
-    * [[compactBm25Index]] (full `__next` rewrite before any swap;
-    * single maintenance writer). */
+    * segment-0 GENERATION, committed by the single generation-pointer
+    * append ([[graft.io.SegmentedIndex.compact]] — crash on either side
+    * of the commit leaves probes on a complete index). The fresh
+    * ledger's n_docs recounts live indexed docs — the [[writePhraseIndex]]
+    * semantics (docs holding ≥ 1 bigram), identical at every lifecycle
+    * step, so the stat no longer drifts across compactions. */
   def compactPhraseIndex(spark: org.apache.spark.sql.SparkSession,
-                         table: String, buckets: Int): Unit = {
+                         table: String, buckets: Int,
+                         beforeCommit: () => Unit = () => (),
+                         afterCommit: () => Unit = () => ()): Unit = {
     val SI = graft.io.SegmentedIndex
-    val idCol = SI.idColOf(spark, table)
-    val tombT = SI.tombstoneTable(table)
-    val live = SI.dropDead(spark.table(table),
-        SI.tombstoneMax(spark, table, idCol), idCol)
-      .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
-    graft.io.Bucketing.writeBucketed(live, table + "__next", "bigram", buckets)
-    graft.io.Bucketing.clearOrphanLocation(spark, tombT + "__next")
-    live.select(col(idCol), lit(0L).as("below_seg")).limit(0)
-      .write.mode("overwrite").format("parquet").saveAsTable(tombT + "__next")
-    val nd = live.select(col(idCol)).distinct().count()
-    val ledT = SI.ledgerTable(table)
-    graft.io.Bucketing.clearOrphanLocation(spark, ledT + "__next")
-    spark.createDataFrame(java.util.List.of(
-        org.apache.spark.sql.Row(0L, SI.BaseBatch, nd, 0L, idCol)),
-        SI.ledger(spark, table).schema)
-      .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(ledT + "__next")
-    Seq(table, tombT, ledT).foreach(SI.swapNext(spark, _))
+    val cur = SI.resolve(spark, table)
+    val idCol = SI.idColOf(spark, cur)
+    SI.compact(spark, table, buckets,
+      Seq(SI.CompactTable("", "bigram", idCol, ownTombstones = true)),
+      live => (live("").select(col(idCol)).distinct().count(), 0L),
+      idCol, beforeCommit, afterCommit)
   }
 
   /** [[phraseTopK]] against the persisted index: the query's distinct
@@ -217,10 +214,12 @@ object Retrieval {
     * count + rank run candidate-sized. */
   def phraseAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                          table: String, queries: DataFrame, qidCol: String,
-                         qtextCol: String, k: Int): DataFrame = {
+                         qtextCol: String, k: Int,
+                         maxProbedKeys: Int = DefaultMaxProbedKeys): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val SI = graft.io.SegmentedIndex
-    val idCol = SI.idColOf(spark, table)
+    val t = SI.resolve(spark, table)
+    val idCol = SI.idColOf(spark, t)
     def bigrams(toks: Column) =
       when(size(toks) < 2, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), size(toks) - 1),
@@ -228,13 +227,11 @@ object Retrieval {
     val qb = broadcast(
       queries.select(col(qidCol), tokens(col(qtextCol)).as("__t"))
         .select(col(qidCol), explode(array_distinct(bigrams(col("__t")))).as("bigram")))
-    // Literal InSet on the bucket column → bucket-file pruning, same
-    // driver-bounded collect as [[bm25AgainstIndex]]'s probed terms.
-    val probedBigrams = qb.select("bigram").distinct().collect().map(_.getString(0))
+    // Literal InSet on the bucket column → bucket-file pruning; the
+    // collect is CAPPED (same guard as [[bm25AgainstIndex]]).
     val idx = SI.dropDead(
-      graft.io.Bucketing.readBucketed(spark, table)
-        .where(col("bigram").isin(probedBigrams.toSeq: _*)),
-      SI.tombstoneMax(spark, table, idCol), idCol)
+      probePruned(spark, t, "bigram", qb, maxProbedKeys),
+      SI.tombstoneMax(spark, t, idCol), idCol)
     val hits = idx.join(qb, "bigram")
       .groupBy(qidCol, idCol).agg(count(lit(1)).as("phrase_hits"))
     val w = Window.partitionBy(qidCol).orderBy(col("phrase_hits").desc, col(idCol))
@@ -261,7 +258,8 @@ object Retrieval {
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
                      table: String, buckets: Int): Unit = {
     val spark = docs.sparkSession
-    val SegCol = graft.io.SegmentedIndex.SegCol
+    val SI = graft.io.SegmentedIndex
+    SI.resetGen(spark, table) // fresh build owns the plain names again
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
@@ -269,16 +267,13 @@ object Retrieval {
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
       .localCheckpoint(true) // postings join + docs sidecar + stats row
     graft.io.Bucketing.writeBucketed(
-      tf.join(dl, idCol).withColumn(SegCol, lit(0L)), table, "term", buckets)
+      tf.join(dl, idCol).withColumn(SI.SegCol, lit(0L)), table, "term", buckets)
     graft.io.Bucketing.writeBucketed(
-      dl.withColumn(SegCol, lit(0L)), table + "_docs", idCol, buckets)
-    val tombT = graft.io.SegmentedIndex.tombstoneTable(table)
-    graft.io.Bucketing.clearOrphanLocation(spark, tombT)
-    dl.select(col(idCol), lit(0L).as("below_seg"), col("dl")).limit(0)
-      .write.mode("overwrite").format("parquet").saveAsTable(tombT)
+      dl.withColumn(SI.SegCol, lit(0L)), table + "_docs", idCol, buckets)
+    SI.initTombstones(spark, table,
+      dl.select(col(idCol), lit(0L).as("below_seg"), col("dl")))
     val s = dl.agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tt")).head()
-    graft.io.SegmentedIndex.initLedger(spark, table, idCol,
-      s.getLong(0), s.getLong(1))
+    SI.initLedger(spark, table, idCol, s.getLong(0), s.getLong(1))
   }
 
   /** Append a new batch's postings to a persisted BM25 index, preserving
@@ -298,21 +293,18 @@ object Retrieval {
                         docs: DataFrame, idCol: String, textCol: String,
                         table: String, buckets: Int, batchId: String): Unit = {
     val SI = graft.io.SegmentedIndex
-    if (SI.hasBatch(spark, table, batchId)) return
-    val seg = SI.nextSeg(spark, table)
+    val t = SI.resolve(spark, table)
+    if (SI.hasBatch(spark, t, batchId)) return
+    val seg = SI.nextSeg(spark, t)
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl")).localCheckpoint(true)
-    if (!SI.segPresent(spark, table, seg))
-      graft.io.Bucketing.appendBucketed(
-        tf.join(dl, idCol).withColumn(SI.SegCol, lit(seg)), table, "term", buckets)
-    if (!SI.segPresent(spark, table + "_docs", seg))
-      graft.io.Bucketing.appendBucketed(
-        dl.withColumn(SI.SegCol, lit(seg)), table + "_docs", idCol, buckets)
+    SI.appendSegment(spark, t, tf.join(dl, idCol), "term", buckets, seg)
+    SI.appendSegment(spark, t + "_docs", dl, idCol, buckets, seg)
     val s = dl.agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tt")).head()
-    SI.appendLedger(spark, table, seg, batchId, s.getLong(0), s.getLong(1), idCol)
+    SI.appendLedger(spark, t, seg, batchId, s.getLong(0), s.getLong(1), idCol)
   }
 
   /** CDC maintenance of a persisted BM25 index — the engine's own
@@ -339,10 +331,11 @@ object Retrieval {
                       opCol: String, table: String, buckets: Int,
                       batchId: String): Unit = {
     val SI = graft.io.SegmentedIndex
-    if (SI.hasBatch(spark, table, batchId)) return
-    val seg = SI.nextSeg(spark, table)
-    val docsT = table + "_docs"
-    val tombT = SI.tombstoneTable(table)
+    val t = SI.resolve(spark, table)
+    if (SI.hasBatch(spark, t, batchId)) return
+    val seg = SI.nextSeg(spark, t)
+    val docsT = t + "_docs"
+    val tombT = SI.tombstoneTable(t)
     val changedIds = changes.select(col(idCol)).distinct().localCheckpoint(true)
     val upserts = changes.where(col(opCol) =!= "D")
 
@@ -352,19 +345,15 @@ object Retrieval {
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl")).localCheckpoint(true)
-    if (!SI.segPresent(spark, table, seg))
-      graft.io.Bucketing.appendBucketed(
-        tf.join(dl, idCol).withColumn(SI.SegCol, lit(seg)), table, "term", buckets)
-    if (!SI.segPresent(spark, docsT, seg))
-      graft.io.Bucketing.appendBucketed(
-        dl.withColumn(SI.SegCol, lit(seg)), docsT, idCol, buckets)
+    SI.appendSegment(spark, t, tf.join(dl, idCol), "term", buckets, seg)
+    SI.appendSegment(spark, docsT, dl, idCol, buckets, seg)
 
     // Tombstone the LIVE prior version of every changed id (reads only
     // the doc-length sidecar — O(n_docs) rows of three columns, with the
     // change set broadcast; everything is restricted to pre-`seg` state
     // so a crash-resume re-derives identical rows). The recorded dl is
     // the exact token count the stats lose with that version.
-    if (spark.table(tombT).where(col("below_seg") === seg).limit(1).isEmpty) {
+    SI.tombstoneSegment(spark, t, {
       val prior = spark.table(docsT)
         .join(broadcast(changedIds), Seq(idCol), "left_semi")
         .where(col(SI.SegCol) < seg)
@@ -374,49 +363,37 @@ object Retrieval {
       val priorTombs = spark.table(tombT).where(col("below_seg") < seg)
         .join(broadcast(changedIds), Seq(idCol), "left_semi")
         .groupBy(idCol).agg(max("below_seg").as("__mb"))
-      val liveOld = latest.join(priorTombs, Seq(idCol), "left")
+      latest.join(priorTombs, Seq(idCol), "left")
         .where(col(SI.SegCol) >= coalesce(col("__mb"), lit(Long.MinValue)))
-      liveOld.select(col(idCol), lit(seg).as("below_seg"), col("dl"))
-        .write.mode("append").format("parquet").saveAsTable(tombT)
-    }
+        .select(col(idCol), lit(seg).as("below_seg"), col("dl"))
+    }, seg)
 
     val s = dl.agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tt")).head()
-    SI.appendLedger(spark, table, seg, batchId, s.getLong(0), s.getLong(1), idCol)
+    SI.appendLedger(spark, t, seg, batchId, s.getLong(0), s.getLong(1), idCol)
   }
 
   /** Fold accumulated segments and tombstones into a fresh segment-0
     * index — the scheduled churn control (the probe's tombstone
-    * broadcast and the appended-file count both reset). All four tables
-    * are fully rewritten under `__next` names before any swap, so data
-    * is never lost mid-compaction; the swap sequence itself is not
-    * crash-atomic (single maintenance writer; a crash between swaps
-    * means re-running [[writeBm25Index]] over the corpus — the
-    * reference's own rebuild remedy). */
+    * broadcast and the appended-file count both reset). The fresh
+    * generation is fully written first and committed by the SINGLE
+    * generation-pointer append ([[graft.io.SegmentedIndex.compact]]):
+    * a crash on either side of the commit leaves probes on a complete
+    * generation (old or new), never the mixed index the previous
+    * multi-table swap could expose. Ledger stats re-baseline by the
+    * same ledger-minus-tombstones arithmetic the probe uses. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-                       table: String, buckets: Int): Unit = {
+                       table: String, buckets: Int,
+                       beforeCommit: () => Unit = () => (),
+                       afterCommit: () => Unit = () => ()): Unit = {
     val SI = graft.io.SegmentedIndex
-    val idCol = SI.idColOf(spark, table)
-    val docsT = table + "_docs"
-    val tombT = SI.tombstoneTable(table)
-    val tomb = SI.tombstoneMax(spark, table, idCol)
-    val postLive = SI.dropDead(spark.table(table), tomb, idCol)
-      .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
-    val docsLive = SI.dropDead(spark.table(docsT), tomb, idCol)
-      .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
-    graft.io.Bucketing.writeBucketed(postLive, table + "__next", "term", buckets)
-    graft.io.Bucketing.writeBucketed(docsLive, docsT + "__next", idCol, buckets)
-    graft.io.Bucketing.clearOrphanLocation(spark, tombT + "__next")
-    docsLive.select(col(idCol), lit(0L).as("below_seg"), col("dl")).limit(0)
-      .write.mode("overwrite").format("parquet").saveAsTable(tombT + "__next")
-    val s = docsLive.agg(count(lit(1)).as("nd"),
-      coalesce(sum("dl"), lit(0L)).as("tt")).head()
-    val ledT = SI.ledgerTable(table)
-    graft.io.Bucketing.clearOrphanLocation(spark, ledT + "__next")
-    spark.createDataFrame(java.util.List.of(
-        org.apache.spark.sql.Row(0L, SI.BaseBatch, s.getLong(0), s.getLong(1), idCol)),
-        SI.ledger(spark, table).schema)
-      .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(ledT + "__next")
-    Seq(table, docsT, tombT, ledT).foreach(SI.swapNext(spark, _))
+    val cur = SI.resolve(spark, table)
+    val idCol = SI.idColOf(spark, cur)
+    val stats = SI.liveLedgerStats(spark, cur)
+    SI.compact(spark, table, buckets,
+      Seq(SI.CompactTable("", "term", idCol, ownTombstones = true,
+          tombExtraCols = Seq("dl")),
+        SI.CompactTable("_docs", idCol, idCol, ownTombstones = false)),
+      _ => stats, idCol, beforeCommit, afterCommit)
   }
 
   /** BM25 top-k against a persisted [[writeBm25Index]] index — the read
@@ -437,9 +414,11 @@ object Retrieval {
   def bm25AgainstIndex(spark: org.apache.spark.sql.SparkSession,
                        table: String, queries: DataFrame, qidCol: String,
                        qtextCol: String, k: Int, k1: Double = 1.2,
-                       b: Double = 0.75, logIdf: Boolean = false): DataFrame = {
+                       b: Double = 0.75, logIdf: Boolean = false,
+                       maxProbedKeys: Int = DefaultMaxProbedKeys): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val SI = graft.io.SegmentedIndex
+    val t = SI.resolve(spark, table)
     val qt = queryTerms(queries, qidCol, qtextCol)
     // The probed terms as a LITERAL predicate, not (only) a join: the
     // query batch is a broadcast by contract, so its distinct terms are
@@ -449,24 +428,24 @@ object Retrieval {
     // (SelectedBucketsCount, spec-asserted). A broadcast semi-join alone
     // filters rows but still reads every bucket file, which at 100 TB is
     // the difference between touching |probed buckets| and the whole
-    // inverted index.
-    val probedTerms = qt.select("term").distinct().collect().map(_.getString(0))
-    val postings = graft.io.Bucketing.readBucketed(spark, table)
-      .where(col("term").isin(probedTerms.toSeq: _*))
-    val idCol = SI.idColOf(spark, table) // ledger-recorded, never positional
+    // inverted index. The collect is CAPPED at `maxProbedKeys` — above
+    // it, [[probePruned]] degrades to the broadcast semi-join instead of
+    // an unbounded driver collect (the contract enforced, not assumed).
+    val postings = probePruned(spark, t, "term", qt, maxProbedKeys)
+    val idCol = SI.idColOf(spark, t) // ledger-recorded, never positional
     require(postings.columns.contains(idCol),
       s"index $table lacks its ledger-recorded id column '$idCol': " +
         postings.columns.mkString(", "))
-    val led = SI.ledger(spark, table)
+    val led = SI.ledger(spark, t)
       .agg(coalesce(sum("n_docs"), lit(0L)).as("__ln"),
         coalesce(sum("total_tokens"), lit(0L)).as("__lt"))
-    val tombAgg = SI.tombstones(spark, table)
+    val tombAgg = SI.tombstones(spark, t)
       .agg(count(lit(1)).as("__tn"), coalesce(sum("dl"), lit(0L)).as("__td"))
     val stats = led.crossJoin(tombAgg)
       .select((col("__ln") - col("__tn")).as("__nd"),
         (col("__lt") - col("__td")).as("__tt"))
     val probed = SI.dropDead(postings,
-      SI.tombstoneMax(spark, table, idCol), idCol)
+      SI.tombstoneMax(spark, t, idCol), idCol)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
     val cand = probed
       .join(qt, "term")
@@ -474,6 +453,31 @@ object Retrieval {
       .select(col(qidCol), col(idCol), col("term"),
         bm25Contrib(k1, b, logIdf).as("__v"))
     rankCandidates(cand, qidCol, idCol, k)
+  }
+
+  /** Cap on the probed-key collect (enforcing the 'query batch is
+    * broadcast-sized' contract instead of assuming it): up to this many
+    * distinct keys become a literal InSet on the bucket column
+    * (bucket-FILE pruning — the scan opens only probed buckets); a
+    * larger batch falls back to the broadcast semi-join, which filters
+    * the same rows but opens every bucket file — graceful degradation
+    * instead of an unbounded driver collect / giant InSet expression. */
+  val DefaultMaxProbedKeys = 10000
+
+  /** Bucket-pruned index scan for a probe-key set, with the InSet→
+    * semi-join fallback above `maxProbedKeys` distinct keys. */
+  private def probePruned(spark: org.apache.spark.sql.SparkSession,
+                          physTable: String, keyCol: String,
+                          probeKeys: DataFrame, maxProbedKeys: Int): DataFrame = {
+    require(maxProbedKeys >= 1, s"maxProbedKeys must be >= 1: $maxProbedKeys")
+    val keys = probeKeys.select(keyCol).distinct()
+      .limit(maxProbedKeys + 1).collect().map(_.getString(0))
+    val scan = graft.io.Bucketing.readBucketed(spark, physTable)
+    if (keys.length <= maxProbedKeys)
+      scan.where(col(keyCol).isin(keys.toSeq: _*))
+    else
+      scan.join(broadcast(probeKeys.select(keyCol).distinct()),
+        Seq(keyCol), "left_semi")
   }
 
   /** The broadcast (qid, distinct term) expansion both paths probe with. */

@@ -744,6 +744,7 @@ object Similarity {
                          maxBucketSize: Int = 1000): Unit = {
     val SI = graft.io.SegmentedIndex
     val spark = corpus.sparkSession
+    SI.resetGen(spark, table) // fresh build owns the plain names again
     val edges = knnGraph(corpus, idCol, vecCol, k, bits, maxBucketSize)
       .withColumn(SI.SegCol, lit(0L))
     graft.io.Bucketing.writeBucketed(edges, table, "src", buckets)
@@ -752,16 +753,12 @@ object Similarity {
           signBucket(col(vecCol), bits).as("__bkt"))
         .withColumn(SI.SegCol, lit(0L)),
       table + "_vecs", "__bkt", buckets)
-    val tombT = SI.tombstoneTable(table)
-    graft.io.Bucketing.clearOrphanLocation(spark, tombT)
-    corpus.select(col(idCol).as("src"), lit(0L).as("below_seg")).limit(0)
-      .write.mode("overwrite").format("parquet").saveAsTable(tombT)
+    SI.initTombstones(spark, table,
+      corpus.select(col(idCol).as("src"), lit(0L).as("below_seg")))
     // the vector store gets its OWN tombstones: [[updateKnnGraphIndex]]
     // retires changed vectors without rewriting bucket files
-    val vecTombT = SI.tombstoneTable(table + "_vecs")
-    graft.io.Bucketing.clearOrphanLocation(spark, vecTombT)
-    corpus.select(col(idCol), lit(0L).as("below_seg")).limit(0)
-      .write.mode("overwrite").format("parquet").saveAsTable(vecTombT)
+    SI.initTombstones(spark, table + "_vecs",
+      corpus.select(col(idCol), lit(0L).as("below_seg")))
     SI.initLedger(spark, table, "src", corpus.count(), 0L)
   }
 
@@ -798,24 +795,23 @@ object Similarity {
                             table: String, buckets: Int, k: Int, bits: Int,
                             maxBucketSize: Int = 1000, batchId: String): Unit = {
     val SI = graft.io.SegmentedIndex
-    val vecsT = table + "_vecs"
-    val tombT = SI.tombstoneTable(table)
+    val t = SI.resolve(spark, table)
+    val vecsT = t + "_vecs"
+    val tombT = SI.tombstoneTable(t)
     // The index tables may have been appended by ANOTHER session since
     // this one last listed them (a prior stream micro-batch ran in its
     // own foreachBatch clone); a stale relation cache here would make
     // the probe silently miss corpus rows. Refresh is metadata-only.
-    Seq(table, vecsT, tombT, SI.tombstoneTable(vecsT), SI.ledgerTable(table))
+    Seq(t, vecsT, tombT, SI.tombstoneTable(vecsT), SI.ledgerTable(t))
       .foreach(spark.catalog.refreshTable)
-    if (SI.hasBatch(spark, table, batchId)) return
-    val seg = SI.nextSeg(spark, table)
+    if (SI.hasBatch(spark, t, batchId)) return
+    val seg = SI.nextSeg(spark, t)
     val b = batch.select(col(idCol), col(vecCol),
       signBucket(col(vecCol), bits).as("__bkt")).localCheckpoint(true)
 
     // 1. vector store gains the delivery's rows (probe excludes them
     // below, so writing first keeps retries deterministic).
-    if (!SI.segPresent(spark, vecsT, seg))
-      graft.io.Bucketing.appendBucketed(
-        b.withColumn(SI.SegCol, lit(seg)), vecsT, "__bkt", buckets)
+    SI.appendSegment(spark, vecsT, b, "__bkt", buckets, seg)
 
     // 2. new edges = intra-delivery top-k ∪ cross-corpus candidates.
     val intra = knnGraph(b.drop("__bkt"), idCol, vecCol, k, bits, maxBucketSize)
@@ -848,8 +844,8 @@ object Similarity {
     // 3. re-rank ONLY affected nodes: existing live top-k (≤ k rows per
     // node, read exchange-free off the src bucketing) ∪ new edges.
     val affected = newEdges.select("src").distinct().localCheckpoint(true)
-    val existing = SI.dropDead(spark.table(table).where(col(SI.SegCol) < seg),
-        SI.tombstoneMax(spark, table, "src"), "src")
+    val existing = SI.dropDead(spark.table(t).where(col(SI.SegCol) < seg),
+        SI.tombstoneMax(spark, t, "src"), "src")
       .join(broadcast(affected), Seq("src"), "left_semi")
       .select(col("src"), col("dst"), col("cos"))
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
@@ -857,15 +853,12 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .localCheckpoint(true) // detach from the store before writing into it
-    if (!SI.segPresent(spark, table, seg))
-      graft.io.Bucketing.appendBucketed(
-        merged.withColumn(SI.SegCol, lit(seg)), table, "src", buckets)
+    SI.appendSegment(spark, t, merged, "src", buckets, seg)
     // 4. tombstone the affected nodes' PRIOR versions (this segment's
     // own rows survive: dead iff __seg < below_seg).
-    if (spark.table(tombT).where(col("below_seg") === seg).limit(1).isEmpty)
-      affected.select(col("src"), lit(seg).as("below_seg"))
-        .write.mode("append").format("parquet").saveAsTable(tombT)
-    SI.appendLedger(spark, table, seg, batchId, b.count(), newEdges.count(), "src")
+    SI.tombstoneSegment(spark, t,
+      affected.select(col("src"), lit(seg).as("below_seg")), seg)
+    SI.appendLedger(spark, t, seg, batchId, b.count(), newEdges.count(), "src")
   }
 
   /** CDC maintenance of a persisted kNN-graph index — the engine's
@@ -898,13 +891,14 @@ object Similarity {
                           bits: Int, maxBucketSize: Int = 1000,
                           batchId: String): Unit = {
     val SI = graft.io.SegmentedIndex
-    val vecsT = table + "_vecs"
-    val tombT = SI.tombstoneTable(table)
+    val t = SI.resolve(spark, table)
+    val vecsT = t + "_vecs"
+    val tombT = SI.tombstoneTable(t)
     val vecTombT = SI.tombstoneTable(vecsT)
-    Seq(table, vecsT, tombT, vecTombT, SI.ledgerTable(table))
+    Seq(t, vecsT, tombT, vecTombT, SI.ledgerTable(t))
       .foreach(spark.catalog.refreshTable)
-    if (SI.hasBatch(spark, table, batchId)) return
-    val seg = SI.nextSeg(spark, table)
+    if (SI.hasBatch(spark, t, batchId)) return
+    val seg = SI.nextSeg(spark, t)
     val changedIds = changes.select(col(idCol)).distinct().localCheckpoint(true)
     val upserts = changes.where(col(opCol) =!= "D")
       .select(col(idCol), col(vecCol), signBucket(col(vecCol), bits).as("__bkt"))
@@ -915,12 +909,9 @@ object Similarity {
     // 1. Vector-store maintenance: retire every changed id's prior rows,
     // land the upserted vectors at this segment. (Their own tombstone
     // does not kill them: __seg is not below itself.)
-    if (spark.table(vecTombT).where(col("below_seg") === seg).limit(1).isEmpty)
-      changedIds.select(col(idCol), lit(seg).as("below_seg"))
-        .write.mode("append").format("parquet").saveAsTable(vecTombT)
-    if (!SI.segPresent(spark, vecsT, seg))
-      graft.io.Bucketing.appendBucketed(
-        upserts.withColumn(SI.SegCol, lit(seg)), vecsT, "__bkt", buckets)
+    SI.tombstoneSegment(spark, vecsT,
+      changedIds.select(col(idCol), lit(seg).as("below_seg")), seg)
+    SI.appendSegment(spark, vecsT, upserts, "__bkt", buckets, seg)
 
     // Replay-deterministic state views: vec tombstones THROUGH this
     // segment (just written), edge tombstones strictly BEFORE it (this
@@ -929,9 +920,9 @@ object Similarity {
     val liveStore = SI.dropDead(spark.table(vecsT),
       SI.tombstoneMax(spark, vecsT, idCol), idCol)
     val priorEdgeTomb = broadcast(
-      SI.tombstones(spark, table).where(col("below_seg") < seg)
+      SI.tombstones(spark, t).where(col("below_seg") < seg)
         .groupBy("src").agg(max("below_seg").as("__below")))
-    val oldLive = SI.dropDead(spark.table(table).where(col(SI.SegCol) < seg),
+    val oldLive = SI.dropDead(spark.table(t).where(col(SI.SegCol) < seg),
       priorEdgeTomb, "src")
 
     // 2. Repair set: upserted nodes (their own neighborhood changed) +
@@ -983,17 +974,14 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .localCheckpoint(true)
-    if (!SI.segPresent(spark, table, seg))
-      graft.io.Bucketing.appendBucketed(
-        merged.withColumn(SI.SegCol, lit(seg)), table, "src", buckets)
+    SI.appendSegment(spark, t, merged, "src", buckets, seg)
     // 5. Tombstone prior versions of every rewritten node AND of deleted
     // nodes (whose edge lists die with them, no replacement rows).
-    if (spark.table(tombT).where(col("below_seg") === seg).limit(1).isEmpty)
+    SI.tombstoneSegment(spark, t,
       repairSrcs.unionByName(gainSrcs)
         .unionByName(deletedIds).distinct()
-        .select(col(idCol).as("src"), lit(seg).as("below_seg"))
-        .write.mode("append").format("parquet").saveAsTable(tombT)
-    SI.appendLedger(spark, table, seg, batchId,
+        .select(col(idCol).as("src"), lit(seg).as("below_seg")), seg)
+    SI.appendLedger(spark, t, seg, batchId,
       upserts.count(), merged.count(), "src")
   }
 
@@ -1003,50 +991,37 @@ object Similarity {
   def readKnnGraph(spark: org.apache.spark.sql.SparkSession,
                    table: String): DataFrame = {
     val SI = graft.io.SegmentedIndex
+    val t = SI.resolve(spark, table)
     // stream maintenance appends from per-batch cloned sessions; a
     // long-lived reader session must not serve its stale file listing
-    Seq(table, SI.tombstoneTable(table)).foreach(spark.catalog.refreshTable)
-    SI.dropDead(spark.table(table), SI.tombstoneMax(spark, table, "src"), "src")
+    Seq(t, SI.tombstoneTable(t)).foreach(spark.catalog.refreshTable)
+    SI.dropDead(spark.table(t), SI.tombstoneMax(spark, t, "src"), "src")
       .select(col("src"), col("dst"), col("cos"), col("rank"))
   }
 
   /** Fold accumulated graph segments and tombstones into a fresh
     * segment-0 index (same churn-control contract and crash caveat as
     * [[Retrieval.compactBm25Index]]): live edge versions and the vector
-    * store rewrite under `__next` names, tombstones and ledger reset,
-    * then the four tables swap. Probe results are unchanged
-    * (spec-asserted); what resets is the read path's tombstone broadcast
-    * and the per-bucket appended-file count. */
+    * store rewrite as the next GENERATION, tombstones and ledger reset,
+    * committed by the single generation-pointer append
+    * ([[graft.io.SegmentedIndex.compact]] — crash-atomic). Probe results
+    * are unchanged (spec-asserted); what resets is the read path's
+    * tombstone broadcast and the per-bucket appended-file count. */
   def compactKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
-                           table: String, buckets: Int): Unit = {
+                           table: String, buckets: Int,
+                           beforeCommit: () => Unit = () => (),
+                           afterCommit: () => Unit = () => ()): Unit = {
     val SI = graft.io.SegmentedIndex
-    val vecsT = table + "_vecs"
-    val tombT = SI.tombstoneTable(table)
-    val ledT = SI.ledgerTable(table)
-    val vecTombT = SI.tombstoneTable(vecsT)
+    val cur = SI.resolve(spark, table)
     // the vec store's id column: the tombstone schema is exactly
     // (idCol, below_seg), so the id is the one non-structural column
-    val vIdCol = spark.table(vecTombT).columns.filterNot(_ == "below_seg").head
-    val liveEdges = SI.dropDead(spark.table(table),
-        SI.tombstoneMax(spark, table, "src"), "src")
-      .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
-    val liveVecs = SI.dropDead(spark.table(vecsT),
-        SI.tombstoneMax(spark, vecsT, vIdCol), vIdCol)
-      .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
-    graft.io.Bucketing.writeBucketed(liveEdges, table + "__next", "src", buckets)
-    graft.io.Bucketing.writeBucketed(liveVecs, vecsT + "__next", "__bkt", buckets)
-    graft.io.Bucketing.clearOrphanLocation(spark, tombT + "__next")
-    liveEdges.select(col("src"), lit(0L).as("below_seg")).limit(0)
-      .write.mode("overwrite").format("parquet").saveAsTable(tombT + "__next")
-    graft.io.Bucketing.clearOrphanLocation(spark, vecTombT + "__next")
-    liveVecs.select(col(vIdCol), lit(0L).as("below_seg")).limit(0)
-      .write.mode("overwrite").format("parquet").saveAsTable(vecTombT + "__next")
-    graft.io.Bucketing.clearOrphanLocation(spark, ledT + "__next")
-    import spark.implicits._
-    Seq((0L, SI.BaseBatch, liveVecs.count(), 0L, "src"))
-      .toDF("seg", "batch_id", "n_docs", "total_tokens", "id_col")
-      .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(ledT + "__next")
-    Seq(table, vecsT, tombT, vecTombT, ledT).foreach(SI.swapNext(spark, _))
+    val vIdCol = spark.table(SI.tombstoneTable(cur + "_vecs"))
+      .columns.filterNot(_ == "below_seg").head
+    SI.compact(spark, table, buckets,
+      Seq(SI.CompactTable("", "src", "src", ownTombstones = true),
+        SI.CompactTable("_vecs", "__bkt", vIdCol, ownTombstones = true)),
+      live => (live("_vecs").count(), 0L),
+      "src", beforeCommit, afterCommit)
   }
 
   /** Recall@k of an approximate kNN result against exact ground truth —

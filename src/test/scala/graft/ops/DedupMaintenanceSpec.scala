@@ -69,8 +69,10 @@ class DedupMaintenanceSpec extends SparkSpec {
     assert(cands(t) == once && spark.table(t + "_segments").count() == segs)
     Dedup.compactLshIndex(spark, t, buckets = 4)
     assert(cands(t) == once)
-    assert(spark.table(t + "_tombstones").count() == 0)
-    assert(spark.table(t).where($"__seg" =!= 0L).count() == 0)
+    // post-compaction physical tables live under the committed generation
+    val SI = graft.io.SegmentedIndex
+    assert(SI.tombstones(spark, t).count() == 0)
+    assert(spark.table(SI.resolve(spark, t)).where($"__seg" =!= 0L).count() == 0)
     dropIndex(t)
   }
 

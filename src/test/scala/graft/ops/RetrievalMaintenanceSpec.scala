@@ -122,9 +122,11 @@ class RetrievalMaintenanceSpec extends SparkSpec {
     assert(probe(t) == expect)
     Retrieval.compactBm25Index(spark, t, buckets = 4)
     assert(probe(t) == expect)
-    assert(spark.table(t + "_tombstones").count() == 0)
-    assert(spark.table(t + "_segments").count() == 1)
-    assert(spark.table(t).where(col("__seg") =!= 0L).count() == 0)
+    // post-compaction physical tables live under the committed generation
+    val SI = graft.io.SegmentedIndex
+    assert(SI.tombstones(spark, t).count() == 0)
+    assert(SI.ledger(spark, t).count() == 1)
+    assert(spark.table(SI.resolve(spark, t)).where(col("__seg") =!= 0L).count() == 0)
     dropIndex(t)
   }
 
@@ -152,11 +154,17 @@ class RetrievalMaintenanceSpec extends SparkSpec {
     assert(probeP() == recompute(merged))
     // compaction folds segments + tombstones away; probe unchanged
     Retrieval.compactPhraseIndex(spark, t, buckets = 4)
-    assert(spark.table(t + "_tombstones").count() == 0)
-    assert(spark.table(t + "_segments").count() == 1)
-    assert(spark.table(t).where(col("__seg") =!= 0L).count() == 0)
+    val SI = graft.io.SegmentedIndex
+    assert(SI.tombstones(spark, t).count() == 0)
+    assert(SI.ledger(spark, t).count() == 1)
+    // the re-baselined n_docs follows the ledger-minus-tombstones
+    // arithmetic: all 5 merged docs, INCLUDING any with <2 tokens
+    assert(SI.ledger(spark, t).select("n_docs").head().getLong(0) == 5L)
+    assert(spark.table(SI.resolve(spark, t)).where(col("__seg") =!= 0L).count() == 0)
     assert(probeP() == recompute(merged))
-    Seq(t, t + "_tombstones", t + "_segments")
+    (Seq(t, t + "_tombstones", t + "_segments", SI.genPointerTable(t)) ++
+      Seq(SI.resolve(spark, t)).flatMap(p =>
+        Seq(p, p + "_tombstones", p + "_segments")))
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 }

@@ -14,8 +14,11 @@ import java.nio.file.Files
   * design claims: (a) per-delivery maintenance cost is bounded by the
   * delivery (tokenize + bucket-append of the batch only — the index is
   * never read); (b) probe cost tracks the PROBED TERMS' posting lists,
-  * not the index size (term-bucket semi-join; df recount over surviving
-  * postings of probed terms only). Scratch tool; results in SCALE.md.
+  * not the index size: the probed terms become a literal InSet on the
+  * bucket column, so the scan bucket-FILE-prunes to the probed terms'
+  * files (SelectedBucketsCount ≤ probed terms) and df recounts over the
+  * surviving postings of those files only. Scratch tool; results in
+  * SCALE.md.
   *
   * Usage: Test/runMain graft.tools.ProbeRetrievalGate [thousandsOfDocs]
   */
