@@ -812,19 +812,23 @@ object TextQueries {
 
   /** CMS mirror (4×256, watchlist = the stopword fixture) — shared by
     * text_cms_counts and text_cms_merged (cell sums are additive, so the
-    * parity-half SUM-merge must equal this single pass). */
+    * parity-half SUM-merge must equal this single pass). One md5 per
+    * term; row i's cell is the i-th 15-bit slice of the 60-bit digest —
+    * the [[graft.ops.Sketches.cmsBuild]] cell function verbatim. */
   private val cmsSql = {
     val watch = graft.functions.TextFunctions.StopwordsEn
       .map(t => s"('$t')").mkString(", ")
     s"""WITH toks AS (SELECT unnest($toksSql) AS term FROM documents),
+       |hashed AS (SELECT ${h60("'cms:'||term")} AS h FROM toks),
        |cells AS (
-       |  SELECT i, ${h60("i::VARCHAR||':cms:'||term")} % 256 AS col,
+       |  SELECT i, ((h >> (i * 15)::INT) & 32767) % 256 AS col,
        |         count(*)::BIGINT AS cnt
-       |  FROM toks, range(4) t(i) GROUP BY 1, 2),
+       |  FROM hashed, range(4) t(i) GROUP BY 1, 2),
        |watch(term) AS (VALUES $watch),
+       |wh AS (SELECT term, ${h60("'cms:'||term")} AS h FROM watch),
        |probe AS (
-       |  SELECT term, i, ${h60("i::VARCHAR||':cms:'||term")} % 256 AS col
-       |  FROM watch, range(4) t(i))
+       |  SELECT term, i, ((h >> (i * 15)::INT) & 32767) % 256 AS col
+       |  FROM wh, range(4) t(i))
        |SELECT term, min(coalesce(cnt, 0::BIGINT))::BIGINT AS cms_count
        |FROM probe LEFT JOIN cells USING (i, col)
        |GROUP BY 1""".stripMargin
