@@ -28,6 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    byte rate (u32 at +8); the declared `data` chunk size over the
   *    byte rate gives the duration (exact integer ms —
   *    `data_bytes * 1000 / byte_rate`).
+  *  - MP4 (ISO-BMFF): big-endian (size, type) box walk from the `ftyp`
+  *    box; `moov/mvhd` gives timescale + duration (v0 u32 / v1 u64
+  *    fields, duration_ms = duration·1000/timescale exact integer) and
+  *    the first `moov/trak/tkhd` with nonzero dimensions gives
+  *    width/height (16.16 fixed point → integer part)
+  *    (ISO/IEC 14496-12 §8.2.2, §8.3.2).
   *
   * Output struct: (format, width, height, channels, sample_rate,
   * duration_ms) — fields not defined by a format are NULL, and any
@@ -92,6 +98,59 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
           i += 2 + segLen
         }
       }
+      return unknown
+    }
+    // ISO-BMFF (MP4/MOV): big-endian (size, type) box walk — the file
+    // starts with an `ftyp` box; `moov/mvhd` carries timescale +
+    // duration and `moov/trak/tkhd` carries 16.16 fixed-point track
+    // width/height (ISO/IEC 14496-12 §8.2.2, §8.3.2 — same public-spec
+    // arithmetic as the WAV chunk walk, big-endian). Audio-only files
+    // have no video trak → width/height NULL; a file without a sound
+    // mvhd degrades to unknown.
+    if (b.length >= 12 && ascii(b, 4, "ftyp")) {
+      var ts = -1L; var dur = -1L; var w = -1; var h = -1
+      def be64(i: Int): Long = (be32(b, i) << 32) | be32(b, i + 4)
+      // children of [start, end): depth 0 = file, 1 = moov, 2 = trak.
+      // Any malformed size (smaller than its header, or past the
+      // enclosing box) ends that level's walk — captured values stand.
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        var i = start
+        while (i + 8 <= end) {
+          val size32 = be32(b, i)
+          var hdr = 8
+          var size = size32
+          if (size32 == 1L) { // 64-bit largesize
+            if (i + 16 > end) return
+            size = be64(i + 8); hdr = 16
+          } else if (size32 == 0L) size = (end - i).toLong // box-to-EOF
+          if (size < hdr || size > end - i) return
+          val cEnd = i + size.toInt
+          if (depth == 0 && ascii(b, i + 4, "moov")) walk(i + hdr, cEnd, 1)
+          else if (depth == 1 && ascii(b, i + 4, "trak")) walk(i + hdr, cEnd, 2)
+          else if (depth == 1 && ascii(b, i + 4, "mvhd") && i + hdr < cEnd) {
+            val v = b(i + hdr) & 0xff
+            if (v == 0 && i + hdr + 20 <= cEnd) {
+              ts = be32(b, i + hdr + 12); dur = be32(b, i + hdr + 16)
+            } else if (v == 1 && i + hdr + 32 <= cEnd) {
+              ts = be32(b, i + hdr + 20); dur = be64(i + hdr + 24)
+            }
+          } else if (depth == 2 && ascii(b, i + 4, "tkhd") && i + hdr < cEnd) {
+            val v = b(i + hdr) & 0xff
+            val off = if (v == 1) 88 else 76 // v1 widens 3 time fields
+            if (w <= 0 && h <= 0 && i + hdr + off + 8 <= cEnd) {
+              val fw = (be32(b, i + hdr + off) >>> 16).toInt  // 16.16 → int part
+              val fh = (be32(b, i + hdr + off + 4) >>> 16).toInt
+              if (fw > 0 && fh > 0) { w = fw; h = fh }
+            }
+          }
+          i = cEnd
+        }
+      }
+      walk(0, b.length, 0)
+      if (ts > 0 && dur >= 0)
+        return InternalRow(UTF8String.fromString("mp4"),
+          if (w > 0) w else null, if (h > 0) h else null,
+          null, null, dur * 1000L / ts)
       return unknown
     }
     // WAV: RIFF....WAVE, then little-endian chunk walk.

@@ -223,7 +223,7 @@ object Multimodal {
     * single fixture formula the mm_decode_meta oracle mirrors):
     * id ≡ 0 (mod 3) → PNG, ≡ 1 → JPEG, ≡ 2 → WAV. */
   private[ops] def buildHeaderPayload(id: Long, body: Array[Byte]): Array[Byte] =
-    (id % 3) match {
+    (id % 4) match {
       case 0 =>
         val w = (id % 1920 + 1).toInt; val h = (id % 1080 + 1).toInt
         Array(0x89.toByte) ++ ascii("PNG") ++
@@ -239,15 +239,39 @@ object Multimodal {
           Array(0xff, 0xc0).map(_.toByte) ++ be16(11) ++ Array[Byte](8) ++
           be16(h) ++ be16(w) ++ Array[Byte](1, 0x11, 0) ++
           body ++ Array(0xff, 0xd9).map(_.toByte)
-      case _ =>
-        val channels = (id % 2 + 1).toInt
-        val sampleRate = (8000 * (id % 4 + 1)).toInt
+      case 2 =>
+        // id ≡ 2 (mod 4): id-derived fields use id/4 so they still vary
+        val channels = ((id / 4) % 2 + 1).toInt
+        val sampleRate = (8000 * ((id / 4) % 4 + 1)).toInt
         val byteRate = sampleRate * channels * 2
         val dataBytes = ((id % 100 + 1) * 1000).toInt
         ascii("RIFF") ++ le32(36 + dataBytes) ++ ascii("WAVE") ++
           ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(channels) ++
           le32(sampleRate) ++ le32(byteRate) ++ le16(channels * 2) ++
           le16(16) ++ ascii("data") ++ le32(dataBytes) ++ body
+      case _ =>
+        // Minimal ISO-BMFF: ftyp(16) + moov(216: mvhd(108) +
+        // trak(100: tkhd(92))) + mdat header(8) = 240 B before the body.
+        val ts = (600 * ((id / 4) % 3 + 1)).toInt
+        val dur = ((id % 50 + 1) * ts + (id % 7) * 37).toInt
+        val w = (id % 1280 + 16).toInt; val h = (id % 720 + 16).toInt
+        val matrix = be32(0x10000) ++ be32(0) ++ be32(0) ++
+          be32(0) ++ be32(0x10000) ++ be32(0) ++
+          be32(0) ++ be32(0) ++ be32(0x40000000)
+        val mvhd = be32(108) ++ ascii("mvhd") ++
+          be32(0) ++ be32(0) ++ be32(0) ++ // v0+flags, creation, modification
+          be32(ts) ++ be32(dur) ++
+          be32(0x10000) ++ Array[Byte](1, 0) ++ Array.fill[Byte](10)(0) ++ // rate, volume, reserved
+          matrix ++ Array.fill[Byte](24)(0) ++ be32(2) // predefined, next track
+        val tkhd = be32(92) ++ ascii("tkhd") ++
+          be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ // v0+flags, times, track 1, reserved
+          be32(dur) ++ Array.fill[Byte](8)(0) ++ // duration, reserved
+          Array.fill[Byte](8)(0) ++ // layer, alternate group, volume, reserved
+          matrix ++ be32(w << 16) ++ be32(h << 16) // 16.16 fixed point
+        val trak = be32(100) ++ ascii("trak") ++ tkhd
+        be32(16) ++ ascii("ftyp") ++ ascii("isom") ++ be32(0) ++
+          be32(216) ++ ascii("moov") ++ mvhd ++ trak ++
+          be32(8 + body.length) ++ ascii("mdat") ++ body
     }
 
   /** Media fixture with REAL container headers (PNG/JPEG/WAV bytes the
@@ -260,7 +284,11 @@ object Multimodal {
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val kind = if (id % 3 == 2) "audio" else "image"
+        val kind = (id % 4) match {
+          case 2 => "audio"
+          case 3 => "video"
+          case _ => "image"
+        }
         (id, kind,
           buildHeaderPayload(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       }.toDF("media_id", "kind", "payload")

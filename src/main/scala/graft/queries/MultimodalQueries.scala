@@ -37,12 +37,13 @@ object MultimodalQueries {
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(media(s, dir))),
 
-    // REAL header decode: payloads carrying actual PNG/JPEG/WAV container
-    // bytes (id-derived dimensions), parsed by the native
+    // REAL header decode: payloads carrying actual PNG/JPEG/WAV/MP4
+    // container bytes (id-derived dimensions), parsed by the native
     // MediaHeaderExpr — big-endian IHDR/SOF fields, little-endian RIFF
-    // chunk walk, exact integer duration. The oracle recomputes every
-    // field from the fixture formula, so a parser that misreads any
-    // offset or endianness hash-mismatches.
+    // chunk walk, ISO-BMFF box walk (mvhd timescale/duration + tkhd
+    // 16.16 dimensions), exact integer durations. The oracle recomputes
+    // every field from the fixture formula, so a parser that misreads
+    // any offset or endianness hash-mismatches.
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.decodeHeaders(
         Multimodal.mediaWithRealHeaders(Tables(s, dir, "documents"),
@@ -230,23 +231,34 @@ object MultimodalQueries {
          |FROM cs""".stripMargin,
 
     // mm_decode_meta mirror: every field from the fixture's id-derived
-    // formula (header sizes: PNG 33 B, JPEG 34 B, WAV 44 B around the
-    // UTF-8 body; WAV duration is exact integer division of declared
-    // data bytes by byte rate).
+    // formula (header sizes: PNG 33 B, JPEG 34 B, WAV 44 B, MP4 240 B
+    // around the UTF-8 body; WAV duration is exact integer division of
+    // declared data bytes by byte rate, MP4 duration of mvhd duration
+    // ticks by the mvhd timescale).
     "mm_decode_meta" ->
       """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 3 = 2 THEN 'audio' ELSE 'image' END AS kind,
+        |  CASE doc_id % 4 WHEN 2 THEN 'audio' WHEN 3 THEN 'video'
+        |       ELSE 'image' END AS kind,
         |  (octet_length(encode(text))
-        |    + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 34 ELSE 44 END)::BIGINT AS n_bytes,
-        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
-        |  (CASE doc_id % 3 WHEN 0 THEN doc_id % 1920 + 1
-        |        WHEN 1 THEN doc_id % 3840 + 1 END)::INT AS width,
-        |  (CASE doc_id % 3 WHEN 0 THEN doc_id % 1080 + 1
-        |        WHEN 1 THEN doc_id % 2160 + 1 END)::INT AS height,
-        |  (CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1 END)::INT AS channels,
-        |  (CASE WHEN doc_id % 3 = 2 THEN 8000 * (doc_id % 4 + 1) END)::INT AS sample_rate,
-        |  (CASE WHEN doc_id % 3 = 2 THEN ((doc_id % 100 + 1) * 1000) * 1000
-        |     // (8000 * (doc_id % 4 + 1) * (doc_id % 2 + 1) * 2) END)::BIGINT AS duration_ms
+        |    + CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 34
+        |           WHEN 2 THEN 44 ELSE 240 END)::BIGINT AS n_bytes,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+        |  (CASE doc_id % 4 WHEN 0 THEN doc_id % 1920 + 1
+        |        WHEN 1 THEN doc_id % 3840 + 1
+        |        WHEN 3 THEN doc_id % 1280 + 16 END)::INT AS width,
+        |  (CASE doc_id % 4 WHEN 0 THEN doc_id % 1080 + 1
+        |        WHEN 1 THEN doc_id % 2160 + 1
+        |        WHEN 3 THEN doc_id % 720 + 16 END)::INT AS height,
+        |  (CASE WHEN doc_id % 4 = 2 THEN (doc_id // 4) % 2 + 1 END)::INT AS channels,
+        |  (CASE WHEN doc_id % 4 = 2 THEN 8000 * ((doc_id // 4) % 4 + 1) END)::INT AS sample_rate,
+        |  (CASE doc_id % 4
+        |     WHEN 2 THEN ((doc_id % 100 + 1) * 1000) * 1000
+        |       // (8000 * ((doc_id // 4) % 4 + 1) * ((doc_id // 4) % 2 + 1) * 2)
+        |     WHEN 3 THEN ((doc_id % 50 + 1) * (600 * ((doc_id // 4) % 3 + 1))
+        |                   + (doc_id % 7) * 37) * 1000
+        |       // (600 * ((doc_id // 4) % 3 + 1))
+        |   END)::BIGINT AS duration_ms
         |FROM documents""".stripMargin,
 
     // resizeTo(640, 480): aspect-preserving fit of the mm_features

@@ -20,19 +20,48 @@ class MediaHeaderSpec extends SparkSpec {
       Multimodal.mediaWithRealHeaders(docs, "doc_id", "text"))
     assert(got.where(col("format") === "unknown").count() == 0)
     val bad = got.where(
-      (col("media_id") % 3 === 0 &&
+      (col("media_id") % 4 === 0 &&
         (col("format") =!= "png" ||
           col("width") =!= (col("media_id") % 1920 + 1).cast("int") ||
           col("height") =!= (col("media_id") % 1080 + 1).cast("int"))) ||
-      (col("media_id") % 3 === 1 &&
+      (col("media_id") % 4 === 1 &&
         (col("format") =!= "jpeg" ||
           col("width") =!= (col("media_id") % 3840 + 1).cast("int") ||
           col("height") =!= (col("media_id") % 2160 + 1).cast("int"))) ||
-      (col("media_id") % 3 === 2 &&
+      (col("media_id") % 4 === 2 &&
         (col("format") =!= "wav" ||
-          col("channels") =!= (col("media_id") % 2 + 1).cast("int") ||
-          col("sample_rate") =!= (lit(8000) * (col("media_id") % 4 + 1)).cast("int"))))
+          col("channels") =!= (expr("media_id div 4") % 2 + 1).cast("int") ||
+          col("sample_rate") =!= (lit(8000) * (expr("media_id div 4") % 4 + 1)).cast("int"))) ||
+      (col("media_id") % 4 === 3 &&
+        (col("format") =!= "mp4" ||
+          col("width") =!= (col("media_id") % 1280 + 16).cast("int") ||
+          col("height") =!= (col("media_id") % 720 + 16).cast("int"))))
     assert(bad.count() == 0)
+  }
+
+  test("MP4 box walk: v0/v1 fields, audio-only traks, and malformed boxes degrade safely") {
+    import Multimodal.buildHeaderPayload
+    // Fixture round-trip incl. exact duration: id 7 → ts 600·((7/4)%3+1)=1200,
+    // dur = (7%50+1)·1200 + (7%7)·37 = 9600 → 8000 ms.
+    val r = decodeOne(buildHeaderPayload(7L, "body".getBytes))
+    assert(r.getString(0) == "mp4" && r.getInt(1) == (7 % 1280 + 16) &&
+      r.getInt(2) == (7 % 720 + 16) && r.getLong(5) == 8000L)
+    assert(r.isNullAt(3) && r.isNullAt(4)) // channels/sample_rate undefined
+    // ftyp alone (no moov) → unknown, never a throw.
+    val ftypOnly = Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++ Array[Byte](0, 0, 0, 0)
+    assert(decodeOne(ftypOnly).getString(0) == "unknown")
+    // moov whose mvhd is truncated mid-field → unknown.
+    val truncated = buildHeaderPayload(7L, Array.empty[Byte]).take(40)
+    assert(decodeOne(truncated).getString(0) == "unknown")
+    // Box with a size smaller than its header ends the walk; captured
+    // mvhd values stand (audio-only: no tkhd → null dimensions).
+    val full = buildHeaderPayload(7L, Array.empty[Byte])
+    val noTrak = full.take(16) ++ // ftyp
+      Array[Byte](0, 0, 0, 116) ++ "moov".getBytes ++ full.slice(24, 132) ++ // moov w/ mvhd only
+      Array[Byte](0, 0, 0, 2) ++ "junk".getBytes // size 2 < header → stop
+    val a = decodeOne(noTrak)
+    assert(a.getString(0) == "mp4" && a.isNullAt(1) && a.isNullAt(2) &&
+      a.getLong(5) == 8000L)
   }
 
   test("garbage, empty, and truncated payloads degrade to unknown — never throw") {
