@@ -560,6 +560,80 @@ object RelationalQueries {
           count(lit(1)).as("n_cheap"))
     }),
 
+    // TPC-H Q4 shape (order-priority checking): correlated EXISTS whose
+    // predicate references BOTH sides (late lineitem vs ITS order's
+    // date) — decorrelated into one left-SEMI join with the equi key
+    // plus the lateness residual; the quarter filter stays pushed to
+    // the orders scan. One fact-fact semi join, one grouped count.
+    "rel_tpch_q4" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      val li = Tables(s, dir, "lineitem")
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q16 shape (supplier relationship count): NOT IN subquery as
+    // a broadcast left-ANTI join (the excluded supplier set is tiny and
+    // null-free, so anti ≡ NOT IN), distinct-count aggregation per part
+    // attribute pair, top-50 by (count desc, brand, size).
+    "rel_tpch_q16" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part").where(col("p_brand") =!= "Brand#45")
+      val excl = Tables(s, dir, "supplier").where(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+        .limit(50)
+    }),
+
+    // TPC-H Q20 shape (excess-share suppliers): the NESTED subquery
+    // chain — suppliers semi-join (part, supplier) volume shares whose
+    // own scalar-per-group subquery (1/7 of the part's total) is
+    // decorrelated into a second aggregation joined back on the part
+    // key. The share comparison cross-multiplies in exact decimals.
+    "rel_tpch_q20" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val pf = Tables(s, dir, "part").where(col("p_size") <= 15)
+        .select("p_partkey")
+      val ps = li.join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(dec(col("l_quantity"), 2)).cast(DecimalType(18, 2)).as("__q"))
+      val pt = ps.groupBy(col("l_partkey").as("__pk"))
+        .agg(sum(col("__q")).as("__tq"))
+      val bigShare = ps.join(pt, col("l_partkey") === col("__pk"))
+        .where(col("__q") * lit(7) > col("__tq"))
+        .select(col("l_suppkey"))
+      Tables(s, dir, "supplier")
+        .join(bigShare, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    }),
+
+    // TPC-H Q22 shape (global-sales opportunity): scalar SUBQUERY
+    // (average positive balance) decorrelated to a one-row broadcast
+    // cross join, NOT EXISTS as a left-ANTI join against the high-value
+    // orders, then a null-free grouped count/sum. The avg is the exact
+    // decimal sum over the exact count — ONE IEEE division, portable.
+    "rel_tpch_q22" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val avgBal = c.where(col("c_acctbal") > 0.0)
+        .agg((sum(dec(col("c_acctbal"), 2)).cast("double") / count(lit(1))).as("__a"))
+      c.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("__a"))
+        .join(Tables(s, dir, "orders").where(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 5).as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec(col("c_acctbal"), 2)).cast("double").as("totacctbal"))
+    }),
+
     // TPC-H Q21 shape (suppliers who kept orders waiting): the
     // EXISTS / NOT EXISTS chain as left-SEMI + left-ANTI self-joins over
     // one shared lateness-flagged fact (computed once, reused three
@@ -953,6 +1027,50 @@ object RelationalQueries {
         |       count(*) AS n_cheap
         |FROM lif JOIN pp ON l_partkey = pk
         |WHERE CAST(l_quantity AS DECIMAL(9,2)) * 5 * nq < sumq""".stripMargin,
+
+    "rel_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "rel_tpch_q16" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size
+        |LIMIT 50""".stripMargin,
+
+    "rel_tpch_q20" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 15
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, sum(q) AS tq FROM ps GROUP BY 1)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM ps JOIN pt USING (l_partkey)
+        |              WHERE ps.l_suppkey = s_suppkey AND q * 7 > tq)""".stripMargin,
+
+    "rel_tpch_q22" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS ab
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey % 5 AS cntrycode, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, a
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |GROUP BY cntrycode""".stripMargin,
 
     "rel_tpch_q21" ->
       """WITH f AS (

@@ -340,13 +340,21 @@ class ScaleOpsSpec extends SparkSpec {
     // r8: Q13/Q17/Q21 + the null-key full-outer pin all carry equi keys —
     // a BroadcastNestedLoopJoin or CartesianProduct anywhere means a join
     // lost its keys (the one plan shape that cannot survive 100 TB)
-    for (q <- Seq("rel_tpch_q13", "rel_outer_join", "rel_tpch_q17", "rel_tpch_q21")) {
+    for (q <- Seq("rel_tpch_q13", "rel_outer_join", "rel_tpch_q17", "rel_tpch_q21",
+        "rel_tpch_q4", "rel_tpch_q16", "rel_tpch_q20")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$q must not plan a nested loop:\n$plan")
       assert(!plan.contains("CartesianProduct"), s"$q must not cross-join:\n$plan")
     }
+    // Q22's one-row avg rides a broadcast cross join (sanctioned scalar
+    // pattern); the NOT-EXISTS side must stay a KEYED anti join.
+    val q22 = graft.SparkEntry.queries("rel_tpch_q22")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!q22.contains("CartesianProduct"), s"q22 must not cartesian:\n$q22")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) [^\\n]*LeftAnti".r
+      .findFirstIn(q22).isDefined, s"q22 anti join must stay keyed:\n$q22")
     // Q17's decorrelated form: the brand dim broadcasts; the per-part avg
     // is ONE grouped aggregate joined back — never a per-row subquery.
     val q17 = graft.SparkEntry.queries("rel_tpch_q17")(spark, sf)
