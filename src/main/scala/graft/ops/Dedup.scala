@@ -401,6 +401,70 @@ object Dedup {
             / least(col("n_a"), col("n_b")).cast("double")))
   }
 
+  /** EXACT Jaccard-threshold self-join via PREFIX FILTERING — the
+    * AllPairs/PPJoin family (Bayardo et al., WWW'07): finds EVERY pair of
+    * documents whose shingle-set Jaccard is ≥ τ, with no LSH false
+    * negatives. τ is a rational `tauNum/tauDen` so every pruning filter is
+    * exact integer arithmetic (the one IEEE operation is the reported
+    * jaccard division, mirrored verbatim in the SQL oracle).
+    *
+    * Mechanics: elements (hashed shingles) get a CANONICAL rare-first
+    * total order — ascending global document frequency, then element
+    * value. A set of size s can share an element with a τ-similar set
+    * inside its first `s − ⌈τ·s⌉ + 1` elements of that order (pigeonhole:
+    * two sets with Jaccard ≥ τ overlap in ≥ ⌈τ·s⌉ elements, so disjoint
+    * prefixes of that length would leave too few slots). Candidates are
+    * therefore generated ONLY from prefix-element buckets, then verified
+    * with one exact `array_intersect` per pair.
+    *
+    * Scale: the element explode is corpus-linear; the candidate self-join
+    * shuffles only PREFIX rows, and the rare-first order makes those
+    * buckets the smallest document-frequency buckets in the corpus (the
+    * boilerplate tokens that blow up a naive token-join are the most
+    * frequent and are pushed OUT of prefixes). The verify join is keyed
+    * on pair ids, array-vs-array per row. A length filter
+    * (τ·max(|a|,|b|) ≤ min(|a|,|b|)) prunes cross-size candidates before
+    * the distinct. No stage is quadratic in the corpus.
+    *
+    * Output: (id_a, id_b, n_a, n_b, n_shared, jaccard), pairs with
+    * jaccard ≥ τ only, id_a < id_b. */
+  def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+                        tauNum: Int, tauDen: Int,
+                        shingleWords: Int = 3): DataFrame = {
+    require(tauNum >= 1 && tauNum <= tauDen,
+      s"tau must be a rational in (0,1]: $tauNum/$tauDen")
+    val W = org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol).as("__id"),
+      TextSketches.shingleHashSet(col(textCol), shingleWords).as("__s"))
+    val el = sh.select(col("__id"), explode(col("__s")).as("__e"))
+    val dfreq = el.groupBy("__e").agg(count(lit(1)).as("__df"))
+    // per-set rare-first rank; prefix length = sz − ⌈τ·sz⌉ + 1 with
+    // ⌈(num·sz)/den⌉ computed in exact integer arithmetic
+    val ranked = el.join(dfreq, "__e")
+      .withColumn("__pos",
+        row_number().over(W.partitionBy("__id").orderBy("__df", "__e")))
+      .withColumn("__sz", count(lit(1)).over(W.partitionBy("__id")))
+    val pref = ranked.where(col("__pos") <=
+      col("__sz") - expr(s"(__sz * $tauNum + ${tauDen - 1}) DIV $tauDen") + 1)
+    val cand = pref.select(col("__e"), col("__id").as("id_a"), col("__sz").as("__sza"))
+      .join(pref.select(col("__e"), col("__id").as("id_b"), col("__sz").as("__szb")), "__e")
+      .where(col("id_a") < col("id_b") &&
+        lit(tauNum) * greatest(col("__sza"), col("__szb")) <=
+          lit(tauDen) * least(col("__sza"), col("__szb")))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col("__id").as("id_a"), col("__s").as("__s_a")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__s").as("__s_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(col("__s_a")).cast("long").as("n_a"),
+        size(col("__s_b")).cast("long").as("n_b"),
+        size(array_intersect(col("__s_a"), col("__s_b"))).cast("long").as("n_shared"))
+      .where(lit(tauDen) * col("n_shared") >=
+        lit(tauNum) * (col("n_a") + col("n_b") - col("n_shared")))
+      .withColumn("jaccard", col("n_shared").cast("double")
+        / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+  }
+
   /** Persist a corpus's LSH band index as a bucketed table on `band_key`
     * (see [[graft.io.Bucketing]]): incremental dedup then joins each
     * incoming batch against the index with NO corpus-side exchange — the

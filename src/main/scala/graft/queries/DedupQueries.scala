@@ -215,7 +215,16 @@ object DedupQueries {
     // shared fingerprint; inverted index capped at 200 postings/fp).
     "dedup_substring" -> ((s, dir) =>
       Dedup.substringCandidatePairs(docs(s, dir), "doc_id", "text",
-        k = 16, w = 8, minShared = 2, maxPostings = 200))
+        k = 16, w = 8, minShared = 2, maxPostings = 200)),
+
+    // EXACT Jaccard ≥ 3/5 self-join via prefix filtering (AllPairs/
+    // PPJoin): rare-first canonical element order, per-set prefix of
+    // length sz − ⌈τ·sz⌉ + 1, candidates only from prefix buckets, one
+    // exact intersect per verified pair — every qualifying pair found,
+    // no LSH false negatives.
+    "dedup_prefix_join" -> ((s, dir) =>
+      Dedup.prefixJaccardJoin(docs(s, dir), "doc_id", "text",
+        tauNum = 3, tauDen = 5, shingleWords = 3))
   )
 
   /** Shared SQL fragments (DuckDB): tokenization, shingles, hash60. */
@@ -642,6 +651,33 @@ object DedupQueries {
          |FROM capped a JOIN capped b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2
-         |HAVING count(*) >= 2""".stripMargin
+         |HAVING count(*) >= 2""".stripMargin,
+
+    "dedup_prefix_join" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |shg AS (SELECT doc_id, ($shinglesSql) AS shingles FROM toks),
+         |sets AS (SELECT doc_id,
+         |  list_distinct(list_transform(shingles, x -> ${h60("x")})) AS s FROM shg),
+         |el AS (SELECT doc_id, unnest(s) AS e FROM sets),
+         |dfreq AS (SELECT e, count(*) AS df FROM el GROUP BY e),
+         |ranked AS (
+         |  SELECT doc_id, e,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY df, e) AS pos,
+         |         count(*) OVER (PARTITION BY doc_id) AS sz
+         |  FROM el JOIN dfreq USING (e)),
+         |pref AS (SELECT * FROM ranked WHERE pos <= sz - ((sz * 3 + 4) // 5) + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pref a JOIN pref b ON a.e = b.e AND a.doc_id < b.doc_id
+         |  WHERE 3 * greatest(a.sz, b.sz) <= 5 * least(a.sz, b.sz)),
+         |v AS (
+         |  SELECT c.id_a, c.id_b, len(a.s)::BIGINT AS n_a, len(b.s)::BIGINT AS n_b,
+         |         len(list_filter(a.s, x -> list_contains(b.s, x)))::BIGINT AS n_shared
+         |  FROM cand c
+         |  JOIN sets a ON c.id_a = a.doc_id
+         |  JOIN sets b ON c.id_b = b.doc_id)
+         |SELECT id_a, id_b, n_a, n_b, n_shared,
+         |       n_shared::DOUBLE / (n_a + n_b - n_shared)::DOUBLE AS jaccard
+         |FROM v WHERE 5 * n_shared >= 3 * (n_a + n_b - n_shared)""".stripMargin
   )
 }
