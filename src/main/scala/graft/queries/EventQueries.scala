@@ -267,6 +267,33 @@ object EventQueries {
         .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))
+    }),
+
+    // Time-series RESAMPLE + forward fill: per-user hourly totals, the
+    // missing hours inside each user's [first, last] active span
+    // materialized from a generated spine (sequence + explode — fully
+    // distributed, state per user bounded by the dataset's duration in
+    // hours), gaps carrying the last observed hour's value forward.
+    // The ffill window is rows-unbounded-preceding per user — the same
+    // bounded-by-key contract as every other window in this family.
+    "events_gapfill" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      val hourly = e
+        .groupBy(col("user_id"), date_trunc("hour", col("ts_utc")).as("hour"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("hour_value"))
+      val spine = hourly.groupBy("user_id")
+        .agg(min("hour").as("__mn"), max("hour").as("__mx"))
+        .select(col("user_id"),
+          explode(sequence(col("__mn"), col("__mx"), expr("INTERVAL 1 HOUR"))).as("hour"))
+      spine.join(hourly, Seq("user_id", "hour"), "left")
+        .withColumn("observed", col("hour_value").isNotNull)
+        .withColumn("filled_value",
+          last(col("hour_value"), ignoreNulls = true).over(
+            W.partitionBy("user_id").orderBy("hour")
+              .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select("user_id", "hour", "observed", "filled_value")
     })
   )
 
@@ -482,6 +509,25 @@ object EventQueries {
         |  (1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
         |     + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END)::BIGINT AS steps_completed
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-        |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+
+    "events_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR)) AS hour
+        |  FROM hourly GROUP BY user_id),
+        |j AS (
+        |  SELECT s.user_id, s.hour, h.hour_value
+        |  FROM spine s LEFT JOIN hourly h
+        |    ON s.user_id = h.user_id AND s.hour = h.hour)
+        |SELECT user_id, hour, hour_value IS NOT NULL AS observed,
+        |  last_value(hour_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM j""".stripMargin
   )
 }

@@ -634,6 +634,76 @@ object RelationalQueries {
           sum(dec(col("c_acctbal"), 2)).cast("double").as("totacctbal"))
     }),
 
+    // TPC-H Q15 shape (top supplier): the CREATE VIEW + scalar max
+    // subquery decorrelated to one revenue aggregation reused twice —
+    // grouped per supplier, then a ONE-ROW global max broadcast back as
+    // an exact-DECIMAL equality (ties all surface, deterministically).
+    "rel_tpch_q15" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice"), 2) *
+          (dec(lit(1), 2) - dec(col("l_discount"), 2))).as("__r"))
+      rev.crossJoin(broadcast(rev.agg(max(col("__r")).as("__mx"))))
+        .where(col("__r") === col("__mx"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("__r").cast("double").as("total_revenue"))
+    }),
+
+    // TPC-H Q2 shape (min-cost supplier per part): the correlated
+    // MIN-per-group subquery decorrelated to a second aggregation joined
+    // back on (part, exact-DECIMAL min). The part-supplier cost table is
+    // derived from lineitem (no partsupp in the schema): min observed
+    // extendedprice per (part, supplier). Dimension chain broadcast.
+    "rel_tpch_q2" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val pf = Tables(s, dir, "part").where(col("p_size") === 15)
+        .select("p_partkey")
+      val ps = li.join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(dec(col("l_extendedprice"), 2)).as("__cost"))
+      val mn = ps.groupBy(col("l_partkey").as("__pk"))
+        .agg(min(col("__cost")).as("__mn"))
+      ps.join(mn, col("l_partkey") === col("__pk") && col("__cost") === col("__mn"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("__cost").cast("double").as("min_cost"))
+    }),
+
+    // Statistical aggregates with the engine's exactness contract: all
+    // SUMS are exact DECIMAL folds (order-independent), the final
+    // mean / sample-variance / stddev / correlation are ONE parenthesized
+    // IEEE expression over those exact sums (textbook n·Σxy − Σx·Σy
+    // forms), mirrored token-for-token in the oracle — so the values are
+    // bit-identical regardless of row order or partitioning.
+    "rel_stat_aggs" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val sums = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"), 2)).cast("double").as("__sx"),
+          sum(dec(col("l_extendedprice"), 2)).cast("double").as("__sy"),
+          sum(dec(col("l_quantity"), 2) * dec(col("l_quantity"), 2))
+            .cast("double").as("__sxx"),
+          sum(dec(col("l_extendedprice"), 2) * dec(col("l_extendedprice"), 2))
+            .cast("double").as("__syy"),
+          sum(dec(col("l_quantity"), 2) * dec(col("l_extendedprice"), 2))
+            .cast("double").as("__sxy"))
+      sums.select(col("l_returnflag"), col("n"),
+        (col("__sx") / col("n")).as("mean_qty"),
+        ((col("n") * col("__sxx") - col("__sx") * col("__sx"))
+          / (col("n").cast("double") * (col("n") - 1))).as("var_qty"),
+        sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx"))
+          / (col("n").cast("double") * (col("n") - 1))).as("std_qty"),
+        ((col("n") * col("__sxy") - col("__sx") * col("__sy"))
+          / (sqrt(col("n") * col("__sxx") - col("__sx") * col("__sx"))
+            * sqrt(col("n") * col("__syy") - col("__sy") * col("__sy"))))
+          .as("corr_qty_price"))
+    }),
+
     // TPC-H Q21 shape (suppliers who kept orders waiting): the
     // EXISTS / NOT EXISTS chain as left-SEMI + left-ANTI self-joins over
     // one shared lateness-flagged fact (computed once, reused three
@@ -1071,6 +1141,51 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |GROUP BY cntrycode""".stripMargin,
+
+    "rel_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r = (SELECT max(r) FROM rev)""".stripMargin,
+
+    "rel_tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size = 15 GROUP BY 1, 2),
+        |mn AS (SELECT l_partkey, min(cost) AS m FROM ps GROUP BY 1)
+        |SELECT ps.l_partkey AS p_partkey, s_suppkey, s_name, n_name,
+        |       CAST(cost AS DOUBLE) AS min_cost
+        |FROM ps JOIN mn ON ps.l_partkey = mn.l_partkey AND ps.cost = mn.m
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+
+    "rel_stat_aggs" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  sx / n AS mean_qty,
+        |  (n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1)) AS var_qty,
+        |  sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))) AS std_qty,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |    AS corr_qty_price
+        |FROM s""".stripMargin,
 
     "rel_tpch_q21" ->
       """WITH f AS (

@@ -341,7 +341,8 @@ class ScaleOpsSpec extends SparkSpec {
     // a BroadcastNestedLoopJoin or CartesianProduct anywhere means a join
     // lost its keys (the one plan shape that cannot survive 100 TB)
     for (q <- Seq("rel_tpch_q13", "rel_outer_join", "rel_tpch_q17", "rel_tpch_q21",
-        "rel_tpch_q4", "rel_tpch_q16", "rel_tpch_q20")) {
+        "rel_tpch_q4", "rel_tpch_q16", "rel_tpch_q20", "rel_tpch_q2",
+        "events_gapfill")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
