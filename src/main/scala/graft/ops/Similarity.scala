@@ -1060,6 +1060,28 @@ object Similarity {
     graph.join(rev, Seq("src", "dst"), "left_semi")
   }
 
+  /** TRIANGLE enumeration over an undirected edge list — the local
+    * clustering signal (tight cliques = near-duplicate neighborhoods;
+    * triangle-free nodes = bridge/outlier points). Canonical-order
+    * listing: edges collapse to src < dst once, wedges extend a < b < c
+    * through the shared middle node, and a semi-join against the edge
+    * list closes them — each triangle appears EXACTLY once.
+    *
+    * Scale: both joins are keyed on node ids; wedge count is Σ deg²,
+    * and on a top-k graph (mutual backbone) deg ≤ k, so the work is
+    * O(N·k²) — never corpus-quadratic. The standard vertex-centric
+    * triangle join (Suri & Vassilvitskii, WWW'11) without the degree
+    * orientation, which the k-bounded input makes unnecessary.
+    * Output: (id_a, id_b, id_c), id_a < id_b < id_c. */
+  def triangles(graph: DataFrame): DataFrame = {
+    val e = graph.where(col("src") < col("dst")).select("src", "dst").distinct()
+    e.select(col("src").as("id_a"), col("dst").as("id_b"))
+      .join(e.select(col("src").as("id_b"), col("dst").as("id_c")), "id_b")
+      .join(e.select(col("src").as("id_a"), col("dst").as("id_c")),
+        Seq("id_a", "id_c"), "left_semi")
+      .select("id_a", "id_b", "id_c")
+  }
+
   /** Per-node kNN density over a [[knnGraph]] edge list: the mean cosine
     * of each node's surviving top-k edges — the local-redundancy signal
     * behind density-based pruning (D4, Tirumala et al. 2023,

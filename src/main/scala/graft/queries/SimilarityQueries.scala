@@ -201,6 +201,15 @@ object SimilarityQueries {
         Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
           k = 3, bits = 6, maxBucketSize = 1000))),
 
+    // Triangle enumeration over the mutual backbone: each id_a<id_b<id_c
+    // clique listed once (wedge join + closing semi-join, O(N·k²) on the
+    // degree-capped graph) — the local-clustering signal separating
+    // tight near-dup neighborhoods from bridge points.
+    "sim_triangles" -> ((s, dir) =>
+      Similarity.triangles(Similarity.mutualKnn(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000)))),
+
     // Bounded-round PageRank over the mutual backbone: the centrality
     // signal for importance-weighted curation (keep/upsample the
     // representative core of a semantic neighborhood, prune the
@@ -708,6 +717,19 @@ object SimilarityQueries {
          |SELECT t.src, t.dst, t.cos, CAST(t.rank AS BIGINT) AS rank
          |FROM topk t
          |WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)""".stripMargin,
+
+    // Triangle mirror: mutual backbone → canonical src<dst edges →
+    // wedge join through the middle node → closing-edge semi-join.
+    "sim_triangles" ->
+      s"""WITH $knnGraphCtes,
+         |mut AS (
+         |  SELECT t.src, t.dst FROM topk t
+         |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
+         |e AS (SELECT DISTINCT src, dst FROM mut WHERE src < dst)
+         |SELECT e1.src AS id_a, e1.dst AS id_b, e2.dst AS id_c
+         |FROM e e1
+         |JOIN e e2 ON e1.dst = e2.src
+         |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)""".stripMargin,
 
     // Density mirror: per-src mean of top-k cosines, folded in rank
     // order (same bounded deterministic fold as the Spark side).

@@ -785,4 +785,18 @@ class OpsSpec extends SparkSpec {
     assert(out(1)._2 == 1.0 / 61 && out(2)._2 == 1.0 / 62)
     assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("triangles: each clique listed once in canonical order, wedges without closure absent") {
+    // K4 on {1,2,3,4} minus edge (3,4), plus a pendant 5 and a duplicate
+    // reversed edge: triangles are exactly (1,2,3) and (1,2,4).
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (4L, 5L)
+    ).toDF("src", "dst")
+    val got = Similarity.triangles(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 2L, 4L)))
+    // plan: keyed joins only
+    val plan = Similarity.triangles(edges).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
