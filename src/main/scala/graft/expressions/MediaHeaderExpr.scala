@@ -34,6 +34,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the first `moov/trak/tkhd` with nonzero dimensions gives
   *    width/height (16.16 fixed point → integer part)
   *    (ISO/IEC 14496-12 §8.2.2, §8.3.2).
+  *  - GIF: 'GIF87a'/'GIF89a' signature, little-endian u16
+  *    logical-screen width/height at 6/8 (GIF89a spec §17-18).
+  *  - BMP: 'BM' file header + BITMAPINFOHEADER — signed little-endian
+  *    i32 dimensions (|height|: negative means top-down), u16
+  *    bits-per-pixel reported as whole channels (24 bpp → 3).
   *
   * Output struct: (format, width, height, channels, sample_rate,
   * duration_ms) — fields not defined by a format are NULL, and any
@@ -151,6 +156,29 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
         return InternalRow(UTF8String.fromString("mp4"),
           if (w > 0) w else null, if (h > 0) h else null,
           null, null, dur * 1000L / ts)
+      return unknown
+    }
+    // GIF: 'GIF87a'/'GIF89a' signature, logical-screen width/height as
+    // little-endian u16 at offsets 6/8 (GIF89a spec §17-18).
+    if (b.length >= 10 && ascii(b, 0, "GIF8") &&
+        (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte) {
+      val w = le16(b, 6); val h = le16(b, 8)
+      if (w > 0 && h > 0)
+        return InternalRow(UTF8String.fromString("gif"), w, h, null, null, null)
+      return unknown
+    }
+    // BMP: 'BM' file header (14 B), then BITMAPINFOHEADER (size ≥ 40):
+    // signed little-endian i32 width/height at 18/22 (negative height =
+    // top-down row order), u16 bits-per-pixel at 28; whole sample bytes
+    // report as channels (8→1, 24→3, 32→4).
+    if (b.length >= 30 && ascii(b, 0, "BM") && le32(b, 14) >= 40) {
+      val w = le32(b, 18).toInt
+      val h = math.abs(le32(b, 22).toInt)
+      val bpp = le16(b, 28)
+      if (w > 0 && h > 0)
+        return InternalRow(UTF8String.fromString("bmp"), w, h,
+          if (bpp > 0 && bpp % 8 == 0 && bpp <= 32) bpp / 8 else null,
+          null, null)
       return unknown
     }
     // WAV: RIFF....WAVE, then little-endian chunk walk.

@@ -274,6 +274,38 @@ object Multimodal {
           be32(8 + body.length) ++ ascii("mdat") ++ body
     }
 
+  private[ops] def buildGifBmpPayload(id: Long, body: Array[Byte]): Array[Byte] =
+    if (id % 2 == 0) {
+      val w = (id % 1024 + 1).toInt; val h = (id % 640 + 1).toInt
+      // logical screen descriptor (no GCT), body as raster stand-in,
+      // 0x3B trailer
+      ascii("GIF89a") ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0) ++
+        body ++ Array(0x3b.toByte)
+    } else {
+      val w = (id % 800 + 1).toInt; val h = (id % 600 + 1).toInt
+      val bpp = ((id / 2) % 3) match { case 0 => 8; case 1 => 24; case _ => 32 }
+      // 14-byte file header + 40-byte BITMAPINFOHEADER; ids ≡ 3 (mod 4)
+      // declare a NEGATIVE (top-down) height to pin the sign handling
+      ascii("BM") ++ le32(54 + body.length) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w) ++ le32(if (id % 4 == 3) -h else h) ++
+        le16(1) ++ le16(bpp.toInt) ++ le32(0) ++ le32(body.length) ++
+        le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ body
+    }
+
+  /** GIF/BMP twin of [[mediaWithRealHeaders]]: even ids carry a GIF89a
+    * logical-screen header, odd ids a BMP file+info header (ids ≡ 3 mod
+    * 4 with the top-down negative height), document text as the body. */
+  def mediaWithGifBmpHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, "image",
+          buildGifBmpPayload(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }.toDF("media_id", "kind", "payload")
+  }
+
   /** Media fixture with REAL container headers (PNG/JPEG/WAV bytes the
     * [[decodeHeaders]] parser actually decodes), document text as the
     * payload body. Fixture generation only — a per-row encode hop is

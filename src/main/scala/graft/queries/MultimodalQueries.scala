@@ -49,6 +49,15 @@ object MultimodalQueries {
         Multimodal.mediaWithRealHeaders(Tables(s, dir, "documents"),
           "doc_id", "text"))),
 
+    // GIF/BMP header decode: little-endian logical-screen dims (GIF89a)
+    // and signed BITMAPINFOHEADER dims + bpp-derived channels (BMP,
+    // including the negative top-down height) — same oracle contract as
+    // mm_decode_meta: every field recomputed from the fixture formula.
+    "mm_gifbmp_meta" -> ((s, dir) =>
+      Multimodal.decodeHeaders(
+        Multimodal.mediaWithGifBmpHeaders(Tables(s, dir, "documents"),
+          "doc_id", "text"))),
+
     // Exact payload dedup (content-hash grouping — step one of a media
     // dedup pipeline; the sf corpus has no byte-identical payloads, so
     // every group is a singleton here, which the oracle verifies too).
@@ -259,6 +268,22 @@ object MultimodalQueries {
         |                   + (doc_id % 7) * 37) * 1000
         |       // (600 * ((doc_id // 4) % 3 + 1))
         |   END)::BIGINT AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "mm_gifbmp_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  (octet_length(encode(text))
+        |    + CASE doc_id % 2 WHEN 0 THEN 14 ELSE 54 END)::BIGINT AS n_bytes,
+        |  CASE doc_id % 2 WHEN 0 THEN 'gif' ELSE 'bmp' END AS format,
+        |  (CASE doc_id % 2 WHEN 0 THEN doc_id % 1024 + 1
+        |        ELSE doc_id % 800 + 1 END)::INT AS width,
+        |  (CASE doc_id % 2 WHEN 0 THEN doc_id % 640 + 1
+        |        ELSE doc_id % 600 + 1 END)::INT AS height,
+        |  (CASE WHEN doc_id % 2 = 1 THEN
+        |     CASE (doc_id // 2) % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+        |   END)::INT AS channels,
+        |  NULL::INT AS sample_rate,
+        |  NULL::BIGINT AS duration_ms
         |FROM documents""".stripMargin,
 
     // resizeTo(640, 480): aspect-preserving fit of the mm_features

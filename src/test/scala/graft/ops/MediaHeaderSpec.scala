@@ -110,4 +110,39 @@ class MediaHeaderSpec extends SparkSpec {
     assert(r.getString(0) == "wav" && r.getInt(3) == 2 && r.getInt(4) == 44100)
     assert(r.getLong(5) == 1000L) // exactly one second of data
   }
+
+  test("GIF/BMP: LE dims, top-down negative height, bpp channels, garbage degrades") {
+    val gif = "GIF89a".getBytes ++ Array[Byte](0x20, 0x01) ++ // width 288
+      Array[Byte](0x40, 0) ++ Array[Byte](0, 0, 0) ++ Array(0x3b.toByte)
+    val g = decodeOne(gif)
+    assert(g.getString(0) == "gif" && g.getInt(1) == 288 && g.getInt(2) == 64)
+    assert(g.isNullAt(3) && g.isNullAt(4) && g.isNullAt(5))
+
+    // BMP, 24 bpp, height declared NEGATIVE (top-down) → abs reported
+    val bmp = "BM".getBytes ++ Array[Byte](0, 1, 0, 0) ++ Array[Byte](0, 0, 0, 0) ++
+      Array[Byte](54, 0, 0, 0) ++
+      Array[Byte](40, 0, 0, 0) ++ Array[Byte](10, 0, 0, 0) ++
+      Array(0xf6.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++ // -10
+      Array[Byte](1, 0) ++ Array[Byte](24, 0) ++ Array.fill[Byte](24)(0)
+    val m = decodeOne(bmp)
+    assert(m.getString(0) == "bmp" && m.getInt(1) == 10 && m.getInt(2) == 10)
+    assert(m.getInt(3) == 3 && m.isNullAt(4) && m.isNullAt(5))
+
+    // GIF fixture round-trip on the real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bad = Multimodal.decodeHeaders(
+      Multimodal.mediaWithGifBmpHeaders(docs, "doc_id", "text"))
+      .where(col("format") === "unknown").count()
+    assert(bad == 0L)
+
+    // truncated GIF (signature only) and BMP with an undersized info
+    // header both degrade to unknown, never throw
+    assert(decodeOne("GIF89a".getBytes).getString(0) == "unknown")
+    val shortBmp = "BM".getBytes ++ Array.fill[Byte](12)(0) ++
+      Array[Byte](12, 0, 0, 0) ++ Array.fill[Byte](14)(1)
+    assert(decodeOne(shortBmp).getString(0) == "unknown")
+    // zero-width GIF is unknown too
+    val zgif = "GIF89a".getBytes ++ Array[Byte](0, 0, 5, 0, 0, 0, 0)
+    assert(decodeOne(zgif).getString(0) == "unknown")
+  }
 }
