@@ -1206,6 +1206,40 @@ object Similarity {
     r
   }
 
+  /** Bounded-round K-CORE decomposition over an undirected edge list
+    * (both orientations present, as [[mutualKnn]] emits): each round
+    * drops nodes of degree < k, removes their incident edges, and
+    * re-derives degrees — the classic peel. The loop exits early at a
+    * fixed point (dropping nothing is idempotent, so early exit equals
+    * running the remaining rounds — the oracle mirrors the full unroll).
+    * The k-core marks the structurally cohesive cluster interior that
+    * survives hub removal; triangle-free bridge nodes peel away first.
+    *
+    * Scale: each round is one aggregation + two semi-joins, all keyed
+    * on node ids over an edge list already bounded by N·k (top-k
+    * graph); `localCheckpoint` truncates lineage per round (the
+    * [[pageRank]] pattern). Rounds is a fixed parameter, never a data
+    * function. Output: (node, degree) of the surviving subgraph. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    var e = edges.select("src", "dst").distinct().localCheckpoint(true)
+    var before = e.count()
+    var t = 0
+    var converged = false
+    while (t < rounds && !converged) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .where(col("__deg") >= k).select("src")
+      val e2 = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst").localCheckpoint(true)
+      val after = e2.count()
+      converged = after == before
+      e = e2; before = after; t += 1
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Embedding-space outlier screen: assign each vector to its nearest
     * centroid ([[ivfAssign]] semantics) and flag rows whose cosine to
     * that centroid falls below `minCos` — far-from-every-centroid points

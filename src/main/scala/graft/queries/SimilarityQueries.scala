@@ -210,6 +210,16 @@ object SimilarityQueries {
         Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
           k = 3, bits = 6, maxBucketSize = 1000)))),
 
+    // 2-core after 4 peel rounds over the mutual backbone: nodes whose
+    // neighborhood survives iterative removal of degree-<2 periphery —
+    // the cohesive cluster interiors (the complement of the bridge
+    // points that triangles miss). Early fixed-point exit ≡ the
+    // oracle's full 4-round unroll.
+    "sim_kcore" -> ((s, dir) =>
+      Similarity.kCore(Similarity.mutualKnn(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000)), k = 2, rounds = 4)),
+
     // Bounded-round PageRank over the mutual backbone: the centrality
     // signal for importance-weighted curation (keep/upsample the
     // representative core of a semantic neighborhood, prune the
@@ -730,6 +740,28 @@ object SimilarityQueries {
          |FROM e e1
          |JOIN e e2 ON e1.dst = e2.src
          |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)""".stripMargin,
+
+    // K-core mirror: the peel unrolled 4 rounds (Spark's early
+    // fixed-point exit is idempotent, so the unroll is equivalent).
+    "sim_kcore" ->
+      s"""WITH $knnGraphCtes,
+         |mut AS (
+         |  SELECT t.src, t.dst FROM topk t
+         |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
+         |e0 AS (SELECT DISTINCT src, dst FROM mut),
+         |k0 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 2),
+         |e1 AS (SELECT src, dst FROM e0
+         |       WHERE src IN (SELECT src FROM k0) AND dst IN (SELECT src FROM k0)),
+         |k1 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 2),
+         |e2 AS (SELECT src, dst FROM e1
+         |       WHERE src IN (SELECT src FROM k1) AND dst IN (SELECT src FROM k1)),
+         |k2 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 2),
+         |e3 AS (SELECT src, dst FROM e2
+         |       WHERE src IN (SELECT src FROM k2) AND dst IN (SELECT src FROM k2)),
+         |k3 AS (SELECT src FROM e3 GROUP BY src HAVING count(*) >= 2),
+         |e4 AS (SELECT src, dst FROM e3
+         |       WHERE src IN (SELECT src FROM k3) AND dst IN (SELECT src FROM k3))
+         |SELECT src AS node, count(*)::BIGINT AS degree FROM e4 GROUP BY src""".stripMargin,
 
     // Density mirror: per-src mean of top-k cosines, folded in rank
     // order (same bounded deterministic fold as the Spark side).

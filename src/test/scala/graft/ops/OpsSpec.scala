@@ -799,4 +799,18 @@ class OpsSpec extends SparkSpec {
     val plan = Similarity.triangles(edges).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("kCore: cascading peel removes the pendant chain, keeps the triangle") {
+    // triangle {1,2,3} + chain 3-4-5: round 1 peels 5 (deg 1), round 2
+    // peels 4 (deg fell to 1) — the 2-core is exactly the triangle.
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Similarity.kCore(edges, k = 2, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round is not enough for the cascade — pins that rounds matter
+    val oneRound = Similarity.kCore(edges, k = 2, rounds = 1).collect()
+      .map(_.getLong(0)).toSet
+    assert(oneRound == Set(1L, 2L, 3L, 4L))
+  }
 }
