@@ -674,6 +674,128 @@ object RelationalQueries {
           col("s_name"), col("n_name"), col("__cost").cast("double").as("min_cost"))
     }),
 
+    // TPC-H Q6 shape (forecast revenue change): the single-scan
+    // conditional aggregate — every filter pushed to the scan, exact
+    // DECIMAL price×discount fold, no joins at all.
+    "rel_tpch_q6" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice"), 2) * dec(col("l_discount"), 2))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // TPC-H Q7 shape (volume shipping between two nations): both nation
+    // dims pre-filtered to the two trading partners BEFORE their joins
+    // (the OR pair predicate then only EXCLUDES same-nation pairs as a
+    // residual), exact-DECIMAL revenue per (supp, cust, year).
+    "rel_tpch_q7" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables(s, dir, "nation").where(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables(s, dir, "nation").where(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("__ck"), col("n_name").as("cust_nation"))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("__sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("__ck"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(dec(col("l_extendedprice"), 2) *
+          (dec(lit(1), 2) - dec(col("l_discount"), 2)))
+          .cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q8 shape (national market share): one conditional and one
+    // total exact-DECIMAL volume fold per order year, the share being
+    // their single IEEE division — no self-join, no second scan.
+    "rel_tpch_q8" -> ((s, dir) => {
+      val rev = dec(col("l_extendedprice"), 2) *
+        (dec(lit(1), 2) - dec(col("l_discount"), 2))
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")
+          .where(col("p_type") === "STANDARD").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(sum(when(col("n_name") === "NATION_3", rev)).cast("double").as("__nat"),
+          sum(rev).cast("double").as("__all"))
+        .select(col("o_year"), (col("__nat") / col("__all")).as("mkt_share"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit): part-filtered fact joins
+    // with revenue minus a retail-price cost stand-in (no partsupp in
+    // the schema), exact DECIMAL arithmetic per (nation, year).
+    "rel_tpch_q9" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")
+          .where(col("p_name").contains("gizmo"))
+          .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
+        .agg(sum(dec(col("l_extendedprice"), 2) *
+            (dec(lit(1), 2) - dec(col("l_discount"), 2)) -
+            dec(col("p_retailprice"), 2) * dec(col("l_quantity"), 2))
+          .cast("double").as("sum_profit"))),
+
+    // TPC-H Q12 shape (shipping-delay priority check, adapted to this
+    // schema's columns: lateness = shipped > 60 days after order):
+    // one fact-fact join, exact conditional LONG counts per returnflag.
+    "rel_tpch_q12" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))),
+
+    // TPC-H Q14 shape (promotion-revenue share, one month): conditional
+    // vs total exact-DECIMAL revenue, ONE mirrored IEEE expression.
+    "rel_tpch_q14" -> ((s, dir) => {
+      val rev = dec(col("l_extendedprice"), 2) *
+        (dec(lit(1), 2) - dec(col("l_discount"), 2))
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .join(broadcast(Tables(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", rev)).cast("double").as("__promo"),
+          sum(rev).cast("double").as("__all"))
+        .select((lit(100.0) * col("__promo") / col("__all")).as("promo_revenue"))
+    }),
+
+    // TPC-H Q19 shape (disjunctive discounted revenue): the OR-of-ANDs
+    // predicate rides the broadcast part join as a residual — the equi
+    // key still extracts, so the plan stays a hash join, never a
+    // nested loop (spec-asserted).
+    "rel_tpch_q19" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey") &&
+            ((col("p_brand") === "Brand#12" &&
+              col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+              (col("p_brand") === "Brand#23" &&
+                col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+              (col("p_brand") === "Brand#24" &&
+                col("l_quantity") >= 20 && col("l_quantity") <= 30)))
+        .agg(sum(dec(col("l_extendedprice"), 2) *
+          (dec(lit(1), 2) - dec(col("l_discount"), 2)))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
     // Statistical aggregates with the engine's exactness contract: all
     // SUMS are exact DECIMAL folds (order-independent), the final
     // mean / sample-variance / stddev / correlation are ONE parenthesized
@@ -1166,6 +1288,95 @@ object RelationalQueries {
         |FROM ps JOIN mn ON ps.l_partkey = mn.l_partkey AND ps.cost = mn.m
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+
+    "rel_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "rel_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "rel_tpch_q8" ->
+      """WITH v AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(sum(CASE WHEN n_name = 'NATION_3'
+        |          THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END)
+        |      AS DOUBLE) AS nat,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS al
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_type = 'STANDARD'
+        |  GROUP BY 1)
+        |SELECT o_year, nat / al AS mkt_share FROM v""".stripMargin,
+
+    "rel_tpch_q9" ->
+      """SELECT n_name AS nation, year(l_shipdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |        - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gizmo%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "rel_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
+
+    "rel_tpch_q14" ->
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "rel_tpch_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#24' AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
 
     "rel_stat_aggs" ->
       """WITH s AS (
