@@ -749,6 +749,21 @@ object RelationalQueries {
             dec(col("p_retailprice"), 2) * dec(col("l_quantity"), 2))
           .cast("double").as("sum_profit"))),
 
+    // TPC-H Q11 shape (important stock): per-part value aggregation
+    // gated by a GLOBAL-fraction scalar subquery — the one-row total
+    // broadcasts back and the threshold comparison is one mirrored
+    // IEEE multiply+compare on exact-DECIMAL sums cast to double.
+    "rel_tpch_q11" -> ((s, dir) => {
+      val pv = Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"), 2) * dec(col("l_quantity"), 2))
+          .as("__v"))
+      pv.crossJoin(broadcast(pv.agg(sum(col("__v")).as("__t"))))
+        .where(col("__v").cast("double") * lit(1500.0) > col("__t").cast("double"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("__v").cast("double").as("part_value"))
+    }),
+
     // TPC-H Q12 shape (shipping-delay priority check, adapted to this
     // schema's columns: lateness = shipped > 60 days after order):
     // one fact-fact join, exact conditional LONG counts per returnflag.
@@ -1346,6 +1361,16 @@ object RelationalQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE p_name LIKE '%gizmo%'
         |GROUP BY 1, 2""".stripMargin,
+
+    "rel_tpch_q11" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(l_quantity AS DECIMAL(18,2))) AS v
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS part_value
+        |FROM pv
+        |WHERE CAST(v AS DOUBLE) * 1500.0 > (SELECT CAST(sum(v) AS DOUBLE) FROM pv)""".stripMargin,
 
     "rel_tpch_q12" ->
       """SELECT l_returnflag,
