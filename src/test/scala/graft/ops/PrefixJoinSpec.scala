@@ -62,6 +62,44 @@ class PrefixJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$plan")
   }
 
+  test("property: ≡ brute force for random corpora across tau = 1/2, 3/5, 3/4") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small vocab + short docs → dense overlap structure, many boundary
+    // pairs sitting exactly at the threshold
+    val genCorpus: Gen[(List[String], (Int, Int))] = for {
+      n <- Gen.choose(2, 30)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 12)
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+      } yield ws.mkString(" "))
+      tau <- Gen.oneOf((1, 2), (3, 5), (3, 4))
+    } yield (docs, tau)
+    val prop = Prop.forAll(genCorpus) { case (texts, (tn, td)) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.prefixJaccardJoin(docs, "doc_id", "text", tn, td,
+        shingleWords = 2)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = docs.select(col("doc_id"),
+        graft.expressions.TextSketches.shingleHashSet(col("text"), 2).as("s"))
+      val brute = sh.select(col("doc_id").as("id_a"), col("s").as("sa"))
+        .crossJoin(sh.select(col("doc_id").as("id_b"), col("s").as("sb")))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(col("sa")).cast("long").as("na"),
+          size(col("sb")).cast("long").as("nb"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long").as("ns"))
+        .where(lit(td) * col("ns") >= lit(tn) * (col("na") + col("nb") - col("ns")))
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == brute
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("tau = 1 finds exactly the identical-set pairs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
