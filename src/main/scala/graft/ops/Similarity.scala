@@ -1175,6 +1175,52 @@ object Similarity {
     * node-table join; rank tables are `localCheckpoint`ed per round to
     * truncate the iterative lineage (the [[labelPropagate]] guard).
     * Output: (node, pr). */
+  /** WEIGHTED PageRank twin of [[pageRank]]: each edge carries a weight
+    * (cosine similarity on the kNN backbone) and a node's rank flows to
+    * its neighbors ∝ weight / Σ outgoing weights, so centrality follows
+    * SIMILARITY mass, not edge count — tight semantic neighborhoods
+    * concentrate rank, weak stragglers leak little. Same deterministic
+    * contract as the unweighted fold: per-src weight totals and per-node
+    * contribution sums are rank-ORDERED list folds (never a float
+    * `sum()`), per-round `localCheckpoint` truncates lineage, and every
+    * IEEE expression is mirrored token-for-token in the SQL oracle.
+    * Output: (node, pr). */
+  def pageRankWeighted(edges: DataFrame, rounds: Int, damping: Double = 0.85,
+                       weightCol: String = "cos"): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val e = edges.select(col("src"), col("dst"),
+      col(weightCol).cast("double").as("__w")).localCheckpoint(true)
+    val wsum = e.groupBy("src")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("dst"), col("__w").as("v")))),
+        lit(0.0), (acc, s) => acc + s.getField("v")).as("__sumw"))
+      .localCheckpoint(true)
+    val n = wsum.count()
+    require(n > 0, "pageRankWeighted over an empty edge list")
+    val invN = lit(1.0) / lit(n.toDouble)
+    var r = wsum.select(col("src").as("node"), invN.as("pr")).localCheckpoint(true)
+    var t = 0
+    while (t < rounds) {
+      val contrib = e
+        .join(r.select(col("node").as("src"), col("pr")), "src")
+        .join(wsum, "src")
+        .select(col("dst").as("node"), col("src"),
+          (col("pr") * col("__w") / col("__sumw")).as("c"))
+      val sums = contrib.groupBy("node")
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src"), col("c").as("v")))),
+          lit(0.0), (acc, s) => acc + s.getField("v")).as("__s"))
+      r = wsum.select(col("src").as("node"))
+        .join(sums, Seq("node"), "left")
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) * invN +
+            lit(damping) * coalesce(col("__s"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+      t += 1
+    }
+    r
+  }
+
   def pageRank(edges: DataFrame, rounds: Int,
                damping: Double = 0.85): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")

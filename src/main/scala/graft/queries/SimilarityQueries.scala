@@ -232,6 +232,18 @@ object SimilarityQueries {
         .select(col("node").as("vec_id"), col("pr"))
     }),
 
+    // Cosine-WEIGHTED PageRank over the mutual backbone: rank flows
+    // ∝ similarity mass instead of edge count, so the centrality
+    // ordering separates tight semantic cores from weakly-linked hubs
+    // the unweighted walk over-credits. Same bounded-round fold.
+    "sim_pagerank_weighted" -> ((s, dir) => {
+      val edges = Similarity.mutualKnn(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000))
+      Similarity.pageRankWeighted(edges, rounds = 2)
+        .select(col("node").as("vec_id"), col("pr"))
+    }),
+
     // kNN-density pruning signal (D4-style): mean top-k edge cosine per
     // node; density ≥ 0.35 flags over-represented regions for dropping.
     "sim_knn_density" -> ((s, dir) =>
@@ -740,6 +752,46 @@ object SimilarityQueries {
          |FROM e e1
          |JOIN e e2 ON e1.dst = e2.src
          |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)""".stripMargin,
+
+    // Weighted-PageRank mirror: the pagerank chain with per-src weight
+    // totals (dst-ordered fold) and cos/sumw contribution shares.
+    "sim_pagerank_weighted" ->
+      s"""WITH $knnGraphCtes,
+         |mut AS (
+         |  SELECT t.src, t.dst, t.cos FROM topk t
+         |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
+         |ws AS (
+         |  SELECT src,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(cos ORDER BY dst)), (a, x) -> a + x)
+         |      AS sumw
+         |  FROM mut GROUP BY 1),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM ws),
+         |r0 AS (SELECT src AS node, (1.0::DOUBLE / n::DOUBLE) AS pr FROM ws, nn),
+         |c1 AS (
+         |  SELECT m.dst AS node, m.src AS src, r.pr * m.cos / w.sumw AS c
+         |  FROM mut m JOIN r0 r ON r.node = m.src JOIN ws w ON w.src = m.src),
+         |s1 AS (
+         |  SELECT node,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY src)), (a, x) -> a + x) AS s
+         |  FROM c1 GROUP BY 1),
+         |r1 AS (
+         |  SELECT w.src AS node,
+         |    (1.0::DOUBLE - 0.85::DOUBLE) * (1.0::DOUBLE / n::DOUBLE)
+         |      + 0.85::DOUBLE * coalesce(s.s, 0.0::DOUBLE) AS pr
+         |  FROM ws w CROSS JOIN nn LEFT JOIN s1 s ON s.node = w.src),
+         |c2 AS (
+         |  SELECT m.dst AS node, m.src AS src, r.pr * m.cos / w.sumw AS c
+         |  FROM mut m JOIN r1 r ON r.node = m.src JOIN ws w ON w.src = m.src),
+         |s2 AS (
+         |  SELECT node,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY src)), (a, x) -> a + x) AS s
+         |  FROM c2 GROUP BY 1),
+         |r2 AS (
+         |  SELECT w.src AS node,
+         |    (1.0::DOUBLE - 0.85::DOUBLE) * (1.0::DOUBLE / n::DOUBLE)
+         |      + 0.85::DOUBLE * coalesce(s.s, 0.0::DOUBLE) AS pr
+         |  FROM ws w CROSS JOIN nn LEFT JOIN s2 s ON s.node = w.src)
+         |SELECT node AS vec_id, pr FROM r2""".stripMargin,
 
     // K-core mirror: the peel unrolled 4 rounds (Spark's early
     // fixed-point exit is idempotent, so the unroll is equivalent).

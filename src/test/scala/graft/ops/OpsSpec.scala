@@ -800,6 +800,22 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("pageRankWeighted: rank follows similarity mass, conserves total") {
+    // node 1 splits rank 0.9/0.1 between 2 and 3 by weight; unweighted
+    // would split evenly — node 2 must out-rank node 3 only here.
+    val edges = Seq(
+      (1L, 2L, 0.9), (1L, 3L, 0.1),
+      (2L, 1L, 1.0), (3L, 1L, 1.0)
+    ).toDF("src", "dst", "cos")
+    val pr = Similarity.pageRankWeighted(edges, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(2L) > pr(3L))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9) // no dangling nodes
+    val un = Similarity.pageRank(edges, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(un(2L) == un(3L)) // the unweighted walk cannot tell them apart
+  }
+
   test("kCore: cascading peel removes the pendant chain, keeps the triangle") {
     // triangle {1,2,3} + chain 3-4-5: round 1 peels 5 (deg 1), round 2
     // peels 4 (deg fell to 1) — the 2-core is exactly the triangle.
