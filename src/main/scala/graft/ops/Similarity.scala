@@ -82,6 +82,28 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Two-stage search RERANK — the production pattern behind every
+    * IVF-PQ deployment: the compressed index produces a cheap shortlist
+    * (ADC distances drift from true distances by quantization error),
+    * then ONLY the shortlist rows join back to their raw vectors for an
+    * exact-cosine re-score. Cost: the exact math touches k_short rows
+    * per query instead of the corpus, and the raw-vector join is keyed
+    * on the shortlist ids — the corpus vector table never broadcasts
+    * and never cross-joins. Output: (qidCol, idCol, cos, rank ≤ k),
+    * ties broken on the unique id. */
+  def rerankExact(shortlist: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, qidCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val scored = shortlist.select(col(qidCol), col(idCol))
+      .join(corpus.select(col(idCol), col(vecCol).as("__cvec")), idCol)
+      .join(broadcast(queries.select(col(qidCol), col(vecCol).as("__qvec"))), qidCol)
+      .select(col(qidCol), col(idCol),
+        cosine(col("__qvec"), col("__cvec")).as("cos"))
+    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** IVF-style cluster assignment: nearest centroid by cosine (ties →
     * smallest centroid id). `centroids` is small (it collapses to ONE
     * broadcast row, cid-sorted) — assignment is PER-ROW Column math: the

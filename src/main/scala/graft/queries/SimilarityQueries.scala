@@ -469,6 +469,27 @@ object SimilarityQueries {
         "vec_id", "embedding", "qid", "cid", m = 4, k = 5, nprobe = 2)
     }),
 
+    // TWO-STAGE search (shortlist + rerank): the IVF-PQ index produces
+    // an ADC top-20 shortlist, then only those rows join back to their
+    // raw vectors for an exact-cosine top-5 — quantization error never
+    // decides the final ranking, and the exact math touches 20 rows per
+    // query instead of the corpus.
+    "sim_ivfpq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val cbq = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val indexed = Similarity.pqCodes(
+        Similarity.ivfAssign(e, cents, "vec_id", "embedding", "cid"),
+        cbq, "vec_id", "embedding", "cid", m = 4, extraCols = Seq("cluster"))
+        .select("vec_id", "cluster", "pq_code")
+      val shortlist = Similarity.ivfPqKnn(indexed, queriesDf(s, dir), cents, cbq,
+        "vec_id", "embedding", "qid", "cid", m = 4, k = 20, nprobe = 2)
+      Similarity.rerankExact(shortlist, e, queriesDf(s, dir),
+        "vec_id", "embedding", "qid", k = 5)
+    }),
+
     // The fully-TRAINED ANN pipeline (the composition a real deployment
     // runs): train the coarse quantizer (one cosine Lloyd's round, k=8),
     // train the fine PQ codebook (one per-subspace L2 round, 4×16), build
@@ -1301,7 +1322,46 @@ object SimilarityQueries {
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
          |  FROM scored)
-         |SELECT qid, vec_id, adc_dist, rank FROM ranked WHERE rank <= 5""".stripMargin
+         |SELECT qid, vec_id, adc_dist, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // Two-stage mirror: the ivfpq chain widened to an ADC top-20
+    // shortlist, rejoined to the raw vectors for the exact-cosine top-5.
+    "sim_ivfpq_rerank" ->
+      s"""WITH $pqCodesCtes,
+         |c2 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT e.vec_id, c2.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c2.cid) AS rn
+         |    FROM embeddings e, c2) WHERE rn = 1),
+         |qp AS (
+         |  SELECT vec_id AS qid, qv, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding AS qv, c2.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c2.cid) AS rn
+         |    FROM embeddings e, c2 WHERE e.vec_id % 100 = 0) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT qp.qid, a.vec_id,
+         |    ${(0 until 4).map(adcSql).mkString("\n    + ")} AS adc_dist
+         |  FROM assign a JOIN qp USING (cluster)
+         |       JOIN codes co ON co.vec_id = a.vec_id
+         |       CROSS JOIN cbl
+         |  WHERE a.vec_id <> qp.qid),
+         |shortl AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
+         |    FROM scored) WHERE rank <= 20),
+         |rr AS (
+         |  SELECT s.qid, s.vec_id,
+         |    ${cosSql("ce.embedding", "qe.embedding")} AS cos
+         |  FROM shortl s
+         |  JOIN embeddings ce ON ce.vec_id = s.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = s.qid),
+         |rranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM rr)
+         |SELECT qid, vec_id, cos, rank FROM rranked WHERE rank <= 5""".stripMargin
   )
 
   /** Coarse k-means one-round training CTEs (init → assign0 → sliced
