@@ -82,6 +82,50 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Bounded-round HITS (hubs & authorities, Kleinberg 1999) over a
+    * directed edge list: authorities accumulate hub mass over incoming
+    * edges, hubs accumulate authority mass over outgoing edges. This
+    * variant normalizes each vector by its MAX instead of the L1/L2
+    * norm — max is an order-independent exact aggregate (one broadcast
+    * scalar per round), where a distributed float sum/sqrt norm would
+    * need a corpus-ordered fold per round; the fixed point is the same
+    * principal-eigenvector direction, rescaled. Per-node accumulation
+    * stays the rank-ORDERED list fold (deterministic, bounded by the
+    * degree cap). Output: (node, hub, authority). */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e = edges.select("src", "dst").distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    def foldSum(grouped: DataFrame, key: String, ord: String, v: String) =
+      grouped.groupBy(col(key).as("node"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col(ord), col(v).as("v")))),
+          lit(0.0), (acc, s) => acc + s.getField("v")).as("__raw"))
+    def maxNorm(raw: DataFrame): DataFrame =
+      nodes.join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__raw"), lit(0.0)).as("__raw"))
+        .crossJoin(broadcast(raw.agg(max(col("__raw")).as("__mx"))))
+        .select(col("node"), (col("__raw") / col("__mx")).as("__s"))
+    var h = nodes.select(col("node"), lit(1.0).as("__s")).localCheckpoint(true)
+    var a = h
+    var t = 0
+    while (t < rounds) {
+      a = maxNorm(foldSum(
+        e.join(h.select(col("node").as("src"), col("__s")), "src"),
+        "dst", "src", "__s")).localCheckpoint(true)
+      h = maxNorm(foldSum(
+        e.join(a.select(col("node").as("dst"), col("__s")), "dst"),
+        "src", "dst", "__s")).localCheckpoint(true)
+      t += 1
+    }
+    h.select(col("node"), col("__s").as("hub"))
+      .join(a.select(col("node"), col("__s").as("authority")), Seq("node"), "outer")
+      .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("authority"), lit(0.0)).as("authority"))
+  }
+
   /** Two-stage search RERANK — the production pattern behind every
     * IVF-PQ deployment: the compressed index produces a cheap shortlist
     * (ADC distances drift from true distances by quantization error),

@@ -232,6 +232,17 @@ object SimilarityQueries {
         .select(col("node").as("vec_id"), col("pr"))
     }),
 
+    // HITS hubs & authorities over the DIRECTED kNN graph (top-k edges
+    // are asymmetric, so hub ≠ authority — a node many others pick as
+    // neighbor is an authority; a node whose own picks are authorities
+    // is a hub). Max-normalized per round: exact aggregate, one
+    // broadcast scalar, no ordered global float fold.
+    "sim_hits" -> ((s, dir) =>
+      Similarity.hits(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000), rounds = 2)
+        .select(col("node").as("vec_id"), col("hub"), col("authority"))),
+
     // Cosine-WEIGHTED PageRank over the mutual backbone: rank flows
     // ∝ similarity mass instead of edge count, so the centrality
     // ordering separates tight semantic cores from weakly-linked hubs
@@ -773,6 +784,48 @@ object SimilarityQueries {
          |FROM e e1
          |JOIN e e2 ON e1.dst = e2.src
          |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)""".stripMargin,
+
+    // HITS mirror: two rounds unrolled — src-ordered incoming folds for
+    // authorities, dst-ordered outgoing folds for hubs, max-normalized.
+    "sim_hits" ->
+      s"""WITH $knnGraphCtes,
+         |e AS (SELECT DISTINCT src, dst FROM topk),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, 1.0::DOUBLE AS s FROM nodes),
+         |a1r AS (
+         |  SELECT e.dst AS node,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(h.s ORDER BY e.src)), (x, y) -> x + y) AS raw
+         |  FROM e JOIN h0 h ON h.node = e.src GROUP BY e.dst),
+         |a1 AS (
+         |  SELECT n.node, coalesce(r.raw, 0.0::DOUBLE) / m.mx AS s
+         |  FROM nodes n LEFT JOIN a1r r ON r.node = n.node
+         |       CROSS JOIN (SELECT max(raw) AS mx FROM a1r) m),
+         |h1r AS (
+         |  SELECT e.src AS node,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(a.s ORDER BY e.dst)), (x, y) -> x + y) AS raw
+         |  FROM e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+         |h1 AS (
+         |  SELECT n.node, coalesce(r.raw, 0.0::DOUBLE) / m.mx AS s
+         |  FROM nodes n LEFT JOIN h1r r ON r.node = n.node
+         |       CROSS JOIN (SELECT max(raw) AS mx FROM h1r) m),
+         |a2r AS (
+         |  SELECT e.dst AS node,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(h.s ORDER BY e.src)), (x, y) -> x + y) AS raw
+         |  FROM e JOIN h1 h ON h.node = e.src GROUP BY e.dst),
+         |a2 AS (
+         |  SELECT n.node, coalesce(r.raw, 0.0::DOUBLE) / m.mx AS s
+         |  FROM nodes n LEFT JOIN a2r r ON r.node = n.node
+         |       CROSS JOIN (SELECT max(raw) AS mx FROM a2r) m),
+         |h2r AS (
+         |  SELECT e.src AS node,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(a.s ORDER BY e.dst)), (x, y) -> x + y) AS raw
+         |  FROM e JOIN a2 a ON a.node = e.dst GROUP BY e.src),
+         |h2 AS (
+         |  SELECT n.node, coalesce(r.raw, 0.0::DOUBLE) / m.mx AS s
+         |  FROM nodes n LEFT JOIN h2r r ON r.node = n.node
+         |       CROSS JOIN (SELECT max(raw) AS mx FROM h2r) m)
+         |SELECT n.node AS vec_id, h2.s AS hub, a2.s AS authority
+         |FROM nodes n JOIN h2 ON h2.node = n.node JOIN a2 ON a2.node = n.node""".stripMargin,
 
     // Weighted-PageRank mirror: the pagerank chain with per-src weight
     // totals (dst-ordered fold) and cos/sumw contribution shares.

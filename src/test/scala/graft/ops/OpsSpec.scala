@@ -800,6 +800,20 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("hits: star center is the authority, leaves are the hubs") {
+    // all leaves point at 1; 1 points at 2 only
+    val edges = Seq((3L, 1L), (4L, 1L), (5L, 1L), (1L, 2L)).toDF("src", "dst")
+    val out = Similarity.hits(edges, rounds = 2).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._2 == 1.0) // max-normalized top authority
+    assert(out(3L)._1 == 1.0 && out(4L)._1 == 1.0 && out(5L)._1 == 1.0)
+    assert(out(3L)._2 == 0.0) // nothing points at a leaf
+    assert(out(2L)._1 == 0.0) // node 2 points at nothing
+    // node 1's hub score trails the leaves: its one target (2) is a
+    // weaker authority than 1 itself
+    assert(out(1L)._1 < 1.0)
+  }
+
   test("pageRankWeighted: rank follows similarity mass, conserves total") {
     // node 1 splits rank 0.9/0.1 between 2 and 3 by weight; unweighted
     // would split evenly — node 2 must out-rank node 3 only here.
