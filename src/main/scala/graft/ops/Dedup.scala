@@ -465,6 +465,42 @@ object Dedup {
         / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
   }
 
+  /** SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo, SIGMOD'95): the
+    * third classic candidate-generation family beside LSH banding and
+    * prefix filtering. Documents sort by a canonical key (whitespace-
+    * normalized lowercase prefix — catches shared-prefix boilerplate
+    * near-dups that shingle-hash methods dilute), and every pair within
+    * `window` positions of the GLOBAL sort order becomes a candidate.
+    *
+    * Scale: the global rank is NOT a single-partition window — it is the
+    * two-phase parallel prefix sum ([[Curation.parallelRunningSum]]:
+    * range-partition by key, per-slice local ranks, slice offsets from a
+    * slice-count-sized window). Neighbor pairs join on rank-bucket ids
+    * (`rank DIV window`, each left row probing its own and the next
+    * bucket) — a keyed equi-join producing each qualifying pair exactly
+    * once, never a rank-range theta join. Work is O(n·window).
+    *
+    * Output: (id_a, id_b, rank_gap ∈ [1, window]), a preceding b in the
+    * sort order. */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, textCol: String,
+                              window: Int, keyLen: Int = 30): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val keyed = docs.select(col(idCol).as("__id"),
+      substring(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), 1, keyLen)
+        .as("__key"))
+      .withColumn("__one", lit(1L))
+    val ranked = Curation.parallelRunningSum(
+      keyed, Seq.empty, Seq("__key", "__id"), "__one", "__rank")
+    val bK = ranked.select(col("__id").as("id_b"), col("__rank").as("__rb"))
+      .withColumn("__bk", expr(s"__rb DIV $window"))
+    val aK = ranked.select(col("__id").as("id_a"), col("__rank").as("__ra"))
+      .withColumn("__bk",
+        explode(array(expr(s"__ra DIV $window"), expr(s"__ra DIV $window + 1"))))
+    aK.join(bK, "__bk")
+      .where(col("__rb") > col("__ra") && col("__rb") - col("__ra") <= window)
+      .select(col("id_a"), col("id_b"), (col("__rb") - col("__ra")).as("rank_gap"))
+  }
+
   /** Persist a corpus's LSH band index as a bucketed table on `band_key`
     * (see [[graft.io.Bucketing]]): incremental dedup then joins each
     * incoming batch against the index with NO corpus-side exchange — the

@@ -224,7 +224,15 @@ object DedupQueries {
     // no LSH false negatives.
     "dedup_prefix_join" -> ((s, dir) =>
       Dedup.prefixJaccardJoin(docs(s, dir), "doc_id", "text",
-        tauNum = 3, tauDen = 5, shingleWords = 3))
+        tauNum = 3, tauDen = 5, shingleWords = 3)),
+
+    // Sorted-neighborhood blocking: normalized-prefix sort key, every
+    // pair within 4 positions of the GLOBAL order (rank = two-phase
+    // parallel prefix sum, pairs via rank-bucket equi-join — O(n·w),
+    // no single-partition window, no theta join).
+    "dedup_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(docs(s, dir), "doc_id", "text",
+        window = 4))
   )
 
   /** Shared SQL fragments (DuckDB): tokenization, shingles, hash60. */
@@ -678,6 +686,16 @@ object DedupQueries {
          |  JOIN sets b ON c.id_b = b.doc_id)
          |SELECT id_a, id_b, n_a, n_b, n_shared,
          |       n_shared::DOUBLE / (n_a + n_b - n_shared)::DOUBLE AS jaccard
-         |FROM v WHERE 5 * n_shared >= 3 * (n_a + n_b - n_shared)""".stripMargin
+         |FROM v WHERE 5 * n_shared >= 3 * (n_a + n_b - n_shared)""".stripMargin,
+
+    "dedup_sorted_neighborhood" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |         substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 30) AS k
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS r FROM keyed)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, (b.r - a.r)::BIGINT AS rank_gap
+        |FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r <= 4""".stripMargin
   )
 }

@@ -343,7 +343,8 @@ class ScaleOpsSpec extends SparkSpec {
     for (q <- Seq("rel_tpch_q13", "rel_outer_join", "rel_tpch_q17", "rel_tpch_q21",
         "rel_tpch_q4", "rel_tpch_q16", "rel_tpch_q20", "rel_tpch_q2",
         "rel_tpch_q7", "rel_tpch_q8", "rel_tpch_q9", "rel_tpch_q12",
-        "rel_tpch_q14", "rel_tpch_q19", "events_gapfill")) {
+        "rel_tpch_q14", "rel_tpch_q19", "events_gapfill",
+        "dedup_sorted_neighborhood")) {
       val plan = graft.SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
