@@ -501,6 +501,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), (col("__rb") - col("__ra")).as("rank_gap"))
   }
 
+  /** Edit-distance fuzzy-match join — the classic record-linkage
+    * composition: [[sortedNeighborhoodPairs]] blocking generates the
+    * candidates, EXACT Levenshtein distance over the normalized text
+    * (lowercased, whitespace-collapsed, first `verifyLen` chars — the cap
+    * bounds the O(len²) DP per pair) verifies them. Work is O(n·window)
+    * candidates × one bounded DP each, never a cartesian similarity
+    * matrix; Levenshtein is unit-cost integer DP, bit-identical across
+    * engines (the oracle is DuckDB's `levenshtein`). Near-duplicate
+    * rewrites verify at small distance; unrelated sort-neighbors land far
+    * above any sane cutoff, so the threshold separates cleanly.
+    *
+    * Output: (id_a, id_b, edit_dist ≤ maxDist), id_a preceding id_b in
+    * the blocking sort order. */
+  def editDistanceJoin(docs: DataFrame, idCol: String, textCol: String,
+                       window: Int, maxDist: Int,
+                       verifyLen: Int = 120, keyLen: Int = 30): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val pairs = sortedNeighborhoodPairs(docs, idCol, textCol, window, keyLen)
+    val norm = docs.select(col(idCol).as("__id"),
+      substring(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), 1, verifyLen)
+        .as("__t"))
+    pairs
+      .join(norm.select(col("__id").as("id_a"), col("__t").as("__ta")), "id_a")
+      .join(norm.select(col("__id").as("id_b"), col("__t").as("__tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
+  }
+
   /** Persist a corpus's LSH band index as a bucketed table on `band_key`
     * (see [[graft.io.Bucketing]]): incremental dedup then joins each
     * incoming batch against the index with NO corpus-side exchange — the

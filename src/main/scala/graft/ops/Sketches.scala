@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   *    maintained stats sidecar can answer "distinct tokens per source"
   *    without ever re-scanning history (the same segment-ledger idea as
   *    [[graft.io.SegmentedIndex]], applied to profile state).
+  *  - [[kmvSketch]]/[[kmvEstimate]] — KMV bottom-k distinct sketch
+  *    (Bar-Yossef et al. 2002): the k smallest distinct hash values per
+  *    group; disjoint parts merge by re-taking the bottom-k of the
+  *    union ([[kmvMerge]]) into exactly the single-pass sketch.
   *  - [[cmsBuild]]/[[cmsEstimate]] — count-min sketch (Cormode &
   *    Muthukrishnan 2005): depth×width counters estimate any item's
   *    frequency with one-sided error (never under, over only on hash
@@ -115,6 +119,80 @@ object Sketches {
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   m: Int = 64): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, valueCol, m), groupCols, m)
+
+  /** KMV ("k minimum values" / bottom-k, Bar-Yossef et al. 2002) distinct
+    * sketch per group: the k smallest DISTINCT [[hash60]] values of
+    * `valueCol`. k hashes per group replace per-key distinct state, and
+    * sketches of disjoint corpus parts merge LOSSLESSLY — any member of
+    * the union's true bottom-k is in its own part's bottom-k, so the
+    * bottom-k of the parts' survivor sets is exactly the single-pass
+    * sketch ([[kmvMerge]]; oracle-checked by `text_kmv_merged`). The same
+    * segment-sidecar story as [[hllRegisters]], built on an order
+    * statistic instead of leading-zero ranks — unlike HLL it also
+    * supports distinct-count estimates of set INTERSECTIONS downstream
+    * (the sketches are comparable value samples, not registers).
+    *
+    * Plan shape: one explode/distinct pass, then bottom-k in TWO window
+    * phases so no single partition ever holds a group's full distinct
+    * set: per (group, h mod 64) spread-bucket bottom-k (each window
+    * partition ≈ a 64th of the group's distinct values), then bottom-k
+    * of the ≤ 64·k survivors. Output: (groupCols..., h), ≤ k rows per
+    * group. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val W = org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val hashed = df
+      .select(g :+ hash60(concat(lit("kmv:"), col(valueCol))).as("h"): _*)
+      .distinct()
+    hashed
+      .withColumn("__b", col("h") % 64)
+      .withColumn("__rn", row_number().over(
+        W.partitionBy((groupCols :+ "__b").map(col): _*).orderBy("h")))
+      .where(col("__rn") <= k)
+      .withColumn("__rn", row_number().over(
+        W.partitionBy(g: _*).orderBy("h")))
+      .where(col("__rn") <= k)
+      .select(g :+ col("h"): _*)
+  }
+
+  /** Merge bottom-k sketches of corpus parts: bottom-k of the distinct
+    * union of the parts' survivor sets (each ≤ k rows per group, so the
+    * merge input is parts·k-bounded — sketch-sized work, no corpus). */
+  def kmvMerge(parts: Seq[DataFrame], groupCols: Seq[String],
+               k: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    parts.reduce(_ unionByName _).distinct()
+      .withColumn("__rn", row_number().over(
+        W.partitionBy(groupCols.map(col): _*).orderBy("h")))
+      .where(col("__rn") <= k)
+      .select(groupCols.map(col) :+ col("h"): _*)
+  }
+
+  /** KMV estimate per group from a sketch. Fewer than k hashes means the
+    * sketch IS the group's whole distinct hash set — the count is exact.
+    * Otherwise the classic unbiased estimator (k−1)/U_(k), U_(k) the
+    * k-th smallest hash normalized to (0,1] by the 2^60 hash domain:
+    * written as the single division ((k−1)·2^60)/h_(k). (k−1)·2^60 is an
+    * exactly representable double (mantissa k−1, a power-of-two scale),
+    * so both engines perform ONE correctly-rounded division of identical
+    * operands — the repo's log-free exactness convention.
+    * Output: (groupCols..., n_min_vals, kth_min, kmv_distinct). */
+  def kmvEstimate(sketch: DataFrame, groupCols: Seq[String],
+                  k: Int): DataFrame = {
+    val num = lit((k - 1).toDouble) * lit(math.pow(2.0, 60))
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_min_vals"), max(col("h")).as("kth_min"))
+      .withColumn("kmv_distinct",
+        when(col("n_min_vals") < k, col("n_min_vals").cast("double"))
+          .otherwise(num / col("kth_min").cast("double")))
+  }
+
+  /** One-call per-group KMV distinct estimate. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 64): DataFrame =
+    kmvEstimate(kmvSketch(df, groupCols, valueCol, k), groupCols, k)
 
   /** Count-min sketch of `valueCol` occurrences: (row, col, cnt) cells,
     * `depth` hash rows × `width` columns. ONE [[hash60]] (md5) per value

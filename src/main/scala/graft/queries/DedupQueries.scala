@@ -232,7 +232,17 @@ object DedupQueries {
     // no single-partition window, no theta join).
     "dedup_sorted_neighborhood" -> ((s, dir) =>
       Dedup.sortedNeighborhoodPairs(docs(s, dir), "doc_id", "text",
-        window = 4))
+        window = 4)),
+
+    // Record-linkage fuzzy join: sorted-neighborhood blocking (window 8)
+    // + exact Levenshtein verification over the first 120 normalized
+    // chars (bounded DP per candidate — O(n·w) pairs, never a similarity
+    // matrix). Integer unit-cost edit distance is bit-identical across
+    // engines; near-dup rewrites verify at small distance, unrelated
+    // neighbors land far above the cutoff.
+    "dedup_edit_join" -> ((s, dir) =>
+      Dedup.editDistanceJoin(docs(s, dir), "doc_id", "text",
+        window = 8, maxDist = 40))
   )
 
   /** Shared SQL fragments (DuckDB): tokenization, shingles, hash60. */
@@ -696,6 +706,19 @@ object DedupQueries {
         |ranked AS (
         |  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS r FROM keyed)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, (b.r - a.r)::BIGINT AS rank_gap
-        |FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r <= 4""".stripMargin
+        |FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r <= 4""".stripMargin,
+
+    "dedup_edit_join" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |         substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 30) AS k,
+        |         substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 120) AS t
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, t, row_number() OVER (ORDER BY k, doc_id) AS r FROM keyed)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       levenshtein(a.t, b.t)::BIGINT AS edit_dist
+        |FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r <= 8
+        |WHERE levenshtein(a.t, b.t) <= 40""".stripMargin
   )
 }

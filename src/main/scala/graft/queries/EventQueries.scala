@@ -183,6 +183,29 @@ object EventQueries {
         .select("user_id", "event_id", "gap_s")
     }),
 
+    // Truncated exponentially-weighted moving value per user (α = 1/2,
+    // 16 taps): the smoothing every monitoring pipeline runs, in the
+    // repo's engine-exact formulation. Dyadic weights 2^-(j+1) make the
+    // weighted sum EXACT integer arithmetic — values scale to cents
+    // (floor(v·100 + 0.5): floor, never CAST, because double→int casts
+    // truncate in Spark but round in DuckDB), each tap scales by
+    // 2^(15−j), the LONG tap sum is order-free — and only the final
+    // rescale divides (÷2^16 exact, ÷100 once correctly rounded). One
+    // window pass; per-row state is the 16 lags.
+    "events_ewma" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val taps = (0 until 16).map(j =>
+        coalesce(lag(col("cents"), j).over(w), lit(0L)) * lit(1L << (15 - j)))
+        .reduce(_ + _)
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("cents",
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+        .select(col("event_id"), col("user_id"),
+          (taps.cast("double") / lit(65536.0) / lit(100.0)).as("ewma"))
+    }),
+
     // First-order Markov transition matrix of the event stream: per-user
     // ordered next-event pairs → (from, to) counts and row-normalized
     // probabilities. One window pass + one pair-sized aggregation; the
@@ -453,6 +476,19 @@ object EventQueries {
         |  CAST((epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
         |       / 1000000 AS DOUBLE) AS gap_s
         |FROM events""".stripMargin,
+
+    "events_ewma" -> {
+      val taps = (0 until 16).map(j =>
+        s"coalesce(lag(cents, $j) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) * ${1L << (15 - j)}")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, ts,
+         |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM events),
+         |w AS (SELECT event_id, user_id, $taps AS ws FROM e)
+         |SELECT event_id, user_id, ws::DOUBLE / 65536.0 / 100.0 AS ewma
+         |FROM w""".stripMargin
+    },
 
     "events_transitions" ->
       """WITH seq AS (

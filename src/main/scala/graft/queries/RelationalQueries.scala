@@ -537,6 +537,27 @@ object RelationalQueries {
           sum(dec(col("o_totalprice"), 2)).cast("double").as("total"))
     }),
 
+    // Null-safe equality join (<=>): NULL keys MATCH each other — the
+    // semantics plain `=` silently drops (rel_outer_join pins the drop;
+    // this pins the match). Still an EQUI-join: Spark hashes the
+    // null-safe key, so the plan is a broadcast/hash join, never a
+    // BroadcastNestedLoopJoin (spec-asserted). The post-join aggregate
+    // checks the NULL group's pair arithmetic (null-cust × null-supp),
+    // not just row counts. DuckDB: IS NOT DISTINCT FROM.
+    "rel_nullsafe_join" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_acctbal") < 0, lit(null))
+          .otherwise(col("c_nationkey")).as("k"))
+      val sup = Tables(s, dir, "supplier").select(col("s_suppkey"),
+        when(col("s_acctbal") < 0, lit(null))
+          .otherwise(col("s_nationkey")).as("k2"))
+      c.join(sup, col("k") <=> col("k2"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("c_custkey")).as("n_cust"),
+          count_distinct(col("s_suppkey")).as("n_supp"))
+    }),
+
     // TPC-H Q17 shape (small-quantity-order revenue): the correlated
     // scalar subquery `l_quantity < 0.2 * avg(l_quantity per part)`
     // decorrelated into ONE per-part aggregate joined back on the part
@@ -1219,6 +1240,21 @@ object RelationalQueries {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM o FULL OUTER JOIN c ON k = ck
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "rel_nullsafe_join" ->
+      """WITH a AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS k
+        |  FROM customer),
+        |b AS (
+        |  SELECT s_suppkey,
+        |         CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END AS k2
+        |  FROM supplier)
+        |SELECT a.k AS k, count(*) AS n_pairs,
+        |       count(DISTINCT c_custkey) AS n_cust,
+        |       count(DISTINCT s_suppkey) AS n_supp
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
+        |GROUP BY a.k""".stripMargin,
 
     "rel_tpch_q17" ->
       """WITH lif AS (

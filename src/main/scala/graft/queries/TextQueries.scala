@@ -587,6 +587,41 @@ object TextQueries {
       graft.ops.Sketches.cmsEstimate(graft.ops.Sketches.cmsMerge(Seq(c0, c1)),
         graft.functions.TextFunctions.StopwordsEn.toDF("term"), "term",
         depth = 4, width = 256)
+    }),
+
+    // KMV bottom-k distinct sketch per source over 3-word shingles (the
+    // shingle space is rich enough to exceed k; the tiny synthetic token
+    // vocabulary is not): 64 smallest distinct hashes, estimator
+    // (k−1)·2^60/h_(k) — one correctly-rounded division, the log-free
+    // exactness convention. Groups under k hashes report EXACT counts.
+    "text_kmv_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, explode}
+      val TF = graft.functions.TextFunctions
+      val grams = docs(s, dir)
+        .select(col("source"), TF.tokens(col("text")).as("__toks"))
+        .select(col("source"),
+          explode(TF.wordShingles(col("__toks"), 3)).as("gram"))
+      graft.ops.Sketches.kmvDistinct(grams, Seq("source"), "gram", k = 64)
+    }),
+
+    // KMV merge law: bottom-k sketches of the doc_id-parity halves merge
+    // (bottom-k of the union) into EXACTLY the single-pass sketch — the
+    // oracle computes the single pass. Sketch-sized merge work.
+    "text_kmv_merged" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, explode}
+      val TF = graft.functions.TextFunctions
+      val d = docs(s, dir)
+      def grams(part: DataFrame) = part
+        .select(col("source"), TF.tokens(col("text")).as("__toks"))
+        .select(col("source"),
+          explode(TF.wordShingles(col("__toks"), 3)).as("gram"))
+      val s0 = graft.ops.Sketches.kmvSketch(
+        grams(d.where(col("doc_id") % 2 === 0L)), Seq("source"), "gram", k = 64)
+      val s1 = graft.ops.Sketches.kmvSketch(
+        grams(d.where(col("doc_id") % 2 === 1L)), Seq("source"), "gram", k = 64)
+      graft.ops.Sketches.kmvEstimate(
+        graft.ops.Sketches.kmvMerge(Seq(s0, s1), Seq("source"), k = 64),
+        Seq("source"), k = 64)
     })
   )
 
@@ -810,6 +845,29 @@ object TextQueries {
        |  / ((64 - n_buckets_set)::DOUBLE + fold) AS hll_distinct
        |FROM est""".stripMargin
 
+  /** KMV mirror over the full corpus — shared verbatim by
+    * text_kmv_distinct and text_kmv_merged (the merge law says the
+    * parity-half bottom-k merge must equal this single pass). k = 64
+    * over 3-word shingles; 63·2^60 is an exactly representable double
+    * (mantissa 63), so the estimate is ONE correctly-rounded division in
+    * both engines; groups under 64 distinct hashes are exact counts. */
+  private val kmvSql =
+    s"""WITH t AS (SELECT source, $toksSql AS tk FROM documents),
+       |g AS (SELECT source, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |  ELSE list_transform(range(1, len(tk)-1),
+       |         i -> array_to_string(list_slice(tk, i::INT, i::INT+2), ' ')) END) AS gram
+       |  FROM t),
+       |h AS (SELECT DISTINCT source, ${h60("'kmv:'||gram")} AS h FROM g),
+       |r AS (SELECT source, h,
+       |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+       |s AS (SELECT source, count(*)::BIGINT AS n_min_vals, max(h) AS kth_min
+       |      FROM r WHERE rn <= 64 GROUP BY source)
+       |SELECT source, n_min_vals, kth_min,
+       |  CASE WHEN n_min_vals < 64 THEN n_min_vals::DOUBLE
+       |       ELSE (63.0::DOUBLE * 1152921504606846976.0::DOUBLE) / kth_min::DOUBLE
+       |  END AS kmv_distinct
+       |FROM s""".stripMargin
+
   /** CMS mirror (4×256, watchlist = the stopword fixture) — shared by
     * text_cms_counts and text_cms_merged (cell sums are additive, so the
     * parity-half SUM-merge must equal this single pass). One md5 per
@@ -876,6 +934,8 @@ object TextQueries {
     "text_hll_merged" -> hllSql,
     "text_cms_counts" -> cmsSql,
     "text_cms_merged" -> cmsSql,
+    "text_kmv_distinct" -> kmvSql,
+    "text_kmv_merged" -> kmvSql,
 
     "text_span_dup_rate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

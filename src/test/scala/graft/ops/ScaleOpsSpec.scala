@@ -370,6 +370,47 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected TakeOrderedAndProject in:\n$q21")
   }
 
+  test("null-safe equi-join plans as a hash join, never a nested loop") {
+    val out = graft.SparkEntry.queries("rel_nullsafe_join")(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"expected a keyed join in:\n$plan")
+    // NULL keys MATCH under <=>: the NULL group's pair count is the
+    // product of the two sides' null counts
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val sup = spark.read.parquet(s"$sf/supplier.parquet")
+    val nullCust = c.where(col("c_acctbal") < 0).count()
+    val nullSupp = sup.where(col("s_acctbal") < 0).count()
+    val nullRow = out.where(col("k").isNull).collect()
+    if (nullCust > 0 && nullSupp > 0) {
+      assert(nullRow.length == 1)
+      assert(nullRow.head.getAs[Long]("n_pairs") == nullCust * nullSupp,
+        s"NULL<=>NULL pairs must be $nullCust*$nullSupp: ${nullRow.head}")
+    }
+  }
+
+  test("ewma: first two rows of a user obey the closed-form dyadic weights") {
+    val out = graft.SparkEntry.queries("events_ewma")(spark, sf)
+    val e = graft.queries.Tables.events(spark, sf)
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("cents", floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+    // a user with at least two events, their first two in time order
+    val uid = e.groupBy("user_id").count().where(col("count") >= 2)
+      .select("user_id").head().getLong(0)
+    val first2 = e.where(col("user_id") === uid)
+      .orderBy("tus", "event_id").limit(2)
+      .select("event_id", "cents").collect()
+    val (id1, c1) = (first2(0).getLong(0), first2(0).getLong(1))
+    val (id2, c2) = (first2(1).getLong(0), first2(1).getLong(1))
+    val got = out.where(col("event_id").isin(id1, id2))
+      .select("event_id", "ewma").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(id1) == (c1 * 32768L).toDouble / 65536.0 / 100.0)
+    assert(got(id2) == (c2 * 32768L + c1 * 16384L).toDouble / 65536.0 / 100.0)
+  }
+
   test("phrase index probe: bucketed scan, zero bigram exchange, ≡ recompute") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     import spark.implicits._

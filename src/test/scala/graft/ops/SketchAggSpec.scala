@@ -75,6 +75,40 @@ class SketchAggSpec extends SparkSpec {
     assert(cells(Sketches.cmsMerge(parts)) == cells(whole))
   }
 
+  test("KMV merge law: parity-split bottom-k sketches merge to the single-pass sketch") {
+    def rows(df: DataFrame): Set[(String, Long)] =
+      df.select(col("source"), col("h")).as[(String, Long)].collect().toSet
+    val whole = Sketches.kmvSketch(terms, Seq("source"), "term", k = 16)
+    val h = abs(hash(col("term"))) % 3
+    val parts = (0 until 3).map(i =>
+      Sketches.kmvSketch(terms.where(h === i), Seq("source"), "term", k = 16))
+    assert(rows(Sketches.kmvMerge(parts, Seq("source"), k = 16)) == rows(whole))
+    // overlapping (non-disjoint) parts merge identically — bottom-k of a
+    // union is insensitive to duplication
+    val overlapping = Seq(
+      Sketches.kmvSketch(terms, Seq("source"), "term", k = 16),
+      Sketches.kmvSketch(terms.where(h === 0), Seq("source"), "term", k = 16))
+    assert(rows(Sketches.kmvMerge(overlapping, Seq("source"), k = 16)) == rows(whole))
+  }
+
+  test("KMV exact regime: under k distinct values the count is exact") {
+    val vals = spark.range(40).select(lit("g").as("source"),
+      concat(lit("v"), col("id")).as("term"))
+    val est = Sketches.kmvDistinct(vals, Seq("source"), "term", k = 64)
+      .select(col("n_min_vals"), col("kmv_distinct"))
+      .as[(Long, Double)].head()
+    assert(est == ((40L, 40.0)), s"under-k group must report exactly: $est")
+  }
+
+  test("KMV estimator lands within the error band at n >> k") {
+    // 20k distinct values, k=64: relative stddev ≈ 1/√(k−2) ≈ 12.7% — 3σ
+    val vals = spark.range(20000).select(lit("g").as("source"),
+      concat(lit("u"), col("id")).as("term"))
+    val est = Sketches.kmvDistinct(vals, Seq("source"), "term", k = 64)
+      .select(col("kmv_distinct")).as[Double].head()
+    assert(math.abs(est - 20000) / 20000.0 < 0.4, s"estimate off: $est")
+  }
+
   test("shape mismatch fails loudly instead of silently mis-estimating") {
     val regs = Sketches.hllRegisters(terms, Seq("source"), "term", m = 64)
     val e1 = intercept[IllegalArgumentException] {
