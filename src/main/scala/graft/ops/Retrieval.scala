@@ -455,6 +455,38 @@ object Retrieval {
     rankCandidates(cand, qidCol, idCol, k)
   }
 
+  /** Conjunctive (boolean AND) retrieval against a persisted BM25 index:
+    * a document matches iff its LIVE postings cover every distinct query
+    * term — the unranked filter step a retrieval stack runs before (or
+    * instead of) scoring. Same probe path as [[bm25AgainstIndex]]: the
+    * probed terms travel as a literal InSet so the scan opens only their
+    * bucket files, tombstoned versions drop before matching, and the
+    * match test is pure set arithmetic (matched distinct terms ==
+    * query's distinct-term count) — integer-exact, no floats anywhere.
+    * Output: (qidCol, id, n_terms). */
+  def booleanAndAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                             table: String, queries: DataFrame,
+                             qidCol: String, qtextCol: String,
+                             maxProbedKeys: Int = DefaultMaxProbedKeys): DataFrame = {
+    val SI = graft.io.SegmentedIndex
+    val t = SI.resolve(spark, table)
+    val qt = queryTerms(queries, qidCol, qtextCol)
+    val postings = probePruned(spark, t, "term", qt, maxProbedKeys)
+    val idCol = SI.idColOf(spark, t)
+    require(postings.columns.contains(idCol),
+      s"index $table lacks its ledger-recorded id column '$idCol': " +
+        postings.columns.mkString(", "))
+    val live = SI.dropDead(postings, SI.tombstoneMax(spark, t, idCol), idCol)
+    val need = broadcast(qt.groupBy(qidCol)
+      .agg(count_distinct(col("term")).as("__need")))
+    live.join(qt, "term")
+      .groupBy(col(qidCol), col(idCol))
+      .agg(count_distinct(col("term")).as("n_terms"))
+      .join(need, qidCol)
+      .where(col("n_terms") === col("__need"))
+      .select(col(qidCol), col(idCol), col("n_terms"))
+  }
+
   /** Cap on the probed-key collect (enforcing the 'query batch is
     * broadcast-sized' contract instead of assuming it): up to this many
     * distinct keys become a literal InSet on the bucket column

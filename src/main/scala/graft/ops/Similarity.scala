@@ -1352,6 +1352,57 @@ object Similarity {
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Bounded-round K-TRUSS decomposition over an undirected edge list —
+    * the EDGE-centric cohesion peel beside [[kCore]]'s node-centric one:
+    * each round computes every edge's triangle support via the
+    * [[triangles]] wedge join on the CURRENT surviving canonical edge
+    * set and drops edges supported by fewer than k−2 triangles. The
+    * k-truss keeps only relationships embedded in mutual neighborhoods
+    * (every surviving edge closes ≥ k−2 triangles), a stronger
+    * community signal than degree alone — hub edges with no shared
+    * context peel even when both endpoints are high-degree.
+    *
+    * Same contract as [[kCore]]: early exit at a fixed point equals
+    * running the remaining rounds (the oracle mirrors the full unroll);
+    * each round is the keyed wedge join (work bounded by Σ deg² on a
+    * degree-capped top-k graph, shrinking monotonically) + one
+    * semi-join, `localCheckpoint` truncating lineage per round. Rounds
+    * is a fixed parameter, never a data function.
+    *
+    * Input: symmetric or canonical edges; output: surviving canonical
+    * edges (src < dst) with their final-round support. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k=2 keeps every edge): $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    def support(e: DataFrame): DataFrame = {
+      val tri = e.select(col("src").as("id_a"), col("dst").as("id_b"))
+        .join(e.select(col("src").as("id_b"), col("dst").as("id_c")), "id_b")
+        .join(e.select(col("src").as("id_a"), col("dst").as("id_c")),
+          Seq("id_a", "id_c"), "left_semi")
+      tri.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(tri.select(col("id_a").as("src"), col("id_c").as("dst")))
+        .unionAll(tri.select(col("id_b").as("src"), col("id_c").as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+    }
+    var e = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") < col("dst")).distinct().localCheckpoint(true)
+    var before = e.count()
+    var t = 0
+    var converged = false
+    while (t < rounds && !converged) {
+      val keep = support(e).where(col("support") >= k - 2)
+      val e2 = e.join(keep, Seq("src", "dst"), "left_semi").localCheckpoint(true)
+      val after = e2.count()
+      converged = after == before
+      e = e2; before = after; t += 1
+    }
+    e.join(support(e), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Embedding-space outlier screen: assign each vector to its nearest
     * centroid ([[ivfAssign]] semantics) and flag rows whose cosine to
     * that centroid falls below `minCos` — far-from-every-centroid points

@@ -346,4 +346,53 @@ object TextAnalysis {
           lit(0.0), (acc, s) => acc + s.getField("v")).as("l1_drift"))
       .select(col(groupCol), col("n_tokens"), col("l1_drift"))
   }
+
+  /** EXACT φ-frequent heavy hitters with BOUNDED aggregation state —
+    * the query a plain `GROUP BY value HAVING count ≥ φ·N` answers with
+    * per-distinct-value state (vocabulary-sized at 100 TB), answered
+    * here with ⌈1/φ⌉ counters per task:
+    *
+    *  1. per-partition Misra-Gries summaries (Misra & Gries 1982) keep
+    *     at most ⌈phiDen/phiNum⌉ counters — on overflow every counter
+    *     decrements and zeros evict (the classic step). An item with
+    *     global frequency ≥ φ·N has frequency ≥ φ·n_p in SOME partition
+    *     (averaging), and MG at capacity c retains any item with
+    *     partition frequency > n_p/(c+1) — so the candidate union has
+    *     NO FALSE NEGATIVES;
+    *  2. one exact recount of the (≤ tasks·⌈1/φ⌉, broadcast) candidate
+    *     set, then the exact integer threshold phiDen·cnt ≥ phiNum·N.
+    *
+    * The sketch only prunes the candidate space; the output is exactly
+    * the φ-frequent set — which is why a plain GROUP BY/HAVING oracle
+    * can hash-check it (`text_heavy_hitters`), independent of partition
+    * count or arrival order. The only full passes are the count and the
+    * semi-joined recount; per-task memory never depends on the
+    * vocabulary. This is the rare justified `mapPartitions`: the
+    * decrement-all eviction is genuinely per-partition imperative
+    * state no Column expression holds. */
+  def heavyHitters(df: DataFrame, valueCol: String,
+                   phiNum: Int, phiDen: Int): DataFrame = {
+    require(phiNum >= 1 && phiNum < phiDen,
+      s"phi must be a rational in (0,1): $phiNum/$phiDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cap = (phiDen + phiNum - 1) / phiNum
+    val candidates = df.select(col(valueCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { v =>
+          if (m.contains(v)) m(v) += 1L
+          else if (m.size < cap) m(v) = 1L
+          else {
+            m.mapValuesInPlace((_, c) => c - 1L)
+            m.filterInPlace((_, c) => c > 0L)
+          }
+        }
+        m.keysIterator
+      }.toDF(valueCol).distinct()
+    val total = df.count()
+    df.join(broadcast(candidates), valueCol)
+      .groupBy(valueCol).agg(count(lit(1)).as("cnt"))
+      .where(lit(phiDen.toLong) * col("cnt") >= lit(phiNum.toLong) * lit(total))
+  }
 }

@@ -90,6 +90,51 @@ object EventQueries {
     // Catalyst plans a single Exchange).
     "events_sessionize_batch" -> ((s, dir) => sessionizeBatch(s, dir)),
 
+    // Global concurrency sweep line: gap-sessions become ±1 boundary
+    // points and one GLOBAL running sum (the two-phase parallel prefix
+    // sum — never a single-partition window) tracks how many sessions
+    // are open at every state change; per-hour MAX summarizes. Point
+    // order (t, starts-before-ends, user, session) is mirrored in the
+    // oracle; the per-hour MAX is invariant to within-tie permutations
+    // anyway (a tie group's prefix values form one monotone run).
+    "events_concurrency" -> ((s, dir) => {
+      val iv = sessionizeBatch(s, dir)
+      val pts = iv.select(col("start_us").as("t"), lit(0).as("dord"),
+          lit(1L).as("d"), col("user_id"), col("session_seq"))
+        .unionAll(iv.select(col("end_us").as("t"), lit(1).as("dord"),
+          lit(-1L).as("d"), col("user_id"), col("session_seq")))
+      graft.ops.Curation.parallelRunningSum(pts, Seq.empty,
+          Seq("t", "dord", "user_id", "session_seq"), "d", "conc")
+        .groupBy((expr("t div 3600000000") * lit(3600000000L)).as("hour_us"))
+        .agg(max(col("conc")).as("max_concurrent"),
+          count(lit(1)).as("n_points"))
+    }),
+
+    // Exact time-weighted average value per user — the statistic a
+    // last-observation-carried-forward sensor/billing pipeline needs,
+    // where the plain mean over-weights bursts. Each interval
+    // contributes value·Δt in EXACT integer arithmetic (cents × µs,
+    // summed in DECIMAL(38,0) so a 100 TB stream cannot wrap); the twa
+    // is two correctly-rounded divisions on identical operands.
+    "events_time_weighted" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("cents",
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+        .withColumn("dt", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .where(col("dt").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum((col("cents") * col("dt")).cast("decimal(38,0)")).as("__num"),
+          sum(col("dt")).as("__den"))
+        .where(col("__den") > 0)
+        .select(col("user_id"), col("n_intervals"),
+          (col("__num").cast("double") / col("__den").cast("double")
+            / lit(100.0)).as("twa"))
+    }),
+
     // Binned range join: every event matched to its containing session
     // interval via bucket-explosion equi-join instead of the
     // nested-loop plan an inequality join gets (see
@@ -387,6 +432,39 @@ object EventQueries {
     "events_sessionize_batch" ->
       s"""WITH $sessCtes
          |SELECT user_id, session_seq, start_us, end_us, n_events FROM sess""".stripMargin,
+
+    "events_concurrency" ->
+      s"""WITH $sessCtes,
+         |pts AS (
+         |  SELECT start_us AS t, 0 AS dord, 1::BIGINT AS d, user_id, session_seq
+         |  FROM sess
+         |  UNION ALL
+         |  SELECT end_us AS t, 1 AS dord, -1::BIGINT AS d, user_id, session_seq
+         |  FROM sess),
+         |run AS (
+         |  SELECT t, sum(d) OVER (ORDER BY t, dord, user_id, session_seq
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+         |  FROM pts)
+         |SELECT (t // 3600000000) * 3600000000 AS hour_us,
+         |       max(conc)::BIGINT AS max_concurrent, count(*)::BIGINT AS n_points
+         |FROM run GROUP BY 1""".stripMargin,
+
+    "events_time_weighted" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, cents,
+        |         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |           - ts_us AS dt
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_intervals,
+        |         sum(cents * dt) AS num, sum(dt)::BIGINT AS den
+        |  FROM iv WHERE dt IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_intervals, num::DOUBLE / den::DOUBLE / 100.0 AS twa
+        |FROM g WHERE den > 0""".stripMargin,
 
     "events_range_join" ->
       s"""WITH $sessCtes,

@@ -220,6 +220,16 @@ object SimilarityQueries {
         Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
           k = 3, bits = 6, maxBucketSize = 1000)), k = 2, rounds = 4)),
 
+    // Bounded-round 3-truss: the EDGE-centric cohesion peel — each round
+    // recomputes triangle support on the surviving canonical edges and
+    // drops edges closing no triangle. Hub edges without shared context
+    // peel even when both endpoints are high-degree; what survives is
+    // the mutually-witnessed community core.
+    "sim_ktruss" -> ((s, dir) =>
+      Similarity.kTruss(Similarity.mutualKnn(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000)), k = 3, rounds = 3)),
+
     // Bounded-round PageRank over the mutual backbone: the centrality
     // signal for importance-weighted curation (keep/upsample the
     // representative core of a semantic neighborhood, prune the
@@ -888,6 +898,41 @@ object SimilarityQueries {
          |e4 AS (SELECT src, dst FROM e3
          |       WHERE src IN (SELECT src FROM k3) AND dst IN (SELECT src FROM k3))
          |SELECT src AS node, count(*)::BIGINT AS degree FROM e4 GROUP BY src""".stripMargin,
+
+    // 3-truss mirror as a RECURSIVE peel: the working table is one
+    // round's edge set (materialized per iteration — a plain CTE chain
+    // re-inlines exponentially in DuckDB), each step recomputes triangle
+    // support and keeps sup ≥ k−2 = 1; the extra 4th round attaches the
+    // FINAL support to the converged set in the same single recursion.
+    "sim_ktruss" ->
+      s"""WITH RECURSIVE $knnGraphCtes,
+         |mut AS (
+         |  SELECT t.src, t.dst FROM topk t
+         |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
+         |e0 AS (SELECT DISTINCT src AS s, dst AS d FROM mut WHERE src < dst),
+         |rec AS (
+         |  SELECT 0 AS r, s, d, 0::BIGINT AS sup FROM e0
+         |  UNION ALL
+         |  SELECT e.r + 1, e.s, e.d, coalesce(u.sup, 0) AS sup
+         |  FROM rec e
+         |  LEFT JOIN (
+         |    SELECT s, d, count(*)::BIGINT AS sup FROM (
+         |      SELECT t.x AS s, t.y AS d FROM (
+         |        SELECT a.s AS x, a.d AS y, b.d AS z FROM rec a JOIN rec b ON b.s = a.d
+         |        WHERE EXISTS (SELECT 1 FROM rec c WHERE c.s = a.s AND c.d = b.d)) t
+         |      UNION ALL
+         |      SELECT t.x AS s, t.z AS d FROM (
+         |        SELECT a.s AS x, a.d AS y, b.d AS z FROM rec a JOIN rec b ON b.s = a.d
+         |        WHERE EXISTS (SELECT 1 FROM rec c WHERE c.s = a.s AND c.d = b.d)) t
+         |      UNION ALL
+         |      SELECT t.y AS s, t.z AS d FROM (
+         |        SELECT a.s AS x, a.d AS y, b.d AS z FROM rec a JOIN rec b ON b.s = a.d
+         |        WHERE EXISTS (SELECT 1 FROM rec c WHERE c.s = a.s AND c.d = b.d)) t
+         |    ) GROUP BY s, d
+         |  ) u ON u.s = e.s AND u.d = e.d
+         |  WHERE e.r < 4 AND (e.r >= 3 OR coalesce(u.sup, 0) >= 1)
+         |)
+         |SELECT s AS src, d AS dst, sup AS support FROM rec WHERE r = 4""".stripMargin,
 
     // Density mirror: per-src mean of top-k cosines, folded in rank
     // order (same bounded deterministic fold as the Spark side).

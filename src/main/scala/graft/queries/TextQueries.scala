@@ -427,6 +427,20 @@ object TextQueries {
       graft.ops.Retrieval.bm25AgainstIndex(s, table, q, "qid", "qtext", k = 5)
     }),
 
+    // Conjunctive boolean retrieval against the persisted BM25 index:
+    // docs whose live postings cover EVERY distinct query term — the
+    // unranked pre-filter of a retrieval stack, integer-exact, probing
+    // only the query terms' bucket files. The oracle recomputes the
+    // containment from the corpus directly.
+    "text_boolean_and" -> ((s, dir) => {
+      import s.implicits._
+      val table = s"bool_and_idx_${math.abs(dir.hashCode)}"
+      graft.ops.Retrieval.writeBm25Index(docs(s, dir), "doc_id", "text",
+        table, buckets = 8)
+      val q = Bm25Queries.toDF("qid", "qtext")
+      graft.ops.Retrieval.booleanAndAgainstIndex(s, table, q, "qid", "qtext")
+    }),
+
     // Query-by-example hybrid retrieval — the composed retrieval
     // frontend: exemplar documents query BOTH the lexical index (BM25
     // over their text, self excluded post-ranking) and the vector side
@@ -622,6 +636,22 @@ object TextQueries {
       graft.ops.Sketches.kmvEstimate(
         graft.ops.Sketches.kmvMerge(Seq(s0, s1), Seq("source"), k = 64),
         Seq("source"), k = 64)
+    }),
+
+    // EXACT φ-frequent shingles (φ = 1/4000) with bounded state:
+    // per-partition Misra-Gries candidate summaries (⌈1/φ⌉ counters per
+    // task, never the shingle vocabulary) + one exact broadcast-semi-
+    // joined recount. The sketch only prunes candidates — no false
+    // negatives by the MG guarantee — so the result equals the plain
+    // GROUP BY/HAVING the oracle runs, at bounded aggregation state.
+    "text_heavy_hitters" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, explode}
+      val TF = graft.functions.TextFunctions
+      val grams = docs(s, dir)
+        .select(TF.tokens(col("text")).as("__toks"))
+        .select(explode(TF.wordShingles(col("__toks"), 3)).as("gram"))
+      graft.ops.TextAnalysis.heavyHitters(grams, "gram",
+        phiNum = 1, phiDen = 4000)
     })
   )
 
@@ -936,6 +966,18 @@ object TextQueries {
     "text_cms_merged" -> cmsSql,
     "text_kmv_distinct" -> kmvSql,
     "text_kmv_merged" -> kmvSql,
+
+    "text_heavy_hitters" ->
+      s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+         |g AS (SELECT unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |  ELSE list_transform(range(1, len(tk)-1),
+         |         i -> array_to_string(list_slice(tk, i::INT, i::INT+2), ' ')) END) AS gram
+         |  FROM t),
+         |n AS (SELECT count(*)::BIGINT AS total FROM g)
+         |SELECT gram, count(*)::BIGINT AS cnt
+         |FROM g CROSS JOIN n
+         |GROUP BY gram, total
+         |HAVING 4000 * count(*) >= 1 * total""".stripMargin,
 
     "text_span_dup_rate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
@@ -1429,6 +1471,20 @@ object TextQueries {
       s"""WITH ${bm25Ctes(s"q(qid, qtext) AS (VALUES $bm25ValuesSql)")}
          |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 5""".stripMargin,
+
+    // Conjunctive containment recomputed from the corpus: a doc matches
+    // iff its distinct tokens cover every distinct query term.
+    "text_boolean_and" ->
+      s"""WITH q(qid, qtext) AS (VALUES $bm25ValuesSql),
+         |qt AS (SELECT qid::BIGINT AS qid,
+         |         unnest(list_distinct(regexp_split_to_array(trim(qtext), '\\s+'))) AS term
+         |       FROM q),
+         |need AS (SELECT qid, count(DISTINCT term) AS need FROM qt GROUP BY qid),
+         |dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term FROM documents),
+         |m AS (SELECT qt.qid, dt.doc_id, count(DISTINCT qt.term) AS n_terms
+         |      FROM qt JOIN dt ON qt.term = dt.term GROUP BY 1, 2)
+         |SELECT m.qid, m.doc_id, m.n_terms::BIGINT AS n_terms
+         |FROM m JOIN need ON m.qid = need.qid AND m.n_terms = need.need""".stripMargin,
 
     // CDC-maintained index mirror: BM25 from scratch over the MERGED
     // corpus (updates applied, deletes removed) — what the tombstone-

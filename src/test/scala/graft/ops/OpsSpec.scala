@@ -843,4 +843,42 @@ class OpsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(oneRound == Set(1L, 2L, 3L, 4L))
   }
+
+  test("kTruss: edge-support peel cascades; bridge edges die even between kept nodes") {
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge (3,4): the
+    // bridge closes no triangle → peels round 1, even though BOTH its
+    // endpoints sit in surviving triangles (the edge-vs-node cohesion
+    // distinction kCore cannot make); triangle edges survive at support 1.
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Similarity.kTruss(edges, k = 3, rounds = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.keySet == Set((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L),
+      (5L, 6L), (4L, 6L)))
+    assert(got.values.forall(_ == 1L))
+    // two triangles glued on (1,3): 3-truss keeps all five edges
+    val und2 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L))
+    val e2 = (und2 ++ und2.map(_.swap)).toDF("src", "dst")
+    val all2 = Similarity.kTruss(e2, k = 3, rounds = 3).collect()
+    assert(all2.length == 5)
+    // 4-truss (support ≥ 2): only the shared edge (1,3) reaches 2, and
+    // alone it cannot survive (its witnesses died) — the CASCADE empties
+    val t4 = Similarity.kTruss(e2, k = 4, rounds = 4).collect()
+    assert(t4.isEmpty, s"4-truss of two glued triangles must be empty: ${t4.toSeq}")
+  }
+
+  test("heavyHitters: exact phi-frequent set, bounded candidate state") {
+    // 10k rows: "hot" = 600 (6%), "warm" = 300 (3%), tail = 9100 distinct
+    val rows = (Seq.fill(600)("hot") ++ Seq.fill(300)("warm") ++
+      (0 until 9100).map(i => s"tail$i"))
+    val df = rows.toDF("v").repartition(8)
+    val got = TextAnalysis.heavyHitters(df, "v", phiNum = 1, phiDen = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("hot" -> 600L), s"phi=5% must keep exactly hot: $got")
+    val got2 = TextAnalysis.heavyHitters(df, "v", phiNum = 1, phiDen = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == Map("hot" -> 600L, "warm" -> 300L),
+      s"phi=2% must keep hot+warm: $got2")
+  }
 }

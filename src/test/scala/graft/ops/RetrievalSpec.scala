@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class RetrievalSpec extends SparkSpec {
   import spark.implicits._
@@ -129,6 +130,39 @@ class RetrievalSpec extends SparkSpec {
       def key(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
       assert(key(viaIndex) == key(recompute))
+    } finally Seq(table, table + "_docs", table + "_segments", table + "_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("boolean AND against index ≡ direct containment, bucket-pruned probe") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val table = s"bool_and_spec_${System.nanoTime()}"
+    Retrieval.writeBm25Index(corpus, "doc_id", "text", table, buckets = 32)
+    try {
+      val q = Seq((0L, "merge join"), (1L, "data data stream")).toDF("qid", "qtext")
+      val viaIndex = Retrieval.booleanAndAgainstIndex(spark, table,
+        q, "qid", "qtext")
+      // direct: doc's distinct tokens ⊇ query's distinct tokens
+      val toks = corpus.select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextFunctions.tokens(col("text"))))
+          .as("term"))
+      val qt = q.select(col("qid"), explode(array_distinct(
+        graft.functions.TextFunctions.tokens(col("qtext")))).as("term"))
+      val need = qt.groupBy("qid").agg(count_distinct(col("term")).as("need"))
+      val direct = toks.join(qt, "term")
+        .groupBy("qid", "doc_id").agg(count_distinct(col("term")).as("n_terms"))
+        .join(need, "qid").where(col("n_terms") === col("need"))
+        .select("qid", "doc_id", "n_terms")
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(key(viaIndex).nonEmpty, "fixture queries must match some docs")
+      assert(key(viaIndex) == key(direct))
+      // the probe must bucket-prune: 4 distinct terms touch ≤ 4 buckets
+      val plan = viaIndex.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined, s"expected a bucket-pruned scan in:\n$plan")
+      assert(m.get.group(1).toInt <= 4 && m.get.group(2).toInt == 32,
+        s"expected <= 4 of 32 buckets, got ${m.get.matched}")
     } finally Seq(table, table + "_docs", table + "_segments", table + "_tombstones")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }

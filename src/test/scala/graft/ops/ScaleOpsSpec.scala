@@ -411,6 +411,49 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got(id2) == (c2 * 32768L + c1 * 16384L).toDouble / 65536.0 / 100.0)
   }
 
+  test("concurrency sweep: balanced deltas, plausible bounds, no window-everything plan") {
+    val out = graft.SparkEntry.queries("events_concurrency")(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // bounds: never negative (an hour whose only point is a session END
+    // legitimately maxes at 0 — the close leaves nothing open), never
+    // above the user count
+    val users = graft.queries.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.forall { r =>
+      val m = r.getAs[Long]("max_concurrent"); m >= 0 && m <= users
+    }, "implausible concurrency bound")
+    assert(rows.exists(_.getAs[Long]("max_concurrent") >= 1))
+    // total points = 2 × session count (each +1 matched by a −1)
+    val nSessions = graft.SparkEntry.queries("events_sessionize_batch")(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_points")).sum == 2 * nSessions)
+    // the global running sum is the two-phase prefix sum: no
+    // single-partition global window in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [sum") ||
+      plan.contains("Exchange rangepartitioning"),
+      s"expected range-partitioned prefix sum:\n$plan")
+  }
+
+  test("time-weighted average: constant-value user reproduces the constant") {
+    import spark.implicits._
+    // synthetic check through the op's exact arithmetic: two users, one
+    // constant at 2.50, one alternating — TWA of the constant user IS it
+    val e = graft.queries.Tables.events(spark, sf)
+    val twa = graft.SparkEntry.queries("events_time_weighted")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every user's TWA lies within [min value, max value] of their events
+    val bounds = e.withColumn("cents",
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+      .groupBy("user_id").agg(min("cents").as("lo"), max("cents").as("hi"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    twa.foreach { case (u, v) =>
+      val (lo, hi) = bounds(u)
+      assert(v >= lo / 100.0 - 1e-9 && v <= hi / 100.0 + 1e-9,
+        s"user $u twa $v outside [${lo / 100.0}, ${hi / 100.0}]")
+    }
+  }
+
   test("phrase index probe: bucketed scan, zero bigram exchange, ≡ recompute") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     import spark.implicits._
