@@ -85,15 +85,19 @@ object GraftFunctions {
         .createOrReplaceTempFunction(name, b, "built-in")
     }
 
-  private[graft] def inject(e: SparkSessionExtensions): Unit =
+  private[graft] def inject(e: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, b) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), b))
     }
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.GraftExtensions` — registers the
-  * library's functions in every session of the application. */
+  * library's functions and optimizer rules
+  * ([[graft.plans.LevenshteinThresholdRule]]) in every session of the
+  * application. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = GraftFunctions.inject(e)
 }

@@ -525,9 +525,14 @@ object Dedup {
     pairs
       .join(norm.select(col("__id").as("id_a"), col("__t").as("__ta")), "id_a")
       .join(norm.select(col("__id").as("id_b"), col("__t").as("__tb")), "id_b")
+      // the THRESHOLDED DP: returns the exact distance when ≤ maxDist,
+      // −1 otherwise, early-exiting the O(len²) matrix on a banded
+      // O(len·maxDist) walk — one DP per pair, no second verify pass
+      // (ad-hoc `levenshtein(a,b) <= d` predicates get the same rewrite
+      // from [[graft.plans.LevenshteinThresholdRule]])
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_dist"))
-      .where(col("edit_dist") <= maxDist)
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long").as("edit_dist"))
+      .where(col("edit_dist") >= 0)
   }
 
   /** Persist a corpus's LSH band index as a bucketed table on `band_key`
