@@ -558,6 +558,30 @@ object RelationalQueries {
           count_distinct(col("s_suppkey")).as("n_supp"))
     }),
 
+    // EXACT weighted median per group at scale: a grouped two-phase
+    // parallel prefix sum over (price, unique key) order gives each row
+    // its cumulative weight — never a per-group single-partition sort —
+    // and the median is the first row whose doubled cumulative weight
+    // reaches the group total, picked by ONE partial-agg MIN over the
+    // (price, key) triple. Weights are exact integer quantities; the
+    // median is a data value, no interpolation, no float arithmetic.
+    "rel_weighted_median" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"))
+      val run = graft.ops.Curation.parallelRunningSum(li,
+        Seq("l_returnflag"), Seq("price", "ok", "ln"), "w", "cumw")
+      val tot = li.groupBy("l_returnflag").agg(sum(col("w")).as("totw"))
+      run.join(broadcast(tot), "l_returnflag")
+        .where(lit(2L) * col("cumw") >= col("totw"))
+        .groupBy("l_returnflag")
+        .agg(min(struct(col("price"), col("ok"), col("ln"))).as("__m"),
+          max(col("totw")).as("total_weight"))
+        .select(col("l_returnflag"), col("total_weight"),
+          col("__m").getField("price").as("weighted_median"))
+    }),
+
     // TPC-H Q17 shape (small-quantity-order revenue): the correlated
     // scalar subquery `l_quantity < 0.2 * avg(l_quantity per part)`
     // decorrelated into ONE per-part aggregate joined back on the part
@@ -1255,6 +1279,29 @@ object RelationalQueries {
         |       count(DISTINCT s_suppkey) AS n_supp
         |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
         |GROUP BY a.k""".stripMargin,
+
+    "rel_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_extendedprice AS price,
+        |         CAST(l_quantity AS BIGINT) AS w, l_orderkey AS ok,
+        |         CAST(l_linenumber AS BIGINT) AS ln
+        |  FROM lineitem),
+        |run AS (
+        |  SELECT l_returnflag, price, ok, ln,
+        |         sum(w) OVER (PARTITION BY l_returnflag ORDER BY price, ok, ln
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+        |  FROM li),
+        |tot AS (SELECT l_returnflag, sum(w)::BIGINT AS totw FROM li GROUP BY 1),
+        |x AS (
+        |  SELECT r.l_returnflag, r.price, r.ok, r.ln, t.totw
+        |  FROM run r JOIN tot t USING (l_returnflag)
+        |  WHERE 2 * r.cumw >= t.totw),
+        |m AS (
+        |  SELECT l_returnflag, totw AS total_weight, price,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY price, ok, ln) AS rn
+        |  FROM x)
+        |SELECT l_returnflag, total_weight, price AS weighted_median
+        |FROM m WHERE rn = 1""".stripMargin,
 
     "rel_tpch_q17" ->
       """WITH lif AS (

@@ -638,6 +638,45 @@ object TextQueries {
         Seq("source"), k = 64)
     }),
 
+    // Pairwise source-similarity from KMV sketches — the operation HLL
+    // registers cannot do: bottom-k sketches are comparable VALUE
+    // samples, so the resemblance of two sources estimates from sketch
+    // rows alone (|bottom-k of the union ∩ both sketches| / k), never
+    // re-touching the corpus. 20 sources → 190 pairs of ≤ 2k sketch
+    // rows each; one integer division per pair at the end.
+    "text_kmv_jaccard" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, explode, lit, max,
+        row_number, sum}
+      val TF = graft.functions.TextFunctions
+      val grams = docs(s, dir)
+        .select(col("source"), TF.tokens(col("text")).as("__toks"))
+        .select(col("source"),
+          explode(TF.wordShingles(col("__toks"), 3)).as("gram"))
+      val sk = graft.ops.Sketches.kmvSketch(grams, Seq("source"), "gram", 64)
+        .localCheckpoint(true) // sketch-sized (sources × k); read thrice
+      val srcs = sk.select("source").distinct()
+      val pairs = srcs.select(col("source").as("sa"))
+        .crossJoin(srcs.select(col("source").as("sb")))
+        .where(col("sa") < col("sb")) // source-dim × source-dim, broadcast
+      val ra = pairs.join(sk.select(col("source").as("sa"), col("h")), "sa")
+        .select(col("sa"), col("sb"), col("h"),
+          lit(1L).as("ina"), lit(0L).as("inb"))
+      val rb = pairs.join(sk.select(col("source").as("sb"), col("h")), "sb")
+        .select(col("sa"), col("sb"), col("h"),
+          lit(0L).as("ina"), lit(1L).as("inb"))
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("sa", "sb").orderBy("h")
+      ra.unionByName(rb)
+        .groupBy("sa", "sb", "h")
+        .agg(max("ina").as("ina"), max("inb").as("inb"))
+        .withColumn("__rn", row_number().over(W)).where(col("__rn") <= 64)
+        .groupBy("sa", "sb")
+        .agg(count(lit(1)).as("n_sketch"),
+          sum(col("ina") * col("inb")).as("n_shared"))
+        .withColumn("jaccard_est",
+          col("n_shared").cast("double") / col("n_sketch").cast("double"))
+    }),
+
     // EXACT φ-frequent shingles (φ = 1/4000) with bounded state:
     // per-partition Misra-Gries candidate summaries (⌈1/φ⌉ counters per
     // task, never the shingle vocabulary) + one exact broadcast-semi-
@@ -966,6 +1005,34 @@ object TextQueries {
     "text_cms_merged" -> cmsSql,
     "text_kmv_distinct" -> kmvSql,
     "text_kmv_merged" -> kmvSql,
+
+    "text_kmv_jaccard" ->
+      s"""WITH t AS (SELECT source, $toksSql AS tk FROM documents),
+         |g AS (SELECT source, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |  ELSE list_transform(range(1, len(tk)-1),
+         |         i -> array_to_string(list_slice(tk, i::INT, i::INT+2), ' ')) END) AS gram
+         |  FROM t),
+         |h AS (SELECT DISTINCT source, ${h60("'kmv:'||gram")} AS h FROM g),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+         |sk AS (SELECT source, h FROM r WHERE rn <= 64),
+         |p AS (SELECT a.source AS sa, b.source AS sb
+         |      FROM (SELECT DISTINCT source FROM sk) a
+         |      JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+         |u AS (
+         |  SELECT p.sa, p.sb, s.h,
+         |         max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ina,
+         |         max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS inb
+         |  FROM p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+         |  GROUP BY 1, 2, 3),
+         |rk AS (SELECT sa, sb, h, ina, inb,
+         |         row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM u),
+         |agg AS (SELECT sa, sb, count(*)::BIGINT AS n_sketch,
+         |          sum(ina * inb)::BIGINT AS n_shared
+         |        FROM rk WHERE rn <= 64 GROUP BY 1, 2)
+         |SELECT sa, sb, n_sketch, n_shared,
+         |       n_shared::DOUBLE / n_sketch::DOUBLE AS jaccard_est
+         |FROM agg""".stripMargin,
 
     "text_heavy_hitters" ->
       s"""WITH t AS (SELECT $toksSql AS tk FROM documents),

@@ -454,6 +454,30 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("weighted median: crossing row matches the by-hand fold; plan has no global sort") {
+    val out = graft.SparkEntry.queries("rel_weighted_median")(spark, sf)
+    val got = out.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // by-hand reference: sort each group, walk cumulative weights
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey",
+        "l_linenumber").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2).toLong,
+        r.getLong(3), r.getInt(4).toLong))
+    li.groupBy(_._1).foreach { case (rf, rows) =>
+      val sorted = rows.sortBy(t => (t._2, t._4, t._5))
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      val med = sorted.find { t => cum += t._3; 2 * cum >= tot }.get._2
+      assert(got(rf) == ((tot, med)), s"group $rf: got ${got(rf)}, want ($tot, $med)")
+    }
+    // the prefix sum must be the two-phase form: range partition, no
+    // single-partition global window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"expected the range-partitioned prefix sum in:\n$plan")
+  }
+
   test("phrase index probe: bucketed scan, zero bigram exchange, ≡ recompute") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     import spark.implicits._

@@ -109,6 +109,40 @@ class SketchAggSpec extends SparkSpec {
     assert(math.abs(est - 20000) / 20000.0 < 0.4, s"estimate off: $est")
   }
 
+  test("KMV resemblance: identical sets → 1.0, disjoint sets → 0.0, mixtures between") {
+    def est(df: DataFrame): Map[(String, String), Double] = {
+      val sk = Sketches.kmvSketch(df, Seq("source"), "term", k = 16)
+        .localCheckpoint(true)
+      val srcs = sk.select("source").distinct()
+      val pairs = srcs.select(col("source").as("sa"))
+        .crossJoin(srcs.select(col("source").as("sb")))
+        .where(col("sa") < col("sb"))
+      val ra = pairs.join(sk.select(col("source").as("sa"), col("h")), "sa")
+        .select(col("sa"), col("sb"), col("h"), lit(1L).as("ina"), lit(0L).as("inb"))
+      val rb = pairs.join(sk.select(col("source").as("sb"), col("h")), "sb")
+        .select(col("sa"), col("sb"), col("h"), lit(0L).as("ina"), lit(1L).as("inb"))
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("sa", "sb").orderBy("h")
+      ra.unionByName(rb).groupBy("sa", "sb", "h")
+        .agg(max("ina").as("ina"), max("inb").as("inb"))
+        .withColumn("rn", row_number().over(W)).where(col("rn") <= 16)
+        .groupBy("sa", "sb")
+        .agg((sum(col("ina") * col("inb")).cast("double") /
+          count(lit(1)).cast("double")).as("est"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    }
+    val base = (0 until 100).map(i => s"v$i")
+    val same = (base.map(("a", _)) ++ base.map(("b", _))).toDF("source", "term")
+    assert(est(same)(("a", "b")) == 1.0)
+    val disjoint = (base.map(("a", _)) ++
+      (100 until 200).map(i => ("b", s"v$i"))).toDF("source", "term")
+    assert(est(disjoint)(("a", "b")) == 0.0)
+    val half = (base.map(("a", _)) ++
+      (50 until 150).map(i => ("b", s"v$i"))).toDF("source", "term")
+    val h = est(half)(("a", "b")) // true jaccard 50/150 ≈ 0.33
+    assert(h > 0.05 && h < 0.7, s"half-overlap estimate implausible: $h")
+  }
+
   test("shape mismatch fails loudly instead of silently mis-estimating") {
     val regs = Sketches.hllRegisters(terms, Seq("source"), "term", m = 64)
     val e1 = intercept[IllegalArgumentException] {
