@@ -79,4 +79,43 @@ object AsOfJoin {
       .withColumnRenamed("__ts", leftTs)
       .withColumnRenamed("__matched_ts", s"${rightTs}_matched")
   }
+
+  /** [[asOf]] generalized with DIRECTION and TOLERANCE — the full
+    * pandas-merge_asof surface. `forward = true` attaches the EARLIEST
+    * right row with `right.ts >= left.ts` (the "next event" enrichment:
+    * click→next purchase, reading→next calibration); `tolerance` nulls
+    * the attached payload when the matched row lies further than the
+    * bound in timestamp units — the left row is KEPT with null payload,
+    * exactly merge_asof's contract, so downstream aggregates see every
+    * left row.
+    *
+    * Forward is the backward walk on NEGATED timestamps — the same one
+    * union shuffle + linear window pass, no range join, no candidate
+    * blowup. Tie-breaks are unchanged: a right row at exactly left.ts is
+    * eligible in both directions, and right rows sharing (key, ts)
+    * collapse to the highest `rightSeqCol`. Timestamps must be numeric
+    * (negation); the matched-ts output column is `<rightTs>_matched`. */
+  def asOfDirectional(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                      leftTs: String, rightTs: String, rightCols: Seq[String],
+                      rightSeqCol: String, forward: Boolean = false,
+                      tolerance: Option[Long] = None): DataFrame = {
+    val matchedName = s"${rightTs}_matched"
+    val joined =
+      if (!forward) asOf(left, right, keyCols, leftTs, rightTs, rightCols, rightSeqCol)
+      else {
+        val lneg = left.withColumn(leftTs, -col(leftTs))
+        val rneg = right.withColumn(rightTs, -col(rightTs))
+        asOf(lneg, rneg, keyCols, leftTs, rightTs, rightCols, rightSeqCol)
+          .withColumn(leftTs, -col(leftTs))
+          .withColumn(matchedName, -col(matchedName))
+      }
+    tolerance.fold(joined) { tol =>
+      require(tol >= 0, s"tolerance must be >= 0: $tol")
+      val gap = if (forward) col(matchedName) - col(leftTs)
+                else col(leftTs) - col(matchedName)
+      val keep = col(matchedName).isNotNull && gap <= tol
+      rightCols.foldLeft(joined)((df, c) => df.withColumn(c, when(keep, col(c))))
+        .withColumn(matchedName, when(keep, col(matchedName)))
+    }
+  }
 }

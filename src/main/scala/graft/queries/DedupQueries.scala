@@ -242,7 +242,27 @@ object DedupQueries {
     // neighbors land far above the cutoff.
     "dedup_edit_join" -> ((s, dir) =>
       Dedup.editDistanceJoin(docs(s, dir), "doc_id", "text",
-        window = 8, maxDist = 40))
+        window = 8, maxDist = 40)),
+
+    // Sketch-quality evaluation: recall of LSH banding against the EXACT
+    // Jaccard ≥ 3/5 ground truth the prefix join computes — the
+    // measurement that justifies (or rejects) a banding configuration
+    // before a 100 TB run, and the eval loop a curation pipeline keeps
+    // around its sketches. One row: exact pair count, banding's catch,
+    // their ratio (one division on exact integers).
+    "dedup_lsh_recall" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val truth = Dedup.prefixJaccardJoin(d, "doc_id", "text", 3, 5)
+        .select("id_a", "id_b").localCheckpoint(true) // pair-sized, read twice
+      val cand = Dedup.lshCandidatePairs(d, "doc_id", "text",
+        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
+        .select("id_a", "id_b")
+      val found = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .withColumn("recall",
+          col("n_found").cast("double") / col("n_true").cast("double"))
+    })
   )
 
   /** Shared SQL fragments (DuckDB): tokenization, shingles, hash60. */
@@ -719,6 +739,45 @@ object DedupQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       levenshtein(a.t, b.t)::BIGINT AS edit_dist
         |FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r <= 8
-        |WHERE levenshtein(a.t, b.t) <= 40""".stripMargin
+        |WHERE levenshtein(a.t, b.t) <= 40""".stripMargin,
+
+    "dedup_lsh_recall" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |shg AS (SELECT doc_id, ($shinglesSql) AS shingles FROM toks),
+         |sets AS (SELECT doc_id,
+         |  list_distinct(list_transform(shingles, x -> ${h60("x")})) AS s FROM shg),
+         |el AS (SELECT doc_id, unnest(s) AS e FROM sets),
+         |dfreq AS (SELECT e, count(*) AS df FROM el GROUP BY e),
+         |ranked AS (
+         |  SELECT doc_id, e,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY df, e) AS pos,
+         |         count(*) OVER (PARTITION BY doc_id) AS sz
+         |  FROM el JOIN dfreq USING (e)),
+         |pref AS (SELECT * FROM ranked WHERE pos <= sz - ((sz * 3 + 4) // 5) + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pref a JOIN pref b ON a.e = b.e AND a.doc_id < b.doc_id
+         |  WHERE 3 * greatest(a.sz, b.sz) <= 5 * least(a.sz, b.sz)),
+         |v AS (
+         |  SELECT c.id_a, c.id_b, len(a.s)::BIGINT AS n_a, len(b.s)::BIGINT AS n_b,
+         |         len(list_filter(a.s, x -> list_contains(b.s, x)))::BIGINT AS n_shared
+         |  FROM cand c
+         |  JOIN sets a ON c.id_a = a.doc_id
+         |  JOIN sets b ON c.id_b = b.doc_id),
+         |truth AS (
+         |  SELECT id_a, id_b FROM v
+         |  WHERE 5 * n_shared >= 3 * (n_a + n_b - n_shared)),
+         |${bandCtesFrom("documents", "L")},
+         |bcapped AS (
+         |  SELECT * FROM Lbands QUALIFY count(*) OVER (PARTITION BY band_key) <= 1000),
+         |lshcand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bcapped a JOIN bcapped b USING (band_key)
+         |  WHERE a.doc_id < b.doc_id),
+         |n AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+         |f AS (SELECT count(*)::BIGINT AS n_found
+         |      FROM truth t JOIN lshcand USING (id_a, id_b))
+         |SELECT n_true, n_found, n_found::DOUBLE / n_true::DOUBLE AS recall
+         |FROM n, f""".stripMargin
   )
 }

@@ -183,6 +183,23 @@ object EventQueries {
         "ts_us", "ts_us", Seq("click_id"), "click_id")
     }),
 
+    // FORWARD as-of with tolerance (the other half of the merge_asof
+    // surface): each click attaches the NEXT purchase within 2 hours —
+    // nulled (click kept) when none lands in the window. Forward is the
+    // backward walk on negated timestamps: still one union shuffle +
+    // one linear window pass, never a range join.
+    "events_asof_next" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("user_id"), col("event_type"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us"))
+      graft.ops.AsOfJoin.asOfDirectional(clicks, purchases, Seq("user_id"),
+        "ts_us", "ts_us", Seq("purchase_id"), "purchase_id",
+        forward = true, tolerance = Some(7200L * 1000000L))
+    }),
+
     // Sliding (hopping) 1-hour windows every 30 minutes: each event lands
     // in exactly two windows. Same `window()` expression Structured
     // Streaming runs; batch explode of the window set (oracle mirrors the
@@ -530,6 +547,22 @@ object EventQueries {
         |       c.click_id, c.ts_us AS ts_us_matched
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    "events_asof_next" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |p0 AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT * FROM p0
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts_us ORDER BY purchase_id DESC) = 1)
+        |SELECT c.user_id, c.click_id, c.ts_us,
+        |       CASE WHEN p.ts_us - c.ts_us <= 7200000000 THEN p.purchase_id END AS purchase_id,
+        |       CASE WHEN p.ts_us - c.ts_us <= 7200000000 THEN p.ts_us END AS ts_us_matched
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts_us <= p.ts_us""".stripMargin,
 
     "events_window_sliding" ->
       """WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),

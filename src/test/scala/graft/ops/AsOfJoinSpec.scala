@@ -65,4 +65,41 @@ class AsOfJoinSpec extends SparkSpec {
     }.toMap
     assert(got == expect)
   }
+
+  test("forward + tolerance equals the quadratic reference; left rows always kept") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 200).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("key", "ts", "lid")
+    val right = (1 to 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("key", "ts", "rid")
+    val out = AsOfJoin.asOfDirectional(left, right, Seq("key"), "ts", "ts",
+      Seq("rid"), "rid", forward = true, tolerance = Some(50L))
+    assert(out.count() == 200, "tolerance must null payloads, never drop left rows")
+    val got = out.select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    // reference: earliest right at ts' >= ts (ties: min ts', then max rid
+    // among the collapsed per-(key,ts) survivors), nulled beyond 50
+    val l = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rr = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = l.map { case (k, ts, lid) =>
+      val cands = rr.filter(q => q._1 == k && q._2 >= ts && q._2 - ts <= 50L)
+      lid -> (if (cands.isEmpty) -1L
+              else { val m = cands.minBy(_._2)._2
+                     cands.filter(_._2 == m).maxBy(_._3)._3 })
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("backward tolerance nulls stale matches but keeps exact-distance ones") {
+    val left = Seq((1L, 100L, 10L), (1L, 300L, 11L)).toDF("key", "ts", "lid")
+    val right = Seq((1L, 90L, 1L), (1L, 150L, 2L)).toDF("key", "ts", "rid")
+    val got = AsOfJoin.asOfDirectional(left, right, Seq("key"), "ts", "ts",
+      Seq("rid"), "rid", forward = false, tolerance = Some(10L))
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // lid 10: match at 90, gap exactly 10 → kept; lid 11: match at 150,
+    // gap 150 > 10 → nulled
+    assert(got == Map(10L -> 1L, 11L -> -1L))
+  }
 }
