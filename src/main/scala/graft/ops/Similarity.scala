@@ -1403,6 +1403,26 @@ object Similarity {
         coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** kNN majority-vote labeling — the 1-hop semi-supervised classifier a
+    * curation pipeline uses to spread sparse labels (source, language,
+    * quality tier) across an embedding space: each node takes the label
+    * most common among its top-k neighbors. Deterministic tie-break:
+    * highest vote count, then lexicographically smallest label. Votes
+    * are exact integer counts; one keyed join (graph edges × labels) +
+    * one k-bounded aggregation per node — never a distance recompute.
+    * Output: (idCol, predicted, votes). */
+  def knnClassify(graph: DataFrame, labels: DataFrame, idCol: String,
+                  labelCol: String): DataFrame = {
+    val l = labels.select(col(idCol).as("dst"), col(labelCol).as("__lab"))
+    val votes = graph.select("src", "dst").join(l, "dst")
+      .groupBy(col("src"), col("__lab"))
+      .agg(count(lit(1)).as("votes"))
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("votes").desc, col("__lab"))
+    votes.withColumn("__rn", row_number().over(W)).where(col("__rn") === 1)
+      .select(col("src").as(idCol), col("__lab").as("predicted"), col("votes"))
+  }
+
   /** Embedding-space outlier screen: assign each vector to its nearest
     * centroid ([[ivfAssign]] semantics) and flag rows whose cosine to
     * that centroid falls below `minCos` — far-from-every-centroid points

@@ -582,6 +582,17 @@ object RelationalQueries {
           col("__m").getField("price").as("weighted_median"))
     }),
 
+    // Equi-width histogram per group (zero-anchored 20k bins): the
+    // single-pass distribution profile — bin index is one exact-double
+    // division + floor (identical IEEE ops), counts and the per-bin
+    // DECIMAL revenue total are exact, one partial-aggregated exchange.
+    "rel_price_histogram" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          floor(col("o_totalprice") / lit(20000.0)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"), 2)).cast("double").as("total"))),
+
     // TPC-H Q17 shape (small-quantity-order revenue): the correlated
     // scalar subquery `l_quantity < 0.2 * avg(l_quantity per part)`
     // decorrelated into ONE per-part aggregate joined back on the part
@@ -1302,6 +1313,13 @@ object RelationalQueries {
         |  FROM x)
         |SELECT l_returnflag, total_weight, price AS weighted_median
         |FROM m WHERE rn = 1""".stripMargin,
+
+    "rel_price_histogram" ->
+      """SELECT o_orderpriority,
+        |       CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bin,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
 
     "rel_tpch_q17" ->
       """WITH lif AS (

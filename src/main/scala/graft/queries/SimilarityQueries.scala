@@ -230,6 +230,18 @@ object SimilarityQueries {
         Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
           k = 3, bits = 6, maxBucketSize = 1000)), k = 3, rounds = 3)),
 
+    // kNN majority-vote labeling: spread the documents' source label
+    // across the embedding space via each vector's top-3 neighbors —
+    // the 1-hop semi-supervised classifier of a labeling pipeline.
+    // Integer votes, deterministic (count desc, label) tie-break.
+    "sim_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000),
+        Tables(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("source")),
+        "vec_id", "source")),
+
     // Bounded-round PageRank over the mutual backbone: the centrality
     // signal for importance-weighted curation (keep/upsample the
     // representative core of a semantic neighborhood, prune the
@@ -933,6 +945,17 @@ object SimilarityQueries {
          |  WHERE e.r < 4 AND (e.r >= 3 OR coalesce(u.sup, 0) >= 1)
          |)
          |SELECT s AS src, d AS dst, sup AS support FROM rec WHERE r = 4""".stripMargin,
+
+    "sim_knn_classify" ->
+      s"""WITH $knnGraphCtes,
+         |lab AS (
+         |  SELECT t.src, d.source AS lab FROM topk t
+         |  JOIN documents d ON t.dst = d.doc_id),
+         |v AS (SELECT src, lab, count(*)::BIGINT AS votes FROM lab GROUP BY 1, 2),
+         |r AS (SELECT src, lab, votes,
+         |        row_number() OVER (PARTITION BY src ORDER BY votes DESC, lab) AS rn
+         |      FROM v)
+         |SELECT src AS vec_id, lab AS predicted, votes FROM r WHERE rn = 1""".stripMargin,
 
     // Density mirror: per-src mean of top-k cosines, folded in rank
     // order (same bounded deterministic fold as the Spark side).

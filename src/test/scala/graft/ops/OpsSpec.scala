@@ -868,6 +868,19 @@ class OpsSpec extends SparkSpec {
     assert(t4.isEmpty, s"4-truss of two glued triangles must be empty: ${t4.toSeq}")
   }
 
+  test("knnClassify: majority wins; ties break to the smaller label; self-label unused") {
+    // node 1's neighbors: 2,3 labeled "x", 4 labeled "y" → majority x.
+    // node 2's neighbors: 3 ("x"), 4 ("y") → 1-1 tie → "x" (lexical).
+    // node 1's own label "z" must not vote for itself.
+    val graph = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("src", "dst")
+    val labels = Seq((1L, "z"), (2L, "x"), (3L, "x"), (4L, "y"))
+      .toDF("id", "lab")
+    val got = Similarity.knnClassify(graph, labels, "id", "lab").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ("x", 2L), 2L -> ("x", 1L)))
+  }
+
   test("heavyHitters: exact phi-frequent set, bounded candidate state") {
     // 10k rows: "hot" = 600 (6%), "warm" = 300 (3%), tail = 9100 distinct
     val rows = (Seq.fill(600)("hot") ++ Seq.fill(300)("warm") ++
