@@ -183,6 +183,24 @@ object EventQueries {
         "ts_us", "ts_us", Seq("click_id"), "click_id")
     }),
 
+    // Per-type inter-arrival distribution — the latency/cadence profile
+    // an ops pipeline monitors: gaps between successive SAME-TYPE events
+    // of a user (exact integer seconds), exact percentiles per type.
+    "events_gap_quantiles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("gap_s",
+          ((col("ts_us") - lag(col("ts_us"), 1).over(w)) / 1000000L).cast("long"))
+        .where(col("gap_s").isNotNull)
+        .groupBy("event_type")
+        .agg(percentile(col("gap_s"), lit(0.5)).as("p50"),
+          percentile(col("gap_s"), lit(0.9)).as("p90"),
+          percentile(col("gap_s"), lit(0.99)).as("p99"),
+          count(lit(1)).as("n_gaps"))
+    }),
+
     // FORWARD as-of with tolerance (the other half of the merge_asof
     // surface): each click attaches the NEXT purchase within 2 hours —
     // nulled (click kept) when none lands in the window. Forward is the
@@ -547,6 +565,20 @@ object EventQueries {
         |       c.click_id, c.ts_us AS ts_us_matched
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    "events_gap_quantiles" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) - lag(epoch_us(ts), 1)
+        |            OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |         // 1000000 AS gap_s
+        |  FROM events)
+        |SELECT event_type,
+        |  quantile_cont(gap_s, 0.5) AS p50,
+        |  quantile_cont(gap_s, 0.9) AS p90,
+        |  quantile_cont(gap_s, 0.99) AS p99,
+        |  count(*) AS n_gaps
+        |FROM g WHERE gap_s IS NOT NULL GROUP BY event_type""".stripMargin,
 
     "events_asof_next" ->
       """WITH c AS (

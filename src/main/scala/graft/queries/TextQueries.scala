@@ -638,6 +638,37 @@ object TextQueries {
         Seq("source"), k = 64)
     }),
 
+    // Windowed co-occurrence + association ratio (the log-free PMI
+    // core every collocation/phrase-mining pass starts from): token
+    // pairs within 3 positions, canonical unordered, with marginals and
+    // the ratio n_pair·N/(n_a·n_b) — exact-int-to-double products and
+    // ONE division, identical IEEE trees. Pair generation is an offset
+    // EQUI-join (each token meets only its next 3 positions) — O(3N),
+    // never a per-document quadratic self-join.
+    "text_cooccurrence" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val TF = graft.functions.TextFunctions
+      val toks = docs(s, dir)
+        .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+        .withColumnRenamed("col", "term")
+      val marg = toks.groupBy("term").agg(count(lit(1)).as("n_t"))
+      val total = toks.count()
+      val right = toks.select(col("doc_id"), col("pos").as("p2"),
+        col("term").as("tb"))
+      toks.select(col("doc_id"), col("term").as("ta"),
+          explode(sequence(col("pos") + 1, col("pos") + 3)).as("p2"))
+        .join(right, Seq("doc_id", "p2"))
+        .select(least(col("ta"), col("tb")).as("term_a"),
+          greatest(col("ta"), col("tb")).as("term_b"))
+        .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_pair"))
+        .where(col("n_pair") >= 5)
+        .join(marg.select(col("term").as("term_a"), col("n_t").as("n_a")), "term_a")
+        .join(marg.select(col("term").as("term_b"), col("n_t").as("n_b")), "term_b")
+        .withColumn("assoc",
+          (col("n_pair").cast("double") * lit(total.toDouble)) /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+    }),
+
     // Pairwise source-similarity from KMV sketches — the operation HLL
     // registers cannot do: bottom-k sketches are comparable VALUE
     // samples, so the resemblance of two sources estimates from sketch
@@ -1005,6 +1036,26 @@ object TextQueries {
     "text_cms_merged" -> cmsSql,
     "text_kmv_distinct" -> kmvSql,
     "text_kmv_merged" -> kmvSql,
+
+    "text_cooccurrence" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(tk) AS term,
+         |        unnest(range(1, len(tk)+1)) AS pos FROM t),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM g),
+         |marg AS (SELECT term, count(*)::BIGINT AS n_t FROM g GROUP BY term),
+         |pr AS (
+         |  SELECT least(a.term, b.term) AS term_a, greatest(a.term, b.term) AS term_b
+         |  FROM g a JOIN g b
+         |    ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3),
+         |pc AS (SELECT term_a, term_b, count(*)::BIGINT AS n_pair FROM pr
+         |       GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT pc.term_a, pc.term_b, pc.n_pair, ma.n_t AS n_a, mb.n_t AS n_b,
+         |       (pc.n_pair::DOUBLE * tot.n::DOUBLE)
+         |         / (ma.n_t::DOUBLE * mb.n_t::DOUBLE) AS assoc
+         |FROM pc
+         |JOIN marg ma ON pc.term_a = ma.term
+         |JOIN marg mb ON pc.term_b = mb.term
+         |CROSS JOIN tot""".stripMargin,
 
     "text_kmv_jaccard" ->
       s"""WITH t AS (SELECT source, $toksSql AS tk FROM documents),

@@ -454,6 +454,21 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("co-occurrence pair generation is an offset equi-join, never a nested loop") {
+    val out = graft.SparkEntry.queries("text_cooccurrence")(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // sanity: adjacent tokens of any real doc co-occur — result nonempty,
+    // marginals bound the pair count
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, na, nb) = (r.getAs[Long]("n_pair"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(np <= 3 * math.min(na, nb), s"pair count exceeds window bound: $r")
+    }
+  }
+
   test("weighted median: crossing row matches the by-hand fold; plan has no global sort") {
     val out = graft.SparkEntry.queries("rel_weighted_median")(spark, sf)
     val got = out.collect()
