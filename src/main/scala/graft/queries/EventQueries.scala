@@ -183,6 +183,39 @@ object EventQueries {
         "ts_us", "ts_us", Seq("click_id"), "click_id")
     }),
 
+    // Robust (median/MAD) outlier profile per event type — the
+    // heavy-tail-safe twin of events_anomaly's mean/σ z-scores, fully
+    // ENGINE-EXACT: medians are lower-median crossings over integer
+    // cents computed with the grouped two-phase parallel prefix sum
+    // (never a per-type single-partition sort), deviations and the
+    // 3×MAD outlier test are pure integer arithmetic — no float ever.
+    "events_mad_anomaly" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      val n1 = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val r1 = graft.ops.Curation.parallelRunningSum(
+        e.withColumn("__one", lit(1L)), Seq("event_type"),
+        Seq("cents", "event_id"), "__one", "rk")
+      val med = r1.join(broadcast(n1), "event_type")
+        .where(lit(2L) * col("rk") >= col("n"))
+        .groupBy("event_type").agg(min(col("cents")).as("med_cents"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("cents") - col("med_cents")))
+      val r2 = graft.ops.Curation.parallelRunningSum(
+        dev.withColumn("__one", lit(1L)), Seq("event_type"),
+        Seq("dev", "event_id"), "__one", "rk")
+      val mad = r2.join(broadcast(n1), "event_type")
+        .where(lit(2L) * col("rk") >= col("n"))
+        .groupBy("event_type").agg(min(col("dev")).as("mad_cents"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max("med_cents").as("med_cents"),
+          max("mad_cents").as("mad_cents"),
+          sum(when(col("dev") > lit(3L) * col("mad_cents"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+    }),
+
     // Per-type inter-arrival distribution — the latency/cadence profile
     // an ops pipeline monitors: gaps between successive SAME-TYPE events
     // of a user (exact integer seconds), exact percentiles per type.
@@ -565,6 +598,30 @@ object EventQueries {
         |       c.click_id, c.ts_us AS ts_us_matched
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    "events_mad_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |n AS (SELECT event_type, count(*)::BIGINT AS n FROM e GROUP BY 1),
+        |r1 AS (SELECT event_type, cents,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk
+        |       FROM e),
+        |med AS (SELECT r1.event_type, min(cents) AS med_cents
+        |        FROM r1 JOIN n USING (event_type) WHERE 2 * rk >= n GROUP BY 1),
+        |d AS (SELECT e.event_type, e.event_id,
+        |        abs(e.cents - m.med_cents) AS dev, m.med_cents
+        |      FROM e JOIN med m USING (event_type)),
+        |r2 AS (SELECT event_type, dev,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rk
+        |       FROM d),
+        |mad AS (SELECT r2.event_type, min(dev) AS mad_cents
+        |        FROM r2 JOIN n USING (event_type) WHERE 2 * rk >= n GROUP BY 1)
+        |SELECT d.event_type, count(*)::BIGINT AS n,
+        |       max(d.med_cents) AS med_cents, max(ma.mad_cents) AS mad_cents,
+        |       sum(CASE WHEN d.dev > 3 * ma.mad_cents THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM d JOIN mad ma USING (event_type) GROUP BY 1""".stripMargin,
 
     "events_gap_quantiles" ->
       """WITH g AS (

@@ -582,6 +582,26 @@ object RelationalQueries {
           col("__m").getField("price").as("weighted_median"))
     }),
 
+    // Per-group MODE with deterministic tie-break (count desc, then
+    // value) and its share of the group — exact integer counts, one
+    // mirrored division. Two partial-agg exchanges, a values-sized
+    // window, never a sort of the fact table.
+    "rel_mode" -> ((s, dir) => {
+      val counts = Tables(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus")
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+      counts
+        .withColumn("total", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("o_orderstatus")))
+        .withColumn("__rn", row_number().over(W)).where(col("__rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("cnt").as("n_mode"), col("total").as("n_total"),
+          (col("cnt").cast("double") / col("total").cast("double")).as("share"))
+    }),
+
     // Equi-width histogram per group (zero-anchored 20k bins): the
     // single-pass distribution profile — bin index is one exact-double
     // division + floor (identical IEEE ops), counts and the per-bin
@@ -1313,6 +1333,21 @@ object RelationalQueries {
         |  FROM x)
         |SELECT l_returnflag, total_weight, price AS weighted_median
         |FROM m WHERE rn = 1""".stripMargin,
+
+    "rel_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT o_orderstatus, sum(cnt)::BIGINT AS total FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT c.o_orderstatus, c.o_orderpriority, c.cnt, t.total,
+        |         row_number() OVER (PARTITION BY c.o_orderstatus
+        |                            ORDER BY c.cnt DESC, c.o_orderpriority) AS rn
+        |  FROM c JOIN t USING (o_orderstatus))
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |       cnt AS n_mode, total AS n_total,
+        |       cnt::DOUBLE / total::DOUBLE AS share
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "rel_price_histogram" ->
       """SELECT o_orderpriority,
