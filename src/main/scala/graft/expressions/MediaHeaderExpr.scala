@@ -39,6 +39,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - BMP: 'BM' file header + BITMAPINFOHEADER — signed little-endian
   *    i32 dimensions (|height|: negative means top-down), u16
   *    bits-per-pixel reported as whole channels (24 bpp → 3).
+  *  - TIFF: 'II'/'MM' byte-order mark + magic 42 + IFD0 entry walk for
+  *    tags 256/257/277 (width/height/samples-per-pixel) — endianness is
+  *    DATA in TIFF, so both orders are parsed (TIFF 6.0 §2).
   *
   * Output struct: (format, width, height, channels, sample_rate,
   * duration_ms) — fields not defined by a format are NULL, and any
@@ -179,6 +182,48 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
         return InternalRow(UTF8String.fromString("bmp"), w, h,
           if (bpp > 0 && bpp % 8 == 0 && bpp <= 32) bpp / 8 else null,
           null, null)
+      return unknown
+    }
+    // TIFF: 'II' (little-endian) / 'MM' (big-endian) byte-order mark +
+    // u16 magic 42 + u32 offset to IFD0; an IFD is a u16 entry count
+    // then 12-byte entries (tag u16, type u16, count u32, value u32) —
+    // the value is INLINED for count-1 SHORT/LONG, a SHORT occupying
+    // the first two value bytes in the file's byte order. Tags: 256
+    // ImageWidth, 257 ImageLength, 277 SamplesPerPixel (TIFF 6.0 §2) —
+    // the one mainstream raster format whose endianness is data, not
+    // spec, so both orders are exercised.
+    if (b.length >= 8 && ((b(0) == 'I'.toByte && b(1) == 'I'.toByte) ||
+        (b(0) == 'M'.toByte && b(1) == 'M'.toByte))) {
+      val little = b(0) == 'I'.toByte
+      def u16(i: Int): Int = if (little) le16(b, i) else be16(b, i)
+      def u32(i: Int): Long = if (little) le32(b, i) else be32(b, i)
+      if (u16(2) != 42) return unknown
+      val ifd = u32(4)
+      if (ifd >= 8 && ifd + 2 <= b.length) {
+        val base = ifd.toInt
+        val n = u16(base)
+        var w = -1L; var h = -1L; var spp = -1L
+        var j = 0
+        while (j < n && base + 2 + 12 * (j + 1) <= b.length) {
+          val e = base + 2 + 12 * j
+          val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+          val v: Long =
+            if (cnt == 1L && typ == 3) u16(e + 8).toLong
+            else if (cnt == 1L && typ == 4) u32(e + 8)
+            else -1L
+          if (v >= 0) tag match {
+            case 256 => w = v
+            case 257 => h = v
+            case 277 => spp = v
+            case _ => ()
+          }
+          j += 1
+        }
+        if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+          return InternalRow(UTF8String.fromString("tiff"),
+            w.toInt, h.toInt,
+            if (spp > 0 && spp <= 16) spp.toInt else null, null, null)
+      }
       return unknown
     }
     // WAV: RIFF....WAVE, then little-endian chunk walk.

@@ -292,6 +292,40 @@ object Multimodal {
         le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ body
     }
 
+  private[ops] def buildTiffPayload(id: Long, body: Array[Byte]): Array[Byte] = {
+    // 8-byte header + IFD0 at offset 8 (count 2B + 3 entries × 12B +
+    // next-IFD 4B = 42B) = 50 bytes before the body. Even ids write
+    // little-endian 'II', odd ids big-endian 'MM' — endianness is data
+    // in TIFF, and the decoder must honor the mark, not guess.
+    val little = id % 2 == 0
+    val w = (id % 2048 + 1).toInt
+    val h = (id % 1536 + 1).toInt
+    val spp = ((id / 2) % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+    def u16(v: Int) = if (little) le16(v) else be16(v)
+    def u32(v: Int) = if (little) le32(v) else be32(v)
+    // entry: tag, type, count, inlined value (SHORT pads its high half)
+    def entryLong(tag: Int, v: Int) = u16(tag) ++ u16(4) ++ u32(1) ++ u32(v)
+    def entryShort(tag: Int, v: Int) =
+      u16(tag) ++ u16(3) ++ u32(1) ++ (u16(v) ++ u16(0))
+    ascii(if (little) "II" else "MM") ++ u16(42) ++ u32(8) ++
+      u16(3) ++ entryLong(256, w) ++ entryLong(257, h) ++
+      entryShort(277, spp) ++ u32(0) ++ body
+  }
+
+  /** TIFF twin of [[mediaWithGifBmpHeaders]]: every id carries a real
+    * TIFF header+IFD0 (width/height as LONG, samples-per-pixel as
+    * SHORT), alternating the byte-order mark by id parity. */
+  def mediaWithTiffHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, "image",
+          buildTiffPayload(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }.toDF("media_id", "kind", "payload")
+  }
+
   /** GIF/BMP twin of [[mediaWithRealHeaders]]: even ids carry a GIF89a
     * logical-screen header, odd ids a BMP file+info header (ids ≡ 3 mod
     * 4 with the top-down negative height), document text as the body. */

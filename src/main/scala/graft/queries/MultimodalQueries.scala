@@ -58,6 +58,16 @@ object MultimodalQueries {
         Multimodal.mediaWithGifBmpHeaders(Tables(s, dir, "documents"),
           "doc_id", "text"))),
 
+    // TIFF header decode — the one mainstream raster format whose
+    // ENDIANNESS is data, not spec: byte-order mark + magic 42 + IFD0
+    // entry walk (tags 256/257/277, LONG dims + SHORT samples/pixel),
+    // fixtures alternating II/MM by id parity so a parser that assumes
+    // one order hash-mismatches half the corpus.
+    "mm_tiff_meta" -> ((s, dir) =>
+      Multimodal.decodeHeaders(
+        Multimodal.mediaWithTiffHeaders(Tables(s, dir, "documents"),
+          "doc_id", "text"))),
+
     // Exact payload dedup (content-hash grouping — step one of a media
     // dedup pipeline; the sf corpus has no byte-identical payloads, so
     // every group is a singleton here, which the oracle verifies too).
@@ -268,6 +278,17 @@ object MultimodalQueries {
         |                   + (doc_id % 7) * 37) * 1000
         |       // (600 * ((doc_id // 4) % 3 + 1))
         |   END)::BIGINT AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "mm_tiff_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  (octet_length(encode(text)) + 50)::BIGINT AS n_bytes,
+        |  'tiff' AS format,
+        |  (doc_id % 2048 + 1)::INT AS width,
+        |  (doc_id % 1536 + 1)::INT AS height,
+        |  (CASE (doc_id // 2) % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::INT AS channels,
+        |  NULL::INT AS sample_rate,
+        |  NULL::BIGINT AS duration_ms
         |FROM documents""".stripMargin,
 
     "mm_gifbmp_meta" ->

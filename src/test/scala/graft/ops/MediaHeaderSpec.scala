@@ -145,4 +145,37 @@ class MediaHeaderSpec extends SparkSpec {
     val zgif = "GIF89a".getBytes ++ Array[Byte](0, 0, 5, 0, 0, 0, 0)
     assert(decodeOne(zgif).getString(0) == "unknown")
   }
+
+  test("TIFF: both byte orders parse; bad magic, truncated IFD, II-text degrade") {
+    // fixture round-trip on the real corpus — alternating II/MM marks
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val parsed = Multimodal.decodeHeaders(
+      Multimodal.mediaWithTiffHeaders(docs, "doc_id", "text"))
+    assert(parsed.where(col("format") === "unknown").count() == 0L)
+    assert(parsed.where(col("format") === "tiff").count() == docs.count())
+
+    // hand-built big-endian: MM + 42 + IFD at 8, width 7 (LONG),
+    // height 9 (LONG), spp 3 (SHORT, high bytes first in MM order)
+    def be16(v: Int) = Array((v >>> 8).toByte, v.toByte)
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val mm = "MM".getBytes ++ be16(42) ++ be32(8) ++
+      be16(3) ++
+      (be16(256) ++ be16(4) ++ be32(1) ++ be32(7)) ++
+      (be16(257) ++ be16(4) ++ be32(1) ++ be32(9)) ++
+      (be16(277) ++ be16(3) ++ be32(1) ++ (be16(3) ++ be16(0))) ++
+      be32(0)
+    val m = decodeOne(mm)
+    assert(m.getString(0) == "tiff" && m.getInt(1) == 7 && m.getInt(2) == 9 &&
+      m.getInt(3) == 3)
+
+    // wrong magic (43), text that merely starts with 'II', and an IFD
+    // offset past the payload all degrade to unknown — never throw
+    assert(decodeOne("II".getBytes ++ Array[Byte](43, 0, 8, 0, 0, 0))
+      .getString(0) == "unknown")
+    assert(decodeOne("II think therefore I parse".getBytes)
+      .getString(0) == "unknown")
+    assert(decodeOne("II".getBytes ++ Array[Byte](42, 0) ++
+      Array[Byte](0xff.toByte, 0xff.toByte, 0, 0)).getString(0) == "unknown")
+  }
 }
