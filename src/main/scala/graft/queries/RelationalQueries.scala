@@ -582,6 +582,27 @@ object RelationalQueries {
           col("__m").getField("price").as("weighted_median"))
     }),
 
+    // NOT IN vs NULLs — the classic three-valued-logic trap, pinned:
+    // against a null-free key set NOT IN behaves like an anti join;
+    // one NULL in the set and NOT IN returns ZERO rows (x <> NULL is
+    // UNKNOWN for every x). Spark plans the single-column case as a
+    // null-aware BroadcastHashJoin, not a nested loop (spec-asserted).
+    "rel_not_in_null" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("__nin_c")
+      Tables(s, dir, "supplier").createOrReplaceTempView("__nin_s")
+      s.sql(
+        """SELECT
+          |  (SELECT count(*) FROM __nin_c
+          |   WHERE c_nationkey NOT IN
+          |     (SELECT s_nationkey FROM __nin_s WHERE s_nationkey < 10))
+          |    AS n_not_in_clean,
+          |  (SELECT count(*) FROM __nin_c
+          |   WHERE c_nationkey NOT IN
+          |     (SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END
+          |      FROM __nin_s WHERE s_nationkey < 10 OR s_acctbal < 0))
+          |    AS n_not_in_nullable""".stripMargin)
+    }),
+
     // Per-group MODE with deterministic tie-break (count desc, then
     // value) and its share of the group — exact integer counts, one
     // mirrored division. Two partial-agg exchanges, a values-sized
@@ -1333,6 +1354,18 @@ object RelationalQueries {
         |  FROM x)
         |SELECT l_returnflag, total_weight, price AS weighted_median
         |FROM m WHERE rn = 1""".stripMargin,
+
+    "rel_not_in_null" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_nationkey NOT IN
+        |     (SELECT s_nationkey FROM supplier WHERE s_nationkey < 10))
+        |    AS n_not_in_clean,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_nationkey NOT IN
+        |     (SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END
+        |      FROM supplier WHERE s_nationkey < 10 OR s_acctbal < 0))
+        |    AS n_not_in_nullable""".stripMargin,
 
     "rel_mode" ->
       """WITH c AS (

@@ -454,6 +454,20 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("NOT IN plans as a hash anti join, never a nested loop; NULL poisoning pinned") {
+    val out = graft.SparkEntry.queries("rel_not_in_null")(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+    val row = out.head()
+    val neg = spark.read.parquet(s"$sf/supplier.parquet")
+      .where(col("s_acctbal") < 0).count()
+    assert(row.getLong(0) > 0, s"clean NOT IN must match someone: $row")
+    if (neg > 0) assert(row.getLong(1) == 0,
+      s"one NULL in the set must empty NOT IN: $row")
+    else assert(row.getLong(1) == row.getLong(0),
+      s"no NULL in the fixture at this sf — branches must agree: $row")
+  }
+
   test("co-occurrence pair generation is an offset equi-join, never a nested loop") {
     val out = graft.SparkEntry.queries("text_cooccurrence")(spark, sf)
     val plan = out.queryExecution.executedPlan.toString
