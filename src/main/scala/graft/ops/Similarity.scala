@@ -520,6 +520,58 @@ object Similarity {
     lshBucketPairs(corpus, Nil, idCol, vecCol, bits, maxBucketSize, multiprobe)
       .where(col("cos") >= threshold)
 
+  /** DBSCAN density clustering (Ester et al. 1996) over the LSH
+    * eps-graph: eps-neighbors are the capped-bucket multiprobe candidate
+    * pairs with cos >= `eps` — the same mirrored candidate generation as
+    * [[cosineNearDupPairs]], so an oracle sees the identical graph.
+    * core = degree >= `minPts` (neighbors, self excluded); clusters =
+    * connected components of the core–core subgraph, labeled by their
+    * min member id (an edgeless core is its own singleton cluster);
+    * border points attach to the smallest cluster among their core
+    * neighbors; everything else is noise with a NULL cluster.
+    *
+    * Every step is candidate-pair-sized, never N²: one degree agg, a
+    * components pass over core–core edges only ([[Dedup.resolveClusters]]
+    * — distributed label-prop above its local threshold), one
+    * neighbor-min agg for borders, and a final left-join sweep over the
+    * corpus ids. The density shape DBSCAN finds that k-means cannot —
+    * non-convex clusters plus an explicit noise verdict — is exactly the
+    * curation split between "coherent semantic region" and "outlier
+    * junk". Output: (idCol, role ∈ core|border|noise, cluster). */
+  def dbscan(corpus: DataFrame, idCol: String, vecCol: String,
+             eps: Double, minPts: Int, bits: Int,
+             maxBucketSize: Int = 1000): DataFrame = {
+    // distinct: multiprobe can surface the same pair via several probe
+    // buckets; degrees must count each neighbor once.
+    val pairs = cosineNearDupPairs(corpus, idCol, vecCol, eps, bits,
+        maxBucketSize)
+      .select(col("id_a"), col("id_b")).distinct().localCheckpoint(true)
+    val edges = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val cores = edges.groupBy(col("id_a").as("__cid"))
+      .agg(count(lit(1)).as("__deg"))
+      .where(col("__deg") >= minPts).select("__cid")
+    val coreEdges = pairs
+      .join(cores.select(col("__cid").as("id_a")), Seq("id_a"), "left_semi")
+      .join(cores.select(col("__cid").as("id_b")), Seq("id_b"), "left_semi")
+    val comp = Dedup.resolveClusters(coreEdges, "id_a", "id_b")
+      .select(col("id").as("__cid"), col("cluster").as("__comp"))
+    val coreLab = cores.join(comp, Seq("__cid"), "left")
+      .select(col("__cid"), coalesce(col("__comp"), col("__cid")).as("__cl"))
+    val border = edges
+      .join(cores.select(col("__cid").as("id_a")), Seq("id_a"), "left_anti")
+      .join(coreLab.select(col("__cid").as("id_b"), col("__cl")), Seq("id_b"))
+      .groupBy(col("id_a").as("__bid")).agg(min(col("__cl")).as("__bcl"))
+    corpus.select(col(idCol))
+      .join(coreLab.withColumnRenamed("__cid", idCol), Seq(idCol), "left")
+      .join(border.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__cl").isNotNull, lit("core"))
+          .when(col("__bcl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__cl"), col("__bcl")).as("cluster"))
+  }
+
   /** The shared capped-bucket multiprobe pair shape: sign-LSH bucket the
     * rows, drop buckets over `maxBucketSize` (the quadratic guard),
     * generate candidate pairs within `extraKeys ++ bucket` with optional

@@ -213,6 +213,29 @@ object TextAnalysis {
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** Per-document n-gram novelty: the share of a document's DISTINCT
+    * word n-grams that occur in NO other document — the inverse signal
+    * of [[spanDupRate]]: high novelty marks content the corpus has not
+    * seen anywhere else (worth keeping at dedup time, worth up-weighting
+    * in a mixture). Document frequency is computed over distinct
+    * (doc, gram) pairs FIRST, so in-doc repetition cannot inflate a
+    * gram's df — a doc that repeats its own phrase still counts it
+    * novel if no other doc has it. One distinct pass + one gram-count
+    * agg + one hash join, the same cost class as [[spanDupRate]]; the
+    * rate is one IEEE division of exact longs. */
+  def noveltyRate(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame = {
+    val grams = spanHashes(docs, idCol, textCol, n)
+      .distinct().localCheckpoint(true)
+    val dfreq = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
+    grams.join(dfreq, "__gh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** One row per word-`n`-gram occurrence, the span as its 60-bit hash:
     * (idCol, `__gh`). The exploded span stream [[spanDupRate]] and the
     * incremental span index ([[graft.streaming.CurationStream]]) share. */

@@ -47,6 +47,33 @@ object EventQueries {
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
     }),
 
+    // Hourly OHLC bars per event type — the classic time-series
+    // downsampling operator (candlesticks / metric rollups). Open and
+    // close are the values at the earliest/latest (ts, event_id) in the
+    // bar — the globally-unique event_id totalizes the tie-break, so
+    // both are deterministic; high/low are raw-double compares. No
+    // float arithmetic anywhere → engine-exact. Both row_number passes
+    // and the final agg share ONE (hour, type) hash exchange; bar-count
+    // state is bounded by hours × types, never by the event volume.
+    "events_ohlc" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("hour", "event_type")
+      val wAsc = w.orderBy(col("ts_us"), col("event_id"))
+      val wDesc = w.orderBy(col("ts_us").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("hour",
+          date_trunc("hour", timestamp_micros(col("ts_us"))))
+        .withColumn("__ra", row_number().over(wAsc))
+        .withColumn("__rd", row_number().over(wDesc))
+        .groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n"),
+          max(when(col("__ra") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("__rd") === 1, col("value"))).as("close"))
+    }),
+
     // Hourly-volume anomaly screen per event type: z-score of each hour's
     // count against its type's distribution (exact LONG sums → IEEE
     // z-expression; see Profile.zScores), |z| >= 2 flags the hour.
@@ -465,6 +492,23 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_ohlc" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, value, ts, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY hour, event_type
+        |                       ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY hour, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT hour, event_type, count(*) AS n,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "events_unique_users" ->
       """SELECT date_trunc('hour', ts) AS hour,

@@ -634,6 +634,53 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(dec(col("o_totalprice"), 2)).cast("double").as("total"))),
 
+    // Equi-depth histogram: every bucket holds (within one row) the same
+    // COUNT regardless of value skew — the planner-statistics /
+    // percentile-binning twin of the equi-width rel_price_histogram.
+    // The global rank is the two-phase parallelRunningSum over the
+    // deterministic (price, orderkey) order — range-partitioned slices
+    // plus a broadcast offset join, so there is NO single-task global
+    // window (a plain ntile() would funnel the corpus through one
+    // partition). bucket = ((rank-1)*k) div n + 1 is pure integer
+    // arithmetic on the exact rank (it reproduces ntile's first-buckets-
+    // get-the-remainder sizes only approximately, so BOTH engines use
+    // this formula, not ntile); lo/hi compare raw doubles — no float
+    // arithmetic anywhere, engine-exact.
+    "rel_equidepth_hist" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_totalprice"), col("o_orderkey"))
+        .withColumn("__one", lit(1L))
+      val n = o.groupBy().agg(count(lit(1)).as("__n"))
+      graft.ops.Curation.parallelRunningSum(o, Nil,
+          Seq("o_totalprice", "o_orderkey"), "__one", "__rank")
+        .crossJoin(broadcast(n))
+        .withColumn("bucket", expr("((__rank - 1) * 8) div __n + 1"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+    }),
+
+    // explode_outer null-row semantics pin: per order, the array of its
+    // heavy (quantity >= 45) linenumbers; explode_outer keeps array-less
+    // orders as one NULL-element row — exactly the left outer join the
+    // SQL mirror states (each array element came from one lineitem row,
+    // so the exploded stream IS the join's right side). Aggregated per
+    // priority so the oracle is order-free: exploded row count, orders
+    // with no match, exact integer linenumber sum.
+    "rel_explode_outer" -> ((s, dir) => {
+      val heavy = Tables(s, dir, "lineitem").where(col("l_quantity") >= 45)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("__lns"))
+      Tables(s, dir, "orders")
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderpriority"), explode_outer(col("__lns")).as("__ln"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__ln").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          coalesce(sum(col("__ln")), lit(0L)).as("sum_ln"))
+    }),
+
     // TPC-H Q17 shape (small-quantity-order revenue): the correlated
     // scalar subquery `l_quantity < 0.2 * avg(l_quantity per part)`
     // decorrelated into ONE per-part aggregate joined back on the part
@@ -1388,6 +1435,28 @@ object RelationalQueries {
         |       count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "rel_equidepth_hist" ->
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM orders)
+        |SELECT ((rk - 1) * 8) // n + 1 AS bucket,
+        |       count(*) AS n_orders,
+        |       min(o_totalprice) AS lo,
+        |       max(o_totalprice) AS hi
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "rel_explode_outer" ->
+      """WITH h AS (
+        |  SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity >= 45)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched,
+        |  CAST(coalesce(sum(l_linenumber), 0) AS BIGINT) AS sum_ln
+        |FROM orders LEFT JOIN h ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "rel_tpch_q17" ->
       """WITH lif AS (

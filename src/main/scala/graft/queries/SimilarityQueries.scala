@@ -58,6 +58,13 @@ object SimilarityQueries {
       Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding",
         threshold = 0.4, bits = 6, maxBucketSize = 1000)),
 
+    // DBSCAN over the same eps-graph: core/border/noise verdicts plus
+    // min-id cluster labels — the density clusterer that finds
+    // non-convex semantic regions AND an explicit outlier class.
+    "sim_dbscan" -> ((s, dir) =>
+      Similarity.dbscan(emb(s, dir), "vec_id", "embedding",
+        eps = 0.3, minPts = 3, bits = 6, maxBucketSize = 1000)),
+
     // IVF path: nearest-centroid assignment (centroids = first 8 vectors,
     // a deterministic stand-in for sampled k-means centers).
     "sim_ivf_assign" -> ((s, dir) =>
@@ -360,6 +367,27 @@ object SimilarityQueries {
         "vec_id", "embedding", "qid", k = 5)
       val approx = Similarity.ivfKnn(emb(s, dir), queriesDf(s, dir), cents,
         "vec_id", "embedding", "qid", "cid", k = 5)
+      Similarity.recallAtK(truth, approx, "qid", "vec_id")
+    }),
+
+    // Matryoshka (MRL) truncation evaluation: recall@5 of cosine top-k
+    // computed on the FIRST 16 of 64 dims against the full-dimension
+    // truth — the "how many dims can we drop" measurement for
+    // prefix-trained embeddings (Kusupati et al. 2022). Truncation is a
+    // zero-cost array slice (no re-embedding, 4x less score arithmetic
+    // and 4x smaller broadcast at serving time); both lists are brute
+    // force here so the number is pure truncation loss with no ANN
+    // error mixed in. At corpus scale the truncated side is exactly the
+    // reduced-dim front the random-projection operator feeds to ANN.
+    "sim_mrl_recall" -> ((s, dir) => {
+      val truth = Similarity.bruteForceKnn(emb(s, dir), queriesDf(s, dir),
+        "vec_id", "embedding", "qid", k = 5)
+      val pre = emb(s, dir).select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val qPre = queriesDf(s, dir).select(col("qid"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val approx = Similarity.bruteForceKnn(pre, qPre,
+        "vec_id", "embedding", "qid", k = 5)
       Similarity.recallAtK(truth, approx, "qid", "vec_id")
     }),
 
@@ -1091,6 +1119,34 @@ object SimilarityQueries {
          |FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.vec_id = a.vec_id
          |GROUP BY t.qid""".stripMargin,
 
+    // MRL mirror: brute top-5 on the full vectors as truth, brute top-5
+    // on the 16-element list_slice prefix as approx, same recall tail.
+    "sim_mrl_recall" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |t_scored AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("qv", "embedding")} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |truth AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM t_scored QUALIFY rank <= 5),
+         |p AS (SELECT vec_id, list_slice(embedding, 1, 16) AS pv FROM embeddings),
+         |pq AS (SELECT vec_id AS qid, list_slice(embedding, 1, 16) AS qpv
+         |       FROM embeddings WHERE vec_id % 100 = 0),
+         |a_scored AS (
+         |  SELECT pq.qid, p.vec_id, ${cosSql("qpv", "pv")} AS cos
+         |  FROM p, pq WHERE p.vec_id <> pq.qid),
+         |approx AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM a_scored QUALIFY rank <= 5)
+         |SELECT t.qid, count(*)::BIGINT AS k,
+         |       sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hits,
+         |       sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)::DOUBLE
+         |         / count(*)::DOUBLE AS recall
+         |FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.vec_id = a.vec_id
+         |GROUP BY t.qid""".stripMargin,
+
     // RRF mirror: the ann_lsh CTEs at k=5 (a_*), the ivf_knn CTEs at k=5
     // (i_*), then the fused score 1/(60+rank_a) + 1/(60+rank_b) with
     // absent-list terms contributing 0.0 — same fixed (a, b) add order as
@@ -1274,6 +1330,45 @@ object SimilarityQueries {
     "sim_near_dup" ->
       s"""WITH $nearDupCtes
          |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin,
+
+    // DBSCAN mirror: the near-dup CTEs give the eps-graph; degree ->
+    // cores, recursive reach over core-core edges -> min-id component
+    // labels (edgeless cores self-label), border = min core-neighbor
+    // cluster, the rest noise.
+    "sim_dbscan" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+         |nd AS (SELECT DISTINCT id_a, id_b FROM pairs WHERE cos >= 0.3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd
+         |  UNION SELECT id_b, id_a FROM nd),
+         |cores AS (
+         |  SELECT src AS id FROM edges GROUP BY src HAVING count(*) >= 3),
+         |ce AS (
+         |  SELECT src, dst FROM edges
+         |  WHERE src IN (SELECT id FROM cores) AND dst IN (SELECT id FROM cores)),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM ce
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN ce e ON r.dst = e.src),
+         |clab AS (
+         |  SELECT c.id, coalesce(least(c.id, m.mn), c.id) AS cluster
+         |  FROM cores c LEFT JOIN
+         |    (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+         |    ON c.id = m.src),
+         |border AS (
+         |  SELECT e.src AS id, min(cl.cluster) AS cluster
+         |  FROM edges e JOIN clab cl ON e.dst = cl.id
+         |  WHERE e.src NOT IN (SELECT id FROM cores)
+         |  GROUP BY e.src)
+         |SELECT e.vec_id,
+         |  CASE WHEN c.id IS NOT NULL THEN 'core'
+         |       WHEN b.id IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  CASE WHEN c.id IS NOT NULL THEN c.cluster
+         |       WHEN b.id IS NOT NULL THEN b.cluster END AS cluster
+         |FROM embeddings e
+         |LEFT JOIN clab c ON e.vec_id = c.id
+         |LEFT JOIN border b ON e.vec_id = b.id""".stripMargin,
 
     // Connected components over the same near-dup pairs (recursive CTE,
     // like dedup_clusters): losers have a smaller reachable id.

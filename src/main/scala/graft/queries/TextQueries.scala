@@ -352,6 +352,12 @@ object TextQueries {
     "text_span_dup_rate" -> ((s, dir) =>
       TextAnalysis.spanDupRate(docs(s, dir), "doc_id", "text", n = 3)),
 
+    // Per-doc trigram novelty: share of the doc's distinct trigrams no
+    // other document has — the keep/up-weight counterpoint to the
+    // duplication signal above.
+    "text_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyRate(docs(s, dir), "doc_id", "text", n = 3)),
+
     // Gopher-style quality-rule cascade: per-rule verdicts + overall pass.
     "text_gopher_filter" -> ((s, dir) =>
       TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text")),
@@ -1109,6 +1115,22 @@ object TextQueries {
          |SELECT doc_id, count(*)::BIGINT AS n_spans,
          |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
          |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS dup_rate
+         |FROM gh JOIN c USING (h)
+         |GROUP BY doc_id""".stripMargin,
+
+    "text_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |    ELSE list_transform(range(1, len(tk)-1),
+         |           i -> array_to_string(list_slice(tk, i::INT, i::INT+2), ' ')) END) AS gram
+         |  FROM t),
+         |gh AS (SELECT DISTINCT doc_id, ${h60("gram")} AS h FROM g),
+         |c AS (SELECT h, count(*) AS df FROM gh GROUP BY h)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE
+         |    AS novelty
          |FROM gh JOIN c USING (h)
          |GROUP BY doc_id""".stripMargin,
 

@@ -530,4 +530,97 @@ class ScaleOpsSpec extends SparkSpec {
       "phrase_idx_plan_segments")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("equi-depth histogram: balanced buckets via the distributed rank, no global window") {
+    val out = graft.SparkEntry.queries("rel_equidepth_hist")(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"expected the range-partitioned prefix-sum rank in:\n$plan")
+    assert(!plan.contains("Window [ntile"), s"global ntile window in:\n$plan")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 8, s"expected 8 buckets: ${rows.mkString(",")}")
+    val counts = rows.map(_._2)
+    assert(counts.max - counts.min <= 1,
+      s"equi-depth buckets must differ by at most one row: ${rows.mkString(",")}")
+  }
+
+  test("explode_outer keeps array-less rows; totals reconcile with the left join") {
+    val out = graft.SparkEntry.queries("rel_explode_outer")(spark, sf).collect()
+    val heavy = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_quantity") >= 45)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val matched = orders.join(heavy,
+      col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    val nRows = out.map(_.getLong(1)).sum
+    val nUnmatched = out.map(_.getLong(2)).sum
+    assert(nUnmatched == orders.count() - matched,
+      "every array-less order must surface exactly one NULL row")
+    assert(nRows - nUnmatched == heavy.count(),
+      "each heavy lineitem must surface exactly one exploded row")
+  }
+
+  test("OHLC bars: open/close respect the (ts, event_id) order, high/low bound them") {
+    val out = graft.SparkEntry.queries("events_ohlc")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (open, high, low, close) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(low <= open && open <= high, s"open outside [low, high]: $r")
+      assert(low <= close && close <= high, s"close outside [low, high]: $r")
+    }
+    // n = 1 bars must have open == close (one event is both endpoints).
+    out.filter(_.getLong(2) == 1L).foreach { r =>
+      assert(r.getDouble(3) == r.getDouble(6), s"1-event bar open != close: $r")
+    }
+  }
+
+  test("DBSCAN: roles partition the corpus, borders inherit a core neighbor's cluster") {
+    val out = graft.SparkEntry.queries("sim_dbscan")(spark, sf)
+    val rows = out.collect()
+    val byRole = rows.groupBy(_.getString(1))
+    assert(byRole.keySet.subsetOf(Set("core", "border", "noise")))
+    byRole.getOrElse("noise", Array()).foreach(r =>
+      assert(r.isNullAt(2), s"noise must have NULL cluster: $r"))
+    byRole.getOrElse("core", Array()).foreach(r =>
+      assert(!r.isNullAt(2), s"core must be clustered: $r"))
+    byRole.getOrElse("border", Array()).foreach(r =>
+      assert(!r.isNullAt(2), s"border must be clustered: $r"))
+    // Cluster labels are min member ids: every cluster id is a core id.
+    val coreIds = byRole.getOrElse("core", Array()).map(_.getLong(0)).toSet
+    rows.filter(!_.isNullAt(2)).foreach(r =>
+      assert(coreIds.contains(r.getLong(2)),
+        s"cluster label must be a core's id: $r"))
+  }
+
+  test("MRL truncation recall is a valid rate and truth lists are full-k") {
+    val out = graft.SparkEntry.queries("sim_mrl_recall")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == 5L, s"truth list must hold k=5: $r")
+      val rec = r.getDouble(3)
+      assert(rec >= 0.0 && rec <= 1.0, s"recall outside [0,1]: $r")
+    }
+  }
+
+  test("novelty: valid rates, exact duplicates score zero") {
+    val nov = graft.SparkEntry.queries("text_novelty")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(nov.nonEmpty)
+    nov.foreach { case (id, n, u, v) =>
+      assert(u <= n, s"unique grams exceed distinct grams for doc $id")
+      assert(v >= 0.0 && v <= 1.0, s"novelty outside [0,1] for doc $id")
+    }
+    // Docs sharing their exact text (the corpus has literal duplicates)
+    // must both score 0 — every gram they have, the twin has too.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val twins = docs.groupBy("text")
+      .agg(collect_list("doc_id").as("ids"), count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .selectExpr("explode(ids) AS doc_id").collect().map(_.getLong(0)).toSet
+    if (twins.nonEmpty) {
+      val novMap = nov.map(t => t._1 -> t._4).toMap
+      twins.foreach(id => assert(novMap(id) == 0.0,
+        s"doc $id has an exact twin but novelty ${novMap(id)}"))
+    }
+  }
 }
