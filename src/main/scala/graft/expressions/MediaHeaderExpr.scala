@@ -42,6 +42,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - TIFF: 'II'/'MM' byte-order mark + magic 42 + IFD0 entry walk for
   *    tags 256/257/277 (width/height/samples-per-pixel) — endianness is
   *    DATA in TIFF, so both orders are parsed (TIFF 6.0 §2).
+  *  - MP3: optional ID3v2 tag (syncsafe u28 size) skipped, then the
+  *    MPEG-1 Layer III frame header — bitrate/sample-rate table
+  *    lookups, mono vs 2-channel mode, CBR duration estimate
+  *    audio_bytes·8/kbps (ISO/IEC 11172-3 §2.4.1.3).
   *
   * Output struct: (format, width, height, channels, sample_rate,
   * duration_ms) — fields not defined by a format are NULL, and any
@@ -226,6 +230,42 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
       }
       return unknown
     }
+    // MP3: optional ID3v2 tag ('ID3', 2B version, 1B flags, u28
+    // SYNCSAFE size — 7 bits per byte so tag bytes can never fake a
+    // frame sync), then the MPEG audio frame sync (11 set bits).
+    // MPEG-1 Layer III header fields: bitrate index → kbps table,
+    // sample-rate index → {44100, 48000, 32000}, channel mode 3 =
+    // mono (ISO/IEC 11172-3 §2.4.1.3). MP3 carries no container
+    // duration — the CBR estimate audio_bytes·8 / bitrate_kbps ms is
+    // what every tag-less player shows, exact integer division here.
+    if ((b.length >= 10 && ascii(b, 0, "ID3")) ||
+        (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)) {
+      var i = 0
+      if (ascii(b, 0, "ID3")) {
+        val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+        i = 10 + sz
+      }
+      if (i + 4 <= b.length && (b(i) & 0xff) == 0xff &&
+          (b(i + 1) & 0xe0) == 0xe0) {
+        val version = (b(i + 1) >> 3) & 0x3 // 3 = MPEG-1
+        val layer = (b(i + 1) >> 1) & 0x3   // 1 = Layer III
+        if (version == 3 && layer == 1) {
+          val brIdx = (b(i + 2) >> 4) & 0xf
+          val srIdx = (b(i + 2) >> 2) & 0x3
+          val mode = (b(i + 3) >> 6) & 0x3
+          if (brIdx >= 1 && brIdx <= 14 && srIdx <= 2) {
+            val kbps = MediaHeaderExpr.Mp3BitratesV1L3(brIdx)
+            val audioBytes = (b.length - i).toLong
+            return InternalRow(UTF8String.fromString("mp3"), null, null,
+              if (mode == 3) 1 else 2,
+              MediaHeaderExpr.Mp3SampleRatesV1(srIdx),
+              audioBytes * 8L / kbps)
+          }
+        }
+      }
+      return unknown
+    }
     // WAV: RIFF....WAVE, then little-endian chunk walk.
     if (b.length >= 12 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
       var i = 12
@@ -269,6 +309,14 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
 }
 
 object MediaHeaderExpr {
+  /** MPEG-1 Layer III bitrate table, kbps, indexed by the 4-bit header
+    * field (0 = free, 15 = bad — both rejected). ISO/IEC 11172-3. */
+  private[expressions] val Mp3BitratesV1L3: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  /** MPEG-1 sample rates by the 2-bit header field (3 = reserved). */
+  private[expressions] val Mp3SampleRatesV1: Array[Int] =
+    Array(44100, 48000, 32000)
+
   val schema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = true),

@@ -312,6 +312,38 @@ object Multimodal {
       entryShort(277, spp) ++ u32(0) ++ body
   }
 
+  private[ops] def buildMp3Payload(id: Long, body: Array[Byte]): Array[Byte] = {
+    // ID3v2.3 tag (10 B header + id-derived padding, size SYNCSAFE so
+    // the decoder's 7-bit walk is exercised) + one MPEG-1 Layer III
+    // frame header + the body as CBR audio bytes. brIdx 1..14 sweeps
+    // the whole bitrate table; srIdx and channel mode cycle too.
+    val tagLen = (id % 17).toInt
+    val brIdx = (id % 14 + 1).toInt
+    val srIdx = ((id / 2) % 3).toInt
+    val mode = (id % 4).toInt
+    val id3 = ascii("ID3") ++ Array[Byte](3, 0, 0) ++
+      Array(((tagLen >> 21) & 0x7f).toByte, ((tagLen >> 14) & 0x7f).toByte,
+        ((tagLen >> 7) & 0x7f).toByte, (tagLen & 0x7f).toByte) ++
+      Array.fill(tagLen)('x'.toByte)
+    val frame = Array(0xff.toByte, 0xfb.toByte,
+      ((brIdx << 4) | (srIdx << 2)).toByte, (mode << 6).toByte)
+    id3 ++ frame ++ body
+  }
+
+  /** MP3 twin of [[mediaWithTiffHeaders]]: every id carries a real
+    * ID3v2 tag (id-derived syncsafe length) + MPEG-1 Layer III frame
+    * header, document text as the CBR audio bytes. */
+  def mediaWithMp3Headers(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, "audio",
+          buildMp3Payload(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }.toDF("media_id", "kind", "payload")
+  }
+
   /** TIFF twin of [[mediaWithGifBmpHeaders]]: every id carries a real
     * TIFF header+IFD0 (width/height as LONG, samples-per-pixel as
     * SHORT), alternating the byte-order mark by id parity. */

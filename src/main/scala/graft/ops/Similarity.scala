@@ -842,6 +842,85 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Jaccard link prediction over a directed edge list (Liben-Nowell &
+    * Kleinberg 2003): for every 2-hop pair (a, c) not already linked,
+    * score = |N(a) ∩ N(c)| / |N(a) ∪ N(c)| over out-neighborhoods —
+    * the "these two nodes should probably be connected" signal that
+    * densifies a sparse kNN graph (missed near-dups, retrieval
+    * expansion) without touching a single vector. Candidates come from
+    * the shared-neighbor self-join, so the work is Σ in-deg(b)² over
+    * the graph — bounded by k·|V| edges with in-degree capped by the
+    * top-k construction, never corpus×corpus. Exact integer counts,
+    * one IEEE division; global top-N plans as TakeOrderedAndProject.
+    * Output: (a, c, n_common, jaccard), a < c. */
+  def linkPredictJaccard(edges: DataFrame, srcCol: String, dstCol: String,
+                         topN: Int): DataFrame = {
+    // distinct: multiprobe candidate generation can surface one edge
+    // twice; set semantics everywhere below.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__d"))
+    val common = e.select(col("src").as("a"), col("dst").as("__b"))
+      .join(e.select(col("src").as("c"), col("dst").as("__b")), "__b")
+      .where(col("a") < col("c"))
+      .groupBy("a", "c").agg(count(lit(1)).as("n_common"))
+    val existing = e.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("c")).distinct()
+    common.join(existing, Seq("a", "c"), "left_anti")
+      .join(deg.select(col("src").as("a"), col("__d").as("__da")), "a")
+      .join(deg.select(col("src").as("c"), col("__d").as("__dc")), "c")
+      .select(col("a"), col("c"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("__da") + col("__dc") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("c")).limit(topN)
+  }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * at λ = 1/2: greedily pick `k` of each query's candidates, each
+    * round's pick maximizing `0.5·rel − 0.5·max sim-to-already-picked`
+    * (ties by id) — the diversity re-rank that stops a retrieval list
+    * from being five paraphrases of the same passage. `cand` holds
+    * (qidCol, idCol, relCol); `sims` holds (qidCol, `ia`, `ib`, `sim`)
+    * for ordered candidate pairs of the same query. The selection is
+    * inherently sequential in k, so this runs k candidate-list-sized
+    * rounds (argmax by window rank, then an anti-join shrink) — never
+    * corpus-sized work; λ = 1/2 is dyadic, so the score arithmetic is
+    * two exact halvings mirrorable bit-for-bit. Output: (qidCol,
+    * idCol, relCol, rank 1..k in pick order). */
+  def mmrRerank(cand: DataFrame, sims: DataFrame, qidCol: String,
+                idCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val wRel = Window.partitionBy(qidCol)
+      .orderBy(col(relCol).desc, col(idCol))
+    var selected = cand
+      .withColumn("__rn", row_number().over(wRel))
+      .where(col("__rn") === 1).drop("__rn")
+      .withColumn("rank", lit(1L))
+    var remaining = cand.join(selected.select(qidCol, idCol),
+      Seq(qidCol, idCol), "left_anti")
+    for (r <- 2 to k) {
+      val scored = remaining
+        .join(sims.select(col(qidCol), col("ia").as(idCol), col("ib"),
+          col("sim")), Seq(qidCol, idCol))
+        .join(selected.select(col(qidCol), col(idCol).as("ib")),
+          Seq(qidCol, "ib"))
+        .groupBy(qidCol, idCol)
+        .agg(first(col(relCol)).as(relCol), max(col("sim")).as("__ms"))
+        .withColumn("__score",
+          lit(0.5) * col(relCol) - lit(0.5) * col("__ms"))
+      val wScore = Window.partitionBy(qidCol)
+        .orderBy(col("__score").desc, col(idCol))
+      val pick = scored.withColumn("__rn", row_number().over(wScore))
+        .where(col("__rn") === 1)
+        .select(col(qidCol), col(idCol), col(relCol), lit(r.toLong).as("rank"))
+      selected = selected.unionByName(pick)
+      remaining = remaining.join(pick.select(qidCol, idCol),
+        Seq(qidCol, idCol), "left_anti")
+    }
+    selected
+  }
+
   /** Persist a maintained corpus kNN graph: the [[knnGraph]] edge list
     * as a segment-tagged bucketed table (`table`, bucketed by `src` —
     * per-src reads and rewrites stay exchange-free) plus a sign-LSH

@@ -74,6 +74,47 @@ object EventQueries {
           max(when(col("__rd") === 1, col("value"))).as("close"))
     }),
 
+    // Trailing-window burst detection per user: events in the last hour
+    // at each event, via a RANGE frame on the micros axis — the
+    // rate-limit / abuse-screen primitive. RANGE (not ROWS) so
+    // same-timestamp peers count together regardless of row order —
+    // that is what makes the frame deterministic without a unique-key
+    // tie-break. One (user) exchange, one ordered frame pass; state per
+    // user is the trailing window, never the history.
+    "events_burst_detect" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("n_trailing_1h", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("n_trailing_1h"),
+          (col("n_trailing_1h") >= 5L).as("is_burst"))
+    }),
+
+    // Day-of-week × hour-of-day seasonality profile: the weekly rhythm
+    // matrix behind capacity planning and anomaly baselines. Both axes
+    // are pure integer arithmetic on the micros epoch (dow 0 =
+    // Thursday, 1970-01-01's weekday) — timezone-free and engine-exact,
+    // deliberately NOT dayofweek()/dow() whose numbering conventions
+    // differ across engines. Bounded 7×24 output from one partial agg;
+    // share is one IEEE division of exact longs.
+    "events_seasonal_profile" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("dow", expr("(ts_us div 86400000000) % 7"))
+        .withColumn("hod", expr("(ts_us % 86400000000) div 3600000000"))
+      val total = e.groupBy().agg(count(lit(1)).as("__total"))
+      e.groupBy("dow", "hod")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"))
+        .crossJoin(broadcast(total))
+        .withColumn("share",
+          col("n").cast("double") / col("__total").cast("double"))
+        .drop("__total")
+    }),
+
     // Hourly-volume anomaly screen per event type: z-score of each hour's
     // count against its type's distribution (exact LONG sums → IEEE
     // z-expression; see Profile.zScores), |z| >= 2 flags the hour.
@@ -509,6 +550,30 @@ object EventQueries {
         |  max(value) AS high, min(value) AS low,
         |  max(CASE WHEN rd = 1 THEN value END) AS close
         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "events_burst_detect" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |    AS n_trailing_1h,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |    >= 5 AS is_burst
+        |FROM e""".stripMargin,
+
+    "events_seasonal_profile" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS ts_us, value FROM events),
+        |c AS (
+        |  SELECT (ts_us // 86400000000) % 7 AS dow,
+        |         (ts_us % 86400000000) // 3600000000 AS hod,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM e GROUP BY 1, 2)
+        |SELECT dow, hod, n, total_value,
+        |       n::DOUBLE / (SELECT count(*) FROM e)::DOUBLE AS share
+        |FROM c""".stripMargin,
 
     "events_unique_users" ->
       """SELECT date_trunc('hour', ts) AS hour,

@@ -68,6 +68,16 @@ object MultimodalQueries {
         Multimodal.mediaWithTiffHeaders(Tables(s, dir, "documents"),
           "doc_id", "text"))),
 
+    // MP3 header decode: ID3v2 syncsafe-size skip + MPEG-1 Layer III
+    // frame fields (bitrate/sample-rate table lookups, mono vs stereo
+    // mode) + the CBR duration estimate — same oracle contract: every
+    // field recomputed from the fixture formula, so a misread table
+    // index or a non-syncsafe size walk hash-mismatches.
+    "mm_mp3_meta" -> ((s, dir) =>
+      Multimodal.decodeHeaders(
+        Multimodal.mediaWithMp3Headers(Tables(s, dir, "documents"),
+          "doc_id", "text"))),
+
     // Exact payload dedup (content-hash grouping — step one of a media
     // dedup pipeline; the sf corpus has no byte-identical payloads, so
     // every group is a singleton here, which the oracle verifies too).
@@ -289,6 +299,19 @@ object MultimodalQueries {
         |  (CASE (doc_id // 2) % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::INT AS channels,
         |  NULL::INT AS sample_rate,
         |  NULL::BIGINT AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "mm_mp3_meta" ->
+      """SELECT doc_id AS media_id, 'audio' AS kind,
+        |  (octet_length(encode(text)) + 10 + doc_id % 17 + 4)::BIGINT AS n_bytes,
+        |  'mp3' AS format,
+        |  NULL::INT AS width,
+        |  NULL::INT AS height,
+        |  (CASE doc_id % 4 WHEN 3 THEN 1 ELSE 2 END)::INT AS channels,
+        |  ([44100, 48000, 32000])[((doc_id // 2) % 3 + 1)::INT]::INT AS sample_rate,
+        |  ((octet_length(encode(text)) + 4) * 8
+        |    // ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[(doc_id % 14 + 1)::INT]
+        |  )::BIGINT AS duration_ms
         |FROM documents""".stripMargin,
 
     "mm_gifbmp_meta" ->

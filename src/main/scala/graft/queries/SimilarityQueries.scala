@@ -157,6 +157,35 @@ object SimilarityQueries {
       Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
         k = 3, bits = 6, maxBucketSize = 1000)),
 
+    // MMR diversity re-rank at λ = 1/2: brute top-20 per query as the
+    // candidate list, greedy pick-5 trading relevance against max
+    // similarity to the already-picked — the anti-redundancy re-rank
+    // in front of a RAG context window. Candidate-sized rounds only.
+    "sim_mmr_rerank" -> ((s, dir) => {
+      val cand = Similarity.bruteForceKnn(emb(s, dir), queriesDf(s, dir),
+          "vec_id", "embedding", "qid", k = 20)
+        .select(col("qid"), col("vec_id"), col("cos").as("rel"))
+      val ce = cand.join(emb(s, dir), "vec_id")
+        .select(col("qid"), col("vec_id"), col("embedding"))
+      val sims = ce.as("x").join(ce.as("y"),
+          col("x.qid") === col("y.qid") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.qid").as("qid"), col("x.vec_id").as("ia"),
+          col("y.vec_id").as("ib"),
+          graft.functions.VectorFunctions.cosine(
+            col("x.embedding"), col("y.embedding")).as("sim"))
+      Similarity.mmrRerank(cand, sims, "qid", "vec_id", "rel", k = 5)
+    }),
+
+    // Jaccard link prediction over the same top-3 graph: the top-20
+    // unlinked 2-hop pairs by common-neighbor Jaccard — graph
+    // densification without touching a vector.
+    "sim_link_predict" -> ((s, dir) =>
+      Similarity.linkPredictJaccard(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000),
+        "src", "dst", topN = 20)),
+
     // Incrementally MAINTAINED kNN graph: bootstrap the persisted graph
     // index from a third of the corpus, fold the other two thirds in as
     // ingest deliveries (Similarity.appendToKnnGraphIndex — new rows
@@ -585,6 +614,48 @@ object SimilarityQueries {
   /** Shared SQL: sequential-fold dot product and cosine over FLOAT[].
     * `cosSql` is package-visible — the hybrid-retrieval oracle in
     * [[TextQueries]] reuses the ONE cosine mirror. */
+  /** Generated MMR mirror: round r anti-joins the already-selected set,
+    * scores the rest as 0.5·rel − 0.5·max(sim to selected), argmaxes
+    * per qid (score desc, vec_id), and folds the pick into sel$r. */
+  private def mmrOracleSql(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""rem$r AS (SELECT c.qid, c.vec_id, c.rel FROM cand c
+         |  ANTI JOIN sel${r - 1} USING (qid, vec_id)),
+         |p$r AS (
+         |  SELECT rm.qid, rm.vec_id, rm.rel,
+         |         0.5 * rm.rel - 0.5 * max(m.sim) AS score
+         |  FROM rem$r rm
+         |  JOIN sims m ON m.qid = rm.qid AND m.ia = rm.vec_id
+         |  JOIN sel${r - 1} s ON s.qid = m.qid AND s.vec_id = m.ib
+         |  GROUP BY rm.qid, rm.vec_id, rm.rel),
+         |s$r AS (SELECT qid, vec_id, rel, $r AS rank FROM p$r
+         |  QUALIFY row_number()
+         |    OVER (PARTITION BY qid ORDER BY score DESC, vec_id) = 1),
+         |sel$r AS (SELECT qid, vec_id FROM sel${r - 1}
+         |  UNION ALL SELECT qid, vec_id FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k).map(r => s"SELECT * FROM s$r").mkString("\n  UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id, ${cosSql("qv", "embedding")} AS rel
+       |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+       |cand AS (
+       |  SELECT qid, vec_id, rel FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) <= 20),
+       |ce AS (SELECT c.qid, c.vec_id, c.rel, e.embedding
+       |       FROM cand c JOIN embeddings e USING (vec_id)),
+       |sims AS (
+       |  SELECT x.qid, x.vec_id AS ia, y.vec_id AS ib,
+       |         ${cosSql("x.embedding", "y.embedding")} AS sim
+       |  FROM ce x JOIN ce y ON x.qid = y.qid AND x.vec_id <> y.vec_id),
+       |s1 AS (SELECT qid, vec_id, rel, 1 AS rank FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) = 1),
+       |sel1 AS (SELECT qid, vec_id FROM s1),
+       |$rounds
+       |SELECT qid, vec_id, rel, CAST(rank AS BIGINT) AS rank FROM (
+       |  $unionAll)""".stripMargin
+  }
+
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i::INT]::DOUBLE) * ($b[i::INT]::DOUBLE)))"
   private[queries] def cosSql(a: String, b: String) =
@@ -732,6 +803,32 @@ object SimilarityQueries {
       s"""WITH $knnGraphCtes
          |SELECT src, dst, cos, CAST(rank AS BIGINT) AS rank
          |FROM topk""".stripMargin,
+
+    // MMR mirror: brute top-20 candidates, pairwise sims within each
+    // candidate list, then k-1 generated greedy rounds (rem -> score ->
+    // argmax -> fold into sel) — same unrolled-round technique as the
+    // label-prop and BPE oracles.
+    "sim_mmr_rerank" -> mmrOracleSql(5),
+
+    // Link-prediction mirror: distinct out-edges of the same top-3
+    // graph, shared-neighbor self-join, Jaccard on exact counts.
+    "sim_link_predict" ->
+      s"""WITH $knnGraphCtes,
+         |eg AS (SELECT DISTINCT src, dst FROM topk),
+         |deg AS (SELECT src, count(*) AS d FROM eg GROUP BY src),
+         |com AS (
+         |  SELECT e1.src AS a, e2.src AS c, count(*) AS n_common
+         |  FROM eg e1 JOIN eg e2 ON e1.dst = e2.dst AND e1.src < e2.src
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS c
+         |       FROM eg),
+         |cand AS (SELECT com.* FROM com ANTI JOIN ex USING (a, c))
+         |SELECT a, c, n_common,
+         |       n_common::DOUBLE / (da.d + dc.d - n_common)::DOUBLE AS jaccard
+         |FROM cand JOIN deg da ON cand.a = da.src
+         |          JOIN deg dc ON cand.c = dc.src
+         |QUALIFY row_number()
+         |  OVER (ORDER BY jaccard DESC, a, c) <= 20""".stripMargin,
 
     // The maintained graph must equal the batch graph over the union
     // corpus — same mirror verbatim.

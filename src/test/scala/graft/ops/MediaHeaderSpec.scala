@@ -64,6 +64,35 @@ class MediaHeaderSpec extends SparkSpec {
       a.getLong(5) == 8000L)
   }
 
+  test("MP3: ID3 syncsafe skip, table lookups, CBR duration; malformed degrades") {
+    import Multimodal.buildMp3Payload
+    // id 9: brIdx = 9%14+1 = 10 → 160 kbps; srIdx = (9/2)%3 = 1 → 48000;
+    // mode = 9%4 = 1 → 2 channels; tagLen = 9; audio = body(4) + 4 B.
+    val r = decodeOne(buildMp3Payload(9L, "body".getBytes))
+    assert(r.getString(0) == "mp3" && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getInt(3) == 2 && r.getInt(4) == 48000)
+    assert(r.getLong(5) == 8L * 8 / 160)
+    // id 3: mode 3 → mono.
+    assert(decodeOne(buildMp3Payload(3L, "x".getBytes)).getInt(3) == 1)
+    // Raw frame sync with no ID3 tag parses too.
+    val raw = Array(0xff.toByte, 0xfb.toByte, ((1 << 4) | (0 << 2)).toByte,
+      0.toByte) ++ Array.fill(96)('a'.toByte)
+    val rr = decodeOne(raw)
+    assert(rr.getString(0) == "mp3" && rr.getInt(4) == 44100 &&
+      rr.getLong(5) == 100L * 8 / 32)
+    // ID3 whose syncsafe size points past the payload → unknown, no throw.
+    val overrun = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0x7f, 0x7f)
+    assert(decodeOne(overrun).getString(0) == "unknown")
+    // Free-format (0) and bad (15) bitrate indexes are rejected.
+    assert(decodeOne(Array(0xff.toByte, 0xfb.toByte, 0x00.toByte, 0.toByte))
+      .getString(0) == "unknown")
+    assert(decodeOne(Array(0xff.toByte, 0xfb.toByte, 0xf0.toByte, 0.toByte))
+      .getString(0) == "unknown")
+    // MPEG-2 version bits (sync 0xFF 0xF3) are not the V1 table → unknown.
+    assert(decodeOne(Array(0xff.toByte, 0xf3.toByte, 0x40.toByte, 0.toByte))
+      .getString(0) == "unknown")
+  }
+
   test("garbage, empty, and truncated payloads degrade to unknown — never throw") {
     assert(decodeOne(Array.empty[Byte]).getString(0) == "unknown")
     assert(decodeOne("just some text".getBytes).getString(0) == "unknown")

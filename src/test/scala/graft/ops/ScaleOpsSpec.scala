@@ -602,6 +602,63 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("burst detection: RANGE frame counts itself, flags agree with the count") {
+    val out = graft.SparkEntry.queries("events_burst_detect")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getLong(2)
+      assert(n >= 1L, s"trailing count must include the event itself: $r")
+      assert(r.getBoolean(3) == (n >= 5L), s"flag disagrees with count: $r")
+    }
+  }
+
+  test("seasonal profile: bounded 7x24 cells, shares sum to one") {
+    val out = graft.SparkEntry.queries("events_seasonal_profile")(spark, sf).collect()
+    assert(out.length <= 168, s"more cells than dow x hour: ${out.length}")
+    out.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 6, s"dow out of range: $r")
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 23, s"hod out of range: $r")
+    }
+    val total = out.map(_.getLong(2)).sum
+    val shareSum = out.map(_.getDouble(4)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    assert(total == spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
+  test("link prediction: candidates are unlinked 2-hop pairs with valid Jaccard") {
+    val edges = graft.ops.Similarity.knnGraph(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding",
+      k = 3, bits = 6, maxBucketSize = 1000)
+      .select("src", "dst").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val linked = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val out = graft.SparkEntry.queries("sim_link_predict")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, c, j) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      assert(a < c, s"pair not ordered: $r")
+      assert(!linked.contains((a, c)), s"predicted pair already linked: $r")
+      assert(j > 0.0 && j <= 1.0, s"Jaccard outside (0,1]: $r")
+    }
+  }
+
+  test("MMR re-rank: pick 1 is the relevance argmax, picks are distinct per query") {
+    val out = graft.SparkEntry.queries("sim_mmr_rerank")(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 5L),
+        s"ranks not 1..5 for query $qid")
+      assert(rows.map(_.getLong(1)).distinct.length == 5,
+        s"duplicate picks for query $qid")
+      val first = rows.find(_.getLong(3) == 1L).get
+      val maxRel = rows.map(_.getDouble(2)).max
+      assert(first.getDouble(2) == maxRel ||
+        rows.count(_.getDouble(2) == maxRel) > 1,
+        s"pick 1 must be the relevance argmax for query $qid")
+    }
+  }
+
   test("novelty: valid rates, exact duplicates score zero") {
     val nov = graft.SparkEntry.queries("text_novelty")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
