@@ -74,6 +74,67 @@ object EventQueries {
           max(when(col("__rd") === 1, col("value"))).as("close"))
     }),
 
+    // CUSUM level-shift detection over the hourly series per type: the
+    // clamped recurrence C_t = max(0, C_{t-1} + (n_t − mean)) has the
+    // closed form C_t = P_t − min(0, min_{j≤t} P_j) with P the plain
+    // prefix sum of deviations — so the sequential-looking detector is
+    // two window passes, no recursion. Deviations are cross-multiplied
+    // by the hour count (d_t = n_t·T − N) so the mean never becomes a
+    // float: everything is exact LONG arithmetic, engine-portable.
+    // Shift flag at C_t > 5·T ≈ five sustained excess events.
+    "events_cusum" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        .groupBy(date_trunc("hour", col("ts_utc")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wStats = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      val wRun = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("hour")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      hourly
+        .withColumn("__T", count(lit(1)).over(wStats))
+        .withColumn("__N", sum(col("n")).over(wStats))
+        .withColumn("__p", sum(col("n") * col("__T") - col("__N")).over(wRun))
+        .withColumn("cusum",
+          col("__p") - least(lit(0L), min(col("__p")).over(wRun)))
+        .select(col("event_type"), col("hour"), col("n"), col("cusum"),
+          (col("cusum") > lit(5L) * col("__T")).as("is_shift"))
+    }),
+
+    // Naive seasonal forecast + backtest: hold out the last epoch-week,
+    // forecast each (dow, hour) cell as its train-weeks hourly mean,
+    // score against the held-out actuals — the baseline every fancier
+    // forecaster must beat, and the same integer epoch axes as the
+    // seasonality profile. All-exact counts; the mean and |err| are the
+    // only float steps, each one mirrored division/abs. Bounded 7×24
+    // output from two partial aggs.
+    "events_seasonal_forecast" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("wk", expr("ts_us div 604800000000"))
+        .withColumn("dow", expr("(ts_us div 86400000000) % 7"))
+        .withColumn("hod", expr("(ts_us % 86400000000) div 3600000000"))
+      val maxWk = e.groupBy().agg(max("wk").as("__mw"))
+      val ew = e.crossJoin(broadcast(maxWk))
+      val train = ew.where(col("wk") < col("__mw"))
+        .groupBy("dow", "hod")
+        .agg(count(lit(1)).as("train_n"),
+          countDistinct("wk").as("train_weeks"))
+      val test = ew.where(col("wk") === col("__mw"))
+        .groupBy("dow", "hod").agg(count(lit(1)).as("actual"))
+      train.join(test, Seq("dow", "hod"), "left")
+        .withColumn("actual", coalesce(col("actual"), lit(0L)))
+        .withColumn("forecast",
+          col("train_n").cast("double") / col("train_weeks").cast("double"))
+        .withColumn("abs_err",
+          abs(col("actual").cast("double") - col("forecast")))
+        .select("dow", "hod", "train_n", "train_weeks", "actual",
+          "forecast", "abs_err")
+    }),
+
     // Trailing-window burst detection per user: events in the last hour
     // at each event, via a RANGE frame on the micros axis — the
     // rate-limit / abuse-screen primitive. RANGE (not ROWS) so
@@ -550,6 +611,48 @@ object EventQueries {
         |  max(value) AS high, min(value) AS low,
         |  max(CASE WHEN rd = 1 THEN value END) AS close
         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "events_cusum" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT *,
+        |    count(*) OVER (PARTITION BY event_type) AS t,
+        |    sum(n) OVER (PARTITION BY event_type)::BIGINT AS tot
+        |  FROM hourly),
+        |p AS (
+        |  SELECT *,
+        |    sum(n * t - tot) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS pp
+        |  FROM st)
+        |SELECT event_type, hour, n,
+        |  (pp - least(0, min(pp) OVER (PARTITION BY event_type ORDER BY hour
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT AS cusum,
+        |  pp - least(0, min(pp) OVER (PARTITION BY event_type ORDER BY hour
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) > 5 * t AS is_shift
+        |FROM p""".stripMargin,
+
+    "events_seasonal_forecast" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 604800000000 AS wk,
+        |         (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |         (epoch_us(ts) % 86400000000) // 3600000000 AS hod
+        |  FROM events),
+        |mw AS (SELECT max(wk) AS m FROM e),
+        |train AS (
+        |  SELECT dow, hod, count(*) AS train_n,
+        |         count(DISTINCT wk) AS train_weeks
+        |  FROM e, mw WHERE wk < m GROUP BY 1, 2),
+        |test AS (
+        |  SELECT dow, hod, count(*) AS actual
+        |  FROM e, mw WHERE wk = m GROUP BY 1, 2)
+        |SELECT t.dow, t.hod, t.train_n, t.train_weeks,
+        |  coalesce(ts.actual, 0)::BIGINT AS actual,
+        |  t.train_n::DOUBLE / t.train_weeks::DOUBLE AS forecast,
+        |  abs(coalesce(ts.actual, 0)::DOUBLE
+        |      - t.train_n::DOUBLE / t.train_weeks::DOUBLE) AS abs_err
+        |FROM train t LEFT JOIN test ts ON t.dow = ts.dow AND t.hod = ts.hod""".stripMargin,
 
     "events_burst_detect" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)

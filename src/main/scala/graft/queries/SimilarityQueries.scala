@@ -443,6 +443,45 @@ object SimilarityQueries {
       Similarity.centroidUpdate(assigned, "vec_id", "embedding")
     }),
 
+    // Embedding-distribution drift monitor: split the corpus into an
+    // "old" and a "new" half (id parity — in production, two snapshot
+    // dates), assign both to the SAME fixed centroids, then per cluster
+    // compare the halves' mass shares and mean-vector cosine — the
+    // "did the embedding distribution move" check run before trusting
+    // yesterday's ANN index / centroids on today's corpus. Means come
+    // from the bit-deterministic sliced component fold (float32-rounded
+    // like kMeans), shares are exact-count divisions; per-cluster state
+    // is k×dim, never corpus-sized.
+    "sim_embed_drift" -> ((s, dir) => {
+      val cents = emb(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val assigned = Similarity.ivfAssign(emb(s, dir), cents,
+        "vec_id", "embedding", "cid")
+      def half(parity: Int) = Similarity.centroidUpdate(
+        assigned.where(col("vec_id") % 2 === parity), "vec_id", "embedding")
+      def meanVecs(sums: DataFrame, nCol: String, vCol: String) = sums
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("dim"),
+            (col("comp_sum") / col("n").cast("double")).cast("float").as("m"))))
+          .as("__a"),
+          max(col("n")).as(nCol))
+        .select(col("cluster"), expr("transform(__a, x -> x.m)").as(vCol),
+          col(nCol))
+      val old = meanVecs(half(0), "n_old", "__vo")
+      val nw = meanVecs(half(1), "n_new", "__vn")
+      val joined = old.join(nw, "cluster")
+      val tot = joined.groupBy().agg(sum("n_old").as("__to"),
+        sum("n_new").as("__tn"))
+      joined.crossJoin(broadcast(tot))
+        .select(col("cluster"), col("n_old"), col("n_new"),
+          (col("n_old").cast("double") / col("__to").cast("double"))
+            .as("share_old"),
+          (col("n_new").cast("double") / col("__tn").cast("double"))
+            .as("share_new"),
+          graft.functions.VectorFunctions.cosine(col("__vo"), col("__vn"))
+            .as("centroid_cos"))
+    }),
+
     // L2 normalization to unit vectors (the prep step before cosine =
     // dot): norm via the native sequential-fold dot, then one exact IEEE
     // division per element. `l2` is bound as an attribute before the
@@ -673,6 +712,26 @@ object SimilarityQueries {
     * Shared by the sim_centroid_update / sim_kmeans_train /
     * sim_embed_pipeline oracles. */
   private val sliceWidth: Long = ((1L << 60) + 1023) / 1024
+  /** [[slicedSumsCtes]] with suffixed CTE names, so two instances (e.g.
+    * an old-half and a new-half fold) can coexist in one mirror. */
+  private def slicedSumsCtesSfx(assign: String, sfx: String): String =
+    s"""exploded$sfx AS (
+       |  SELECT cluster, vec_id,
+       |         (('0x'||substr(md5('cslice:' || vec_id::VARCHAR),1,15))::BIGINT // $sliceWidth) AS slice,
+       |         unnest(range(len(embedding))) AS dim,
+       |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+       |  FROM $assign),
+       |ssums$sfx AS (
+       |  SELECT cluster, dim, slice,
+       |    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)), (a, x) -> a + x) AS ssum,
+       |    count(*) AS n
+       |  FROM exploded$sfx GROUP BY cluster, dim, slice),
+       |sums$sfx AS (
+       |  SELECT cluster, dim,
+       |    list_reduce(list_prepend(0.0, list(ssum ORDER BY slice)), (a, x) -> a + x) AS comp_sum,
+       |    sum(n)::BIGINT AS n
+       |  FROM ssums$sfx GROUP BY cluster, dim)""".stripMargin
+
   private def slicedSumsCtes(assign: String): String =
     s"""exploded AS (
        |  SELECT cluster, vec_id,
@@ -1396,6 +1455,38 @@ object SimilarityQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
          |  FROM scored)
          |SELECT qid, vec_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // Drift mirror: the assignment CTE feeds two suffixed sliced-sum
+    // folds (old/new id-parity halves); per cluster the float32-rounded
+    // mean lists (ORDER BY dim) meet in one cosine + exact share math.
+    "sim_embed_drift" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
+         |    FROM embeddings e, c) WHERE rn = 1),
+         |old_h AS (SELECT * FROM assign WHERE vec_id % 2 = 0),
+         |new_h AS (SELECT * FROM assign WHERE vec_id % 2 = 1),
+         |${slicedSumsCtesSfx("old_h", "_o")},
+         |${slicedSumsCtesSfx("new_h", "_n")},
+         |vo AS (
+         |  SELECT cluster, list((comp_sum / n)::REAL ORDER BY dim) AS v,
+         |         max(n) AS n_old
+         |  FROM sums_o GROUP BY cluster),
+         |vn AS (
+         |  SELECT cluster, list((comp_sum / n)::REAL ORDER BY dim) AS v,
+         |         max(n) AS n_new
+         |  FROM sums_n GROUP BY cluster),
+         |j AS (SELECT vo.cluster, vo.v AS va, vn.v AS vb, n_old, n_new
+         |      FROM vo JOIN vn USING (cluster)),
+         |tot AS (SELECT sum(n_old)::BIGINT AS t_o, sum(n_new)::BIGINT AS t_n FROM j)
+         |SELECT cluster, n_old, n_new,
+         |  n_old::DOUBLE / t_o::DOUBLE AS share_old,
+         |  n_new::DOUBLE / t_n::DOUBLE AS share_new,
+         |  ${cosSql("va", "vb")} AS centroid_cos
+         |FROM j, tot""".stripMargin,
 
     "sim_centroid_update" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),

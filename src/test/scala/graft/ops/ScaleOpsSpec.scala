@@ -602,6 +602,65 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("CUSUM: closed form equals the clamped recurrence, never negative") {
+    val out = graft.SparkEntry.queries("events_cusum")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(3) >= 0L, s"CUSUM went negative: $r"))
+    // Re-derive sequentially per type and compare — the closed form
+    // P_t - min(0, min P_j) must equal max(0, C_{t-1} + d_t).
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getTimestamp(1).getTime)
+      val t = sorted.length.toLong
+      val n = sorted.map(_.getLong(2)).sum
+      var c = 0L
+      sorted.foreach { r =>
+        c = math.max(0L, c + (r.getLong(2) * t - n))
+        assert(r.getLong(3) == c, s"closed form diverges at $r: expected $c")
+      }
+    }
+  }
+
+  test("seasonal forecast: holdout is disjoint from train, error math consistent") {
+    val out = graft.SparkEntry.queries("events_seasonal_forecast")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (trainN, weeks, actual) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(weeks >= 1 && trainN >= weeks,
+        s"cell must appear at least once per counted train week: $r")
+      val forecast = trainN.toDouble / weeks.toDouble
+      assert(r.getDouble(5) == forecast, s"forecast mismatch: $r")
+      assert(r.getDouble(6) == math.abs(actual.toDouble - forecast),
+        s"abs_err mismatch: $r")
+    }
+  }
+
+  test("embedding drift: shares sum to one per half, self-comparison is cosine 1") {
+    val out = graft.SparkEntry.queries("sim_embed_drift")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    out.foreach(r => assert(r.getDouble(5) >= -1.0 - 1e-9 &&
+      r.getDouble(5) <= 1.0 + 1e-9, s"cosine out of range: $r"))
+    // Same-half drift must be exactly cosine 1 per cluster (identical
+    // mean vectors) — the monitor's null hypothesis.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val assigned = graft.ops.Similarity.ivfAssign(emb, cents,
+      "vec_id", "embedding", "cid")
+    val sums = graft.ops.Similarity.centroidUpdate(
+      assigned.where(col("vec_id") % 2 === 0), "vec_id", "embedding")
+    val means = sums.groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("dim"),
+        (col("comp_sum") / col("n").cast("double")).cast("float").as("m"))))
+        .as("__a"))
+      .select(col("cluster"), expr("transform(__a, x -> x.m)").as("v"))
+    val self = means.select(
+      graft.functions.VectorFunctions.cosine(col("v"), col("v")).as("c"))
+      .collect()
+    self.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
   test("burst detection: RANGE frame counts itself, flags agree with the count") {
     val out = graft.SparkEntry.queries("events_burst_detect")(spark, sf).collect()
     assert(out.nonEmpty)
