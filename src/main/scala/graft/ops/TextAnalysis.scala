@@ -213,6 +213,55 @@ object TextAnalysis {
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    * maximal runs of non-stopword tokens (stopword positions break the
+    * run via a per-doc running break count — the sessionize trick on
+    * token positions); each word scores deg/freq where freq counts its
+    * phrase occurrences and deg sums the lengths of the phrases it
+    * appears in; a phrase scores the SUM of its words' scores, folded
+    * in token order (deterministic IEEE order, mirrorable), and the
+    * corpus top-`topN` distinct phrases win on (score desc, phrase).
+    * Work: one tokenize pass, a phrase-run agg, a vocabulary-sized word
+    * stats agg joined back broadcast-style, and a TakeOrderedAndProject
+    * top-N — no corpus sort, no N² anywhere.
+    * Output: (phrase, n_occurrences, score). */
+  def rakeKeyphrases(docs: DataFrame, idCol: String, textCol: String,
+                     stopwords: Seq[String], topN: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__pos")
+    val marked = docs
+      .select(col(idCol), posexplode(tokens(col(textCol)))
+        .as(Seq("__pos", "__w")))
+      .withColumn("__stop", col("__w").isInCollection(stopwords))
+      .withColumn("__brk",
+        sum(when(col("__stop"), 1L).otherwise(0L)).over(w))
+    val phrases = marked.where(!col("__stop"))
+      .groupBy(col(idCol), col("__brk"))
+      .agg(expr("transform(array_sort(collect_list(struct(__pos, __w))), x -> x.__w)")
+        .as("__ws"))
+      .select(col(idCol), col("__brk"),
+        col("__ws"), size(col("__ws")).cast("long").as("__plen"),
+        concat_ws(" ", col("__ws")).as("phrase"))
+      .localCheckpoint(true)
+    val wstats = phrases
+      .select(explode(col("__ws")).as("__w"), col("__plen"))
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
+      .withColumn("__wscore",
+        col("__deg").cast("double") / col("__freq").cast("double"))
+    phrases
+      .select(col(idCol), col("__brk"), col("phrase"),
+        posexplode(col("__ws")).as(Seq("__wpos", "__w")))
+      .join(wstats.select("__w", "__wscore"), "__w")
+      .groupBy(col(idCol), col("__brk"), col("phrase"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__wpos"), col("__wscore").as("v")))),
+        lit(0.0), (acc, s) => acc + s.getField("v")).as("__score"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max(col("__score")).as("score"))
+      .orderBy(col("score").desc, col("phrase")).limit(topN)
+  }
+
   /** Per-document n-gram novelty: the share of a document's DISTINCT
     * word n-grams that occur in NO other document — the inverse signal
     * of [[spanDupRate]]: high novelty marks content the corpus has not

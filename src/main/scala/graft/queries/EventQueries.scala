@@ -74,6 +74,31 @@ object EventQueries {
           max(when(col("__rd") === 1, col("value"))).as("close"))
     }),
 
+    // DAU/WAU/MAU engagement series: rolling DISTINCT users over 1/7/28
+    // trailing days. Rolling distinct is not frame-expressible, so each
+    // (user, day) activity pair is exploded onto the days it covers
+    // (day..day+6 / day..day+27) and counted per cover day — work is
+    // bounded by 35× the DISTINCT user-day pairs, never by raw event
+    // volume (the distinct comes first), and the count-distinct aggs
+    // are partial before their one exchange. Integer epoch days,
+    // timezone-free; at 100 TB swap the exact count-distinct for the
+    // mergeable HLL registers (Sketches.hllRegisters) — same explode.
+    "events_engagement" -> ((s, dir) => {
+      val active = Tables.events(s, dir)
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          col("user_id"))
+        .distinct().localCheckpoint(true)
+      val days = active.select("day").distinct()
+      val dau = active.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      def rolling(w: Int, name: String) = active
+        .select(explode(sequence(col("day"), col("day") + (w - 1)))
+          .as("day"), col("user_id"))
+        .groupBy("day").agg(countDistinct("user_id").as(name))
+      days.join(dau, "day")
+        .join(rolling(7, "wau"), "day")
+        .join(rolling(28, "mau"), "day")
+    }),
+
     // CUSUM level-shift detection over the hourly series per type: the
     // clamped recurrence C_t = max(0, C_{t-1} + (n_t − mean)) has the
     // closed form C_t = P_t − min(0, min_{j≤t} P_j) with P the plain
@@ -611,6 +636,21 @@ object EventQueries {
         |  max(value) AS high, min(value) AS low,
         |  max(CASE WHEN rd = 1 THEN value END) AS close
         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "events_engagement" ->
+      """WITH active AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM active),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau
+        |        FROM active GROUP BY 1),
+        |wau AS (SELECT day + unnest(range(0, 7)) AS day, user_id FROM active),
+        |wauc AS (SELECT day, count(DISTINCT user_id) AS wau FROM wau GROUP BY 1),
+        |mau AS (SELECT day + unnest(range(0, 28)) AS day, user_id FROM active),
+        |mauc AS (SELECT day, count(DISTINCT user_id) AS mau FROM mau GROUP BY 1)
+        |SELECT day, dau, wau, mau
+        |FROM days JOIN dau USING (day) JOIN wauc USING (day)
+        |          JOIN mauc USING (day)""".stripMargin,
 
     "events_cusum" ->
       """WITH hourly AS (

@@ -634,6 +634,41 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(dec(col("o_totalprice"), 2)).cast("double").as("total"))),
 
+    // Pairwise association rules over order baskets (the frequent-
+    // itemset / market-basket classic, pair level): co-occurrence
+    // counts from one basket self-join on the order key (pair fan-out
+    // is bounded by lines-per-order², ~7² — never corpus²), then
+    // support / confidence / lift as divisions of exact LONG counts.
+    // The n_ab ≥ 3 floor is applied BEFORE the item-count joins, so
+    // the rule table the joins see is already tiny; item counts
+    // broadcast (2k parts).
+    "rel_basket_rules" -> ((s, dir) => {
+      val b = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint(true)
+      val no = b.agg(countDistinct("l_orderkey").as("__no"))
+      val items = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("__cnt"))
+      b.as("x").join(b.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("part_a"),
+          col("y.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 3)
+        .join(broadcast(items.select(col("l_partkey").as("part_a"),
+          col("__cnt").as("__na"))), Seq("part_a"))
+        .join(broadcast(items.select(col("l_partkey").as("part_b"),
+          col("__cnt").as("__nb"))), Seq("part_b"))
+        .crossJoin(broadcast(no))
+        .select(col("part_a"), col("part_b"), col("n_ab"),
+          (col("n_ab").cast("double") / col("__no").cast("double"))
+            .as("support"),
+          (col("n_ab").cast("double") / col("__na").cast("double"))
+            .as("confidence"),
+          ((col("n_ab") * col("__no")).cast("double") /
+            (col("__na") * col("__nb")).cast("double")).as("lift"))
+    }),
+
     // Equi-depth histogram: every bucket holds (within one row) the same
     // COUNT regardless of value skew — the planner-statistics /
     // percentile-binning twin of the equi-width rel_price_histogram.
@@ -1435,6 +1470,24 @@ object RelationalQueries {
         |       count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "rel_basket_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |no AS (SELECT count(DISTINCT l_orderkey) AS n FROM b),
+        |items AS (SELECT l_partkey, count(*) AS cnt FROM b GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+        |         count(*) AS n_ab
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+        |                   AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, n_ab,
+        |  n_ab::DOUBLE / n::DOUBLE AS support,
+        |  n_ab::DOUBLE / ia.cnt::DOUBLE AS confidence,
+        |  (n_ab * n)::DOUBLE / (ia.cnt * ib.cnt)::DOUBLE AS lift
+        |FROM pairs
+        |JOIN items ia ON part_a = ia.l_partkey
+        |JOIN items ib ON part_b = ib.l_partkey, no""".stripMargin,
 
     "rel_equidepth_hist" ->
       """WITH r AS (

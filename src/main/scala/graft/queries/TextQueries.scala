@@ -352,6 +352,12 @@ object TextQueries {
     "text_span_dup_rate" -> ((s, dir) =>
       TextAnalysis.spanDupRate(docs(s, dir), "doc_id", "text", n = 3)),
 
+    // RAKE keyphrase extraction: stopword-delimited candidate phrases
+    // scored by the deg/freq word statistic, corpus top-20.
+    "text_keyphrases" -> ((s, dir) =>
+      TextAnalysis.rakeKeyphrases(docs(s, dir), "doc_id", "text",
+        RakeStopwords, topN = 20)),
+
     // Per-doc trigram novelty: share of the doc's distinct trigrams no
     // other document has — the keep/up-weight counterpoint to the
     // duplication signal above.
@@ -747,6 +753,11 @@ object TextQueries {
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** RAKE phrase delimiters — the gopherRules stopword list. */
+  private val RakeStopwords = Seq("the", "a", "an", "of", "to", "in",
+    "and", "is", "it", "that", "for", "on", "with", "as")
+  private val rakeStopSql = RakeStopwords.map(s => s"'$s'").mkString(", ")
+
   /** Merge rounds for the BPE queries — shared by the Spark side and the
     * generated oracle CTE chain so they always train the same table. */
   private val BpeMerges = 8
@@ -1117,6 +1128,41 @@ object TextQueries {
          |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS dup_rate
          |FROM gh JOIN c USING (h)
          |GROUP BY doc_id""".stripMargin,
+
+    // RAKE mirror: token positions -> stopword break counter -> phrase
+    // runs (list ORDER BY pos), deg/freq word stats, per-phrase ordered
+    // fold of word scores, top-20 on (score desc, phrase).
+    "text_keyphrases" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS pos
+         |  FROM t),
+         |m AS (SELECT doc_id, pos, w, w IN ($rakeStopSql) AS is_stop FROM tok),
+         |b AS (
+         |  SELECT *, sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS brk
+         |  FROM m),
+         |ph AS (
+         |  SELECT doc_id, brk, list(w ORDER BY pos) AS ws,
+         |         count(*)::BIGINT AS plen,
+         |         array_to_string(list(w ORDER BY pos), ' ') AS phrase
+         |  FROM b WHERE NOT is_stop GROUP BY 1, 2),
+         |wstats AS (
+         |  SELECT w, count(*) AS freq, sum(plen)::BIGINT AS deg
+         |  FROM (SELECT unnest(ws) AS w, plen FROM ph) GROUP BY 1),
+         |pw AS (
+         |  SELECT doc_id, brk, phrase, unnest(ws) AS w,
+         |         generate_subscripts(ws, 1) AS wpos
+         |  FROM ph),
+         |sc AS (
+         |  SELECT doc_id, brk, phrase,
+         |    list_reduce(list_prepend(0.0,
+         |      list(deg::DOUBLE / freq::DOUBLE ORDER BY wpos)),
+         |      (a, x) -> a + x) AS score
+         |  FROM pw JOIN wstats USING (w) GROUP BY 1, 2, 3)
+         |SELECT phrase, count(*) AS n_occurrences, max(score) AS score
+         |FROM sc GROUP BY 1
+         |ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
 
     "text_novelty" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

@@ -602,6 +602,55 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("basket rules: probabilities in range, lift consistent with support") {
+    val out = graft.SparkEntry.queries("rel_basket_rules")(spark, sf).collect()
+    out.foreach { r =>
+      val (nab, sup, conf, lift) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(nab >= 3, s"support floor violated: $r")
+      assert(sup > 0.0 && sup <= 1.0, s"support out of range: $r")
+      assert(conf > 0.0 && conf <= 1.0, s"confidence out of range: $r")
+      assert(lift > 0.0, s"lift must be positive: $r")
+      assert(r.getLong(0) < r.getLong(1), s"pair not ordered: $r")
+    }
+  }
+
+  test("engagement: DAU <= WAU <= MAU, WAU covers the trailing week exactly") {
+    val out = graft.SparkEntry.queries("events_engagement")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3),
+        s"DAU <= WAU <= MAU violated: $r")
+    }
+    // Brute-force one day's WAU from raw events.
+    val active = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS day",
+        "user_id")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val probe = out.maxBy(_.getLong(0))
+    val d = probe.getLong(0)
+    val expect = active.filter(t => t._1 >= d - 6 && t._1 <= d)
+      .map(_._2).distinct.length
+    assert(probe.getLong(2) == expect.toLong,
+      s"WAU($d) = ${probe.getLong(2)}, brute force says $expect")
+  }
+
+  test("keyphrases: no stopword inside any phrase, scores positive, top-20") {
+    val out = graft.SparkEntry.queries("text_keyphrases")(spark, sf).collect()
+    assert(out.length == 20)
+    val stop = Set("the", "a", "an", "of", "to", "in", "and", "is", "it",
+      "that", "for", "on", "with", "as")
+    out.foreach { r =>
+      val words = r.getString(0).split(" ")
+      assert(words.nonEmpty && words.forall(w => !stop.contains(w)),
+        s"stopword leaked into phrase: $r")
+      assert(r.getLong(1) >= 1 && r.getDouble(2) > 0.0, s"bad stats: $r")
+      // A phrase's score is at least its length (deg/freq >= 1 per word).
+      assert(r.getDouble(2) >= words.length.toDouble - 1e-9,
+        s"score below phrase length: $r")
+    }
+  }
+
   test("CUSUM: closed form equals the clamped recurrence, never negative") {
     val out = graft.SparkEntry.queries("events_cusum")(spark, sf).collect()
     assert(out.nonEmpty)
