@@ -134,6 +134,33 @@ object CdcQueries {
           col("o_totalprice"), col("version"), col("valid_from_seq"),
           col("valid_to_seq"), col("is_current"))),
 
+    // Temporal (AS OF) join against the SCD2 dimension: every key
+    // probed at every batch instant joins to the version whose validity
+    // interval covers it — the "join each fact to the dimension row
+    // valid at fact time" warehouse idiom, generalizing the fixed-seq
+    // asOf to per-row instants. The key equi-join carries the shuffle;
+    // the interval predicate filters per pair (at scale: interval
+    // min/max file skipping via the stats index on the history table).
+    // A probe before the key existed, or at a batch where it was
+    // deleted, keeps the left row with NULL attributes.
+    "cdc_scd2_temporal_join" -> ((s, dir) => {
+      val hist = Scd2.history(target(s, dir), changes(s, dir),
+          Seq("o_orderkey"), Nil)
+        .select(col("o_orderkey").as("__hk"), col("o_orderstatus"),
+          col("o_totalprice"), col("version"),
+          col("valid_from_seq"), col("valid_to_seq"))
+      val probes = hist.select(col("__hk").as("o_orderkey")).distinct()
+        .select(col("o_orderkey"),
+          explode(expr("sequence(0L, 2L)")).as("probe_seq"))
+      probes.join(hist,
+          probes("o_orderkey") === hist("__hk") &&
+            col("valid_from_seq") <= col("probe_seq") &&
+            (col("valid_to_seq").isNull ||
+              col("valid_to_seq") > col("probe_seq")), "left")
+        .select(col("o_orderkey"), col("probe_seq"), col("version"),
+          col("o_orderstatus"), col("o_totalprice"))
+    }),
+
     // Time travel over the SCD2 history: table state as of the end of
     // batch 1 (before file 2's updates/deletes landed) — a pure interval
     // filter, no window, no join (see [[graft.cdc.Scd2.asOf]]).
@@ -243,6 +270,34 @@ object CdcQueries {
          |SELECT o_orderkey, "Op", o_orderstatus, o_totalprice, version,
          |       valid_from_seq, valid_to_seq, valid_to_seq IS NULL AS is_current
          |FROM versioned WHERE "Op" <> 'D'""".stripMargin,
+
+    "cdc_scd2_temporal_join" ->
+      s"""$fixtureSql,
+         | sequenced AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq) AS rownum
+         |  FROM changes
+         |), unioned AS (
+         |  SELECT * FROM sequenced
+         |  UNION ALL SELECT *, 1 AS rownum FROM target
+         |), versioned AS (
+         |  SELECT o_orderkey, "Op", o_orderstatus, o_totalprice,
+         |    row_number() OVER w AS version,
+         |    file_seq AS valid_from_seq,
+         |    lead(file_seq) OVER w AS valid_to_seq
+         |  FROM unioned
+         |  WINDOW w AS (PARTITION BY o_orderkey ORDER BY file_seq, rownum)
+         |), hist AS (
+         |  SELECT * FROM versioned WHERE "Op" <> 'D'
+         |), probes AS (
+         |  SELECT o_orderkey, unnest(range(0, 3))::BIGINT AS probe_seq
+         |  FROM (SELECT DISTINCT o_orderkey FROM hist)
+         |)
+         |SELECT p.o_orderkey, p.probe_seq, h.version,
+         |       h.o_orderstatus, h.o_totalprice
+         |FROM probes p LEFT JOIN hist h
+         |  ON p.o_orderkey = h.o_orderkey
+         | AND h.valid_from_seq <= p.probe_seq
+         | AND (h.valid_to_seq IS NULL OR h.valid_to_seq > p.probe_seq)""".stripMargin,
 
     "cdc_scd2_pruned" ->
       s"""$fixtureSql,

@@ -634,6 +634,62 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(dec(col("o_totalprice"), 2)).cast("double").as("total"))),
 
+    // String-function surface sweep: the everyday scalar kit pinned
+    // cross-engine in one scan (names differ — Spark instr ≡ DuckDB
+    // strpos — but 1-based semantics match; all per-row, no shuffle).
+    "rel_string_funcs" -> ((s, dir) =>
+      Tables(s, dir, "customer").where(col("c_custkey") < 100)
+        .select(col("c_custkey"),
+          length(col("c_name")).as("len"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_name")).as("lo"),
+          expr("substr(c_name, 3, 8)").as("sub"),
+          lpad(col("c_name"), 25, "*").as("lp"),
+          rpad(col("c_name"), 25, "*").as("rp"),
+          reverse(col("c_name")).as("rev"),
+          regexp_replace(col("c_name"), "0", "#").as("repl"),
+          expr("split_part(c_name, '#', 2)").as("sp"),
+          expr("instr(c_name, '#')").as("pos"),
+          expr("left(c_name, 4)").as("l4"),
+          expr("right(c_name, 4)").as("r4"),
+          expr("repeat('ab', 3)").as("rep"))),
+
+    // Datetime-function surface sweep: calendar arithmetic pinned
+    // cross-engine — ISO week numbers, end-of-month clamping in
+    // add_months, quarter truncation, day diffs against an epoch.
+    "rel_datetime_funcs" -> ((s, dir) =>
+      Tables(s, dir, "orders").where(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          quarter(col("o_orderdate")).as("q"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          last_day(col("o_orderdate")).as("eom"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"),
+          add_months(col("o_orderdate"), 1).as("next_month"),
+          date_trunc("quarter", col("o_orderdate")).cast("date")
+            .as("q_start"))),
+
+    // Signed integer division/modulo portability pin: `div` truncates
+    // toward zero and `%` follows the dividend's sign in BOTH engines
+    // (unlike Python's floor semantics); pmod's always-positive result
+    // mirrors as ((a % b) + b) % b. The arithmetic every partitioner
+    // and bucketing scheme depends on.
+    "rel_arith_semantics" -> ((s, dir) =>
+      Tables(s, dir, "lineitem").where(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .distinct()
+        .withColumn("a", col("l_orderkey") - 1000L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("a"),
+          expr("a div 7").as("tdiv"),
+          (col("a") % 7).as("tmod"),
+          pmod(col("a"), lit(7)).as("pm"),
+          abs(col("a")).as("ab"),
+          signum(col("a")).cast("long").as("sgn"),
+          greatest(col("a"), lit(0L)).as("gr"),
+          least(col("a"), lit(0L)).as("ls"))),
+
     // Pairwise association rules over order baskets (the frequent-
     // itemset / market-basket classic, pair level): co-occurrence
     // counts from one basket self-join on the order key (pair fan-out
@@ -1470,6 +1526,52 @@ object RelationalQueries {
         |       count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "rel_string_funcs" ->
+      """SELECT c_custkey,
+        |  length(c_name)::INT AS len,
+        |  upper(c_name) AS up,
+        |  lower(c_name) AS lo,
+        |  substr(c_name, 3, 8) AS sub,
+        |  lpad(c_name, 25, '*') AS lp,
+        |  rpad(c_name, 25, '*') AS rp,
+        |  reverse(c_name) AS rev,
+        |  replace(c_name, '0', '#') AS repl,
+        |  split_part(c_name, '#', 2) AS sp,
+        |  strpos(c_name, '#')::BIGINT AS pos,
+        |  left(c_name, 4) AS l4,
+        |  right(c_name, 4) AS r4,
+        |  repeat('ab', 3) AS rep
+        |FROM customer WHERE c_custkey < 100""".stripMargin,
+
+    "rel_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate)::INT AS y,
+        |  month(o_orderdate)::INT AS m,
+        |  quarter(o_orderdate)::INT AS q,
+        |  dayofyear(o_orderdate)::INT AS doy,
+        |  weekofyear(o_orderdate)::INT AS iso_week,
+        |  last_day(o_orderdate::DATE) AS eom,
+        |  datediff('day', DATE '1995-01-01', o_orderdate::DATE)::INT
+        |    AS days_since,
+        |  (o_orderdate + INTERVAL 1 MONTH)::DATE AS next_month,
+        |  date_trunc('quarter', o_orderdate)::DATE AS q_start
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin,
+
+    "rel_arith_semantics" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+        |  WHERE l_orderkey < 2000),
+        |a AS (SELECT l_orderkey, l_linenumber, l_orderkey - 1000 AS a FROM d)
+        |SELECT l_orderkey, l_linenumber, a,
+        |  (a // 7)::BIGINT AS tdiv,
+        |  (a % 7)::BIGINT AS tmod,
+        |  (((a % 7) + 7) % 7)::BIGINT AS pm,
+        |  abs(a)::BIGINT AS ab,
+        |  sign(a)::BIGINT AS sgn,
+        |  greatest(a, 0)::BIGINT AS gr,
+        |  least(a, 0)::BIGINT AS ls
+        |FROM a""".stripMargin,
 
     "rel_basket_rules" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

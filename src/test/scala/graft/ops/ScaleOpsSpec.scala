@@ -602,6 +602,24 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("SCD2 temporal join: at most one version per instant, equi-join plan") {
+    val out = graft.SparkEntry.queries("cdc_scd2_temporal_join")(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join must ride the key equi-join:\n$plan")
+    val rows = out.collect()
+    val byProbe = rows.groupBy(r => (r.getLong(0), r.getLong(1)))
+    byProbe.foreach { case (k, vs) =>
+      assert(vs.length == 1, s"more than one version valid at $k")
+    }
+    // Probes at the last batch must agree with the merged current state:
+    // every non-deleted key has exactly one version there.
+    val lastProbe = rows.filter(_.getLong(1) == 2L)
+    assert(lastProbe.nonEmpty)
+    assert(lastProbe.exists(!_.isNullAt(2)), "no current versions at seq 2")
+  }
+
   test("basket rules: probabilities in range, lift consistent with support") {
     val out = graft.SparkEntry.queries("rel_basket_rules")(spark, sf).collect()
     out.foreach { r =>
