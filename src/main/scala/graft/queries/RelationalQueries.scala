@@ -634,6 +634,20 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(dec(col("o_totalprice"), 2)).cast("double").as("total"))),
 
+    // 2-D skyline (Pareto frontier): orders no other order beats on
+    // BOTH price (lower-or-equal) and recency (newer-or-equal, strictly
+    // better on one) — the multi-criteria shortlist operator
+    // (Börzsönyi et al. 2001). Distributed sort-filter: per-price
+    // candidate reduction, two-phase sliced running max (no single-task
+    // corpus window — the only global window runs over #slices rows),
+    // broadcast join back. Dates compare as exact micros.
+    "rel_skyline" -> ((s, dir) =>
+      graft.ops.Skyline.skyline2d(
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("odate_us")),
+        "o_totalprice", "odate_us")),
+
     // String-function surface sweep: the everyday scalar kit pinned
     // cross-engine in one scan (names differ — Spark instr ≡ DuckDB
     // strpos — but 1-based semantics match; all per-row, no shuffle).
@@ -1526,6 +1540,19 @@ object RelationalQueries {
         |       count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "rel_skyline" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice, epoch_us(o_orderdate) AS odate_us
+        |  FROM orders),
+        |pp AS (SELECT o_totalprice AS p, max(odate_us) AS d FROM o GROUP BY 1),
+        |r AS (
+        |  SELECT *, max(d) OVER (ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM pp),
+        |sk AS (SELECT p, d FROM r WHERE pm IS NULL OR d > pm)
+        |SELECT o.o_orderkey, o.o_totalprice, o.odate_us
+        |FROM o JOIN sk ON o.o_totalprice = sk.p AND o.odate_us = sk.d""".stripMargin,
 
     "rel_string_funcs" ->
       """SELECT c_custkey,

@@ -602,6 +602,24 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("skyline equals the brute-force non-dominated set; no global data window") {
+    val out = graft.SparkEntry.queries("rel_skyline")(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"expected the sliced running max in:\n$plan")
+    val sky = out.collect().map(_.getLong(0)).toSet
+    val all = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_totalprice",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS d")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val brute = all.filter { case (_, pm, xm) =>
+      !all.exists { case (_, pb, xb) =>
+        graft.ops.Skyline.dominates(pb, xb, pm, xm) }
+    }.map(_._1).toSet
+    assert(sky == brute,
+      s"frontier mismatch: extra=${sky -- brute} missing=${brute -- sky}")
+  }
+
   test("SCD2 temporal join: at most one version per instant, equi-join plan") {
     val out = graft.SparkEntry.queries("cdc_scd2_temporal_join")(spark, sf)
     val plan = out.queryExecution.executedPlan.toString
