@@ -157,6 +157,51 @@ object SimilarityQueries {
       Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
         k = 3, bits = 6, maxBucketSize = 1000)),
 
+    // Rocchio pseudo-relevance feedback (α = β = 1/2): take each
+    // query's brute top-5 as the feedback set, expand the query vector
+    // to 0.5·q + 0.5·mean(top-5), re-search — the classic IR feedback
+    // loop that pulls the query toward the relevant region. The mean
+    // folds per dimension in rank order (deterministic IEEE), the
+    // expanded-query cosine uses the aggregate/zip_with double
+    // formulation (bit-equal to the native float expr's fold, but over
+    // the double-valued expanded vector). Feedback work is k×dim per
+    // query; the re-search is one corpus pass per query batch.
+    "sim_rocchio" -> ((s, dir) => {
+      val embD = emb(s, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ve"))
+      val truth = Similarity.bruteForceKnn(emb(s, dir), queriesDf(s, dir),
+        "vec_id", "embedding", "qid", k = 5)
+      val fb = truth.select("qid", "vec_id", "rank")
+        .join(embD, "vec_id")
+        .select(col("qid"), col("rank"),
+          posexplode(col("ve")).as(Seq("dim", "v")))
+      val mean = fb.groupBy("qid", "dim")
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("rank"), col("v").as("v")))),
+          lit(0.0), (a, s2) => a + s2.getField("v")).as("__s"))
+        .withColumn("mv", col("__s") / lit(5.0))
+      val qe = queriesDf(s, dir).select(col("qid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+      val qexp = mean.join(qe, "qid")
+        .withColumn("qc", lit(0.5) * expr("qv[dim]") + lit(0.5) * col("mv"))
+        .groupBy("qid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, qc))), x -> x.qc)")
+          .as("qv2"))
+      def dotD(a: String, b: String) =
+        s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+      val cosD = s"CASE WHEN sqrt(${dotD("qv2", "qv2")}) * sqrt(${dotD("ve", "ve")}) = 0.0D " +
+        s"THEN 0.0D ELSE ${dotD("qv2", "ve")} / " +
+        s"(sqrt(${dotD("qv2", "qv2")}) * sqrt(${dotD("ve", "ve")})) END"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      embD.crossJoin(broadcast(qexp))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr(cosD))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select("qid", "vec_id", "cos", "rank")
+    }),
+
     // MMR diversity re-rank at λ = 1/2: brute top-20 per query as the
     // candidate list, greedy pick-5 trading relevance against max
     // similarity to the already-picked — the anti-redundancy re-rank
@@ -236,6 +281,37 @@ object SimilarityQueries {
       Similarity.mutualKnn(
         Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
           k = 3, bits = 6, maxBucketSize = 1000))),
+
+    // Newman modularity over the mutual-backbone components: per
+    // community Q_c = e_in/m − (Σdeg)²/(4m²) — the "are these clusters
+    // denser than chance" score that validates a graph-dedup /
+    // community split before acting on it. Components make between-
+    // community edges zero, so Q reduces to the degree-balance term —
+    // exact LONG counts everywhere, two mirrored divisions per row.
+    "sim_modularity" -> ((s, dir) => {
+      val mut = Similarity.mutualKnn(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000))
+      val eg = mut.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+        .localCheckpoint(true)
+      val m = eg.agg(count(lit(1)).as("__m"))
+      val deg = eg.select(col("a").as("n"))
+        .unionByName(eg.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("__d"))
+      val lab = graft.ops.Dedup.resolveClusters(eg, "a", "b")
+        .select(col("id").as("n"), col("cluster"))
+      val cstat = lab.join(deg, "n").groupBy("cluster")
+        .agg(count(lit(1)).as("n_nodes"), sum("__d").as("d_sum"))
+      val ein = eg.join(lab.select(col("n").as("a"), col("cluster")), "a")
+        .groupBy("cluster").agg(count(lit(1)).as("e_in"))
+      cstat.join(ein, "cluster").crossJoin(broadcast(m))
+        .select(col("cluster"), col("n_nodes"), col("e_in"), col("d_sum"),
+          (col("e_in").cast("double") / col("__m").cast("double") -
+            (col("d_sum") * col("d_sum")).cast("double") /
+              (lit(4L) * col("__m") * col("__m")).cast("double"))
+            .as("q_contrib"))
+    }),
 
     // Triangle enumeration over the mutual backbone: each id_a<id_b<id_c
     // clique listed once (wedge join + closing semi-join, O(N·k²) on the
@@ -863,6 +939,39 @@ object SimilarityQueries {
          |SELECT src, dst, cos, CAST(rank AS BIGINT) AS rank
          |FROM topk""".stripMargin,
 
+    // Rocchio mirror: brute top-5 feedback, per-dim rank-order mean
+    // fold, expanded query list, corpus re-scan with the same cosine.
+    "sim_rocchio" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |t_scored AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("qv", "embedding")} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |truth AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM t_scored QUALIFY rank <= 5),
+         |fb AS (
+         |  SELECT t.qid, t.rank, unnest(range(len(e.embedding))) AS dim,
+         |         unnest(list_transform(e.embedding, x -> x::DOUBLE)) AS v
+         |  FROM truth t JOIN embeddings e USING (vec_id)),
+         |mean AS (
+         |  SELECT qid, dim,
+         |    list_reduce(list_prepend(0.0, list(v ORDER BY rank)),
+         |      (a, x) -> a + x) / 5.0 AS mv
+         |  FROM fb GROUP BY 1, 2),
+         |qrows AS (
+         |  SELECT m.qid, m.dim,
+         |         0.5 * (q.qv[(m.dim + 1)::INT]::DOUBLE) + 0.5 * m.mv AS qc
+         |  FROM mean m JOIN q ON m.qid = q.qid),
+         |qexp AS (SELECT qid, list(qc ORDER BY dim) AS qv2 FROM qrows GROUP BY 1),
+         |resc AS (
+         |  SELECT x.qid, e.vec_id, ${cosSql("qv2", "embedding")} AS cos
+         |  FROM embeddings e, qexp x WHERE e.vec_id <> x.qid)
+         |SELECT qid, vec_id, cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM resc)
+         |WHERE rank <= 5""".stripMargin,
+
     // MMR mirror: brute top-20 candidates, pairwise sims within each
     // candidate list, then k-1 generated greedy rounds (rem -> score ->
     // argmax -> fold into sel) — same unrolled-round technique as the
@@ -978,7 +1087,38 @@ object SimilarityQueries {
          |FROM topk t
          |WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)""".stripMargin,
 
-    // Triangle mirror: mutual backbone → canonical src<dst edges →
+    // Modularity mirror: mutual canonical edges → recursive components
+    // → per-community degree/edge stats, same two divisions.
+    "sim_modularity" ->
+      s"""WITH RECURSIVE $knnGraphCtes,
+         |mut AS (
+         |  SELECT t.src, t.dst FROM topk t
+         |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
+         |eg AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM mut),
+         |mm AS (SELECT count(*) AS m FROM eg),
+         |deg AS (
+         |  SELECT n, count(*) AS d FROM (
+         |    SELECT a AS n FROM eg UNION ALL SELECT b FROM eg) GROUP BY 1),
+         |ed AS (SELECT a AS src, b AS dst FROM eg UNION SELECT b, a FROM eg),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM ed
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN ed e ON r.dst = e.src),
+         |lab AS (SELECT src AS n, least(src, min(dst)) AS cluster
+         |        FROM reach GROUP BY src),
+         |cstat AS (
+         |  SELECT l.cluster, count(*) AS n_nodes, sum(deg.d)::BIGINT AS d_sum
+         |  FROM lab l JOIN deg ON l.n = deg.n GROUP BY 1),
+         |ein AS (
+         |  SELECT l.cluster, count(*) AS e_in
+         |  FROM eg JOIN lab l ON eg.a = l.n GROUP BY 1)
+         |SELECT c.cluster, n_nodes, e_in, d_sum,
+         |  e_in::DOUBLE / m::DOUBLE
+         |    - (d_sum * d_sum)::DOUBLE / (4 * m * m)::DOUBLE AS q_contrib
+         |FROM cstat c JOIN ein USING (cluster), mm""".stripMargin,
+
+    // Triangle mirror: mutual backbone → canonical src<dst edges ->
     // wedge join through the middle node → closing-edge semi-join.
     "sim_triangles" ->
       s"""WITH $knnGraphCtes,

@@ -602,6 +602,35 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("modularity: component edges and degrees reconcile, Q bounded") {
+    val out = graft.SparkEntry.queries("sim_modularity")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // Components absorb every edge: Σ e_in = m and Σ d = 2m.
+    val eSum = out.map(_.getLong(2)).sum
+    val dSum = out.map(_.getLong(3)).sum
+    assert(dSum == 2 * eSum, s"sum of degrees must be twice the edges")
+    val q = out.map(_.getDouble(4)).sum
+    assert(q > -1.0 - 1e-9 && q <= 1.0 + 1e-9, s"total modularity $q out of range")
+    out.foreach { r =>
+      assert(r.getLong(1) >= 2, s"a component with edges has >= 2 nodes: $r")
+      assert(r.getLong(2) >= 1, s"component without edges surfaced: $r")
+    }
+  }
+
+  test("Rocchio: expanded query still excludes itself and ranks 5 per query") {
+    val out = graft.SparkEntry.queries("sim_rocchio")(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 5L),
+        s"ranks not 1..5 for $qid")
+      assert(!rows.exists(_.getLong(1) == qid),
+        s"query $qid retrieved itself after expansion")
+      rows.foreach(r => assert(r.getDouble(2) >= -1.0 - 1e-9 &&
+        r.getDouble(2) <= 1.0 + 1e-9, s"cosine out of range: $r"))
+    }
+  }
+
   test("skyline equals the brute-force non-dominated set; no global data window") {
     val out = graft.SparkEntry.queries("rel_skyline")(spark, sf)
     val plan = out.queryExecution.executedPlan.toString
