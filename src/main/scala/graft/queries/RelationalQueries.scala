@@ -634,6 +634,29 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(dec(col("o_totalprice"), 2)).cast("double").as("total"))),
 
+    // IGNORE NULLS window semantics pin — the LOCF / last-known-value
+    // family every gap-tolerant time series needs: last_value and
+    // first_value skipping nulls over a running frame, and
+    // null-skipping lag. Heavy lines (quantity >= 25) carry a price,
+    // the rest are the nulls being carried over; one (orderkey)
+    // exchange shared by all three windows.
+    "rel_window_ignore_nulls" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .where(col("l_orderkey") < 3000)
+        .withColumn("pv",
+          when(col("l_quantity") >= 25, col("l_extendedprice")))
+        .createOrReplaceTempView("__win_li")
+      s.sql(
+        """SELECT l_orderkey, l_linenumber, pv,
+          |  last(pv, true) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+          |  first(pv, true) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nn,
+          |  lag(pv) IGNORE NULLS OVER (PARTITION BY l_orderkey
+          |    ORDER BY l_linenumber) AS prev_nn
+          |FROM __win_li""".stripMargin)
+    }),
+
     // 2-D skyline (Pareto frontier): orders no other order beats on
     // BOTH price (lower-or-equal) and recency (newer-or-equal, strictly
     // better on one) — the multi-criteria shortlist operator
@@ -1540,6 +1563,22 @@ object RelationalQueries {
         |       count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "rel_window_ignore_nulls" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_quantity >= 25 THEN l_extendedprice END AS pv
+        |  FROM lineitem WHERE l_orderkey < 3000)
+        |SELECT l_orderkey, l_linenumber, pv,
+        |  last_value(pv IGNORE NULLS) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+        |  first_value(pv IGNORE NULLS) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nn,
+        |  lag(pv IGNORE NULLS) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber) AS prev_nn
+        |FROM li""".stripMargin,
 
     "rel_skyline" ->
       """WITH o AS (
