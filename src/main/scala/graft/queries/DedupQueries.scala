@@ -116,6 +116,27 @@ object DedupQueries {
     // scale path (LSH recall stage → exact verify stage) — candidate count
     // is Σ bucket², never n², so the verify stage is shuffle-join linear
     // in candidates.
+    // Similarity histogram over the LSH candidate pairs: exact Jaccard
+    // binned to tenths plus the cumulative pairs-at-or-above count —
+    // the tuning curve that picks a dedup threshold from DATA instead
+    // of folklore (how many pairs does 0.8 vs 0.6 actually merge?).
+    // Candidate-sized work; the cumulative window runs over 10 rows.
+    "dedup_sim_histogram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text",
+        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val j = Dedup.ngramJaccard(d, pairs, "doc_id", "text", shingleWords = 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bin").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      j.withColumn("bin",
+          least(floor(col("jaccard") * 10).cast("long"), lit(9L)))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
       // Materialize the candidate list once: it feeds three plan branches
@@ -596,6 +617,25 @@ object DedupQueries {
          |FROM lshcand c
          |JOIN ng a ON c.id_a = a.doc_id
          |JOIN ng b ON c.id_b = b.doc_id""".stripMargin,
+
+    "dedup_sim_histogram" ->
+      s"""WITH $lshCandCtes,
+         |sets AS (SELECT doc_id,
+         |  list_distinct(list_transform(shingles, x -> ${h60("x")})) AS s FROM shg),
+         |jp AS (
+         |  SELECT c.id_a, c.id_b, ${jaccardSql("a.s", "b.s")} AS jaccard
+         |  FROM lshcand c
+         |  JOIN sets a ON c.id_a = a.doc_id
+         |  JOIN sets b ON c.id_b = b.doc_id),
+         |binned AS (
+         |  SELECT least(floor(jaccard * 10)::BIGINT, 9) AS bin,
+         |         count(*) AS n_pairs
+         |  FROM jp GROUP BY 1)
+         |SELECT bin, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_at_or_above
+         |FROM binned""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $lshCandCtes,

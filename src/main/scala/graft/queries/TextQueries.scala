@@ -352,6 +352,31 @@ object TextQueries {
     "text_span_dup_rate" -> ((s, dir) =>
       TextAnalysis.spanDupRate(docs(s, dir), "doc_id", "text", n = 3)),
 
+    // Power-of-two length-bucketed batching stats: each doc lands in
+    // the smallest 2^k >= its token count (log-free via the binary-
+    // string length of n-1 — the dynamic-batching bucket layout), and
+    // each bucket reports its padding waste and packing efficiency —
+    // the numbers that decide the bucket boundaries of a training
+    // dataloader. One tokenize pass, one partial agg; two mirrored
+    // divisions.
+    "text_length_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n"))
+        .withColumn("cap",
+          when(col("n") <= 1L, 1L)
+            .otherwise(expr("shiftleft(1L, length(bin(n - 1)))").cast("long")))
+        .groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          sum(col("cap") - col("n")).as("padding_waste"))
+        .withColumn("efficiency",
+          col("total_tokens").cast("double") /
+            (col("n_docs") * col("cap")).cast("double"))
+    }),
+
     // RAKE keyphrase extraction: stopword-delimited candidate phrases
     // scored by the deg/freq word statistic, corpus top-20.
     "text_keyphrases" -> ((s, dir) =>
@@ -1128,6 +1153,19 @@ object TextQueries {
          |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS dup_rate
          |FROM gh JOIN c USING (h)
          |GROUP BY doc_id""".stripMargin,
+
+    "text_length_buckets" ->
+      s"""WITH t AS (SELECT doc_id, len($toksSql)::BIGINT AS n FROM documents),
+         |c AS (
+         |  SELECT doc_id, n,
+         |    CASE WHEN n <= 1 THEN 1
+         |         ELSE (1::BIGINT << length(bin(n - 1))::INT) END AS cap
+         |  FROM t)
+         |SELECT cap, count(*) AS n_docs,
+         |  sum(n)::BIGINT AS total_tokens,
+         |  CAST(sum(cap - n) AS BIGINT) AS padding_waste,
+         |  sum(n)::DOUBLE / (count(*) * cap)::DOUBLE AS efficiency
+         |FROM c GROUP BY cap""".stripMargin,
 
     // RAKE mirror: token positions -> stopword break counter -> phrase
     // runs (list ORDER BY pos), deg/freq word stats, per-phrase ordered

@@ -602,6 +602,33 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("similarity histogram: cumulative counts reconcile with the bins") {
+    val out = graft.SparkEntry.queries("dedup_sim_histogram")(spark, sf)
+      .collect().sortBy(-_.getLong(0))
+    assert(out.nonEmpty)
+    var cum = 0L
+    out.foreach { r =>
+      cum += r.getLong(1)
+      assert(r.getLong(2) == cum, s"cumulative mismatch at $r: expected $cum")
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 9, s"bin out of range: $r")
+    }
+  }
+
+  test("length buckets: caps are powers of two and tight") {
+    val out = graft.SparkEntry.queries("text_length_buckets")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val cap = r.getLong(0)
+      assert((cap & (cap - 1)) == 0L && cap >= 1L, s"cap not a power of two: $r")
+      val (nd, tot, waste) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(waste == nd * cap - tot, s"waste arithmetic broken: $r")
+      assert(tot > nd * cap / 2 || cap == 1L,
+        s"cap not tight — every doc fits the next bucket down: $r")
+      val eff = r.getDouble(4)
+      assert(eff > 0.0 && eff <= 1.0, s"efficiency out of range: $r")
+    }
+  }
+
   test("modularity: component edges and degrees reconcile, Q bounded") {
     val out = graft.SparkEntry.queries("sim_modularity")(spark, sf).collect()
     assert(out.nonEmpty)
