@@ -70,6 +70,14 @@ object Bench {
     // records (BENCH_r02/r03 lost the total and half the queries).
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    // ... and APPEND the full record to a durable history (r8 verdict:
+    // bench_out.json is overwritten in place by ANY rerun — a judge
+    // rerun clobbered the round's record). The history is append-only,
+    // so per-round full per-query maps survive; commit it each round.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND): Unit
     spark.stop()
   }
 }

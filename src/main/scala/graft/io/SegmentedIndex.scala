@@ -89,9 +89,20 @@ object SegmentedIndex {
     physName(table, currentGen(spark, table))
 
   /** Drop the generation pointer — every fresh (overwrite) build calls
-    * this first so the rebuilt index resolves to the plain names. */
-  def resetGen(spark: SparkSession, table: String): Unit =
+    * this first so the rebuilt index resolves to the plain names. Also
+    * best-effort drops every `<table>__g<N>`-prefixed physical table
+    * (data + sidecars of ALL generations, even ones a crashed cleanup
+    * orphaned above the pointer): a fresh build over a previously
+    * compacted index would otherwise strand generations ≥ 1 forever —
+    * resolve() never returns them once the pointer is gone, so they are
+    * pure disk leak. Swept BEFORE the pointer drop so a crash mid-sweep
+    * still leaves probes on the complete old generation. */
+  def resetGen(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"SHOW TABLES LIKE '${table}__g*'").collect()
+      .foreach(r => spark.sql(
+        s"DROP TABLE IF EXISTS ${r.getAs[String]("tableName")}"))
     spark.sql(s"DROP TABLE IF EXISTS ${genPointerTable(table)}")
+  }
 
   private def commitGen(spark: SparkSession, table: String, gen: Long): Unit = {
     import spark.implicits._

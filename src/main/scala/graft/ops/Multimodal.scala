@@ -221,7 +221,9 @@ object Multimodal {
 
   /** Deterministic REAL-header payloads (id-derived dimensions — the
     * single fixture formula the mm_decode_meta oracle mirrors):
-    * id ≡ 0 (mod 3) → PNG, ≡ 1 → JPEG, ≡ 2 → WAV. */
+    * id ≡ 0 (mod 4) → PNG, ≡ 1 → JPEG, ≡ 2 → WAV (whose channel /
+    * sample-rate fields derive from id/4 so they keep varying within
+    * the residue class), ≡ 3 → MP4 (ISO-BMFF mvhd+tkhd). */
   private[ops] def buildHeaderPayload(id: Long, body: Array[Byte]): Array[Byte] =
     (id % 4) match {
       case 0 =>

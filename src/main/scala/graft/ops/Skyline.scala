@@ -30,7 +30,36 @@ import org.apache.spark.sql.functions._
   */
 object Skyline {
 
-  def skyline2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+  def skyline2d(df: DataFrame, minCol: String, maxCol: String,
+                maxBroadcastFrontier: Long = 1L << 20): DataFrame = {
+    val (frontierLazy, sliced) = frontierPlan(df, minCol, maxCol)
+    // Materialize the frontier ONCE (eager checkpoint: the size gate
+    // and the join-back both read it), then release the candidate cache
+    // — persist() without this was a CacheManager leak for long-lived
+    // library sessions (r8 advice).
+    val frontier = frontierLazy.localCheckpoint(true)
+    sliced.unpersist(false)
+    // Frontier size is DATA-DEPENDENT: correlated axes → a handful of
+    // rows; anti-correlated axes → ~every distinct minCol value. A
+    // forced broadcast hint is not demotable by AQE, so at 100 TB an
+    // adversarial frontier would OOM the driver (r8 verdict). Count the
+    // (already materialized) frontier and only hint broadcast below the
+    // gate — above it the join-back runs as a regular shuffle join on
+    // the (min, max) pair.
+    val joinBack =
+      if (frontier.count() <= maxBroadcastFrontier) broadcast(frontier)
+      else frontier
+    df.join(joinBack,
+        col(minCol) === col("__fm") && col(maxCol) === col("__d"))
+      .select(df.columns.map(col): _*)
+  }
+
+  /** The lazy frontier plan: (frontier (__fm, __d), the persisted sliced
+    * candidate frame backing it — unpersist after materializing the
+    * frontier). Exposed for plan assertions (the checkpoint in
+    * [[skyline2d]] truncates the executed plan at the frontier). */
+  private[ops] def frontierPlan(df: DataFrame, minCol: String,
+                                maxCol: String): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val slices = spark.sessionState.conf.numShufflePartitions
     val cand = df.groupBy(col(minCol)).agg(max(col(maxCol)).as("__d"))
@@ -50,9 +79,7 @@ object Skyline {
       .withColumn("__prevmax", greatest(col("__off"), col("__lmax")))
       .where(col("__prevmax").isNull || col("__d") > col("__prevmax"))
       .select(col(minCol).as("__fm"), col("__d"))
-    df.join(broadcast(frontier),
-        col(minCol) === col("__fm") && col(maxCol) === col("__d"))
-      .select(df.columns.map(col): _*)
+    (frontier, sliced)
   }
 
   /** Domination test for specs: does `a` dominate `b` under (minimize

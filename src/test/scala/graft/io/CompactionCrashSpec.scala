@@ -102,6 +102,27 @@ class CompactionCrashSpec extends SparkSpec {
     dropAllGens(t)
   }
 
+  test("fresh rebuild over a compacted index sweeps the stranded generation tables") {
+    val t = "crash_bm25_reset"
+    Retrieval.writeBm25Index(base, "doc_id", "text", t, buckets = 4)
+    Retrieval.updateBm25Index(spark, changes, "doc_id", "text", "op", t, 4, "b1")
+    Retrieval.compactBm25Index(spark, t, buckets = 4)
+    assert(SegmentedIndex.currentGen(spark, t) == 1L)
+    val g1 = SegmentedIndex.physName(t, 1L)
+    assert(spark.catalog.tableExists(g1))
+    // A fresh (overwrite) rebuild resolves back to the plain names AND
+    // sweeps every generation-suffixed physical table — resolve() never
+    // returns them once the pointer drops, so without the sweep they
+    // were a permanent disk leak (r8 advice).
+    Retrieval.writeBm25Index(base, "doc_id", "text", t, buckets = 4)
+    assert(SegmentedIndex.currentGen(spark, t) == 0L)
+    Seq(g1, g1 + "_docs", SegmentedIndex.ledgerTable(g1),
+        SegmentedIndex.tombstoneTable(g1))
+      .foreach(x => assert(!spark.catalog.tableExists(x), s"stranded: $x"))
+    assert(probe(t).nonEmpty)
+    dropAllGens(t)
+  }
+
   test("lsh compaction: crash before the commit leaves candidates unchanged") {
     val docs = (0L until 60L).map(i =>
       (i, s"tok${i % 7} alpha beta gamma delta tok${i % 5} epsilon zeta " +

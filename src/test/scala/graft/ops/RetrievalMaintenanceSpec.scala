@@ -157,8 +157,10 @@ class RetrievalMaintenanceSpec extends SparkSpec {
     val SI = graft.io.SegmentedIndex
     assert(SI.tombstones(spark, t).count() == 0)
     assert(SI.ledger(spark, t).count() == 1)
-    // the re-baselined n_docs follows the ledger-minus-tombstones
-    // arithmetic: all 5 merged docs, INCLUDING any with <2 tokens
+    // the re-baselined n_docs recounts live ids from the surviving
+    // bigram rows — docs holding >= 1 bigram (writePhraseIndex's
+    // membership rule: single-token docs are not index members). All 5
+    // merged fixture docs have >= 2 tokens, so all 5 count here.
     assert(SI.ledger(spark, t).select("n_docs").head().getLong(0) == 5L)
     assert(spark.table(SI.resolve(spark, t)).where(col("__seg") =!= 0L).count() == 0)
     assert(probeP() == recompute(merged))

@@ -660,7 +660,15 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("skyline equals the brute-force non-dominated set; no global data window") {
     val out = graft.SparkEntry.queries("rel_skyline")(spark, sf)
-    val plan = out.queryExecution.executedPlan.toString
+    // The executed plan of `out` truncates at the frontier checkpoint;
+    // assert the sliced-running-max shape on the lazy frontier plan.
+    val (frontier, sliced) = Skyline.frontierPlan(
+      spark.read.parquet(s"$sf/orders.parquet")
+        .selectExpr("o_orderkey", "o_totalprice",
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS d"),
+      "o_totalprice", "d")
+    val plan = frontier.queryExecution.executedPlan.toString
+    sliced.unpersist(false)
     assert(plan.contains("Exchange rangepartitioning"),
       s"expected the sliced running max in:\n$plan")
     val sky = out.collect().map(_.getLong(0)).toSet
@@ -674,6 +682,32 @@ class ScaleOpsSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(sky == brute,
       s"frontier mismatch: extra=${sky -- brute} missing=${brute -- sky}")
+  }
+
+  test("skyline frontier broadcast is size-gated (anti-correlated data demotes to shuffle join)") {
+    // Anti-correlated axes: y = x under (minimize x, maximize y) puts
+    // EVERY distinct x on the frontier — the adversarial case where a
+    // forced broadcast of the frontier would grow with the data. Turn
+    // auto-broadcast off so the plan shows only what the HINT forces
+    // (at real scale a big frontier exceeds the auto threshold anyway —
+    // the gate exists to not FORCE broadcast past AQE).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val anti = spark.range(200)
+        .selectExpr("id AS k", "CAST(id AS DOUBLE) AS x", "id AS y")
+      val gated = Skyline.skyline2d(anti, "x", "y", maxBroadcastFrontier = 8L)
+      val gatedPlan = gated.queryExecution.executedPlan.toString
+      assert(!gatedPlan.contains("BroadcastHashJoin"),
+        s"frontier above the gate must not broadcast:\n$gatedPlan")
+      assert(gated.count() == 200L)
+      // Below the gate (tiny frontier) the broadcast hint stays.
+      val corr = spark.range(200)
+        .selectExpr("id AS k", "CAST(id AS DOUBLE) AS x", "-id AS y")
+      val fast = Skyline.skyline2d(corr, "x", "y")
+      assert(fast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(fast.count() == 1L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("SCD2 temporal join: at most one version per instant, equi-join plan") {
