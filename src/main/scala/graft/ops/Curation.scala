@@ -204,6 +204,30 @@ object Curation {
       .where(col(qualityCol) >= col("q_cutoff"))
   }
 
+  /** [[qualityFloorByCutoff]] with the cutoff derived from the
+    * MERGEABLE quantile sketch ([[Sketches.quantileSketch]]) instead of
+    * a per-pass `percentile_approx`: the cutoff is the sketch sample's
+    * value at rank ⌈num·n/den⌉ (discrete, an element of the data — same
+    * kept-set semantics). The point of the variant is MAINTAINABILITY:
+    * percentile_approx state must be rebuilt per corpus pass, while the
+    * bottom-k sample is the per-segment summary a profiling sidecar
+    * already keeps and MERGES (exact merge law) — so the floor's cutoff
+    * can come from folded per-segment sketches without rescanning
+    * history. `dropNum/dropDen` is the drop fraction as an exact
+    * rational. Output: scored columns + `q_cutoff`. */
+  def qualityFloorBySketch(scored: DataFrame, domainCol: String, idCol: String,
+                           qualityCol: String, dropNum: Int, dropDen: Int,
+                           k: Int = 256): DataFrame = {
+    val cutoffs = Sketches.quantileEstimate(
+        Sketches.quantileSketch(
+          scored.select(col(domainCol), col(idCol), col(qualityCol).as("v")),
+          Seq(domainCol), idCol, "v", k),
+        Seq(domainCol), Seq((dropNum, dropDen)))
+      .select(col(domainCol), col("q_value").as("q_cutoff"))
+    scored.join(broadcast(cutoffs), Seq(domainCol))
+      .where(col(qualityCol) >= col("q_cutoff"))
+  }
+
   /** Per-domain robust length outliers via median/MAD (median absolute
     * deviation): flag documents whose token count deviates from their
     * domain's median by more than `k` MADs — the robust alternative to a

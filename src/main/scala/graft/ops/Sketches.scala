@@ -256,6 +256,112 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
   }
 
+  /** Mergeable quantile sketch: a DETERMINISTIC bottom-k row sample —
+    * the k rows whose [[hash60]] of the row's unique id is smallest per
+    * group, carrying their values. The profiling-sidecar quantile
+    * summary completing the HLL/CMS/KMV family: per-shard sketches
+    * merge by re-taking the bottom-k of the union ([[quantileMerge]])
+    * into EXACTLY the single-pass sketch (any member of the union's
+    * true bottom-k is in its own part's bottom-k), so a 100 TB corpus's
+    * per-segment quantile state folds into whole-corpus quantiles
+    * without rescans — the same ledger-sidecar story as the other three
+    * sketches.
+    *
+    * Why not KLL/MRL compactors (Karnin et al. 2016; Manku et al.
+    * 1998): their buffer compaction is RANDOMIZED (or buffer-boundary-
+    * dependent), so the sketch is not a pure function of the input
+    * multiset — no exact merge law to oracle-check and no cross-engine
+    * mirror. Hash-ordered sampling (bottom-k sampling, Cohen & Kaplan
+    * 2007) keeps the identical bounded-state mergeable contract and IS
+    * a pure function of the multiset: the "random" sample is re-derived
+    * bit-identically by any engine from md5. The trade is rank error
+    * O(1/√k) (uniform-sample quantile error) versus KLL's O(1/k) — at
+    * k = 256 that is ~±4% rank error, the data-quality-dashboard
+    * regime; groups with ≤ k rows are EXACT (the sample is the group).
+    *
+    * `idCol` must uniquely identify rows (it is what gets hashed —
+    * duplicate ids would correlate the sample). Values ride along
+    * untouched; ordering ties on equal hashes break by value, so the
+    * sketch is deterministic even under (astronomically unlikely)
+    * 60-bit collisions.
+    *
+    * Plan shape: one projection, then bottom-k in TWO window phases so
+    * no single partition ever holds a group's full row set: per
+    * (group, h mod 64) spread-bucket bottom-k, then bottom-k of the
+    * ≤ 64·k survivors (same shape as [[kmvSketch]]; the oracle computes
+    * the equivalent single bottom-k). Output: (groupCols..., h, v),
+    * ≤ k rows per group. */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val W = org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    df.select(g :+ hash60(concat(lit("qsk:"), col(idCol).cast("string"))).as("h") :+
+        col(valueCol).as("v"): _*)
+      .withColumn("__b", col("h") % 64)
+      .withColumn("__rn", row_number().over(
+        W.partitionBy((groupCols :+ "__b").map(col): _*).orderBy("h", "v")))
+      .where(col("__rn") <= k)
+      .withColumn("__rn", row_number().over(
+        W.partitionBy(g: _*).orderBy("h", "v")))
+      .where(col("__rn") <= k)
+      .select(g :+ col("h") :+ col("v"): _*)
+  }
+
+  /** Merge quantile sketches built on DISJOINT corpus parts: bottom-k
+    * of the union of the survivor sets (each ≤ k rows per group —
+    * sketch-sized work). Exactly the single-pass sketch, which is what
+    * `text_quantile_merged` oracle-checks. */
+  def quantileMerge(parts: Seq[DataFrame], groupCols: Seq[String],
+                    k: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    parts.reduce(_ unionByName _)
+      .withColumn("__rn", row_number().over(
+        W.partitionBy(groupCols.map(col): _*).orderBy("h", "v")))
+      .where(col("__rn") <= k)
+      .select(groupCols.map(col) :+ col("h") :+ col("v"): _*)
+  }
+
+  /** Quantile estimates from a sketch, one row per group per requested
+    * probability. `probs` are EXACT rationals (num, den), 1 ≤ num ≤ den:
+    * the estimate is the sample value at rank ⌈num·n/den⌉ — rank-based
+    * selection on exact integers, NO interpolation (the estimate is an
+    * element of the data; `(num·n + den − 1) DIV den` is the only
+    * arithmetic, mirrored verbatim), matching the repo's
+    * `quantile_disc`/`percentile_approx` discrete convention. Groups
+    * whose whole row set fit in the sketch (n < k possible only then)
+    * report exact discrete quantiles. Sample order is (v, h) — the hash
+    * tie-break keeps equal values deterministic.
+    * Output: (groupCols..., q, n_sample, q_value). */
+  def quantileEstimate(sketch: DataFrame, groupCols: Seq[String],
+                       probs: Seq[(Int, Int)]): DataFrame = {
+    require(probs.nonEmpty && probs.forall { case (n, d) => n >= 1 && n <= d },
+      s"probs must be rationals in (0, 1]: $probs")
+    val W = org.apache.spark.sql.expressions.Window
+    val qs = array(probs.map { case (n, d) =>
+      struct(lit(n).as("num"), lit(d).as("den")) }: _*)
+    sketch
+      .withColumn("__vr", row_number().over(
+        W.partitionBy(groupCols.map(col): _*).orderBy("v", "h")))
+      .withColumn("__n", count(lit(1)).over(
+        W.partitionBy(groupCols.map(col): _*)))
+      .select(groupCols.map(col) :+ col("v") :+ col("__vr") :+ col("__n") :+
+        explode(qs).as("__q"): _*)
+      .withColumn("__num", col("__q.num").cast("long"))
+      .withColumn("__den", col("__q.den").cast("long"))
+      .where(col("__vr") === expr("(__num * __n + __den - 1) DIV __den"))
+      .select(groupCols.map(col) :+
+        (col("__num").cast("double") / col("__den")).as("q") :+
+        col("__n").as("n_sample") :+ col("v").as("q_value"): _*)
+  }
+
+  /** One-call per-group discrete quantile estimates. */
+  def quantiles(df: DataFrame, groupCols: Seq[String], idCol: String,
+                valueCol: String, probs: Seq[(Int, Int)],
+                k: Int = 256): DataFrame =
+    quantileEstimate(quantileSketch(df, groupCols, idCol, valueCol, k),
+      groupCols, probs)
+
   /** Cell column of row `row` from the item's single 60-bit hash `h`:
     * 15-bit slice `(h >>> 15·row) & 0x7FFF`, then mod width — mirrored
     * verbatim in the oracle

@@ -675,6 +675,53 @@ object TextQueries {
         Seq("source"), k = 64)
     }),
 
+    // Mergeable quantile sketch (deterministic bottom-k-by-hash row
+    // sample — the engine-mirrorable stand-in for KLL's randomized
+    // compactors): per-source token-count quantiles at 1/4, 1/2, 3/4,
+    // 9/10 from a k=256 sample; rank-based selection on exact integers,
+    // no interpolation. Groups with ≤ k rows are EXACT.
+    "text_quantile_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val t = docs(s, dir).select(col("source"), col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.ops.Sketches.quantiles(t, Seq("source"), "doc_id", "n_tokens",
+        probs = Seq((1, 4), (1, 2), (3, 4), (9, 10)), k = 256)
+    }),
+
+    // Quantile-sketch merge law: sketches built independently on the
+    // doc_id-parity halves bottom-k-merge into EXACTLY the single-pass
+    // sketch (any member of the union's true bottom-k is in its own
+    // part's bottom-k) — per-segment quantile summaries fold into
+    // whole-corpus quantiles without rescans. Oracle = the single pass.
+    "text_quantile_merged" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      def t(part: DataFrame) = part.select(col("source"), col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      val s0 = graft.ops.Sketches.quantileSketch(
+        t(d.where(col("doc_id") % 2 === 0L)), Seq("source"), "doc_id", "n_tokens", k = 256)
+      val s1 = graft.ops.Sketches.quantileSketch(
+        t(d.where(col("doc_id") % 2 === 1L)), Seq("source"), "doc_id", "n_tokens", k = 256)
+      graft.ops.Sketches.quantileEstimate(
+        graft.ops.Sketches.quantileMerge(Seq(s0, s1), Seq("source"), k = 256),
+        Seq("source"), probs = Seq((1, 4), (1, 2), (3, 4), (9, 10)))
+    }),
+
+    // The quality floor's cutoff derived from the MERGEABLE sketch
+    // instead of a fresh percentile_approx pass — the swap that lets a
+    // maintained profiling sidecar (per-segment samples, folded) set
+    // the floor without rescanning history. Same discrete kept-set
+    // semantics as text_quality_cutoff (cutoff is an element of the
+    // data; quality ≥ cutoff survives).
+    "text_quality_cutoff_sketch" -> ((s, dir) => {
+      import graft.ops.{Curation, TextAnalysis}
+      val scored = TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")
+        .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+        .select("source", "doc_id", "quality")
+      Curation.qualityFloorBySketch(scored, "source", "doc_id", "quality",
+        dropNum = 1, dropDen = 5, k = 256)
+    }),
+
     // Windowed co-occurrence + association ratio (the log-free PMI
     // core every collocation/phrase-mining pass starts from): token
     // pairs within 3 positions, canonical unordered, with marginals and
@@ -1010,6 +1057,30 @@ object TextQueries {
        |  END AS kmv_distinct
        |FROM s""".stripMargin
 
+  /** Quantile-sketch mirror over the full corpus — shared verbatim by
+    * text_quantile_sketch and text_quantile_merged (the merge law says
+    * the parity-half bottom-k merge must equal this single pass). The
+    * sketch is the k=256 rows with the smallest md5-derived hashes of
+    * their doc_id (a deterministic uniform row sample — pure function
+    * of the input multiset, so both engines re-derive it
+    * bit-identically); the estimate is rank-based selection on exact
+    * integers, ⌈num·n/den⌉ as `(num·n + den − 1) // den` — no
+    * interpolation, the value IS an element of the data. */
+  private val quantileSketchSql =
+    s"""WITH t AS (SELECT source, doc_id, len($toksSql)::BIGINT AS v FROM documents),
+       |h AS (SELECT source, ${h60("'qsk:'||doc_id::VARCHAR")} AS h, v FROM t),
+       |r AS (SELECT source, h, v,
+       |        row_number() OVER (PARTITION BY source ORDER BY h, v) AS rn FROM h),
+       |sk AS (SELECT source, h, v FROM r WHERE rn <= 256),
+       |o AS (SELECT source, h, v,
+       |        row_number() OVER (PARTITION BY source ORDER BY v, h) AS vr,
+       |        count(*) OVER (PARTITION BY source) AS n
+       |      FROM sk),
+       |q(num, den) AS (VALUES (1, 4), (1, 2), (3, 4), (9, 10))
+       |SELECT source, num / den AS q, n::BIGINT AS n_sample, v AS q_value
+       |FROM o CROSS JOIN q
+       |WHERE vr = (num * n + den - 1) // den""".stripMargin
+
   /** CMS mirror (4×256, watchlist = the stopword fixture) — shared by
     * text_cms_counts and text_cms_merged (cell sums are additive, so the
     * parity-half SUM-merge must equal this single pass). One md5 per
@@ -1078,6 +1149,43 @@ object TextQueries {
     "text_cms_merged" -> cmsSql,
     "text_kmv_distinct" -> kmvSql,
     "text_kmv_merged" -> kmvSql,
+    "text_quantile_sketch" -> quantileSketchSql,
+    "text_quantile_merged" -> quantileSketchSql,
+
+    // The sketch-derived quality floor: same quality CTE as
+    // text_quality_cutoff, cutoff = the bottom-256 hash sample's value
+    // at rank ceil(n/5) (discrete, an element of the data).
+    "text_quality_cutoff_sketch" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |sig AS (
+         |  SELECT doc_id, source,
+         |    least(len(toks)::DOUBLE / 100.0, 1.0) AS len_score,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE END AS diversity,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, x -> list_contains(
+         |              ['the','a','an','of','to','in','and','is','it','that','for','on','with','as'], x)))::DOUBLE
+         |              / len(toks)::DOUBLE END AS stopword_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |         ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |              / len(text)::DOUBLE END AS punct_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    (len_score + diversity + least(stopword_ratio * 5.0, 1.0)
+         |     + (1.0 - least(punct_ratio * 4.0, 1.0))) / 4.0 AS quality
+         |  FROM sig),
+         |hh AS (SELECT source, doc_id, quality,
+         |         ${h60("'qsk:'||doc_id::VARCHAR")} AS h FROM q),
+         |r AS (SELECT source, h, quality AS v,
+         |        row_number() OVER (PARTITION BY source ORDER BY h, quality) AS rn FROM hh),
+         |sk AS (SELECT source, h, v FROM r WHERE rn <= 256),
+         |o AS (SELECT source, h, v,
+         |        row_number() OVER (PARTITION BY source ORDER BY v, h) AS vr,
+         |        count(*) OVER (PARTITION BY source) AS n FROM sk),
+         |cut AS (SELECT source, v AS q_cutoff FROM o WHERE vr = (1 * n + 4) // 5)
+         |SELECT q.source, q.doc_id, q.quality, cut.q_cutoff
+         |FROM q JOIN cut USING (source) WHERE q.quality >= cut.q_cutoff""".stripMargin,
 
     "text_cooccurrence" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

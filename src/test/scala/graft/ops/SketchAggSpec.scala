@@ -158,6 +158,76 @@ class SketchAggSpec extends SparkSpec {
     assert(e2.getMessage.contains("different shape"))
   }
 
+  test("quantile sketch exact regime: groups with <= k rows report exact discrete quantiles") {
+    // 40 rows, k=64: the sample IS the group — rank selection must hit
+    // the exact discrete quantiles of 1..40
+    val vals = spark.range(1, 41).select(lit("g").as("source"),
+      col("id").as("rid"), col("id").as("v"))
+    val est = Sketches.quantiles(vals, Seq("source"), "rid", "v",
+        probs = Seq((1, 4), (1, 2), (3, 4), (1, 1)), k = 64)
+      .select(col("q"), col("n_sample"), col("q_value"))
+      .as[(Double, Long, Long)].collect().toSet
+    // ceil(0.25*40)=10, ceil(0.5*40)=20, ceil(0.75*40)=30, ceil(1*40)=40
+    assert(est == Set((0.25, 40L, 10L), (0.5, 40L, 20L), (0.75, 40L, 30L), (1.0, 40L, 40L)), s"got $est")
+  }
+
+  test("quantile sketch error band: sampled median of a known uniform is within the rank bound") {
+    // 20k values 1..20000, k=256: sample-quantile rank error stddev
+    // ~ sqrt(q(1-q)/k) ≈ 3.1% at the median — allow 5σ of rank drift
+    val vals = spark.range(1, 20001).select(lit("g").as("source"),
+      col("id").as("rid"), col("id").as("v"))
+    val med = Sketches.quantiles(vals, Seq("source"), "rid", "v",
+        probs = Seq((1, 2)), k = 256)
+      .select(col("q_value")).as[Long].head()
+    assert(math.abs(med - 10000) / 20000.0 < 0.16, s"median estimate off: $med")
+  }
+
+  test("quantile sketch merge law: disjoint-split sketches merge to the single-pass sketch") {
+    def rows(df: DataFrame): Set[(String, Long, Long)] =
+      df.select(col("source"), col("h"), col("v"))
+        .as[(String, Long, Long)].collect().toSet
+    val vals = spark.range(5000).select(
+        concat(lit("s"), col("id") % 3).as("source"),
+        col("id").as("rid"), (col("id") * 7 % 1000).as("v"))
+      .localCheckpoint(true)
+    val whole = Sketches.quantileSketch(vals, Seq("source"), "rid", "v", k = 32)
+    val parts = (0 until 4).map(i =>
+      Sketches.quantileSketch(vals.where(col("rid") % 4 === i),
+        Seq("source"), "rid", "v", k = 32))
+    assert(rows(Sketches.quantileMerge(parts, Seq("source"), k = 32)) == rows(whole))
+    // estimates off the merged sketch ≡ estimates off the single pass
+    val eW = Sketches.quantileEstimate(whole, Seq("source"),
+      Seq((1, 4), (1, 2), (3, 4))).collect().toSet
+    val eM = Sketches.quantileEstimate(
+      Sketches.quantileMerge(parts, Seq("source"), k = 32), Seq("source"),
+      Seq((1, 4), (1, 2), (3, 4))).collect().toSet
+    assert(eW == eM)
+  }
+
+  test("quality floor by sketch keeps a cutoff-bounded superset consistent with the sketch cutoff") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = TextAnalysis.qualityScores(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "doc_id", "quality")
+      .localCheckpoint(true)
+    val kept = Curation.qualityFloorBySketch(scored, "source", "doc_id",
+      "quality", dropNum = 1, dropDen = 5, k = 256)
+    // every kept row satisfies its domain's cutoff, and per domain the
+    // realized drop fraction is near 20% (sketch rank error bounded)
+    val perDom = kept.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), min("quality").as("min_q"),
+        min("q_cutoff").as("cut"), max("q_cutoff").as("cut2"))
+      .collect()
+    val totals = scored.groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    perDom.foreach { r =>
+      assert(r.getDouble(3) == r.getDouble(4), "cutoff must be constant per domain")
+      assert(r.getDouble(2) >= r.getDouble(3), "kept row below cutoff")
+      val frac = r.getLong(1).toDouble / totals(r.getString(0))
+      assert(frac > 0.6 && frac <= 1.0, s"${r.getString(0)}: kept fraction $frac")
+    }
+  }
+
   test("sketch build collapses to sketch-sized partial aggregates (no raw-term shuffle)") {
     val cms = Sketches.cmsBuild(terms, "term", depth = 4, width = 256)
     val plan = cms.queryExecution.executedPlan.toString
