@@ -187,18 +187,53 @@ object TextQueries {
           expr("(__cum - n_chunk_tokens) div 512").as("pack_id"))
     }),
 
+    // HTML → main text extraction (the crawl-corpus stage 0): the
+    // fixture wraps each document in a full page — nav bar, headings,
+    // comments, entity-laden content, link lists, link-dense footer,
+    // script with a bare "<" — and the operator must recover the
+    // content lines: tag/entity strip + trafilatura-style boilerplate
+    // line filter (link density as exact-integer 2·anchor ≤ alnum;
+    // short-line runs dropped unless adjacent to kept content). The
+    // oracle re-derives the page AND the strip verbatim in SQL.
+    "text_html_strip" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><style>body { color: #fff; }</style></head><body>"),
+        lit("<div class=\"nav\"><a href=\"/\">Home</a> | <a href=\"/a\">About</a> | <a href=\"/c\">Contact us</a></div>"),
+        lit("<h1>Doc "), id, lit("</h1>"),
+        lit("<!-- rendered by engine v2 -->"),
+        lit("<p>"), col("text"), lit("</p>"),
+        lit("<p>Fish &amp; chips &lt;tasty&gt; &quot;double&quot; &#39;single&#39;&nbsp;done for doc "), id, lit("</p>"),
+        lit("<ul><li><a href=\"/x\">first link</a></li><li><a href=\"/y\">second link</a></li></ul>"),
+        lit("<div class=\"footer\"><a href=\"/tos\">Terms of Service</a> | <a href=\"/privacy\">Privacy Policy</a> &copy; 2024</div>"),
+        lit("<script>if (1 < 2) { alert(\"x\"); }</script></body></html>"))
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.HtmlFunctions.extractMainText(html).as("main_text"))
+    }),
+
     // Training-prep pipeline e2e over the round's new operators:
-    // per-source MAD length-outlier screen → PII masking → disjoint
-    // 128-token chunking of the MASKED text (training must never see the
-    // raw PII, so redaction precedes tokenization — "<PHONE>" is one
-    // token where "+1 (415) 555-0199" was three) → greedy 512-token
-    // sequence packing by global (doc, chunk) order.
+    // HTML strip of the tag-wrapped corpus (stage 0 — a real corpus
+    // enters as markup; the structural strip is content-preserving, so
+    // recovering the clean text exactly is pinned by HtmlStripSpec and
+    // the oracle keeps mirroring the clean-text stages) → per-source
+    // MAD length-outlier screen → PII masking → disjoint 128-token
+    // chunking of the MASKED text (training must never see the raw
+    // PII, so redaction precedes tokenization — "<PHONE>" is one token
+    // where "+1 (415) 555-0199" was three) → greedy 512-token sequence
+    // packing by global (doc, chunk) order.
     "text_prep_pipeline" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
+      val wrapped = docs(s, dir).withColumn("text", concat(
+        lit("<html><body><script>var x = 1 < 2;</script><p>"),
+        col("text"), lit("</p></body></html>")))
+      val stripped = wrapped.withColumn("text",
+        graft.functions.HtmlFunctions.stripHtml(col("text")))
       val kept = graft.ops.Curation.lengthOutliers(
-          docs(s, dir), "doc_id", "text", "source", k = 4.0)
+          stripped, "doc_id", "text", "source", k = 4.0)
         .where(!col("is_outlier")).select("doc_id")
-      val masked = docs(s, dir).join(kept, Seq("doc_id"), "left_semi")
+      val masked = stripped.join(kept, Seq("doc_id"), "left_semi")
         .withColumn("text", TextAnalysis.piiRedactCol(col("text")))
       val chunks = TextAnalysis.chunkTokens(masked, "doc_id", "text",
         chunkSize = 128, stride = 128)
@@ -1756,9 +1791,62 @@ object TextQueries {
          |${chunkCtes(chunkSize = 128, stride = 128)},
          |${packTailSql(budget = 512)}""".stripMargin,
 
+    // HTML-strip mirror: rebuild the SAME fixture page, then re-derive
+    // the strip verbatim — anchor-sentinel marking (chr(1)/chr(2)),
+    // script/style/comment drop, block tags → chr(10), tag strip,
+    // entity decode (&amp; last), per-line integer metrics, the
+    // long/short-run keep rule, and the newline re-join.
+    "text_html_strip" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>Doc ' || doc_id::VARCHAR
+         |    || '</title><style>body { color: #fff; }</style></head><body>'
+         |    || '<div class="nav"><a href="/">Home</a> | <a href="/a">About</a> | <a href="/c">Contact us</a></div>'
+         |    || '<h1>Doc ' || doc_id::VARCHAR || '</h1>'
+         |    || '<!-- rendered by engine v2 -->'
+         |    || '<p>' || text || '</p>'
+         |    || '<p>Fish &amp; chips &lt;tasty&gt; &quot;double&quot; &#39;single&#39;&nbsp;done for doc ' || doc_id::VARCHAR || '</p>'
+         |    || '<ul><li><a href="/x">first link</a></li><li><a href="/y">second link</a></li></ul>'
+         |    || '<div class="footer"><a href="/tos">Terms of Service</a> | <a href="/privacy">Privacy Policy</a> &copy; 2024</div>'
+         |    || '<script>if (1 < 2) { alert("x"); }</script></body></html>' AS html
+         |  FROM documents),
+         |marked AS (SELECT doc_id, regexp_replace(html,
+         |    '(?is)<a\\b[^>]*>(.*?)</a>', chr(1)||'\\1'||chr(2), 'g') AS s FROM raw),
+         |nos AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(s,
+         |    '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+         |    '(?s)<!--.*?-->', ' ', 'g') AS s FROM marked),
+         |txt AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+         |    '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|header|footer|nav|blockquote|title)\\b[^>]*>', chr(10), 'g'),
+         |    '<[^>]*>', '', 'g') AS s FROM nos),
+         |ent AS (SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+         |    '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+         |    '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g') AS s FROM txt),
+         |lin AS (SELECT doc_id, list_filter(string_split(s, chr(10)),
+         |    l -> trim(regexp_replace(l, '[\\x01\\x02]', '', 'g')) <> '') AS ls FROM ent),
+         |met AS (SELECT doc_id, list_transform(ls, l -> struct_pack(
+         |    t := trim(regexp_replace(l, '[\\x01\\x02]', '', 'g')),
+         |    n := length(regexp_replace(regexp_replace(l, '[\\x01\\x02]', '', 'g'), '[^A-Za-z0-9]', '', 'g')),
+         |    a := length(regexp_replace(regexp_replace(l, '[\\x01\\x02]', '', 'g'), '[^A-Za-z0-9]', '', 'g'))
+         |       - length(regexp_replace(regexp_replace(l, '\\x01[^\\x02]*\\x02', '', 'g'), '[^A-Za-z0-9]', '', 'g'))
+         |  )) AS ms FROM lin),
+         |lng AS (SELECT doc_id, ms,
+         |    list_transform(ms, m -> m.n >= 25 AND m.a * 2 <= m.n) AS lg FROM met),
+         |kp AS (SELECT doc_id, list_filter(list_transform(range(1, len(ms)+1), i ->
+         |    CASE WHEN lg[i::INT] OR (ms[i::INT].n >= 10 AND ms[i::INT].a * 2 <= ms[i::INT].n
+         |          AND ((i > 1 AND lg[(i-1)::INT]) OR (i < len(ms) AND lg[(i+1)::INT])))
+         |      THEN ms[i::INT].t ELSE NULL END), x -> x IS NOT NULL AND x <> '') AS ks
+         |  FROM lng)
+         |SELECT doc_id, array_to_string(ks, chr(10)) AS main_text FROM kp""".stripMargin,
+
     // Prep-pipeline mirror: MAD screen CTEs → regexp_replace chain on
     // survivors → chunk CTEs over the MASKED text → exclusive running
     // sum // 512 (same chain as the Spark side, stage for stage).
+    // (Stage 0 on the Spark side — stripHtml of the tag-wrapped corpus
+    // — is content-preserving and recovers the clean text EXACTLY on
+    // this fixture, pinned by HtmlStripSpec, so the mirror keeps
+    // reading the clean text.)
     "text_prep_pipeline" ->
       s"""WITH ${madCtes("documents")},
          |kept AS (
