@@ -48,14 +48,48 @@ object StatsIndex {
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
   }
 
+  /** The two bloom bit positions of a value: disjoint 16-bit-capable
+    * slices of ONE [[graft.functions.TextFunctions.hash60]] (low bits,
+    * and bits 30+), mod `m` — the CMS slicing idea applied to bloom
+    * hashing (one md5 per value, not one per hash function). Probe-side
+    * values must carry the SAME type as the indexed column (both hash
+    * through `cast("string")`). `m` ≤ 2^30. */
+  private def bloomPositions(c: Column, m: Int): (Column, Column) = {
+    val h = graft.functions.TextFunctions.hash60(concat(lit("bf:"), c.cast("string")))
+    (pmod(h, lit(m.toLong)), pmod(shiftrightunsigned(h, 30), lit(m.toLong)))
+  }
+
+  /** Per-file bloom sidecar of `c`: the SORTED DISTINCT set-bit
+    * positions (≤ min(2·distinct, m) longs — sorted ints delta-encode
+    * tightly in parquet). A positions array, not a packed bitmask, so
+    * membership is two `array_contains` probes inside the same stats
+    * scan the min/max decision already runs — no bit arithmetic in the
+    * pruning plan and no fixed m/64-word cost for sparse files. */
+  private def bloomAggs(bloomCols: Seq[String], m: Int) = bloomCols.map { c =>
+    val (p1, p2) = bloomPositions(col(c), m)
+    array_sort(array_union(collect_set(p1), collect_set(p2))).as(s"bloom_$c")
+  }
+
   /** Per-file stats for `cols` over a parquet directory: row count plus
-    * min/max/null-count per column, one output row per physical file. */
-  def build(spark: SparkSession, tableDir: String, cols: Seq[String]): DataFrame = {
+    * min/max/null-count per column, one output row per physical file.
+    * `bloomCols` additionally get a per-file bloom sidecar (built in
+    * the SAME aggregation scan — no extra pass) for equality-probe
+    * skipping on high-cardinality unclustered keys, where min/max
+    * covers the whole domain in every file and prunes nothing (the
+    * id-probe access path the CDC engine itself uses). `bloomBits` (m)
+    * sizes the filter: with j = 2 hash slices the false-positive rate
+    * is (1 − e^(−2n/m))² per file of n distinct keys — the default 2^16
+    * holds ~7% at n = 10k; size m ≥ 6·n for big files. m is recorded in
+    * the index (`bloom_bits`), so probes can never use a mismatched m. */
+  def build(spark: SparkSession, tableDir: String, cols: Seq[String],
+            bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16): DataFrame = {
     require(cols.nonEmpty, "stats index needs at least one column")
-    spark.read.parquet(tableDir)
-      .select(input_file_name().as("file") +: cols.map(col): _*)
+    require(bloomBits >= 64 && bloomBits <= (1 << 30), s"bloomBits out of range: $bloomBits")
+    val out = spark.read.parquet(tableDir)
+      .select(input_file_name().as("file") +: (cols ++ bloomCols).distinct.map(col): _*)
       .groupBy("file")
-      .agg(count(lit(1)).as("rows"), statAggs(cols): _*)
+      .agg(count(lit(1)).as("rows"), statAggs(cols) ++ bloomAggs(bloomCols, bloomBits): _*)
+    if (bloomCols.isEmpty) out else out.withColumn("bloom_bits", lit(bloomBits))
   }
 
   /** [[build]] over an explicit file subset of `tableDir` — the
@@ -63,12 +97,14 @@ object StatsIndex {
     * the delta, not the table. `basePath` keeps hive-partition columns
     * resolvable from the explicit list (the S2 scan shape). */
   def buildFiles(spark: SparkSession, tableDir: String, files: Seq[String],
-                 cols: Seq[String]): DataFrame = {
+                 cols: Seq[String], bloomCols: Seq[String] = Nil,
+                 bloomBits: Int = 1 << 16): DataFrame = {
     require(cols.nonEmpty, "stats index needs at least one column")
-    spark.read.option("basePath", tableDir).parquet(files: _*)
-      .select(input_file_name().as("file") +: cols.map(col): _*)
+    val out = spark.read.option("basePath", tableDir).parquet(files: _*)
+      .select(input_file_name().as("file") +: (cols ++ bloomCols).distinct.map(col): _*)
       .groupBy("file")
-      .agg(count(lit(1)).as("rows"), statAggs(cols): _*)
+      .agg(count(lit(1)).as("rows"), statAggs(cols) ++ bloomAggs(bloomCols, bloomBits): _*)
+    if (bloomCols.isEmpty) out else out.withColumn("bloom_bits", lit(bloomBits))
   }
 
   /** Incremental index maintenance after ANY rewrite (copy-on-write
@@ -79,7 +115,12 @@ object StatsIndex {
     * maintenance cost is proportional to the rewrite delta. `cols` must
     * match the columns the index was built with. */
   def refresh(spark: SparkSession, tableDir: String, stats: DataFrame,
-              cols: Seq[String]): DataFrame = {
+              cols: Seq[String], bloomCols: Seq[String] = Nil): DataFrame = {
+    // The index records its own bloom geometry — delta scans MUST build
+    // under the same m or merged sidecars would probe wrong.
+    val bloomBits =
+      if (bloomCols.isEmpty) 1 << 16
+      else stats.agg(max("bloom_bits")).head().getInt(0)
     val currentByNorm = spark.read.parquet(tableDir).inputFiles
       .map(f => normFile(f) -> f).toMap
     // One row per file — the same bounded driver-side file-list collect
@@ -96,7 +137,8 @@ object StatsIndex {
       // Materialized once (eager, cleaner-reclaimed — ≤ one row per new
       // file): the zero-row probe below AND the caller's write both read
       // it; an unmaterialized plan would re-run the delta scan twice.
-      val built = buildFiles(spark, tableDir, newFiles.sorted, cols)
+      val built = buildFiles(spark, tableDir, newFiles.sorted, cols,
+          bloomCols, bloomBits)
         .localCheckpoint(true)
       // ZERO-ROW files produce no aggregation row (Spark routinely writes
       // an empty partition-0 file on small rewrites) — synthesize their
@@ -115,7 +157,12 @@ object StatsIndex {
               fld.name match {
                 case "file" => f
                 case "rows" => 0L
+                case "bloom_bits" => bloomBits
                 case n if n.startsWith("nulls_") => 0L
+                // empty bit set (the agg schema is non-nullable): no
+                // probe position matches → non-candidate, exact for a
+                // rowless file
+                case n if n.startsWith("bloom_") => Seq.empty[Long]
                 case _ => null
               }
             })
@@ -153,36 +200,70 @@ object StatsIndex {
     * regain skipping at delta cost. */
   def prunedRead(spark: SparkSession, tableDir: String, stats: DataFrame,
                  column: String, lower: Option[Any], upper: Option[Any]): DataFrame = {
-    val base = spark.read.parquet(tableDir)
-    // Reconcile on NORMALIZED identity ([[normFile]]): the index stores
-    // input_file_name() strings while inputFiles renders URIs — an exact
-    // compare could classify every indexed file as unseen and silently
-    // defeat pruning. Scan paths are taken from the live listing. One
-    // collect serves both the known set and the candidate set (the stats
-    // table is one row per file — two jobs over it would double the
-    // fixed per-job latency that dominates this driver-side decision).
     val lo = lower.map(v => col(s"max_$column") >= lit(v)).getOrElse(lit(true))
     val hi = upper.map(v => col(s"min_$column") <= lit(v)).getOrElse(lit(true))
-    val idx = stats
-      .select(col("file"), coalesce(lo && hi, lit(false)).as("__cand"))
-      .collect().map(r => normFile(r.getString(0)) -> r.getBoolean(1))
-    val known = idx.map(_._1).toSet
-    val cand = idx.collect { case (f, true) => f }.toSet
-    val files = base.inputFiles.toSeq.filter { f =>
-      val n = normFile(f)
-      cand.contains(n) || !known.contains(n)
-    }
     val exact: Column => Column = c => (lower, upper) match {
       case (Some(l), Some(u)) => c.between(lit(l), lit(u))
       case (Some(l), None)    => c >= lit(l)
       case (None, Some(u))    => c <= lit(u)
       case (None, None)       => lit(true)
     }
+    reconciledRead(spark, tableDir, stats, lo && hi, exact(col(column)))
+  }
+
+  /** Equality-probe read through the bloom sidecar: scan ONLY the files
+    * whose bloom for `column` may contain `value` (false positives read
+    * and filtered; false negatives impossible), then apply the exact
+    * equality. The access path min/max cannot serve: a point lookup on
+    * a high-cardinality key in an UNCLUSTERED table intersects every
+    * file's [min, max], but each file's bloom holds only the keys it
+    * actually has. Same stale-index reconciliation as [[prunedRead]]
+    * (unseen files always scan, vanished files skip), so a stale index
+    * degrades pruning, never the answer. `value` must carry the indexed
+    * column's type (hashing goes through `cast("string")` — an INT
+    * probe of a LONG column would hash identically, but a DOUBLE
+    * rendering would not). m comes from the index itself (`bloom_bits`),
+    * so a probe can never use mismatched geometry. */
+  def prunedReadPoint(spark: SparkSession, tableDir: String, stats: DataFrame,
+                      column: String, value: Any): DataFrame = {
+    require(stats.columns.contains(s"bloom_$column"),
+      s"stats index has no bloom sidecar for $column (build with bloomCols)")
+    val m = stats.agg(max("bloom_bits")).head().getInt(0)
+    val (p1, p2) = bloomPositions(lit(value), m)
+    val member = array_contains(col(s"bloom_$column"), p1) &&
+      array_contains(col(s"bloom_$column"), p2)
+    reconciledRead(spark, tableDir, stats, member, col(column) === lit(value))
+  }
+
+  /** Shared skeleton of the index-pruned reads: evaluate `cand` over
+    * the stats table, reconcile against the live listing, scan the
+    * survivors, apply `exact`.
+    *
+    * Reconciles on NORMALIZED identity ([[normFile]]): the index stores
+    * input_file_name() strings while inputFiles renders URIs — an exact
+    * compare could classify every indexed file as unseen and silently
+    * defeat pruning. Scan paths are taken from the live listing. One
+    * collect serves both the known set and the candidate set (the stats
+    * table is one row per file — two jobs over it would double the
+    * fixed per-job latency that dominates this driver-side decision). */
+  private def reconciledRead(spark: SparkSession, tableDir: String,
+                             stats: DataFrame, cand: Column,
+                             exact: Column): DataFrame = {
+    val base = spark.read.parquet(tableDir)
+    val idx = stats
+      .select(col("file"), coalesce(cand, lit(false)).as("__cand"))
+      .collect().map(r => normFile(r.getString(0)) -> r.getBoolean(1))
+    val known = idx.map(_._1).toSet
+    val candSet = idx.collect { case (f, true) => f }.toSet
+    val files = base.inputFiles.toSeq.filter { f =>
+      val n = normFile(f)
+      candSet.contains(n) || !known.contains(n)
+    }
     if (files.isEmpty) base.limit(0)
     // basePath keeps hive-partition columns resolvable from an explicit
     // file list (the S2 scan shape, CdcPipeline.scala:75-94).
     else spark.read.schema(base.schema).option("basePath", tableDir)
-      .parquet(files.toSeq: _*)
-      .where(exact(col(column)))
+      .parquet(files: _*)
+      .where(exact)
   }
 }

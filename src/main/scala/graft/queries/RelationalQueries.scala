@@ -35,7 +35,11 @@ object RelationalQueries {
       // The index persists as a (tiny) parquet table, like a deployment
       // would keep it — immune to the harness's between-query cache
       // clearing, which would evict a checkpointed frame's blocks.
-      graft.io.StatsIndex.build(s, s"$b/orders", Seq("o_orderkey"))
+      // min/max on the clustering key; bloom sidecar on the UNCLUSTERED
+      // customer key — the point-probe access path min/max cannot prune
+      // (every file's [min,max] spans the whole custkey domain).
+      graft.io.StatsIndex.build(s, s"$b/orders", Seq("o_orderkey"),
+          bloomCols = Seq("o_custkey"))
         .coalesce(1).write.parquet(s"$b/stats")
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         import java.nio.file.{Files, Path}
@@ -469,6 +473,18 @@ object RelationalQueries {
       val (t, stats) = statsPruneFixture(s, dir)
       graft.io.StatsIndex.prunedRead(s, t, stats, "o_orderkey",
         Some(100L), Some(499L))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+    }),
+
+    // Point lookup through the per-file BLOOM sidecar: o_custkey is
+    // unclustered in the range-partitioned fixture, so min/max
+    // intersects every file — only the bloom prunes (StatsIndexSpec
+    // asserts files-actually-read shrinks). False positives are read
+    // and filtered by the exact equality; the answer never changes.
+    "rel_stats_prune_point" -> ((s, dir) => {
+      val (t, stats) = statsPruneFixture(s, dir)
+      graft.io.StatsIndex.prunedReadPoint(s, t, stats, "o_custkey", 1L)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")
     }),
@@ -1424,6 +1440,13 @@ object RelationalQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey BETWEEN 100 AND 499""".stripMargin,
+
+    // Bloom pruning changes which files are OPENED, never the answer —
+    // the oracle is the plain point lookup.
+    "rel_stats_prune_point" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM orders WHERE o_custkey = 1""".stripMargin,
 
     "dq_profile_orders" ->
       """WITH w AS (

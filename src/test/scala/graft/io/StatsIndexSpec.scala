@@ -139,6 +139,62 @@ class StatsIndexSpec extends SparkSpec {
     assert(pruned.count() == 250L)
   }
 
+  test("bloom sidecar: point probe prunes files that min/max cannot, row-identical answer") {
+    val dir = tmp()
+    // id-range-clustered files; k is high-cardinality and UNCLUSTERED —
+    // each file's [min_k, max_k] spans ~the whole domain, so the range
+    // path cannot prune a k point lookup, but each file holds only
+    // ~1/8th of the k values, so the bloom can.
+    spark.range(8000).select($"id", (($"id" * 2654435761L) % 100000L).as("k"))
+      .repartitionByRange(8, $"id").write.parquet(dir)
+    val stats = StatsIndex.build(spark, dir, Seq("id"),
+      bloomCols = Seq("k"), bloomBits = 1 << 16).localCheckpoint(true)
+    val probe = spark.read.parquet(dir).select($"k").limit(1).head().getLong(0)
+    val pruned = StatsIndex.prunedReadPoint(spark, dir, stats, "k", probe)
+    val full = spark.read.parquet(dir).where($"k" === probe)
+    assert(pruned.collect().map(_.toString).toSet ==
+      full.collect().map(_.toString).toSet)
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(pruned.inputFiles.length < total,
+      s"bloom must prune an unclustered point probe: ${pruned.inputFiles.length} of $total")
+    // an absent key prunes everything (modulo bloom false positives —
+    // with 1000 keys/file in 2^16 bits the FP chance per file is ~0.1%)
+    val absent = StatsIndex.prunedReadPoint(spark, dir, stats, "k", 100001L)
+    assert(absent.count() == 0L)
+  }
+
+  test("bloom sidecar: refresh rebuilds the sidecar only for new files, same geometry") {
+    val dir = tmp()
+    spark.range(4000).select($"id", ($"id" % 997L).as("k"))
+      .repartitionByRange(4, $"id").write.parquet(dir)
+    val stats = StatsIndex.build(spark, dir, Seq("id"),
+        bloomCols = Seq("k"), bloomBits = 1 << 12)
+      .withColumn("rows", col("rows") + 1000000L) // reuse marker
+      .localCheckpoint(true)
+    // append a file with a key OUTSIDE the original domain
+    spark.range(1).select(lit(999999L).as("id"), lit(5000L).as("k"))
+      .write.mode("append").parquet(dir)
+    val refreshed = StatsIndex.refresh(spark, dir, stats, Seq("id"),
+      bloomCols = Seq("k")).localCheckpoint(true)
+    // the 4 original rows are reused verbatim (marker intact), the new
+    // file's sidecar was built under the index's recorded m
+    assert(refreshed.where(col("rows") > 1000000L).count() == 4L)
+    assert(refreshed.select(max("bloom_bits")).head().getInt(0) == (1 << 12))
+    val hit = StatsIndex.prunedReadPoint(spark, dir, refreshed, "k", 5000L)
+    assert(hit.count() == 1L, "new file's key must be findable through the refreshed bloom")
+    assert(hit.inputFiles.length < spark.read.parquet(dir).inputFiles.length)
+  }
+
+  test("point probe without a bloom sidecar is a contract error") {
+    val dir = tmp()
+    spark.range(100).select($"id", $"id".as("v")).write.parquet(dir)
+    val stats = StatsIndex.build(spark, dir, Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      StatsIndex.prunedReadPoint(spark, dir, stats, "v", 1L)
+    }
+    assert(e.getMessage.contains("bloom"))
+  }
+
   test("prunedRead keeps hive-partition columns via basePath") {
     val dir = tmp()
     spark.range(200).select($"id", ($"id" % 2).as("p"))
