@@ -108,25 +108,15 @@ object EventQueries {
     // float: everything is exact LONG arithmetic, engine-portable.
     // Shift flag at C_t > 5·T ≈ five sustained excess events.
     "events_cusum" -> ((s, dir) => {
+      // the hourly count table is the (additive, mergeable) summary the
+      // streaming twin maintains per delivery — DetectorStreamSpec pins
+      // stream ≡ this batch pass through the shared finisher
       val hourly = Tables.events(s, dir)
         .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
         .groupBy(date_trunc("hour", col("ts_utc")).as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"))
-      val wStats = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type")
-      val wRun = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("hour")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      hourly
-        .withColumn("__T", count(lit(1)).over(wStats))
-        .withColumn("__N", sum(col("n")).over(wStats))
-        .withColumn("__p", sum(col("n") * col("__T") - col("__N")).over(wRun))
-        .withColumn("cusum",
-          col("__p") - least(lit(0L), min(col("__p")).over(wRun)))
-        .select(col("event_type"), col("hour"), col("n"), col("cusum"),
-          (col("cusum") > lit(5L) * col("__T")).as("is_shift"))
+      graft.ops.Detectors.cusumOverHourly(hourly)
     }),
 
     // Naive seasonal forecast + backtest: hold out the last epoch-week,
@@ -344,30 +334,16 @@ object EventQueries {
     // (never a per-type single-partition sort), deviations and the
     // 3×MAD outlier test are pure integer arithmetic — no float ever.
     "events_mad_anomaly" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"),
+      // r9: the prefix sums now run over the (event_type, cents) VALUE
+      // HISTOGRAM instead of corpus rows — same lower-median crossings,
+      // identical output, but per-type window state is cents-domain-
+      // bounded; the histogram is also the additive summary the
+      // streaming twin maintains (DetectorStreamSpec: stream ≡ batch).
+      val hist = Tables.events(s, dir)
+        .groupBy(col("event_type"),
           floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
-      val n1 = e.groupBy("event_type").agg(count(lit(1)).as("n"))
-      val r1 = graft.ops.Curation.parallelRunningSum(
-        e.withColumn("__one", lit(1L)), Seq("event_type"),
-        Seq("cents", "event_id"), "__one", "rk")
-      val med = r1.join(broadcast(n1), "event_type")
-        .where(lit(2L) * col("rk") >= col("n"))
-        .groupBy("event_type").agg(min(col("cents")).as("med_cents"))
-      val dev = e.join(broadcast(med), "event_type")
-        .withColumn("dev", abs(col("cents") - col("med_cents")))
-      val r2 = graft.ops.Curation.parallelRunningSum(
-        dev.withColumn("__one", lit(1L)), Seq("event_type"),
-        Seq("dev", "event_id"), "__one", "rk")
-      val mad = r2.join(broadcast(n1), "event_type")
-        .where(lit(2L) * col("rk") >= col("n"))
-        .groupBy("event_type").agg(min(col("dev")).as("mad_cents"))
-      dev.join(broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), max("med_cents").as("med_cents"),
-          max("mad_cents").as("mad_cents"),
-          sum(when(col("dev") > lit(3L) * col("mad_cents"), 1L)
-            .otherwise(0L)).as("n_outliers"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.ops.Detectors.madOverHist(hist)
     }),
 
     // Per-type inter-arrival distribution — the latency/cadence profile
