@@ -46,6 +46,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    MPEG-1 Layer III frame header — bitrate/sample-rate table
   *    lookups, mono vs 2-channel mode, CBR duration estimate
   *    audio_bytes·8/kbps (ISO/IEC 11172-3 §2.4.1.3).
+  *  - FLAC: 'fLaC' magic + the mandatory STREAMINFO metadata block —
+  *    sample rate / channels / total samples from its packed 64 bits;
+  *    duration_ms = samples·1000/rate (xiph FLAC format spec).
+  *  - OGG (Vorbis): 'OggS' page capture, Vorbis identification header
+  *    in the first packet (channels, sample rate), duration from the
+  *    LAST page's granule position (total PCM samples; RFC 3533 +
+  *    Vorbis I spec §4.2.2).
   *
   * Output struct: (format, width, height, channels, sample_rate,
   * duration_ms) — fields not defined by a format are NULL, and any
@@ -69,6 +76,8 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
   private def le32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def le64(b: Array[Byte], i: Int): Long =
+    le32(b, i) | (le32(b, i + 4) << 32)
   private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
     i + s.length <= b.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
 
@@ -263,6 +272,49 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
               audioBytes * 8L / kbps)
           }
         }
+      }
+      return unknown
+    }
+    // FLAC: 'fLaC' magic, then metadata blocks (1 B last-flag+type, u24
+    // big-endian length); STREAMINFO (type 0, 34 B) is MANDATORY first.
+    // Its packed 64 bits from data byte 10: sample rate (20), channels−1
+    // (3), bits-per-sample−1 (5), total samples (36) — duration_ms =
+    // samples·1000/rate exact integer (xiph FLAC format spec §STREAMINFO).
+    if (b.length >= 8 + 34 && ascii(b, 0, "fLaC") && (b(4) & 0x7f) == 0 &&
+        (((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)) >= 34) {
+      val s = 8 // STREAMINFO data (4 magic + 4 block header)
+      val rate = ((b(s + 10) & 0xff) << 12) | ((b(s + 11) & 0xff) << 4) |
+        ((b(s + 12) & 0xff) >> 4)
+      val channels = ((b(s + 12) >> 1) & 0x7) + 1
+      val totalSamples = ((b(s + 13) & 0x0fL) << 32) | be32(b, s + 14)
+      if (rate > 0)
+        return InternalRow(UTF8String.fromString("flac"), null, null,
+          channels, rate, totalSamples * 1000L / rate)
+      return unknown
+    }
+    // OGG: 'OggS' page capture (version 0); the codec rides the first
+    // packet — a Vorbis identification header (packet type 1 +
+    // 'vorbis') carries channels (u8 at +11) and sample rate (u32le at
+    // +12). Duration comes from the LAST page's granule position (for
+    // Vorbis: total PCM samples) — a bounded backward scan for the
+    // final capture pattern (RFC 3533 §6; Vorbis I spec §4.2.2). A
+    // granule-less (headers-only) stream reports NULL duration.
+    if (b.length >= 28 && ascii(b, 0, "OggS") && b(4) == 0) {
+      val nsegs = b(26) & 0xff
+      val p = 27 + nsegs
+      if (p + 16 <= b.length && b(p) == 1 && ascii(b, p + 1, "vorbis")) {
+        val channels = b(p + 11) & 0xff
+        val rate = le32(b, p + 12)
+        var i = b.length - 27
+        var granule = -1L
+        while (i >= 0 && granule < 0) {
+          if (ascii(b, i, "OggS") && b(i + 4) == 0) granule = le64(b, i + 6)
+          i -= 1
+        }
+        if (channels > 0 && rate > 0 && rate <= Int.MaxValue)
+          return InternalRow(UTF8String.fromString("ogg"), null, null,
+            channels, rate.toInt,
+            if (granule > 0) granule * 1000L / rate else null)
       }
       return unknown
     }

@@ -314,6 +314,44 @@ object Multimodal {
       entryShort(277, spp) ++ u32(0) ++ body
   }
 
+  private[ops] def buildFlacOggPayload(id: Long, body: Array[Byte]): Array[Byte] =
+    if (id % 2 == 0) {
+      // FLAC: fLaC + STREAMINFO (last-block flag set, type 0, length
+      // 34). The 8 packed bytes: rate(20) | channels−1(3) | bps−1(5) |
+      // total samples(36), big-endian — the exact layout the decoder's
+      // shifted reads must invert.
+      val rate = (8000 * ((id / 2) % 6 + 1)).toInt
+      val channels = ((id / 2) % 2 + 1).toInt
+      val totalSamples = (id % 100 + 1) * 1000L
+      val packed: Long = (rate.toLong << 44) | ((channels - 1).toLong << 41) |
+        (15L << 36) | totalSamples // bps 16
+      val packedBytes = Array.tabulate[Byte](8)(k =>
+        ((packed >>> (56 - 8 * k)) & 0xff).toByte)
+      ascii("fLaC") ++ Array[Byte](0x80.toByte, 0, 0, 34) ++
+        be16(4096) ++ be16(4096) ++ Array.fill[Byte](6)(0) ++ // min/max block + frame sizes
+        packedBytes ++ Array.fill[Byte](16)(0) ++ body // md5 zeros
+    } else {
+      // OGG-Vorbis: a BOS page carrying the 30-byte identification
+      // header (granule 0), then an EOS page whose granule is the total
+      // PCM samples and whose segments lace the body (255-byte lacing,
+      // RFC 3533 §6 — exercised whenever the text exceeds 255 bytes).
+      val channels = ((id / 2) % 2 + 1).toInt
+      val rate = (11025 * ((id / 2) % 4 + 1)).toInt
+      val totalSamples = (id % 50 + 1) * 2000L
+      val ident = Array[Byte](1) ++ ascii("vorbis") ++ le32(0) ++
+        Array(channels.toByte) ++ le32(rate) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ Array[Byte](0x66.toByte, 1)
+      def page(htype: Int, granule: Long, seq: Int, data: Array[Byte]): Array[Byte] = {
+        val lacing = Array.fill(data.length / 255)(255.toByte) :+
+          (data.length % 255).toByte
+        ascii("OggS") ++ Array[Byte](0, htype.toByte) ++
+          le32((granule & 0xffffffffL).toInt) ++ le32((granule >>> 32).toInt) ++
+          le32(7777) ++ le32(seq) ++ le32(0) ++
+          Array(lacing.length.toByte) ++ lacing ++ data
+      }
+      page(2, 0L, 0, ident) ++ page(4, totalSamples, 1, body)
+    }
+
   private[ops] def buildMp3Payload(id: Long, body: Array[Byte]): Array[Byte] = {
     // ID3v2.3 tag (10 B header + id-derived padding, size SYNCSAFE so
     // the decoder's 7-bit walk is exercised) + one MPEG-1 Layer III
@@ -330,6 +368,21 @@ object Multimodal {
     val frame = Array(0xff.toByte, 0xfb.toByte,
       ((brIdx << 4) | (srIdx << 2)).toByte, (mode << 6).toByte)
     id3 ++ frame ++ body
+  }
+
+  /** FLAC/OGG twin of [[mediaWithMp3Headers]]: even ids carry a real
+    * fLaC STREAMINFO block, odd ids an OGG-Vorbis BOS identification
+    * page + EOS page whose granule is the total sample count (body
+    * laced in 255-byte segments). */
+  def mediaWithFlacOggHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, "audio",
+          buildFlacOggPayload(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }.toDF("media_id", "kind", "payload")
   }
 
   /** MP3 twin of [[mediaWithTiffHeaders]]: every id carries a real

@@ -78,6 +78,18 @@ object MultimodalQueries {
         Multimodal.mediaWithMp3Headers(Tables(s, dir, "documents"),
           "doc_id", "text"))),
 
+    // FLAC + OGG-Vorbis header decode: FLAC's packed STREAMINFO bit
+    // fields (rate 20 / channels−1 3 / bps−1 5 / total samples 36) and
+    // OGG's page structure (BOS identification packet + EOS granule
+    // position for the duration, 255-byte segment lacing) — same oracle
+    // contract as the other mm_*_meta queries: every field recomputed
+    // from the fixture formula, so a misplaced bit shift or a lacing
+    // miscount hash-mismatches.
+    "mm_flacogg_meta" -> ((s, dir) =>
+      Multimodal.decodeHeaders(
+        Multimodal.mediaWithFlacOggHeaders(Tables(s, dir, "documents"),
+          "doc_id", "text"))),
+
     // Exact payload dedup (content-hash grouping — step one of a media
     // dedup pipeline; the sf corpus has no byte-identical payloads, so
     // every group is a singleton here, which the oracle verifies too).
@@ -312,6 +324,26 @@ object MultimodalQueries {
         |  ((octet_length(encode(text)) + 4) * 8
         |    // ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[(doc_id % 14 + 1)::INT]
         |  )::BIGINT AS duration_ms
+        |FROM documents""".stripMargin,
+
+    // FLAC: 42 header bytes before the body; OGG: 58-byte BOS page +
+    // 27-byte EOS header + (len//255 + 1) lacing bytes + the body.
+    "mm_flacogg_meta" ->
+      """SELECT doc_id AS media_id, 'audio' AS kind,
+        |  (octet_length(encode(text)) + CASE doc_id % 2 WHEN 0 THEN 42
+        |     ELSE 86 + octet_length(encode(text)) // 255 END)::BIGINT AS n_bytes,
+        |  CASE doc_id % 2 WHEN 0 THEN 'flac' ELSE 'ogg' END AS format,
+        |  NULL::INT AS width,
+        |  NULL::INT AS height,
+        |  ((doc_id // 2) % 2 + 1)::INT AS channels,
+        |  (CASE doc_id % 2 WHEN 0 THEN 8000 * ((doc_id // 2) % 6 + 1)
+        |        ELSE 11025 * ((doc_id // 2) % 4 + 1) END)::INT AS sample_rate,
+        |  (CASE doc_id % 2
+        |     WHEN 0 THEN ((doc_id % 100 + 1) * 1000 * 1000)
+        |                   // (8000 * ((doc_id // 2) % 6 + 1))
+        |     ELSE ((doc_id % 50 + 1) * 2000 * 1000)
+        |            // (11025 * ((doc_id // 2) % 4 + 1))
+        |   END)::BIGINT AS duration_ms
         |FROM documents""".stripMargin,
 
     "mm_gifbmp_meta" ->

@@ -93,6 +93,33 @@ class MediaHeaderSpec extends SparkSpec {
       .getString(0) == "unknown")
   }
 
+  test("FLAC/OGG: packed STREAMINFO bits, EOS granule duration; malformed degrades") {
+    import Multimodal.buildFlacOggPayload
+    // FLAC id 4: rate 8000·((4/2)%6+1)=24000, ch (4/2)%2+1=1,
+    // samples (4%100+1)·1000=5000 → 5000·1000/24000 = 208 ms
+    val f = decodeOne(buildFlacOggPayload(4L, "body".getBytes))
+    assert(f.getString(0) == "flac" && f.getInt(3) == 1 &&
+      f.getInt(4) == 24000 && f.getLong(5) == 5000L * 1000 / 24000)
+    assert(f.isNullAt(1) && f.isNullAt(2))
+    // OGG id 5: ch (5/2)%2+1=1, rate 11025·((5/2)%4+1)=33075,
+    // samples (5%50+1)·2000=12000 → 362 ms; long body exercises lacing
+    val o = decodeOne(buildFlacOggPayload(5L, ("y" * 700).getBytes))
+    assert(o.getString(0) == "ogg" && o.getInt(3) == 1 &&
+      o.getInt(4) == 33075 && o.getLong(5) == 12000L * 1000 / 33075)
+    // fLaC magic but truncated STREAMINFO → unknown, never a throw
+    assert(decodeOne("fLaC".getBytes).getString(0) == "unknown")
+    // OggS page whose first packet is not a Vorbis ident → unknown
+    val page = buildFlacOggPayload(5L, "z".getBytes)
+    page(28) = 0x55 // corrupt the packet-type byte
+    assert(decodeOne(page).getString(0) == "unknown")
+    // headers-only stream (BOS page alone): no positive granule → null
+    // duration, identity fields still parsed
+    val full = buildFlacOggPayload(5L, "z".getBytes)
+    val bos = full.take(58)
+    val h = decodeOne(bos)
+    assert(h.getString(0) == "ogg" && h.getInt(4) == 33075 && h.isNullAt(5))
+  }
+
   test("garbage, empty, and truncated payloads degrade to unknown — never throw") {
     assert(decodeOne(Array.empty[Byte]).getString(0) == "unknown")
     assert(decodeOne("just some text".getBytes).getString(0) == "unknown")
