@@ -45,13 +45,17 @@ class HtmlStripSpec extends SparkSpec {
       "<ul><li><a href='/x'>first link</a></li><li><a href='/y'>second link</a></li></ul>" +
       "<div><a href='/t'>Terms of Service</a> | <a href='/p'>Privacy Policy</a> &copy; 2024</div>"
     val out = Seq(h).toDF("h")
-      .select(HtmlFunctions.extractMainText(col("h"))).as[String].head()
+      .select(HtmlFunctions.extractMainText(col("h"), 25, 10)).as[String].head()
     assert(out == s"$content\nshort tail line", s"got: $out")
+    // the staged DataFrame overload is the same function, evaluated once
+    val staged = HtmlFunctions.extractMainText(Seq(h).toDF("h"), col("h"), "m")
+      .select("m").as[String].head()
+    assert(staged == out)
   }
 
   test("an isolated short-line run drops entirely (no long neighbor rescues it)") {
     val out = Seq("<p>one two</p><p>three four</p><p>five six</p>")
-      .toDF("h").select(HtmlFunctions.extractMainText(col("h"))).as[String].head()
+      .toDF("h").select(HtmlFunctions.extractMainText(col("h"), 25, 10)).as[String].head()
     assert(out == "", s"got: $out")
   }
 }
