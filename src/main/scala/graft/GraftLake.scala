@@ -358,9 +358,11 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
     * [[compact]] rewrites files, [[refreshStatsIndex]] (run automatically
     * by both) maintains it at delta cost; [[readPruned]] stays correct on
     * a stale index either way (unknown files scan, vanished files skip). */
-  def buildStatsIndex(schema: String, table: String, cols: Seq[String]): Long = {
+  def buildStatsIndex(schema: String, table: String, cols: Seq[String],
+                      bloomCols: Seq[String] = Nil,
+                      bloomBits: Int = 1 << 16): Long = {
     val stats = io.StatsIndex.build(spark,
-      s"${lakeRoot.stripSuffix("/")}/$schema/$table", cols)
+      s"${lakeRoot.stripSuffix("/")}/$schema/$table", cols, bloomCols, bloomBits)
     stats.write.mode("overwrite").parquet(statsPath(schema, table))
     spark.read.parquet(statsPath(schema, table)).count()
   }
@@ -380,8 +382,15 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
       val stats = spark.read.parquet(statsPath(schema, table))
       val cols = stats.schema.fieldNames.toSeq
         .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      // bloom sidecars are self-describing too (`bloom_<col>` columns +
+      // the recorded `bloom_bits` geometry) — without recovering them
+      // the delta rows would miss the sidecar columns and the refresh
+      // union would fail, or silently drop skipping for new files.
+      val bloomCols = stats.schema.fieldNames.toSeq
+        .filter(n => n.startsWith("bloom_") && n != "bloom_bits")
+        .map(_.stripPrefix("bloom_"))
       val refreshed = io.StatsIndex.refresh(spark,
-        s"${lakeRoot.stripSuffix("/")}/$schema/$table", stats, cols)
+        s"${lakeRoot.stripSuffix("/")}/$schema/$table", stats, cols, bloomCols)
       // Write via temp-then-swap: the refresh output PLAN reads the old
       // index files, so an in-place overwrite would delete its own input.
       val tmp = new org.apache.hadoop.fs.Path(sp.getParent, s".refresh-${sp.getName}")
@@ -413,6 +422,22 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
       }
     } else io.StatsIndex.prunedRead(spark, dir,
       spark.read.parquet(statsPath(schema, table)), column, lower, upper)
+  }
+
+  /** Equality-probe read through the table's bloom sidecar
+    * ([[io.StatsIndex.prunedReadPoint]] — the id-lookup access path
+    * min/max cannot prune); falls back to a full filtered scan when the
+    * table has no index or the index has no bloom for `column`. */
+  def readPrunedPoint(schema: String, table: String, column: String,
+                      value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = s"${lakeRoot.stripSuffix("/")}/$schema/$table"
+    val sp = new org.apache.hadoop.fs.Path(statsPath(schema, table))
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lazy val stats = spark.read.parquet(statsPath(schema, table))
+    if (!fs.exists(sp) || !stats.columns.contains(s"bloom_$column"))
+      spark.read.parquet(dir).where(col(column) === lit(value))
+    else io.StatsIndex.prunedReadPoint(spark, dir, stats, column, value)
   }
 
   private def statsPath(schema: String, table: String): String =

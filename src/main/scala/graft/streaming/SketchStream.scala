@@ -77,6 +77,64 @@ object SketchStream {
     SI.initLedger(spark, table, "__value", 0L, 0L)
   }
 
+  /** Quantile-sketch twin of [[start]] (r9: the fourth mergeable sketch
+    * family): each delivery appends its OWN bottom-k-by-hash row sample
+    * (segment-tagged, ledger-gated), and [[readQuantiles]] re-takes the
+    * bottom-k of the union — EXACTLY the single-pass sketch over
+    * everything ingested (the `text_quantile_merged` merge law, applied
+    * per micro-batch). `batch` rows carry (groupCols..., idCol,
+    * valueCol); per-delivery state ≤ groups·k rows. */
+  def startQuantiles(spark: SparkSession, inputDir: String, table: String,
+                     groupCols: Seq[String], idCol: String, valueCol: String,
+                     checkpoint: String, k: Int = 256,
+                     trigger: Trigger = Trigger.AvailableNow(),
+                     maxFilesPerTrigger: Int = 100): StreamingQuery =
+    IngestStream.start(spark, inputDir,
+      s"qsketch-ingest-${math.abs(table.hashCode.toLong)}",
+      checkpoint, trigger, maxFilesPerTrigger) { (batch, batchId) =>
+      ingestQuantileBatch(batch, s"b$batchId", table, groupCols, idCol,
+        valueCol, k)
+    }
+
+  /** One delivery's quantile sample appended — also the batch-mode
+    * entry point. Same exactly-once contract as [[ingestBatch]]. */
+  def ingestQuantileBatch(batch: DataFrame, batchId: String, table: String,
+                          groupCols: Seq[String], idCol: String,
+                          valueCol: String, k: Int): Unit = {
+    val spark = batch.sparkSession
+    val SI = graft.io.SegmentedIndex
+    val qT = table + "_qsk"
+    if (!spark.catalog.tableExists(qT)) {
+      graft.io.Bucketing.clearOrphanLocation(spark, qT)
+      batch.select(groupCols.map(col) :+ lit(0L).as("h") :+
+          col(valueCol).as("v") :+ lit(0L).as(SI.SegCol): _*).limit(0)
+        .write.mode("overwrite").format("parquet").saveAsTable(qT)
+      SI.initLedger(spark, table, idCol, 0L, 0L)
+    }
+    Seq(qT, SI.ledgerTable(table)).foreach(spark.catalog.refreshTable)
+    if (SI.hasBatch(spark, table, batchId)) return
+    val seg = SI.nextSeg(spark, table)
+    if (!SI.segPresent(spark, qT, seg))
+      Sketches.quantileSketch(batch, groupCols, idCol, valueCol, k)
+        .withColumn(SI.SegCol, lit(seg))
+        .write.mode("append").format("parquet").saveAsTable(qT)
+    SI.appendLedger(spark, table, seg, batchId, batch.count(), 0L, idCol)
+  }
+
+  /** Discrete quantile estimates over everything ingested ≡ a single
+    * [[Sketches.quantiles]] pass (bottom-k-of-union merge is exact).
+    * The fold reads segments·k-bounded sketch rows only. */
+  def readQuantiles(spark: SparkSession, table: String,
+                    groupCols: Seq[String], probs: Seq[(Int, Int)],
+                    k: Int = 256): DataFrame = {
+    spark.catalog.refreshTable(table + "_qsk")
+    Sketches.quantileEstimate(
+      Sketches.quantileMerge(
+        Seq(spark.table(table + "_qsk").drop(graft.io.SegmentedIndex.SegCol)),
+        groupCols, k),
+      groupCols, probs)
+  }
+
   /** The merged distinct-count profile over everything ingested —
     * identical to a single [[Sketches.hllDistinct]] pass (MAX-merge is
     * lossless). Register fold is segment-count-bounded per (group,

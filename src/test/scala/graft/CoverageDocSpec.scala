@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class CoverageDocSpec extends AnyFunSuite {
 
   private def firstInt(path: String, pattern: String): Int = {
-    val src = scala.io.Source.fromFile(path)
+    val src = scala.io.Source.fromFile(path, "UTF-8")
     try {
       val re = pattern.r
       re.findFirstMatchIn(src.mkString)

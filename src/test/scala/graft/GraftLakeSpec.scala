@@ -137,6 +137,35 @@ class GraftLakeSpec extends SparkSpec {
     assert(lake.readPruned("db", "si", "id", Some(2), Some(4)).count() == 3L)
   }
 
+  test("bloom sidecar survives the auto-refresh; point reads prune through the lake API") {
+    val raw = Files.createTempDirectory("rawB").toString
+    val out = Files.createTempDirectory("lakeB").toString
+    val st = Files.createTempDirectory("stateB").toString
+    writeFile((1 to 8).map(i => ("I", i, s"k${i * 37 % 11}")).toDF("Op", "id", "v"),
+      s"$raw/db/bp", "LOAD00000001.parquet")
+    val lake = GraftLake(spark, raw, out, st)
+    lake.tables()
+    lake.activate("db", "bp", primaryKeys = Seq("id"))
+    lake.sync()
+    // no index yet: fallback full scan still answers
+    assert(lake.readPrunedPoint("db", "bp", "v", "k8").count() == 1L)
+    assert(lake.buildStatsIndex("db", "bp", Seq("id"),
+      bloomCols = Seq("v"), bloomBits = 1 << 12) >= 1L)
+    assert(lake.readPrunedPoint("db", "bp", "v", "k8")
+      .select("id").head().getInt(0) == 2) // 2*37 % 11 = 8
+    // a merge rewrites files; the auto-refresh must RECOVER the bloom
+    // columns from the index schema (not drop them / fail the union)
+    writeFile(Seq(("I", 9, "zz9")).toDF("Op", "id", "v"),
+      s"$raw/db/bp", "20260812-01.parquet")
+    lake.sync()
+    val stats = spark.read.parquet(s"$out/_stats/db/bp")
+    assert(stats.columns.contains("bloom_v") && stats.columns.contains("bloom_bits"))
+    assert(stats.where(org.apache.spark.sql.functions.col("bloom_v").isNull).count() == 0,
+      "refreshed rows must carry sidecars")
+    assert(lake.readPrunedPoint("db", "bp", "v", "zz9")
+      .select("id").head().getInt(0) == 9)
+  }
+
   test("drift reports retypes across mixed-type raw files instead of throwing") {
     val raw = Files.createTempDirectory("raw").toString
     val out = Files.createTempDirectory("lake").toString

@@ -51,4 +51,35 @@ class SketchStreamSpec extends SparkSpec {
       cmsSet(Sketches.cmsEstimate(
         Sketches.cmsBuild(all, "term", 4, 256), watch, "term", 4, 256)))
   }
+
+  test("quantile sketch ingest: per-delivery samples fold to the single-pass sketch; replay no-ops") {
+    val t = "qsketch_stream_spec"
+    val in = Files.createTempDirectory("qskIn").toString + "/t"
+    val ckpt = Files.createTempDirectory("qskCkpt").toString
+    def lens(d: DataFrame) = d.select(col("source"), col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("v"))
+    def run() = SketchStream.startQuantiles(spark, in, t, Seq("source"),
+      "doc_id", "v", checkpoint = ckpt, k = 64).awaitTermination()
+    lens(docs.where($"doc_id" % 2 === 0L)).coalesce(1)
+      .write.mode("append").parquet(in)
+    run()
+    lens(docs.where($"doc_id" % 2 === 1L)).coalesce(1)
+      .write.mode("append").parquet(in)
+    run()
+    val probs = Seq((1, 4), (1, 2), (3, 4))
+    def qset(df: DataFrame) = df
+      .select(col("source"), col("q"), col("n_sample"), col("q_value"))
+      .as[(String, Double, Long, Long)].collect().toSet
+    val streamed = qset(SketchStream.readQuantiles(spark, t, Seq("source"), probs, k = 64))
+    val single = qset(Sketches.quantiles(lens(docs), Seq("source"),
+      "doc_id", "v", probs, k = 64))
+    assert(streamed == single)
+    // replayed delivery: ledger gate no-ops (a double sample would
+    // change n_sample for under-k groups)
+    SketchStream.ingestQuantileBatch(lens(docs.where($"doc_id" % 2 === 1L)),
+      "b1", t, Seq("source"), "doc_id", "v", k = 64)
+    assert(qset(SketchStream.readQuantiles(spark, t, Seq("source"), probs, k = 64)) == single)
+    (Seq(t + "_qsk", graft.io.SegmentedIndex.ledgerTable(t)))
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
 }
