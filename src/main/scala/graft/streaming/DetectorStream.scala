@@ -88,7 +88,16 @@ object DetectorStream {
         .write.mode("append").format("parquet").saveAsTable(eventsT)
     spark.catalog.refreshTable(eventsT)
     if (!SI.segPresent(spark, burstT, seg)) {
+      // The column-to-column BETWEEN residual cannot push to the scan —
+      // without a LITERAL ts bound every delivery would re-read the
+      // WHOLE history (O(index) per batch). One bounded driver agg on
+      // the batch gives the bound; per-append files carry tight ts
+      // ranges, so parquet row-group stats prune the history scan to
+      // ~the trailing window and per-delivery cost stays O(batch +
+      // window) (ProbeDetectorGate).
+      val lo = batch.agg(min("ts_us")).head().getLong(0) - 3600000000L
       val hist = spark.table(eventsT)
+        .where(col("ts_us") >= lo)
         .select(col("user_id"), col("ts_us").as("__ts2"))
       batch.select(col("event_id"), col("user_id"), col("ts_us"))
         .join(hist, Seq("user_id"))
