@@ -228,6 +228,36 @@ object Curation {
       .where(col(qualityCol) >= col("q_cutoff"))
   }
 
+  /** Deterministic stratified sample: the `n` rows whose
+    * [[graft.functions.TextFunctions.hash60]] of `idCol` is smallest
+    * per group — "show me 100 documents per source", the corpus-
+    * inspection op every curation decision starts from. Hash-ordered
+    * (bottom-n sampling), so the sample is a PURE FUNCTION of the
+    * group's id set: reproducible across runs/engines (the DuckDB
+    * oracle re-derives it), stable under corpus growth (a new row
+    * displaces at most one sampled row), and uniform (md5 order is
+    * independent of any data order). The same two-phase spread-bucket
+    * bottom-n as [[Sketches.quantileSketch]] — no partition ever holds
+    * a group's full row set. Output: input columns + `sample_rank`
+    * (1..n in hash order — `sample_rank ≤ k` is a smaller sample, so
+    * one materialized sample serves every k ≤ n). */
+  def stratifiedSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+                       n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val W = org.apache.spark.sql.expressions.Window
+    val h = graft.functions.TextFunctions.hash60(
+      concat(lit("smp:"), col(idCol).cast("string")))
+    df.withColumn("__h", h)
+      .withColumn("__b", col("__h") % 64)
+      .withColumn("__rn", row_number().over(
+        W.partitionBy((groupCols :+ "__b").map(col): _*).orderBy("__h", idCol)))
+      .where(col("__rn") <= n)
+      .withColumn("sample_rank", row_number().over(
+        W.partitionBy(groupCols.map(col): _*).orderBy("__h", idCol)).cast("long"))
+      .where(col("sample_rank") <= n)
+      .drop("__h", "__b", "__rn")
+  }
+
   /** Per-domain robust length outliers via median/MAD (median absolute
     * deviation): flag documents whose token count deviates from their
     * domain's median by more than `k` MADs — the robust alternative to a

@@ -765,6 +765,15 @@ object TextQueries {
         dropNum = 1, dropDen = 5, k = 256)
     }),
 
+    // Deterministic stratified sample — "5 documents per source", the
+    // corpus-inspection op every curation decision starts from:
+    // hash-ordered bottom-n, so the sample is a pure function of the
+    // id set (reproducible cross-engine, stable under growth, uniform).
+    "text_sample_per_source" -> ((s, dir) =>
+      graft.ops.Curation.stratifiedSample(
+        docs(s, dir).select("source", "doc_id", "lang"),
+        Seq("source"), "doc_id", n = 5)),
+
     // Windowed co-occurrence + association ratio (the log-free PMI
     // core every collocation/phrase-mining pass starts from): token
     // pairs within 3 positions, canonical unordered, with marginals and
@@ -1194,6 +1203,15 @@ object TextQueries {
     "text_kmv_merged" -> kmvSql,
     "text_quantile_sketch" -> quantileSketchSql,
     "text_quantile_merged" -> quantileSketchSql,
+
+    "text_sample_per_source" ->
+      s"""WITH h AS (SELECT source, doc_id, lang,
+         |             ${h60("'smp:'||doc_id::VARCHAR")} AS h FROM documents),
+         |r AS (SELECT source, doc_id, lang,
+         |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+         |      FROM h)
+         |SELECT source, doc_id, lang, rk::BIGINT AS sample_rank
+         |FROM r WHERE rk <= 5""".stripMargin,
 
     // The sketch-derived quality floor: same quality CTE as
     // text_quality_cutoff, cutoff = the bottom-256 hash sample's value
