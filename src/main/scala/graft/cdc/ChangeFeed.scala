@@ -31,9 +31,11 @@ object ChangeFeed {
     *         per tracked column
     */
   def feed(target: DataFrame, changes: DataFrame, pks: Seq[String],
-           trackCols: Seq[String], intraFileOrder: Seq[Column] = Nil): DataFrame = {
+           trackCols: Seq[String], intraFileOrder: Seq[Column] = Nil,
+           keepFileSeq: Boolean = false): DataFrame = {
     require(pks.nonEmpty, "change feed requires primary keys")
-    feedSequenced(target, Merge.sequenceBatch(changes, pks, intraFileOrder), pks, trackCols)
+    feedSequenced(target, Merge.sequenceBatch(changes, pks, intraFileOrder),
+      pks, trackCols, keepFileSeq)
   }
 
   /** [[feed]] over an already-sequenced batch (rows carry `file_seq` and
@@ -45,7 +47,8 @@ object ChangeFeed {
     * absent from the batch contribute no feed rows (the `file_seq > 0`
     * filter drops them), so pre-images only need the impacted subset. */
   def feedSequenced(target: DataFrame, sequenced: DataFrame, pks: Seq[String],
-                    trackCols: Seq[String]): DataFrame = {
+                    trackCols: Seq[String],
+                    keepFileSeq: Boolean = false): DataFrame = {
     require(pks.nonEmpty, "change feed requires primary keys")
     val taggedTarget = target
       .withColumn(Merge.FileSeq, lit(0L))
@@ -62,10 +65,43 @@ object ChangeFeed {
           .otherwise(lag(col(c), 1).over(w)).as(s"${c}_old"),
         when(col(Op.column) === Op.Delete, lit(null)).otherwise(col(c)).as(s"${c}_new"))
     }
-    unioned
+    val out = unioned
       .select(pks.map(col) ++ Seq(col(Merge.RowNum).cast("long").as("change_seq"),
         col(Merge.FileSeq), col(Op.column)) ++ images: _*)
       .where(col(Merge.FileSeq) > 0L)
-      .drop(Merge.FileSeq)
+    if (keepFileSeq) out else out.drop(Merge.FileSeq)
+  }
+
+  /** TIME TRAVEL from the feed alone: the table state as of commit
+    * `seq`, reconstructed without the original change files — latest
+    * post-image per key among feed rows with `file_seq` ≤ `seq`
+    * (a key whose last operation by then is a delete drops), keys the
+    * feed never touched by then riding from `base` (the pre-feed
+    * state). The audit log is SUFFICIENT to restore any historical
+    * state — the lakehouse RESTORE/AS OF read, and the prefix
+    * generalization of the feed's replay ≡ merge law (at the max seq
+    * this equals the full merge; `cdc_time_travel` oracle-checks an
+    * interior prefix against the merge-of-prefix recompute). Requires a
+    * feed built with `keepFileSeq = true`.
+    *
+    * Scale: one window pass over the (churn-sized) feed prefix + one
+    * anti join against its distinct keys — base rows never shuffle
+    * wider than the key anti-join; no original-change-file IO.
+    * Output: (pks..., trackCols...). */
+  def stateAsOf(base: DataFrame, feed: DataFrame, pks: Seq[String],
+                trackCols: Seq[String], seq: Long): DataFrame = {
+    require(pks.nonEmpty, "time travel requires primary keys")
+    require(feed.columns.contains(Merge.FileSeq),
+      s"feed lacks ${Merge.FileSeq} — build it with keepFileSeq = true")
+    val upTo = feed.where(col(Merge.FileSeq) <= seq)
+    val w = Window.partitionBy(pks.map(col): _*)
+      .orderBy(col(Merge.FileSeq).desc, col("change_seq").desc)
+    val survivors = upTo
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .where(col(Op.column) =!= Op.Delete)
+      .select(pks.map(col) ++ trackCols.map(c => col(s"${c}_new").as(c)): _*)
+    base.join(upTo.select(pks.map(col): _*).distinct(), pks, "left_anti")
+      .select((pks ++ trackCols).map(col): _*)
+      .unionByName(survivors)
   }
 }

@@ -202,6 +202,18 @@ object CdcQueries {
       ChangeFeed.feed(target(s, dir), changes(s, dir), Seq("o_orderkey"),
         Seq("o_orderstatus", "o_totalprice"))),
 
+    // Time travel from the feed ALONE (the audit log restores any
+    // historical state — no original change files): state as of commit
+    // 1, an interior prefix where file 2's updates/deletes have not
+    // happened yet. Oracle = the merge of the change PREFIX recomputed
+    // from scratch — the prefix generalization of replay ≡ merge.
+    "cdc_time_travel" -> ((s, dir) => {
+      val f = ChangeFeed.feed(target(s, dir), changes(s, dir), Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"), keepFileSeq = true)
+      ChangeFeed.stateAsOf(target(s, dir), f, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"), seq = 1L)
+    }),
+
     // U1 schema evolution: changes carry a new column; merged target rows
     // null-fill it (reference CHANGELOG 1.1.0 behavior).
     "cdc_schema_evolution" -> ((s, dir) => {
@@ -225,6 +237,17 @@ object CdcQueries {
 
     "cdc_insert_only" ->
       s"""$fixtureSql SELECT "Op", $orderColsSql FROM changes WHERE "Op" = 'I'""",
+
+    "cdc_time_travel" ->
+      s"""$fixtureSql,
+         | unioned AS (
+         |  SELECT * FROM changes WHERE file_seq <= 1 UNION ALL SELECT * FROM target
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq DESC) AS rn
+         |  FROM unioned
+         |)
+         |SELECT o_orderkey, o_orderstatus, o_totalprice
+         |FROM ranked WHERE rn = 1 AND "Op" <> 'D'""".stripMargin,
 
     "cdc_sequence" ->
       s"""$fixtureSql

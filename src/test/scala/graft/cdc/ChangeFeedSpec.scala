@@ -45,4 +45,30 @@ class ChangeFeedSpec extends SparkSpec {
       (1, 2L, "I", null, "z"),
       (3, 1L, "I", null, "c")))
   }
+
+  test("stateAsOf: every prefix of the feed restores the merge of that change prefix") {
+    val changes = Seq(
+      ("U", 1, "a2", 11.0, 1L), ("I", 3, "c", 30.0, 1L),
+      ("D", 2, "b", 20.0, 2L), ("U", 1, "a3", 12.0, 2L),
+      ("D", 1, "a3", 12.0, 3L), ("I", 4, "d", 40.0, 3L)
+    ).toDF("Op", "id", "name", "price", "file_seq")
+    val feed = ChangeFeed.feed(target, changes, Seq("id"),
+      Seq("name", "price"), Seq(col("id")), keepFileSeq = true)
+      .localCheckpoint(true)
+    def restored(seq: Long) =
+      ChangeFeed.stateAsOf(target.drop("Op"), feed, Seq("id"),
+          Seq("name", "price"), seq)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    def merged(seq: Long) =
+      Merge.mergeCdc(target, changes.where(col("file_seq") <= seq),
+          Seq("id"), Seq(col("id")))
+        .select("id", "name", "price")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    (0L to 3L).foreach(seqNo =>
+      assert(restored(seqNo) == merged(seqNo), s"prefix $seqNo diverged"))
+    // seq 0 is the base itself; the max seq is the full merge outcome
+    // (1 and 2 deleted along the way, 3 and 4 inserted)
+    assert(restored(0L) == Set((1, "a", 10.0), (2, "b", 20.0)))
+    assert(restored(3L) == Set((3, "c", 30.0), (4, "d", 40.0)))
+  }
 }
