@@ -246,6 +246,31 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
     spark.read.parquet(changeFeedPath(schema, table))
       .withColumn("batch_id", org.apache.spark.sql.functions.col("batch_id").cast("long"))
 
+  /** TIME TRAVEL: the table's historical state as of feed batch
+    * `upToBatchId`, reconstructed from the persisted CDF log ALONE
+    * ([[cdc.ChangeFeed.stateAsOf]] with an empty base — the feed covers
+    * the table's whole history under the [[syncSearchIndex]] contract:
+    * streamed with [[streamWithChangeFeed]] from the initial load, and
+    * [[vacuumChangeFeed]] has not expired batches ≤ `upToBatchId`).
+    * Output: (pks..., tracked columns...) — the AS OF read every
+    * lakehouse audit ("what did this row say when the model trained?")
+    * needs, at the cost of one window pass over the feed prefix. */
+  def readAsOf(schema: String, table: String, upToBatchId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(feedExists(schema, table),
+      s"$schema/$table has no change feed at ${changeFeedPath(schema, table)} — " +
+        "time travel reads the persisted CDF log (streamWithChangeFeed)")
+    val cfg = store.get(tableDir(schema, table)).map(_.config).getOrElse(TableConfig())
+    require(cfg.primaryKeys.nonEmpty, s"$schema/$table: time travel needs primary keys")
+    val feed = readChangeFeed(schema, table)
+      .withColumn(cdc.Merge.FileSeq, col("batch_id"))
+    val trackCols = feed.columns.toSeq
+      .filter(_.endsWith("_new")).map(_.stripSuffix("_new"))
+    val base = feed.limit(0).select(cfg.primaryKeys.map(col) ++
+      trackCols.map(c => col(s"${c}_new").as(c)): _*)
+    cdc.ChangeFeed.stateAsOf(base, feed, cfg.primaryKeys, trackCols, upToBatchId)
+  }
+
   private def changeFeedPath(schema: String, table: String): String =
     s"${lakeRoot.stripSuffix("/")}/_changes/$schema/$table"
 

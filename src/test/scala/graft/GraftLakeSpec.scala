@@ -213,6 +213,18 @@ class GraftLakeSpec extends SparkSpec {
     val initial = (1 to 4).map(i => (i, "I", null, s"v$i")).toSet
     assert(rows == initial ++ Set((2, "U", "v2", "NEW"), (4, "D", "v4", null)))
 
+    // TIME TRAVEL from the log alone: state as of the first feed batch
+    // is the initial load; as of the last batch it equals the lake's
+    // current state (the prefix replay ≡ merge law, at the lake level)
+    val batches0 = feed.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    def asOf(b: Long) = lake.readAsOf("db", "t", b)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(asOf(batches0.head) == (1 to 4).map(i => (i, s"v$i")).toSet)
+    assert(asOf(batches0.last) ==
+      lake.read("db", "t").select("id", "v")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet)
+
     // log-level vacuum: with maxFilesPerTrigger=1 the feed has one
     // batch_id partition per file; expire everything before the last one
     val batches = feed.select("batch_id").distinct()
