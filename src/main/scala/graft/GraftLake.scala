@@ -264,6 +264,15 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
     require(cfg.primaryKeys.nonEmpty, s"$schema/$table: time travel needs primary keys")
     val feed = readChangeFeed(schema, table)
       .withColumn(cdc.Merge.FileSeq, col("batch_id"))
+    // A vacuumed feed is NOT a complete history: reconstructing over an
+    // empty base without the expired batches would silently drop every
+    // key last touched before the cutoff — the exact corruption an
+    // audit read exists to prevent. The first streaming batch is id 0,
+    // so retention back to 0 is a cheap driver-side witness.
+    val minBatch = feed.agg(org.apache.spark.sql.functions.min("batch_id")).head()
+    require(!minBatch.isNullAt(0) && minBatch.getLong(0) == 0L,
+      s"$schema/$table change feed starts at batch ${minBatch.get(0)} — " +
+        "vacuumChangeFeed expired history, time travel would be silently wrong")
     val trackCols = feed.columns.toSeq
       .filter(_.endsWith("_new")).map(_.stripSuffix("_new"))
     val base = feed.limit(0).select(cfg.primaryKeys.map(col) ++

@@ -305,16 +305,29 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
       if (p + 16 <= b.length && b(p) == 1 && ascii(b, p + 1, "vorbis")) {
         val channels = b(p + 11) & 0xff
         val rate = le32(b, p + 12)
+        // Candidate pages must also pass the header-shape checks (only
+        // the low 3 header-type bits are defined, and the lacing table
+        // must fit) — payload bytes can contain the capture pattern
+        // (RFC 3533 mandates CRC for certainty; this is the cheap
+        // structural subset, and a still-implausible granule degrades
+        // to NULL duration rather than garbage).
         var i = b.length - 27
         var granule = -1L
         while (i >= 0 && granule < 0) {
-          if (ascii(b, i, "OggS") && b(i + 4) == 0) granule = le64(b, i + 6)
+          if (ascii(b, i, "OggS") && b(i + 4) == 0 &&
+              (b(i + 5) & 0xf8) == 0 && i + 27 + (b(i + 26) & 0xff) <= b.length)
+            granule = le64(b, i + 6)
           i -= 1
         }
         if (channels > 0 && rate > 0 && rate <= Int.MaxValue)
           return InternalRow(UTF8String.fromString("ogg"), null, null,
             channels, rate.toInt,
-            if (granule > 0) granule * 1000L / rate else null)
+            // granule is total PCM samples: cap at 2^53 (a quarter-
+            // million YEARS at 48 kHz) so a false-sync garbage value
+            // can neither overflow the *1000 nor report as real
+            if (granule > 0 && granule < (1L << 53))
+              granule * 1000L / rate
+            else null)
       }
       return unknown
     }

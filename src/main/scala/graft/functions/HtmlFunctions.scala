@@ -151,6 +151,11 @@ object HtmlFunctions {
     val kept = filter(
       zip_with(metrics, keep, (m, k) => when(k, m.getField("t"))),
       t => t.isNotNull && t =!= "")
-    array_join(kept, "\n")
+    // `sequence(1, 0)` DESCENDS ([1, 0] — Spark defaults the step to -1
+    // when start > stop), so a document that strips to zero lines
+    // (markup-only, script-only, empty — routine in a real crawl) would
+    // hit element_at(..., 0) and throw. Short-circuit the empty case;
+    // `when` branches evaluate lazily, so the crash path never runs.
+    when(size(metrics) === 0, lit("")).otherwise(array_join(kept, "\n"))
   }
 }

@@ -95,8 +95,15 @@ object SegmentedIndex {
     * orphaned above the pointer): a fresh build over a previously
     * compacted index would otherwise strand generations ≥ 1 forever —
     * resolve() never returns them once the pointer is gone, so they are
-    * pure disk leak. Swept BEFORE the pointer drop so a crash mid-sweep
-    * still leaves probes on the complete old generation. */
+    * pure disk leak. NOTE: resetGen begins a DESTRUCTIVE rebuild — a
+    * crash between this sweep and the rebuild's first committed write
+    * leaves the index unreadable (whichever drop order: the pointer
+    * may still name a dropped generation, or resolve to plain names
+    * not yet rewritten) until the rebuild re-runs, which converges;
+    * single maintenance writer per index, as everywhere. Readers that
+    * must stay live through maintenance use [[compact]]'s
+    * crash-atomic generation commit instead — fresh rebuilds are the
+    * explicitly-destructive path. */
   def resetGen(spark: SparkSession, table: String): Unit = {
     spark.sql(s"SHOW TABLES LIKE '${table}__g*'").collect()
       .foreach(r => spark.sql(

@@ -54,9 +54,9 @@ object StatsIndex {
     * hashing (one md5 per value, not one per hash function). Probe-side
     * values must carry the SAME type as the indexed column (both hash
     * through `cast("string")`). `m` ≤ 2^30. */
-  private def bloomPositions(c: Column, m: Int): (Column, Column) = {
+  private def bloomPositions(c: Column, m: Column): (Column, Column) = {
     val h = graft.functions.TextFunctions.hash60(concat(lit("bf:"), c.cast("string")))
-    (pmod(h, lit(m.toLong)), pmod(shiftrightunsigned(h, 30), lit(m.toLong)))
+    (pmod(h, m), pmod(shiftrightunsigned(h, 30), m))
   }
 
   /** Per-file bloom sidecar of `c`: the SORTED DISTINCT set-bit
@@ -66,7 +66,7 @@ object StatsIndex {
     * scan the min/max decision already runs — no bit arithmetic in the
     * pruning plan and no fixed m/64-word cost for sparse files. */
   private def bloomAggs(bloomCols: Seq[String], m: Int) = bloomCols.map { c =>
-    val (p1, p2) = bloomPositions(col(c), m)
+    val (p1, p2) = bloomPositions(col(c), lit(m.toLong))
     array_sort(array_union(collect_set(p1), collect_set(p2))).as(s"bloom_$c")
   }
 
@@ -117,10 +117,16 @@ object StatsIndex {
   def refresh(spark: SparkSession, tableDir: String, stats: DataFrame,
               cols: Seq[String], bloomCols: Seq[String] = Nil): DataFrame = {
     // The index records its own bloom geometry — delta scans MUST build
-    // under the same m or merged sidecars would probe wrong.
+    // under the same m or merged sidecars would probe wrong. An EMPTY
+    // index has no recoverable geometry (max is null): fall back to the
+    // default — there are no existing rows to mismatch, and probes read
+    // each row's own bloom_bits.
     val bloomBits =
       if (bloomCols.isEmpty) 1 << 16
-      else stats.agg(max("bloom_bits")).head().getInt(0)
+      else {
+        val r = stats.agg(max("bloom_bits")).head()
+        if (r.isNullAt(0)) 1 << 16 else r.getInt(0)
+      }
     val currentByNorm = spark.read.parquet(tableDir).inputFiles
       .map(f => normFile(f) -> f).toMap
     // One row per file — the same bounded driver-side file-list collect
@@ -228,8 +234,11 @@ object StatsIndex {
                       column: String, value: Any): DataFrame = {
     require(stats.columns.contains(s"bloom_$column"),
       s"stats index has no bloom sidecar for $column (build with bloomCols)")
-    val m = stats.agg(max("bloom_bits")).head().getInt(0)
-    val (p1, p2) = bloomPositions(lit(value), m)
+    // The probe positions use each ROW's recorded `bloom_bits` — no
+    // separate driver job to fetch m (the candidate decision stays ONE
+    // collect, like the range path), no NPE on an empty index, and rows
+    // written under different geometries each probe correctly.
+    val (p1, p2) = bloomPositions(lit(value), col("bloom_bits").cast("long"))
     val member = array_contains(col(s"bloom_$column"), p1) &&
       array_contains(col(s"bloom_$column"), p2)
     reconciledRead(spark, tableDir, stats, member, col(column) === lit(value))

@@ -244,18 +244,11 @@ object Curation {
   def stratifiedSample(df: DataFrame, groupCols: Seq[String], idCol: String,
                        n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
-    val W = org.apache.spark.sql.expressions.Window
-    val h = graft.functions.TextFunctions.hash60(
-      concat(lit("smp:"), col(idCol).cast("string")))
-    df.withColumn("__h", h)
-      .withColumn("__b", col("__h") % 64)
-      .withColumn("__rn", row_number().over(
-        W.partitionBy((groupCols :+ "__b").map(col): _*).orderBy("__h", idCol)))
-      .where(col("__rn") <= n)
-      .withColumn("sample_rank", row_number().over(
-        W.partitionBy(groupCols.map(col): _*).orderBy("__h", idCol)).cast("long"))
-      .where(col("sample_rank") <= n)
-      .drop("__h", "__b", "__rn")
+    val proj = df.withColumn("__h", graft.functions.TextFunctions.hash60(
+      concat(lit("smp:"), col(idCol).cast("string"))))
+    Sketches.bottomKByHash(proj, groupCols, Seq(idCol), n)
+      .withColumn("sample_rank", col("__rn").cast("long"))
+      .drop("__h", "__rn")
   }
 
   /** Per-domain robust length outliers via median/MAD (median absolute

@@ -141,20 +141,35 @@ object Sketches {
   def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
-    val W = org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
     val hashed = df
-      .select(g :+ hash60(concat(lit("kmv:"), col(valueCol))).as("h"): _*)
+      .select(g :+ hash60(concat(lit("kmv:"), col(valueCol))).as("__h"): _*)
       .distinct()
-    hashed
-      .withColumn("__b", col("h") % 64)
-      .withColumn("__rn", row_number().over(
-        W.partitionBy((groupCols :+ "__b").map(col): _*).orderBy("h")))
-      .where(col("__rn") <= k)
-      .withColumn("__rn", row_number().over(
-        W.partitionBy(g: _*).orderBy("h")))
-      .where(col("__rn") <= k)
+    bottomKByHash(hashed, groupCols, Nil, k)
+      .withColumnRenamed("__h", "h")
       .select(g :+ col("h"): _*)
+  }
+
+  /** The shared two-phase spread-bucket bottom-k behind every
+    * hash-ordered sample in the repo ([[kmvSketch]], [[quantileSketch]],
+    * [[Curation.stratifiedSample]]): keep each group's k rows with the
+    * smallest `__h` (ties broken by `tieCols`) via a per-(group,
+    * h mod 64) bottom-k then a bottom-k of the ≤ 64·k survivors — no
+    * partition ever holds a group's full row set, and the oracle mirror
+    * is a single bottom-k (the phases commute). Requires a `__h`
+    * column; keeps `__rn` (the final 1..k hash-order rank). */
+  private[graft] def bottomKByHash(df: DataFrame, groupCols: Seq[String],
+                                   tieCols: Seq[String], k: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val order = ("__h" +: tieCols).map(col)
+    df.withColumn("__b", col("__h") % 64)
+      .withColumn("__rn", row_number().over(
+        W.partitionBy((groupCols :+ "__b").map(col): _*).orderBy(order: _*)))
+      .where(col("__rn") <= k)
+      .withColumn("__rn", row_number().over(
+        W.partitionBy(groupCols.map(col): _*).orderBy(order: _*)))
+      .where(col("__rn") <= k)
+      .drop("__b")
   }
 
   /** Merge bottom-k sketches of corpus parts: bottom-k of the distinct
@@ -294,17 +309,12 @@ object Sketches {
   def quantileSketch(df: DataFrame, groupCols: Seq[String], idCol: String,
                      valueCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
-    val W = org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
-    df.select(g :+ hash60(concat(lit("qsk:"), col(idCol).cast("string"))).as("h") :+
+    val proj = df.select(
+      g :+ hash60(concat(lit("qsk:"), col(idCol).cast("string"))).as("__h") :+
         col(valueCol).as("v"): _*)
-      .withColumn("__b", col("h") % 64)
-      .withColumn("__rn", row_number().over(
-        W.partitionBy((groupCols :+ "__b").map(col): _*).orderBy("h", "v")))
-      .where(col("__rn") <= k)
-      .withColumn("__rn", row_number().over(
-        W.partitionBy(g: _*).orderBy("h", "v")))
-      .where(col("__rn") <= k)
+    bottomKByHash(proj, groupCols, Seq("v"), k)
+      .withColumnRenamed("__h", "h")
       .select(g :+ col("h") :+ col("v"): _*)
   }
 

@@ -63,6 +63,14 @@ object DetectorStream {
       .foreach(spark.catalog.refreshTable)
     if (SI.hasBatch(spark, table, batchId)) return
     val seg = SI.nextSeg(spark, table)
+    // IngestStream skips empty micro-batches, but direct batch-mode
+    // callers may not: ledger an empty batch as applied with ONE job
+    // instead of paying four empty-segment writes (and the burst min
+    // agg would NPE on the NULL min).
+    if (batch.isEmpty) {
+      SI.appendLedger(spark, table, seg, batchId, 0L, 0L, "event_id")
+      return
+    }
     if (!SI.segPresent(spark, hourlyT, seg))
       batch
         .groupBy(date_trunc("hour", timestamp_micros(col("ts_us"))).as("hour"),

@@ -97,7 +97,11 @@ object SketchStream {
     }
 
   /** One delivery's quantile sample appended — also the batch-mode
-    * entry point. Same exactly-once contract as [[ingestBatch]]. */
+    * entry point. Same exactly-once contract as [[ingestBatch]], but
+    * ledgered under the `<table>_qsk` namespace: the hll/cms gate
+    * ([[ingestBatch]]) owns `<table>`'s ledger, and sharing it would
+    * let a quantile bootstrap WIPE the sketch ledger (initLedger
+    * overwrites) and the two families' batch ids mask each other. */
   def ingestQuantileBatch(batch: DataFrame, batchId: String, table: String,
                           groupCols: Seq[String], idCol: String,
                           valueCol: String, k: Int): Unit = {
@@ -109,16 +113,16 @@ object SketchStream {
       batch.select(groupCols.map(col) :+ lit(0L).as("h") :+
           col(valueCol).as("v") :+ lit(0L).as(SI.SegCol): _*).limit(0)
         .write.mode("overwrite").format("parquet").saveAsTable(qT)
-      SI.initLedger(spark, table, idCol, 0L, 0L)
+      SI.initLedger(spark, qT, idCol, 0L, 0L)
     }
-    Seq(qT, SI.ledgerTable(table)).foreach(spark.catalog.refreshTable)
-    if (SI.hasBatch(spark, table, batchId)) return
-    val seg = SI.nextSeg(spark, table)
+    Seq(qT, SI.ledgerTable(qT)).foreach(spark.catalog.refreshTable)
+    if (SI.hasBatch(spark, qT, batchId)) return
+    val seg = SI.nextSeg(spark, qT)
     if (!SI.segPresent(spark, qT, seg))
       Sketches.quantileSketch(batch, groupCols, idCol, valueCol, k)
         .withColumn(SI.SegCol, lit(seg))
         .write.mode("append").format("parquet").saveAsTable(qT)
-    SI.appendLedger(spark, table, seg, batchId, batch.count(), 0L, idCol)
+    SI.appendLedger(spark, qT, seg, batchId, batch.count(), 0L, idCol)
   }
 
   /** Discrete quantile estimates over everything ingested ≡ a single

@@ -238,6 +238,12 @@ class GraftLakeSpec extends SparkSpec {
     // idempotent + missing-feed behavior
     assert(lake.vacuumChangeFeed("db", "t", batches.last) == ((0, 1)))
     assert(lake.vacuumChangeFeed("db", "missing", 99L) == ((0, 0)))
+    // time travel over a vacuumed (incomplete) feed must REFUSE, not
+    // silently drop every key last touched before the cutoff
+    val e = intercept[IllegalArgumentException] {
+      lake.readAsOf("db", "t", batches.last)
+    }
+    assert(e.getMessage.contains("vacuum"))
   }
 
   test("façade: syncStreaming fans out one stream per active table, independent checkpoints") {

@@ -53,6 +53,18 @@ class HtmlStripSpec extends SparkSpec {
     assert(staged == out)
   }
 
+  test("markup-only / empty pages strip to an empty string, never throw (zero-line sequence edge)") {
+    val cases = Seq("<script>var x = 1;</script>", "", "   ",
+      "<html><head><style>p{}</style></head><body></body></html>",
+      "<!-- only a comment -->")
+    val out = cases.toDF("h")
+      .select(HtmlFunctions.extractMainText(col("h"), 25, 10)).as[String].collect()
+    assert(out.toSeq == Seq.fill(cases.length)(""), s"got: ${out.toSeq}")
+    val staged = HtmlFunctions.extractMainText(cases.toDF("h"), col("h"), "m")
+      .select("m").as[String].collect()
+    assert(staged.toSeq == Seq.fill(cases.length)(""))
+  }
+
   test("an isolated short-line run drops entirely (no long neighbor rescues it)") {
     val out = Seq("<p>one two</p><p>three four</p><p>five six</p>")
       .toDF("h").select(HtmlFunctions.extractMainText(col("h"), 25, 10)).as[String].head()

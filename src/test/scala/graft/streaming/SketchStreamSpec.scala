@@ -79,7 +79,27 @@ class SketchStreamSpec extends SparkSpec {
     SketchStream.ingestQuantileBatch(lens(docs.where($"doc_id" % 2 === 1L)),
       "b1", t, Seq("source"), "doc_id", "v", k = 64)
     assert(qset(SketchStream.readQuantiles(spark, t, Seq("source"), probs, k = 64)) == single)
-    (Seq(t + "_qsk", graft.io.SegmentedIndex.ledgerTable(t)))
+    (Seq(t + "_qsk", graft.io.SegmentedIndex.ledgerTable(t + "_qsk")))
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("quantile gate shares a table name with the hll/cms gate without ledger collision") {
+    val t = "sketch_shared_name"
+    val half = terms(docs.where($"doc_id" % 2 === 0L)).localCheckpoint(true)
+    SketchStream.ingestBatch(half, "b0", t, Seq("source"), "term", 64, 4, 256)
+    val before = cmsSet(SketchStream.readTermCounts(spark, t, watch, "term"))
+    // same table name, SAME batch id — a shared ledger would wipe the
+    // hll/cms rows on bootstrap and then mask this delivery's id
+    val lens = docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("v"))
+    SketchStream.ingestQuantileBatch(lens, "b0", t, Seq("source"), "doc_id", "v", 64)
+    assert(cmsSet(SketchStream.readTermCounts(spark, t, watch, "term")) == before,
+      "hll/cms ledger must survive the quantile bootstrap")
+    assert(SketchStream.readQuantiles(spark, t, Seq("source"), Seq((1, 2)), 64)
+      .count() > 0, "the same batch id must not be masked across families")
+    (Seq(t + "_hll", t + "_cms", t + "_qsk",
+      graft.io.SegmentedIndex.ledgerTable(t),
+      graft.io.SegmentedIndex.ledgerTable(t + "_qsk")))
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 }
