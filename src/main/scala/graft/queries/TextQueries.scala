@@ -765,6 +765,30 @@ object TextQueries {
         dropNum = 1, dropDen = 5, k = 256)
     }),
 
+    // Quantile profile via the INGEST path: two parity-half deliveries
+    // through the segment-ledgered quantile gate, then the read-side
+    // bottom-k-of-union fold — shares the single-pass oracle verbatim
+    // (ingest indistinguishable from recompute, the merge law applied
+    // per delivery).
+    "text_quantile_after_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val t = "qsk_ingest_q"
+      Seq(t + "_qsk", graft.io.SegmentedIndex.ledgerTable(t + "_qsk"))
+        .foreach(x => s.sql(s"DROP TABLE IF EXISTS $x"))
+      val d = docs(s, dir)
+      def lens(part: org.apache.spark.sql.DataFrame) = part.select(
+        col("source"), col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.streaming.SketchStream.ingestQuantileBatch(
+        lens(d.where(col("doc_id") % 2 === 0L)), "b0", t,
+        Seq("source"), "doc_id", "n_tokens", 256)
+      graft.streaming.SketchStream.ingestQuantileBatch(
+        lens(d.where(col("doc_id") % 2 === 1L)), "b1", t,
+        Seq("source"), "doc_id", "n_tokens", 256)
+      graft.streaming.SketchStream.readQuantiles(s, t, Seq("source"),
+        Seq((1, 4), (1, 2), (3, 4), (9, 10)), 256)
+    }),
+
     // Deterministic stratified sample — "5 documents per source", the
     // corpus-inspection op every curation decision starts from:
     // hash-ordered bottom-n, so the sample is a pure function of the
@@ -1203,6 +1227,7 @@ object TextQueries {
     "text_kmv_merged" -> kmvSql,
     "text_quantile_sketch" -> quantileSketchSql,
     "text_quantile_merged" -> quantileSketchSql,
+    "text_quantile_after_ingest" -> quantileSketchSql,
 
     "text_sample_per_source" ->
       s"""WITH h AS (SELECT source, doc_id, lang,
