@@ -292,15 +292,6 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(dec(col("l_quantity"), 2)).cast("double").as("qty"))),
 
-    // Full CUBE (all 2^k grouping sets — completes the grouping-sets
-    // surface beside ROLLUP): one Expand + one aggregation, partial
-    // aggs combine map-side per grouping set.
-    "rel_cube" -> ((s, dir) =>
-      Tables(s, dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"), 2)).cast("double").as("qty"))),
-
     // Scalar-function surface: string/date/conditional functions commonly
     // used in lake queries (all deterministic, engine-portable).
     "rel_scalar_funcs" -> ((s, dir) =>
@@ -1316,11 +1307,6 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
-
-    "rel_cube" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "rel_scalar_funcs" ->
       """SELECT o_orderkey,
