@@ -20,6 +20,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.plans.GraftOptimizations.install(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {

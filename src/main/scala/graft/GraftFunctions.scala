@@ -91,6 +91,7 @@ object GraftFunctions {
         new ExpressionInfo("graft", name), b))
     }
     e.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+    e.injectOptimizerRule(_ => graft.plans.TokenCountRule)
   }
 }
 

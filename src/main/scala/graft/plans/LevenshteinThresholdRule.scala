@@ -97,13 +97,16 @@ object LevenshteinThresholdRule extends Rule[LogicalPlan] {
   * extensions path `spark.sql.extensions=graft.GraftExtensions` installs
   * them application-wide at session build instead). Idempotent. */
 object GraftOptimizations {
+  private val rules: Seq[Rule[LogicalPlan]] =
+    Seq(LevenshteinThresholdRule, TokenCountRule)
+
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(LevenshteinThresholdRule))
-      spark.experimental.extraOptimizations = cur :+ LevenshteinThresholdRule
+    spark.experimental.extraOptimizations =
+      cur ++ rules.filterNot(cur.contains)
   }
 
   def uninstall(spark: SparkSession): Unit =
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == LevenshteinThresholdRule)
+      spark.experimental.extraOptimizations.filterNot(rules.contains)
 }

@@ -10,6 +10,8 @@ object TimeQueries {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
+    if (!sys.env.contains("SPARK_GRAFT_NO_RULES"))
+      graft.plans.GraftOptimizations.install(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def run(n: String): Double = {
