@@ -53,6 +53,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    in the first packet (channels, sample rate), duration from the
   *    LAST page's granule position (total PCM samples; RFC 3533 +
   *    Vorbis I spec §4.2.2).
+  *  - WebP: RIFF container with the 'WEBP' form type — dimensions from
+  *    the first chunk's bitstream header: 'VP8 ' lossy (14-bit le
+  *    dims after the 9D 01 2A start code), 'VP8L' lossless (packed
+  *    u32: width−1 / height−1 / alpha), or 'VP8X' extended (24-bit le
+  *    canvas dims, alpha flag bit); channels 3 + alpha.
   *
   * Output struct: (format, width, height, channels, sample_rate,
   * duration_ms) — fields not defined by a format are NULL, and any
@@ -328,6 +333,40 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
             if (granule > 0 && granule < (1L << 53))
               granule * 1000L / rate
             else null)
+      }
+      return unknown
+    }
+    // WebP: RIFF container with the 'WEBP' form type; the first chunk
+    // is the bitstream — 'VP8 ' (lossy: 3-byte frame tag, 9D 01 2A
+    // start code, 14-bit le dimensions), 'VP8L' (lossless: 0x2F
+    // signature then a packed le u32 of width−1 (14) / height−1 (14) /
+    // alpha (1)), or 'VP8X' (extended: flag byte — bit 4 = alpha —
+    // then 24-bit le canvas width−1 / height−1). Lossy VP8 is YUV → 3
+    // channels; the alpha bit adds the 4th (WebP container spec +
+    // RFC 6386 §9.1; VP8L from the public lossless bitstream spec).
+    if (b.length >= 20 && ascii(b, 0, "RIFF") && ascii(b, 8, "WEBP")) {
+      val d = 20 // first chunk's data (12 RIFF/form + 4 fourcc + 4 size)
+      if (ascii(b, 12, "VP8 ") && d + 10 <= b.length &&
+          (b(d + 3) & 0xff) == 0x9d && (b(d + 4) & 0xff) == 0x01 &&
+          (b(d + 5) & 0xff) == 0x2a) {
+        val w = le16(b, d + 6) & 0x3fff; val h = le16(b, d + 8) & 0x3fff
+        if (w > 0 && h > 0)
+          return InternalRow(UTF8String.fromString("webp"), w, h, 3, null, null)
+      } else if (ascii(b, 12, "VP8L") && d + 5 <= b.length &&
+          (b(d) & 0xff) == 0x2f) {
+        val bits = le32(b, d + 1)
+        val w = (bits & 0x3fff).toInt + 1
+        val h = ((bits >> 14) & 0x3fff).toInt + 1
+        val alpha = ((bits >> 28) & 1L).toInt
+        return InternalRow(UTF8String.fromString("webp"), w, h,
+          3 + alpha, null, null)
+      } else if (ascii(b, 12, "VP8X") && d + 10 <= b.length) {
+        def le24(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+          ((b(i + 2) & 0xff) << 16)
+        val w = le24(d + 4) + 1; val h = le24(d + 7) + 1
+        val alpha = if ((b(d) & 0x10) != 0) 1 else 0
+        return InternalRow(UTF8String.fromString("webp"), w, h,
+          3 + alpha, null, null)
       }
       return unknown
     }

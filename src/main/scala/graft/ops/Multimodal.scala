@@ -314,6 +314,34 @@ object Multimodal {
       entryShort(277, spp) ++ u32(0) ++ body
   }
 
+  /** Deterministic REAL-WebP payloads (the fixture formula the
+    * mm_webp_meta oracle mirrors): id ≡ 0 (mod 3) → 'VP8 ' lossy
+    * key-frame header, ≡ 1 → 'VP8L' lossless (alpha bit = (id/3) % 2),
+    * ≡ 2 → 'VP8X' extended canvas header (alpha flag = (id/3) % 2).
+    * Header overhead: 30 bytes for VP8 /VP8X, 25 for VP8L. */
+  private[ops] def buildWebpPayload(id: Long, body: Array[Byte]): Array[Byte] = {
+    def le24(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte)
+    val chunk: Array[Byte] = (id % 3) match {
+      case 0 =>
+        val w = (id % 3000 + 1).toInt; val h = (id % 1700 + 1).toInt
+        ascii("VP8 ") ++ le32(10 + body.length) ++
+          Array[Byte](0, 0, 0) ++ Array(0x9d, 0x01, 0x2a).map(_.toByte) ++
+          le16(w) ++ le16(h) ++ body
+      case 1 =>
+        val w = (id % 2048 + 1).toInt; val h = (id % 1365 + 1).toInt
+        val alpha = ((id / 3) % 2).toInt
+        val bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+        ascii("VP8L") ++ le32(5 + body.length) ++
+          Array(0x2f.toByte) ++ le32(bits) ++ body
+      case _ =>
+        val w = (id % 4096 + 1).toInt; val h = (id % 2304 + 1).toInt
+        val alpha = ((id / 3) % 2).toInt
+        ascii("VP8X") ++ le32(10 + body.length) ++
+          Array[Byte]((alpha << 4).toByte, 0, 0, 0) ++ le24(w - 1) ++ le24(h - 1) ++ body
+    }
+    ascii("RIFF") ++ le32(4 + chunk.length) ++ ascii("WEBP") ++ chunk
+  }
+
   private[ops] def buildFlacOggPayload(id: Long, body: Array[Byte]): Array[Byte] =
     if (id % 2 == 0) {
       // FLAC: fLaC + STREAMINFO (last-block flag set, type 0, length
@@ -382,6 +410,20 @@ object Multimodal {
       .map { case (id, text) =>
         (id, "audio",
           buildFlacOggPayload(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }.toDF("media_id", "kind", "payload")
+  }
+
+  /** WebP twin of [[mediaWithFlacOggHeaders]]: every id carries a real
+    * RIFF/WEBP container — lossy 'VP8 ', lossless 'VP8L', or extended
+    * 'VP8X' by id mod 3 (see [[buildWebpPayload]]). */
+  def mediaWithWebpHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, "image",
+          buildWebpPayload(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       }.toDF("media_id", "kind", "payload")
   }
 

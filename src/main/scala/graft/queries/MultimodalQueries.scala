@@ -90,6 +90,18 @@ object MultimodalQueries {
         Multimodal.mediaWithFlacOggHeaders(Tables(s, dir, "documents"),
           "doc_id", "text"))),
 
+    // WebP header decode: one RIFF form type, THREE bitstream headers —
+    // lossy 'VP8 ' (14-bit le dims behind the 9D 01 2A start code),
+    // lossless 'VP8L' (one packed u32: width−1 / height−1 / alpha bit),
+    // extended 'VP8X' (24-bit le canvas dims + alpha flag byte) — so a
+    // parser that only handles the common lossy chunk mismatches two
+    // thirds of the corpus. Same oracle contract as the other mm_*_meta
+    // queries: every field recomputed from the fixture formula.
+    "mm_webp_meta" -> ((s, dir) =>
+      Multimodal.decodeHeaders(
+        Multimodal.mediaWithWebpHeaders(Tables(s, dir, "documents"),
+          "doc_id", "text"))),
+
     // Exact payload dedup (content-hash grouping — step one of a media
     // dedup pipeline; the sf corpus has no byte-identical payloads, so
     // every group is a singleton here, which the oracle verifies too).
@@ -344,6 +356,25 @@ object MultimodalQueries {
         |     ELSE ((doc_id % 50 + 1) * 2000 * 1000)
         |            // (11025 * ((doc_id // 2) % 4 + 1))
         |   END)::BIGINT AS duration_ms
+        |FROM documents""".stripMargin,
+
+    // WebP: header overhead 30 B (VP8 /VP8X) or 25 B (VP8L); channels
+    // 3 + alpha, where lossy VP8 never carries alpha.
+    "mm_webp_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  (octet_length(encode(text))
+        |    + CASE doc_id % 3 WHEN 1 THEN 25 ELSE 30 END)::BIGINT AS n_bytes,
+        |  'webp' AS format,
+        |  (CASE doc_id % 3 WHEN 0 THEN doc_id % 3000 + 1
+        |        WHEN 1 THEN doc_id % 2048 + 1
+        |        ELSE doc_id % 4096 + 1 END)::INT AS width,
+        |  (CASE doc_id % 3 WHEN 0 THEN doc_id % 1700 + 1
+        |        WHEN 1 THEN doc_id % 1365 + 1
+        |        ELSE doc_id % 2304 + 1 END)::INT AS height,
+        |  (CASE doc_id % 3 WHEN 0 THEN 3
+        |        ELSE 3 + (doc_id // 3) % 2 END)::INT AS channels,
+        |  NULL::INT AS sample_rate,
+        |  NULL::BIGINT AS duration_ms
         |FROM documents""".stripMargin,
 
     "mm_gifbmp_meta" ->

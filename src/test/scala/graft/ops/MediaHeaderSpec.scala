@@ -120,6 +120,35 @@ class MediaHeaderSpec extends SparkSpec {
     assert(h.getString(0) == "ogg" && h.getInt(4) == 33075 && h.isNullAt(5))
   }
 
+  test("WebP: VP8 lossy, VP8L packed bits, VP8X canvas + alpha; malformed degrades") {
+    import Multimodal.buildWebpPayload
+    // id 6 ≡ 0 (mod 3): lossy — w 6%3000+1=7, h 6%1700+1=7, channels 3
+    val v = decodeOne(buildWebpPayload(6L, "body".getBytes))
+    assert(v.getString(0) == "webp" && v.getInt(1) == 7 && v.getInt(2) == 7 &&
+      v.getInt(3) == 3 && v.isNullAt(4) && v.isNullAt(5))
+    // id 7 ≡ 1: VP8L — w 8, h 8, alpha (7/3)%2=0 → 3 channels
+    val l = decodeOne(buildWebpPayload(7L, "b".getBytes))
+    assert(l.getString(0) == "webp" && l.getInt(1) == 8 && l.getInt(2) == 8 &&
+      l.getInt(3) == 3)
+    // id 10 ≡ 1: VP8L with alpha (10/3)%2=1 → 4 channels
+    assert(decodeOne(buildWebpPayload(10L, "b".getBytes)).getInt(3) == 4)
+    // id 11 ≡ 2: VP8X — w 12, h 12, alpha (11/3)%2=1 → 4 channels
+    val x = decodeOne(buildWebpPayload(11L, "b".getBytes))
+    assert(x.getString(0) == "webp" && x.getInt(1) == 12 && x.getInt(2) == 12 &&
+      x.getInt(3) == 4)
+    // lossy chunk without the 9D 01 2A start code → unknown, no throw
+    val bad = buildWebpPayload(6L, "body".getBytes)
+    bad(23) = 0x00 // corrupt the start code's first byte
+    assert(decodeOne(bad).getString(0) == "unknown")
+    // RIFF/WEBP but an unrecognized bitstream fourcc → unknown
+    val alien = "RIFF".getBytes ++ Array[Byte](12, 0, 0, 0) ++ "WEBP".getBytes ++
+      "ANMF".getBytes ++ Array[Byte](0, 0, 0, 0)
+    assert(decodeOne(alien).getString(0) == "unknown")
+    // truncated right after the form type → unknown, never a throw
+    assert(decodeOne(buildWebpPayload(6L, "body".getBytes).take(12))
+      .getString(0) == "unknown")
+  }
+
   test("garbage, empty, and truncated payloads degrade to unknown — never throw") {
     assert(decodeOne(Array.empty[Byte]).getString(0) == "unknown")
     assert(decodeOne("just some text".getBytes).getString(0) == "unknown")
