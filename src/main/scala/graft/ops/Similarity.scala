@@ -1457,6 +1457,58 @@ object Similarity {
     r
   }
 
+  /** Bounded-round MULTI-SOURCE BFS over an undirected candidate edge
+    * list: every reached node's hop distance from the NEAREST seed,
+    * plus the winning seed (minimum seed id among seeds at exactly that
+    * distance — the deterministic tie-break). The curation walk behind
+    * "how far is this document from a trusted / poisoned seed set" and
+    * seed-anchored neighborhood exports.
+    *
+    * Classic frontier expansion: round r joins the CURRENT frontier
+    * (nodes first reached at hop r−1) against the edge list, anti-joins
+    * the already-reached set, and min-folds the contributing roots.
+    * Root invariant: a node's root is min{seed s : dist(s, node) =
+    * hops(node)} — any seed at distance r reaches through a neighbor
+    * first reached at exactly r−1 (else the node would have been
+    * reached sooner) carrying a root ≤ s, and conversely a frontier
+    * neighbor's root is itself at r−1 from the neighbor, hence at
+    * exactly r from the node by first-reach minimality.
+    *
+    * Work per round: one hash join of the (already candidate-sized,
+    * ≤ N·k row) edge list against the frontier + one anti-join against
+    * the reached set — never node²; `localCheckpoint` truncates the
+    * iterative lineage per round (the [[pageRank]] guard), and an empty
+    * frontier exits early (a fixed point: running the remaining rounds
+    * would add nothing, so early exit equals the oracle's full unroll).
+    * `rounds` is a fixed diameter bound, never a data function.
+    *
+    * Output: (node, root, hops) for nodes within `rounds` hops; seeds
+    * at hop 0; unreached nodes absent. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, idCol: String,
+              rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val e = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var reached = seeds
+      .select(col(idCol).as("node"), col(idCol).as("root"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var frontier = reached
+    var r = 1
+    while (r <= rounds && frontier.count() > 0) {
+      frontier = e
+        .join(frontier.select(col("node").as("src"), col("root")), "src")
+        .select(col("dst").as("node"), col("root"))
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .groupBy("node").agg(min("root").as("root"))
+        .withColumn("hops", lit(r.toLong))
+        .localCheckpoint(true)
+      reached = reached.unionByName(frontier).localCheckpoint(true)
+      r += 1
+    }
+    reached
+  }
+
   /** Bounded-round K-CORE decomposition over an undirected edge list
     * (both orientations present, as [[mutualKnn]] emits): each round
     * drops nodes of degree < k, removes their incident edges, and

@@ -157,6 +157,20 @@ object SimilarityQueries {
       Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
         k = 3, bits = 6, maxBucketSize = 1000)),
 
+    // Multi-source BFS over the kNN graph: hop distance from the
+    // nearest seed (the query set, vec_id ≡ 0 mod 100) plus the winning
+    // seed id — the "how far is this point from a trusted/poisoned seed
+    // set" curation walk. 4 frontier-expansion rounds; the oracle is a
+    // recursive-CTE walk over the same edge set with min-hop/min-root
+    // resolution.
+    "sim_bfs_hops" -> ((s, dir) => {
+      val g = Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+        k = 3, bits = 6, maxBucketSize = 1000)
+      Similarity.bfsHops(g,
+        emb(s, dir).where(col("vec_id") % 100 === 0).select("vec_id"),
+        "vec_id", rounds = 4)
+    }),
+
     // Rocchio pseudo-relevance feedback (α = β = 1/2): take each
     // query's brute top-5 as the feedback set, expand the query vector
     // to 0.5·q + 0.5·mean(top-5), re-search — the classic IR feedback
@@ -938,6 +952,30 @@ object SimilarityQueries {
       s"""WITH $knnGraphCtes
          |SELECT src, dst, cos, CAST(rank AS BIGINT) AS rank
          |FROM topk""".stripMargin,
+
+    // BFS mirror: recursive walk over the symmetrized top-3 edge set,
+    // UNION-deduped state (node, root, hops); per node the minimal hop
+    // count wins, then the minimal root among walks of exactly that
+    // length — walks of length h from seed s exist iff dist(s, node)
+    // = h when h is the node's minimum, so the min-root set matches the
+    // engine's frontier invariant.
+    "sim_bfs_hops" ->
+      s"""WITH RECURSIVE $knnGraphCtes,
+         |eg AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM topk
+         |    UNION ALL SELECT dst, src FROM topk)),
+         |walk AS (
+         |  SELECT vec_id AS node, vec_id AS root, 0 AS hops
+         |  FROM embeddings WHERE vec_id % 100 = 0
+         |  UNION
+         |  SELECT eg.dst, walk.root, walk.hops + 1
+         |  FROM walk JOIN eg ON eg.src = walk.node
+         |  WHERE walk.hops < 4),
+         |best AS (SELECT node, min(hops) AS hops FROM walk GROUP BY node)
+         |SELECT w.node, min(w.root) AS root, CAST(b.hops AS BIGINT) AS hops
+         |FROM walk w JOIN best b ON w.node = b.node AND w.hops = b.hops
+         |GROUP BY w.node, b.hops""".stripMargin,
 
     // Rocchio mirror: brute top-5 feedback, per-dim rank-order mean
     // fold, expanded query list, corpus re-scan with the same cosine.

@@ -844,6 +844,36 @@ class OpsSpec extends SparkSpec {
     assert(oneRound == Set(1L, 2L, 3L, 4L))
   }
 
+  test("bfsHops: nearest-seed hops, min-root ties at equal distance, rounds bound") {
+    // path 1-2-3-4-5-6 with seeds {1, 6}: node 3 is 2 hops from seed 1,
+    // node 4 is 2 hops from seed 6; with the extra chord (3,7)+(7,4) the
+    // midpoint 7 sits at 3 hops from BOTH seeds → root = min(1, 6) = 1.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (3L, 7L), (7L, 4L))
+    val edges = und.toDF("src", "dst") // directed input; op symmetrizes
+    val seeds = Seq(1L, 6L).toDF("vec_id")
+    val got = Similarity.bfsHops(edges, seeds, "vec_id", rounds = 4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (1L, 0L), 6L -> (6L, 0L),
+      2L -> (1L, 1L), 5L -> (6L, 1L),
+      3L -> (1L, 2L), 4L -> (6L, 2L),
+      7L -> (1L, 3L))) // equidistant tie → min seed id
+    // rounds bound: 1 round reaches only the seeds' direct neighbors
+    val r1 = Similarity.bfsHops(edges, seeds, "vec_id", rounds = 1).collect()
+      .map(_.getLong(0)).toSet
+    assert(r1 == Set(1L, 2L, 5L, 6L))
+    // early exit at an empty frontier ≡ running the remaining rounds
+    val r9 = Similarity.bfsHops(edges, seeds, "vec_id", rounds = 9).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(r9 == got)
+    // an isolated seed (not in the edge list) still reports hop 0
+    val iso = Similarity.bfsHops(edges, Seq(99L).toDF("vec_id"),
+      "vec_id", rounds = 2).collect()
+    assert(iso.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((99L, 99L, 0L)))
+  }
+
   test("kTruss: edge-support peel cascades; bridge edges die even between kept nodes") {
     // two triangles {1,2,3} and {4,5,6} joined by the bridge (3,4): the
     // bridge closes no triangle → peels round 1, even though BOTH its
