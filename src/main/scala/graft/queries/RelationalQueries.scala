@@ -452,6 +452,51 @@ object RelationalQueries {
       graft.ops.Profile.profile(Tables(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
 
+    // Benford first-digit profile: the classic fabricated-amounts audit
+    // — genuine transaction amounts lead with 1 far more often than
+    // with 9, and a synthetic/tampered feed shows up as a flat digit
+    // histogram. The digit comes from the STRING form of the exact
+    // cents integer (the repo's floor convention), so there is no
+    // log/pow float anywhere; share is the single IEEE division both
+    // engines mirror. One partial-agg pass; 9 output rows.
+    "dq_benford" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .withColumn("__c",
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"))
+        .withColumn("digit",
+          substring(col("__c").cast("string"), 1, 1).cast("long"))
+        .groupBy("digit")
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("share",
+          col("n_rows").cast("double") /
+            sum(col("n_rows")).over(Window.partitionBy()).cast("double"))),
+
+    // Functional-dependency audit (source → lang on documents): a
+    // single-language crawl source is the expected shape; mixed-language
+    // sources flag mis-crawls or contamination. Per source: row count,
+    // exact distinct languages, the majority language (count-desc,
+    // lang-asc tie-break — deterministic), its share, and the violated
+    // bit. One partial-agg over (source, lang) — never a row-level
+    // distinct — then a per-source WindowGroupLimit argmax.
+    "dq_fd_violations" -> ((s, dir) => {
+      val byLang = Tables(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("__n"))
+      val w = Window.partitionBy("source")
+      val rn = Window.partitionBy("source")
+        .orderBy(col("__n").desc, col("lang"))
+      byLang
+        .withColumn("n_rows", sum(col("__n")).over(w))
+        .withColumn("n_langs", count(lit(1)).over(w))
+        .withColumn("__rn", row_number().over(rn))
+        .where(col("__rn") === 1)
+        .select(col("source"), col("n_rows"), col("n_langs"),
+          col("lang").as("top_lang"),
+          (col("__n").cast("double") / col("n_rows").cast("double"))
+            .as("top_share"),
+          (col("n_langs") > 1).as("violated"))
+    }),
+
     // Z-order (Morton) values for two-dimensional clustering (see
     // [[graft.ops.ZOrder]] — the layout pass that makes parquet min/max
     // prune on BOTH keys). The value function is the oracle-checked part;
@@ -776,6 +821,46 @@ object RelationalQueries {
             .as("confidence"),
           ((col("n_ab") * col("__no")).cast("double") /
             (col("__na") * col("__nb")).cast("double")).as("lift"))
+    }),
+
+    // RFM customer segmentation (recency / frequency / monetary): the
+    // classic lifecycle-marketing cut, each dimension scored 1-4 by
+    // global quartile. Metrics are one partial-agg pass over orders
+    // (monetary in exact cents, the repo's floor(v·100 + 0.5)
+    // convention); each quartile rank is the two-phase
+    // parallelRunningSum — no single-task global window (the
+    // rel_equidepth_hist argument) — and the score is pure integer
+    // arithmetic on the exact rank, ascending order so the TOP quartile
+    // scores 4. Ties break on the unique customer key in BOTH engines.
+    "rel_rfm_segments" -> ((s, dir) => {
+      def ranked(df: DataFrame, keep: Seq[String],
+                 orderCols: Seq[String], rankCol: String) =
+        graft.ops.Curation.parallelRunningSum(
+            df.withColumn("__one", lit(1L)), Nil, orderCols, "__one", rankCol)
+          .select((keep :+ rankCol).map(col): _*)
+      val cust = Tables(s, dir, "orders")
+        .withColumn("__cents",
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(col("__cents")).as("monetary_cents"))
+        .localCheckpoint(true) // three rank passes + the size agg read it
+      val n = cust.groupBy().agg(count(lit(1)).as("__n"))
+      val base = Seq("o_custkey", "last_order", "frequency", "monetary_cents")
+      val withR = ranked(cust, base, Seq("last_order", "o_custkey"), "__rr")
+      val withF = ranked(withR, base :+ "__rr",
+        Seq("frequency", "o_custkey"), "__fr")
+      val withM = ranked(withF, base ++ Seq("__rr", "__fr"),
+        Seq("monetary_cents", "o_custkey"), "__mr")
+      withM.crossJoin(broadcast(n))
+        .select(col("o_custkey"), col("last_order"), col("frequency"),
+          col("monetary_cents"),
+          expr("((__rr - 1) * 4) div __n + 1").as("r_score"),
+          expr("((__fr - 1) * 4) div __n + 1").as("f_score"),
+          expr("((__mr - 1) * 4) div __n + 1").as("m_score"))
+        .withColumn("segment", concat(col("r_score").cast("string"),
+          col("f_score").cast("string"), col("m_score").cast("string")))
     }),
 
     // Equi-depth histogram: every bucket holds (within one row) the same
@@ -1490,6 +1575,35 @@ object RelationalQueries {
         |       coalesce(sum(k - 1), 0) = 0
         |FROM (SELECT count(*) AS k FROM orders GROUP BY o_orderkey) g""".stripMargin,
 
+    // Benford mirror: same string-form first digit of the exact cents
+    // integer, same single share division.
+    "dq_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)::VARCHAR,
+        |                     1, 1) AS BIGINT) AS digit
+        |  FROM orders)
+        |SELECT digit, count(*) AS n_rows,
+        |       count(*)::DOUBLE / (sum(count(*)) OVER ())::DOUBLE AS share
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // FD mirror: per-(source, lang) partial counts, majority pick via
+    // the same (count desc, lang asc) tie-break, one share division.
+    "dq_fd_violations" ->
+      """WITH bl AS (
+        |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+        |s AS (
+        |  SELECT source, lang, n,
+        |         sum(n) OVER (PARTITION BY source) AS n_rows,
+        |         count(*) OVER (PARTITION BY source) AS n_langs,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n DESC, lang) AS rn
+        |  FROM bl)
+        |SELECT source, CAST(n_rows AS BIGINT) AS n_rows, n_langs,
+        |       lang AS top_lang,
+        |       n::DOUBLE / n_rows::DOUBLE AS top_share,
+        |       n_langs > 1 AS violated
+        |FROM s WHERE rn = 1""".stripMargin,
+
     "rel_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
@@ -1691,6 +1805,32 @@ object RelationalQueries {
         |       min(o_totalprice) AS lo,
         |       max(o_totalprice) AS hi
         |FROM r GROUP BY 1""".stripMargin,
+
+    // RFM mirror: same exact-cents metrics, same ascending rank +
+    // integer-arithmetic quartile (row_number here — the oracle does
+    // not need the two-phase rank, only its value), same tie-breaks.
+    "rel_rfm_segments" ->
+      """WITH c AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |         count(*) AS frequency,
+        |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY last_order, o_custkey) AS rr,
+        |    row_number() OVER (ORDER BY frequency, o_custkey) AS fr,
+        |    row_number() OVER (ORDER BY monetary_cents, o_custkey) AS mr,
+        |    count(*) OVER () AS n
+        |  FROM c)
+        |SELECT o_custkey, last_order, frequency, monetary_cents,
+        |       ((rr - 1) * 4) // n + 1 AS r_score,
+        |       ((fr - 1) * 4) // n + 1 AS f_score,
+        |       ((mr - 1) * 4) // n + 1 AS m_score,
+        |       (((rr - 1) * 4) // n + 1)::VARCHAR ||
+        |       (((fr - 1) * 4) // n + 1)::VARCHAR ||
+        |       (((mr - 1) * 4) // n + 1)::VARCHAR AS segment
+        |FROM r""".stripMargin,
 
     "rel_explode_outer" ->
       """WITH h AS (
