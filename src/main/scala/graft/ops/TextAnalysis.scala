@@ -25,6 +25,32 @@ object TextAnalysis {
         typeTokenRatio(t).as("type_token_ratio"))
   }
 
+  /** Simpson diversity per document — the EXACT repeated-token collision
+    * profile: n_tokens, n_distinct, collisions = Σ c·(c−1) over the
+    * token multiset, and the Simpson repeat probability
+    * collisions / (n·(n−1)) (the chance two tokens drawn without
+    * replacement coincide; 1 − Gini-Simpson). The log-free twin of
+    * Shannon-entropy diversity — every statistic is exact integer
+    * arithmetic until the single final IEEE division, so the oracle
+    * mirrors it bit-for-bit — and a sharper repetitiveness flag than
+    * type-token ratio (a doc half-filled by ONE token scores far worse
+    * than one with uniformly doubled types). Distributed shape: explode
+    * → (doc, token) partial-agg → per-doc fold; both aggs map-side
+    * combine, state bounded by distinct tokens per doc, never a
+    * collect_list of the corpus. Docs of ≤ 1 token report NULL
+    * (undefined draw). */
+  def simpsonDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__c") * (col("__c") - 1)).as("collisions"))
+      .withColumn("simpson",
+        when(col("n_tokens") > 1,
+          col("collisions").cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1)).cast("double")))
+
   /** Quality signals + composite score per document. Shared tokenization
     * bound once, same as tokenStats. */
   def qualityScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

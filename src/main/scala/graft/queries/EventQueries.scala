@@ -435,6 +435,25 @@ object EventQueries {
     // 2^(15−j), the LONG tap sum is order-free — and only the final
     // rescale divides (÷2^16 exact, ÷100 once correctly rounded). One
     // window pass; per-row state is the 16 lags.
+    // Rolling DISCRETE median of value over each user's trailing 7
+    // events — the robust-center twin of events_ewma (one wild outlier
+    // moves a mean; it cannot move a median). The frame sort is over a
+    // ROWS-bounded window, so per-row state is the 7-element frame —
+    // bounded regardless of corpus size — and the lower-middle element
+    // of the sorted frame is a VALUE COPY, never an interpolation: no
+    // float arithmetic anywhere, both engines pick the same element.
+    "events_rolling_median" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("__win", array_sort(collect_list(col("value")).over(w)))
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("element_at(__win, CAST((size(__win) + 1) div 2 AS INT))")
+            .as("rolling_median"),
+          size(col("__win")).cast("long").as("win_n"))
+    }),
+
     "events_ewma" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -904,6 +923,20 @@ object EventQueries {
         |  CAST((epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
         |       / 1000000 AS DOUBLE) AS gap_s
         |FROM events""".stripMargin,
+
+    // Rolling-median mirror: same ROWS frame, same sorted-frame
+    // lower-middle element copy.
+    "events_rolling_median" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, value,
+        |         list_sort(list(value) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM events)
+        |SELECT event_id, user_id, value,
+        |       win[((len(win) + 1) // 2)::INT] AS rolling_median,
+        |       len(win)::BIGINT AS win_n
+        |FROM w""".stripMargin,
 
     "events_ewma" -> {
       val taps = (0 until 16).map(j =>

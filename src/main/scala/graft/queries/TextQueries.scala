@@ -15,6 +15,10 @@ object TextQueries {
       TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
+    // Exact token-collision diversity (Simpson repeat probability) —
+    // the log-free repetitiveness flag beside type-token ratio.
+    "text_simpson_diversity" -> ((s, dir) =>
+      TextAnalysis.simpsonDiversity(docs(s, dir), "doc_id", "text")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text", shingleWords = 3)),
 
@@ -1756,6 +1760,22 @@ object TextQueries {
          |  CASE WHEN len(toks) = 0 THEN 0.0
          |       ELSE len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE END AS type_token_ratio
          |FROM t""".stripMargin,
+
+    // Simpson mirror: same explode → (doc, token) counts → per-doc fold,
+    // exact integers to the one final division.
+    "text_simpson_diversity" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+         |a AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |         count(*) AS n_distinct,
+         |         CAST(sum(c * (c - 1)) AS BIGINT) AS collisions
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_distinct, collisions,
+         |       CASE WHEN n_tokens > 1 THEN
+         |         collisions::DOUBLE / (n_tokens * (n_tokens - 1))::DOUBLE
+         |       END AS simpson
+         |FROM a""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
