@@ -1,0 +1,174 @@
+package graft.expressions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types._
+
+/** Native BOUNDED top-k aggregate: keeps the k first rows of a struct-
+  * valued child under a per-field (ascending/descending) ordering in an
+  * O(k) heap — the grouped-top-k shape whose window formulation
+  * (`row_number() OVER (PARTITION BY g ORDER BY ...) <= k`) must
+  * shuffle and sort EVERY row of every group. As a
+  * [[TypedImperativeAggregate]] it runs inside ObjectHashAggregate with
+  * a map-side partial phase, so at most k rows per (group, input
+  * partition) ever cross the exchange — on a 1000-executor scan of a
+  * heavy-grouped 100 TB table that is the difference between shuffling
+  * the corpus and shuffling k·groups·partitions rows. (Spark 4's
+  * WindowGroupLimit pushes the same partial heap into the window
+  * path, but still materializes and sorts the per-group survivors;
+  * the aggregate form needs no sort at all and composes with other
+  * aggregates in the same pass.)
+  *
+  * Semantics: `child` must be a struct; rows are ordered field by field
+  * with the interpreted ordering of each field's type, direction per
+  * `directions` (true = ascending; nulls first when ascending, last
+  * when descending — Spark's default NULLS FIRST/LAST pairing). The
+  * result is the first ≤ k rows in that order, as a sorted array of
+  * structs (explode for (rank, fields...) rows). Deterministic whenever
+  * the struct is a total order over the group (include a unique
+  * tie-break field, as every window query in this repo does).
+  *
+  * The heap holds the CURRENT WORST row at its head (max-heap under the
+  * requested order), so update is an O(1) reject for rows past the
+  * kth — the common case on a big scan — and O(log k) otherwise.
+  * Partial buffers serialize as length-prefixed UnsafeRow bytes. */
+case class TopKAgg(
+    child: Expression,
+    k: Int,
+    directions: Seq[Boolean],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[InternalRow]]
+  with UnaryLike[Expression] {
+
+  require(k >= 1, s"k must be >= 1: $k")
+
+  private lazy val st = child.dataType.asInstanceOf[StructType]
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case s: StructType if s.length == directions.length =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case s: StructType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"directions has ${directions.length} entries for ${s.length} struct fields")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"topk needs a struct child, got ${other.catalogString}")
+    }
+
+  /** Field-by-field interpreted ordering with per-field direction. */
+  private lazy val rowOrdering: Ordering[InternalRow] = new Ordering[InternalRow] {
+    private val types = st.fields.map(_.dataType)
+    private val fieldOrds =
+      types.map(t => TypeUtils.getInterpretedOrdering(t))
+    override def compare(a: InternalRow, b: InternalRow): Int = {
+      var i = 0
+      while (i < types.length) {
+        val an = a.isNullAt(i); val bn = b.isNullAt(i)
+        val c =
+          if (an && bn) 0
+          else if (an) -1 // null sorts first under ascending
+          else if (bn) 1
+          else fieldOrds(i).compare(a.get(i, types(i)), b.get(i, types(i)))
+        val d = if (directions(i)) c else -c
+        if (d != 0) return d
+        i += 1
+      }
+      0
+    }
+  }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[InternalRow] =
+    new mutable.PriorityQueue[InternalRow]()(rowOrdering) // head = worst kept row
+
+  override def update(buf: mutable.PriorityQueue[InternalRow],
+                      input: InternalRow): mutable.PriorityQueue[InternalRow] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      if (buf.size < k) buf.enqueue(row.copy())
+      else if (rowOrdering.compare(row, buf.head) < 0) {
+        buf.dequeue(); buf.enqueue(row.copy())
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[InternalRow],
+                     other: mutable.PriorityQueue[InternalRow]): mutable.PriorityQueue[InternalRow] = {
+    other.foreach { row =>
+      if (buf.size < k) buf.enqueue(row)
+      else if (rowOrdering.compare(row, buf.head) < 0) {
+        buf.dequeue(); buf.enqueue(row)
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[InternalRow]): Any =
+    // dequeueAll drains in priority order (worst first) → reverse for
+    // rank order. The rows were defensively copied on entry.
+    new GenericArrayData(buf.clone().dequeueAll.reverse.toArray[Any])
+
+  private lazy val proj = UnsafeProjection.create(st)
+
+  override def serialize(buf: mutable.PriorityQueue[InternalRow]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { row =>
+      val u = proj(row)
+      out.writeInt(u.getSizeInBytes)
+      out.write(u.getBytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[InternalRow] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val arr = new Array[Byte](len)
+      in.readFully(arr)
+      val row = new UnsafeRow(st.length)
+      row.pointTo(arr, len)
+      buf.enqueue(row)
+      i += 1
+    }
+    buf
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(st, containsNull = false)
+  override def prettyName: String = "topk"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKAgg =
+    copy(child = newChild)
+}
+
+object TopKAgg {
+  /** Grouped bounded top-k: the first `k` rows of `key` (a struct
+    * column; build with `struct(...)`, include a unique tie-break)
+    * under per-field `directions` (true = ascending), as a rank-sorted
+    * array of structs. */
+  def topK(key: Column, k: Int, directions: Seq[Boolean]): Column =
+    GraftColumnShim.column(
+      TopKAgg(GraftColumnShim.expression(key), k, directions)
+        .toAggregateExpression())
+}

@@ -435,6 +435,24 @@ object EventQueries {
     // 2^(15−j), the LONG tap sum is order-free — and only the final
     // rescale divides (÷2^16 exact, ÷100 once correctly rounded). One
     // window pass; per-row state is the 16 lags.
+    // Grouped top-k through the native bounded-heap aggregate
+    // ([[graft.expressions.TopKAgg]]): top-5 events by value per type
+    // with O(k) state per (group, partition) and map-side partials —
+    // at most k rows per group per input partition reach the exchange,
+    // vs the window formulation shuffling and sorting every row. The
+    // oracle is the equivalent row_number window; EventStreamSpec pins
+    // the two formulations equal inside Spark too.
+    "events_topk_per_type" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(graft.expressions.TopKAgg.topK(
+          struct(col("value"), col("event_id")), 5,
+          directions = Seq(false, true)).as("__top"))
+        .select(col("event_type"),
+          posexplode(col("__top")).as(Seq("__i", "__s")))
+        .select(col("event_type"), (col("__i") + 1).cast("long").as("rank"),
+          col("__s.value").as("value"), col("__s.event_id").as("event_id"))),
+
     // Rolling DISCRETE median of value over each user's trailing 7
     // events — the robust-center twin of events_ewma (one wild outlier
     // moves a mean; it cannot move a median). The frame sort is over a
@@ -923,6 +941,17 @@ object EventQueries {
         |  CAST((epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
         |       / 1000000 AS DOUBLE) AS gap_s
         |FROM events""".stripMargin,
+
+    // Top-k mirror: the window formulation the bounded aggregate
+    // replaces — (value desc, event_id asc), rank ≤ 5.
+    "events_topk_per_type" ->
+      """SELECT event_type, CAST(rn AS BIGINT) AS rank, value, event_id
+        |FROM (
+        |  SELECT event_type, value, event_id,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 5""".stripMargin,
 
     // Rolling-median mirror: same ROWS frame, same sorted-frame
     // lower-middle element copy.
