@@ -98,7 +98,7 @@ object LevenshteinThresholdRule extends Rule[LogicalPlan] {
   * them application-wide at session build instead). Idempotent. */
 object GraftOptimizations {
   private val rules: Seq[Rule[LogicalPlan]] =
-    Seq(LevenshteinThresholdRule, TokenCountRule)
+    Seq(LevenshteinThresholdRule, TokenCountRule, DistinctCountRule)
 
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
