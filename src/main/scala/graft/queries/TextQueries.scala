@@ -74,6 +74,43 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Vocabulary coverage curve: what share of all token OCCURRENCES the
+    // top-k vocabulary covers, at k ∈ {10, 100, 1k, 10k} — the tokenizer-
+    // budget question (how big must a vocab be before <unk> is rare).
+    // One tokenize pass → vocabulary-sized term counts; the frequency-
+    // rank and the cumulative occurrence sum are BOTH two-phase
+    // parallelRunningSums over the deterministic (count desc, term)
+    // order — no single-task global window over the vocabulary — and a
+    // checkpoint past the vocabulary clamps to the last rank. Exact
+    // integers to one share division per row.
+    "text_vocab_coverage" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      import graft.ops.Curation
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val counts = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("__c"))
+        .withColumn("__neg", -col("__c"))
+        .localCheckpoint(true) // two rank passes + the totals agg read it
+      val cum = Curation.parallelRunningSum(counts, Nil,
+          Seq("__neg", "term"), "__c", "__cum")
+        .select("term", "__neg", "__c", "__cum")
+      val ranked = Curation.parallelRunningSum(
+          cum.withColumn("__one", lit(1L)), Nil,
+          Seq("__neg", "term"), "__one", "__rank")
+        .select("__rank", "__cum")
+      val totals = counts.groupBy()
+        .agg(sum(col("__c")).as("__tot"), count(lit(1)).as("__nv"))
+      Seq(10L, 100L, 1000L, 10000L).toDF("k")
+        .crossJoin(broadcast(totals))
+        .join(ranked, col("__rank") === least(col("k"), col("__nv")))
+        .select(col("k"), col("__rank").as("vocab_rank"),
+          col("__cum").as("covered_tokens"), col("__tot").as("total_tokens"),
+          (col("__cum").cast("double") / col("__tot").cast("double"))
+            .as("share"))
+    }),
+
     // Winnowing-style rolling fingerprint: min Rabin-Karp hash over 16-char
     // windows of the normalized text (partial-duplicate detection).
     "text_rolling_fingerprint" -> ((s, dir) => {
@@ -1553,6 +1590,25 @@ object TextQueries {
          |  FROM t)
          |SELECT doc_id, lang, n_tokens,
          |       ((cum - n_tokens) // 2048)::BIGINT AS pack_id FROM c""".stripMargin,
+
+    // Coverage mirror: same (count desc, term) order, cumulative
+    // occurrence sums, clamped checkpoints, one division.
+    "text_vocab_coverage" ->
+      s"""WITH t AS (
+         |  SELECT unnest($toksSql) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+         |r AS (
+         |  SELECT c,
+         |    row_number() OVER (ORDER BY c DESC, term) AS rank,
+         |    sum(c) OVER (ORDER BY c DESC, term ROWS UNBOUNDED PRECEDING) AS cum,
+         |    count(*) OVER () AS nv, sum(c) OVER () AS tot
+         |  FROM c),
+         |k AS (SELECT unnest([10, 100, 1000, 10000]) AS k)
+         |SELECT k.k::BIGINT AS k, CAST(r.rank AS BIGINT) AS vocab_rank,
+         |       CAST(r.cum AS BIGINT) AS covered_tokens,
+         |       CAST(r.tot AS BIGINT) AS total_tokens,
+         |       r.cum::DOUBLE / r.tot::DOUBLE AS share
+         |FROM k JOIN r ON r.rank = least(k.k, r.nv)""".stripMargin,
 
     "text_top_ngrams" ->
       s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
