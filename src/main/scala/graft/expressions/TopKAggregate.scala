@@ -33,7 +33,12 @@ import org.apache.spark.sql.types._
   * result is the first ≤ k rows in that order, as a sorted array of
   * structs (explode for (rank, fields...) rows). Deterministic whenever
   * the struct is a total order over the group (include a unique
-  * tie-break field, as every window query in this repo does).
+  * tie-break field, as every window query in this repo does). A NULL
+  * struct INPUT is ignored — standard SQL aggregate null semantics
+  * (`struct(...)` keys are never null, so this only matters for
+  * pre-built nullable struct columns, where the row_number mirror over
+  * the individual fields would instead rank the row by its null
+  * fields).
   *
   * The heap holds the CURRENT WORST row at its head (max-heap under the
   * requested order), so update is an O(1) reject for rows past the
@@ -54,11 +59,21 @@ case class TopKAgg(
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case s: StructType if s.length == directions.length =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case s: StructType =>
+      case s: StructType if s.length != directions.length =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"directions has ${directions.length} entries for ${s.length} struct fields")
+      case s: StructType =>
+        // fail unorderable field types (maps, ...) at ANALYSIS, not as a
+        // MatchError inside a retried executor task
+        s.fields.find(f =>
+            !org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+          match {
+            case Some(f) =>
+              org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+                s"topk field '${f.name}' has unorderable type ${f.dataType.catalogString}")
+            case None =>
+              org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+          }
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"topk needs a struct child, got ${other.catalogString}")

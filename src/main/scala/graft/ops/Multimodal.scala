@@ -398,94 +398,63 @@ object Multimodal {
     id3 ++ frame ++ body
   }
 
+  /** Shared scaffolding for the mediaWith*Headers fixture builders:
+    * one (id, kind, payload) row per document, payload = the format
+    * builder applied to the UTF-8 body. Fixture generation only — a
+    * per-row encode hop is fine here; the decode path itself is a
+    * native expression. */
+  private def mediaFrom(docs: DataFrame, idCol: String, textCol: String,
+                        kindOf: Long => String,
+                        build: (Long, Array[Byte]) => Array[Byte]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, kindOf(id),
+          build(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }.toDF("media_id", "kind", "payload")
+  }
+
   /** FLAC/OGG twin of [[mediaWithMp3Headers]]: even ids carry a real
     * fLaC STREAMINFO block, odd ids an OGG-Vorbis BOS identification
     * page + EOS page whose granule is the total sample count (body
     * laced in 255-byte segments). */
-  def mediaWithFlacOggHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        (id, "audio",
-          buildFlacOggPayload(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      }.toDF("media_id", "kind", "payload")
-  }
+  def mediaWithFlacOggHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    mediaFrom(docs, idCol, textCol, _ => "audio", buildFlacOggPayload)
 
   /** WebP twin of [[mediaWithFlacOggHeaders]]: every id carries a real
     * RIFF/WEBP container — lossy 'VP8 ', lossless 'VP8L', or extended
     * 'VP8X' by id mod 3 (see [[buildWebpPayload]]). */
-  def mediaWithWebpHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        (id, "image",
-          buildWebpPayload(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      }.toDF("media_id", "kind", "payload")
-  }
+  def mediaWithWebpHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    mediaFrom(docs, idCol, textCol, _ => "image", buildWebpPayload)
 
   /** MP3 twin of [[mediaWithTiffHeaders]]: every id carries a real
     * ID3v2 tag (id-derived syncsafe length) + MPEG-1 Layer III frame
     * header, document text as the CBR audio bytes. */
-  def mediaWithMp3Headers(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        (id, "audio",
-          buildMp3Payload(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      }.toDF("media_id", "kind", "payload")
-  }
+  def mediaWithMp3Headers(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    mediaFrom(docs, idCol, textCol, _ => "audio", buildMp3Payload)
 
   /** TIFF twin of [[mediaWithGifBmpHeaders]]: every id carries a real
     * TIFF header+IFD0 (width/height as LONG, samples-per-pixel as
     * SHORT), alternating the byte-order mark by id parity. */
-  def mediaWithTiffHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        (id, "image",
-          buildTiffPayload(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      }.toDF("media_id", "kind", "payload")
-  }
+  def mediaWithTiffHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    mediaFrom(docs, idCol, textCol, _ => "image", buildTiffPayload)
 
   /** GIF/BMP twin of [[mediaWithRealHeaders]]: even ids carry a GIF89a
     * logical-screen header, odd ids a BMP file+info header (ids ≡ 3 mod
     * 4 with the top-down negative height), document text as the body. */
-  def mediaWithGifBmpHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        (id, "image",
-          buildGifBmpPayload(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      }.toDF("media_id", "kind", "payload")
-  }
+  def mediaWithGifBmpHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    mediaFrom(docs, idCol, textCol, _ => "image", buildGifBmpPayload)
 
   /** Media fixture with REAL container headers (PNG/JPEG/WAV bytes the
     * [[decodeHeaders]] parser actually decodes), document text as the
-    * payload body. Fixture generation only — a per-row encode hop is
-    * fine here; the decode path itself is a native expression. */
-  def mediaWithRealHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        val kind = (id % 4) match {
-          case 2 => "audio"
-          case 3 => "video"
-          case _ => "image"
-        }
-        (id, kind,
-          buildHeaderPayload(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      }.toDF("media_id", "kind", "payload")
-  }
+    * payload body. */
+  def mediaWithRealHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    mediaFrom(docs, idCol, textCol,
+      id => (id % 4) match {
+        case 2 => "audio"
+        case 3 => "video"
+        case _ => "image"
+      }, buildHeaderPayload)
 }

@@ -1492,6 +1492,7 @@ object Similarity {
       .distinct().localCheckpoint(true)
     var reached = seeds
       .select(col(idCol).as("node"), col(idCol).as("root"), lit(0L).as("hops"))
+      .distinct() // duplicate seed ids must not inflate the reached set
       .localCheckpoint(true)
     var frontier = reached
     var r = 1

@@ -37,8 +37,10 @@ object TextAnalysis {
     * than one with uniformly doubled types). Distributed shape: explode
     * → (doc, token) partial-agg → per-doc fold; both aggs map-side
     * combine, state bounded by distinct tokens per doc, never a
-    * collect_list of the corpus. Docs of ≤ 1 token report NULL
-    * (undefined draw). */
+    * collect_list of the corpus. Docs of exactly 1 token report NULL
+    * (undefined draw); zero-token docs are ABSENT from the output (the
+    * explode drops them — under this repo's tokenizer only a null text
+    * can produce zero tokens). */
   def simpsonDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))

@@ -36,6 +36,9 @@ object DistinctCountRule extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case Size(ArrayDistinct(c), legacy) if safeArray(c.dataType) =>
         val counted: Expression = ArrayDistinctCountExpr(c)
-        if (legacy) If(IsNull(c), Literal(-1), counted) else counted
+        // counted already null-propagates, so the legacy size(null) = -1
+        // contract is one coalesce — NOT If(IsNull(c), ...), which would
+        // evaluate the (expensive, hot-path) child twice per row.
+        if (legacy) Coalesce(Seq(counted, Literal(-1))) else counted
     }
 }
