@@ -453,6 +453,28 @@ object EventQueries {
         .select(col("event_type"), (col("__i") + 1).cast("long").as("rank"),
           col("__s.value").as("value"), col("__s.event_id").as("event_id"))),
 
+    // The maintained top-k leaderboard end-to-end: two
+    // SketchStream.ingestTopKBatch deliveries (even then odd event ids)
+    // into the `_tpk` state, read back through the monoid fold — the
+    // ingest path must be indistinguishable from the batch aggregate
+    // over the union, so the TWO queries share one oracle.
+    "events_topk_after_ingest" -> ((s, dir) => {
+      val t = "events_topk_ingest_q"
+      val SI = graft.io.SegmentedIndex
+      Seq(t + "_tpk", SI.ledgerTable(t + "_tpk"))
+        .foreach(x => s.sql(s"DROP TABLE IF EXISTS $x"))
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("value"), col("event_id"))
+      val keys = Seq("value" -> false, "event_id" -> true)
+      graft.streaming.SketchStream.ingestTopKBatch(
+        e.where(col("event_id") % 2 === 0), "b0", t,
+        Seq("event_type"), keys, k = 5)
+      graft.streaming.SketchStream.ingestTopKBatch(
+        e.where(col("event_id") % 2 === 1), "b1", t,
+        Seq("event_type"), keys, k = 5)
+      graft.streaming.SketchStream.readTopK(s, t, Seq("event_type"), keys, k = 5)
+    }),
+
     // Rolling DISCRETE median of value over each user's trailing 7
     // events — the robust-center twin of events_ewma (one wild outlier
     // moves a mean; it cannot move a median). The frame sort is over a
@@ -945,6 +967,17 @@ object EventQueries {
     // Top-k mirror: the window formulation the bounded aggregate
     // replaces — (value desc, event_id asc), rank ≤ 5.
     "events_topk_per_type" ->
+      """SELECT event_type, CAST(rn AS BIGINT) AS rank, value, event_id
+        |FROM (
+        |  SELECT event_type, value, event_id,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 5""".stripMargin,
+
+    // The maintained leaderboard must equal the batch top-k over the
+    // union corpus — same mirror verbatim.
+    "events_topk_after_ingest" ->
       """SELECT event_type, CAST(rn AS BIGINT) AS rank, value, event_id
         |FROM (
         |  SELECT event_type, value, event_id,

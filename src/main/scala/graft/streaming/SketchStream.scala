@@ -125,6 +125,91 @@ object SketchStream {
     SI.appendLedger(spark, qT, seg, batchId, batch.count(), 0L, idCol)
   }
 
+  /** Top-k gate twin of [[startQuantiles]] (r9: the fifth mergeable
+    * profile family — a bounded top-k under a total order is a monoid,
+    * `topk(A ∪ B) = topk(topk(A) ∪ topk(B))`, so each delivery appends
+    * only its OWN groups·k winners and the read-side fold over
+    * segments·k rows is EXACTLY the single-pass answer). The "current
+    * top offenders / biggest documents / highest scores so far"
+    * leaderboard an ingest pipeline keeps without rescans. Append-only
+    * by NATURE, not implementation: a bounded top-k cannot serve
+    * deletes (an evicted row is unrecoverable) — route delete-bearing
+    * feeds through the full index families instead. `keyCols` carry
+    * (column, ascending); include a unique tie-break column. */
+  def startTopK(spark: SparkSession, inputDir: String, table: String,
+                groupCols: Seq[String], keyCols: Seq[(String, Boolean)],
+                checkpoint: String, k: Int = 10,
+                trigger: Trigger = Trigger.AvailableNow(),
+                maxFilesPerTrigger: Int = 100): StreamingQuery =
+    IngestStream.start(spark, inputDir,
+      s"topk-ingest-${math.abs(table.hashCode.toLong)}",
+      checkpoint, trigger, maxFilesPerTrigger) { (batch, batchId) =>
+      ingestTopKBatch(batch, s"b$batchId", table, groupCols, keyCols, k)
+    }
+
+  /** One delivery's per-group winners appended — also the batch-mode
+    * entry point. Same exactly-once contract as [[ingestBatch]], but
+    * ledgered under the `<table>_tpk` namespace (each gate family owns
+    * its OWN ledger — a shared one gets wiped by the other family's
+    * bootstrap and batch ids mask across families). */
+  def ingestTopKBatch(batch: DataFrame, batchId: String, table: String,
+                      groupCols: Seq[String], keyCols: Seq[(String, Boolean)],
+                      k: Int): Unit = {
+    val spark = batch.sparkSession
+    val SI = graft.io.SegmentedIndex
+    val tT = table + "_tpk"
+    if (!spark.catalog.tableExists(tT)) {
+      graft.io.Bucketing.clearOrphanLocation(spark, tT)
+      batch.select((groupCols ++ keyCols.map(_._1)).map(col) :+
+          lit(0L).as(SI.SegCol): _*).limit(0)
+        .write.mode("overwrite").format("parquet").saveAsTable(tT)
+      SI.initLedger(spark, tT, keyCols.head._1, 0L, 0L)
+    }
+    Seq(tT, SI.ledgerTable(tT)).foreach(spark.catalog.refreshTable)
+    if (SI.hasBatch(spark, tT, batchId)) return
+    val seg = SI.nextSeg(spark, tT)
+    if (!SI.segPresent(spark, tT, seg))
+      topKRows(batch, groupCols, keyCols, k)
+        .withColumn(SI.SegCol, lit(seg))
+        .write.mode("append").format("parquet").saveAsTable(tT)
+    SI.appendLedger(spark, tT, seg, batchId, batch.count(), 0L, keyCols.head._1)
+  }
+
+  /** The current per-group top-k over everything ingested ≡ a single
+    * pass over the union (the monoid fold re-runs the SAME bounded
+    * aggregate over segments·k state rows). Output: (groupCols...,
+    * rank, keyCols...). */
+  def readTopK(spark: SparkSession, table: String, groupCols: Seq[String],
+               keyCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    spark.catalog.refreshTable(table + "_tpk")
+    rankedTopK(spark.table(table + "_tpk")
+      .drop(graft.io.SegmentedIndex.SegCol), groupCols, keyCols, k)
+  }
+
+  /** Per-group winners of one frame as plain rows (no rank). */
+  private def topKRows(df: DataFrame, groupCols: Seq[String],
+                       keyCols: Seq[(String, Boolean)], k: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.expressions.TopKAgg.topK(
+        struct(keyCols.map(c => col(c._1)): _*), k, keyCols.map(_._2))
+        .as("__top"))
+      .select(groupCols.map(col) :+ explode(col("__top")).as("__s"): _*)
+      .select(groupCols.map(col) ++
+        keyCols.map(c => col("__s." + c._1).as(c._1)): _*)
+
+  /** [[topKRows]] with the rank surfaced (read-side presentation). */
+  private def rankedTopK(df: DataFrame, groupCols: Seq[String],
+                         keyCols: Seq[(String, Boolean)], k: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.expressions.TopKAgg.topK(
+        struct(keyCols.map(c => col(c._1)): _*), k, keyCols.map(_._2))
+        .as("__top"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__top")).as(Seq("__i", "__s")): _*)
+      .select(groupCols.map(col) ++
+        Seq((col("__i") + 1).cast("long").as("rank")) ++
+        keyCols.map(c => col("__s." + c._1).as(c._1)): _*)
+
   /** Discrete quantile estimates over everything ingested ≡ a single
     * [[Sketches.quantiles]] pass (bottom-k-of-union merge is exact).
     * The fold reads segments·k-bounded sketch rows only. */

@@ -83,6 +83,45 @@ class SketchStreamSpec extends SparkSpec {
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("top-k gate: per-delivery winners fold to the single-pass top-k; replay no-ops") {
+    val t = "topk_stream_spec"
+    val in = Files.createTempDirectory("tpkIn").toString + "/t"
+    val ckpt = Files.createTempDirectory("tpkCkpt").toString
+    def lens(d: DataFrame) = d.select(col("source"), col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("v"))
+    val keys = Seq("v" -> false, "doc_id" -> true)
+    def run() = SketchStream.startTopK(spark, in, t, Seq("source"), keys,
+      checkpoint = ckpt, k = 3).awaitTermination()
+    lens(docs.where($"doc_id" % 2 === 0L)).coalesce(1)
+      .write.mode("append").parquet(in)
+    run()
+    lens(docs.where($"doc_id" % 2 === 1L)).coalesce(1)
+      .write.mode("append").parquet(in)
+    run()
+    def tset(df: DataFrame) = df
+      .select(col("source"), col("rank"), col("v"), col("doc_id"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val streamed = tset(SketchStream.readTopK(spark, t, Seq("source"), keys, k = 3))
+    // single-pass truth: the window formulation over the union
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("v").desc, col("doc_id"))
+    val single = tset(lens(docs)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3))
+    assert(streamed == single)
+    // replayed delivery: ledger gate no-ops (duplicated winner rows
+    // would double-place ties and shift ranks)
+    SketchStream.ingestTopKBatch(lens(docs.where($"doc_id" % 2 === 1L)),
+      "b1", t, Seq("source"), keys, k = 3)
+    assert(tset(SketchStream.readTopK(spark, t, Seq("source"), keys, k = 3)) == single)
+    // state is winners-only: ≤ deliveries · groups · k rows persisted
+    val stateRows = spark.table(t + "_tpk").count()
+    val nGroups = docs.select("source").distinct().count()
+    assert(stateRows <= 2 * nGroups * 3, s"state too big: $stateRows")
+    (Seq(t + "_tpk", graft.io.SegmentedIndex.ledgerTable(t + "_tpk")))
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("quantile gate shares a table name with the hll/cms gate without ledger collision") {
     val t = "sketch_shared_name"
     val half = terms(docs.where($"doc_id" % 2 === 0L)).localCheckpoint(true)
