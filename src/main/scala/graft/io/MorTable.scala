@@ -1,0 +1,281 @@
+package graft.io
+
+import graft.cdc.{Merge, Op}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read lake table: the write-cheap dual of the copy-on-write
+  * path ([[CdcPipeline]] + [[CowWriter]], reference C6 —
+  * /root/reference/DMSCDC_LoadIncremental.py:84-87).
+  *
+  * Copy-on-write rewrites every file a batch touches: a 10-row change
+  * hitting 10 distinct files rewrites 10 × maxRecordsPerFile rows. At
+  * 100 TB with point deletes that write amplification dominates the load
+  * job. Merge-on-read instead makes every commit APPEND-ONLY:
+  *
+  *   - `data/batch=<b>/`    — immutable data files; a merge appends only
+  *     the batch's per-key winners (never rewrites the target);
+  *   - `deletes/batch=<b>/` — position-delete sidecar rows
+  *     `(df_file, df_pos)`: target positions superseded by batch `b`;
+  *   - `commits/<b>.commit` — zero-byte marker, created LAST. Readers see
+  *     exactly the committed batches: a crash mid-merge leaves invisible
+  *     garbage dirs (reclaimed by [[vacuum]]), never a torn table.
+  *
+  * The read path reconstructs current state: committed data minus
+  * committed delete positions, an anti-join on `(_metadata.file_path,
+  * _metadata.row_index)`. The sidecar is ≪ data (bounded by cumulative
+  * changed rows, and compaction re-baselines it), so AQE builds the
+  * anti-join hash table on the delete side — the target itself is never
+  * shuffled, on write OR read.
+  *
+  * Merge cost model vs CoW (the reason both exist): MOR writes
+  * O(batch) rows + O(superseded positions) sidecar rows per commit and
+  * pays one small anti-join per read; CoW writes O(impacted files ×
+  * file size) per commit and reads free. High-churn / point-delete
+  * tables want MOR with periodic [[compact]]; scan-heavy tables want
+  * CoW. Semantics are identical (MorTableSpec proves read ≡
+  * [[graft.cdc.Merge.applySequenced]] on the shared fixture; the
+  * `cdc_mor_merge` / `cdc_mor_compact` queries pin it against the SAME
+  * DuckDB oracle as `cdc_merge`).
+  *
+  * Same latest-wins contract as [[graft.cdc.Merge]]: within a batch the
+  * (file_seq, rownum) winner per key survives; any change beats the
+  * stored version (stored rows are sentinel generation 0); a winning
+  * delete removes the key. Schema evolution via mergeSchema on the data
+  * read (mixed footers across batches read with null-fill, the MOR
+  * analog of the CoW path's unionByName — reference U1).
+  */
+object MorTable {
+
+  /** Delete-sidecar schema: absolute data-file path + row position. */
+  val DelFile = "df_file"
+  val DelPos = "df_pos"
+  private val F = "__mor_file"
+  private val P = "__mor_pos"
+
+  private def dataDir(path: String) = s"$path/data"
+  private def delDir(path: String) = s"$path/deletes"
+  private def commitDir(path: String) = s"$path/commits"
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed batch ids, from the marker ledger (one listing of a dir
+    * with one zero-byte file per commit — bounded by commit count, never
+    * by data size). */
+  def committedBatches(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    val dir = new Path(commitDir(path))
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit").toLong).sorted
+  }
+
+  /** Paths of committed batch subdirs that physically exist under
+    * `base` — explicit-path reads (never partition discovery) so a torn
+    * uncommitted write can't perturb listing or schema inference. */
+  private def committedDirs(spark: SparkSession, path: String, base: String,
+                            batches: Seq[Long]): Seq[String] = {
+    val f = fs(spark, path)
+    batches.map(b => s"$base/batch=$b").filter(d => f.exists(new Path(d)))
+  }
+
+  /** Current live state. `withProvenance=true` keeps the `(file, pos)`
+    * identity columns the merge path needs for supersession. */
+  private def readTagged(spark: SparkSession, path: String,
+                         withProvenance: Boolean): DataFrame = {
+    val batches = committedBatches(spark, path)
+    val dirs = committedDirs(spark, path, dataDir(path), batches)
+    require(dirs.nonEmpty, s"MOR table has no committed data: $path")
+    val data = spark.read.option("mergeSchema", "true")
+      .option("basePath", dataDir(path)).parquet(dirs: _*)
+      .withColumn(F, col("_metadata.file_path"))
+      .withColumn(P, col("_metadata.row_index"))
+      .drop("batch")
+    val delDirs = committedDirs(spark, path, delDir(path), batches)
+    val live =
+      if (delDirs.isEmpty) data
+      else {
+        val dels = spark.read.option("basePath", delDir(path)).parquet(delDirs: _*)
+        // Sidecar ≪ data → AQE plans a broadcast anti-join; the stored
+        // data never crosses an exchange.
+        data.join(dels,
+          data(F) === dels(DelFile) && data(P) === dels(DelPos), "left_anti")
+      }
+    if (withProvenance) live else live.drop(F, P)
+  }
+
+  /** Read the table's current state (committed data minus committed
+    * delete positions). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readTagged(spark, path, withProvenance = false)
+
+  /** Batch 0: initial snapshot commit. */
+  def init(spark: SparkSession, snapshot: DataFrame, path: String,
+           maxRecordsPerFile: Long = CowWriter.DefaultMaxRecordsPerFile): Unit = {
+    writeBatchData(snapshot, path, 0L, maxRecordsPerFile)
+    commit(spark, path, 0L)
+  }
+
+  /** Latest-wins merge of a change batch (rows carry `Op` and `file_seq`
+    * like [[graft.cdc.Merge.mergeCdc]]; `intraFileOrder` breaks
+    * intra-file ties). Appends one data batch (the per-key winners that
+    * survive) and one delete batch (live positions of every key the
+    * batch touches), then commits.
+    *
+    * The stored table is scanned ONCE, filtered by a broadcast semi-join
+    * on the batch's keys — no target shuffle, no target rewrite. Write
+    * volume is O(batch), not O(impacted files).
+    */
+  def merge(spark: SparkSession, changes: DataFrame, path: String, pks: Seq[String],
+            intraFileOrder: Seq[Column] = Nil,
+            maxRecordsPerFile: Long = CowWriter.DefaultMaxRecordsPerFile): Long = {
+    require(pks.nonEmpty, "merge-on-read requires primary keys")
+    val b = committedBatches(spark, path).lastOption
+      .getOrElse(sys.error(s"MOR table not initialized: $path")) + 1L
+
+    val sequenced = Merge.sequenceBatch(changes, pks, intraFileOrder)
+    // Batch winner per key: highest (file_seq, rownum). Shuffles only the
+    // change batch (window over pks).
+    val w = Window.partitionBy(pks.map(col): _*)
+      .orderBy(col(Merge.FileSeq).desc, col(Merge.RowNum).desc)
+    val winners = sequenced.withColumn("__rnk", row_number().over(w))
+      .where(col("__rnk") === 1)
+      .drop("__rnk", Merge.FileSeq, Merge.RowNum)
+    // Surviving winners are appended; a winning delete only supersedes.
+    val appended = winners.where(col(Op.column) =!= Op.Delete)
+
+    // Every live position holding a batch key is superseded (update,
+    // delete, or re-insert alike — any change beats generation 0).
+    val live = readTagged(spark, path, withProvenance = true)
+    val keys = sequenced.select(pks.map(col): _*).distinct()
+    val superseded = live
+      .join(broadcast(keys), pks, "left_semi")
+      .select(col(F).as(DelFile), col(P).as(DelPos))
+
+    writeBatchData(appended, path, b, maxRecordsPerFile)
+    superseded.write.mode("overwrite").parquet(s"${delDir(path)}/batch=$b")
+    commit(spark, path, b)
+    b
+  }
+
+  /** Rewrite data files whose dead (deleted-position) fraction reached
+    * `minDeadFraction`, expressed AS a commit: live rows of the victim
+    * files re-append under a new batch and their old positions join the
+    * delete sidecar. Visibility flips atomically with the commit marker
+    * — no new metadata concept, no reader-visible window. The old files
+    * become fully dead; [[vacuum]] reclaims them. */
+  def compact(spark: SparkSession, path: String, minDeadFraction: Double = 0.3,
+              maxRecordsPerFile: Long = CowWriter.DefaultMaxRecordsPerFile): Seq[String] = {
+    import spark.implicits._
+    val batches = committedBatches(spark, path)
+    val dataDirs = committedDirs(spark, path, dataDir(path), batches)
+    if (dataDirs.isEmpty) return Nil
+    val delDirs = committedDirs(spark, path, delDir(path), batches)
+    if (delDirs.isEmpty) return Nil
+
+    // Per-file row totals from parquet footer counts (metadata-only
+    // count(*) per dir would lose the per-file split — this scan is
+    // column-pruned to the virtual _metadata struct, no data pages).
+    val totals = spark.read.option("basePath", dataDir(path)).parquet(dataDirs: _*)
+      .groupBy(col("_metadata.file_path").as("f")).agg(count(lit(1)).as("n"))
+    val dead = spark.read.option("basePath", delDir(path)).parquet(delDirs: _*)
+      .groupBy(col(DelFile).as("f")).agg(count(lit(1)).as("d"))
+    val victims = totals.join(dead, "f")
+      .where(col("d") >= col("n") * minDeadFraction && col("d") < col("n"))
+      .select("f").as[String].collect().toSeq.sorted
+    if (victims.isEmpty) return Nil
+
+    val b = batches.last + 1L
+    val live = readTagged(spark, path, withProvenance = true)
+      .where(col(F).isin(victims: _*))
+    writeBatchData(live.drop(F, P), path, b, maxRecordsPerFile)
+    live.select(col(F).as(DelFile), col(P).as(DelPos))
+      .write.mode("overwrite").parquet(s"${delDir(path)}/batch=$b")
+    commit(spark, path, b)
+    victims
+  }
+
+  /** GC pass, driver-side and bounded by file/commit counts:
+    *  1. physically delete fully-dead data files (total rows == deleted
+    *     positions — compaction victims and fully-superseded batches);
+    *  2. re-baseline the delete sidecar: surviving entries (those whose
+    *     file still exists) consolidate into a fresh committed batch and
+    *     the old delete dirs drop. Crash between the new commit and the
+    *     old-dir sweep leaves duplicate delete entries — harmless to the
+    *     anti-join, swept by the next vacuum.
+    *  3. remove uncommitted orphan batch dirs (crashed merges).
+    *
+    * Same non-atomic reader window as the reference's CoW delete
+    * (README.md:274): an in-flight read that already listed a
+    * fully-dead file races its physical delete. */
+  def vacuum(spark: SparkSession, path: String): (Long, Long) = {
+    import spark.implicits._
+    val f = fs(spark, path)
+    val batches = committedBatches(spark, path)
+    val dataDirs = committedDirs(spark, path, dataDir(path), batches)
+    val delDirs = committedDirs(spark, path, delDir(path), batches)
+    if (dataDirs.isEmpty) return (0L, 0L)
+
+    // 3) uncommitted orphans (both data and delete sides).
+    val committed = batches.toSet
+    Seq(dataDir(path), delDir(path)).foreach { base =>
+      val bp = new Path(base)
+      if (f.exists(bp)) f.listStatus(bp).toSeq
+        .filter(_.getPath.getName.startsWith("batch="))
+        .filterNot(s => committed.contains(s.getPath.getName.stripPrefix("batch=").toLong))
+        .foreach(s => f.delete(s.getPath, true))
+    }
+
+    if (delDirs.isEmpty) return (0L, 0L)
+    val totals = spark.read.option("basePath", dataDir(path)).parquet(dataDirs: _*)
+      .groupBy(col("_metadata.file_path").as("f")).agg(count(lit(1)).as("n"))
+    val dels = spark.read.option("basePath", delDir(path)).parquet(delDirs: _*)
+    val dead = dels.groupBy(col(DelFile).as("f")).agg(count(lit(1)).as("d"))
+    val fullyDead = totals.join(dead, "f").where(col("d") === col("n"))
+      .select("f").as[String].collect().toSeq
+    fullyDead.foreach(p => f.delete(new Path(new java.net.URI(p)), false))
+
+    // 2) consolidate surviving entries into one fresh delete batch.
+    val survivors =
+      if (fullyDead.isEmpty) dels
+      else dels.where(!col(DelFile).isin(fullyDead: _*))
+    val nBefore = dels.count()
+    val b = batches.last + 1L
+    survivors.select(DelFile, DelPos).distinct()
+      .write.mode("overwrite").parquet(s"${delDir(path)}/batch=$b")
+    commit(spark, path, b)
+    val nAfter = spark.read.parquet(s"${delDir(path)}/batch=$b").count()
+    // old delete dirs are superseded by the consolidated batch
+    delDirs.foreach(d => f.delete(new Path(d), true))
+    (fullyDead.size.toLong, nBefore - nAfter)
+  }
+
+  /** Live data files (for specs / ops visibility). */
+  def dataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val batches = committedBatches(spark, path)
+    committedDirs(spark, path, dataDir(path), batches).flatMap { d =>
+      f.listStatus(new Path(d)).toSeq.map(_.getPath.toString)
+        .filter(_.endsWith(".parquet"))
+    }
+  }
+
+  private def writeBatchData(df: DataFrame, path: String, b: Long,
+                             maxRecordsPerFile: Long): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(s"${dataDir(path)}/batch=$b")
+
+  /** Commit marker creation — the visibility flip. A replayed batch id
+    * rewrote its dirs (mode=overwrite) before this, so at-least-once
+    * retries converge to one copy. */
+  private def commit(spark: SparkSession, path: String, b: Long): Unit = {
+    val f = fs(spark, path)
+    val dir = new Path(commitDir(path))
+    if (!f.exists(dir)) f.mkdirs(dir)
+    f.create(new Path(dir, s"$b.commit"), true).close()
+  }
+}

@@ -214,6 +214,37 @@ object CdcQueries {
         Seq("o_orderstatus", "o_totalprice"), seq = 1L)
     }),
 
+    // Merge-on-read dual of cdc_merge: the SAME fixture driven through
+    // [[graft.io.MorTable]] as two append-only commits (file 1, then
+    // file 2) — winners appended, superseded positions recorded in the
+    // delete sidecar, target never rewritten. Read-time anti-join
+    // reconstructs exactly the copy-on-write result: the oracle is
+    // cdc_merge's verbatim, so a hash match proves MOR ≡ CoW semantics
+    // across commits (cross-file latest-wins, delete-of-insert).
+    "cdc_mor_merge" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("mor_q").toString + "/t"
+      graft.io.MorTable.init(s, target(s, dir), base)
+      val chg = changes(s, dir)
+      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 1L), base, Seq("o_orderkey"))
+      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 2L), base, Seq("o_orderkey"))
+      graft.io.MorTable.read(s, base).select(col(Op.column) +: orderCols.map(col): _*)
+    }),
+
+    // MOR lifecycle closure: compaction (rewrite-as-commit of files past
+    // the dead-fraction threshold) then vacuum (physical GC of fully-dead
+    // files + sidecar re-baseline) must leave the table bit-identical —
+    // same oracle as cdc_merge again.
+    "cdc_mor_compact" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("mor_qc").toString + "/t"
+      graft.io.MorTable.init(s, target(s, dir), base)
+      val chg = changes(s, dir)
+      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 1L), base, Seq("o_orderkey"))
+      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 2L), base, Seq("o_orderkey"))
+      graft.io.MorTable.compact(s, base, minDeadFraction = 0.05)
+      graft.io.MorTable.vacuum(s, base)
+      graft.io.MorTable.read(s, base).select(col(Op.column) +: orderCols.map(col): _*)
+    }),
+
     // U1 schema evolution: changes carry a new column; merged target rows
     // null-fill it (reference CHANGELOG 1.1.0 behavior).
     "cdc_schema_evolution" -> ((s, dir) => {
@@ -237,6 +268,28 @@ object CdcQueries {
 
     "cdc_insert_only" ->
       s"""$fixtureSql SELECT "Op", $orderColsSql FROM changes WHERE "Op" = 'I'""",
+
+    // MOR reads must reconstruct exactly the CoW merge — cdc_merge's
+    // oracle verbatim.
+    "cdc_mor_merge" ->
+      s"""$fixtureSql,
+         | unioned AS (
+         |  SELECT * FROM changes UNION ALL SELECT * FROM target
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq DESC) AS rn
+         |  FROM unioned
+         |)
+         |SELECT "Op", $orderColsSql FROM ranked WHERE rn = 1 AND "Op" <> 'D'""".stripMargin,
+
+    "cdc_mor_compact" ->
+      s"""$fixtureSql,
+         | unioned AS (
+         |  SELECT * FROM changes UNION ALL SELECT * FROM target
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq DESC) AS rn
+         |  FROM unioned
+         |)
+         |SELECT "Op", $orderColsSql FROM ranked WHERE rn = 1 AND "Op" <> 'D'""".stripMargin,
 
     "cdc_time_travel" ->
       s"""$fixtureSql,
