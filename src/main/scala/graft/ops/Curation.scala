@@ -668,4 +668,92 @@ object Curation {
       .select(col(idCol), lit(0L).as("n_bigrams"), lit(0.0).as("lm_score"))
     perDoc.unionByName(empty)
   }
+
+  /** Trigram stupid-backoff LM score (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the web-scale LM scheme:
+    * no discounting, a fixed back-off factor, trivially distributed):
+    *
+    *   S(w3|w1 w2) = c(w1w2w3)/c(w1w2)        if the trigram was seen
+    *               = 0.4 · c(w2w3)/c(w2)       else if the bigram was
+    *               = 0.4² · c(w3)/N            else (0 for OOV w3)
+    *
+    * trained on `train` and scored over `docs` — a real held-out split
+    * (self-scoring would never back off: every observed trigram has
+    * count ≥ 1 in its own counts). Per-document score = arithmetic mean
+    * of S over trigram positions, folded in position order — the same
+    * deliberately LOG-FREE design as [[bigramLmScore]] (ratios of exact
+    * integers + IEEE mean, bit-identical in the DuckDB oracle; libm log
+    * is not engine-portable).
+    *
+    * Scale shape: the corpus is tokenized once per side; counts are
+    * plain hash aggregations (map-side combined, vocabulary-bounded);
+    * scoring is hash joins of the trigram stream against the count
+    * tables on gram keys (AQE broadcasts the small ones) plus ONE
+    * broadcast 1-row total. Nothing is quadratic; no driver
+    * materialization.
+    *
+    * Output: (id, n_trigrams, sbo_score); docs with < 3 tokens score
+    * 0.0 with n_trigrams = 0.
+    */
+  def stupidBackoffScore(docs: DataFrame, train: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    // --- training counts (one tokenize pass, three aggregations) ---
+    val trainToks = train
+      .select(tokens(normalize(col(textCol))).as("__toks"))
+      .localCheckpoint(true)
+    val uni = trainToks.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val bi = trainToks.where(size(col("__toks")) >= 2)
+      .select(explode(wordShingles(col("__toks"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    val tri = trainToks.where(size(col("__toks")) >= 3)
+      .select(explode(wordShingles(col("__toks"), 3)).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("ct"))
+    val total = broadcast(
+      trainToks.select(explode(col("__toks")).as("w"))
+        .agg(count(lit(1)).as("n_total")))
+
+    // --- scoring stream: trigram positions with their backoff keys ---
+    val toked = docs
+      .select(col(idCol), tokens(normalize(col(textCol))).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        when(size(col("__toks")) < 3, array())
+          .otherwise(wordShingles(col("__toks"), 3)).as("__tgs"))
+      .localCheckpoint(true)
+    val pos = toked
+      .select(col(idCol), posexplode(col("__tgs")).as(Seq("pos", "tg")))
+      .withColumn("__a", split(col("tg"), " "))
+      .select(col(idCol), col("pos"), col("tg"),
+        concat_ws(" ", col("__a").getItem(0), col("__a").getItem(1)).as("b12"),
+        concat_ws(" ", col("__a").getItem(1), col("__a").getItem(2)).as("b23"),
+        col("__a").getItem(1).as("w2"), col("__a").getItem(2).as("w3"))
+
+    val scored = pos
+      .join(tri.withColumnRenamed("tg", "__tg3"), pos("tg") === col("__tg3"), "left")
+      .join(bi.select(col("bg").as("b12"), col("cb").as("c12")), Seq("b12"), "left")
+      .join(bi.select(col("bg").as("b23"), col("cb").as("c23")), Seq("b23"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2u")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("cu").as("c3u")), Seq("w3"), "left")
+      .crossJoin(total)
+      .select(col(idCol), col("pos"),
+        when(coalesce(col("ct"), lit(0L)) > 0L,
+          col("ct").cast("double") / col("c12").cast("double"))
+          .when(coalesce(col("c23"), lit(0L)) > 0L,
+            lit(0.4) * (col("c23").cast("double") / col("c2u").cast("double")))
+          .otherwise(lit(0.4) * lit(0.4) *
+            (coalesce(col("c3u"), lit(0L)).cast("double") / col("n_total").cast("double")))
+          .as("p"))
+    val perDoc = scored
+      .groupBy(idCol)
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, s) => acc + s.getField("p")).as("__psum"),
+        count(lit(1)).as("n_trigrams"))
+      .select(col(idCol), col("n_trigrams"),
+        (col("__psum") / col("n_trigrams").cast("double")).as("sbo_score"))
+    val empty = toked.where(size(col("__tgs")) === 0)
+      .select(col(idCol), lit(0L).as("n_trigrams"), lit(0.0).as("sbo_score"))
+    perDoc.unionByName(empty)
+  }
 }

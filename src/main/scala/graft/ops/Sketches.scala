@@ -120,6 +120,34 @@ object Sketches {
                   m: Int = 64): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, valueCol, m), groupCols, m)
 
+  /** Sliding-window distinct estimate from per-frame HLL registers: for
+    * every frame value `t` present in `registers`, the estimate over the
+    * MAX-merge of frames `[t − trailing + 1, t]` — the sketch answer to
+    * "distinct users in the trailing 24 h, per hour" (`events_hll_sliding`;
+    * the exact twin is `events_engagement`'s windowed COUNT DISTINCT).
+    *
+    * This is where mergeability pays at 100 TB: the corpus is scanned
+    * ONCE (by [[hllRegisters]], keyed by the frame column); everything
+    * here touches only the register table — ≤ frames·m rows however
+    * large the corpus — so the `trailing`-fold fan-out of the range
+    * self-join is sketch-sized, and re-profiling a new window length
+    * never rescans the data. Exact sliding COUNT DISTINCT instead
+    * re-fans the full event volume `trailing`× through one exchange.
+    *
+    * `frameCol` must be an integral frame index (e.g. epoch-hour); the
+    * window is closed on both ends in index units. */
+  def hllSlidingEstimate(registers: DataFrame, frameCol: String,
+                         trailing: Long, m: Int): DataFrame = {
+    require(trailing >= 1, s"trailing window must be >= 1 frame: $trailing")
+    val ends = registers.select(col(frameCol).as("__end")).distinct()
+    val merged = ends
+      .join(registers,
+        col(frameCol).between(col("__end") - (trailing - 1), col("__end")))
+      .groupBy(col("__end"), col("bucket"))
+      .agg(max("register").as("register"))
+    hllEstimate(merged, Seq("__end"), m).withColumnRenamed("__end", frameCol)
+  }
+
   /** KMV ("k minimum values" / bottom-k, Bar-Yossef et al. 2002) distinct
     * sketch per group: the k smallest DISTINCT [[hash60]] values of
     * `valueCol`. k hashes per group replace per-key distinct state, and

@@ -99,6 +99,22 @@ object EventQueries {
         .join(rolling(28, "mau"), "day")
     }),
 
+    // Trailing-24h distinct users per hour from MERGED per-hour HLL
+    // registers — the sketch dual of events_engagement's exact windowed
+    // COUNT DISTINCT. One corpus pass builds the per-hour registers
+    // (64/hour); the sliding merge + estimate touch only the register
+    // table, so at 100 TB re-windowing never rescans events (see
+    // [[graft.ops.Sketches.hllSlidingEstimate]]). The oracle recomputes
+    // registers + merge + raw estimate verbatim in SQL — engine-exact
+    // (no log/pow; 2^-r as 1/(1<<r)).
+    "events_hll_sliding" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(expr("(ts div 1000) div 3600000000").as("hour"),
+          col("user_id").cast("string").as("uid"))
+      val regs = graft.ops.Sketches.hllRegisters(e, Seq("hour"), "uid", m = 64)
+      graft.ops.Sketches.hllSlidingEstimate(regs, "hour", trailing = 24L, m = 64)
+    }),
+
     // CUSUM level-shift detection over the hourly series per type: the
     // clamped recurrence C_t = max(0, C_{t-1} + (n_t − mean)) has the
     // closed form C_t = P_t − min(0, min_{j≤t} P_j) with P the plain
@@ -686,6 +702,36 @@ object EventQueries {
         |SELECT day, dau, wau, mau
         |FROM days JOIN dau USING (day) JOIN wauc USING (day)
         |          JOIN mauc USING (day)""".stripMargin,
+
+    // HLL registers + sliding MAX-merge + raw estimate recomputed
+    // verbatim (same mirror conventions as text_hll_distinct: 60-bit
+    // md5 hash, m=64/p=6, rho = 55 − bitlen, 2^-r as 1/(1<<r), fold in
+    // bucket order — no log/pow anywhere).
+    "events_hll_sliding" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 3600000000) AS hour,
+        |         ('0x'||substr(md5('hll:'||user_id::VARCHAR),1,15))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT hour, h % 64 AS bucket,
+        |        CASE WHEN (h // 64) = 0 THEN 55
+        |             ELSE 55 - length(bin(h // 64)) END AS rho
+        |      FROM e),
+        |regs AS (SELECT hour, bucket, max(rho)::BIGINT AS register
+        |         FROM r GROUP BY 1, 2),
+        |ends AS (SELECT DISTINCT hour AS e_hour FROM regs),
+        |mg AS (SELECT e_hour, bucket, max(register) AS register
+        |       FROM ends JOIN regs ON regs.hour BETWEEN e_hour - 23 AND e_hour
+        |       GROUP BY 1, 2),
+        |est AS (SELECT e_hour, count(*)::BIGINT AS n_buckets_set,
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list((1.0::DOUBLE / ((1::BIGINT << register::INT)::DOUBLE)) ORDER BY bucket)),
+        |          (a, x) -> a + x) AS fold
+        |      FROM mg GROUP BY 1)
+        |SELECT e_hour AS hour, n_buckets_set,
+        |  ((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 64.0::DOUBLE))
+        |    * 64.0::DOUBLE * 64.0::DOUBLE)
+        |  / ((64 - n_buckets_set)::DOUBLE + fold) AS hll_distinct
+        |FROM est""".stripMargin,
 
     "events_cusum" ->
       """WITH hourly AS (

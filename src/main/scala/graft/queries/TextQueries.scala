@@ -376,6 +376,17 @@ object TextQueries {
     "text_bigram_lm" -> ((s, dir) =>
       graft.ops.Curation.bigramLmScore(docs(s, dir), "doc_id", "text")),
 
+    // Trigram stupid-backoff LM (Brants 2007): trained on the even-id
+    // half, scored over the whole corpus — a real held-out split, so
+    // the trigram→bigram→unigram backoff chain actually fires. Mean S
+    // per doc, log-free (see [[graft.ops.Curation.stupidBackoffScore]]).
+    "text_stupid_backoff" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = docs(s, dir)
+      graft.ops.Curation.stupidBackoffScore(d,
+        d.where(col("doc_id") % 2 === 0L), "doc_id", "text")
+    }),
+
     // Deterministic train/val/test assignment: seeded-hash interval
     // split (7/8, 1/16, 1/16 — dyadic, exact thresholds), stable under
     // corpus growth. Per-row math, no shuffle.
@@ -2249,6 +2260,56 @@ object TextQueries {
     "text_dsir_select" ->
       s"""WITH scored AS ($dsirSql)
          |SELECT * FROM scored ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin,
+
+    // Stupid-backoff mirror: counts from the even-id half, the backoff
+    // CASE chain verbatim (0.4 factors multiply in the same order), the
+    // mean folded in position order. Relative trigram-position order is
+    // what matters for the fold — both sides enumerate left to right.
+    "text_stupid_backoff" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+         |  FROM documents),
+         |toks AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS tk FROM norm),
+         |ttoks AS (SELECT tk FROM toks WHERE doc_id % 2 = 0),
+         |uni AS (SELECT w, count(*) AS cu
+         |        FROM (SELECT unnest(tk) AS w FROM ttoks) GROUP BY 1),
+         |bi AS (SELECT bg, count(*) AS cb FROM (
+         |        SELECT unnest(list_transform(range(1, len(tk)), i ->
+         |          tk[i::INT] || ' ' || tk[(i+1)::INT])) AS bg
+         |        FROM ttoks WHERE len(tk) >= 2) GROUP BY 1),
+         |tri AS (SELECT tg, count(*) AS ct FROM (
+         |        SELECT unnest(list_transform(range(1, len(tk)-1), i ->
+         |          tk[i::INT] || ' ' || tk[(i+1)::INT] || ' ' || tk[(i+2)::INT])) AS tg
+         |        FROM ttoks WHERE len(tk) >= 3) GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS n_total
+         |        FROM (SELECT unnest(tk) FROM ttoks)),
+         |p AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1), i ->
+         |        {'pos': i,
+         |         'tg': tk[i::INT]||' '||tk[(i+1)::INT]||' '||tk[(i+2)::INT],
+         |         'b12': tk[i::INT]||' '||tk[(i+1)::INT],
+         |         'b23': tk[(i+1)::INT]||' '||tk[(i+2)::INT],
+         |         'w2': tk[(i+1)::INT], 'w3': tk[(i+2)::INT]})) AS s
+         |      FROM toks WHERE len(tk) >= 3),
+         |q AS (SELECT doc_id, s.pos AS pos, s.tg AS tg, s.b12 AS b12,
+         |             s.b23 AS b23, s.w2 AS w2, s.w3 AS w3 FROM p),
+         |sc AS (SELECT doc_id, pos,
+         |        CASE WHEN coalesce(ct, 0) > 0 THEN ct::DOUBLE / c12::DOUBLE
+         |             WHEN coalesce(c23, 0) > 0 THEN 0.4 * (c23::DOUBLE / c2u::DOUBLE)
+         |             ELSE 0.4 * 0.4 * (coalesce(c3u, 0)::DOUBLE / n_total::DOUBLE)
+         |        END AS sp
+         |       FROM q LEFT JOIN tri USING (tg)
+         |            LEFT JOIN (SELECT bg AS b12, cb AS c12 FROM bi) USING (b12)
+         |            LEFT JOIN (SELECT bg AS b23, cb AS c23 FROM bi) USING (b23)
+         |            LEFT JOIN (SELECT w AS w2, cu AS c2u FROM uni) USING (w2)
+         |            LEFT JOIN (SELECT w AS w3, cu AS c3u FROM uni) USING (w3)
+         |            CROSS JOIN tot),
+         |agg AS (SELECT doc_id,
+         |         list_reduce(list_prepend(0.0, list(sp ORDER BY pos)), (a, x) -> a + x) AS psum,
+         |         count(*)::BIGINT AS n_trigrams
+         |        FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_trigrams, psum / n_trigrams AS sbo_score FROM agg
+         |UNION ALL
+         |SELECT doc_id, 0::BIGINT, 0.0 FROM toks WHERE len(tk) < 3""".stripMargin,
 
     "text_bigram_lm" ->
       s"""WITH norm AS (

@@ -159,6 +159,27 @@ class CurationSpec extends SparkSpec {
     assert(out.values.forall { case (n, p) => n == 0 || (p > 0.0 && p <= 1.0) })
   }
 
+  test("stupidBackoffScore: all three backoff tiers exact on a hand fixture") {
+    // train: "a b c d", "b c x" → N=7; uni a1 b2 c2 d1 x1;
+    // bi "a b"1 "b c"2 "c d"1 "c x"1; tri "a b c"1 "b c d"1 "b c x"1
+    val train = Seq((100L, "a b c d"), (101L, "b c x")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c"), // seen trigram:        ct/c12 = 1/1            = 1.0
+      (2L, "x b c"), // bigram backoff:      0.4 · c("b c")/c(b)     = 0.4
+      (3L, "x y c"), // unigram backoff:     0.4² · c(c)/N           = 0.16·2/7
+      (4L, "x y z"), // OOV tail word:       0.4² · 0/N              = 0.0
+      (5L, "a b")    // < 3 tokens → n_trigrams = 0, score 0.0
+    ).toDF("doc_id", "text")
+    val out = Curation.stupidBackoffScore(score, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Double]("sbo_score"))).toMap
+    assert(out(1L) == ((1L, 1.0)))
+    assert(out(2L) == ((1L, 0.4 * (2.0 / 2.0))))
+    assert(out(3L) == ((1L, 0.4 * 0.4 * (2.0 / 7.0))))
+    assert(out(4L) == ((1L, 0.0)))
+    assert(out(5L) == ((0L, 0.0)))
+  }
+
   test("parallelRunningSum ≡ single-window running sum on a skewed fixture") {
     import org.apache.spark.sql.expressions.Window
     // 90% of rows in one domain — the shape that kills the naive window

@@ -47,6 +47,29 @@ class SketchAggSpec extends SparkSpec {
     assert(regSet(Sketches.hllMerge(parts, Seq("source"))) == regSet(whole))
   }
 
+  test("HLL sliding merge: full-span window ≡ global single pass; trailing=1 ≡ per-frame") {
+    // deterministic frame assignment (token length mod 4) — any row
+    // partition works, the merge law does the rest
+    val framed = terms.withColumn("frame", (length(col("term")) % 4).cast("long"))
+    val regs = Sketches.hllRegisters(framed, Seq("frame"), "term", m = 64)
+
+    // a window spanning every frame ends (at the max frame) in the MAX-
+    // merge of all frames = the single-pass global registers
+    val wide = Sketches.hllSlidingEstimate(regs, "frame", trailing = 1000L, m = 64)
+      .where(col("frame") === 3L).select(col("hll_distinct")).as[Double].head()
+    val global = Sketches.hllDistinct(
+      framed.withColumn("g", lit(0L)), Seq("g"), "term", m = 64)
+      .select(col("hll_distinct")).as[Double].head()
+    assert(wide == global, s"full-span sliding $wide != global $global")
+
+    // trailing=1 degenerates to the per-frame estimates
+    val one = Sketches.hllSlidingEstimate(regs, "frame", trailing = 1L, m = 64)
+      .select(col("frame"), col("hll_distinct")).as[(Long, Double)].collect().toMap
+    val perFrame = Sketches.hllEstimate(regs, Seq("frame"), m = 64)
+      .select(col("frame"), col("hll_distinct")).as[(Long, Double)].collect().toMap
+    assert(one == perFrame)
+  }
+
   test("CMS estimates are one-sided and mostly exact at low load factor") {
     val cms = Sketches.cmsBuild(terms, "term", depth = 4, width = 1024)
     val watch = graft.functions.TextFunctions.StopwordsEn.toDF("term")
