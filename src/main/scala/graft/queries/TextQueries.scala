@@ -387,6 +387,21 @@ object TextQueries {
         d.where(col("doc_id") % 2 === 0L), "doc_id", "text")
     }),
 
+    // Compression-ratio quality signal (RedPajama-v2/Dolma-class):
+    // deflate_len / raw_len per document via the native
+    // [[graft.expressions.DeflateSizeExpr]] (thread-local zlib, zero
+    // per-row allocation). Repetitive boilerplate compresses far below
+    // prose — a corpus-statistics-free per-row filter signal. No DuckDB
+    // deflate → rows-only driver check + DeflateSpec pins (∅ convention).
+    "text_compression_ratio" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      docs(s, dir).select(col("doc_id"),
+        octet_length(col("text")).as("raw_len"),
+        graft.expressions.DeflateSizeExpr.deflateSize(col("text")).as("deflate_len"))
+        .withColumn("ratio", when(col("raw_len") === 0, lit(0.0))
+          .otherwise(col("deflate_len").cast("double") / col("raw_len").cast("double")))
+    }),
+
     // Deterministic train/val/test assignment: seeded-hash interval
     // split (7/8, 1/16, 1/16 — dyadic, exact thresholds), stable under
     // corpus growth. Per-row math, no shuffle.
