@@ -457,4 +457,56 @@ object Multimodal {
         case 3 => "video"
         case _ => "image"
       }, buildHeaderPayload)
+
+  /** EXIF twin: JPEGs whose APP1 segment carries a real embedded TIFF
+    * IFD (alternating II/MM byte order by id parity), document text as
+    * the body. Fixture formula (the single formula the mm_exif_meta
+    * oracle mirrors): orientation = id % 8 + 1, make = "Make"+(id % 5),
+    * model = "Model"+(id % 3), taken_at =
+    * "2024:MM:DD HH:00:00" with MM = id % 12 + 1, DD = id % 28 + 1,
+    * HH = id % 24. Header overhead: 107 bytes (SOI 2 + APP1 105). */
+  def mediaWithExifHeaders(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    mediaFrom(docs, idCol, textCol, _ => "image", buildExifPayload)
+
+  /** Decode the EXIF provenance struct off a media frame (see
+    * [[graft.expressions.ExifMetaExpr]] — per-row codegen, garbage-safe
+    * NULL degradation). */
+  def decodeExif(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      graft.expressions.ExifMetaExpr.exifMeta(col("payload")).as("__e"))
+      .select(col("media_id"), col("n_bytes"),
+        col("__e.orientation").as("orientation"),
+        col("__e.make").as("make"), col("__e.model").as("model"),
+        col("__e.taken_at").as("taken_at"))
+
+  private[ops] def buildExifPayload(id: Long, body: Array[Byte]): Array[Byte] = {
+    val little = id % 2 == 0
+    val make = s"Make${id % 5}"
+    val model = s"Model${id % 3}"
+    val takenAt = f"2024:${id % 12 + 1}%02d:${id % 28 + 1}%02d ${id % 24}%02d:00:00"
+    def u16(v: Int) = if (little) le16(v) else be16(v)
+    def u32(v: Int) = if (little) le32(v) else be32(v)
+    val makeB = ascii(make) ++ Array[Byte](0)   // 6 bytes
+    val modelB = ascii(model) ++ Array[Byte](0) // 7 bytes
+    val dtB = ascii(takenAt) ++ Array[Byte](0)  // 20 bytes
+    // TIFF block: header 8 + count 2 + 4 entries × 12 + next-IFD 4 = 62,
+    // then the out-of-line ASCII values at offsets 62 / 68 / 75.
+    def entryAscii(tag: Int, len: Int, ofs: Int) =
+      u16(tag) ++ u16(2) ++ u32(len) ++ u32(ofs)
+    def entryShort(tag: Int, v: Int) =
+      u16(tag) ++ u16(3) ++ u32(1) ++ (u16(v) ++ u16(0))
+    val tiff =
+      ascii(if (little) "II" else "MM") ++ u16(42) ++ u32(8) ++
+        u16(4) ++
+        entryAscii(0x010f, makeB.length, 62) ++
+        entryAscii(0x0110, modelB.length, 68) ++
+        entryShort(0x0112, (id % 8 + 1).toInt) ++
+        entryAscii(0x0132, dtB.length, 75) ++
+        u32(0) ++ makeB ++ modelB ++ dtB
+    // SOI + APP1(len + "Exif\0\0" + tiff) + body
+    Array(0xff, 0xd8, 0xff, 0xe1).map(_.toByte) ++
+      be16(2 + 6 + tiff.length) ++ ascii("Exif") ++ Array[Byte](0, 0) ++
+      tiff ++ body
+  }
 }

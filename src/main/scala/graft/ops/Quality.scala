@@ -75,4 +75,38 @@ object Quality {
   def suite(df: DataFrame, rules: Seq[Rule],
             uniqueKeys: Seq[Seq[String]] = Nil): DataFrame =
     uniqueKeys.map(checkUnique(df, _)).foldLeft(check(df, rules))(_ unionByName _)
+
+  /** Referential-integrity expectation: child rows whose (fully
+    * non-NULL) foreign key has no parent. SQL FK semantics — a NULL in
+    * any FK column exempts the row (it cannot "point wrong"), and NULL
+    * counts ride along so partial feeds are visible, not hidden.
+    *
+    * Output: one (rule, violations, n_nulls, n_rows, pass) row.
+    *
+    * Scale: the orphan count is a left-anti join on the key hash —
+    * the parent side ships only its DISTINCT key column (pruned at the
+    * scan), so dimension-sized parents broadcast under AQE and
+    * fact-fact checks degrade to one co-partitioned shuffle, never a
+    * row-wise lookup. Totals come from the same child scan via a
+    * grouping on the exemption bit, not a second pass. */
+  def checkReferential(child: DataFrame, parent: DataFrame,
+                       fkCols: Seq[String], pkCols: Seq[String]): DataFrame = {
+    require(fkCols.nonEmpty && fkCols.length == pkCols.length,
+      s"fk/pk arity mismatch: $fkCols vs $pkCols")
+    val fkNull = fkCols.map(col(_).isNull).reduce(_ || _)
+    val parentKeys = parent.select(pkCols.map(col): _*).distinct()
+    val joinCond = fkCols.zip(pkCols)
+      .map { case (f, p) => child(f) === parentKeys(p) }.reduce(_ && _)
+    val orphans = child.where(!fkNull)
+      .join(parentKeys, joinCond, "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    val totals = child.agg(count(lit(1)).as("n_rows"),
+      sum(when(fkNull, 1L).otherwise(0L)).as("__nn"))
+    orphans.crossJoin(totals).select(
+      lit(s"fk:${fkCols.mkString(",")}->${pkCols.mkString(",")}").as("rule"),
+      col("violations"),
+      coalesce(col("__nn"), lit(0L)).as("n_nulls"),
+      col("n_rows"))
+      .withColumn("pass", col("violations") === 0L)
+  }
 }

@@ -102,6 +102,18 @@ object MultimodalQueries {
         Multimodal.mediaWithWebpHeaders(Tables(s, dir, "documents"),
           "doc_id", "text"))),
 
+    // EXIF provenance decode: APP1 'Exif\0\0' + embedded TIFF IFD0 walk
+    // for Orientation (SHORT) / Make / Model / DateTime (ASCII, inline
+    // AND offset paths) — the rotation/device/capture-time fields media
+    // curation keys on. Fixtures alternate II/MM byte order by id
+    // parity, so a parser that assumes one order hash-mismatches half
+    // the corpus; the oracle recomputes every field from the fixture
+    // formula.
+    "mm_exif_meta" -> ((s, dir) =>
+      Multimodal.decodeExif(
+        Multimodal.mediaWithExifHeaders(Tables(s, dir, "documents"),
+          "doc_id", "text"))),
+
     // Exact payload dedup (content-hash grouping — step one of a media
     // dedup pipeline; the sf corpus has no byte-identical payloads, so
     // every group is a singleton here, which the oracle verifies too).
@@ -312,6 +324,17 @@ object MultimodalQueries {
         |                   + (doc_id % 7) * 37) * 1000
         |       // (600 * ((doc_id // 4) % 3 + 1))
         |   END)::BIGINT AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "mm_exif_meta" ->
+      """SELECT doc_id AS media_id,
+        |  (octet_length(encode(text)) + 107)::BIGINT AS n_bytes,
+        |  (doc_id % 8 + 1)::INT AS orientation,
+        |  'Make'||(doc_id % 5) AS make,
+        |  'Model'||(doc_id % 3) AS model,
+        |  '2024:'||lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')||':'
+        |    ||lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')||' '
+        |    ||lpad((doc_id % 24)::VARCHAR, 2, '0')||':00:00' AS taken_at
         |FROM documents""".stripMargin,
 
     "mm_tiff_meta" ->

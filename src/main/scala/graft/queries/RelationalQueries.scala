@@ -497,6 +497,32 @@ object RelationalQueries {
           (col("n_langs") > 1).as("violated"))
     }),
 
+    // Referential-integrity audit across the star schema: four real FK
+    // edges (all clean on TPC-H-shaped data) plus one deliberately
+    // broken edge (customer parent restricted to keys ≡ 0 mod 3) so
+    // both outcomes appear. Each check is one left-anti join on the
+    // key hash against the parent's DISTINCT pruned key column —
+    // dimension parents broadcast under AQE, the lineitem→orders
+    // fact-fact edge degrades to one co-partitioned shuffle (see
+    // [[graft.ops.Quality.checkReferential]]).
+    "dq_referential" -> ((s, dir) => {
+      import graft.ops.Quality.checkReferential
+      Seq(
+        checkReferential(Tables(s, dir, "orders"), Tables(s, dir, "customer"),
+          Seq("o_custkey"), Seq("c_custkey")),
+        checkReferential(Tables(s, dir, "lineitem"), Tables(s, dir, "orders"),
+          Seq("l_orderkey"), Seq("o_orderkey")),
+        checkReferential(Tables(s, dir, "lineitem"), Tables(s, dir, "part"),
+          Seq("l_partkey"), Seq("p_partkey")),
+        checkReferential(Tables(s, dir, "customer"), Tables(s, dir, "nation"),
+          Seq("c_nationkey"), Seq("n_nationkey")),
+        checkReferential(Tables(s, dir, "orders"),
+          Tables(s, dir, "customer").where(col("c_custkey") % 3 === 0),
+          Seq("o_custkey"), Seq("c_custkey"))
+          .withColumn("rule", concat(col("rule"), lit(":mod3"))))
+        .reduce(_ unionByName _)
+    }),
+
     // Z-order (Morton) values for two-dimensional clustering (see
     // [[graft.ops.ZOrder]] — the layout pass that makes parquet min/max
     // prune on BOTH keys). The value function is the oracle-checked part;
@@ -1588,6 +1614,41 @@ object RelationalQueries {
 
     // FD mirror: per-(source, lang) partial counts, majority pick via
     // the same (count desc, lang asc) tie-break, one share division.
+    "dq_referential" ->
+      """WITH checks AS (
+        |  SELECT 'fk:o_custkey->c_custkey' AS rule,
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        |       AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)) AS violations,
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_nulls,
+        |    (SELECT count(*) FROM orders) AS n_rows
+        |  UNION ALL
+        |  SELECT 'fk:l_orderkey->o_orderkey',
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |       AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)),
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL),
+        |    (SELECT count(*) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'fk:l_partkey->p_partkey',
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+        |       AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)),
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+        |    (SELECT count(*) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'fk:c_nationkey->n_nationkey',
+        |    (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
+        |       AND c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)),
+        |    (SELECT count(*) FROM customer WHERE c_nationkey IS NULL),
+        |    (SELECT count(*) FROM customer)
+        |  UNION ALL
+        |  SELECT 'fk:o_custkey->c_custkey:mod3',
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        |       AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)),
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+        |    (SELECT count(*) FROM orders))
+        |SELECT rule, violations::BIGINT AS violations, n_nulls::BIGINT AS n_nulls,
+        |       n_rows::BIGINT AS n_rows, violations = 0 AS pass
+        |FROM checks""".stripMargin,
+
     "dq_fd_violations" ->
       """WITH bl AS (
         |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),

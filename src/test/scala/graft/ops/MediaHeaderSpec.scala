@@ -263,4 +263,40 @@ class MediaHeaderSpec extends SparkSpec {
     assert(decodeOne("II".getBytes ++ Array[Byte](42, 0) ++
       Array[Byte](0xff.toByte, 0xff.toByte, 0, 0)).getString(0) == "unknown")
   }
+
+  test("EXIF: fixture round-trip both byte orders; inline ASCII; garbage degrades to NULLs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val parsed = Multimodal.decodeExif(
+      Multimodal.mediaWithExifHeaders(docs, "doc_id", "text"))
+    assert(parsed.where(col("orientation").isNull).count() == 0L)
+    val r = parsed.where(col("media_id") === 5L)
+      .select("orientation", "make", "model", "taken_at").head()
+    assert(r.getInt(0) == 6 && r.getString(1) == "Make0" &&
+      r.getString(2) == "Model2" && r.getString(3) == "2024:06:06 05:00:00")
+
+    def exifOne(bytes: Array[Byte]): Row =
+      Multimodal.decodeExif(Seq((1L, "x", bytes)).toDF("media_id", "kind", "payload"))
+        .select("orientation", "make", "model", "taken_at").head()
+    // inline ASCII path: make "abc" (count 4 incl NUL fits the value slot)
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    val tiff = "II".getBytes ++ le16(42) ++ le32(8) ++
+      le16(2) ++
+      (le16(0x010f) ++ le16(2) ++ le32(4) ++ "abc".getBytes ++ Array[Byte](0)) ++
+      (le16(0x0112) ++ le16(3) ++ le32(1) ++ le16(7) ++ le16(0)) ++
+      le32(0)
+    val jpeg = Array(0xff, 0xd8, 0xff, 0xe1).map(_.toByte) ++
+      Array(((2 + 6 + tiff.length) >>> 8).toByte, (2 + 6 + tiff.length).toByte) ++
+      "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff
+    val in = exifOne(jpeg)
+    assert(in.getString(1) == "abc" && in.getInt(0) == 7 &&
+      in.isNullAt(2) && in.isNullAt(3))
+    // garbage / non-JPEG / JPEG without APP1 / truncated APP1 → all NULL
+    for (bad <- Seq(Array[Byte](), "not a jpeg".getBytes,
+        Array(0xff, 0xd8, 0xff, 0xdb, 0x00, 0x04, 0, 0).map(_.toByte),
+        jpeg.take(20))) {
+      val g = exifOne(bad)
+      assert((0 to 3).forall(g.isNullAt), s"expected all-NULL for ${bad.length} bytes")
+    }
+  }
 }
