@@ -131,7 +131,8 @@ object MorTable {
     */
   def merge(spark: SparkSession, changes: DataFrame, path: String, pks: Seq[String],
             intraFileOrder: Seq[Column] = Nil,
-            maxRecordsPerFile: Long = CowWriter.DefaultMaxRecordsPerFile): Long = {
+            maxRecordsPerFile: Long = CowWriter.DefaultMaxRecordsPerFile,
+            provenanceCols: Seq[String] = Nil): Long = {
     require(pks.nonEmpty, "merge-on-read requires primary keys")
     val b = committedBatches(spark, path).lastOption
       .getOrElse(sys.error(s"MOR table not initialized: $path")) + 1L
@@ -144,8 +145,11 @@ object MorTable {
     val winners = sequenced.withColumn("__rnk", row_number().over(w))
       .where(col("__rnk") === 1)
       .drop("__rnk", Merge.FileSeq, Merge.RowNum)
-    // Surviving winners are appended; a winning delete only supersedes.
+    // Surviving winners are appended (minus any ordering-only provenance
+    // columns — they must never reach the lake); a winning delete only
+    // supersedes.
     val appended = winners.where(col(Op.column) =!= Op.Delete)
+      .drop(provenanceCols: _*)
 
     // Every live position holding a batch key is superseded (update,
     // delete, or re-insert alike — any change beats generation 0).
@@ -159,6 +163,31 @@ object MorTable {
     superseded.write.mode("overwrite").parquet(s"${delDir(path)}/batch=$b")
     commit(spark, path, b)
     b
+  }
+
+  /** Merge a change batch carrying ([[CdcPipeline.SrcFile]],
+    * [[CdcPipeline.RowIdx]]) provenance (the streaming `foreachBatch`
+    * shape): `file_seq` derives from the batch's sorted file names —
+    * the same total order as the CoW path — then delegates to [[merge]].
+    *
+    * Replay note (crash between merge and checkpoint commit): the
+    * retried micro-batch commits under a NEW batch id, so the re-merge
+    * re-applies the same changes — latest-wins makes the re-application
+    * CONTENT-idempotent (identical read state), at the cost of
+    * physically duplicated rows that are fully superseded and swept by
+    * the next [[vacuum]]. */
+  def mergeTagged(spark: SparkSession, tagged: DataFrame, path: String,
+                  pks: Seq[String]): Long = {
+    import spark.implicits._
+    val files = tagged.select(CdcPipeline.SrcFile).distinct()
+      .as[String].collect().sorted.toSeq
+    require(files.nonEmpty, "empty tagged batch")
+    val seqDf = files.zipWithIndex.map { case (f, i) => (f, (i + 1).toLong) }
+      .toDF(CdcPipeline.SrcFile, Merge.FileSeq)
+    val changes = tagged.join(broadcast(seqDf), CdcPipeline.SrcFile)
+    merge(spark, changes, path, pks,
+      intraFileOrder = Seq(col(CdcPipeline.RowIdx)),
+      provenanceCols = Seq(CdcPipeline.SrcFile, CdcPipeline.RowIdx))
   }
 
   /** Rewrite data files whose dead (deleted-position) fraction reached

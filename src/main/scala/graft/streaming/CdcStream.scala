@@ -98,6 +98,39 @@ object CdcStream {
       .start()
   }
 
+  /** Merge-on-read twin of [[start]]: the identical file stream drives
+    * [[graft.io.MorTable.mergeTagged]] per micro-batch — every commit is
+    * append-only (batch winners + position-delete sidecar + commit
+    * marker), so streaming into a high-churn table never rewrites it.
+    * The caller must have initialized the table ([[graft.io.MorTable
+    * .init]] with the LOAD snapshot — the batch initial load, exactly
+    * like the CoW path). Crash replay re-applies the batch under a new
+    * commit: content-idempotent by latest-wins, physical dead rows swept
+    * by the next vacuum (MorTable.mergeTagged scaladoc). */
+  def startMor(spark: SparkSession, tableDir: String, outPath: String, pks: Seq[String],
+               checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+               maxFilesPerTrigger: Int = 100): StreamingQuery = {
+    require(pks.nonEmpty, "merge-on-read requires primary keys")
+    val schema = sourceSchema(spark, tableDir)
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "2*")
+      .option("latestFirst", "false")
+      .parquet(tableDir)
+      .select(col("*"), col("_metadata.file_path").as(SrcFile),
+        col("_metadata.row_index").as(RowIdx))
+    stream.writeStream
+      .queryName(s"cdc-mor-merge-${qualifiedName(outPath)}")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.io.MorTable.mergeTagged(batch.sparkSession, batch, outPath, pks): Unit
+      }
+      .start()
+  }
+
   /** Queue-shaped source adapter — the substitution point for DMS writing
     * to a stream (Kinesis/Kafka) instead of S3 files. Any streaming
     * DataFrame carrying the table's columns plus `Op` and a per-record

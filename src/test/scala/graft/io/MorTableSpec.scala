@@ -116,6 +116,40 @@ class MorTableSpec extends SparkSpec {
       s"delete sidecar should broadcast:\n$plan")
   }
 
+  test("streaming MOR: file-stream deliveries ≡ the CoW batch merge") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = Files.createTempDirectory("morRaw").toString + "/db/t"
+    val base = tmp()
+    val ckpt = Files.createTempDirectory("morCkpt").toString
+    MorTable.init(spark, snapshot, base)
+    // two CDC files delivered one per micro-batch (maxFilesPerTrigger=1)
+    def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = Files.createTempDirectory("stage").toString
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+      val fs = new Path(raw).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.mkdirs(new Path(raw))
+      fs.rename(part, new Path(s"$raw/$name"))
+      fs.delete(new Path(stage), true)
+    }
+    writeFile(Seq(("U", 0L, "u0"), ("D", 1L, "x"), ("I", 100L, "n100"))
+      .toDF(Op.column, "k", "v"), "20260815-000001.parquet")
+    writeFile(Seq(("U", 0L, "w0"), ("D", 100L, "x"))
+      .toDF(Op.column, "k", "v"), "20260815-000002.parquet")
+    val q = graft.streaming.CdcStream.startMor(spark, raw, base, Seq("k"),
+      ckpt, Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val cow = Merge.mergeCdc(snapshot,
+      batch(1L, Seq(("U", 0L, "u0"), ("D", 1L, "x"), ("I", 100L, "n100")))
+        .unionByName(batch(2L, Seq(("U", 0L, "w0"), ("D", 100L, "x")))),
+      Seq("k"), Nil)
+    assert(asSet(MorTable.read(spark, base)) == asSet(cow))
+    // provenance columns never leak into the lake schema
+    assert(MorTable.read(spark, base).columns.forall(!_.startsWith("__")))
+  }
+
   test("replayed batch id converges to one copy (overwrite-then-commit)") {
     val base = tmp()
     MorTable.init(spark, snapshot, base)
