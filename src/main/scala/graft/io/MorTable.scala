@@ -82,11 +82,19 @@ object MorTable {
     batches.map(b => s"$base/batch=$b").filter(d => f.exists(new Path(d)))
   }
 
-  /** Current live state. `withProvenance=true` keeps the `(file, pos)`
-    * identity columns the merge path needs for supersession. */
+  /** Live state as of the commit prefix ≤ `upTo` (all commits when
+    * None). `withProvenance=true` keeps the `(file, pos)` identity
+    * columns the merge path needs for supersession. */
   private def readTagged(spark: SparkSession, path: String,
-                         withProvenance: Boolean): DataFrame = {
-    val batches = committedBatches(spark, path)
+                         withProvenance: Boolean,
+                         upTo: Option[Long] = None): DataFrame = {
+    val batches = upTo match {
+      case Some(b) =>
+        val pre = committedBatches(spark, path).filter(_ <= b)
+        require(pre.nonEmpty, s"no commit <= $b in $path")
+        pre
+      case None => committedBatches(spark, path)
+    }
     val dirs = committedDirs(spark, path, dataDir(path), batches)
     require(dirs.nonEmpty, s"MOR table has no committed data: $path")
     val data = spark.read.option("mergeSchema", "true")
@@ -111,6 +119,18 @@ object MorTable {
     * delete positions). */
   def read(spark: SparkSession, path: String): DataFrame =
     readTagged(spark, path, withProvenance = false)
+
+  /** Time travel: the table exactly as of commit `batch` — data and
+    * delete batches ≤ `batch`, same anti-join. Free by construction:
+    * commits are immutable and append-only, so history IS the commit
+    * prefix; no log replay, no snapshot copies. (Vacuum trades history
+    * for space: it physically drops fully-dead files and re-baselines
+    * the sidecar under a NEW commit, so states older than the last
+    * vacuum are no longer reconstructable — the standard lakehouse
+    * retention trade, surfaced here as "readAsOf after vacuum may
+    * error on missing files".) */
+  def readAsOf(spark: SparkSession, path: String, batch: Long): DataFrame =
+    readTagged(spark, path, withProvenance = false, upTo = Some(batch))
 
   /** Batch 0: initial snapshot commit. */
   def init(spark: SparkSession, snapshot: DataFrame, path: String,

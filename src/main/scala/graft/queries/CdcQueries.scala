@@ -245,6 +245,21 @@ object CdcQueries {
       graft.io.MorTable.read(s, base).select(col(Op.column) +: orderCols.map(col): _*)
     }),
 
+    // MOR time travel: history IS the commit prefix (append-only
+    // commits), so state as of commit 1 — after file 1's changes, before
+    // file 2's — is a prefix read with the same anti-join, no log replay.
+    // Oracle = the merge of the change PREFIX recomputed from scratch
+    // (cdc_time_travel's contract, through the MOR path).
+    "cdc_mor_asof" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("mor_qt").toString + "/t"
+      graft.io.MorTable.init(s, target(s, dir), base)
+      val chg = changes(s, dir)
+      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 1L), base, Seq("o_orderkey"))
+      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 2L), base, Seq("o_orderkey"))
+      graft.io.MorTable.readAsOf(s, base, batch = 1L)
+        .select(col(Op.column) +: orderCols.map(col): _*)
+    }),
+
     // U1 schema evolution: changes carry a new column; merged target rows
     // null-fill it (reference CHANGELOG 1.1.0 behavior).
     "cdc_schema_evolution" -> ((s, dir) => {
@@ -301,6 +316,16 @@ object CdcQueries {
          |)
          |SELECT o_orderkey, o_orderstatus, o_totalprice
          |FROM ranked WHERE rn = 1 AND "Op" <> 'D'""".stripMargin,
+
+    "cdc_mor_asof" ->
+      s"""$fixtureSql,
+         | unioned AS (
+         |  SELECT * FROM changes WHERE file_seq <= 1 UNION ALL SELECT * FROM target
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq DESC) AS rn
+         |  FROM unioned
+         |)
+         |SELECT "Op", $orderColsSql FROM ranked WHERE rn = 1 AND "Op" <> 'D'""".stripMargin,
 
     "cdc_sequence" ->
       s"""$fixtureSql

@@ -116,6 +116,21 @@ class MorTableSpec extends SparkSpec {
       s"delete sidecar should broadcast:\n$plan")
   }
 
+  test("readAsOf: every commit prefix reconstructs its historical state") {
+    val base = tmp()
+    MorTable.init(spark, snapshot, base)
+    val b1 = batch(1L, Seq(("U", 0L, "u0"), ("D", 1L, "x"), ("I", 100L, "n100")))
+    val b2 = batch(2L, Seq(("U", 0L, "w0"), ("D", 100L, "x")))
+    MorTable.merge(spark, b1, base, Seq("k"))
+    MorTable.merge(spark, b2, base, Seq("k"))
+    assert(asSet(MorTable.readAsOf(spark, base, 0L)) == asSet(snapshot))
+    assert(asSet(MorTable.readAsOf(spark, base, 1L)) ==
+      asSet(Merge.mergeCdc(snapshot, b1, Seq("k"), Nil)))
+    assert(asSet(MorTable.readAsOf(spark, base, 2L)) ==
+      asSet(MorTable.read(spark, base)))
+    intercept[IllegalArgumentException](MorTable.readAsOf(spark, base, -1L))
+  }
+
   test("streaming MOR: file-stream deliveries ≡ the CoW batch merge") {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.streaming.Trigger
