@@ -157,8 +157,15 @@ object Multimodal {
     * payload going quadratic. Output: (id_a, id_b, hamming). */
   def phashPairs(media: DataFrame, maxHamming: Int = 3,
                  maxBucketSize: Int = 1000): DataFrame =
+    phashPairsOf(blockHashed(media), maxHamming, maxBucketSize)
+
+  /** [[phashPairs]] over an ALREADY-HASHED frame (media_id, phash) —
+    * lets a pipeline compute the blockhash once and feed both the pair
+    * generation and its own outputs. */
+  def phashPairsOf(hashed: DataFrame, maxHamming: Int = 3,
+                   maxBucketSize: Int = 1000): DataFrame =
     Dedup.sketchPairs(
-      blockHashed(media).select(col("media_id"), col("phash").as("simhash")),
+      hashed.select(col("media_id"), col("phash").as("simhash")),
       "media_id", maxHamming, maxBucketSize, bands = 4, bandBits = 15)
 
   /** Frame-sample stub for video payloads: deterministic frame offsets

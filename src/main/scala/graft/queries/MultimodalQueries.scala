@@ -143,6 +143,31 @@ object MultimodalQueries {
         lit("image").as("kind"),
         encode(concat(lit("Z"), expr("substring(text, 2)")), "UTF-8").as("payload"))
       Multimodal.phashPairs(m.unionByName(perturbed), maxHamming = 3)
+    }),
+
+    // Media-dedup pipeline e2e over corpus ∪ perturbed copies: ONE
+    // blockhash pass feeds both the 4-band pair generation and the
+    // output; near-dup pairs → connected components (min-id label) →
+    // losers dropped. Every perturbed copy pairs with its original
+    // (local byte churn survives the block-mass profile), so exactly
+    // the originals plus any genuinely isolated rows survive — the
+    // oracle recomputes the whole chain including a recursive-CTE
+    // closure.
+    "mm_pipeline_e2e" -> ((s, dir) => {
+      val m = media(s, dir)
+      val perturbed = Tables(s, dir, "documents").select(
+        (col("doc_id") + 100000L).as("media_id"),
+        lit("image").as("kind"),
+        encode(concat(lit("Z"), expr("substring(text, 2)")), "UTF-8").as("payload"))
+      val corpus = m.unionByName(perturbed)
+      val hashed = Multimodal.blockHashed(corpus).localCheckpoint(true)
+      val pairs = Multimodal.phashPairsOf(hashed, maxHamming = 3)
+      val losers = graft.ops.Dedup.resolveClusters(pairs)
+        .where(col("cluster") < col("id"))
+        .select(col("id").as("media_id"))
+      corpus.select(col("media_id"), length(col("payload")).cast("long").as("n_bytes"))
+        .join(hashed, "media_id")
+        .join(losers, Seq("media_id"), "left_anti")
     })
   )
 
@@ -224,6 +249,61 @@ object MultimodalQueries {
       s"""SELECT doc_id AS media_id, $kindSql AS kind,
          |       octet_length(encode(text))::BIGINT AS n_bytes
          |FROM documents""".stripMargin,
+
+    // The full chain of mm_phash_pairs plus a recursive reachability
+    // closure: losers are members whose component holds a smaller id.
+    "mm_pipeline_e2e" ->
+      s"""WITH RECURSIVE media AS (
+         |  SELECT doc_id AS media_id, lower(hex(encode(text))) AS ph,
+         |         octet_length(encode(text))::BIGINT AS n
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS media_id,
+         |         lower(hex(encode('Z' || substr(text, 2)))) AS ph,
+         |         octet_length(encode('Z' || substr(text, 2)))::BIGINT AS n
+         |  FROM documents),
+         |$phashCtes,
+         |keyed AS (
+         |  SELECT media_id, phash,
+         |         (phash >> 0)  & 32767 AS bk0, (phash >> 15) & 32767 AS bk1,
+         |         (phash >> 30) & 32767 AS bk2, (phash >> 45) & 32767 AS bk3
+         |  FROM hh),
+         |capped AS (
+         |  SELECT *, count(*) OVER (PARTITION BY bk0) AS bk0_n,
+         |            count(*) OVER (PARTITION BY bk1) AS bk1_n,
+         |            count(*) OVER (PARTITION BY bk2) AS bk2_n,
+         |            count(*) OVER (PARTITION BY bk3) AS bk3_n FROM keyed),
+         |cand AS (
+         |  SELECT a.media_id AS id_a, b.media_id AS id_b, a.phash AS h_a, b.phash AS h_b
+         |  FROM capped a JOIN capped b ON a.bk0 = b.bk0 AND a.media_id < b.media_id
+         |  WHERE a.bk0_n <= 1000
+         |  UNION
+         |  SELECT a.media_id, b.media_id, a.phash, b.phash
+         |  FROM capped a JOIN capped b ON a.bk1 = b.bk1 AND a.media_id < b.media_id
+         |  WHERE a.bk1_n <= 1000
+         |  UNION
+         |  SELECT a.media_id, b.media_id, a.phash, b.phash
+         |  FROM capped a JOIN capped b ON a.bk2 = b.bk2 AND a.media_id < b.media_id
+         |  WHERE a.bk2_n <= 1000
+         |  UNION
+         |  SELECT a.media_id, b.media_id, a.phash, b.phash
+         |  FROM capped a JOIN capped b ON a.bk3 = b.bk3 AND a.media_id < b.media_id
+         |  WHERE a.bk3_n <= 1000),
+         |nd AS (SELECT id_a, id_b FROM cand
+         |       WHERE bit_count(xor(h_a::UBIGINT, h_b::UBIGINT)) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd
+         |  UNION SELECT id_b, id_a FROM nd),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |losers AS (
+         |  SELECT src AS media_id FROM reach GROUP BY src
+         |  HAVING least(src, min(dst)) < src)
+         |SELECT m.media_id, m.n AS n_bytes, h.phash
+         |FROM media m JOIN hh h ON m.media_id = h.media_id
+         |WHERE m.media_id NOT IN (SELECT media_id FROM losers)""".stripMargin,
 
     "mm_frame_sample" ->
       s"""SELECT doc_id AS media_id, unnest(range(0, octet_length(encode(text)), 128)) AS frame_offset
