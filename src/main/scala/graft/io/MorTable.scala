@@ -185,6 +185,64 @@ object MorTable {
     b
   }
 
+  /** Value-level change feed of one commit, derived from the commit
+    * structure alone — no sidecar log: pre-images are the LIVE rows (as
+    * of `batch − 1`) at positions this batch's delete sidecar
+    * supersedes; post-images are the batch's appended winners. A full
+    * outer join on the PKs classifies I/U/D, and same-value row moves
+    * are filtered out — so compaction commits (which only move rows)
+    * and vacuum's sidecar re-baseline (whose delete entries point at
+    * already-dead positions) emit NOTHING, exactly as a semantic feed
+    * should. Contract: a VALUE diff over `trackCols`, not an operation
+    * log — an update writing identical tracked values is silent (the
+    * operation-log surface is the CoW path's [[graft.cdc.ChangeFeed]]).
+    *
+    * Output: (pks…, change_op, pre_<c>, post_<c> per tracked column). */
+  def commitDiff(spark: SparkSession, path: String, batch: Long,
+                 pks: Seq[String], trackCols: Seq[String]): DataFrame = {
+    require(batch > 0, s"batch 0 is the initial snapshot, not a change: $batch")
+    require(committedBatches(spark, path).contains(batch),
+      s"commit $batch does not exist in $path")
+    val f = fs(spark, path)
+
+    val pre0 = readTagged(spark, path, withProvenance = true, upTo = Some(batch - 1))
+    val delDir_b = s"${delDir(path)}/batch=$batch"
+    val dataDir_b = s"${dataDir(path)}/batch=$batch"
+    // A commit with NO data dir is vacuum's sidecar consolidation (every
+    // merge/compact writes its data dir, even when empty). Its entries
+    // re-state existing masks AND the old delete dirs that would
+    // reconstruct the ≤ batch−1 state are already swept — diffing it
+    // would fabricate deletes. A consolidation never changes content:
+    // empty feed, by early pre-emptying both sides.
+    val isConsolidation = !f.exists(new Path(dataDir_b))
+    val pre =
+      if (isConsolidation || !f.exists(new Path(delDir_b))) pre0.limit(0)
+      else {
+        val dels = spark.read.parquet(delDir_b)
+        pre0.join(dels,
+          pre0(F) === dels(DelFile) && pre0(P) === dels(DelPos), "left_semi")
+      }
+    val post =
+      if (isConsolidation) pre.drop(F, P).limit(0)
+      else spark.read.option("mergeSchema", "true").parquet(dataDir_b)
+
+    val preSel = pre.select((pks.map(col) :+ lit(true).as("__pre")) ++
+      trackCols.map(c => col(c).as(s"pre_$c")): _*)
+    val postSel = post.select((pks.map(col) :+ lit(true).as("__post")) ++
+      trackCols.map(c => col(c).as(s"post_$c")): _*)
+    val joined = preSel.join(postSel, pks, "full_outer")
+    val op = when(col("__pre").isNull, lit(Op.Insert))
+      .when(col("__post").isNull, lit(Op.Delete))
+      .otherwise(lit(Op.Update))
+    val changed = trackCols
+      .map(c => !(col(s"pre_$c") <=> col(s"post_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .where(col("__pre").isNull || col("__post").isNull || changed)
+      .select(pks.map(col) ++ (op.as("change_op") +:
+        trackCols.flatMap(c => Seq(col(s"pre_$c"), col(s"post_$c")))): _*)
+  }
+
   /** Merge a change batch carrying ([[CdcPipeline.SrcFile]],
     * [[CdcPipeline.RowIdx]]) provenance (the streaming `foreachBatch`
     * shape): `file_seq` derives from the batch's sorted file names —
@@ -230,7 +288,11 @@ object MorTable {
     // column-pruned to the virtual _metadata struct, no data pages).
     val totals = spark.read.option("basePath", dataDir(path)).parquet(dataDirs: _*)
       .groupBy(col("_metadata.file_path").as("f")).agg(count(lit(1)).as("n"))
+    // DISTINCT positions: a vacuum crash between its commit and the
+    // old-dir sweep leaves duplicate sidecar entries, which a raw count
+    // would double — inflating d past n.
     val dead = spark.read.option("basePath", delDir(path)).parquet(delDirs: _*)
+      .select(DelFile, DelPos).distinct()
       .groupBy(col(DelFile).as("f")).agg(count(lit(1)).as("d"))
     val victims = totals.join(dead, "f")
       .where(col("d") >= col("n") * minDeadFraction && col("d") < col("n"))
@@ -282,7 +344,10 @@ object MorTable {
     val totals = spark.read.option("basePath", dataDir(path)).parquet(dataDirs: _*)
       .groupBy(col("_metadata.file_path").as("f")).agg(count(lit(1)).as("n"))
     val dels = spark.read.option("basePath", delDir(path)).parquet(delDirs: _*)
-    val dead = dels.groupBy(col(DelFile).as("f")).agg(count(lit(1)).as("d"))
+    // DISTINCT positions, or post-crash duplicate entries make d exceed
+    // n and the fully-dead file is never detected (a silent disk leak).
+    val dead = dels.select(DelFile, DelPos).distinct()
+      .groupBy(col(DelFile).as("f")).agg(count(lit(1)).as("d"))
     val fullyDead = totals.join(dead, "f").where(col("d") === col("n"))
       .select("f").as[String].collect().toSeq
     fullyDead.foreach(p => f.delete(new Path(new java.net.URI(p)), false))
@@ -313,10 +378,15 @@ object MorTable {
   }
 
   private def writeBatchData(df: DataFrame, path: String, b: Long,
-                             maxRecordsPerFile: Long): Unit =
+                             maxRecordsPerFile: Long): Unit = {
+    // `batch` is the partition-dir column readers re-derive and drop —
+    // a user column of that name would collide at read time
+    require(!df.columns.contains("batch"),
+      "MOR tables reserve the column name 'batch' (commit partition)")
     df.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .parquet(s"${dataDir(path)}/batch=$b")
+  }
 
   /** Commit marker creation — the visibility flip. A replayed batch id
     * rewrote its dirs (mode=overwrite) before this, so at-least-once

@@ -260,6 +260,21 @@ object CdcQueries {
         .select(col(Op.column) +: orderCols.map(col): _*)
     }),
 
+    // MOR change feed from commit structure alone (no sidecar log):
+    // pre-images = live rows at positions commit 2's delete sidecar
+    // superseded, post-images = its appended winners, value-diff
+    // filtered — see [[graft.io.MorTable.commitDiff]]. Oracle = the
+    // full-outer diff of the two prefix-merge states.
+    "cdc_mor_diff" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("mor_qd").toString + "/t"
+      graft.io.MorTable.init(s, target(s, dir), base)
+      val chg = changes(s, dir)
+      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 1L), base, Seq("o_orderkey"))
+      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 2L), base, Seq("o_orderkey"))
+      graft.io.MorTable.commitDiff(s, base, batch = 2L, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+    }),
+
     // U1 schema evolution: changes carry a new column; merged target rows
     // null-fill it (reference CHANGELOG 1.1.0 behavior).
     "cdc_schema_evolution" -> ((s, dir) => {
@@ -326,6 +341,31 @@ object CdcQueries {
          |  FROM unioned
          |)
          |SELECT "Op", $orderColsSql FROM ranked WHERE rn = 1 AND "Op" <> 'D'""".stripMargin,
+
+    "cdc_mor_diff" ->
+      s"""$fixtureSql,
+         | u1 AS (SELECT * FROM changes WHERE file_seq <= 1 UNION ALL SELECT * FROM target),
+         | r1 AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq DESC) AS rn FROM u1),
+         | s1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM r1 WHERE rn = 1 AND "Op" <> 'D'),
+         | u2 AS (SELECT * FROM changes UNION ALL SELECT * FROM target),
+         | r2 AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq DESC) AS rn FROM u2),
+         | s2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM r2 WHERE rn = 1 AND "Op" <> 'D'),
+         | j AS (
+         |  SELECT coalesce(s1.o_orderkey, s2.o_orderkey) AS o_orderkey,
+         |         s1.o_orderkey IS NOT NULL AS has_pre,
+         |         s2.o_orderkey IS NOT NULL AS has_post,
+         |         s1.o_orderstatus AS pre_o_orderstatus,
+         |         s2.o_orderstatus AS post_o_orderstatus,
+         |         s1.o_totalprice AS pre_o_totalprice,
+         |         s2.o_totalprice AS post_o_totalprice
+         |  FROM s1 FULL OUTER JOIN s2 ON s1.o_orderkey = s2.o_orderkey)
+         |SELECT o_orderkey,
+         |  CASE WHEN NOT has_pre THEN 'I' WHEN NOT has_post THEN 'D' ELSE 'U' END AS change_op,
+         |  pre_o_orderstatus, post_o_orderstatus, pre_o_totalprice, post_o_totalprice
+         |FROM j
+         |WHERE NOT has_pre OR NOT has_post
+         |   OR pre_o_orderstatus IS DISTINCT FROM post_o_orderstatus
+         |   OR pre_o_totalprice IS DISTINCT FROM post_o_totalprice""".stripMargin,
 
     "cdc_sequence" ->
       s"""$fixtureSql

@@ -131,6 +131,41 @@ class MorTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](MorTable.readAsOf(spark, base, -1L))
   }
 
+  test("commitDiff: I/U/D classified from commit structure; moves are silent") {
+    val base = tmp()
+    MorTable.init(spark, snapshot, base)
+    MorTable.merge(spark, batch(1L, Seq(
+      ("U", 0L, "u0"),          // value update → U
+      ("U", 1L, "v1"),          // same-value rewrite → silent
+      ("D", 2L, "x"),           // delete → D
+      ("I", 100L, "n100"))),    // insert → I
+      base, Seq("k"))
+    val feed = MorTable.commitDiff(spark, base, 1L, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(feed(0L) == (("U", Some("v0"), Some("u0"))))
+    assert(feed(2L) == (("D", Some("v2"), None)))
+    assert(feed(100L) == (("I", None, Some("n100"))))
+    assert(!feed.contains(1L), "same-value rewrite must be silent")
+
+    // compaction commits only MOVE rows → empty feed
+    val upd = (0L until 20L).filter(_ % 5 < 3).map(i => ("U", i, s"w$i"))
+    MorTable.merge(spark, batch(2L, upd), base, Seq("k"))
+    val victims = MorTable.compact(spark, base, minDeadFraction = 0.4)
+    assert(victims.nonEmpty)
+    val compactBatch = MorTable.committedBatches(spark, base).last
+    assert(MorTable.commitDiff(spark, base, compactBatch, Seq("k"), Seq("v")).count() == 0L,
+      "a compaction commit must emit no feed rows")
+
+    // vacuum's sidecar-consolidation commit (no data dir, old delete
+    // dirs swept) must also be silent — not fabricate deletes
+    MorTable.vacuum(spark, base)
+    val vacBatch = MorTable.committedBatches(spark, base).last
+    assert(vacBatch > compactBatch)
+    assert(MorTable.commitDiff(spark, base, vacBatch, Seq("k"), Seq("v")).count() == 0L,
+      "a vacuum consolidation commit must emit no feed rows")
+  }
+
   test("streaming MOR: file-stream deliveries ≡ the CoW batch merge") {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.streaming.Trigger
