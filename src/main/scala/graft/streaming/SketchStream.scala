@@ -238,6 +238,24 @@ object SketchStream {
       groupCols, m)
   }
 
+  /** Trailing-window distinct estimates over everything ingested: the
+    * per-frame registers fold across segments (MAX, lossless), then the
+    * sliding merge + raw estimate run sketch-sized — the streaming
+    * surface of [[Sketches.hllSlidingEstimate]] (`events_hll_sliding`'s
+    * batch shape). `frameCol` must be the ingest grouping column (an
+    * integral frame index, e.g. epoch-hour); the window is closed on
+    * both ends. A 100 TB event stream keeps hours·64 register rows and
+    * answers ANY trailing window without rescanning deliveries. */
+  def readSlidingDistinct(spark: SparkSession, table: String, frameCol: String,
+                          trailing: Long, m: Int = 64): DataFrame = {
+    spark.catalog.refreshTable(table + "_hll")
+    Sketches.hllSlidingEstimate(
+      spark.table(table + "_hll")
+        .groupBy(col(frameCol), col("bucket"))
+        .agg(max("register").as("register")),
+      frameCol, trailing, m)
+  }
+
   /** Merged watchlist frequency estimates over everything ingested —
     * identical to a single-pass CMS (SUM-merge is exact). */
   def readTermCounts(spark: SparkSession, table: String, items: DataFrame,

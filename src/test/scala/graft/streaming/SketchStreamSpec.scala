@@ -52,6 +52,34 @@ class SketchStreamSpec extends SparkSpec {
         Sketches.cmsBuild(all, "term", 4, 256), watch, "term", 4, 256)))
   }
 
+  test("sliding distinct over stream-maintained registers ≡ the batch sliding estimate") {
+    val t = "sliding_stream_spec"
+    val in = Files.createTempDirectory("slIn").toString + "/t"
+    val ckpt = Files.createTempDirectory("slCkpt").toString
+    // events framed by pseudo-hour; deliveries split mid-frame so the
+    // sliding answer NEEDS the cross-delivery register merge
+    def framed(d: DataFrame) = d.select(
+      (col("doc_id") % 5L).as("hour"),
+      concat(lit("u"), (col("doc_id") % 97L).cast("string")).as("uid"))
+    framed(docs.where($"doc_id" % 2 === 0L)).coalesce(1)
+      .write.mode("append").parquet(in)
+    SketchStream.start(spark, in, t, Seq("hour"), "uid", checkpoint = ckpt)
+      .awaitTermination()
+    framed(docs.where($"doc_id" % 2 === 1L)).coalesce(1)
+      .write.mode("append").parquet(in)
+    SketchStream.start(spark, in, t, Seq("hour"), "uid", checkpoint = ckpt)
+      .awaitTermination()
+    val streamed = SketchStream.readSlidingDistinct(spark, t, "hour", trailing = 3L)
+      .select(col("hour"), col("n_buckets_set"), col("hll_distinct"))
+      .collect().map(_.toString).toSet
+    val batch = Sketches.hllSlidingEstimate(
+      Sketches.hllRegisters(framed(docs), Seq("hour"), "uid", m = 64),
+      "hour", trailing = 3L, m = 64)
+      .select(col("hour"), col("n_buckets_set"), col("hll_distinct"))
+      .collect().map(_.toString).toSet
+    assert(streamed == batch)
+  }
+
   test("quantile sketch ingest: per-delivery samples fold to the single-pass sketch; replay no-ops") {
     val t = "qsketch_stream_spec"
     val in = Files.createTempDirectory("qskIn").toString + "/t"
