@@ -129,20 +129,30 @@ object Sketches {
     * This is where mergeability pays at 100 TB: the corpus is scanned
     * ONCE (by [[hllRegisters]], keyed by the frame column); everything
     * here touches only the register table — ≤ frames·m rows however
-    * large the corpus — so the `trailing`-fold fan-out of the range
-    * self-join is sketch-sized, and re-profiling a new window length
-    * never rescans the data. Exact sliding COUNT DISTINCT instead
-    * re-fans the full event volume `trailing`× through one exchange.
+    * large the corpus — so re-profiling a new window length never
+    * rescans the data. Exact sliding COUNT DISTINCT instead re-fans the
+    * full event volume `trailing`× through one exchange.
+    *
+    * Shape: each register row explodes into the `trailing` window ends
+    * it serves, semi-joined back to the frames that actually occur —
+    * registers·trailing rows through ONE equi-hash exchange
+    * (events_engagement's rolling pattern). A frame-range join would
+    * read nicer but plans as a frames × registers nested loop: fine at
+    * hundreds of frames, catastrophic at ten years of hours.
     *
     * `frameCol` must be an integral frame index (e.g. epoch-hour); the
     * window is closed on both ends in index units. */
   def hllSlidingEstimate(registers: DataFrame, frameCol: String,
                          trailing: Long, m: Int): DataFrame = {
     require(trailing >= 1, s"trailing window must be >= 1 frame: $trailing")
+    require(trailing <= 100000L,
+      s"trailing=$trailing explodes every register row that many times — re-frame coarser")
     val ends = registers.select(col(frameCol).as("__end")).distinct()
-    val merged = ends
-      .join(registers,
-        col(frameCol).between(col("__end") - (trailing - 1), col("__end")))
+    val merged = registers
+      .select(explode(sequence(col(frameCol),
+          col(frameCol) + lit(trailing - 1))).as("__end"),
+        col("bucket"), col("register"))
+      .join(ends, Seq("__end"), "left_semi")
       .groupBy(col("__end"), col("bucket"))
       .agg(max("register").as("register"))
     hllEstimate(merged, Seq("__end"), m).withColumnRenamed("__end", frameCol)
