@@ -139,11 +139,19 @@ class Controller(spark: SparkSession, store: StateStore,
     val outPath = s"${lakeRoot.stripSuffix("/")}/${t.schema}/${t.table}"
     val cfg: TableConfig = item.config
 
+    // Storage mode: copy-on-write (reference parity, default) or
+    // merge-on-read (config opt-in; requires a PK — validated in the
+    // MOR load itself so a misconfigured table reports Failed).
+    val mor = cfg.mergeOnRead
+
     // C3: full (re)load if any LOAD* file is newer than the watermark.
     val fullLoad = Discovery.latestFullLoadMtime(t.dir, conf).flatMap { mtime =>
       val stamp = mtimeFmt.format(Instant.ofEpochMilli(mtime))
       if (stamp > item.state.lastFullLoadDate) {
-        val rows = CdcPipeline.loadInitial(spark, Discovery.loadFiles(t.dir, conf), outPath, cfg)
+        val files = Discovery.loadFiles(t.dir, conf)
+        val rows =
+          if (mor) CdcPipeline.loadInitialMor(spark, files, outPath)
+          else CdcPipeline.loadInitial(spark, files, outPath, cfg)
         commitFullLoad(t, stamp)
         Some(FullLoad(rows))
       } else None
@@ -151,7 +159,9 @@ class Controller(spark: SparkSession, store: StateStore,
 
     // C4: then apply any CDC files past the incremental watermark.
     val incr = Discovery.cdcFilesAfter(t.dir, item.state.lastIncrementalFile, conf).map { batch =>
-      val stats = CdcPipeline.loadIncremental(spark, batch.files, outPath, cfg)
+      val stats =
+        if (mor) CdcPipeline.loadIncrementalMor(spark, batch.files, outPath, cfg)
+        else CdcPipeline.loadIncremental(spark, batch.files, outPath, cfg)
       commitIncremental(t, batch.newWatermark)
       Incremental(stats.rowsWritten, batch.files.size)
     }

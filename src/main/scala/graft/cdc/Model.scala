@@ -28,12 +28,20 @@ object Op {
   *   dynamic partition overwrite, so an at-least-once replay rewrites a
   *   file's partition with identical rows instead of duplicating it. Off
   *   by default — the reference's documented non-idempotent append
-  *   (/root/reference/README.md:208-220) is the parity behavior. */
+  *   (/root/reference/README.md:208-220) is the parity behavior.
+  * @param mergeOnRead opt-in storage mode for PK tables: merges commit
+  *   through [[graft.io.MorTable]] (append-only batch winners +
+  *   position-delete sidecars; reads reconstruct via a broadcast
+  *   anti-join) instead of the reference's copy-on-write rewrite —
+  *   write volume O(batch) instead of O(impacted files). Off by default
+  *   (CoW is the parity behavior); requires primary keys, and the
+  *   table's consumers must read through MorTable.read. */
 final case class TableConfig(
     primaryKeys: Seq[String] = Nil,
     partitionKeys: Seq[String] = Nil,
     active: Boolean = false,
-    replayGuard: Boolean = false) {
+    replayGuard: Boolean = false,
+    mergeOnRead: Boolean = false) {
   def hasPrimaryKey: Boolean = primaryKeys.nonEmpty
 }
 

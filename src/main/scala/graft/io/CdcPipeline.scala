@@ -75,6 +75,46 @@ object CdcPipeline {
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** Merge-on-read twin of [[loadInitial]]: the snapshot becomes MOR
+    * commit 0 (config `mergeOnRead`; see [[MorTable]]). */
+  def loadInitialMor(spark: SparkSession, loadFiles: Seq[String], outPath: String,
+                     format: String = "parquet"): Long = {
+    require(loadFiles.nonEmpty, "no snapshot files")
+    val snap0 = readChangeFiles(spark, loadFiles, format)
+    val snap = if (snap0.columns.contains(Op.column)) snap0 else Merge.tagInitial(snap0)
+    val obs = org.apache.spark.sql.Observation()
+    MorTable.init(spark, snap.observe(obs, count(lit(1)).as("n")), outPath)
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** Merge-on-read twin of [[loadIncremental]]: the same tagged change
+    * batch commits through [[MorTable.mergeTagged]] — append-only
+    * winners + position-delete sidecar instead of the copy-on-write
+    * rewrite. `rowsWritten` counts the appended winners (footer-count
+    * read of the new batch dir — metadata-only); `impactedFiles` is
+    * empty by construction: no stored file is ever rewritten. */
+  def loadIncrementalMor(spark: SparkSession, cdcFiles: Seq[String], outPath: String,
+                         cfg: TableConfig, format: String = "parquet"): MergeStats = {
+    require(cdcFiles.nonEmpty, "no change files")
+    require(cfg.hasPrimaryKey, "merge-on-read requires primary keys; " +
+      "no-PK tables stay on the insert-only copy-on-write path")
+    val base = readChangeFiles(spark, cdcFiles, format)
+      .withColumn(SrcFile, col("_metadata.file_path"))
+    val tagged =
+      if (format == "parquet") base.withColumn(RowIdx, col("_metadata.row_index"))
+      else base.withColumn(RowIdx,
+        struct(col("_metadata.file_block_start"), monotonically_increasing_id()))
+    val b = MorTable.mergeTagged(spark, tagged, outPath, cfg.primaryKeys)
+    // footer-count read; an ALL-DELETE batch leaves a partless dir
+    // (nothing appended) that schema inference would reject — report 0
+    val batchDir = new Path(s"$outPath/data/batch=$b")
+    val bfs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val appended =
+      if (!bfs.listStatus(batchDir).exists(_.getPath.getName.endsWith(".parquet"))) 0L
+      else spark.read.parquet(batchDir.toString).count()
+    MergeStats(appended, Nil, insertOnly = false)
+  }
+
   /** The flagship: incremental latest-wins merge with copy-on-write rewrite
     * (DMSCDC_LoadIncremental.py:41-87). */
   def loadIncremental(spark: SparkSession, cdcFiles: Seq[String], outPath: String,

@@ -222,8 +222,12 @@ object MorTable {
         pre0.join(dels,
           pre0(F) === dels(DelFile) && pre0(P) === dels(DelPos), "left_semi")
       }
+    // an all-delete merge batch leaves a partless data dir (nothing
+    // appended) that schema inference would reject
+    val hasDataFiles = !isConsolidation &&
+      f.listStatus(new Path(dataDir_b)).exists(_.getPath.getName.endsWith(".parquet"))
     val post =
-      if (isConsolidation) pre.drop(F, P).limit(0)
+      if (!hasDataFiles) pre.drop(F, P).limit(0)
       else spark.read.option("mergeSchema", "true").parquet(dataDir_b)
 
     val preSel = pre.select((pks.map(col) :+ lit(true).as("__pre")) ++

@@ -117,6 +117,7 @@ final class JsonFileStateStore(dir: String) extends StateStore {
       "partitionKey" -> i.config.partitionKeys.mkString(","),
       "activeFlag" -> i.config.active.toString,
       "replayGuard" -> i.config.replayGuard.toString,
+      "mergeOnRead" -> i.config.mergeOnRead.toString,
       "lastFullLoadDate" -> i.state.lastFullLoadDate,
       "lastIncrementalFile" -> i.state.lastIncrementalFile)
     kv.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
@@ -159,7 +160,8 @@ final class JsonFileStateStore(dir: String) extends StateStore {
       TableConfig(split("primaryKey"), split("partitionKey"),
         m.get("activeFlag").contains("true"),
         // absent in pre-guard state files → false (backward compatible)
-        m.get("replayGuard").contains("true")),
+        m.get("replayGuard").contains("true"),
+        m.get("mergeOnRead").contains("true")),
       TableState(
         m.getOrElse("lastFullLoadDate", TableState.EpochFullLoad),
         m.getOrElse("lastIncrementalFile", "")))

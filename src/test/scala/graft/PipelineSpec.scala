@@ -91,6 +91,66 @@ class PipelineSpec extends SparkSpec {
     assert(ctl.runOnce().values.forall(_ == List(Controller.NoNewData)))
   }
 
+  test("merge-on-read storage mode: same walkthrough end state, append-only commits") {
+    val raw = Files.createTempDirectory("rawM").toString
+    val lake = Files.createTempDirectory("lakeM").toString
+    val stateDir = Files.createTempDirectory("stateM").toString
+    writeParquetFile(products, s"$raw/sampledb/product", "LOAD00000001.parquet")
+    val store = new JsonFileStateStore(stateDir)
+    val ctl = new Controller(spark, store, raw, lake, parallelism = 2)
+    ctl.runOnce() // discovers + defaults
+    Discovery.listTables(raw).foreach { t =>
+      val item = store.get(t.dir).get
+      store.put(item.copy(config =
+        TableConfig(Seq("id"), Nil, active = true, mergeOnRead = true)))
+    }
+    assert(ctl.runOnce()("sampledb/product") == List(Controller.FullLoad(25)))
+    val path = s"$lake/sampledb/product"
+    assert(graft.io.MorTable.read(spark, path).count() == 25)
+    val before = graft.io.MorTable.dataFiles(spark, path).toSet
+
+    val productCdc = Seq(
+      ("U", 1001, "Sample Product", "Sample Dept", "Sample Category", BigDecimal(39.00)),
+      ("D", 1002, "Product 1002", "Dept 2", "Cat 2", BigDecimal(2004)))
+      .toDF("Op", "id", "name", "dept", "category", "price")
+    writeParquetFile(productCdc, s"$raw/sampledb/product", "20260812-000000001.parquet")
+    // MOR rowsWritten counts APPENDED winners (1 update; the delete only
+    // supersedes) — not the CoW rewrite volume (24)
+    assert(ctl.runOnce()("sampledb/product") == List(Controller.Incremental(1, 1)))
+
+    val merged = graft.io.MorTable.read(spark, path)
+    assert(merged.count() == 24)
+    assert(merged.filter($"id" === 1002).count() == 0)
+    val p1001 = merged.filter($"id" === 1001).collect()
+    assert(p1001.length == 1 && p1001(0).getAs[String]("name") == "Sample Product")
+    // append-only: every snapshot file survives the merge untouched
+    assert(before.subsetOf(graft.io.MorTable.dataFiles(spark, path).toSet))
+    // config round-trips through the JSON state store
+    val pDir = Discovery.listTables(raw).find(_.key == "sampledb/product").get.dir
+    assert(store.get(pDir).get.config.mergeOnRead)
+    // watermark no-op rerun holds in MOR mode too
+    assert(ctl.runOnce()("sampledb/product") == List(Controller.NoNewData))
+  }
+
+  test("mergeOnRead without a primary key fails the table, not the run") {
+    val raw = Files.createTempDirectory("rawM2").toString
+    val lake = Files.createTempDirectory("lakeM2").toString
+    val store = new JsonFileStateStore(Files.createTempDirectory("stateM2").toString)
+    writeParquetFile(products, s"$raw/db/t", "LOAD00000001.parquet")
+    writeParquetFile(products.where($"id" === 1001), s"$raw/db/t",
+      "20260812-000000001.parquet")
+    val ctl = new Controller(spark, store, raw, lake, parallelism = 1)
+    ctl.runOnce()
+    val tDir = Discovery.listTables(raw).find(_.key == "db/t").get.dir
+    val item = store.get(tDir).get
+    store.put(item.copy(config = TableConfig(Nil, Nil, active = true, mergeOnRead = true)))
+    val r = ctl.runOnce()("db/t")
+    assert(r.exists {
+      case Controller.Failed(msg) => msg.contains("primary key")
+      case _ => false
+    }, s"expected a primary-key Failed action, got $r")
+  }
+
   test("partitioned initial load writes hive layout") {
     val raw = Files.createTempDirectory("raw").toString
     val lake = Files.createTempDirectory("lake").toString

@@ -157,6 +157,13 @@ class MorTableSpec extends SparkSpec {
     assert(MorTable.commitDiff(spark, base, compactBatch, Seq("k"), Seq("v")).count() == 0L,
       "a compaction commit must emit no feed rows")
 
+    // an ALL-DELETE commit (partless data dir) still diffs: pure D rows
+    MorTable.merge(spark, batch(3L, Seq(("D", 19L, "x"))), base, Seq("k"))
+    val delOnly = MorTable.committedBatches(spark, base).last
+    val dFeed = MorTable.commitDiff(spark, base, delOnly, Seq("k"), Seq("v")).collect()
+    assert(dFeed.length == 1 && dFeed.head.getString(1) == "D" &&
+      dFeed.head.getLong(0) == 19L)
+
     // vacuum's sidecar-consolidation commit (no data dir, old delete
     // dirs swept) must also be silent — not fabricate deletes
     MorTable.vacuum(spark, base)
