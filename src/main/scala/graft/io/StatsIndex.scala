@@ -275,4 +275,32 @@ object StatsIndex {
       .parquet(files: _*)
       .where(exact)
   }
+
+  /** Clustering-quality audit over the index's own [min, max] intervals:
+    * per `groupCol` slice, the file count and the MAX number of files
+    * whose interval covers any single key point — the worst-case file
+    * fan-in a point probe pays, i.e. the "should this table be
+    * re-clustered" advisor (depth 1 ⇒ perfectly range-clustered; depth ≈
+    * n_files ⇒ every probe opens everything, zone maps prune nothing).
+    *
+    * Metadata-sized end to end: a sweep over 2·n_files integer endpoints
+    * (+1 at min, −1 at max+1 — closed intervals on an integral key),
+    * collapsed per point first so coincident endpoints cannot order-race,
+    * then one running sum per group (`dq_overlap_depth` pins it against
+    * a layout formula DuckDB re-derives). At 100k files this is 200k
+    * rows through one window — nothing touches the data. */
+  def overlapDepth(stats: DataFrame, keyCol: String,
+                   groupCol: String): DataFrame = {
+    val lo = col(s"min_$keyCol").cast("long")
+    val hi = col(s"max_$keyCol").cast("long")
+    val ev = stats.select(col(groupCol), lo.as("p"), lit(1L).as("d"))
+      .unionByName(stats.select(col(groupCol), (hi + 1L).as("p"), lit(-1L).as("d")))
+    val byPoint = ev.groupBy(groupCol, "p").agg(sum("d").as("dd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val depths = byPoint.withColumn("depth", sum("dd").over(w))
+    val nf = stats.groupBy(groupCol).agg(count(lit(1)).as("n_files"))
+    nf.join(depths.groupBy(groupCol).agg(max("depth").as("max_depth")), Seq(groupCol))
+  }
 }

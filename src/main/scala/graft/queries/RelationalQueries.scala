@@ -523,6 +523,36 @@ object RelationalQueries {
         .reduce(_ unionByName _)
     }),
 
+    // Clustering-quality audit (the "should I re-cluster" advisor): two
+    // DETERMINISTIC file layouts of orders — range-clustered (bucket =
+    // key·8 div (max+1)) vs scattered (key mod 8), one file per bucket —
+    // indexed by StatsIndex, then the max point-probe file fan-in from
+    // an endpoint sweep over the per-file [min,max] intervals
+    // ([[graft.io.StatsIndex.overlapDepth]]). Clustered → depth 1 (zone
+    // maps prune everything); scattered → depth = n_files (they prune
+    // nothing). The bucket formulas are pure key arithmetic, so DuckDB
+    // re-derives the exact file boundaries and the same sweep.
+    "dq_overlap_depth" -> ((s, dir) => {
+      val base = statsFixtures.computeIfAbsent(
+        s"${s.sparkContext.applicationId}:$dir:overlap", _ => {
+          val b = java.nio.file.Files.createTempDirectory("overlap")
+          val o = Tables(s, dir, "orders")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          def layout(f: org.apache.spark.sql.Column, sub: String): Unit =
+            o.withColumn("f", f)
+              .repartition(col("f"))
+              .write.partitionBy("f").mode("overwrite").parquet(s"$b/$sub")
+          layout(expr(s"(o_orderkey * 8) div ${mx + 1L}"), "clustered")
+          layout(expr("o_orderkey % 8"), "scattered")
+          b.toString
+        })
+      def depth(sub: String) = graft.io.StatsIndex.overlapDepth(
+        graft.io.StatsIndex.build(s, s"$base/$sub", Seq("o_orderkey"))
+          .withColumn("layout", lit(sub)),
+        "o_orderkey", "layout")
+      depth("clustered").unionByName(depth("scattered"))
+    }),
+
     // Z-order (Morton) values for two-dimensional clustering (see
     // [[graft.ops.ZOrder]] — the layout pass that makes parquet min/max
     // prune on BOTH keys). The value function is the oracle-checked part;
@@ -1614,6 +1644,28 @@ object RelationalQueries {
 
     // FD mirror: per-(source, lang) partial counts, majority pick via
     // the same (count desc, lang asc) tie-break, one share division.
+    // Per-bucket min/max re-derived from the SAME bucket arithmetic the
+    // fixture wrote (one file per bucket), then the identical endpoint
+    // sweep.
+    "dq_overlap_depth" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |b AS (
+        |  SELECT 'clustered' AS layout, (o_orderkey * 8) // (m + 1) AS f, o_orderkey
+        |  FROM orders, mx
+        |  UNION ALL
+        |  SELECT 'scattered', o_orderkey % 8, o_orderkey FROM orders),
+        |iv AS (SELECT layout, f, min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |       FROM b GROUP BY 1, 2),
+        |ev AS (SELECT layout, lo AS p, 1 AS d FROM iv
+        |       UNION ALL SELECT layout, hi + 1, -1 FROM iv),
+        |byp AS (SELECT layout, p, sum(d) AS dd FROM ev GROUP BY 1, 2),
+        |run AS (SELECT layout, sum(dd) OVER (PARTITION BY layout ORDER BY p
+        |                 ROWS UNBOUNDED PRECEDING) AS depth FROM byp),
+        |nf AS (SELECT layout, count(*) AS n_files FROM iv GROUP BY 1),
+        |md AS (SELECT layout, max(depth) AS max_depth FROM run GROUP BY 1)
+        |SELECT nf.layout, n_files::BIGINT AS n_files, max_depth::BIGINT AS max_depth
+        |FROM nf JOIN md ON nf.layout = md.layout""".stripMargin,
+
     "dq_referential" ->
       """WITH checks AS (
         |  SELECT 'fk:o_custkey->c_custkey' AS rule,

@@ -204,4 +204,22 @@ class StatsIndexSpec extends SparkSpec {
     assert(out.schema.fieldNames.contains("p"))
     assert(out.select(countDistinct($"p")).as[Long].head() == 2L)
   }
+
+  test("overlapDepth: clustered layout → 1, scattered → n_files, half-overlap exact") {
+    def depthOf(rows: Seq[(Long, Long)]): Long = {
+      val stats = rows.zipWithIndex
+        .map { case ((lo, hi), i) => (s"f$i", "g", lo, hi) }
+        .toDF("file", "g", "min_id", "max_id")
+      StatsIndex.overlapDepth(stats, "id", "g")
+        .select($"max_depth").as[Long].head()
+    }
+    // disjoint ranges: any point is in exactly one file
+    assert(depthOf(Seq((0L, 9L), (10L, 19L), (20L, 29L))) == 1L)
+    // identical ranges: every point is in all files
+    assert(depthOf(Seq((0L, 9L), (0L, 9L), (0L, 9L), (0L, 9L))) == 4L)
+    // staircase: [0,10] [5,15] [10,20] — point 10 is in all three
+    assert(depthOf(Seq((0L, 10L), (5L, 15L), (10L, 20L))) == 3L)
+    // touching closed intervals: boundary point belongs to both
+    assert(depthOf(Seq((0L, 10L), (10L, 20L))) == 2L)
+  }
 }
