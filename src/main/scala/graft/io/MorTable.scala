@@ -277,9 +277,16 @@ object MorTable {
     * files re-append under a new batch and their old positions join the
     * delete sidecar. Visibility flips atomically with the commit marker
     * — no new metadata concept, no reader-visible window. The old files
-    * become fully dead; [[vacuum]] reclaims them. */
+    * become fully dead; [[vacuum]] reclaims them.
+    *
+    * `clusterBy` additionally range-partitions + sorts the re-appended
+    * rows, restoring zone-map prunability (each rewritten file owns a
+    * contiguous key range — [[StatsIndex.overlapDepth]] of the new
+    * files is 1): the remediation the `dq_overlap_depth` advisor points
+    * at when accumulated merges have interleaved the key space. */
   def compact(spark: SparkSession, path: String, minDeadFraction: Double = 0.3,
-              maxRecordsPerFile: Long = CowWriter.DefaultMaxRecordsPerFile): Seq[String] = {
+              maxRecordsPerFile: Long = CowWriter.DefaultMaxRecordsPerFile,
+              clusterBy: Seq[String] = Nil): Seq[String] = {
     import spark.implicits._
     val batches = committedBatches(spark, path)
     val dataDirs = committedDirs(spark, path, dataDir(path), batches)
@@ -306,7 +313,14 @@ object MorTable {
     val b = batches.last + 1L
     val live = readTagged(spark, path, withProvenance = true)
       .where(col(F).isin(victims: _*))
-    writeBatchData(live.drop(F, P), path, b, maxRecordsPerFile)
+      .localCheckpoint(true) // two consumers (data + sidecar); and the
+                             // range shuffle below must see a stable set
+    val out0 = live.drop(F, P)
+    val out =
+      if (clusterBy.isEmpty) out0
+      else out0.repartitionByRange(clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    writeBatchData(out, path, b, maxRecordsPerFile)
     live.select(col(F).as(DelFile), col(P).as(DelPos))
       .write.mode("overwrite").parquet(s"${delDir(path)}/batch=$b")
     commit(spark, path, b)

@@ -94,6 +94,35 @@ class MorTableSpec extends SparkSpec {
     assert(victims.forall(v => !left.contains(v)))
   }
 
+  test("clustered compaction restores zone-map prunability (overlap depth 1)") {
+    val base = tmp()
+    // interleaved layout: hash repartition scatters keys across files
+    MorTable.init(spark, spark.range(200).select(
+      lit("I").as(Op.column), $"id".as("k"), concat(lit("v"), $"id").as("v"))
+      .repartition(4), base)
+    val upd = (0L until 200L).filter(_ % 2 == 0L).map(i => ("U", i, s"u$i"))
+    MorTable.merge(spark, batch(1L, upd), base, Seq("k"))
+    val expected = asSet(MorTable.read(spark, base))
+
+    // maxRecordsPerFile splits each (sorted) range partition into
+    // several files — sequential splits of a sorted run stay contiguous
+    val victims = MorTable.compact(spark, base, minDeadFraction = 0.4,
+      maxRecordsPerFile = 30L, clusterBy = Seq("k"))
+    assert(victims.nonEmpty)
+    MorTable.vacuum(spark, base)
+    assert(asSet(MorTable.read(spark, base)) == expected)
+
+    // the compaction batch's files each own a contiguous k range
+    val compactDir = MorTable.dataFiles(spark, base)
+      .filter(_.contains(s"batch=${2}")) // init=0, merge=1, compact=2
+    assert(compactDir.size > 1, "range repartition should emit several files")
+    val stats = StatsIndex.buildFiles(spark, base, compactDir, Seq("k"))
+      .withColumn("g", lit("c"))
+    val depth = StatsIndex.overlapDepth(stats, "k", "g")
+      .select($"max_depth").as[Long].head()
+    assert(depth == 1L, s"clustered compaction must yield depth 1, got $depth")
+  }
+
   test("schema evolution: later batches carry new columns, old rows null-fill") {
     val base = tmp()
     MorTable.init(spark, snapshot, base)
