@@ -366,8 +366,16 @@ object MorTable {
     // n and the fully-dead file is never detected (a silent disk leak).
     val dead = dels.select(DelFile, DelPos).distinct()
       .groupBy(col(DelFile).as("f")).agg(count(lit(1)).as("d"))
-    val fullyDead = totals.join(dead, "f").where(col("d") === col("n"))
-      .select("f").as[String].collect().toSeq
+    val fullyDead0 = totals.join(dead, "f").where(col("d") === col("n"))
+      .select("f").as[String].collect().toSeq.sorted
+    // A table whose every row is deleted would lose its LAST data file
+    // here, leaving nothing to infer a schema from — readers of an empty
+    // table must still get a typed empty frame. Keep one (fully-masked)
+    // file as the schema anchor; its sidecar entries survive the
+    // consolidation below because the file still exists.
+    val nAllFiles = dataFiles(spark, path).size
+    val fullyDead =
+      if (fullyDead0.size == nAllFiles) fullyDead0.drop(1) else fullyDead0
     fullyDead.foreach(p => f.delete(new Path(new java.net.URI(p)), false))
 
     // 2) consolidate surviving entries into one fresh delete batch.
