@@ -58,6 +58,22 @@ object CdcQueries {
     f1.unionByName(f2)
   }
 
+  /** One on-disk MOR build of the fixture per (session, sf) — shared by
+    * the read-only cdc_mor_merge / _asof / _diff queries. Cache PATHS,
+    * not frames (the dirs outlive any cleared cache; deleted on JVM
+    * exit by the temp-dir contract). */
+  private val morFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def morFixture(s: SparkSession, dir: String): String =
+    morFixtures.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
+      val base = java.nio.file.Files.createTempDirectory("mor_fix").toString + "/t"
+      graft.io.MorTable.init(s, target(s, dir), base)
+      val chg = changes(s, dir)
+      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 1L), base, Seq("o_orderkey"))
+      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 2L), base, Seq("o_orderkey"))
+      base
+    })
+
   /** Shared oracle CTEs for the fixture. */
   private val fixtureSql: String =
     s"""WITH target AS (
@@ -221,14 +237,13 @@ object CdcQueries {
     // reconstructs exactly the copy-on-write result: the oracle is
     // cdc_merge's verbatim, so a hash match proves MOR ≡ CoW semantics
     // across commits (cross-file latest-wins, delete-of-insert).
-    "cdc_mor_merge" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("mor_q").toString + "/t"
-      graft.io.MorTable.init(s, target(s, dir), base)
-      val chg = changes(s, dir)
-      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 1L), base, Seq("o_orderkey"))
-      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 2L), base, Seq("o_orderkey"))
-      graft.io.MorTable.read(s, base).select(col(Op.column) +: orderCols.map(col): _*)
-    }),
+    // cdc_mor_merge / _asof / _diff are pure READS of the same commit
+    // history → one cached on-disk build (the statsPruneFixture
+    // pattern); cdc_mor_compact mutates history (vacuum re-baselines
+    // the sidecar) and builds its own copy.
+    "cdc_mor_merge" -> ((s, dir) =>
+      graft.io.MorTable.read(s, morFixture(s, dir))
+        .select(col(Op.column) +: orderCols.map(col): _*)),
 
     // MOR lifecycle closure: compaction (rewrite-as-commit of files past
     // the dead-fraction threshold) then vacuum (physical GC of fully-dead
@@ -250,30 +265,18 @@ object CdcQueries {
     // file 2's — is a prefix read with the same anti-join, no log replay.
     // Oracle = the merge of the change PREFIX recomputed from scratch
     // (cdc_time_travel's contract, through the MOR path).
-    "cdc_mor_asof" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("mor_qt").toString + "/t"
-      graft.io.MorTable.init(s, target(s, dir), base)
-      val chg = changes(s, dir)
-      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 1L), base, Seq("o_orderkey"))
-      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 2L), base, Seq("o_orderkey"))
-      graft.io.MorTable.readAsOf(s, base, batch = 1L)
-        .select(col(Op.column) +: orderCols.map(col): _*)
-    }),
+    "cdc_mor_asof" -> ((s, dir) =>
+      graft.io.MorTable.readAsOf(s, morFixture(s, dir), batch = 1L)
+        .select(col(Op.column) +: orderCols.map(col): _*)),
 
     // MOR change feed from commit structure alone (no sidecar log):
     // pre-images = live rows at positions commit 2's delete sidecar
     // superseded, post-images = its appended winners, value-diff
     // filtered — see [[graft.io.MorTable.commitDiff]]. Oracle = the
     // full-outer diff of the two prefix-merge states.
-    "cdc_mor_diff" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("mor_qd").toString + "/t"
-      graft.io.MorTable.init(s, target(s, dir), base)
-      val chg = changes(s, dir)
-      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 1L), base, Seq("o_orderkey"))
-      graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 2L), base, Seq("o_orderkey"))
-      graft.io.MorTable.commitDiff(s, base, batch = 2L, Seq("o_orderkey"),
-        Seq("o_orderstatus", "o_totalprice"))
-    }),
+    "cdc_mor_diff" -> ((s, dir) =>
+      graft.io.MorTable.commitDiff(s, morFixture(s, dir), batch = 2L,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))),
 
     // U1 schema evolution: changes carry a new column; merged target rows
     // null-fill it (reference CHANGELOG 1.1.0 behavior).
