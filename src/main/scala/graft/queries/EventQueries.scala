@@ -115,6 +115,41 @@ object EventQueries {
       graft.ops.Sketches.hllSlidingEstimate(regs, "hour", trailing = 24L, m = 64)
     }),
 
+    // Audience overlap from HLL registers alone (inclusion–exclusion):
+    // distinct clickers, distinct purchasers, their union via the
+    // lossless MAX-merge, and |A∩B| ≈ |A| + |B| − |A∪B| — the
+    // segment-overlap question answered from two 64-register sketches a
+    // profiling sidecar already keeps, never by re-scanning events or
+    // materializing per-user sets. Raw estimates (engine-exact: no
+    // log/pow), identical IEEE arithmetic order in the oracle; the
+    // estimator difference can in principle go negative on tiny
+    // overlaps — reported as-is, the standard sketch caveat.
+    "events_hll_overlap" -> ((s, dir) => {
+      // residue-class segment predicates make the overlap PARTIAL (the
+      // raw fixture's every user does everything, which would degenerate
+      // A = B = A∪B): A = mod-3 clickers, B = mod-2 purchasers,
+      // true overlap = the mod-6 class.
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          col("user_id").cast("string").as("uid"))
+      def regs(t: String, modBase: Int, g: String) =
+        graft.ops.Sketches.hllRegisters(
+          e.where(col("event_type") === t && col("user_id") % modBase === 0)
+            .withColumn("g", lit(g)),
+          Seq("g"), "uid", m = 64)
+      def est(r: org.apache.spark.sql.DataFrame, as: String) =
+        graft.ops.Sketches.hllEstimate(r, Seq("g"), m = 64)
+          .select(col("hll_distinct").as(as))
+      val ra = regs("click", 3, "a")
+      val rb = regs("purchase", 2, "b")
+      val ru = graft.ops.Sketches.hllMerge(
+        Seq(ra.withColumn("g", lit("u")), rb.withColumn("g", lit("u"))), Seq("g"))
+      est(ra, "est_click").crossJoin(est(rb, "est_purchase"))
+        .crossJoin(est(ru, "est_union"))
+        .withColumn("est_overlap",
+          col("est_click") + col("est_purchase") - col("est_union"))
+    }),
+
     // CUSUM level-shift detection over the hourly series per type: the
     // clamped recurrence C_t = max(0, C_{t-1} + (n_t − mean)) has the
     // closed form C_t = P_t − min(0, min_{j≤t} P_j) with P the plain
@@ -702,6 +737,46 @@ object EventQueries {
         |SELECT day, dau, wau, mau
         |FROM days JOIN dau USING (day) JOIN wauc USING (day)
         |          JOIN mauc USING (day)""".stripMargin,
+
+    // Registers per type, union via MAX-merge, three raw estimates with
+    // the verbatim fold, then the same inclusion–exclusion arithmetic.
+    "events_hll_overlap" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN event_type = 'click' THEN 'click' ELSE 'purchase' END AS seg,
+        |         ('0x'||substr(md5('hll:'||user_id::VARCHAR),1,15))::BIGINT AS h
+        |  FROM events
+        |  WHERE (event_type = 'click' AND user_id % 3 = 0)
+        |     OR (event_type = 'purchase' AND user_id % 2 = 0)),
+        |r AS (SELECT seg, h % 64 AS bucket,
+        |        CASE WHEN (h // 64) = 0 THEN 55
+        |             ELSE 55 - length(bin(h // 64)) END AS rho
+        |      FROM e),
+        |regs AS (SELECT seg, bucket, max(rho)::BIGINT AS register
+        |         FROM r GROUP BY 1, 2),
+        |uregs AS (SELECT bucket, max(register) AS register FROM regs GROUP BY 1),
+        |alln AS (
+        |  SELECT 'click' AS s, bucket, register FROM regs WHERE seg = 'click'
+        |  UNION ALL
+        |  SELECT 'purchase', bucket, register FROM regs WHERE seg = 'purchase'
+        |  UNION ALL
+        |  SELECT 'union', bucket, register FROM uregs),
+        |est AS (SELECT s, count(*)::BIGINT AS nb,
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list((1.0::DOUBLE / ((1::BIGINT << register::INT)::DOUBLE)) ORDER BY bucket)),
+        |          (a, x) -> a + x) AS fold
+        |      FROM alln GROUP BY 1),
+        |vals AS (SELECT s,
+        |        ((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 64.0::DOUBLE))
+        |          * 64.0::DOUBLE * 64.0::DOUBLE)
+        |        / ((64 - nb)::DOUBLE + fold) AS v
+        |      FROM est)
+        |SELECT
+        |  (SELECT v FROM vals WHERE s = 'click') AS est_click,
+        |  (SELECT v FROM vals WHERE s = 'purchase') AS est_purchase,
+        |  (SELECT v FROM vals WHERE s = 'union') AS est_union,
+        |  (SELECT v FROM vals WHERE s = 'click')
+        |    + (SELECT v FROM vals WHERE s = 'purchase')
+        |    - (SELECT v FROM vals WHERE s = 'union') AS est_overlap""".stripMargin,
 
     // HLL registers + sliding MAX-merge + raw estimate recomputed
     // verbatim (same mirror conventions as text_hll_distinct: 60-bit
