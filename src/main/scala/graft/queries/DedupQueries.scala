@@ -137,6 +137,33 @@ object DedupQueries {
         .withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
     }),
 
+    // Cross-modal dedup verification: the text-LSH candidate pairs scored
+    // by BOTH the exact lexical Jaccard and the embedding cosine of the
+    // same ids (doc_id ≡ vec_id in the fixture corpus). A pair the two
+    // signals disagree on is exactly the interesting case — paraphrases
+    // (semantic_only) survive lexical dedup but not semantic dedup;
+    // boilerplate-sharing unrelated docs (lexical_only) are the reverse.
+    // Candidate-sized throughout: the embedding join touches only pair
+    // endpoints, never the corpus; at 100 TB both joins shuffle
+    // candidate-count rows against id-partitioned tables.
+    "dedup_semantic_verify" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text",
+        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
+        .select("id_a", "id_b").localCheckpoint(true)
+      Dedup.ngramJaccard(d, pairs, "doc_id", "text", shingleWords = 3)
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("__va")), Seq("id_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("__vb")), Seq("id_b"))
+        .withColumn("cos",
+          graft.functions.VectorFunctions.cosine(col("__va"), col("__vb")))
+        .select(col("id_a"), col("id_b"), col("jaccard"), col("cos"),
+          when(col("jaccard") >= 0.5 && col("cos") >= 0.4, "both")
+            .when(col("jaccard") >= 0.5, "lexical_only")
+            .when(col("cos") >= 0.4, "semantic_only")
+            .otherwise("neither").as("verdict"))
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
       // Materialize the candidate list once: it feeds three plan branches
@@ -636,6 +663,28 @@ object DedupQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS n_at_or_above
          |FROM binned""".stripMargin,
+
+    "dedup_semantic_verify" ->
+      s"""WITH $lshCandCtes,
+         |sets AS (SELECT doc_id,
+         |  list_distinct(list_transform(shingles, x -> ${h60("x")})) AS s FROM shg),
+         |jp AS (
+         |  SELECT c.id_a, c.id_b, ${jaccardSql("a.s", "b.s")} AS jaccard
+         |  FROM lshcand c
+         |  JOIN sets a ON c.id_a = a.doc_id
+         |  JOIN sets b ON c.id_b = b.doc_id),
+         |jc AS (
+         |  SELECT jp.id_a, jp.id_b, jp.jaccard,
+         |         ${SimilarityQueries.cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM jp
+         |  JOIN embeddings ea ON jp.id_a = ea.vec_id
+         |  JOIN embeddings eb ON jp.id_b = eb.vec_id)
+         |SELECT id_a, id_b, jaccard, cos,
+         |  CASE WHEN jaccard >= 0.5 AND cos >= 0.4 THEN 'both'
+         |       WHEN jaccard >= 0.5 THEN 'lexical_only'
+         |       WHEN cos >= 0.4 THEN 'semantic_only'
+         |       ELSE 'neither' END AS verdict
+         |FROM jc""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $lshCandCtes,

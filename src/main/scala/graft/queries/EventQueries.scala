@@ -255,6 +255,26 @@ object EventQueries {
         .select("hour", "event_type", "n", "z", "is_anomaly")
     }),
 
+    // The z-score screen through the INGEST path: two ledgered
+    // deliveries into the DetectorStream sidecars, then the read-side
+    // hourly fold + the shared zScores finisher — hash-equal to the
+    // batch events_anomaly over the union (hourly counts SUM-merge
+    // exactly for any delivery order, so the split is arbitrary). The
+    // anomaly screen a 100 TB ingest keeps without rescanning events.
+    "events_anomaly_after_ingest" -> ((s, dir) => {
+      val t = "det_ingest_anom"
+      (Seq(t + "_hourly", t + "_vhist", t + "_events", t + "_burst") :+
+        graft.io.SegmentedIndex.ledgerTable(t))
+        .foreach(x => s.sql(s"DROP TABLE IF EXISTS $x"))
+      val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts div 1000").as("ts_us"), col("value"))
+      graft.streaming.DetectorStream.ingestBatch(
+        e.where(col("event_id") % 2 === 0), "b0", t)
+      graft.streaming.DetectorStream.ingestBatch(
+        e.where(col("event_id") % 2 === 1), "b1", t)
+      graft.streaming.DetectorStream.readZScores(s, t)
+    }),
+
     // Per-hour distinct active users: exact here (the oracle needs exact
     // values); at 100 TB swap count_distinct for approx_count_distinct —
     // the HLL sketch turns the two-phase exact-distinct shuffle (rows ∝
@@ -607,6 +627,31 @@ object EventQueries {
         .limit(20)
     }),
 
+    // MATCH_RECOGNIZE-lite sequence-pattern detection: count, per user,
+    // the non-overlapping occurrences of `view (click)* purchase` —
+    // browse-to-buy runs with nothing else in between — by folding each
+    // user's (ts, event_id)-ordered type sequence into a code string
+    // (the five fixture types have distinct initials) and counting
+    // leftmost regex matches. For THIS pattern greedy-vs-longest regex
+    // semantics coincide (after the v, the c-run is forced by the
+    // following p), so Java regex and DuckDB's RE2 agree. Per-user state
+    // is the same per-user-activity bound the path-mining family
+    // (events_top_paths, sessionize) already accepts; the fold is one
+    // (user) exchange, match counting is per-row scan work.
+    "events_pattern_match" -> ((s, dir) => {
+      val seqs = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), struct(col("ts_us"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("k"))
+        .groupBy("user_id")
+        .agg(concat_ws("", transform(array_sort(collect_list(col("k"))),
+          x => x.getField("c"))).as("seq"))
+      seqs.select(col("user_id"),
+          length(col("seq")).cast("long").as("n_events"),
+          size(expr("regexp_extract_all(seq, 'vc*p', 0)")).cast("long").as("n_matches"))
+        .where(col("n_matches") > 0)
+    }),
+
     // Ordered funnel view → click → purchase: earliest completion time
     // per step, each step strictly after its predecessor (see
     // [[graft.ops.Funnel]] — min-aggregates per step, co-partitioned
@@ -690,6 +735,26 @@ object EventQueries {
       |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
       |         min(ts_us) AS start_us, max(ts_us) AS end_us, count(*) AS n_events
       |  FROM s GROUP BY 1, 2)""".stripMargin
+
+  /** Shared by `events_anomaly` and `events_anomaly_after_ingest`: the
+    * ingest path must hash-match the same single-pass statement. */
+  private val anomalySql =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, count(*)::BIGINT AS cnt,
+      |         sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
+      |  FROM h GROUP BY 1),
+      |z AS (
+      |  SELECT hour, h.event_type, n,
+      |    CASE WHEN ((s2::DOUBLE - ((s1::DOUBLE * s1::DOUBLE) / cnt::DOUBLE)) / cnt::DOUBLE) <= 0.0
+      |         THEN 0.0
+      |         ELSE (n::DOUBLE - (s1::DOUBLE / cnt::DOUBLE))
+      |              / sqrt((s2::DOUBLE - ((s1::DOUBLE * s1::DOUBLE) / cnt::DOUBLE)) / cnt::DOUBLE)
+      |    END AS z
+      |  FROM h JOIN st USING (event_type))
+      |SELECT hour, event_type, n, z, abs(z) >= 2.0 AS is_anomaly FROM z""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "events_cohort_retention" ->
@@ -881,23 +946,11 @@ object EventQueries {
 
     // Mirrors Profile.zScores exactly: exact LONG sums, then the same
     // parenthesized IEEE expression (one correctly-rounded sqrt).
-    "events_anomaly" ->
-      """WITH h AS (
-        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |st AS (
-        |  SELECT event_type, count(*)::BIGINT AS cnt,
-        |         sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
-        |  FROM h GROUP BY 1),
-        |z AS (
-        |  SELECT hour, h.event_type, n,
-        |    CASE WHEN ((s2::DOUBLE - ((s1::DOUBLE * s1::DOUBLE) / cnt::DOUBLE)) / cnt::DOUBLE) <= 0.0
-        |         THEN 0.0
-        |         ELSE (n::DOUBLE - (s1::DOUBLE / cnt::DOUBLE))
-        |              / sqrt((s2::DOUBLE - ((s1::DOUBLE * s1::DOUBLE) / cnt::DOUBLE)) / cnt::DOUBLE)
-        |    END AS z
-        |  FROM h JOIN st USING (event_type))
-        |SELECT hour, event_type, n, z, abs(z) >= 2.0 AS is_anomaly FROM z""".stripMargin,
+    "events_anomaly" -> anomalySql,
+
+    // The ingest path proves itself against the IDENTICAL single-pass
+    // oracle (hourly counts SUM-merge exactly).
+    "events_anomaly_after_ingest" -> anomalySql,
 
     "events_json_agg" ->
       """SELECT event_type, count(*) AS n,
@@ -973,6 +1026,16 @@ object EventQueries {
         |FROM paths GROUP BY 1
         |ORDER BY n_sessions DESC, path
         |LIMIT 20""".stripMargin,
+
+    "events_pattern_match" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), ''
+        |           ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, len(seq)::BIGINT AS n_events,
+        |       len(regexp_extract_all(seq, 'vc*p'))::BIGINT AS n_matches
+        |FROM seqs WHERE len(regexp_extract_all(seq, 'vc*p')) > 0""".stripMargin,
 
     "events_pivot_type" ->
       """SELECT user_id,

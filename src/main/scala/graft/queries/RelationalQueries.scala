@@ -751,6 +751,31 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(dec(col("o_totalprice"), 2)).cast("double").as("total"))),
 
+    // Per-group winsorized statistics: clip each line's exact-cents
+    // price to its return-flag's [p05, p95] discrete quantiles, then
+    // report the clipped sum and clip counts — the outlier-robust
+    // aggregate a metrics pipeline uses where a raw SUM would let one
+    // fat-finger row move the number. Cutoffs come from
+    // percentile_approx in its EXACT regime (≡ DuckDB quantile_disc
+    // bit-for-bit, the text_quality_cutoff argument) — a group-count
+    // table broadcast back over the scan, so the clip pass is
+    // scan-speed; everything after the cutoff is LONG arithmetic.
+    "rel_winsorize" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").withColumn("__cents",
+        expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"))
+      val cuts = li.groupBy("l_returnflag")
+        .agg(expr("percentile_approx(__cents, 0.05, 1000000)").as("lo"),
+          expr("percentile_approx(__cents, 0.95, 1000000)").as("hi"))
+      li.join(broadcast(cuts), "l_returnflag")
+        .withColumn("__w", least(greatest(col("__cents"), col("lo")), col("hi")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("__w")).as("sum_winsorized_cents"),
+          sum(when(col("__cents") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+          sum(when(col("__cents") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+          max(col("lo")).as("lo_cents"), max(col("hi")).as("hi_cents"))
+    }),
+
     // IGNORE NULLS window semantics pin — the LOCF / last-known-value
     // family every gap-tolerant time series needs: last_value and
     // first_value skipping nulls over a running frame, and
@@ -1813,6 +1838,24 @@ object RelationalQueries {
         |       count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "rel_winsorize" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |cuts AS (
+        |  SELECT l_returnflag,
+        |         quantile_disc(cents, 0.05) AS lo,
+        |         quantile_disc(cents, 0.95) AS hi
+        |  FROM c GROUP BY 1)
+        |SELECT c.l_returnflag, count(*) AS n,
+        |       sum(least(greatest(cents, lo), hi))::BIGINT AS sum_winsorized_cents,
+        |       count(*) FILTER (cents < lo) AS n_clipped_low,
+        |       count(*) FILTER (cents > hi) AS n_clipped_high,
+        |       max(lo) AS lo_cents, max(hi) AS hi_cents
+        |FROM c JOIN cuts USING (l_returnflag)
+        |GROUP BY 1""".stripMargin,
 
     "rel_window_ignore_nulls" ->
       """WITH li AS (

@@ -327,6 +327,64 @@ object SimilarityQueries {
             .as("q_contrib"))
     }),
 
+    // One Louvain local-move round (Blondel et al. 2008) over the mutual
+    // backbone: seed communities are the components of the cos ≥ 0.5
+    // sub-backbone (other nodes start singleton), then every node
+    // simultaneously picks the neighbor community maximizing the
+    // modularity gain. For a fixed node i, comparing ΔQ across candidate
+    // communities C reduces to the EXACT LONG statistic
+    // gain_num = 2m·links(i,C) − k_i·Σdeg(C∖{i}) — no floats anywhere,
+    // so the argmax (gain desc, community asc tie-break) is
+    // engine-portable. All joins are edge-sized (candidates per node ≤
+    // its degree); community stats are one (comm) partial agg — the
+    // synchronized-round shape that scales where sequential Louvain
+    // cannot.
+    "sim_louvain_move" -> ((s, dir) => {
+      val mut = Similarity.mutualKnn(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000))
+      val eg = mut.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+        .localCheckpoint(true)
+      val ed = eg.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(eg.select(col("b").as("src"), col("a").as("dst")))
+      val deg = ed.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+      val m = eg.agg(count(lit(1)).as("__m"))
+      val hi = mut.where(col("cos") >= 0.5)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val comp = graft.ops.Dedup.resolveClusters(hi, "a", "b")
+        .select(col("id").as("n"), col("cluster").as("comm"))
+      val lab = deg.select(col("n")).join(comp, Seq("n"), "left")
+        .select(col("n"), coalesce(col("comm"), col("n")).as("comm"))
+        .localCheckpoint(true)
+      val sumdeg = lab.join(deg, "n").groupBy("comm")
+        .agg(sum("deg").as("c_deg"))
+      val nbr = ed
+        .join(lab.select(col("n").as("dst"), col("comm").as("cand")), "dst")
+        .groupBy("src", "cand").agg(count(lit(1)).as("links"))
+      // the stay-put candidate must exist even with no same-community
+      // neighbor (links = 0): union a zero row per node, re-aggregate
+      val cands = nbr.select(col("src"), col("cand"), col("links"))
+        .unionByName(lab.select(col("n").as("src"), col("comm").as("cand"),
+          lit(0L).as("links")))
+        .groupBy("src", "cand").agg(sum("links").as("links"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("gain_num").desc, col("cand"))
+      cands
+        .join(lab.select(col("n").as("src"), col("comm").as("own")), "src")
+        .join(deg.select(col("n").as("src"), col("deg").as("k_i")), "src")
+        .join(sumdeg.select(col("comm").as("cand"), col("c_deg")), "cand")
+        .crossJoin(broadcast(m))
+        .withColumn("c_excl", col("c_deg") -
+          when(col("cand") === col("own"), col("k_i")).otherwise(lit(0L)))
+        .withColumn("gain_num",
+          lit(2L) * col("__m") * col("links") - col("k_i") * col("c_excl"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("src").as("vec_id"), col("own").as("old_comm"),
+          col("cand").as("new_comm"), (col("cand") =!= col("own")).as("moved"))
+    }),
+
     // Triangle enumeration over the mutual backbone: each id_a<id_b<id_c
     // clique listed once (wedge join + closing semi-join, O(N·k²) on the
     // degree-capped graph) — the local-clustering signal separating
@@ -1155,6 +1213,58 @@ object SimilarityQueries {
          |  e_in::DOUBLE / m::DOUBLE
          |    - (d_sum * d_sum)::DOUBLE / (4 * m * m)::DOUBLE AS q_contrib
          |FROM cstat c JOIN ein USING (cluster), mm""".stripMargin,
+
+    // Louvain-move mirror: same seed components (recursive CTE over the
+    // cos ≥ 0.5 sub-backbone), same exact-LONG gain statistic and
+    // (gain desc, cand) argmax.
+    "sim_louvain_move" ->
+      s"""WITH RECURSIVE $knnGraphCtes,
+         |mut AS (
+         |  SELECT t.src, t.dst, t.cos FROM topk t
+         |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
+         |eg AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM mut),
+         |mm AS (SELECT count(*) AS m FROM eg),
+         |ed AS (SELECT a AS src, b AS dst FROM eg UNION SELECT b, a FROM eg),
+         |deg AS (SELECT src AS n, count(*)::BIGINT AS deg FROM ed GROUP BY 1),
+         |hi AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM mut WHERE cos >= 0.5),
+         |hed AS (SELECT a AS src, b AS dst FROM hi UNION SELECT b, a FROM hi),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM hed
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN hed e ON r.dst = e.src),
+         |complab AS (SELECT src AS n, least(src, min(dst)) AS comm
+         |            FROM reach GROUP BY src),
+         |lab AS (SELECT d.n, coalesce(c.comm, d.n) AS comm
+         |        FROM deg d LEFT JOIN complab c ON d.n = c.n),
+         |sumdeg AS (SELECT l.comm, sum(deg.deg)::BIGINT AS c_deg
+         |           FROM lab l JOIN deg ON l.n = deg.n GROUP BY 1),
+         |nbr AS (SELECT e.src, l.comm AS cand, count(*)::BIGINT AS links
+         |        FROM ed e JOIN lab l ON e.dst = l.n GROUP BY 1, 2),
+         |cands AS (
+         |  SELECT src, cand, sum(links)::BIGINT AS links FROM (
+         |    SELECT src, cand, links FROM nbr
+         |    UNION ALL SELECT n AS src, comm AS cand, 0 AS links FROM lab)
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT c.src, c.cand, own.comm AS own, dg.deg AS k_i, c.links,
+         |         sd.c_deg - CASE WHEN c.cand = own.comm THEN dg.deg ELSE 0 END
+         |           AS c_excl
+         |  FROM cands c
+         |  JOIN lab own ON c.src = own.n
+         |  JOIN deg dg ON c.src = dg.n
+         |  JOIN sumdeg sd ON c.cand = sd.comm),
+         |g AS (SELECT src, cand, own,
+         |        (2 * m * links - k_i * c_excl)::BIGINT AS gain_num
+         |      FROM scored, mm),
+         |win AS (SELECT src, cand, own,
+         |          row_number() OVER (PARTITION BY src
+         |            ORDER BY gain_num DESC, cand) AS rn
+         |        FROM g)
+         |SELECT src AS vec_id, own AS old_comm, cand AS new_comm,
+         |       cand <> own AS moved
+         |FROM win WHERE rn = 1""".stripMargin,
 
     // Triangle mirror: mutual backbone → canonical src<dst edges ->
     // wedge join through the middle node → closing-edge semi-join.

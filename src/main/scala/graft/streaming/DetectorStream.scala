@@ -156,6 +156,23 @@ object DetectorStream {
         .groupBy("event_type", "cents").agg(sum("cnt").as("cnt")))
   }
 
+  /** Hourly z-score anomaly screen over everything ingested ≡ the batch
+    * `events_anomaly` pass: hourly counts SUM-merge exactly for any
+    * delivery order/batching, and [[graft.ops.Profile.zScores]] is a
+    * deterministic function of the folded series (exact LONG sums into
+    * one IEEE expression). The fourth detector read — unlike CUSUM/MAD
+    * it needed no new sidecar, the `_hourly` table already carries the
+    * sufficient statistic. */
+  def readZScores(spark: SparkSession, table: String,
+                  threshold: Double = 2.0): DataFrame = {
+    spark.catalog.refreshTable(table + "_hourly")
+    graft.ops.Profile.zScores(
+      spark.table(table + "_hourly")
+        .groupBy("event_type", "hour").agg(sum("n").as("n")),
+      Seq("event_type"), "n", threshold)
+      .select("hour", "event_type", "n", "z", "is_anomaly")
+  }
+
   /** Per-event trailing-1h counts emitted so far (segment column folded
     * away). Under in-order delivery ≡ the batch RANGE-frame pass. */
   def readBurst(spark: SparkSession, table: String): DataFrame = {
