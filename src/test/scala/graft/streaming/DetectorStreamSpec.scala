@@ -29,6 +29,9 @@ class DetectorStreamSpec extends SparkSpec {
   private def burstSet(df: org.apache.spark.sql.DataFrame) =
     df.select(col("event_id"), col("user_id"), col("n_trailing_1h"), col("is_burst"))
       .as[(Long, Long, Long, Boolean)].collect().toSet
+  private def zSet(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("hour"), col("event_type"), col("n"), col("z"), col("is_anomaly"))
+      .as[(java.sql.Timestamp, String, Long, Double, Boolean)].collect().toSet
 
   test("file stream: cusum / mad / burst over deliveries ≡ the batch detectors; replay no-ops") {
     val t = "detector_stream_spec"
@@ -54,6 +57,11 @@ class DetectorStreamSpec extends SparkSpec {
       madSet(graft.SparkEntry.queries("events_mad_anomaly")(spark, sf)))
     assert(burstSet(DetectorStream.readBurst(spark, t)) ==
       burstSet(graft.SparkEntry.queries("events_burst_detect")(spark, sf)))
+    // the fourth read: z-scores from the SAME hourly sidecar must equal
+    // the batch events_anomaly pass bit-for-bit (exact LONG sums into
+    // one deterministic IEEE expression)
+    assert(zSet(DetectorStream.readZScores(spark, t)) ==
+      zSet(graft.SparkEntry.queries("events_anomaly")(spark, sf)))
 
     // replayed delivery (the stream's second micro-batch was b1): the
     // ledger gate must no-op — a double-count would shift every summary
