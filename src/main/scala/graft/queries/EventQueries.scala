@@ -255,6 +255,37 @@ object EventQueries {
         .select("hour", "event_type", "n", "z", "is_anomaly")
     }),
 
+    // Interval-overlap self-join: pairs of DIFFERENT users' gap-sessions
+    // that overlap in time, with the exact overlap duration — the
+    // interval×interval complement of events_range_join's point-in-
+    // interval binning (co-presence/concurrency attribution, "who was
+    // online together"). Candidates come from exploding each session
+    // onto its covered HOUR bins and equi-joining on the bin (fan-out =
+    // span/1h + 1, here ≤ 2 — never a cross join or an inequality-only
+    // nested loop); the exact closed-interval predicate then filters,
+    // and distinct() folds pairs sharing several bins (identical output
+    // rows by construction). At 100 TB the bin is the shuffle key — an
+    // adversarial mega-bin would salt by sub-bin, the standard binned
+    // interval-join remedy.
+    "events_interval_join" -> ((s, dir) => {
+      val sess = sessionizeBatch(s, dir)
+      val binned = sess.withColumn("bin",
+        explode(expr("sequence(start_us div 3600000000, end_us div 3600000000)")))
+      val a = binned.select(col("bin"), col("user_id").as("user_a"),
+        col("session_seq").as("session_a"), col("start_us").as("sa"),
+        col("end_us").as("ea"))
+      val b = binned.select(col("bin"), col("user_id").as("user_b"),
+        col("session_seq").as("session_b"), col("start_us").as("sb"),
+        col("end_us").as("eb"))
+      a.join(b, Seq("bin"))
+        .where(col("user_a") < col("user_b") &&
+          col("sa") <= col("eb") && col("sb") <= col("ea"))
+        .select(col("user_a"), col("session_a"), col("user_b"), col("session_b"),
+          (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+            .as("overlap_us"))
+        .distinct()
+    }),
+
     // The z-score screen through the INGEST path: two ledgered
     // deliveries into the DetectorStream sidecars, then the read-side
     // hourly fold + the shared zScores finisher — hash-equal to the
@@ -961,6 +992,19 @@ object EventQueries {
     "events_sessionize_batch" ->
       s"""WITH $sessCtes
          |SELECT user_id, session_seq, start_us, end_us, n_events FROM sess""".stripMargin,
+
+    // Interval-join mirror: DuckDB states the overlap predicate
+    // directly (the planner handles the small session table); the Spark
+    // side's bin+distinct must produce the identical pair set.
+    "events_interval_join" ->
+      s"""WITH $sessCtes
+         |SELECT a.user_id AS user_a, a.session_seq AS session_a,
+         |       b.user_id AS user_b, b.session_seq AS session_b,
+         |       least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us)
+         |         AS overlap_us
+         |FROM sess a JOIN sess b
+         |  ON a.user_id < b.user_id
+         | AND a.start_us <= b.end_us AND b.start_us <= a.end_us""".stripMargin,
 
     "events_concurrency" ->
       s"""WITH $sessCtes,

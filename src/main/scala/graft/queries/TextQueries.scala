@@ -22,6 +22,34 @@ object TextQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text", shingleWords = 3)),
 
+    // Dataset card in one row — the summary block every corpus release
+    // ships (n_docs, token total/mean, language spread, majority-lang
+    // share, exact-dup rate): ONE partial-agg pass over per-row
+    // derivations (token count, exact fingerprint), exact LONG counts
+    // into two mirrored IEEE divisions. The distinct-fingerprint term is
+    // the only second exchange; at 100 TB swap it for the HLL register
+    // fold the sketch family already maintains (documented, same shape
+    // as events_unique_users' swap note).
+    "text_corpus_report" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val TF = graft.functions.TextFunctions
+      docs(s, dir)
+        .select(col("lang"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tokens"),
+          TF.fingerprint(col("text")).as("f"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("f")).as("n_unique"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .select(col("n_docs"), col("total_tokens"), col("n_unique"),
+          col("n_langs"), col("n_en"),
+          (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("mean_tokens"),
+          ((col("n_docs") - col("n_unique")).cast("double") /
+            col("n_docs").cast("double")).as("dup_rate"))
+    }),
+
     // Top-5 quality documents per language (curation shortlist; plans as
     // WindowGroupLimit — partial top-k before the shuffle).
     // Per-domain quality floor: drop each source's bottom 20% by quality
@@ -1895,6 +1923,20 @@ object TextQueries {
          |       CASE WHEN hits = 0 THEN 'und' ELSE lang END AS predicted_lang,
          |       hits AS stopword_hits
          |FROM best WHERE rn = 1""".stripMargin,
+
+    "text_corpus_report" ->
+      s"""WITH t AS (
+         |  SELECT lang, len($toksSql)::BIGINT AS n_tokens,
+         |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM documents)
+         |SELECT count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+         |       count(DISTINCT f) AS n_unique,
+         |       count(DISTINCT lang) AS n_langs,
+         |       count(*) FILTER (lang = 'en') AS n_en,
+         |       sum(n_tokens)::DOUBLE / count(*)::DOUBLE AS mean_tokens,
+         |       (count(*) - count(DISTINCT f))::DOUBLE / count(*)::DOUBLE
+         |         AS dup_rate
+         |FROM t""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
