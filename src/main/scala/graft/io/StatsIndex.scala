@@ -244,6 +244,59 @@ object StatsIndex {
     reconciledRead(spark, tableDir, stats, member, col(column) === lit(value))
   }
 
+  /** Per-file TOKEN bloom sidecar over a TEXT column — "grep the lake"
+    * data skipping: each file records the bloom positions of its
+    * DISTINCT whitespace tokens ([[graft.functions.TextFunctions
+    * .tokens]] — the same tokenizer every text operator uses), so a
+    * full-text token probe opens only files that may contain the term.
+    * Token granularity needs its own explode scan (unlike the value
+    * blooms it cannot ride the per-row stats aggregation), but the scan
+    * is one pass with per-row `array_distinct` map-side dedup and
+    * sketch-sized output (≤ min(2·distinct tokens, m) positions per
+    * file). Sizing: m ≥ 6·(distinct tokens per file) for the usual
+    * bloom math; vocabulary is sublinear in file size (Heaps), so 2^16
+    * holds far longer than for id keys. Geometry is recorded
+    * (`bloom_bits`), like [[build]]. */
+  def buildTokenBloom(spark: SparkSession, tableDir: String, textCol: String,
+                      bloomBits: Int = 1 << 16): DataFrame = {
+    require(bloomBits >= 64 && bloomBits <= (1 << 30), s"bloomBits out of range: $bloomBits")
+    val toks = spark.read.parquet(tableDir)
+      .select(input_file_name().as("file"),
+        explode_outer(array_distinct(
+          graft.functions.TextFunctions.tokens(col(textCol)))).as("__t"))
+    val (p1, p2) = bloomPositions(col("__t"), lit(bloomBits.toLong))
+    // explode_outer keeps empty/NULL-text files present (their NULL
+    // token yields NULL positions, which collect_set drops → empty
+    // bloom → every probe prunes the file, correctly).
+    toks.groupBy("file")
+      .agg(array_sort(array_union(collect_set(p1), collect_set(p2)))
+        .as(s"tokbloom_$textCol"))
+      .withColumn("bloom_bits", lit(bloomBits))
+  }
+
+  /** Token-probe read through the token bloom: scan ONLY the files
+    * whose sidecar may contain `token`, then apply the exact
+    * `array_contains(tokens(textCol), token)` predicate — row-identical
+    * to the full scan (false positives read and filtered, false
+    * negatives impossible). Same stale-index reconciliation as
+    * [[prunedRead]]: unseen files always scan, vanished files skip. The
+    * access path nothing else serves: min/max is meaningless on prose,
+    * and the BM25/phrase indexes answer RANKED queries over their own
+    * posting layout — this is the cheap "which raw files mention X at
+    * all" primitive (PII incident response, trigger-phrase audits)
+    * straight over the lake files. */
+  def prunedReadToken(spark: SparkSession, tableDir: String,
+                      tokenStats: DataFrame, textCol: String,
+                      token: String): DataFrame = {
+    require(tokenStats.columns.contains(s"tokbloom_$textCol"),
+      s"stats index has no token bloom for $textCol (buildTokenBloom)")
+    val (p1, p2) = bloomPositions(lit(token), col("bloom_bits").cast("long"))
+    val member = array_contains(col(s"tokbloom_$textCol"), p1) &&
+      array_contains(col(s"tokbloom_$textCol"), p2)
+    reconciledRead(spark, tableDir, tokenStats, member,
+      array_contains(graft.functions.TextFunctions.tokens(col(textCol)), token))
+  }
+
   /** Shared skeleton of the index-pruned reads: evaluate `cand` over
     * the stats table, reconcile against the live listing, scan the
     * survivors, apply `exact`.

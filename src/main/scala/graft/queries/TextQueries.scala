@@ -8,6 +8,35 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
+  /** text_grep_pruned fixture, built once per (session, sf dir): an
+    * 8-file range-layout documents copy + its token-bloom sidecar (the
+    * [[RelationalQueries]] statsPruneFixture pattern — a deployment
+    * maintains the sidecar continuously; rebuilding per run would time
+    * fixture construction, not the pruned read path). */
+  private val grepFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def grepFixture(s: SparkSession, dir: String): (String, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val base = grepFixtures.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir", _ => {
+        val b = java.nio.file.Files.createTempDirectory("tokbloom")
+        docs(s, dir).repartitionByRange(8, col("doc_id"))
+          .write.mode("overwrite").parquet(s"$b/documents")
+        graft.io.StatsIndex.buildTokenBloom(s, s"$b/documents", "text")
+          .coalesce(1).write.parquet(s"$b/stats")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          try Files.walk(b).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p): Unit)
+          catch { case _: Throwable => () }
+        }))
+        b.toString
+      })
+    (s"$base/documents", s.read.parquet(s"$base/stats"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")),
@@ -21,6 +50,23 @@ object TextQueries {
       TextAnalysis.simpsonDiversity(docs(s, dir), "doc_id", "text")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text", shingleWords = 3)),
+
+    // "Grep the lake" through the token-bloom sidecar: which raw files
+    // mention a term AT ALL (PII incident response, trigger-phrase
+    // audits) — the access path nothing else serves: min/max is
+    // meaningless on prose and the BM25/phrase indexes answer RANKED
+    // queries over their own layout, not raw-file membership. The probe
+    // opens only bloom-candidate files (StatsIndexSpec asserts the
+    // files-actually-read shrink; 'dup' lives in the planted near-dup
+    // docs, clustered in id space, so the range layout genuinely
+    // prunes), then applies the exact token predicate — row-identical
+    // to the full scan the oracle runs.
+    "text_grep_pruned" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val (t, stats) = grepFixture(s, dir)
+      graft.io.StatsIndex.prunedReadToken(s, t, stats, "text", "dup")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
 
     // Dataset card in one row — the summary block every corpus release
     // ships (n_docs, token total/mean, language spread, majority-lang
@@ -1923,6 +1969,10 @@ object TextQueries {
          |       CASE WHEN hits = 0 THEN 'und' ELSE lang END AS predicted_lang,
          |       hits AS stopword_hits
          |FROM best WHERE rn = 1""".stripMargin,
+
+    "text_grep_pruned" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE list_contains($toksSql, 'dup')""".stripMargin,
 
     "text_corpus_report" ->
       s"""WITH t AS (

@@ -185,6 +185,33 @@ class StatsIndexSpec extends SparkSpec {
     assert(hit.inputFiles.length < spark.read.parquet(dir).inputFiles.length)
   }
 
+  test("token bloom: term probe prunes files, row-identical to the full token scan") {
+    val dir = tmp()
+    // 8 id-range files; the term 'needle' lives only in a narrow id band
+    // (one file), everything else is common filler vocabulary
+    spark.range(4000).select($"id",
+        concat(lit("alpha beta gamma "),
+          when($"id".between(1000L, 1099L), lit("needle")).otherwise(lit("hay")))
+          .as("text"))
+      .repartitionByRange(8, $"id").write.parquet(dir)
+    val stats = StatsIndex.buildTokenBloom(spark, dir, "text").localCheckpoint(true)
+    val pruned = StatsIndex.prunedReadToken(spark, dir, stats, "text", "needle")
+    val full = spark.read.parquet(dir)
+      .where(array_contains(graft.functions.TextFunctions.tokens($"text"), "needle"))
+    assert(pruned.collect().map(_.toString).toSet ==
+      full.collect().map(_.toString).toSet)
+    assert(pruned.count() == 100L)
+    val total = spark.read.parquet(dir).inputFiles.length
+    assert(pruned.inputFiles.length < total,
+      s"token bloom must prune: ${pruned.inputFiles.length} of $total")
+    // common vocabulary prunes nothing (every file holds it) but stays exact
+    assert(StatsIndex.prunedReadToken(spark, dir, stats, "text", "alpha")
+      .count() == 4000L)
+    // absent term prunes everything (modulo the documented FP rate)
+    assert(StatsIndex.prunedReadToken(spark, dir, stats, "text", "absentterm")
+      .count() == 0L)
+  }
+
   test("point probe without a bloom sidecar is a contract error") {
     val dir = tmp()
     spark.range(100).select($"id", $"id".as("v")).write.parquet(dir)
