@@ -51,6 +51,46 @@ object TextQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text", shingleWords = 3)),
 
+    // Heaps-law vocabulary growth curve: distinct terms seen after the
+    // first k documents (k ∈ {16, 64, 256, 1024, 4096}, in a seeded
+    // hash order so the curve is a pure function of the corpus) plus
+    // the token count consumed — the "how fast does vocabulary grow"
+    // readout behind tokenizer budgeting and the token-bloom sizing
+    // note. Scale shape: doc ranks and cumulative tokens are two-phase
+    // parallelRunningSums (never a single-task window); each term
+    // contributes ONE (term, first_rank) row (min over its distinct
+    // docs), and the checkpoint join is vocabulary×5 — vocabulary is
+    // sublinear in the corpus (the law being measured).
+    "text_heaps_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val TF = graft.functions.TextFunctions
+      val d = docs(s, dir).select(col("doc_id"),
+          TF.hash60(concat(lit("heaps:"), col("doc_id").cast("string"))).as("h"),
+          TF.tokens(col("text")).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .localCheckpoint(true) // feeds two rank passes + the explode
+      val ranked = graft.ops.Curation.parallelRunningSum(
+        graft.ops.Curation.parallelRunningSum(
+          d.withColumn("__one", lit(1L)), Nil, Seq("h", "doc_id"),
+          "__one", "rank"),
+        Nil, Seq("h", "doc_id"), "n_tokens", "cum_tokens")
+        .localCheckpoint(true)
+      val firstRank = ranked
+        .select(col("rank"), explode(array_distinct(col("toks"))).as("term"))
+        .groupBy("term").agg(min("rank").as("first_rank"))
+      val n = ranked.agg(max("rank").as("__n"))
+      val cks = Seq(16L, 64L, 256L, 1024L, 4096L).toDF("n_docs")
+        .crossJoin(broadcast(n)).where(col("n_docs") <= col("__n"))
+        .select("n_docs").localCheckpoint(true)
+      val vocab = firstRank.crossJoin(broadcast(cks))
+        .where(col("first_rank") <= col("n_docs"))
+        .groupBy("n_docs").agg(count(lit(1)).as("vocab_size"))
+      val toksAt = ranked.join(broadcast(cks), col("rank") === col("n_docs"))
+        .select(col("n_docs"), col("cum_tokens"))
+      vocab.join(toksAt, "n_docs")
+    }),
+
     // "Grep the lake" through the token-bloom sidecar: which raw files
     // mention a term AT ALL (PII incident response, trigger-phrase
     // audits) — the access path nothing else serves: min/max is
@@ -1969,6 +2009,32 @@ object TextQueries {
          |       CASE WHEN hits = 0 THEN 'und' ELSE lang END AS predicted_lang,
          |       hits AS stopword_hits
          |FROM best WHERE rn = 1""".stripMargin,
+
+    "text_heaps_curve" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ${h60("'heaps:'||doc_id::VARCHAR")} AS h,
+         |         $toksSql AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, toks,
+         |         row_number() OVER (ORDER BY h, doc_id) AS rank,
+         |         sum(len(toks)::BIGINT) OVER (ORDER BY h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS cum_tokens
+         |  FROM d),
+         |fr AS (
+         |  SELECT term, min(rank) AS first_rank FROM (
+         |    SELECT rank, unnest(list_distinct(toks)) AS term FROM r)
+         |  GROUP BY 1),
+         |cka AS (
+         |  SELECT k FROM (SELECT unnest([16, 64, 256, 1024, 4096]) AS k)
+         |  WHERE k <= (SELECT max(rank) FROM r)),
+         |v AS (SELECT k, count(*) AS vocab_size
+         |      FROM cka JOIN fr ON fr.first_rank <= cka.k GROUP BY 1),
+         |t AS (SELECT k, cum_tokens FROM cka JOIN r ON r.rank = cka.k)
+         |SELECT v.k::BIGINT AS n_docs, t.cum_tokens::BIGINT AS cum_tokens,
+         |       v.vocab_size
+         |FROM v JOIN t USING (k)""".stripMargin,
 
     "text_grep_pruned" ->
       s"""SELECT doc_id, lang, source FROM documents
