@@ -92,6 +92,7 @@ object GraftFunctions {
     }
     e.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
     e.injectOptimizerRule(_ => graft.plans.TokenCountRule)
+    e.injectOptimizerRule(_ => graft.plans.TokenContainsRule)
   }
 }
 

@@ -98,8 +98,8 @@ object LevenshteinThresholdRule extends Rule[LogicalPlan] {
   * them application-wide at session build instead). Idempotent. */
 object GraftOptimizations {
   private val rules: Seq[Rule[LogicalPlan]] =
-    Seq(LevenshteinThresholdRule, TokenCountRule, DistinctCountRule,
-      OrderedFoldRule)
+    Seq(LevenshteinThresholdRule, TokenCountRule, TokenContainsRule,
+      DistinctCountRule, OrderedFoldRule)
 
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations

@@ -34,7 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * otherwise the count null-propagates exactly like `size`. */
 object TokenCountRule extends Rule[LogicalPlan] {
 
-  private def safeRegex(re: String): Boolean =
+  private[plans] def safeRegex(re: String): Boolean =
     !re.contains("(?") && (try {
       !java.util.regex.Pattern.compile(re).matcher("").find()
     } catch { case _: Exception => false })
