@@ -1457,6 +1457,59 @@ object Similarity {
     r
   }
 
+  /** Personalized PageRank (bounded rounds): restart mass goes to the
+    * SEED set instead of the uniform vector — "what is relevant AROUND
+    * these nodes", the seed-anchored neighborhood ranking behind
+    * related-document exports and trusted/poisoned influence audits
+    * (the scored generalization of [[bfsHops]]' hop distances).
+    *
+    * r_{t+1}(v) = (1−d)·r0(v) + d·Σ_{u→v} r_t(u)/outdeg(u), with r0
+    * uniform over seeds∩nodes and zero elsewhere. Same engine-exact
+    * arithmetic discipline as [[pageRank]]: single divisions, the
+    * neighbor sum folded in contributor order (the OrderedFoldRule
+    * idiom), the teleport term left as computed doubles; d = 0.5 is
+    * dyadic so every product is exact-halving. Per round: one edge-
+    * sized join + one partial-agg fold — never a matrix, never a
+    * collect. Nodes are the out-edge sources (the [[pageRank]]
+    * convention); seeds outside the graph carry no mass. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                           damping: Double = 0.5): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint(true)
+    val sd = seeds.select(col("node")).distinct()
+      .join(deg.select(col("src").as("node")), "node").localCheckpoint(true)
+    val ns = sd.count()
+    require(ns > 0, "personalizedPageRank: no seed is a graph node")
+    val restart = deg.select(col("src").as("node"))
+      .join(sd.withColumn("__isSeed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__isSeed"), lit(1.0) / lit(ns.toDouble))
+          .otherwise(lit(0.0)).as("__r0"))
+      .localCheckpoint(true)
+    var r = restart.select(col("node"), col("__r0").as("pr")).localCheckpoint(true)
+    var t = 0
+    while (t < rounds) {
+      val contrib = e
+        .join(r.select(col("node").as("src"), col("pr")), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), col("src"),
+          (col("pr") / col("__deg").cast("double")).as("c"))
+      val sums = contrib.groupBy("node")
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src"), col("c").as("v")))),
+          lit(0.0), (acc, s) => acc + s.getField("v")).as("__s"))
+      r = restart
+        .join(sums, Seq("node"), "left")
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) * col("__r0") +
+            lit(damping) * coalesce(col("__s"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+      t += 1
+    }
+    r
+  }
+
   /** Bounded-round MULTI-SOURCE BFS over an undirected candidate edge
     * list: every reached node's hop distance from the NEAREST seed,
     * plus the winning seed (minimum seed id among seeds at exactly that

@@ -438,6 +438,23 @@ object SimilarityQueries {
         .select(col("node").as("vec_id"), col("pr"))
     }),
 
+    // Personalized PageRank from the seed set vec_id % 25 == 0 over the
+    // mutual backbone: restart mass to the seeds, 2 rounds at d = 0.5
+    // (dyadic — every teleport product halves exactly), the seed-
+    // anchored "what's relevant around these" ranking (the scored
+    // generalization of sim_bfs_hops). Engine-exact fold order, edge-
+    // sized rounds.
+    "sim_ppr" -> ((s, dir) => {
+      val edges = Similarity.mutualKnn(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000))
+      Similarity.personalizedPageRank(edges,
+        emb(s, dir).where(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("node")),
+        rounds = 2)
+        .select(col("node").as("vec_id"), col("pr"))
+    }),
+
     // HITS hubs & authorities over the DIRECTED kNN graph (top-k edges
     // are asymmetric, so hub ≠ authority — a node many others pick as
     // neighbor is an authority; a node whose own picks are authorities
@@ -1152,6 +1169,48 @@ object SimilarityQueries {
          |    (1.0::DOUBLE - 0.85::DOUBLE) * (1.0::DOUBLE / n::DOUBLE)
          |      + 0.85::DOUBLE * coalesce(s.s, 0.0::DOUBLE) AS pr
          |  FROM deg d CROSS JOIN nn LEFT JOIN s2 s ON s.node = d.src)
+         |SELECT node AS vec_id, pr FROM r2""".stripMargin,
+
+    // Personalized-PageRank mirror, 2 rounds unrolled: seeded restart
+    // vector (uniform over seeds∩nodes), same single divisions,
+    // contributor-ordered folds, and computed-double teleport terms.
+    "sim_ppr" ->
+      s"""WITH $knnGraphCtes,
+         |mut AS (
+         |  SELECT t.src, t.dst FROM topk t
+         |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
+         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM mut GROUP BY 1),
+         |sd AS (SELECT DISTINCT d.src AS node FROM deg d WHERE d.src % 25 = 0),
+         |nsd AS (SELECT count(*)::BIGINT AS ns FROM sd),
+         |r0 AS (
+         |  SELECT d.src AS node,
+         |    CASE WHEN s.node IS NOT NULL THEN 1.0::DOUBLE / ns::DOUBLE
+         |         ELSE 0.0::DOUBLE END AS r0
+         |  FROM deg d CROSS JOIN nsd LEFT JOIN sd s ON s.node = d.src),
+         |c1 AS (
+         |  SELECT m.dst AS node, m.src AS src, r.r0 / d.deg::DOUBLE AS c
+         |  FROM mut m JOIN r0 r ON r.node = m.src JOIN deg d ON d.src = m.src),
+         |s1 AS (
+         |  SELECT node,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY src)), (a, x) -> a + x) AS s
+         |  FROM c1 GROUP BY 1),
+         |r1 AS (
+         |  SELECT r0.node,
+         |    (1.0::DOUBLE - 0.5::DOUBLE) * r0.r0
+         |      + 0.5::DOUBLE * coalesce(s.s, 0.0::DOUBLE) AS pr
+         |  FROM r0 LEFT JOIN s1 s ON s.node = r0.node),
+         |c2 AS (
+         |  SELECT m.dst AS node, m.src AS src, r.pr / d.deg::DOUBLE AS c
+         |  FROM mut m JOIN r1 r ON r.node = m.src JOIN deg d ON d.src = m.src),
+         |s2 AS (
+         |  SELECT node,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY src)), (a, x) -> a + x) AS s
+         |  FROM c2 GROUP BY 1),
+         |r2 AS (
+         |  SELECT r0.node,
+         |    (1.0::DOUBLE - 0.5::DOUBLE) * r0.r0
+         |      + 0.5::DOUBLE * coalesce(s.s, 0.0::DOUBLE) AS pr
+         |  FROM r0 LEFT JOIN s2 s ON s.node = r0.node)
          |SELECT node AS vec_id, pr FROM r2""".stripMargin,
 
     // Graph-dedup mirror: mutual top-3 edges at cos >= 0.4, transitive
