@@ -185,4 +185,52 @@ object Bpe {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col(idCol), col("pos"), col("piece"))
   }
+
+  /** Exact Viterbi word segmentation against a weighted piece
+    * vocabulary — the WordPiece/unigram-LM-flavored tokenizer DP beside
+    * [[trainMerges]]' BPE: each word of length ≤ `maxLen` splits into
+    * vocabulary pieces (≤ `maxPiece` chars) minimizing the DETERMINISTIC
+    * integer objective (fewest pieces, then greatest summed piece
+    * frequency, then lexicographically smallest piece sequence) — no
+    * log-probabilities anywhere, so the optimum is engine-exact and the
+    * DuckDB oracle re-derives the SAME segmentation through a generated
+    * chained-CTE DP (the BPE-oracle technique).
+    *
+    * `words` carries (word, len); `vocab` carries (piece, freq) and MUST
+    * contain every single character of every word (coverage — the
+    * caller's vocabulary construction guarantees it by unioning
+    * single-char pieces in). Each DP stage i ≤ `maxLen` is a ≤
+    * `maxPiece`-branch union over the accumulated prefix bests, one
+    * vocabulary hash join + one word-partitioned argmax window — work is
+    * (distinct words)·maxPiece per stage, never corpus-sized, and
+    * `maxLen` bounds the rounds. Long words are the caller's filter. */
+  def viterbiSegment(words: DataFrame, vocab: DataFrame,
+                     maxLen: Int, maxPiece: Int = 4): DataFrame = {
+    require(maxLen >= 1 && maxPiece >= 1, s"bad bounds: $maxLen/$maxPiece")
+    val w = words.select(col("word"), col("len").cast("int").as("len"))
+      .where(col("len").between(1, maxLen)).localCheckpoint(true)
+    val v = vocab.select(col("piece"), col("freq").cast("long").as("freq"))
+      .localCheckpoint(true)
+    val wdw = org.apache.spark.sql.expressions.Window.partitionBy("word")
+      .orderBy(col("n_pieces"), col("sum_freq").desc, col("seq"))
+    var acc: Map[Int, DataFrame] = Map(0 -> w.select(col("word"), col("len"),
+      lit(0L).as("n_pieces"), lit(0L).as("sum_freq"), lit("").as("seq")))
+    for (i <- 1 to maxLen) {
+      val cand = (math.max(0, i - maxPiece) until i).map { j =>
+        acc(j).where(col("len") >= i)
+          .withColumn("piece", expr(s"substring(word, ${j + 1}, ${i - j})"))
+          .join(v, "piece")
+          .select(col("word"), col("len"),
+            (col("n_pieces") + 1L).as("n_pieces"),
+            (col("sum_freq") + col("freq")).as("sum_freq"),
+            when(col("seq") === "", col("piece"))
+              .otherwise(concat(col("seq"), lit(" "), col("piece"))).as("seq"))
+      }.reduce(_ unionByName _)
+      acc += i -> cand.withColumn("__rn", row_number().over(wdw))
+        .where(col("__rn") === 1).drop("__rn").localCheckpoint(true)
+    }
+    (1 to maxLen).map(i => acc(i).where(col("len") === i))
+      .reduce(_ unionByName _)
+      .select(col("word"), col("n_pieces"), col("sum_freq"), col("seq"))
+  }
 }

@@ -51,6 +51,38 @@ object TextQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text", shingleWords = 3)),
 
+    // Exact Viterbi word segmentation (WordPiece/unigram-LM-flavored)
+    // against a corpus-derived piece vocabulary — the tokenizer family's
+    // DP half beside BPE's merge training: pieces are the ≤4-char
+    // substrings occurring ≥3 times (all single chars unioned in for
+    // coverage), frequencies weighted by token counts; each distinct
+    // word ≤12 chars segments by the DETERMINISTIC integer objective
+    // (fewest pieces, then max summed frequency, then lexicographic) —
+    // no log-probs, so the optimum is engine-exact and the oracle
+    // re-derives the SAME segmentation through a generated chained-CTE
+    // DP (MATERIALIZED stages — a plain chain re-inlines exponentially,
+    // the sim_ktruss lesson). Work: vocabulary-of-words-sized stages,
+    // maxLen-bounded rounds, never corpus-sized.
+    "text_unigram_segment" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val TF = graft.functions.TextFunctions
+      val toks = docs(s, dir)
+        .select(explode(TF.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .withColumn("len", length(col("word")).cast("int"))
+        .localCheckpoint(true)
+      val pieces = toks.select(col("cnt"), explode(expr(
+        "flatten(transform(sequence(1, len), " +
+          "s -> transform(sequence(1, least(4, len - s + 1)), " +
+          "l -> substring(word, s, l))))")).as("piece"))
+      val vocab = pieces.groupBy("piece").agg(sum(col("cnt")).as("freq"))
+        .where(col("freq") >= 3 || length(col("piece")) === 1)
+      graft.ops.Bpe.viterbiSegment(toks.select("word", "len"), vocab, maxLen = 12)
+        .join(toks.select("word", "cnt"), "word")
+        .select(col("word"), col("cnt"), col("n_pieces"), col("sum_freq"),
+          col("seq"))
+    }),
+
     // Heaps-law vocabulary growth curve: distinct terms seen after the
     // first k documents (k ∈ {16, 64, 256, 1024, 4096}, in a seeded
     // hash order so the curve is a pure function of the corpus) plus
@@ -1224,6 +1256,49 @@ object TextQueries {
        |       ((cum - n_chunk_tokens) // $budget)::BIGINT AS pack_id FROM c""".stripMargin
   private def h60(e: String) = s"('0x'||substr(md5($e),1,15))::BIGINT"
 
+  /** Generated chained-CTE Viterbi DP for text_unigram_segment (the
+    * bpeCtes technique): dp_i holds each word's best length-i-prefix
+    * segmentation under (n_pieces ASC, sum_freq DESC, seq ASC); every
+    * stage is MATERIALIZED — dp_j feeds up to 4 later stages, and
+    * DuckDB re-inlines plain CTEs per reference (exponential without
+    * the hint). Substring/ordering semantics match the Spark DP
+    * operand for operand. */
+  private def viterbiCtes(maxLen: Int): String = {
+    val dps = (1 to maxLen).map { i =>
+      val branches = (math.max(0, i - 4) until i).map { j =>
+        s"""    SELECT d.word, d.len, d.n_pieces + 1 AS n_pieces,
+           |           d.sum_freq + v.freq AS sum_freq,
+           |           CASE WHEN d.seq = '' THEN v.piece
+           |                ELSE d.seq || ' ' || v.piece END AS seq
+           |    FROM dp$j d JOIN vocab v
+           |      ON d.len >= $i AND v.piece = substr(d.word, ${j + 1}, ${i - j})""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""dp$i AS MATERIALIZED (
+         |  SELECT word, len, n_pieces, sum_freq, seq FROM (
+         |    SELECT c.*, row_number() OVER (PARTITION BY word
+         |      ORDER BY n_pieces, sum_freq DESC, seq) AS rn
+         |    FROM (
+         |$branches) c)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""toks AS MATERIALIZED (
+       |  SELECT w AS word, count(*)::BIGINT AS cnt, len(w)::INT AS len
+       |  FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY 1),
+       |p AS (
+       |  SELECT t.cnt, substr(t.word, s.s::INT, l.l::INT) AS piece
+       |  FROM toks t, range(1, 65) s(s), range(1, 5) l(l)
+       |  WHERE s.s <= t.len AND s.s + l.l - 1 <= t.len),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, sum(cnt)::BIGINT AS freq FROM p GROUP BY 1)
+       |  WHERE freq >= 3 OR len(piece) = 1),
+       |dp0 AS MATERIALIZED (
+       |  SELECT word, len, 0::BIGINT AS n_pieces, 0::BIGINT AS sum_freq,
+       |         '' AS seq
+       |  FROM toks WHERE len BETWEEN 1 AND $maxLen),
+       |$dps""".stripMargin
+  }
+
   /** DSIR mirror: same normalize → tokens → unigram+bigram features →
     * hash-bucket pipeline, same add-one ratio expression order, same
     * bucket-sorted 0.0-seeded left fold (Curation.dsirScores). */
@@ -2009,6 +2084,13 @@ object TextQueries {
          |       CASE WHEN hits = 0 THEN 'und' ELSE lang END AS predicted_lang,
          |       hits AS stopword_hits
          |FROM best WHERE rn = 1""".stripMargin,
+
+    "text_unigram_segment" ->
+      s"""WITH ${viterbiCtes(12)}
+         |SELECT t.word, t.cnt, f.n_pieces, f.sum_freq, f.seq
+         |FROM (${(1 to 12).map(i => s"SELECT * FROM dp$i WHERE len = $i")
+            .mkString(" UNION ALL ")}) f
+         |JOIN toks t USING (word)""".stripMargin,
 
     "text_heaps_curve" ->
       s"""WITH d AS (

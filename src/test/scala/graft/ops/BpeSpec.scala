@@ -88,6 +88,35 @@ class BpeSpec extends SparkSpec {
       4L -> "e", 5L -> "r", 6L -> "w", 7L -> "i", 8L -> "d", 9L -> "est"))
   }
 
+  test("viterbiSegment: fewest pieces wins, then freq, then lexicographic") {
+    val words = Seq(("abcd", 4), ("abc", 3), ("xy", 2)).toDF("word", "len")
+    // 'abcd' covered by ab+cd (2 pieces) and abc+d (2 pieces): the freq
+    // tie-break must pick the higher-sum pair; 'xy' has only chars.
+    val vocab = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L),
+      ("x", 1L), ("y", 1L), ("ab", 5L), ("cd", 9L), ("abc", 7L), ("bc", 2L))
+      .toDF("piece", "freq")
+    val got = Bpe.viterbiSegment(words, vocab, maxLen = 6)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // ab+cd = 14 beats abc+d = 17? no: abc+d = 7+10 = 17 > ab+cd = 14
+    assert(got("abcd") == ((2L, 17L, "abc d")))
+    // 'abc' whole piece (1) beats any 2-piece split
+    assert(got("abc") == ((1L, 7L, "abc")))
+    // chars only
+    assert(got("xy") == ((2L, 2L, "x y")))
+    // lexicographic tie-break: equal count and freq → smallest sequence
+    val w2 = Seq(("aa", 2)).toDF("word", "len")
+    val v2 = Seq(("a", 3L), ("b", 3L)).toDF("piece", "freq")
+    assert(Bpe.viterbiSegment(w2, v2, maxLen = 4)
+      .head().getString(3) == "a a")
+    // words longer than maxLen are excluded (caller's filter contract)
+    assert(Bpe.viterbiSegment(
+      Seq(("toolong", 7)).toDF("word", "len"),
+      Seq(("t", 1L), ("o", 1L), ("l", 1L), ("n", 1L), ("g", 1L)).toDF("piece", "freq"),
+      maxLen = 4).count() == 0L)
+  }
+
   test("vocabulary exhausted before numMerges: returns what was learnable") {
     val docs = Seq((0L, "a b a b b")).toDF("doc_id", "text")
     // Single-character words: no adjacent pairs at all.
