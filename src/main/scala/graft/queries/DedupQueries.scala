@@ -137,6 +137,41 @@ object DedupQueries {
         .withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
     }),
 
+    // Golden-record survivorship — the entity-resolution step AFTER
+    // clustering: each multi-member near-dup cluster (exact Jaccard ≥
+    // 0.5 over LSH candidates → connected components) collapses to one
+    // canonical record with per-FIELD conflict resolution: majority
+    // lang/source (count desc, value asc tie-break — deterministic),
+    // max n_chars (keep the longest evidence), min doc_id as the stable
+    // canonical key. Candidate-sized pair work, cluster-sized
+    // survivorship aggregates; the mode windows run over (cluster,
+    // value) counts, never raw members.
+    "dedup_golden_record" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text",
+        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val nd = Dedup.ngramJaccard(d, pairs, "doc_id", "text", shingleWords = 3)
+        .where(col("jaccard") >= 0.5).select("id_a", "id_b")
+      val lab = Dedup.resolveClusters(nd, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster"))
+      val m = d.join(lab, "doc_id").localCheckpoint(true)
+      def mode(c: String) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster").orderBy(col("__c").desc, col(c))
+        m.groupBy("cluster", c).agg(count(lit(1)).as("__c"))
+          .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+          .select(col("cluster"), col(c).as(s"canon_$c"))
+      }
+      m.groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"), min("doc_id").as("canon_id"),
+          max("n_chars").as("max_chars"))
+        .join(mode("lang"), "cluster")
+        .join(mode("source"), "cluster")
+        .select("cluster", "n_members", "canon_id", "canon_lang",
+          "canon_source", "max_chars")
+    }),
+
     // Cross-modal dedup verification: the text-LSH candidate pairs scored
     // by BOTH the exact lexical Jaccard and the embedding cosine of the
     // same ids (doc_id ≡ vec_id in the fixture corpus). A pair the two
@@ -663,6 +698,48 @@ object DedupQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS n_at_or_above
          |FROM binned""".stripMargin,
+
+    // Golden-record mirror: exact-Jaccard edges → recursive closure →
+    // the same deterministic per-field survivorship.
+    "dedup_golden_record" ->
+      s"""WITH RECURSIVE $lshCandCtes,
+         |sets AS (SELECT doc_id,
+         |  list_distinct(list_transform(shingles, x -> ${h60("x")})) AS s FROM shg),
+         |jp AS (
+         |  SELECT c.id_a, c.id_b, ${jaccardSql("a.s", "b.s")} AS jaccard
+         |  FROM lshcand c
+         |  JOIN sets a ON c.id_a = a.doc_id
+         |  JOIN sets b ON c.id_b = b.doc_id),
+         |nd AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd
+         |  UNION SELECT id_b, id_a FROM nd),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |        FROM reach GROUP BY src),
+         |m AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, lab.cluster
+         |      FROM documents d JOIN lab ON d.doc_id = lab.doc_id),
+         |lmode AS (
+         |  SELECT cluster, lang AS canon_lang FROM (
+         |    SELECT cluster, lang, row_number() OVER (PARTITION BY cluster
+         |      ORDER BY count(*) DESC, lang) AS rn
+         |    FROM m GROUP BY cluster, lang) WHERE rn = 1),
+         |smode AS (
+         |  SELECT cluster, source AS canon_source FROM (
+         |    SELECT cluster, source, row_number() OVER (PARTITION BY cluster
+         |      ORDER BY count(*) DESC, source) AS rn
+         |    FROM m GROUP BY cluster, source) WHERE rn = 1),
+         |agg AS (
+         |  SELECT cluster, count(*) AS n_members, min(doc_id) AS canon_id,
+         |         max(n_chars) AS max_chars
+         |  FROM m GROUP BY 1)
+         |SELECT a.cluster, a.n_members, a.canon_id, l.canon_lang,
+         |       s2.canon_source, a.max_chars
+         |FROM agg a JOIN lmode l USING (cluster)
+         |JOIN smode s2 USING (cluster)""".stripMargin,
 
     "dedup_semantic_verify" ->
       s"""WITH $lshCandCtes,
