@@ -1888,4 +1888,59 @@ object Similarity {
         (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, d) => acc + d)
   }
+
+  /** Greedy beam search over a precomputed kNN graph (the NSW/HNSW-family
+    * navigation primitive, Malkov & Yashunin 2018 restricted to one
+    * layer): each query starts a beam at `entries` fixed entry nodes
+    * (the smallest ids — deterministic), then for `hops` rounds expands
+    * the beam through the graph's out-edges, scores every candidate by
+    * cosine to the query, and keeps the best `beam` per query
+    * ((cos desc, id) — deterministic). The final beam's top-`k` is the
+    * answer. Recall comes from graph connectivity instead of bucket
+    * probes — the access path that wins when queries arrive one at a
+    * time against a frozen corpus.
+    *
+    * Scale shape: the beam set is (#queries · beam) rows — broadcast on
+    * every expansion join, so each hop costs one map-side lookup into
+    * the edge list plus a beam-sized top-k window; the corpus is never
+    * rescanned beyond the candidate-id embedding lookups (an id-equi
+    * join). Rounds are fixed (`hops`), each round's beam eagerly
+    * checkpointed so lineage stays flat. Nothing here is corpus×corpus:
+    * with bounded out-degree (top-k graph construction) candidates per
+    * hop are ≤ #queries · beam · (k_graph + 1).
+    *
+    * Output: (qidCol, idCol, cos, rank ≤ k). */
+  def graphSearch(corpus: DataFrame, queries: DataFrame, edges: DataFrame,
+                  idCol: String, vecCol: String, qidCol: String,
+                  entries: Int, beam: Int, hops: Int, k: Int): DataFrame = {
+    require(entries >= 1 && beam >= k && hops >= 0,
+      s"need entries >= 1, beam >= k, hops >= 0: $entries, $beam/$k, $hops")
+    val q = broadcast(queries.select(col(qidCol), col(vecCol).as("__qvec")))
+    val corp = corpus.select(col(idCol), col(vecCol).as("__cvec"))
+    val e = edges.select(col("src").as(idCol), col("dst")).localCheckpoint(true)
+    // Score a (qid, id) candidate set: embedding lookup by id-equi join,
+    // cosine against the broadcast query vector; self-matches excluded
+    // (same contract as bruteForceKnn).
+    def score(cand: DataFrame): DataFrame =
+      cand.where(col(qidCol) =!= col(idCol))
+        .join(corp, idCol).join(q, Seq(qidCol))
+        .select(col(qidCol), col(idCol),
+          cosine(col("__qvec"), col("__cvec")).as("cos"))
+    def top(scored: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= n)
+    }
+    val entry = corpus.select(col(idCol)).orderBy(col(idCol)).limit(entries)
+    var b = top(score(queries.select(col(qidCol)).crossJoin(entry)), beam)
+      .select(col(qidCol), col(idCol)).localCheckpoint(true)
+    for (_ <- 0 until hops) {
+      val expanded = broadcast(b).join(e, idCol)
+        .select(col(qidCol), col("dst").as(idCol))
+      val cand = b.unionByName(expanded).distinct()
+      b = top(score(cand), beam)
+        .select(col(qidCol), col(idCol)).localCheckpoint(true)
+    }
+    top(score(b), k)
+  }
 }

@@ -157,6 +157,19 @@ object SimilarityQueries {
       Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
         k = 3, bits = 6, maxBucketSize = 1000)),
 
+    // Greedy beam search over the kNN graph (single-layer NSW
+    // navigation): 4 fixed entry nodes (smallest ids), beam 8, 3
+    // expansion hops, final top-5 — the query-at-a-time ANN access path
+    // where recall comes from graph connectivity, not bucket probes.
+    // Beam stays (#queries · 8) rows, broadcast per hop; the oracle
+    // unrolls the identical walk hop by hop.
+    "sim_graph_search" -> ((s, dir) => {
+      val g = Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+        k = 3, bits = 6, maxBucketSize = 1000)
+      Similarity.graphSearch(emb(s, dir), queriesDf(s, dir), g,
+        "vec_id", "embedding", "qid", entries = 4, beam = 8, hops = 3, k = 5)
+    }),
+
     // Multi-source BFS over the kNN graph: hop distance from the
     // nearest seed (the query set, vec_id ≡ 0 mod 100) plus the winning
     // seed id — the "how far is this point from a trusted/poisoned seed
@@ -980,6 +993,44 @@ object SimilarityQueries {
        |topk AS (SELECT * FROM ranked WHERE rank <= 3)""".stripMargin
   private lazy val knnGraphCtes = knnGraphCtesFrom("embeddings")
 
+  /** Unrolled greedy-beam-walk mirror of
+    * [[graft.ops.Similarity.graphSearch]] (entries=4, beam=8, hops=3,
+    * k=5) over the shared kNN-graph edge CTEs: each hop is the same
+    * (beam ∪ out-neighbors) UNION-dedup, cosine re-score, top-8 window. */
+  private lazy val graphSearchSql: String = {
+    val hops = (1 to 3).map { i =>
+      s"""gc$i AS (
+         |  SELECT qid, vec_id FROM gb${i - 1}
+         |  UNION
+         |  SELECT b.qid, e.dst AS vec_id FROM gb${i - 1} b JOIN gedges e ON b.vec_id = e.src),
+         |gs$i AS (
+         |  SELECT c.qid, c.vec_id, ${cosSql("q.qv", "v.embedding")} AS cos
+         |  FROM gc$i c JOIN embeddings v ON c.vec_id = v.vec_id JOIN q ON c.qid = q.qid
+         |  WHERE c.vec_id <> c.qid),
+         |gb$i AS (
+         |  SELECT qid, vec_id, cos FROM gs$i
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 8)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |gedges AS (SELECT src, dst FROM topk),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |ent AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+       |gc0 AS (SELECT q.qid, ent.vec_id FROM q CROSS JOIN ent),
+       |gs0 AS (
+       |  SELECT c.qid, c.vec_id, ${cosSql("q.qv", "v.embedding")} AS cos
+       |  FROM gc0 c JOIN embeddings v ON c.vec_id = v.vec_id JOIN q ON c.qid = q.qid
+       |  WHERE c.vec_id <> c.qid),
+       |gb0 AS (
+       |  SELECT qid, vec_id, cos FROM gs0
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 8),
+       |$hops,
+       |fin AS (
+       |  SELECT qid, vec_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM gb3)
+       |SELECT qid, vec_id, cos, rank FROM fin WHERE rank <= 5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
@@ -1027,6 +1078,8 @@ object SimilarityQueries {
       s"""WITH $knnGraphCtes
          |SELECT src, dst, cos, CAST(rank AS BIGINT) AS rank
          |FROM topk""".stripMargin,
+
+    "sim_graph_search" -> graphSearchSql,
 
     // BFS mirror: recursive walk over the symmetrized top-3 edge set,
     // UNION-deduped state (node, root, hops); per node the minimal hop

@@ -656,6 +656,54 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("graphSearch: exact driver-model equivalence, rank contract, hops=0 entries-only") {
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3, bits = 6)
+    val qs = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val got = Similarity.graphSearch(emb, qs, g, "vec_id", "embedding", "qid",
+      entries = 4, beam = 8, hops = 3, k = 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Long]("rank")))
+
+    // Driver model built from the SAME cosine expression (no float drift):
+    // score every (query, corpus) pair once, then replay the beam walk.
+    val scores = Similarity.bruteForceKnn(emb, qs, "vec_id", "embedding",
+      "qid", k = emb.count().toInt).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos"))
+      .toMap
+    val adj = g.collect().groupBy(_.getAs[Long]("src"))
+      .map { case (s0, es) => s0 -> es.map(_.getAs[Long]("dst")).toSet }
+    val entryIds = emb.select("vec_id").collect().map(_.getLong(0)).sorted.take(4).toSet
+    def topN(qid: Long, cand: Set[Long], n: Int): Seq[Long] =
+      cand.filter(_ != qid).toSeq
+        .sortBy(id => (-scores((qid, id)), id)).take(n)
+    val expect = qs.select("qid").collect().map(_.getLong(0)).flatMap { qid =>
+      var beam = topN(qid, entryIds, 8).toSet
+      for (_ <- 0 until 3)
+        beam = topN(qid, beam ++ beam.flatMap(adj.getOrElse(_, Set.empty)), 8).toSet
+      topN(qid, beam, 5).zipWithIndex.map { case (id, i) =>
+        (qid, id, scores((qid, id)), (i + 1).toLong)
+      }
+    }
+    assert(got.sorted.toSeq == expect.sorted.toSeq)
+    // rank contract: dense 1..n per query, ordered (cos desc, id)
+    got.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array((_, i1, c1, _), (_, i2, c2, _)) => c1 > c2 || (c1 == c2 && i1 < i2)
+        case _ => true
+      })
+    }
+    // hops = 0 degenerates to top-k of the scored entry set
+    val h0 = Similarity.graphSearch(emb, qs, g, "vec_id", "embedding", "qid",
+      entries = 4, beam = 8, hops = 0, k = 5).collect()
+    h0.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      assert(rs.map(_.getAs[Long]("vec_id")).toSet ==
+        topN(qid, entryIds, 8).take(5).toSet)
+    }
+  }
+
   test("mutualKnn keeps exactly the edges whose reverse survived top-k") {
     val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3, bits = 6)
     val edges = g.collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
