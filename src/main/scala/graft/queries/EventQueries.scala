@@ -429,6 +429,15 @@ object EventQueries {
         "ts_us", "ts_us", Seq("click_id"), "click_id")
     }),
 
+    // Two-sample A/B readout per event type (cohort A = even user_id):
+    // Welch's t from one pass of exact DECIMAL sums + Mann-Whitney U
+    // with average-rank ties kept exact on the doubled-integer rank
+    // axis — the parametric and rank-based experiment answers side by
+    // side. One rank window + one partial agg; #event_types rows out.
+    "events_ab_test" -> ((s, dir) =>
+      graft.ops.Experiment.abTest(Tables.events(s, dir),
+        "event_type", "user_id % 2 = 0", "value")),
+
     // Robust (median/MAD) outlier profile per event type — the
     // heavy-tail-safe twin of events_anomaly's mean/σ z-scores, fully
     // ENGINE-EXACT: medians are lower-median crossings over integer
@@ -1113,6 +1122,42 @@ object EventQueries {
         |       c.click_id, c.ts_us AS ts_us_matched
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    // A/B mirror: same doubled-rank tie axis (2·rank + ties − 1 summed
+    // in BIGINT), same exact-DECIMAL moment sums feeding the identical
+    // IEEE Welch expression tree.
+    "events_ab_test" ->
+      """WITH r AS (
+        |  SELECT event_type, (user_id % 2 = 0) AS a, value,
+        |         CAST(value AS DECIMAL(18,2)) AS vd,
+        |         2*rank() OVER (PARTITION BY event_type ORDER BY value)
+        |           + count(*) OVER (PARTITION BY event_type, value) - 1 AS r2
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    count(*) FILTER (WHERE a) AS n_a,
+        |    count(*) FILTER (WHERE NOT a) AS n_b,
+        |    sum(vd) FILTER (WHERE a) AS sxa,
+        |    sum(vd) FILTER (WHERE NOT a) AS sxb,
+        |    sum(vd*vd) FILTER (WHERE a) AS sxxa,
+        |    sum(vd*vd) FILTER (WHERE NOT a) AS sxxb,
+        |    CAST(sum(r2) FILTER (WHERE a) AS BIGINT) AS r2a
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |  CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+        |  CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+        |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+        |    (CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |    sqrt(((CAST(sxxa AS DOUBLE)
+        |           - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |          / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+        |       + ((CAST(sxxb AS DOUBLE)
+        |           - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |          / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE))
+        |  END AS welch_t,
+        |  CAST(r2a - n_a*(n_a+1) AS DOUBLE) / 2.0 AS u_stat
+        |FROM g""".stripMargin,
 
     "events_mad_anomaly" ->
       """WITH e AS (
