@@ -76,4 +76,55 @@ object Experiment {
       ((col("__r2a") - col("n_a") * (col("n_a") + lit(1L))).cast("double") /
         lit(2.0)).as("u_stat"))
   }
+
+  /** Theil-Sen robust trend per key (Theil 1950 / Sen 1968): the median
+    * of all pairwise slopes (v_j − v_i)/(t_j − t_i) over a key's time
+    * series — the outlier-immune answer to "is this user's metric
+    * drifting?" (up to ~29% contamination cannot move it, where one
+    * wild point owns an OLS slope).
+    *
+    * Scale shape: pairwise work is quadratic PER KEY, so keys are first
+    * thinned to ≤ `maxPerKey` points by a deterministic systematic
+    * stride over the (ts, id) order (every ⌈n/maxPerKey⌉-th point —
+    * keeps the full time span, unlike head/tail truncation), bounding
+    * each key at maxPerKey²/2 pairs regardless of corpus growth. The
+    * pair join shuffles on the key once; the median is a lower-median
+    * row_number pick ordered by (slope, id_i, id_j) — fully
+    * deterministic, no interpolation, engine-portable (one IEEE
+    * division per pair on exact inputs).
+    *
+    * Equal-timestamp pairs are excluded (slope undefined); keys with no
+    * valid pair produce no row. Output: (keyCol, n_points, n_pairs,
+    * theil_sen_slope). */
+  def theilSen(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
+               valueCol: String, maxPerKey: Int = 100): DataFrame = {
+    require(maxPerKey >= 2, s"maxPerKey must be >= 2: $maxPerKey")
+    val wOrd = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val wKey = Window.partitionBy(keyCol)
+    val thinned = df
+      .select(col(keyCol), col(idCol), col(tsCol), col(valueCol))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .where((col("__rn") - 1) %
+        expr(s"(__n + ${maxPerKey - 1}) div $maxPerKey") === 0)
+      .drop("__rn", "__n")
+    val a = thinned.select(col(keyCol), col(idCol).as("__ia"),
+      col(tsCol).as("__ta"), col(valueCol).as("__va"))
+    val b = thinned.select(col(keyCol), col(idCol).as("__ib"),
+      col(tsCol).as("__tb"), col(valueCol).as("__vb"))
+    val pairs = a.join(b, keyCol).where(col("__ta") < col("__tb"))
+      .select(col(keyCol), col("__ia"), col("__ib"),
+        ((col("__vb") - col("__va")).cast("double") /
+          (col("__tb") - col("__ta")).cast("double")).as("__slope"))
+    val wMed = Window.partitionBy(keyCol)
+      .orderBy(col("__slope"), col("__ia"), col("__ib"))
+    val points = thinned.groupBy(col(keyCol)).agg(count(lit(1)).as("n_points"))
+    pairs
+      .withColumn("__rk", row_number().over(wMed))
+      .withColumn("n_pairs", count(lit(1)).over(wKey))
+      .where(col("__rk") === expr("(n_pairs + 1) div 2")) // lower median
+      .join(points, keyCol)
+      .select(col(keyCol), col("n_points"), col("n_pairs"),
+        col("__slope").as("theil_sen_slope"))
+  }
 }

@@ -429,6 +429,17 @@ object EventQueries {
         "ts_us", "ts_us", Seq("click_id"), "click_id")
     }),
 
+    // Theil-Sen robust trend per user over (ts, value): median of
+    // pairwise slopes after a deterministic systematic thin to ≤ 100
+    // points/key (bounds the quadratic pair set at any corpus size).
+    // Lower-median pick ordered by (slope, id_i, id_j) — no
+    // interpolation, one IEEE division per pair on exact micros/doubles.
+    "events_theilsen" -> ((s, dir) =>
+      graft.ops.Experiment.theilSen(
+        Tables.events(s, dir)
+          .withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "event_id", "ts_us", "value", maxPerKey = 100)),
+
     // Two-sample A/B readout per event type (cohort A = even user_id):
     // Welch's t from one pass of exact DECIMAL sums + Mann-Whitney U
     // with average-rank ties kept exact on the doubled-integer rank
@@ -1122,6 +1133,32 @@ object EventQueries {
         |       c.click_id, c.ts_us AS ts_us_matched
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    // Theil-Sen mirror: same systematic thin (stride ⌈n/100⌉ over the
+    // (ts, id) order), same strict-ts pair set, same lower-median pick.
+    "events_theilsen" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+        |rn AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |th AS (SELECT user_id, event_id, t, value FROM rn
+        |       WHERE (rn - 1) % ((n + 99) // 100) = 0),
+        |np AS (SELECT user_id, count(*) AS n_points FROM th GROUP BY 1),
+        |p AS (
+        |  SELECT a.user_id, a.event_id AS ia, b.event_id AS ib,
+        |         (b.value - a.value) / CAST(b.t - a.t AS DOUBLE) AS slope
+        |  FROM th a JOIN th b ON a.user_id = b.user_id AND a.t < b.t),
+        |r AS (
+        |  SELECT user_id, slope,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY slope, ia, ib) AS rk,
+        |         count(*) OVER (PARTITION BY user_id) AS m
+        |  FROM p)
+        |SELECT r.user_id, np.n_points, r.m AS n_pairs,
+        |       r.slope AS theil_sen_slope
+        |FROM r JOIN np ON r.user_id = np.user_id
+        |WHERE r.rk = (r.m + 1) // 2""".stripMargin,
 
     // A/B mirror: same doubled-rank tie axis (2·rank + ties − 1 summed
     // in BIGINT), same exact-DECIMAL moment sums feeding the identical

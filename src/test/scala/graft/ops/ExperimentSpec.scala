@@ -35,6 +35,31 @@ class ExperimentSpec extends SparkSpec {
     assert(y.getAs[Double]("u_stat") == 0.0)
   }
 
+  test("theilSen: outlier-immune median slope, equal-ts exclusion, thinning bound") {
+    // slopes of {(0,0),(1,1),(2,2),(3,10)}: [1, 1, 10/3, 1, 4.5, 8]
+    // sorted [1,1,1,10/3,4.5,8], lower median (rank 3) = 1.0 — the wild
+    // point that would own an OLS fit cannot move it.
+    val df = Seq((1L, 10L, 0L, 0.0), (1L, 11L, 1L, 1.0),
+      (1L, 12L, 2L, 2.0), (1L, 13L, 3L, 10.0)).toDF("k", "id", "t", "v")
+    val r = Experiment.theilSen(df, "k", "id", "t", "v").collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_points") == 4 && r(0).getAs[Long]("n_pairs") == 6)
+    assert(r(0).getAs[Double]("theil_sen_slope") == 1.0)
+
+    // equal-ts pairs are excluded: two points at one ts → 0 valid pairs
+    // with each other, and a key with ONLY equal-ts points emits no row
+    val eq = Seq((2L, 20L, 5L, 1.0), (2L, 21L, 5L, 9.0)).toDF("k", "id", "t", "v")
+    assert(Experiment.theilSen(eq, "k", "id", "t", "v").collect().isEmpty)
+
+    // systematic thinning caps points per key (n = 250, stride 3 → 84)
+    val big = (0 until 250).map(i => (3L, i.toLong, i.toLong, i.toDouble))
+      .toDF("k", "id", "t", "v")
+    val rb = Experiment.theilSen(big, "k", "id", "t", "v", maxPerKey = 100).collect()
+    assert(rb.length == 1)
+    assert(rb(0).getAs[Long]("n_points") == 84)
+    assert(rb(0).getAs[Double]("theil_sen_slope") == 1.0) // exact line survives thinning
+  }
+
   test("abTest: U_a + U_b = n_a·n_b and cohort-swap antisymmetry on real data") {
     val e = spark.read.parquet(s"$sf/events.parquet")
     val a = Experiment.abTest(e, "event_type", "user_id % 2 = 0", "value")
