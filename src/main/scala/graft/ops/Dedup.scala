@@ -736,4 +736,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** Data-driven LSH banding planner: given the OBSERVED similarity
+    * histogram of candidate pairs (`bin` ∈ 0..9 = ⌊10·jaccard⌋ capped,
+    * `n_pairs`), evaluate every (bands b, rows-per-band r) split of a
+    * `k`-hash MinHash signature (b·r = k) by the standard S-curve
+    * P(caught) = 1 − (1 − s^r)^b at each bin's midpoint similarity
+    * s = (2·bin + 1)/20 — turning "which banding should I run?" from
+    * folklore into an expected-yield table over this corpus's actual
+    * pair-similarity mass.
+    *
+    * Engine-exact: both integer powers expand to literal repeated
+    * multiplication (left-associated — the identical IEEE tree in the
+    * SQL mirror), `exp_caught` is the single multiply n_pairs · p per
+    * row, and there is NO cross-bin float sum (the per-(b,r,bin) grain
+    * keeps every value order-independent). Cost: the histogram is
+    * bins-sized; the plan is a #divisors-way union of 10-row selects.
+    *
+    * Output: (bands, rows_per_band, bin, n_pairs, p_detect, exp_caught). */
+  def bandingPlan(binned: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"signature length must be >= 1: $k")
+    def powInt(c: Column, n: Int): Column =
+      (1 until n).foldLeft(c)((acc, _) => acc * c)
+    val s = (col("bin") * 2 + 1).cast("double") / lit(20.0)
+    val splits = (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+    splits.map { case (b, r) =>
+      val p = lit(1.0) - powInt(lit(1.0) - powInt(s, r), b)
+      binned.select(
+        lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+        col("bin"), col("n_pairs"), p.as("p_detect"),
+        (col("n_pairs").cast("double") * p).as("exp_caught"))
+    }.reduce(_ unionByName _)
+  }
 }

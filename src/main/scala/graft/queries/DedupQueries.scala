@@ -137,6 +137,25 @@ object DedupQueries {
         .withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
     }),
 
+    // LSH banding planner — the tuning table BEHIND the threshold
+    // histogram: for every (bands, rows) split of the 16-hash MinHash
+    // signature, the S-curve catch probability 1 − (1 − s^r)^b at each
+    // observed similarity bin's midpoint and the expected caught-pair
+    // mass on THIS corpus. Integer powers expand to literal repeated
+    // multiplication (identical IEEE tree in the mirror); no cross-bin
+    // float sum anywhere.
+    "dedup_lsh_plan" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.lshCandidatePairs(d, "doc_id", "text",
+        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val binned = Dedup.ngramJaccard(d, pairs, "doc_id", "text", shingleWords = 3)
+        .withColumn("bin",
+          least(floor(col("jaccard") * 10).cast("long"), lit(9L)))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+      Dedup.bandingPlan(binned, k = 16)
+    }),
+
     // Golden-record survivorship — the entity-resolution step AFTER
     // clustering: each multi-member near-dup cluster (exact Jaccard ≥
     // 0.5 over LSH candidates → connected components) collapses to one
@@ -698,6 +717,38 @@ object DedupQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS n_at_or_above
          |FROM binned""".stripMargin,
+
+    // Banding-planner mirror: the shared candidate/histogram CTEs, then
+    // a generated divisor-split union with the same left-associated
+    // repeated-multiplication power trees.
+    "dedup_lsh_plan" -> {
+      def powSql(e: String, n: Int) =
+        if (n == 1) e else List.fill(n)(e).mkString("(", " * ", ")")
+      val selects = (1 to 16).filter(16 % _ == 0).map { b =>
+        val r = 16 / b
+        val p = s"(1.0 - ${powSql(s"(1.0 - ${powSql("s", r)})", b)})"
+        s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+           |       bin, n_pairs, $p AS p_detect,
+           |       CAST(n_pairs AS DOUBLE) * $p AS exp_caught
+           |FROM sbins""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $lshCandCtes,
+         |sets AS (SELECT doc_id,
+         |  list_distinct(list_transform(shingles, x -> ${h60("x")})) AS s FROM shg),
+         |jp AS (
+         |  SELECT c.id_a, c.id_b, ${jaccardSql("a.s", "b.s")} AS jaccard
+         |  FROM lshcand c
+         |  JOIN sets a ON c.id_a = a.doc_id
+         |  JOIN sets b ON c.id_b = b.doc_id),
+         |binned AS (
+         |  SELECT least(floor(jaccard * 10)::BIGINT, 9) AS bin,
+         |         count(*) AS n_pairs
+         |  FROM jp GROUP BY 1),
+         |sbins AS (
+         |  SELECT bin, n_pairs, CAST(2*bin + 1 AS DOUBLE) / 20.0 AS s
+         |  FROM binned)
+         |$selects""".stripMargin
+    },
 
     // Golden-record mirror: exact-Jaccard edges → recursive closure →
     // the same deterministic per-field survivorship.

@@ -656,6 +656,35 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("bandingPlan: S-curve values exact, monotone in s, band-count ordering") {
+    val binned = Seq((2L, 100L), (5L, 40L), (9L, 7L)).toDF("bin", "n_pairs")
+    val plan = Dedup.bandingPlan(binned, k = 16).collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band"),
+        r.getAs[Long]("bin"), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("p_detect"), r.getAs[Double]("exp_caught")))
+    // every divisor split of 16 × every bin
+    assert(plan.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 16L), (2L, 8L), (4L, 4L), (8L, 2L), (16L, 1L)))
+    assert(plan.length == 5 * 3)
+    // exact value check with the same left-associated multiplication
+    def powInt(x: Double, n: Int) = (1 until n).foldLeft(x)((a, _) => a * x)
+    plan.foreach { case (b, r, bin, n, p, e) =>
+      val s0 = (2 * bin + 1).toDouble / 20.0
+      val expP = 1.0 - powInt(1.0 - powInt(s0, r.toInt), b.toInt)
+      assert(p == expP && e == n.toDouble * expP)
+    }
+    // monotone in similarity for a fixed split
+    plan.groupBy(p => (p._1, p._2)).values.foreach { rows =>
+      val bySim = rows.sortBy(_._3).map(_._5)
+      assert(bySim.sliding(2).forall { case Array(x, y) => x <= y; case _ => true })
+    }
+    // more, narrower bands catch at least as much at every s (r divides):
+    // (16,1) dominates (1,16) pointwise
+    val wide = plan.filter(p => p._1 == 16L).sortBy(_._3).map(_._5)
+    val tall = plan.filter(p => p._1 == 1L).sortBy(_._3).map(_._5)
+    wide.zip(tall).foreach { case (w, t) => assert(w >= t) }
+  }
+
   test("graphSearch: exact driver-model equivalence, rank contract, hops=0 entries-only") {
     val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3, bits = 6)
     val qs = emb.where(col("vec_id") % 100 === 0)
