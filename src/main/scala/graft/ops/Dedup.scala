@@ -737,6 +737,49 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Fellegi-Sunter record-linkage scoring (Fellegi & Sunter 1969):
+    * weight each candidate pair by the likelihood ratio of its
+    * per-field agreement pattern, Π_f agree ? m_f/u_f : (1−m_f)/(1−u_f),
+    * where m_f = P(field f agrees | pair is a match) and u_f =
+    * P(agrees | any candidate pair). The classical probabilistic
+    * counterpart to [[bandingPlan]]'s similarity threshold: a pair of
+    * short docs sharing a rare source scores higher than one sharing
+    * only the corpus-dominant language.
+    *
+    * `pairs` must carry a boolean `is_dup` (the m-estimation stratum —
+    * e.g. jaccard ≥ 0.5) and one boolean column per field in
+    * `agreeCols`. m/u are add-one-smoothed ((cnt+1)/(n+2) — never 0 or
+    * 1, so both ratio branches stay finite) from ONE aggregation pass,
+    * broadcast back as a single scalar row; the score is a fixed-order
+    * left-associated product of per-field CASE ratios — the identical
+    * IEEE tree in the SQL mirror. Kept as a RATIO (log-free): ranking
+    * and thresholding are monotone-invariant, and every step stays
+    * engine-portable.
+    *
+    * Cost: candidate-sized (one agg + one broadcast crossJoin); output
+    * = input pairs + `score`. */
+  def fellegiSunter(pairs: DataFrame, agreeCols: Seq[String]): DataFrame = {
+    require(agreeCols.nonEmpty, "need at least one agreement field")
+    val aggExprs = Seq(
+      count(lit(1)).as("__n"),
+      sum(when(col("is_dup"), 1L).otherwise(0L)).as("__nd")) ++
+      agreeCols.flatMap(f => Seq(
+        sum(when(col("is_dup") && col(f), 1L).otherwise(0L)).as(s"__mc_$f"),
+        sum(when(col(f), 1L).otherwise(0L)).as(s"__uc_$f")))
+    val stats = pairs.agg(aggExprs.head, aggExprs.tail: _*)
+    val probs = stats.select(agreeCols.flatMap(f => Seq(
+      ((col(s"__mc_$f") + 1).cast("double") / (col("__nd") + 2).cast("double"))
+        .as(s"__m_$f"),
+      ((col(s"__uc_$f") + 1).cast("double") / (col("__n") + 2).cast("double"))
+        .as(s"__u_$f"))): _*)
+    val score = agreeCols.map { f =>
+      when(col(f), col(s"__m_$f") / col(s"__u_$f"))
+        .otherwise((lit(1.0) - col(s"__m_$f")) / (lit(1.0) - col(s"__u_$f")))
+    }.reduceLeft(_ * _)
+    pairs.crossJoin(broadcast(probs))
+      .select(pairs.columns.map(col) :+ score.as("score"): _*)
+  }
+
   /** Data-driven LSH banding planner: given the OBSERVED similarity
     * histogram of candidate pairs (`bin` ∈ 0..9 = ⌊10·jaccard⌋ capped,
     * `n_pairs`), evaluate every (bands b, rows-per-band r) split of a

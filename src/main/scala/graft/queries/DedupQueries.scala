@@ -137,6 +137,31 @@ object DedupQueries {
         .withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
     }),
 
+    // Fellegi-Sunter record-linkage scoring over the LSH candidates:
+    // per-field agreement (lang, source, length-bucket) weighted by
+    // data-estimated m/u probabilities (m stratum = jaccard ≥ 0.5,
+    // add-one smoothed), score = fixed-order likelihood-ratio product.
+    // A pair agreeing on a RARE source outranks one sharing only the
+    // dominant language — the classical probabilistic linkage answer
+    // beside the similarity threshold.
+    "dedup_linkage_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = Dedup.lshCandidatePairs(d, "doc_id", "text",
+        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val j = Dedup.ngramJaccard(d, cand, "doc_id", "text", shingleWords = 3)
+      def flds(side: String) = d.select(col("doc_id").as(s"id_$side"),
+        col("lang").as(s"__l$side"), col("source").as(s"__s$side"),
+        expr("n_chars div 100").as(s"__b$side"))
+      val pairs = j.join(flds("a"), "id_a").join(flds("b"), "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          (col("__la") === col("__lb")).as("agree_lang"),
+          (col("__sa") === col("__sb")).as("agree_source"),
+          (col("__ba") === col("__bb")).as("agree_len"),
+          (col("jaccard") >= 0.5).as("is_dup"))
+      Dedup.fellegiSunter(pairs, Seq("agree_lang", "agree_source", "agree_len"))
+    }),
+
     // LSH banding planner — the tuning table BEHIND the threshold
     // histogram: for every (bands, rows) split of the 16-hash MinHash
     // signature, the S-curve catch probability 1 − (1 − s^r)^b at each
@@ -717,6 +742,56 @@ object DedupQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS n_at_or_above
          |FROM binned""".stripMargin,
+
+    // Linkage mirror: same candidate/jaccard CTEs, same one-pass m/u
+    // estimation, same fixed-order CASE-ratio product.
+    "dedup_linkage_score" ->
+      s"""WITH $lshCandCtes,
+         |sets AS (SELECT doc_id,
+         |  list_distinct(list_transform(shingles, x -> ${h60("x")})) AS s FROM shg),
+         |jp AS (
+         |  SELECT c.id_a, c.id_b, ${jaccardSql("a.s", "b.s")} AS jaccard
+         |  FROM lshcand c
+         |  JOIN sets a ON c.id_a = a.doc_id
+         |  JOIN sets b ON c.id_b = b.doc_id),
+         |f AS (SELECT doc_id, lang, source, n_chars // 100 AS lb FROM documents),
+         |pr AS (
+         |  SELECT jp.id_a, jp.id_b, jp.jaccard,
+         |         (fa.lang = fb.lang) AS agree_lang,
+         |         (fa.source = fb.source) AS agree_source,
+         |         (fa.lb = fb.lb) AS agree_len,
+         |         (jp.jaccard >= 0.5) AS is_dup
+         |  FROM jp
+         |  JOIN f fa ON jp.id_a = fa.doc_id
+         |  JOIN f fb ON jp.id_b = fb.doc_id),
+         |st AS (
+         |  SELECT count(*) AS n,
+         |    sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS nd,
+         |    sum(CASE WHEN is_dup AND agree_lang THEN 1 ELSE 0 END) AS mc_lang,
+         |    sum(CASE WHEN agree_lang THEN 1 ELSE 0 END) AS uc_lang,
+         |    sum(CASE WHEN is_dup AND agree_source THEN 1 ELSE 0 END) AS mc_source,
+         |    sum(CASE WHEN agree_source THEN 1 ELSE 0 END) AS uc_source,
+         |    sum(CASE WHEN is_dup AND agree_len THEN 1 ELSE 0 END) AS mc_len,
+         |    sum(CASE WHEN agree_len THEN 1 ELSE 0 END) AS uc_len
+         |  FROM pr),
+         |pb AS (
+         |  SELECT
+         |    CAST(mc_lang + 1 AS DOUBLE) / CAST(nd + 2 AS DOUBLE) AS m_lang,
+         |    CAST(uc_lang + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE) AS u_lang,
+         |    CAST(mc_source + 1 AS DOUBLE) / CAST(nd + 2 AS DOUBLE) AS m_source,
+         |    CAST(uc_source + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE) AS u_source,
+         |    CAST(mc_len + 1 AS DOUBLE) / CAST(nd + 2 AS DOUBLE) AS m_len,
+         |    CAST(uc_len + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE) AS u_len
+         |  FROM st)
+         |SELECT pr.id_a, pr.id_b, pr.jaccard,
+         |       pr.agree_lang, pr.agree_source, pr.agree_len, pr.is_dup,
+         |  (CASE WHEN agree_lang THEN m_lang / u_lang
+         |        ELSE (1.0 - m_lang) / (1.0 - u_lang) END)
+         |  * (CASE WHEN agree_source THEN m_source / u_source
+         |          ELSE (1.0 - m_source) / (1.0 - u_source) END)
+         |  * (CASE WHEN agree_len THEN m_len / u_len
+         |          ELSE (1.0 - m_len) / (1.0 - u_len) END) AS score
+         |FROM pr CROSS JOIN pb""".stripMargin,
 
     // Banding-planner mirror: the shared candidate/histogram CTEs, then
     // a generated divisor-split union with the same left-associated

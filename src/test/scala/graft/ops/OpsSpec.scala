@@ -656,6 +656,39 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("fellegiSunter: hand-computed m/u ratios, smoothing bounds, field-order product") {
+    // n=5, nd=2; agree_f: mc=2, uc=3 → m=(2+1)/(2+2)=0.75, u=(3+1)/(5+2)=4/7
+    val pairs = Seq(
+      (1L, 2L, true, true, true), (3L, 4L, true, true, false),
+      (5L, 6L, false, false, true), (7L, 8L, false, true, false),
+      (9L, 10L, false, false, true)
+    ).toDF("id_a", "id_b", "is_dup", "agree_f", "agree_g")
+    val one = Dedup.fellegiSunter(pairs, Seq("agree_f")).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Double]("score"))).toMap
+    val m = 3.0 / 4.0; val u = 4.0 / 7.0
+    assert(one(1L) == m / u && one(3L) == m / u && one(7L) == m / u)
+    assert(one(5L) == (1.0 - m) / (1.0 - u) && one(9L) == (1.0 - m) / (1.0 - u))
+    // agreement on the match-predictive field raises the score
+    assert(m / u > 1.0 && (1.0 - m) / (1.0 - u) < 1.0)
+
+    // two fields: score is the left-associated product of the
+    // single-field ratios (same smoothed m/u — the stats pass is global)
+    // agree_g: mc=1 (only pair 1 is dup∧g), uc=3 → mg=(1+1)/4, ug=(3+1)/7
+    val mg = (1 + 1.0) / (2 + 2.0); val ug = (3 + 1.0) / (5 + 2.0)
+    val two = Dedup.fellegiSunter(pairs, Seq("agree_f", "agree_g")).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Double]("score"))).toMap
+    assert(two(1L) == (m / u) * (mg / ug))
+    assert(two(3L) == (m / u) * ((1.0 - mg) / (1.0 - ug)))
+    assert(two(5L) == ((1.0 - m) / (1.0 - u)) * (mg / ug))
+    // smoothing keeps every ratio finite even for all-true/all-false fields
+    val deg = Seq((1L, 2L, true, true), (3L, 4L, false, true))
+      .toDF("id_a", "id_b", "is_dup", "agree_all")
+    Dedup.fellegiSunter(deg, Seq("agree_all")).collect().foreach { r =>
+      val sc = r.getAs[Double]("score")
+      assert(!sc.isNaN && !sc.isInfinite && sc > 0.0)
+    }
+  }
+
   test("bandingPlan: S-curve values exact, monotone in s, band-count ordering") {
     val binned = Seq((2L, 100L), (5L, 40L), (9L, 7L)).toDF("bin", "n_pairs")
     val plan = Dedup.bandingPlan(binned, k = 16).collect()
