@@ -1889,6 +1889,100 @@ object Similarity {
       lit(0.0), (acc, d) => acc + d)
   }
 
+  /** Simplified (centroid-based) silhouette per point (Hruschka et al.
+    * 2004 — the O(n·k) variant of Rousseeuw 1987, the only one that
+    * survives corpus scale: the classic per-point-pairwise silhouette
+    * is O(n²) and dead at 100 TB): a_i = cosine distance to the
+    * nearest (= assigned) centroid, b_i = distance to the runner-up,
+    * s_i = (b_i − a_i)/max(a_i, b_i) ∈ [0, 1] here (a ≤ b by
+    * construction; 0 when both distances are 0). Low s_i = boundary
+    * point — the "is this clustering actually separating anything"
+    * eval the IVF/SemDeDup family needs beside recall.
+    *
+    * One broadcast of the centroid set against one corpus pass + a
+    * k-row-per-point window — no float cross-row aggregation anywhere
+    * (per-point grain), so the output hash-matches cross-engine.
+    *
+    * Output: (idCol, cluster, a_dist, b_dist, silhouette). Requires ≥ 2
+    * centroids (b is undefined otherwise). */
+  def silhouette(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                 vecCol: String, cidCol: String): DataFrame = {
+    val c = broadcast(centroids.select(col(cidCol), col(vecCol).as("__cv")))
+    // clamp at 0: float cosine of a vector with itself can exceed 1 by
+    // an ulp, and a −ε distance would push s_i past 1 (the documented
+    // range) — greatest(0, ·) is the honest cosine-distance floor.
+    val scored = corpus.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(c)
+      .select(col(idCol), col(cidCol),
+        greatest(lit(0.0), lit(1.0) - cosine(col("__v"), col("__cv"))).as("__d"))
+    val w = Window.partitionBy(idCol).orderBy(col("__d"), col(cidCol))
+    val ranked = scored.withColumn("__rn", row_number().over(w))
+    val a = ranked.where(col("__rn") === 1)
+      .select(col(idCol), col(cidCol).as("cluster"), col("__d").as("a_dist"))
+    val b = ranked.where(col("__rn") === 2)
+      .select(col(idCol), col("__d").as("b_dist"))
+    a.join(b, idCol)
+      .select(col(idCol), col("cluster"), col("a_dist"), col("b_dist"),
+        when(greatest(col("a_dist"), col("b_dist")) === 0.0, lit(0.0))
+          .otherwise((col("b_dist") - col("a_dist")) /
+            greatest(col("a_dist"), col("b_dist"))).as("silhouette"))
+  }
+
+  /** Davies-Bouldin cluster-quality components (Davies & Bouldin 1979)
+    * over a nearest-centroid assignment with cosine distance: per
+    * cluster i, the scatter S_i = mean member distance to the centroid,
+    * and the DB component max_{j≠i} (S_i + S_j)/d(c_i, c_j) — "how
+    * confusable is this cluster with its worst neighbor" (lower =
+    * better). The mean-of-distances float sum rides the SAME sliced
+    * two-phase deterministic fold as [[centroidUpdate]] (bounded state
+    * per task, bit-stable under any partitioning); everything after is
+    * k²-sized arithmetic on the centroid table.
+    *
+    * Output: (cluster, n_members, scatter, db_peer, db_component), one
+    * row per non-empty cluster (peer/component null when k = 1 or no
+    * other non-empty cluster exists). */
+  def daviesBouldin(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                    vecCol: String, cidCol: String,
+                    numSlices: Int = 1024): DataFrame = {
+    val c = broadcast(centroids.select(col(cidCol), col(vecCol).as("__cv")))
+    // same clamped cosine distance as [[silhouette]] (float cos(x,x)
+    // can exceed 1 by an ulp — a −ε member distance would leak into
+    // the scatter mean)
+    val scored = corpus.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(c)
+      .select(col(idCol), col(cidCol),
+        greatest(lit(0.0), lit(1.0) - cosine(col("__v"), col("__cv"))).as("__d"))
+    val w = Window.partitionBy(idCol).orderBy(col("__d"), col(cidCol))
+    val assigned = scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(cidCol).as("cluster"), col(idCol), col("__d"))
+    val rows = assigned.select(col("cluster"), lit(0L).as("dim"),
+      sliceHashKey(idCol), col(idCol).as("__vid"), col("__d").as("__v"))
+      .withColumn("__slice", sliceOfKey(numSlices))
+    val scatter = slicedComponentFold(rows)
+      .select(col("cluster"),
+        (col("comp_sum") / col("n").cast("double")).as("__s"),
+        col("n").as("n_members"))
+      .localCheckpoint(true)
+    val cd = c.select(col(cidCol).as("__i"), col("__cv").as("__cvi"))
+      .crossJoin(c.select(col(cidCol).as("__j"), col("__cv").as("__cvj")))
+      .where(col("__i") =!= col("__j"))
+      .select(col("__i"), col("__j"),
+        (lit(1.0) - cosine(col("__cvi"), col("__cvj"))).as("__dij"))
+    val r = cd
+      .join(scatter.select(col("cluster").as("__i"), col("__s").as("__si")), "__i")
+      .join(scatter.select(col("cluster").as("__j"), col("__s").as("__sj")), "__j")
+      .select(col("__i").as("cluster"), col("__j"),
+        ((col("__si") + col("__sj")) / col("__dij")).as("__r"))
+    val wMax = Window.partitionBy("cluster").orderBy(col("__r").desc, col("__j"))
+    val best = r.withColumn("__rn", row_number().over(wMax))
+      .where(col("__rn") === 1)
+      .select(col("cluster"), col("__j").as("db_peer"),
+        col("__r").as("db_component"))
+    scatter.select(col("cluster"), col("n_members"), col("__s").as("scatter"))
+      .join(best, Seq("cluster"), "left")
+  }
+
   /** Greedy beam search over a precomputed kNN graph (the NSW/HNSW-family
     * navigation primitive, Malkov & Yashunin 2018 restricted to one
     * layer): each query starts a beam at `entries` fixed entry nodes

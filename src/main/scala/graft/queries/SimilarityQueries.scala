@@ -709,6 +709,28 @@ object SimilarityQueries {
         .select(col("cid"), col("dim").cast("long").as("dim"),
           col("c").cast("double").as("c"))),
 
+    // Simplified silhouette over the deterministic 8-centroid
+    // assignment (the same centroid set sim_semdedup prunes against):
+    // per-point nearest vs runner-up cosine distance — the clustering-
+    // quality eval beside the family's recall metrics. Per-point grain,
+    // no float cross-row aggregation; O(n·k), never O(n²).
+    "sim_silhouette" -> ((s, dir) =>
+      Similarity.silhouette(emb(s, dir),
+        emb(s, dir).where(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding")),
+        "vec_id", "embedding", "cid")),
+
+    // Davies-Bouldin components over the same 8-centroid assignment:
+    // per-cluster mean-distance scatter (sliced deterministic fold —
+    // the centroidUpdate machinery on a scalar) + worst-neighbor
+    // confusability (S_i + S_j)/d_ij — the companion eval to
+    // sim_silhouette at cluster grain instead of point grain.
+    "sim_davies_bouldin" -> ((s, dir) =>
+      Similarity.daviesBouldin(emb(s, dir),
+        emb(s, dir).where(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding")),
+        "vec_id", "embedding", "cid")),
+
     // SemDeDup (cluster-then-prune semantic dedup): candidate pairs only
     // within a nearest-centroid cluster (8 deterministic centroids),
     // drop any doc with a lower-id ≥0.4-cosine neighbor in its cluster.
@@ -2011,6 +2033,74 @@ object SimilarityQueries {
          |${semDedupCtes(60)}
          |SELECT vec_id, cluster FROM assign
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
+    // Davies-Bouldin mirror: same assignment, the scalar sliced
+    // deterministic fold (slice-keyed list_reduce — the slicedSumsCtes
+    // shape on one "dim"), k² centroid arithmetic, worst-neighbor pick.
+    "sim_davies_bouldin" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |sd AS (
+         |  SELECT e.vec_id, c.cid,
+         |         greatest(0.0, 1.0 - ${cosSql("e.embedding", "c.cv")}) AS d
+         |  FROM embeddings e, c),
+         |assigned AS (
+         |  SELECT vec_id, cid AS cluster, d FROM (
+         |    SELECT vec_id, cid, d,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM sd) WHERE rn = 1),
+         |ex AS (
+         |  SELECT cluster, vec_id, d,
+         |         (('0x'||substr(md5('cslice:' || vec_id::VARCHAR),1,15))::BIGINT // $sliceWidth) AS slice
+         |  FROM assigned),
+         |ss AS (
+         |  SELECT cluster, slice,
+         |    list_reduce(list_prepend(0.0, list(d ORDER BY vec_id)), (a, x) -> a + x) AS ssum,
+         |    count(*) AS n
+         |  FROM ex GROUP BY cluster, slice),
+         |cs AS (
+         |  SELECT cluster,
+         |    list_reduce(list_prepend(0.0, list(ssum ORDER BY slice)), (a, x) -> a + x) AS dsum,
+         |    sum(n)::BIGINT AS n_members
+         |  FROM ss GROUP BY cluster),
+         |sc AS (SELECT cluster, dsum / CAST(n_members AS DOUBLE) AS s, n_members FROM cs),
+         |cd AS (
+         |  SELECT a.cid AS i, b.cid AS j,
+         |         1.0 - ${cosSql("a.cv", "b.cv")} AS dij
+         |  FROM c a, c b WHERE a.cid <> b.cid),
+         |r AS (
+         |  SELECT cd.i AS cluster, cd.j, (si.s + sj.s) / cd.dij AS r
+         |  FROM cd
+         |  JOIN sc si ON cd.i = si.cluster
+         |  JOIN sc sj ON cd.j = sj.cluster),
+         |best AS (
+         |  SELECT cluster, j AS db_peer, r AS db_component FROM (
+         |    SELECT cluster, j, r,
+         |           row_number() OVER (PARTITION BY cluster ORDER BY r DESC, j) AS rn
+         |    FROM r) WHERE rn = 1)
+         |SELECT sc.cluster, sc.n_members, sc.s AS scatter,
+         |       best.db_peer, best.db_component
+         |FROM sc LEFT JOIN best ON sc.cluster = best.cluster""".stripMargin,
+
+    // Silhouette mirror: same 1 − cos distance, same (distance, cid)
+    // window pick of nearest + runner-up, same guarded division.
+    "sim_silhouette" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |sd AS (
+         |  SELECT e.vec_id, c.cid,
+         |         greatest(0.0, 1.0 - ${cosSql("e.embedding", "c.cv")}) AS d
+         |  FROM embeddings e, c),
+         |rk AS (
+         |  SELECT vec_id, cid, d,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |  FROM sd),
+         |a AS (SELECT vec_id, cid AS cluster, d AS a_dist FROM rk WHERE rn = 1),
+         |b AS (SELECT vec_id, d AS b_dist FROM rk WHERE rn = 2)
+         |SELECT a.vec_id, a.cluster, a.a_dist, b.b_dist,
+         |       CASE WHEN greatest(a_dist, b_dist) = 0.0 THEN 0.0
+         |            ELSE (b_dist - a_dist) / greatest(a_dist, b_dist) END AS silhouette
+         |FROM a JOIN b ON a.vec_id = b.vec_id""".stripMargin,
 
     // SemDeDup mirror: nearest-centroid assignment (same CTE as
     // sim_ivf_assign), then the shared prune CTEs — all-pairs under the

@@ -8,6 +8,30 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
+  /** Shared Viterbi-segmentation pipeline (corpus word counts →
+    * ≤4-char piece vocabulary at freq ≥ 3 ∪ single chars → exact DP):
+    * one copy feeding text_unigram_segment and text_unigram_em, so an
+    * edit to the vocabulary rule hits both (the oracle pair shares
+    * viterbiCtes the same way). Returns (word, cnt, len, n_pieces,
+    * sum_freq, seq). */
+  private def unigramSegmented(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val TF = graft.functions.TextFunctions
+    val toks = docs(s, dir)
+      .select(explode(TF.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("word")).cast("int"))
+      .localCheckpoint(true)
+    val pieces = toks.select(col("cnt"), explode(expr(
+      "flatten(transform(sequence(1, len), " +
+        "s -> transform(sequence(1, least(4, len - s + 1)), " +
+        "l -> substring(word, s, l))))")).as("piece"))
+    val vocab = pieces.groupBy("piece").agg(sum(col("cnt")).as("freq"))
+      .where(col("freq") >= 3 || length(col("piece")) === 1)
+    graft.ops.Bpe.viterbiSegment(toks.select("word", "len"), vocab, maxLen = 12)
+      .join(toks, "word")
+  }
+
   /** text_grep_pruned fixture, built once per (session, sf dir): an
     * 8-file range-layout documents copy + its token-bloom sidecar (the
     * [[RelationalQueries]] statsPruneFixture pattern — a deployment
@@ -63,24 +87,27 @@ object TextQueries {
     // DP (MATERIALIZED stages — a plain chain re-inlines exponentially,
     // the sim_ktruss lesson). Work: vocabulary-of-words-sized stages,
     // maxLen-bounded rounds, never corpus-sized.
-    "text_unigram_segment" -> ((s, dir) => {
+    "text_unigram_segment" -> ((s, dir) =>
+      unigramSegmented(s, dir)
+        .select("word", "cnt", "n_pieces", "sum_freq", "seq")),
+
+    // One hard-EM re-estimation round for the unigram-LM tokenizer
+    // (SentencePiece's training loop with Viterbi counts as the
+    // E-step): explode each word's optimal segmentation weighted by its
+    // corpus count, sum per piece (exact LONGs), normalize once against
+    // the broadcast scalar total — the piece-probability table that
+    // would seed the NEXT Viterbi round. Vocabulary-sized output; the
+    // only float is the final single division per piece.
+    "text_unigram_em" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val TF = graft.functions.TextFunctions
-      val toks = docs(s, dir)
-        .select(explode(TF.tokens(col("text"))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .withColumn("len", length(col("word")).cast("int"))
-        .localCheckpoint(true)
-      val pieces = toks.select(col("cnt"), explode(expr(
-        "flatten(transform(sequence(1, len), " +
-          "s -> transform(sequence(1, least(4, len - s + 1)), " +
-          "l -> substring(word, s, l))))")).as("piece"))
-      val vocab = pieces.groupBy("piece").agg(sum(col("cnt")).as("freq"))
-        .where(col("freq") >= 3 || length(col("piece")) === 1)
-      graft.ops.Bpe.viterbiSegment(toks.select("word", "len"), vocab, maxLen = 12)
-        .join(toks.select("word", "cnt"), "word")
-        .select(col("word"), col("cnt"), col("n_pieces"), col("sum_freq"),
-          col("seq"))
+      val pc = unigramSegmented(s, dir)
+        .select(col("cnt"), explode(split(col("seq"), " ")).as("piece"))
+        .groupBy("piece").agg(sum(col("cnt")).as("n_uses"))
+      val tot = pc.agg(sum("n_uses").as("__total"))
+      pc.crossJoin(broadcast(tot))
+        .select(col("piece"), col("n_uses"),
+          (col("n_uses").cast("double") / col("__total").cast("double"))
+            .as("prob"))
     }),
 
     // Heaps-law vocabulary growth curve: distinct terms seen after the
@@ -2091,6 +2118,24 @@ object TextQueries {
          |FROM (${(1 to 12).map(i => s"SELECT * FROM dp$i WHERE len = $i")
             .mkString(" UNION ALL ")}) f
          |JOIN toks t USING (word)""".stripMargin,
+
+    // EM-round mirror: the shared Viterbi CTEs, segmentations exploded
+    // with corpus-count weights, exact LONG piece sums, one division
+    // against the scalar total.
+    "text_unigram_em" ->
+      s"""WITH ${viterbiCtes(12)},
+         |seg AS (
+         |  SELECT t.cnt, f.seq
+         |  FROM (${(1 to 12).map(i => s"SELECT * FROM dp$i WHERE len = $i")
+            .mkString(" UNION ALL ")}) f
+         |  JOIN toks t USING (word)),
+         |pieces AS (
+         |  SELECT cnt, unnest(string_split(seq, ' ')) AS piece FROM seg),
+         |pc AS (SELECT piece, sum(cnt)::BIGINT AS n_uses FROM pieces GROUP BY 1),
+         |tot AS (SELECT sum(n_uses)::BIGINT AS total FROM pc)
+         |SELECT piece, n_uses,
+         |       CAST(n_uses AS DOUBLE) / CAST(total AS DOUBLE) AS prob
+         |FROM pc CROSS JOIN tot""".stripMargin,
 
     "text_heaps_curve" ->
       s"""WITH d AS (

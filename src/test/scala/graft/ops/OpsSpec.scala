@@ -656,6 +656,71 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("silhouette: exact toy geometry, boundary point scores 0, range [0,1]") {
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("cid", "embedding")
+    val pts = Seq(
+      (10L, Array(1f, 0f)),    // on centroid 0: a=0, b=1 → s=1
+      (11L, Array(0.7f, 0.7f)) // equidistant: a=b → s=0, tie-break cluster 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.silhouette(pts, cents, "vec_id", "embedding", "cid")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out(10L).getAs[Long]("cluster") == 0L)
+    assert(out(10L).getAs[Double]("a_dist") == 0.0)
+    assert(out(10L).getAs[Double]("b_dist") == 1.0)
+    assert(out(10L).getAs[Double]("silhouette") == 1.0)
+    assert(out(11L).getAs[Long]("cluster") == 0L) // tie → smaller cid
+    assert(out(11L).getAs[Double]("silhouette") == 0.0)
+
+    // real data: every point emitted once, a ≤ b, s ∈ [0, 1]
+    val real = Similarity.silhouette(emb,
+      emb.where(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding")),
+      "vec_id", "embedding", "cid").collect()
+    assert(real.length == emb.count())
+    real.foreach { r =>
+      val (a, b, s0) = (r.getAs[Double]("a_dist"), r.getAs[Double]("b_dist"),
+        r.getAs[Double]("silhouette"))
+      assert(a <= b && s0 >= 0.0 && s0 <= 1.0)
+    }
+  }
+
+  test("daviesBouldin: scatter = mean member distance, worst-neighbor component, membership partition") {
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val out = Similarity.daviesBouldin(emb, cents, "vec_id", "embedding", "cid")
+      .collect().map(r => r.getAs[Long]("cluster") -> r).toMap
+    // driver model: per-point distances from the same silhouette op
+    // (identical cosine expression), grouped by assigned cluster
+    val pts = Similarity.silhouette(emb, cents, "vec_id", "embedding", "cid")
+      .collect().map(r => (r.getAs[Long]("cluster"), r.getAs[Double]("a_dist")))
+    val byCluster = pts.groupBy(_._1)
+    // memberships partition the corpus
+    assert(out.values.map(_.getAs[Long]("n_members")).sum == emb.count())
+    assert(out.keySet == byCluster.keySet)
+    byCluster.foreach { case (k, ds) =>
+      assert(out(k).getAs[Long]("n_members") == ds.length)
+      // mean within double tolerance of the model (summation order differs)
+      val mean = ds.map(_._2).sum / ds.length
+      assert(math.abs(out(k).getAs[Double]("scatter") - mean) < 1e-12)
+    }
+    // DB component: recompute from the emitted scatters + centroid dists
+    val cvs = cents.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na * nb == 0) 0.0 else dot / (na * nb)
+    }
+    out.foreach { case (i, ri) =>
+      val best = out.keys.filter(_ != i).map { j =>
+        val r = (ri.getAs[Double]("scatter") + out(j).getAs[Double]("scatter")) /
+          (1.0 - cos(cvs(i), cvs(j)))
+        (j, r)
+      }.toSeq.sortBy { case (j, r) => (-r, j) }.head
+      assert(ri.getAs[Long]("db_peer") == best._1)
+      assert(math.abs(ri.getAs[Double]("db_component") - best._2) < 1e-9)
+    }
+  }
+
   test("fellegiSunter: hand-computed m/u ratios, smoothing bounds, field-order product") {
     // n=5, nd=2; agree_f: mc=2, uc=3 → m=(2+1)/(2+2)=0.75, u=(3+1)/(5+2)=4/7
     val pairs = Seq(
