@@ -369,6 +369,34 @@ object TextQueries {
         .where(col("pos") <= 32)
     }),
 
+    // Tokenizer round-trip integrity + fertility: concatenating each
+    // doc's BPE pieces in position order must reproduce the doc's
+    // token characters exactly (the detokenization law every tokenizer
+    // deploy checks), and pieces-per-word is the fertility number that
+    // prices a vocabulary. Per-doc grain; the piece concat is a
+    // doc-length-bounded ordered fold.
+    "text_bpe_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val TF = graft.functions.TextFunctions
+      val d = docs(s, dir)
+      val enc = Bpe.encode(d, "doc_id", "text",
+        Bpe.trainMerges(d, "text", BpeMerges))
+      val rec = enc.groupBy("doc_id").agg(
+        count(lit(1)).as("n_pieces"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("piece")))),
+          _.getField("piece")), "").as("__rec"))
+      val orig = d.select(col("doc_id"),
+        size(filter(TF.tokens(col("text")), _ =!= "")).cast("long").as("n_words"),
+        array_join(filter(TF.tokens(col("text")), _ =!= ""), "").as("__orig"))
+        .where(col("n_words") > 0)
+      orig.join(rec, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          (col("n_pieces").cast("double") / col("n_words").cast("double"))
+            .as("fertility"),
+          (col("__rec") === col("__orig")).as("roundtrip_ok"))
+    }),
+
     // PII-pattern screening counts (emails / URLs / phone-shaped runs).
     "text_pii_scan" -> ((s, dir) =>
       TextAnalysis.piiScan(docs(s, dir), "doc_id", "text")),
@@ -1969,6 +1997,41 @@ object TextQueries {
          |  FROM dp)
          |SELECT doc_id, CAST(pos AS BIGINT) AS pos, piece
          |FROM enc WHERE pos <= 32""".stripMargin,
+
+    // Round-trip mirror: same no-cap encode CTEs, ordered string_agg
+    // reconstruction vs the token-character concat, same fertility
+    // division.
+    "text_bpe_roundtrip" ->
+      s"""WITH ${bpeCtes(BpeMerges, withFinal = true)},
+         |vocabp AS (
+         |  SELECT w, list_filter(string_split(s, '  '), x -> x <> '') AS pieces
+         |  FROM w$BpeMerges),
+         |dtk AS (SELECT doc_id, $toksSql AS t FROM documents WHERE text IS NOT NULL),
+         |dw AS (
+         |  SELECT doc_id, i AS widx, t[i] AS w
+         |  FROM dtk, unnest(range(1, len(t)+1)) AS u(i)
+         |  WHERE t[i] <> ''),
+         |dp AS (
+         |  SELECT doc_id, widx, j AS sidx, pieces[j] AS piece
+         |  FROM dw JOIN vocabp USING (w), unnest(range(1, len(pieces)+1)) AS v(j)),
+         |enc AS (
+         |  SELECT doc_id, piece,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) AS pos
+         |  FROM dp),
+         |rec AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_pieces,
+         |         string_agg(piece, '' ORDER BY pos) AS r
+         |  FROM enc GROUP BY 1),
+         |orig AS (
+         |  SELECT doc_id,
+         |         len(list_filter(t, x -> x <> ''))::BIGINT AS n_words,
+         |         array_to_string(list_filter(t, x -> x <> ''), '') AS o
+         |  FROM dtk)
+         |SELECT orig.doc_id, orig.n_words, rec.n_pieces,
+         |       CAST(rec.n_pieces AS DOUBLE) / CAST(orig.n_words AS DOUBLE) AS fertility,
+         |       (rec.r = orig.o) AS roundtrip_ok
+         |FROM orig JOIN rec USING (doc_id)
+         |WHERE orig.n_words > 0""".stripMargin,
 
     "text_curriculum" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
