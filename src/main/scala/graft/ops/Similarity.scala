@@ -810,6 +810,66 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Nearest-centroid residuals — the encoding-space transform behind
+    * REAL FAISS IVFPQ (Jégou et al. 2011 §III): r = v − c(v), so the
+    * fine quantizer spends its codebook on the (much lower-variance)
+    * within-cell displacement instead of re-describing the coarse
+    * structure the IVF assignment already captured. Per-row math against
+    * one broadcast centroid row set; output (idCol, cluster,
+    * residual: array<double>). */
+  def residuals(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String, cidCol: String): DataFrame = {
+    val c = broadcast(centroids.select(col(cidCol).as("__rcid"),
+      col(vecCol).as("__rcv")))
+    val scored = corpus.crossJoin(c)
+      .select(col(idCol), col(vecCol), col("__rcid"), col("__rcv"),
+        cosine(col(vecCol), col("__rcv")).as("__ccos"))
+    val w = Window.partitionBy(idCol).orderBy(col("__ccos").desc, col("__rcid"))
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col(idCol), col("__rcid").as("cluster"),
+        zip_with(col(vecCol), col("__rcv"),
+          (x, cc) => x.cast("double") - cc.cast("double")).as("residual"))
+  }
+
+  /** Residual IVF-PQ top-k — [[ivfPqKnn]] with the fine quantizer in
+    * residual space (the production FAISS IVFPQ read path): the index
+    * carries PQ codes of r = v − c(v) ([[residuals]] → [[pqCodes]]),
+    * and each query builds its per-PROBED-CLUSTER residual q − c_probe
+    * before the ADC lookup tables — the query side is
+    * (#queries · nprobe · K · m) broadcast arithmetic, the scan side is
+    * still the 16-byte (id, cluster, pq_code) index and touches
+    * corpus·nprobe/k_clusters of it. `codebook` is residual-space
+    * (cidCol, cbVecCol); `centroids`/`m` must match the index build.
+    * Output: (qid, id, adc_dist, rank ≤ k). */
+  def ivfPqResidualKnn(indexed: DataFrame, queries: DataFrame,
+                       centroids: DataFrame, codebook: DataFrame,
+                       idCol: String, vecCol: String, qidCol: String,
+                       cidCol: String, cbVecCol: String, m: Int, k: Int,
+                       nprobe: Int = 1): DataFrame = {
+    val cb = collectCodebook(codebook, cidCol, cbVecCol, m)
+    val cents = broadcast(centroids.select(col(cidCol).as("cluster"),
+      col(vecCol).as("__pcv")))
+    val probes = ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe)
+      .join(cents, "cluster")
+      .withColumn("__qres", zip_with(col(vecCol), col("__pcv"),
+        (x, cc) => x.cast("double") - cc.cast("double")))
+    val lutCols = (0 until m).map(i =>
+      transform(col("__cb"), c => subL2(col("__qres"), c.getField("cvec"), i, m))
+        .as(s"__lut$i"))
+    val q = broadcast(probes.crossJoin(cb)
+      .select(col(qidCol) +: col("cluster") +: lutCols: _*))
+    val dist = (0 until m).map(i =>
+      element_at(col(s"__lut$i"),
+        (shiftrightunsigned(col("pq_code"), 8 * i).bitwiseAND(lit(255L)) + 1L).cast("int")))
+      .reduce(_ + _)
+    val w = Window.partitionBy(qidCol).orderBy(col("adc_dist"), col(idCol))
+    indexed.join(q, "cluster")
+      .where(col(qidCol) =!= col(idCol))
+      .select(col(qidCol), col(idCol), dist.as("adc_dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Bucketed kNN graph over the WHOLE corpus: each row's top-k cosine
     * neighbors among its sign-LSH candidates — the input shape for
     * graph-based curation (connected-component dedup families, label

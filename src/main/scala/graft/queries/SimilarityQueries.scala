@@ -720,6 +720,27 @@ object SimilarityQueries {
           .select(col("vec_id").as("cid"), col("embedding")),
         "vec_id", "embedding", "cid")),
 
+    // RESIDUAL IVF-PQ (the production FAISS IVFPQ encoding, Jégou et
+    // al. 2011 §III): PQ codes of r = v − c(v) instead of raw vectors —
+    // the fine quantizer describes within-cell displacement, not the
+    // coarse structure the IVF cell already captured. Index = one
+    // residual pass + per-row code math; search = per-probed-cluster
+    // query residuals feeding the same 16-byte-index ADC scan.
+    "sim_ivfpq_residual" -> ((s, dir) => {
+      val cents = emb(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val res = Similarity.residuals(emb(s, dir), cents,
+        "vec_id", "embedding", "cid").localCheckpoint(true)
+      val cbres = res.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("residual"))
+      val indexed = Similarity.pqCodes(res, cbres, "vec_id", "residual",
+        "cid", m = 4, extraCols = Seq("cluster"))
+        .select("vec_id", "cluster", "pq_code")
+      Similarity.ivfPqResidualKnn(indexed, queriesDf(s, dir), cents, cbres,
+        "vec_id", "embedding", "qid", "cid", "residual",
+        m = 4, k = 5, nprobe = 2)
+    }),
+
     // Davies-Bouldin components over the same 8-centroid assignment:
     // per-cluster mean-distance scatter (sliced deterministic fold —
     // the centroidUpdate machinery on a scalar) + worst-neighbor
@@ -2034,6 +2055,8 @@ object SimilarityQueries {
          |SELECT vec_id, cluster FROM assign
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
 
+    "sim_ivfpq_residual" -> ivfPqResidualSql,
+
     // Davies-Bouldin mirror: same assignment, the scalar sliced
     // deterministic fold (slice-keyed list_reduce — the slicedSumsCtes
     // shape on one "dim"), k² centroid arithmetic, worst-neighbor pick.
@@ -2346,6 +2369,70 @@ object SimilarityQueries {
     * sim_pq_codes / sim_pq_knn / sim_pq_train / sim_ivfpq_knn oracles.
     * [[pqCodesCtesFrom]] is the same chain against an arbitrary codebook
     * CTE (for the trained-pipeline oracle). */
+  /** Residual IVF-PQ mirror: coarse assignment + residuals, a
+    * residual-space codebook (residuals of the 16 lowest ids), the same
+    * subspace L2 folds/argmin as pqCodesCtesFrom but over `res`, then
+    * per-probed-cluster query residuals feeding the ADC lookup. */
+  private lazy val ivfPqResidualSql: String = {
+    def resDistSql(vec: String, i: Int) =
+      s"""list_transform(cb, cc -> list_reduce(list_prepend(0.0,
+         |    list_transform(range(0, 16), j ->
+         |      ($vec[(${i * 16} + j + 1)::INT]
+         |         - struct_extract(cc, 'cvec')[(${i * 16} + j + 1)::INT])
+         |      * ($vec[(${i * 16} + j + 1)::INT]
+         |         - struct_extract(cc, 'cvec')[(${i * 16} + j + 1)::INT]))),
+         |  (a, x) -> a + x))""".stripMargin
+    val adc = (0 until 4).map(i =>
+      s"l.lut$i[(((r.pq_code >> ${8 * i}) & 255) + 1)::INT]").mkString("\n         + ")
+    s"""WITH c AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |asg AS (
+       |  SELECT vec_id, cid AS cluster, res FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn,
+       |           list_transform(range(1, len(e.embedding)+1),
+       |             i -> e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE) AS res
+       |    FROM embeddings e, c) WHERE rn = 1),
+       |rcbl AS (
+       |  SELECT list(struct_pack(cid := vec_id, cvec := res) ORDER BY vec_id) AS cb
+       |  FROM asg WHERE vec_id < 16),
+       |rd AS (
+       |  SELECT a.vec_id, a.cluster,
+       |    ${(0 until 4).map(i => s"${resDistSql("a.res", i)} AS d$i").mkString(",\n    ")}
+       |  FROM asg a CROSS JOIN rcbl),
+       |rcodes AS (
+       |  SELECT vec_id, cluster,
+       |    (${(0 until 4).map(i =>
+              s"(list_position(d$i, list_min(d$i)) - 1)::BIGINT * ${1L << (8 * i)}")
+              .mkString(" + ")})::BIGINT AS pq_code
+       |  FROM rd),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |probes AS (
+       |  SELECT qid, cluster, qres FROM (
+       |    SELECT q.qid, c.cid AS cluster,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid) AS rn,
+       |           list_transform(range(1, len(q.qv)+1),
+       |             i -> q.qv[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE) AS qres
+       |    FROM q, c) WHERE rn <= 2),
+       |lut AS (
+       |  SELECT p.qid, p.cluster,
+       |    ${(0 until 4).map(i => s"${resDistSql("p.qres", i)} AS lut$i").mkString(",\n    ")}
+       |  FROM probes p CROSS JOIN rcbl),
+       |scored AS (
+       |  SELECT l.qid, r.vec_id,
+       |         $adc AS adc_dist
+       |  FROM rcodes r JOIN lut l ON r.cluster = l.cluster
+       |  WHERE l.qid <> r.vec_id),
+       |ranked AS (
+       |  SELECT qid, vec_id, adc_dist,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |           ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT qid, vec_id, adc_dist, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   private lazy val pqCodesCtes: String =
     s"""cbl AS (
        |  SELECT list(struct_pack(cid := vec_id, cvec := embedding) ORDER BY vec_id) AS cb

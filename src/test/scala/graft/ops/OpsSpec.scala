@@ -683,6 +683,65 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("residuals + ivfPqResidualKnn: assignment agrees with ivfAssign, codebook self-codes, probed-cluster containment") {
+    val cents = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val res = Similarity.residuals(emb, cents, "vec_id", "embedding", "cid")
+    // the window-based assignment must agree with ivfAssign's argmax
+    val viaAssign = Similarity.ivfAssign(emb, cents, "vec_id", "embedding", "cid")
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val resRows = res.collect()
+    resRows.foreach { r =>
+      assert(viaAssign(r.getAs[Long]("vec_id")) == r.getAs[Long]("cluster"))
+    }
+    // residual + centroid reconstructs the vector (float-in-double: tight)
+    val cvs = cents.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val origs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    resRows.take(50).foreach { r =>
+      val v = origs(r.getAs[Long]("vec_id")); val c = cvs(r.getAs[Long]("cluster"))
+      r.getSeq[Double](2).zipWithIndex.foreach { case (d, i) =>
+        assert(math.abs(d + c(i).toDouble - v(i).toDouble) < 1e-9)
+      }
+    }
+    // codebook entries code LOSSLESSLY to themselves: the chosen code's
+    // subvector equals the entry's own (== self up to distance-0 ties —
+    // the 8 centroid rows all have zero residuals and tie to code 0)
+    val cbres = res.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("residual"))
+    val selfCodes = Similarity.pqCodes(cbres.select(col("cid").as("vec_id"),
+      col("residual")), cbres, "vec_id", "residual", "cid", m = 4).collect()
+    val cbVecs = cbres.collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1))
+    val ownVec = cbres.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val sub = cbVecs.head.length / 4
+    selfCodes.foreach { r =>
+      val mine = ownVec(r.getAs[Long]("vec_id"))
+      (0 until 4).foreach { i =>
+        val chosen = cbVecs(r.getAs[Long](s"code$i").toInt)
+        assert(chosen.slice(i * sub, (i + 1) * sub) ==
+          mine.slice(i * sub, (i + 1) * sub),
+          s"codebook entry ${r.getAs[Long]("vec_id")} subspace $i not lossless")
+      }
+    }
+    // search results come only from the query's 2 probed clusters
+    val indexed = Similarity.pqCodes(res, cbres, "vec_id", "residual", "cid",
+      m = 4, extraCols = Seq("cluster")).select("vec_id", "cluster", "pq_code")
+    val qs = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val got = Similarity.ivfPqResidualKnn(indexed, qs, cents, cbres,
+      "vec_id", "embedding", "qid", "cid", "residual", m = 4, k = 5, nprobe = 2)
+      .collect()
+    val probed = Similarity.ivfAssignTop(qs, cents, "qid", "embedding", "cid", 2)
+      .select("qid", "cluster").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val clusterOf = resRows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    got.foreach { r =>
+      assert(probed(r.getAs[Long]("qid")).contains(clusterOf(r.getAs[Long]("vec_id"))))
+      assert(r.getAs[Long]("rank") <= 5 && r.getAs[Double]("adc_dist") >= 0.0)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("daviesBouldin: scatter = mean member distance, worst-neighbor component, membership partition") {
     val cents = emb.where(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding"))
