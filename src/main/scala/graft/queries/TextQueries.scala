@@ -68,6 +68,20 @@ object TextQueries {
       TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
+    // Language-ID confusion matrix: predicted vs the corpus's declared
+    // lang label, with the per-declared-label share — the classifier
+    // eval a curation pipeline reads before trusting langid gates.
+    // Taxonomy²-sized output; the share division is the only float.
+    "text_langid_confusion" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pred = TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("predicted_lang"))
+      val joined = docs(s, dir).select(col("doc_id"), col("lang")).join(pred, "doc_id")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      joined.groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("share",
+          col("n_docs").cast("double") / sum("n_docs").over(w).cast("double"))
+    }),
     // Exact token-collision diversity (Simpson repeat probability) —
     // the log-free repetitiveness flag beside type-token ratio.
     "text_simpson_diversity" -> ((s, dir) =>
@@ -2174,6 +2188,31 @@ object TextQueries {
          |       CASE WHEN hits = 0 THEN 'und' ELSE lang END AS predicted_lang,
          |       hits AS stopword_hits
          |FROM best WHERE rn = 1""".stripMargin,
+
+    // Confusion mirror: the langid CTEs + declared-label join, counts,
+    // per-label share window.
+    "text_langid_confusion" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |hits AS (
+         |  SELECT doc_id, l.lang,
+         |         len(list_filter(toks, x -> list_contains(l.words, x)))::BIGINT AS hits
+         |  FROM t, (VALUES $langValues) l(lang, words)),
+         |best AS (
+         |  SELECT doc_id, lang, hits,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+         |  FROM hits),
+         |pred AS (
+         |  SELECT doc_id,
+         |         CASE WHEN hits = 0 THEN 'und' ELSE lang END AS predicted_lang
+         |  FROM best WHERE rn = 1),
+         |m AS (
+         |  SELECT d.lang, p.predicted_lang, count(*)::BIGINT AS n_docs
+         |  FROM documents d JOIN pred p USING (doc_id)
+         |  GROUP BY 1, 2)
+         |SELECT lang, predicted_lang, n_docs,
+         |       CAST(n_docs AS DOUBLE) /
+         |         CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS share
+         |FROM m""".stripMargin,
 
     "text_unigram_segment" ->
       s"""WITH ${viterbiCtes(12)}
