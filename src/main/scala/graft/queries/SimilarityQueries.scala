@@ -741,6 +741,46 @@ object SimilarityQueries {
         m = 4, k = 5, nprobe = 2)
     }),
 
+    // Raw-PQ vs residual-PQ recall head-to-head against brute truth:
+    // same centroids, same probe budget, same codebook size, only the
+    // encoding space differs — the measurement that decides whether
+    // residual encoding pays on a GIVEN corpus (on clustered real
+    // embeddings it does; on this unstructured synthetic fixture both
+    // are honestly weak — which is exactly what the eval should say).
+    // Per-query recall@5 side by side; candidate-sized eval work.
+    "sim_residual_recall" -> ((s, dir) => {
+      val cents = emb(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val truth = Similarity.bruteForceKnn(emb(s, dir), queriesDf(s, dir),
+        "vec_id", "embedding", "qid", k = 5)
+      val cbq = emb(s, dir).where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val rawIdx = Similarity.pqCodes(
+        Similarity.ivfAssign(emb(s, dir), cents, "vec_id", "embedding", "cid"),
+        cbq, "vec_id", "embedding", "cid", m = 4, extraCols = Seq("cluster"))
+        .select("vec_id", "cluster", "pq_code")
+      val raw = Similarity.ivfPqKnn(rawIdx, queriesDf(s, dir), cents, cbq,
+        "vec_id", "embedding", "qid", "cid", m = 4, k = 5, nprobe = 2)
+      val res0 = Similarity.residuals(emb(s, dir), cents,
+        "vec_id", "embedding", "cid").localCheckpoint(true)
+      val cbres = res0.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("residual"))
+      val resIdx = Similarity.pqCodes(res0, cbres, "vec_id", "residual",
+        "cid", m = 4, extraCols = Seq("cluster"))
+        .select("vec_id", "cluster", "pq_code")
+      val res = Similarity.ivfPqResidualKnn(resIdx, queriesDf(s, dir), cents,
+        cbres, "vec_id", "embedding", "qid", "cid", "residual",
+        m = 4, k = 5, nprobe = 2)
+      val r1 = Similarity.recallAtK(truth, raw, "qid", "vec_id")
+        .select(col("qid"), col("k"), col("n_hits").as("raw_hits"),
+          col("recall").as("raw_recall"))
+      val r2 = Similarity.recallAtK(truth, res, "qid", "vec_id")
+        .select(col("qid"), col("n_hits").as("res_hits"),
+          col("recall").as("res_recall"))
+      r1.join(r2, "qid")
+        .select("qid", "k", "raw_hits", "raw_recall", "res_hits", "res_recall")
+    }),
+
     // Davies-Bouldin components over the same 8-centroid assignment:
     // per-cluster mean-distance scatter (sliced deterministic fold —
     // the centroidUpdate machinery on a scalar) + worst-neighbor
@@ -2055,7 +2095,39 @@ object SimilarityQueries {
          |SELECT vec_id, cluster FROM assign
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
 
-    "sim_ivfpq_residual" -> ivfPqResidualSql,
+    "sim_ivfpq_residual" ->
+      s"""WITH $ivfPqResidualCtes
+         |SELECT qid, vec_id, adc_dist, rank FROM rs_ranked WHERE rank <= 5""".stripMargin,
+
+    // Head-to-head recall mirror: brute truth + the raw-PQ chain + the
+    // residual chain, |truth ∩ approx|/k per query for both encodings.
+    "sim_residual_recall" ->
+      s"""WITH tq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |t_scored AS (
+         |  SELECT tq.qid, e.vec_id, ${cosSql("qv", "embedding")} AS cos
+         |  FROM embeddings e, tq WHERE e.vec_id <> tq.qid),
+         |truth AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM t_scored QUALIFY rank <= 5),
+         |$pqCodesCtes,
+         |$rawIvfPqCtes,
+         |$ivfPqResidualCtes,
+         |raw5 AS (SELECT qid, vec_id FROM raw_ranked WHERE rank <= 5),
+         |res5 AS (SELECT qid, vec_id FROM rs_ranked WHERE rank <= 5),
+         |g AS (
+         |  SELECT t.qid, count(*)::BIGINT AS k,
+         |         sum(CASE WHEN rw.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS raw_hits,
+         |         sum(CASE WHEN rs.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS res_hits
+         |  FROM truth t
+         |  LEFT JOIN raw5 rw ON t.qid = rw.qid AND t.vec_id = rw.vec_id
+         |  LEFT JOIN res5 rs ON t.qid = rs.qid AND t.vec_id = rs.vec_id
+         |  GROUP BY t.qid)
+         |SELECT qid, k, raw_hits,
+         |       CAST(raw_hits AS DOUBLE) / CAST(k AS DOUBLE) AS raw_recall,
+         |       res_hits,
+         |       CAST(res_hits AS DOUBLE) / CAST(k AS DOUBLE) AS res_recall
+         |FROM g""".stripMargin,
 
     // Davies-Bouldin mirror: same assignment, the scalar sliced
     // deterministic fold (slice-keyed list_reduce — the slicedSumsCtes
@@ -2369,11 +2441,14 @@ object SimilarityQueries {
     * sim_pq_codes / sim_pq_knn / sim_pq_train / sim_ivfpq_knn oracles.
     * [[pqCodesCtesFrom]] is the same chain against an arbitrary codebook
     * CTE (for the trained-pipeline oracle). */
-  /** Residual IVF-PQ mirror: coarse assignment + residuals, a
-    * residual-space codebook (residuals of the 16 lowest ids), the same
-    * subspace L2 folds/argmin as pqCodesCtesFrom but over `res`, then
-    * per-probed-cluster query residuals feeding the ADC lookup. */
-  private lazy val ivfPqResidualSql: String = {
+  /** Residual IVF-PQ mirror CTEs (coarse assignment + residuals, a
+    * residual-space codebook of the 16 lowest ids, the same subspace
+    * L2 folds/argmin as pqCodesCtesFrom but over `res`, then
+    * per-probed-cluster query residuals feeding the ADC lookup) —
+    * `rs_`-prefixed so they compose with the raw-PQ chain in the
+    * recall head-to-head. Ends at rs_ranked(qid, vec_id, adc_dist,
+    * rank). */
+  private lazy val ivfPqResidualCtes: String = {
     def resDistSql(vec: String, i: Int) =
       s"""list_transform(cb, cc -> list_reduce(list_prepend(0.0,
          |    list_transform(range(0, 16), j ->
@@ -2384,54 +2459,81 @@ object SimilarityQueries {
          |  (a, x) -> a + x))""".stripMargin
     val adc = (0 until 4).map(i =>
       s"l.lut$i[(((r.pq_code >> ${8 * i}) & 255) + 1)::INT]").mkString("\n         + ")
-    s"""WITH c AS (
+    s"""rs_c AS (
        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-       |asg AS (
+       |rs_asg AS (
        |  SELECT vec_id, cid AS cluster, res FROM (
        |    SELECT e.vec_id, c.cid,
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn,
        |           list_transform(range(1, len(e.embedding)+1),
        |             i -> e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE) AS res
-       |    FROM embeddings e, c) WHERE rn = 1),
-       |rcbl AS (
+       |    FROM embeddings e, rs_c c) WHERE rn = 1),
+       |rs_cbl AS (
        |  SELECT list(struct_pack(cid := vec_id, cvec := res) ORDER BY vec_id) AS cb
-       |  FROM asg WHERE vec_id < 16),
-       |rd AS (
+       |  FROM rs_asg WHERE vec_id < 16),
+       |rs_d AS (
        |  SELECT a.vec_id, a.cluster,
        |    ${(0 until 4).map(i => s"${resDistSql("a.res", i)} AS d$i").mkString(",\n    ")}
-       |  FROM asg a CROSS JOIN rcbl),
-       |rcodes AS (
+       |  FROM rs_asg a CROSS JOIN rs_cbl),
+       |rs_codes AS (
        |  SELECT vec_id, cluster,
        |    (${(0 until 4).map(i =>
               s"(list_position(d$i, list_min(d$i)) - 1)::BIGINT * ${1L << (8 * i)}")
               .mkString(" + ")})::BIGINT AS pq_code
-       |  FROM rd),
-       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
-       |probes AS (
+       |  FROM rs_d),
+       |rs_q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |rs_probes AS (
        |  SELECT qid, cluster, qres FROM (
        |    SELECT q.qid, c.cid AS cluster,
        |           row_number() OVER (PARTITION BY q.qid
        |             ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid) AS rn,
        |           list_transform(range(1, len(q.qv)+1),
        |             i -> q.qv[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE) AS qres
-       |    FROM q, c) WHERE rn <= 2),
-       |lut AS (
+       |    FROM rs_q q, rs_c c) WHERE rn <= 2),
+       |rs_lut AS (
        |  SELECT p.qid, p.cluster,
        |    ${(0 until 4).map(i => s"${resDistSql("p.qres", i)} AS lut$i").mkString(",\n    ")}
-       |  FROM probes p CROSS JOIN rcbl),
-       |scored AS (
+       |  FROM rs_probes p CROSS JOIN rs_cbl),
+       |rs_scored AS (
        |  SELECT l.qid, r.vec_id,
        |         $adc AS adc_dist
-       |  FROM rcodes r JOIN lut l ON r.cluster = l.cluster
+       |  FROM rs_codes r JOIN rs_lut l ON r.cluster = l.cluster
        |  WHERE l.qid <> r.vec_id),
-       |ranked AS (
+       |rs_ranked AS (
        |  SELECT qid, vec_id, adc_dist,
        |         CAST(row_number() OVER (PARTITION BY qid
        |           ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
-       |  FROM scored)
-       |SELECT qid, vec_id, adc_dist, rank FROM ranked WHERE rank <= 5""".stripMargin
+       |  FROM rs_scored)""".stripMargin
   }
+
+  /** The raw IVF-PQ chain of sim_ivfpq_knn as composable `raw_`-ended
+    * CTEs (assumes $pqCodesCtes CTEs cbl/codes are in scope). */
+  private lazy val rawIvfPqCtes: String =
+    s"""raw_c2 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |raw_assign AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT e.vec_id, c2.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c2.cid) AS rn
+       |    FROM embeddings e, raw_c2 c2) WHERE rn = 1),
+       |raw_qp AS (
+       |  SELECT vec_id AS qid, qv, cid AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding AS qv, c2.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c2.cid) AS rn
+       |    FROM embeddings e, raw_c2 c2 WHERE e.vec_id % 100 = 0) WHERE rn <= 2),
+       |raw_scored AS (
+       |  SELECT qp.qid, a.vec_id,
+       |    ${(0 until 4).map(adcSql).mkString("\n    + ")} AS adc_dist
+       |  FROM raw_assign a JOIN raw_qp qp USING (cluster)
+       |       JOIN codes co ON co.vec_id = a.vec_id
+       |       CROSS JOIN cbl
+       |  WHERE a.vec_id <> qp.qid),
+       |raw_ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+       |  FROM raw_scored)""".stripMargin
 
   private lazy val pqCodesCtes: String =
     s"""cbl AS (
