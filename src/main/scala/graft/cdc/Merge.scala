@@ -109,4 +109,51 @@ object Merge {
     * LoadInitial writes `Op='I'` into the lake, :28,34-36). */
   def dropOp(df: DataFrame): DataFrame =
     df.drop(Op.column)
+
+  /** COLUMN-PATCH merge — partial-update CDC semantics, where a NULL in
+    * an update row means "column unchanged" (the wire format many CDC
+    * feeds ship when only touched columns are captured), so a key's
+    * final value per column is the LAST NON-NULL across (target row,
+    * then changes in commit order). Two sequential patches to different
+    * columns of one key COMPOSE — the property [[mergeCdc]]'s
+    * whole-row latest-wins cannot express (its row 2 would erase row
+    * 1's column).
+    *
+    * One window pass over the same union shape as [[applySequenced]]:
+    * an IGNORE-NULLS running `last` per value column folds the patch
+    * history (the `rel_window_ignore_nulls` semantics pin), and the
+    * same (file_seq, rownum) DESC row_number picks the survivor, whose
+    * folded values and op it carries. Deletes drop the key; an update
+    * AFTER a delete resurrects it with the full folded history — the
+    * identical resurrect-on-later-row shape as [[applySequenced]].
+    * Limitation (inherent to the format, documented not hidden):
+    * "set this column to NULL" is inexpressible.
+    *
+    * `target` rows carry `Op` like the lake does; output schema =
+    * changes minus metadata, like [[applySequenced]]. */
+  def patchMerge(target: DataFrame, changes: DataFrame, pks: Seq[String],
+                 intraFileOrder: Seq[Column]): DataFrame = {
+    require(pks.nonEmpty, "column-patch merge requires primary keys")
+    val seq = sequenceBatch(changes, pks, intraFileOrder)
+    val taggedTarget = target
+      .withColumn(FileSeq, lit(0L))
+      .withColumn(RowNum, lit(1L))
+    val unioned = seq.unionByName(taggedTarget, allowMissingColumns = true)
+    val valueCols = changes.columns
+      .filterNot(metaCols.contains).filterNot(pks.contains)
+      .filterNot(_ == Op.column).toIndexedSeq
+    val wFold = Window.partitionBy(pks.map(col): _*)
+      .orderBy(col(FileSeq), col(RowNum))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy(pks.map(col): _*)
+      .orderBy(col(FileSeq).desc, col(RowNum).desc)
+    val folded = unioned
+      .select(Seq(col(Op.column), col(FileSeq), col(RowNum)) ++
+        pks.map(col) ++
+        valueCols.map(c => last(col(c), ignoreNulls = true).over(wFold).as(c)): _*)
+      .withColumn(Rnk, row_number().over(wPick))
+    folded
+      .where(col(Rnk) === 1 && col(Op.column) =!= Op.Delete)
+      .select((Op.column +: (pks ++ valueCols)).map(col): _*)
+  }
 }

@@ -97,10 +97,44 @@ object CdcQueries {
        |         o_orderdate, o_orderpriority, 2 FROM orders WHERE o_orderkey % 20 = 2
        |)""".stripMargin
 
+  /** Column-patch change fixture (NULL = unchanged): file 1 patches
+    * ONLY o_orderstatus on keys ≡0 (mod 10); file 2 patches ONLY
+    * o_totalprice (+5.0) on keys ≡0 (mod 20) and deletes keys ≡1
+    * (mod 10). Keys ≡0 (mod 20) therefore accumulate BOTH patches —
+    * the composition whole-row latest-wins cannot express. */
+  def patchChanges(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    def nul(t: String) = lit(null).cast(t)
+    val f1 = o.where(col("o_orderkey") % 10 === 0).select(
+      lit(Op.Update).as(Op.column), col("o_orderkey"),
+      nul("bigint").as("o_custkey"), lit("P1").as("o_orderstatus"),
+      nul("double").as("o_totalprice"), nul("timestamp").as("o_orderdate"),
+      nul("string").as("o_orderpriority"), lit(1L).as(Merge.FileSeq))
+    val f2a = o.where(col("o_orderkey") % 20 === 0).select(
+      lit(Op.Update).as(Op.column), col("o_orderkey"),
+      nul("bigint").as("o_custkey"), nul("string").as("o_orderstatus"),
+      (col("o_totalprice") + 5.0).as("o_totalprice"),
+      nul("timestamp").as("o_orderdate"),
+      nul("string").as("o_orderpriority"), lit(2L).as(Merge.FileSeq))
+    val f2b = o.where(col("o_orderkey") % 10 === 1).select(
+      lit(Op.Delete).as(Op.column), col("o_orderkey"),
+      nul("bigint").as("o_custkey"), nul("string").as("o_orderstatus"),
+      nul("double").as("o_totalprice"), nul("timestamp").as("o_orderdate"),
+      nul("string").as("o_orderpriority"), lit(2L).as(Merge.FileSeq))
+    f1.unionByName(f2a).unionByName(f2b)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Flagship: full latest-wins merge (W1+U1+W2+P4-P6).
     "cdc_merge" -> ((s, dir) =>
       Merge.mergeCdc(target(s, dir), changes(s, dir), Seq("o_orderkey"), Nil)),
+
+    // Column-patch merge (NULL = unchanged): per-column IGNORE-NULLS
+    // folds compose file-1's status patch with file-2's price patch on
+    // the same key — see [[graft.cdc.Merge.patchMerge]].
+    "cdc_patch_merge" -> ((s, dir) =>
+      Merge.patchMerge(target(s, dir), patchChanges(s, dir),
+        Seq("o_orderkey"), Nil)),
 
     // P3: insert-only path (no-PK / first-load semantics).
     "cdc_insert_only" -> ((s, dir) =>
@@ -301,6 +335,39 @@ object CdcQueries {
 
     "cdc_insert_only" ->
       s"""$fixtureSql SELECT "Op", $orderColsSql FROM changes WHERE "Op" = 'I'""",
+
+    // Patch-merge mirror: the same union shape, per-column IGNORE-NULLS
+    // running last_value folds, survivor by (file_seq, rownum) DESC.
+    "cdc_patch_merge" ->
+      s"""WITH target AS (
+         |  SELECT 'I' AS "Op", $orderColsSql,
+         |         CAST(0 AS BIGINT) AS file_seq, CAST(1 AS BIGINT) AS rownum
+         |  FROM orders
+         |), changes AS (
+         |  SELECT 'U' AS "Op", o_orderkey, NULL::BIGINT AS o_custkey,
+         |         'P1' AS o_orderstatus, NULL::DOUBLE AS o_totalprice,
+         |         NULL::TIMESTAMP AS o_orderdate, NULL::VARCHAR AS o_orderpriority,
+         |         CAST(1 AS BIGINT) AS file_seq, CAST(1 AS BIGINT) AS rownum
+         |  FROM orders WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT 'U', o_orderkey, NULL, NULL, o_totalprice + 5.0, NULL, NULL, 2, 1
+         |  FROM orders WHERE o_orderkey % 20 = 0
+         |  UNION ALL
+         |  SELECT 'D', o_orderkey, NULL, NULL, NULL, NULL, NULL, 2, 1
+         |  FROM orders WHERE o_orderkey % 10 = 1
+         |), u AS (
+         |  SELECT * FROM changes UNION ALL SELECT * FROM target
+         |), f AS (
+         |  SELECT "Op", o_orderkey,
+         |    ${orderCols.drop(1).map(c =>
+              s"""last_value($c IGNORE NULLS) OVER wfold AS $c""").mkString(",\n    ")},
+         |    row_number() OVER (PARTITION BY o_orderkey
+         |      ORDER BY file_seq DESC, rownum DESC) AS rn
+         |  FROM u
+         |  WINDOW wfold AS (PARTITION BY o_orderkey ORDER BY file_seq, rownum
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT "Op", $orderColsSql FROM f WHERE rn = 1 AND "Op" <> 'D'""".stripMargin,
 
     // MOR reads must reconstruct exactly the CoW merge — cdc_merge's
     // oracle verbatim.

@@ -91,4 +91,39 @@ class MergeSpec extends SparkSpec {
     assert(tagged.columns.contains("Op") &&
       tagged.select("Op").head().getString(0) == "I")
   }
+
+  test("patchMerge: sequential partial patches compose, NULL means unchanged, deletes drop, later patch resurrects") {
+    val patches = Seq(
+      // id 1: file 1 patches only name, file 2 patches only price — BOTH stick
+      ("U", 1, Some("a2"), Option.empty[Double], 1L, 1L),
+      ("U", 1, Option.empty[String], Some(11.0), 2L, 1L),
+      // id 2: deleted
+      ("D", 2, Option.empty[String], Option.empty[Double], 1L, 1L),
+      // id 3: delete then a later patch resurrects with the folded history
+      ("D", 3, Option.empty[String], Option.empty[Double], 1L, 1L),
+      ("U", 3, Some("c2"), Option.empty[Double], 2L, 1L)
+    ).toDF("Op", "id", "name", "price", "file_seq", "pos")
+    val out = Merge.patchMerge(target, patches, Seq("id"), Seq(col("pos")))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[String]("Op"), r.getAs[Int]("id"),
+        r.getAs[String]("name"), r.getAs[Double]("price")))
+    assert(out.toSeq == Seq(
+      ("U", 1, "a2", 11.0), // composed: file-1 name + file-2 price
+      ("U", 3, "c2", 30.0)  // resurrected: patched name, target price kept
+    ))
+    // the same batch through whole-row latest-wins would ERASE file 1's
+    // name patch on id 1 (the property patchMerge exists for)
+    val wholeRow = Merge.mergeCdc(target, patches, Seq("id"), Seq(col("pos")))
+      .filter($"id" === 1).collect()
+    assert(wholeRow.length == 1 && wholeRow(0).getAs[String]("name") == null)
+    // intra-file order: later pos wins the fold within one file
+    val sameFile = Seq(
+      ("U", 1, Some("x1"), Option.empty[Double], 1L, 1L),
+      ("U", 1, Some("x2"), Option.empty[Double], 1L, 2L)
+    ).toDF("Op", "id", "name", "price", "file_seq", "pos")
+    val r2 = Merge.patchMerge(target, sameFile, Seq("id"), Seq(col("pos")))
+      .filter($"id" === 1).collect()
+    assert(r2.length == 1 && r2(0).getAs[String]("name") == "x2" &&
+      r2(0).getAs[Double]("price") == 10.0)
+  }
 }
