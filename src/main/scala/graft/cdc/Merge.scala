@@ -132,13 +132,21 @@ object Merge {
     * `target` rows carry `Op` like the lake does; output schema =
     * changes minus metadata, like [[applySequenced]]. */
   def patchMerge(target: DataFrame, changes: DataFrame, pks: Seq[String],
-                 intraFileOrder: Seq[Column]): DataFrame = {
+                 intraFileOrder: Seq[Column]): DataFrame =
+    patchApplySequenced(target, sequenceBatch(changes, pks, intraFileOrder), pks)
+
+  /** [[patchMerge]]'s apply half over an already-[[sequenceBatch]]ed
+    * batch — the drop-in patch-semantics twin of [[applySequenced]],
+    * which [[graft.io.CdcPipeline.mergeTagged]] selects via
+    * `TableConfig.patchUpdates` (so the file pipeline AND the streaming
+    * foreachBatch path get column-patch semantics from one switch). */
+  def patchApplySequenced(target: DataFrame, changes: DataFrame,
+                          pks: Seq[String]): DataFrame = {
     require(pks.nonEmpty, "column-patch merge requires primary keys")
-    val seq = sequenceBatch(changes, pks, intraFileOrder)
     val taggedTarget = target
       .withColumn(FileSeq, lit(0L))
       .withColumn(RowNum, lit(1L))
-    val unioned = seq.unionByName(taggedTarget, allowMissingColumns = true)
+    val unioned = changes.unionByName(taggedTarget, allowMissingColumns = true)
     val valueCols = changes.columns
       .filterNot(metaCols.contains).filterNot(pks.contains)
       .filterNot(_ == Op.column).toIndexedSeq

@@ -35,13 +35,25 @@ object Op {
   *   anti-join) instead of the reference's copy-on-write rewrite —
   *   write volume O(batch) instead of O(impacted files). Off by default
   *   (CoW is the parity behavior); requires primary keys, and the
-  *   table's consumers must read through MorTable.read. */
+  *   table's consumers must read through MorTable.read.
+  * @param patchUpdates opt-in COLUMN-PATCH update semantics for PK
+  *   tables: a NULL in an update row means "column unchanged", and
+  *   sequential patches to different columns of one key compose
+  *   ([[Merge.patchApplySequenced]]) instead of whole-row latest-wins.
+  *   Off by default (whole-row is the parity behavior); "set a column
+  *   to NULL" is inexpressible under this wire format (documented
+  *   Merge.patchMerge limitation). */
 final case class TableConfig(
     primaryKeys: Seq[String] = Nil,
     partitionKeys: Seq[String] = Nil,
     active: Boolean = false,
     replayGuard: Boolean = false,
-    mergeOnRead: Boolean = false) {
+    mergeOnRead: Boolean = false,
+    patchUpdates: Boolean = false) {
+  // MOR stores whole-row batch winners; a patch row's NULLs would read
+  // back as values. Fail at config time, not as silent data corruption.
+  require(!(patchUpdates && mergeOnRead),
+    "patchUpdates requires copy-on-write storage (mergeOnRead=false)")
   def hasPrimaryKey: Boolean = primaryKeys.nonEmpty
 }
 

@@ -258,8 +258,12 @@ object CdcPipeline {
         }
       }
 
-      // U1+W2+P4-P6: latest-wins merge of batch into impacted rows.
-      val output = Merge.applySequenced(impactedRows, sequenced, pks)
+      // U1+W2+P4-P6: latest-wins merge of batch into impacted rows —
+      // whole-row by default, per-column IGNORE-NULLS patch folds when
+      // the table opted into patchUpdates (same exchange either way).
+      val output =
+        if (cfg.patchUpdates) Merge.patchApplySequenced(impactedRows, sequenced, pks)
+        else Merge.applySequenced(impactedRows, sequenced, pks)
 
       // Cache across the two actions (count for stats + write) so the merge
       // plan runs once; reference achieves the same by accident of its two

@@ -40,6 +40,47 @@ class CdcStreamSpec extends SparkSpec {
     assert(dirs == Set("bucket=0", "bucket=1"))
   }
 
+  test("patchUpdates: streamed partial-column files fold like the batch patchMerge") {
+    val raw = Files.createTempDirectory("rawPt").toString + "/db/t"
+    val lake = Files.createTempDirectory("lakePt").toString + "/db/t"
+    val ckpt = Files.createTempDirectory("ckptPt").toString
+    val cfg = TableConfig(Seq("id"), Nil, active = true, patchUpdates = true)
+    val nulS = lit(null).cast("string")
+    val nulD = lit(null).cast("double")
+    val init = (1 to 10).map(i => ("I", i, s"v$i", i * 1.0)).toDF("Op", "id", "v", "price")
+    writeFile(init, raw, "20260815-000001.parquet")
+    // file 2 patches only v on id 1; file 3 patches only price on id 1
+    // (must COMPOSE with file 2's v) and deletes id 2
+    writeFile(Seq(("U", 1)).toDF("Op", "id")
+      .select($"Op", $"id", lit("patched").as("v"), nulD.as("price")),
+      raw, "20260815-000002.parquet")
+    writeFile(Seq(("U", 1, 99.0), ("D", 2, 0.0)).toDF("Op", "id", "p0")
+      .select($"Op", $"id", nulS.as("v"),
+        org.apache.spark.sql.functions.when($"Op" === "U", $"p0").as("price")),
+      raw, "20260815-000003.parquet")
+    val q = CdcStream.start(spark, raw, lake, cfg, ckpt, Trigger.AvailableNow(),
+      maxFilesPerTrigger = 1) // one file per micro-batch: folds must span batches
+    q.awaitTermination()
+    val back = spark.read.parquet(lake)
+    assert(back.count() == 9) // 10 - 1 delete
+    val r1 = back.filter($"id" === 1).head()
+    assert(r1.getAs[String]("v") == "patched" && r1.getAs[Double]("price") == 99.0)
+    // untouched keys keep their full original row
+    val r5 = back.filter($"id" === 5).head()
+    assert(r5.getAs[String]("v") == "v5" && r5.getAs[Double]("price") == 5.0)
+
+    // stream ≡ batch: the same files through the one-shot batch pipeline
+    val lake2 = Files.createTempDirectory("lakePt2").toString + "/db/t"
+    CdcPipeline.loadInitial(spark,
+      Seq(s"$raw/20260815-000001.parquet"), lake2, cfg)
+    CdcPipeline.loadIncremental(spark,
+      Seq(s"$raw/20260815-000002.parquet", s"$raw/20260815-000003.parquet"),
+      lake2, cfg)
+    val a = back.orderBy("id").collect().map(_.toString).toSeq
+    val b = spark.read.parquet(lake2).orderBy("id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("queue-shaped source: non-file stream drives the same merge") {
     // BASELINE's "S3/Kinesis source" substitution point: a MemoryStream of
     // (Op, id, v, seq) records — no files, provenance synthesized from the
