@@ -760,13 +760,16 @@ object Dedup {
     * = input pairs + `score`. */
   def fellegiSunter(pairs: DataFrame, agreeCols: Seq[String]): DataFrame = {
     require(agreeCols.nonEmpty, "need at least one agreement field")
+    // two consumers (the m/u stats pass and the scored output): pin the
+    // candidate-sized pair frame once, or the generation chain runs twice
+    val p = pairs.localCheckpoint(true)
     val aggExprs = Seq(
       count(lit(1)).as("__n"),
       sum(when(col("is_dup"), 1L).otherwise(0L)).as("__nd")) ++
       agreeCols.flatMap(f => Seq(
         sum(when(col("is_dup") && col(f), 1L).otherwise(0L)).as(s"__mc_$f"),
         sum(when(col(f), 1L).otherwise(0L)).as(s"__uc_$f")))
-    val stats = pairs.agg(aggExprs.head, aggExprs.tail: _*)
+    val stats = p.agg(aggExprs.head, aggExprs.tail: _*)
     val probs = stats.select(agreeCols.flatMap(f => Seq(
       ((col(s"__mc_$f") + 1).cast("double") / (col("__nd") + 2).cast("double"))
         .as(s"__m_$f"),
@@ -776,8 +779,8 @@ object Dedup {
       when(col(f), col(s"__m_$f") / col(s"__u_$f"))
         .otherwise((lit(1.0) - col(s"__m_$f")) / (lit(1.0) - col(s"__u_$f")))
     }.reduceLeft(_ * _)
-    pairs.crossJoin(broadcast(probs))
-      .select(pairs.columns.map(col) :+ score.as("score"): _*)
+    p.crossJoin(broadcast(probs))
+      .select(p.columns.map(col) :+ score.as("score"): _*)
   }
 
   /** Data-driven LSH banding planner: given the OBSERVED similarity

@@ -108,6 +108,9 @@ object Experiment {
       .where((col("__rn") - 1) %
         expr(s"(__n + ${maxPerKey - 1}) div $maxPerKey") === 0)
       .drop("__rn", "__n")
+      // three consumers (both pair sides + the points count): checkpoint
+      // once or the scan + thin windows replan/execute three times
+      .localCheckpoint(true)
     val a = thinned.select(col(keyCol), col(idCol).as("__ia"),
       col(tsCol).as("__ta"), col(valueCol).as("__va"))
     val b = thinned.select(col(keyCol), col(idCol).as("__ib"),
