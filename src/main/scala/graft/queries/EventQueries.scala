@@ -336,6 +336,29 @@ object EventQueries {
     // Catalyst plans a single Exchange).
     "events_sessionize_batch" -> ((s, dir) => sessionizeBatch(s, dir)),
 
+    // Gaps-and-islands run-length encoding: maximal runs of CONSECUTIVE
+    // same-type events per user (island id = event rank − rank within
+    // type, the classic two-rank difference — pure integer arithmetic,
+    // one user-partitioned window pass). Output = one row per island
+    // with its length and time span: the "3 failed payments in a row"
+    // shape that sessionization-by-gap cannot express.
+    "events_islands" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val wTyp = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy(col("ts_us"), col("event_id"))
+      e.select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+        .withColumn("__isl",
+          row_number().over(wAll) - row_number().over(wTyp))
+        .groupBy(col("user_id"), col("event_type"), col("__isl"))
+        .agg(count(lit(1)).as("run_len"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+          min(col("event_id")).as("first_event_id"))
+        .drop("__isl")
+    }),
+
     // Global concurrency sweep line: gap-sessions become ±1 boundary
     // points and one GLOBAL running sum (the two-phase parallel prefix
     // sum — never a single-partition window) tracks how many sessions
@@ -1133,6 +1156,21 @@ object EventQueries {
         |       c.click_id, c.ts_us AS ts_us_matched
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
+    // Islands mirror: the same two-rank difference and per-island agg.
+    "events_islands" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY ts_us, event_id) AS isl
+        |  FROM e)
+        |SELECT user_id, event_type, count(*)::BIGINT AS run_len,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |       min(event_id) AS first_event_id
+        |FROM r GROUP BY user_id, event_type, isl""".stripMargin,
 
     // Theil-Sen mirror: same systematic thin (stride ⌈n/100⌉ over the
     // (ts, id) order), same strict-ts pair set, same lower-median pick.
