@@ -60,6 +60,14 @@ class ExperimentSpec extends SparkSpec {
     assert(rb(0).getAs[Double]("theil_sen_slope") == 1.0) // exact line survives thinning
   }
 
+  test("abTest plans ONE shuffle: the tie window reuses the rank window's partitioning") {
+    val e = spark.read.parquet(s"$sf/events.parquet")
+    val plan = Experiment.abTest(e, "event_type", "user_id % 2 = 0", "value")
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly 1 shuffle exchange in:\n$plan")
+  }
+
   test("abTest: U_a + U_b = n_a·n_b and cohort-swap antisymmetry on real data") {
     val e = spark.read.parquet(s"$sf/events.parquet")
     val a = Experiment.abTest(e, "event_type", "user_id % 2 = 0", "value")
