@@ -672,6 +672,45 @@ object EventQueries {
         col("n").cast("double") / sum(col("n")).over(byFrom).cast("double"))
     }),
 
+    // Stationary distribution of the behavior Markov chain: 8 power-
+    // iteration rounds of π ← πP from uniform over the transition
+    // matrix (the long-run "where do users spend their time" readout
+    // behind events_transitions). One corpus pass builds P; every round
+    // after is |types|²-row arithmetic with contributor-ordered folds
+    // (sorted by from_type — bit-stable under any partitioning) and
+    // per-round lineage truncation.
+    "events_markov_stationary" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val pairs = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val byFrom = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+      val P = pairs.withColumn("p",
+          col("n").cast("double") / sum(col("n")).over(byFrom).cast("double"))
+        .select("from_type", "to_type", "p").localCheckpoint(true)
+      val states = P.select(col("from_type").as("state")).distinct()
+      var v = states
+        .crossJoin(broadcast(states.agg(count(lit(1)).as("__k"))))
+        .select(col("state"), (lit(1.0) / col("__k").cast("double")).as("prob"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 8) {
+        v = P.join(v, P("from_type") === v("state"))
+          .select(col("from_type"), col("to_type"),
+            (col("prob") * col("p")).as("__m"))
+          .groupBy(col("to_type"))
+          .agg(aggregate(
+            array_sort(collect_list(struct(col("from_type"), col("__m").as("m")))),
+            lit(0.0), (acc, x) => acc + x.getField("m")).as("prob"))
+          .select(col("to_type").as("state"), col("prob"))
+          .localCheckpoint(true)
+      }
+      v
+    }),
+
     // Top user journeys: each session's first-5 event-type path, ranked
     // by frequency — the path-mining readout over the same gap
     // sessionization. Per-session state is ≤ 5 ordered types (bounded
@@ -1372,6 +1411,35 @@ object EventQueries {
         |SELECT from_type, to_type, n,
         |  (n::DOUBLE / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)) AS p
         |FROM pairs""".stripMargin,
+
+    // Stationary mirror: the transitions CTEs, then 8 unrolled rounds
+    // with from_type-ordered list_reduce folds.
+    "events_markov_stationary" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""v$i AS (
+           |  SELECT to_type AS state,
+           |    list_reduce(list_prepend(0.0, list(prob * p ORDER BY from_type)),
+           |      (a, x) -> a + x) AS prob
+           |  FROM P JOIN v${i - 1} v ON P.from_type = v.state
+           |  GROUP BY to_type)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |pairs AS (
+         |  SELECT from_type, to_type, count(*) AS n
+         |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |P AS (
+         |  SELECT from_type, to_type,
+         |    (n::DOUBLE / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)) AS p
+         |  FROM pairs),
+         |st AS (SELECT DISTINCT from_type AS state FROM P),
+         |k AS (SELECT count(*)::BIGINT AS k FROM st),
+         |v0 AS (SELECT state, 1.0 / k AS prob FROM st CROSS JOIN k),
+         |$rounds
+         |SELECT state, prob FROM v8""".stripMargin
+    },
 
     "events_funnel" ->
       """WITH s1 AS (
