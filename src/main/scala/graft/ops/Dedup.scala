@@ -806,9 +806,14 @@ object Dedup {
       (1 until n).foldLeft(c)((acc, _) => acc * c)
     val s = (col("bin") * 2 + 1).cast("double") / lit(20.0)
     val splits = (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+    // one branch per divisor split reads the histogram: pin the
+    // bins-sized frame once or its (expensive) producing chain —
+    // typically an exact-Jaccard pass over all candidates — executes
+    // once per split
+    val binnedCk = binned.localCheckpoint(true)
     splits.map { case (b, r) =>
       val p = lit(1.0) - powInt(lit(1.0) - powInt(s, r), b)
-      binned.select(
+      binnedCk.select(
         lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
         col("bin"), col("n_pairs"), p.as("p_detect"),
         (col("n_pairs").cast("double") * p).as("exp_caught"))
