@@ -774,6 +774,42 @@ object EventQueries {
         Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
         "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))),
 
+    // Funnel A/B: per step, the two-proportion z statistic between the
+    // even/odd-user cohorts on step conversion (completed ≥ i given
+    // ≥ i−1) — the experiment readout product analytics runs on every
+    // funnel change. Exact counts from ONE funnel pass + one agg row;
+    // the z is one guarded IEEE expression per step (null when a
+    // cohort is empty or the pooled rate is degenerate).
+    "events_funnel_ab" -> ((s, dir) => {
+      val f = graft.ops.Funnel.funnel(
+        Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("steps_completed"),
+          (col("user_id") % 2 === 0).as("__a"))
+      def cnt(a: Boolean, atLeast: Int) =
+        sum(when(col("__a") === a && col("steps_completed") >= atLeast, 1L)
+          .otherwise(0L))
+      val g = f.agg(
+        cnt(true, 1).as("na1"), cnt(true, 2).as("na2"), cnt(true, 3).as("na3"),
+        cnt(false, 1).as("nb1"), cnt(false, 2).as("nb2"), cnt(false, 3).as("nb3"))
+        .localCheckpoint(true)
+      def stepRow(i: Int) = {
+        val (nA, xA) = (col(s"na${i - 1}"), col(s"na$i"))
+        val (nB, xB) = (col(s"nb${i - 1}"), col(s"nb$i"))
+        val pA = xA.cast("double") / nA.cast("double")
+        val pB = xB.cast("double") / nB.cast("double")
+        val pp = (xA + xB).cast("double") / (nA + nB).cast("double")
+        g.select(lit(i.toLong).as("step"),
+          nA.as("n_a"), xA.as("x_a"), pA.as("p_a"),
+          nB.as("n_b"), xB.as("x_b"), pB.as("p_b"),
+          when(nA > 0 && nB > 0 && pp > 0.0 && pp < 1.0,
+            (pA - pB) / sqrt(pp * (lit(1.0) - pp) *
+              (lit(1.0) / nA.cast("double") + lit(1.0) / nB.cast("double"))))
+            .as("z"))
+      }
+      stepRow(2).unionByName(stepRow(3))
+    }),
+
     // The same funnel with a ONE-DAY conversion window (between the p25
     // and p50 of this table's first-click delay, so the gate genuinely
     // splits the population): steps count only within entry + window
@@ -1460,6 +1496,56 @@ object EventQueries {
         |     + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END)::BIGINT AS steps_completed
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+
+    // Funnel-A/B mirror: the funnel CTEs + cohort tag, one counter agg,
+    // the same guarded two-proportion z per step.
+    "events_funnel_ab" -> {
+      def z(i: Int) = {
+        val (nA, xA, nB, xB) = (s"na${i - 1}", s"na$i", s"nb${i - 1}", s"nb$i")
+        val pA = s"(CAST($xA AS DOUBLE) / CAST($nA AS DOUBLE))"
+        val pB = s"(CAST($xB AS DOUBLE) / CAST($nB AS DOUBLE))"
+        val pp = s"(CAST($xA + $xB AS DOUBLE) / CAST($nA + $nB AS DOUBLE))"
+        s"""SELECT CAST($i AS BIGINT) AS step,
+           |  $nA AS n_a, $xA AS x_a, $pA AS p_a,
+           |  $nB AS n_b, $xB AS x_b, $pB AS p_b,
+           |  CASE WHEN $nA > 0 AND $nB > 0 AND $pp > 0.0 AND $pp < 1.0 THEN
+           |    ($pA - $pB) / sqrt($pp * (1.0 - $pp)
+           |      * (1.0 / CAST($nA AS DOUBLE) + 1.0 / CAST($nB AS DOUBLE)))
+           |  END AS z
+           |FROM g""".stripMargin
+      }
+      s"""WITH s1 AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS t1
+         |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (
+         |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+         |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+         |  GROUP BY e.user_id),
+         |s3 AS (
+         |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+         |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+         |  GROUP BY e.user_id),
+         |f AS (
+         |  SELECT s1.user_id, (s1.user_id % 2 = 0) AS a,
+         |    (1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+         |       + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END) AS sc
+         |  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+         |          LEFT JOIN s3 ON s1.user_id = s3.user_id),
+         |g AS (
+         |  SELECT
+         |    sum(CASE WHEN a AND sc >= 1 THEN 1 ELSE 0 END)::BIGINT AS na1,
+         |    sum(CASE WHEN a AND sc >= 2 THEN 1 ELSE 0 END)::BIGINT AS na2,
+         |    sum(CASE WHEN a AND sc >= 3 THEN 1 ELSE 0 END)::BIGINT AS na3,
+         |    sum(CASE WHEN NOT a AND sc >= 1 THEN 1 ELSE 0 END)::BIGINT AS nb1,
+         |    sum(CASE WHEN NOT a AND sc >= 2 THEN 1 ELSE 0 END)::BIGINT AS nb2,
+         |    sum(CASE WHEN NOT a AND sc >= 3 THEN 1 ELSE 0 END)::BIGINT AS nb3
+         |  FROM f)
+         |${z(2)}
+         |UNION ALL
+         |${z(3)}""".stripMargin
+    },
 
     // Windowed mirror: each later step additionally bounded by
     // t1 + 1 day (inclusive).
