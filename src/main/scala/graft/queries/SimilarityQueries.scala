@@ -741,6 +741,27 @@ object SimilarityQueries {
         m = 4, k = 5, nprobe = 2)
     }),
 
+    // Recall-vs-nprobe tuning curve: recall@5 of multi-probe IVF at
+    // nprobe ∈ {1, 2, 4} against one shared brute-truth pass — the
+    // whole recall/scan-cost trade on one axis (each arm reuses the
+    // checkpointed assignment; candidate work scales with nprobe by
+    // construction).
+    "sim_nprobe_curve" -> ((s, dir) => {
+      val cents = emb(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val truth = Similarity.bruteForceKnn(emb(s, dir), queriesDf(s, dir),
+        "vec_id", "embedding", "qid", k = 5).localCheckpoint(true)
+      val assigned = Similarity.ivfAssign(emb(s, dir), cents,
+        "vec_id", "embedding", "cid").localCheckpoint(true)
+      Seq(1, 2, 4).map { np =>
+        val approx = Similarity.ivfKnnPreAssigned(assigned, queriesDf(s, dir),
+          cents, "vec_id", "embedding", "qid", "cid", k = 5, nprobe = np)
+        Similarity.recallAtK(truth, approx, "qid", "vec_id")
+          .select(lit(np.toLong).as("nprobe"), col("qid"), col("k"),
+            col("n_hits"), col("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
     // Raw-PQ vs residual-PQ recall head-to-head against brute truth:
     // same centroids, same probe budget, same codebook size, only the
     // encoding space differs — the measurement that decides whether
@@ -2098,6 +2119,51 @@ object SimilarityQueries {
     "sim_ivfpq_residual" ->
       s"""WITH $ivfPqResidualCtes
          |SELECT qid, vec_id, adc_dist, rank FROM rs_ranked WHERE rank <= 5""".stripMargin,
+
+    // nprobe-curve mirror: one truth/assign pass, one probe arm per
+    // nprobe (rank ≤ np over all centroids), unioned recall tails.
+    "sim_nprobe_curve" -> {
+      val arms = Seq(1, 2, 4).map { np =>
+        s"""iq$np AS (
+           |  SELECT qid, qv, cluster FROM (
+           |    SELECT q.qid, q.qv, c.cid AS cluster,
+           |           row_number() OVER (PARTITION BY q.qid
+           |             ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid) AS rn
+           |    FROM q, c) WHERE rn <= $np),
+           |sc$np AS (
+           |  SELECT iq.qid, ia.vec_id, ${cosSql("iq.qv", "ia.embedding")} AS cos
+           |  FROM assign ia JOIN iq$np iq USING (cluster) WHERE ia.vec_id <> iq.qid),
+           |ap$np AS (
+           |  SELECT qid, vec_id,
+           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+           |  FROM sc$np QUALIFY rank <= 5)""".stripMargin
+      }.mkString(",\n")
+      val sels = Seq(1, 2, 4).map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, t.qid, count(*)::BIGINT AS k,
+           |  sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_hits,
+           |  sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)::DOUBLE
+           |    / count(*)::DOUBLE AS recall
+           |FROM truth t LEFT JOIN ap$np a ON t.qid = a.qid AND t.vec_id = a.vec_id
+           |GROUP BY t.qid""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |t_scored AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("qv", "embedding")} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |truth AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM t_scored QUALIFY rank <= 5),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid AS cluster FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
+         |    FROM embeddings e, c) WHERE rn = 1),
+         |$arms
+         |$sels""".stripMargin
+    },
 
     // Head-to-head recall mirror: brute truth + the raw-PQ chain + the
     // residual chain, |truth ∩ approx|/k per query for both encodings.
