@@ -68,6 +68,31 @@ object TextQueries {
       TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
+    // Vocabulary concentration per source: the exact Gini coefficient
+    // of the token-frequency distribution — G = (2·Σ i·f_i − (n+1)·Σf)
+    // / (n·Σf) over frequency-ranked terms. The log-free concentration
+    // twin of entropy: boilerplate-heavy sources read near 1, diverse
+    // prose lower. All-integer rank/moment sums (one term-count pass +
+    // one source-partitioned window), one final division.
+    "text_vocab_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val TF = graft.functions.TextFunctions
+      val tf = docs(s, dir)
+        .select(col("source"), explode(TF.tokens(col("text"))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("source", "term").agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("f"), col("term"))
+      tf.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_terms"), sum("f").as("total_tokens"),
+          sum(col("i") * col("f")).as("__s"))
+        .select(col("source"), col("n_terms"), col("total_tokens"),
+          ((lit(2L) * col("__s") - (col("n_terms") + 1L) * col("total_tokens"))
+            .cast("double") /
+            (col("n_terms") * col("total_tokens")).cast("double")).as("gini"))
+    }),
+
     // Language-ID confusion matrix: predicted vs the corpus's declared
     // lang label, with the per-declared-label share — the classifier
     // eval a curation pipeline reads before trusting langid gates.
@@ -2188,6 +2213,26 @@ object TextQueries {
          |       CASE WHEN hits = 0 THEN 'und' ELSE lang END AS predicted_lang,
          |       hits AS stopword_hits
          |FROM best WHERE rn = 1""".stripMargin,
+
+    // Gini mirror: same frequency-ranked integer moments, one division.
+    "text_vocab_gini" ->
+      s"""WITH tf AS (
+         |  SELECT source, w AS term, count(*)::BIGINT AS f
+         |  FROM (SELECT source, unnest($toksSql) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY 1, 2),
+         |r AS (
+         |  SELECT source, f,
+         |         row_number() OVER (PARTITION BY source ORDER BY f, term) AS i
+         |  FROM tf),
+         |g AS (
+         |  SELECT source, count(*)::BIGINT AS n_terms,
+         |         sum(f)::BIGINT AS total_tokens,
+         |         sum(i * f)::BIGINT AS s
+         |  FROM r GROUP BY 1)
+         |SELECT source, n_terms, total_tokens,
+         |       CAST(2 * s - (n_terms + 1) * total_tokens AS DOUBLE)
+         |         / CAST(n_terms * total_tokens AS DOUBLE) AS gini
+         |FROM g""".stripMargin,
 
     // Confusion mirror: the langid CTEs + declared-label join, counts,
     // per-label share window.
