@@ -68,6 +68,27 @@ object TextQueries {
       TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
+    // Term burstiness (Church & Gale 1995): P(term recurs in a doc |
+    // it appears) = df₂₊/df per term — bursty terms are topical
+    // content, evenly-sprinkled terms are function words; the log-free
+    // IR statistic that separates them without IDF. One (doc, term)
+    // count pass; top-20 by collection frequency for bounded output.
+    "text_burstiness" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val TF = graft.functions.TextFunctions
+      val dt = docs(s, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      dt.groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          sum(when(col("c") >= 2, 1L).otherwise(0L)).as("df2"),
+          sum("c").as("cf"))
+        .select(col("term"), col("df"), col("df2"), col("cf"),
+          (col("df2").cast("double") / col("df").cast("double")).as("burstiness"))
+        .orderBy(col("cf").desc, col("term")).limit(20)
+    }),
+
     // Vocabulary concentration per source: the exact Gini coefficient
     // of the token-frequency distribution — G = (2·Σ i·f_i − (n+1)·Σf)
     // / (n·Σf) over frequency-ranked terms. The log-free concentration
@@ -2213,6 +2234,22 @@ object TextQueries {
          |       CASE WHEN hits = 0 THEN 'und' ELSE lang END AS predicted_lang,
          |       hits AS stopword_hits
          |FROM best WHERE rn = 1""".stripMargin,
+
+    // Burstiness mirror: same (doc, term) counts, same ratio, same
+    // (cf DESC, term) top-20.
+    "text_burstiness" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, w AS term, count(*)::BIGINT AS c
+         |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY 1, 2),
+         |t AS (
+         |  SELECT term, count(*)::BIGINT AS df,
+         |         sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS df2,
+         |         sum(c)::BIGINT AS cf
+         |  FROM dt GROUP BY 1)
+         |SELECT term, df, df2, cf,
+         |       CAST(df2 AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness
+         |FROM t ORDER BY cf DESC, term LIMIT 20""".stripMargin,
 
     // Gini mirror: same frequency-ranked integer moments, one division.
     "text_vocab_gini" ->
