@@ -56,25 +56,36 @@ object Experiment {
       side(true, col("__vd") * col("__vd")).as("__sxxa"),
       side(false, col("__vd") * col("__vd")).as("__sxxb"),
       side(true, col("__r2")).cast("long").as("__r2a"))
-    def mean(sx: String, n: String) =
-      col(sx).cast("double") / col(n).cast("double")
-    // sample variance from exact sums: (Σx² − (Σx)²/n) / (n−1)
-    def variance(sxx: String, sx: String, n: String) =
-      (col(sxx).cast("double") -
-        col(sx).cast("double") * col(sx).cast("double") / col(n).cast("double")) /
-        (col(n).cast("double") - lit(1.0))
-    val va = variance("__sxxa", "__sxa", "n_a")
-    val vb = variance("__sxxb", "__sxb", "n_b")
     agg.select(col(keyCol), col("n_a"), col("n_b"),
-      mean("__sxa", "n_a").as("mean_a"),
-      mean("__sxb", "n_b").as("mean_b"),
-      when(col("n_a") > 1 && col("n_b") > 1,
-        (mean("__sxa", "n_a") - mean("__sxb", "n_b")) /
-          sqrt(va / col("n_a").cast("double") + vb / col("n_b").cast("double")))
-        .as("welch_t"),
+      meanCol("__sxa", "n_a").as("mean_a"),
+      meanCol("__sxb", "n_b").as("mean_b"),
+      welchCol().as("welch_t"),
       // U_a = R_a − n_a(n_a+1)/2, computed on the doubled-integer axis
       ((col("__r2a") - col("n_a") * (col("n_a") + lit(1L))).cast("double") /
         lit(2.0)).as("u_stat"))
+  }
+
+  /** Mean from an exact moment sum: sx/n (the abTest expression — ONE
+    * definition, shared by the batch op and the streaming moments
+    * reader so the two are bit-identical by construction). */
+  private[graft] def meanCol(sx: String, n: String): org.apache.spark.sql.Column =
+    col(sx).cast("double") / col(n).cast("double")
+
+  /** Sample variance from exact sums: (Σx² − (Σx)²/n) / (n−1). */
+  private[graft] def varCol(sxx: String, sx: String,
+                            n: String): org.apache.spark.sql.Column =
+    (col(sxx).cast("double") -
+      col(sx).cast("double") * col(sx).cast("double") / col(n).cast("double")) /
+      (col(n).cast("double") - lit(1.0))
+
+  /** Welch's t over columns (n_a, n_b, __sxa, __sxb, __sxxa, __sxxb);
+    * null when either cohort lacks 2 observations. */
+  private[graft] def welchCol(): org.apache.spark.sql.Column = {
+    val va = varCol("__sxxa", "__sxa", "n_a")
+    val vb = varCol("__sxxb", "__sxb", "n_b")
+    when(col("n_a") > 1 && col("n_b") > 1,
+      (meanCol("__sxa", "n_a") - meanCol("__sxb", "n_b")) /
+        sqrt(va / col("n_a").cast("double") + vb / col("n_b").cast("double")))
   }
 
   /** Theil-Sen robust trend per key (Theil 1950 / Sen 1968): the median

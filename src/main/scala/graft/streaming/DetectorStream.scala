@@ -59,7 +59,8 @@ object DetectorStream {
     val eventsT = table + "_events"
     val burstT = table + "_burst"
     bootstrap(spark, table)
-    Seq(hourlyT, vhistT, eventsT, burstT, SI.ledgerTable(table))
+    Seq(hourlyT, vhistT, eventsT, burstT, table + "_abmom",
+        SI.ledgerTable(table))
       .foreach(spark.catalog.refreshTable)
     if (SI.hasBatch(spark, table, batchId)) return
     val seg = SI.nextSeg(spark, table)
@@ -85,6 +86,19 @@ object DetectorStream {
         .agg(count(lit(1)).as("cnt"))
         .withColumn(SI.SegCol, lit(seg))
         .write.mode("append").format("parquet").saveAsTable(vhistT)
+    // Welch moments per (type, parity cohort): exact DECIMAL sums are
+    // additive, so segment folds ≡ one batch pass for any delivery
+    // order — the streaming half of events_ab_test (the Mann-Whitney
+    // half is rank-based and inherently needs the corpus; batch-only,
+    // documented).
+    if (!SI.segPresent(spark, table + "_abmom", seg)) {
+      val vd = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      batch
+        .groupBy(col("event_type"), (col("user_id") % 2 === 0).as("cohort_a"))
+        .agg(count(lit(1)).as("n"), sum(vd).as("sx"), sum(vd * vd).as("sxx"))
+        .withColumn(SI.SegCol, lit(seg))
+        .write.mode("append").format("parquet").saveAsTable(table + "_abmom")
+    }
     // Events append BEFORE the burst counts so the count join reads the
     // batch's own rows from the table (same-ts peers and in-batch
     // predecessors count, matching the batch RANGE frame). A crash in
@@ -130,6 +144,12 @@ object DetectorStream {
       lit("").as("event_type"), lit(0L).as("n"), lit(0L).as(SI.SegCol)))
     init(table + "_vhist", spark.range(0).select(lit("").as("event_type"),
       lit(0L).as("cents"), lit(0L).as("cnt"), lit(0L).as(SI.SegCol)))
+    // moment sums keep the exact types the per-batch agg produces:
+    // sum(decimal(18,2)) → (28,2), sum((18,2)·(18,2)) → (38,4)
+    init(table + "_abmom", spark.range(0).select(lit("").as("event_type"),
+      lit(false).as("cohort_a"), lit(0L).as("n"),
+      lit(0).cast("decimal(28,2)").as("sx"),
+      lit(0).cast("decimal(38,4)").as("sxx"), lit(0L).as(SI.SegCol)))
     init(table + "_events", spark.range(0).select(lit(0L).as("event_id"),
       lit(0L).as("user_id"), lit(0L).as("ts_us"), lit(0L).as(SI.SegCol)))
     init(table + "_burst", spark.range(0).select(lit(0L).as("event_id"),
@@ -179,5 +199,30 @@ object DetectorStream {
     spark.catalog.refreshTable(table + "_burst")
     spark.table(table + "_burst")
       .select("event_id", "user_id", "n_trailing_1h", "is_burst")
+  }
+
+  /** Welch t over everything ingested ≡ the batch
+    * [[graft.ops.Experiment.abTest]]'s parametric columns: the segment
+    * moment sums are exact DECIMALs (additive — any delivery order),
+    * and the finisher is the SAME shared expression tree
+    * ([[graft.ops.Experiment.welchCol]]). Output: (event_type, n_a,
+    * n_b, mean_a, mean_b, welch_t). */
+  def readWelch(spark: SparkSession, table: String): DataFrame = {
+    spark.catalog.refreshTable(table + "_abmom")
+    def side(a: Boolean, c: org.apache.spark.sql.Column) =
+      sum(when(col("cohort_a") === a, c))
+    val folded = spark.table(table + "_abmom")
+      .groupBy("event_type")
+      .agg(
+        coalesce(side(true, col("n")), lit(0L)).as("n_a"),
+        coalesce(side(false, col("n")), lit(0L)).as("n_b"),
+        side(true, col("sx")).as("__sxa"),
+        side(false, col("sx")).as("__sxb"),
+        side(true, col("sxx")).as("__sxxa"),
+        side(false, col("sxx")).as("__sxxb"))
+    folded.select(col("event_type"), col("n_a"), col("n_b"),
+      graft.ops.Experiment.meanCol("__sxa", "n_a").as("mean_a"),
+      graft.ops.Experiment.meanCol("__sxb", "n_b").as("mean_b"),
+      graft.ops.Experiment.welchCol().as("welch_t"))
   }
 }

@@ -63,15 +63,28 @@ class DetectorStreamSpec extends SparkSpec {
     assert(zSet(DetectorStream.readZScores(spark, t)) ==
       zSet(graft.SparkEntry.queries("events_anomaly")(spark, sf)))
 
+    // the fifth read: Welch t from the additive DECIMAL moment sums
+    // must equal the batch events_ab_test's parametric columns bit for
+    // bit (the Mann-Whitney half is rank-based — batch-only by design)
+    def welchSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("welch_t"))
+        .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    assert(welchSet(DetectorStream.readWelch(spark, t)) ==
+      welchSet(graft.SparkEntry.queries("events_ab_test")(spark, sf)))
+
     // replayed delivery (the stream's second micro-batch was b1): the
     // ledger gate must no-op — a double-count would shift every summary
     val before = madSet(DetectorStream.readMad(spark, t))
+    val beforeW = welchSet(DetectorStream.readWelch(spark, t))
     DetectorStream.ingestBatch(events.where(col("ts_us") > mid), "b1", t)
     assert(madSet(DetectorStream.readMad(spark, t)) == before)
+    assert(welchSet(DetectorStream.readWelch(spark, t)) == beforeW)
     assert(cusumSet(DetectorStream.readCusum(spark, t)) ==
       cusumSet(graft.SparkEntry.queries("events_cusum")(spark, sf)))
 
-    (Seq(t + "_hourly", t + "_vhist", t + "_events", t + "_burst") :+
+    (Seq(t + "_hourly", t + "_vhist", t + "_events", t + "_burst",
+      t + "_abmom") :+
       graft.io.SegmentedIndex.ledgerTable(t))
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
