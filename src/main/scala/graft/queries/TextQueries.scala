@@ -68,6 +68,40 @@ object TextQueries {
       TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
+    // Positional proximity search: documents where the corpus's two
+    // most frequent terms occur within ≤ 3 token positions (min
+    // distance + close-pair count) — the WITHIN-k operator beside the
+    // phrase index's exact-adjacency probes. Per-(doc, term) position
+    // lists are capped at the first 100 occurrences (deterministic
+    // prefix — the boundedness guard for stopword-dense docs at scale;
+    // no doc in the fixture reaches it, so the oracle is exact).
+    "text_proximity" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val TF = graft.functions.TextFunctions
+      val W = org.apache.spark.sql.expressions.Window
+      val pos = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(TF.tokens(col("text"))).as(Seq("pos", "term")))
+        .where(col("term") =!= "")
+        .withColumn("__rn", row_number().over(
+          W.partitionBy("doc_id", "term").orderBy("pos")))
+        .where(col("__rn") <= 100)
+        .localCheckpoint(true) // term ranking + both probe sides read it
+      val top = pos.groupBy("term").agg(count(lit(1)).as("cf"))
+        .withColumn("rk", row_number().over(
+          W.orderBy(col("cf").desc, col("term"))))
+        .where(col("rk") <= 2)
+      def side(rk: Int, p: String) = pos
+        .join(broadcast(top.where(col("rk") === rk).select("term")), "term")
+        .select(col("doc_id"), col("pos").as(p))
+      side(1, "__p1").join(side(2, "__p2"), "doc_id")
+        .groupBy("doc_id")
+        .agg(min(abs(col("__p1") - col("__p2"))).cast("long").as("min_dist"),
+          sum(when(abs(col("__p1") - col("__p2")) <= 3, 1L).otherwise(0L))
+            .as("n_close_pairs"))
+        .where(col("n_close_pairs") >= 1)
+    }),
+
     // Term burstiness (Church & Gale 1995): P(term recurs in a doc |
     // it appears) = df₂₊/df per term — bursty terms are topical
     // content, evenly-sprinkled terms are function words; the log-free
@@ -2234,6 +2268,31 @@ object TextQueries {
          |       CASE WHEN hits = 0 THEN 'und' ELSE lang END AS predicted_lang,
          |       hits AS stopword_hits
          |FROM best WHERE rn = 1""".stripMargin,
+
+    // Proximity mirror: same capped position lists, same top-2 pick,
+    // same min-distance / close-pair aggregation.
+    "text_proximity" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |pos0 AS (
+         |  SELECT doc_id, t[i] AS term, i - 1 AS pos
+         |  FROM tk, unnest(range(1, len(t)+1)) AS u(i)
+         |  WHERE t[i] <> ''),
+         |pos AS (
+         |  SELECT doc_id, term, pos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id, term ORDER BY pos) AS rn
+         |    FROM pos0) WHERE rn <= 100),
+         |top AS (
+         |  SELECT term, rk FROM (
+         |    SELECT term,
+         |           row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+         |    FROM pos GROUP BY term) WHERE rk <= 2),
+         |p1 AS (SELECT doc_id, pos AS a FROM pos JOIN top ON pos.term = top.term AND top.rk = 1),
+         |p2 AS (SELECT doc_id, pos AS b FROM pos JOIN top ON pos.term = top.term AND top.rk = 2)
+         |SELECT p1.doc_id, min(abs(a - b))::BIGINT AS min_dist,
+         |       sum(CASE WHEN abs(a - b) <= 3 THEN 1 ELSE 0 END)::BIGINT AS n_close_pairs
+         |FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+         |GROUP BY p1.doc_id
+         |HAVING sum(CASE WHEN abs(a - b) <= 3 THEN 1 ELSE 0 END) >= 1""".stripMargin,
 
     // Burstiness mirror: same (doc, term) counts, same ratio, same
     // (cf DESC, term) top-20.
