@@ -72,6 +72,31 @@ object RelationalQueries {
           sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))),
 
+    // Approximate-first aggregation with an honest error readout: the
+    // same revenue rollup from a deterministic 1-in-100 hash sample of
+    // orderkeys (scaled ×100) NEXT TO the exact answer and the relative
+    // error — the "is a 1% scan good enough for this dashboard"
+    // measurement. The sample gate is the mirrored 60-bit hash, so the
+    // drawn subset (and thus the estimate) is identical cross-engine;
+    // both sums are exact DECIMAL until the final casts.
+    "rel_approx_agg" -> ((s, dir) => {
+      val TF = graft.functions.TextFunctions
+      val li = Tables(s, dir, "lineitem")
+      val sampled = li.where(TF.hash60(
+        concat(lit("ap:"), col("l_orderkey").cast("string"))) % 100 === 0)
+      val ex = li.groupBy("l_returnflag")
+        .agg(sum(dec(col("l_extendedprice"), 2)).cast("double").as("exact_rev"),
+          count(lit(1)).as("exact_n"))
+      val ap = sampled.groupBy("l_returnflag")
+        .agg((sum(dec(col("l_extendedprice"), 2)) * 100).cast("double").as("est_rev"),
+          (count(lit(1)) * 100).as("est_n"))
+      ex.join(ap, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), col("exact_rev"), col("est_rev"),
+          col("exact_n"), col("est_n"),
+          ((col("est_rev") - col("exact_rev")) / col("exact_rev"))
+            .as("rel_err"))
+    }),
+
     // J1: PK equi-join, small dimension broadcast.
     "rel_join_pk" -> ((s, dir) =>
       Tables(s, dir, "orders").join(
@@ -1338,6 +1363,25 @@ object RelationalQueries {
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // Approx-agg mirror: same md5-hash sample gate, same ×100 scale,
+    // same exact-DECIMAL sums and final error division.
+    "rel_approx_agg" ->
+      """WITH ex AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS exact_rev,
+        |    count(*) AS exact_n
+        |  FROM lineitem GROUP BY 1),
+        |ap AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS DOUBLE) AS est_rev,
+        |    count(*) * 100 AS est_n
+        |  FROM lineitem
+        |  WHERE ('0x'||substr(md5('ap:'||l_orderkey::VARCHAR),1,15))::BIGINT % 100 = 0
+        |  GROUP BY 1)
+        |SELECT ex.l_returnflag, ex.exact_rev, ap.est_rev, ex.exact_n, ap.est_n,
+        |       (ap.est_rev - ex.exact_rev) / ex.exact_rev AS rel_err
+        |FROM ex LEFT JOIN ap ON ex.l_returnflag = ap.l_returnflag""".stripMargin,
 
     "rel_join_pk" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
