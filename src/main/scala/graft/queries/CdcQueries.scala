@@ -129,6 +129,29 @@ object CdcQueries {
     "cdc_merge" -> ((s, dir) =>
       Merge.mergeCdc(target(s, dir), changes(s, dir), Seq("o_orderkey"), Nil)),
 
+    // Per-file merge impact report — the observability row a CDC
+    // operator reads after every batch: op counts, how many change
+    // rows hit keys the target already holds vs new keys, and the net
+    // row delta the merge will apply (inserts on new keys minus
+    // deletes on existing ones). One semi-join-shaped left probe of
+    // the (distinct) target key set + one partial agg per file.
+    "cdc_merge_stats" -> ((s, dir) => {
+      val tgtKeys = target(s, dir).select(col("o_orderkey")).distinct()
+        .withColumn("__known", lit(true))
+      changes(s, dir)
+        .join(tgtKeys, Seq("o_orderkey"), "left")
+        .groupBy(col(Merge.FileSeq))
+        .agg(
+          sum(when(col(Op.column) === Op.Insert, 1L).otherwise(0L)).as("n_inserts"),
+          sum(when(col(Op.column) === Op.Update, 1L).otherwise(0L)).as("n_updates"),
+          sum(when(col(Op.column) === Op.Delete, 1L).otherwise(0L)).as("n_deletes"),
+          sum(when(col("__known").isNull, 1L).otherwise(0L)).as("n_new_keys"),
+          (sum(when(col(Op.column) === Op.Insert && col("__known").isNull, 1L)
+            .otherwise(0L)) -
+            sum(when(col(Op.column) === Op.Delete && col("__known").isNotNull, 1L)
+              .otherwise(0L))).as("net_row_delta"))
+    }),
+
     // Column-patch merge (NULL = unchanged): per-column IGNORE-NULLS
     // folds compose file-1's status patch with file-2's price patch on
     // the same key — see [[graft.cdc.Merge.patchMerge]].
@@ -335,6 +358,21 @@ object CdcQueries {
 
     "cdc_insert_only" ->
       s"""$fixtureSql SELECT "Op", $orderColsSql FROM changes WHERE "Op" = 'I'""",
+
+    // Merge-stats mirror: same distinct-key left probe + per-file agg.
+    "cdc_merge_stats" ->
+      s"""$fixtureSql,
+         |tk AS (SELECT DISTINCT o_orderkey, true AS known FROM target)
+         |SELECT c.file_seq,
+         |  sum(CASE WHEN c."Op" = 'I' THEN 1 ELSE 0 END)::BIGINT AS n_inserts,
+         |  sum(CASE WHEN c."Op" = 'U' THEN 1 ELSE 0 END)::BIGINT AS n_updates,
+         |  sum(CASE WHEN c."Op" = 'D' THEN 1 ELSE 0 END)::BIGINT AS n_deletes,
+         |  sum(CASE WHEN tk.known IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new_keys,
+         |  (sum(CASE WHEN c."Op" = 'I' AND tk.known IS NULL THEN 1 ELSE 0 END)
+         |   - sum(CASE WHEN c."Op" = 'D' AND tk.known IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+         |    AS net_row_delta
+         |FROM changes c LEFT JOIN tk ON c.o_orderkey = tk.o_orderkey
+         |GROUP BY c.file_seq""".stripMargin,
 
     // Patch-merge mirror: the same union shape, per-column IGNORE-NULLS
     // running last_value folds, survivor by (file_seq, rownum) DESC.
