@@ -559,6 +559,37 @@ object EventQueries {
     }),
 
     // Sessionization-style gap analysis per user via lag window.
+    // Goh-Barabási burstiness parameter per event type over per-user
+    // inter-arrival gaps: B = (σ − μ)/(σ + μ) ∈ (−1, 1) — bursty
+    // human-like traffic reads > 0, a Poisson process 0, a metronome
+    // −1. Log-free: moment sums are exact DECIMALs (gap squares would
+    // overflow LONG), σ is one sqrt, B one guarded division. One
+    // user-window pass + one partial agg; |types| rows out.
+    "events_gap_burstiness" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gaps = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .where(col("prev_us").isNotNull)
+        .select(col("event_type"),
+          (col("ts_us") - col("prev_us"))
+            .cast(org.apache.spark.sql.types.DecimalType(19, 0)).as("g"))
+      gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("g")).as("__s"),
+          sum(col("g") * col("g")).as("__ss"))
+        .select(col("event_type"), col("n"),
+          (col("__s").cast("double") / col("n").cast("double")).as("mean_gap_us"),
+          when(col("n") > 1, {
+            val m = col("__s").cast("double") / col("n").cast("double")
+            val v = (col("__ss").cast("double") -
+              col("__s").cast("double") * col("__s").cast("double") /
+                col("n").cast("double")) /
+              (col("n").cast("double") - lit(1.0))
+            (sqrt(v) - m) / (sqrt(v) + m)
+          }).as("burstiness"))
+    }),
+
     "events_user_gaps" -> ((s, dir) => {
       // Work in truncated micros (matches DuckDB's ns→µs parquet read) and
       // order by (µs, event_id) so equal-µs ties resolve identically.
@@ -1380,6 +1411,28 @@ object EventQueries {
         |  max(epoch_us(ts)) AS last_us,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // Burstiness mirror: same lagged gaps as DECIMAL(19,0) moments,
+    // same guarded (σ − μ)/(σ + μ).
+    "events_gap_burstiness" -> {
+      val m = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+      val v = """((CAST(ss AS DOUBLE)
+                 |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 |     / (CAST(n AS DOUBLE) - 1.0))""".stripMargin
+      s"""WITH g0 AS (
+         |  SELECT event_type,
+         |    CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS DECIMAL(19,0)) AS g
+         |  FROM events),
+         |a AS (
+         |  SELECT event_type, count(*)::BIGINT AS n, sum(g) AS s, sum(g*g) AS ss
+         |  FROM g0 WHERE g IS NOT NULL GROUP BY 1)
+         |SELECT event_type, n, $m AS mean_gap_us,
+         |  CASE WHEN n > 1 THEN
+         |    (sqrt($v) - $m) / (sqrt($v) + $m)
+         |  END AS burstiness
+         |FROM a""".stripMargin
+    },
 
     "events_user_gaps" ->
       """SELECT user_id, event_id,
