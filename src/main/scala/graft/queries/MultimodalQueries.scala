@@ -49,6 +49,31 @@ object MultimodalQueries {
         Multimodal.mediaWithRealHeaders(Tables(s, dir, "documents"),
           "doc_id", "text"))),
 
+    // Aspect-ratio bucketing (the SDXL-style resolution-bucket step a
+    // real image-training pipeline runs after decode): each image/video
+    // snaps to the closest of {1:1, 4:3, 16:9, 3:4, 9:16} — closeness
+    // decided LOG-FREE by exact integer cross-multiplication
+    // (|w·hb − h·wb| scaled by 144/hb puts all five errors on one
+    // integer axis; lcm(1,3,9,4,16) = 144), ties to the earliest
+    // declared bucket via the (error, index) struct min.
+    "mm_aspect_buckets" -> ((s, dir) => {
+      val buckets = Seq(("1:1", 1, 1), ("4:3", 4, 3), ("16:9", 16, 9),
+        ("3:4", 3, 4), ("9:16", 9, 16))
+      val names = array(buckets.map(b => lit(b._1)): _*)
+      val errs = array(buckets.zipWithIndex.map { case ((_, wb, hb), i) =>
+        struct((abs(col("width").cast("long") * hb -
+          col("height").cast("long") * wb) * (144 / hb)).as("e"),
+          lit(i).as("i"))
+      }: _*)
+      Multimodal.decodeHeaders(
+        Multimodal.mediaWithRealHeaders(Tables(s, dir, "documents"),
+          "doc_id", "text"))
+        .where(col("width").isNotNull && col("height").isNotNull)
+        .select(col("media_id"), col("width"), col("height"),
+          element_at(names, array_min(errs).getField("i") + 1)
+            .as("aspect_bucket"))
+    }),
+
     // GIF/BMP header decode: little-endian logical-screen dims (GIF89a)
     // and signed BITMAPINFOHEADER dims + bpp-derived channels (BMP,
     // including the negative top-down height) — same oracle contract as
@@ -405,6 +430,32 @@ object MultimodalQueries {
         |       // (600 * ((doc_id // 4) % 3 + 1))
         |   END)::BIGINT AS duration_ms
         |FROM documents""".stripMargin,
+
+    // Aspect mirror: dims from the id formulas, the same scaled
+    // integer errors, struct list_min tie-break.
+    "mm_aspect_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    (CASE doc_id % 4 WHEN 0 THEN doc_id % 1920 + 1
+        |          WHEN 1 THEN doc_id % 3840 + 1
+        |          WHEN 3 THEN doc_id % 1280 + 16 END)::BIGINT AS width,
+        |    (CASE doc_id % 4 WHEN 0 THEN doc_id % 1080 + 1
+        |          WHEN 1 THEN doc_id % 2160 + 1
+        |          WHEN 3 THEN doc_id % 720 + 16 END)::BIGINT AS height
+        |  FROM documents WHERE doc_id % 4 <> 2),
+        |e AS (
+        |  SELECT media_id, width, height,
+        |    list_min([
+        |      {'e': abs(width*1 - height*1) * 144, 'i': 0},
+        |      {'e': abs(width*3 - height*4) * 48, 'i': 1},
+        |      {'e': abs(width*9 - height*16) * 16, 'i': 2},
+        |      {'e': abs(width*4 - height*3) * 36, 'i': 3},
+        |      {'e': abs(width*16 - height*9) * 9, 'i': 4}]) AS m
+        |  FROM d)
+        |SELECT media_id, width::INT AS width, height::INT AS height,
+        |  ['1:1','4:3','16:9','3:4','9:16'][(struct_extract(m, 'i') + 1)::INT]
+        |    AS aspect_bucket
+        |FROM e""".stripMargin,
 
     "mm_exif_meta" ->
       """SELECT doc_id AS media_id,
