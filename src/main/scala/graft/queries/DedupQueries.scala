@@ -137,6 +137,28 @@ object DedupQueries {
         .withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
     }),
 
+    // Within-vs-cross-source duplication matrix: the confirmed near-dup
+    // pairs (exact Jaccard ≥ 0.5 over LSH candidates) bucketed by their
+    // unordered source pair — the number that decides whether dedup can
+    // run per-source (cheap, partition-local) or must be global (one
+    // nonzero cross cell forces it). Candidate-sized work.
+    "dedup_source_matrix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = Dedup.lshCandidatePairs(d, "doc_id", "text",
+        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val dup = Dedup.ngramJaccard(d, cand, "doc_id", "text", shingleWords = 3)
+        .where(col("jaccard") >= 0.5)
+      val src = d.select(col("doc_id"), col("source"))
+      dup
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), "id_b")
+        .groupBy(least(col("__sa"), col("__sb")).as("source_x"),
+          greatest(col("__sa"), col("__sb")).as("source_y"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+        .withColumn("is_within", col("source_x") === col("source_y"))
+    }),
+
     // Fellegi-Sunter record-linkage scoring over the LSH candidates:
     // per-field agreement (lang, source, length-bucket) weighted by
     // data-estimated m/u probabilities (m stratum = jaccard ≥ 0.5,
@@ -742,6 +764,30 @@ object DedupQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS n_at_or_above
          |FROM binned""".stripMargin,
+
+    // Source-matrix mirror: candidate/jaccard CTEs, unordered source
+    // pair grouping.
+    "dedup_source_matrix" ->
+      s"""WITH $lshCandCtes,
+         |sets AS (SELECT doc_id,
+         |  list_distinct(list_transform(shingles, x -> ${h60("x")})) AS s FROM shg),
+         |jp AS (
+         |  SELECT c.id_a, c.id_b, ${jaccardSql("a.s", "b.s")} AS jaccard
+         |  FROM lshcand c
+         |  JOIN sets a ON c.id_a = a.doc_id
+         |  JOIN sets b ON c.id_b = b.doc_id),
+         |dup AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.5),
+         |m AS (
+         |  SELECT least(da.source, db.source) AS source_x,
+         |         greatest(da.source, db.source) AS source_y,
+         |         count(*)::BIGINT AS n_dup_pairs
+         |  FROM dup
+         |  JOIN documents da ON dup.id_a = da.doc_id
+         |  JOIN documents db ON dup.id_b = db.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT source_x, source_y, n_dup_pairs,
+         |       (source_x = source_y) AS is_within
+         |FROM m""".stripMargin,
 
     // Linkage mirror: same candidate/jaccard CTEs, same one-pass m/u
     // estimation, same fixed-order CASE-ratio product.

@@ -741,6 +741,21 @@ object SimilarityQueries {
         m = 4, k = 5, nprobe = 2)
     }),
 
+    // Embedding-norm histogram per label — the collapse/health check an
+    // embedding pipeline runs before trusting cosine geometry: a
+    // healthy encoder spreads norms, a collapsed one piles into one
+    // bucket. Norm = sqrt of the deterministic left-fold dot (both
+    // engines correctly-rounded), bucket = ⌊10·norm⌋; label×buckets
+    // rows out of one pass.
+    "sim_norm_histogram" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      emb(s, dir)
+        .select(col("label").cast("long").as("label"),
+          floor(sqrt(VectorFunctions.dot(col("embedding"), col("embedding")))
+            * 10).cast("long").as("norm_bucket"))
+        .groupBy("label", "norm_bucket").agg(count(lit(1)).as("n"))
+    }),
+
     // Recall-vs-nprobe tuning curve: recall@5 of multi-probe IVF at
     // nprobe ∈ {1, 2, 4} against one shared brute-truth pass — the
     // whole recall/scan-cost trade on one axis (each arm reuses the
@@ -2119,6 +2134,14 @@ object SimilarityQueries {
     "sim_ivfpq_residual" ->
       s"""WITH $ivfPqResidualCtes
          |SELECT qid, vec_id, adc_dist, rank FROM rs_ranked WHERE rank <= 5""".stripMargin,
+
+    // Norm-histogram mirror: same left-fold dot, sqrt, ⌊10·norm⌋.
+    "sim_norm_histogram" ->
+      s"""SELECT CAST(label AS BIGINT) AS label,
+         |       CAST(floor(sqrt(${dotSql("embedding", "embedding")}) * 10) AS BIGINT)
+         |         AS norm_bucket,
+         |       count(*)::BIGINT AS n
+         |FROM embeddings GROUP BY 1, 2""".stripMargin,
 
     // nprobe-curve mirror: one truth/assign pass, one probe arm per
     // nprobe (rank ≤ np over all centroids), unioned recall tails.
