@@ -137,6 +137,38 @@ object DedupQueries {
         .withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
     }),
 
+    // Signature-length accuracy sweep: MinHash Jaccard estimates at
+    // k ∈ {8, 16} against the exact Jaccard on the band-collided
+    // candidate pairs. On THIS conditioned population the estimate is
+    // systematically high (a band collision requires runs of equal
+    // slots — the LSH false-positive gap), which is precisely the
+    // number that justifies the exact-verification stage after every
+    // banding pass; the k axis prices signature storage against it.
+    // Per-(k, pair) grain, no float cross-row sums.
+    "dedup_k_sweep" -> ((s, dir) => {
+      import graft.expressions.TextSketches
+      val d = docs(s, dir)
+      val cand = Dedup.lshCandidatePairs(d, "doc_id", "text",
+        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val exact = Dedup.ngramJaccard(d, cand, "doc_id", "text", shingleWords = 3)
+        .select(col("id_a"), col("id_b"), col("jaccard").as("exact_jaccard"))
+        .localCheckpoint(true)
+      Seq(8, 16).map { k =>
+        val sig = d.select(col("doc_id"),
+          TextSketches.minHashSignature(col("text"), k, 3).as("sig"))
+        exact
+          .join(sig.select(col("doc_id").as("id_a"), col("sig").as("__sa")), "id_a")
+          .join(sig.select(col("doc_id").as("id_b"), col("sig").as("__sb")), "id_b")
+          .select(lit(k.toLong).as("k"), col("id_a"), col("id_b"),
+            (aggregate(zip_with(col("__sa"), col("__sb"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L), (acc, x) => acc + x).cast("double") / k).as("est_jaccard"),
+            col("exact_jaccard"))
+          .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+      }.reduce(_ unionByName _)
+    }),
+
     // Within-vs-cross-source duplication matrix: the confirmed near-dup
     // pairs (exact Jaccard ≥ 0.5 over LSH candidates) bucketed by their
     // unordered source pair — the number that decides whether dedup can
@@ -764,6 +796,40 @@ object DedupQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS n_at_or_above
          |FROM binned""".stripMargin,
+
+    // k-sweep mirror: candidate/exact CTEs, per-k signature arms with
+    // the same min-hash formula truncated to k slots.
+    "dedup_k_sweep" -> {
+      def sigSql(k: Int) =
+        s"""list_transform(range(1,${k + 1}), i ->
+           |  list_min(list_transform(list_distinct(shingles),
+           |    s -> ((((${h60("'a:' || i")} & 2147483647) | 1) * (${h60("s")} & 2147483647)
+           |           + (${h60("'b:' || i")} & 2147483647)) % 2305843009213693951))))""".stripMargin
+      val arms = Seq(8, 16).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k, jp.id_a, jp.id_b,
+           |  CAST(list_sum(list_transform(range(1,${k + 1}), i ->
+           |    CASE WHEN sa.sig[i::INT] = sb.sig[i::INT] THEN 1 ELSE 0 END)) AS DOUBLE)
+           |    / $k AS est_jaccard,
+           |  jp.jaccard AS exact_jaccard,
+           |  abs(CAST(list_sum(list_transform(range(1,${k + 1}), i ->
+           |    CASE WHEN sa.sig[i::INT] = sb.sig[i::INT] THEN 1 ELSE 0 END)) AS DOUBLE)
+           |    / $k - jp.jaccard) AS abs_err
+           |FROM jp
+           |JOIN sig$k sa ON jp.id_a = sa.doc_id
+           |JOIN sig$k sb ON jp.id_b = sb.doc_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $lshCandCtes,
+         |sets AS (SELECT doc_id,
+         |  list_distinct(list_transform(shingles, x -> ${h60("x")})) AS s FROM shg),
+         |jp AS (
+         |  SELECT c.id_a, c.id_b, ${jaccardSql("a.s", "b.s")} AS jaccard
+         |  FROM lshcand c
+         |  JOIN sets a ON c.id_a = a.doc_id
+         |  JOIN sets b ON c.id_b = b.doc_id),
+         |sig8 AS (SELECT doc_id, ${sigSql(8)} AS sig FROM shg),
+         |sig16 AS (SELECT doc_id, ${sigSql(16)} AS sig FROM shg)
+         |$arms""".stripMargin
+    },
 
     // Source-matrix mirror: candidate/jaccard CTEs, unordered source
     // pair grouping.
