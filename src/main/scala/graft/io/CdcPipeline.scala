@@ -89,7 +89,7 @@ object CdcPipeline {
 
   /** Merge-on-read twin of [[loadIncremental]]: the same tagged change
     * batch commits through [[MorTable.mergeTagged]] — append-only
-    * winners + position-delete sidecar instead of the copy-on-write
+    * winners + equality-delete sidecar instead of the copy-on-write
     * rewrite. `rowsWritten` counts the appended winners (footer-count
     * read of the new batch dir — metadata-only); `impactedFiles` is
     * empty by construction: no stored file is ever rewritten. */

@@ -15,48 +15,78 @@ import org.apache.spark.sql.functions._
   * 100 TB with point deletes that write amplification dominates the load
   * job. Merge-on-read instead makes every commit APPEND-ONLY:
   *
-  *   - `data/batch=<b>/`    — immutable data files; a merge appends only
-  *     the batch's per-key winners (never rewrites the target);
-  *   - `deletes/batch=<b>/` — position-delete sidecar rows
-  *     `(df_file, df_pos)`: target positions superseded by batch `b`;
-  *   - `commits/<b>.commit` — zero-byte marker, created LAST. Readers see
-  *     exactly the committed batches: a crash mid-merge leaves invisible
-  *     garbage dirs (reclaimed by [[vacuum]]), never a torn table.
+  *   - `data/batch=<b>/`       — immutable data files; a merge appends
+  *     only the batch's per-key winners (never rewrites the target);
+  *   - `deletes_eq/batch=<b>/` — EQUALITY-delete sidecar: the batch's
+  *     distinct primary keys. A key row in batch `b` masks every stored
+  *     row with that key in any data batch < `b` (update, delete, and
+  *     re-insert alike — any change beats older generations). Writing
+  *     it needs NOTHING but the batch itself, so a merge commit never
+  *     reads the target at all: commit cost is O(batch) on a 100 TB
+  *     table. Applied at read as a null-safe anti-join on the PKs
+  *     gated on `eq_batch > data_batch` (so a batch never masks its
+  *     own winners);
+  *   - `deletes/batch=<b>/`    — POSITION-delete sidecar rows
+  *     `(df_file, df_pos)`: written only by [[compact]] and [[vacuum]],
+  *     which LOWER accumulated equality deletes to positions (they scan
+  *     the target anyway — that is their job), keeping the read-side
+  *     join bounded between maintenance runs;
+  *   - `commits/<b>.commit`    — zero-byte marker, created LAST. Readers
+  *     see exactly the committed batches: a crash mid-merge leaves
+  *     invisible garbage dirs (reclaimed by [[vacuum]]), never a torn
+  *     table.
   *
   * The read path reconstructs current state: committed data minus
-  * committed delete positions, an anti-join on `(_metadata.file_path,
-  * _metadata.row_index)`. The sidecar is ≪ data (bounded by cumulative
-  * changed rows, and compaction re-baselines it), so AQE builds the
-  * anti-join hash table on the delete side — the target itself is never
-  * shuffled, on write OR read.
+  * position-deleted rows minus equality-deleted rows. Both sidecars are
+  * ≪ data (bounded by cumulative changed rows / batch keys since the
+  * last maintenance pass, and compaction/vacuum re-baseline them), so
+  * AQE builds both anti-join hash tables on the delete side — the
+  * target itself is never shuffled, on write OR read.
   *
   * Merge cost model vs CoW (the reason both exist): MOR writes
-  * O(batch) rows + O(superseded positions) sidecar rows per commit and
-  * pays one small anti-join per read; CoW writes O(impacted files ×
-  * file size) per commit and reads free. High-churn / point-delete
-  * tables want MOR with periodic [[compact]]; scan-heavy tables want
-  * CoW. Semantics are identical (MorTableSpec proves read ≡
-  * [[graft.cdc.Merge.applySequenced]] on the shared fixture; the
-  * `cdc_mor_merge` / `cdc_mor_compact` queries pin it against the SAME
-  * DuckDB oracle as `cdc_merge`).
+  * O(batch) data rows + O(batch keys) sidecar rows per commit — no
+  * target read, no target write — and pays two small anti-joins per
+  * read; CoW writes O(impacted files × file size) per commit and reads
+  * free. High-churn / point-delete tables want MOR with periodic
+  * [[compact]]; scan-heavy tables want CoW. Semantics are identical
+  * (MorTableSpec proves read ≡ [[graft.cdc.Merge.applySequenced]] on
+  * the shared fixture; the `cdc_mor_merge` / `cdc_mor_compact` queries
+  * pin it against the SAME DuckDB oracle as `cdc_merge`).
   *
   * Same latest-wins contract as [[graft.cdc.Merge]]: within a batch the
   * (file_seq, rownum) winner per key survives; any change beats the
   * stored version (stored rows are sentinel generation 0); a winning
-  * delete removes the key. Schema evolution via mergeSchema on the data
-  * read (mixed footers across batches read with null-fill, the MOR
-  * analog of the CoW path's unionByName — reference U1).
+  * delete removes the key. NULL primary keys group together (the batch
+  * window) and mask together (the null-safe `<=>` anti-join) — the same
+  * one-survivor semantics as the CoW window merge. Schema evolution via
+  * mergeSchema on the data read (mixed footers across batches read with
+  * null-fill, the MOR analog of the CoW path's unionByName — reference
+  * U1).
+  *
+  * Equality deletes are the standard lakehouse device for cheap
+  * streaming upserts (Iceberg format v2 equality delete files); the
+  * lowering-at-compaction life cycle here is this engine's own.
   */
 object MorTable {
 
-  /** Delete-sidecar schema: absolute data-file path + row position. */
+  /** Position-delete sidecar schema: absolute data-file path + row
+    * position. */
   val DelFile = "df_file"
   val DelPos = "df_pos"
   private val F = "__mor_file"
   private val P = "__mor_pos"
+  private val B = "__mor_batch"
+
+  /** Above this many paths, file-list filters become a broadcast
+    * semi/anti-join instead of a literal In-list — compaction victim
+    * sets are file-count-sized and usually tiny, but a giant In
+    * expression over 10⁵ paths neither prunes nor codegens well
+    * (the [[graft.ops.Retrieval]] `maxProbedKeys` precedent). */
+  private[io] val MaxInListPaths = 1000
 
   private def dataDir(path: String) = s"$path/data"
   private def delDir(path: String) = s"$path/deletes"
+  private def delEqDir(path: String) = s"$path/deletes_eq"
   private def commitDir(path: String) = s"$path/commits"
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -82,9 +112,107 @@ object MorTable {
     batches.map(b => s"$base/batch=$b").filter(d => f.exists(new Path(d)))
   }
 
+  /** Sidecar dirs that actually contain part files (a zero-winner merge
+    * or an emptied consolidation can leave a partless committed dir,
+    * which schema inference would reject). Commit-count-bounded
+    * listings. */
+  private def dirsWithParquet(spark: SparkSession, path: String,
+                              dirs: Seq[String]): Seq[String] = {
+    val f = fs(spark, path)
+    dirs.filter(d =>
+      f.listStatus(new Path(d)).exists(_.getPath.getName.endsWith(".parquet")))
+  }
+
+  /** Keep rows whose `colName` is in `paths` — literal In below
+    * [[MaxInListPaths]], broadcast semi-join above. */
+  private[io] def keepInPaths(df: DataFrame, colName: String, paths: Seq[String],
+                              cap: Int = MaxInListPaths): DataFrame =
+    if (paths.size <= cap) df.where(col(colName).isin(paths: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(paths.toDF(s"__in_$colName")),
+        df(colName) === col(s"__in_$colName"), "left_semi")
+    }
+
+  /** Drop rows whose `colName` is in `paths` — same gate, anti-join
+    * fallback. */
+  private[io] def dropInPaths(df: DataFrame, colName: String, paths: Seq[String],
+                              cap: Int = MaxInListPaths): DataFrame =
+    if (paths.isEmpty) df
+    else if (paths.size <= cap) df.where(!col(colName).isin(paths: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(paths.toDF(s"__in_$colName")),
+        df(colName) === col(s"__in_$colName"), "left_anti")
+    }
+
+  /** Committed data rows tagged with `(file, pos, batch)` provenance. */
+  private def readData(spark: SparkSession, path: String,
+                       batches: Seq[Long]): DataFrame = {
+    val dirs = committedDirs(spark, path, dataDir(path), batches)
+    require(dirs.nonEmpty, s"MOR table has no committed data: $path")
+    spark.read.option("mergeSchema", "true")
+      .option("basePath", dataDir(path)).parquet(dirs: _*)
+      .withColumn(F, col("_metadata.file_path"))
+      .withColumn(P, col("_metadata.row_index"))
+      .withColumn(B, col("batch"))
+      .drop("batch")
+  }
+
+  /** Committed position-delete rows `(df_file, df_pos)`, or None. */
+  private def readPosDels(spark: SparkSession, path: String,
+                          batches: Seq[Long]): Option[DataFrame] = {
+    val dirs = dirsWithParquet(spark, path,
+      committedDirs(spark, path, delDir(path), batches))
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", delDir(path)).parquet(dirs: _*)
+      .select(DelFile, DelPos))
+  }
+
+  /** Committed equality-delete rows (pk columns renamed `__eq_<pk>` +
+    * `__eq_b`), or None. The sidecar's own schema names the keys — the
+    * read path needs no external PK metadata. */
+  private def readEqDels(spark: SparkSession, path: String,
+                         batches: Seq[Long]): Option[(DataFrame, Seq[String])] = {
+    val dirs = dirsWithParquet(spark, path,
+      committedDirs(spark, path, delEqDir(path), batches))
+    if (dirs.isEmpty) None
+    else {
+      val raw = spark.read.option("basePath", delEqDir(path)).parquet(dirs: _*)
+      val pks = raw.columns.filterNot(_ == "batch").toSeq
+      val renamed = raw.select(
+        pks.map(c => col(c).as(s"__eq_$c")) :+ col("batch").as("__eq_b"): _*)
+      Some((renamed, pks))
+    }
+  }
+
+  /** Mask `data` (provenance-tagged) with the position sidecar. */
+  private def applyPos(data: DataFrame, pos: Option[DataFrame]): DataFrame =
+    pos.fold(data)(p =>
+      // Sidecar ≪ data → AQE plans a broadcast anti-join; the stored
+      // data never crosses an exchange.
+      data.join(p, data(F) === p(DelFile) && data(P) === p(DelPos), "left_anti"))
+
+  /** The equality-delete join condition: null-safe PK match AND the
+    * delete comes from a LATER commit than the data row (a commit's own
+    * winners are in the same batch, so they survive their own mask;
+    * NULL keys mask each other — one-survivor semantics for the NULL
+    * group, matching the CoW window). */
+  private def eqCond(data: DataFrame, eq: DataFrame, pks: Seq[String]): Column =
+    pks.map(c => data(c) <=> eq(s"__eq_$c")).reduce(_ && _) &&
+      eq("__eq_b") > data(B)
+
+  /** Mask `data` with the equality sidecar. */
+  private def applyEq(data: DataFrame, eqd: Option[(DataFrame, Seq[String])]): DataFrame =
+    eqd.fold(data) { case (eq, pks) =>
+      data.join(eq, eqCond(data, eq, pks), "left_anti")
+    }
+
   /** Live state as of the commit prefix ≤ `upTo` (all commits when
     * None). `withProvenance=true` keeps the `(file, pos)` identity
-    * columns the merge path needs for supersession. */
+    * columns the maintenance paths need for supersession. */
   private def readTagged(spark: SparkSession, path: String,
                          withProvenance: Boolean,
                          upTo: Option[Long] = None): DataFrame = {
@@ -95,46 +223,42 @@ object MorTable {
         pre
       case None => committedBatches(spark, path)
     }
-    val dirs = committedDirs(spark, path, dataDir(path), batches)
-    require(dirs.nonEmpty, s"MOR table has no committed data: $path")
-    val data = spark.read.option("mergeSchema", "true")
-      .option("basePath", dataDir(path)).parquet(dirs: _*)
-      .withColumn(F, col("_metadata.file_path"))
-      .withColumn(P, col("_metadata.row_index"))
-      .drop("batch")
-    val delDirs = committedDirs(spark, path, delDir(path), batches)
-    val live =
-      if (delDirs.isEmpty) data
-      else {
-        val dels = spark.read.option("basePath", delDir(path)).parquet(delDirs: _*)
-        // Sidecar ≪ data → AQE plans a broadcast anti-join; the stored
-        // data never crosses an exchange.
-        data.join(dels,
-          data(F) === dels(DelFile) && data(P) === dels(DelPos), "left_anti")
-      }
-    if (withProvenance) live else live.drop(F, P)
+    val data = readData(spark, path, batches)
+    val live = applyEq(
+      applyPos(data, readPosDels(spark, path, batches)),
+      readEqDels(spark, path, batches))
+    if (withProvenance) live.drop(B) else live.drop(F, P, B)
   }
 
   /** Read the table's current state (committed data minus committed
-    * delete positions). */
+    * position- and equality-deleted rows). */
   def read(spark: SparkSession, path: String): DataFrame =
     readTagged(spark, path, withProvenance = false)
 
   /** Time travel: the table exactly as of commit `batch` — data and
-    * delete batches ≤ `batch`, same anti-join. Free by construction:
+    * delete batches ≤ `batch`, same anti-joins. Free by construction:
     * commits are immutable and append-only, so history IS the commit
-    * prefix; no log replay, no snapshot copies. (Vacuum trades history
-    * for space: it physically drops fully-dead files and re-baselines
-    * the sidecar under a NEW commit, so states older than the last
-    * vacuum are no longer reconstructable — the standard lakehouse
-    * retention trade, surfaced here as "readAsOf after vacuum may
-    * error on missing files".) */
+    * prefix; no log replay, no snapshot copies. ([[compact]] keeps the
+    * superseded equality sidecars precisely so this still works for
+    * pre-compaction states; [[vacuum]] trades history for space: it
+    * physically drops fully-dead files, re-baselines the sidecar under
+    * a NEW commit and sweeps the lowered equality dirs, so states older
+    * than the last vacuum are no longer reconstructable — the standard
+    * lakehouse retention trade, surfaced here as "readAsOf after vacuum
+    * may error on missing files".) */
   def readAsOf(spark: SparkSession, path: String, batch: Long): DataFrame =
     readTagged(spark, path, withProvenance = false, upTo = Some(batch))
 
-  /** Batch 0: initial snapshot commit. */
+  /** Batch 0: initial snapshot commit. A RE-load of an existing table
+    * (reference C3: a newer LOAD file re-triggers the full load) must
+    * truncate the previous epoch first — wiping data/deletes/commits
+    * wholesale, exactly like the CoW path's overwrite — or stale
+    * commits > 0 would survive and union into the fresh snapshot. */
   def init(spark: SparkSession, snapshot: DataFrame, path: String,
            maxRecordsPerFile: Long = CowWriter.DefaultMaxRecordsPerFile): Unit = {
+    val f = fs(spark, path)
+    Seq(dataDir(path), delDir(path), delEqDir(path), commitDir(path))
+      .foreach(d => f.delete(new Path(d), true))
     writeBatchData(snapshot, path, 0L, maxRecordsPerFile)
     commit(spark, path, 0L)
   }
@@ -142,12 +266,13 @@ object MorTable {
   /** Latest-wins merge of a change batch (rows carry `Op` and `file_seq`
     * like [[graft.cdc.Merge.mergeCdc]]; `intraFileOrder` breaks
     * intra-file ties). Appends one data batch (the per-key winners that
-    * survive) and one delete batch (live positions of every key the
-    * batch touches), then commits.
+    * survive) and one EQUALITY-delete batch (the batch's distinct keys,
+    * masking all older generations), then commits.
     *
-    * The stored table is scanned ONCE, filtered by a broadcast semi-join
-    * on the batch's keys — no target shuffle, no target rewrite. Write
-    * volume is O(batch), not O(impacted files).
+    * The stored table is NEVER read or written: commit cost is
+    * O(batch) regardless of target size — the property that makes MOR
+    * the right format for high-churn CDC at 100 TB (MorTableSpec pins
+    * it: the merge's executed plans scan zero target data files).
     */
   def merge(spark: SparkSession, changes: DataFrame, path: String, pks: Seq[String],
             intraFileOrder: Seq[Column] = Nil,
@@ -170,32 +295,29 @@ object MorTable {
     // supersedes.
     val appended = winners.where(col(Op.column) =!= Op.Delete)
       .drop(provenanceCols: _*)
-
-    // Every live position holding a batch key is superseded (update,
-    // delete, or re-insert alike — any change beats generation 0).
-    val live = readTagged(spark, path, withProvenance = true)
+    // Every key the batch touches supersedes its older generations
+    // (update, delete, re-insert alike). The key set IS the equality
+    // sidecar — no target scan to locate positions.
     val keys = sequenced.select(pks.map(col): _*).distinct()
-    val superseded = live
-      .join(broadcast(keys), pks, "left_semi")
-      .select(col(F).as(DelFile), col(P).as(DelPos))
 
     writeBatchData(appended, path, b, maxRecordsPerFile)
-    superseded.write.mode("overwrite").parquet(s"${delDir(path)}/batch=$b")
+    keys.write.mode("overwrite").parquet(s"${delEqDir(path)}/batch=$b")
     commit(spark, path, b)
     b
   }
 
   /** Value-level change feed of one commit, derived from the commit
     * structure alone — no sidecar log: pre-images are the LIVE rows (as
-    * of `batch − 1`) at positions this batch's delete sidecar
-    * supersedes; post-images are the batch's appended winners. A full
-    * outer join on the PKs classifies I/U/D, and same-value row moves
-    * are filtered out — so compaction commits (which only move rows)
-    * and vacuum's sidecar re-baseline (whose delete entries point at
-    * already-dead positions) emit NOTHING, exactly as a semantic feed
-    * should. Contract: a VALUE diff over `trackCols`, not an operation
-    * log — an update writing identical tracked values is silent (the
-    * operation-log surface is the CoW path's [[graft.cdc.ChangeFeed]]).
+    * of `batch − 1`) the commit's sidecar supersedes (equality keys for
+    * merge commits, positions for compaction commits); post-images are
+    * the batch's appended winners. A full outer join on the PKs
+    * classifies I/U/D, and same-value row moves are filtered out — so
+    * compaction commits (which only move rows) and vacuum's sidecar
+    * re-baseline (whose delete entries point at already-dead positions)
+    * emit NOTHING, exactly as a semantic feed should. Contract: a VALUE
+    * diff over `trackCols`, not an operation log — an update writing
+    * identical tracked values is silent (the operation-log surface is
+    * the CoW path's [[graft.cdc.ChangeFeed]]).
     *
     * Output: (pks…, change_op, pre_<c>, post_<c> per tracked column). */
   def commitDiff(spark: SparkSession, path: String, batch: Long,
@@ -207,6 +329,7 @@ object MorTable {
 
     val pre0 = readTagged(spark, path, withProvenance = true, upTo = Some(batch - 1))
     val delDir_b = s"${delDir(path)}/batch=$batch"
+    val delEqDir_b = s"${delEqDir(path)}/batch=$batch"
     val dataDir_b = s"${dataDir(path)}/batch=$batch"
     // A commit with NO data dir is vacuum's sidecar consolidation (every
     // merge/compact writes its data dir, even when empty). Its entries
@@ -216,12 +339,23 @@ object MorTable {
     // empty feed, by early pre-emptying both sides.
     val isConsolidation = !f.exists(new Path(dataDir_b))
     val pre =
-      if (isConsolidation || !f.exists(new Path(delDir_b))) pre0.limit(0)
-      else {
+      if (isConsolidation) pre0.limit(0)
+      else if (f.exists(new Path(delEqDir_b))) {
+        // merge commit: equality keys select the superseded pre-images
+        // (pre0 rows are all from batches < `batch`, so no batch guard
+        // is needed — the keys mask exactly them).
+        val raw = spark.read.parquet(delEqDir_b)
+        val kpks = raw.columns.toSeq
+        val eq = raw.select(kpks.map(c => col(c).as(s"__eq_$c")): _*)
+        pre0.join(eq,
+          kpks.map(c => pre0(c) <=> eq(s"__eq_$c")).reduce(_ && _), "left_semi")
+      } else if (f.exists(new Path(delDir_b))) {
+        // compaction commit: position entries (moves — value-filtered to
+        // nothing below).
         val dels = spark.read.parquet(delDir_b)
         pre0.join(dels,
           pre0(F) === dels(DelFile) && pre0(P) === dels(DelPos), "left_semi")
-      }
+      } else pre0.limit(0)
     // an all-delete merge batch leaves a partless data dir (nothing
     // appended) that schema inference would reject
     val hasDataFiles = !isConsolidation &&
@@ -272,12 +406,32 @@ object MorTable {
       provenanceCols = Seq(CdcPipeline.SrcFile, CdcPipeline.RowIdx))
   }
 
-  /** Rewrite data files whose dead (deleted-position) fraction reached
+  /** Positions of rows masked by the equality sidecar but not by the
+    * position sidecar — the LOWERING set: rewriting these as position
+    * deletes makes the equality entries redundant for current reads.
+    * Data scan is column-pruned to (pks, _metadata, batch). */
+  private def eqMaskedPositions(data: DataFrame, pos: Option[DataFrame],
+                                eqd: Option[(DataFrame, Seq[String])]): DataFrame = {
+    val afterPos = applyPos(data, pos)
+    eqd match {
+      case None => afterPos.select(col(F).as(DelFile), col(P).as(DelPos)).limit(0)
+      case Some((eq, pks)) =>
+        afterPos.join(eq, eqCond(afterPos, eq, pks), "left_semi")
+          .select(col(F).as(DelFile), col(P).as(DelPos))
+    }
+  }
+
+  /** Rewrite data files whose dead (superseded-row) fraction reached
     * `minDeadFraction`, expressed AS a commit: live rows of the victim
     * files re-append under a new batch and their old positions join the
-    * delete sidecar. Visibility flips atomically with the commit marker
-    * — no new metadata concept, no reader-visible window. The old files
-    * become fully dead; [[vacuum]] reclaims them.
+    * position-delete sidecar. The same commit LOWERS all outstanding
+    * equality deletes to position deletes (compaction scans the target
+    * anyway; merge never does) — after it, reads pay position masks
+    * only, and the superseded equality dirs remain solely for time
+    * travel until [[vacuum]] sweeps them. Visibility flips atomically
+    * with the commit marker — no new metadata concept, no
+    * reader-visible window. The old files become fully dead; [[vacuum]]
+    * reclaims them.
     *
     * `clusterBy` additionally range-partitions + sorts the re-appended
     * rows, restoring zone-map prunability (each rewritten file owns a
@@ -291,19 +445,28 @@ object MorTable {
     val batches = committedBatches(spark, path)
     val dataDirs = committedDirs(spark, path, dataDir(path), batches)
     if (dataDirs.isEmpty) return Nil
-    val delDirs = committedDirs(spark, path, delDir(path), batches)
-    if (delDirs.isEmpty) return Nil
+    val pos = readPosDels(spark, path, batches)
+    val eqd = readEqDels(spark, path, batches)
+    if (pos.isEmpty && eqd.isEmpty) return Nil
+
+    val data = readData(spark, path, batches)
+    // Lowered equality masks, stabilized: consumed by the dead counts,
+    // the new sidecar, and (implicitly) the live set below.
+    val eqMasked = eqMaskedPositions(data, pos, eqd).localCheckpoint(true)
+    val deadPositions = pos.fold(eqMasked)(p =>
+      p.select(DelFile, DelPos)
+        // DISTINCT positions: a vacuum crash between its commit and the
+        // old-dir sweep leaves duplicate sidecar entries, which a raw
+        // count would double — inflating d past n. (eqMasked is disjoint
+        // from the position masks by construction — it anti-joined them.)
+        .unionByName(eqMasked).distinct())
 
     // Per-file row totals from parquet footer counts (metadata-only
     // count(*) per dir would lose the per-file split — this scan is
     // column-pruned to the virtual _metadata struct, no data pages).
     val totals = spark.read.option("basePath", dataDir(path)).parquet(dataDirs: _*)
       .groupBy(col("_metadata.file_path").as("f")).agg(count(lit(1)).as("n"))
-    // DISTINCT positions: a vacuum crash between its commit and the
-    // old-dir sweep leaves duplicate sidecar entries, which a raw count
-    // would double — inflating d past n.
-    val dead = spark.read.option("basePath", delDir(path)).parquet(delDirs: _*)
-      .select(DelFile, DelPos).distinct()
+    val dead = deadPositions
       .groupBy(col(DelFile).as("f")).agg(count(lit(1)).as("d"))
     val victims = totals.join(dead, "f")
       .where(col("d") >= col("n") * minDeadFraction && col("d") < col("n"))
@@ -311,31 +474,42 @@ object MorTable {
     if (victims.isEmpty) return Nil
 
     val b = batches.last + 1L
-    val live = readTagged(spark, path, withProvenance = true)
-      .where(col(F).isin(victims: _*))
+    val live = keepInPaths(applyEq(applyPos(data, pos), eqd), F, victims)
       .localCheckpoint(true) // two consumers (data + sidecar); and the
                              // range shuffle below must see a stable set
-    val out0 = live.drop(F, P)
+    val out0 = live.drop(F, P, B)
     val out =
       if (clusterBy.isEmpty) out0
       else out0.repartitionByRange(clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     writeBatchData(out, path, b, maxRecordsPerFile)
+    // New sidecar = moved victim rows + the lowered equality masks.
     live.select(col(F).as(DelFile), col(P).as(DelPos))
+      .unionByName(eqMasked).distinct()
       .write.mode("overwrite").parquet(s"${delDir(path)}/batch=$b")
     commit(spark, path, b)
     victims
   }
 
-  /** GC pass, driver-side and bounded by file/commit counts:
-    *  1. physically delete fully-dead data files (total rows == deleted
-    *     positions — compaction victims and fully-superseded batches);
-    *  2. re-baseline the delete sidecar: surviving entries (those whose
-    *     file still exists) consolidate into a fresh committed batch and
-    *     the old delete dirs drop. Crash between the new commit and the
-    *     old-dir sweep leaves duplicate delete entries — harmless to the
-    *     anti-join, swept by the next vacuum.
-    *  3. remove uncommitted orphan batch dirs (crashed merges).
+  /** GC pass — SINGLE-WRITER: like every mutation here (merge ids are
+    * allocated as last-committed+1), vacuum assumes no concurrent
+    * writer; its orphan sweep would reclaim the not-yet-committed dirs
+    * of an in-flight merge. Serialize maintenance with ingestion (the
+    * Controller's per-table lock / one-stream-per-table layout already
+    * does).
+    *
+    *  1. lower any outstanding equality deletes to positions (a
+    *     PK-column-pruned scan — only needed when no [[compact]] ran
+    *     since the last equality-writing merge);
+    *  2. physically delete fully-dead data files (total rows ==
+    *     superseded positions — compaction victims and fully-superseded
+    *     batches);
+    *  3. re-baseline the delete sidecar: surviving entries (those whose
+    *     file still exists) consolidate into a fresh committed batch;
+    *     the old position dirs AND the now-lowered equality dirs drop.
+    *     Crash between the new commit and the sweeps leaves duplicate
+    *     masks — harmless to the anti-joins, swept by the next vacuum;
+    *  4. remove uncommitted orphan batch dirs (crashed merges).
     *
     * Same non-atomic reader window as the reference's CoW delete
     * (README.md:274): an in-flight read that already listed a
@@ -345,12 +519,11 @@ object MorTable {
     val f = fs(spark, path)
     val batches = committedBatches(spark, path)
     val dataDirs = committedDirs(spark, path, dataDir(path), batches)
-    val delDirs = committedDirs(spark, path, delDir(path), batches)
     if (dataDirs.isEmpty) return (0L, 0L)
 
-    // 3) uncommitted orphans (both data and delete sides).
+    // 4) uncommitted orphans (data and both sidecar kinds).
     val committed = batches.toSet
-    Seq(dataDir(path), delDir(path)).foreach { base =>
+    Seq(dataDir(path), delDir(path), delEqDir(path)).foreach { base =>
       val bp = new Path(base)
       if (f.exists(bp)) f.listStatus(bp).toSeq
         .filter(_.getPath.getName.startsWith("batch="))
@@ -358,14 +531,22 @@ object MorTable {
         .foreach(s => f.delete(s.getPath, true))
     }
 
-    if (delDirs.isEmpty) return (0L, 0L)
-    val totals = spark.read.option("basePath", dataDir(path)).parquet(dataDirs: _*)
-      .groupBy(col("_metadata.file_path").as("f")).agg(count(lit(1)).as("n"))
-    val dels = spark.read.option("basePath", delDir(path)).parquet(delDirs: _*)
+    val pos = readPosDels(spark, path, batches)
+    val eqd = readEqDels(spark, path, batches)
+    if (pos.isEmpty && eqd.isEmpty) return (0L, 0L)
+    val data = readData(spark, path, batches)
+    // 1) lowering set, materialized BEFORE any physical deletion (its
+    // lazy plan reads data files this pass may remove).
+    val eqMasked = eqMaskedPositions(data, pos, eqd).localCheckpoint(true)
     // DISTINCT positions, or post-crash duplicate entries make d exceed
     // n and the fully-dead file is never detected (a silent disk leak).
-    val dead = dels.select(DelFile, DelPos).distinct()
-      .groupBy(col(DelFile).as("f")).agg(count(lit(1)).as("d"))
+    val allDead = pos.fold(eqMasked)(p =>
+      p.select(DelFile, DelPos).unionByName(eqMasked).distinct())
+      .localCheckpoint(true)
+
+    val totals = spark.read.option("basePath", dataDir(path)).parquet(dataDirs: _*)
+      .groupBy(col("_metadata.file_path").as("f")).agg(count(lit(1)).as("n"))
+    val dead = allDead.groupBy(col(DelFile).as("f")).agg(count(lit(1)).as("d"))
     val fullyDead0 = totals.join(dead, "f").where(col("d") === col("n"))
       .select("f").as[String].collect().toSeq.sorted
     // A table whose every row is deleted would lose its LAST data file
@@ -376,20 +557,24 @@ object MorTable {
     val nAllFiles = dataFiles(spark, path).size
     val fullyDead =
       if (fullyDead0.size == nAllFiles) fullyDead0.drop(1) else fullyDead0
-    fullyDead.foreach(p => f.delete(new Path(new java.net.URI(p)), false))
 
-    // 2) consolidate surviving entries into one fresh delete batch.
-    val survivors =
-      if (fullyDead.isEmpty) dels
-      else dels.where(!col(DelFile).isin(fullyDead: _*))
-    val nBefore = dels.count()
+    // 3) consolidate surviving masks into one fresh committed delete
+    // batch FIRST (write + marker precede any deletion, so a crash at
+    // any point leaves only duplicate masks, never missing ones).
+    val nBefore = allDead.count()
     val b = batches.last + 1L
-    survivors.select(DelFile, DelPos).distinct()
+    dropInPaths(allDead, DelFile, fullyDead)
       .write.mode("overwrite").parquet(s"${delDir(path)}/batch=$b")
     commit(spark, path, b)
     val nAfter = spark.read.parquet(s"${delDir(path)}/batch=$b").count()
-    // old delete dirs are superseded by the consolidated batch
-    delDirs.foreach(d => f.delete(new Path(d), true))
+
+    // 2) physical deletes: fully-dead files, superseded position dirs,
+    // lowered equality dirs.
+    fullyDead.foreach(p => f.delete(new Path(new java.net.URI(p)), false))
+    committedDirs(spark, path, delDir(path), batches)
+      .foreach(d => f.delete(new Path(d), true))
+    committedDirs(spark, path, delEqDir(path), batches)
+      .foreach(d => f.delete(new Path(d), true))
     (fullyDead.size.toLong, nBefore - nAfter)
   }
 

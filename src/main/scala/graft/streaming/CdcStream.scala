@@ -100,8 +100,9 @@ object CdcStream {
 
   /** Merge-on-read twin of [[start]]: the identical file stream drives
     * [[graft.io.MorTable.mergeTagged]] per micro-batch — every commit is
-    * append-only (batch winners + position-delete sidecar + commit
-    * marker), so streaming into a high-churn table never rewrites it.
+    * append-only (batch winners + equality-delete sidecar + commit
+    * marker), so streaming into a high-churn table never reads OR
+    * rewrites it — per-micro-batch commit cost is O(batch).
     * The caller must have initialized the table ([[graft.io.MorTable
     * .init]] with the LOAD snapshot — the batch initial load, exactly
     * like the CoW path). Crash replay re-applies the batch under a new

@@ -236,6 +236,116 @@ class MorTableSpec extends SparkSpec {
     assert(MorTable.read(spark, base).columns.forall(!_.startsWith("__")))
   }
 
+  test("merge commit plans scan ZERO target data files (O(batch) commit)") {
+    import scala.jdk.CollectionConverters._
+    val base = tmp()
+    MorTable.init(spark, snapshot, base)
+    MorTable.merge(spark, batch(1L, Seq(("U", 0L, "u0"))), base, Seq("k"))
+    // the change batch comes from a parquet FILE so its scan is the
+    // listener-drained sentinel (an in-memory batch would leave the
+    // zero-scan assert vacuously passing on undelivered events)
+    val chgDir = Files.createTempDirectory("morChg").toString
+    batch(2L, Seq(("U", 5L, "u5"), ("D", 6L, "x"), ("I", 300L, "n300")))
+      .write.mode("overwrite").parquet(chgDir)
+    val scanned = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      private def walk(p: SparkPlan): Unit = p.foreach {
+        case f: FileSourceScanExec => f.relation.location.inputFiles.foreach(scanned.add)
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ =>
+      }
+      override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             ns: Long): Unit = walk(qe.executedPlan)
+      override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      MorTable.merge(spark, spark.read.parquet(chgDir), base, Seq("k"))
+      // QueryExecutionListener delivery is async: drain until the change
+      // scan shows up (proves events for this merge were delivered)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!scanned.asScala.exists(_.contains(chgDir.stripPrefix("file:"))) &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    val files = scanned.asScala.toSet
+    assert(files.exists(_.contains(chgDir.stripPrefix("file:"))),
+      s"listener never saw the change-batch scan: $files")
+    val target = files.filter(f => f.contains(base) && f.contains("/data/batch="))
+    assert(target.isEmpty,
+      s"a MOR merge commit must not read the stored table, but scanned: $target")
+    // and the commit is real: latest-wins content holds
+    val ks = MorTable.read(spark, base).select("k").as[Long].collect().toSet
+    assert(ks.contains(300L) && !ks.contains(6L))
+  }
+
+  test("re-init truncates the previous epoch (reference C3 full reload)") {
+    val base = tmp()
+    MorTable.init(spark, snapshot, base)
+    MorTable.merge(spark, batch(1L, Seq(("U", 0L, "u0"), ("I", 100L, "n100"))),
+      base, Seq("k"))
+    MorTable.merge(spark, batch(2L, Seq(("D", 3L, "x"))), base, Seq("k"))
+    // a newer LOAD file arrives: the fresh snapshot must be the WHOLE
+    // table — no stale winners or masks from commits 1-2 may survive
+    val snap2 = spark.range(5).select(
+      lit(Op.Insert).as(Op.column), ($"id" + 1000L).as("k"),
+      concat(lit("s"), $"id").as("v"))
+    MorTable.init(spark, snap2, base)
+    assert(MorTable.committedBatches(spark, base) == Seq(0L),
+      "re-init must truncate the prior commit ledger")
+    assert(asSet(MorTable.read(spark, base)) == asSet(snap2))
+    // and the table keeps working: a post-reload merge applies cleanly
+    MorTable.merge(spark, batch(1L, Seq(("U", 1000L, "w"))), base, Seq("k"))
+    val m = MorTable.read(spark, base).select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(m(1000L) == "w" && m(1004L) == "s4" && m.size == 5)
+  }
+
+  test("NULL primary keys: the NULL group keeps exactly one survivor (CoW parity)") {
+    val base = tmp()
+    val snap = Seq((Op.Insert, Some(1L), "a"), (Op.Insert, Option.empty[Long], "n0"))
+      .toDF(Op.column, "k", "v")
+    MorTable.init(spark, snap, base)
+    def one(op: String, v: String, seq: Long) =
+      Seq((op, Option.empty[Long], v)).toDF(Op.column, "k", "v")
+        .withColumn(Merge.FileSeq, lit(seq))
+    MorTable.merge(spark, one("U", "n1", 1L), base, Seq("k"))
+    MorTable.merge(spark, one("U", "n2", 2L), base, Seq("k"))
+    val nulls = MorTable.read(spark, base).where($"k".isNull)
+      .select("v").as[String].collect().toSeq
+    assert(nulls == Seq("n2"),
+      s"repeated NULL-key changes must converge to one survivor, got $nulls")
+    // parity with the CoW window merge on the same sequence
+    val cow = Merge.mergeCdc(snap, one("U", "n1", 1L).unionByName(one("U", "n2", 2L)),
+      Seq("k"), Nil)
+    assert(asSet(MorTable.read(spark, base)) == asSet(cow))
+    // a winning NULL-key delete removes the group
+    MorTable.merge(spark, one("D", "x", 3L), base, Seq("k"))
+    assert(MorTable.read(spark, base).where($"k".isNull).count() == 0L)
+  }
+
+  test("file-list filters gate to broadcast joins above the In-list cap") {
+    val df = spark.range(100).select(
+      concat(lit("f"), $"id" % 10).as("p"), $"id".as("x"))
+    val paths = Seq("f0", "f1", "f2")
+    val keepJ = MorTable.keepInPaths(df, "p", paths, cap = 2)
+    val keepI = MorTable.keepInPaths(df, "p", paths, cap = 10)
+    assert(keepJ.queryExecution.executedPlan.toString.contains("Join"),
+      "above the cap the keep filter must be a join")
+    assert(!keepI.queryExecution.executedPlan.toString.contains("Join"),
+      "below the cap the keep filter must stay a literal In")
+    assert(asSet(keepJ) == asSet(keepI))
+    val dropJ = MorTable.dropInPaths(df, "p", paths, cap = 2)
+    val dropI = MorTable.dropInPaths(df, "p", paths, cap = 10)
+    assert(dropJ.queryExecution.executedPlan.toString.contains("Join"))
+    assert(!dropI.queryExecution.executedPlan.toString.contains("Join"))
+    assert(asSet(dropJ) == asSet(dropI))
+    assert(asSet(keepJ) ++ asSet(dropJ) == asSet(df))
+  }
+
   test("replayed batch id converges to one copy (overwrite-then-commit)") {
     val base = tmp()
     MorTable.init(spark, snapshot, base)
