@@ -39,9 +39,11 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
 
   /** The reference's human step: set keys + active flag. */
   def activate(schema: String, table: String, primaryKeys: Seq[String] = Nil,
-               partitionKeys: Seq[String] = Nil): Unit = {
+               partitionKeys: Seq[String] = Nil,
+               mergeOnRead: Boolean = false): Unit = {
     val item = store.upsertDefaults(tableDir(schema, table))
-    store.put(item.copy(config = TableConfig(primaryKeys, partitionKeys, active = true)))
+    store.put(item.copy(config = TableConfig(primaryKeys, partitionKeys,
+      active = true, mergeOnRead = mergeOnRead)))
   }
 
   /** One scheduled run over every discovered table (initial loads +
@@ -168,15 +170,30 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
     Discovery.listTables(rawRoot, conf).flatMap { t =>
       val out = new org.apache.hadoop.fs.Path(s"${lakeRoot.stripSuffix("/")}/${t.key}")
       val fs = out.getFileSystem(conf)
-      if (fs.exists(out)) Some(register(t.schema, t.table)) else None
+      // merge-on-read tables are NOT registrable as plain external
+      // parquet tables: their physical layout (data/deletes_eq/commits
+      // batch dirs) only reconstructs through [[io.MorTable.read]]'s
+      // sidecar anti-joins — a catalog scan over the root would see
+      // superseded generations (and trip partition inference). SQL
+      // users read them via [[read]]; the metastore surface stays a
+      // copy-on-write feature, like the lakehouse formats it mirrors
+      // (Iceberg/Delta register through their own connectors, not as
+      // raw parquet dirs).
+      val mor = store.get(t.dir).exists(_.config.mergeOnRead)
+      if (fs.exists(out) && !mor) Some(register(t.schema, t.table)) else None
     }
   }
 
   /** Read a lake table (mergeSchema: evolved tables read their union
     * schema). */
-  def read(schema: String, table: String): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(s"${lakeRoot.stripSuffix("/")}/$schema/$table")
+  def read(schema: String, table: String): DataFrame = {
+    val path = s"${lakeRoot.stripSuffix("/")}/$schema/$table"
+    // merge-on-read tables reconstruct through the sidecar anti-joins;
+    // a raw parquet read would see superseded generations
+    if (store.get(tableDir(schema, table)).exists(_.config.mergeOnRead))
+      io.MorTable.read(spark, path)
+    else spark.read.option("mergeSchema", "true").parquet(path)
+  }
 
   /** Schema drift between the lake table and the raw source's current
     * footprint (pre-flight check before `sync`): what would the next merge

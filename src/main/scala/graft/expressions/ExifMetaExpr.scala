@@ -112,9 +112,12 @@ object ExifMetaExpr {
     def asciiVal(e: Int): Any = {
       val cnt = u32(e + 4)
       if (cnt < 1 || cnt > 4096) return null
-      val at = if (cnt <= 4) e + 8 else (t0 + u32(e + 8)).toInt
+      // bounds-check in LONG: a crafted 32-bit offset near 2^32 would
+      // wrap Int and alias back into [t0, end), passing the check and
+      // returning garbage bytes instead of NULL — narrow only after
+      val at: Long = if (cnt <= 4) (e + 8).toLong else t0.toLong + u32(e + 8)
       if (at < t0 || at + cnt > end) return null
-      UTF8String.fromBytes(b, at, (cnt - 1).toInt) // strip trailing NUL
+      UTF8String.fromBytes(b, at.toInt, (cnt - 1).toInt) // strip trailing NUL
     }
     var k = 0
     while (k < n) {

@@ -105,14 +105,18 @@ object CdcPipeline {
       else base.withColumn(RowIdx,
         struct(col("_metadata.file_block_start"), monotonically_increasing_id()))
     val b = MorTable.mergeTagged(spark, tagged, outPath, cfg.primaryKeys)
-    // footer-count read; an ALL-DELETE batch leaves a partless dir
-    // (nothing appended) that schema inference would reject — report 0
+    MergeStats(morBatchRows(spark, outPath, b), Nil, insertOnly = false)
+  }
+
+  /** Appended-row count of one MOR commit — footer-count read
+    * (metadata only); an ALL-DELETE batch leaves a partless dir
+    * (nothing appended) that schema inference would reject — report 0. */
+  private def morBatchRows(spark: SparkSession, outPath: String, b: Long): Long = {
     val batchDir = new Path(s"$outPath/data/batch=$b")
     val bfs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val appended =
-      if (!bfs.listStatus(batchDir).exists(_.getPath.getName.endsWith(".parquet"))) 0L
-      else spark.read.parquet(batchDir.toString).count()
-    MergeStats(appended, Nil, insertOnly = false)
+    if (!bfs.exists(batchDir) ||
+        !bfs.listStatus(batchDir).exists(_.getPath.getName.endsWith(".parquet"))) 0L
+    else spark.read.parquet(batchDir.toString).count()
   }
 
   /** The flagship: incremental latest-wins merge with copy-on-write rewrite
@@ -188,6 +192,35 @@ object CdcPipeline {
         CowWriter.appendMerged(output.observe(obs, count(lit(1)).as("n")), outPath, cfg.partitionKeys)
       }
       MergeStats(obs.get("n").asInstanceOf[Long], Nil, insertOnly = true)
+    } else if (cfg.mergeOnRead) {
+      // Merge-on-read routing for the SHARED tagged-batch path — the
+      // same TableConfig switch drives the batch pipeline, CdcStream
+      // .start, and GraftLake.syncStreaming (GraftLakeSpec proves the
+      // streaming manager with mergeOnRead converges to the batch
+      // Controller's lake). Commits are O(batch): winners + equality-
+      // delete sidecar, zero target I/O (see [[MorTable.merge]]).
+      require(changeFeed.isEmpty,
+        "the change-feed sidecar is a copy-on-write surface; merge-on-read " +
+          "derives its feed from commit structure (MorTable.commitDiff)")
+      val pks = cfg.primaryKeys
+      val initialized = tgtExists && MorTable.committedBatches(spark, outPath).nonEmpty
+      val b =
+        if (!initialized) {
+          // stream delivered before any LOAD snapshot: commit 0 is the
+          // latest-wins fold of the first batch over an empty target —
+          // the same strict-improvement-over-reference first-batch
+          // semantics as the CoW path below
+          val sequenced = Merge.sequenceBatch(changes, pks, Seq(col(RowIdx)))
+            .drop(SrcFile, RowIdx)
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            changes.drop(SrcFile, RowIdx, Merge.FileSeq).schema)
+          MorTable.init(spark, Merge.applySequenced(empty, sequenced, pks), outPath)
+          0L
+        } else MorTable.merge(spark, changes, outPath, pks,
+          intraFileOrder = Seq(col(RowIdx)),
+          provenanceCols = Seq(SrcFile, RowIdx))
+      MergeStats(morBatchRows(spark, outPath, b), Nil, insertOnly = false)
     } else {
       val pks = cfg.primaryKeys
       // First-ever load of a PK table: merge against an EMPTY target

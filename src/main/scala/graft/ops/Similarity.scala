@@ -1657,6 +1657,101 @@ object Similarity {
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** One synchronized WEIGHTED Louvain local-move round (Blondel et al.
+    * 2008) — the generalization of the `sim_louvain_move` inner step to
+    * weighted multigraphs with self-loops, which is exactly what
+    * [[louvainCoarsen]] produces, so the same round runs at every
+    * level. `edges`: canonical `(a ≤ b, w)` with LONG weights (self-
+    * loop `a = b` allowed — it contributes 2w to its node's degree but
+    * never to candidate links, since it stays internal wherever the
+    * node goes); `seed`: `(n, comm)` starting labels (absent nodes
+    * start singleton). Every node simultaneously picks the neighbor
+    * community maximizing the modularity gain; for fixed i the ΔQ
+    * comparison across candidates reduces to the EXACT LONG statistic
+    * `gain_num = 2m·w(i,C) − k_i·Σdeg(C∖{i})` — no floats anywhere, so
+    * the (gain desc, community asc) argmax is engine-portable.
+    *
+    * Scale: all joins are edge-sized (candidates per node ≤ degree);
+    * community stats are one (comm) partial agg — the synchronized-
+    * round shape that scales where sequential Louvain cannot. The
+    * parallel-move caveat is the standard one: simultaneous moves of
+    * adjacent nodes can in principle oscillate; LouvainSpec pins
+    * modularity monotone across levels on the fixture. */
+  def louvainMoveRound(edges: DataFrame, seed: DataFrame): DataFrame = {
+    val m = edges.agg(sum(col("w")).as("__m"))
+    val nl = edges.where(col("a") =!= col("b"))
+    val ed = nl.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(nl.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val selfw = edges.where(col("a") === col("b"))
+      .groupBy(col("a").as("n")).agg((sum(col("w")) * 2L).as("sw"))
+    val dirDeg = ed.groupBy(col("src").as("n")).agg(sum(col("w")).as("dd"))
+    val deg = dirDeg.join(selfw, Seq("n"), "full_outer")
+      .select(col("n"),
+        (coalesce(col("dd"), lit(0L)) + coalesce(col("sw"), lit(0L))).as("deg"))
+    val lab = deg.select("n").join(seed, Seq("n"), "left")
+      .select(col("n"), coalesce(col("comm"), col("n")).as("comm"))
+    val sumdeg = lab.join(deg, "n").groupBy("comm").agg(sum("deg").as("c_deg"))
+    val nbr = ed
+      .join(lab.select(col("n").as("dst"), col("comm").as("cand")), "dst")
+      .groupBy("src", "cand").agg(sum("w").as("links"))
+    // the stay-put candidate must exist even with no same-community
+    // neighbor (links = 0): union a zero row per node, re-aggregate
+    val cands = nbr.select(col("src"), col("cand"), col("links"))
+      .unionByName(lab.select(col("n").as("src"), col("comm").as("cand"),
+        lit(0L).as("links")))
+      .groupBy("src", "cand").agg(sum("links").as("links"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("gain_num").desc, col("cand"))
+    cands
+      .join(lab.select(col("n").as("src"), col("comm").as("own")), "src")
+      .join(deg.select(col("n").as("src"), col("deg").as("k_i")), "src")
+      .join(sumdeg.select(col("comm").as("cand"), col("c_deg")), "cand")
+      .crossJoin(broadcast(m))
+      .withColumn("c_excl", col("c_deg") -
+        when(col("cand") === col("own"), col("k_i")).otherwise(lit(0L)))
+      .withColumn("gain_num",
+        lit(2L) * col("__m") * col("links") - col("k_i") * col("c_excl"))
+      .withColumn("rn", row_number().over(win)).where(col("rn") === 1)
+      .select(col("src").as("n"), col("cand").as("comm"))
+  }
+
+  /** Louvain COARSENING: collapse each community to a supernode,
+    * summing parallel edge weights; intra-community edges become
+    * self-loops (so supernode degree = Σ member degrees, exactly —
+    * total weight m is conserved, which is why [[louvainMoveRound]]'s
+    * gain statistic stays comparable across levels). Edge-sized joins +
+    * one (a,b) partial agg. */
+  def louvainCoarsen(edges: DataFrame, lab: DataFrame): DataFrame =
+    edges
+      .join(lab.select(col("n").as("a"), col("comm").as("ca")), "a")
+      .join(lab.select(col("n").as("b"), col("comm").as("cb")), "b")
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum("w").as("w"))
+
+  /** MULTI-LEVEL Louvain (the full Blondel pipeline, 2 levels): local
+    * move on the original graph, coarsen communities into supernodes,
+    * local move again on the weighted supernode graph (each supernode
+    * restarting singleton — the standard per-level reset), and map the
+    * level-2 labels back to the original nodes. Two levels is where
+    * the method earns its name over one round: merged seed communities
+    * can themselves merge. `edges0`: canonical unweighted `(a ≤ b)`
+    * pairs; `seed`: level-1 starting labels. Output: `(vec_id, comm1,
+    * comm2)` — the per-level assignments (comm2 composed back through
+    * comm1). LouvainSpec asserts modularity non-decreasing across
+    * seed → comm1 → comm2 and the 10× probe rides the edge-sized
+    * bound of the inner round. */
+  def louvainLevels(edges0: DataFrame, seed: DataFrame): DataFrame = {
+    val e0 = edges0.select(col("a"), col("b"), lit(1L).as("w"))
+    val l1 = louvainMoveRound(e0, seed).localCheckpoint(true)
+    val e1 = louvainCoarsen(e0, l1).localCheckpoint(true)
+    val emptySeed = l1.select(col("n"), col("comm")).limit(0)
+    val l2 = louvainMoveRound(e1, emptySeed)
+    l1.select(col("n").as("vec_id"), col("comm").as("comm1"))
+      .join(l2.select(col("n").as("comm1"), col("comm").as("comm2")), "comm1")
+      .select("vec_id", "comm1", "comm2")
+  }
+
   /** Bounded-round K-TRUSS decomposition over an undirected edge list —
     * the EDGE-centric cohesion peel beside [[kCore]]'s node-centric one:
     * each round computes every edge's triangle support via the

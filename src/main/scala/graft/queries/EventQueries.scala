@@ -778,21 +778,33 @@ object EventQueries {
     // (the five fixture types have distinct initials) and counting
     // leftmost regex matches. For THIS pattern greedy-vs-longest regex
     // semantics coincide (after the v, the c-run is forced by the
-    // following p), so Java regex and DuckDB's RE2 agree. Per-user state
-    // is the same per-user-activity bound the path-mining family
-    // (events_top_paths, sessionize) already accepts; the fold is one
-    // (user) exchange, match counting is per-row scan work.
+    // following p), so Java regex and DuckDB's RE2 agree. Unlike the
+    // capped-array path family (top_paths' rn<=5), the folded state here
+    // is a STRING, so per-user activity is HARD-capped: only the first
+    // 10k events (ts, event_id order) enter the fold — a 10⁸-event bot
+    // account costs one 10 KB buffer, not a multi-GB string — and the
+    // cut is surfaced as `truncated` (n_events stays the TOTAL). The cap
+    // rides the same (user) exchange: row_number and the groupBy share
+    // hash(user_id) partitioning, and collect_list skips the NULLs the
+    // over-cap rows become, so it is one window + one agg, no extra
+    // shuffle. Match counting is per-row scan work.
     "events_pattern_match" -> ((s, dir) => {
+      val cap = 10000
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
       val seqs = Tables.events(s, dir)
         .withColumn("ts_us", expr("ts div 1000"))
-        .select(col("user_id"), struct(col("ts_us"), col("event_id"),
-          substring(col("event_type"), 1, 1).as("c")).as("k"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("user_id"), col("rn"),
+          when(col("rn") <= cap, struct(col("ts_us"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c"))).as("k"))
         .groupBy("user_id")
         .agg(concat_ws("", transform(array_sort(collect_list(col("k"))),
-          x => x.getField("c"))).as("seq"))
-      seqs.select(col("user_id"),
-          length(col("seq")).cast("long").as("n_events"),
-          size(expr("regexp_extract_all(seq, 'vc*p', 0)")).cast("long").as("n_matches"))
+          x => x.getField("c"))).as("seq"),
+          count(lit(1)).as("n_events"))
+      seqs.select(col("user_id"), col("n_events"),
+          size(expr("regexp_extract_all(seq, 'vc*p', 0)")).cast("long").as("n_matches"),
+          (col("n_events") > cap).as("truncated"))
         .where(col("n_matches") > 0)
     }),
 
@@ -1221,13 +1233,21 @@ object EventQueries {
         |LIMIT 20""".stripMargin,
 
     "events_pattern_match" ->
-      """WITH seqs AS (
+      """WITH ranked AS (
+        |  SELECT user_id, substr(event_type, 1, 1) AS c,
+        |         epoch_us(ts) AS tu, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |seqs AS (
         |  SELECT user_id,
-        |         string_agg(substr(event_type, 1, 1), ''
-        |           ORDER BY epoch_us(ts), event_id) AS seq
-        |  FROM events GROUP BY user_id)
-        |SELECT user_id, len(seq)::BIGINT AS n_events,
-        |       len(regexp_extract_all(seq, 'vc*p'))::BIGINT AS n_matches
+        |         string_agg(CASE WHEN rn <= 10000 THEN c END, ''
+        |           ORDER BY tu, event_id) AS seq,
+        |         count(*) AS n_total
+        |  FROM ranked GROUP BY user_id)
+        |SELECT user_id, n_total::BIGINT AS n_events,
+        |       len(regexp_extract_all(seq, 'vc*p'))::BIGINT AS n_matches,
+        |       n_total > 10000 AS truncated
         |FROM seqs WHERE len(regexp_extract_all(seq, 'vc*p')) > 0""".stripMargin,
 
     "events_pivot_type" ->

@@ -686,8 +686,9 @@ object TextQueries {
     // deflate_len / raw_len per document via the native
     // [[graft.expressions.DeflateSizeExpr]] (thread-local zlib, zero
     // per-row allocation). Repetitive boilerplate compresses far below
-    // prose — a corpus-statistics-free per-row filter signal. No DuckDB
-    // deflate → rows-only driver check + DeflateSpec pins (∅ convention).
+    // prose — a corpus-statistics-free per-row filter signal. Oracle =
+    // a committed Python-zlib fixture keyed by md5(text) (r10: the last
+    // ∅ row, now a cross-implementation byte-length check).
     "text_compression_ratio" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       docs(s, dir).select(col("doc_id"),
@@ -2785,6 +2786,26 @@ object TextQueries {
          |  ((cum - n_tokens) % 2048)::BIGINT AS pack_offset,
          |  (${h60("'shard:' || doc_id::VARCHAR")} % 8)::BIGINT AS shard
          |FROM c WHERE cum - n_tokens < budget""".stripMargin,
+
+    // Cross-IMPLEMENTATION oracle (was the one ∅ row through r9: DuckDB
+    // exposes no deflate): a committed fixture of Python-zlib raw-deflate
+    // lengths keyed by md5(text) — content-addressed, so it verifies at
+    // ANY scale factor whose texts it covers. Spark computes deflate_len
+    // LIVE via the native thread-local-zlib DeflateSizeExpr (java.util
+    // .zip.Deflater, level 6 nowrap); the oracle looks the same bytes up
+    // from CPython's independently-driven zlib (same madler stream
+    // format, level 6 raw) — an implementation-independent byte-length
+    // cross-check, strictly stronger than the old rows-only record.
+    // Fixture: tools/fixtures/deflate_oracle.parquet, generation script
+    // in tools/gen_deflate_oracle.py (all three sf dirs, empty text → 0
+    // matching the expression's convention).
+    "text_compression_ratio" ->
+      """SELECT d.doc_id, strlen(d.text)::INT AS raw_len, f.deflate_len,
+        |  CASE WHEN strlen(d.text) = 0 THEN 0.0
+        |       ELSE f.deflate_len::DOUBLE / strlen(d.text) END AS ratio
+        |FROM documents d
+        |JOIN read_parquet('/root/repo/tools/fixtures/deflate_oracle.parquet') f
+        |  ON md5(d.text) = f.h""".stripMargin,
 
     "text_split_assign" -> {
       val max = 1L << 60

@@ -118,6 +118,7 @@ final class JsonFileStateStore(dir: String) extends StateStore {
       "activeFlag" -> i.config.active.toString,
       "replayGuard" -> i.config.replayGuard.toString,
       "mergeOnRead" -> i.config.mergeOnRead.toString,
+      "patchUpdates" -> i.config.patchUpdates.toString,
       "lastFullLoadDate" -> i.state.lastFullLoadDate,
       "lastIncrementalFile" -> i.state.lastIncrementalFile)
     kv.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
@@ -161,7 +162,13 @@ final class JsonFileStateStore(dir: String) extends StateStore {
         m.get("activeFlag").contains("true"),
         // absent in pre-guard state files → false (backward compatible)
         m.get("replayGuard").contains("true"),
-        m.get("mergeOnRead").contains("true")),
+        m.get("mergeOnRead").contains("true"),
+        // absent → false, like the other opt-in flags; dropping it on a
+        // restart would silently revert a patch-configured table to
+        // whole-row latest-wins — NULL (= unchanged) columns would then
+        // overwrite real lake values (the r9 advisor's data-corruption
+        // case; round-trip pinned in StateStoreSpec)
+        m.get("patchUpdates").contains("true")),
       TableState(
         m.getOrElse("lastFullLoadDate", TableState.EpochFullLoad),
         m.getOrElse("lastIncrementalFile", "")))

@@ -130,6 +130,25 @@ class PipelineSpec extends SparkSpec {
     assert(store.get(pDir).get.config.mergeOnRead)
     // watermark no-op rerun holds in MOR mode too
     assert(ctl.runOnce()("sampledb/product") == List(Controller.NoNewData))
+
+    // C3 full RE-load after incrementals (r9 advisor, high): a newer
+    // LOAD file must TRUNCATE the previous MOR epoch — before the r10
+    // init fix, commits 1+ survived and the re-loaded table read as the
+    // new snapshot UNION stale winners
+    val reload = Seq(("I", 2001, "Reloaded", "D", "C", BigDecimal(1.0)))
+      .toDF("Op", "id", "name", "dept", "category", "price")
+    Thread.sleep(1100) // LOAD mtime gates on second-granularity stamps
+    writeParquetFile(reload, s"$raw/sampledb/product", "LOAD00000002.parquet")
+    val acts = ctl.runOnce()("sampledb/product")
+    assert(acts.exists { case Controller.FullLoad(_) => true; case _ => false }, acts.toString)
+    val reloaded = graft.io.MorTable.read(spark, path)
+    // LOAD files accumulate (reference semantics: a full load reads ALL
+    // LOAD* files): 25 original + 1 new row, NO stale post-CDC winners
+    assert(reloaded.count() == 26, s"got ${reloaded.count()}")
+    assert(reloaded.filter($"id" === 1002).count() == 1,
+      "the pre-reload delete must not leak into the new epoch")
+    assert(reloaded.filter($"id" === 1001).head().getAs[String]("name") == "Product 1001",
+      "the pre-reload update must not leak into the new epoch")
   }
 
   test("mergeOnRead without a primary key fails the table, not the run") {

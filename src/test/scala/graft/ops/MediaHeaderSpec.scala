@@ -298,5 +298,17 @@ class MediaHeaderSpec extends SparkSpec {
       val g = exifOne(bad)
       assert((0 to 3).forall(g.isNullAt), s"expected all-NULL for ${bad.length} bytes")
     }
+    // crafted out-of-line offset near 2^32: t0 + offset must be bounds-
+    // checked in LONG (an Int wrap could alias back inside the buffer
+    // and return garbage text) — expect NULL, never a string
+    val evil = "II".getBytes ++ le16(42) ++ le32(8) ++
+      le16(1) ++
+      (le16(0x010f) ++ le16(2) ++ le32(16) ++ le32(0xFFFFFFF4)) ++
+      le32(0) ++ Array.fill[Byte](64)('A'.toByte)
+    val evilJpeg = Array(0xff, 0xd8, 0xff, 0xe1).map(_.toByte) ++
+      Array(((2 + 6 + evil.length) >>> 8).toByte, (2 + 6 + evil.length).toByte) ++
+      "Exif".getBytes ++ Array[Byte](0, 0) ++ evil
+    assert(exifOne(evilJpeg).isNullAt(1),
+      "wrapping out-of-line offset must yield NULL, not aliased bytes")
   }
 }

@@ -28,6 +28,16 @@ class StateStoreSpec extends AnyFunSuite {
     store.put(item)
     assert(store.get("/raw/x/y").contains(item))
     assert(store.all == Seq(item))
+    // every opt-in flag survives a restart (a dropped patchUpdates would
+    // silently revert a table to whole-row merges — NULL columns then
+    // clobber real lake values)
+    val flagged = TableItem("/raw/x/z",
+      TableConfig(Seq("id"), Nil, active = true, replayGuard = true,
+        mergeOnRead = false, patchUpdates = true),
+      TableState("2026-08-12 00:00:00", "f1"))
+    store.put(flagged)
+    assert(store.get("/raw/x/z").contains(flagged),
+      "replayGuard/mergeOnRead/patchUpdates must round-trip through JSON")
   }
 
   test("watermark commits are independent and ordered") {
