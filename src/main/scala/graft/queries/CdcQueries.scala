@@ -152,6 +152,31 @@ object CdcQueries {
               .otherwise(0L))).as("net_row_delta"))
     }),
 
+    // MOR sidecar observability (r10): per merge commit, the physical
+    // ledger a maintenance scheduler reads — appended winners and
+    // outstanding equality-delete keys. Reads the table's ACTUAL
+    // deletes_eq/data dirs, so the oracle (which re-derives both counts
+    // from the change fixture alone) pins the sidecar CONTENT of the
+    // new equality-delete format against an independent derivation:
+    // eq keys per commit = the batch's distinct keys, appended = its
+    // non-delete per-key winners. Growth of n_eq_keys between compacts
+    // is exactly the read-side anti-join cost — the number this
+    // format's ops page watches.
+    "cdc_mor_sidecar_stats" -> ((s, dir) => {
+      val base = morFixture(s, dir)
+      val eq = s.read.option("basePath", s"$base/deletes_eq")
+        .parquet(s"$base/deletes_eq/batch=1", s"$base/deletes_eq/batch=2")
+        .groupBy(col("batch").cast("long").as("batch"))
+        .agg(count(lit(1)).as("n_eq_keys"))
+      val app = s.read.option("basePath", s"$base/data")
+        .parquet(s"$base/data/batch=1", s"$base/data/batch=2")
+        .groupBy(col("batch").cast("long").as("batch"))
+        .agg(count(lit(1)).as("n_appended"))
+      eq.join(app, Seq("batch"), "full_outer")
+        .select(col("batch"), coalesce(col("n_eq_keys"), lit(0L)).as("n_eq_keys"),
+          coalesce(col("n_appended"), lit(0L)).as("n_appended"))
+    }),
+
     // Column-patch merge (NULL = unchanged): per-column IGNORE-NULLS
     // folds compose file-1's status patch with file-2's price patch on
     // the same key — see [[graft.cdc.Merge.patchMerge]].
@@ -360,6 +385,18 @@ object CdcQueries {
       s"""$fixtureSql SELECT "Op", $orderColsSql FROM changes WHERE "Op" = 'I'""",
 
     // Merge-stats mirror: same distinct-key left probe + per-file agg.
+    // Sidecar-stats mirror: both counts re-derived from the change
+    // fixture alone — distinct batch keys (eq sidecar) and non-delete
+    // winners (appended) per file.
+    "cdc_mor_sidecar_stats" ->
+      """SELECT CAST(1 AS BIGINT) AS batch,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 IN (0, 1, 2))::BIGINT AS n_eq_keys,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 IN (0, 2))::BIGINT AS n_appended
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT),
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 20 IN (0, 2))::BIGINT,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 20 = 0)::BIGINT""".stripMargin,
+
     "cdc_merge_stats" ->
       s"""$fixtureSql,
          |tk AS (SELECT DISTINCT o_orderkey, true AS known FROM target)

@@ -1292,7 +1292,7 @@ object SimilarityQueries {
     // engine's frontier invariant.
     "sim_bfs_hops" ->
       s"""WITH RECURSIVE $knnGraphCtes,
-         |eg AS (
+         |eg AS MATERIALIZED (
          |  SELECT DISTINCT src, dst FROM (
          |    SELECT src, dst FROM topk
          |    UNION ALL SELECT dst, src FROM topk)),
@@ -1351,8 +1351,8 @@ object SimilarityQueries {
     // graph, shared-neighbor self-join, Jaccard on exact counts.
     "sim_link_predict" ->
       s"""WITH $knnGraphCtes,
-         |eg AS (SELECT DISTINCT src, dst FROM topk),
-         |deg AS (SELECT src, count(*) AS d FROM eg GROUP BY src),
+         |eg AS MATERIALIZED (SELECT DISTINCT src, dst FROM topk),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM eg GROUP BY src),
          |com AS (
          |  SELECT e1.src AS a, e2.src AS c, count(*) AS n_common
          |  FROM eg e1 JOIN eg e2 ON e1.dst = e2.dst AND e1.src < e2.src
@@ -1395,10 +1395,10 @@ object SimilarityQueries {
     // doubles, not pre-rounded literals.
     "sim_pagerank" ->
       s"""WITH $knnGraphCtes,
-         |mut AS (
+         |mut AS MATERIALIZED (
          |  SELECT t.src, t.dst FROM topk t
          |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
-         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM mut GROUP BY 1),
+         |deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM mut GROUP BY 1),
          |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
          |r0 AS (SELECT src AS node, (1.0::DOUBLE / n::DOUBLE) AS pr FROM deg, nn),
          |c1 AS (
@@ -1432,10 +1432,10 @@ object SimilarityQueries {
     // contributor-ordered folds, and computed-double teleport terms.
     "sim_ppr" ->
       s"""WITH $knnGraphCtes,
-         |mut AS (
+         |mut AS MATERIALIZED (
          |  SELECT t.src, t.dst FROM topk t
          |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
-         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM mut GROUP BY 1),
+         |deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM mut GROUP BY 1),
          |sd AS (SELECT DISTINCT d.src AS node FROM deg d WHERE d.src % 25 = 0),
          |nsd AS (SELECT count(*)::BIGINT AS ns FROM sd),
          |r0 AS (
@@ -1473,7 +1473,7 @@ object SimilarityQueries {
     // closure by recursive CTE, keep the least id per component.
     "sim_graph_dedup" ->
       s"""WITH RECURSIVE $knnGraphCtes,
-         |mut AS (
+         |mut AS MATERIALIZED (
          |  SELECT t.src, t.dst, t.cos FROM topk t
          |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
          |nd AS (SELECT src AS id_a, dst AS id_b FROM mut WHERE cos >= 0.4 AND src < dst),
@@ -1502,13 +1502,13 @@ object SimilarityQueries {
     // → per-community degree/edge stats, same two divisions.
     "sim_modularity" ->
       s"""WITH RECURSIVE $knnGraphCtes,
-         |mut AS (
+         |mut AS MATERIALIZED (
          |  SELECT t.src, t.dst FROM topk t
          |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
-         |eg AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |eg AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
          |       FROM mut),
          |mm AS (SELECT count(*) AS m FROM eg),
-         |deg AS (
+         |deg AS MATERIALIZED (
          |  SELECT n, count(*) AS d FROM (
          |    SELECT a AS n FROM eg UNION ALL SELECT b FROM eg) GROUP BY 1),
          |ed AS (SELECT a AS src, b AS dst FROM eg UNION SELECT b, a FROM eg),
@@ -1516,7 +1516,7 @@ object SimilarityQueries {
          |  SELECT src, dst FROM ed
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN ed e ON r.dst = e.src),
-         |lab AS (SELECT src AS n, least(src, min(dst)) AS cluster
+         |lab AS MATERIALIZED (SELECT src AS n, least(src, min(dst)) AS cluster
          |        FROM reach GROUP BY src),
          |cstat AS (
          |  SELECT l.cluster, count(*) AS n_nodes, sum(deg.d)::BIGINT AS d_sum
@@ -1534,14 +1534,14 @@ object SimilarityQueries {
     // (gain desc, cand) argmax.
     "sim_louvain_move" ->
       s"""WITH RECURSIVE $knnGraphCtes,
-         |mut AS (
+         |mut AS MATERIALIZED (
          |  SELECT t.src, t.dst, t.cos FROM topk t
          |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
-         |eg AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |eg AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
          |       FROM mut),
          |mm AS (SELECT count(*) AS m FROM eg),
          |ed AS (SELECT a AS src, b AS dst FROM eg UNION SELECT b, a FROM eg),
-         |deg AS (SELECT src AS n, count(*)::BIGINT AS deg FROM ed GROUP BY 1),
+         |deg AS MATERIALIZED (SELECT src AS n, count(*)::BIGINT AS deg FROM ed GROUP BY 1),
          |hi AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
          |       FROM mut WHERE cos >= 0.5),
          |hed AS (SELECT a AS src, b AS dst FROM hi UNION SELECT b, a FROM hi),
@@ -1551,13 +1551,13 @@ object SimilarityQueries {
          |  SELECT r.src, e.dst FROM reach r JOIN hed e ON r.dst = e.src),
          |complab AS (SELECT src AS n, least(src, min(dst)) AS comm
          |            FROM reach GROUP BY src),
-         |lab AS (SELECT d.n, coalesce(c.comm, d.n) AS comm
+         |lab AS MATERIALIZED (SELECT d.n, coalesce(c.comm, d.n) AS comm
          |        FROM deg d LEFT JOIN complab c ON d.n = c.n),
          |sumdeg AS (SELECT l.comm, sum(deg.deg)::BIGINT AS c_deg
          |           FROM lab l JOIN deg ON l.n = deg.n GROUP BY 1),
          |nbr AS (SELECT e.src, l.comm AS cand, count(*)::BIGINT AS links
          |        FROM ed e JOIN lab l ON e.dst = l.n GROUP BY 1, 2),
-         |cands AS (
+         |cands AS MATERIALIZED (
          |  SELECT src, cand, sum(links)::BIGINT AS links FROM (
          |    SELECT src, cand, links FROM nbr
          |    UNION ALL SELECT n AS src, comm AS cand, 0 AS links FROM lab)
@@ -1587,14 +1587,14 @@ object SimilarityQueries {
     // seeded round 2 with the same exact-LONG gain, composed back.
     "sim_louvain_levels" ->
       s"""WITH RECURSIVE $knnGraphCtes,
-         |mut AS (
+         |mut AS MATERIALIZED (
          |  SELECT t.src, t.dst, t.cos FROM topk t
          |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
-         |eg AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |eg AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
          |       FROM mut),
          |mm AS (SELECT count(*) AS m FROM eg),
          |ed AS (SELECT a AS src, b AS dst FROM eg UNION SELECT b, a FROM eg),
-         |deg AS (SELECT src AS n, count(*)::BIGINT AS deg FROM ed GROUP BY 1),
+         |deg AS MATERIALIZED (SELECT src AS n, count(*)::BIGINT AS deg FROM ed GROUP BY 1),
          |hi AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
          |       FROM mut WHERE cos >= 0.5),
          |hed AS (SELECT a AS src, b AS dst FROM hi UNION SELECT b, a FROM hi),
@@ -1604,13 +1604,13 @@ object SimilarityQueries {
          |  SELECT r.src, e.dst FROM reach r JOIN hed e ON r.dst = e.src),
          |complab AS (SELECT src AS n, least(src, min(dst)) AS comm
          |            FROM reach GROUP BY src),
-         |lab AS (SELECT d.n, coalesce(c.comm, d.n) AS comm
+         |lab AS MATERIALIZED (SELECT d.n, coalesce(c.comm, d.n) AS comm
          |        FROM deg d LEFT JOIN complab c ON d.n = c.n),
          |sumdeg AS (SELECT l.comm, sum(deg.deg)::BIGINT AS c_deg
          |           FROM lab l JOIN deg ON l.n = deg.n GROUP BY 1),
          |nbr AS (SELECT e.src, l.comm AS cand, count(*)::BIGINT AS links
          |        FROM ed e JOIN lab l ON e.dst = l.n GROUP BY 1, 2),
-         |cands AS (
+         |cands AS MATERIALIZED (
          |  SELECT src, cand, sum(links)::BIGINT AS links FROM (
          |    SELECT src, cand, links FROM nbr
          |    UNION ALL SELECT n AS src, comm AS cand, 0 AS links FROM lab)
@@ -1630,21 +1630,21 @@ object SimilarityQueries {
          |          row_number() OVER (PARTITION BY src
          |            ORDER BY gain_num DESC, cand) AS rn
          |        FROM g),
-         |lab1 AS (SELECT src AS n, cand AS comm FROM win WHERE rn = 1),
-         |e2 AS (SELECT least(la.comm, lb.comm) AS a, greatest(la.comm, lb.comm) AS b,
+         |lab1 AS MATERIALIZED (SELECT src AS n, cand AS comm FROM win WHERE rn = 1),
+         |e2 AS MATERIALIZED (SELECT least(la.comm, lb.comm) AS a, greatest(la.comm, lb.comm) AS b,
          |              count(*)::BIGINT AS w
          |       FROM eg JOIN lab1 la ON eg.a = la.n JOIN lab1 lb ON eg.b = lb.n
          |       GROUP BY 1, 2),
-         |ed2 AS (SELECT a AS src, b AS dst, w FROM e2 WHERE a <> b
+         |ed2 AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM e2 WHERE a <> b
          |        UNION ALL SELECT b, a, w FROM e2 WHERE a <> b),
          |sw2 AS (SELECT a AS n, 2 * sum(w) AS sw FROM e2 WHERE a = b GROUP BY 1),
          |dd2 AS (SELECT src AS n, sum(w) AS dd FROM ed2 GROUP BY 1),
-         |deg2 AS (SELECT coalesce(d.n, s.n) AS n,
+         |deg2 AS MATERIALIZED (SELECT coalesce(d.n, s.n) AS n,
          |                (coalesce(d.dd, 0) + coalesce(s.sw, 0))::BIGINT AS k
          |         FROM dd2 d FULL JOIN sw2 s ON d.n = s.n),
          |nbr2 AS (SELECT src, dst AS cand, sum(w)::BIGINT AS links
          |         FROM ed2 GROUP BY 1, 2),
-         |cands2 AS (SELECT src, cand, sum(links)::BIGINT AS links FROM (
+         |cands2 AS MATERIALIZED (SELECT src, cand, sum(links)::BIGINT AS links FROM (
          |    SELECT src, cand, links FROM nbr2
          |    UNION ALL SELECT n, n, 0 FROM deg2) GROUP BY 1, 2),
          |g2 AS (SELECT c.src, c.cand,
