@@ -412,6 +412,15 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
   def buildStatsIndex(schema: String, table: String, cols: Seq[String],
                       bloomCols: Seq[String] = Nil,
                       bloomBits: Int = 1 << 16): Long = {
+    // file-level stats assume every stored row is live; a merge-on-read
+    // file's rows may be masked by sidecars, so min/max over its raw
+    // content would prune toward superseded generations (and the raw
+    // root scan trips partition inference). Fail loud at build time
+    // rather than wrong at read time.
+    require(!store.get(tableDir(schema, table)).exists(_.config.mergeOnRead),
+      s"stats indexes cover copy-on-write tables; `$schema.$table` is " +
+        "merge-on-read — compact it into a CoW table to index, or read " +
+        "through MorTable (its clustered compaction restores prunability)")
     val stats = io.StatsIndex.build(spark,
       s"${lakeRoot.stripSuffix("/")}/$schema/$table", cols, bloomCols, bloomBits)
     stats.write.mode("overwrite").parquet(statsPath(schema, table))
@@ -464,7 +473,7 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(sp)) {
       import org.apache.spark.sql.functions.{col, lit}
-      val base = spark.read.parquet(dir)
+      val base = read(schema, table) // MOR-aware fallback
       (lower, upper) match {
         case (Some(l), Some(u)) => base.where(col(column).between(lit(l), lit(u)))
         case (Some(l), None)    => base.where(col(column) >= lit(l))
@@ -487,7 +496,7 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     lazy val stats = spark.read.parquet(statsPath(schema, table))
     if (!fs.exists(sp) || !stats.columns.contains(s"bloom_$column"))
-      spark.read.parquet(dir).where(col(column) === lit(value))
+      read(schema, table).where(col(column) === lit(value)) // MOR-aware
     else io.StatsIndex.prunedReadPoint(spark, dir, stats, column, value)
   }
 
@@ -498,10 +507,23 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
     * a persisted stats index follows the rewrite. */
   def compact(schema: String, table: String): Compaction.Stats = {
     val cfg = store.get(tableDir(schema, table)).map(_.config).getOrElse(TableConfig())
-    val stats = Compaction.compact(spark, s"${lakeRoot.stripSuffix("/")}/$schema/$table",
-      cfg.primaryKeys, cfg.partitionKeys)
-    refreshStatsIndex(schema, table): Unit
-    stats
+    val path = s"${lakeRoot.stripSuffix("/")}/$schema/$table"
+    if (cfg.mergeOnRead) {
+      // MOR maintenance = its own compact (rewrite over-dead files,
+      // lower equality deletes, cluster by PK for prunability) + vacuum
+      // (drop fully-dead files, re-baseline sidecars) — the format's
+      // native pass, not the CoW whole-table rewrite.
+      val before = io.MorTable.dataFiles(spark, path).size
+      io.MorTable.compact(spark, path, clusterBy = cfg.primaryKeys): Unit
+      io.MorTable.vacuum(spark, path): Unit
+      val after = io.MorTable.dataFiles(spark, path).size
+      Compaction.Stats(before.toLong, after.toLong,
+        io.MorTable.read(spark, path).count())
+    } else {
+      val stats = Compaction.compact(spark, path, cfg.primaryKeys, cfg.partitionKeys)
+      refreshStatsIndex(schema, table): Unit
+      stats
+    }
   }
 }
 

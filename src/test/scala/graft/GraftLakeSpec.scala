@@ -339,6 +339,15 @@ class GraftLakeSpec extends SparkSpec {
     }
     assert(content(lakeS, "a") ==
       Set("[U,1,a1y]", "[I,3,a3]", "[I,9,a9]"))
+
+    // lake.compact routes MOR tables through the format's own
+    // compact+vacuum (PK-clustered) — content bit-identical after
+    val preCompact = content(lakeS, "a")
+    lakeS.compact("db", "a")
+    assert(content(lakeS, "a") == preCompact, "MOR maintenance changed content")
+    // file-level stats indexes stay a CoW surface: fail loud, not wrong
+    intercept[IllegalArgumentException](
+      lakeS.buildStatsIndex("db", "a", Seq("id")))
   }
 
   test("StreamManager isolates a broken table and restartFailed recovers it") {
