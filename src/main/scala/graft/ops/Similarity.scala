@@ -1729,26 +1729,51 @@ object Similarity {
         greatest(col("ca"), col("cb")).as("b"), col("w"))
       .groupBy("a", "b").agg(sum("w").as("w"))
 
-  /** MULTI-LEVEL Louvain (the full Blondel pipeline, 2 levels): local
-    * move on the original graph, coarsen communities into supernodes,
-    * local move again on the weighted supernode graph (each supernode
-    * restarting singleton — the standard per-level reset), and map the
-    * level-2 labels back to the original nodes. Two levels is where
-    * the method earns its name over one round: merged seed communities
-    * can themselves merge. `edges0`: canonical unweighted `(a ≤ b)`
-    * pairs; `seed`: level-1 starting labels. Output: `(vec_id, comm1,
-    * comm2)` — the per-level assignments (comm2 composed back through
-    * comm1). LouvainSpec asserts modularity non-decreasing across
-    * seed → comm1 → comm2 and the 10× probe rides the edge-sized
-    * bound of the inner round. */
+  /** MULTI-LEVEL Louvain engine (the full Blondel pipeline): local
+    * move, coarsen communities into supernodes, local move again on
+    * the weighted supernode graph (each supernode restarting singleton
+    * — the standard per-level reset), repeat `levels` times. Returns
+    * one `(vec_id, comm)` frame PER LEVEL, every level already
+    * composed back to the ORIGINAL node grain (so callers can read any
+    * prefix of the hierarchy — topic trees want the coarse levels,
+    * near-dup curation the fine ones). Levels is a fixed parameter,
+    * never a data function; each level adds one edge-sized round on a
+    * graph that shrinks with the community count. */
+  def louvainLabels(edges0: DataFrame, seed: DataFrame, levels: Int): Seq[DataFrame] = {
+    require(levels >= 1, s"levels must be >= 1: $levels")
+    var e = edges0.select(col("a"), col("b"), lit(1L).as("w"))
+    var seeds = seed
+    var mapping: DataFrame = null
+    val out = Seq.newBuilder[DataFrame]
+    for (l <- 1 to levels) {
+      val lab = louvainMoveRound(e, seeds).localCheckpoint(true)
+      mapping =
+        if (l == 1) lab.select(col("n").as("vec_id"), col("comm"))
+        else mapping.select(col("vec_id"), col("comm").as("n"))
+          .join(lab, "n").select(col("vec_id"), col("comm"))
+          .localCheckpoint(true)
+      out += mapping
+      if (l < levels) {
+        e = louvainCoarsen(e, lab).localCheckpoint(true)
+        seeds = lab.select(col("n"), col("comm")).limit(0) // singleton restart
+      }
+    }
+    out.result()
+  }
+
+  /** Two-level Louvain as one frame — the `sim_louvain_levels` query
+    * surface: `(vec_id, comm1, comm2)`, comm2 composed back through
+    * comm1. Two levels is where the method earns its name over one
+    * round: merged seed communities can themselves merge. `edges0`:
+    * canonical unweighted `(a ≤ b)` pairs; `seed`: level-1 starting
+    * labels. LouvainSpec asserts modularity non-decreasing across
+    * seed → comm1 → comm2 (and through a third level via
+    * [[louvainLabels]]); the 10× probe rides the edge-sized bound of
+    * the inner round. */
   def louvainLevels(edges0: DataFrame, seed: DataFrame): DataFrame = {
-    val e0 = edges0.select(col("a"), col("b"), lit(1L).as("w"))
-    val l1 = louvainMoveRound(e0, seed).localCheckpoint(true)
-    val e1 = louvainCoarsen(e0, l1).localCheckpoint(true)
-    val emptySeed = l1.select(col("n"), col("comm")).limit(0)
-    val l2 = louvainMoveRound(e1, emptySeed)
-    l1.select(col("n").as("vec_id"), col("comm").as("comm1"))
-      .join(l2.select(col("n").as("comm1"), col("comm").as("comm2")), "comm1")
+    val ls = louvainLabels(edges0, seed, levels = 2)
+    ls(0).select(col("vec_id"), col("comm").as("comm1"))
+      .join(ls(1).select(col("vec_id"), col("comm").as("comm2")), "vec_id")
       .select("vec_id", "comm1", "comm2")
   }
 

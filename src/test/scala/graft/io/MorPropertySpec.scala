@@ -22,13 +22,19 @@ class MorPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
-  private case class Change(op: String, id: Int, v: Int, fileSeq: Long, pos: Long)
+  /** `id = None` exercises the NULL-primary-key group: the batch
+    * window groups NULLs together and the equality sidecar masks them
+    * null-safely (`<=>`), so the model treats None as one more key —
+    * exactly one survivor, removable by a winning delete (the r9
+    * advisor's NULL-accumulation case, now generator-driven). */
+  private case class Change(op: String, id: Option[Int], v: Int, fileSeq: Long, pos: Long)
 
   private val genOps: Gen[List[Change]] = for {
     n <- Gen.choose(0, 40)
     ops <- Gen.listOfN(n, for {
       op <- Gen.oneOf(Op.Insert, Op.Update, Op.Delete)
-      id <- Gen.choose(1, 10) // small key space → per-key collisions
+      id <- Gen.frequency(9 -> Gen.choose(1, 10).map(Some(_)), // collisions
+        1 -> Gen.const(None)) // the NULL-key group
       v <- Gen.choose(0, 1000)
     } yield (op, id, v))
     nFiles <- Gen.choose(1, 3)
@@ -37,9 +43,10 @@ class MorPropertySpec extends SparkSpec {
     Change(op, id, v, (i / math.max(1, chunk)).toLong + 1L, (i % math.max(1, chunk)).toLong)
   }
 
-  private def targetRows = Seq((Op.Insert, 1, -1), (Op.Insert, 2, -2), (Op.Insert, 3, -3))
+  private def targetRows = Seq((Op.Insert, Option(1), -1),
+    (Op.Insert, Option(2), -2), (Op.Insert, Option(3), -3))
 
-  private def model(changes: List[Change]): Map[Int, (String, Int)] = {
+  private def model(changes: List[Change]): Map[Option[Int], (String, Int)] = {
     var m = targetRows.map { case (op, id, v) => id -> (op, v) }.toMap
     changes.sortBy(c => (c.fileSeq, c.pos)).foreach { c =>
       if (c.op == Op.Delete) m -= c.id else m += (c.id -> (c.op, c.v))
@@ -47,9 +54,12 @@ class MorPropertySpec extends SparkSpec {
     m
   }
 
-  private def asMap(df: org.apache.spark.sql.DataFrame): Map[Int, (String, Int)] =
-    df.collect().map(r =>
-      r.getAs[Int]("id") -> (r.getAs[String]("Op"), r.getAs[Int]("v"))).toMap
+  private def asMap(df: org.apache.spark.sql.DataFrame): Map[Option[Int], (String, Int)] =
+    df.collect().map { r =>
+      val id = if (r.isNullAt(r.fieldIndex("id"))) None
+               else Some(r.getAs[Int]("id"))
+      id -> (r.getAs[String]("Op"), r.getAs[Int]("v"))
+    }.toMap
 
   test("MOR per-file commits ≡ sequential replay; compact/vacuum invariant mid-sequence") {
     check(Prop.forAll(genOps, Gen.choose(0, 2)) { (changes, compactAfter) =>

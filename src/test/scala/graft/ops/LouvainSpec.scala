@@ -84,5 +84,13 @@ class LouvainSpec extends SparkSpec {
     assert(q1 >= qSeed - 1e-12, s"level 1 must not lose modularity: $qSeed -> $q1")
     assert(q2 >= q1 - 1e-12, s"level 2 must not lose modularity: $q1 -> $q2")
     assert(q2 > qSeed, s"two levels must beat singletons: $qSeed -> $q2")
+
+    // and the hierarchy engine holds the chain through a THIRD level
+    val labs = Similarity.louvainLabels(
+      pairs.map { case (a, b) => (a, b) }.toDF("a", "b"), emptySeed, levels = 3)
+    val qs = labs.map(l => modularity(raw, labelsOf(l, "vec_id", "comm")))
+    assert(qs(0) == q1 && qs(1) == q2,
+      "louvainLevels must be the 2-level projection of louvainLabels")
+    assert(qs(2) >= qs(1) - 1e-12, s"level 3 must not lose modularity: $qs")
   }
 }
