@@ -488,7 +488,30 @@ object MorTable {
       .unionByName(eqMasked).distinct()
       .write.mode("overwrite").parquet(s"${delDir(path)}/batch=$b")
     commit(spark, path, b)
+    // Lowering receipt (AFTER the commit marker — a crash in between
+    // just means the next vacuum re-derives the lowering, duplicate
+    // masks are harmless): equality batches ≤ b are now position-
+    // covered, so vacuum can skip its lowering scan for them — O(1)
+    // metadata instead of a target read.
+    markLowered(spark, path, b)
     victims
+  }
+
+  /** Highest commit id whose equality deletes are known lowered to
+    * positions (receipts written by [[compact]]); -1 when none. */
+  private def loweredUpTo(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, path)
+    val dir = new Path(commitDir(path))
+    if (!f.exists(dir)) -1L
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".lowered"))
+      .map(_.stripSuffix(".lowered").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  private def markLowered(spark: SparkSession, path: String, b: Long): Unit = {
+    val f = fs(spark, path)
+    f.create(new Path(commitDir(path), s"$b.lowered"), true).close()
   }
 
   /** GC pass — SINGLE-WRITER: like every mutation here (merge ids are
@@ -500,7 +523,11 @@ object MorTable {
     *
     *  1. lower any outstanding equality deletes to positions (a
     *     PK-column-pruned scan — only needed when no [[compact]] ran
-    *     since the last equality-writing merge);
+    *     since the last equality-writing merge: compact leaves a
+    *     `.lowered` receipt in the commit ledger and vacuum skips the
+    *     scan for every equality batch the receipt covers, so the
+    *     compact-then-vacuum maintenance pair pays the target read
+    *     ONCE);
     *  2. physically delete fully-dead data files (total rows ==
     *     superseded positions — compaction victims and fully-superseded
     *     batches);
@@ -532,7 +559,12 @@ object MorTable {
     }
 
     val pos = readPosDels(spark, path, batches)
-    val eqd = readEqDels(spark, path, batches)
+    // Lowering receipts bound the scan: equality batches ≤ the receipt
+    // are already position-covered by a compact commit, so only the
+    // batches AFTER it need lowering — a vacuum right after a compact
+    // reads NO table data for step 1 (the receipt listing is O(1)).
+    val eqd = readEqDels(spark, path,
+      batches.filter(_ > loweredUpTo(spark, path)))
     if (pos.isEmpty && eqd.isEmpty) return (0L, 0L)
     val data = readData(spark, path, batches)
     // 1) lowering set, materialized BEFORE any physical deletion (its
@@ -575,6 +607,10 @@ object MorTable {
       .foreach(d => f.delete(new Path(d), true))
     committedDirs(spark, path, delEqDir(path), batches)
       .foreach(d => f.delete(new Path(d), true))
+    // no equality dirs remain → the lowering receipts are vacuous
+    f.listStatus(new Path(commitDir(path))).toSeq
+      .filter(_.getPath.getName.endsWith(".lowered"))
+      .foreach(s => f.delete(s.getPath, false))
     (fullyDead.size.toLong, nBefore - nAfter)
   }
 

@@ -85,10 +85,19 @@ class MorTableSpec extends SparkSpec {
     assert(victims.nonEmpty, "60%-dead batch-0 files must be compaction victims")
     assert(asSet(MorTable.read(spark, base)) == expected)
 
+    // compact left a lowering receipt: vacuum's step-1 scan is skipped
+    val fs2 = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs2.listStatus(new Path(s"$base/commits")).toSeq
+      .exists(_.getPath.getName.endsWith(".lowered")),
+      "compact must write a lowering receipt")
+
     val (removed, shrunk) = MorTable.vacuum(spark, base)
     assert(removed >= 1L, "fully-dead victim file must be physically deleted")
     assert(shrunk > 0L, "sidecar entries for removed files must re-baseline away")
     assert(asSet(MorTable.read(spark, base)) == expected)
+    assert(!fs2.listStatus(new Path(s"$base/commits")).toSeq
+      .exists(_.getPath.getName.endsWith(".lowered")),
+      "vacuum sweeps vacuous receipts with the equality dirs")
     // victims no longer on disk
     val left = MorTable.dataFiles(spark, base).toSet
     assert(victims.forall(v => !left.contains(v)))
