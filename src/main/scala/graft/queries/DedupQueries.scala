@@ -45,6 +45,31 @@ object DedupQueries {
       Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text",
         shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)),
 
+    // Near-dup COMMUNITY structure (r10 cross-family composition): the
+    // two-level Louvain hierarchy over the MinHash-LSH candidate graph
+    // — template families and boilerplate ecosystems are COMMUNITIES
+    // (dense est-jaccard neighborhoods), not just pairwise duplicates,
+    // and topic-balanced curation samples per community rather than per
+    // connected component (components chain through weak links; Louvain
+    // splits them at the sparse cuts). Edges: candidates with est ≥
+    // 4/16; seeds: components of the est ≥ 12/16 sub-graph (the same
+    // exact-multiple-of-1/16 thresholds both engines compute
+    // identically). Shares the oracle chain with sim_louvain_levels
+    // verbatim (SimilarityQueries.louvainLevelsChainSql).
+    "dedup_communities" -> ((s, dir) => {
+      val pairs = Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text",
+        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
+        .localCheckpoint(true)
+      val eg = pairs.where(col("est_jaccard") >= 0.25)
+        .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+      val hi = pairs.where(col("est_jaccard") >= 0.75)
+        .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+      val comp = Dedup.resolveClusters(hi, "a", "b")
+        .select(col("id").as("n"), col("cluster").as("comm"))
+      graft.ops.Similarity.louvainLevels(eg, comp)
+        .select(col("vec_id").as("doc_id"), col("comm1"), col("comm2"))
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashed(docs(s, dir), "doc_id", "text")),
 
@@ -630,6 +655,21 @@ object DedupQueries {
          |  (len(list_filter(range(1,17), i -> a.signature[i::INT] = b.signature[i::INT]))::DOUBLE / 16) AS est_jaccard
          |FROM capped a JOIN capped b USING (band_key)
          |WHERE a.doc_id < b.doc_id""".stripMargin,
+
+    // Community mirror: the LSH candidate chain feeds the SHARED
+    // two-level Louvain CTE text (est re-derived per pair from the
+    // signature CTE — exact multiples of 1/16 on both engines).
+    "dedup_communities" ->
+      s"""WITH RECURSIVE $lshCandCtes,
+         |pairs AS MATERIALIZED (
+         |  SELECT l.id_a AS a, l.id_b AS b,
+         |    (len(list_filter(range(1,17), i -> sa.signature[i::INT] = sb.signature[i::INT]))::DOUBLE / 16) AS est
+         |  FROM lshcand l
+         |  JOIN sig sa ON l.id_a = sa.doc_id
+         |  JOIN sig sb ON l.id_b = sb.doc_id),
+         |eg AS MATERIALIZED (SELECT a, b FROM pairs WHERE est >= 0.25),
+         |hi AS (SELECT a, b FROM pairs WHERE est >= 0.75),
+         |${SimilarityQueries.louvainLevelsChainSql("doc_id")}""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH h AS (

@@ -1234,6 +1234,81 @@ object SimilarityQueries {
        |       CAST(res_hits AS DOUBLE) / CAST(k AS DOUBLE) AS res_recall
        |FROM g""".stripMargin
 
+  /** The two-level Louvain CTE chain over prepared `eg` (canonical
+    * (a, b) backbone) and `hi` (high-confidence seed pairs) CTEs —
+    * ONE text shared by `sim_louvain_levels` (cosine backbone) and
+    * `dedup_communities` (MinHash-LSH candidate graph), so the two
+    * mirrors can never drift. Level 1: seed components (recursive
+    * closure over `hi`) then the exact-LONG local move; coarsen with
+    * self-loops; level 2: singleton-seeded weighted move; compose. */
+  private[queries] def louvainLevelsChainSql(idCol: String): String =
+    s"""mm AS (SELECT count(*) AS m FROM eg),
+       |ed AS (SELECT a AS src, b AS dst FROM eg UNION SELECT b, a FROM eg),
+       |deg AS MATERIALIZED (SELECT src AS n, count(*)::BIGINT AS deg FROM ed GROUP BY 1),
+       |hed AS (SELECT a AS src, b AS dst FROM hi UNION SELECT b, a FROM hi),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM hed
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN hed e ON r.dst = e.src),
+       |complab AS (SELECT src AS n, least(src, min(dst)) AS comm
+       |            FROM reach GROUP BY src),
+       |lab AS MATERIALIZED (SELECT d.n, coalesce(c.comm, d.n) AS comm
+       |        FROM deg d LEFT JOIN complab c ON d.n = c.n),
+       |sumdeg AS (SELECT l.comm, sum(deg.deg)::BIGINT AS c_deg
+       |           FROM lab l JOIN deg ON l.n = deg.n GROUP BY 1),
+       |nbr AS (SELECT e.src, l.comm AS cand, count(*)::BIGINT AS links
+       |        FROM ed e JOIN lab l ON e.dst = l.n GROUP BY 1, 2),
+       |cands AS MATERIALIZED (
+       |  SELECT src, cand, sum(links)::BIGINT AS links FROM (
+       |    SELECT src, cand, links FROM nbr
+       |    UNION ALL SELECT n AS src, comm AS cand, 0 AS links FROM lab)
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.src, c.cand, own.comm AS own, dg.deg AS k_i, c.links,
+       |         sd.c_deg - CASE WHEN c.cand = own.comm THEN dg.deg ELSE 0 END
+       |           AS c_excl
+       |  FROM cands c
+       |  JOIN lab own ON c.src = own.n
+       |  JOIN deg dg ON c.src = dg.n
+       |  JOIN sumdeg sd ON c.cand = sd.comm),
+       |g AS (SELECT src, cand, own,
+       |        (2 * m * links - k_i * c_excl)::BIGINT AS gain_num
+       |      FROM scored, mm),
+       |win AS (SELECT src, cand, own,
+       |          row_number() OVER (PARTITION BY src
+       |            ORDER BY gain_num DESC, cand) AS rn
+       |        FROM g),
+       |lab1 AS MATERIALIZED (SELECT src AS n, cand AS comm FROM win WHERE rn = 1),
+       |e2 AS MATERIALIZED (SELECT least(la.comm, lb.comm) AS a, greatest(la.comm, lb.comm) AS b,
+       |              count(*)::BIGINT AS w
+       |       FROM eg JOIN lab1 la ON eg.a = la.n JOIN lab1 lb ON eg.b = lb.n
+       |       GROUP BY 1, 2),
+       |ed2 AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM e2 WHERE a <> b
+       |        UNION ALL SELECT b, a, w FROM e2 WHERE a <> b),
+       |sw2 AS (SELECT a AS n, 2 * sum(w) AS sw FROM e2 WHERE a = b GROUP BY 1),
+       |dd2 AS (SELECT src AS n, sum(w) AS dd FROM ed2 GROUP BY 1),
+       |deg2 AS MATERIALIZED (SELECT coalesce(d.n, s.n) AS n,
+       |                (coalesce(d.dd, 0) + coalesce(s.sw, 0))::BIGINT AS k
+       |         FROM dd2 d FULL JOIN sw2 s ON d.n = s.n),
+       |nbr2 AS (SELECT src, dst AS cand, sum(w)::BIGINT AS links
+       |         FROM ed2 GROUP BY 1, 2),
+       |cands2 AS MATERIALIZED (SELECT src, cand, sum(links)::BIGINT AS links FROM (
+       |    SELECT src, cand, links FROM nbr2
+       |    UNION ALL SELECT n, n, 0 FROM deg2) GROUP BY 1, 2),
+       |g2 AS (SELECT c.src, c.cand,
+       |         (2 * m * c.links - ki.k *
+       |           (kc.k - CASE WHEN c.cand = c.src THEN ki.k ELSE 0 END))::BIGINT
+       |           AS gain_num
+       |       FROM cands2 c
+       |       JOIN deg2 ki ON c.src = ki.n
+       |       JOIN deg2 kc ON c.cand = kc.n, mm),
+       |win2 AS (SELECT src, cand,
+       |           row_number() OVER (PARTITION BY src
+       |             ORDER BY gain_num DESC, cand) AS rn
+       |         FROM g2)
+       |SELECT l1.n AS $idCol, l1.comm AS comm1, w2.cand AS comm2
+       |FROM lab1 l1 JOIN win2 w2 ON l1.comm = w2.src AND w2.rn = 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
@@ -1592,74 +1667,9 @@ object SimilarityQueries {
          |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
          |eg AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
          |       FROM mut),
-         |mm AS (SELECT count(*) AS m FROM eg),
-         |ed AS (SELECT a AS src, b AS dst FROM eg UNION SELECT b, a FROM eg),
-         |deg AS MATERIALIZED (SELECT src AS n, count(*)::BIGINT AS deg FROM ed GROUP BY 1),
          |hi AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
          |       FROM mut WHERE cos >= 0.5),
-         |hed AS (SELECT a AS src, b AS dst FROM hi UNION SELECT b, a FROM hi),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM hed
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN hed e ON r.dst = e.src),
-         |complab AS (SELECT src AS n, least(src, min(dst)) AS comm
-         |            FROM reach GROUP BY src),
-         |lab AS MATERIALIZED (SELECT d.n, coalesce(c.comm, d.n) AS comm
-         |        FROM deg d LEFT JOIN complab c ON d.n = c.n),
-         |sumdeg AS (SELECT l.comm, sum(deg.deg)::BIGINT AS c_deg
-         |           FROM lab l JOIN deg ON l.n = deg.n GROUP BY 1),
-         |nbr AS (SELECT e.src, l.comm AS cand, count(*)::BIGINT AS links
-         |        FROM ed e JOIN lab l ON e.dst = l.n GROUP BY 1, 2),
-         |cands AS MATERIALIZED (
-         |  SELECT src, cand, sum(links)::BIGINT AS links FROM (
-         |    SELECT src, cand, links FROM nbr
-         |    UNION ALL SELECT n AS src, comm AS cand, 0 AS links FROM lab)
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT c.src, c.cand, own.comm AS own, dg.deg AS k_i, c.links,
-         |         sd.c_deg - CASE WHEN c.cand = own.comm THEN dg.deg ELSE 0 END
-         |           AS c_excl
-         |  FROM cands c
-         |  JOIN lab own ON c.src = own.n
-         |  JOIN deg dg ON c.src = dg.n
-         |  JOIN sumdeg sd ON c.cand = sd.comm),
-         |g AS (SELECT src, cand, own,
-         |        (2 * m * links - k_i * c_excl)::BIGINT AS gain_num
-         |      FROM scored, mm),
-         |win AS (SELECT src, cand, own,
-         |          row_number() OVER (PARTITION BY src
-         |            ORDER BY gain_num DESC, cand) AS rn
-         |        FROM g),
-         |lab1 AS MATERIALIZED (SELECT src AS n, cand AS comm FROM win WHERE rn = 1),
-         |e2 AS MATERIALIZED (SELECT least(la.comm, lb.comm) AS a, greatest(la.comm, lb.comm) AS b,
-         |              count(*)::BIGINT AS w
-         |       FROM eg JOIN lab1 la ON eg.a = la.n JOIN lab1 lb ON eg.b = lb.n
-         |       GROUP BY 1, 2),
-         |ed2 AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM e2 WHERE a <> b
-         |        UNION ALL SELECT b, a, w FROM e2 WHERE a <> b),
-         |sw2 AS (SELECT a AS n, 2 * sum(w) AS sw FROM e2 WHERE a = b GROUP BY 1),
-         |dd2 AS (SELECT src AS n, sum(w) AS dd FROM ed2 GROUP BY 1),
-         |deg2 AS MATERIALIZED (SELECT coalesce(d.n, s.n) AS n,
-         |                (coalesce(d.dd, 0) + coalesce(s.sw, 0))::BIGINT AS k
-         |         FROM dd2 d FULL JOIN sw2 s ON d.n = s.n),
-         |nbr2 AS (SELECT src, dst AS cand, sum(w)::BIGINT AS links
-         |         FROM ed2 GROUP BY 1, 2),
-         |cands2 AS MATERIALIZED (SELECT src, cand, sum(links)::BIGINT AS links FROM (
-         |    SELECT src, cand, links FROM nbr2
-         |    UNION ALL SELECT n, n, 0 FROM deg2) GROUP BY 1, 2),
-         |g2 AS (SELECT c.src, c.cand,
-         |         (2 * m * c.links - ki.k *
-         |           (kc.k - CASE WHEN c.cand = c.src THEN ki.k ELSE 0 END))::BIGINT
-         |           AS gain_num
-         |       FROM cands2 c
-         |       JOIN deg2 ki ON c.src = ki.n
-         |       JOIN deg2 kc ON c.cand = kc.n, mm),
-         |win2 AS (SELECT src, cand,
-         |           row_number() OVER (PARTITION BY src
-         |             ORDER BY gain_num DESC, cand) AS rn
-         |         FROM g2)
-         |SELECT l1.n AS vec_id, l1.comm AS comm1, w2.cand AS comm2
-         |FROM lab1 l1 JOIN win2 w2 ON l1.comm = w2.src AND w2.rn = 1""".stripMargin,
+         |${louvainLevelsChainSql("vec_id")}""".stripMargin,
 
     // Triangle mirror: mutual backbone → canonical src<dst edges ->
     // wedge join through the middle node → closing-edge semi-join.
