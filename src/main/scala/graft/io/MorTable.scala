@@ -91,6 +91,49 @@ object MorTable {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Writer-lock tuning: how long an acquirer waits for a held lock
+    * before failing, and the age past which a lock is presumed crashed
+    * and stolen. Package-visible for the spec. */
+  private[io] val LockWaitMs = 5000L
+  private[io] val LockStaleMs = 10L * 60 * 1000
+  private[io] def lockPath(path: String) = new Path(commitDir(path), "_writer.lock")
+
+  /** SINGLE-WRITER enforcement (the r9 advisor asked for more than
+    * documentation): every mutation — merge, compact, vacuum — runs
+    * under an atomically-created lock file (`FileSystem.create` with
+    * overwrite=false; atomic on HDFS/S3A-with-CSE/local). Batch ids are
+    * allocated as last-committed+1 and vacuum's orphan sweep reclaims
+    * uncommitted dirs, so two concurrent writers would corrupt each
+    * other even though readers stay safe; the lock makes the collision
+    * an ERROR instead of a corruption. A crashed writer's lock goes
+    * stale after [[LockStaleMs]] and is stolen; contention past
+    * [[LockWaitMs]] throws rather than queueing (maintenance schedulers
+    * should serialize per table — the Controller's layout already
+    * does). */
+  private def withWriterLock[T](spark: SparkSession, path: String)(body: => T): T = {
+    val f = fs(spark, path)
+    val dir = new Path(commitDir(path))
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val lock = lockPath(path)
+    val deadline = System.currentTimeMillis() + LockWaitMs
+    var acquired = false
+    while (!acquired) {
+      try { f.create(lock, false).close(); acquired = true }
+      catch { case _: java.io.IOException =>
+        val stale =
+          try System.currentTimeMillis() - f.getFileStatus(lock).getModificationTime > LockStaleMs
+          catch { case _: java.io.FileNotFoundException => false } // released; retry
+        if (stale) f.delete(lock, false): Unit
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"MOR writer lock held (concurrent writer?): $lock — " +
+              "serialize mutations per table, or remove the lock if its owner crashed")
+        else Thread.sleep(100)
+      }
+    }
+    try body finally f.delete(lock, false)
+  }
+
   /** Committed batch ids, from the marker ledger (one listing of a dir
     * with one zero-byte file per commit — bounded by commit count, never
     * by data size). */
@@ -279,6 +322,7 @@ object MorTable {
             maxRecordsPerFile: Long = CowWriter.DefaultMaxRecordsPerFile,
             provenanceCols: Seq[String] = Nil): Long = {
     require(pks.nonEmpty, "merge-on-read requires primary keys")
+    withWriterLock(spark, path) {
     val b = committedBatches(spark, path).lastOption
       .getOrElse(sys.error(s"MOR table not initialized: $path")) + 1L
 
@@ -304,6 +348,7 @@ object MorTable {
     keys.write.mode("overwrite").parquet(s"${delEqDir(path)}/batch=$b")
     commit(spark, path, b)
     b
+    }
   }
 
   /** Value-level change feed of one commit, derived from the commit
@@ -442,6 +487,7 @@ object MorTable {
               maxRecordsPerFile: Long = CowWriter.DefaultMaxRecordsPerFile,
               clusterBy: Seq[String] = Nil): Seq[String] = {
     import spark.implicits._
+    withWriterLock(spark, path) {
     val batches = committedBatches(spark, path)
     val dataDirs = committedDirs(spark, path, dataDir(path), batches)
     if (dataDirs.isEmpty) return Nil
@@ -495,6 +541,7 @@ object MorTable {
     // metadata instead of a target read.
     markLowered(spark, path, b)
     victims
+    }
   }
 
   /** Highest commit id whose equality deletes are known lowered to
@@ -514,12 +561,10 @@ object MorTable {
     f.create(new Path(commitDir(path), s"$b.lowered"), true).close()
   }
 
-  /** GC pass — SINGLE-WRITER: like every mutation here (merge ids are
-    * allocated as last-committed+1), vacuum assumes no concurrent
-    * writer; its orphan sweep would reclaim the not-yet-committed dirs
-    * of an in-flight merge. Serialize maintenance with ingestion (the
-    * Controller's per-table lock / one-stream-per-table layout already
-    * does).
+  /** GC pass — runs under the [[withWriterLock]] single-writer lock
+    * like every mutation (its orphan sweep would reclaim the
+    * not-yet-committed dirs of an in-flight merge; the lock turns that
+    * collision into an error).
     *
     *  1. lower any outstanding equality deletes to positions (a
     *     PK-column-pruned scan — only needed when no [[compact]] ran
@@ -543,6 +588,7 @@ object MorTable {
     * fully-dead file races its physical delete. */
   def vacuum(spark: SparkSession, path: String): (Long, Long) = {
     import spark.implicits._
+    withWriterLock(spark, path) {
     val f = fs(spark, path)
     val batches = committedBatches(spark, path)
     val dataDirs = committedDirs(spark, path, dataDir(path), batches)
@@ -612,6 +658,7 @@ object MorTable {
       .filter(_.getPath.getName.endsWith(".lowered"))
       .foreach(s => f.delete(s.getPath, false))
     (fullyDead.size.toLong, nBefore - nAfter)
+    }
   }
 
   /** Live data files (for specs / ops visibility). */

@@ -355,6 +355,27 @@ class MorTableSpec extends SparkSpec {
     assert(asSet(keepJ) ++ asSet(dropJ) == asSet(df))
   }
 
+  test("writer lock: held blocks mutations, stale is stolen, success releases") {
+    val base = tmp()
+    MorTable.init(spark, snapshot, base)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = MorTable.lockPath(base)
+    // a FRESH foreign lock: the merge must fail loud, not corrupt
+    fs.create(lock, false).close()
+    val t0 = System.nanoTime()
+    intercept[IllegalStateException](
+      MorTable.merge(spark, batch(1L, Seq(("U", 0L, "u0"))), base, Seq("k")))
+    assert((System.nanoTime() - t0) / 1e6 >= MorTable.LockWaitMs - 500,
+      "acquirer must wait out the contention window before failing")
+    // a STALE lock (crashed writer): stolen, mutation proceeds
+    fs.setTimes(lock, System.currentTimeMillis() - MorTable.LockStaleMs - 1000, -1)
+    MorTable.merge(spark, batch(1L, Seq(("U", 0L, "u0"))), base, Seq("k"))
+    assert(!fs.exists(lock), "successful mutation must release the lock")
+    val m = MorTable.read(spark, base).where($"k" === 0L)
+      .select("v").as[String].collect().toSeq
+    assert(m == Seq("u0"))
+  }
+
   test("replayed batch id converges to one copy (overwrite-then-commit)") {
     val base = tmp()
     MorTable.init(spark, snapshot, base)
