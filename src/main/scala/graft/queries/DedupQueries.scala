@@ -70,6 +70,28 @@ object DedupQueries {
         .select(col("vec_id").as("doc_id"), col("comm1"), col("comm2"))
     }),
 
+    // The curation-facing read of the hierarchy: per level-2 community,
+    // its size, how many level-1 sub-communities it absorbed, and the
+    // deterministic representative (min doc id) — the grain a
+    // topic-balanced sampler iterates (sample k per community instead
+    // of k per corpus). One partial agg over the communities frame.
+    "dedup_community_stats" -> ((s, dir) => {
+      val pairs = Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text",
+        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
+        .localCheckpoint(true)
+      val eg = pairs.where(col("est_jaccard") >= 0.25)
+        .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+      val hi = pairs.where(col("est_jaccard") >= 0.75)
+        .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+      val comp = Dedup.resolveClusters(hi, "a", "b")
+        .select(col("id").as("n"), col("cluster").as("comm"))
+      graft.ops.Similarity.louvainLevels(eg, comp)
+        .groupBy(col("comm2").as("community"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("comm1")).as("n_subcommunities"),
+          min(col("vec_id")).as("representative"))
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashed(docs(s, dir), "doc_id", "text")),
 
@@ -670,6 +692,25 @@ object DedupQueries {
          |eg AS MATERIALIZED (SELECT a, b FROM pairs WHERE est >= 0.25),
          |hi AS (SELECT a, b FROM pairs WHERE est >= 0.75),
          |${SimilarityQueries.louvainLevelsChainSql("doc_id")}""".stripMargin,
+
+    // Stats mirror: the same shared chain, aggregated at community
+    // grain.
+    "dedup_community_stats" ->
+      s"""SELECT comm2 AS community, count(*)::BIGINT AS n_docs,
+         |       count(DISTINCT comm1)::BIGINT AS n_subcommunities,
+         |       min(doc_id) AS representative
+         |FROM (
+         |WITH RECURSIVE $lshCandCtes,
+         |pairs AS MATERIALIZED (
+         |  SELECT l.id_a AS a, l.id_b AS b,
+         |    (len(list_filter(range(1,17), i -> sa.signature[i::INT] = sb.signature[i::INT]))::DOUBLE / 16) AS est
+         |  FROM lshcand l
+         |  JOIN sig sa ON l.id_a = sa.doc_id
+         |  JOIN sig sb ON l.id_b = sb.doc_id),
+         |eg AS MATERIALIZED (SELECT a, b FROM pairs WHERE est >= 0.25),
+         |hi AS (SELECT a, b FROM pairs WHERE est >= 0.75),
+         |${SimilarityQueries.louvainLevelsChainSql("doc_id")}
+         |) c GROUP BY 1""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH h AS (
