@@ -169,6 +169,28 @@ class MorTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](MorTable.readAsOf(spark, base, -1L))
   }
 
+  test("time travel survives compaction (equality dirs retained until vacuum)") {
+    val base = tmp()
+    MorTable.init(spark, snapshot, base)
+    val b1 = batch(1L, Seq(("U", 0L, "u0"), ("D", 1L, "x"), ("I", 100L, "n100")))
+    val b2 = batch(2L, Seq(("U", 0L, "w0"), ("D", 100L, "x")))
+    MorTable.merge(spark, b1, base, Seq("k"))
+    MorTable.merge(spark, b2, base, Seq("k"))
+    val asOf1 = asSet(MorTable.readAsOf(spark, base, 1L))
+    val current = asSet(MorTable.read(spark, base))
+
+    // compact lowers eq deletes to positions but RETAINS the eq dirs,
+    // so every pre-compact prefix still reconstructs exactly
+    assert(MorTable.compact(spark, base, minDeadFraction = 0.01).nonEmpty)
+    assert(asSet(MorTable.readAsOf(spark, base, 0L)) == asSet(snapshot))
+    assert(asSet(MorTable.readAsOf(spark, base, 1L)) == asOf1)
+    assert(asSet(MorTable.read(spark, base)) == current)
+
+    // vacuum is the history barrier: current state still exact
+    MorTable.vacuum(spark, base)
+    assert(asSet(MorTable.read(spark, base)) == current)
+  }
+
   test("commitDiff: I/U/D classified from commit structure; moves are silent") {
     val base = tmp()
     MorTable.init(spark, snapshot, base)
