@@ -700,6 +700,37 @@ object Dedup {
       .distinct()
   }
 
+  /** All candidate pairs FROM a persisted LSH index — the all-pairs
+    * dual of [[lshCandidatesAgainstIndex]] (which probes with a batch):
+    * live band rows (tombstoned versions dropped), heavy buckets capped
+    * exactly like the from-scratch path, then a BUCKET-LOCAL self-join
+    * (both sides are the same bucketed table, so the join inherits the
+    * band_key layout with no index-side exchange). After any
+    * append/update history the result equals [[lshCandidatePairs]] over
+    * the merged corpus — the pair-level ingest ≡ recompute law the
+    * `dedup_communities_after_ingest` oracle pins. */
+  def lshPairsFromIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                        k: Int = 16, maxBucketSize: Int = 1000): DataFrame = {
+    val SI = graft.io.SegmentedIndex
+    val t = SI.resolve(spark, table)
+    val idCol = SI.idColOf(spark, t)
+    val live = SI.dropDead(graft.io.Bucketing.readBucketed(spark, t),
+        SI.tombstoneMax(spark, t, idCol), idCol)
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("band_key"), col(idCol), col("signature"))
+      .localCheckpoint(true) // both sides of the self-join
+    val lhs = live.select(col("band_key"), col(idCol).as("id_a"),
+      col("signature").as("sig_a"))
+    val rhs = live.select(col("band_key"), col(idCol).as("id_b"),
+      col("signature").as("sig_b"))
+    lhs.join(rhs, "band_key").where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
+      .distinct()
+  }
+
   /** Winnowing fingerprints per document: (id, fp) exploded from the
     * distinct sliding-min set of Rabin-Karp window hashes over the
     * normalized text (see [[graft.expressions.WinnowSetExpr]]). Any

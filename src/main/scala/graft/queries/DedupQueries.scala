@@ -12,6 +12,25 @@ object DedupQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
+  /** Two-level Louvain over an (id_a, id_b, est_jaccard) candidate
+    * graph — the shared tail of dedup_communities /
+    * dedup_community_stats / dedup_communities_after_ingest: edges at
+    * est ≥ 4/16, seed components at est ≥ 12/16 (exact multiples of
+    * 1/16 — engine-portable thresholds). ONE copy so the three
+    * surfaces can never diverge from each other or their shared
+    * oracle chain. */
+  private def communitiesFromPairs(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.localCheckpoint(true)
+    val eg = pairs.where(col("est_jaccard") >= 0.25)
+      .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+    val hi = pairs.where(col("est_jaccard") >= 0.75)
+      .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+    val comp = Dedup.resolveClusters(hi, "a", "b")
+      .select(col("id").as("n"), col("cluster").as("comm"))
+    graft.ops.Similarity.louvainLevels(eg, comp)
+      .select(col("vec_id").as("doc_id"), col("comm1"), col("comm2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text")),
@@ -56,18 +75,26 @@ object DedupQueries {
     // exact-multiple-of-1/16 thresholds both engines compute
     // identically). Shares the oracle chain with sim_louvain_levels
     // verbatim (SimilarityQueries.louvainLevelsChainSql).
-    "dedup_communities" -> ((s, dir) => {
-      val pairs = Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text",
-        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
-        .localCheckpoint(true)
-      val eg = pairs.where(col("est_jaccard") >= 0.25)
-        .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
-      val hi = pairs.where(col("est_jaccard") >= 0.75)
-        .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
-      val comp = Dedup.resolveClusters(hi, "a", "b")
-        .select(col("id").as("n"), col("cluster").as("comm"))
-      graft.ops.Similarity.louvainLevels(eg, comp)
-        .select(col("vec_id").as("doc_id"), col("comm1"), col("comm2"))
+    "dedup_communities" -> ((s, dir) =>
+      communitiesFromPairs(
+        Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text",
+          shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000))),
+
+    // Lifecycle twin: the SAME communities, but the pair graph comes
+    // from the PERSISTED LSH index built across two ingest deliveries
+    // (initial write + ledger-gated append) instead of a corpus
+    // recompute — [[Dedup.lshPairsFromIndex]], the all-pairs dual of
+    // the probe path. Same oracle text as dedup_communities: a hash
+    // match proves index-derived pairs ≡ from-scratch pairs ≡ identical
+    // community structure, end to end through the hierarchy.
+    "dedup_communities_after_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val table = s"lsh_comm_idx_${math.abs(dir.hashCode)}"
+      Dedup.writeLshIndex(d.where(col("doc_id") % 3 =!= 0L),
+        "doc_id", "text", table, buckets = 8)
+      Dedup.appendToLshIndex(d.where(col("doc_id") % 3 === 0L),
+        "doc_id", "text", table, buckets = 8, batchId = "comm_b1")
+      communitiesFromPairs(Dedup.lshPairsFromIndex(s, table))
     }),
 
     // The curation-facing read of the hierarchy: per level-2 community,
@@ -75,22 +102,14 @@ object DedupQueries {
     // deterministic representative (min doc id) — the grain a
     // topic-balanced sampler iterates (sample k per community instead
     // of k per corpus). One partial agg over the communities frame.
-    "dedup_community_stats" -> ((s, dir) => {
-      val pairs = Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text",
-        shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000)
-        .localCheckpoint(true)
-      val eg = pairs.where(col("est_jaccard") >= 0.25)
-        .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
-      val hi = pairs.where(col("est_jaccard") >= 0.75)
-        .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
-      val comp = Dedup.resolveClusters(hi, "a", "b")
-        .select(col("id").as("n"), col("cluster").as("comm"))
-      graft.ops.Similarity.louvainLevels(eg, comp)
+    "dedup_community_stats" -> ((s, dir) =>
+      communitiesFromPairs(
+        Dedup.lshCandidatePairs(docs(s, dir), "doc_id", "text",
+          shingleWords = 3, k = 16, bands = 4, maxBucketSize = 1000))
         .groupBy(col("comm2").as("community"))
         .agg(count(lit(1)).as("n_docs"),
           count_distinct(col("comm1")).as("n_subcommunities"),
-          min(col("vec_id")).as("representative"))
-    }),
+          min(col("doc_id")).as("representative"))),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashed(docs(s, dir), "doc_id", "text")),
@@ -600,6 +619,21 @@ object DedupQueries {
        |           md5(array_to_string(list_slice(signature, (b*4+1)::INT, (b*4+4)::INT), ',')))) AS band_key
        |  FROM ${pre}sig)""".stripMargin
 
+  /** The dedup-side Louvain community oracle: LSH candidate CTEs +
+    * per-pair est + the shared chain. One text, aliased by both
+    * `dedup_communities` and `dedup_communities_after_ingest`. */
+  private lazy val communitiesOracle: String =
+    s"""WITH RECURSIVE $lshCandCtes,
+       |pairs AS MATERIALIZED (
+       |  SELECT l.id_a AS a, l.id_b AS b,
+       |    (len(list_filter(range(1,17), i -> sa.signature[i::INT] = sb.signature[i::INT]))::DOUBLE / 16) AS est
+       |  FROM lshcand l
+       |  JOIN sig sa ON l.id_a = sa.doc_id
+       |  JOIN sig sb ON l.id_b = sb.doc_id),
+       |eg AS MATERIALIZED (SELECT a, b FROM pairs WHERE est >= 0.25),
+       |hi AS (SELECT a, b FROM pairs WHERE est >= 0.75),
+       |${SimilarityQueries.louvainLevelsChainSql("doc_id")}""".stripMargin
+
   private def jaccardSql(a: String, b: String) =
     s"""CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0
        |     ELSE len(list_filter($a, x -> list_contains($b, x)))::DOUBLE
@@ -681,17 +715,13 @@ object DedupQueries {
     // Community mirror: the LSH candidate chain feeds the SHARED
     // two-level Louvain CTE text (est re-derived per pair from the
     // signature CTE — exact multiples of 1/16 on both engines).
-    "dedup_communities" ->
-      s"""WITH RECURSIVE $lshCandCtes,
-         |pairs AS MATERIALIZED (
-         |  SELECT l.id_a AS a, l.id_b AS b,
-         |    (len(list_filter(range(1,17), i -> sa.signature[i::INT] = sb.signature[i::INT]))::DOUBLE / 16) AS est
-         |  FROM lshcand l
-         |  JOIN sig sa ON l.id_a = sa.doc_id
-         |  JOIN sig sb ON l.id_b = sb.doc_id),
-         |eg AS MATERIALIZED (SELECT a, b FROM pairs WHERE est >= 0.25),
-         |hi AS (SELECT a, b FROM pairs WHERE est >= 0.75),
-         |${SimilarityQueries.louvainLevelsChainSql("doc_id")}""".stripMargin,
+    "dedup_communities" -> communitiesOracle,
+
+    // after_ingest shares the oracle VERBATIM: the index across two
+    // deliveries must hold exactly the band rows a from-scratch build
+    // over the full corpus holds, so pairs — and therefore the whole
+    // community hierarchy — hash-match the recompute mirror.
+    "dedup_communities_after_ingest" -> communitiesOracle,
 
     // Stats mirror: the same shared chain, aggregated at community
     // grain.
