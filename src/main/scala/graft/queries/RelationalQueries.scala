@@ -578,6 +578,132 @@ object RelationalQueries {
       depth("clustered").unionByName(depth("scattered"))
     }),
 
+    // Cross-table consistency tie-out (does Σ lineitem extended math
+    // reproduce o_totalprice?) — the reconciliation audit every
+    // warehouse runs between a fact table and its rollup. All money
+    // math in EXACT integers: prices to cents, discount/tax to whole
+    // percits (both are 2-decimal by contract), so the per-order sum
+    // ext_cents·(100−disc)·(100+tax) is an exact BIGINT in 10⁻⁴-cent
+    // units and the comparison is equality, not an epsilon. One
+    // map-side-combined lineitem rollup + one co-partitioned fact-fact
+    // join on the order key + a |status|-row final agg — no row ever
+    // leaves its orderkey partition twice. (On this fixture totals are
+    // generated independently of lineitems, so every order mismatches
+    // — the audit's point is the exact magnitude readout.)
+    "dq_consistency" -> ((s, dir) => {
+      val cents = (c: org.apache.spark.sql.Column) =>
+        floor(c * 100.0 + 0.5).cast("long")
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount"))) *
+            (lit(100L) + cents(col("l_tax")))).as("__v"))
+        .groupBy("l_orderkey").agg(sum(col("__v")).as("calc_u"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (cents(col("o_totalprice")) * lit(10000L)).as("tot_u"))
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("calc_u").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+          sum(when(col("calc_u").isNotNull && col("calc_u") =!= col("tot_u"),
+            1L).otherwise(0L)).as("n_mismatched"),
+          max(when(col("calc_u").isNotNull, abs(col("calc_u") - col("tot_u"))))
+            .as("max_abs_diff_u"))
+        .withColumn("max_abs_diff",
+          col("max_abs_diff_u").cast("double") / 1.0e6)
+    }),
+
+    // String-shape profiling (the "what formats live in this column"
+    // audit): collapse letter runs to 'A' and digit runs to '9', then
+    // count shapes per column — one malformed feed row shows up as a
+    // second shape where production expects exactly one. Four columns
+    // stacked in one pass each (union of column-pruned scans), shapes
+    // counted with a map-side-combined agg; share is one division off
+    // an exact integer window sum, example is the per-shape min (byte
+    // order — ASCII-identical in both engines).
+    "dq_value_shapes" -> ((s, dir) => {
+      def shaped(t: String, c: String) =
+        Tables(s, dir, t).select(lit(c).as("column"),
+          regexp_replace(regexp_replace(col(c), "[A-Za-z]+", "A"),
+            "[0-9]+", "9").as("shape"),
+          col(c).as("__v"))
+      val stacked = shaped("customer", "c_name")
+        .unionAll(shaped("part", "p_brand"))
+        .unionAll(shaped("part", "p_type"))
+        .unionAll(shaped("orders", "o_orderpriority"))
+      stacked.groupBy("column", "shape")
+        .agg(count(lit(1)).as("n_rows"), min(col("__v")).as("example"))
+        .withColumn("share", col("n_rows").cast("double") /
+          sum(col("n_rows")).over(Window.partitionBy("column")).cast("double"))
+    }),
+
+    // Distribution-drift audit between two cohorts (even/odd custkey —
+    // the stand-in for yesterday/today): o_totalprice over 10
+    // equal-width bins from the global [min,max]. Per bin both counts,
+    // both shares, the total-variation term and the chi-square-distance
+    // term; the TOTAL TV distance is computed in EXACT rational form —
+    // Σ|n_a·t_b − n_b·t_a| is an exact BIGINT, divided once by
+    // 2·t_a·t_b — because a float window-sum of the per-bin terms would
+    // be accumulation-order-sensitive (the repo's no-float-refold rule).
+    // One scan + one 10-row agg; min/max from a single partial-agg pass.
+    "dq_drift" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+      val mm = o.agg(min(col("o_totalprice")).as("__mn"),
+        max(col("o_totalprice")).as("__mx"))
+      val binned = o.crossJoin(broadcast(mm))
+        .withColumn("bin", least(lit(9L),
+          floor((col("o_totalprice") - col("__mn")) * 10.0 /
+            (col("__mx") - col("__mn")))))
+        .groupBy("bin")
+        .agg(sum(when(col("o_custkey") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("o_custkey") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+      val w = Window.partitionBy(lit(1))
+      binned
+        .withColumn("__ta", sum(col("n_a")).over(w))
+        .withColumn("__tb", sum(col("n_b")).over(w))
+        .withColumn("pa", col("n_a").cast("double") / col("__ta").cast("double"))
+        .withColumn("pb", col("n_b").cast("double") / col("__tb").cast("double"))
+        .withColumn("tv_term", abs(col("pa") - col("pb")) / 2.0)
+        .withColumn("chi2_term",
+          when(col("pa") + col("pb") === 0.0, 0.0)
+            .otherwise((col("pa") - col("pb")) * (col("pa") - col("pb")) /
+              (col("pa") + col("pb"))))
+        .withColumn("tv_total",
+          (sum(abs(col("n_a") * col("__tb") - col("n_b") * col("__ta"))).over(w))
+            .cast("double") /
+            (lit(2.0) * col("__ta").cast("double") * col("__tb").cast("double")))
+        .select("bin", "n_a", "n_b", "pa", "pb", "tv_term", "chi2_term",
+          "tv_total")
+    }),
+
+    // Label-balance audit over the embeddings table (is the training
+    // mix still uniform across classes?): per label the observed count,
+    // the uniform expectation, its ratio, and the chi-square term; the
+    // TOTAL chi-square statistic in closed form — k·Σn²/t − t needs ONE
+    // division off exact integers (Σ(n−t/k)²/(t/k) algebraically), so
+    // no order-sensitive float refold. One |labels|-row partial agg.
+    "dq_class_balance" -> ((s, dir) => {
+      val w = Window.partitionBy(lit(1))
+      Tables(s, dir, "embeddings")
+        .groupBy("label").agg(count(lit(1)).as("n_rows"))
+        .withColumn("__k", count(lit(1)).over(w))
+        .withColumn("__t", sum(col("n_rows")).over(w))
+        .withColumn("__sumsq", sum(col("n_rows") * col("n_rows")).over(w))
+        .withColumn("expected",
+          col("__t").cast("double") / col("__k").cast("double"))
+        .withColumn("ratio", col("n_rows").cast("double") / col("expected"))
+        .withColumn("chi2_term",
+          (col("n_rows").cast("double") - col("expected")) *
+            (col("n_rows").cast("double") - col("expected")) / col("expected"))
+        .withColumn("chi2_total",
+          (col("__k") * col("__sumsq")).cast("double") /
+            col("__t").cast("double") - col("__t").cast("double"))
+        .select("label", "n_rows", "expected", "ratio", "chi2_term",
+          "chi2_total")
+    }),
+
     // Z-order (Morton) values for two-dimensional clustering (see
     // [[graft.ops.ZOrder]] — the layout pass that makes parquet min/max
     // prune on BOTH keys). The value function is the oracle-checked part;
@@ -1785,6 +1911,87 @@ object RelationalQueries {
         |       n::DOUBLE / n_rows::DOUBLE AS top_share,
         |       n_langs > 1 AS violated
         |FROM s WHERE rn = 1""".stripMargin,
+
+    // Consistency mirror: identical exact-integer money pipeline (cents,
+    // whole percents, 10⁻⁴-cent sum units), LEFT JOIN + per-status agg.
+    "dq_consistency" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |        * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+        |        * (100 + CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT))) AS calc_u
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) * 10000 AS tot_u,
+        |         calc_u
+        |  FROM orders LEFT JOIN li ON o_orderkey = l_orderkey),
+        |g AS (
+        |  SELECT o_orderstatus, count(*) AS n_orders,
+        |    CAST(sum(CASE WHEN calc_u IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+        |    CAST(sum(CASE WHEN calc_u IS NOT NULL AND calc_u <> tot_u
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+        |    CAST(max(CASE WHEN calc_u IS NOT NULL
+        |             THEN abs(calc_u - tot_u) END) AS BIGINT) AS max_abs_diff_u
+        |  FROM j GROUP BY 1)
+        |SELECT *, max_abs_diff_u::DOUBLE / 1000000.0 AS max_abs_diff FROM g""".stripMargin,
+
+    // Shape mirror: same two global regex collapses, same per-column
+    // share division, min example (ASCII byte order on both engines).
+    "dq_value_shapes" ->
+      """WITH stacked AS (
+        |  SELECT 'c_name' AS "column",
+        |    regexp_replace(regexp_replace(c_name, '[A-Za-z]+', 'A', 'g'), '[0-9]+', '9', 'g') AS shape,
+        |    c_name AS v FROM customer
+        |  UNION ALL SELECT 'p_brand',
+        |    regexp_replace(regexp_replace(p_brand, '[A-Za-z]+', 'A', 'g'), '[0-9]+', '9', 'g'),
+        |    p_brand FROM part
+        |  UNION ALL SELECT 'p_type',
+        |    regexp_replace(regexp_replace(p_type, '[A-Za-z]+', 'A', 'g'), '[0-9]+', '9', 'g'),
+        |    p_type FROM part
+        |  UNION ALL SELECT 'o_orderpriority',
+        |    regexp_replace(regexp_replace(o_orderpriority, '[A-Za-z]+', 'A', 'g'), '[0-9]+', '9', 'g'),
+        |    o_orderpriority FROM orders)
+        |SELECT "column", shape, count(*) AS n_rows, min(v) AS example,
+        |  count(*)::DOUBLE / (sum(count(*)) OVER (PARTITION BY "column"))::DOUBLE AS share
+        |FROM stacked GROUP BY 1, 2""".stripMargin,
+
+    // Drift mirror: identical binning arithmetic, per-bin IEEE terms in
+    // the same op order, exact-rational total TV (BIGINT numerator, one
+    // division).
+    "dq_drift" ->
+      """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+        |b AS (
+        |  SELECT least(9, CAST(floor((o_totalprice - mn) * 10.0 / (mx - mn)) AS BIGINT)) AS bin,
+        |         CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS a
+        |  FROM orders, mm),
+        |c AS (SELECT bin, CAST(sum(a) AS BIGINT) AS n_a,
+        |             CAST(sum(1 - a) AS BIGINT) AS n_b FROM b GROUP BY 1),
+        |t1 AS (SELECT *, (sum(n_a) OVER ())::BIGINT AS ta,
+        |              (sum(n_b) OVER ())::BIGINT AS tb FROM c),
+        |t2 AS (SELECT *, (sum(abs(n_a * tb - n_b * ta)) OVER ())::BIGINT AS num FROM t1),
+        |p AS (SELECT *, n_a::DOUBLE / ta::DOUBLE AS pa,
+        |             n_b::DOUBLE / tb::DOUBLE AS pb FROM t2)
+        |SELECT bin, n_a, n_b, pa, pb,
+        |  abs(pa - pb) / 2.0 AS tv_term,
+        |  CASE WHEN pa + pb = 0.0 THEN 0.0
+        |       ELSE (pa - pb) * (pa - pb) / (pa + pb) END AS chi2_term,
+        |  num::DOUBLE / (2.0 * ta::DOUBLE * tb::DOUBLE) AS tv_total
+        |FROM p""".stripMargin,
+
+    // Class-balance mirror: same closed-form chi-square off exact
+    // integer window sums, one division per float column.
+    "dq_class_balance" ->
+      """WITH c AS (SELECT label, count(*) AS n_rows FROM embeddings GROUP BY 1),
+        |w AS (SELECT *, (count(*) OVER ())::BIGINT AS k,
+        |             (sum(n_rows) OVER ())::BIGINT AS t,
+        |             (sum(n_rows * n_rows) OVER ())::BIGINT AS sumsq FROM c),
+        |e AS (SELECT *, t::DOUBLE / k::DOUBLE AS expected FROM w)
+        |SELECT label, n_rows, expected,
+        |  n_rows::DOUBLE / expected AS ratio,
+        |  (n_rows::DOUBLE - expected) * (n_rows::DOUBLE - expected) / expected AS chi2_term,
+        |  (k * sumsq)::DOUBLE / t::DOUBLE - t::DOUBLE AS chi2_total
+        |FROM e""".stripMargin,
 
     "rel_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist FROM (

@@ -914,4 +914,55 @@ class ScaleOpsSpec extends SparkSpec {
         s"doc $id has an exact twin but novelty ${novMap(id)}"))
     }
   }
+
+  test("dq audits: tie-out partitions orders, shapes collapse, closed forms reconcile") {
+    val q = graft.SparkEntry.queries
+
+    // consistency: statuses partition the orders table; the dollar diff
+    // is exactly the integer diff re-scaled (no second float path)
+    val cons = q("dq_consistency")(spark, sf).collect()
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(cons.map(_.getAs[Long]("n_orders")).sum == nOrders)
+    cons.foreach { r =>
+      assert(r.getAs[Long]("n_mismatched") + r.getAs[Long]("n_no_lines")
+        <= r.getAs[Long]("n_orders"))
+      assert(r.getAs[Double]("max_abs_diff")
+        == r.getAs[Long]("max_abs_diff_u").toDouble / 1.0e6)
+    }
+
+    // shapes: the uniform generator columns collapse to ONE shape each
+    // (c_name = 'Customer#000000000' → 'A#9'); shares sum to 1 per column
+    val shapes = q("dq_value_shapes")(spark, sf).collect()
+    val byCol = shapes.groupBy(_.getAs[String]("column"))
+    assert(byCol("c_name").map(_.getAs[String]("shape")).toSet == Set("A#9"))
+    // priorities are '1-URGENT' … '4-NOT SPECIFIED' → exactly the two
+    // digit-dash-word shapes, nothing unparsed
+    assert(byCol("o_orderpriority").map(_.getAs[String]("shape")).toSet
+      == Set("9-A", "9-A A"))
+    byCol.values.foreach { rows =>
+      assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+      rows.foreach { r =>
+        // the example really has the claimed shape
+        val reshaped = r.getAs[String]("example")
+          .replaceAll("[A-Za-z]+", "A").replaceAll("[0-9]+", "9")
+        assert(reshaped == r.getAs[String]("shape"))
+      }
+    }
+
+    // drift: the exact-rational tv_total reconciles with the float
+    // per-bin fold, and both cohort count columns cover all orders
+    val drift = q("dq_drift")(spark, sf).collect()
+    assert(drift.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum
+      == nOrders)
+    val tv = drift.head.getAs[Double]("tv_total")
+    assert(tv >= 0.0 && tv <= 1.0)
+    assert(math.abs(tv - drift.map(_.getAs[Double]("tv_term")).sum) < 1e-9)
+
+    // class balance: closed-form chi2_total ≡ the expanded per-label sum
+    val bal = q("dq_class_balance")(spark, sf).collect()
+    val chiTot = bal.head.getAs[Double]("chi2_total")
+    assert(math.abs(chiTot - bal.map(_.getAs[Double]("chi2_term")).sum) < 1e-6)
+    assert(bal.map(_.getAs[Long]("n_rows")).sum
+      == spark.read.parquet(s"$sf/embeddings.parquet").count())
+  }
 }
