@@ -101,6 +101,39 @@ case class SignBucketExpr(child: Expression, bits: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Sign mask of dimensions [start, start+bits): bit j ⇔ v[start+j] > 0 —
+  * the windowed generalization of [[SignBucketExpr]] used to PACK a whole
+  * embedding into 1 bit/dim (binary quantization: a 64-dim float vector
+  * becomes two LONG words, 32× less scan bandwidth for the Hamming
+  * shortlist pass). Dimensions past the array end contribute 0 bits. */
+case class SignMaskExpr(child: Expression, start: Int, bits: Int)
+    extends UnaryExpression {
+  require(start >= 0, s"sign-mask start must be >= 0, got $start")
+  // bits > 64 would silently alias (1L << j wraps at 64) and corrupt masks
+  require(bits > 0 && bits <= 64, s"sign-mask bits must be in 1..64, got $bits")
+  override def dataType: DataType = LongType
+
+  def compute(v: ArrayData): Long = nullSafeEval(v).asInstanceOf[Long]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signMask", this, classOf[SignMaskExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var out = 0L
+    var j = 0
+    val n = math.min(bits, v.numElements() - start)
+    while (j < n) {
+      if (v.getFloat(start + j) > 0f) out |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   private def e(c: Column) = GraftColumnShim.expression(c)
   def cosine(a: Column, b: Column): Column =
@@ -109,4 +142,6 @@ object VectorExpressions {
     GraftColumnShim.column(DotProductExpr(e(a), e(b)))
   def signBucket(v: Column, bits: Int): Column =
     GraftColumnShim.column(SignBucketExpr(e(v), bits))
+  def signMask(v: Column, start: Int, bits: Int): Column =
+    GraftColumnShim.column(SignMaskExpr(e(v), start, bits))
 }

@@ -35,4 +35,10 @@ object VectorFunctions {
     * comes from multiple probes at query time. */
   def signBucket(v: Column, bits: Int): Column =
     graft.expressions.VectorExpressions.signBucket(v, bits)
+
+  /** Sign mask of dims [start, start+bits) — bit j ⇔ v[start+j] > 0.
+    * Binary quantization packing: 32 dims per LONG word (see
+    * [[graft.expressions.SignMaskExpr]]). */
+  def signMask(v: Column, start: Int, bits: Int): Column =
+    graft.expressions.VectorExpressions.signMask(v, start, bits)
 }

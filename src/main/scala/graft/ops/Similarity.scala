@@ -148,6 +148,49 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Binary (1-bit/dim) quantization: sign masks packed 32 dims per LONG
+    * word (bit j of word w ⇔ v[32w+j] > 0 — the [[graft.functions
+    * .VectorFunctions.signBucket]] convention extended to the full
+    * vector). Output: input columns + (`mask_lo`, `mask_hi`, `n_bits`).
+    * Covers ≤ 64 dims (two words — the fixture's 64); wider vectors
+    * add words, the Hamming arithmetic extends term-by-term. */
+  def binaryMasks(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("mask_lo", signMask(col(vecCol), 0, 32))
+      .withColumn("mask_hi", signMask(col(vecCol), 32, 32))
+      .withColumn("n_bits",
+        (bit_count(col("mask_lo")) + bit_count(col("mask_hi"))).cast("long"))
+
+  /** Binary-quantized kNN — the cheapest rung of the compression ladder
+    * (float → int8 → PQ → 1 bit): Hamming distance over the packed sign
+    * masks shortlists `shortlist` candidates per query, then ONLY those
+    * rows rejoin their float vectors for the exact-cosine re-score
+    * ([[rerankExact]]). The 100 TB shape: the shortlist pass scans
+    * 16 bytes/vector (two LONG words, column-pruned — 32× less bandwidth
+    * than the float array), stays in integer whole-stage codegen
+    * (xor + bit_count), and the float math touches shortlist-sized data.
+    * Output: (qidCol, idCol, hamming, cos, rank ≤ k). */
+  def binaryKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, qidCol: String, k: Int,
+                shortlist: Int = 20): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1: $shortlist, $k")
+    val c = binaryMasks(corpus.select(col(idCol), col(vecCol)), vecCol)
+      .select(col(idCol), col("mask_lo"), col("mask_hi"))
+    val q = broadcast(binaryMasks(queries.select(col(qidCol), col(vecCol)), vecCol)
+      .select(col(qidCol), col("mask_lo").as("__qlo"), col("mask_hi").as("__qhi")))
+    val w = Window.partitionBy(qidCol).orderBy(col("hamming"), col(idCol))
+    val short = c.crossJoin(q)
+      .where(col(idCol) =!= col(qidCol))
+      .withColumn("hamming",
+        (bit_count(col("mask_lo").bitwiseXOR(col("__qlo"))) +
+          bit_count(col("mask_hi").bitwiseXOR(col("__qhi")))).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= shortlist)
+      .select(col(qidCol), col(idCol), col("hamming"))
+    rerankExact(short, corpus, queries, idCol, vecCol, qidCol, k)
+      .join(short, Seq(qidCol, idCol))
+      .select(col(qidCol), col(idCol), col("hamming"), col("cos"), col("rank"))
+  }
+
   /** IVF-style cluster assignment: nearest centroid by cosine (ties →
     * smallest centroid id). `centroids` is small (it collapses to ONE
     * broadcast row, cid-sorted) — assignment is PER-ROW Column math: the

@@ -144,6 +144,30 @@ object SimilarityQueries {
           aggregate(col("__q"), lit(-127.0), (acc, x) => greatest(acc, x)).cast("long").as("q_max"))
     }),
 
+    // Binary (1-bit/dim) quantization: per vector the two packed 32-dim
+    // sign words + popcount — the 32×-compression rung below int8/PQ
+    // (the mask pair IS the stored index at 100 TB: 16 bytes/vector).
+    "sim_binary_quant" -> ((s, dir) =>
+      Similarity.binaryMasks(emb(s, dir), "embedding")
+        .select("vec_id", "mask_lo", "mask_hi", "n_bits")),
+
+    // Binary-quantized top-5: integer Hamming shortlist (20 per query)
+    // over the packed masks, exact-cosine rerank on shortlist rows only.
+    "sim_binary_knn" -> ((s, dir) =>
+      Similarity.binaryKnn(emb(s, dir), queriesDf(s, dir),
+        "vec_id", "embedding", "qid", k = 5, shortlist = 20)),
+
+    // Recall@5 of the binary path vs brute-force truth — the accuracy
+    // cost of the 32× compression, per query (the number that decides
+    // whether the Hamming index needs a wider shortlist).
+    "sim_binary_recall" -> ((s, dir) =>
+      Similarity.recallAtK(
+        Similarity.bruteForceKnn(emb(s, dir), queriesDf(s, dir),
+          "vec_id", "embedding", "qid", k = 5),
+        Similarity.binaryKnn(emb(s, dir), queriesDf(s, dir),
+          "vec_id", "embedding", "qid", k = 5, shortlist = 20),
+        "qid", "vec_id")),
+
     // IVF top-3 within the query's own cluster.
     "sim_ivf_knn" -> ((s, dir) => {
       val cents = emb(s, dir).where(col("vec_id") < 8)
@@ -1052,6 +1076,37 @@ object SimilarityQueries {
   private val bucketSql = // sign-LSH over first 6 dims, matching VectorFunctions.signBucket
     """CAST(list_sum(list_transform(range(0,6), j ->
       |  CASE WHEN embedding[(j+1)::INT] > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** Packed sign-word CTE (32 dims per BIGINT, bit j of word w ⇔
+    * v[32w+j] > 0), mirroring [[graft.ops.Similarity.binaryMasks]] —
+    * shared by the three `sim_binary_*` oracles. */
+  private val masksCte =
+    """m AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(0,32), j ->
+      |      CASE WHEN embedding[(j+1)::INT] > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS mask_lo,
+      |    CAST(list_sum(list_transform(range(0,32), j ->
+      |      CASE WHEN embedding[(j+33)::INT] > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS mask_hi
+      |  FROM embeddings)""".stripMargin
+
+  /** Hamming shortlist → exact-cosine rerank CTE chain over [[masksCte]]
+    * (`q` → `bsh` → `btop` → `brr` → `brk`), shared by the
+    * sim_binary_knn and sim_binary_recall oracles. */
+  private def binaryKnnCtes(shortlist: Int): String =
+    s"""q AS (SELECT vec_id AS qid, embedding AS qv, mask_lo AS qlo, mask_hi AS qhi
+       |      FROM m WHERE vec_id % 100 = 0),
+       |bsh AS (
+       |  SELECT q.qid, m.vec_id,
+       |    (bit_count(xor(mask_lo, qlo)) + bit_count(xor(mask_hi, qhi)))::BIGINT AS hamming,
+       |    qv, embedding
+       |  FROM m, q WHERE m.vec_id <> q.qid),
+       |btop AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |           ORDER BY hamming, vec_id) AS rn FROM bsh),
+       |brr AS (SELECT qid, vec_id, hamming, ${cosSql("qv", "embedding")} AS cos
+       |        FROM btop WHERE rn <= $shortlist),
+       |brk AS (SELECT qid, vec_id, hamming, cos,
+       |          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |        FROM brr)""".stripMargin
 
   /** Sliced deterministic component-sum CTEs (exploded → ssums → sums)
     * over an assignment CTE, mirroring the two-phase bounded fold of
@@ -2057,6 +2112,36 @@ object SimilarityQueries {
          |  CAST(list_min(qs) AS BIGINT) AS q_min,
          |  CAST(list_max(qs) AS BIGINT) AS q_max
          |FROM q""".stripMargin,
+
+    "sim_binary_quant" ->
+      s"""WITH $masksCte
+         |SELECT vec_id, mask_lo, mask_hi,
+         |  (bit_count(mask_lo) + bit_count(mask_hi))::BIGINT AS n_bits
+         |FROM m""".stripMargin,
+
+    "sim_binary_knn" ->
+      s"""WITH $masksCte,
+         |${binaryKnnCtes(20)}
+         |SELECT qid, vec_id, hamming, cos, CAST(rank AS BIGINT) AS rank
+         |FROM brk WHERE rank <= 5""".stripMargin,
+
+    "sim_binary_recall" ->
+      s"""WITH $masksCte,
+         |${binaryKnnCtes(20)},
+         |t_scored AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("qv", "embedding")} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |truth AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM t_scored QUALIFY rank <= 5),
+         |g AS (
+         |  SELECT t.qid, count(*) AS k,
+         |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM truth t LEFT JOIN (SELECT qid, vec_id FROM brk WHERE rank <= 5) a
+         |    USING (qid, vec_id)
+         |  GROUP BY 1)
+         |SELECT qid, k, n_hits, n_hits::DOUBLE / k::DOUBLE AS recall FROM g""".stripMargin,
 
     "sim_ivf_assign" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),

@@ -965,4 +965,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bal.map(_.getAs[Long]("n_rows")).sum
       == spark.read.parquet(s"$sf/embeddings.parquet").count())
   }
+
+  test("binary quantization: mask packing pinned, Hamming shortlist reranks to a valid top-5") {
+    // packing convention on a hand vector: strict sign (> 0) — a 0.0f
+    // dim is NOT set; dim 0 → bit 0 of mask_lo, dim 33 → bit 1 of mask_hi
+    val v = Array.fill(64)(-1.0f)
+    v(0) = 1f; v(33) = 0.5f; v(5) = 0f
+    val m = Similarity.binaryMasks(
+      Seq((1L, v.toSeq)).toDF("vec_id", "embedding"), "embedding").head()
+    assert(m.getAs[Long]("mask_lo") == 1L)
+    assert(m.getAs[Long]("mask_hi") == 2L)
+    assert(m.getAs[Long]("n_bits") == 2L)
+
+    val knn = graft.SparkEntry.queries("sim_binary_knn")(spark, sf).collect()
+    assert(knn.nonEmpty)
+    knn.groupBy(_.getAs[Long]("qid")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq
+        == (1L to rows.size).toSeq)
+      rows.foreach(r => assert(r.getAs[Long]("hamming") >= 0
+        && r.getAs[Long]("hamming") <= 64))
+      val byRank = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "rerank must order by exact cosine, not Hamming")
+    }
+
+    val rec = graft.SparkEntry.queries("sim_binary_recall")(spark, sf).collect()
+    assert(rec.nonEmpty)
+    rec.foreach { r =>
+      assert(r.getAs[Long]("k") == 5L)
+      val x = r.getAs[Double]("recall")
+      assert(x >= 0.0 && x <= 1.0)
+    }
+  }
 }
