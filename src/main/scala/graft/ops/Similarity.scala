@@ -1390,6 +1390,34 @@ object Similarity {
       .select("id_a", "id_b", "id_c")
   }
 
+  /** Per-node LOCAL clustering coefficient over an undirected graph:
+    * 2·tri(v) / (deg(v)·(deg(v)−1)) — how close each node's
+    * neighborhood is to a clique. High-coef nodes sit inside redundant
+    * near-dup communities; coef ≈ 0 at high degree flags hub/bridge
+    * points (the rows graph dedup must NOT collapse). Work is
+    * edge-list-sized: degree is one agg over the ≤ N·k canonical edges,
+    * per-node triangle counts re-shape [[triangles]]'s wedge semi-join
+    * output (Σ deg² bounded by the kNN cap k per node), and the
+    * coefficient is ONE exact-integer-fed division per node. Output:
+    * (node, degree, n_tri, coef). */
+  def clusteringCoef(graph: DataFrame): DataFrame = {
+    val e = graph.where(col("src") < col("dst")).select("src", "dst").distinct()
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tris = triangles(graph)
+    val triPerNode = tris.select(col("id_a").as("node"))
+      .unionAll(tris.select(col("id_b").as("node")))
+      .unionAll(tris.select(col("id_c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coef", when(col("degree") < 2, 0.0).otherwise(
+        lit(2.0) * col("n_tri").cast("double") /
+          (col("degree") * (col("degree") - 1)).cast("double")))
+  }
+
   /** Per-node kNN density over a [[knnGraph]] edge list: the mean cosine
     * of each node's surviving top-k edges — the local-redundancy signal
     * behind density-based pruning (D4, Tirumala et al. 2023,

@@ -223,6 +223,31 @@ object CdcQueries {
         Seq("o_custkey"), aggs)
     }),
 
+    // Merge-maintained JOIN view (orders ⋈ customer, order-keyed): evict
+    // the batch's keys from the previous view, recompute exactly those
+    // keys from the merged fact joined to the dim, splice — see
+    // [[graft.ops.IncrementalJoin]]; batch-proportional, never a full
+    // re-join. Must equal the from-scratch join over the merged fact
+    // (the oracle's formulation).
+    "cdc_incr_join" -> ((s, dir) => {
+      val tgt = target(s, dir)
+      val chg = changes(s, dir)
+      val dim = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment"), col("c_acctbal"))
+      val factCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice")
+      val prevView = tgt.select(factCols.head, factCols.tail: _*)
+        .join(dim, Seq("o_custkey"), "left")
+      val merged = Merge.mergeCdc(tgt, chg, Seq("o_orderkey"), Nil)
+      graft.ops.IncrementalJoin.refresh(
+        merged.select(factCols.head, factCols.tail: _*),
+        prevView, chg.select("o_orderkey"), Seq("o_orderkey"),
+        dim, Seq("o_custkey"), "left")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "c_mktsegment", "c_acctbal")
+    }),
+
     // SCD Type-2 history: every version of every key with its validity
     // interval — deletes close intervals without emitting rows (see
     // [[graft.cdc.Scd2]]). Same single PK-hash exchange as the merge.
@@ -536,6 +561,22 @@ object CdcQueries {
          |SELECT o_custkey, count(*) AS n_orders,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          |FROM merged GROUP BY o_custkey""".stripMargin,
+
+    // Incremental-join mirror: the maintained view must equal the
+    // from-scratch join over the merged fact.
+    "cdc_incr_join" ->
+      s"""$fixtureSql,
+         | unioned AS (
+         |  SELECT * FROM changes UNION ALL SELECT * FROM target
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq DESC) AS rn
+         |  FROM unioned
+         |), merged AS (
+         |  SELECT $orderColsSql FROM ranked WHERE rn = 1 AND "Op" <> 'D'
+         |)
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |       c_mktsegment, c_acctbal
+         |FROM merged LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "cdc_scd2" ->
       s"""$fixtureSql,

@@ -494,6 +494,14 @@ object SimilarityQueries {
         Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
           k = 3, bits = 6, maxBucketSize = 1000)))),
 
+    // Per-node local clustering coefficient over the mutual backbone:
+    // 2·tri/(deg·(deg−1)) — clique-interior vs hub/bridge verdict per
+    // vector, the node-grain companion to the global sim_triangles.
+    "sim_clustering_coef" -> ((s, dir) =>
+      Similarity.clusteringCoef(Similarity.mutualKnn(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000)))),
+
     // 2-core after 4 peel rounds over the mutual backbone: nodes whose
     // neighborhood survives iterative removal of degree-<2 periphery —
     // the cohesive cluster interiors (the complement of the bridge
@@ -1738,6 +1746,31 @@ object SimilarityQueries {
          |FROM e e1
          |JOIN e e2 ON e1.dst = e2.src
          |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)""".stripMargin,
+
+    // Clustering-coefficient mirror: same canonical edge set, same wedge
+    // semi-join triangles re-counted per endpoint, one division per node.
+    "sim_clustering_coef" ->
+      s"""WITH $knnGraphCtes,
+         |mut AS (
+         |  SELECT t.src, t.dst FROM topk t
+         |  WHERE EXISTS (SELECT 1 FROM topk r WHERE r.src = t.dst AND r.dst = t.src)),
+         |e AS (SELECT DISTINCT src, dst FROM mut WHERE src < dst),
+         |deg AS (SELECT node, count(*) AS degree FROM (
+         |          SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+         |        GROUP BY 1),
+         |tri AS (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+         |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)),
+         |tpn AS (SELECT node, count(*) AS n_tri FROM (
+         |          SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+         |          UNION ALL SELECT c FROM tri)
+         |        GROUP BY 1)
+         |SELECT d.node, d.degree, coalesce(t.n_tri, 0)::BIGINT AS n_tri,
+         |  CASE WHEN d.degree < 2 THEN 0.0
+         |       ELSE 2.0 * coalesce(t.n_tri, 0)::DOUBLE
+         |            / (d.degree * (d.degree - 1))::DOUBLE END AS coef
+         |FROM deg d LEFT JOIN tpn t ON d.node = t.node""".stripMargin,
 
     // HITS mirror: two rounds unrolled — src-ordered incoming folds for
     // authorities, dst-ordered outgoing folds for hubs, max-normalized.

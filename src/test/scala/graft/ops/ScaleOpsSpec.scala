@@ -997,4 +997,28 @@ class ScaleOpsSpec extends SparkSpec {
       assert(x >= 0.0 && x <= 1.0)
     }
   }
+
+  test("clustering coefficient: triangle graph = 1.0, path interior = 0.0, star center = 0.0") {
+    // triangle 1-2-3 with a pendant 4 and a 2-path 5-6-7 (both directions,
+    // as mutualKnn emits)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L), (6L, 7L))
+    val g = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Similarity.clusteringCoef(g).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_tri"), r.getAs[Double]("coef"))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(got(4L) == ((1L, 0L, 0.0)))   // degree < 2 → defined as 0
+    assert(got(6L) == ((2L, 0L, 0.0)))   // path interior: open wedge
+    // corpus query: bounds + the degree/triangle consistency law
+    val q = graft.SparkEntry.queries("sim_clustering_coef")(spark, sf).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val c = r.getAs[Double]("coef")
+      assert(c >= 0.0 && c <= 1.0)
+      assert(r.getAs[Long]("n_tri")
+        <= r.getAs[Long]("degree") * (r.getAs[Long]("degree") - 1) / 2)
+    }
+  }
 }
