@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.cdc.{Op, TableConfig}
+import graft.io.{CdcPipeline, MorTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** CDC-maintained JOIN view as a stream — the persisted, exactly-once
+  * form of [[graft.ops.IncrementalJoin]].
+  *
+  * Each fact micro-batch (1) merges into the fact lake exactly as
+  * [[CdcStream]] would, then (2) maintains the fact⋈dim view — ITSELF a
+  * lake table — by synthesizing the view's OWN CDC batch: batch keys
+  * still alive after the merge become recomputed upsert rows (a
+  * semi-join-pruned fact scan joined to the dim), keys the merge removed
+  * become delete rows. The synthesized batch rides the SAME CoW/MOR
+  * merge machinery as any table ([[CdcPipeline.mergeTagged]] — the
+  * `viewCfg.mergeOnRead` switch picks the format), so view maintenance
+  * inherits the lake's crash/replay idempotence: a replayed micro-batch
+  * recomputes the same winners from the (idempotently merged) fact and
+  * merges the view to the same state.
+  *
+  * 100 TB shape, per micro-batch: the fact recompute reads only files
+  * that can hold batch keys (PK-clustered pruning), the dim lookup
+  * touches pruned rows (broadcast under AQE when it fits), and the view
+  * write is impacted-file CoW or an O(batch) MOR commit — never a full
+  * re-join of the fact table.
+  */
+object JoinViewStream {
+
+  /** Start the fact file stream; every micro-batch merges the fact lake
+    * at `factPath` and maintains the fact⋈dim view at `viewPath`.
+    *
+    * @param pkCols    fact primary key (the view's row grain)
+    * @param usingCols fact→dim equi-join columns (dim unique on them)
+    * @param viewCfg   view-table format config; its primary key must be
+    *                  `pkCols` so the synthesized upserts/deletes merge
+    *                  by fact key */
+  def start(spark: SparkSession, tableDir: String, factPath: String,
+            viewPath: String, dim: DataFrame, pkCols: Seq[String],
+            usingCols: Seq[String], factCfg: TableConfig, viewCfg: TableConfig,
+            checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+            maxFilesPerTrigger: Int = 100): StreamingQuery = {
+    require(factCfg.hasPrimaryKey, "join-view maintenance requires fact primary keys")
+    require(viewCfg.primaryKeys == pkCols,
+      s"view config must merge on the fact key: ${viewCfg.primaryKeys} vs $pkCols")
+    val schema = CdcStream.sourceSchema(spark, tableDir)
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "2*")
+      .option("latestFirst", "false")
+      .parquet(tableDir)
+      .select(col("*"), col("_metadata.file_path").as(CdcPipeline.SrcFile),
+        col("_metadata.row_index").as(CdcPipeline.RowIdx))
+    stream.writeStream
+      .queryName(s"join-view-${new org.apache.hadoop.fs.Path(viewPath).getName}")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        maintainBatch(batch, factPath, viewPath, dim, pkCols, usingCols,
+          factCfg, viewCfg, id)
+      }
+      .start()
+  }
+
+  /** One micro-batch: fact merge, then the synthesized view-CDC merge. */
+  private[streaming] def maintainBatch(batch: DataFrame, factPath: String,
+      viewPath: String, dim: DataFrame, pkCols: Seq[String],
+      usingCols: Seq[String], factCfg: TableConfig, viewCfg: TableConfig,
+      batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    CdcPipeline.mergeTagged(spark, batch, factPath, factCfg)
+
+    val fact = readLake(spark, factPath, factCfg).drop(Op.column)
+    val keys = batch.select(pkCols.map(col): _*).distinct()
+    // keys still alive after the merge → recomputed view rows (upserts);
+    // keys the merge removed → view deletes (typed-NULL non-key columns)
+    val live = fact.join(keys, pkCols, "left_semi")
+      .join(dim, usingCols, "left")
+      .withColumn(Op.column, lit(Op.Update))
+    val nonKey = live.schema
+      .filterNot(f => pkCols.contains(f.name) || f.name == Op.column)
+    val dead = keys.join(fact.select(pkCols.map(col): _*), pkCols, "left_anti")
+      .select(pkCols.map(col) ++
+        nonKey.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+      .withColumn(Op.column, lit(Op.Delete))
+    val viewBatch = live.unionByName(dead)
+      .withColumn(CdcPipeline.SrcFile, lit(f"view-batch-$batchId%012d"))
+      .withColumn(CdcPipeline.RowIdx, lit(0L)) // ≤ 1 row per key per batch
+    CdcPipeline.mergeTagged(spark, viewBatch, viewPath, viewCfg): Unit
+  }
+
+  /** Format-dispatched lake read (plain parquet for CoW, merged view of
+    * commits + delete sidecars for MOR). */
+  private def readLake(spark: SparkSession, path: String, cfg: TableConfig): DataFrame =
+    if (cfg.mergeOnRead) MorTable.read(spark, path)
+    else spark.read.parquet(path)
+}
