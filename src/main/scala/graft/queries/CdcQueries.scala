@@ -248,6 +248,39 @@ object CdcQueries {
           "c_mktsegment", "c_acctbal")
     }),
 
+    // The PERSISTED join view, maintained through streaming deliveries:
+    // initial snapshot then the two change files, each delivered via
+    // [[graft.streaming.JoinViewStream.ingestBatch]] — fact lake merge +
+    // the view's own synthesized CDC batch through the same CoW
+    // machinery. Reading the view table back must equal the from-scratch
+    // join over the merged fact (the cdc_incr_join oracle, verbatim).
+    "cdc_incr_join_after_ingest" -> ((s, dir) => {
+      import graft.streaming.JoinViewStream
+      val base = java.nio.file.Files.createTempDirectory("jv_ingest").toString
+      val factPath = s"$base/fact"
+      val viewPath = s"$base/view"
+      val factCfg = graft.cdc.TableConfig(Seq("o_orderkey"), Nil, active = true)
+      val viewCfg = graft.cdc.TableConfig(Seq("o_orderkey"), Nil, active = true)
+      val dim = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment"), col("c_acctbal"))
+      def tag(df: DataFrame, name: String) = df
+        .withColumn(graft.io.CdcPipeline.SrcFile, lit(name))
+        .withColumn(graft.io.CdcPipeline.RowIdx, lit(0L))
+      def deliver(b: DataFrame, name: String, id: Long): Unit =
+        JoinViewStream.ingestBatch(tag(b, name), factPath, viewPath, dim,
+          Seq("o_orderkey"), Seq("o_custkey"), factCfg, viewCfg, id)
+      deliver(target(s, dir), "20260101-000000", 0L)
+      val chg = changes(s, dir)
+      deliver(chg.where(col(Merge.FileSeq) === 1L).drop(Merge.FileSeq),
+        "20260102-000000", 1L)
+      deliver(chg.where(col(Merge.FileSeq) === 2L).drop(Merge.FileSeq),
+        "20260103-000000", 2L)
+      s.read.parquet(viewPath)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "c_mktsegment", "c_acctbal")
+    }),
+
     // SCD Type-2 history: every version of every key with its validity
     // interval — deletes close intervals without emitting rows (see
     // [[graft.cdc.Scd2]]). Same single PK-hash exchange as the merge.
@@ -565,6 +598,21 @@ object CdcQueries {
     // Incremental-join mirror: the maintained view must equal the
     // from-scratch join over the merged fact.
     "cdc_incr_join" ->
+      s"""$fixtureSql,
+         | unioned AS (
+         |  SELECT * FROM changes UNION ALL SELECT * FROM target
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq DESC) AS rn
+         |  FROM unioned
+         |), merged AS (
+         |  SELECT $orderColsSql FROM ranked WHERE rn = 1 AND "Op" <> 'D'
+         |)
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |       c_mktsegment, c_acctbal
+         |FROM merged LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // The streamed/persisted view must converge to the SAME truth.
+    "cdc_incr_join_after_ingest" ->
       s"""$fixtureSql,
          | unioned AS (
          |  SELECT * FROM changes UNION ALL SELECT * FROM target

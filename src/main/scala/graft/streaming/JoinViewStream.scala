@@ -59,14 +59,17 @@ object JoinViewStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        maintainBatch(batch, factPath, viewPath, dim, pkCols, usingCols,
+        ingestBatch(batch, factPath, viewPath, dim, pkCols, usingCols,
           factCfg, viewCfg, id)
       }
       .start()
   }
 
-  /** One micro-batch: fact merge, then the synthesized view-CDC merge. */
-  private[streaming] def maintainBatch(batch: DataFrame, factPath: String,
+  /** One micro-batch: fact merge, then the synthesized view-CDC merge.
+    * Public as the BATCH ingest entry (the DetectorStream.ingestBatch
+    * convention): lifecycle queries and backfills deliver tagged batches
+    * directly; [[start]] routes the file stream through it. */
+  def ingestBatch(batch: DataFrame, factPath: String,
       viewPath: String, dim: DataFrame, pkCols: Seq[String],
       usingCols: Seq[String], factCfg: TableConfig, viewCfg: TableConfig,
       batchId: Long): Unit = {
