@@ -373,6 +373,50 @@ object Similarity {
     * Output: (cidCol, vecCol`: array<float>`, like the corpus — means are
     * computed in double and rounded once to float per component, `::REAL`
     * in the SQL mirror); `iters = 0` returns the initial centroids. */
+  /** K-center greedy coreset (farthest-point traversal): pick the lowest
+    * id as the seed, then k−1 times pick the point FARTHEST (max min
+    * cosine-distance, ties → lowest id) from everything chosen so far —
+    * the classic 2-approximation to the k-center cover and the standard
+    * diversity-first data-selection baseline (a uniform sample keeps
+    * mostly head-cluster rows; the maximin sweep guarantees every corpus
+    * region is within the last selection's radius of a kept point).
+    *
+    * Deterministic end to end: no RNG, the per-pass dist math is the
+    * engine-exact [[cosine]], argmax ties break on the unique id. Cost:
+    * k corpus passes, each against ONE broadcast center (per-row Column
+    * math; the running min-dist column rides a localCheckpoint so pass
+    * j never recomputes passes 0..j−1). Driver state is k (id, dist)
+    * pairs — bounded. Output: (step, idCol, maximin_dist) — the seed's
+    * dist is NULL; the LAST step's dist is the coreset's cover radius.
+    */
+  def kCenterCoreset(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seed = corpus.orderBy(col(idCol)).limit(1)
+      .select(col(idCol), col(vecCol)).head()
+    var picked = Seq((0L, seed.getLong(0), Option.empty[Double]))
+    // running min distance to the chosen set (1 − cos, engine-exact)
+    var state = corpus.select(col(idCol), col(vecCol),
+        (lit(1.0) - cosine(col(vecCol),
+          typedLit(seed.getSeq[Float](1)))).as("__mind"))
+      .localCheckpoint(true)
+    var step = 1L
+    while (step < k) {
+      val far = state.orderBy(col("__mind").desc, col(idCol)).limit(1)
+        .select(col(idCol), col(vecCol), col("__mind")).head()
+      picked :+= ((step, far.getLong(0), Option(far.getDouble(2))))
+      val fv = far.getSeq[Float](1)
+      state = state.select(col(idCol), col(vecCol),
+          least(col("__mind"),
+            lit(1.0) - cosine(col(vecCol), typedLit(fv))).as("__mind"))
+        .localCheckpoint(true)
+      step += 1
+    }
+    picked.toDF("step", idCol, "maximin_dist")
+  }
+
   def kMeans(corpus: DataFrame, idCol: String, vecCol: String,
              cidCol: String, k: Int, iters: Int,
              initSeed: Option[String] = None): DataFrame = {

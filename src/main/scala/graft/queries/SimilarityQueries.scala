@@ -502,6 +502,14 @@ object SimilarityQueries {
         Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
           k = 3, bits = 6, maxBucketSize = 1000)))),
 
+    // K-center greedy coreset (farthest-point traversal, k=8): the
+    // diversity-first selection baseline — every corpus point ends
+    // within the last pick's radius of a kept point. Deterministic
+    // maximin sweep, k broadcast-center passes ([[graft.ops.Similarity
+    // .kCenterCoreset]]).
+    "sim_coreset_kcenter" -> ((s, dir) =>
+      Similarity.kCenterCoreset(emb(s, dir), "vec_id", "embedding", k = 8)),
+
     // 2-core after 4 peel rounds over the mutual backbone: nodes whose
     // neighborhood survives iterative removal of degree-<2 periphery —
     // the cohesive cluster interiors (the complement of the bridge
@@ -1096,6 +1104,31 @@ object SimilarityQueries {
       |    CAST(list_sum(list_transform(range(0,32), j ->
       |      CASE WHEN embedding[(j+33)::INT] > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS mask_hi
       |  FROM embeddings)""".stripMargin
+
+  /** Unrolled k-center greedy mirror (seed = lowest id, 7 maximin picks;
+    * identical 1−cos arithmetic and least() fold order as
+    * [[graft.ops.Similarity.kCenterCoreset]]). */
+  private lazy val coresetSql: String = {
+    def d(a: String, b: String) = s"(1.0 - ${cosSql(a, b)})"
+    val steps = (1 to 7).map { i =>
+      s"""p$i AS (
+         |  SELECT vec_id, embedding, __mind FROM m${i - 1}
+         |  QUALIFY row_number() OVER (ORDER BY __mind DESC, vec_id) = 1),
+         |m$i AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    least(e.__mind, ${d("e.embedding", "p.embedding")}) AS __mind
+         |  FROM m${i - 1} e, p$i p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+       |m0 AS (
+       |  SELECT e.vec_id, e.embedding, ${d("e.embedding", "c.embedding")} AS __mind
+       |  FROM embeddings e, c0 c),
+       |$steps
+       |SELECT 0::BIGINT AS step, vec_id, NULL::DOUBLE AS maximin_dist FROM c0
+       |${(1 to 7).map(i =>
+            s"UNION ALL SELECT $i::BIGINT, vec_id, __mind FROM p$i").mkString("\n")}
+       |""".stripMargin
+  }
 
   /** Hamming shortlist → exact-cosine rerank CTE chain over [[masksCte]]
     * (`q` → `bsh` → `btop` → `brr` → `brk`), shared by the
@@ -2145,6 +2178,8 @@ object SimilarityQueries {
          |  CAST(list_min(qs) AS BIGINT) AS q_min,
          |  CAST(list_max(qs) AS BIGINT) AS q_max
          |FROM q""".stripMargin,
+
+    "sim_coreset_kcenter" -> coresetSql,
 
     "sim_binary_quant" ->
       s"""WITH $masksCte

@@ -998,6 +998,29 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("k-center coreset: greedy radius is non-increasing and covers the corpus") {
+    val picks = graft.SparkEntry.queries("sim_coreset_kcenter")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("step"))
+    assert(picks.length == 8)
+    assert(picks.map(_.getAs[Long]("vec_id")).distinct.length == 8)
+    assert(picks.head.isNullAt(picks.head.fieldIndex("maximin_dist")))
+    val radii = picks.tail.map(_.getAs[Double]("maximin_dist"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      "each greedy pick's maximin distance must not exceed the previous")
+    // k-center cover guarantee: every corpus point is within the LAST
+    // pick's radius of some kept point
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ids = picks.map(_.getAs[Long]("vec_id")).toSeq
+    val centers = emb.where(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val uncovered = emb.crossJoin(broadcast(centers))
+      .groupBy("vec_id")
+      .agg(min(lit(1.0) - graft.functions.VectorFunctions.cosine(
+        col("embedding"), col("cv"))).as("d"))
+      .where(col("d") > radii.last + 1e-12)
+    assert(uncovered.isEmpty, "a corpus point escaped the coreset radius")
+  }
+
   test("clustering coefficient: triangle graph = 1.0, path interior = 0.0, star center = 0.0") {
     // triangle 1-2-3 with a pendant 4 and a 2-path 5-6-7 (both directions,
     // as mutualKnn emits)
