@@ -510,6 +510,28 @@ object SimilarityQueries {
     "sim_coreset_kcenter" -> ((s, dir) =>
       Similarity.kCenterCoreset(emb(s, dir), "vec_id", "embedding", k = 8)),
 
+    // Coreset WEIGHTS — what weighted training consumes: every corpus
+    // point assigned to its nearest pick (argmin 1−cos, ties → lowest
+    // pick id), per pick the member count and the exact cover radius.
+    // One broadcast-8-centers pass; count/max are order-independent.
+    "sim_coreset_weights" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val picks = Similarity.kCenterCoreset(e, "vec_id", "embedding", k = 8)
+      val cents = broadcast(
+        e.join(picks.select(col("vec_id")), Seq("vec_id"), "left_semi")
+          .select(col("vec_id").as("cid"), col("embedding").as("__cv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("d"), col("cid"))
+      e.crossJoin(cents)
+        .select(col("vec_id"), col("cid"),
+          (lit(1.0) - graft.functions.VectorFunctions.cosine(
+            col("embedding"), col("__cv"))).as("d"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("weight"), max(col("d")).as("max_dist"))
+    }),
+
     // 2-core after 4 peel rounds over the mutual backbone: nodes whose
     // neighborhood survives iterative removal of degree-<2 periphery —
     // the cohesive cluster interiors (the complement of the bridge
@@ -1105,10 +1127,11 @@ object SimilarityQueries {
       |      CASE WHEN embedding[(j+33)::INT] > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS mask_hi
       |  FROM embeddings)""".stripMargin
 
-  /** Unrolled k-center greedy mirror (seed = lowest id, 7 maximin picks;
-    * identical 1−cos arithmetic and least() fold order as
-    * [[graft.ops.Similarity.kCenterCoreset]]). */
-  private lazy val coresetSql: String = {
+  /** Unrolled k-center greedy CTE chain (seed = lowest id, 7 maximin
+    * picks; identical 1−cos arithmetic and least() fold order as
+    * [[graft.ops.Similarity.kCenterCoreset]]) — shared by the
+    * sim_coreset_kcenter and sim_coreset_weights oracles. */
+  private lazy val coresetCtes: String = {
     def d(a: String, b: String) = s"(1.0 - ${cosSql(a, b)})"
     val steps = (1 to 7).map { i =>
       s"""p$i AS (
@@ -1119,16 +1142,19 @@ object SimilarityQueries {
          |    least(e.__mind, ${d("e.embedding", "p.embedding")}) AS __mind
          |  FROM m${i - 1} e, p$i p)""".stripMargin
     }.mkString(",\n")
-    s"""WITH c0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+    s"""c0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),
        |m0 AS (
        |  SELECT e.vec_id, e.embedding, ${d("e.embedding", "c.embedding")} AS __mind
        |  FROM embeddings e, c0 c),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private lazy val coresetSql: String =
+    s"""WITH $coresetCtes
        |SELECT 0::BIGINT AS step, vec_id, NULL::DOUBLE AS maximin_dist FROM c0
        |${(1 to 7).map(i =>
             s"UNION ALL SELECT $i::BIGINT, vec_id, __mind FROM p$i").mkString("\n")}
        |""".stripMargin
-  }
 
   /** Hamming shortlist → exact-cosine rerank CTE chain over [[masksCte]]
     * (`q` → `bsh` → `btop` → `brr` → `brk`), shared by the
@@ -2180,6 +2206,24 @@ object SimilarityQueries {
          |FROM q""".stripMargin,
 
     "sim_coreset_kcenter" -> coresetSql,
+
+    // Coreset-weights mirror: same greedy chain, nearest-pick argmin
+    // (d asc ≡ cos desc, same id tie-break), exact count + max.
+    "sim_coreset_weights" ->
+      s"""WITH $coresetCtes,
+         |picks AS (SELECT vec_id FROM c0
+         |${(1 to 7).map(i => s"          UNION ALL SELECT vec_id FROM p$i").mkString("\n")}),
+         |cents AS (
+         |  SELECT e.vec_id AS cid, e.embedding AS cv
+         |  FROM embeddings e JOIN picks USING (vec_id)),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid, (1.0 - ${cosSql("e.embedding", "cv")}) AS d
+         |  FROM embeddings e, cents c),
+         |a AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |  FROM scored)
+         |SELECT cid, count(*) AS weight, max(d) AS max_dist
+         |FROM a WHERE rn = 1 GROUP BY 1""".stripMargin,
 
     "sim_binary_quant" ->
       s"""WITH $masksCte

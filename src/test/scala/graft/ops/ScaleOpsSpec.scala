@@ -1019,6 +1019,12 @@ class ScaleOpsSpec extends SparkSpec {
         col("embedding"), col("cv"))).as("d"))
       .where(col("d") > radii.last + 1e-12)
     assert(uncovered.isEmpty, "a corpus point escaped the coreset radius")
+
+    // weights: a partition of the corpus over the 8 picks, radius bounded
+    val ws = graft.SparkEntry.queries("sim_coreset_weights")(spark, sf).collect()
+    assert(ws.length == 8)
+    assert(ws.map(_.getAs[Long]("weight")).sum == emb.count())
+    assert(ws.map(_.getAs[Double]("max_dist")).max <= radii.last + 1e-12)
   }
 
   test("clustering coefficient: triangle graph = 1.0, path interior = 0.0, star center = 0.0") {
