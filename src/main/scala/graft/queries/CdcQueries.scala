@@ -248,6 +248,37 @@ object CdcQueries {
           "c_mktsegment", "c_acctbal")
     }),
 
+    // The expectation suite AGAINST THE LAKE — run the dq_orders_suite
+    // rules on the post-ingest merged table instead of the pristine
+    // snapshot: the update feed writes statuses ('X'/'Y') outside the
+    // O/F contract, and the post-ingest audit is where that surfaces.
+    // Deliveries ride [[graft.io.CdcPipeline.mergeTagged]] (the same
+    // machinery as every lake write); the suite is one scan/agg pass
+    // plus the uniqueness check ([[graft.ops.Quality.suite]]).
+    "dq_suite_after_ingest" -> ((s, dir) => {
+      import graft.ops.Quality
+      val base = java.nio.file.Files.createTempDirectory("dq_ingest").toString
+      val lake = s"$base/orders"
+      val cfg = graft.cdc.TableConfig(Seq("o_orderkey"), Nil, active = true)
+      def tag(df: DataFrame, name: String) = df
+        .withColumn(graft.io.CdcPipeline.SrcFile, lit(name))
+        .withColumn(graft.io.CdcPipeline.RowIdx, lit(0L))
+      graft.io.CdcPipeline.mergeTagged(s,
+        tag(target(s, dir), "20260101-000000"), lake, cfg)
+      val chg = changes(s, dir)
+      Seq(1L, 2L).foreach { i =>
+        graft.io.CdcPipeline.mergeTagged(s,
+          tag(chg.where(col(Merge.FileSeq) === i).drop(Merge.FileSeq),
+            f"2026010${i + 1}%d-000000"), lake, cfg)
+      }
+      Quality.suite(s.read.parquet(lake),
+        Seq(Quality.notNull("o_custkey"),
+          Quality.inRange("o_totalprice", 0.0, 400000.0),
+          Quality.inSet("o_orderstatus", Seq("O", "F")),
+          Quality.matches("o_orderpriority", "^[1-3]-")),
+        uniqueKeys = Seq(Seq("o_orderkey")))
+    }),
+
     // The PERSISTED join view, maintained through streaming deliveries:
     // initial snapshot then the two change files, each delivered via
     // [[graft.streaming.JoinViewStream.ingestBatch]] — fact lake merge +
@@ -610,6 +641,44 @@ object CdcQueries {
          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
          |       c_mktsegment, c_acctbal
          |FROM merged LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // Post-ingest suite mirror: the dq_orders_suite rules over the
+    // merged CTE instead of the snapshot.
+    "dq_suite_after_ingest" ->
+      s"""$fixtureSql,
+         | unioned AS (
+         |  SELECT * FROM changes UNION ALL SELECT * FROM target
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq DESC) AS rn
+         |  FROM unioned
+         |), merged AS (
+         |  SELECT $orderColsSql FROM ranked WHERE rn = 1 AND "Op" <> 'D'
+         |), w AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+         |                   AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+         |                   AND o_orderstatus NOT IN ('O','F')
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+         |    CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+         |                   AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS v4
+         |  FROM merged)
+         |SELECT 'not_null:o_custkey' AS rule, v1 AS violations, n AS n_rows, v1 = 0 AS pass FROM w
+         |UNION ALL
+         |SELECT 'range:o_totalprice', v2, n, v2 = 0 FROM w
+         |UNION ALL
+         |SELECT 'in_set:o_orderstatus', v3, n, v3 = 0 FROM w
+         |UNION ALL
+         |SELECT 'matches:o_orderpriority', v4, n, v4 = 0 FROM w
+         |UNION ALL
+         |SELECT 'unique:o_orderkey',
+         |       CAST(coalesce(sum(k - 1), 0) AS BIGINT),
+         |       CAST(coalesce(sum(k), 0) AS BIGINT),
+         |       coalesce(sum(k - 1), 0) = 0
+         |FROM (SELECT count(*) AS k FROM merged GROUP BY o_orderkey) g""".stripMargin,
 
     // The streamed/persisted view must converge to the SAME truth.
     "cdc_incr_join_after_ingest" ->

@@ -704,6 +704,25 @@ object RelationalQueries {
           "chi2_total")
     }),
 
+    // K-anonymity audit over the (nation, segment) quasi-identifier —
+    // the privacy readout before releasing derived data: any group
+    // smaller than k re-identifies its members. Per group the exact
+    // size and the below-k flag; globally the smallest group (the
+    // table's actual k) and the share of rows at risk — integers
+    // through one window, one final division. One partial-agg pass.
+    "dq_k_anonymity" -> ((s, dir) => {
+      val k = 5L
+      val w = Window.partitionBy(lit(1))
+      Tables(s, dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("below_k", col("n_rows") < k)
+        .withColumn("k_min", min(col("n_rows")).over(w))
+        .withColumn("risk_share",
+          sum(when(col("n_rows") < k, col("n_rows")).otherwise(0L)).over(w)
+            .cast("double") / sum(col("n_rows")).over(w).cast("double"))
+    }),
+
     // Z-order (Morton) values for two-dimensional clustering (see
     // [[graft.ops.ZOrder]] — the layout pass that makes parquet min/max
     // prune on BOTH keys). The value function is the oracle-checked part;
@@ -1978,6 +1997,18 @@ object RelationalQueries {
         |       ELSE (pa - pb) * (pa - pb) / (pa + pb) END AS chi2_term,
         |  num::DOUBLE / (2.0 * ta::DOUBLE * tb::DOUBLE) AS tv_total
         |FROM p""".stripMargin,
+
+    // K-anonymity mirror: same grouping, integer windows, one division.
+    "dq_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n_rows
+        |  FROM customer GROUP BY 1, 2),
+        |w AS (SELECT *, (min(n_rows) OVER ())::BIGINT AS k_min,
+        |        (sum(CASE WHEN n_rows < 5 THEN n_rows ELSE 0 END) OVER ())::BIGINT AS risk,
+        |        (sum(n_rows) OVER ())::BIGINT AS total FROM g)
+        |SELECT c_nationkey, c_mktsegment, n_rows, n_rows < 5 AS below_k,
+        |       k_min, risk::DOUBLE / total::DOUBLE AS risk_share
+        |FROM w""".stripMargin,
 
     // Class-balance mirror: same closed-form chi-square off exact
     // integer window sums, one division per float column.

@@ -68,6 +68,7 @@ object TextQueries {
       TextAnalysis.qualityScores(docs(s, dir), "doc_id", "text")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
+
     // Positional proximity search: documents where the corpus's two
     // most frequent terms occur within ≤ 3 token positions (min
     // distance + close-pair count) — the WITHIN-k operator beside the

@@ -998,6 +998,33 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("privacy/post-ingest audits: k-anonymity partitions rows; lake suite sees feed violations") {
+    // the post-ingest suite runs against the MERGED lake: the change
+    // feed writes 'X'/'Y' statuses, so the in_set rule must now FAIL
+    // with violations == the surviving updated keys, while not_null and
+    // uniqueness still pass (the merge keeps one row per key)
+    val suite = graft.SparkEntry.queries("dq_suite_after_ingest")(spark, sf)
+      .collect().map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(!suite("in_set:o_orderstatus")._2
+      && suite("in_set:o_orderstatus")._1 > 0,
+      "post-ingest audit must catch the feed's out-of-contract statuses")
+    assert(suite("not_null:o_custkey") == ((0L, true)))
+    assert(suite("unique:o_orderkey")._2, "merge must keep one row per key")
+
+    val ka = graft.SparkEntry.queries("dq_k_anonymity")(spark, sf).collect()
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(ka.map(_.getAs[Long]("n_rows")).sum == nCust)
+    val kMin = ka.head.getAs[Long]("k_min")
+    assert(ka.map(_.getAs[Long]("n_rows")).min == kMin)
+    ka.foreach(r => assert(r.getAs[Boolean]("below_k")
+      == (r.getAs[Long]("n_rows") < 5L)))
+    val risk = ka.head.getAs[Double]("risk_share")
+    assert(risk >= 0.0 && risk <= 1.0)
+    assert(math.abs(risk - ka.filter(_.getAs[Boolean]("below_k"))
+      .map(_.getAs[Long]("n_rows")).sum.toDouble / nCust) < 1e-12)
+  }
+
   test("k-center coreset: greedy radius is non-increasing and covers the corpus") {
     val picks = graft.SparkEntry.queries("sim_coreset_kcenter")(spark, sf)
       .collect().sortBy(_.getAs[Long]("step"))
