@@ -186,9 +186,17 @@ object Similarity {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= shortlist)
       .select(col(qidCol), col(idCol), col("hamming"))
-    rerankExact(short, corpus, queries, idCol, vecCol, qidCol, k)
-      .join(short, Seq(qidCol, idCol))
-      .select(col(qidCol), col(idCol), col("hamming"), col("cos"), col("rank"))
+    // Rerank inline ([[rerankExact]] semantics) so `hamming` rides the
+    // shortlist rows: re-joining the rank output back to the shortlist
+    // would evaluate the whole mask cross-join subtree TWICE.
+    val scored = short
+      .join(corpus.select(col(idCol), col(vecCol).as("__cvec")), idCol)
+      .join(broadcast(queries.select(col(qidCol), col(vecCol).as("__qvec"))), qidCol)
+      .select(col(qidCol), col(idCol), col("hamming"),
+        cosine(col("__qvec"), col("__cvec")).as("cos"))
+    val w2 = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w2).cast("long"))
+      .where(col("rank") <= k)
   }
 
   /** IVF-style cluster assignment: nearest centroid by cosine (ties →
