@@ -86,6 +86,52 @@ case class BlockHash60Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Container-DECLARED total byte size, recovered from the payload's own
+  * headers: RIFF = 8 + the little-endian chunk size at offset 4;
+  * ISO-BMFF = the sum of top-level box sizes from a size-header-only box
+  * walk (a truncated tail still REPORTS its declared size — the point of
+  * an integrity audit: declared ≠ actual flags truncation or padding).
+  * Formats without a total-size field (PNG/JPEG/GIF/…) → NULL; a
+  * nonsensical box size (< 8) → NULL rather than a loop. */
+case class DeclaredSizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  def compute(b: Array[Byte]): java.lang.Long = {
+    def u32le(i: Int): Long =
+      (b(i) & 0xffL) | (b(i + 1) & 0xffL) << 8 |
+        (b(i + 2) & 0xffL) << 16 | (b(i + 3) & 0xffL) << 24
+    def u32be(i: Int): Long =
+      (b(i) & 0xffL) << 24 | (b(i + 1) & 0xffL) << 16 |
+        (b(i + 2) & 0xffL) << 8 | (b(i + 3) & 0xffL)
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+      java.lang.Long.valueOf(8L + u32le(4))
+    else if (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
+      var ofs = 0L
+      var total = 0L
+      while (ofs + 8 <= b.length) {
+        val sz = u32be(ofs.toInt)
+        if (sz < 8) return null
+        total += sz
+        ofs += sz
+      }
+      java.lang.Long.valueOf(total)
+    } else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("declaredSize", this, classOf[DeclaredSizeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long r = $ref.compute($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }""")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object MediaExpressions {
   /** Byte-fold checksum of a binary column (see [[ByteFoldChecksumExpr]]). */
   def byteFoldChecksum(payload: Column): Column =
@@ -94,4 +140,9 @@ object MediaExpressions {
   /** 60-bit blockhash perceptual sketch (see [[BlockHash60Expr]]). */
   def blockHash60(payload: Column): Column =
     GraftColumnShim.column(BlockHash60Expr(GraftColumnShim.expression(payload)))
+
+  /** Container-declared total size of a binary column (see
+    * [[DeclaredSizeExpr]]); NULL when the format declares none. */
+  def declaredSize(payload: Column): Column =
+    GraftColumnShim.column(DeclaredSizeExpr(GraftColumnShim.expression(payload)))
 }

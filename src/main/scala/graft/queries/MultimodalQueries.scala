@@ -49,6 +49,32 @@ object MultimodalQueries {
         Multimodal.mediaWithRealHeaders(Tables(s, dir, "documents"),
           "doc_id", "text"))),
 
+    // Container-integrity audit (dq for binary media): the DECLARED
+    // total size parsed from the container's own headers vs the actual
+    // byte count ([[graft.expressions.DeclaredSizeExpr]] — RIFF chunk
+    // size, ISO-BMFF box walk; PNG/JPEG declare none → NULL). The
+    // fixture's WAV headers declare an id-derived data size while
+    // carrying the text body — declared ≠ actual (the truncation/
+    // padding class an ingest audit must catch); the BMFF mdat box is
+    // built FROM the body — consistent. Per-row codegen walk; the
+    // oracle recomputes BOTH sides from the fixture formula, so a
+    // parser misreading any offset or endianness hash-mismatches.
+    "mm_integrity_audit" -> ((s, dir) =>
+      Multimodal.mediaWithRealHeaders(Tables(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          graft.expressions.MediaExpressions.declaredSize(col("payload"))
+            .as("__d"))
+        // null-free output (driver row-sort contract): 0/'undeclared'
+        // stand for "format has no total-size field"
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          coalesce(col("__d"), lit(0L)).as("declared_bytes"),
+          when(col("__d").isNull, "undeclared")
+            .when(col("__d") === col("n_bytes"), "consistent")
+            .otherwise("mismatch").as("verdict"),
+          coalesce(col("__d") - col("n_bytes"), lit(0L)).as("delta"))),
+
     // Aspect-ratio bucketing (the SDXL-style resolution-bucket step a
     // real image-training pipeline runs after decode): each image/video
     // snaps to the closest of {1:1, 4:3, 16:9, 3:4, 9:16} — closeness
@@ -274,6 +300,36 @@ object MultimodalQueries {
       s"""SELECT doc_id AS media_id, $kindSql AS kind,
          |       octet_length(encode(text))::BIGINT AS n_bytes
          |FROM documents""".stripMargin,
+
+    // Integrity mirror: both sides recomputed from the fixture formula —
+    // actual = header overhead + body (PNG 33 / JPEG 34 incl. EOI / WAV
+    // 44 / BMFF 240), declared = RIFF 44 + id-derived data size, BMFF
+    // 240 + body, images NULL.
+    "mm_integrity_audit" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 4 WHEN 2 THEN 'audio' WHEN 3 THEN 'video'
+        |         ELSE 'image' END AS kind,
+        |    octet_length(encode(text))::BIGINT AS body_len,
+        |    doc_id AS id
+        |  FROM documents),
+        |v AS (
+        |  SELECT media_id, kind,
+        |    (CASE kind WHEN 'audio' THEN 44 + body_len
+        |               WHEN 'video' THEN 240 + body_len
+        |               ELSE CASE WHEN id % 4 = 0 THEN 33 + body_len
+        |                         ELSE 34 + body_len END
+        |     END)::BIGINT AS n_bytes,
+        |    (CASE kind WHEN 'audio' THEN 44 + (id % 100 + 1) * 1000
+        |               WHEN 'video' THEN 240 + body_len END)::BIGINT AS declared_bytes
+        |  FROM m)
+        |SELECT media_id, kind, n_bytes,
+        |       coalesce(declared_bytes, 0)::BIGINT AS declared_bytes,
+        |       CASE WHEN declared_bytes IS NULL THEN 'undeclared'
+        |            WHEN declared_bytes = n_bytes THEN 'consistent'
+        |            ELSE 'mismatch' END AS verdict,
+        |       coalesce(declared_bytes - n_bytes, 0)::BIGINT AS delta
+        |FROM v""".stripMargin,
 
     // The full chain of mm_phash_pairs plus a recursive reachability
     // closure: losers are members whose component holds a smaller id.

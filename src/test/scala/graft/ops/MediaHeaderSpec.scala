@@ -311,4 +311,32 @@ class MediaHeaderSpec extends SparkSpec {
     assert(exifOne(evilJpeg).isNullAt(1),
       "wrapping out-of-line offset must yield NULL, not aliased bytes")
   }
+
+  test("declared size: RIFF/BMFF recovered, truncation flagged, images undeclared, garbage safe") {
+    import Multimodal.buildHeaderPayload
+    def declared(bytes: Array[Byte]): Option[Long] = {
+      val r = Seq(Tuple1(bytes)).toDF("payload")
+        .select(graft.expressions.MediaExpressions.declaredSize(col("payload")))
+        .head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    val body = Array.fill[Byte](100)('x'.toByte)
+    val wav = buildHeaderPayload(2L, body)   // id%4==2 → RIFF/WAVE
+    val mp4 = buildHeaderPayload(3L, body)   // id%4==3 → ISO-BMFF
+    val png = buildHeaderPayload(0L, body)
+    // WAV declares the id-derived data size, NOT the body it carries
+    assert(declared(wav) == Some(44L + (2 % 100 + 1) * 1000))
+    // BMFF boxes are built from the body → declared == actual
+    assert(declared(mp4) == Some(mp4.length.toLong))
+    // truncating the mdat tail leaves the declared size intact → the
+    // audit sees declared > actual (the integrity signal)
+    val cut = mp4.take(mp4.length - 40)
+    assert(declared(cut) == Some(mp4.length.toLong))
+    assert(declared(png).isEmpty, "PNG declares no total size")
+    assert(declared(Array[Byte]()).isEmpty)
+    assert(declared("RIFFxx".getBytes).isEmpty, "short RIFF must not read past end")
+    // a nonsensical box size must abort the walk, not loop
+    val evilBox = Array[Byte](0, 0, 0, 2) ++ "ftyp".getBytes ++ body
+    assert(declared(evilBox).isEmpty)
+  }
 }
