@@ -670,6 +670,33 @@ object EventQueries {
           size(col("__win")).cast("long").as("win_n"))
     }),
 
+    // Bot/abuse score per user: peak events-per-minute (burst volume),
+    // type-concentration via the Simpson index Σnᵢ²/n² (a bot hammering
+    // one endpoint concentrates; the index is exact integers + ONE
+    // division — the log-free entropy stand-in), and the composite
+    // flag. Two partial aggs (per-minute, per-type) + a per-user join;
+    // no per-user arrays or strings, so state is bounded at any scale.
+    "events_bot_score" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("(ts div 1000) div 60000000").as("m"),
+          col("event_type"))
+      val peak = e.groupBy("user_id", "m").agg(count(lit(1)).as("__c"))
+        .groupBy("user_id").agg(max(col("__c")).as("peak_per_min"))
+      val types = e.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("__ni"))
+        .groupBy("user_id")
+        .agg(sum(col("__ni")).as("n_events"),
+          sum(col("__ni") * col("__ni")).as("__sq"),
+          count(lit(1)).as("n_types"))
+      peak.join(types, "user_id")
+        .select(col("user_id"), col("n_events"), col("peak_per_min"),
+          col("n_types"),
+          (col("__sq").cast("double") /
+            (col("n_events") * col("n_events")).cast("double")).as("simpson"))
+        .withColumn("suspicious",
+          col("peak_per_min") >= 2L || col("simpson") >= 0.22)
+    }),
+
     "events_ewma" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -1495,6 +1522,26 @@ object EventQueries {
         |       win[((len(win) + 1) // 2)::INT] AS rolling_median,
         |       len(win)::BIGINT AS win_n
         |FROM w""".stripMargin,
+
+    // Bot-score mirror: per-minute and per-type partial counts, the
+    // same single Simpson division, the same composite flag.
+    "events_bot_score" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 60000000 AS m, event_type
+        |  FROM events),
+        |pm AS (SELECT user_id, m, count(*) AS c FROM e GROUP BY 1, 2),
+        |peak AS (SELECT user_id, CAST(max(c) AS BIGINT) AS peak_per_min
+        |         FROM pm GROUP BY 1),
+        |bt AS (SELECT user_id, event_type, count(*) AS ni FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, CAST(sum(ni) AS BIGINT) AS n_events,
+        |             CAST(sum(ni * ni) AS BIGINT) AS sq,
+        |             count(*) AS n_types
+        |      FROM bt GROUP BY 1)
+        |SELECT p.user_id, n_events, peak_per_min, n_types,
+        |       sq::DOUBLE / (n_events * n_events)::DOUBLE AS simpson,
+        |       (peak_per_min >= 2 OR sq::DOUBLE / (n_events * n_events)::DOUBLE >= 0.22)
+        |         AS suspicious
+        |FROM peak p JOIN s USING (user_id)""".stripMargin,
 
     "events_ewma" -> {
       val taps = (0 until 16).map(j =>

@@ -69,6 +69,32 @@ object TextQueries {
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
 
+    // Degenerate-repetition detector (the "the the the…" filter for
+    // looped LM output / boilerplate): per doc the longest run of one
+    // repeated token and the token share inside runs ≥ 3. Runs via the
+    // classic null-safe lag → new-run bit → running-sum run id — one
+    // per-doc-ordered window pass (doc-bounded, like every text window
+    // here), then two integer aggs and one division.
+    "text_token_runs" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val TF = graft.functions.TextFunctions
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val p = docs(s, dir)
+        .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("__nw",
+          when(lag(col("tok"), 1).over(wOrd) <=> col("tok"), 0L).otherwise(1L))
+        .withColumn("__rid", sum(col("__nw")).over(wOrd))
+      p.groupBy("doc_id", "__rid").agg(count(lit(1)).as("__len"))
+        .groupBy("doc_id")
+        .agg(sum(col("__len")).as("n_tokens"),
+          max(col("__len")).as("max_run"),
+          sum(when(col("__len") >= 3L, col("__len")).otherwise(0L))
+            .as("run3_tokens"))
+        .withColumn("run3_share",
+          col("run3_tokens").cast("double") / col("n_tokens").cast("double"))
+    }),
+
     // Positional proximity search: documents where the corpus's two
     // most frequent terms occur within ≤ 3 token positions (min
     // distance + close-pair count) — the WITHIN-k operator beside the
@@ -2255,6 +2281,29 @@ object TextQueries {
          |  (len_score + diversity + least(stopword_ratio * 5.0, 1.0)
          |   + (1.0 - least(punct_ratio * 4.0, 1.0))) / 4.0 AS quality
          |FROM sig""".stripMargin,
+
+    // Token-runs mirror: same lag → run-id → per-run counts, one share
+    // division.
+    "text_token_runs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |p AS (SELECT doc_id, unnest(tk) AS tok,
+         |             generate_subscripts(tk, 1) AS pos FROM t),
+         |l AS (SELECT doc_id, pos, tok,
+         |        CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+         |                  IS NOT DISTINCT FROM tok THEN 0 ELSE 1 END AS nw
+         |      FROM p),
+         |r AS (SELECT doc_id,
+         |        sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+         |      FROM l),
+         |runs AS (SELECT doc_id, rid, count(*) AS len FROM r GROUP BY 1, 2),
+         |g AS (
+         |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_tokens,
+         |         CAST(max(len) AS BIGINT) AS max_run,
+         |         CAST(sum(CASE WHEN len >= 3 THEN len ELSE 0 END) AS BIGINT) AS run3_tokens
+         |  FROM runs GROUP BY 1)
+         |SELECT doc_id, n_tokens, max_run, run3_tokens,
+         |       run3_tokens::DOUBLE / n_tokens::DOUBLE AS run3_share
+         |FROM g""".stripMargin,
 
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -1025,6 +1025,41 @@ class ScaleOpsSpec extends SparkSpec {
       .map(_.getAs[Long]("n_rows")).sum.toDouble / nCust) < 1e-12)
   }
 
+  test("bot score and token runs: invariants hold and a hand recompute agrees") {
+    val bots = graft.SparkEntry.queries("events_bot_score")(spark, sf).collect()
+    assert(bots.nonEmpty)
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(bots.map(_.getAs[Long]("n_events")).sum == nEvents)
+    bots.foreach { r =>
+      val simpson = r.getAs[Double]("simpson")
+      val k = r.getAs[Long]("n_types")
+      assert(simpson >= 1.0 / k - 1e-12 && simpson <= 1.0)
+      assert(r.getAs[Boolean]("suspicious")
+        == (r.getAs[Long]("peak_per_min") >= 2L || simpson >= 0.22))
+    }
+
+    val runs = graft.SparkEntry.queries("text_token_runs")(spark, sf).collect()
+    runs.foreach { r =>
+      assert(r.getAs[Long]("max_run") >= 1L)
+      assert(r.getAs[Long]("run3_tokens") <= r.getAs[Long]("n_tokens"))
+      val share = r.getAs[Double]("run3_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    // hand recompute on the doc holding the global max run
+    val top = runs.maxBy(_.getAs[Long]("max_run"))
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") === top.getAs[Long]("doc_id"))
+      .head().getAs[String]("text")
+    val toks = text.trim.split("\\s+")
+    var best = 1; var cur = 1
+    for (i <- 1 until toks.length) {
+      if (toks(i) == toks(i - 1)) { cur += 1; best = math.max(best, cur) }
+      else cur = 1
+    }
+    assert(best.toLong == top.getAs[Long]("max_run"),
+      s"hand recompute disagrees on doc ${top.getAs[Long]("doc_id")}")
+  }
+
   test("k-center coreset: greedy radius is non-increasing and covers the corpus") {
     val picks = graft.SparkEntry.queries("sim_coreset_kcenter")(spark, sf)
       .collect().sortBy(_.getAs[Long]("step"))
