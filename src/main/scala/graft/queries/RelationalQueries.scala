@@ -704,6 +704,33 @@ object RelationalQueries {
           "chi2_total")
     }),
 
+    // Candidate-key discovery (the profiling step schema inference and
+    // dedup-key selection start from): exact distinct counts for every
+    // column plus the (custkey, orderdate) pair in ONE aggregate —
+    // Catalyst plans the multi-distinct as one Expand pass. At 100 TB
+    // swap countDistinct for approx_count_distinct: same single-scan
+    // shape, mergeable HLL state (the dq_profile approx pattern).
+    "dq_candidate_keys" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val agg = o.agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("d1"),
+        countDistinct(col("o_custkey")).as("d2"),
+        countDistinct(col("o_orderstatus")).as("d3"),
+        countDistinct(col("o_totalprice")).as("d4"),
+        countDistinct(col("o_orderdate")).as("d5"),
+        countDistinct(col("o_orderpriority")).as("d6"),
+        countDistinct(col("o_custkey"), col("o_orderdate")).as("d7"))
+      agg.select(col("n"), expr(
+        """stack(7,
+          |'o_orderkey', d1, 'o_custkey', d2, 'o_orderstatus', d3,
+          |'o_totalprice', d4, 'o_orderdate', d5, 'o_orderpriority', d6,
+          |'o_custkey,o_orderdate', d7) AS (column_set, n_distinct)""".stripMargin))
+        .select(col("column_set"), col("n_distinct"), col("n").as("n_rows"),
+          (col("n_distinct").cast("double") / col("n").cast("double"))
+            .as("uniqueness"),
+          (col("n_distinct") === col("n")).as("is_key"))
+    }),
+
     // K-anonymity audit over the (nation, segment) quasi-identifier —
     // the privacy readout before releasing derived data: any group
     // smaller than k re-identifies its members. Per group the exact
@@ -1997,6 +2024,29 @@ object RelationalQueries {
         |       ELSE (pa - pb) * (pa - pb) / (pa + pb) END AS chi2_term,
         |  num::DOUBLE / (2.0 * ta::DOUBLE * tb::DOUBLE) AS tv_total
         |FROM p""".stripMargin,
+
+    // Candidate-key mirror: one aggregate row, stacked to the same grain.
+    "dq_candidate_keys" ->
+      """WITH w AS (
+        |  SELECT count(*) AS n,
+        |    count(DISTINCT o_orderkey) AS d1, count(DISTINCT o_custkey) AS d2,
+        |    count(DISTINCT o_orderstatus) AS d3, count(DISTINCT o_totalprice) AS d4,
+        |    count(DISTINCT o_orderdate) AS d5, count(DISTINCT o_orderpriority) AS d6,
+        |    count(DISTINCT (o_custkey, o_orderdate)) AS d7
+        |  FROM orders),
+        |s AS (
+        |  SELECT 'o_orderkey' AS column_set, d1 AS n_distinct, n FROM w
+        |  UNION ALL SELECT 'o_custkey', d2, n FROM w
+        |  UNION ALL SELECT 'o_orderstatus', d3, n FROM w
+        |  UNION ALL SELECT 'o_totalprice', d4, n FROM w
+        |  UNION ALL SELECT 'o_orderdate', d5, n FROM w
+        |  UNION ALL SELECT 'o_orderpriority', d6, n FROM w
+        |  UNION ALL SELECT 'o_custkey,o_orderdate', d7, n FROM w)
+        |SELECT column_set, CAST(n_distinct AS BIGINT) AS n_distinct,
+        |       n AS n_rows,
+        |       n_distinct::DOUBLE / n::DOUBLE AS uniqueness,
+        |       n_distinct = n AS is_key
+        |FROM s""".stripMargin,
 
     // K-anonymity mirror: same grouping, integer windows, one division.
     "dq_k_anonymity" ->

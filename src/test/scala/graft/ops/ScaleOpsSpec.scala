@@ -1012,6 +1012,15 @@ class ScaleOpsSpec extends SparkSpec {
     assert(suite("not_null:o_custkey") == ((0L, true)))
     assert(suite("unique:o_orderkey")._2, "merge must keep one row per key")
 
+    // candidate keys: the PK is discovered, a 2-value column is not,
+    // a composite never beats the table row count
+    val ck = graft.SparkEntry.queries("dq_candidate_keys")(spark, sf)
+      .collect().map(r => r.getAs[String]("column_set") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Boolean]("is_key"))).toMap
+    assert(ck("o_orderkey")._2, "the primary key must be discovered")
+    assert(!ck("o_orderstatus")._2 && ck("o_orderstatus")._1 <= 3)
+    assert(ck("o_custkey,o_orderdate")._1 >= ck("o_custkey")._1)
+
     val ka = graft.SparkEntry.queries("dq_k_anonymity")(spark, sf).collect()
     val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
     assert(ka.map(_.getAs[Long]("n_rows")).sum == nCust)
