@@ -301,7 +301,15 @@ object CdcQueries {
       def deliver(b: DataFrame, name: String, id: Long): Unit =
         JoinViewStream.ingestBatch(tag(b, name), factPath, viewPath, dim,
           Seq("o_orderkey"), Seq("o_custkey"), factCfg, viewCfg, id)
-      deliver(target(s, dir), "20260101-000000", 0L)
+      // Initial load = plain overwrites (the reference's C3 semantics —
+      // production never replays the snapshot through the merge), for
+      // BOTH the fact lake and the view's from-scratch join; only the
+      // change files ride the streaming ingest.
+      val snap = target(s, dir)
+      snap.write.mode("overwrite").parquet(factPath)
+      snap.drop(graft.cdc.Op.column).join(dim, Seq("o_custkey"), "left")
+        .withColumn(graft.cdc.Op.column, lit(graft.cdc.Op.Insert))
+        .write.mode("overwrite").parquet(viewPath)
       val chg = changes(s, dir)
       deliver(chg.where(col(Merge.FileSeq) === 1L).drop(Merge.FileSeq),
         "20260102-000000", 1L)

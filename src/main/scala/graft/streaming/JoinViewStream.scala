@@ -90,10 +90,17 @@ object JoinViewStream {
       .select(pkCols.map(col) ++
         nonKey.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
       .withColumn(Op.column, lit(Op.Delete))
+    // Materialize the synthesized batch ONCE (batch-sized): mergeTagged
+    // evaluates its input more than once (file-list distinct, then the
+    // merge itself), and this input is a join tree, not a parquet scan —
+    // without the checkpoint every evaluation would re-run the pruned
+    // fact read and the dim join.
     val viewBatch = live.unionByName(dead)
       .withColumn(CdcPipeline.SrcFile, lit(f"view-batch-$batchId%012d"))
       .withColumn(CdcPipeline.RowIdx, lit(0L)) // ≤ 1 row per key per batch
+      .localCheckpoint(true)
     CdcPipeline.mergeTagged(spark, viewBatch, viewPath, viewCfg): Unit
+    viewBatch.unpersist(blocking = false): Unit
   }
 
   /** Format-dispatched lake read (plain parquet for CoW, merged view of
