@@ -110,6 +110,57 @@ object Merge {
   def dropOp(df: DataFrame): DataFrame =
     df.drop(Op.column)
 
+  /** Conditional MERGE — the general lakehouse `MERGE … WHEN` surface
+    * beyond latest-wins:
+    *
+    *   WHEN MATCHED AND winner.Op = 'D'      THEN DELETE
+    *   WHEN MATCHED AND `updateWhen`         THEN UPDATE (take the winner)
+    *   WHEN MATCHED otherwise                THEN keep the target row
+    *   WHEN NOT MATCHED AND winner.Op <> 'D' THEN INSERT
+    *
+    * The batch first folds to ONE winner per key (the same sequenced
+    * latest-wins fold as [[applySequenced]], batch-internally), so the
+    * clause predicate sees the batch's FINAL image and composes with
+    * multi-file batches. `updateWhen` sees the matched pair through the
+    * aliases `t` (target row) and `c` (batch winner) — e.g.
+    * `col("t.o_orderstatus") =!= "F"` makes finalized rows immutable, or
+    * `col("c.ts") > col("t.ts")` guards against out-of-order replays.
+    * Physically ONE PK-hash exchange (the full-outer join), the same
+    * shuffle budget as the plain merge; null PKs pair null-safely so a
+    * NULL-key group converges like [[applySequenced]]'s.
+    * Output schema = changes minus metadata (reference parity). */
+  def mergeConditional(target: DataFrame, changes: DataFrame, pks: Seq[String],
+                       intraFileOrder: Seq[Column], updateWhen: Column): DataFrame = {
+    require(pks.nonEmpty, "conditional merge requires primary keys")
+    val w = Window.partitionBy(pks.map(col): _*)
+      .orderBy(col(FileSeq).desc, col(RowNum).desc)
+    val winner = sequenceBatch(changes, pks, intraFileOrder)
+      .withColumn(Rnk, row_number().over(w))
+      .where(col(Rnk) === 1)
+      .drop(metaCols: _*)
+    val t = target.withColumn("__has_t", lit(true)).alias("t")
+    val c = winner.withColumn("__has_c", lit(true)).alias("c")
+    val on = pks.map(k => col(s"t.$k") <=> col(s"c.$k")).reduce(_ && _)
+    val matched = col("t.__has_t").isNotNull && col("c.__has_c").isNotNull
+    val del = matched && col(s"c.${Op.column}") === Op.Delete
+    val upd = matched && col(s"c.${Op.column}") =!= Op.Delete && updateWhen
+    val ins = col("t.__has_t").isNull && col(s"c.${Op.column}") =!= Op.Delete
+    val keep = col("c.__has_c").isNull || (matched && !del && !upd)
+    val takeC = upd || ins
+    val outCols = changes.columns.filterNot(metaCols.contains).toIndexedSeq
+    // Changes-side-only columns (schema evolution, or a caller-supplied
+    // intra-file order column) null-fill on the kept-target side — the
+    // same U1 semantics applySequenced gets from unionByName.
+    val tCols = target.columns.toSet
+    t.join(c, on, "full_outer")
+      .where(takeC || keep)
+      .select(outCols.map { n =>
+        val tSide = if (tCols.contains(n)) col(s"t.$n")
+                    else lit(null).cast(winner.schema(n).dataType)
+        when(takeC, col(s"c.$n")).otherwise(tSide).as(n)
+      }: _*)
+  }
+
   /** COLUMN-PATCH merge — partial-update CDC semantics, where a NULL in
     * an update row means "column unchanged" (the wire format many CDC
     * feeds ship when only touched columns are captured), so a key's

@@ -248,6 +248,19 @@ object CdcQueries {
           "c_mktsegment", "c_acctbal")
     }),
 
+    // Conditional MERGE — the `MERGE … WHEN` clause surface: deletes and
+    // inserts apply as usual, but updates are POLICY-GATED by the
+    // matched pair ("finalized 'F' orders are immutable" — late CDC
+    // updates against them keep the target row). The batch folds to one
+    // winner per key first, so the guard sees the batch's final image
+    // ([[graft.cdc.Merge.mergeConditional]] — one PK-hash exchange).
+    "cdc_merge_conditional" -> ((s, dir) =>
+      Merge.mergeConditional(target(s, dir), changes(s, dir),
+        Seq("o_orderkey"), Nil,
+        updateWhen = col("t.o_orderstatus") =!= "F")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")),
+
     // The expectation suite AGAINST THE LAKE — run the dq_orders_suite
     // rules on the post-ingest merged table instead of the pristine
     // snapshot: the update feed writes statuses ('X'/'Y') outside the
@@ -649,6 +662,39 @@ object CdcQueries {
          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
          |       c_mktsegment, c_acctbal
          |FROM merged LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // Conditional-merge mirror: the same batch-winner fold, then the
+    // clause routing spelled out over a FULL OUTER JOIN (keys are
+    // non-null in the fixture, so key nullity is the presence marker).
+    "cdc_merge_conditional" ->
+      s"""$fixtureSql,
+         | win AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq DESC) AS rn
+         |    FROM changes) WHERE rn = 1
+         |), j AS (
+         |  SELECT
+         |    t.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL AS matched,
+         |    t.o_orderkey IS NULL AS only_c, c.o_orderkey IS NULL AS only_t,
+         |    c."Op" AS c_op,
+         |    t.o_orderkey AS t1, t.o_custkey AS t2, t.o_orderstatus AS t3,
+         |    t.o_totalprice AS t4, t.o_orderdate AS t5, t.o_orderpriority AS t6,
+         |    c.o_orderkey AS c1, c.o_custkey AS c2, c.o_orderstatus AS c3,
+         |    c.o_totalprice AS c4, c.o_orderdate AS c5, c.o_orderpriority AS c6
+         |  FROM target t FULL OUTER JOIN win c ON t.o_orderkey = c.o_orderkey
+         |), r AS (
+         |  SELECT *,
+         |    (matched AND c_op <> 'D' AND t3 <> 'F') OR (only_c AND c_op <> 'D') AS take_c,
+         |    only_t OR (matched AND NOT (c_op = 'D') AND NOT (c_op <> 'D' AND t3 <> 'F')) AS keep_t
+         |  FROM j)
+         |SELECT
+         |  CASE WHEN take_c THEN c1 ELSE t1 END AS o_orderkey,
+         |  CASE WHEN take_c THEN c2 ELSE t2 END AS o_custkey,
+         |  CASE WHEN take_c THEN c3 ELSE t3 END AS o_orderstatus,
+         |  CASE WHEN take_c THEN c4 ELSE t4 END AS o_totalprice,
+         |  CASE WHEN take_c THEN c5 ELSE t5 END AS o_orderdate,
+         |  CASE WHEN take_c THEN c6 ELSE t6 END AS o_orderpriority
+         |FROM r WHERE take_c OR keep_t""".stripMargin,
 
     // Post-ingest suite mirror: the dq_orders_suite rules over the
     // merged CTE instead of the snapshot.

@@ -126,4 +126,35 @@ class MergeSpec extends SparkSpec {
     assert(r2.length == 1 && r2(0).getAs[String]("name") == "x2" &&
       r2(0).getAs[Double]("price") == 10.0)
   }
+
+  test("conditional merge: guard gates updates only; deletes/inserts ride; winner folds first") {
+    // target rows: 1 mutable, 2 locked, 3 locked
+    val tgt = Seq(("I", 1, "open", 10.0), ("I", 2, "locked", 20.0),
+      ("I", 3, "locked", 30.0)).toDF("Op", "id", "name", "price")
+    val changes = Seq(
+      ("U", 1, "open", 11.0, 1L, 1L),   // guard passes → updated
+      ("U", 2, "hack", 99.0, 1L, 1L),   // guard fails → target kept
+      ("D", 3, "locked", 0.0, 1L, 1L),  // delete applies regardless
+      ("I", 4, "new", 40.0, 1L, 1L),    // insert applies regardless
+      ("U", 5, "v1", 1.0, 1L, 1L),      // not-matched update = insert…
+      ("U", 5, "v2", 2.0, 2L, 1L)       // …and the batch winner folds first
+    ).toDF("Op", "id", "name", "price", "file_seq", "pos")
+    val out = Merge.mergeConditional(tgt, changes, Seq("id"), Seq(col("pos")),
+        updateWhen = col("t.name") =!= "locked")
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("name"), r.getAs[Double]("price")))
+    assert(out.toSeq == Seq(
+      (1, "open", 11.0),   // updated
+      (2, "locked", 20.0), // immutable — stale update rejected
+      (4, "new", 40.0),    // inserted
+      (5, "v2", 2.0)))     // inserted at the batch's FINAL image
+    // a delete-then-reinsert of one key in one batch resolves to the winner
+    val flip = Seq(("D", 1, "x", 0.0, 1L, 1L), ("I", 1, "re", 5.0, 2L, 1L))
+      .toDF("Op", "id", "name", "price", "file_seq", "pos")
+    val re = Merge.mergeConditional(tgt, flip, Seq("id"), Seq(col("pos")),
+        updateWhen = lit(false)) // even a never-update guard: winner is an I
+      .filter($"id" === 1).collect()
+    // winner Op='I' on a MATCHED key with updateWhen=false keeps the target
+    assert(re.length == 1 && re(0).getAs[String]("name") == "open")
+  }
 }
