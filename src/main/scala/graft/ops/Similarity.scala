@@ -1031,6 +1031,38 @@ object Similarity {
       .orderBy(col("jaccard").desc, col("a"), col("c")).limit(topN)
   }
 
+  /** Resource-Allocation link prediction (Zhou-Lü-Zhang 2009): score a
+    * non-edge (a,c) by Σ 1/deg(z) over shared neighbors z — the
+    * LOG-FREE cousin of Adamic-Adar, and empirically its equal: a rare
+    * shared neighbor is strong evidence, a hub is weak. Same wedge-join
+    * shape as [[linkPredictJaccard]] (work = Σ deg², bounded by the kNN
+    * cap); the per-pair sum folds the (deg, z)-SORTED shared-neighbor
+    * list so the float additions run in one total order on any engine
+    * (the repo's ordered-fold rule — a plain SUM over doubles would be
+    * partition-order-sensitive). Output: top `topN` non-edges by
+    * (ra desc, a, c). */
+  def linkPredictRA(edges: DataFrame, srcCol: String, dstCol: String,
+                    topN: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__d"))
+    val wedges = e.select(col("src").as("a"), col("dst").as("__z"))
+      .join(e.select(col("src").as("c"), col("dst").as("__z")), "__z")
+      .where(col("a") < col("c"))
+      .join(deg.select(col("src").as("__z"), col("__d")), "__z")
+    val existing = e.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("c")).distinct()
+    wedges.groupBy("a", "c")
+      .agg(count(lit(1)).as("n_common"),
+        aggregate(
+          sort_array(collect_list(struct(col("__d"), col("__z")))),
+          lit(0.0),
+          (acc, x) => acc + lit(1.0) / x.getField("__d").cast("double"))
+          .as("ra"))
+      .join(existing, Seq("a", "c"), "left_anti")
+      .orderBy(col("ra").desc, col("a"), col("c")).limit(topN)
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
     * at λ = 1/2: greedily pick `k` of each query's candidates, each
     * round's pick maximizing `0.5·rel − 0.5·max sim-to-already-picked`

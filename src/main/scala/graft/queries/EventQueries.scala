@@ -670,6 +670,33 @@ object EventQueries {
           size(col("__win")).cast("long").as("win_n"))
     }),
 
+    // ML feature materialization — the per-event training-feature row a
+    // model pipeline writes out: lags, deltas, inter-arrival gap, and a
+    // 5-row rolling sum/mean. The rolling sum goes through EXACT
+    // DECIMAL(18,2) (the rel_window_range_frame convention): engines
+    // disagree on sliding-float summation order (segment trees vs frame
+    // re-evaluation), decimal accumulation is order-free. One per-user
+    // window pass; every feature is frame arithmetic, no self-joins.
+    "events_feature_matrix" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val w5 = w.rowsBetween(-4, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"),
+          lag(col("value"), 1).over(w).as("lag1"),
+          lag(col("value"), 3).over(w).as("lag3"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta1"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w5)
+            .cast("double").as("rsum5"),
+          count(lit(1)).over(w5).cast("long").as("rcnt5"))
+        .withColumn("rmean5",
+          col("rsum5") / col("rcnt5").cast("double"))
+    }),
+
     // Bot/abuse score per user: peak events-per-minute (burst volume),
     // type-concentration via the Simpson index Σnᵢ²/n² (a bot hammering
     // one endpoint concentrates; the index is exact integers + ONE
@@ -1522,6 +1549,25 @@ object EventQueries {
         |       win[((len(win) + 1) // 2)::INT] AS rolling_median,
         |       len(win)::BIGINT AS win_n
         |FROM w""".stripMargin,
+
+    // Feature-matrix mirror: identical window order, lags, exact
+    // decimal rolling sum, one mean division.
+    "events_feature_matrix" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_us, value,
+        |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS lag1,
+        |    lag(value, 3) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS lag3,
+        |    value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS delta1,
+        |    ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum5,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rcnt5
+        |  FROM e)
+        |SELECT *, rsum5 / rcnt5::DOUBLE AS rmean5 FROM f""".stripMargin,
 
     // Bot-score mirror: per-minute and per-type partial counts, the
     // same single Simpson division, the same composite flag.

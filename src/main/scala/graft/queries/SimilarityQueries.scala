@@ -320,6 +320,15 @@ object SimilarityQueries {
           k = 3, bits = 6, maxBucketSize = 1000),
         "src", "dst", topN = 20)),
 
+    // Resource-Allocation link prediction beside the Jaccard scorer:
+    // Σ 1/deg(z) over shared neighbors — rare shared neighbors beat
+    // hubs (the log-free Adamic-Adar; ordered fold, engine-exact).
+    "sim_link_ra" -> ((s, dir) =>
+      Similarity.linkPredictRA(
+        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000),
+        "src", "dst", topN = 20)),
+
     // Incrementally MAINTAINED kNN graph: bootstrap the persisted graph
     // index from a third of the corpus, fold the other two thirds in as
     // ingest deliveries (Similarity.appendToKnnGraphIndex — new rows
@@ -1563,6 +1572,28 @@ object SimilarityQueries {
          |          JOIN deg dc ON cand.c = dc.src
          |QUALIFY row_number()
          |  OVER (ORDER BY jaccard DESC, a, c) <= 20""".stripMargin,
+
+    // RA mirror: the same wedge join carrying deg(z), the per-pair fold
+    // over the (deg, z)-sorted list — one float-addition order on both
+    // engines.
+    "sim_link_ra" ->
+      s"""WITH $knnGraphCtes,
+         |eg AS MATERIALIZED (SELECT DISTINCT src, dst FROM topk),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM eg GROUP BY src),
+         |wdg AS (
+         |  SELECT e1.src AS a, e2.src AS c, dz.d AS zd, e1.dst AS z
+         |  FROM eg e1 JOIN eg e2 ON e1.dst = e2.dst AND e1.src < e2.src
+         |  JOIN deg dz ON e1.dst = dz.src),
+         |com AS (
+         |  SELECT a, c, count(*)::BIGINT AS n_common,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(1.0 / zd::DOUBLE ORDER BY zd, z)), (x, y) -> x + y) AS ra
+         |  FROM wdg GROUP BY 1, 2),
+         |ex AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS c
+         |       FROM eg),
+         |cand AS (SELECT com.* FROM com ANTI JOIN ex USING (a, c))
+         |SELECT a, c, n_common, ra FROM cand
+         |QUALIFY row_number() OVER (ORDER BY ra DESC, a, c) <= 20""".stripMargin,
 
     // The maintained graph must equal the batch graph over the union
     // corpus — same mirror verbatim.

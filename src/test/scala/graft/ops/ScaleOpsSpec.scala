@@ -1034,6 +1034,35 @@ class ScaleOpsSpec extends SparkSpec {
       .map(_.getAs[Long]("n_rows")).sum.toDouble / nCust) < 1e-12)
   }
 
+  test("feature matrix and RA link prediction: frame laws hold, non-edges only") {
+    val fm = graft.SparkEntry.queries("events_feature_matrix")(spark, sf).collect()
+    assert(fm.length == spark.read.parquet(s"$sf/events.parquet").count())
+    fm.foreach { r =>
+      val cnt = r.getAs[Long]("rcnt5")
+      assert(cnt >= 1 && cnt <= 5)
+      assert(r.getAs[Double]("rmean5")
+        == r.getAs[Double]("rsum5") / cnt.toDouble)
+      if (!r.isNullAt(r.fieldIndex("gap_us")))
+        assert(r.getAs[Long]("gap_us") >= 0L, "user order must be time-monotone")
+      // lag1 missing exactly when the rolling window holds only this row
+      assert(r.isNullAt(r.fieldIndex("lag1")) == (cnt == 1L))
+    }
+
+    val g = Similarity.knnGraph(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding",
+      k = 3, bits = 6, maxBucketSize = 1000)
+    val edges = g.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ra = graft.SparkEntry.queries("sim_link_ra")(spark, sf).collect()
+    assert(ra.length == 20)
+    ra.foreach { r =>
+      val (a, c) = (r.getAs[Long]("a"), r.getAs[Long]("c"))
+      assert(!edges.contains((a, c)) && !edges.contains((c, a)),
+        "predicted links must be non-edges")
+      assert(r.getAs[Double]("ra") > 0.0 && r.getAs[Long]("n_common") >= 1L)
+    }
+  }
+
   test("bot score and token runs: invariants hold and a hand recompute agrees") {
     val bots = graft.SparkEntry.queries("events_bot_score")(spark, sf).collect()
     assert(bots.nonEmpty)
