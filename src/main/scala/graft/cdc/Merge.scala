@@ -125,9 +125,9 @@ object Merge {
     * aliases `t` (target row) and `c` (batch winner) — e.g.
     * `col("t.o_orderstatus") =!= "F"` makes finalized rows immutable, or
     * `col("c.ts") > col("t.ts")` guards against out-of-order replays.
-    * Physically ONE PK-hash exchange (the full-outer join), the same
-    * shuffle budget as the plain merge; null PKs pair null-safely so a
-    * NULL-key group converges like [[applySequenced]]'s.
+    * Physically PK-hash shuffles only (batch winner fold + the
+    * full-outer join; the null-safe join re-keys the fold's exchange —
+    * the price of NULL-key groups converging like [[applySequenced]]'s).
     * Output schema = changes minus metadata (reference parity). */
   def mergeConditional(target: DataFrame, changes: DataFrame, pks: Seq[String],
                        intraFileOrder: Seq[Column], updateWhen: Column): DataFrame = {
