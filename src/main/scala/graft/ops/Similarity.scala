@@ -171,10 +171,22 @@ object Similarity {
     * Output: (qidCol, idCol, hamming, cos, rank ≤ k). */
   def binaryKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, qidCol: String, k: Int,
-                shortlist: Int = 20): DataFrame = {
+                shortlist: Int = 20): DataFrame =
+    binaryKnnPreMasked(
+      binaryMasks(corpus.select(col(idCol), col(vecCol)), vecCol)
+        .select(col(idCol), col("mask_lo"), col("mask_hi")),
+      corpus, queries, idCol, vecCol, qidCol, k, shortlist)
+
+  /** [[binaryKnn]] against a PERSISTED mask sidecar (`masks` =
+    * (idCol, mask_lo, mask_hi) — the 16-byte/vector index a deployment
+    * maintains instead of re-deriving masks per query): the Hamming
+    * shortlist scans the sidecar only; the float vectors are touched
+    * for shortlist rows alone. */
+  def binaryKnnPreMasked(masks: DataFrame, corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, qidCol: String, k: Int,
+                         shortlist: Int = 20): DataFrame = {
     require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1: $shortlist, $k")
-    val c = binaryMasks(corpus.select(col(idCol), col(vecCol)), vecCol)
-      .select(col(idCol), col("mask_lo"), col("mask_hi"))
+    val c = masks.select(col(idCol), col("mask_lo"), col("mask_hi"))
     val q = broadcast(binaryMasks(queries.select(col(qidCol), col(vecCol)), vecCol)
       .select(col(qidCol), col("mask_lo").as("__qlo"), col("mask_hi").as("__qhi")))
     val w = Window.partitionBy(qidCol).orderBy(col("hamming"), col(idCol))

@@ -168,6 +168,42 @@ object SimilarityQueries {
           "vec_id", "embedding", "qid", k = 5, shortlist = 20),
         "qid", "vec_id")),
 
+    // CDC-maintained binary-mask sidecar: persist the 16-byte/vector
+    // mask index, apply the standard change batch (vectors ≡ 1 mod 9
+    // replaced by their successor's embedding, ≡ 4 mod 9 deleted) as an
+    // evict-and-recompute splice — ONLY the changed ids' masks are
+    // re-derived — then probe the stored index over the merged corpus.
+    // Must equal binaryKnn recomputed from scratch (the oracle): the
+    // maintenance law for the cheapest index rung.
+    "sim_binary_after_update" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val upd = e.as("a").where(col("a.vec_id") % 9 === 1L)
+        .join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1L)
+        .select(col("a.vec_id").as("vec_id"), col("b.embedding").as("embedding"))
+      val changed = upd.select("vec_id")
+        .unionByName(e.where(col("vec_id") % 9 === 4L).select("vec_id"))
+        .distinct()
+      val idx = java.nio.file.Files
+        .createTempDirectory("bin_upd_q").toString + "/masks"
+      Similarity.binaryMasks(e, "embedding")
+        .select("vec_id", "mask_lo", "mask_hi")
+        .write.mode("overwrite").parquet(idx)
+      // evict + recompute-changed splice (checkpoint decouples the
+      // read-then-overwrite of the same path)
+      val spliced = s.read.parquet(idx)
+        .join(changed, Seq("vec_id"), "left_anti")
+        .unionByName(Similarity.binaryMasks(upd, "embedding")
+          .select("vec_id", "mask_lo", "mask_hi"))
+        .localCheckpoint(true)
+      spliced.write.mode("overwrite").parquet(idx)
+      val merged = e.join(changed, Seq("vec_id"), "left_anti")
+        .select("vec_id", "embedding").unionByName(upd)
+      val q = merged.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.binaryKnnPreMasked(s.read.parquet(idx), merged, q,
+        "vec_id", "embedding", "qid", k = 5, shortlist = 20)
+    }),
+
     // IVF top-3 within the query's own cluster.
     "sim_ivf_knn" -> ((s, dir) => {
       val cents = emb(s, dir).where(col("vec_id") < 8)
@@ -1127,14 +1163,15 @@ object SimilarityQueries {
   /** Packed sign-word CTE (32 dims per BIGINT, bit j of word w ⇔
     * v[32w+j] > 0), mirroring [[graft.ops.Similarity.binaryMasks]] —
     * shared by the three `sim_binary_*` oracles. */
-  private val masksCte =
-    """m AS (
-      |  SELECT vec_id, embedding,
-      |    CAST(list_sum(list_transform(range(0,32), j ->
-      |      CASE WHEN embedding[(j+1)::INT] > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS mask_lo,
-      |    CAST(list_sum(list_transform(range(0,32), j ->
-      |      CASE WHEN embedding[(j+33)::INT] > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS mask_hi
-      |  FROM embeddings)""".stripMargin
+  private def masksCteFrom(src: String) =
+    s"""m AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(0,32), j ->
+       |      CASE WHEN embedding[(j+1)::INT] > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS mask_lo,
+       |    CAST(list_sum(list_transform(range(0,32), j ->
+       |      CASE WHEN embedding[(j+33)::INT] > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)) AS BIGINT) AS mask_hi
+       |  FROM $src)""".stripMargin
+  private lazy val masksCte = masksCteFrom("embeddings")
 
   /** Unrolled k-center greedy CTE chain (seed = lowest id, 7 maximin
     * picks; identical 1−cos arithmetic and least() fold order as
@@ -2264,6 +2301,26 @@ object SimilarityQueries {
 
     "sim_binary_knn" ->
       s"""WITH $masksCte,
+         |${binaryKnnCtes(20)}
+         |SELECT qid, vec_id, hamming, cos, CAST(rank AS BIGINT) AS rank
+         |FROM brk WHERE rank <= 5""".stripMargin,
+
+    // Maintained-mask mirror: stored masks ≡ masks over the merged
+    // corpus (the maintenance law), so the oracle recomputes from
+    // scratch over the merged CTE with the same chain.
+    "sim_binary_after_update" ->
+      s"""WITH upd AS (
+         |  SELECT a.vec_id, b.embedding
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         |  WHERE a.vec_id % 9 = 1),
+         |changed AS (
+         |  SELECT vec_id FROM upd
+         |  UNION SELECT vec_id FROM embeddings WHERE vec_id % 9 = 4),
+         |merged AS (
+         |  SELECT e.vec_id, e.embedding FROM embeddings e
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM changed)
+         |  UNION ALL SELECT vec_id, embedding FROM upd),
+         |${masksCteFrom("merged")},
          |${binaryKnnCtes(20)}
          |SELECT qid, vec_id, hamming, cos, CAST(rank AS BIGINT) AS rank
          |FROM brk WHERE rank <= 5""".stripMargin,

@@ -996,6 +996,15 @@ class ScaleOpsSpec extends SparkSpec {
       val x = r.getAs[Double]("recall")
       assert(x >= 0.0 && x <= 1.0)
     }
+
+    // maintained mask sidecar: full top-5 per query, deleted ids gone
+    val au = graft.SparkEntry.queries("sim_binary_after_update")(spark, sf)
+      .collect()
+    assert(au.nonEmpty)
+    au.groupBy(_.getAs[Long]("qid")).values
+      .foreach(rows => assert(rows.length == 5))
+    au.foreach(r => assert(r.getAs[Long]("vec_id") % 9 != 4,
+      "a deleted vector survived in the maintained index"))
   }
 
   test("privacy/post-ingest audits: k-anonymity partitions rows; lake suite sees feed violations") {
