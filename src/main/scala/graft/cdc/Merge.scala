@@ -143,7 +143,12 @@ object Merge {
     val on = pks.map(k => col(s"t.$k") <=> col(s"c.$k")).reduce(_ && _)
     val matched = col("t.__has_t").isNotNull && col("c.__has_c").isNotNull
     val del = matched && col(s"c.${Op.column}") === Op.Delete
-    val upd = matched && col(s"c.${Op.column}") =!= Op.Delete && updateWhen
+    // SQL MERGE treats an UNKNOWN clause predicate as not-matched-by-this-
+    // clause: the row falls through to the keep branch. Without coalesce a
+    // NULL guard (e.g. `c.ts > t.ts` with a NULL timestamp) would make
+    // upd/keep/takeC all NULL and where(takeC || keep) drop the row.
+    val upd = matched && col(s"c.${Op.column}") =!= Op.Delete &&
+      coalesce(updateWhen, lit(false))
     val ins = col("t.__has_t").isNull && col(s"c.${Op.column}") =!= Op.Delete
     val keep = col("c.__has_c").isNull || (matched && !del && !upd)
     val takeC = upd || ins

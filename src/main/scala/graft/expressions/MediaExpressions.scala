@@ -92,7 +92,10 @@ case class BlockHash60Expr(child: Expression) extends UnaryExpression {
   * walk (a truncated tail still REPORTS its declared size — the point of
   * an integrity audit: declared ≠ actual flags truncation or padding).
   * Formats without a total-size field (PNG/JPEG/GIF/…) → NULL; a
-  * nonsensical box size (< 8) → NULL rather than a loop. */
+  * nonsensical box size (2..7) → NULL rather than a loop. The two
+  * spec-valid special sizes are honored: size 0 = box extends to end of
+  * file (declared += remaining bytes, walk ends), size 1 = 64-bit
+  * `largesize` follows the box type (ISO/IEC 14496-12 §4.2). */
 case class DeclaredSizeExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -107,13 +110,28 @@ case class DeclaredSizeExpr(child: Expression) extends UnaryExpression {
     if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
       java.lang.Long.valueOf(8L + u32le(4))
     else if (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
+      def u64be(i: Int): Long =
+        u32be(i) << 32 | u32be(i + 4)
       var ofs = 0L
       var total = 0L
       while (ofs + 8 <= b.length) {
-        val sz = u32be(ofs.toInt)
-        if (sz < 8) return null
-        total += sz
-        ofs += sz
+        val sz32 = u32be(ofs.toInt)
+        if (sz32 == 0L) {
+          // box extends to end of file: declares exactly the remaining bytes
+          total += b.length - ofs
+          ofs = b.length
+        } else if (sz32 == 1L) {
+          // 64-bit largesize follows the 4-byte type; header is 16 bytes
+          if (ofs + 16 > b.length) return null
+          val sz = u64be(ofs.toInt + 8)
+          if (sz < 16) return null
+          total += sz
+          ofs += sz
+        } else if (sz32 < 8) return null
+        else {
+          total += sz32
+          ofs += sz32
+        }
       }
       java.lang.Long.valueOf(total)
     } else null

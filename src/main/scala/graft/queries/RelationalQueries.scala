@@ -653,9 +653,13 @@ object RelationalQueries {
       val mm = o.agg(min(col("o_totalprice")).as("__mn"),
         max(col("o_totalprice")).as("__mx"))
       val binned = o.crossJoin(broadcast(mm))
-        .withColumn("bin", least(lit(9L),
-          floor((col("o_totalprice") - col("__mn")) * 10.0 /
-            (col("__mx") - col("__mn")))))
+        // degenerate range (mx == mn, e.g. a constant-valued column) would
+        // divide by zero → NaN → floor null → least skips nulls = bin 9 in
+        // Spark while DuckDB's BIGINT cast of NaN errors; pin bin 0 in both
+        .withColumn("bin", when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(lit(9L),
+            floor((col("o_totalprice") - col("__mn")) * 10.0 /
+              (col("__mx") - col("__mn"))))))
         .groupBy("bin")
         .agg(sum(when(col("o_custkey") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
           sum(when(col("o_custkey") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
@@ -2008,7 +2012,8 @@ object RelationalQueries {
     "dq_drift" ->
       """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
         |b AS (
-        |  SELECT least(9, CAST(floor((o_totalprice - mn) * 10.0 / (mx - mn)) AS BIGINT)) AS bin,
+        |  SELECT CASE WHEN mx = mn THEN 0
+        |              ELSE least(9, CAST(floor((o_totalprice - mn) * 10.0 / (mx - mn)) AS BIGINT)) END AS bin,
         |         CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS a
         |  FROM orders, mm),
         |c AS (SELECT bin, CAST(sum(a) AS BIGINT) AS n_a,

@@ -107,5 +107,8 @@ object JoinViewStream {
     * commits + delete sidecars for MOR). */
   private def readLake(spark: SparkSession, path: String, cfg: TableConfig): DataFrame =
     if (cfg.mergeOnRead) MorTable.read(spark, path)
-    else spark.read.parquet(path)
+    // mergeSchema, matching CdcPipeline.mergeTagged's own target read: an
+    // evolving CoW lake has mixed footers, and a footer-sampled schema
+    // would silently drop evolved-column values from untouched files.
+    else spark.read.option("mergeSchema", "true").parquet(path)
 }

@@ -157,4 +157,22 @@ class MergeSpec extends SparkSpec {
     // winner Op='I' on a MATCHED key with updateWhen=false keeps the target
     assert(re.length == 1 && re(0).getAs[String]("name") == "open")
   }
+
+  test("conditional merge: NULL guard keeps the target row (SQL MERGE unknown semantics)") {
+    // guard `c.price > t.price` with a NULL batch price: UNKNOWN, not false —
+    // SQL MERGE falls through to keep, never drops the row
+    val tgt = Seq(("I", 1, "a", Some(10.0)), ("I", 2, "b", Some(20.0)))
+      .toDF("Op", "id", "name", "price")
+    val changes = Seq(
+      ("U", 1, "a2", Option.empty[Double], 1L, 1L), // NULL price → guard UNKNOWN
+      ("U", 2, "b2", Some(25.0), 1L, 1L)            // guard true → updated
+    ).toDF("Op", "id", "name", "price", "file_seq", "pos")
+    val out = Merge.mergeConditional(tgt, changes, Seq("id"), Seq(col("pos")),
+        updateWhen = col("c.price") > col("t.price"))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("name"), r.getAs[Double]("price")))
+    assert(out.toSeq == Seq(
+      (1, "a", 10.0),  // kept, NOT lost and NOT updated
+      (2, "b2", 25.0)))
+  }
 }

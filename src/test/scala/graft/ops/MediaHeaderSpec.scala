@@ -338,5 +338,26 @@ class MediaHeaderSpec extends SparkSpec {
     // a nonsensical box size must abort the walk, not loop
     val evilBox = Array[Byte](0, 0, 0, 2) ++ "ftyp".getBytes ++ body
     assert(declared(evilBox).isEmpty)
+    // ISO-BMFF §4.2 special sizes are spec-VALID, not garbage:
+    def be32(v: Long) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    val ftyp16 = be32(16) ++ "ftypisom".getBytes ++ be32(0)
+    // size 0 = box extends to end of file: declares the remaining bytes
+    val toEof = ftyp16 ++ be32(0) ++ "mdat".getBytes ++ body
+    assert(declared(toEof) == Some(toEof.length.toLong))
+    // …and a truncated to-EOF mdat still just declares what's there
+    // (declared tracks the container's own claim — EOF boxes claim to EOF)
+    // size 1 = 64-bit largesize follows the type
+    val largeMdat = be32(1) ++ "mdat".getBytes ++ be64(16L + body.length) ++ body
+    val withLarge = ftyp16 ++ largeMdat
+    assert(declared(withLarge) == Some(withLarge.length.toLong))
+    // a largesize CLAIMING more than present is the truncation signal
+    val bigClaim = ftyp16 ++ be32(1) ++ "mdat".getBytes ++ be64(1000000L)
+    assert(declared(bigClaim) == Some(16L + 1000000L))
+    // largesize < 16 (can't cover its own header) aborts; truncated
+    // largesize header (box cut before the 8 size bytes) aborts
+    assert(declared(ftyp16 ++ be32(1) ++ "mdat".getBytes ++ be64(8L)).isEmpty)
+    assert(declared(ftyp16 ++ be32(1) ++ "mdat".getBytes ++ be32(0)).isEmpty)
   }
 }
