@@ -66,8 +66,43 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
         } => key }.toSet
     Discovery.listTables(rawRoot, spark.sparkContext.hadoopConfiguration)
       .filter(t => changed.contains(t.key))
-      .foreach(t => refreshStatsIndex(t.schema, t.table): Unit)
+      .foreach { t =>
+        val mor = store.get(t.dir).exists(_.config.mergeOnRead)
+        // MOR tables get the threshold-driven maintenance check instead
+        // (they cannot carry a stats index — buildStatsIndex refuses);
+        // the check is O(sidecar) when healthy, so per-sync is safe.
+        if (mor) maintainIfNeeded(t.schema, t.table): Unit
+        else refreshStatsIndex(t.schema, t.table): Unit
+      }
     res
+  }
+
+  /** Threshold-driven MOR maintenance — closes the loop between the
+    * `cdc_mor_sidecar_stats` readout and [[compact]]: when the table's
+    * outstanding mask rows exceed `maxAmplification` per stored data
+    * row, run the format's native compact+vacuum pair (one target read
+    * pays for both — compact's lowering receipt spares vacuum the scan).
+    * Returns the PRE-maintenance [[io.MorTable.Health]] when the policy
+    * fired; None for CoW tables and healthy MOR tables. [[sync]] calls
+    * this after every load of a MOR table, so at the reference's hourly
+    * cadence sidecar accumulation is bounded by the threshold, not by
+    * an operator noticing. */
+  def maintainIfNeeded(schema: String, table: String,
+                       maxAmplification: Double = GraftLake.DefaultMaxAmplification)
+      : Option[io.MorTable.Health] = {
+    val cfg = store.get(tableDir(schema, table)).map(_.config).getOrElse(TableConfig())
+    if (!cfg.mergeOnRead) None
+    else io.MorTable.maintainIfNeeded(spark,
+      s"${lakeRoot.stripSuffix("/")}/$schema/$table",
+      maxAmplification, clusterBy = cfg.primaryKeys)
+  }
+
+  /** [[io.MorTable.health]] for a lake table (None for CoW). */
+  def morHealth(schema: String, table: String): Option[io.MorTable.Health] = {
+    val cfg = store.get(tableDir(schema, table)).map(_.config).getOrElse(TableConfig())
+    if (!cfg.mergeOnRead) None
+    else Some(io.MorTable.health(spark,
+      s"${lakeRoot.stripSuffix("/")}/$schema/$table"))
   }
 
   /** Continuous ingestion: one CDC stream per ACTIVE table, each with its
@@ -81,7 +116,9 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
     * Streams consume only CDC files (`2*`); run [[sync]] first when LOAD
     * snapshots need an initial load (a PK table without one merges its
     * first CDC batch against the empty target). */
-  def syncStreaming(checkpointRoot: String, maxFilesPerTrigger: Int = 100)
+  def syncStreaming(checkpointRoot: String, maxFilesPerTrigger: Int = 100,
+                    maintainEvery: Int = GraftLake.DefaultMaintainEvery,
+                    maxAmplification: Double = GraftLake.DefaultMaxAmplification)
       : streaming.StreamManager = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ts = Discovery.listTables(rawRoot, conf)
@@ -93,7 +130,8 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
         streaming.CdcStream.start(spark, t.dir,
           s"${lakeRoot.stripSuffix("/")}/${t.key}", cfg,
           s"${checkpointRoot.stripSuffix("/")}/${t.key}",
-          maxFilesPerTrigger = maxFilesPerTrigger)
+          maxFilesPerTrigger = maxFilesPerTrigger,
+          maintainEvery = maintainEvery, maxAmplification = maxAmplification)
       }
     }.toMap
     new streaming.StreamManager(spark, starters).startAll()
@@ -528,6 +566,17 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
 }
 
 object GraftLake {
+  /** Default mask-rows-per-data-row budget before [[GraftLake.maintainIfNeeded]]
+    * compacts: 0.3 mirrors compact's own per-file `minDeadFraction` — below
+    * it a pass would mostly find no victims anyway. */
+  val DefaultMaxAmplification = 0.3
+
+  /** Default micro-batch cadence of the streaming maintenance check
+    * ([[streaming.CdcStream]] `maintainEvery`): every 10 deliveries —
+    * the healthy-path check is O(sidecar), so cadence bounds sidecar
+    * accumulation (≤ 10 batches' masks past threshold), not cost. */
+  val DefaultMaintainEvery = 10
+
   def apply(spark: SparkSession, rawRoot: String, lakeRoot: String,
             stateDir: String, parallelism: Int = 8): GraftLake = {
     GraftFunctions.register(spark)

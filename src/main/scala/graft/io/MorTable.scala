@@ -661,6 +661,56 @@ object MorTable {
     }
   }
 
+  /** Physical health readout of a MOR table — the `cdc_mor_sidecar_stats`
+    * ledger as one record, costed for a scheduler: commit-listing +
+    * sidecar-sized reads plus a projection-empty footer count of the data
+    * dirs. Never joins masks against data (that is what maintenance
+    * itself pays for). */
+  final case class Health(dataRows: Long, dataFiles: Long,
+                          posRows: Long, posFiles: Long,
+                          eqKeys: Long, eqFiles: Long) {
+    /** Outstanding mask rows every read must anti-join away. */
+    def maskRows: Long = posRows + eqKeys
+    /** Read amplification proxy: mask rows per stored data row — the
+      * number that grows between merges and re-flattens after a
+      * [[compact]]+[[vacuum]] pass sweeps dead files and their masks. */
+    def amplification: Double =
+      if (dataRows == 0L) 0.0 else maskRows.toDouble / dataRows
+  }
+
+  def health(spark: SparkSession, path: String): Health = {
+    val f = fs(spark, path)
+    val batches = committedBatches(spark, path)
+    def live(base: String): Seq[String] =
+      dirsWithParquet(spark, path, committedDirs(spark, path, base, batches))
+    def nFiles(dirs: Seq[String]): Long = dirs.map(d =>
+      f.listStatus(new Path(d)).count(_.getPath.getName.endsWith(".parquet")).toLong).sum
+    def nRows(dirs: Seq[String]): Long =
+      if (dirs.isEmpty) 0L else spark.read.parquet(dirs: _*).count()
+    val (dd, pd, ed) = (live(dataDir(path)), live(delDir(path)), live(delEqDir(path)))
+    Health(nRows(dd), nFiles(dd), nRows(pd), nFiles(pd), nRows(ed), nFiles(ed))
+  }
+
+  /** Threshold-driven maintenance — the closed loop between the
+    * [[health]] readout and the format's native [[compact]]+[[vacuum]]
+    * pair (compact leaves a lowering receipt, so the immediate vacuum
+    * reads no table data for its lowering step: one target read pays
+    * for both). Fires iff `amplification > maxAmplification`; returns
+    * the PRE-maintenance health when it fired so callers can log why,
+    * None when the table is within budget (the common, O(metadata)
+    * case — an every-batch check is safe to schedule). */
+  def maintainIfNeeded(spark: SparkSession, path: String,
+                       maxAmplification: Double,
+                       clusterBy: Seq[String] = Nil): Option[Health] = {
+    val h = health(spark, path)
+    if (h.amplification <= maxAmplification) None
+    else {
+      compact(spark, path, clusterBy = clusterBy): Unit
+      vacuum(spark, path): Unit
+      Some(h)
+    }
+  }
+
   /** Live data files (for specs / ops visibility). */
   def dataFiles(spark: SparkSession, path: String): Seq[String] = {
     val f = fs(spark, path)

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.GraftLake
 import graft.cdc.TableConfig
 import graft.io.CdcPipeline
 import org.apache.hadoop.fs.Path
@@ -33,10 +34,16 @@ object CdcStream {
     * @param maxFilesPerTrigger micro-batch size bound — at 100 TB this is
     *   the backpressure knob; each batch's merge cost is proportional to
     *   batch rows + impacted-file rows, not table size.
+    * @param maintainEvery for merge-on-read tables: every N micro-batches,
+    *   run the threshold-driven [[graft.io.MorTable.maintainIfNeeded]]
+    *   check after the merge (0 = never). The check is O(sidecar) when
+    *   healthy; a continuous high-churn stream otherwise accumulates
+    *   mask sidecars until an operator notices.
     */
   def start(spark: SparkSession, tableDir: String, outPath: String, cfg: TableConfig,
             checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Int = 100): StreamingQuery = {
+            maxFilesPerTrigger: Int = 100, maintainEvery: Int = 0,
+            maxAmplification: Double = GraftLake.DefaultMaxAmplification): StreamingQuery = {
     val schema = sourceSchema(spark, tableDir)
     val stream = spark.readStream
       .schema(schema)
@@ -53,9 +60,25 @@ object CdcStream {
       .queryName(s"cdc-merge-${qualifiedName(outPath)}")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) => mergeBatch(batch, outPath, cfg) }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, outPath, cfg)
+        maintainTick(batch.sparkSession, outPath, cfg.mergeOnRead,
+          cfg.primaryKeys, batchId, maintainEvery, maxAmplification)
+      }
       .start()
   }
+
+  /** Every-N-batches MOR maintenance hook for the foreachBatch sinks:
+    * after the merge commits, run the threshold check (compact+vacuum
+    * only when the amplification budget is exceeded). Runs AFTER the
+    * merge so a replayed micro-batch re-merges first; the maintenance
+    * itself is crash-safe by the format's own commit markers. */
+  private def maintainTick(spark: SparkSession, outPath: String, mor: Boolean,
+                           pks: Seq[String], batchId: Long,
+                           maintainEvery: Int, maxAmplification: Double): Unit =
+    if (mor && maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+      graft.io.MorTable.maintainIfNeeded(spark, outPath, maxAmplification,
+        clusterBy = pks): Unit
 
   /** [[start]] plus a change-data-feed sidecar: every micro-batch appends
     * its per-operation pre/post image rows ([[graft.cdc.ChangeFeed]]) to
@@ -110,7 +133,8 @@ object CdcStream {
     * by the next vacuum (MorTable.mergeTagged scaladoc). */
   def startMor(spark: SparkSession, tableDir: String, outPath: String, pks: Seq[String],
                checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
-               maxFilesPerTrigger: Int = 100): StreamingQuery = {
+               maxFilesPerTrigger: Int = 100, maintainEvery: Int = 0,
+               maxAmplification: Double = GraftLake.DefaultMaxAmplification): StreamingQuery = {
     require(pks.nonEmpty, "merge-on-read requires primary keys")
     val schema = sourceSchema(spark, tableDir)
     val stream = spark.readStream
@@ -125,9 +149,11 @@ object CdcStream {
       .queryName(s"cdc-mor-merge-${qualifiedName(outPath)}")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.io.MorTable.mergeTagged(batch.sparkSession, batch, outPath, pks): Unit
+        maintainTick(batch.sparkSession, outPath, mor = true,
+          pks, batchId, maintainEvery, maxAmplification)
       }
       .start()
   }

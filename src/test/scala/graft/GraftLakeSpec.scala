@@ -350,6 +350,87 @@ class GraftLakeSpec extends SparkSpec {
       lakeS.buildStatsIndex("db", "a", Seq("id")))
   }
 
+  test("auto-maintenance: sync trips compact+vacuum exactly at the amplification threshold") {
+    val raw = Files.createTempDirectory("rawMaint").toString
+    val out = Files.createTempDirectory("lakeMaint").toString
+    val lake = GraftLake(spark, raw, out,
+      Files.createTempDirectory("stateMaint").toString)
+    writeFile(Seq.tabulate(10)(i => ("I", i + 1, s"v${i + 1}"))
+      .toDF("Op", "id", "v"), s"$raw/db/t", "LOAD00000001.parquet")
+    lake.tables()
+    lake.activate("db", "t", primaryKeys = Seq("id"), mergeOnRead = true)
+    lake.sync()
+
+    // small churn: 2 of 10 keys updated → amp = 2 eq keys / 12 data rows
+    writeFile(Seq(("U", 1, "v1a"), ("U", 2, "v2a")).toDF("Op", "id", "v"),
+      s"$raw/db/t", "20260816-01.parquet")
+    lake.sync()
+    val h1 = lake.morHealth("db", "t").get
+    assert(h1.eqKeys == 2 && h1.dataRows == 12)
+    assert(h1.amplification < GraftLake.DefaultMaxAmplification)
+    // sync ran the check but the stat is under budget → did NOT fire:
+    // the equality sidecar is still physically there
+    assert(h1.eqFiles > 0, "healthy table must keep its sidecars untouched")
+    assert(lake.maintainIfNeeded("db", "t").isEmpty)
+
+    // churny ingest: 8 of 10 keys updated → amp = 10/20 = 0.5 > 0.3,
+    // so THIS sync's own check must fire the compact+vacuum pair
+    writeFile(Seq.tabulate(8)(i => ("U", i + 1, s"v${i + 1}b"))
+      .toDF("Op", "id", "v"), s"$raw/db/t", "20260816-02.parquet")
+    lake.sync()
+    val h2 = lake.morHealth("db", "t").get
+    assert(h2.eqKeys == 0 && h2.maskRows == 0,
+      s"auto-maintenance must re-flatten the mask ledger, got $h2")
+    assert(h2.dataRows == 10, s"live rows only after sweep, got $h2")
+    assert(h2.amplification == 0.0)
+    // content is untouched by maintenance: the 8 churned + 2 older values
+    val got = lake.read("db", "t").select("id", "v").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == (1 to 8).map(i => i -> s"v${i}b").toMap ++
+      Map(9 -> "v9", 10 -> "v10"))
+
+    // an explicit low-threshold call fires exactly when the stat says…
+    writeFile(Seq(("U", 9, "v9c"), ("U", 10, "v10c")).toDF("Op", "id", "v"),
+      s"$raw/db/t", "20260816-03.parquet")
+    lake.sync() // amp = 2/12 < 0.3: auto check leaves it
+    val h3 = lake.morHealth("db", "t").get
+    assert(h3.eqKeys == 2)
+    val fired = lake.maintainIfNeeded("db", "t", maxAmplification = 0.05)
+    // …returning the PRE-maintenance readout that justified it
+    assert(fired.contains(h3))
+    // and an immediate re-check is a no-op (flat again)
+    assert(lake.maintainIfNeeded("db", "t", maxAmplification = 0.05).isEmpty)
+    assert(lake.morHealth("db", "t").get.maskRows == 0)
+  }
+
+  test("auto-maintenance: streaming maintainEvery re-flattens sidecars mid-stream") {
+    val raw = Files.createTempDirectory("rawMaintS").toString
+    val out = Files.createTempDirectory("lakeMaintS").toString
+    val lake = GraftLake(spark, raw, out,
+      Files.createTempDirectory("stateMaintS").toString)
+    writeFile(Seq.tabulate(10)(i => ("I", i + 1, s"v${i + 1}"))
+      .toDF("Op", "id", "v"), s"$raw/db/t", "LOAD00000001.parquet")
+    lake.tables()
+    lake.activate("db", "t", primaryKeys = Seq("id"), mergeOnRead = true)
+    lake.sync() // MOR initial load
+
+    // churn well past the threshold, delivered by the streaming manager
+    // with a check after every micro-batch
+    writeFile(Seq.tabulate(9)(i => ("U", i + 1, s"v${i + 1}s"))
+      .toDF("Op", "id", "v"), s"$raw/db/t", "20260816-01.parquet")
+    val mgr = lake.syncStreaming(
+      Files.createTempDirectory("ckptMaintS").toString, maintainEvery = 1)
+    try { mgr.awaitAll(); assert(mgr.failures.isEmpty, mgr.failures.toString) }
+    finally mgr.stopAll()
+
+    val h = lake.morHealth("db", "t").get
+    assert(h.maskRows == 0 && h.dataRows == 10,
+      s"stream-side maintenance must have re-flattened, got $h")
+    val got = lake.read("db", "t").select("id", "v").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == (1 to 9).map(i => i -> s"v${i}s").toMap + (10 -> "v10"))
+  }
+
   test("StreamManager isolates a broken table and restartFailed recovers it") {
     val raw = Files.createTempDirectory("rawB").toString
     val out = Files.createTempDirectory("lakeB").toString
