@@ -211,6 +211,58 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF-pruned binary kNN — the binary rung composed with the
+    * cluster-partitioned index layout, making the Hamming shortlist
+    * SUB-SCAN instead of a corpus-wide mask sweep: `maskDir` is a
+    * persisted [[writeIvfIndex]] layout of (idCol, mask_lo, mask_hi)
+    * rows partitioned by `cluster` (build it from
+    * `binaryMasks(ivfAssign(corpus, …))`). Each query batch probes its
+    * `nprobe` nearest clusters; ONLY those partitions' mask files are
+    * opened (the `cluster` filter is a static partition predicate —
+    * the same pruning the IVF-PQ probes already get), the integer
+    * Hamming shortlist runs within them, and the float vectors are
+    * touched for shortlist rows alone. At 100 TB the per-query-batch
+    * scan cost drops from |corpus|·16 bytes to
+    * |corpus|·nprobe/k_clusters·16 bytes. Recall vs the flat
+    * [[binaryKnn]] is the standard IVF trade: a true neighbor outside
+    * the probed clusters is unreachable — measure with [[recallAtK]],
+    * widen `nprobe` to buy it back. */
+  def binaryIvfKnn(spark: org.apache.spark.sql.SparkSession, maskDir: String,
+                   corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                   idCol: String, vecCol: String, qidCol: String, cidCol: String,
+                   k: Int, shortlist: Int = 20, nprobe: Int = 1): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1: $shortlist, $k")
+    val qm = broadcast(
+      binaryMasks(ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe),
+          vecCol)
+        .select(col(qidCol), col("cluster").cast("long").as("cluster"),
+          col("mask_lo").as("__qlo"), col("mask_hi").as("__qhi")))
+    val masks = readIvfIndex(spark, maskDir,
+        probedClusters(queries, centroids, qidCol, vecCol, cidCol, nprobe))
+      .select(col(idCol), col("cluster").cast("long").as("cluster"),
+        col("mask_lo"), col("mask_hi"))
+    // Join on the probed cluster (a corpus id lives in exactly ONE
+    // partition, so a (query, id) pair meets at most once even at
+    // nprobe > 1); the shortlist window spans the query's probed set.
+    val w = Window.partitionBy(qidCol).orderBy(col("hamming"), col(idCol))
+    val short = masks.join(qm, "cluster")
+      .where(col(idCol) =!= col(qidCol))
+      .withColumn("hamming",
+        (bit_count(col("mask_lo").bitwiseXOR(col("__qlo"))) +
+          bit_count(col("mask_hi").bitwiseXOR(col("__qhi")))).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= shortlist)
+      .select(col(qidCol), col(idCol), col("hamming"))
+    val scored = short
+      .join(corpus.select(col(idCol), col(vecCol).as("__cvec")), idCol)
+      .join(broadcast(queries.select(col(qidCol), col(vecCol).as("__qvec"))), qidCol)
+      .select(col(qidCol), col(idCol), col("hamming"),
+        cosine(col("__qvec"), col("__cvec")).as("cos"))
+    val w2 = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w2).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** IVF-style cluster assignment: nearest centroid by cosine (ties →
     * smallest centroid id). `centroids` is small (it collapses to ONE
     * broadcast row, cid-sorted) — assignment is PER-ROW Column math: the

@@ -66,7 +66,7 @@ object CdcQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def morFixture(s: SparkSession, dir: String): String =
     morFixtures.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
-      val base = java.nio.file.Files.createTempDirectory("mor_fix").toString + "/t"
+      val base = QueryTmp.dir("mor_fix") + "/t"
       graft.io.MorTable.init(s, target(s, dir), base)
       val chg = changes(s, dir)
       graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 1L), base, Seq("o_orderkey"))
@@ -270,7 +270,7 @@ object CdcQueries {
     // plus the uniqueness check ([[graft.ops.Quality.suite]]).
     "dq_suite_after_ingest" -> ((s, dir) => {
       import graft.ops.Quality
-      val base = java.nio.file.Files.createTempDirectory("dq_ingest").toString
+      val base = QueryTmp.dir("dq_ingest")
       val lake = s"$base/orders"
       val cfg = graft.cdc.TableConfig(Seq("o_orderkey"), Nil, active = true)
       def tag(df: DataFrame, name: String) = df
@@ -300,7 +300,7 @@ object CdcQueries {
     // join over the merged fact (the cdc_incr_join oracle, verbatim).
     "cdc_incr_join_after_ingest" -> ((s, dir) => {
       import graft.streaming.JoinViewStream
-      val base = java.nio.file.Files.createTempDirectory("jv_ingest").toString
+      val base = QueryTmp.dir("jv_ingest")
       val factPath = s"$base/fact"
       val viewPath = s"$base/view"
       val factCfg = graft.cdc.TableConfig(Seq("o_orderkey"), Nil, active = true)
@@ -442,7 +442,7 @@ object CdcQueries {
     // files + sidecar re-baseline) must leave the table bit-identical —
     // same oracle as cdc_merge again.
     "cdc_mor_compact" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("mor_qc").toString + "/t"
+      val base = QueryTmp.dir("mor_qc") + "/t"
       graft.io.MorTable.init(s, target(s, dir), base)
       val chg = changes(s, dir)
       graft.io.MorTable.merge(s, chg.where(col(Merge.FileSeq) === 1L), base, Seq("o_orderkey"))

@@ -28,7 +28,7 @@ object RelationalQueries {
     // cache PATHS, not DataFrames — a cached frame would pin the session
     // that built it, and the dirs are deleted on JVM exit
     val base = statsFixtures.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir", _ => {
-      val b = java.nio.file.Files.createTempDirectory("statsprune")
+      val b = java.nio.file.Paths.get(QueryTmp.dir("statsprune"))
       Tables(s, dir, "orders")
         .repartitionByRange(8, col("o_orderkey"))
         .write.mode("overwrite").parquet(s"$b/orders")
@@ -560,7 +560,7 @@ object RelationalQueries {
     "dq_overlap_depth" -> ((s, dir) => {
       val base = statsFixtures.computeIfAbsent(
         s"${s.sparkContext.applicationId}:$dir:overlap", _ => {
-          val b = java.nio.file.Files.createTempDirectory("overlap")
+          val b = java.nio.file.Paths.get(QueryTmp.dir("overlap"))
           val o = Tables(s, dir, "orders")
           val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
           def layout(f: org.apache.spark.sql.Column, sub: String): Unit =

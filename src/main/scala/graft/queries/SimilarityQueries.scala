@@ -183,8 +183,7 @@ object SimilarityQueries {
       val changed = upd.select("vec_id")
         .unionByName(e.where(col("vec_id") % 9 === 4L).select("vec_id"))
         .distinct()
-      val idx = java.nio.file.Files
-        .createTempDirectory("bin_upd_q").toString + "/masks"
+      val idx = QueryTmp.dir("bin_upd_q") + "/masks"
       Similarity.binaryMasks(e, "embedding")
         .select("vec_id", "mask_lo", "mask_hi")
         .write.mode("overwrite").parquet(idx)
@@ -202,6 +201,26 @@ object SimilarityQueries {
         .select(col("vec_id").as("qid"), col("embedding"))
       Similarity.binaryKnnPreMasked(s.read.parquet(idx), merged, q,
         "vec_id", "embedding", "qid", k = 5, shortlist = 20)
+    }),
+
+    // IVF-pruned binary kNN: the 16-byte/vector mask sidecar persisted
+    // in the cluster-partitioned index layout, so each query's Hamming
+    // shortlist opens ONLY its two probed clusters' partitions (sub-scan
+    // — the partition-pruning the IVF-PQ probes already get, applied to
+    // the binary rung); float rerank on shortlist rows only.
+    "sim_binary_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val idx = QueryTmp.dir("bin_ivf_q") + "/masks"
+      Similarity.writeIvfIndex(
+        Similarity.binaryMasks(
+            Similarity.ivfAssign(e, cents, "vec_id", "embedding", "cid"),
+            "embedding")
+          .select(col("vec_id"), col("mask_lo"), col("mask_hi"), col("cluster")),
+        idx)
+      Similarity.binaryIvfKnn(s, idx, e, queriesDf(s, dir), cents,
+        "vec_id", "embedding", "qid", "cid", k = 5, shortlist = 20, nprobe = 2)
     }),
 
     // IVF top-3 within the query's own cluster.
@@ -239,7 +258,7 @@ object SimilarityQueries {
           lit("U").as("op"))
       val dels = e.where(col("vec_id") % 9 === 4L)
         .select(col("vec_id"), col("embedding"), lit("D").as("op"))
-      val idx = java.nio.file.Files.createTempDirectory("ivf_upd_q").toString + "/idx"
+      val idx = QueryTmp.dir("ivf_upd_q") + "/idx"
       Similarity.writeIvfIndex(
         Similarity.ivfAssign(e, cents, "vec_id", "embedding", "cid")
           .select(col("vec_id"), col("embedding"), col("cluster")), idx)
@@ -2302,6 +2321,43 @@ object SimilarityQueries {
     "sim_binary_knn" ->
       s"""WITH $masksCte,
          |${binaryKnnCtes(20)}
+         |SELECT qid, vec_id, hamming, cos, CAST(rank AS BIGINT) AS rank
+         |FROM brk WHERE rank <= 5""".stripMargin,
+
+    // IVF-pruned mirror: the corpus masks keep their rank-1 cluster,
+    // the query side keeps its TWO nearest clusters; the Hamming
+    // shortlist joins on the probed cluster (a corpus id meets a query
+    // at most once — single assignment) and the rerank is the shared
+    // chain's arithmetic.
+    "sim_binary_ivf" ->
+      s"""WITH $masksCte,
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
+         |    FROM embeddings e, c) WHERE rn = 1),
+         |am AS (SELECT m.vec_id, a.cluster, m.mask_lo, m.mask_hi, m.embedding
+         |       FROM m JOIN assign a USING (vec_id)),
+         |qp AS (
+         |  SELECT vec_id AS qid, qv, qlo, qhi, cid AS cluster FROM (
+         |    SELECT m.vec_id, m.embedding AS qv, m.mask_lo AS qlo, m.mask_hi AS qhi, c.cid,
+         |           row_number() OVER (PARTITION BY m.vec_id
+         |             ORDER BY ${cosSql("m.embedding", "cv")} DESC, c.cid) AS rn
+         |    FROM m, c WHERE m.vec_id % 100 = 0) WHERE rn <= 2),
+         |bsh AS (
+         |  SELECT qp.qid, am.vec_id,
+         |    (bit_count(xor(am.mask_lo, qp.qlo)) + bit_count(xor(am.mask_hi, qp.qhi)))::BIGINT AS hamming,
+         |    qp.qv, am.embedding
+         |  FROM am JOIN qp USING (cluster) WHERE am.vec_id <> qp.qid),
+         |btop AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |           ORDER BY hamming, vec_id) AS rn FROM bsh),
+         |brr AS (SELECT qid, vec_id, hamming, ${cosSql("qv", "embedding")} AS cos
+         |        FROM btop WHERE rn <= 20),
+         |brk AS (SELECT qid, vec_id, hamming, cos,
+         |          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |        FROM brr)
          |SELECT qid, vec_id, hamming, cos, CAST(rank AS BIGINT) AS rank
          |FROM brk WHERE rank <= 5""".stripMargin,
 

@@ -4,6 +4,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+/** Scratch space for LIFECYCLE queries (the ones that build a lake /
+  * index / sidecar as part of the measured work): every invocation gets
+  * a fresh subdirectory, but all of them live under ONE per-JVM root
+  * that a shutdown hook deletes — so back-to-back bench runs leave /tmp
+  * flat instead of accumulating lake-sized garbage per run. */
+object QueryTmp {
+  private lazy val root: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft-query")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(r.toFile)))
+    r
+  }
+  private def deleteRec(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRec)
+    f.delete(): Unit
+  }
+  /** A fresh scratch dir path (created) under the self-cleaning root. */
+  def dir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(root, prefix).toString
+}
+
 /** Testdata table readers (TESTDATA.md). One parquet file per table. */
 object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =

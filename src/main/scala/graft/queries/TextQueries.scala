@@ -44,7 +44,7 @@ object TextQueries {
     import org.apache.spark.sql.functions.col
     val base = grepFixtures.computeIfAbsent(
       s"${s.sparkContext.applicationId}:$dir", _ => {
-        val b = java.nio.file.Files.createTempDirectory("tokbloom")
+        val b = java.nio.file.Paths.get(QueryTmp.dir("tokbloom"))
         docs(s, dir).repartitionByRange(8, col("doc_id"))
           .write.mode("overwrite").parquet(s"$b/documents")
         graft.io.StatsIndex.buildTokenBloom(s, s"$b/documents", "text")

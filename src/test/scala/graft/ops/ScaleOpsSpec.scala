@@ -1007,6 +1007,75 @@ class ScaleOpsSpec extends SparkSpec {
       "a deleted vector survived in the maintained index"))
   }
 
+  test("binary IVF: mask scan prunes to probed cluster partitions; recall tracks the flat scan") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding")
+    val queries = emb.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding")
+    val idx = java.nio.file.Files.createTempDirectory("binIvf").toString + "/masks"
+    Similarity.writeIvfIndex(
+      Similarity.binaryMasks(
+          Similarity.ivfAssign(emb, cents, "vec_id", "embedding", "cid"),
+          "embedding")
+        .select($"vec_id", $"mask_lo", $"mask_hi", $"cluster"), idx)
+    val nClusters = spark.read.parquet(idx).select("cluster").distinct().count()
+    assert(nClusters >= 4, s"fixture should spread clusters, got $nClusters")
+
+    val out = Similarity.binaryIvfKnn(spark, idx, emb, queries, cents,
+      "vec_id", "embedding", "qid", "cid", k = 5, shortlist = 20, nprobe = 2)
+    out.collect()
+
+    // the query's OWN executed plan opens only probed cluster= partitions
+    // of the mask sidecar (static partition pruning, not a full mask
+    // scan) — asserted on a ONE-query batch so most clusters go unprobed
+    val q1 = queries.where($"qid" === 0L)
+    val out1 = Similarity.binaryIvfKnn(spark, idx, emb, q1, cents,
+      "vec_id", "embedding", "qid", "cid", k = 5, shortlist = 20, nprobe = 2)
+    out1.collect()
+    val probed = Similarity.probedClusters(q1, cents,
+      "qid", "embedding", "cid", nprobe = 2).toSet
+    assert(probed.size < nClusters, "need an unprobed cluster for the assert to bite")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val maskFiles = scala.collection.mutable.Buffer[String]()
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("binIvf")) =>
+        maskFiles ++= f.selectedPartitions.toPartitionArray.map(_.urlEncodedPath)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _ =>
+    }
+    walk(out1.queryExecution.executedPlan)
+    assert(maskFiles.nonEmpty, "expected a mask-sidecar scan in the plan")
+    assert(maskFiles.forall(f => probed.exists(c => f.contains(s"cluster=$c"))),
+      s"mask scan must open probed partitions only:\n${maskFiles.mkString("\n")}")
+
+    // the sharp law: probing ALL clusters reproduces the flat binary
+    // scan EXACTLY (same candidate set → same shortlist → same rerank)
+    val flat = Similarity.binaryKnn(emb, queries, "vec_id", "embedding",
+      "qid", k = 5, shortlist = 20)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("hamming"), r.getAs[Long]("rank"))).toSet
+    val outAll = Similarity.binaryIvfKnn(spark, idx, emb, queries, cents,
+      "vec_id", "embedding", "qid", "cid", k = 5, shortlist = 20,
+      nprobe = nClusters.toInt)
+    assert(asSet(outAll) == asSet(flat),
+      "full-probe binary IVF must equal the flat binary scan")
+    // nprobe=2 of 8: recall vs flat is the IVF trade — record a floor
+    // (the fixture's arbitrary first-8 centroids are a weak quantizer;
+    // 0.36 observed, widen nprobe to buy recall back)
+    val rec = Similarity.recallAtK(flat, out, "qid", "vec_id")
+      .agg(avg($"recall")).head().getDouble(0)
+    assert(rec >= 0.2, s"nprobe=2 recall vs flat scan collapsed: $rec")
+    // and the exact-rank contract holds per query
+    out.collect().groupBy(_.getAs[Long]("qid")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rows.size).toSeq)
+    }
+  }
+
   test("privacy/post-ingest audits: k-anonymity partitions rows; lake suite sees feed violations") {
     // the post-ingest suite runs against the MERGED lake: the change
     // feed writes 'X'/'Y' statuses, so the in_set rule must now FAIL
