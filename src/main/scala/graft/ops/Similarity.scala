@@ -17,11 +17,40 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Session conf key for [[gatedBroadcast]]'s row cap (default
+    * [[DefaultBroadcastRowCap]]). */
+  val BroadcastRowCapKey = "graft.sim.broadcastRowCap"
+
+  /** Default row cap above which the "queries/anchors are the small
+    * side" contract stops being assumed: 100k 64-dim float rows
+    * ≈ 30 MB — comfortably inside a broadcast budget, far above any
+    * real query batch. */
+  val DefaultBroadcastRowCap = 100000L
+
+  /** Size-gated broadcast hint — the MorTable `MaxInListPaths` gate
+    * applied to the similarity family's query/anchor/probe sides: probe
+    * `df` with a LIMIT-capped count (O(cap) work, never a full count)
+    * and attach the hint only when the frame is provably small;
+    * otherwise return it unhinted so AQE plans the join. A corpus-sized
+    * "query" set (an everything-vs-everything re-ranking backfill) then
+    * degrades to a shuffle join instead of force-broadcasting gigabytes
+    * into every executor heap — the hint is not demotable by AQE, so an
+    * ungated hint is an OOM, not a slowdown. The probe evaluates `df`'s
+    * plan once more; every caller passes a cheap scan, a derived
+    * projection of one, or a checkpointed frame. */
+  private[graft] def gatedBroadcast(df: DataFrame): DataFrame = {
+    val cap = df.sparkSession.conf
+      .get(BroadcastRowCapKey, DefaultBroadcastRowCap.toString).toLong
+    val probeN = math.min(cap + 1, Int.MaxValue.toLong).toInt
+    if (df.limit(probeN).count() <= cap) broadcast(df) else df
+  }
+
   /** Brute-force top-k cosine neighbors of each query vector.
-    * `queries` rows must carry (qidCol, vecCol); broadcast against corpus. */
+    * `queries` rows must carry (qidCol, vecCol); broadcast against the
+    * corpus while the batch stays under the [[gatedBroadcast]] cap. */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, qidCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(qidCol), col(vecCol).as("__qvec")))
+    val q = gatedBroadcast(queries.select(col(qidCol), col(vecCol).as("__qvec")))
     val scored = corpus.select(col(idCol), col(vecCol).as("__cvec"))
       .crossJoin(q)
       .where(col(qidCol) =!= col(idCol))
@@ -46,7 +75,7 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, qidCol: String,
                     k: Int): DataFrame = {
-    val q = broadcast(anchors.select(col(qidCol), col(vecCol).as("__qvec"),
+    val q = gatedBroadcast(anchors.select(col(qidCol), col(vecCol).as("__qvec"),
       col(labelCol).as("__qlab")))
     val scored = corpus
       .select(col(idCol), col(vecCol).as("__cvec"), col(labelCol))
@@ -71,7 +100,7 @@ object Similarity {
              vecCol: String, qidCol: String, k: Int, bits: Int): DataFrame = {
     val bc = bucketed(corpus, vecCol, bits).select(col(idCol), col(vecCol).as("__cvec"), col("bucket"))
     val probes = (0 until bits).map(j => col("bucket").bitwiseXOR(1L << j))
-    val bq = broadcast(bucketed(queries, vecCol, bits)
+    val bq = gatedBroadcast(bucketed(queries, vecCol, bits)
       .withColumn("bucket", explode(array(col("bucket") +: probes: _*)))
       .select(col(qidCol), col(vecCol).as("__qvec"), col("bucket")))
     val scored = bc.join(bq, "bucket")
@@ -140,7 +169,7 @@ object Similarity {
     require(k >= 1, s"k must be >= 1: $k")
     val scored = shortlist.select(col(qidCol), col(idCol))
       .join(corpus.select(col(idCol), col(vecCol).as("__cvec")), idCol)
-      .join(broadcast(queries.select(col(qidCol), col(vecCol).as("__qvec"))), qidCol)
+      .join(gatedBroadcast(queries.select(col(qidCol), col(vecCol).as("__qvec"))), qidCol)
       .select(col(qidCol), col(idCol),
         cosine(col("__qvec"), col("__cvec")).as("cos"))
     val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol))
@@ -187,7 +216,7 @@ object Similarity {
                          shortlist: Int = 20): DataFrame = {
     require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1: $shortlist, $k")
     val c = masks.select(col(idCol), col("mask_lo"), col("mask_hi"))
-    val q = broadcast(binaryMasks(queries.select(col(qidCol), col(vecCol)), vecCol)
+    val q = gatedBroadcast(binaryMasks(queries.select(col(qidCol), col(vecCol)), vecCol)
       .select(col(qidCol), col("mask_lo").as("__qlo"), col("mask_hi").as("__qhi")))
     val w = Window.partitionBy(qidCol).orderBy(col("hamming"), col(idCol))
     val short = c.crossJoin(q)
@@ -203,7 +232,7 @@ object Similarity {
     // would evaluate the whole mask cross-join subtree TWICE.
     val scored = short
       .join(corpus.select(col(idCol), col(vecCol).as("__cvec")), idCol)
-      .join(broadcast(queries.select(col(qidCol), col(vecCol).as("__qvec"))), qidCol)
+      .join(gatedBroadcast(queries.select(col(qidCol), col(vecCol).as("__qvec"))), qidCol)
       .select(col(qidCol), col(idCol), col("hamming"),
         cosine(col("__qvec"), col("__cvec")).as("cos"))
     val w2 = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol))
@@ -232,7 +261,7 @@ object Similarity {
                    idCol: String, vecCol: String, qidCol: String, cidCol: String,
                    k: Int, shortlist: Int = 20, nprobe: Int = 1): DataFrame = {
     require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1: $shortlist, $k")
-    val qm = broadcast(
+    val qm = gatedBroadcast(
       binaryMasks(ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe),
           vecCol)
         .select(col(qidCol), col("cluster").cast("long").as("cluster"),
@@ -255,7 +284,7 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("hamming"))
     val scored = short
       .join(corpus.select(col(idCol), col(vecCol).as("__cvec")), idCol)
-      .join(broadcast(queries.select(col(qidCol), col(vecCol).as("__qvec"))), qidCol)
+      .join(gatedBroadcast(queries.select(col(qidCol), col(vecCol).as("__qvec"))), qidCol)
       .select(col(qidCol), col(idCol), col("hamming"),
         cosine(col("__qvec"), col("__cvec")).as("cos"))
     val w2 = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol))
@@ -338,7 +367,7 @@ object Similarity {
                         qidCol: String, cidCol: String, k: Int,
                         nprobe: Int = 1): DataFrame = {
     val bc = assigned.select(col(idCol), col(vecCol).as("__cvec"), col("cluster"))
-    val bq = broadcast(ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe)
+    val bq = gatedBroadcast(ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe)
       .select(col(qidCol), col(vecCol).as("__qvec"), col("cluster")))
     val scored = bc.join(bq, "cluster")
       .where(col(qidCol) =!= col(idCol))
@@ -918,7 +947,7 @@ object Similarity {
     // the distance transform.
     val lutCols = (0 until m).map(i =>
       transform(col("__cb"), c => subL2(col(vecCol), c.getField("cvec"), i, m)).as(s"__lut$i"))
-    val q = broadcast(queries.crossJoin(cb).select(col(qidCol) +: lutCols: _*))
+    val q = gatedBroadcast(queries.crossJoin(cb).select(col(qidCol) +: lutCols: _*))
     // Unpack digit i = (pq_code >> 8i) & 255, then ADC distance = the sum
     // of one LUT entry per subspace (left-to-right, bit-deterministic).
     val dist = (0 until m).map(i =>
@@ -953,7 +982,7 @@ object Similarity {
     val cb = collectCodebook(codebook, cidCol, vecCol, m)
     val lutCols = (0 until m).map(i =>
       transform(col("__cb"), c => subL2(col(vecCol), c.getField("cvec"), i, m)).as(s"__lut$i"))
-    val q = broadcast(
+    val q = gatedBroadcast(
       ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe)
         .crossJoin(cb)
         .select(col(qidCol) +: col("cluster") +: lutCols: _*))
@@ -1015,7 +1044,7 @@ object Similarity {
     val lutCols = (0 until m).map(i =>
       transform(col("__cb"), c => subL2(col("__qres"), c.getField("cvec"), i, m))
         .as(s"__lut$i"))
-    val q = broadcast(probes.crossJoin(cb)
+    val q = gatedBroadcast(probes.crossJoin(cb)
       .select(col(qidCol) +: col("cluster") +: lutCols: _*))
     val dist = (0 until m).map(i =>
       element_at(col(s"__lut$i"),
@@ -2408,7 +2437,7 @@ object Similarity {
                   entries: Int, beam: Int, hops: Int, k: Int): DataFrame = {
     require(entries >= 1 && beam >= k && hops >= 0,
       s"need entries >= 1, beam >= k, hops >= 0: $entries, $beam/$k, $hops")
-    val q = broadcast(queries.select(col(qidCol), col(vecCol).as("__qvec")))
+    val q = gatedBroadcast(queries.select(col(qidCol), col(vecCol).as("__qvec")))
     val corp = corpus.select(col(idCol), col(vecCol).as("__cvec"))
     val e = edges.select(col("src").as(idCol), col("dst")).localCheckpoint(true)
     // Score a (qid, id) candidate set: embedding lookup by id-equi join,

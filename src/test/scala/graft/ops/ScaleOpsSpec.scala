@@ -1076,6 +1076,40 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("gatedBroadcast: a query side above the cap loses the forced hint, output identical") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding")
+    def run() = Similarity.bruteForceKnn(emb, queries,
+      "vec_id", "embedding", "qid", k = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rank"))).toSet
+    // below the cap (default 100k): the hint sticks — broadcast join
+    val below = run()
+    val belowRows = rows(below)
+    assert(below.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "small query batch must keep the broadcast fast path")
+    // force the batch "above" the cap and disable AQE's own (size-safe)
+    // broadcast: the forced hint must be GONE — the join degrades to a
+    // cartesian/shuffle plan instead of OOMing executors at real scale
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(Similarity.BroadcastRowCapKey, "2")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val above = run()
+      val aboveRows = rows(above)
+      above.collect()
+      val plan = above.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"above-cap query side must not be force-broadcast:\n$plan")
+      assert(aboveRows == belowRows, "gating must not change results")
+    } finally {
+      spark.conf.unset(Similarity.BroadcastRowCapKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
   test("privacy/post-ingest audits: k-anonymity partitions rows; lake suite sees feed violations") {
     // the post-ingest suite runs against the MERGED lake: the change
     // feed writes 'X'/'Y' statuses, so the in_set rule must now FAIL
