@@ -1987,14 +1987,16 @@ object Similarity {
     * near-dup curation the fine ones). Levels is a fixed parameter,
     * never a data function; each level adds one edge-sized round on a
     * graph that shrinks with the community count. */
-  def louvainLabels(edges0: DataFrame, seed: DataFrame, levels: Int): Seq[DataFrame] = {
+  def louvainLabels(edges0: DataFrame, seed: DataFrame, levels: Int,
+                    roundsPerLevel: Int = 2): Seq[DataFrame] = {
     require(levels >= 1, s"levels must be >= 1: $levels")
+    require(roundsPerLevel >= 1, s"roundsPerLevel must be >= 1: $roundsPerLevel")
     var e = edges0.select(col("a"), col("b"), lit(1L).as("w"))
     var seeds = seed
     var mapping: DataFrame = null
     val out = Seq.newBuilder[DataFrame]
     for (l <- 1 to levels) {
-      val lab = louvainMoveRound(e, seeds).localCheckpoint(true)
+      val lab = louvainMoveRounds(e, seeds, roundsPerLevel)
       mapping =
         if (l == 1) lab.select(col("n").as("vec_id"), col("comm"))
         else mapping.select(col("vec_id"), col("comm").as("n"))
@@ -2007,6 +2009,31 @@ object Similarity {
       }
     }
     out.result()
+  }
+
+  /** [[louvainMoveRound]] iterated to a FIXED POINT within one level,
+    * bounded by `rounds` — classic Louvain repeats local moves until no
+    * positive-gain move remains before coarsening; one synchronized
+    * round alone leaves chains of profitable moves on the table. Early
+    * exit when a round changes no label is EQUIVALENT to running the
+    * remaining rounds (a fixed point reproduces itself — the same
+    * contract as [[kCore]]/[[kTruss]], so an oracle can unroll the full
+    * bound). The bound also caps the standard synchronized-move
+    * oscillation (adjacent nodes swapping forever). Each round is
+    * edge-sized; the fixed-point check is one (n)-keyed anti-filter. */
+  def louvainMoveRounds(edges: DataFrame, seed: DataFrame, rounds: Int): DataFrame = {
+    var lab = louvainMoveRound(edges, seed).localCheckpoint(true)
+    var r = 1
+    var fixed = false
+    while (r < rounds && !fixed) {
+      val next = louvainMoveRound(edges, lab).localCheckpoint(true)
+      fixed = next
+        .join(lab.select(col("n"), col("comm").as("__prev")), "n")
+        .where(col("comm") =!= col("__prev")).isEmpty
+      lab = next
+      r += 1
+    }
+    lab
   }
 
   /** Two-level Louvain as one frame — the `sim_louvain_levels` query

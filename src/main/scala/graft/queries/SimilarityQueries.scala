@@ -1421,13 +1421,80 @@ object SimilarityQueries {
        |       CAST(res_hits AS DOUBLE) / CAST(k AS DOUBLE) AS res_recall
        |FROM g""".stripMargin
 
+  /** One UNWEIGHTED local-move round over the level-1 CTEs (`ed`,
+    * `deg`, `mm`): labels in `seedCte` → labels out as `outCte` —
+    * the SQL twin of one [[graft.ops.Similarity.louvainMoveRound]]
+    * on the w=1 backbone, emitted once per unrolled round. */
+  private def louvainMoveRoundSql(seedCte: String, outCte: String,
+                                  sfx: String): String =
+    s"""sumdeg$sfx AS (SELECT l.comm, sum(deg.deg)::BIGINT AS c_deg
+       |           FROM $seedCte l JOIN deg ON l.n = deg.n GROUP BY 1),
+       |nbr$sfx AS (SELECT e.src, l.comm AS cand, count(*)::BIGINT AS links
+       |        FROM ed e JOIN $seedCte l ON e.dst = l.n GROUP BY 1, 2),
+       |cands$sfx AS MATERIALIZED (
+       |  SELECT src, cand, sum(links)::BIGINT AS links FROM (
+       |    SELECT src, cand, links FROM nbr$sfx
+       |    UNION ALL SELECT n AS src, comm AS cand, 0 AS links FROM $seedCte)
+       |  GROUP BY 1, 2),
+       |scored$sfx AS (
+       |  SELECT c.src, c.cand, own.comm AS own, dg.deg AS k_i, c.links,
+       |         sd.c_deg - CASE WHEN c.cand = own.comm THEN dg.deg ELSE 0 END
+       |           AS c_excl
+       |  FROM cands$sfx c
+       |  JOIN $seedCte own ON c.src = own.n
+       |  JOIN deg dg ON c.src = dg.n
+       |  JOIN sumdeg$sfx sd ON c.cand = sd.comm),
+       |g$sfx AS (SELECT src, cand,
+       |        (2 * m * links - k_i * c_excl)::BIGINT AS gain_num
+       |      FROM scored$sfx, mm),
+       |win$sfx AS (SELECT src, cand,
+       |          row_number() OVER (PARTITION BY src
+       |            ORDER BY gain_num DESC, cand) AS rn
+       |        FROM g$sfx),
+       |$outCte AS MATERIALIZED (SELECT src AS n, cand AS comm FROM win$sfx WHERE rn = 1)""".stripMargin
+
+  /** One WEIGHTED local-move round over the level-2 supernode CTEs
+    * (`ed2`, `deg2`, `mm`) — same statistic with edge weights and
+    * self-loop-inclusive degrees. */
+  private def louvainMoveRoundWSql(seedCte: String, outCte: String,
+                                   sfx: String): String =
+    s"""sumdegW$sfx AS (SELECT l.comm, sum(d.k)::BIGINT AS c_deg
+       |  FROM $seedCte l JOIN deg2 d ON l.n = d.n GROUP BY 1),
+       |nbrW$sfx AS (SELECT e.src, l.comm AS cand, sum(e.w)::BIGINT AS links
+       |  FROM ed2 e JOIN $seedCte l ON e.dst = l.n GROUP BY 1, 2),
+       |candsW$sfx AS MATERIALIZED (
+       |  SELECT src, cand, sum(links)::BIGINT AS links FROM (
+       |    SELECT src, cand, links FROM nbrW$sfx
+       |    UNION ALL SELECT n AS src, comm AS cand, 0 AS links FROM $seedCte)
+       |  GROUP BY 1, 2),
+       |scoredW$sfx AS (
+       |  SELECT c.src, c.cand, own.comm AS own, ki.k AS k_i, c.links,
+       |         sd.c_deg - CASE WHEN c.cand = own.comm THEN ki.k ELSE 0 END
+       |           AS c_excl
+       |  FROM candsW$sfx c
+       |  JOIN $seedCte own ON c.src = own.n
+       |  JOIN deg2 ki ON c.src = ki.n
+       |  JOIN sumdegW$sfx sd ON c.cand = sd.comm),
+       |gW$sfx AS (SELECT src, cand,
+       |    (2 * m * links - k_i * c_excl)::BIGINT AS gain_num
+       |  FROM scoredW$sfx, mm),
+       |winW$sfx AS (SELECT src, cand,
+       |    row_number() OVER (PARTITION BY src
+       |      ORDER BY gain_num DESC, cand) AS rn
+       |  FROM gW$sfx),
+       |$outCte AS MATERIALIZED (SELECT src AS n, cand AS comm FROM winW$sfx WHERE rn = 1)""".stripMargin
+
   /** The two-level Louvain CTE chain over prepared `eg` (canonical
     * (a, b) backbone) and `hi` (high-confidence seed pairs) CTEs —
     * ONE text shared by `sim_louvain_levels` (cosine backbone) and
     * `dedup_communities` (MinHash-LSH candidate graph), so the two
     * mirrors can never drift. Level 1: seed components (recursive
-    * closure over `hi`) then the exact-LONG local move; coarsen with
-    * self-loops; level 2: singleton-seeded weighted move; compose. */
+    * closure over `hi`) then TWO unrolled exact-LONG local-move rounds
+    * (r11: the engine iterates moves to a fixed point within each
+    * level, bounded at 2 — a fixed point reproduces itself, so this
+    * unroll equals the engine under early exit); coarsen with
+    * self-loops; level 2: singleton-seeded weighted move, again two
+    * rounds; compose. */
   private[queries] def louvainLevelsChainSql(idCol: String): String =
     s"""mm AS (SELECT count(*) AS m FROM eg),
        |ed AS (SELECT a AS src, b AS dst FROM eg UNION SELECT b, a FROM eg),
@@ -1441,31 +1508,8 @@ object SimilarityQueries {
        |            FROM reach GROUP BY src),
        |lab AS MATERIALIZED (SELECT d.n, coalesce(c.comm, d.n) AS comm
        |        FROM deg d LEFT JOIN complab c ON d.n = c.n),
-       |sumdeg AS (SELECT l.comm, sum(deg.deg)::BIGINT AS c_deg
-       |           FROM lab l JOIN deg ON l.n = deg.n GROUP BY 1),
-       |nbr AS (SELECT e.src, l.comm AS cand, count(*)::BIGINT AS links
-       |        FROM ed e JOIN lab l ON e.dst = l.n GROUP BY 1, 2),
-       |cands AS MATERIALIZED (
-       |  SELECT src, cand, sum(links)::BIGINT AS links FROM (
-       |    SELECT src, cand, links FROM nbr
-       |    UNION ALL SELECT n AS src, comm AS cand, 0 AS links FROM lab)
-       |  GROUP BY 1, 2),
-       |scored AS (
-       |  SELECT c.src, c.cand, own.comm AS own, dg.deg AS k_i, c.links,
-       |         sd.c_deg - CASE WHEN c.cand = own.comm THEN dg.deg ELSE 0 END
-       |           AS c_excl
-       |  FROM cands c
-       |  JOIN lab own ON c.src = own.n
-       |  JOIN deg dg ON c.src = dg.n
-       |  JOIN sumdeg sd ON c.cand = sd.comm),
-       |g AS (SELECT src, cand, own,
-       |        (2 * m * links - k_i * c_excl)::BIGINT AS gain_num
-       |      FROM scored, mm),
-       |win AS (SELECT src, cand, own,
-       |          row_number() OVER (PARTITION BY src
-       |            ORDER BY gain_num DESC, cand) AS rn
-       |        FROM g),
-       |lab1 AS MATERIALIZED (SELECT src AS n, cand AS comm FROM win WHERE rn = 1),
+       |${louvainMoveRoundSql("lab", "labr1", "r1")},
+       |${louvainMoveRoundSql("labr1", "lab1", "r2")},
        |e2 AS MATERIALIZED (SELECT least(la.comm, lb.comm) AS a, greatest(la.comm, lb.comm) AS b,
        |              count(*)::BIGINT AS w
        |       FROM eg JOIN lab1 la ON eg.a = la.n JOIN lab1 lb ON eg.b = lb.n
@@ -1477,24 +1521,11 @@ object SimilarityQueries {
        |deg2 AS MATERIALIZED (SELECT coalesce(d.n, s.n) AS n,
        |                (coalesce(d.dd, 0) + coalesce(s.sw, 0))::BIGINT AS k
        |         FROM dd2 d FULL JOIN sw2 s ON d.n = s.n),
-       |nbr2 AS (SELECT src, dst AS cand, sum(w)::BIGINT AS links
-       |         FROM ed2 GROUP BY 1, 2),
-       |cands2 AS MATERIALIZED (SELECT src, cand, sum(links)::BIGINT AS links FROM (
-       |    SELECT src, cand, links FROM nbr2
-       |    UNION ALL SELECT n, n, 0 FROM deg2) GROUP BY 1, 2),
-       |g2 AS (SELECT c.src, c.cand,
-       |         (2 * m * c.links - ki.k *
-       |           (kc.k - CASE WHEN c.cand = c.src THEN ki.k ELSE 0 END))::BIGINT
-       |           AS gain_num
-       |       FROM cands2 c
-       |       JOIN deg2 ki ON c.src = ki.n
-       |       JOIN deg2 kc ON c.cand = kc.n, mm),
-       |win2 AS (SELECT src, cand,
-       |           row_number() OVER (PARTITION BY src
-       |             ORDER BY gain_num DESC, cand) AS rn
-       |         FROM g2)
-       |SELECT l1.n AS $idCol, l1.comm AS comm1, w2.cand AS comm2
-       |FROM lab1 l1 JOIN win2 w2 ON l1.comm = w2.src AND w2.rn = 1""".stripMargin
+       |lab2s AS (SELECT n, n AS comm FROM deg2),
+       |${louvainMoveRoundWSql("lab2s", "lab2r1", "r1")},
+       |${louvainMoveRoundWSql("lab2r1", "lab2", "r2")}
+       |SELECT l1.n AS $idCol, l1.comm AS comm1, l2.comm AS comm2
+       |FROM lab1 l1 JOIN lab2 l2 ON l1.comm = l2.n""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_knn_brute" ->

@@ -67,6 +67,45 @@ class LouvainSpec extends SparkSpec {
     assert(l2(0L) != l2(10L), "the bridge must not merge the cliques")
   }
 
+  test("rounds within a level: bounded unroll law, early exit = running the remaining rounds") {
+    val cliques = Seq(0L, 100L, 200L, 300L).map(base => (0L until 5L).map(base + _))
+    val bridges = Seq((4L, 100L), (104L, 200L), (204L, 300L), (304L, 0L))
+    val pairs = cliques.flatMap(clique) ++ bridges
+    val raw = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b), 1L) }
+    val e = edgesDf(pairs)
+    val emptySeed = Seq.empty[(Long, Long)].toDF("n", "comm")
+
+    // the unroll law: rounds=2 IS louvainMoveRound∘louvainMoveRound
+    // (what the oracle chain unrolls), early exit or not
+    val m1 = Similarity.louvainMoveRound(e, emptySeed)
+    val m2 = Similarity.louvainMoveRound(e, m1)
+    assert(labelsOf(Similarity.louvainMoveRounds(e, emptySeed, 2), "n", "comm")
+      == labelsOf(m2, "n", "comm"))
+
+    // the second round catches chain moves the synchronized first round
+    // left on the table: modularity strictly improves on this fixture
+    val q1 = modularity(raw, labelsOf(m1, "n", "comm"))
+    val q2 = modularity(raw, labelsOf(m2, "n", "comm"))
+    assert(q2 >= q1 - 1e-12, s"round 2 must not lose modularity: $q1 -> $q2")
+
+    // early exit ≡ running the remaining rounds: find the manual fixed
+    // point, then a large bound must land exactly on it (and one more
+    // application must reproduce it)
+    var cur = m1
+    var prev = labelsOf(m1, "n", "comm")
+    var fixed: Option[Map[Long, Long]] = None
+    for (_ <- 2 to 10 if fixed.isEmpty) {
+      cur = Similarity.louvainMoveRound(e, cur)
+      val now = labelsOf(cur, "n", "comm")
+      if (now == prev) fixed = Some(now) else prev = now
+    }
+    assert(fixed.nonEmpty, "fixture must reach a fixed point within 10 rounds")
+    assert(labelsOf(Similarity.louvainMoveRounds(e, emptySeed, 10), "n", "comm")
+      == fixed.get)
+    assert(labelsOf(Similarity.louvainMoveRound(e, cur), "n", "comm") == fixed.get,
+      "a fixed point must reproduce itself")
+  }
+
   test("modularity is non-decreasing across seed -> level 1 -> level 2") {
     // ring of four K5s, singleton seeds: level 1 merges within cliques,
     // level 2 can only improve or hold — assert the full chain
