@@ -518,6 +518,81 @@ object Similarity {
     picked.toDF("step", idCol, "maximin_dist")
   }
 
+  /** SCALABLE k-center (the k-center|| shape): [[kCenterCoreset]] is k
+    * sequential driver-paced greedy passes — k Spark jobs, fine at the
+    * query's k but round-count-bound at k = 10,000. Here each of
+    * `passes` batch rounds takes the `oversample` CURRENT farthest
+    * points in ONE action (top-L by running min-distance, id
+    * tie-break — deterministic, no RNG), folds the whole batch into
+    * the distance state lazily, and the ≤ 1 + passes·oversample
+    * candidate set is reduced to exactly k by the exact greedy run
+    * DRIVER-SIDE over candidate VECTORS only (kilobytes — the same
+    * driver-state bound as [[kMeans]]' centroid table). Spark-action
+    * count = `passes`, independent of k. The oversampling trade: a
+    * batch's members are chosen against the same distance state, so
+    * two batch mates can be near each other — the final exact reduce
+    * repairs that, and the fixture spec pins the cover radius within
+    * 2× of the sequential greedy (the classic 2-approximation stacks).
+    * `maximin_dist` is the reduce-time maximin over the CANDIDATE set
+    * (the sequential variant reports it over the corpus). Driver-side
+    * arithmetic replicates the engine's sequential-fold cosine exactly,
+    * so a SQL mirror can unroll both phases. */
+  def kCenterScalable(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, oversample: Int, passes: Int): DataFrame = {
+    require(k >= 1 && oversample >= 1 && passes >= 1,
+      s"need k, oversample, passes >= 1: $k, $oversample, $passes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def dotD(a: Seq[Float], b: Seq[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def distD(a: Seq[Float], b: Seq[Float]): Double = {
+      val nrm = math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b))
+      1.0 - (if (nrm == 0.0) 0.0 else dotD(a, b) / nrm)
+    }
+    val seed = corpus.orderBy(col(idCol)).limit(1)
+      .select(col(idCol), col(vecCol)).head()
+    var cands = Vector((seed.getLong(0), seed.getSeq[Float](1)))
+    var state = corpus.select(col(idCol), col(vecCol),
+        (lit(1.0) - cosine(col(vecCol),
+          typedLit(seed.getSeq[Float](1)))).as("__mind"))
+      .localCheckpoint(true)
+    for (p <- 1 to passes) {
+      val far = state.orderBy(col("__mind").desc, col(idCol)).limit(oversample)
+        .select(col(idCol), col(vecCol)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      cands ++= far.filterNot(f => cands.exists(_._1 == f._1))
+      if (p < passes) {
+        val folds = far.map(f =>
+          lit(1.0) - cosine(col(vecCol), typedLit(f._2)))
+        state = state.select(col(idCol), col(vecCol),
+            least(col("__mind") +: folds: _*).as("__mind"))
+          .localCheckpoint(true)
+      }
+    }
+    require(cands.size >= k,
+      s"k-center|| collected ${cands.size} candidates < k = $k — " +
+        "raise oversample/passes or shrink k")
+    // exact greedy reduce, driver-side (candidate-set-sized)
+    var picked = Vector((0L, cands.head._1, Option.empty[Double]))
+    var minds = cands.map(c => (c._1, c._2, distD(c._2, cands.head._2)))
+    var step = 1L
+    while (step < k) {
+      // argmax over ALL candidates (picked rows fold to ~0 distance) —
+      // the same convention as [[kCenterCoreset]]'s corpus argmax, so
+      // the SQL mirror is one QUALIFY per step with no exclusion set
+      val far = minds.maxBy(m => (m._3, -m._1))
+      picked :+= ((step, far._1, Option(far._3)))
+      minds = minds.map(m => (m._1, m._2, math.min(m._3, distD(m._2, far._2))))
+      step += 1
+    }
+    picked.toDF("step", idCol, "maximin_dist")
+  }
+
   def kMeans(corpus: DataFrame, idCol: String, vecCol: String,
              cidCol: String, k: Int, iters: Int,
              initSeed: Option[String] = None): DataFrame = {

@@ -574,6 +574,15 @@ object SimilarityQueries {
     "sim_coreset_kcenter" -> ((s, dir) =>
       Similarity.kCenterCoreset(emb(s, dir), "vec_id", "embedding", k = 8)),
 
+    // SCALABLE k-center (k-center|| shape, r11): 2 batch passes × 8
+    // deterministically oversampled far points (top-L by running
+    // min-distance, no RNG), exact greedy reduce to k=8 driver-side
+    // over the ≤ 17 candidate vectors — Spark-action count = passes,
+    // independent of k (the sequential greedy is k driver-paced jobs).
+    "sim_coreset_scalable" -> ((s, dir) =>
+      Similarity.kCenterScalable(emb(s, dir), "vec_id", "embedding",
+        k = 8, oversample = 8, passes = 2)),
+
     // Coreset WEIGHTS — what weighted training consumes: every corpus
     // point assigned to its nearest pick (argmin 1−cos, ties → lowest
     // pick id), per pick the member count and the exact cover radius.
@@ -1212,6 +1221,53 @@ object SimilarityQueries {
        |  SELECT e.vec_id, e.embedding, ${d("e.embedding", "c.embedding")} AS __mind
        |  FROM embeddings e, c0 c),
        |$steps""".stripMargin
+  }
+
+  /** k-center|| mirror: two unrolled oversample passes (top-8 by
+    * running min-distance, deterministic id tie-break) then the exact
+    * greedy reduce over the ≤ 17-row candidate set, 7 unrolled picks —
+    * the same 1−cos arithmetic and least() folds as [[coresetCtes]],
+    * mirroring [[graft.ops.Similarity.kCenterScalable]] phase by
+    * phase (the engine's driver-side reduce replicates the engine
+    * cosine's sequential fold, so the arithmetic is one text). */
+  private lazy val coresetScalableSql: String = {
+    def d(a: String, b: String) = s"(1.0 - ${cosSql(a, b)})"
+    val reduceSteps = (1 to 7).map { i =>
+      s"""q$i AS (
+         |  SELECT vec_id, embedding, __mind FROM n${i - 1}
+         |  QUALIFY row_number() OVER (ORDER BY __mind DESC, vec_id) = 1),
+         |n$i AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    least(e.__mind, ${d("e.embedding", "p.embedding")}) AS __mind
+         |  FROM n${i - 1} e, q$i p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+       |m0 AS (
+       |  SELECT e.vec_id, e.embedding, ${d("e.embedding", "c.embedding")} AS __mind
+       |  FROM embeddings e, c0 c),
+       |p1 AS (
+       |  SELECT vec_id, embedding FROM m0
+       |  QUALIFY row_number() OVER (ORDER BY __mind DESC, vec_id) <= 8),
+       |m1 AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    least(e.__mind, min(${d("e.embedding", "p.embedding")})) AS __mind
+       |  FROM m0 e, p1 p GROUP BY e.vec_id, e.embedding, e.__mind),
+       |p2 AS (
+       |  SELECT vec_id, embedding FROM m1
+       |  QUALIFY row_number() OVER (ORDER BY __mind DESC, vec_id) <= 8),
+       |cand AS (
+       |  SELECT vec_id, embedding FROM c0
+       |  UNION SELECT vec_id, embedding FROM p1
+       |  UNION SELECT vec_id, embedding FROM p2),
+       |f0 AS (SELECT vec_id, embedding FROM cand ORDER BY vec_id LIMIT 1),
+       |n0 AS (
+       |  SELECT c.vec_id, c.embedding, ${d("c.embedding", "f.embedding")} AS __mind
+       |  FROM cand c, f0 f),
+       |$reduceSteps
+       |SELECT 0::BIGINT AS step, vec_id, NULL::DOUBLE AS maximin_dist FROM f0
+       |${(1 to 7).map(i =>
+            s"UNION ALL SELECT $i::BIGINT, vec_id, __mind FROM q$i").mkString("\n")}
+       |""".stripMargin
   }
 
   private lazy val coresetSql: String =
@@ -2324,6 +2380,8 @@ object SimilarityQueries {
          |FROM q""".stripMargin,
 
     "sim_coreset_kcenter" -> coresetSql,
+
+    "sim_coreset_scalable" -> coresetScalableSql,
 
     // Coreset-weights mirror: same greedy chain, nearest-pick argmin
     // (d asc ≡ cos desc, same id tie-break), exact count + max.

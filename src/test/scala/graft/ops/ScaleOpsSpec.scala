@@ -1076,6 +1076,34 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("k-center||: cover radius within 2x of the sequential greedy; k picks exactly") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def radius(picks: org.apache.spark.sql.DataFrame): Double = {
+      val cents = broadcast(
+        emb.join(picks.select("vec_id"), Seq("vec_id"), "left_semi")
+          .select($"vec_id".as("cid"), $"embedding".as("__cv")))
+      emb.crossJoin(cents)
+        .select($"vec_id",
+          (lit(1.0) - graft.functions.VectorFunctions.cosine(
+            $"embedding", $"__cv")).as("d"))
+        .groupBy("vec_id").agg(min($"d").as("mind"))
+        .agg(max($"mind")).head().getDouble(0)
+    }
+    val greedy = Similarity.kCenterCoreset(emb, "vec_id", "embedding", k = 8)
+    val par = Similarity.kCenterScalable(emb, "vec_id", "embedding",
+      k = 8, oversample = 8, passes = 2)
+    assert(par.count() == 8)
+    assert(par.select("vec_id").distinct().count() == 8, "picks must be distinct")
+    val (rg, rp) = (radius(greedy), radius(par))
+    assert(rp <= 2.0 * rg + 1e-12,
+      s"k-center|| cover radius $rp must stay within 2x of greedy $rg")
+    // steps are a permutation-free greedy sequence: maximin non-increasing
+    val dists = par.orderBy("step").collect().drop(1)
+      .map(_.getAs[Double]("maximin_dist"))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a >= b - 1e-12 },
+      "candidate-set maximin must be non-increasing over picks")
+  }
+
   test("gatedBroadcast: a query side above the cap loses the forced hint, output identical") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.where($"vec_id" % 100 === 0)
