@@ -40,10 +40,11 @@ final class GraftLake(spark: SparkSession, rawRoot: String, lakeRoot: String,
   /** The reference's human step: set keys + active flag. */
   def activate(schema: String, table: String, primaryKeys: Seq[String] = Nil,
                partitionKeys: Seq[String] = Nil,
-               mergeOnRead: Boolean = false): Unit = {
+               mergeOnRead: Boolean = false,
+               updateWhen: Option[String] = None): Unit = {
     val item = store.upsertDefaults(tableDir(schema, table))
     store.put(item.copy(config = TableConfig(primaryKeys, partitionKeys,
-      active = true, mergeOnRead = mergeOnRead)))
+      active = true, mergeOnRead = mergeOnRead, updateWhen = updateWhen)))
   }
 
   /** One scheduled run over every discovered table (initial loads +

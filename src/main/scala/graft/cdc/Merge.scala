@@ -130,11 +130,22 @@ object Merge {
     * the price of NULL-key groups converging like [[applySequenced]]'s).
     * Output schema = changes minus metadata (reference parity). */
   def mergeConditional(target: DataFrame, changes: DataFrame, pks: Seq[String],
-                       intraFileOrder: Seq[Column], updateWhen: Column): DataFrame = {
+                       intraFileOrder: Seq[Column], updateWhen: Column): DataFrame =
+    mergeConditionalSequenced(target,
+      sequenceBatch(changes, pks, intraFileOrder), pks, updateWhen)
+
+  /** [[mergeConditional]]'s apply half over an already-[[sequenceBatch]]ed
+    * batch — the drop-in conditional twin of [[applySequenced]], which
+    * [[graft.io.CdcPipeline.mergeTagged]] selects via
+    * `TableConfig.updateWhen` (so the file pipeline AND the streaming
+    * foreachBatch path get clause semantics from one switch, exactly
+    * like `patchUpdates`). */
+  def mergeConditionalSequenced(target: DataFrame, changes: DataFrame,
+                                pks: Seq[String], updateWhen: Column): DataFrame = {
     require(pks.nonEmpty, "conditional merge requires primary keys")
     val w = Window.partitionBy(pks.map(col): _*)
       .orderBy(col(FileSeq).desc, col(RowNum).desc)
-    val winner = sequenceBatch(changes, pks, intraFileOrder)
+    val winner = changes
       .withColumn(Rnk, row_number().over(w))
       .where(col(Rnk) === 1)
       .drop(metaCols: _*)

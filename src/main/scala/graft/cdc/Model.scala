@@ -42,18 +42,35 @@ object Op {
   *   ([[Merge.patchApplySequenced]]) instead of whole-row latest-wins.
   *   Off by default (whole-row is the parity behavior); "set a column
   *   to NULL" is inexpressible under this wire format (documented
-  *   Merge.patchMerge limitation). */
+  *   Merge.patchMerge limitation).
+  * @param updateWhen opt-in CONDITIONAL-MERGE guard for PK tables: a
+  *   SQL boolean over the aliases `t` (target row) and `c` (batch
+  *   winner) — e.g. `"c.ts > t.ts"` rejects out-of-order replays,
+  *   `"t.status <> 'F'"` makes finalized rows immutable. Routes every
+  *   merge (batch Controller AND streaming foreachBatch — one switch,
+  *   like patchUpdates) through [[Merge.mergeConditionalSequenced]]:
+  *   WHEN MATCHED AND guard → update, guard false/UNKNOWN → keep the
+  *   target row; deletes and inserts ride unconditionally. Stored as
+  *   the expression TEXT so it serializes with the state item. */
 final case class TableConfig(
     primaryKeys: Seq[String] = Nil,
     partitionKeys: Seq[String] = Nil,
     active: Boolean = false,
     replayGuard: Boolean = false,
     mergeOnRead: Boolean = false,
-    patchUpdates: Boolean = false) {
+    patchUpdates: Boolean = false,
+    updateWhen: Option[String] = None) {
   // MOR stores whole-row batch winners; a patch row's NULLs would read
   // back as values. Fail at config time, not as silent data corruption.
   require(!(patchUpdates && mergeOnRead),
     "patchUpdates requires copy-on-write storage (mergeOnRead=false)")
+  // the clause fold needs the matched (t, c) pair — patch folds erase
+  // it, and the MOR commit path never reads the target at all
+  require(updateWhen.isEmpty || (!patchUpdates && !mergeOnRead),
+    "updateWhen requires whole-row copy-on-write merges " +
+      "(patchUpdates=false, mergeOnRead=false)")
+  require(updateWhen.forall(_.trim.nonEmpty),
+    "updateWhen must be a non-empty SQL boolean expression")
   def hasPrimaryKey: Boolean = primaryKeys.nonEmpty
 }
 

@@ -296,7 +296,13 @@ object CdcPipeline {
       // the table opted into patchUpdates (same exchange either way).
       val output =
         if (cfg.patchUpdates) Merge.patchApplySequenced(impactedRows, sequenced, pks)
-        else Merge.applySequenced(impactedRows, sequenced, pks)
+        else cfg.updateWhen match {
+          // conditional MERGE clauses from config text (aliases t/c) —
+          // one switch drives batch Controller and streaming foreachBatch
+          case Some(guard) => Merge.mergeConditionalSequenced(
+            impactedRows, sequenced, pks, org.apache.spark.sql.functions.expr(guard))
+          case None => Merge.applySequenced(impactedRows, sequenced, pks)
+        }
 
       // Cache across the two actions (count for stats + write) so the merge
       // plan runs once; reference achieves the same by accident of its two

@@ -119,6 +119,7 @@ final class JsonFileStateStore(dir: String) extends StateStore {
       "replayGuard" -> i.config.replayGuard.toString,
       "mergeOnRead" -> i.config.mergeOnRead.toString,
       "patchUpdates" -> i.config.patchUpdates.toString,
+      "updateWhen" -> i.config.updateWhen.getOrElse(""),
       "lastFullLoadDate" -> i.state.lastFullLoadDate,
       "lastIncrementalFile" -> i.state.lastIncrementalFile)
     kv.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
@@ -168,7 +169,11 @@ final class JsonFileStateStore(dir: String) extends StateStore {
         // whole-row latest-wins — NULL (= unchanged) columns would then
         // overwrite real lake values (the r9 advisor's data-corruption
         // case; round-trip pinned in StateStoreSpec)
-        m.get("patchUpdates").contains("true")),
+        m.get("patchUpdates").contains("true"),
+        // the conditional-merge guard text rides the state item like
+        // patchUpdates (the r10 lesson): dropping it on restart would
+        // silently revert a guarded table to unconditional latest-wins
+        m.get("updateWhen").filter(_.nonEmpty)),
       TableState(
         m.getOrElse("lastFullLoadDate", TableState.EpochFullLoad),
         m.getOrElse("lastIncrementalFile", "")))

@@ -403,6 +403,62 @@ class GraftLakeSpec extends SparkSpec {
     assert(lake.morHealth("db", "t").get.maskRows == 0)
   }
 
+  test("conditional merge guard (updateWhen) routes batch and streaming identically") {
+    // guard: updates land only when the incoming price is HIGHER; a NULL
+    // incoming price is UNKNOWN → keep (the SQL MERGE semantics pinned
+    // in MergeSpec); deletes and inserts ride unconditionally
+    def mkRaw(): String = {
+      val raw = Files.createTempDirectory("rawCond").toString
+      writeFile(Seq(("I", 1, Some(10.0)), ("I", 2, Some(20.0)), ("I", 3, Some(30.0)))
+        .toDF("Op", "id", "price"), s"$raw/db/t", "LOAD00000001.parquet")
+      raw
+    }
+    // two separate deliveries: the clause fold sees each BATCH's final
+    // image, so the batch path syncs per file to match the
+    // one-file-per-trigger stream (same granularity → same results)
+    def cdc1(raw: String): Unit =
+      writeFile(Seq(("U", 1, Some(5.0)), ("U", 2, Some(25.0)), ("I", 4, Some(40.0)))
+        .toDF("Op", "id", "price"), s"$raw/db/t", "20260816-01.parquet")
+    def cdc2(raw: String): Unit =
+      writeFile(Seq(("U", 2, Option.empty[Double]), ("D", 3, Option.empty[Double]))
+        .toDF("Op", "id", "price"), s"$raw/db/t", "20260816-02.parquet")
+    def content(l: GraftLake): Map[Int, Double] =
+      l.read("db", "t").select("id", "price").collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val expected = Map(
+      1 -> 10.0, // guard false (5 > 10 fails): target kept
+      2 -> 25.0, // delivery-1 update applied; delivery-2 NULL price is
+                 // UNKNOWN → kept (not lost, not nulled)
+      4 -> 40.0) // inserted; 3 deleted unconditionally
+
+    // batch Controller path
+    val rawB = mkRaw()
+    val lakeB = GraftLake(spark, rawB, Files.createTempDirectory("lakeCondB").toString,
+      Files.createTempDirectory("stCondB").toString)
+    lakeB.tables()
+    lakeB.activate("db", "t", primaryKeys = Seq("id"),
+      updateWhen = Some("c.price > t.price"))
+    lakeB.sync()
+    cdc1(rawB); lakeB.sync()
+    cdc2(rawB); lakeB.sync()
+    assert(content(lakeB) == expected)
+
+    // streaming path over the same feed, one micro-batch per file
+    val rawS = mkRaw()
+    val lakeS = GraftLake(spark, rawS, Files.createTempDirectory("lakeCondS").toString,
+      Files.createTempDirectory("stCondS").toString)
+    lakeS.tables()
+    lakeS.activate("db", "t", primaryKeys = Seq("id"),
+      updateWhen = Some("c.price > t.price"))
+    lakeS.sync() // initial load
+    cdc1(rawS); cdc2(rawS)
+    val mgr = lakeS.syncStreaming(
+      Files.createTempDirectory("ckptCond").toString, maxFilesPerTrigger = 1)
+    try { mgr.awaitAll(); assert(mgr.failures.isEmpty, mgr.failures.toString) }
+    finally mgr.stopAll()
+    assert(content(lakeS) == expected, "stream must equal batch under the guard")
+  }
+
   test("auto-maintenance: streaming maintainEvery re-flattens sidecars mid-stream") {
     val raw = Files.createTempDirectory("rawMaintS").toString
     val out = Files.createTempDirectory("lakeMaintS").toString

@@ -38,6 +38,16 @@ class StateStoreSpec extends AnyFunSuite {
     store.put(flagged)
     assert(store.get("/raw/x/z").contains(flagged),
       "replayGuard/mergeOnRead/patchUpdates must round-trip through JSON")
+    // the conditional-merge guard TEXT survives too (hostile chars and
+    // all) — a dropped guard would silently revert to unconditional
+    // latest-wins
+    val guarded = TableItem("/raw/x/w",
+      TableConfig(Seq("id"), Nil, active = true,
+        updateWhen = Some("c.ts > t.ts AND t.status <> 'F\"\\n'")),
+      TableState("2026-08-12 00:00:00", "f1"))
+    store.put(guarded)
+    assert(store.get("/raw/x/w").contains(guarded),
+      "updateWhen must round-trip through JSON")
   }
 
   test("watermark commits are independent and ordered") {
