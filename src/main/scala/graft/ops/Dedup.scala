@@ -731,6 +731,163 @@ object Dedup {
       .distinct()
   }
 
+  // ---- Near-dup COMMUNITY index (r11): the Louvain hierarchy as a ----
+  // ---- PERSISTED, incrementally-maintained table ----
+
+  /** The community hierarchy of an LSH candidate-pair set under
+    * PER-COMPONENT Louvain ([[Similarity.louvainLabelsLocal]]):
+    * `(doc_id, comp, comm1, comm2)` — connected component, level-1 and
+    * level-2 community labels. Per-component normalization (each
+    * component's own edge count as the modularity m) is what makes the
+    * hierarchy INCREMENTALLY maintainable: a component whose edge set
+    * did not change keeps its labels verbatim no matter what landed
+    * elsewhere, which global-m Louvain cannot promise (its gain
+    * comparison shifts with every far-away insert). Edges at
+    * `egThreshold`, seeds = components of the `hiThreshold` subgraph —
+    * the `dedup_communities` thresholds. Isolated docs (no candidate
+    * pair) hold no rows, like the batch operator. */
+  def communitiesLocal(pairs: DataFrame, idCol: String = "doc_id",
+                       egThreshold: Double = 0.25,
+                       hiThreshold: Double = 0.75): DataFrame = {
+    val p = pairs.localCheckpoint(true)
+    val eg = p.where(col("est_jaccard") >= egThreshold)
+      .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+    val hi = p.where(col("est_jaccard") >= hiThreshold)
+      .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+    val compOf = resolveClusters(eg, "a", "b")
+      .select(col("id").as("n"), col("cluster").as("comp")).localCheckpoint(true)
+    val seed = resolveClusters(hi, "a", "b")
+      .select(col("id").as("n"), col("cluster").as("comm"))
+    val ls = Similarity.louvainLabelsLocal(eg, seed, compOf, levels = 2)
+    ls(0).select(col("vec_id"), col("comm").as("comm1"))
+      .join(ls(1).select(col("vec_id"), col("comm").as("comm2")), "vec_id")
+      .join(compOf.select(col("n").as("vec_id"), col("comp")), "vec_id")
+      .select(col("vec_id").as(idCol), col("comp"), col("comm1"), col("comm2"))
+  }
+
+  /** Build the persisted community index from a persisted LSH index:
+    * one parquet table at `path`. Returns the row count. */
+  def buildCommunityIndex(spark: org.apache.spark.sql.SparkSession,
+                          lshTable: String, path: String, k: Int = 16,
+                          maxBucketSize: Int = 1000): Long = {
+    val out = communitiesLocal(lshPairsFromIndex(spark, lshTable, k, maxBucketSize))
+      .localCheckpoint(true)
+    out.write.mode("overwrite").parquet(path)
+    out.count()
+  }
+
+  /** Live candidate pairs from whole buckets containing a `members` id —
+    * heavy-bucket capping evaluated on the FULL bucket contents (the
+    * bucket set is restricted, never the rows the count sees), so every
+    * emitted pair is exactly what [[lshPairsFromIndex]] would emit.
+    * `bothSides` keeps only member–member pairs; otherwise any pair with
+    * ≥ 1 member endpoint survives. Cost: members' postings + their
+    * buckets, not the index. */
+  private def livePairsInMemberBuckets(spark: org.apache.spark.sql.SparkSession,
+                                       table: String, members: DataFrame,
+                                       k: Int, maxBucketSize: Int,
+                                       bothSides: Boolean): DataFrame = {
+    val SI = graft.io.SegmentedIndex
+    val W = org.apache.spark.sql.expressions.Window
+    val t = SI.resolve(spark, table)
+    val idCol = SI.idColOf(spark, t)
+    val m = members.select(col(members.columns.head).as(idCol)).distinct()
+      .localCheckpoint(true)
+    val live0 = SI.dropDead(graft.io.Bucketing.readBucketed(spark, t),
+      SI.tombstoneMax(spark, t, idCol), idCol)
+    val keys = live0.join(m, Seq(idCol), "left_semi")
+      .select("band_key").distinct()
+    val live = live0.join(keys, Seq("band_key"), "left_semi")
+      .withColumn("bucket_n", count(lit(1)).over(W.partitionBy("band_key")))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("band_key"), col(idCol), col("signature"))
+      .localCheckpoint(true)
+    val lhs = live.select(col("band_key"), col(idCol).as("id_a"),
+      col("signature").as("sig_a"))
+    val rhs = live.select(col("band_key"), col(idCol).as("id_b"),
+      col("signature").as("sig_b"))
+    val pairs = lhs.join(rhs, "band_key").where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
+      .distinct()
+    val ma = m.select(col(idCol).as("id_a"))
+    val mb = m.select(col(idCol).as("id_b"))
+    if (bothSides)
+      pairs.join(ma, Seq("id_a"), "left_semi").join(mb, Seq("id_b"), "left_semi")
+    else
+      pairs.join(ma, Seq("id_a"), "left_semi")
+        .unionByName(pairs.join(mb, Seq("id_b"), "left_semi"))
+        .distinct()
+  }
+
+  /** INCREMENTAL refresh of the persisted community index after a CDC
+    * delivery changed `changedIds` (the LSH index must already be
+    * maintained for the delivery, [[updateLshIndex]]): recompute the
+    * hierarchy ONLY for the new-graph components the delivery touched,
+    * splice, overwrite. Cost is bounded by the touched components and
+    * their bucket contents — per-delivery, not per-corpus.
+    *
+    * Affected-set derivation (exact, not heuristic): new candidate
+    * edges only ever touch changed ids (a pair of unchanged docs is
+    * unchanged), and a LOST edge's far endpoint shared the changed id's
+    * OLD component. So closure over {changed–partner edges} ∪
+    * {node–old-comp membership stars} reaches every component that can
+    * gain, lose, merge or split; everything outside keeps its rows —
+    * sound because [[communitiesLocal]]'s per-component normalization
+    * makes untouched components label-invariant (the spec pins streamed
+    * ≡ from-scratch equality). Returns rows in the refreshed index. */
+  def refreshCommunityIndex(spark: org.apache.spark.sql.SparkSession,
+                            lshTable: String, path: String,
+                            changedIds: DataFrame, k: Int = 16,
+                            maxBucketSize: Int = 1000,
+                            egThreshold: Double = 0.25,
+                            hiThreshold: Double = 0.75): Long = {
+    val prev = spark.read.parquet(path).localCheckpoint(true)
+    val chg = changedIds.select(col(changedIds.columns.head).as("doc_id"))
+      .distinct().localCheckpoint(true)
+    // new-graph eg-edges incident to changed ids (deleted ids hold no
+    // live band rows; their influence rides their old component)
+    val inc = livePairsInMemberBuckets(spark, lshTable, chg, k, maxBucketSize,
+        bothSides = false)
+      .where(col("est_jaccard") >= egThreshold)
+      .select(col("id_a").as("x"), col("id_b").as("y"))
+      .localCheckpoint(true)
+    val nodes = chg
+      .unionByName(inc.select(col("x").as("doc_id")))
+      .unionByName(inc.select(col("y").as("doc_id")))
+      .distinct()
+    val prevComp = prev.select(col("doc_id"), col("comp"))
+    // membership stars: node → its old component id (comp ids are doc
+    // ids — the min member — so the star reconstructs old connectivity)
+    val stars = nodes.join(prevComp, Seq("doc_id"))
+      .select(col("doc_id").as("a"), col("comp").as("b"))
+    val closure = resolveClusters(
+      stars.unionByName(inc.select(col("x").as("a"), col("y").as("b")))
+        .distinct(), "a", "b")
+      .localCheckpoint(true)
+    val affectedClusters = closure
+      .join(chg.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .select("cluster").distinct()
+    val affectedNodes = closure
+      .join(affectedClusters, Seq("cluster"), "left_semi").select("id")
+    val affectedComps = prevComp.select(col("comp")).distinct()
+      .join(affectedNodes.select(col("id").as("comp")), Seq("comp"), "left_semi")
+      .localCheckpoint(true)
+    val members = prev.join(affectedComps, Seq("comp"), "left_semi")
+      .select("doc_id")
+      .unionByName(affectedNodes.select(col("id").as("doc_id")))
+      .distinct()
+    val newRows = communitiesLocal(
+      livePairsInMemberBuckets(spark, lshTable, members, k, maxBucketSize,
+        bothSides = true),
+      "doc_id", egThreshold, hiThreshold)
+    val out = prev.join(affectedComps, Seq("comp"), "left_anti")
+      .unionByName(newRows.select(prev.columns.map(col): _*))
+      .localCheckpoint(true) // detaches the read-then-overwrite of `path`
+    out.write.mode("overwrite").parquet(path)
+    out.count()
+  }
+
   /** Winnowing fingerprints per document: (id, fp) exploded from the
     * distinct sliding-min set of Rabin-Karp window hashes over the
     * normalized text (see [[graft.expressions.WinnowSetExpr]]). Any

@@ -2000,7 +2000,27 @@ object Similarity {
     * parallel-move caveat is the standard one: simultaneous moves of
     * adjacent nodes can in principle oscillate; LouvainSpec pins
     * modularity monotone across levels on the fixture. */
-  def louvainMoveRound(edges: DataFrame, seed: DataFrame): DataFrame = {
+  def louvainMoveRound(edges: DataFrame, seed: DataFrame): DataFrame =
+    louvainMoveRoundWith(edges, seed, None)
+
+  /** [[louvainMoveRound]] with PER-COMPONENT normalization: the gain
+    * statistic's total weight is each node's connected COMPONENT's
+    * edge weight (`compOf`: `(n, comp)` labels covering every node)
+    * instead of the global m. Within a component the two formulations
+    * can rank candidates differently (the links term scales with m),
+    * and the local one has the property incremental maintenance needs:
+    * a component whose edge set did not change keeps its labels no
+    * matter what happened elsewhere in the graph — global-m Louvain
+    * lacks this (a far-away insert shifts every comparison), which is
+    * why [[graft.ops.Dedup]]'s community index refresh composes with
+    * THIS variant. Communities never span components (seeds live
+    * inside them, moves go to neighbor communities only). */
+  def louvainMoveRoundLocal(edges: DataFrame, seed: DataFrame,
+                            compOf: DataFrame): DataFrame =
+    louvainMoveRoundWith(edges, seed, Some(compOf))
+
+  private def louvainMoveRoundWith(edges: DataFrame, seed: DataFrame,
+                                   compOf: Option[DataFrame]): DataFrame = {
     val m = edges.agg(sum(col("w")).as("__m"))
     val nl = edges.where(col("a") =!= col("b"))
     val ed = nl.select(col("a").as("src"), col("b").as("dst"), col("w"))
@@ -2025,11 +2045,22 @@ object Similarity {
       .groupBy("src", "cand").agg(sum("links").as("links"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("gain_num").desc, col("cand"))
-    cands
+    val scoredBase = cands
       .join(lab.select(col("n").as("src"), col("comm").as("own")), "src")
       .join(deg.select(col("n").as("src"), col("deg").as("k_i")), "src")
       .join(sumdeg.select(col("comm").as("cand"), col("c_deg")), "cand")
-      .crossJoin(broadcast(m))
+    val withM = compOf match {
+      case None => scoredBase.crossJoin(broadcast(m))
+      case Some(c) =>
+        // per-component edge weight, keyed back through the node's comp
+        val mPer = edges
+          .join(c.select(col("n").as("a"), col("comp")), "a")
+          .groupBy("comp").agg(sum(col("w")).as("__m"))
+        scoredBase
+          .join(c.select(col("n").as("src"), col("comp")), "src")
+          .join(mPer, "comp")
+    }
+    withM
       .withColumn("c_excl", col("c_deg") -
         when(col("cand") === col("own"), col("k_i")).otherwise(lit(0L)))
       .withColumn("gain_num",
@@ -2053,9 +2084,11 @@ object Similarity {
       .groupBy("a", "b").agg(sum("w").as("w"))
 
   /** MULTI-LEVEL Louvain engine (the full Blondel pipeline): local
-    * move, coarsen communities into supernodes, local move again on
-    * the weighted supernode graph (each supernode restarting singleton
-    * — the standard per-level reset), repeat `levels` times. Returns
+    * moves iterated to a bounded fixed point ([[louvainMoveRounds]],
+    * `roundsPerLevel` — classic Louvain's move-until-no-gain inner
+    * loop), coarsen communities into supernodes, move again on the
+    * weighted supernode graph (each supernode restarting singleton —
+    * the standard per-level reset), repeat `levels` times. Returns
     * one `(vec_id, comm)` frame PER LEVEL, every level already
     * composed back to the ORIGINAL node grain (so callers can read any
     * prefix of the hierarchy — topic trees want the coarse levels,
@@ -2096,12 +2129,16 @@ object Similarity {
     * bound). The bound also caps the standard synchronized-move
     * oscillation (adjacent nodes swapping forever). Each round is
     * edge-sized; the fixed-point check is one (n)-keyed anti-filter. */
-  def louvainMoveRounds(edges: DataFrame, seed: DataFrame, rounds: Int): DataFrame = {
-    var lab = louvainMoveRound(edges, seed).localCheckpoint(true)
+  def louvainMoveRounds(edges: DataFrame, seed: DataFrame, rounds: Int): DataFrame =
+    louvainMoveRoundsWith(edges, seed, rounds, None)
+
+  private def louvainMoveRoundsWith(edges: DataFrame, seed: DataFrame, rounds: Int,
+                                    compOf: Option[DataFrame]): DataFrame = {
+    var lab = louvainMoveRoundWith(edges, seed, compOf).localCheckpoint(true)
     var r = 1
     var fixed = false
     while (r < rounds && !fixed) {
-      val next = louvainMoveRound(edges, lab).localCheckpoint(true)
+      val next = louvainMoveRoundWith(edges, lab, compOf).localCheckpoint(true)
       fixed = next
         .join(lab.select(col("n"), col("comm").as("__prev")), "n")
         .where(col("comm") =!= col("__prev")).isEmpty
@@ -2109,6 +2146,36 @@ object Similarity {
       r += 1
     }
     lab
+  }
+
+  /** [[louvainLabels]] under PER-COMPONENT normalization
+    * ([[louvainMoveRoundLocal]]): the hierarchy whose untouched
+    * components are refresh-invariant — the batch ground truth
+    * [[graft.ops.Dedup.refreshCommunityIndex]] must reproduce.
+    * `compOf` labels survive coarsening unchanged: supernode ids are
+    * community labels, which are node ids of the same component. */
+  def louvainLabelsLocal(edges0: DataFrame, seed: DataFrame, compOf: DataFrame,
+                         levels: Int, roundsPerLevel: Int = 2): Seq[DataFrame] = {
+    require(levels >= 1, s"levels must be >= 1: $levels")
+    require(roundsPerLevel >= 1, s"roundsPerLevel must be >= 1: $roundsPerLevel")
+    var e = edges0.select(col("a"), col("b"), lit(1L).as("w"))
+    var seeds = seed
+    var mapping: DataFrame = null
+    val out = Seq.newBuilder[DataFrame]
+    for (l <- 1 to levels) {
+      val lab = louvainMoveRoundsWith(e, seeds, roundsPerLevel, Some(compOf))
+      mapping =
+        if (l == 1) lab.select(col("n").as("vec_id"), col("comm"))
+        else mapping.select(col("vec_id"), col("comm").as("n"))
+          .join(lab, "n").select(col("vec_id"), col("comm"))
+          .localCheckpoint(true)
+      out += mapping
+      if (l < levels) {
+        e = louvainCoarsen(e, lab).localCheckpoint(true)
+        seeds = lab.select(col("n"), col("comm")).limit(0) // singleton restart
+      }
+    }
+    out.result()
   }
 
   /** Two-level Louvain as one frame — the `sim_louvain_levels` query

@@ -97,6 +97,34 @@ object DedupQueries {
       communitiesFromPairs(Dedup.lshPairsFromIndex(s, table))
     }),
 
+    // INCREMENTALLY-MAINTAINED community hierarchy (r11): persist the
+    // (doc_id, comp, comm1, comm2) index under PER-COMPONENT Louvain
+    // normalization (the property that makes untouched components
+    // refresh-invariant), apply the standard change batch to the LSH
+    // index (tombstones + re-sketch, O(batch)), then refresh ONLY the
+    // components the delivery touched (Dedup.refreshCommunityIndex —
+    // closure over changed-partner edges + old-membership stars). The
+    // oracle recomputes the per-component hierarchy from scratch over
+    // the MERGED corpus: a hash match proves splice ≡ rebuild.
+    "dedup_communities_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val table = s"lsh_comm_incr_${math.abs(dir.hashCode)}"
+      val path = QueryTmp.dir("comm_incr") + "/t"
+      Dedup.writeLshIndex(d, "doc_id", "text", table, buckets = 8)
+      Dedup.buildCommunityIndex(s, table, path)
+      val changes = d.where(col("doc_id") % 7 === 1L)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" refreshed merge batch")).as("text"),
+          lit("U").as("op"))
+        .unionByName(d.where(col("doc_id") % 7 === 3L)
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit("D").as("op")))
+      Dedup.updateLshIndex(s, changes, "doc_id", "text", "op", table,
+        buckets = 8, batchId = "chg1")
+      Dedup.refreshCommunityIndex(s, table, path, changes.select("doc_id"))
+      s.read.parquet(path)
+    }),
+
     // The curation-facing read of the hierarchy: per level-2 community,
     // its size, how many level-1 sub-communities it absorbed, and the
     // deterministic representative (min doc id) — the grain a
@@ -644,6 +672,26 @@ object DedupQueries {
     // index must be indistinguishable from a from-scratch sketch of the
     // merged corpus. Cap semantics follow lshCandidatesAgainstIndex:
     // corpus-side postings only (the probe batch is delivery-sized).
+    // Incremental-hierarchy mirror: from-scratch PER-COMPONENT Louvain
+    // over the merged corpus (SimilarityQueries.louvainLevelsLocalChainSql)
+    // — the refreshed index's splice must be indistinguishable from it.
+    "dedup_communities_incr" ->
+      s"""WITH RECURSIVE merged AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 1 THEN text || ' refreshed merge batch'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 3),
+         |${lshCandCtesFrom("merged")},
+         |pairs AS MATERIALIZED (
+         |  SELECT l.id_a AS a, l.id_b AS b,
+         |    (len(list_filter(range(1,17), i -> sa.signature[i::INT] = sb.signature[i::INT]))::DOUBLE / 16) AS est
+         |  FROM lshcand l
+         |  JOIN sig sa ON l.id_a = sa.doc_id
+         |  JOIN sig sb ON l.id_b = sb.doc_id),
+         |eg AS MATERIALIZED (SELECT a, b FROM pairs WHERE est >= 0.25),
+         |hi AS (SELECT a, b FROM pairs WHERE est >= 0.75),
+         |${SimilarityQueries.louvainLevelsLocalChainSql("doc_id")}""".stripMargin,
+
     "dedup_lsh_after_update" ->
       s"""WITH merged AS (
          |  SELECT doc_id,

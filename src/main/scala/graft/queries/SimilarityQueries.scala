@@ -1482,7 +1482,7 @@ object SimilarityQueries {
     * the SQL twin of one [[graft.ops.Similarity.louvainMoveRound]]
     * on the w=1 backbone, emitted once per unrolled round. */
   private def louvainMoveRoundSql(seedCte: String, outCte: String,
-                                  sfx: String): String =
+                                  sfx: String, localM: Boolean = false): String =
     s"""sumdeg$sfx AS (SELECT l.comm, sum(deg.deg)::BIGINT AS c_deg
        |           FROM $seedCte l JOIN deg ON l.n = deg.n GROUP BY 1),
        |nbr$sfx AS (SELECT e.src, l.comm AS cand, count(*)::BIGINT AS links
@@ -1500,20 +1500,33 @@ object SimilarityQueries {
        |  JOIN $seedCte own ON c.src = own.n
        |  JOIN deg dg ON c.src = dg.n
        |  JOIN sumdeg$sfx sd ON c.cand = sd.comm),
-       |g$sfx AS (SELECT src, cand,
-       |        (2 * m * links - k_i * c_excl)::BIGINT AS gain_num
-       |      FROM scored$sfx, mm),
+       |${gainCteSql(s"g$sfx", s"scored$sfx", localM)},
        |win$sfx AS (SELECT src, cand,
        |          row_number() OVER (PARTITION BY src
        |            ORDER BY gain_num DESC, cand) AS rn
        |        FROM g$sfx),
        |$outCte AS MATERIALIZED (SELECT src AS n, cand AS comm FROM win$sfx WHERE rn = 1)""".stripMargin
 
+  /** The gain CTE: global m (cross join `mm`) or PER-COMPONENT m
+    * (joined through `compof`/`mcomp` — the
+    * [[graft.ops.Similarity.louvainMoveRoundLocal]] normalization). */
+  private def gainCteSql(name: String, scored: String, localM: Boolean): String =
+    if (localM)
+      s"""$name AS (SELECT s.src, s.cand,
+         |    (2 * mc.m * s.links - s.k_i * s.c_excl)::BIGINT AS gain_num
+         |  FROM $scored s
+         |  JOIN compof cf ON s.src = cf.n
+         |  JOIN mcomp mc ON cf.comp = mc.comp)""".stripMargin
+    else
+      s"""$name AS (SELECT src, cand,
+         |    (2 * m * links - k_i * c_excl)::BIGINT AS gain_num
+         |  FROM $scored, mm)""".stripMargin
+
   /** One WEIGHTED local-move round over the level-2 supernode CTEs
     * (`ed2`, `deg2`, `mm`) — same statistic with edge weights and
     * self-loop-inclusive degrees. */
   private def louvainMoveRoundWSql(seedCte: String, outCte: String,
-                                   sfx: String): String =
+                                   sfx: String, localM: Boolean = false): String =
     s"""sumdegW$sfx AS (SELECT l.comm, sum(d.k)::BIGINT AS c_deg
        |  FROM $seedCte l JOIN deg2 d ON l.n = d.n GROUP BY 1),
        |nbrW$sfx AS (SELECT e.src, l.comm AS cand, sum(e.w)::BIGINT AS links
@@ -1531,9 +1544,7 @@ object SimilarityQueries {
        |  JOIN $seedCte own ON c.src = own.n
        |  JOIN deg2 ki ON c.src = ki.n
        |  JOIN sumdegW$sfx sd ON c.cand = sd.comm),
-       |gW$sfx AS (SELECT src, cand,
-       |    (2 * m * links - k_i * c_excl)::BIGINT AS gain_num
-       |  FROM scoredW$sfx, mm),
+       |${gainCteSql(s"gW$sfx", s"scoredW$sfx", localM)},
        |winW$sfx AS (SELECT src, cand,
        |    row_number() OVER (PARTITION BY src
        |      ORDER BY gain_num DESC, cand) AS rn
@@ -1582,6 +1593,54 @@ object SimilarityQueries {
        |${louvainMoveRoundWSql("lab2r1", "lab2", "r2")}
        |SELECT l1.n AS $idCol, l1.comm AS comm1, l2.comm AS comm2
        |FROM lab1 l1 JOIN lab2 l2 ON l1.comm = l2.n""".stripMargin
+
+  /** PER-COMPONENT-m twin of [[louvainLevelsChainSql]] (mirrors
+    * [[graft.ops.Dedup.communitiesLocal]]): components of `eg` via a
+    * recursive closure, per-component edge counts as the modularity m,
+    * the same two unrolled rounds per level, output
+    * `(idCol, comp, comm1, comm2)`. Shared by the incremental
+    * community-index oracle — the maintained index must equal THIS
+    * from-scratch chain over the merged corpus. */
+  private[queries] def louvainLevelsLocalChainSql(idCol: String): String =
+    s"""ed AS (SELECT a AS src, b AS dst FROM eg UNION SELECT b, a FROM eg),
+       |deg AS MATERIALIZED (SELECT src AS n, count(*)::BIGINT AS deg FROM ed GROUP BY 1),
+       |reachc(src, dst) AS (
+       |  SELECT src, dst FROM ed
+       |  UNION
+       |  SELECT r.src, e.dst FROM reachc r JOIN ed e ON r.dst = e.src),
+       |compof AS MATERIALIZED (SELECT src AS n, least(src, min(dst)) AS comp
+       |           FROM reachc GROUP BY src),
+       |mcomp AS MATERIALIZED (SELECT c.comp, count(*)::BIGINT AS m
+       |          FROM eg JOIN compof c ON eg.a = c.n GROUP BY 1),
+       |hed AS (SELECT a AS src, b AS dst FROM hi UNION SELECT b, a FROM hi),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM hed
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN hed e ON r.dst = e.src),
+       |complab AS (SELECT src AS n, least(src, min(dst)) AS comm
+       |            FROM reach GROUP BY src),
+       |lab AS MATERIALIZED (SELECT d.n, coalesce(c.comm, d.n) AS comm
+       |        FROM deg d LEFT JOIN complab c ON d.n = c.n),
+       |${louvainMoveRoundSql("lab", "labr1", "r1", localM = true)},
+       |${louvainMoveRoundSql("labr1", "lab1", "r2", localM = true)},
+       |e2 AS MATERIALIZED (SELECT least(la.comm, lb.comm) AS a, greatest(la.comm, lb.comm) AS b,
+       |              count(*)::BIGINT AS w
+       |       FROM eg JOIN lab1 la ON eg.a = la.n JOIN lab1 lb ON eg.b = lb.n
+       |       GROUP BY 1, 2),
+       |ed2 AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM e2 WHERE a <> b
+       |        UNION ALL SELECT b, a, w FROM e2 WHERE a <> b),
+       |sw2 AS (SELECT a AS n, 2 * sum(w) AS sw FROM e2 WHERE a = b GROUP BY 1),
+       |dd2 AS (SELECT src AS n, sum(w) AS dd FROM ed2 GROUP BY 1),
+       |deg2 AS MATERIALIZED (SELECT coalesce(d.n, s.n) AS n,
+       |                (coalesce(d.dd, 0) + coalesce(s.sw, 0))::BIGINT AS k
+       |         FROM dd2 d FULL JOIN sw2 s ON d.n = s.n),
+       |lab2s AS (SELECT n, n AS comm FROM deg2),
+       |${louvainMoveRoundWSql("lab2s", "lab2r1", "r1", localM = true)},
+       |${louvainMoveRoundWSql("lab2r1", "lab2", "r2", localM = true)}
+       |SELECT l1.n AS $idCol, cf.comp AS comp, l1.comm AS comm1, l2.comm AS comm2
+       |FROM lab1 l1
+       |JOIN lab2 l2 ON l1.comm = l2.n
+       |JOIN compof cf ON l1.n = cf.n""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_knn_brute" ->
