@@ -38,12 +38,35 @@ object Similarity {
     * ungated hint is an OOM, not a slowdown. The probe evaluates `df`'s
     * plan once more; every caller passes a cheap scan, a derived
     * projection of one, or a checkpointed frame. */
-  private[graft] def gatedBroadcast(df: DataFrame): DataFrame = {
+  /** Probe results cached per (session, analyzed-plan semantic hash,
+    * cap): recall curves and health monitors call the same operator
+    * over the same query frame many times — they pay the LIMIT-count
+    * probe once per session instead of once per call. The cache trades
+    * BOUNDED STALENESS for jobs: a frame whose underlying files grew
+    * past the cap mid-session would keep its hint. Acceptable for a
+    * hint (performance, never correctness); cleared wholesale at a size
+    * bound. */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), java.lang.Boolean]()
+
+  private[graft] def underBroadcastCap(df: DataFrame): Boolean = {
     val cap = df.sparkSession.conf
       .get(BroadcastRowCapKey, DefaultBroadcastRowCap.toString).toLong
-    val probeN = math.min(cap + 1, Int.MaxValue.toLong).toInt
-    if (df.limit(probeN).count() <= cap) broadcast(df) else df
+    val key = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(), cap)
+    val cached = probeCache.get(key)
+    if (cached != null) cached.booleanValue()
+    else {
+      val probeN = math.min(cap + 1, Int.MaxValue.toLong).toInt
+      val r = df.limit(probeN).count() <= cap
+      if (probeCache.size() > 4096) probeCache.clear()
+      probeCache.put(key, r)
+      r
+    }
   }
+
+  private[graft] def gatedBroadcast(df: DataFrame): DataFrame =
+    if (underBroadcastCap(df)) broadcast(df) else df
 
   /** Brute-force top-k cosine neighbors of each query vector.
     * `queries` rows must carry (qidCol, vecCol); broadcast against the
@@ -100,9 +123,12 @@ object Similarity {
              vecCol: String, qidCol: String, k: Int, bits: Int): DataFrame = {
     val bc = bucketed(corpus, vecCol, bits).select(col(idCol), col(vecCol).as("__cvec"), col("bucket"))
     val probes = (0 until bits).map(j => col("bucket").bitwiseXOR(1L << j))
-    val bq = gatedBroadcast(bucketed(queries, vecCol, bits)
+    // probe the BASE frame (cheapest possible evaluation, cacheable
+    // across calls); the (1+bits)x multiprobe expansion is bounded
+    val bq0 = bucketed(queries, vecCol, bits)
       .withColumn("bucket", explode(array(col("bucket") +: probes: _*)))
-      .select(col(qidCol), col(vecCol).as("__qvec"), col("bucket")))
+      .select(col(qidCol), col(vecCol).as("__qvec"), col("bucket"))
+    val bq = if (underBroadcastCap(queries)) broadcast(bq0) else bq0
     val scored = bc.join(bq, "bucket")
       .where(col(qidCol) =!= col(idCol))
       .select(col(qidCol), col(idCol), cosine(col("__qvec"), col("__cvec")).as("cos"))
@@ -215,8 +241,12 @@ object Similarity {
                          idCol: String, vecCol: String, qidCol: String, k: Int,
                          shortlist: Int = 20): DataFrame = {
     require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1: $shortlist, $k")
+    // ONE size probe covers both query-side hints (masks and rerank
+    // vectors are exactly one row per query)
+    val qSmall = underBroadcastCap(queries)
+    def gb(df: DataFrame): DataFrame = if (qSmall) broadcast(df) else df
     val c = masks.select(col(idCol), col("mask_lo"), col("mask_hi"))
-    val q = gatedBroadcast(binaryMasks(queries.select(col(qidCol), col(vecCol)), vecCol)
+    val q = gb(binaryMasks(queries.select(col(qidCol), col(vecCol)), vecCol)
       .select(col(qidCol), col("mask_lo").as("__qlo"), col("mask_hi").as("__qhi")))
     val w = Window.partitionBy(qidCol).orderBy(col("hamming"), col(idCol))
     val short = c.crossJoin(q)
@@ -232,7 +262,7 @@ object Similarity {
     // would evaluate the whole mask cross-join subtree TWICE.
     val scored = short
       .join(corpus.select(col(idCol), col(vecCol).as("__cvec")), idCol)
-      .join(gatedBroadcast(queries.select(col(qidCol), col(vecCol).as("__qvec"))), qidCol)
+      .join(gb(queries.select(col(qidCol), col(vecCol).as("__qvec"))), qidCol)
       .select(col(qidCol), col(idCol), col("hamming"),
         cosine(col("__qvec"), col("__cvec")).as("cos"))
     val w2 = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol))
@@ -261,7 +291,10 @@ object Similarity {
                    idCol: String, vecCol: String, qidCol: String, cidCol: String,
                    k: Int, shortlist: Int = 20, nprobe: Int = 1): DataFrame = {
     require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1: $shortlist, $k")
-    val qm = gatedBroadcast(
+    // ONE size probe covers both query-side hints, like binaryKnnPreMasked
+    val qSmall = underBroadcastCap(queries)
+    def gb(df: DataFrame): DataFrame = if (qSmall) broadcast(df) else df
+    val qm = gb(
       binaryMasks(ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe),
           vecCol)
         .select(col(qidCol), col("cluster").cast("long").as("cluster"),
@@ -284,7 +317,7 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("hamming"))
     val scored = short
       .join(corpus.select(col(idCol), col(vecCol).as("__cvec")), idCol)
-      .join(gatedBroadcast(queries.select(col(qidCol), col(vecCol).as("__qvec"))), qidCol)
+      .join(gb(queries.select(col(qidCol), col(vecCol).as("__qvec"))), qidCol)
       .select(col(qidCol), col(idCol), col("hamming"),
         cosine(col("__qvec"), col("__cvec")).as("cos"))
     val w2 = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol))
@@ -367,8 +400,11 @@ object Similarity {
                         qidCol: String, cidCol: String, k: Int,
                         nprobe: Int = 1): DataFrame = {
     val bc = assigned.select(col(idCol), col(vecCol).as("__cvec"), col("cluster"))
-    val bq = gatedBroadcast(ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe)
-      .select(col(qidCol), col(vecCol).as("__qvec"), col("cluster")))
+    val bq0 = ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe)
+      .select(col(qidCol), col(vecCol).as("__qvec"), col("cluster"))
+    // probe the base frame: the nprobe expansion is bounded and the
+    // probe then hits the session cache across a recall curve's calls
+    val bq = if (underBroadcastCap(queries)) broadcast(bq0) else bq0
     val scored = bc.join(bq, "cluster")
       .where(col(qidCol) =!= col(idCol))
       .select(col(qidCol), col(idCol), cosine(col("__qvec"), col("__cvec")).as("cos"))
@@ -1022,7 +1058,8 @@ object Similarity {
     // the distance transform.
     val lutCols = (0 until m).map(i =>
       transform(col("__cb"), c => subL2(col(vecCol), c.getField("cvec"), i, m)).as(s"__lut$i"))
-    val q = gatedBroadcast(queries.crossJoin(cb).select(col(qidCol) +: lutCols: _*))
+    val q0 = queries.crossJoin(cb).select(col(qidCol) +: lutCols: _*)
+    val q = if (underBroadcastCap(queries)) broadcast(q0) else q0
     // Unpack digit i = (pq_code >> 8i) & 255, then ADC distance = the sum
     // of one LUT entry per subspace (left-to-right, bit-deterministic).
     val dist = (0 until m).map(i =>
@@ -1057,10 +1094,10 @@ object Similarity {
     val cb = collectCodebook(codebook, cidCol, vecCol, m)
     val lutCols = (0 until m).map(i =>
       transform(col("__cb"), c => subL2(col(vecCol), c.getField("cvec"), i, m)).as(s"__lut$i"))
-    val q = gatedBroadcast(
-      ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe)
-        .crossJoin(cb)
-        .select(col(qidCol) +: col("cluster") +: lutCols: _*))
+    val q0 = ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe)
+      .crossJoin(cb)
+      .select(col(qidCol) +: col("cluster") +: lutCols: _*)
+    val q = if (underBroadcastCap(queries)) broadcast(q0) else q0
     val dist = (0 until m).map(i =>
       element_at(col(s"__lut$i"),
         (shiftrightunsigned(col("pq_code"), 8 * i).bitwiseAND(lit(255L)) + 1L).cast("int")))
@@ -1119,8 +1156,9 @@ object Similarity {
     val lutCols = (0 until m).map(i =>
       transform(col("__cb"), c => subL2(col("__qres"), c.getField("cvec"), i, m))
         .as(s"__lut$i"))
-    val q = gatedBroadcast(probes.crossJoin(cb)
-      .select(col(qidCol) +: col("cluster") +: lutCols: _*))
+    val q0 = probes.crossJoin(cb)
+      .select(col(qidCol) +: col("cluster") +: lutCols: _*)
+    val q = if (underBroadcastCap(probes)) broadcast(q0) else q0
     val dist = (0 until m).map(i =>
       element_at(col(s"__lut$i"),
         (shiftrightunsigned(col("pq_code"), 8 * i).bitwiseAND(lit(255L)) + 1L).cast("int")))
@@ -2139,11 +2177,15 @@ object Similarity {
     var fixed = false
     while (r < rounds && !fixed) {
       val next = louvainMoveRoundWith(edges, lab, compOf).localCheckpoint(true)
-      fixed = next
-        .join(lab.select(col("n"), col("comm").as("__prev")), "n")
-        .where(col("comm") =!= col("__prev")).isEmpty
-      lab = next
       r += 1
+      // the check exists only to SKIP later rounds — when this was the
+      // last budgeted round it would be a pure extra action, so don't pay
+      // it (at the default 2 rounds/level no check ever runs)
+      if (r < rounds)
+        fixed = next
+          .join(lab.select(col("n"), col("comm").as("__prev")), "n")
+          .where(col("comm") =!= col("__prev")).isEmpty
+      lab = next
     }
     lab
   }

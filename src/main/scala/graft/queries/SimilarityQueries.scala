@@ -195,8 +195,12 @@ object SimilarityQueries {
           .select("vec_id", "mask_lo", "mask_hi"))
         .localCheckpoint(true)
       spliced.write.mode("overwrite").parquet(idx)
+      // checkpoint: merged feeds the rerank corpus, the query batch AND
+      // the broadcast-gate probe — one materialization instead of three
+      // evaluations of the anti-join/union plan
       val merged = e.join(changed, Seq("vec_id"), "left_anti")
         .select("vec_id", "embedding").unionByName(upd)
+        .localCheckpoint(true)
       val q = merged.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("embedding"))
       Similarity.binaryKnnPreMasked(s.read.parquet(idx), merged, q,
