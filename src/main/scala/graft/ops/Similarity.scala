@@ -2057,18 +2057,48 @@ object Similarity {
                             compOf: DataFrame): DataFrame =
     louvainMoveRoundWith(edges, seed, Some(compOf))
 
-  private def louvainMoveRoundWith(edges: DataFrame, seed: DataFrame,
-                                   compOf: Option[DataFrame]): DataFrame = {
-    val m = edges.agg(sum(col("w")).as("__m"))
+  /** Per-LEVEL constants of the move round — doubled edges, degrees and
+    * the m side — computed once per level ([[louvainMoveRoundsWith]])
+    * and reused across its rounds instead of re-derived per round. `ed`
+    * and `deg` come back eagerly checkpointed (edge-/node-sized). */
+  private case class LevelParts(ed: DataFrame, deg: DataFrame,
+                                attachM: DataFrame => DataFrame)
+
+  private def levelParts(edges: DataFrame,
+                         compOf: Option[DataFrame]): LevelParts = {
     val nl = edges.where(col("a") =!= col("b"))
     val ed = nl.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionByName(nl.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint(true)
     val selfw = edges.where(col("a") === col("b"))
       .groupBy(col("a").as("n")).agg((sum(col("w")) * 2L).as("sw"))
     val dirDeg = ed.groupBy(col("src").as("n")).agg(sum(col("w")).as("dd"))
     val deg = dirDeg.join(selfw, Seq("n"), "full_outer")
       .select(col("n"),
         (coalesce(col("dd"), lit(0L)) + coalesce(col("sw"), lit(0L))).as("deg"))
+      .localCheckpoint(true)
+    val attach: DataFrame => DataFrame = compOf match {
+      case None =>
+        val m = edges.agg(sum(col("w")).as("__m"))
+        scored => scored.crossJoin(broadcast(m))
+      case Some(c) =>
+        // per-component edge weight, keyed back through the node's comp
+        val mPer = edges
+          .join(c.select(col("n").as("a"), col("comp")), "a")
+          .groupBy("comp").agg(sum(col("w")).as("__m"))
+        scored => scored
+          .join(c.select(col("n").as("src"), col("comp")), "src")
+          .join(mPer, "comp")
+    }
+    LevelParts(ed, deg, attach)
+  }
+
+  private def louvainMoveRoundWith(edges: DataFrame, seed: DataFrame,
+                                   compOf: Option[DataFrame]): DataFrame =
+    louvainMoveRoundOn(levelParts(edges, compOf), seed)
+
+  private def louvainMoveRoundOn(parts: LevelParts, seed: DataFrame): DataFrame = {
+    val LevelParts(ed, deg, attachM) = parts
     val lab = deg.select("n").join(seed, Seq("n"), "left")
       .select(col("n"), coalesce(col("comm"), col("n")).as("comm"))
     val sumdeg = lab.join(deg, "n").groupBy("comm").agg(sum("deg").as("c_deg"))
@@ -2087,18 +2117,7 @@ object Similarity {
       .join(lab.select(col("n").as("src"), col("comm").as("own")), "src")
       .join(deg.select(col("n").as("src"), col("deg").as("k_i")), "src")
       .join(sumdeg.select(col("comm").as("cand"), col("c_deg")), "cand")
-    val withM = compOf match {
-      case None => scoredBase.crossJoin(broadcast(m))
-      case Some(c) =>
-        // per-component edge weight, keyed back through the node's comp
-        val mPer = edges
-          .join(c.select(col("n").as("a"), col("comp")), "a")
-          .groupBy("comp").agg(sum(col("w")).as("__m"))
-        scoredBase
-          .join(c.select(col("n").as("src"), col("comp")), "src")
-          .join(mPer, "comp")
-    }
-    withM
+    attachM(scoredBase)
       .withColumn("c_excl", col("c_deg") -
         when(col("cand") === col("own"), col("k_i")).otherwise(lit(0L)))
       .withColumn("gain_num",
@@ -2172,11 +2191,14 @@ object Similarity {
 
   private def louvainMoveRoundsWith(edges: DataFrame, seed: DataFrame, rounds: Int,
                                     compOf: Option[DataFrame]): DataFrame = {
-    var lab = louvainMoveRoundWith(edges, seed, compOf).localCheckpoint(true)
+    // per-level constants once; each round recomputes only the
+    // label-dependent pieces
+    val parts = levelParts(edges, compOf)
+    var lab = louvainMoveRoundOn(parts, seed).localCheckpoint(true)
     var r = 1
     var fixed = false
     while (r < rounds && !fixed) {
-      val next = louvainMoveRoundWith(edges, lab, compOf).localCheckpoint(true)
+      val next = louvainMoveRoundOn(parts, lab).localCheckpoint(true)
       r += 1
       // the check exists only to SKIP later rounds — when this was the
       // last budgeted round it would be a pure extra action, so don't pay
