@@ -2454,14 +2454,31 @@ object Similarity {
   def updateIvfIndex(spark: org.apache.spark.sql.SparkSession,
                      changes: DataFrame, centroids: DataFrame, idCol: String,
                      vecCol: String, cidCol: String, opCol: String,
-                     dir: String, batchId: String): Unit = {
+                     dir: String, batchId: String): Unit =
+    updateIvfIndexRows(spark, changes, centroids, idCol, vecCol, cidCol,
+      opCol, dir, batchId, identity)
+
+  /** [[updateIvfIndex]] generalized over the INDEXED PAYLOAD: `payload`
+    * maps the assigned upserts (idCol, vecCol, cluster) to the rows the
+    * index actually stores — `identity` for the raw-vector index, a
+    * [[binaryMasks]] projection for the 16-byte mask sidecar
+    * ([[updateBinaryIvfIndex]]). The partition-level copy-on-write,
+    * impacted-cluster selection, empty-partition cleanup and ledger
+    * gating are one shared body so the maintenance law cannot drift
+    * between payload kinds. */
+  def updateIvfIndexRows(spark: org.apache.spark.sql.SparkSession,
+                         changes: DataFrame, centroids: DataFrame, idCol: String,
+                         vecCol: String, cidCol: String, opCol: String,
+                         dir: String, batchId: String,
+                         payload: DataFrame => DataFrame): Unit = {
     val SI = graft.io.SegmentedIndex
     if (SI.pathHasBatch(spark, dir, batchId)) return
     val seg = SI.pathNextSeg(spark, dir)
     val changedIds = changes.select(col(idCol)).distinct().localCheckpoint(true)
-    val assignedNew = ivfAssign(changes.where(col(opCol) =!= "D"),
-        centroids, idCol, vecCol, cidCol)
-      .select(col(idCol), col(vecCol), col("cluster"))
+    val assignedNew = payload(
+        ivfAssign(changes.where(col(opCol) =!= "D"),
+          centroids, idCol, vecCol, cidCol)
+        .select(col(idCol), col(vecCol), col("cluster")))
       .withColumn(SI.SegCol, lit(seg)).localCheckpoint(true)
     // Impacted partitions: where changed ids live now (column-pruned
     // scan) plus where upserts land.
@@ -2491,6 +2508,23 @@ object Similarity {
     SI.pathAppendLedger(spark, dir, seg, batchId,
       assignedNew.select(col(idCol)).distinct().count())
   }
+
+  /** CDC maintenance of a cluster-partitioned BINARY-MASK sidecar
+    * ([[binaryIvfKnn]]'s index): the shared partition-level
+    * copy-on-write of [[updateIvfIndexRows]] with the 16-byte mask
+    * payload — only impacted cluster partitions are rewritten, masks
+    * re-derived for the changed ids alone. After maintenance the
+    * sidecar is indistinguishable from a from-scratch
+    * `binaryMasks(ivfAssign(merged))` build (oracle-pinned by
+    * `sim_binary_ivf_after_update`). */
+  def updateBinaryIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                           changes: DataFrame, centroids: DataFrame,
+                           idCol: String, vecCol: String, cidCol: String,
+                           opCol: String, dir: String, batchId: String): Unit =
+    updateIvfIndexRows(spark, changes, centroids, idCol, vecCol, cidCol,
+      opCol, dir, batchId,
+      assigned => binaryMasks(assigned, vecCol)
+        .select(col(idCol), col("mask_lo"), col("mask_hi"), col("cluster")))
 
   /** Register a persisted IVF index in the metastore as an EXTERNAL
     * table over its directory — a fresh session (or a later JVM sharing

@@ -227,6 +227,45 @@ object SimilarityQueries {
         "vec_id", "embedding", "qid", "cid", k = 5, shortlist = 20, nprobe = 2)
     }),
 
+    // CDC-maintained cluster-partitioned mask sidecar: the standard
+    // change batch (vectors ≡ 1 mod 9 replaced by their successor's
+    // embedding — may move clusters — ≡ 4 mod 9 deleted) flows through
+    // the shared partition-level CoW of updateIvfIndexRows with the
+    // 16-byte mask payload: only impacted cluster partitions rewrite,
+    // masks re-derived for changed ids alone. The probe over the merged
+    // corpus must equal a from-scratch mask-index build (the oracle) —
+    // the maintenance law for the binary rung's SUB-SCAN layout.
+    "sim_binary_ivf_after_update" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      val idx = QueryTmp.dir("bin_ivf_upd") + "/masks"
+      Similarity.writeIvfIndex(
+        Similarity.binaryMasks(
+            Similarity.ivfAssign(e, cents, "vec_id", "embedding", "cid"),
+            "embedding")
+          .select(col("vec_id"), col("mask_lo"), col("mask_hi"), col("cluster")),
+        idx)
+      val upd = e.as("a").where(col("a.vec_id") % 9 === 1L)
+        .join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1L)
+        .select(col("a.vec_id").as("vec_id"), col("b.embedding").as("embedding"),
+          lit("U").as("op"))
+      val dels = e.where(col("vec_id") % 9 === 4L)
+        .select(col("vec_id"), col("embedding"), lit("D").as("op"))
+      Similarity.updateBinaryIvfIndex(s, upd.unionByName(dels), cents,
+        "vec_id", "embedding", "cid", "op", idx, batchId = "chg1")
+      val changed = upd.select("vec_id").unionByName(dels.select("vec_id"))
+        .distinct()
+      val merged = e.join(changed, Seq("vec_id"), "left_anti")
+        .select("vec_id", "embedding")
+        .unionByName(upd.select("vec_id", "embedding"))
+        .localCheckpoint(true)
+      val q = merged.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.binaryIvfKnn(s, idx, merged, q, cents,
+        "vec_id", "embedding", "qid", "cid", k = 5, shortlist = 20, nprobe = 2)
+    }),
+
     // IVF top-3 within the query's own cluster.
     "sim_ivf_knn" -> ((s, dir) => {
       val cents = emb(s, dir).where(col("vec_id") < 8)
@@ -1226,6 +1265,43 @@ object SimilarityQueries {
        |  FROM embeddings e, c0 c),
        |$steps""".stripMargin
   }
+
+  /** IVF-pruned binary-kNN chain over `src` (masks + rank-1 corpus
+    * assignment + nprobe=2 query probes + in-cluster Hamming shortlist
+    * + exact-cosine rerank), centroids always the first-8 quantizer of
+    * the ORIGINAL table — one text shared by `sim_binary_ivf` and its
+    * maintained-sidecar twin so the two mirrors cannot drift. */
+  private def binaryIvfSql(src: String): String =
+    s"""${masksCteFrom(src)},
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
+       |    FROM $src e, c) WHERE rn = 1),
+       |am AS (SELECT m.vec_id, a.cluster, m.mask_lo, m.mask_hi, m.embedding
+       |       FROM m JOIN assign a USING (vec_id)),
+       |qp AS (
+       |  SELECT vec_id AS qid, qv, qlo, qhi, cid AS cluster FROM (
+       |    SELECT m.vec_id, m.embedding AS qv, m.mask_lo AS qlo, m.mask_hi AS qhi, c.cid,
+       |           row_number() OVER (PARTITION BY m.vec_id
+       |             ORDER BY ${cosSql("m.embedding", "cv")} DESC, c.cid) AS rn
+       |    FROM m, c WHERE m.vec_id % 100 = 0) WHERE rn <= 2),
+       |bsh AS (
+       |  SELECT qp.qid, am.vec_id,
+       |    (bit_count(xor(am.mask_lo, qp.qlo)) + bit_count(xor(am.mask_hi, qp.qhi)))::BIGINT AS hamming,
+       |    qp.qv, am.embedding
+       |  FROM am JOIN qp USING (cluster) WHERE am.vec_id <> qp.qid),
+       |btop AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |           ORDER BY hamming, vec_id) AS rn FROM bsh),
+       |brr AS (SELECT qid, vec_id, hamming, ${cosSql("qv", "embedding")} AS cos
+       |        FROM btop WHERE rn <= 20),
+       |brk AS (SELECT qid, vec_id, hamming, cos,
+       |          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |        FROM brr)
+       |SELECT qid, vec_id, hamming, cos, CAST(rank AS BIGINT) AS rank
+       |FROM brk WHERE rank <= 5""".stripMargin
 
   /** k-center|| mirror: two unrolled oversample passes (top-8 by
     * running min-distance, deterministic id tie-break) then the exact
@@ -2482,36 +2558,26 @@ object SimilarityQueries {
     // at most once — single assignment) and the rerank is the shared
     // chain's arithmetic.
     "sim_binary_ivf" ->
-      s"""WITH $masksCte,
-         |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
-         |assign AS (
-         |  SELECT vec_id, cid AS cluster FROM (
-         |    SELECT e.vec_id, c.cid,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosSql("e.embedding", "cv")} DESC, c.cid) AS rn
-         |    FROM embeddings e, c) WHERE rn = 1),
-         |am AS (SELECT m.vec_id, a.cluster, m.mask_lo, m.mask_hi, m.embedding
-         |       FROM m JOIN assign a USING (vec_id)),
-         |qp AS (
-         |  SELECT vec_id AS qid, qv, qlo, qhi, cid AS cluster FROM (
-         |    SELECT m.vec_id, m.embedding AS qv, m.mask_lo AS qlo, m.mask_hi AS qhi, c.cid,
-         |           row_number() OVER (PARTITION BY m.vec_id
-         |             ORDER BY ${cosSql("m.embedding", "cv")} DESC, c.cid) AS rn
-         |    FROM m, c WHERE m.vec_id % 100 = 0) WHERE rn <= 2),
-         |bsh AS (
-         |  SELECT qp.qid, am.vec_id,
-         |    (bit_count(xor(am.mask_lo, qp.qlo)) + bit_count(xor(am.mask_hi, qp.qhi)))::BIGINT AS hamming,
-         |    qp.qv, am.embedding
-         |  FROM am JOIN qp USING (cluster) WHERE am.vec_id <> qp.qid),
-         |btop AS (SELECT *, row_number() OVER (PARTITION BY qid
-         |           ORDER BY hamming, vec_id) AS rn FROM bsh),
-         |brr AS (SELECT qid, vec_id, hamming, ${cosSql("qv", "embedding")} AS cos
-         |        FROM btop WHERE rn <= 20),
-         |brk AS (SELECT qid, vec_id, hamming, cos,
-         |          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
-         |        FROM brr)
-         |SELECT qid, vec_id, hamming, cos, CAST(rank AS BIGINT) AS rank
-         |FROM brk WHERE rank <= 5""".stripMargin,
+      s"""WITH ${binaryIvfSql("embeddings")}""".stripMargin,
+
+    // Maintained-mask-index mirror: the cluster-partitioned sidecar
+    // after partition-level CoW maintenance must equal the same chain
+    // built from scratch over the merged corpus (centroids stay the
+    // build-time quantizer — the standard fixed-coarse-quantizer IVF
+    // lifecycle, like sim_ivf_after_update).
+    "sim_binary_ivf_after_update" ->
+      s"""WITH upd AS (
+         |  SELECT a.vec_id, b.embedding
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         |  WHERE a.vec_id % 9 = 1),
+         |changed AS (
+         |  SELECT vec_id FROM upd
+         |  UNION SELECT vec_id FROM embeddings WHERE vec_id % 9 = 4),
+         |merged AS (
+         |  SELECT e.vec_id, e.embedding FROM embeddings e
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM changed)
+         |  UNION ALL SELECT vec_id, embedding FROM upd),
+         |${binaryIvfSql("merged")}""".stripMargin,
 
     // Maintained-mask mirror: stored masks ≡ masks over the merged
     // corpus (the maintenance law), so the oracle recomputes from
