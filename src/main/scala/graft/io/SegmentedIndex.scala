@@ -271,6 +271,25 @@ object SegmentedIndex {
     * same numbers. (Exact under double updates: every tombstone row
     * retires ONE previously-live version.) Families whose tombstones
     * carry no `dl` lose 0 tokens per tombstone. */
+  /** Accumulation readout of a segmented index — what a maintenance
+    * policy watches (the `MorTable.health` idea applied to the index
+    * families): committed segments (per-bucket FILE count, the probe's
+    * open cost), outstanding tombstone rows (the per-probe dead-row
+    * join side), live docs. Ledger/tombstone-sized reads only. */
+  final case class Health(segments: Long, tombstoneRows: Long, liveDocs: Long) {
+    /** Dead-mask rows per live doc — grows with churn, resets at
+      * compaction. */
+    def tombstoneFraction: Double =
+      if (liveDocs > 0L) tombstoneRows.toDouble / liveDocs
+      else if (tombstoneRows > 0L) 1.0 else 0.0
+  }
+
+  def health(spark: SparkSession, table: String): Health = {
+    val t = resolve(spark, table)
+    Health(ledger(spark, t).count(), tombstones(spark, t).count(),
+      liveLedgerStats(spark, t)._1)
+  }
+
   def liveLedgerStats(spark: SparkSession, physTable: String): (Long, Long) = {
     val l = ledger(spark, physTable)
       .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("total_tokens"), lit(0L)))

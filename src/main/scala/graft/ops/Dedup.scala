@@ -632,6 +632,25 @@ object Dedup {
       idCol, beforeCommit, afterCommit)
   }
 
+  /** Threshold-driven LSH-index maintenance — [[graft.GraftLake
+    * .maintainIfNeeded]]'s closed loop applied to the segmented index
+    * families: read the [[graft.io.SegmentedIndex.health]] ledger
+    * (segments ∝ per-bucket file count = probe open cost; tombstone
+    * fraction = per-probe dead-row join work) and run the family's
+    * crash-atomic [[compactLshIndex]] when either budget trips. Returns
+    * the PRE-maintenance health when it fired, None when within budget
+    * (O(ledger) — safe to check every delivery). */
+  def maintainLshIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                               table: String, buckets: Int,
+                               maxSegments: Long = 16L,
+                               maxTombstoneFraction: Double = 0.3)
+      : Option[graft.io.SegmentedIndex.Health] = {
+    val h = graft.io.SegmentedIndex.health(spark, table)
+    if (h.segments <= maxSegments && h.tombstoneFraction <= maxTombstoneFraction)
+      None
+    else { compactLshIndex(spark, table, buckets); Some(h) }
+  }
+
   /** Candidate near-dup pairs of a NEW batch against a persisted LSH
     * index: (id_new, id_corpus, est_jaccard). Sketch parameters must
     * match the ones the index was written with.

@@ -381,6 +381,19 @@ object Retrieval {
     * generation (old or new), never the mixed index the previous
     * multi-table swap could expose. Ledger stats re-baseline by the
     * same ledger-minus-tombstones arithmetic the probe uses. */
+  def maintainBm25IndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                                table: String, buckets: Int,
+                                maxSegments: Long = 16L,
+                                maxTombstoneFraction: Double = 0.3)
+      : Option[graft.io.SegmentedIndex.Health] = {
+    // the BM25 twin of Dedup.maintainLshIndexIfNeeded — one readout
+    // (SegmentedIndex.health), the family's own crash-atomic compact
+    val h = graft.io.SegmentedIndex.health(spark, table)
+    if (h.segments <= maxSegments && h.tombstoneFraction <= maxTombstoneFraction)
+      None
+    else { compactBm25Index(spark, table, buckets); Some(h) }
+  }
+
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        table: String, buckets: Int,
                        beforeCommit: () => Unit = () => (),

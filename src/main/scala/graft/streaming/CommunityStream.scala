@@ -67,6 +67,11 @@ object CommunityStream {
       .localCheckpoint(true)
     Dedup.updateLshIndex(spark, merged, idCol, textCol, opCol, lshTable,
       buckets = buckets, batchId = s"comm-stream-$batchId")
+    // index maintenance policy (the MOR auto-maintenance idea applied to
+    // the segmented index): O(ledger) when healthy, crash-atomic compact
+    // when segment/tombstone budgets trip — BEFORE the refresh so its
+    // probes read the compacted layout
+    Dedup.maintainLshIndexIfNeeded(spark, lshTable, buckets): Unit
     val fs = new org.apache.hadoop.fs.Path(commPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(commPath)))

@@ -76,6 +76,42 @@ class DedupMaintenanceSpec extends SparkSpec {
     dropIndex(t)
   }
 
+  test("maintenance policy fires exactly at the segment/tombstone budgets") {
+    val t = "lsh_maint_policy"
+    val SI = graft.io.SegmentedIndex
+    Dedup.writeLshIndex(base, "doc_id", "text", t, buckets = 4)
+    // healthy index: within both budgets → no-op, sidecars untouched
+    assert(Dedup.maintainLshIndexIfNeeded(spark, t, buckets = 4).isEmpty)
+    assert(SI.health(spark, t).segments == 1)
+    // churn: 5 small delete batches → 6 segments, tombstones accumulate
+    (1 to 5).foreach { i =>
+      val dels = base.where($"doc_id" % 50 === i.toLong)
+        .select($"doc_id", lit(null).cast("string").as("text"), lit("D").as("op"))
+      Dedup.updateLshIndex(spark, dels, "doc_id", "text", "op", t, 4,
+        batchId = s"p$i")
+    }
+    val before = cands(t)
+    val h = SI.health(spark, t)
+    assert(h.segments == 6 && h.tombstoneRows > 0)
+    // still within the default budgets (16 segments, 0.3 tombstones) —
+    // the policy must NOT fire...
+    assert(Dedup.maintainLshIndexIfNeeded(spark, t, buckets = 4).isEmpty)
+    assert(SI.health(spark, t) == h, "a no-op check must not touch the index")
+    // ...and must fire EXACTLY when the budget says, returning the
+    // pre-maintenance readout
+    val fired = Dedup.maintainLshIndexIfNeeded(spark, t, buckets = 4,
+      maxSegments = 5L)
+    assert(fired.contains(h))
+    val after = SI.health(spark, t)
+    assert(after.segments == 1 && after.tombstoneRows == 0,
+      s"compaction must re-flatten the ledger, got $after")
+    assert(cands(t) == before, "maintenance must not change probe results")
+    // flat again: an immediate re-check is a no-op
+    assert(Dedup.maintainLshIndexIfNeeded(spark, t, buckets = 4,
+      maxSegments = 5L).isEmpty)
+    dropIndex(t)
+  }
+
   test("replayed append no-ops (ledger-gated)") {
     val t = "lsh_maint_append"
     Dedup.writeLshIndex(base, "doc_id", "text", t, buckets = 4)
