@@ -271,6 +271,16 @@ object SegmentedIndex {
     * same numbers. (Exact under double updates: every tombstone row
     * retires ONE previously-live version.) Families whose tombstones
     * carry no `dl` lose 0 tokens per tombstone. */
+  /** True when the LOGICAL index exists — resolved through the
+    * generation pointer. After a compaction the plain-named gen-0
+    * tables are DROPPED, so a bare `catalog.tableExists(table)` reports
+    * a live (gen ≥ 1) index as missing — and a stream bootstrap that
+    * trusts it re-creates an empty index OVER the live one (data loss;
+    * caught by the r11 mid-stream maintenance spec). Every existence
+    * probe of a generation-pointer family must come through here. */
+  def exists(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(resolve(spark, table))
+
   /** Accumulation readout of a segmented index — what a maintenance
     * policy watches (the `MorTable.health` idea applied to the index
     * families): committed segments (per-bucket FILE count, the probe's

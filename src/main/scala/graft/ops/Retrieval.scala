@@ -387,7 +387,14 @@ object Retrieval {
                                 maxTombstoneFraction: Double = 0.3)
       : Option[graft.io.SegmentedIndex.Health] = {
     // the BM25 twin of Dedup.maintainLshIndexIfNeeded — one readout
-    // (SegmentedIndex.health), the family's own crash-atomic compact
+    // (SegmentedIndex.health), the family's own crash-atomic compact.
+    // Compaction REBASES the ledger (batch ids fold into __base), so a
+    // replayed delivery from before it re-applies: convergent for
+    // UPDATE-shaped batches (re-tombstone + re-upsert is latest-wins;
+    // ghost deletes are inert) — which is why the streaming hook lives
+    // in the CDC loops only. An APPEND-shaped replay would re-append
+    // its postings; run maintenance for append streams out-of-band,
+    // between checkpointed deliveries.
     val h = graft.io.SegmentedIndex.health(spark, table)
     if (h.segments <= maxSegments && h.tombstoneFraction <= maxTombstoneFraction)
       None

@@ -77,7 +77,7 @@ object DedupStream {
     val intraSurvivors = docs.join(intraLosers, Seq(idCol), "left_anti")
 
     // 2. cross-index: drop docs with an above-threshold corpus neighbor
-    val survivors = (if (spark.catalog.tableExists(indexTable)) {
+    val survivors = (if (graft.io.SegmentedIndex.exists(spark, indexTable)) {
       val crossLosers = Dedup.lshCandidatesAgainstIndex(spark, indexTable,
         intraSurvivors, idCol, textCol, shingleWords, k, bands, maxBucketSize)
         .where(col("est_jaccard") >= threshold && col("id_new") =!= col("id_corpus"))
@@ -91,7 +91,7 @@ object DedupStream {
     // so a replayed batch's append is a no-op (exactly-once; the
     // id-based self-match filter above remains for the pre-ledger
     // window between data commit and ledger commit).
-    if (spark.catalog.tableExists(indexTable))
+    if (graft.io.SegmentedIndex.exists(spark, indexTable))
       Dedup.appendToLshIndex(survivors, idCol, textCol, indexTable,
         buckets, shingleWords, k, bands, batchId = s"b$batchId")
     else

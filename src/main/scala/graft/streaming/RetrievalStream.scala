@@ -63,7 +63,11 @@ object RetrievalStream {
       buckets, batchId = s"b$batchId")
   }
 
-  /** One CDC batch — upserts + deletes folded into the live index. */
+  /** One CDC batch — upserts + deletes folded into the live index,
+    * then the threshold-driven maintenance check (O(ledger) when
+    * healthy; a high-churn stream otherwise accumulates segments and
+    * tombstones until an operator notices — the CommunityStream /
+    * MOR auto-maintenance loop applied here). */
   def cdcBatch(batch: DataFrame, batchId: Long, indexTable: String,
                idCol: String, textCol: String, opCol: String,
                buckets: Int): Unit = {
@@ -71,13 +75,17 @@ object RetrievalStream {
     bootstrap(spark, batch, idCol, textCol, indexTable, buckets)
     Retrieval.updateBm25Index(spark, batch, idCol, textCol, opCol,
       indexTable, buckets, batchId = s"b$batchId")
+    Retrieval.maintainBm25IndexIfNeeded(spark, indexTable, buckets): Unit
   }
 
   /** First contact: create the EMPTY index (base segment has no rows,
     * so every document enters through a batch-gated segment). */
   private def bootstrap(spark: SparkSession, batch: DataFrame, idCol: String,
                         textCol: String, table: String, buckets: Int): Unit =
-    if (!spark.catalog.tableExists(table))
+    // existence resolved through the generation pointer: a compaction
+    // drops the plain-named gen-0 tables, and a bare tableExists would
+    // make this bootstrap WIPE the live index with an empty rebuild
+    if (!graft.io.SegmentedIndex.exists(spark, table))
       Retrieval.writeBm25Index(batch.limit(0), idCol, textCol, table, buckets)
 
   /** The phrase (adjacent-bigram) index's streaming twin — same
@@ -97,7 +105,7 @@ object RetrievalStream {
   def phraseBatch(batch: DataFrame, batchId: Long, indexTable: String,
                   idCol: String, textCol: String, buckets: Int): Unit = {
     val spark = batch.sparkSession
-    if (!spark.catalog.tableExists(indexTable))
+    if (!graft.io.SegmentedIndex.exists(spark, indexTable))
       Retrieval.writePhraseIndex(batch.limit(0), idCol, textCol,
         indexTable, buckets)
     Retrieval.appendToPhraseIndex(spark, batch, idCol, textCol, indexTable,
@@ -110,7 +118,7 @@ object RetrievalStream {
                      idCol: String, textCol: String, opCol: String,
                      buckets: Int): Unit = {
     val spark = batch.sparkSession
-    if (!spark.catalog.tableExists(indexTable))
+    if (!graft.io.SegmentedIndex.exists(spark, indexTable))
       Retrieval.writePhraseIndex(batch.limit(0), idCol, textCol,
         indexTable, buckets)
     Retrieval.updatePhraseIndex(spark, batch, idCol, textCol, opCol,
