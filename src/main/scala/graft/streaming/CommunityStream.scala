@@ -32,7 +32,9 @@ object CommunityStream {
             idCol: String = "doc_id", textCol: String = "text",
             opCol: String = "op", buckets: Int = 8,
             trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Int = 100): StreamingQuery = {
+            maxFilesPerTrigger: Int = 100,
+            maintainEvery: Int = 1, maxSegments: Long = 16L,
+            maxTombstoneFraction: Double = 0.3): StreamingQuery = {
     val schema = spark.read.parquet(inputDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -45,8 +47,8 @@ object CommunityStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, lshTable, commPath,
-          idCol, textCol, opCol, buckets)
+        ingestBatch(batch, batchId, lshTable, commPath, idCol, textCol,
+          opCol, buckets, maintainEvery, maxSegments, maxTombstoneFraction)
       }
       .start()
   }
@@ -56,7 +58,9 @@ object CommunityStream {
     * callers (and the spec) drive the identical path. */
   def ingestBatch(batch: DataFrame, batchId: Long, lshTable: String,
                   commPath: String, idCol: String, textCol: String,
-                  opCol: String, buckets: Int): Unit = {
+                  opCol: String, buckets: Int, maintainEvery: Int = 1,
+                  maxSegments: Long = 16L,
+                  maxTombstoneFraction: Double = 0.3): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val w = org.apache.spark.sql.expressions.Window
@@ -68,10 +72,13 @@ object CommunityStream {
     Dedup.updateLshIndex(spark, merged, idCol, textCol, opCol, lshTable,
       buckets = buckets, batchId = s"comm-stream-$batchId")
     // index maintenance policy (the MOR auto-maintenance idea applied to
-    // the segmented index): O(ledger) when healthy, crash-atomic compact
-    // when segment/tombstone budgets trip — BEFORE the refresh so its
-    // probes read the compacted layout
-    Dedup.maintainLshIndexIfNeeded(spark, lshTable, buckets): Unit
+    // the segmented index), on the CdcStream maintainEvery cadence:
+    // O(ledger) when healthy, crash-atomic compact when segment/
+    // tombstone budgets trip — BEFORE the refresh so its probes read
+    // the compacted layout
+    if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+      Dedup.maintainLshIndexIfNeeded(spark, lshTable, buckets,
+        maxSegments, maxTombstoneFraction): Unit
     val fs = new org.apache.hadoop.fs.Path(commPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(commPath)))

@@ -42,15 +42,21 @@ object RetrievalStream {
     }
 
   /** CDC ingest: batches are merged change sets (≤ 1 row per id) with
-    * `opCol` = "D" for deletes; anything else upserts `textCol`. */
+    * `opCol` = "D" for deletes; anything else upserts `textCol`.
+    * `maintainEvery` is the [[CdcStream]] cadence contract applied to
+    * the index family: the O(ledger) threshold check runs every N
+    * micro-batches (0 = never — maintenance is then out-of-band). */
   def startCdc(spark: SparkSession, inputDir: String, indexTable: String,
                idCol: String, textCol: String, opCol: String,
                checkpoint: String, buckets: Int = 64,
                trigger: Trigger = Trigger.AvailableNow(),
-               maxFilesPerTrigger: Int = 100): StreamingQuery =
+               maxFilesPerTrigger: Int = 100, maintainEvery: Int = 1,
+               maxSegments: Long = 16L,
+               maxTombstoneFraction: Double = 0.3): StreamingQuery =
     IngestStream.start(spark, inputDir, s"bm25-cdc-$indexTable",
       checkpoint, trigger, maxFilesPerTrigger) { (batch, batchId) =>
-      cdcBatch(batch, batchId, indexTable, idCol, textCol, opCol, buckets)
+      cdcBatch(batch, batchId, indexTable, idCol, textCol, opCol, buckets,
+        maintainEvery, maxSegments, maxTombstoneFraction)
     }
 
   /** One append batch — also the batch-mode entry point (tests,
@@ -64,18 +70,23 @@ object RetrievalStream {
   }
 
   /** One CDC batch — upserts + deletes folded into the live index,
-    * then the threshold-driven maintenance check (O(ledger) when
-    * healthy; a high-churn stream otherwise accumulates segments and
-    * tombstones until an operator notices — the CommunityStream /
-    * MOR auto-maintenance loop applied here). */
+    * then (on the `maintainEvery` cadence, like [[CdcStream]]'s
+    * maintainTick) the threshold-driven maintenance check: O(ledger)
+    * when healthy, crash-atomic compact when a budget trips. A
+    * high-churn stream with `maintainEvery = 0` accumulates segments
+    * and tombstones until an operator compacts out-of-band. */
   def cdcBatch(batch: DataFrame, batchId: Long, indexTable: String,
                idCol: String, textCol: String, opCol: String,
-               buckets: Int): Unit = {
+               buckets: Int, maintainEvery: Int = 1,
+               maxSegments: Long = 16L,
+               maxTombstoneFraction: Double = 0.3): Unit = {
     val spark = batch.sparkSession
     bootstrap(spark, batch, idCol, textCol, indexTable, buckets)
     Retrieval.updateBm25Index(spark, batch, idCol, textCol, opCol,
       indexTable, buckets, batchId = s"b$batchId")
-    Retrieval.maintainBm25IndexIfNeeded(spark, indexTable, buckets): Unit
+    if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+      Retrieval.maintainBm25IndexIfNeeded(spark, indexTable, buckets,
+        maxSegments, maxTombstoneFraction): Unit
   }
 
   /** First contact: create the EMPTY index (base segment has no rows,
