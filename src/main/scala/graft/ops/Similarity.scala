@@ -2398,8 +2398,71 @@ object Similarity {
     val spark = indexed.sparkSession
     val seg0 = indexed.withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
     seg0.write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    // A fresh build invalidates any id->cluster map of a PREVIOUS build
+    // at this path — drop it (lazily rebuilt by the next update).
+    val mp = new org.apache.hadoop.fs.Path(idMapDir(dir))
+    mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, true)
     SI.pathInitLedger(spark, dir, seg0.count())
   }
+
+  // ---- id->cluster map sidecar (O(batch) impacted-cluster lookup) ----
+  //
+  // updateIvfIndexRows must know which cluster partitions hold the
+  // changed ids' OLD rows. Scanning the index's (cluster, id) columns is
+  // column-pruned but O(index id-column) PER DELIVERY — at 100 TB of
+  // index, every hourly batch re-reads the id column of everything. The
+  // sidecar persists (id, cluster) hash-partitioned into a fixed number
+  // of id buckets beside the index; a delivery computes its changed ids'
+  // buckets (batch-sized work), opens ONLY those `id_bucket=` partitions
+  // (static partition predicate — same pruning the probes use on
+  // `cluster=`), and rewrites only them (the same partition-level CoW as
+  // the index itself, so map maintenance is O(batch buckets) too). The
+  // map is maintained LAST (after the index rewrite, before the ledger
+  // row) so a crash replay recomputes the same impacted set from the
+  // pre-batch map and converges.
+
+  /** Id-bucket count of the map sidecar. Fixed at write time (the bucket
+    * of an id must be stable across deliveries); 256 partitions keeps
+    * each bucket ~corpus/256 — small enough that a delivery touching d
+    * distinct buckets reads d/256 of the (already id+cluster-pruned)
+    * map, large enough that dynamic-overwrite rewrites stay file-sized. */
+  private val IdMapBuckets = 256
+
+  private def idMapDir(dir: String): String =
+    dir.stripSuffix("/") + "_idmap"
+
+  private def idMapBucket(idc: Column): Column =
+    pmod(xxhash64(idc), lit(IdMapBuckets.toLong))
+
+  private def idMapExists(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(idMapDir(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && Option(
+      fs.globStatus(new org.apache.hadoop.fs.Path(p, "id_bucket=*")))
+      .exists(_.nonEmpty)
+  }
+
+  /** Build the sidecar whole from the live index — the one full
+    * (cluster, id)-column scan left in the lifecycle: it runs once per
+    * index (first update against a map-less index), after which every
+    * delivery's lookup is bucket-pruned. Also the backfill entry point
+    * for indexes written before the sidecar existed. */
+  def buildIvfIdMap(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    idCol: String): Unit =
+    spark.read.parquet(dir)
+      .select(col(idCol), col("cluster").cast("long").as("cluster"),
+        idMapBucket(col(idCol)).as("id_bucket"))
+      .write.mode("overwrite").partitionBy("id_bucket")
+      .parquet(idMapDir(dir))
+
+  /** The sidecar's id column name, recovered from its own schema (the
+    * one column that is not cluster/id_bucket) — append maintenance
+    * does not otherwise know it. */
+  private def idMapIdCol(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): String =
+    spark.read.parquet(idMapDir(dir)).schema.fieldNames
+      .filterNot(Set("cluster", "id_bucket")).head
 
   /** Append a batch to a persisted IVF index, exactly-once under
     * at-least-once delivery: ledger-gated on `batchId` (replay no-ops)
@@ -2421,6 +2484,18 @@ object Similarity {
     if (!ivfIndexExists(spark, dir) ||
         spark.read.parquet(dir).where(col(SI.SegCol) === seg).limit(1).isEmpty)
       tagged.write.mode("append").partitionBy("cluster").parquet(dir)
+    // Keep the id->cluster sidecar in lockstep (appended ids are NEW by
+    // this method's contract, so a plain bucket-partitioned append keeps
+    // one map row per id). A crash retry between this append and the
+    // ledger row may duplicate map rows — harmless for the DISTINCT
+    // cluster lookup, and folded away by the next update's bucket CoW.
+    if (idMapExists(spark, dir)) {
+      val mid = idMapIdCol(spark, dir)
+      tagged.select(col(mid), col("cluster").cast("long").as("cluster"),
+          idMapBucket(col(mid)).as("id_bucket"))
+        .write.mode("append").partitionBy("id_bucket")
+        .parquet(idMapDir(dir))
+    }
     SI.pathAppendLedger(spark, dir, seg, batchId, tagged.count())
   }
 
@@ -2438,14 +2513,15 @@ object Similarity {
 
   /** CDC maintenance of a persisted IVF index — partition-level
     * copy-on-write, the [[graft.io.CowWriter]] idea applied to the
-    * cluster layout: changed ids are located with a COLUMN-PRUNED scan
-    * (only the id column and the `cluster` partition value are read —
-    * at 100 TB the vectors dominate index bytes and are never touched),
+    * cluster layout: changed ids are located through the id->cluster
+    * map sidecar (its read prunes to the changed ids' `id_bucket=`
+    * partitions — O(batch buckets), never the index's id column; a
+    * map-less index backfills the sidecar once via [[buildIvfIdMap]]),
     * then ONLY the impacted cluster partitions are rewritten (old rows
     * anti-joined out, upserts re-assigned under the fixed coarse
     * quantizer and appended) via dynamic partition overwrite; a cluster
     * left empty is cleared explicitly (dynamic overwrite cannot express
-    * an empty partition). Cost is O(id column + impacted partitions),
+    * an empty partition). Cost is O(batch + impacted partitions),
     * not O(index). Re-clustering (new centroids) remains a rebuild —
     * the standard IVF lifecycle. `changes` is a merged change set (≤ 1
     * row per id), `opCol` = "D" deletes. Ledger-gated on `batchId`;
@@ -2480,10 +2556,18 @@ object Similarity {
           centroids, idCol, vecCol, cidCol)
         .select(col(idCol), col(vecCol), col("cluster")))
       .withColumn(SI.SegCol, lit(seg)).localCheckpoint(true)
-    // Impacted partitions: where changed ids live now (column-pruned
-    // scan) plus where upserts land.
-    val oldClusters = spark.read.parquet(dir)
-      .select(col("cluster").cast("long"), col(idCol))
+    // Impacted partitions: where changed ids live now, plus where
+    // upserts land. The "live now" lookup goes through the id->cluster
+    // map sidecar when present — its read is PRUNED to the changed ids'
+    // `id_bucket=` partitions, so the lookup is O(batch buckets), not
+    // O(index id-column). A map-less index (pre-sidecar build, or first
+    // update ever) pays the full scan ONCE to backfill the map.
+    if (!idMapExists(spark, dir)) buildIvfIdMap(spark, dir, idCol)
+    val changedBuckets = changedIds.select(idMapBucket(col(idCol)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted // <= IdMapBuckets values
+    val mapLive = spark.read.parquet(idMapDir(dir))
+      .where(col("id_bucket").isin(changedBuckets: _*))
+    val oldClusters = mapLive
       .join(broadcast(changedIds), Seq(idCol), "left_semi")
       .select("cluster").distinct().collect().map(_.getLong(0)).toSet
     val newClusters = assignedNew.select(col("cluster").cast("long"))
@@ -2503,6 +2587,27 @@ object Similarity {
       val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
       (impacted.toSet -- survivors).foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(base, s"cluster=$c"), true)
+      }
+      // Map maintenance LAST (same bucket-partitioned CoW): rewrite the
+      // changed ids' buckets with their old rows dropped and the
+      // upserts' fresh (id, cluster) rows in. Running after the index
+      // rewrite but before the ledger row means a crash replay still
+      // reads the PRE-batch map and recomputes the same impacted set.
+      val mapRewritten = mapLive
+        .join(broadcast(changedIds), Seq(idCol), "left_anti")
+        .unionByName(assignedNew.select(col(idCol),
+          col("cluster").cast("long").as("cluster"),
+          idMapBucket(col(idCol)).as("id_bucket")))
+        .localCheckpoint(true)
+      mapRewritten.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("id_bucket").parquet(idMapDir(dir))
+      val mapSurvivors = mapRewritten.select(col("id_bucket").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val mbase = new org.apache.hadoop.fs.Path(idMapDir(dir))
+      val mfs = mbase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (changedBuckets.toSet -- mapSurvivors).foreach { b =>
+        mfs.delete(new org.apache.hadoop.fs.Path(mbase, s"id_bucket=$b"), true)
       }
     }
     SI.pathAppendLedger(spark, dir, seg, batchId,

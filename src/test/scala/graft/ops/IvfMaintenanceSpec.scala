@@ -139,6 +139,93 @@ class IvfMaintenanceSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivf_reg_spec")
   }
 
+  test("maintenance reads ONLY the id-map buckets + impacted cluster partitions (O(batch) lookup)") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_omap").toString + "/idx"
+    Similarity.writeIvfIndex(indexRows(emb), dir)
+    // First update backfills the id->cluster sidecar (the ONE full scan
+    // left in the lifecycle) — run it before the listener attaches.
+    val warm = emb.where($"vec_id" === 3L)
+      .select($"vec_id", $"embedding", lit("U").as("op"))
+    Similarity.updateIvfIndex(spark, warm, cents, "vec_id", "embedding",
+      "cid", "op", dir, batchId = "warm")
+    val mapDir = dir + "_idmap"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(mapDir, "id_bucket=*")).nonEmpty)
+
+    // The measured delivery: move one vector, delete one.
+    val changedIds = Seq(30L, 35L)
+    val newVec = emb.where($"vec_id" === 200L)
+      .select("embedding").as[Seq[Float]].head()
+    val changes = emb.where($"vec_id" === 30L)
+      .select($"vec_id", typedLit(newVec).as("embedding"), lit("U").as("op"))
+      .unionByName(Seq((35L, "D")).toDF("vec_id", "op")
+        .withColumn("embedding", lit(null).cast(emb.schema("embedding").dataType))
+        .select("vec_id", "embedding", "op"))
+      .localCheckpoint(true)
+    // Expected impacted clusters: where 30/35 live now + where 30 lands.
+    val oldC = spark.read.parquet(dir).where($"vec_id".isin(changedIds: _*))
+      .select($"cluster".cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    val newC = Similarity.ivfAssign(changes.where($"op" =!= "D"), cents,
+        "vec_id", "embedding", "cid")
+      .select($"cluster".cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    val impacted = oldC ++ newC
+    val allClusters = fs.globStatus(new org.apache.hadoop.fs.Path(dir, "cluster=*"))
+      .map(_.getPath.getName.stripPrefix("cluster=").toLong).toSet
+    assert((allClusters -- impacted).nonEmpty,
+      "fixture must leave unimpacted clusters or the assert is vacuous")
+
+    val scanned = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      private def walk(p: SparkPlan): Unit = p.foreach {
+        case f: FileSourceScanExec =>
+          // selectedPartitions = files the scan actually opens AFTER
+          // partition pruning (inputFiles would list the whole index)
+          f.selectedPartitions.toPartitionArray
+            .foreach(pf => scanned.add(pf.urlEncodedPath))
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ =>
+      }
+      override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             ns: Long): Unit = walk(qe.executedPlan)
+      override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Similarity.updateIvfIndex(spark, changes, cents, "vec_id", "embedding",
+        "cid", "op", dir, batchId = "probe")
+      // listener delivery is async — drain until the impacted-cluster
+      // read surfaced (proves this update's events arrived)
+      val deadline = System.currentTimeMillis() + 20000
+      while (System.currentTimeMillis() < deadline &&
+             !scanned.asScala.exists(_.contains("cluster=")))
+        Thread.sleep(100)
+    } finally spark.listenerManager.unregister(listener)
+    val files = scanned.asScala.toSet
+    val indexClustersScanned = files
+      .filter(f => f.contains(dir) && f.contains("cluster="))
+      .map(f => "cluster=(\\d+)".r.findFirstMatchIn(f).get.group(1).toLong)
+    assert(indexClustersScanned.nonEmpty &&
+      indexClustersScanned.subsetOf(impacted),
+      s"index scan left the impacted set: $indexClustersScanned vs $impacted")
+    val mapBucketsScanned = files.filter(_.contains("id_bucket="))
+      .map(f => "id_bucket=(\\d+)".r.findFirstMatchIn(f).get.group(1).toLong)
+    assert(mapBucketsScanned.size <= changedIds.size,
+      s"map read not pruned to the changed ids' buckets: $mapBucketsScanned")
+    // contents still converge with a fresh build over the merged corpus
+    val merged = emb.where(!$"vec_id".isin(changedIds: _*))
+      .select("vec_id", "embedding")
+      .unionByName(changes.where($"op" =!= "D").select("vec_id", "embedding"))
+    val freshDir = java.nio.file.Files.createTempDirectory("ivf_omap_f").toString + "/idx"
+    Similarity.writeIvfIndex(indexRows(merged), freshDir)
+    assert(contents(dir) == contents(freshDir))
+  }
+
   test("a cluster emptied by deletes is cleared, not left stale") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_empty").toString + "/idx"
     val tiny = emb.where($"vec_id" < 50L)
