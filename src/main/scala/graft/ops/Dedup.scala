@@ -854,7 +854,22 @@ object Dedup {
     * gain, lose, merge or split; everything outside keeps its rows —
     * sound because [[communitiesLocal]]'s per-component normalization
     * makes untouched components label-invariant (the spec pins streamed
-    * ≡ from-scratch equality). Returns rows in the refreshed index. */
+    * ≡ from-scratch equality).
+    *
+    * The one way a pair of UNCHANGED docs can gain or lose an edge is a
+    * heavy-bucket CAP TRANSITION: a changed id's insert pushes a bucket
+    * past `maxBucketSize` (its pairs all vanish from the from-scratch
+    * set) or its delete drops one back under (pairs among the remaining
+    * members appear). Those buckets are detected conservatively —
+    * current live size vs the size the delivery could have moved it
+    * from, reconstructed from the changed ids' live AND dead rows — and
+    * every live member of a possibly-crossing bucket joins the affected
+    * seeds (a superset never hurts: its components are recomputed to
+    * the same rows). Because dead rows carry the evidence, call this
+    * BEFORE compacting the delivery's tombstones away
+    * ([[graft.streaming.CommunityStream]] orders refresh before
+    * maintenance for exactly this reason). Returns rows in the
+    * refreshed index. */
   def refreshCommunityIndex(spark: org.apache.spark.sql.SparkSession,
                             lshTable: String, path: String,
                             changedIds: DataFrame, k: Int = 16,
@@ -871,7 +886,42 @@ object Dedup {
       .where(col("est_jaccard") >= egThreshold)
       .select(col("id_a").as("x"), col("id_b").as("y"))
       .localCheckpoint(true)
-    val nodes = chg
+    // Cap-transition seeds: live members of buckets the delivery could
+    // have pushed across maxBucketSize (in either direction) — the only
+    // mechanism that changes pairs between UNCHANGED docs. n_prev is
+    // bracketed from the changed ids' live rows (inserts that could
+    // have pushed it over) and dead rows (removals that could have
+    // dropped it under); both bounds over-approximate, which only grows
+    // the recomputed-and-respliced set.
+    val capSeeds = {
+      val SI = graft.io.SegmentedIndex
+      val t = SI.resolve(spark, lshTable)
+      val idc = SI.idColOf(spark, t)
+      val all = graft.io.Bucketing.readBucketed(spark, t)
+      val liveAll = SI.dropDead(all, SI.tombstoneMax(spark, t, idc), idc)
+      val chgm = chg.select(col("doc_id").as(idc))
+      val chgAll = all.join(chgm, Seq(idc), "left_semi")
+        .groupBy("band_key").agg(count(lit(1)).as("n_all_chg"))
+      val chgLive = liveAll.join(chgm, Seq(idc), "left_semi")
+        .groupBy("band_key").agg(count(lit(1)).as("n_live_chg"))
+      val candLive = liveAll
+        .join(chgAll.select("band_key"), Seq("band_key"), "left_semi")
+      val crossing = candLive
+        .groupBy("band_key").agg(count(lit(1)).as("n_now"))
+        .join(chgAll, Seq("band_key"), "left")
+        .join(chgLive, Seq("band_key"), "left")
+        .na.fill(0L, Seq("n_all_chg", "n_live_chg"))
+        .withColumn("n_dead_chg", col("n_all_chg") - col("n_live_chg"))
+        .where((col("n_now") > maxBucketSize &&
+                col("n_now") - col("n_live_chg") <= maxBucketSize) ||
+               (col("n_now") <= maxBucketSize &&
+                col("n_now") + col("n_dead_chg") > maxBucketSize))
+        .select("band_key")
+      candLive.join(crossing, Seq("band_key"), "left_semi")
+        .select(col(idc).as("doc_id")).distinct()
+    }
+    val seeds = chg.unionByName(capSeeds).distinct().localCheckpoint(true)
+    val nodes = seeds
       .unionByName(inc.select(col("x").as("doc_id")))
       .unionByName(inc.select(col("y").as("doc_id")))
       .distinct()
@@ -885,10 +935,16 @@ object Dedup {
         .distinct(), "a", "b")
       .localCheckpoint(true)
     val affectedClusters = closure
-      .join(chg.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .join(seeds.select(col("doc_id").as("id")), Seq("id"), "left_semi")
       .select("cluster").distinct()
+    // seeds union: a cap-transition seed that was a SINGLETON before
+    // (absent from prev, so no membership star) never enters the
+    // closure graph — force it into the recompute set so pairs it just
+    // gained are found.
     val affectedNodes = closure
       .join(affectedClusters, Seq("cluster"), "left_semi").select("id")
+      .unionByName(seeds.select(col("doc_id").as("id")))
+      .distinct()
     val affectedComps = prevComp.select(col("comp")).distinct()
       .join(affectedNodes.select(col("id").as("comp")), Seq("comp"), "left_semi")
       .localCheckpoint(true)

@@ -71,14 +71,6 @@ object CommunityStream {
       .localCheckpoint(true)
     Dedup.updateLshIndex(spark, merged, idCol, textCol, opCol, lshTable,
       buckets = buckets, batchId = s"comm-stream-$batchId")
-    // index maintenance policy (the MOR auto-maintenance idea applied to
-    // the segmented index), on the CdcStream maintainEvery cadence:
-    // O(ledger) when healthy, crash-atomic compact when segment/
-    // tombstone budgets trip — BEFORE the refresh so its probes read
-    // the compacted layout
-    if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
-      Dedup.maintainLshIndexIfNeeded(spark, lshTable, buckets,
-        maxSegments, maxTombstoneFraction): Unit
     val fs = new org.apache.hadoop.fs.Path(commPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(commPath)))
@@ -86,5 +78,15 @@ object CommunityStream {
     else
       Dedup.refreshCommunityIndex(spark, lshTable, commPath,
         merged.select(col(idCol))): Unit
+    // index maintenance policy (the MOR auto-maintenance idea applied to
+    // the segmented index), on the CdcStream maintainEvery cadence:
+    // O(ledger) when healthy, crash-atomic compact when segment/
+    // tombstone budgets trip — AFTER the refresh, which needs the
+    // delivery's dead rows intact for cap-transition detection
+    // (refreshCommunityIndex scaladoc); the NEXT delivery's probes read
+    // the compacted layout.
+    if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+      Dedup.maintainLshIndexIfNeeded(spark, lshTable, buckets,
+        maxSegments, maxTombstoneFraction): Unit
   }
 }
