@@ -767,8 +767,34 @@ object Dedup {
     * pair) hold no rows, like the batch operator. */
   def communitiesLocal(pairs: DataFrame, idCol: String = "doc_id",
                        egThreshold: Double = 0.25,
-                       hiThreshold: Double = 0.75): DataFrame = {
+                       hiThreshold: Double = 0.75,
+                       localThreshold: Long = 200000L): DataFrame = {
     val p = pairs.localCheckpoint(true)
+    // Small graphs (bounded by localThreshold candidate pairs) solve on
+    // the DRIVER — union-find + the exact driver mirror of the level
+    // engine ([[Similarity.louvainHierarchyDriver]]) — in ~2 jobs
+    // instead of the ~100 tiny ones the distributed engine schedules.
+    // A delivery-sized refresh graph always lands here; corpus-scale
+    // builds exceed the bound and keep the distributed path. Labels are
+    // identical by construction (LouvainDriverSpec pins equality), so
+    // the gate is invisible to the splice law and the oracles.
+    if (p.count() <= localThreshold) {
+      val spark = p.sparkSession
+      import spark.implicits._
+      val rows = p.select(col("id_a").cast("long"), col("id_b").cast("long"),
+          col("est_jaccard").cast("double"))
+        .as[(Long, Long, Double)].collect()
+      val eg = rows.iterator.filter(_._3 >= egThreshold)
+        .map(r => (r._1, r._2)).toArray.distinct
+      val hi = rows.iterator.filter(_._3 >= hiThreshold)
+        .map(r => (r._1, r._2)).toArray.distinct
+      val compOf = unionFindDriver(eg)
+      val seed = unionFindDriver(hi)
+      val ls = Similarity.louvainHierarchyDriver(eg, seed, compOf, levels = 2)
+      return ls(0).keys.toSeq.sorted
+        .map(n => (n, compOf(n), ls(0)(n), ls(1)(n)))
+        .toDF(idCol, "comp", "comm1", "comm2")
+    }
     val eg = p.where(col("est_jaccard") >= egThreshold)
       .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
     val hi = p.where(col("est_jaccard") >= hiThreshold)
@@ -782,6 +808,27 @@ object Dedup {
       .join(ls(1).select(col("vec_id"), col("comm").as("comm2")), "vec_id")
       .join(compOf.select(col("n").as("vec_id"), col("comp")), "vec_id")
       .select(col("vec_id").as(idCol), col("comp"), col("comm1"), col("comm2"))
+  }
+
+  /** Min-id-root union-find over an in-memory edge array — the
+    * [[localUnionFind]] algorithm without the DataFrame shell, shared
+    * by [[communitiesLocal]]'s driver path. Returns node → component
+    * label (= min member id, the [[resolveClusters]] convention). */
+  private def unionFindDriver(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(id => id -> find(id)).toMap
   }
 
   /** Build the persisted community index from a persisted LSH index:
@@ -876,50 +923,75 @@ object Dedup {
                             maxBucketSize: Int = 1000,
                             egThreshold: Double = 0.25,
                             hiThreshold: Double = 0.75): Long = {
-    val prev = spark.read.parquet(path).localCheckpoint(true)
+    val prev = spark.read.parquet(path) // detached by `out`'s checkpoint
     val chg = changedIds.select(col(changedIds.columns.head).as("doc_id"))
       .distinct().localCheckpoint(true)
-    // new-graph eg-edges incident to changed ids (deleted ids hold no
-    // live band rows; their influence rides their old component)
-    val inc = livePairsInMemberBuckets(spark, lshTable, chg, k, maxBucketSize,
-        bothSides = false)
+    // ---- fused delivery-bucket pass -------------------------------
+    // ONE materialized frame (candLive) holds the live rows of every
+    // bucket that carries a changed id's rows — live OR dead — with the
+    // per-bucket live size and live-changed-row count as window
+    // columns. It feeds BOTH derivation products (the r11 verdict's
+    // job-floor finding: the refresh cost is action count, not data):
+    //  - inc: new-graph eg-edges incident to changed ids (deleted ids
+    //    hold no live band rows; their influence rides their old
+    //    component). The bucket set is a superset of the live-member
+    //    buckets; the endpoint semi-filters below make the pair set
+    //    identical to livePairsInMemberBuckets(chg, bothSides=false).
+    //  - capSeeds: live members of buckets the delivery could have
+    //    pushed across maxBucketSize (in either direction) — the only
+    //    mechanism that changes pairs between UNCHANGED docs. n_prev is
+    //    bracketed from the changed ids' live rows (inserts that could
+    //    have pushed it over) and dead rows (removals that could have
+    //    dropped it under); both bounds over-approximate, which only
+    //    grows the recomputed-and-respliced set.
+    val SI = graft.io.SegmentedIndex
+    val t = SI.resolve(spark, lshTable)
+    val idc = SI.idColOf(spark, t)
+    val W = org.apache.spark.sql.expressions.Window.partitionBy("band_key")
+    val all = graft.io.Bucketing.readBucketed(spark, t)
+    val liveAll = SI.dropDead(all, SI.tombstoneMax(spark, t, idc), idc)
+    val chgm = chg.select(col("doc_id").as(idc))
+    val chgBuckets = all.join(chgm, Seq(idc), "left_semi")
+      .groupBy("band_key").agg(count(lit(1)).as("n_all_chg"))
+      .localCheckpoint(true) // bounded by the delivery's band rows
+    val candLive = liveAll
+      .join(chgBuckets.select("band_key"), Seq("band_key"), "left_semi")
+      .join(chgm.withColumn("__isChg", lit(1L)), Seq(idc), "left")
+      .withColumn("bucket_n", count(lit(1)).over(W))
+      .withColumn("n_live_chg",
+        sum(coalesce(col("__isChg"), lit(0L))).over(W))
+      .select(col("band_key"), col(idc), col("signature"),
+        col("bucket_n"), col("n_live_chg"))
+      .localCheckpoint(true)
+    val sized = candLive.where(col("bucket_n") <= maxBucketSize)
+    val lhs = sized.select(col("band_key"), col(idc).as("id_a"),
+      col("signature").as("sig_a"))
+    val rhs = sized.select(col("band_key"), col(idc).as("id_b"),
+      col("signature").as("sig_b"))
+    val pairs = lhs.join(rhs, "band_key").where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
+      .distinct()
+    val inc = pairs
+      .join(chg.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      .unionByName(pairs
+        .join(chg.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi"))
+      .distinct()
       .where(col("est_jaccard") >= egThreshold)
       .select(col("id_a").as("x"), col("id_b").as("y"))
-      .localCheckpoint(true)
-    // Cap-transition seeds: live members of buckets the delivery could
-    // have pushed across maxBucketSize (in either direction) — the only
-    // mechanism that changes pairs between UNCHANGED docs. n_prev is
-    // bracketed from the changed ids' live rows (inserts that could
-    // have pushed it over) and dead rows (removals that could have
-    // dropped it under); both bounds over-approximate, which only grows
-    // the recomputed-and-respliced set.
-    val capSeeds = {
-      val SI = graft.io.SegmentedIndex
-      val t = SI.resolve(spark, lshTable)
-      val idc = SI.idColOf(spark, t)
-      val all = graft.io.Bucketing.readBucketed(spark, t)
-      val liveAll = SI.dropDead(all, SI.tombstoneMax(spark, t, idc), idc)
-      val chgm = chg.select(col("doc_id").as(idc))
-      val chgAll = all.join(chgm, Seq(idc), "left_semi")
-        .groupBy("band_key").agg(count(lit(1)).as("n_all_chg"))
-      val chgLive = liveAll.join(chgm, Seq(idc), "left_semi")
-        .groupBy("band_key").agg(count(lit(1)).as("n_live_chg"))
-      val candLive = liveAll
-        .join(chgAll.select("band_key"), Seq("band_key"), "left_semi")
-      val crossing = candLive
-        .groupBy("band_key").agg(count(lit(1)).as("n_now"))
-        .join(chgAll, Seq("band_key"), "left")
-        .join(chgLive, Seq("band_key"), "left")
-        .na.fill(0L, Seq("n_all_chg", "n_live_chg"))
-        .withColumn("n_dead_chg", col("n_all_chg") - col("n_live_chg"))
-        .where((col("n_now") > maxBucketSize &&
-                col("n_now") - col("n_live_chg") <= maxBucketSize) ||
-               (col("n_now") <= maxBucketSize &&
-                col("n_now") + col("n_dead_chg") > maxBucketSize))
-        .select("band_key")
-      candLive.join(crossing, Seq("band_key"), "left_semi")
-        .select(col(idc).as("doc_id")).distinct()
-    }
+      .localCheckpoint(true) // reused by nodes AND the closure edges
+    val crossing = candLive.groupBy("band_key")
+      .agg(max("bucket_n").as("n_now"), max("n_live_chg").as("n_live_chg"))
+      .join(chgBuckets, Seq("band_key"), "left")
+      .na.fill(0L, Seq("n_all_chg"))
+      .withColumn("n_dead_chg", col("n_all_chg") - col("n_live_chg"))
+      .where((col("n_now") > maxBucketSize &&
+              col("n_now") - col("n_live_chg") <= maxBucketSize) ||
+             (col("n_now") <= maxBucketSize &&
+              col("n_now") + col("n_dead_chg") > maxBucketSize))
+      .select("band_key")
+    val capSeeds = candLive.join(crossing, Seq("band_key"), "left_semi")
+      .select(col(idc).as("doc_id")).distinct()
     val seeds = chg.unionByName(capSeeds).distinct().localCheckpoint(true)
     val nodes = seeds
       .unionByName(inc.select(col("x").as("doc_id")))
@@ -947,7 +1019,7 @@ object Dedup {
       .distinct()
     val affectedComps = prevComp.select(col("comp")).distinct()
       .join(affectedNodes.select(col("id").as("comp")), Seq("comp"), "left_semi")
-      .localCheckpoint(true)
+      .localCheckpoint(true) // reused by members and the final anti-join
     val members = prev.join(affectedComps, Seq("comp"), "left_semi")
       .select("doc_id")
       .unionByName(affectedNodes.select(col("id").as("doc_id")))

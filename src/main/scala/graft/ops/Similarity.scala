@@ -2242,6 +2242,89 @@ object Similarity {
     out.result()
   }
 
+  /** Driver-side mirror of [[louvainLabelsLocal]] for SMALL graphs —
+    * the [[graft.ops.Dedup]] localUnionFind idea applied to the whole
+    * hierarchy engine: identical move rule (gain_num = 2·m·links −
+    * k_i·c_excl on exact longs), identical tie-break (max gain, then
+    * min community id), per-component m, bounded fixed-point rounds
+    * (early exit ≡ remaining rounds — a fixed point reproduces itself,
+    * the same pinned contract as the distributed engine), coarsening
+    * with weight conservation and singleton restart. Labels are
+    * BYTE-IDENTICAL to the distributed engine (LouvainDriverSpec pins
+    * set equality), so [[graft.ops.Dedup.communitiesLocal]] can route a
+    * delivery-sized refresh graph here — collapsing the ~100 tiny
+    * Spark jobs of the distributed level engine into zero. Callers
+    * gate on edge count; this holds the graph in driver memory. */
+  private[graft] def louvainHierarchyDriver(
+      eg: Array[(Long, Long)], seed0: Map[Long, Long],
+      compOf: Map[Long, Long], levels: Int = 2,
+      roundsPerLevel: Int = 2): Seq[Map[Long, Long]] = {
+    var e: Map[(Long, Long), Long] = eg.iterator.map { case (a, b) =>
+      (math.min(a, b), math.max(a, b)) -> 1L }.toMap
+    var seeds = seed0
+    var mapping: Map[Long, Long] = null
+    val out = Seq.newBuilder[Map[Long, Long]]
+    for (l <- 1 to levels) {
+      val lab = louvainMoveRoundsDriver(e, seeds, compOf, roundsPerLevel)
+      mapping =
+        if (l == 1) lab
+        else mapping.map { case (v, c) => v -> lab(c) }
+      out += mapping
+      if (l < levels) {
+        e = e.toSeq.map { case ((a, b), w) =>
+          val (ca, cb) = (lab(a), lab(b))
+          (math.min(ca, cb), math.max(ca, cb)) -> w
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        seeds = Map.empty // singleton restart
+      }
+    }
+    out.result()
+  }
+
+  private def louvainMoveRoundsDriver(e: Map[(Long, Long), Long],
+                                      seeds: Map[Long, Long],
+                                      compOf: Map[Long, Long],
+                                      rounds: Int): Map[Long, Long] = {
+    val dir = e.toSeq.collect { case ((a, b), w) if a != b =>
+      Seq((a, b, w), (b, a, w)) }.flatten
+    val selfw: Map[Long, Long] =
+      e.collect { case ((a, b), w) if a == b => a -> 2L * w }
+    val dirDeg = dir.groupMapReduce(_._1)(_._3)(_ + _)
+    val nodes = dirDeg.keySet ++ selfw.keySet
+    val deg: Map[Long, Long] = nodes.iterator.map(n =>
+      n -> (dirDeg.getOrElse(n, 0L) + selfw.getOrElse(n, 0L))).toMap
+    val mPer = e.toSeq.groupMapReduce(x => compOf(x._1._1))(_._2)(_ + _)
+    val bySrc = dir.groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3))).toMap
+    var lab: Map[Long, Long] = nodes.iterator.map(n =>
+      n -> seeds.getOrElse(n, n)).toMap
+    var prev: Map[Long, Long] = null
+    var r = 0
+    while (r < rounds && lab != prev) {
+      prev = lab
+      val sumdeg = lab.toSeq.groupMapReduce(_._2)(x => deg(x._1))(_ + _)
+      val cur = lab
+      lab = nodes.iterator.map { src =>
+        val own = cur(src)
+        val links = scala.collection.mutable.HashMap[Long, Long](own -> 0L)
+        bySrc.getOrElse(src, Nil).foreach { case (dst, w) =>
+          val c = cur(dst); links.update(c, links.getOrElse(c, 0L) + w) }
+        val m = mPer(compOf(src))
+        val ki = deg(src)
+        var bestC = Long.MaxValue
+        var bestG = Long.MinValue
+        links.foreach { case (cand, l) =>
+          val cExcl = sumdeg(cand) - (if (cand == own) ki else 0L)
+          val g = 2L * m * l - ki * cExcl
+          if (g > bestG || (g == bestG && cand < bestC)) { bestG = g; bestC = cand }
+        }
+        src -> bestC
+      }.toMap
+      r += 1
+    }
+    lab
+  }
+
   /** Two-level Louvain as one frame — the `sim_louvain_levels` query
     * surface: `(vec_id, comm1, comm2)`, comm2 composed back through
     * comm1. Two levels is where the method earns its name over one

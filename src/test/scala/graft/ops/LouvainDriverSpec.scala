@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The driver-side hierarchy path ([[Dedup.communitiesLocal]] under the
+  * localThreshold gate → [[Similarity.louvainHierarchyDriver]]) must be
+  * LABEL-IDENTICAL to the distributed level engine — same move rule,
+  * tie-breaks, per-component m, round bound, coarsening — or the
+  * refresh splice law silently breaks when a graph crosses the gate. */
+class LouvainDriverSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select("doc_id", "comp", "comm1", "comm2")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("driver hierarchy == distributed hierarchy on real candidate pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    assert(pairs.count() > 50, "fixture must produce a non-trivial graph")
+    val viaDriver = rows(Dedup.communitiesLocal(pairs))
+    val viaCluster = rows(Dedup.communitiesLocal(pairs, localThreshold = -1L))
+    assert(viaDriver == viaCluster && viaDriver.nonEmpty)
+  }
+
+  test("driver hierarchy == distributed on an adversarial synthetic graph " +
+      "(multi-component, chain + clique + self-coarsened loops)") {
+    // two components: a 6-clique chained to a path (forces moves + a
+    // second level with self-loops), and a separate triangle pair
+    val clique = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b, 1.0)
+    val chain = Seq((6L, 7L, 0.3), (7L, 8L, 0.3), (8L, 9L, 0.3), (9L, 10L, 0.3))
+    val tri = Seq((20L, 21L, 1.0), (21L, 22L, 1.0), (20L, 22L, 1.0),
+      (22L, 23L, 0.3), (23L, 24L, 0.9), (24L, 25L, 0.9), (23L, 25L, 0.9))
+    val pairs = (clique ++ chain ++ tri)
+      .toDF("id_a", "id_b", "est_jaccard").localCheckpoint(true)
+    val viaDriver = rows(Dedup.communitiesLocal(pairs))
+    val viaCluster = rows(Dedup.communitiesLocal(pairs, localThreshold = -1L))
+    assert(viaDriver == viaCluster && viaDriver.nonEmpty)
+  }
+}
