@@ -65,10 +65,10 @@ final case class TableConfig(
   require(!(patchUpdates && mergeOnRead),
     "patchUpdates requires copy-on-write storage (mergeOnRead=false)")
   // the clause fold needs the matched (t, c) pair — patch folds erase
-  // it, and the MOR commit path never reads the target at all
-  require(updateWhen.isEmpty || (!patchUpdates && !mergeOnRead),
-    "updateWhen requires whole-row copy-on-write merges " +
-      "(patchUpdates=false, mergeOnRead=false)")
+  // it. MOR tables support the guard too (MorTable.merge evaluates it
+  // against the live view — the documented keyed target probe).
+  require(updateWhen.isEmpty || !patchUpdates,
+    "updateWhen requires whole-row merges (patchUpdates=false)")
   require(updateWhen.forall(_.trim.nonEmpty),
     "updateWhen must be a non-empty SQL boolean expression")
   def hasPrimaryKey: Boolean = primaryKeys.nonEmpty

@@ -104,7 +104,8 @@ object CdcPipeline {
       if (format == "parquet") base.withColumn(RowIdx, col("_metadata.row_index"))
       else base.withColumn(RowIdx,
         struct(col("_metadata.file_block_start"), monotonically_increasing_id()))
-    val b = MorTable.mergeTagged(spark, tagged, outPath, cfg.primaryKeys)
+    val b = MorTable.mergeTagged(spark, tagged, outPath, cfg.primaryKeys,
+      updateWhen = cfg.updateWhen.map(org.apache.spark.sql.functions.expr))
     MergeStats(morBatchRows(spark, outPath, b), Nil, insertOnly = false)
   }
 
@@ -219,7 +220,9 @@ object CdcPipeline {
           0L
         } else MorTable.merge(spark, changes, outPath, pks,
           intraFileOrder = Seq(col(RowIdx)),
-          provenanceCols = Seq(SrcFile, RowIdx))
+          provenanceCols = Seq(SrcFile, RowIdx),
+          updateWhen = cfg.updateWhen
+            .map(org.apache.spark.sql.functions.expr))
       MergeStats(morBatchRows(spark, outPath, b), Nil, insertOnly = false)
     } else {
       val pks = cfg.primaryKeys

@@ -64,4 +64,68 @@ object ExternalCatalog {
     spark.catalog.refreshTable(name)
     name
   }
+
+  // ---- registration marker (path -> name reverse lookup) ----
+  //
+  // A probe that only holds the DIRECTORY cannot know a registration
+  // exists without scanning the whole catalog. The marker — one tiny
+  // sibling file, `<dir>_catalog` — records the registered name, so
+  // readers route through the metastore (partition pruning from catalog
+  // metadata: no directory listing, no parallelPartitionDiscovery job
+  // above the threshold) whenever a registration exists, and fall back
+  // to the path read otherwise. Sibling suffix, not an underscore
+  // subdirectory, for the same reason as the ledger: Spark's source
+  // path filter must not see it.
+
+  private def markerPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "_catalog")
+
+  private[graft] def writeMarker(spark: SparkSession, dir: String,
+                                 name: String): Unit = {
+    val p = markerPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The registered table name of `dir`, when a registration marker
+    * exists AND the catalog entry is live AND still points at this
+    * directory (a reused name routes back to the path read instead of
+    * answering from someone else's data). One FS stat on the common
+    * path; used by every probe-side read. */
+  def registeredName(spark: SparkSession, dir: String): Option[String] = {
+    val p = markerPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val name =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val catalog = spark.sessionState.catalog
+    if (name.isEmpty || !catalog.tableExists(TableIdentifier(name))) None
+    else {
+      val meta = catalog.getTableMetadata(TableIdentifier(name))
+      val same = new org.apache.hadoop.fs.Path(meta.location).toUri.getPath ==
+        new org.apache.hadoop.fs.Path(dir).toUri.getPath
+      if (same) Some(name) else None
+    }
+  }
+
+  /** Precise partition sync after a maintenance batch — the O(impacted)
+    * alternative to a full MSCK: ADD the partitions the batch created,
+    * DROP the ones it emptied, refresh cached listings. No-op when the
+    * directory has no live registration. */
+  def syncPartitions(spark: SparkSession, dir: String, partCol: String,
+                     added: Iterable[Long], dropped: Iterable[Long]): Unit =
+    registeredName(spark, dir).foreach { name =>
+      if (added.nonEmpty)
+        spark.sql(added.map(v => s"PARTITION (`$partCol`=$v)")
+          .mkString(s"ALTER TABLE `$name` ADD IF NOT EXISTS ", " ", ""))
+      dropped.foreach(v =>
+        spark.sql(s"ALTER TABLE `$name` DROP IF EXISTS PARTITION (`$partCol`=$v)"))
+      spark.catalog.refreshTable(name)
+    }
 }

@@ -316,11 +316,23 @@ object MorTable {
     * O(batch) regardless of target size — the property that makes MOR
     * the right format for high-churn CDC at 100 TB (MorTableSpec pins
     * it: the merge's executed plans scan zero target data files).
-    */
+    *
+    * `updateWhen` is the conditional-merge guard (the
+    * [[graft.cdc.Merge.mergeConditionalSequenced]] clause, aliases
+    * `t`/`c`): a matched non-delete winner whose guard is false or
+    * UNKNOWN is REJECTED whole — no data row appended, no equality
+    * entry, so the target row stays live. The matched pair cannot be
+    * derived from sidecars, so a GUARDED merge reads the live target
+    * restricted to the batch's keys — the one documented exception to
+    * zero-target-I/O commits (still no rewrite; cost is a keyed probe
+    * per conditional batch, and unconditional merges keep the
+    * zero-scan plan assert). Deletes and inserts ride unconditionally,
+    * exactly like the CoW clause fold. */
   def merge(spark: SparkSession, changes: DataFrame, path: String, pks: Seq[String],
             intraFileOrder: Seq[Column] = Nil,
             maxRecordsPerFile: Long = CowWriter.DefaultMaxRecordsPerFile,
-            provenanceCols: Seq[String] = Nil): Long = {
+            provenanceCols: Seq[String] = Nil,
+            updateWhen: Option[Column] = None): Long = {
     require(pks.nonEmpty, "merge-on-read requires primary keys")
     withWriterLock(spark, path) {
     val b = committedBatches(spark, path).lastOption
@@ -334,15 +346,30 @@ object MorTable {
     val winners = sequenced.withColumn("__rnk", row_number().over(w))
       .where(col("__rnk") === 1)
       .drop("__rnk", Merge.FileSeq, Merge.RowNum)
+    // Conditional clause: matched non-delete winners failing the guard
+    // drop out of BOTH sidecars (keep-target). UNKNOWN = not matched by
+    // the clause = keep, like SQL MERGE (the CoW coalesce rule).
+    val rejected = updateWhen.map { g =>
+      val t = read(spark, path).alias("t")
+      val c = winners.where(col(Op.column) =!= Op.Delete).alias("c")
+      val on = pks.map(k => col(s"t.$k") <=> col(s"c.$k")).reduce(_ && _)
+      c.join(t, on, "inner")
+        .where(!coalesce(g, lit(false)))
+        .select(pks.map(k => col(s"c.$k").as(k)): _*)
+        .localCheckpoint(true) // one target probe feeds both anti-joins
+    }
     // Surviving winners are appended (minus any ordering-only provenance
     // columns — they must never reach the lake); a winning delete only
     // supersedes.
-    val appended = winners.where(col(Op.column) =!= Op.Delete)
-      .drop(provenanceCols: _*)
+    val appended0 = winners.where(col(Op.column) =!= Op.Delete)
+    val appended = rejected.fold(appended0)(r =>
+      appended0.join(r, pks, "left_anti")).drop(provenanceCols: _*)
     // Every key the batch touches supersedes its older generations
-    // (update, delete, re-insert alike). The key set IS the equality
+    // (update, delete, re-insert alike) — except guard-rejected keys,
+    // whose target row must stay live. The key set IS the equality
     // sidecar — no target scan to locate positions.
-    val keys = sequenced.select(pks.map(col): _*).distinct()
+    val keys0 = sequenced.select(pks.map(col): _*).distinct()
+    val keys = rejected.fold(keys0)(r => keys0.join(r, pks, "left_anti"))
 
     writeBatchData(appended, path, b, maxRecordsPerFile)
     keys.write.mode("overwrite").parquet(s"${delEqDir(path)}/batch=$b")
@@ -438,7 +465,8 @@ object MorTable {
     * physically duplicated rows that are fully superseded and swept by
     * the next [[vacuum]]. */
   def mergeTagged(spark: SparkSession, tagged: DataFrame, path: String,
-                  pks: Seq[String]): Long = {
+                  pks: Seq[String],
+                  updateWhen: Option[Column] = None): Long = {
     import spark.implicits._
     val files = tagged.select(CdcPipeline.SrcFile).distinct()
       .as[String].collect().sorted.toSeq
@@ -448,7 +476,8 @@ object MorTable {
     val changes = tagged.join(broadcast(seqDf), CdcPipeline.SrcFile)
     merge(spark, changes, path, pks,
       intraFileOrder = Seq(col(CdcPipeline.RowIdx)),
-      provenanceCols = Seq(CdcPipeline.SrcFile, CdcPipeline.RowIdx))
+      provenanceCols = Seq(CdcPipeline.SrcFile, CdcPipeline.RowIdx),
+      updateWhen = updateWhen)
   }
 
   /** Positions of rows masked by the equality sidecar but not by the

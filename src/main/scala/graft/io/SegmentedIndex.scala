@@ -296,8 +296,11 @@ object SegmentedIndex {
 
   def health(spark: SparkSession, table: String): Health = {
     val t = resolve(spark, table)
-    Health(ledger(spark, t).count(), tombstones(spark, t).count(),
-      liveLedgerStats(spark, t)._1)
+    // seg >= 0: batch-id memo rows (seg -1, written by compact) are
+    // replay memory, not segments — counting them would trip the
+    // maintenance threshold forever after the first compaction.
+    Health(ledger(spark, t).where(col("seg") >= 0L).count(),
+      tombstones(spark, t).count(), liveLedgerStats(spark, t)._1)
   }
 
   def liveLedgerStats(spark: SparkSession, physTable: String): (Long, Long) = {
@@ -356,8 +359,23 @@ object SegmentedIndex {
     }
     val ledT = ledgerTable(next)
     Bucketing.clearOrphanLocation(spark, ledT)
+    // Batch-id MEMORY survives the rebase: every batch id the old
+    // ledger knew re-appears as a zero-contribution memo row at seg -1,
+    // so an APPEND-shaped delivery replayed from before the compaction
+    // still no-ops through hasBatch (previously only update-shaped
+    // replays converged — re-appending postings was the documented
+    // exactly-once hole). Memo rows are invisible to the stats
+    // (n_docs = total_tokens = 0), to nextSeg (max ignores -1 next to
+    // the base row's 0) and to health (segments counts seg >= 0 only);
+    // the set is bounded by lifetime delivery count — a few bytes each.
+    val memo = spark.table(ledgerTable(cur))
+      .where(col("batch_id") =!= BaseBatch)
+      .select(lit(-1L).as("seg"), col("batch_id"), lit(0L).as("n_docs"),
+        lit(0L).as("total_tokens"), lit(ledgerIdCol).as("id_col"))
+      .distinct()
     Seq((0L, BaseBatch, nd, tt, ledgerIdCol))
       .toDF("seg", "batch_id", "n_docs", "total_tokens", "id_col")
+      .unionByName(memo)
       .coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(ledT)
     beforeCommit()
     commitGen(spark, table, gen + 1L)

@@ -388,13 +388,11 @@ object Retrieval {
       : Option[graft.io.SegmentedIndex.Health] = {
     // the BM25 twin of Dedup.maintainLshIndexIfNeeded — one readout
     // (SegmentedIndex.health), the family's own crash-atomic compact.
-    // Compaction REBASES the ledger (batch ids fold into __base), so a
-    // replayed delivery from before it re-applies: convergent for
-    // UPDATE-shaped batches (re-tombstone + re-upsert is latest-wins;
-    // ghost deletes are inert) — which is why the streaming hook lives
-    // in the CDC loops only. An APPEND-shaped replay would re-append
-    // its postings; run maintenance for append streams out-of-band,
-    // between checkpointed deliveries.
+    // Compaction rebases the ledger but KEEPS batch-id memory (seg -1
+    // memo rows, SegmentedIndex.compact), so a delivery replayed from
+    // before it no-ops for BOTH batch shapes — append-shaped replays
+    // are exactly-once too, and the maintenance hook is safe inside
+    // any checkpointed loop.
     val h = graft.io.SegmentedIndex.health(spark, table)
     if (h.segments <= maxSegments && h.tombstoneFraction <= maxTombstoneFraction)
       None

@@ -2579,6 +2579,14 @@ object Similarity {
         .write.mode("append").partitionBy("id_bucket")
         .parquet(idMapDir(dir))
     }
+    // Registered index: the appended clusters' partition entries must
+    // exist before the next catalog-routed probe (guarded so the
+    // cluster-list collect never runs for unregistered indexes).
+    if (graft.io.ExternalCatalog.registeredName(spark, dir).isDefined)
+      graft.io.ExternalCatalog.syncPartitions(spark, dir, "cluster",
+        added = tagged.select(col("cluster").cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSeq,
+        dropped = Nil)
     SI.pathAppendLedger(spark, dir, seg, batchId, tagged.count())
   }
 
@@ -2671,6 +2679,10 @@ object Similarity {
       (impacted.toSet -- survivors).foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(base, s"cluster=$c"), true)
       }
+      // Registered index: keep the catalog's partition entries exact —
+      // O(impacted) ALTERs, never a full MSCK per delivery.
+      graft.io.ExternalCatalog.syncPartitions(spark, dir, "cluster",
+        added = survivors -- oldClusters, dropped = impacted.toSet -- survivors)
       // Map maintenance LAST (same bucket-partitioned CoW): rewrite the
       // changed ids' buckets with their old rows dropped and the
       // upserts' fresh (id, cluster) rows in. Running after the index
@@ -2725,15 +2737,33 @@ object Similarity {
     * directories a partition rewrite deleted). The data directory is
     * never touched (EXTERNAL) — registration is metadata-only. */
   def registerIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                       dir: String, name: String): String =
-    graft.io.ExternalCatalog.registerParquetDir(spark, name, dir, Seq("cluster"))
+                       dir: String, name: String): String = {
+    val n = graft.io.ExternalCatalog.registerParquetDir(spark, name, dir,
+      Seq("cluster"))
+    // marker: probes holding only the directory route through the
+    // catalog from now on (readIvfIndex), and maintenance keeps the
+    // partition entries in sync (updateIvfIndexRows/appendToIvfIndex)
+    graft.io.ExternalCatalog.writeMarker(spark, dir, n)
+    n
+  }
 
-  /** Read back only the probed clusters of a persisted IVF index — the
-    * `cluster` filter is a static partition predicate, so planning opens
-    * only the matching `cluster=` directories. */
+  /** Read back only the probed clusters of a persisted IVF index. With
+    * a live registration ([[registerIvfIndex]]'s marker) the read goes
+    * through the METASTORE: partition pruning happens on catalog
+    * metadata, so no directory-listing job runs — above
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold`
+    * directories a path-based read pays a distributed listing job
+    * scaling with cluster count (the SCALE.md r11 finding), which at
+    * 100 TB runs on EVERY probe. Unregistered indexes keep the
+    * path-based read, where the `cluster` filter is a static partition
+    * predicate (only matching `cluster=` directories open). Results are
+    * identical (spec-pinned). */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                    clusters: Seq[Long]): DataFrame =
-    spark.read.parquet(dir).where(col("cluster").isin(clusters: _*))
+    graft.io.ExternalCatalog.registeredName(spark, dir) match {
+      case Some(name) => spark.table(name).where(col("cluster").isin(clusters: _*))
+      case None => spark.read.parquet(dir).where(col("cluster").isin(clusters: _*))
+    }
 
   /** The distinct clusters a query batch probes at `nprobe` — a tiny
     * driver-side list (≤ queries·nprobe ids, bounded by k_clusters) that

@@ -261,6 +261,22 @@ object CdcQueries {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")),
 
+    // The conditional clause through the MERGE-ON-READ format — format
+    // choice must not change guard semantics (cdc_merge_conditional's
+    // oracle, verbatim): MorTable.merge evaluates the matched (t, c)
+    // pair against the live view (the one documented keyed target probe
+    // of the MOR commit path) and a rejected winner leaves NEITHER a
+    // data row NOR an equality entry, so the target row stays live.
+    "cdc_merge_conditional_mor" -> ((s, dir) => {
+      val base = QueryTmp.dir("mor_cond") + "/t"
+      graft.io.MorTable.init(s, target(s, dir), base)
+      graft.io.MorTable.merge(s, changes(s, dir), base, Seq("o_orderkey"),
+        updateWhen = Some(col("t.o_orderstatus") =!= "F"))
+      graft.io.MorTable.read(s, base)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+    }),
+
     // The expectation suite AGAINST THE LAKE — run the dq_orders_suite
     // rules on the post-ingest merged table instead of the pristine
     // snapshot: the update feed writes statuses ('X'/'Y') outside the
@@ -667,6 +683,39 @@ object CdcQueries {
     // clause routing spelled out over a FULL OUTER JOIN (keys are
     // non-null in the fixture, so key nullity is the presence marker).
     "cdc_merge_conditional" ->
+      s"""$fixtureSql,
+         | win AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY file_seq DESC) AS rn
+         |    FROM changes) WHERE rn = 1
+         |), j AS (
+         |  SELECT
+         |    t.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL AS matched,
+         |    t.o_orderkey IS NULL AS only_c, c.o_orderkey IS NULL AS only_t,
+         |    c."Op" AS c_op,
+         |    t.o_orderkey AS t1, t.o_custkey AS t2, t.o_orderstatus AS t3,
+         |    t.o_totalprice AS t4, t.o_orderdate AS t5, t.o_orderpriority AS t6,
+         |    c.o_orderkey AS c1, c.o_custkey AS c2, c.o_orderstatus AS c3,
+         |    c.o_totalprice AS c4, c.o_orderdate AS c5, c.o_orderpriority AS c6
+         |  FROM target t FULL OUTER JOIN win c ON t.o_orderkey = c.o_orderkey
+         |), r AS (
+         |  SELECT *,
+         |    (matched AND c_op <> 'D' AND t3 <> 'F') OR (only_c AND c_op <> 'D') AS take_c,
+         |    only_t OR (matched AND NOT (c_op = 'D') AND NOT (c_op <> 'D' AND t3 <> 'F')) AS keep_t
+         |  FROM j)
+         |SELECT
+         |  CASE WHEN take_c THEN c1 ELSE t1 END AS o_orderkey,
+         |  CASE WHEN take_c THEN c2 ELSE t2 END AS o_custkey,
+         |  CASE WHEN take_c THEN c3 ELSE t3 END AS o_orderstatus,
+         |  CASE WHEN take_c THEN c4 ELSE t4 END AS o_totalprice,
+         |  CASE WHEN take_c THEN c5 ELSE t5 END AS o_orderdate,
+         |  CASE WHEN take_c THEN c6 ELSE t6 END AS o_orderpriority
+         |FROM r WHERE take_c OR keep_t""".stripMargin,
+
+    // the MOR twin answers from the same merged state: the guard clause
+    // is format-independent, so the oracle is cdc_merge_conditional's
+    // verbatim
+    "cdc_merge_conditional_mor" ->
       s"""$fixtureSql,
          | win AS (
          |  SELECT * FROM (

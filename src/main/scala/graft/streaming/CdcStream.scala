@@ -134,7 +134,8 @@ object CdcStream {
   def startMor(spark: SparkSession, tableDir: String, outPath: String, pks: Seq[String],
                checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
                maxFilesPerTrigger: Int = 100, maintainEvery: Int = 0,
-               maxAmplification: Double = GraftLake.DefaultMaxAmplification): StreamingQuery = {
+               maxAmplification: Double = GraftLake.DefaultMaxAmplification,
+               updateWhen: Option[String] = None): StreamingQuery = {
     require(pks.nonEmpty, "merge-on-read requires primary keys")
     val schema = sourceSchema(spark, tableDir)
     val stream = spark.readStream
@@ -151,7 +152,9 @@ object CdcStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          graft.io.MorTable.mergeTagged(batch.sparkSession, batch, outPath, pks): Unit
+          graft.io.MorTable.mergeTagged(batch.sparkSession, batch, outPath, pks,
+            updateWhen = updateWhen
+              .map(org.apache.spark.sql.functions.expr)): Unit
         maintainTick(batch.sparkSession, outPath, mor = true,
           pks, batchId, maintainEvery, maxAmplification)
       }

@@ -48,11 +48,13 @@ object DedupStream {
             shingleWords: Int = 3, k: Int = 16, bands: Int = 4,
             maxBucketSize: Int = 1000,
             trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Int = 100): StreamingQuery =
+            maxFilesPerTrigger: Int = 100,
+            maintainEvery: Int = 1): StreamingQuery =
     IngestStream.start(spark, inputDir, s"dedup-ingest-$indexTable",
       checkpoint, trigger, maxFilesPerTrigger) { (batch, batchId) =>
       ingestBatch(batch, batchId, cleanDir, indexTable, idCol, textCol,
-        threshold, buckets, shingleWords, k, bands, maxBucketSize)
+        threshold, buckets, shingleWords, k, bands, maxBucketSize,
+        maintainEvery)
     }
 
   /** One batch of the loop — also the batch-mode entry point (callable
@@ -63,7 +65,8 @@ object DedupStream {
   def ingestBatch(batch: DataFrame, batchId: Long, cleanDir: String,
                   indexTable: String, idCol: String, textCol: String,
                   threshold: Double, buckets: Int, shingleWords: Int,
-                  k: Int, bands: Int, maxBucketSize: Int): Unit = {
+                  k: Int, bands: Int, maxBucketSize: Int,
+                  maintainEvery: Int = 1): Unit = {
     val spark = batch.sparkSession
     // The batch feeds intra-pair generation, the index join, and the
     // final writes — materialize once (eager, cleaner-reclaimed).
@@ -97,6 +100,12 @@ object DedupStream {
     else
       Dedup.writeLshIndex(survivors, idCol, textCol, indexTable,
         buckets, shingleWords, k, bands)
+    // Threshold maintenance on the CdcStream maintainEvery cadence —
+    // safe inside the checkpointed loop even for this APPEND-shaped
+    // stream: compaction keeps batch-id memory (seg -1 memo rows), so
+    // a replayed pre-compaction delivery still no-ops.
+    if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+      Dedup.maintainLshIndexIfNeeded(spark, indexTable, buckets): Unit
   }
 
   /** The clean corpus the stream maintains (partition column dropped). */

@@ -233,6 +233,61 @@ class MorTableSpec extends SparkSpec {
       "a vacuum consolidation commit must emit no feed rows")
   }
 
+  test("conditional merge (updateWhen): guard semantics identical to the CoW clause; stream ≡ batch") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.Trigger
+    val guard = col("t.v") =!= "v0" // key 0's row is immutable until first changed
+    val b1 = batch(1L, Seq(("U", 0L, "u0"), ("U", 2L, "u2"), ("D", 1L, "x"),
+      ("I", 100L, "n100")))
+    val b2 = batch(2L, Seq(("U", 0L, "w0"), ("U", 2L, "w2")))
+
+    // batch path: one guarded MOR merge per delivery == sequential CoW
+    // conditional merges over the same deliveries
+    val base = tmp()
+    MorTable.init(spark, snapshot, base)
+    MorTable.merge(spark, b1, base, Seq("k"), updateWhen = Some(guard))
+    val cow1 = Merge.mergeConditional(snapshot, b1, Seq("k"), Nil, guard)
+    assert(asSet(MorTable.read(spark, base)) == asSet(cow1))
+    // key 0 kept its target row (guard false), key 2 took the update,
+    // the delete and insert rode unconditionally
+    val st1 = MorTable.read(spark, base).select("k", "v").as[(Long, String)]
+      .collect().toMap
+    assert(st1(0L) == "v0" && st1(2L) == "u2" && !st1.contains(1L) &&
+      st1(100L) == "n100")
+    MorTable.merge(spark, b2, base, Seq("k"), updateWhen = Some(guard))
+    val cow2 = Merge.mergeConditional(cow1, b2, Seq("k"), Nil, guard)
+    assert(asSet(MorTable.read(spark, base)) == asSet(cow2))
+    // key 0 still guarded; key 2's second update passes (t.v = u2 now)
+    val st2 = MorTable.read(spark, base).select("k", "v").as[(Long, String)]
+      .collect().toMap
+    assert(st2(0L) == "v0" && st2(2L) == "w2")
+
+    // streaming twin: the same two deliveries through startMor's
+    // updateWhen reach the identical state
+    val raw = Files.createTempDirectory("morCondRaw").toString + "/db/t"
+    val sBase = tmp()
+    val ckpt = Files.createTempDirectory("morCondCkpt").toString
+    MorTable.init(spark, snapshot, sBase)
+    def writeFile(df: DataFrame, name: String): Unit = {
+      val stage = Files.createTempDirectory("stage").toString
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage)
+      val fs = new Path(raw).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.mkdirs(new Path(raw))
+      fs.rename(part, new Path(s"$raw/$name"))
+      fs.delete(new Path(stage), true)
+    }
+    writeFile(b1.drop(Merge.FileSeq), "20260815-000001.parquet")
+    writeFile(b2.drop(Merge.FileSeq), "20260815-000002.parquet")
+    graft.streaming.CdcStream.startMor(spark, raw, sBase, Seq("k"), ckpt,
+      Trigger.AvailableNow(), maxFilesPerTrigger = 1,
+      updateWhen = Some("t.v <> 'v0'"))
+      .awaitTermination()
+    assert(asSet(MorTable.read(spark, sBase)) == asSet(cow2),
+      "stream with updateWhen must converge to the sequential guarded batch state")
+  }
+
   test("streaming MOR: file-stream deliveries ≡ the CoW batch merge") {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.streaming.Trigger

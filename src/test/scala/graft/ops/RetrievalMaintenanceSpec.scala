@@ -147,7 +147,7 @@ class RetrievalMaintenanceSpec extends SparkSpec {
     // post-compaction physical tables live under the committed generation
     val SI = graft.io.SegmentedIndex
     assert(SI.tombstones(spark, t).count() == 0)
-    assert(SI.ledger(spark, t).count() == 1)
+    assert(SI.ledger(spark, t).where(col("seg") >= 0L).count() == 1)
     assert(spark.table(SI.resolve(spark, t)).where(col("__seg") =!= 0L).count() == 0)
     dropIndex(t)
   }
@@ -178,12 +178,12 @@ class RetrievalMaintenanceSpec extends SparkSpec {
     Retrieval.compactPhraseIndex(spark, t, buckets = 4)
     val SI = graft.io.SegmentedIndex
     assert(SI.tombstones(spark, t).count() == 0)
-    assert(SI.ledger(spark, t).count() == 1)
+    assert(SI.ledger(spark, t).where(col("seg") >= 0L).count() == 1)
     // the re-baselined n_docs recounts live ids from the surviving
     // bigram rows — docs holding >= 1 bigram (writePhraseIndex's
     // membership rule: single-token docs are not index members). All 5
     // merged fixture docs have >= 2 tokens, so all 5 count here.
-    assert(SI.ledger(spark, t).select("n_docs").head().getLong(0) == 5L)
+    assert(SI.ledger(spark, t).where(col("seg") >= 0L).select("n_docs").head().getLong(0) == 5L)
     assert(spark.table(SI.resolve(spark, t)).where(col("__seg") =!= 0L).count() == 0)
     assert(probeP() == recompute(merged))
     (Seq(t, t + "_tombstones", t + "_segments", SI.genPointerTable(t)) ++

@@ -93,6 +93,34 @@ class MidStreamCompactionSpec extends SparkSpec {
     dropFamily(t)
   }
 
+  test("append-shaped replay from BEFORE a compaction is exactly-once (batch-id memory)") {
+    val t = s"bm25_memo_${System.nanoTime()}"
+    val b1 = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "alpha delta"), (4L, "epsilon zeta")).toDF("doc_id", "text")
+    RetrievalStream.ingestBatch(b1, 0L, t, "doc_id", "text", buckets = 2)
+    RetrievalStream.ingestBatch(b2, 1L, t, "doc_id", "text", buckets = 2)
+    val want = key(Retrieval.bm25TopK(b1.union(b2), q,
+      "doc_id", "text", "qid", "qtext", k = 10))
+
+    Retrieval.compactBm25Index(spark, t, buckets = 2)
+    assert(SegmentedIndex.currentGen(spark, t) >= 1L)
+    // the rebased ledger reports ONE segment (memo rows are replay
+    // memory, not segments — health must not trip maintenance forever)
+    assert(SegmentedIndex.health(spark, t).segments == 1L)
+
+    // crash replay of the PRE-compaction delivery 1: previously this
+    // re-appended its postings (the ledger rebase forgot the batch id);
+    // now the seg -1 memo row makes it a no-op
+    RetrievalStream.ingestBatch(b2, 1L, t, "doc_id", "text", buckets = 2)
+    assert(key(Retrieval.bm25AgainstIndex(spark, t, q, "qid", "qtext", k = 10)) == want,
+      "replayed pre-compaction append must not duplicate postings")
+    // and batch-id memory survives a SECOND compaction too
+    Retrieval.compactBm25Index(spark, t, buckets = 2)
+    RetrievalStream.ingestBatch(b2, 1L, t, "doc_id", "text", buckets = 2)
+    assert(key(Retrieval.bm25AgainstIndex(spark, t, q, "qid", "qtext", k = 10)) == want)
+    dropFamily(t)
+  }
+
   test("LSH dedup stream survives a mid-stream compaction (cross-index memory kept)") {
     val t = s"lsh_midc_${System.nanoTime()}"
     val clean = Files.createTempDirectory("lshmidc").toString + "/clean"
