@@ -123,12 +123,15 @@ object Similarity {
              vecCol: String, qidCol: String, k: Int, bits: Int): DataFrame = {
     val bc = bucketed(corpus, vecCol, bits).select(col(idCol), col(vecCol).as("__cvec"), col("bucket"))
     val probes = (0 until bits).map(j => col("bucket").bitwiseXOR(1L << j))
-    // probe the BASE frame (cheapest possible evaluation, cacheable
-    // across calls); the (1+bits)x multiprobe expansion is bounded
+    // gate on the EXPLODED frame, not the base queries: what broadcasts
+    // is the (1+bits)x multiprobe expansion, so near the row cap with
+    // large `bits` a base-frame probe would under-model the actual
+    // broadcast bits-fold. The probe result caches per plan
+    // (semanticHash), so a recall curve's repeat calls stay one probe.
     val bq0 = bucketed(queries, vecCol, bits)
       .withColumn("bucket", explode(array(col("bucket") +: probes: _*)))
       .select(col(qidCol), col(vecCol).as("__qvec"), col("bucket"))
-    val bq = if (underBroadcastCap(queries)) broadcast(bq0) else bq0
+    val bq = if (underBroadcastCap(bq0)) broadcast(bq0) else bq0
     val scored = bc.join(bq, "bucket")
       .where(col(qidCol) =!= col(idCol))
       .select(col(qidCol), col(idCol), cosine(col("__qvec"), col("__cvec")).as("cos"))
@@ -291,14 +294,17 @@ object Similarity {
                    idCol: String, vecCol: String, qidCol: String, cidCol: String,
                    k: Int, shortlist: Int = 20, nprobe: Int = 1): DataFrame = {
     require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1: $shortlist, $k")
-    // ONE size probe covers both query-side hints, like binaryKnnPreMasked
+    // rerank-side hint gates on the base queries (one row per query);
+    // the mask side is nprobe-EXPLODED, so it gates on its own frame
+    // (the annKnn rule — the probe caches per plan)
     val qSmall = underBroadcastCap(queries)
     def gb(df: DataFrame): DataFrame = if (qSmall) broadcast(df) else df
-    val qm = gb(
+    val qm0 =
       binaryMasks(ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe),
           vecCol)
         .select(col(qidCol), col("cluster").cast("long").as("cluster"),
-          col("mask_lo").as("__qlo"), col("mask_hi").as("__qhi")))
+          col("mask_lo").as("__qlo"), col("mask_hi").as("__qhi"))
+    val qm = if (underBroadcastCap(qm0)) broadcast(qm0) else qm0
     val masks = readIvfIndex(spark, maskDir,
         probedClusters(queries, centroids, qidCol, vecCol, cidCol, nprobe))
       .select(col(idCol), col("cluster").cast("long").as("cluster"),
@@ -402,9 +408,9 @@ object Similarity {
     val bc = assigned.select(col(idCol), col(vecCol).as("__cvec"), col("cluster"))
     val bq0 = ivfAssignTop(queries, centroids, qidCol, vecCol, cidCol, nprobe)
       .select(col(qidCol), col(vecCol).as("__qvec"), col("cluster"))
-    // probe the base frame: the nprobe expansion is bounded and the
-    // probe then hits the session cache across a recall curve's calls
-    val bq = if (underBroadcastCap(queries)) broadcast(bq0) else bq0
+    // gate on the nprobe-exploded frame itself (the annKnn rule): the
+    // probe result caches per plan, so a recall curve's calls reuse it
+    val bq = if (underBroadcastCap(bq0)) broadcast(bq0) else bq0
     val scored = bc.join(bq, "cluster")
       .where(col(qidCol) =!= col(idCol))
       .select(col(qidCol), col(idCol), cosine(col("__qvec"), col("__cvec")).as("cos"))
