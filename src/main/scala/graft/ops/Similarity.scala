@@ -2510,24 +2510,56 @@ object Similarity {
   // row) so a crash replay recomputes the same impacted set from the
   // pre-batch map and converges.
 
-  /** Id-bucket count of the map sidecar. Fixed at write time (the bucket
-    * of an id must be stable across deliveries); 256 partitions keeps
-    * each bucket ~corpus/256 — small enough that a delivery touching d
-    * distinct buckets reads d/256 of the (already id+cluster-pruned)
-    * map, large enough that dynamic-overwrite rewrites stay file-sized. */
-  private val IdMapBuckets = 256
+  /** Id-bucket count of a map sidecar — chosen at BUILD time from the
+    * index size (~1M map rows per bucket, floor 16, cap 1024) and
+    * STORED in the map's own `_nbuckets` meta file (underscore-hidden
+    * from parquet readers): the bucket of an id must be stable across
+    * deliveries, so every later lookup/rewrite reads the stored count.
+    * Size-adaptive matters at both ends: a fixed large count makes
+    * every delivery pay per-partition commit overhead proportional to
+    * the count (the r12 bench regression — 256 directory commits for a
+    * 5k-row fixture), while a fixed small count makes a 100 TB map's
+    * per-bucket read too coarse. */
+  private def chooseIdMapBuckets(indexRows: Long): Int =
+    math.min(1024L, math.max(16L, indexRows / 1000000L + 1L)).toInt
 
   private def idMapDir(dir: String): String =
     dir.stripSuffix("/") + "_idmap"
 
-  private def idMapBucket(idc: Column): Column =
-    pmod(xxhash64(idc), lit(IdMapBuckets.toLong))
+  private def idMapMetaPath(dir: String) =
+    new org.apache.hadoop.fs.Path(idMapDir(dir), "_nbuckets")
+
+  private def writeIdMapMeta(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, n: Int): Unit = {
+    val p = idMapMetaPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The bucket count this map was built with (from its meta file). */
+  private def idMapBucketsOf(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Int = {
+    val p = idMapMetaPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    finally in.close()
+  }
+
+  private def idMapBucket(idc: Column, nBuckets: Int): Column =
+    pmod(xxhash64(idc), lit(nBuckets.toLong))
 
   private def idMapExists(spark: org.apache.spark.sql.SparkSession,
                           dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(idMapDir(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && Option(
+    // the meta file commits the build (written LAST): data dirs without
+    // it are a crashed backfill — treated as absent, the retry's static
+    // overwrite converges
+    fs.exists(p) && fs.exists(idMapMetaPath(dir)) && Option(
       fs.globStatus(new org.apache.hadoop.fs.Path(p, "id_bucket=*")))
       .exists(_.nonEmpty)
   }
@@ -2538,12 +2570,20 @@ object Similarity {
     * delivery's lookup is bucket-pruned. Also the backfill entry point
     * for indexes written before the sidecar existed. */
   def buildIvfIdMap(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    idCol: String): Unit =
-    spark.read.parquet(dir)
-      .select(col(idCol), col("cluster").cast("long").as("cluster"),
-        idMapBucket(col(idCol)).as("id_bucket"))
+                    idCol: String): Unit = {
+    val rows = spark.read.parquet(dir).select(col(idCol),
+      col("cluster").cast("long").as("cluster")).localCheckpoint(true)
+    val n = chooseIdMapBuckets(rows.count())
+    rows.select(col(idCol), col("cluster"),
+        idMapBucket(col(idCol), n).as("id_bucket"))
+      // one shuffle keyed by bucket -> ONE file per bucket directory;
+      // writing straight from the scan's N partitions sprays up to
+      // N x nBuckets tiny files (the r12 bench regression)
+      .repartition(col("id_bucket"))
       .write.mode("overwrite").partitionBy("id_bucket")
       .parquet(idMapDir(dir))
+    writeIdMapMeta(spark, dir, n)
+  }
 
   /** The sidecar's id column name, recovered from its own schema (the
     * one column that is not cluster/id_bucket) — append maintenance
@@ -2580,8 +2620,10 @@ object Similarity {
     // cluster lookup, and folded away by the next update's bucket CoW.
     if (idMapExists(spark, dir)) {
       val mid = idMapIdCol(spark, dir)
+      val n = idMapBucketsOf(spark, dir)
       tagged.select(col(mid), col("cluster").cast("long").as("cluster"),
-          idMapBucket(col(mid)).as("id_bucket"))
+          idMapBucket(col(mid), n).as("id_bucket"))
+        .repartition(col("id_bucket")) // one file per touched bucket
         .write.mode("append").partitionBy("id_bucket")
         .parquet(idMapDir(dir))
     }
@@ -2660,8 +2702,10 @@ object Similarity {
     // O(index id-column). A map-less index (pre-sidecar build, or first
     // update ever) pays the full scan ONCE to backfill the map.
     if (!idMapExists(spark, dir)) buildIvfIdMap(spark, dir, idCol)
-    val changedBuckets = changedIds.select(idMapBucket(col(idCol)).as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted // <= IdMapBuckets values
+    val nBuckets = idMapBucketsOf(spark, dir)
+    val changedBuckets = changedIds
+      .select(idMapBucket(col(idCol), nBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted // <= nBuckets values
     val mapLive = spark.read.parquet(idMapDir(dir))
       .where(col("id_bucket").isin(changedBuckets: _*))
     val oldClusters = mapLive
@@ -2698,9 +2742,10 @@ object Similarity {
         .join(broadcast(changedIds), Seq(idCol), "left_anti")
         .unionByName(assignedNew.select(col(idCol),
           col("cluster").cast("long").as("cluster"),
-          idMapBucket(col(idCol)).as("id_bucket")))
+          idMapBucket(col(idCol), nBuckets).as("id_bucket")))
         .localCheckpoint(true)
-      mapRewritten.write.mode("overwrite")
+      mapRewritten.repartition(col("id_bucket")) // one file per bucket
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("id_bucket").parquet(idMapDir(dir))
       val mapSurvivors = mapRewritten.select(col("id_bucket").cast("long"))
