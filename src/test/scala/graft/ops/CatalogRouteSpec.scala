@@ -97,4 +97,30 @@ class CatalogRouteSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ivf_cat_route_spec")
     }
   }
+
+  test("an append creating a NEW cluster partition syncs the catalog entry") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cat_app").toString + "/m"
+    val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding", "cid")
+      .select($"vec_id", $"embedding", $"cluster").localCheckpoint(true)
+    // base index misses one whole cluster; the append introduces it
+    val clusters = assigned.select($"cluster".cast("long")).distinct()
+      .as[Long].collect().sorted
+    assert(clusters.length >= 2, "fixture needs >= 2 clusters")
+    val missing = clusters.last
+    Similarity.writeIvfIndex(assigned.where($"cluster".cast("long") =!= missing), dir)
+    Similarity.registerIvfIndex(spark, dir, "ivf_cat_append_spec")
+    try {
+      assert(spark.table("ivf_cat_append_spec")
+        .where($"cluster".cast("long") === missing).isEmpty)
+      Similarity.appendToIvfIndex(spark,
+        assigned.where($"cluster".cast("long") === missing), dir, "a1")
+      // the catalog-routed read must see the appended partition with NO
+      // re-registration (maintenance synced the entry)
+      val got = spark.table("ivf_cat_append_spec")
+        .where($"cluster".cast("long") === missing).count()
+      val want = assigned.where($"cluster".cast("long") === missing).count()
+      assert(got == want && got > 0,
+        s"appended partition invisible through the catalog: $got vs $want")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_cat_append_spec")
+  }
 }

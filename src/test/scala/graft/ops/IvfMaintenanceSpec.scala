@@ -226,6 +226,32 @@ class IvfMaintenanceSpec extends SparkSpec {
     assert(contents(dir) == contents(freshDir))
   }
 
+  test("a crashed id-map backfill (data without meta) reads as absent; the retry converges") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_meta").toString + "/idx"
+    Similarity.writeIvfIndex(indexRows(emb.where($"vec_id" < 100L)), dir)
+    val changes = emb.where($"vec_id" === 7L)
+      .select($"vec_id", $"embedding", lit("D").as("op"))
+    Similarity.updateIvfIndex(spark, changes, cents, "vec_id", "embedding",
+      "cid", "op", dir, "m1")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: map data committed, meta write lost
+    val meta = new org.apache.hadoop.fs.Path(dir + "_idmap", "_nbuckets")
+    assert(fs.exists(meta))
+    fs.delete(meta, false)
+    // the next delivery must treat the map as absent (re-backfill) and
+    // still converge with a fresh build over the merged corpus
+    val changes2 = emb.where($"vec_id" === 9L)
+      .select($"vec_id", $"embedding", lit("D").as("op"))
+    Similarity.updateIvfIndex(spark, changes2, cents, "vec_id", "embedding",
+      "cid", "op", dir, "m2")
+    assert(fs.exists(meta), "retry must recommit the meta file")
+    val freshDir = java.nio.file.Files.createTempDirectory("ivf_meta_f").toString + "/idx"
+    Similarity.writeIvfIndex(
+      indexRows(emb.where($"vec_id" < 100L && !$"vec_id".isin(7L, 9L))), freshDir)
+    assert(contents(dir) == contents(freshDir))
+  }
+
   test("a cluster emptied by deletes is cleared, not left stale") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_empty").toString + "/idx"
     val tiny = emb.where($"vec_id" < 50L)

@@ -27,6 +27,32 @@ class LouvainDriverSpec extends SparkSpec {
     assert(viaDriver == viaCluster && viaDriver.nonEmpty)
   }
 
+  test("driver hierarchy == distributed on seeded random graphs (property sweep)") {
+    // deterministic LCG so the sweep is reproducible; mixes densities,
+    // multi-component splits and threshold strata (est in {4..16}/16)
+    var state = 0x9e3779b97f4a7c15L
+    def next(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % bound + bound) % bound).toInt
+    }
+    for (case_ <- 1 to 6) {
+      val nodes = 8 + next(30)
+      val nEdges = nodes + next(3 * nodes)
+      val pairs = (1 to nEdges).flatMap { _ =>
+        val a = next(nodes).toLong; val b = next(nodes).toLong
+        if (a == b) None
+        else Some((math.min(a, b), math.max(a, b), (4 + next(13)) / 16.0))
+      }.distinct
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("id_a", "id_b", "est_jaccard").localCheckpoint(true)
+        val viaDriver = rows(Dedup.communitiesLocal(df))
+        val viaCluster = rows(Dedup.communitiesLocal(df, localThreshold = -1L))
+        assert(viaDriver == viaCluster,
+          s"case $case_ diverged (nodes=$nodes edges=${pairs.size})")
+      }
+    }
+  }
+
   test("driver hierarchy == distributed on an adversarial synthetic graph " +
       "(multi-component, chain + clique + self-coarsened loops)") {
     // two components: a 6-clique chained to a path (forces moves + a
