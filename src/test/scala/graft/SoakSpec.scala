@@ -62,4 +62,51 @@ class SoakSpec extends SparkSpec {
     val files = new java.io.File(lake).listFiles().count(_.getName.endsWith(".parquet"))
     assert(files <= 16, s"file count $files not bounded")
   }
+
+  test("conditional MOR soak: 12 guarded merges + threshold maintenance stay consistent with a model") {
+    // the round-12 CDC surface end-to-end: updateWhen on a merge-on-read
+    // table (matched rows whose CURRENT value is 'locked' reject
+    // updates, deletes/inserts ride), with the auto-maintenance loop
+    // firing mid-soak (compact + vacuum through maintainIfNeeded) —
+    // guard decisions must survive the rewrite.
+    import graft.cdc.Merge
+    import graft.io.MorTable
+    val base = Files.createTempDirectory("morSoak").toString + "/t"
+    val rnd = new scala.util.Random(7)
+    val guard = col("t.v") =!= "locked"
+
+    var model = (1 to 150).map(i => i.toLong -> s"v$i").toMap
+    MorTable.init(spark, model.toSeq.sortBy(_._1)
+      .map { case (id, v) => ("I", id, v) }.toDF("Op", "id", "v"), base)
+
+    var maintenanceFired = 0
+    (1 to 12).foreach { batch =>
+      val live = model.keys.toSeq.sorted
+      val upd = rnd.shuffle(live).take(12).map { id =>
+        val v = if (rnd.nextInt(5) == 0) "locked" else s"b$batch-$id"
+        ("U", id, v)
+      }
+      val del = rnd.shuffle(live.diff(upd.map(_._2))).take(3).map(id => ("D", id, "x"))
+      val ins = (1 to 3).map(i => ("I", 10000L + batch * 10 + i, s"new$batch-$i"))
+      val ops = rnd.shuffle(upd ++ del ++ ins)
+      MorTable.merge(spark,
+        ops.toDF("Op", "id", "v").withColumn(Merge.FileSeq, lit(batch.toLong)),
+        base, Seq("id"), updateWhen = Some(guard))
+      ops.foreach {
+        case ("D", id, _) => model -= id
+        case ("U", id, v) => if (model(id) != "locked") model += id -> v
+        case ("I", id, v) => model += id -> v
+      }
+      if (MorTable.maintainIfNeeded(spark, base,
+          maxAmplification = 0.3, clusterBy = Seq("id")).isDefined)
+        maintenanceFired += 1
+      val got = MorTable.read(spark, base).select("id", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == model, s"divergence after guarded batch $batch")
+    }
+    assert(maintenanceFired > 0,
+      "fixture must trip the maintenance threshold at least once")
+    // locked rows survived every later update attempt
+    assert(model.values.exists(_ == "locked"))
+  }
 }
