@@ -114,6 +114,20 @@ object ExternalCatalog {
     }
   }
 
+  /** Drop `dir`'s registration — catalog entry and marker — when one
+    * exists. Used when the directory itself is being wiped (a rebuild)
+    * so no stale catalog entry can answer from vanished data; the
+    * rebuilder re-registers after the new build lands. No-op when
+    * unregistered. */
+  def unregister(spark: SparkSession, dir: String): Unit = {
+    registeredName(spark, dir).foreach { name =>
+      spark.sql(s"DROP TABLE IF EXISTS `$name`"): Unit
+    }
+    val p = markerPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false): Unit
+  }
+
   /** Precise partition sync after a maintenance batch — the O(impacted)
     * alternative to a full MSCK: ADD the partitions the batch created,
     * DROP the ones it emptied, refresh cached listings. No-op when the

@@ -291,7 +291,19 @@ object Dedup {
     // Small graphs (bounded by localThreshold edges) solve in one driver
     // pass with union-find — one collect of (long, long) pairs instead of
     // O(log diameter) distributed rounds. Bigger graphs use the loop.
-    if (edges.count() <= localThreshold) return localUnionFind(edges)
+    // The gate requires INTEGRAL ids (the driver engine works in Long;
+    // a string id would crash the cast) and restores the input type on
+    // the way out — non-integral ids always take the distributed loop,
+    // whose least()/min() arithmetic is type-generic.
+    val srcType = edges.schema("src").dataType
+    val integralSrc = {
+      import org.apache.spark.sql.types._
+      Set[DataType](ByteType, ShortType, IntegerType, LongType).contains(srcType)
+    }
+    if (integralSrc && edges.count() <= localThreshold)
+      return localUnionFind(edges)
+        .select(col("id").cast(srcType).as("id"),
+          col("cluster").cast(srcType).as("cluster"), col("keep"))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint(true)
     var changed = 1L
@@ -777,8 +789,20 @@ object Dedup {
     // A delivery-sized refresh graph always lands here; corpus-scale
     // builds exceed the bound and keep the distributed path. Labels are
     // identical by construction (LouvainDriverSpec pins equality), so
-    // the gate is invisible to the splice law and the oracles.
-    if (p.count() <= localThreshold) {
+    // the gate is invisible to the splice law and the oracles. The gate
+    // additionally requires INTEGRAL id columns: the driver engine works
+    // in Long, so a string/decimal id would cast to null (runtime crash)
+    // and even a lossless integral widening would silently change the
+    // output schema — non-integral ids keep the type-generic
+    // distributed path, integral ones get their exact type restored on
+    // the way out.
+    val idType = p.schema("id_a").dataType
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(idType) && idType == p.schema("id_b").dataType
+    }
+    if (integralIds && p.count() <= localThreshold) {
       val spark = p.sparkSession
       import spark.implicits._
       val rows = p.select(col("id_a").cast("long"), col("id_b").cast("long"),
@@ -791,9 +815,14 @@ object Dedup {
       val compOf = unionFindDriver(eg)
       val seed = unionFindDriver(hi)
       val ls = Similarity.louvainHierarchyDriver(eg, seed, compOf, levels = 2)
+      // All four columns go back to the input id type (lossless — ids
+      // ARE input values and comp/comm labels are min-ids), matching
+      // the type-generic distributed engine's output schema.
       return ls(0).keys.toSeq.sorted
         .map(n => (n, compOf(n), ls(0)(n), ls(1)(n)))
         .toDF(idCol, "comp", "comm1", "comm2")
+        .select(Seq(idCol, "comp", "comm1", "comm2")
+          .map(c => col(c).cast(idType).as(c)): _*)
     }
     val eg = p.where(col("est_jaccard") >= egThreshold)
       .select(col("id_a").as("a"), col("id_b").as("b")).distinct()

@@ -2488,9 +2488,20 @@ object Similarity {
     val seg0 = indexed.withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
     seg0.write.mode("overwrite").partitionBy("cluster").parquet(dir)
     // A fresh build invalidates any id->cluster map of a PREVIOUS build
-    // at this path — drop it (lazily rebuilt by the next update).
+    // at this path — drop it (lazily rebuilt by the next update) and,
+    // when the map was registered, its catalog entry too (a stale map
+    // table would otherwise answer probes from vanished directories).
     val mp = new org.apache.hadoop.fs.Path(idMapDir(dir))
+    graft.io.ExternalCatalog.unregister(spark, idMapDir(dir))
     mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, true)
+    // Rebuild over a REGISTERED directory: the metastore's partition
+    // entries and cached listings still describe the PREVIOUS build —
+    // catalog-routed probes would read vanished cluster dirs. Re-run
+    // the registration (idempotent; MSCK SYNC + refresh) so the entry
+    // matches the new build before any probe routes through it.
+    graft.io.ExternalCatalog.registeredName(spark, dir).foreach { name =>
+      registerIvfIndex(spark, dir, name): Unit
+    }
     SI.pathInitLedger(spark, dir, seg0.count())
   }
 
@@ -2583,6 +2594,11 @@ object Similarity {
       .write.mode("overwrite").partitionBy("id_bucket")
       .parquet(idMapDir(dir))
     writeIdMapMeta(spark, dir, n)
+    // A registered index gets its freshly-(re)built map registered too,
+    // so the very first delivery's map read already routes through the
+    // catalog (and a REBUILD over a registered map re-syncs the entry
+    // to the new bucket layout instead of leaving stale partitions).
+    registerIdMapIfIndexRegistered(spark, dir)
   }
 
   /** The sidecar's id column name, recovered from its own schema (the
@@ -2590,8 +2606,40 @@ object Similarity {
     * does not otherwise know it. */
   private def idMapIdCol(spark: org.apache.spark.sql.SparkSession,
                          dir: String): String =
-    spark.read.parquet(idMapDir(dir)).schema.fieldNames
+    readIdMap(spark, dir).schema.fieldNames
       .filterNot(Set("cluster", "id_bucket")).head
+
+  /** Read the id->cluster sidecar — through the METASTORE when the map
+    * is registered (the same routing [[readIvfIndex]] gives the index:
+    * partition pruning from catalog metadata, so a delivery's map read
+    * never pays the distributed directory-listing job above
+    * `parallelPartitionDiscovery.threshold` buckets), path-based
+    * otherwise. `buckets` prunes to the changed ids' `id_bucket=`
+    * partitions; None reads the whole map (backfill-sized callers
+    * only). */
+  private def readIdMap(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        buckets: Option[Seq[Long]] = None): org.apache.spark.sql.DataFrame = {
+    val base = graft.io.ExternalCatalog.registeredName(spark, idMapDir(dir)) match {
+      case Some(name) => spark.table(name)
+      case None => spark.read.parquet(idMapDir(dir))
+    }
+    buckets.fold(base)(bs => base.where(col("id_bucket").isin(bs: _*)))
+  }
+
+  /** Register the id->cluster sidecar alongside a REGISTERED index (as
+    * `<indexName>_idmap`) so delivery-time map reads route through the
+    * catalog too — without this, a registered index's probes skip the
+    * listing job but every maintenance batch still pays it on the map.
+    * No-op for unregistered indexes or map-less dirs; idempotent. */
+  private def registerIdMapIfIndexRegistered(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    graft.io.ExternalCatalog.registeredName(spark, dir).foreach { n =>
+      if (idMapExists(spark, dir)) {
+        graft.io.ExternalCatalog.registerParquetDir(
+          spark, n + "_idmap", idMapDir(dir), Seq("id_bucket")): Unit
+        graft.io.ExternalCatalog.writeMarker(spark, idMapDir(dir), n + "_idmap")
+      }
+    }
 
   /** Append a batch to a persisted IVF index, exactly-once under
     * at-least-once delivery: ledger-gated on `batchId` (replay no-ops)
@@ -2614,18 +2662,32 @@ object Similarity {
         spark.read.parquet(dir).where(col(SI.SegCol) === seg).limit(1).isEmpty)
       tagged.write.mode("append").partitionBy("cluster").parquet(dir)
     // Keep the id->cluster sidecar in lockstep (appended ids are NEW by
-    // this method's contract, so a plain bucket-partitioned append keeps
-    // one map row per id). A crash retry between this append and the
-    // ledger row may duplicate map rows — harmless for the DISTINCT
-    // cluster lookup, and folded away by the next update's bucket CoW.
+    // this method's contract, so a bucket-partitioned append keeps one
+    // map row per id). The append is gated ROW-wise on the map itself:
+    // only ids the touched buckets don't already hold are written, so a
+    // crash retry between this append and the ledger row re-appends
+    // NOTHING (the r12 comment claimed duplicates were "folded away by
+    // the next update" — true but unbounded under repeated retries;
+    // the anti-join bounds them at zero). Probe cost is the same
+    // bucket-pruned read the update path pays: O(batch buckets).
     if (idMapExists(spark, dir)) {
       val mid = idMapIdCol(spark, dir)
       val n = idMapBucketsOf(spark, dir)
-      tagged.select(col(mid), col("cluster").cast("long").as("cluster"),
-          idMapBucket(col(mid), n).as("id_bucket"))
-        .repartition(col("id_bucket")) // one file per touched bucket
+      val mapRows = tagged.select(col(mid),
+        col("cluster").cast("long").as("cluster"),
+        idMapBucket(col(mid), n).as("id_bucket"))
+      val touched = mapRows.select(col("id_bucket"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      val fresh = mapRows.join(
+        readIdMap(spark, dir, Some(touched)).select(col(mid)),
+        Seq(mid), "left_anti")
+      fresh.repartition(col("id_bucket")) // one file per touched bucket
         .write.mode("append").partitionBy("id_bucket")
         .parquet(idMapDir(dir))
+      // first rows of a previously-empty bucket create its directory —
+      // a registered map needs the partition entry before the next read
+      graft.io.ExternalCatalog.syncPartitions(spark, idMapDir(dir),
+        "id_bucket", added = touched, dropped = Nil)
     }
     // Registered index: the appended clusters' partition entries must
     // exist before the next catalog-routed probe (guarded so the
@@ -2706,8 +2768,7 @@ object Similarity {
     val changedBuckets = changedIds
       .select(idMapBucket(col(idCol), nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted // <= nBuckets values
-    val mapLive = spark.read.parquet(idMapDir(dir))
-      .where(col("id_bucket").isin(changedBuckets: _*))
+    val mapLive = readIdMap(spark, dir, Some(changedBuckets))
     val oldClusters = mapLive
       .join(broadcast(changedIds), Seq(idCol), "left_semi")
       .select("cluster").distinct().collect().map(_.getLong(0)).toSet
@@ -2724,20 +2785,31 @@ object Similarity {
         .partitionBy("cluster").parquet(dir)
       val survivors = rewritten.select(col("cluster").cast("long"))
         .distinct().collect().map(_.getLong(0)).toSet
+      // Registered index: keep the catalog's partition entries exact —
+      // O(impacted) ALTERs, never a full MSCK per delivery. Emptied
+      // partitions drop from the CATALOG before their directories are
+      // deleted: a crash in between leaves an orphan directory the
+      // catalog no longer lists (harmless — the replay recomputes the
+      // same emptied set and deletes it then), where the old order left
+      // a live catalog partition pointing at a MISSING directory,
+      // wedging the replay's catalog-routed read at listing.
+      graft.io.ExternalCatalog.syncPartitions(spark, dir, "cluster",
+        added = survivors -- oldClusters, dropped = impacted.toSet -- survivors)
       val base = new org.apache.hadoop.fs.Path(dir)
       val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
       (impacted.toSet -- survivors).foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(base, s"cluster=$c"), true)
       }
-      // Registered index: keep the catalog's partition entries exact —
-      // O(impacted) ALTERs, never a full MSCK per delivery.
-      graft.io.ExternalCatalog.syncPartitions(spark, dir, "cluster",
-        added = survivors -- oldClusters, dropped = impacted.toSet -- survivors)
       // Map maintenance LAST (same bucket-partitioned CoW): rewrite the
       // changed ids' buckets with their old rows dropped and the
-      // upserts' fresh (id, cluster) rows in. Running after the index
-      // rewrite but before the ledger row means a crash replay still
-      // reads the PRE-batch map and recomputes the same impacted set.
+      // upserts' fresh (id, cluster) rows in. The crash invariant of
+      // map-after-index ordering: a replay reads either the PRE-batch
+      // map (crash before this rewrite — recomputes the same impacted
+      // set over an index whose re-rewrite converges) or the POST-batch
+      // map (crash after it — the impacted set shrinks to the upserts'
+      // new clusters, which is sufficient precisely BECAUSE the index
+      // rewrite it would re-do already completed). Either way the
+      // replay converges to the same index and map contents.
       val mapRewritten = mapLive
         .join(broadcast(changedIds), Seq(idCol), "left_anti")
         .unionByName(assignedNew.select(col(idCol),
@@ -2750,6 +2822,16 @@ object Similarity {
         .partitionBy("id_bucket").parquet(idMapDir(dir))
       val mapSurvivors = mapRewritten.select(col("id_bucket").cast("long"))
         .distinct().collect().map(_.getLong(0)).toSet
+      // Registered map: same catalog discipline as the index — new
+      // bucket entries added, emptied ones dropped BEFORE their
+      // directories go (no missing-directory window for catalog-routed
+      // map reads).
+      // added = ALL surviving buckets (ADD IF NOT EXISTS is idempotent
+      // and the set is <= changed buckets): a bucket that was EMPTY at
+      // build time has no catalog entry yet its first rows land here.
+      graft.io.ExternalCatalog.syncPartitions(spark, idMapDir(dir), "id_bucket",
+        added = mapSurvivors,
+        dropped = changedBuckets.toSet -- mapSurvivors)
       val mbase = new org.apache.hadoop.fs.Path(idMapDir(dir))
       val mfs = mbase.getFileSystem(spark.sparkContext.hadoopConfiguration)
       (changedBuckets.toSet -- mapSurvivors).foreach { b =>
@@ -2795,6 +2877,11 @@ object Similarity {
     // catalog from now on (readIvfIndex), and maintenance keeps the
     // partition entries in sync (updateIvfIndexRows/appendToIvfIndex)
     graft.io.ExternalCatalog.writeMarker(spark, dir, n)
+    // The id->cluster sidecar rides along (as `<name>_idmap`): without
+    // this, probes skip the listing job but every DELIVERY still pays
+    // it on the map read above the discovery threshold. A map built
+    // later (lazy backfill) self-registers in buildIvfIdMap.
+    registerIdMapIfIndexRegistered(spark, dir)
     n
   }
 

@@ -98,6 +98,108 @@ class CatalogRouteSpec extends SparkSpec {
     }
   }
 
+  test("a registered id-map routes the DELIVERY's map read through the catalog (zero listing jobs)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_map_cat").toString + "/idx"
+    val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding", "cid")
+      .select($"vec_id", $"embedding", $"cluster").localCheckpoint(true)
+    Similarity.writeIvfIndex(assigned, dir)
+    Similarity.buildIvfIdMap(spark, dir, "vec_id")
+    spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", "1")
+    def coldCaches(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      org.apache.spark.sql.execution.datasources.FileStatusCache
+        .getOrCreate(spark).invalidateAll()
+    }
+    // a ONE-id update whose vector is unchanged: old cluster == new
+    // cluster, so the delivery touches one id_bucket and one cluster
+    // partition — any listing job left is the map/index DISCOVERY scan,
+    // not per-partition file listing
+    val chg = emb.where($"vec_id" === 3L)
+      .select($"vec_id", $"embedding", lit("U").as("op")).localCheckpoint(true)
+    try {
+      coldCaches()
+      val pathListings = listingJobs {
+        Similarity.updateIvfIndex(spark, chg, cents, "vec_id", "embedding",
+          "cid", "op", dir, "map_route_1")
+      }
+      assert(pathListings > 0,
+        "sentinel: the unregistered delivery must pay a directory-listing job above the threshold")
+
+      Similarity.registerIvfIndex(spark, dir, "ivf_map_route_spec")
+      assert(spark.catalog.tableExists("ivf_map_route_spec_idmap"),
+        "registerIvfIndex must register the id-map sidecar alongside the index")
+      coldCaches()
+      val catListings = listingJobs {
+        Similarity.updateIvfIndex(spark, chg, cents, "vec_id", "embedding",
+          "cid", "op", dir, "map_route_2")
+      }
+      assert(catListings == 0,
+        s"a fully-registered delivery must launch no listing job (saw $catListings)")
+      // and the maintained state is exact: the index still equals a
+      // from-scratch assignment (the update was a same-vector no-op)
+      val got = spark.table("ivf_map_route_spec")
+        .select($"vec_id", $"cluster".cast("long").as("cluster"))
+        .as[(Long, Long)].collect().toSet
+      val want = assigned.select($"vec_id", $"cluster".cast("long"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == want, "maintained index must equal the from-scratch assignment")
+      // the map agrees row-for-row with the index (no duplicates, no strays)
+      val mapRows = spark.table("ivf_map_route_spec_idmap")
+        .select($"vec_id", $"cluster".cast("long").as("cluster"))
+        .as[(Long, Long)].collect().toSeq
+      assert(mapRows.size == mapRows.toSet.size, "map must hold one row per id")
+      assert(mapRows.toSet == want, "map must mirror the index's (id, cluster) pairs")
+    } finally {
+      spark.conf.unset("spark.sql.sources.parallelPartitionDiscovery.threshold")
+      spark.sql("DROP TABLE IF EXISTS ivf_map_route_spec")
+      spark.sql("DROP TABLE IF EXISTS ivf_map_route_spec_idmap")
+    }
+  }
+
+  test("rebuild over a registered index re-syncs BOTH catalog entries (no stale partitions)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_reb_cat").toString + "/idx"
+    val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding", "cid")
+      .select($"vec_id", $"embedding", $"cluster").localCheckpoint(true)
+    Similarity.writeIvfIndex(assigned, dir)
+    Similarity.buildIvfIdMap(spark, dir, "vec_id")
+    Similarity.registerIvfIndex(spark, dir, "ivf_rebuild_spec")
+    try {
+      // REBUILD with a different centroid set: clusters renumber, old
+      // cluster dirs vanish, the map is dropped — the catalog must track
+      // all of it without a manual re-register
+      val cents2 = Similarity.kMeans(emb, "vec_id", "embedding", "cid",
+        k = 3, iters = 2).localCheckpoint(true)
+      val assigned2 = Similarity.ivfAssign(emb, cents2, "vec_id", "embedding", "cid")
+        .select($"vec_id", $"embedding", $"cluster").localCheckpoint(true)
+      Similarity.writeIvfIndex(assigned2, dir)
+      val got = spark.table("ivf_rebuild_spec")
+        .select($"vec_id", $"cluster".cast("long").as("cluster"))
+        .as[(Long, Long)].collect().toSet
+      val want = assigned2.select($"vec_id", $"cluster".cast("long"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == want,
+        "catalog-routed read after an in-place rebuild must see the NEW build")
+      // the old map registration must be gone (its data was invalidated);
+      // the next update lazily rebuilds and re-registers it
+      assert(!spark.catalog.tableExists("ivf_rebuild_spec_idmap") ||
+        spark.table("ivf_rebuild_spec_idmap").isEmpty,
+        "a rebuilt index must not leave a stale registered map")
+      Similarity.updateIvfIndex(spark,
+        emb.where($"vec_id" === 5L)
+          .select($"vec_id", $"embedding", lit("U").as("op")),
+        cents2, "vec_id", "embedding", "cid", "op", dir, "reb_u1")
+      assert(spark.catalog.tableExists("ivf_rebuild_spec_idmap"),
+        "the lazy map backfill must self-register under a registered index")
+      val mapRows = spark.table("ivf_rebuild_spec_idmap")
+        .select($"vec_id", $"cluster".cast("long").as("cluster"))
+        .as[(Long, Long)].collect().toSet
+      assert(mapRows == want, "the re-registered map must mirror the new build")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_rebuild_spec")
+      spark.sql("DROP TABLE IF EXISTS ivf_rebuild_spec_idmap")
+    }
+  }
+
   test("an append creating a NEW cluster partition syncs the catalog entry") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_cat_app").toString + "/m"
     val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding", "cid")

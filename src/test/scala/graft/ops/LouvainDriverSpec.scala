@@ -67,4 +67,39 @@ class LouvainDriverSpec extends SparkSpec {
     val viaCluster = rows(Dedup.communitiesLocal(pairs, localThreshold = -1L))
     assert(viaDriver == viaCluster && viaDriver.nonEmpty)
   }
+
+  test("the driver gate preserves non-long INTEGRAL id types and skips non-integral ids") {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val edges = Seq((1, 2, 1.0), (2, 3, 1.0), (10, 11, 0.9))
+    // INT ids: driver path fires (under the threshold) and must keep
+    // IntegerType end-to-end — labels are min-ids, so the cast back is
+    // lossless and the schema matches the type-generic distributed path
+    val intPairs = edges.toDF("id_a", "id_b", "est_jaccard").localCheckpoint(true)
+    val viaDriver = Dedup.communitiesLocal(intPairs)
+    val viaCluster = Dedup.communitiesLocal(intPairs, localThreshold = -1L)
+    assert(viaDriver.schema("doc_id").dataType == IntegerType,
+      s"driver gate must preserve IntegerType ids, got ${viaDriver.schema}")
+    assert(viaDriver.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      viaCluster.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      "gate must be column-type-invisible against the distributed path")
+    def asInt(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "comp", "comm1", "comm2")
+        .as[(Int, Int, Int, Int)].collect().toSet
+    assert(asInt(viaDriver) == asInt(viaCluster) && asInt(viaDriver).nonEmpty)
+    // STRING ids: the Long-typed driver engine cannot hold them — the
+    // gate must fall through to the distributed path (no runtime cast
+    // crash, StringType preserved) even under the threshold
+    val strPairs = edges.map { case (a, b, j) => (s"d$a", s"d$b", j) }
+      .toDF("id_a", "id_b", "est_jaccard").localCheckpoint(true)
+    val viaGate = Dedup.communitiesLocal(strPairs)
+    assert(viaGate.schema.fields.take(4).forall(_.dataType == StringType),
+      s"string ids must keep StringType, got ${viaGate.schema}")
+    val got = viaGate.select("doc_id", "comp", "comm1", "comm2")
+      .as[(String, String, String, String)].collect().toSet
+    val want = Dedup.communitiesLocal(strPairs, localThreshold = -1L)
+      .select("doc_id", "comp", "comm1", "comm2")
+      .as[(String, String, String, String)].collect().toSet
+    assert(got == want && got.nonEmpty,
+      "string-id graphs must solve identically through the fallback")
+  }
 }
