@@ -2769,11 +2769,18 @@ object Similarity {
       .select(idMapBucket(col(idCol), nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted // <= nBuckets values
     val mapLive = readIdMap(spark, dir, Some(changedBuckets))
-    val oldClusters = mapLive
+    // old (where changed ids live now) and new (where upserts land)
+    // cluster sets in ONE collect — the union is <= impacted-cluster
+    // sized either way, and a delivery is job-latency-bound at the
+    // driver, so every fused tiny job counts.
+    val impactedTagged = mapLive
       .join(broadcast(changedIds), Seq(idCol), "left_semi")
-      .select("cluster").distinct().collect().map(_.getLong(0)).toSet
-    val newClusters = assignedNew.select(col("cluster").cast("long"))
-      .distinct().collect().map(_.getLong(0)).toSet
+      .select(col("cluster").cast("long").as("c"), lit(true).as("old"))
+      .unionByName(assignedNew
+        .select(col("cluster").cast("long").as("c"), lit(false).as("old")))
+      .distinct().collect()
+    val oldClusters = impactedTagged.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    val newClusters = impactedTagged.filterNot(_.getBoolean(1)).map(_.getLong(0)).toSet
     val impacted = (oldClusters ++ newClusters).toSeq.sorted
     if (impacted.nonEmpty) {
       val rewritten = readIvfIndex(spark, dir, impacted)
