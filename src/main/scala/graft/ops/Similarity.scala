@@ -2521,18 +2521,27 @@ object Similarity {
   // row) so a crash replay recomputes the same impacted set from the
   // pre-batch map and converges.
 
+  /** Id-map sizing target: ~this many map rows per bucket (the
+    * per-delivery bucket-read residual is corpus/nBuckets — see
+    * SCALE.md's ProbeIvfMap record). Overridable per map for tests and
+    * unusual row widths; recorded in the meta file so maintenance can
+    * re-derive the intended geometry as the index grows. */
+  val DefaultIdMapRowsPerBucket = 1000000L
+
   /** Id-bucket count of a map sidecar — chosen at BUILD time from the
-    * index size (~1M map rows per bucket, floor 16, cap 1024) and
-    * STORED in the map's own `_nbuckets` meta file (underscore-hidden
-    * from parquet readers): the bucket of an id must be stable across
-    * deliveries, so every later lookup/rewrite reads the stored count.
-    * Size-adaptive matters at both ends: a fixed large count makes
-    * every delivery pay per-partition commit overhead proportional to
-    * the count (the r12 bench regression — 256 directory commits for a
-    * 5k-row fixture), while a fixed small count makes a 100 TB map's
-    * per-bucket read too coarse. */
-  private def chooseIdMapBuckets(indexRows: Long): Int =
-    math.min(1024L, math.max(16L, indexRows / 1000000L + 1L)).toInt
+    * index size (~`rowsPerBucket` map rows per bucket, floor 16, cap
+    * 1024) and STORED in the map's own `_nbuckets` meta file
+    * (underscore-hidden from parquet readers): the bucket of an id must
+    * be stable across deliveries, so every later lookup/rewrite reads
+    * the stored count. Size-adaptive matters at both ends: a fixed
+    * large count makes every delivery pay per-partition commit overhead
+    * proportional to the count (the r12 bench regression — 256
+    * directory commits for a 5k-row fixture), while a fixed small count
+    * makes a 100 TB map's per-bucket read too coarse. An index that
+    * GROWS past the build-time sizing re-buckets at the next
+    * maintenance window ([[maintainIvfIdMapIfNeeded]]). */
+  private def chooseIdMapBuckets(indexRows: Long, rowsPerBucket: Long): Int =
+    math.min(1024L, math.max(16L, indexRows / rowsPerBucket + 1L)).toInt
 
   private def idMapDir(dir: String): String =
     dir.stripSuffix("/") + "_idmap"
@@ -2541,24 +2550,33 @@ object Similarity {
     new org.apache.hadoop.fs.Path(idMapDir(dir), "_nbuckets")
 
   private def writeIdMapMeta(spark: org.apache.spark.sql.SparkSession,
-                             dir: String, n: Int): Unit = {
+                             dir: String, n: Int, rowsPerBucket: Long): Unit = {
     val p = idMapMetaPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(s"$n $rowsPerBucket"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** The (bucket count, rows-per-bucket target) this map was built with.
+    * Pre-r13 meta files hold the count alone — the target defaults. */
+  private def idMapMetaOf(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): (Int, Long) = {
+    val p = idMapMetaPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val toks =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+      finally in.close()
+    (toks(0).toInt,
+      if (toks.length > 1) toks(1).toLong else DefaultIdMapRowsPerBucket)
   }
 
   /** The bucket count this map was built with (from its meta file). */
   private def idMapBucketsOf(spark: org.apache.spark.sql.SparkSession,
-                             dir: String): Int = {
-    val p = idMapMetaPath(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-    finally in.close()
-  }
+                             dir: String): Int = idMapMetaOf(spark, dir)._1
 
   private def idMapBucket(idc: Column, nBuckets: Int): Column =
     pmod(xxhash64(idc), lit(nBuckets.toLong))
@@ -2581,10 +2599,11 @@ object Similarity {
     * delivery's lookup is bucket-pruned. Also the backfill entry point
     * for indexes written before the sidecar existed. */
   def buildIvfIdMap(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    idCol: String): Unit = {
+                    idCol: String,
+                    rowsPerBucket: Long = DefaultIdMapRowsPerBucket): Unit = {
     val rows = spark.read.parquet(dir).select(col(idCol),
       col("cluster").cast("long").as("cluster")).localCheckpoint(true)
-    val n = chooseIdMapBuckets(rows.count())
+    val n = chooseIdMapBuckets(rows.count(), rowsPerBucket)
     rows.select(col(idCol), col("cluster"),
         idMapBucket(col(idCol), n).as("id_bucket"))
       // one shuffle keyed by bucket -> ONE file per bucket directory;
@@ -2593,12 +2612,47 @@ object Similarity {
       .repartition(col("id_bucket"))
       .write.mode("overwrite").partitionBy("id_bucket")
       .parquet(idMapDir(dir))
-    writeIdMapMeta(spark, dir, n)
+    writeIdMapMeta(spark, dir, n, rowsPerBucket)
     // A registered index gets its freshly-(re)built map registered too,
     // so the very first delivery's map read already routes through the
     // catalog (and a REBUILD over a registered map re-syncs the entry
     // to the new bucket layout instead of leaving stale partitions).
     registerIdMapIfIndexRegistered(spark, dir)
+  }
+
+  /** Re-bucket the id->cluster map when the index OUTGREW its build-time
+    * geometry — the amplification-threshold pattern the other index
+    * families already run, applied to the sidecar: `_nbuckets` is frozen
+    * at build, so an index that grows 100x after the backfill drifts
+    * toward corpus-sized buckets and the per-delivery bucket read (the
+    * documented corpus/nBuckets residual) grows with it. Fires when live
+    * map rows exceed 2x the built geometry's capacity (n x rowsPerBucket)
+    * AND a bigger count is actually choosable (the 1024 cap bounds it);
+    * the rebuild is [[buildIvfIdMap]] — one full (cluster, id) scan,
+    * amortized by the 2x growth trigger like any doubling scheme, and
+    * crash-safe the same way (the overwrite removes the meta file first,
+    * so a torn rebuild reads as map-absent and the next delivery
+    * re-backfills; a registered map re-syncs its catalog entry in the
+    * rebuild). The check itself is one metadata-bounded count over the
+    * map (parquet footer counts — no data pages).
+    *
+    * Returns (oldBuckets, newBuckets) when it re-bucketed, None when the
+    * map is within budget (the common case — cadence-schedulable like
+    * [[graft.io.MorTable.maintainIfNeeded]]). */
+  def maintainIvfIdMapIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, idCol: String): Option[(Int, Int)] = {
+    if (!idMapExists(spark, dir)) return None
+    val (n, per) = idMapMetaOf(spark, dir)
+    val live = readIdMap(spark, dir).count()
+    if (live <= 2L * n * per) None
+    else {
+      val newN = chooseIdMapBuckets(live, per)
+      if (newN <= n) None
+      else {
+        buildIvfIdMap(spark, dir, idCol, per)
+        Some((n, newN))
+      }
+    }
   }
 
   /** The sidecar's id column name, recovered from its own schema (the

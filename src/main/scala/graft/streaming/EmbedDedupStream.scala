@@ -56,7 +56,7 @@ object EmbedDedupStream {
             threshold: Double = 0.9, maxClusterSize: Int = 10000,
             heavyBits: Int = 6, heavyMaxBucketSize: Int = 1000,
             trigger: Trigger = Trigger.AvailableNow(),
-            maxFilesPerTrigger: Int = 100): StreamingQuery = {
+            maxFilesPerTrigger: Int = 100, maintainEvery: Int = 0): StreamingQuery = {
     // The coarse quantizer is static across the stream's life —
     // materialize once (eager, cleaner-reclaimed), assign per batch.
     val cents = centroids.localCheckpoint(true)
@@ -65,7 +65,7 @@ object EmbedDedupStream {
       checkpoint, trigger, maxFilesPerTrigger) { (batch, batchId) =>
       ingestBatch(batch, batchId, cleanDir, indexDir, cents, idCol,
         vecCol, cidCol, threshold, maxClusterSize, heavyBits,
-        heavyMaxBucketSize)
+        heavyMaxBucketSize, maintainEvery)
     }
   }
 
@@ -78,7 +78,7 @@ object EmbedDedupStream {
                   indexDir: String, centroids: DataFrame, idCol: String,
                   vecCol: String, cidCol: String, threshold: Double,
                   maxClusterSize: Int, heavyBits: Int,
-                  heavyMaxBucketSize: Int): Unit = {
+                  heavyMaxBucketSize: Int, maintainEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     // One centroid pass per delivery; the assignment feeds the intra
     // prune, the index probe, and the survivors' index append.
@@ -127,6 +127,13 @@ object EmbedDedupStream {
     Similarity.appendToIvfIndex(spark,
       survivors.select(col(idCol), col(vecCol), col("cluster")),
       indexDir, s"b$batchId")
+    // Sidecar geometry maintenance on the CdcStream maintainEvery
+    // cadence: an append-only stream is exactly the growth path that
+    // outruns the id-map's build-time bucket count — re-bucket when the
+    // doubling threshold is crossed (no-op + one metadata-bounded count
+    // otherwise).
+    if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+      Similarity.maintainIvfIdMapIfNeeded(spark, indexDir, idCol): Unit
   }
 
   /** Rebuild (compact) the index from a clean corpus — one fresh file
