@@ -88,6 +88,14 @@ object MorTable {
   private def delDir(path: String) = s"$path/deletes"
   private def delEqDir(path: String) = s"$path/deletes_eq"
   private def commitDir(path: String) = s"$path/commits"
+  private def pkStatsDir(path: String) = s"$path/pkstats"
+
+  /** Above this many distinct batch keys a guarded merge's target probe
+    * skips file pruning and reads the full live view (the stats
+    * bounding-box/bloom decision itself costs per-key work; a batch
+    * this large amortizes a scan). The [[graft.ops.Retrieval]]
+    * `maxProbedKeys` precedent. */
+  private[io] val MaxProbeKeys = 100000L
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -292,6 +300,85 @@ object MorTable {
   def readAsOf(spark: SparkSession, path: String, batch: Long): DataFrame =
     readTagged(spark, path, withProvenance = false, upTo = Some(batch))
 
+  // ---- per-file PK stats sidecar (guarded-merge probe pruning) ----
+  //
+  // A GUARDED merge must join its batch winners against the live target
+  // to evaluate `updateWhen` over the matched pair — the one read in
+  // the commit path. Unpruned, that read scans every committed data
+  // file per conditional batch (the r12 verdict's top 100 TB watch
+  // item). The cure is the engine's own data-skipping machinery
+  // ([[StatsIndex]]) applied to the MOR layout: one stats row per data
+  // file (min/max + bloom per PK column), maintained INCREMENTALLY
+  // under the writer lock at delta cost (only never-seen committed
+  // files are scanned — each refresh pays O(files appended since the
+  // last guarded merge); the first guarded merge backfills once, the
+  // id-map precedent). The sidecar is ADVISORY: candidate selection
+  // reconciles against the committed listing, so a torn stats write or
+  // a compaction between merges degrades pruning, never the answer.
+
+  /** Load + reconcile the PK stats sidecar against the current
+    * committed file set, persist the refreshed copy, return it. Called
+    * only under the writer lock (guarded merges). */
+  private def refreshPkStats(spark: SparkSession, path: String,
+                             pks: Seq[String]): DataFrame = {
+    val dirS = pkStatsDir(path)
+    val f = fs(spark, path)
+    val current = dataFiles(spark, path)
+    val existing =
+      if (!f.exists(new Path(dirS))) None
+      else
+        try {
+          val st = spark.read.parquet(dirS)
+          // a sidecar built for DIFFERENT pk columns (or pre-bloom) is
+          // useless — rebuild whole
+          if (pks.forall(c => st.columns.contains(s"bloom_$c"))) Some(st)
+          else None
+        } catch { case _: Exception => None } // torn write: rebuild
+    val refreshed = existing match {
+      case Some(st) =>
+        StatsIndex.refresh(spark, dataDir(path), st, pks, pks,
+          currentFiles = Some(current))
+      case None =>
+        StatsIndex.buildFiles(spark, dataDir(path), current.sorted, pks, pks)
+    }
+    val out = refreshed.localCheckpoint(true) // feeds the candidate scan AND the write
+    out.write.mode("overwrite").parquet(dirS)
+    out
+  }
+
+  /** The live view RESTRICTED to (a superset of) the rows whose PKs
+    * appear in `keys` — the guarded merge's target probe. File pruning
+    * through the PK stats sidecar (bounding box always, blooms for
+    * broadcastable key sets); sidecar masks apply in full (they only
+    * remove rows), so the result is exactly `read(...)` minus rows in
+    * pruned files — and a pruned file provably holds no probed key.
+    * Falls back to the full live view for over-cap or NULL-bearing key
+    * sets (stats do not index nulls; the null-safe `<=>` probe must
+    * still see null-key rows). */
+  private def readLiveForKeys(spark: SparkSession, path: String,
+                              keys: DataFrame, pks: Seq[String]): DataFrame = {
+    val nKeys = keys.count()
+    val hasNullKey = nKeys > 0 &&
+      !keys.where(pks.map(c => col(c).isNull).reduce(_ || _)).isEmpty
+    if (nKeys == 0L || nKeys > MaxProbeKeys || hasNullKey ||
+        dataFiles(spark, path).isEmpty)
+      return read(spark, path)
+    val stats = refreshPkStats(spark, path, pks)
+    val candidates = StatsIndex.candidateFilesForKeys(stats, keys, pks)
+    if (candidates.isEmpty) return read(spark, path).limit(0)
+    val batches = committedBatches(spark, path)
+    val data = spark.read.option("mergeSchema", "true")
+      .option("basePath", dataDir(path)).parquet(candidates.sorted: _*)
+      .withColumn(F, col("_metadata.file_path"))
+      .withColumn(P, col("_metadata.row_index"))
+      .withColumn(B, col("batch"))
+      .drop("batch")
+    applyEq(
+      applyPos(data, readPosDels(spark, path, batches)),
+      readEqDels(spark, path, batches))
+      .drop(F, P, B)
+  }
+
   /** Batch 0: initial snapshot commit. A RE-load of an existing table
     * (reference C3: a newer LOAD file re-triggers the full load) must
     * truncate the previous epoch first — wiping data/deletes/commits
@@ -300,7 +387,8 @@ object MorTable {
   def init(spark: SparkSession, snapshot: DataFrame, path: String,
            maxRecordsPerFile: Long = CowWriter.DefaultMaxRecordsPerFile): Unit = {
     val f = fs(spark, path)
-    Seq(dataDir(path), delDir(path), delEqDir(path), commitDir(path))
+    Seq(dataDir(path), delDir(path), delEqDir(path), commitDir(path),
+        pkStatsDir(path))
       .foreach(d => f.delete(new Path(d), true))
     writeBatchData(snapshot, path, 0L, maxRecordsPerFile)
     commit(spark, path, 0L)
@@ -324,10 +412,16 @@ object MorTable {
     * entry, so the target row stays live. The matched pair cannot be
     * derived from sidecars, so a GUARDED merge reads the live target
     * restricted to the batch's keys — the one documented exception to
-    * zero-target-I/O commits (still no rewrite; cost is a keyed probe
-    * per conditional batch, and unconditional merges keep the
-    * zero-scan plan assert). Deletes and inserts ride unconditionally,
-    * exactly like the CoW clause fold. */
+    * zero-target-I/O commits (still no rewrite). The restriction is a
+    * REAL file-level prune, not just a join filter: the per-file PK
+    * stats sidecar ([[readLiveForKeys]] — min/max bounding box plus
+    * per-file blooms, maintained at delta cost under this same lock)
+    * selects only data files that may hold a batch key, so the probe
+    * opens O(candidate files) per conditional batch instead of the
+    * full table (MorTableSpec pins strictly-fewer-files on a
+    * multi-file fixture; unconditional merges keep the zero-scan plan
+    * assert). Deletes and inserts ride unconditionally, exactly like
+    * the CoW clause fold. */
   def merge(spark: SparkSession, changes: DataFrame, path: String, pks: Seq[String],
             intraFileOrder: Seq[Column] = Nil,
             maxRecordsPerFile: Long = CowWriter.DefaultMaxRecordsPerFile,
@@ -348,10 +442,16 @@ object MorTable {
       .drop("__rnk", Merge.FileSeq, Merge.RowNum)
     // Conditional clause: matched non-delete winners failing the guard
     // drop out of BOTH sidecars (keep-target). UNKNOWN = not matched by
-    // the clause = keep, like SQL MERGE (the CoW coalesce rule).
+    // the clause = keep, like SQL MERGE (the CoW coalesce rule). The
+    // live-view read is KEY-PRUNED through the PK stats sidecar
+    // ([[readLiveForKeys]]): only data files that may hold a batch key
+    // are opened, so the probe costs O(candidate files), not O(target).
     val rejected = updateWhen.map { g =>
-      val t = read(spark, path).alias("t")
-      val c = winners.where(col(Op.column) =!= Op.Delete).alias("c")
+      val c0 = winners.where(col(Op.column) =!= Op.Delete)
+        .localCheckpoint(true) // feeds the key probe AND the guard join
+      val t = readLiveForKeys(spark, path,
+        c0.select(pks.map(col): _*).distinct(), pks).alias("t")
+      val c = c0.alias("c")
       val on = pks.map(k => col(s"t.$k") <=> col(s"c.$k")).reduce(_ && _)
       c.join(t, on, "inner")
         .where(!coalesce(g, lit(false)))

@@ -115,7 +115,8 @@ object StatsIndex {
     * maintenance cost is proportional to the rewrite delta. `cols` must
     * match the columns the index was built with. */
   def refresh(spark: SparkSession, tableDir: String, stats: DataFrame,
-              cols: Seq[String], bloomCols: Seq[String] = Nil): DataFrame = {
+              cols: Seq[String], bloomCols: Seq[String] = Nil,
+              currentFiles: Option[Seq[String]] = None): DataFrame = {
     // The index records its own bloom geometry — delta scans MUST build
     // under the same m or merged sidecars would probe wrong. An EMPTY
     // index has no recoverable geometry (max is null): fall back to the
@@ -127,7 +128,12 @@ object StatsIndex {
         val r = stats.agg(max("bloom_bits")).head()
         if (r.isNullAt(0)) 1 << 16 else r.getInt(0)
       }
-    val currentByNorm = spark.read.parquet(tableDir).inputFiles
+    // `currentFiles` overrides the directory listing for tables whose
+    // live file set is NOT "everything under tableDir" — e.g. a MOR
+    // table's committed data files (uncommitted crash debris must never
+    // be scanned into the index).
+    val currentByNorm = currentFiles
+      .getOrElse(spark.read.parquet(tableDir).inputFiles.toSeq)
       .map(f => normFile(f) -> f).toMap
     // One row per file — the same bounded driver-side file-list collect
     // as candidateFiles/prunedRead (SURVEY §3.3), not a data collect.
@@ -189,6 +195,57 @@ object StatsIndex {
     val lo = lower.map(v => col(s"max_$column") >= lit(v)).getOrElse(lit(true))
     val hi = upper.map(v => col(s"min_$column") <= lit(v)).getOrElse(lit(true))
     stats.where(lo && hi).select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Multi-key equality-probe candidate set over the CONJUNCTION of
+    * `columns` (a composite-key point-set lookup — the batch-probe
+    * generalization of [[prunedReadPoint]]): a file survives when, for
+    * EVERY column, the key set's value span intersects the file's
+    * [min, max] — an O(files) decision against one bounding box — and,
+    * when the key set is small enough to broadcast (`maxBloomKeys`),
+    * when at least one key passes every column's bloom. The bloom pass
+    * is O(files x keys) membership probes, which the cap bounds; above
+    * it the range decision alone stands (still sound, prunes best on
+    * key-clustered layouts). False negatives impossible either way;
+    * per-column conjunction can false-positive a file holding the key
+    * parts in DIFFERENT rows — read-and-filter corrects it, like every
+    * skipping decision here.
+    *
+    * Keys must be NULL-FREE on `columns` (min/max and blooms do not
+    * index nulls — callers probing null keys must fall back to a full
+    * scan) and must carry the indexed columns' exact types. */
+  def candidateFilesForKeys(stats: DataFrame, keys: DataFrame,
+                            columns: Seq[String],
+                            maxBloomKeys: Int = 1024): Seq[String] = {
+    require(columns.nonEmpty, "key-probe needs at least one column")
+    columns.foreach(c => require(stats.columns.contains(s"bloom_$c"),
+      s"stats index has no bloom sidecar for $c (build with bloomCols)"))
+    val distinctKeys = keys.select(columns.map(col): _*).distinct()
+      .localCheckpoint(true)
+    val kCount = distinctKeys.count()
+    if (kCount == 0) return Nil
+    val aggs = columns.flatMap(c =>
+      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+    val box = distinctKeys.agg(aggs.head, aggs.tail: _*).head()
+    val rangeCond = columns.map { c =>
+      col(s"max_$c") >= lit(box.getAs[Any](s"__lo_$c")) &&
+        col(s"min_$c") <= lit(box.getAs[Any](s"__hi_$c"))
+    }.reduce(_ && _)
+    val ranged = stats.where(rangeCond)
+    val out =
+      if (kCount > maxBloomKeys) ranged
+      else {
+        val k = broadcast(
+          distinctKeys.select(columns.map(c => col(c).as(s"__k_$c")): _*))
+        val bloomCond = columns.map { c =>
+          val (p1, p2) =
+            bloomPositions(col(s"__k_$c"), col("bloom_bits").cast("long"))
+          array_contains(col(s"bloom_$c"), p1) &&
+            array_contains(col(s"bloom_$c"), p2)
+        }.reduce(_ && _)
+        ranged.join(k, bloomCond, "left_semi")
+      }
+    out.select("file").collect().map(_.getString(0)).toSeq
   }
 
   /** Range-predicate read through the index: scan ONLY the files whose

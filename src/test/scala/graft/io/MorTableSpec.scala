@@ -368,6 +368,82 @@ class MorTableSpec extends SparkSpec {
     assert(ks.contains(300L) && !ks.contains(6L))
   }
 
+  test("a GUARDED merge's target probe reads strictly fewer base files than the table") {
+    import scala.jdk.CollectionConverters._
+    val base = tmp()
+    // range-disjoint multi-file layout: sorted single-partition writes
+    // split at 25 records -> 4 files per commit, each owning a
+    // contiguous key range (zone-map-prunable, the compact(clusterBy)
+    // shape)
+    val snap = spark.range(100).orderBy("id").coalesce(1).select(
+      lit(Op.Insert).as(Op.column), $"id".as("k"), concat(lit("v"), $"id").as("v"))
+    MorTable.init(spark, snap, base, maxRecordsPerFile = 25L)
+    val b1 = spark.range(200, 300).orderBy("id").coalesce(1).select(
+      lit(Op.Insert).as(Op.column), $"id".as("k"), concat(lit("w"), $"id").as("v"))
+      .withColumn(Merge.FileSeq, lit(1L))
+    MorTable.merge(spark, b1, base, Seq("k"), maxRecordsPerFile = 25L)
+    // guarded merge #1 backfills the PK stats sidecar (the one full
+    // stats scan of the lifecycle — the id-map backfill precedent)
+    val g = col("c.v") =!= col("t.v")
+    MorTable.merge(spark,
+      batch(2L, Seq(("U", 10L, "g10"))), base, Seq("k"),
+      maxRecordsPerFile = 25L, updateWhen = Some(g))
+    val allFiles = MorTable.dataFiles(spark, base)
+    assert(allFiles.size >= 8, s"fixture must be multi-file, got ${allFiles.size}")
+    Thread.sleep(2000) // drain the async listener bus of the backfill's events
+
+    // guarded merge #2: keys confined to ONE key range — the probe must
+    // open strictly fewer committed data files than the table holds
+    val scanned = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      private def walk(p: SparkPlan): Unit = p.foreach {
+        case f: FileSourceScanExec => f.relation.location.inputFiles.foreach(scanned.add)
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ =>
+      }
+      override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             ns: Long): Unit = walk(qe.executedPlan)
+      override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      MorTable.merge(spark,
+        batch(3L, Seq(("U", 210L, "g210"), ("U", 211L, "w211"))), base, Seq("k"),
+        maxRecordsPerFile = 25L, updateWhen = Some(g))
+      // drain: wait until the probe's target scan shows up
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!scanned.asScala.exists(_.contains("/data/batch=")) &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(1000) // settle remaining async deliveries
+    } finally spark.listenerManager.unregister(listener)
+    val norm = (s: String) => s.stripPrefix("file:").replaceAll("^/+", "/")
+    val target = scanned.asScala.toSet.filter(_.contains("/data/batch=")).map(norm)
+    val all = allFiles.map(norm).toSet
+    assert(target.nonEmpty, "sentinel: the guarded probe must read some target data")
+    assert((target -- all).forall(_.contains("batch=3")),
+      s"unexpected scans outside the committed set: ${target -- all}")
+    val committedScanned = target.intersect(all)
+    assert(committedScanned.size < all.size,
+      s"guarded probe must open strictly fewer files: ${committedScanned.size} vs ${all.size}")
+    // and it pruned to the probed key range: no snapshot (batch=0) file opened
+    assert(!committedScanned.exists(_.contains("batch=0")),
+      s"keys 210/211 must not open the 0-99 snapshot files: $committedScanned")
+
+    // semantics unchanged by pruning: 210's guard holds (g210 != w210 ->
+    // update), 211's fails (w211 == w211 -> keep target); re-check the
+    // whole sequence against the unpruned CoW conditional fold
+    val s1 = Merge.mergeCdc(snap, b1, Seq("k"), Nil)
+    val s2 = Merge.mergeConditional(s1,
+      batch(2L, Seq(("U", 10L, "g10"))), Seq("k"), Nil, g)
+    val want = Merge.mergeConditional(s2,
+      batch(3L, Seq(("U", 210L, "g210"), ("U", 211L, "w211"))), Seq("k"), Nil, g)
+    assert(asSet(MorTable.read(spark, base)) == asSet(want))
+  }
+
   test("re-init truncates the previous epoch (reference C3 full reload)") {
     val base = tmp()
     MorTable.init(spark, snapshot, base)
