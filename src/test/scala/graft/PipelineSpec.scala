@@ -151,6 +151,67 @@ class PipelineSpec extends SparkSpec {
       "the pre-reload update must not leak into the new epoch")
   }
 
+  test("updateWhen guard end-to-end through the Controller (CoW and MOR)") {
+    for (mor <- Seq(false, true)) {
+      val tag = if (mor) "MOR" else "CoW"
+      val raw = Files.createTempDirectory(s"rawG$tag").toString
+      val lake = Files.createTempDirectory(s"lakeG$tag").toString
+      val stateDir = Files.createTempDirectory(s"stateG$tag").toString
+      writeParquetFile(products, s"$raw/sampledb/product", "LOAD00000001.parquet")
+      val store = new JsonFileStateStore(stateDir)
+      val ctl = new Controller(spark, store, raw, lake, parallelism = 2)
+      ctl.runOnce() // discover + defaults
+      // the guard in the JSON state: only updates RAISING the price apply
+      Discovery.listTables(raw).foreach { t =>
+        store.put(store.get(t.dir).get.copy(config = TableConfig(Seq("id"), Nil,
+          active = true, mergeOnRead = mor,
+          updateWhen = Some("c.price > t.price"))))
+      }
+      assert(ctl.runOnce()("sampledb/product") == List(Controller.FullLoad(25)),
+        s"[$tag] initial load")
+      // guard round-trips through the JSON store (discovery → state → merge)
+      val pDir = Discovery.listTables(raw).find(_.key == "sampledb/product").get.dir
+      assert(store.get(pDir).get.config.updateWhen.contains("c.price > t.price"))
+
+      // batch 1: a guard-PASSING update (price 2002 -> 5000), a
+      // guard-FAILING update (price 2006 -> 1), an unconditional delete
+      // and an unconditional insert
+      val cdc1 = Seq(
+        ("U", 1001, "Raised", "D", "C", BigDecimal(5000)),
+        ("U", 1003, "Lowered", "D", "C", BigDecimal(1)),
+        ("D", 1002, "x", "x", "x", BigDecimal(0)),
+        ("I", 2001, "Fresh", "D", "C", BigDecimal(7)))
+        .toDF("Op", "id", "name", "dept", "category", "price")
+      writeParquetFile(cdc1, s"$raw/sampledb/product", "20260812-000000001.parquet")
+      val acts = ctl.runOnce()("sampledb/product")
+      assert(acts.forall { case Controller.Incremental(_, _) => true; case _ => false },
+        s"[$tag] $acts")
+      def lake1 = if (mor) graft.io.MorTable.read(spark, s"$lake/sampledb/product")
+                  else spark.read.parquet(s"$lake/sampledb/product")
+      val byId = lake1.select($"id", $"name", $"price".cast("double"))
+        .collect().map(r => r.getInt(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(byId(1001) == (("Raised", 5000.0)), s"[$tag] guard-true update must apply")
+      assert(byId(1003) == (("Product 1003", 2006.0)),
+        s"[$tag] guard-false update must keep the target row across runs")
+      assert(!byId.contains(1002), s"[$tag] deletes ride unconditionally")
+      assert(byId(2001) == (("Fresh", 7.0)), s"[$tag] inserts ride unconditionally")
+      assert(byId.size == 25, s"[$tag] 25 - 1 delete + 1 insert")
+
+      // batch 2: the previously-rejected key now passes the guard — the
+      // kept target row (not the rejected image) is what the new guard
+      // evaluates against
+      val cdc2 = Seq(("U", 1003, "RaisedLate", "D", "C", BigDecimal(9000)))
+        .toDF("Op", "id", "name", "dept", "category", "price")
+      writeParquetFile(cdc2, s"$raw/sampledb/product", "20260812-000000002.parquet")
+      ctl.runOnce()
+      val p1003 = lake1.filter($"id" === 1003).collect()
+      assert(p1003.length == 1 &&
+        p1003(0).getAs[String]("name") == "RaisedLate", s"[$tag] late pass-through")
+      // watermark no-op rerun holds for guarded tables too
+      assert(ctl.runOnce()("sampledb/product") == List(Controller.NoNewData))
+    }
+  }
+
   test("mergeOnRead without a primary key fails the table, not the run") {
     val raw = Files.createTempDirectory("rawM2").toString
     val lake = Files.createTempDirectory("lakeM2").toString
