@@ -346,15 +346,70 @@ object MorTable {
     out
   }
 
+  /** Masked (live-as-of `batches`) rows of an EXPLICIT data-file subset
+    * — the shared body of every candidate-pruned read: masks apply in
+    * full (they only remove rows), so the result is exactly the live
+    * view minus rows in files not listed. */
+  private def taggedFromFiles(spark: SparkSession, path: String,
+                              batches: Seq[Long], files: Seq[String],
+                              withProvenance: Boolean): DataFrame = {
+    val data = spark.read.option("mergeSchema", "true")
+      .option("basePath", dataDir(path)).parquet(files.sorted: _*)
+      .withColumn(F, col("_metadata.file_path"))
+      .withColumn(P, col("_metadata.row_index"))
+      .withColumn(B, col("batch"))
+      .drop("batch")
+    val live = applyEq(
+      applyPos(data, readPosDels(spark, path, batches)),
+      readEqDels(spark, path, batches))
+    if (withProvenance) live.drop(B) else live.drop(F, P, B)
+  }
+
+  /** Read-only PK stats load for QUERY surfaces ([[commitDiff]]): Some
+    * when a sidecar exists and covers `pks`' blooms, None otherwise —
+    * readers never build or refresh it (that happens under the writer
+    * lock), they only exploit what guarded merges left behind. */
+  private def loadPkStats(spark: SparkSession, path: String,
+                          pks: Seq[String]): Option[DataFrame] = {
+    val dirS = pkStatsDir(path)
+    val f = fs(spark, path)
+    if (!f.exists(new Path(dirS))) None
+    else
+      try {
+        val st = spark.read.parquet(dirS)
+        if (pks.forall(c => st.columns.contains(s"bloom_$c"))) Some(st)
+        else None
+      } catch { case _: Exception => None }
+  }
+
+  /** The subset of `files` that may hold any of `keys` — the READ-ONLY
+    * pruning decision: files the (possibly stale) sidecar has never
+    * seen are always candidates, so staleness only degrades pruning.
+    * None when no usable sidecar exists or the key set carries NULLs /
+    * exceeds the cap (callers read `files` whole). */
+  private def candidateAmong(spark: SparkSession, path: String,
+                             files: Seq[String], keys: DataFrame,
+                             pks: Seq[String]): Option[Seq[String]] = {
+    val nKeys = keys.count()
+    val hasNullKey = nKeys > 0 &&
+      !keys.where(pks.map(c => col(c).isNull).reduce(_ || _)).isEmpty
+    if (nKeys == 0L || nKeys > MaxProbeKeys || hasNullKey) return None
+    loadPkStats(spark, path, pks).map { st =>
+      val norm = (s: String) => new Path(s).toUri.getPath
+      val cand = StatsIndex.candidateFilesForKeys(st, keys, pks).map(norm).toSet
+      val known = st.select("file").collect().map(r => norm(r.getString(0))).toSet
+      files.filter(f => cand.contains(norm(f)) || !known.contains(norm(f)))
+    }
+  }
+
   /** The live view RESTRICTED to (a superset of) the rows whose PKs
     * appear in `keys` — the guarded merge's target probe. File pruning
     * through the PK stats sidecar (bounding box always, blooms for
-    * broadcastable key sets); sidecar masks apply in full (they only
-    * remove rows), so the result is exactly `read(...)` minus rows in
-    * pruned files — and a pruned file provably holds no probed key.
-    * Falls back to the full live view for over-cap or NULL-bearing key
-    * sets (stats do not index nulls; the null-safe `<=>` probe must
-    * still see null-key rows). */
+    * broadcastable key sets); a pruned file provably holds no probed
+    * key. Falls back to the full live view for over-cap or
+    * NULL-bearing key sets (stats do not index nulls; the null-safe
+    * `<=>` probe must still see null-key rows). Writer-lock-only: it
+    * REFRESHES the sidecar (delta-cost) before deciding. */
   private def readLiveForKeys(spark: SparkSession, path: String,
                               keys: DataFrame, pks: Seq[String]): DataFrame = {
     val nKeys = keys.count()
@@ -367,16 +422,7 @@ object MorTable {
     val candidates = StatsIndex.candidateFilesForKeys(stats, keys, pks)
     if (candidates.isEmpty) return read(spark, path).limit(0)
     val batches = committedBatches(spark, path)
-    val data = spark.read.option("mergeSchema", "true")
-      .option("basePath", dataDir(path)).parquet(candidates.sorted: _*)
-      .withColumn(F, col("_metadata.file_path"))
-      .withColumn(P, col("_metadata.row_index"))
-      .withColumn(B, col("batch"))
-      .drop("batch")
-    applyEq(
-      applyPos(data, readPosDels(spark, path, batches)),
-      readEqDels(spark, path, batches))
-      .drop(F, P, B)
+    taggedFromFiles(spark, path, batches, candidates, withProvenance = false)
   }
 
   /** Batch 0: initial snapshot commit. A RE-load of an existing table
@@ -499,7 +545,14 @@ object MorTable {
       s"commit $batch does not exist in $path")
     val f = fs(spark, path)
 
-    val pre0 = readTagged(spark, path, withProvenance = true, upTo = Some(batch - 1))
+    val preBatches = committedBatches(spark, path).filter(_ <= batch - 1)
+    def pre0Full = readTagged(spark, path, withProvenance = true,
+      upTo = Some(batch - 1))
+    def preFiles = committedDirs(spark, path, dataDir(path), preBatches)
+      .flatMap { d =>
+        f.listStatus(new Path(d)).toSeq.map(_.getPath.toString)
+          .filter(_.endsWith(".parquet"))
+      }
     val delDir_b = s"${delDir(path)}/batch=$batch"
     val delEqDir_b = s"${delEqDir(path)}/batch=$batch"
     val dataDir_b = s"${dataDir(path)}/batch=$batch"
@@ -511,23 +564,44 @@ object MorTable {
     // empty feed, by early pre-emptying both sides.
     val isConsolidation = !f.exists(new Path(dataDir_b))
     val pre =
-      if (isConsolidation) pre0.limit(0)
+      if (isConsolidation) pre0Full.limit(0)
       else if (f.exists(new Path(delEqDir_b))) {
         // merge commit: equality keys select the superseded pre-images
-        // (pre0 rows are all from batches < `batch`, so no batch guard
-        // is needed — the keys mask exactly them).
+        // (pre rows are all from batches < `batch`, so no batch guard
+        // is needed — the keys mask exactly them). The pre-image scan
+        // is PRUNED to candidate files through the PK stats sidecar
+        // when a guarded merge has left one (read-only use — unseen
+        // files always scan), so a feed consumer pays O(candidate
+        // files) per commit instead of O(target).
         val raw = spark.read.parquet(delEqDir_b)
         val kpks = raw.columns.toSeq
+        val pre0 = candidateAmong(spark, path, preFiles,
+            raw.select(kpks.map(col): _*).distinct(), kpks) match {
+          case Some(Nil) => pre0Full.limit(0)
+          case Some(files) => taggedFromFiles(spark, path, preBatches, files,
+            withProvenance = true)
+          case None => pre0Full
+        }
         val eq = raw.select(kpks.map(c => col(c).as(s"__eq_$c")): _*)
         pre0.join(eq,
           kpks.map(c => pre0(c) <=> eq(s"__eq_$c")).reduce(_ && _), "left_semi")
       } else if (f.exists(new Path(delDir_b))) {
         // compaction commit: position entries (moves — value-filtered to
-        // nothing below).
+        // nothing below). The sidecar NAMES the files it masks, so the
+        // pre-image scan reads exactly those — no stats needed.
+        import spark.implicits._
         val dels = spark.read.parquet(delDir_b)
+        val masked = dels.select(DelFile).distinct().as[String].collect().toSeq
+        val norm = (s: String) => new Path(s).toUri.getPath
+        val maskedSet = masked.map(norm).toSet
+        val victims = preFiles.filter(p => maskedSet.contains(norm(p)))
+        val pre0 =
+          if (victims.isEmpty) pre0Full.limit(0)
+          else taggedFromFiles(spark, path, preBatches, victims,
+            withProvenance = true)
         pre0.join(dels,
           pre0(F) === dels(DelFile) && pre0(P) === dels(DelPos), "left_semi")
-      } else pre0.limit(0)
+      } else pre0Full.limit(0)
     // an all-delete merge batch leaves a partless data dir (nothing
     // appended) that schema inference would reject
     val hasDataFiles = !isConsolidation &&

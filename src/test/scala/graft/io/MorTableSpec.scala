@@ -444,6 +444,83 @@ class MorTableSpec extends SparkSpec {
     assert(asSet(MorTable.read(spark, base)) == asSet(want))
   }
 
+  test("commitDiff pre-image scans are pruned: eq commits via PK stats, pos commits via the sidecar's own file list") {
+    import scala.jdk.CollectionConverters._
+    val base = tmp()
+    // same range-disjoint multi-file layout as the guarded-probe test
+    val snap = spark.range(100).orderBy("id").coalesce(1).select(
+      lit(Op.Insert).as(Op.column), $"id".as("k"), concat(lit("v"), $"id").as("v"))
+    MorTable.init(spark, snap, base, maxRecordsPerFile = 25L)
+    // a guarded merge leaves the PK stats sidecar behind (read-only
+    // consumers only ever exploit it, never build it)
+    MorTable.merge(spark, batch(1L, Seq(("U", 10L, "g10"))), base, Seq("k"),
+      maxRecordsPerFile = 25L, updateWhen = Some(col("c.v") =!= col("t.v")))
+    // an UNGUARDED merge whose keys live in one 25-row range
+    MorTable.merge(spark, batch(2L, Seq(("U", 30L, "u30"), ("D", 31L, "x"))),
+      base, Seq("k"), maxRecordsPerFile = 25L)
+    val all = MorTable.dataFiles(spark, base)
+    assert(all.size >= 5, s"fixture must be multi-file, got ${all.size}")
+    Thread.sleep(2000) // drain the async listener bus
+
+    val scanned = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      private def walk(p: SparkPlan): Unit = p.foreach {
+        case fe: FileSourceScanExec => fe.relation.location.inputFiles.foreach(scanned.add)
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ =>
+      }
+      override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             ns: Long): Unit = walk(qe.executedPlan)
+      override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    val norm = (s: String) => s.stripPrefix("file:").replaceAll("^/+", "/")
+    def drainScans(body: => Unit): Set[String] = {
+      scanned.clear()
+      spark.listenerManager.register(listener)
+      try {
+        body
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!scanned.asScala.exists(_.contains("/data/batch=")) &&
+               System.nanoTime() < deadline) Thread.sleep(50)
+        Thread.sleep(1000)
+      } finally spark.listenerManager.unregister(listener)
+      scanned.asScala.toSet.filter(_.contains("/data/batch=")).map(norm)
+    }
+
+    // EQ-commit diff (batch 2, keys 30/31): candidate pruning through
+    // the stats the guarded merge left — must not open every data file
+    val feed = drainScans {
+      val rows = MorTable.commitDiff(spark, base, 2L, Seq("k"), Seq("v"))
+        .collect()
+      val byOp = rows.groupBy(_.getAs[String]("change_op"))
+      assert(byOp(Op.Update).map(_.getAs[Long]("k")).toSet == Set(30L))
+      assert(byOp(Op.Delete).map(_.getAs[Long]("k")).toSet == Set(31L))
+    }
+    val allN = all.map(norm).toSet
+    assert(feed.intersect(allN).size < allN.size,
+      s"eq-commit diff must scan fewer files: ${feed.intersect(allN).size} of ${allN.size}")
+
+    // POS-commit diff (a compaction): pre-images come from exactly the
+    // files the position sidecar names
+    val victims = MorTable.compact(spark, base, minDeadFraction = 0.01)
+    assert(victims.nonEmpty, "compaction must rewrite something")
+    Thread.sleep(2000) // drain compaction's own scan events first
+    val cb = MorTable.committedBatches(spark, base).last
+    val posScans = drainScans {
+      assert(MorTable.commitDiff(spark, base, cb, Seq("k"), Seq("v")).isEmpty,
+        "a compaction commit moves rows; its value feed is empty")
+    }
+    val allNow = MorTable.dataFiles(spark, base).map(norm).toSet ++ allN
+    val preSide = posScans.intersect(allN) -- victims.map(norm).toSet
+    assert(preSide.isEmpty,
+      s"pos-commit pre-images must read only sidecar-named files, extra: $preSide")
+    assert(posScans.intersect(allNow).nonEmpty, "sentinel: some data was scanned")
+  }
+
   test("re-init truncates the previous epoch (reference C3 full reload)") {
     val base = tmp()
     MorTable.init(spark, snapshot, base)
