@@ -24,7 +24,7 @@ object RepeatCheck {
       "sim_ivf_after_update", "sim_binary_ivf_after_update",
       "cdc_incr_join_after_ingest", "dq_suite_after_ingest",
       "text_bm25_after_update", "text_phrase_after_update",
-      "dedup_communities_incr")
+      "sim_graph_after_update", "dedup_communities_incr")
     names.foreach { n =>
       def snap(): Seq[String] = {
         val df = SparkEntry.queries(n)(spark, dir)
