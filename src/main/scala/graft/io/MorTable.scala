@@ -96,6 +96,17 @@ object MorTable {
     * this large amortizes a scan). The [[graft.ops.Retrieval]]
     * `maxProbedKeys` precedent. */
   private[io] val MaxProbeKeys = 100000L
+
+  /** BELOW this many committed data files a guarded merge skips the
+    * stats sidecar entirely and reads the full live view: maintaining +
+    * probing the sidecar costs a handful of driver jobs, which beats a
+    * scan only once the table has enough files for pruning to matter —
+    * the device exists for the 10^4-10^6-file regime, not a
+    * 10-file table. Overridable (specs set it to 1; an operator can
+    * tune it) via the session conf. */
+  private[io] val MinPruneFilesConf = "spark.graft.mor.minPruneFiles"
+  private def minPruneFiles(spark: SparkSession): Int =
+    spark.conf.getOption(MinPruneFilesConf).map(_.toInt).getOrElse(64)
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -416,7 +427,7 @@ object MorTable {
     val hasNullKey = nKeys > 0 &&
       !keys.where(pks.map(c => col(c).isNull).reduce(_ || _)).isEmpty
     if (nKeys == 0L || nKeys > MaxProbeKeys || hasNullKey ||
-        dataFiles(spark, path).isEmpty)
+        dataFiles(spark, path).size < minPruneFiles(spark))
       return read(spark, path)
     val stats = refreshPkStats(spark, path, pks)
     val candidates = StatsIndex.candidateFilesForKeys(stats, keys, pks)

@@ -370,6 +370,9 @@ class MorTableSpec extends SparkSpec {
 
   test("a GUARDED merge's target probe reads strictly fewer base files than the table") {
     import scala.jdk.CollectionConverters._
+    // the fixture is a handful of files — drop the big-table gate so the
+    // pruning machinery itself is under test
+    spark.conf.set(MorTable.MinPruneFilesConf, "1")
     val base = tmp()
     // range-disjoint multi-file layout: sorted single-partition writes
     // split at 25 records -> 4 files per commit, each owning a
@@ -442,10 +445,12 @@ class MorTableSpec extends SparkSpec {
     val want = Merge.mergeConditional(s2,
       batch(3L, Seq(("U", 210L, "g210"), ("U", 211L, "w211"))), Seq("k"), Nil, g)
     assert(asSet(MorTable.read(spark, base)) == asSet(want))
+    spark.conf.unset(MorTable.MinPruneFilesConf)
   }
 
   test("commitDiff pre-image scans are pruned: eq commits via PK stats, pos commits via the sidecar's own file list") {
     import scala.jdk.CollectionConverters._
+    spark.conf.set(MorTable.MinPruneFilesConf, "1")
     val base = tmp()
     // same range-disjoint multi-file layout as the guarded-probe test
     val snap = spark.range(100).orderBy("id").coalesce(1).select(
@@ -519,6 +524,7 @@ class MorTableSpec extends SparkSpec {
     assert(preSide.isEmpty,
       s"pos-commit pre-images must read only sidecar-named files, extra: $preSide")
     assert(posScans.intersect(allNow).nonEmpty, "sentinel: some data was scanned")
+    spark.conf.unset(MorTable.MinPruneFilesConf)
   }
 
   test("re-init truncates the previous epoch (reference C3 full reload)") {
