@@ -28,7 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object CdcPipeline {
 
-  final case class MergeStats(rowsWritten: Long, impactedFiles: Seq[String], insertOnly: Boolean)
+  /** @param mergedOutput set only when the caller asked [[mergeTagged]]
+    *   to `retainOutput`: the post-merge rows of every impacted file —
+    *   a superset of the batch keys' live post-merge rows (impacted =
+    *   files holding batch keys, so every surviving batch key is here).
+    *   Eagerly local-checkpointed (batch+bystander-sized, lineage cut
+    *   BEFORE the copy-on-write delete invalidates the files it read);
+    *   the caller owns the unpersist. */
+  final case class MergeStats(rowsWritten: Long, impactedFiles: Seq[String], insertOnly: Boolean,
+                              mergedOutput: Option[DataFrame] = None)
 
   /** Optional change-data-feed sidecar for [[mergeTagged]]: per-operation
     * pre/post image rows ([[graft.cdc.ChangeFeed]]) written under `path`
@@ -49,6 +57,36 @@ object CdcPipeline {
   /** Partition column of the replay-guarded no-PK append (source file
     * basename — the idempotent-overwrite unit). */
   val IngestFile = "__ingest_file"
+
+  /** If every row of `tagged` provably carries the SAME literal
+    * [[SrcFile]] (the `withColumn(SrcFile, lit(name))` tag all
+    * synthesized micro-batches use), return it — the file_seq derivation
+    * then needs no scan. Conservative: walks only row-preserving nodes
+    * (Project/Filter/alias/sort/limit); a Union, Join or anything else
+    * returns None and the caller pays the distinct. */
+  private def literalSrcFile(tagged: DataFrame): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.types.StringType
+    @annotation.tailrec
+    def walk(plan: LogicalPlan): Option[String] = plan match {
+      case p: Project =>
+        p.projectList.find(_.name == SrcFile) match {
+          case Some(a: Alias) => a.child match {
+            case Literal(s, StringType) if s != null => Some(s.toString)
+            case _ => None
+          }
+          case _ => walk(p.child) // passthrough attribute (or absent): look below
+        }
+      case f: Filter => walk(f.child)
+      case s: SubqueryAlias => walk(s.child)
+      case s: Sort => walk(s.child)
+      case l: GlobalLimit => walk(l.child)
+      case l: LocalLimit => walk(l.child)
+      case _ => None
+    }
+    walk(tagged.queryExecution.analyzed)
+  }
 
   /** Change-file reader: parquet (the reference's DMS target) plus csv and
     * json (DMS's other S3 target formats). Non-parquet formats infer
@@ -148,13 +186,22 @@ object CdcPipeline {
     * Streaming `foreachBatch` path ([[graft.streaming.CdcStream]]). */
   private[graft] def mergeTagged(spark: SparkSession, tagged: DataFrame, outPath: String,
                                  cfg: TableConfig,
-                                 changeFeed: Option[ChangeFeedSink] = None): MergeStats = {
+                                 changeFeed: Option[ChangeFeedSink] = None,
+                                 retainOutput: Boolean = false): MergeStats = {
     import spark.implicits._
 
     // Dense numeric file_seq from sorted names = the reference's
     // lexicographic sortpath order (file name = commit order), 1-based so
     // the target sentinel 0 sorts first. Tiny map → broadcast join.
-    val files = tagged.select(SrcFile).distinct().as[String].collect().sorted.toSeq
+    // Synthesized micro-batches (foreachBatch deliveries, view-CDC
+    // batches) tag every row with ONE literal file name — read it off
+    // the analyzed plan instead of paying a scan+distinct job to
+    // rediscover it; multi-file batches (the file pipeline) keep the
+    // distinct. file_seq=1 for a single file either way.
+    val files = literalSrcFile(tagged) match {
+      case Some(f) => Seq(f)
+      case None => tagged.select(SrcFile).distinct().as[String].collect().sorted.toSeq
+    }
     if (files.isEmpty) return MergeStats(0L, Nil, insertOnly = false)
     val seqDf = files.zipWithIndex.map { case (f, i) => (f, (i + 1).toLong) }
       .toDF(SrcFile, Merge.FileSeq)
@@ -307,21 +354,33 @@ object CdcPipeline {
           case None => Merge.applySequenced(impactedRows, sequenced, pks)
         }
 
-      // Cache across the two actions (count for stats + write) so the merge
-      // plan runs once; reference achieves the same by accident of its two
-      // separate jobs.
-      output.persist()
-      try {
-        val n = output.count()
-        CowWriter.appendMerged(output, outPath, cfg.partitionKeys)
+      if (retainOutput) {
+        // EAGER localCheckpoint (not persist): the lineage must be cut
+        // before the copy-on-write delete below invalidates the target
+        // files the plan reads (a persisted block evicted after the
+        // delete would recompute from missing files). The checkpoint is
+        // the single evaluation; count/write read its blocks.
+        val kept = output.localCheckpoint(true)
+        val n = kept.count()
+        CowWriter.appendMerged(kept, outPath, cfg.partitionKeys)
+        CowWriter.deleteFiles(impacted, spark.sparkContext.hadoopConfiguration)
+        spark.catalog.refreshByPath(outPath)
+        MergeStats(n, impacted, insertOnly = false, mergedOutput = Some(kept))
+      } else {
+        // ONE pass: the row count rides the write as an observed metric
+        // (the loadInitial pattern) — the merge plan runs exactly once,
+        // with no cache and no separate count job.
+        val obs = org.apache.spark.sql.Observation()
+        CowWriter.appendMerged(output.observe(obs, count(lit(1)).as("n")),
+          outPath, cfg.partitionKeys)
         // C6: copy-on-write — drop the superseded files.
         CowWriter.deleteFiles(impacted, spark.sparkContext.hadoopConfiguration)
         // The write refreshed cached listings for the path, but the deletes
         // after it did not: a reader planned from the stale cache would hit
         // FILE_NOT_EXIST on the dropped files. Invalidate once, here.
         spark.catalog.refreshByPath(outPath)
-        MergeStats(n, impacted, insertOnly = false)
-      } finally output.unpersist()
+        MergeStats(obs.get("n").asInstanceOf[Long], impacted, insertOnly = false)
+      }
     }
   }
 }

@@ -75,9 +75,20 @@ object JoinViewStream {
       batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    CdcPipeline.mergeTagged(spark, batch, factPath, factCfg)
-
-    val fact = readLake(spark, factPath, factCfg).drop(Op.column)
+    // Copy-on-write facts hand back the merge's own output (the
+    // post-merge rows of every impacted file — a SUPERSET of the batch
+    // keys' live rows, since impacted = files holding batch keys), so
+    // the view recompute probes a batch-sized cached frame instead of
+    // re-scanning the whole fact lake per micro-batch: O(batch +
+    // bystanders), not O(target) — the PK-pruned read the class doc
+    // promises. MOR facts keep the merged-view read (their commit is
+    // already O(batch); the live view resolves base∖deletes lazily).
+    val retain = !factCfg.mergeOnRead && factCfg.hasPrimaryKey
+    val stats = CdcPipeline.mergeTagged(spark, batch, factPath, factCfg,
+      retainOutput = retain)
+    val fact = stats.mergedOutput
+      .getOrElse(readLake(spark, factPath, factCfg))
+      .drop(Op.column)
     val keys = batch.select(pkCols.map(col): _*).distinct()
     // keys still alive after the merge → recomputed view rows (upserts);
     // keys the merge removed → view deletes (typed-NULL non-key columns)
@@ -95,12 +106,18 @@ object JoinViewStream {
     // merge itself), and this input is a join tree, not a parquet scan —
     // without the checkpoint every evaluation would re-run the pruned
     // fact read and the dim join.
-    val viewBatch = live.unionByName(dead)
+    // ... tagged AFTER the checkpoint: the literal SrcFile then stays
+    // visible in the analyzed plan, so the view merge derives file_seq
+    // without a scan (CdcPipeline.literalSrcFile fast path).
+    val ckpt = live.unionByName(dead).localCheckpoint(true)
+    val viewBatch = ckpt
       .withColumn(CdcPipeline.SrcFile, lit(f"view-batch-$batchId%012d"))
       .withColumn(CdcPipeline.RowIdx, lit(0L)) // ≤ 1 row per key per batch
-      .localCheckpoint(true)
     CdcPipeline.mergeTagged(spark, viewBatch, viewPath, viewCfg): Unit
-    viewBatch.unpersist(blocking = false): Unit
+    ckpt.unpersist(blocking = false): Unit
+    // the retained fact-merge output was consumed by viewBatch's eager
+    // checkpoint above; release its blocks
+    stats.mergedOutput.foreach(_.unpersist(blocking = false))
   }
 
   /** Format-dispatched lake read (plain parquet for CoW, merged view of
