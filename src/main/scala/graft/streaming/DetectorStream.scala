@@ -72,65 +72,92 @@ object DetectorStream {
       SI.appendLedger(spark, table, seg, batchId, 0L, 0L, "event_id")
       return
     }
-    if (!SI.segPresent(spark, hourlyT, seg))
-      batch
-        .groupBy(date_trunc("hour", timestamp_micros(col("ts_us"))).as("hour"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn(SI.SegCol, lit(seg))
-        .write.mode("append").format("parquet").saveAsTable(hourlyT)
-    if (!SI.segPresent(spark, vhistT, seg))
-      batch
-        .groupBy(col("event_type"),
-          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn(SI.SegCol, lit(seg))
-        .write.mode("append").format("parquet").saveAsTable(vhistT)
-    // Welch moments per (type, parity cohort): exact DECIMAL sums are
-    // additive, so segment folds ≡ one batch pass for any delivery
-    // order — the streaming half of events_ab_test (the Mann-Whitney
-    // half is rank-based and inherently needs the corpus; batch-only,
-    // documented).
-    if (!SI.segPresent(spark, table + "_abmom", seg)) {
-      val vd = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
-      batch
-        .groupBy(col("event_type"), (col("user_id") % 2 === 0).as("cohort_a"))
-        .agg(count(lit(1)).as("n"), sum(vd).as("sx"), sum(vd * vd).as("sxx"))
-        .withColumn(SI.SegCol, lit(seg))
-        .write.mode("append").format("parquet").saveAsTable(table + "_abmom")
-    }
-    // Events append BEFORE the burst counts so the count join reads the
-    // batch's own rows from the table (same-ts peers and in-batch
-    // predecessors count, matching the batch RANGE frame). A crash in
-    // between resumes past the committed append (segment probe) and
-    // recomputes identical counts.
-    if (!SI.segPresent(spark, eventsT, seg))
-      batch.select(col("event_id"), col("user_id"), col("ts_us"))
-        .withColumn(SI.SegCol, lit(seg))
-        .write.mode("append").format("parquet").saveAsTable(eventsT)
-    spark.catalog.refreshTable(eventsT)
-    if (!SI.segPresent(spark, burstT, seg)) {
-      // The column-to-column BETWEEN residual cannot push to the scan —
-      // without a LITERAL ts bound every delivery would re-read the
-      // WHOLE history (O(index) per batch). One bounded driver agg on
-      // the batch gives the bound; per-append files carry tight ts
-      // ranges, so parquet row-group stats prune the history scan to
-      // ~the trailing window and per-delivery cost stays O(batch +
-      // window) (ProbeDetectorGate).
-      val lo = batch.agg(min("ts_us")).head().getLong(0) - 3600000000L
-      val hist = spark.table(eventsT)
-        .where(col("ts_us") >= lo)
-        .select(col("user_id"), col("ts_us").as("__ts2"))
-      batch.select(col("event_id"), col("user_id"), col("ts_us"))
-        .join(hist, Seq("user_id"))
-        .where(col("__ts2").between(col("ts_us") - lit(3600000000L), col("ts_us")))
-        .groupBy("event_id", "user_id")
-        .agg(count(lit(1)).as("n_trailing_1h"))
-        .withColumn("is_burst", col("n_trailing_1h") >= lit(5L))
-        .withColumn(SI.SegCol, lit(seg))
-        .write.mode("append").format("parquet").saveAsTable(burstT)
-    }
-    SI.appendLedger(spark, table, seg, batchId, batch.count(), 0L, "event_id")
+    // The four segment writes below are INDEPENDENT consumers of the
+    // same batch (only burst depends on the events append): materialize
+    // the batch ONCE (each write would otherwise re-run the source
+    // scan), and submit the independent writes from a small thread pool
+    // so each write's task tail back-fills executor slots instead of
+    // serializing four sub-second jobs — the overlap-independent-jobs
+    // shape Controller.runOnce already uses for table fan-out. Crash
+    // semantics unchanged: every write stays individually seg-probed,
+    // and the ledger row still lands strictly LAST (after all writes).
+    val b = batch.localCheckpoint(true)
+    try {
+      val writes: Seq[() => Unit] = Seq(
+        () => if (!SI.segPresent(spark, hourlyT, seg))
+          b.groupBy(date_trunc("hour", timestamp_micros(col("ts_us"))).as("hour"),
+              col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn(SI.SegCol, lit(seg))
+            .write.mode("append").format("parquet").saveAsTable(hourlyT),
+        () => if (!SI.segPresent(spark, vhistT, seg))
+          b.groupBy(col("event_type"),
+              floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn(SI.SegCol, lit(seg))
+            .write.mode("append").format("parquet").saveAsTable(vhistT),
+        // Welch moments per (type, parity cohort): exact DECIMAL sums are
+        // additive, so segment folds ≡ one batch pass for any delivery
+        // order — the streaming half of events_ab_test (the Mann-Whitney
+        // half is rank-based and inherently needs the corpus; batch-only,
+        // documented).
+        () => if (!SI.segPresent(spark, table + "_abmom", seg)) {
+          val vd = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          b.groupBy(col("event_type"), (col("user_id") % 2 === 0).as("cohort_a"))
+            .agg(count(lit(1)).as("n"), sum(vd).as("sx"), sum(vd * vd).as("sxx"))
+            .withColumn(SI.SegCol, lit(seg))
+            .write.mode("append").format("parquet").saveAsTable(table + "_abmom")
+        },
+        // Events append BEFORE the burst counts so the count join reads the
+        // batch's own rows from the table (same-ts peers and in-batch
+        // predecessors count, matching the batch RANGE frame). A crash in
+        // between resumes past the committed append (segment probe) and
+        // recomputes identical counts.
+        () => if (!SI.segPresent(spark, eventsT, seg))
+          b.select(col("event_id"), col("user_id"), col("ts_us"))
+            .withColumn(SI.SegCol, lit(seg))
+            .write.mode("append").format("parquet").saveAsTable(eventsT))
+      awaitAll(writes)
+      spark.catalog.refreshTable(eventsT)
+      if (!SI.segPresent(spark, burstT, seg)) {
+        // The column-to-column BETWEEN residual cannot push to the scan —
+        // without a LITERAL ts bound every delivery would re-read the
+        // WHOLE history (O(index) per batch). One bounded driver agg on
+        // the batch gives the bound; per-append files carry tight ts
+        // ranges, so parquet row-group stats prune the history scan to
+        // ~the trailing window and per-delivery cost stays O(batch +
+        // window) (ProbeDetectorGate).
+        val lo = b.agg(min("ts_us")).head().getLong(0) - 3600000000L
+        val hist = spark.table(eventsT)
+          .where(col("ts_us") >= lo)
+          .select(col("user_id"), col("ts_us").as("__ts2"))
+        b.select(col("event_id"), col("user_id"), col("ts_us"))
+          .join(hist, Seq("user_id"))
+          .where(col("__ts2").between(col("ts_us") - lit(3600000000L), col("ts_us")))
+          .groupBy("event_id", "user_id")
+          .agg(count(lit(1)).as("n_trailing_1h"))
+          .withColumn("is_burst", col("n_trailing_1h") >= lit(5L))
+          .withColumn(SI.SegCol, lit(seg))
+          .write.mode("append").format("parquet").saveAsTable(burstT)
+      }
+      SI.appendLedger(spark, table, seg, batchId, b.count(), 0L, "event_id")
+    } finally b.unpersist(blocking = false)
+  }
+
+  /** Run independent side-effecting thunks concurrently and wait for all
+    * — a fresh small pool per call (deliveries are not hot enough to
+    * justify a shared global); the first failure propagates after the
+    * pool drains, so no write is abandoned mid-flight. */
+  private def awaitAll(work: Seq[() => Unit]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+    try {
+      import scala.jdk.CollectionConverters._
+      val futures = pool.invokeAll(
+        work.map(f => new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = f()
+        }).asJava)
+      futures.asScala.foreach(_.get()) // rethrows the first failure
+    } finally pool.shutdown()
   }
 
   private def bootstrap(spark: SparkSession, table: String): Unit = {
