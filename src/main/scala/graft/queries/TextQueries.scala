@@ -979,10 +979,18 @@ object TextQueries {
       // sim_graph_after_ingest).
       val even = d.where(col("doc_id") % 2 === 0)
       val odd = d.where(col("doc_id") % 2 === 1)
-      graft.ops.Retrieval.writeBm25Index(even, "doc_id", "text", bt, buckets = 8)
-      graft.streaming.RetrievalStream.ingestBatch(odd, 1L, bt, "doc_id", "text", buckets = 8)
-      graft.ops.Retrieval.writePhraseIndex(even, "doc_id", "text", pt, buckets = 8)
-      graft.streaming.RetrievalStream.phraseBatch(odd, 1L, pt, "doc_id", "text", buckets = 8)
+      // The BM25 and phrase chains touch disjoint tables and have no
+      // ordering contract between them — overlap the two build+deliver
+      // chains (each chain stays internally ordered: build THEN ingest).
+      graft.io.Overlap.awaitAll(Seq(
+        () => {
+          graft.ops.Retrieval.writeBm25Index(even, "doc_id", "text", bt, buckets = 8)
+          graft.streaming.RetrievalStream.ingestBatch(odd, 1L, bt, "doc_id", "text", buckets = 8)
+        },
+        () => {
+          graft.ops.Retrieval.writePhraseIndex(even, "doc_id", "text", pt, buckets = 8)
+          graft.streaming.RetrievalStream.phraseBatch(odd, 1L, pt, "doc_id", "text", buckets = 8)
+        }))
       val q = Bm25Queries.toDF("qid", "qtext")
       val lex = graft.ops.Retrieval.bm25AgainstIndex(s, bt, q, "qid", "qtext", k = 10)
       val phr = graft.ops.Retrieval.phraseAgainstIndex(s, pt, q, "qid", "qtext", k = 10)

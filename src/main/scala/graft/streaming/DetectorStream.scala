@@ -117,7 +117,7 @@ object DetectorStream {
           b.select(col("event_id"), col("user_id"), col("ts_us"))
             .withColumn(SI.SegCol, lit(seg))
             .write.mode("append").format("parquet").saveAsTable(eventsT))
-      awaitAll(writes)
+      graft.io.Overlap.awaitAll(writes)
       spark.catalog.refreshTable(eventsT)
       if (!SI.segPresent(spark, burstT, seg)) {
         // The column-to-column BETWEEN residual cannot push to the scan —
@@ -144,21 +144,6 @@ object DetectorStream {
     } finally b.unpersist(blocking = false)
   }
 
-  /** Run independent side-effecting thunks concurrently and wait for all
-    * — a fresh small pool per call (deliveries are not hot enough to
-    * justify a shared global); the first failure propagates after the
-    * pool drains, so no write is abandoned mid-flight. */
-  private def awaitAll(work: Seq[() => Unit]): Unit = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
-    try {
-      import scala.jdk.CollectionConverters._
-      val futures = pool.invokeAll(
-        work.map(f => new java.util.concurrent.Callable[Unit] {
-          override def call(): Unit = f()
-        }).asJava)
-      futures.asScala.foreach(_.get()) // rethrows the first failure
-    } finally pool.shutdown()
-  }
 
   private def bootstrap(spark: SparkSession, table: String): Unit = {
     if (spark.catalog.tableExists(table + "_hourly")) return
