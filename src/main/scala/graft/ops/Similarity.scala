@@ -2340,7 +2340,49 @@ object Similarity {
     * seed → comm1 → comm2 (and through a third level via
     * [[louvainLabels]]); the 10× probe rides the edge-sized bound of
     * the inner round. */
-  def louvainLevels(edges0: DataFrame, seed: DataFrame): DataFrame = {
+  def louvainLevels(edges0: DataFrame, seed: DataFrame,
+                    localThreshold: Long = 200000L): DataFrame = {
+    // Driver gate — the [[graft.ops.Dedup.communitiesLocal]] pattern
+    // applied to the GLOBAL-m entry: with a CONSTANT compOf the driver
+    // mirror's per-component m IS the global m, so
+    // [[louvainHierarchyDriver]] reproduces [[louvainLabels]] labels
+    // byte-identically (LouvainDriverSpec pins both normalizations).
+    // Small graphs solve in ~2 jobs instead of the ~40 tiny ones the
+    // two-level distributed engine schedules; over-threshold or
+    // non-integral-id graphs keep the distributed path (the limit-probe
+    // collect aborts early, so a corpus-scale graph pays one bounded
+    // scan, never a full materialization). Ids go back out as the exact
+    // input type (labels are min member ids — lossless).
+    val idType = edges0.schema("a").dataType
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(idType) && idType == edges0.schema("b").dataType
+    }
+    if (integralIds) {
+      val spark = edges0.sparkSession
+      import spark.implicits._
+      val probe = edges0.select(col("a").cast("long"), col("b").cast("long"))
+        .limit(localThreshold.toInt + 1).as[(Long, Long)].collect()
+      if (probe.length <= localThreshold) {
+        // canonicalize + distinct: the documented input contract
+        // (canonical (a ≤ b) pairs) made explicit, matching
+        // communitiesLocal's driver path
+        val eg = probe.iterator
+          .map(r => (math.min(r._1, r._2), math.max(r._1, r._2)))
+          .toArray.distinct
+        val seedMap = seed
+          .select(col("n").cast("long"), col("comm").cast("long"))
+          .as[(Long, Long)].collect().toMap
+        val ls = louvainHierarchyDriver(eg, seedMap,
+          compOf = Map.empty[Long, Long].withDefaultValue(0L), levels = 2)
+        return ls(0).keys.toSeq.sorted
+          .map(n => (n, ls(0)(n), ls(1)(n)))
+          .toDF("vec_id", "comm1", "comm2")
+          .select(Seq("vec_id", "comm1", "comm2")
+            .map(c => col(c).cast(idType).as(c)): _*)
+      }
+    }
     val ls = louvainLabels(edges0, seed, levels = 2)
     ls(0).select(col("vec_id"), col("comm").as("comm1"))
       .join(ls(1).select(col("vec_id"), col("comm").as("comm2")), "vec_id")

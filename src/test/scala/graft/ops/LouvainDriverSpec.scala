@@ -68,6 +68,83 @@ class LouvainDriverSpec extends SparkSpec {
     assert(viaDriver == viaCluster && viaDriver.nonEmpty)
   }
 
+  // ---- GLOBAL-m gate (Similarity.louvainLevels): with a constant compOf
+  // ---- the driver mirror's per-component m IS the global m, so the gate
+  // ---- must be label-identical to the distributed louvainLabels chain
+  private def levelsRows(df: DataFrame): Set[(Long, Long, Long)] =
+    df.select("vec_id", "comm1", "comm2")
+      .as[(Long, Long, Long)].collect().toSet
+
+  private def egSeed(pairs: DataFrame): (DataFrame, DataFrame) = {
+    val eg = pairs.where(col("est_jaccard") >= 0.25)
+      .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+    val hi = pairs.where(col("est_jaccard") >= 0.75)
+      .select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+    val seed = Dedup.resolveClusters(hi, "a", "b")
+      .select(col("id").as("n"), col("cluster").as("comm"))
+    (eg, seed)
+  }
+
+  test("louvainLevels driver gate == distributed on real candidate pairs (global m)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val (eg, seed) = egSeed(pairs)
+    val viaDriver = levelsRows(Similarity.louvainLevels(eg, seed))
+    val viaCluster = levelsRows(Similarity.louvainLevels(eg, seed, localThreshold = -1L))
+    assert(viaDriver == viaCluster && viaDriver.nonEmpty)
+  }
+
+  test("louvainLevels driver gate == distributed on seeded random graphs (global m)") {
+    var state = 0x51a3bc0e62d14b7dL
+    def next(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % bound + bound) % bound).toInt
+    }
+    for (case_ <- 1 to 6) {
+      val nodes = 8 + next(30)
+      val nEdges = nodes + next(3 * nodes)
+      val pairs = (1 to nEdges).flatMap { _ =>
+        val a = next(nodes).toLong; val b = next(nodes).toLong
+        if (a == b) None
+        else Some((math.min(a, b), math.max(a, b), (4 + next(13)) / 16.0))
+      }.distinct
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("id_a", "id_b", "est_jaccard").localCheckpoint(true)
+        val (eg, seed) = egSeed(df)
+        val viaDriver = levelsRows(Similarity.louvainLevels(eg, seed))
+        val viaCluster = levelsRows(Similarity.louvainLevels(eg, seed, localThreshold = -1L))
+        assert(viaDriver == viaCluster,
+          s"case $case_ diverged (nodes=$nodes edges=${pairs.size})")
+      }
+    }
+  }
+
+  test("louvainLevels gate preserves INT ids and skips string ids (global m)") {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val intEdges = Seq((1, 2), (2, 3), (10, 11), (3, 4), (1, 3)).toDF("a", "b")
+    val intSeed = Seq((1, 1), (2, 1)).toDF("n", "comm")
+    val viaDriver = Similarity.louvainLevels(intEdges, intSeed)
+    val viaCluster = Similarity.louvainLevels(intEdges, intSeed, localThreshold = -1L)
+    assert(viaDriver.schema("vec_id").dataType == IntegerType)
+    assert(viaDriver.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      viaCluster.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    def asInt(df: DataFrame) = df.select("vec_id", "comm1", "comm2")
+      .as[(Int, Int, Int)].collect().toSet
+    assert(asInt(viaDriver) == asInt(viaCluster) && asInt(viaDriver).nonEmpty)
+    val strEdges = Seq(("d1", "d2"), ("d2", "d3")).toDF("a", "b")
+    val strSeed = Seq(("d1", "d1")).toDF("n", "comm")
+    val viaGate = Similarity.louvainLevels(strEdges, strSeed)
+    assert(viaGate.schema("vec_id").dataType == StringType)
+    val got = viaGate.select("vec_id", "comm1", "comm2")
+      .as[(String, String, String)].collect().toSet
+    val want = Similarity.louvainLevels(strEdges, strSeed, localThreshold = -1L)
+      .select("vec_id", "comm1", "comm2")
+      .as[(String, String, String)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("the driver gate preserves non-long INTEGRAL id types and skips non-integral ids") {
     import org.apache.spark.sql.types.{IntegerType, StringType}
     val edges = Seq((1, 2, 1.0), (2, 3, 1.0), (10, 11, 0.9))
