@@ -64,7 +64,7 @@ object CdcPipeline {
     * then needs no scan. Conservative: walks only row-preserving nodes
     * (Project/Filter/alias/sort/limit); a Union, Join or anything else
     * returns None and the caller pays the distinct. */
-  private def literalSrcFile(tagged: DataFrame): Option[String] = {
+  private[io] def literalSrcFile(tagged: DataFrame): Option[String] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.types.StringType

@@ -528,8 +528,13 @@ object MorTable {
     val keys0 = sequenced.select(pks.map(col): _*).distinct()
     val keys = rejected.fold(keys0)(r => keys0.join(r, pks, "left_anti"))
 
-    writeBatchData(appended, path, b, maxRecordsPerFile)
-    keys.write.mode("overwrite").parquet(s"${delEqDir(path)}/batch=$b")
+    // The data append and the equality sidecar are independent writes to
+    // disjoint uncommitted dirs — overlap them (readers see neither
+    // until the commit marker below; a crash before it leaves orphans
+    // for vacuum either way, so write order was never load-bearing).
+    graft.io.Overlap.awaitAll(Seq(
+      () => writeBatchData(appended, path, b, maxRecordsPerFile),
+      () => keys.write.mode("overwrite").parquet(s"${delEqDir(path)}/batch=$b")))
     commit(spark, path, b)
     b
     }
@@ -653,8 +658,14 @@ object MorTable {
                   pks: Seq[String],
                   updateWhen: Option[Column] = None): Long = {
     import spark.implicits._
-    val files = tagged.select(CdcPipeline.SrcFile).distinct()
-      .as[String].collect().sorted.toSeq
+    // single-literal-tagged batches (foreachBatch deliveries) read the
+    // file name off the analyzed plan — no scan+distinct job (the same
+    // fast path as the CoW mergeTagged)
+    val files = CdcPipeline.literalSrcFile(tagged) match {
+      case Some(one) => Seq(one)
+      case None => tagged.select(CdcPipeline.SrcFile).distinct()
+        .as[String].collect().sorted.toSeq
+    }
     require(files.nonEmpty, "empty tagged batch")
     val seqDf = files.zipWithIndex.map { case (f, i) => (f, (i + 1).toLong) }
       .toDF(CdcPipeline.SrcFile, Merge.FileSeq)
@@ -742,11 +753,15 @@ object MorTable {
       if (clusterBy.isEmpty) out0
       else out0.repartitionByRange(clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    writeBatchData(out, path, b, maxRecordsPerFile)
-    // New sidecar = moved victim rows + the lowered equality masks.
-    live.select(col(F).as(DelFile), col(P).as(DelPos))
-      .unionByName(eqMasked).distinct()
-      .write.mode("overwrite").parquet(s"${delDir(path)}/batch=$b")
+    // Data rewrite and the new sidecar both read the CHECKPOINTED live
+    // set — independent writes to uncommitted dirs, overlapped like the
+    // merge commit's pair (visibility still flips only at the marker).
+    graft.io.Overlap.awaitAll(Seq(
+      () => writeBatchData(out, path, b, maxRecordsPerFile),
+      // New sidecar = moved victim rows + the lowered equality masks.
+      () => live.select(col(F).as(DelFile), col(P).as(DelPos))
+        .unionByName(eqMasked).distinct()
+        .write.mode("overwrite").parquet(s"${delDir(path)}/batch=$b")))
     commit(spark, path, b)
     // Lowering receipt (AFTER the commit marker — a crash in between
     // just means the next vacuum re-derives the lowering, duplicate
