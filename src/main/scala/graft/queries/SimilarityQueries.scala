@@ -1174,8 +1174,14 @@ object SimilarityQueries {
     // every stage deterministic and mirrored in one SQL chain.
     "sim_ann_pipeline" -> ((s, dir) => {
       val e = emb(s, dir)
-      val coarse = Similarity.kMeans(e, "vec_id", "embedding", "cid", k = 8, iters = 1)
-      val fine = Similarity.kMeansSub(e, "vec_id", "embedding", "cid", m = 4, k = 16, iters = 1)
+      // the two trainings are independent driver-paced passes over the
+      // corpus (each collects only its k×dim centroid table) — overlap
+      // them; both results are tiny local frames
+      var coarse: DataFrame = null
+      var fine: DataFrame = null
+      graft.io.Overlap.awaitAll(Seq(
+        () => coarse = Similarity.kMeans(e, "vec_id", "embedding", "cid", k = 8, iters = 1),
+        () => fine = Similarity.kMeansSub(e, "vec_id", "embedding", "cid", m = 4, k = 16, iters = 1)))
       val indexed = Similarity.pqCodes(
         Similarity.ivfAssign(e, coarse, "vec_id", "embedding", "cid"),
         fine, "vec_id", "embedding", "cid", m = 4, extraCols = Seq("cluster"))
