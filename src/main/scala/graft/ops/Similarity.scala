@@ -1351,18 +1351,24 @@ object Similarity {
     SI.resetGen(spark, table) // fresh build owns the plain names again
     val edges = knnGraph(corpus, idCol, vecCol, k, bits, maxBucketSize)
       .withColumn(SI.SegCol, lit(0L))
-    graft.io.Bucketing.writeBucketed(edges, table, "src", buckets)
-    graft.io.Bucketing.writeBucketed(
-      corpus.select(col(idCol), col(vecCol),
-          signBucket(col(vecCol), bits).as("__bkt"))
-        .withColumn(SI.SegCol, lit(0L)),
-      table + "_vecs", "__bkt", buckets)
-    SI.initTombstones(spark, table,
-      corpus.select(col(idCol).as("src"), lit(0L).as("below_seg")))
-    // the vector store gets its OWN tombstones: [[updateKnnGraphIndex]]
-    // retires changed vectors without rewriting bucket files
-    SI.initTombstones(spark, table + "_vecs",
-      corpus.select(col(idCol), lit(0L).as("below_seg")))
+    // the four build writes are independent (edges, vector store, two
+    // tombstone inits — distinct tables); overlap them so the cheap ones
+    // back-fill the expensive edge build's task tail. The ledger stays
+    // LAST: a fresh build is published by its ledger like every other
+    // lifecycle step.
+    graft.io.Overlap.awaitAll(Seq(
+      () => graft.io.Bucketing.writeBucketed(edges, table, "src", buckets),
+      () => graft.io.Bucketing.writeBucketed(
+        corpus.select(col(idCol), col(vecCol),
+            signBucket(col(vecCol), bits).as("__bkt"))
+          .withColumn(SI.SegCol, lit(0L)),
+        table + "_vecs", "__bkt", buckets),
+      () => SI.initTombstones(spark, table,
+        corpus.select(col(idCol).as("src"), lit(0L).as("below_seg"))),
+      // the vector store gets its OWN tombstones: [[updateKnnGraphIndex]]
+      // retires changed vectors without rewriting bucket files
+      () => SI.initTombstones(spark, table + "_vecs",
+        corpus.select(col(idCol), lit(0L).as("below_seg")))))
     SI.initLedger(spark, table, "src", corpus.count(), 0L)
   }
 
