@@ -564,9 +564,12 @@ object Dedup {
     SI.resetGen(spark, table) // fresh build owns the plain names again
     val sketch = minHashed(docs, idCol, textCol, shingleWords, k, bands)
       .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
-    graft.io.Bucketing.writeBucketed(sketch, table, "band_key", buckets)
-    SI.initTombstones(spark, table,
-      sketch.select(col(idCol), lit(0L).as("below_seg")))
+    // both writes read the CHECKPOINTED sketch and target distinct
+    // tables — overlap them; the ledger still publishes last
+    graft.io.Overlap.awaitAll(Seq(
+      () => graft.io.Bucketing.writeBucketed(sketch, table, "band_key", buckets),
+      () => SI.initTombstones(spark, table,
+        sketch.select(col(idCol), lit(0L).as("below_seg")))))
     // Exactly `bands` band rows per doc, so the doc count needs no
     // second corpus pass.
     SI.initLedger(spark, table, idCol, sketch.count() / bands, 0L)

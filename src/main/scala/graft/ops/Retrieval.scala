@@ -143,8 +143,11 @@ object Retrieval {
     SI.resetGen(spark, table) // fresh build owns the plain names again
     val rows = bigramRows(docs, idCol, textCol)
       .withColumn(SI.SegCol, lit(0L)).localCheckpoint(true)
-    graft.io.Bucketing.writeBucketed(rows, table, "bigram", buckets)
-    SI.initTombstones(spark, table, rows.select(col(idCol), lit(0L).as("below_seg")))
+    // independent writes off the checkpointed rows — overlap (ledger last)
+    graft.io.Overlap.awaitAll(Seq(
+      () => graft.io.Bucketing.writeBucketed(rows, table, "bigram", buckets),
+      () => SI.initTombstones(spark, table,
+        rows.select(col(idCol), lit(0L).as("below_seg")))))
     SI.initLedger(spark, table, idCol,
       rows.select(col(idCol)).distinct().count(), 0L)
   }
@@ -266,12 +269,15 @@ object Retrieval {
       .localCheckpoint(true)
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
       .localCheckpoint(true) // postings join + docs sidecar + stats row
-    graft.io.Bucketing.writeBucketed(
-      tf.join(dl, idCol).withColumn(SI.SegCol, lit(0L)), table, "term", buckets)
-    graft.io.Bucketing.writeBucketed(
-      dl.withColumn(SI.SegCol, lit(0L)), table + "_docs", idCol, buckets)
-    SI.initTombstones(spark, table,
-      dl.select(col(idCol), lit(0L).as("below_seg"), col("dl")))
+    // the three writes read the CHECKPOINTED tf/dl frames and target
+    // distinct tables — overlap them; the ledger still publishes last
+    graft.io.Overlap.awaitAll(Seq(
+      () => graft.io.Bucketing.writeBucketed(
+        tf.join(dl, idCol).withColumn(SI.SegCol, lit(0L)), table, "term", buckets),
+      () => graft.io.Bucketing.writeBucketed(
+        dl.withColumn(SI.SegCol, lit(0L)), table + "_docs", idCol, buckets),
+      () => SI.initTombstones(spark, table,
+        dl.select(col(idCol), lit(0L).as("below_seg"), col("dl")))))
     val s = dl.agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tt")).head()
     SI.initLedger(spark, table, idCol, s.getLong(0), s.getLong(1))
   }
