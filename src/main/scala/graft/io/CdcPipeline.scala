@@ -63,7 +63,15 @@ object CdcPipeline {
     * synthesized micro-batches use), return it — the file_seq derivation
     * then needs no scan. Conservative: walks only row-preserving nodes
     * (Project/Filter/alias/sort/limit); a Union, Join or anything else
-    * returns None and the caller pays the distinct. */
+    * returns None and the caller pays the distinct.
+    *
+    * Contract note: the literal is read WITHOUT evaluating the frame, so
+    * a ZERO-ROW literal-tagged batch looks like a one-file batch here
+    * and runs the whole merge (a no-op commit — correct, but a wasted
+    * write). Callers synthesizing literal-tagged batches guard with
+    * `batch.isEmpty` first (every streaming ingest path does); checking
+    * emptiness here would re-add the very action this fast path
+    * removes. */
   private[io] def literalSrcFile(tagged: DataFrame): Option[String] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
     import org.apache.spark.sql.catalyst.plans.logical._
@@ -183,11 +191,24 @@ object CdcPipeline {
 
   /** Merge a change batch whose rows carry ([[SrcFile]], [[RowIdx]])
     * provenance. Shared by the batch path above and the Structured
-    * Streaming `foreachBatch` path ([[graft.streaming.CdcStream]]). */
+    * Streaming `foreachBatch` path ([[graft.streaming.CdcStream]]).
+    *
+    * `onRetained` (requires `retainOutput`) runs the caller's follow-up
+    * work CONCURRENTLY with this merge's own write+delete tail, fed the
+    * retained (eagerly checkpointed) merge output — the §2.6 overlap for
+    * derived-table maintenance ([[graft.streaming.JoinViewStream]]): the
+    * follow-up must read ONLY the handed frame (stable — lineage already
+    * cut) and other tables, never `outPath`, which is mid-rewrite while
+    * it runs. Crash contract is unchanged in kind: a failure on either
+    * side leaves the two tables torn exactly like a crash between the
+    * sequential writes did, and the streaming replay converges both. */
   private[graft] def mergeTagged(spark: SparkSession, tagged: DataFrame, outPath: String,
                                  cfg: TableConfig,
                                  changeFeed: Option[ChangeFeedSink] = None,
-                                 retainOutput: Boolean = false): MergeStats = {
+                                 retainOutput: Boolean = false,
+                                 onRetained: Option[DataFrame => Unit] = None): MergeStats = {
+    require(onRetained.isEmpty || retainOutput,
+      "onRetained rides the retained-output merge path")
     import spark.implicits._
 
     // Dense numeric file_seq from sorted names = the reference's
@@ -362,9 +383,22 @@ object CdcPipeline {
         // the single evaluation; count/write read its blocks.
         val kept = output.localCheckpoint(true)
         val n = kept.count()
-        CowWriter.appendMerged(kept, outPath, cfg.partitionKeys)
-        CowWriter.deleteFiles(impacted, spark.sparkContext.hadoopConfiguration)
-        spark.catalog.refreshByPath(outPath)
+        def tail(): Unit = {
+          CowWriter.appendMerged(kept, outPath, cfg.partitionKeys)
+          CowWriter.deleteFiles(impacted, spark.sparkContext.hadoopConfiguration)
+          spark.catalog.refreshByPath(outPath)
+        }
+        onRetained match {
+          // the caller's follow-up reads only `kept` (checkpointed) and
+          // OTHER tables — overlap it with this table's write+delete.
+          // On failure the caller never sees MergeStats, so release the
+          // checkpoint here (no block leak across streaming retries).
+          case Some(f) =>
+            try graft.io.Overlap.awaitAll(Seq(() => tail(), () => f(kept)))
+            catch { case t: Throwable =>
+              kept.unpersist(blocking = false); throw t }
+          case None => tail()
+        }
         MergeStats(n, impacted, insertOnly = false, mergedOutput = Some(kept))
       } else {
         // ONE pass: the row count rides the write as an observed metric

@@ -117,17 +117,6 @@ object StatsIndex {
   def refresh(spark: SparkSession, tableDir: String, stats: DataFrame,
               cols: Seq[String], bloomCols: Seq[String] = Nil,
               currentFiles: Option[Seq[String]] = None): DataFrame = {
-    // The index records its own bloom geometry — delta scans MUST build
-    // under the same m or merged sidecars would probe wrong. An EMPTY
-    // index has no recoverable geometry (max is null): fall back to the
-    // default — there are no existing rows to mismatch, and probes read
-    // each row's own bloom_bits.
-    val bloomBits =
-      if (bloomCols.isEmpty) 1 << 16
-      else {
-        val r = stats.agg(max("bloom_bits")).head()
-        if (r.isNullAt(0)) 1 << 16 else r.getInt(0)
-      }
     // `currentFiles` overrides the directory listing for tables whose
     // live file set is NOT "everything under tableDir" — e.g. a MOR
     // table's committed data files (uncommitted crash debris must never
@@ -145,44 +134,60 @@ object StatsIndex {
     }.toSeq
     val kept = stats.where(col("file").isin(keptRaw: _*))
     if (newFiles.isEmpty) kept
+    else kept.unionByName(
+      buildDelta(spark, tableDir, stats, newFiles, cols, bloomCols))
+  }
+
+  /** Stats rows for `newFiles` alone — the incremental unit of
+    * [[refresh]], exposed so an APPEND-maintained index (e.g. the MOR
+    * PK-stats sidecar) can land just the delta instead of rewriting the
+    * whole table per maintenance pass. Bloom geometry is read off the
+    * existing index (delta rows MUST build under the same m or merged
+    * sidecars would probe wrong; an empty index falls back to the
+    * default — nothing to mismatch). Zero-row files (Spark routinely
+    * writes an empty partition-0 file on small rewrites) produce no
+    * aggregation row, so their stats are synthesized: null min/max and
+    * an empty bloom exclude them from every candidate set, exact for a
+    * rowless file. Returned frame is eagerly materialized. */
+  def buildDelta(spark: SparkSession, tableDir: String, stats: DataFrame,
+                 newFiles: Seq[String], cols: Seq[String],
+                 bloomCols: Seq[String] = Nil): DataFrame = {
+    require(newFiles.nonEmpty, "buildDelta needs at least one new file")
+    val bloomBits =
+      if (bloomCols.isEmpty) 1 << 16
+      else {
+        val r = stats.agg(max("bloom_bits")).head()
+        if (r.isNullAt(0)) 1 << 16 else r.getInt(0)
+      }
+    // Materialized once (eager, cleaner-reclaimed — ≤ one row per new
+    // file): the zero-row probe below AND the caller's write both read
+    // it; an unmaterialized plan would re-run the delta scan twice.
+    val built = buildFiles(spark, tableDir, newFiles.sorted, cols,
+        bloomCols, bloomBits)
+      .localCheckpoint(true)
+    val builtNorm = built.select("file").collect()
+      .map(r => normFile(r.getString(0))).toSet
+    val missing = newFiles.filterNot(f => builtNorm.contains(normFile(f)))
+    if (missing.isEmpty) built
     else {
-      // Materialized once (eager, cleaner-reclaimed — ≤ one row per new
-      // file): the zero-row probe below AND the caller's write both read
-      // it; an unmaterialized plan would re-run the delta scan twice.
-      val built = buildFiles(spark, tableDir, newFiles.sorted, cols,
-          bloomCols, bloomBits)
-        .localCheckpoint(true)
-      // ZERO-ROW files produce no aggregation row (Spark routinely writes
-      // an empty partition-0 file on small rewrites) — synthesize their
-      // stats so the index converges to covering every current file.
-      // Null min/max excludes them from every range candidate set, which
-      // is exact for a rowless file.
-      val builtNorm = built.select("file").collect()
-        .map(r => normFile(r.getString(0))).toSet
-      val missing = newFiles.filterNot(f => builtNorm.contains(normFile(f)))
-      val withZero =
-        if (missing.isEmpty) built
-        else {
-          val schema = stats.schema
-          val rows = missing.sorted.map { f =>
-            org.apache.spark.sql.Row.fromSeq(schema.fields.toSeq.map { fld =>
-              fld.name match {
-                case "file" => f
-                case "rows" => 0L
-                case "bloom_bits" => bloomBits
-                case n if n.startsWith("nulls_") => 0L
-                // empty bit set (the agg schema is non-nullable): no
-                // probe position matches → non-candidate, exact for a
-                // rowless file
-                case n if n.startsWith("bloom_") => Seq.empty[Long]
-                case _ => null
-              }
-            })
+      val schema = stats.schema
+      val rows = missing.sorted.map { f =>
+        org.apache.spark.sql.Row.fromSeq(schema.fields.toSeq.map { fld =>
+          fld.name match {
+            case "file" => f
+            case "rows" => 0L
+            case "bloom_bits" => bloomBits
+            case n if n.startsWith("nulls_") => 0L
+            // empty bit set (the agg schema is non-nullable): no
+            // probe position matches → non-candidate, exact for a
+            // rowless file
+            case n if n.startsWith("bloom_") => Seq.empty[Long]
+            case _ => null
           }
-          import scala.jdk.CollectionConverters._
-          built.unionByName(spark.createDataFrame(rows.asJava, schema))
-        }
-      kept.unionByName(withZero)
+        })
+      }
+      import scala.jdk.CollectionConverters._
+      built.unionByName(spark.createDataFrame(rows.asJava, schema))
     }
   }
 

@@ -1463,11 +1463,14 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .localCheckpoint(true) // detach from the store before writing into it
-    SI.appendSegment(spark, t, merged, "src", buckets, seg)
-    // 4. tombstone the affected nodes' PRIOR versions (this segment's
-    // own rows survive: dead iff __seg < below_seg).
-    SI.tombstoneSegment(spark, t,
-      affected.select(col("src"), lit(seg).as("below_seg")), seg)
+    // New top-k append + the affected nodes' PRIOR-version tombstones
+    // (this segment's own rows survive: dead iff __seg < below_seg):
+    // disjoint tables, checkpointed inputs, both seg-gated on replay —
+    // overlapped (§2.6); the ledger row still publishes LAST.
+    graft.io.Overlap.awaitAll(Seq(
+      () => SI.appendSegment(spark, t, merged, "src", buckets, seg),
+      () => SI.tombstoneSegment(spark, t,
+        affected.select(col("src"), lit(seg).as("below_seg")), seg)))
     SI.appendLedger(spark, t, seg, batchId, b.count(), newEdges.count(), "src")
   }
 
@@ -1509,19 +1512,29 @@ object Similarity {
       .foreach(spark.catalog.refreshTable)
     if (SI.hasBatch(spark, t, batchId)) return
     val seg = SI.nextSeg(spark, t)
-    val changedIds = changes.select(col(idCol)).distinct().localCheckpoint(true)
-    val upserts = changes.where(col(opCol) =!= "D")
+    // ONE evaluation of the caller's change plan: `changes` is typically
+    // a join/union tree (the CDC splice), and changedIds / upserts /
+    // deletedIds would otherwise re-run it once EACH — deletedIds twice
+    // (repair-set derivation and the final tombstone write). §2.4.
+    val ch = changes.localCheckpoint(true)
+    val changedIds = ch.select(col(idCol)).distinct().localCheckpoint(true)
+    val upserts = ch.where(col(opCol) =!= "D")
       .select(col(idCol), col(vecCol), signBucket(col(vecCol), bits).as("__bkt"))
       .localCheckpoint(true)
     val upsertIds = upserts.select(col(idCol))
-    val deletedIds = changes.where(col(opCol) === "D").select(col(idCol))
+    val deletedIds = ch.where(col(opCol) === "D").select(col(idCol))
 
     // 1. Vector-store maintenance: retire every changed id's prior rows,
     // land the upserted vectors at this segment. (Their own tombstone
-    // does not kill them: __seg is not below itself.)
-    SI.tombstoneSegment(spark, vecsT,
-      changedIds.select(col(idCol), lit(seg).as("below_seg")), seg)
-    SI.appendSegment(spark, vecsT, upserts, "__bkt", buckets, seg)
+    // does not kill them: __seg is not below itself.) The two writes
+    // touch disjoint tables from checkpointed inputs and every state
+    // view below runs only after BOTH complete — overlapped (§2.6); a
+    // crash between them leaves the same retry-converging torn state in
+    // either order (both writes are seg-gated on replay).
+    graft.io.Overlap.awaitAll(Seq(
+      () => SI.tombstoneSegment(spark, vecsT,
+        changedIds.select(col(idCol), lit(seg).as("below_seg")), seg),
+      () => SI.appendSegment(spark, vecsT, upserts, "__bkt", buckets, seg)))
 
     // Replay-deterministic state views: vec tombstones THROUGH this
     // segment (just written), edge tombstones strictly BEFORE it (this
@@ -1584,15 +1597,19 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .localCheckpoint(true)
-    SI.appendSegment(spark, t, merged, "src", buckets, seg)
-    // 5. Tombstone prior versions of every rewritten node AND of deleted
-    // nodes (whose edge lists die with them, no replacement rows).
-    SI.tombstoneSegment(spark, t,
-      repairSrcs.unionByName(gainSrcs)
-        .unionByName(deletedIds).distinct()
-        .select(col(idCol).as("src"), lit(seg).as("below_seg")), seg)
+    // 5. New top-k append + tombstones of every rewritten/deleted node's
+    // prior versions: disjoint tables, checkpointed inputs, both
+    // seg-gated on replay — overlapped like the step-1 pair (§2.6). The
+    // ledger row still lands LAST (it is what publishes the batch).
+    graft.io.Overlap.awaitAll(Seq(
+      () => SI.appendSegment(spark, t, merged, "src", buckets, seg),
+      () => SI.tombstoneSegment(spark, t,
+        repairSrcs.unionByName(gainSrcs)
+          .unionByName(deletedIds).distinct()
+          .select(col(idCol).as("src"), lit(seg).as("below_seg")), seg)))
     SI.appendLedger(spark, t, seg, batchId,
       upserts.count(), merged.count(), "src")
+    ch.unpersist(blocking = false): Unit // deletedIds' last read was the tombstone write
   }
 
   /** The live maintained graph — [[knnGraph]]-shaped (src, dst, cos,
@@ -2370,17 +2387,27 @@ object Similarity {
       import spark.implicits._
       val probe = edges0.select(col("a").cast("long"), col("b").cast("long"))
         .limit(localThreshold.toInt + 1).as[(Long, Long)].collect()
-      if (probe.length <= localThreshold) {
-        // canonicalize + distinct: the documented input contract
-        // (canonical (a ≤ b) pairs) made explicit, matching
-        // communitiesLocal's driver path
-        val eg = probe.iterator
-          .map(r => (math.min(r._1, r._2), math.max(r._1, r._2)))
-          .toArray.distinct
+      // the gate takes the probe ONLY for in-contract edge sets
+      // (canonical a ≤ b, no duplicate pairs — verified on the already-
+      // collected array, no extra job): an out-of-contract input falls
+      // through to the distributed engine, whose duplicate-weighting
+      // semantics then apply uniformly instead of silently diverging
+      // between the two paths.
+      lazy val canonical = probe.forall(r => r._1 <= r._2) &&
+        probe.distinct.length == probe.length
+      if (probe.length <= localThreshold && canonical) {
+        // seed collect BOUNDED by the probed edge nodes (seed-only nodes
+        // never reach the output on either path): a small-edge /
+        // large-seed input must not OOM the driver that the distributed
+        // path would have handled — the semi-join caps the collect at
+        // 2·threshold rows.
+        val nodesDf = probe.iterator
+          .flatMap(r => Iterator(r._1, r._2)).toArray.distinct.toSeq.toDF("n")
         val seedMap = seed
-          .select(col("n").cast("long"), col("comm").cast("long"))
+          .select(col("n").cast("long").as("n"), col("comm").cast("long"))
+          .join(broadcast(nodesDf), Seq("n"), "left_semi")
           .as[(Long, Long)].collect().toMap
-        val ls = louvainHierarchyDriver(eg, seedMap,
+        val ls = louvainHierarchyDriver(probe, seedMap,
           compOf = Map.empty[Long, Long].withDefaultValue(0L), levels = 2)
         return ls(0).keys.toSeq.sorted
           .map(n => (n, ls(0)(n), ls(1)(n)))
@@ -2853,12 +2880,19 @@ object Similarity {
     val SI = graft.io.SegmentedIndex
     if (SI.pathHasBatch(spark, dir, batchId)) return
     val seg = SI.pathNextSeg(spark, dir)
-    val changedIds = changes.select(col(idCol)).distinct().localCheckpoint(true)
+    // ONE evaluation of the caller's change plan: `changes` is typically
+    // a join/union tree (the CDC splice), not a parquet scan, and the
+    // derivations below (changed ids, assignment) would otherwise each
+    // re-run it (§2.4 — the retained-output shape applied to the change
+    // batch itself).
+    val ch = changes.localCheckpoint(true)
+    val changedIds = ch.select(col(idCol)).distinct().localCheckpoint(true)
     val assignedNew = payload(
-        ivfAssign(changes.where(col(opCol) =!= "D"),
+        ivfAssign(ch.where(col(opCol) =!= "D"),
           centroids, idCol, vecCol, cidCol)
         .select(col(idCol), col(vecCol), col("cluster")))
       .withColumn(SI.SegCol, lit(seg)).localCheckpoint(true)
+    ch.unpersist(blocking = false): Unit // both derivations are materialized
     // Impacted partitions: where changed ids live now, plus where
     // upserts land. The "live now" lookup goes through the id->cluster
     // map sidecar when present — its read is PRUNED to the changed ids'
@@ -2889,42 +2923,51 @@ object Similarity {
         .join(broadcast(changedIds), Seq(idCol), "left_anti")
         .unionByName(assignedNew)
         .localCheckpoint(true) // impacted-partition-sized; detaches the read
-      rewritten.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cluster").parquet(dir)
-      val survivors = rewritten.select(col("cluster").cast("long"))
-        .distinct().collect().map(_.getLong(0)).toSet
-      // Registered index: keep the catalog's partition entries exact —
-      // O(impacted) ALTERs, never a full MSCK per delivery. Emptied
-      // partitions drop from the CATALOG before their directories are
-      // deleted: a crash in between leaves an orphan directory the
-      // catalog no longer lists (harmless — the replay recomputes the
-      // same emptied set and deletes it then), where the old order left
-      // a live catalog partition pointing at a MISSING directory,
-      // wedging the replay's catalog-routed read at listing.
-      graft.io.ExternalCatalog.syncPartitions(spark, dir, "cluster",
-        added = survivors -- oldClusters, dropped = impacted.toSet -- survivors)
-      val base = new org.apache.hadoop.fs.Path(dir)
-      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      (impacted.toSet -- survivors).foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(base, s"cluster=$c"), true)
-      }
-      // Map maintenance LAST (same bucket-partitioned CoW): rewrite the
-      // changed ids' buckets with their old rows dropped and the
-      // upserts' fresh (id, cluster) rows in. The crash invariant of
-      // map-after-index ordering: a replay reads either the PRE-batch
-      // map (crash before this rewrite — recomputes the same impacted
-      // set over an index whose re-rewrite converges) or the POST-batch
-      // map (crash after it — the impacted set shrinks to the upserts'
-      // new clusters, which is sufficient precisely BECAUSE the index
-      // rewrite it would re-do already completed). Either way the
-      // replay converges to the same index and map contents.
-      val mapRewritten = mapLive
-        .join(broadcast(changedIds), Seq(idCol), "left_anti")
-        .unionByName(assignedNew.select(col(idCol),
-          col("cluster").cast("long").as("cluster"),
-          idMapBucket(col(idCol), nBuckets).as("id_bucket")))
-        .localCheckpoint(true)
+      // Map maintenance's WRITE stays strictly LAST (see the crash
+      // invariant below), but its rewritten-rows COMPUTATION reads only
+      // the map's own buckets + checkpointed batch frames — overlap that
+      // read-only materialization with the index rewrite (§2.6).
+      var mapRewritten: DataFrame = null
+      graft.io.Overlap.awaitAll(Seq(
+        () => {
+          rewritten.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cluster").parquet(dir)
+          val survivors = rewritten.select(col("cluster").cast("long"))
+            .distinct().collect().map(_.getLong(0)).toSet
+          // Registered index: keep the catalog's partition entries exact —
+          // O(impacted) ALTERs, never a full MSCK per delivery. Emptied
+          // partitions drop from the CATALOG before their directories are
+          // deleted: a crash in between leaves an orphan directory the
+          // catalog no longer lists (harmless — the replay recomputes the
+          // same emptied set and deletes it then), where the old order left
+          // a live catalog partition pointing at a MISSING directory,
+          // wedging the replay's catalog-routed read at listing.
+          graft.io.ExternalCatalog.syncPartitions(spark, dir, "cluster",
+            added = survivors -- oldClusters, dropped = impacted.toSet -- survivors)
+          val base = new org.apache.hadoop.fs.Path(dir)
+          val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          (impacted.toSet -- survivors).foreach { c =>
+            fs.delete(new org.apache.hadoop.fs.Path(base, s"cluster=$c"), true)
+          }
+        },
+        // Map maintenance WRITE after the index rewrite (below — same
+        // bucket-partitioned CoW): rewrite the changed ids' buckets with
+        // their old rows dropped and the upserts' fresh (id, cluster)
+        // rows in. The crash invariant of map-after-index ordering: a
+        // replay reads either the PRE-batch map (crash before this
+        // rewrite — recomputes the same impacted set over an index whose
+        // re-rewrite converges) or the POST-batch map (crash after it —
+        // the impacted set shrinks to the upserts' new clusters, which
+        // is sufficient precisely BECAUSE the index rewrite it would
+        // re-do already completed). Either way the replay converges to
+        // the same index and map contents.
+        () => mapRewritten = mapLive
+          .join(broadcast(changedIds), Seq(idCol), "left_anti")
+          .unionByName(assignedNew.select(col(idCol),
+            col("cluster").cast("long").as("cluster"),
+            idMapBucket(col(idCol), nBuckets).as("id_bucket")))
+          .localCheckpoint(true)))
       mapRewritten.repartition(col("id_bucket")) // one file per bucket
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

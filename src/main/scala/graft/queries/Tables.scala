@@ -51,8 +51,36 @@ object QueryTmp {
 
 /** Testdata table readers (TESTDATA.md). One parquet file per table. */
 object Tables {
+  // ONE analyzed relation per (session, file): every `spark.read.parquet`
+  // call re-lists the path and re-reads the footer to infer the schema —
+  // pure per-call driver overhead that the bench pays hundreds of times
+  // over the SAME static testdata files (the r13 verdict's "mid-band
+  // driver floor" item). The cached value is a LAZY LOGICAL PLAN (a
+  // LogicalRelation + FileIndex over the immutable input file): every
+  // action over it still scans the parquet input in full — no result or
+  // data caching is involved, exactly as if the caller had kept the
+  // DataFrame reference itself. Keyed weakly per session so stopped test
+  // sessions can be collected.
+  private val readCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def perSession(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, DataFrame] =
+    readCache.synchronized {
+      var m = readCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        readCache.put(spark, m)
+      }
+      m
+    }
+
+  private def cachedRead(spark: SparkSession, path: String): DataFrame =
+    perSession(spark).computeIfAbsent(path, p => spark.read.parquet(p))
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"${sfDir.stripSuffix("/")}/$name.parquet")
+    cachedRead(spark, s"${sfDir.stripSuffix("/")}/$name.parquet")
 
   /** `events` with `ts` normalized to the nanos-since-epoch LONG contract
     * every consumer assumes (`ts div 1000` → micros).
@@ -70,12 +98,15 @@ object Tables {
     * sub-micro detail). We never output `ts` itself, so oracle comparison
     * is unaffected. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = apply(spark, sfDir, "events")
-    df.schema("ts").dataType match {
-      case LongType => df
-      case _ => df.withColumn("ts",
-        graft.streaming.EventStreams.tsMicros(df) * lit(1000L))
-    }
+    val key = s"${sfDir.stripSuffix("/")}/events.parquet#normalized"
+    perSession(spark).computeIfAbsent(key, { _ =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = apply(spark, sfDir, "events")
+      df.schema("ts").dataType match {
+        case LongType => df
+        case _ => df.withColumn("ts",
+          graft.streaming.EventStreams.tsMicros(df) * lit(1000L))
+      }
+    })
   }
 }

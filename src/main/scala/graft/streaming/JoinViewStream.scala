@@ -75,49 +75,68 @@ object JoinViewStream {
       batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+
+    // The view's own CDC batch, synthesized from the post-merge fact
+    // rows (`fact0` — with the Op column still attached) and merged into
+    // the view lake. Reads ONLY `fact0`, the dim, the batch, and the
+    // VIEW table — never the fact lake — so the retained path below can
+    // run it concurrently with the fact lake's own write+delete tail.
+    def maintainView(fact0: DataFrame): Unit = {
+      val fact = fact0.drop(Op.column)
+      val keys = batch.select(pkCols.map(col): _*).distinct()
+      // keys still alive after the merge → recomputed view rows (upserts);
+      // keys the merge removed → view deletes (typed-NULL non-key columns)
+      val live = fact.join(keys, pkCols, "left_semi")
+        .join(dim, usingCols, "left")
+        .withColumn(Op.column, lit(Op.Update))
+      val nonKey = live.schema
+        .filterNot(f => pkCols.contains(f.name) || f.name == Op.column)
+      val dead = keys.join(fact.select(pkCols.map(col): _*), pkCols, "left_anti")
+        .select(pkCols.map(col) ++
+          nonKey.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+        .withColumn(Op.column, lit(Op.Delete))
+      // Materialize the synthesized batch ONCE (batch-sized): mergeTagged
+      // evaluates its input more than once (file-list distinct, then the
+      // merge itself), and this input is a join tree, not a parquet scan —
+      // without the checkpoint every evaluation would re-run the pruned
+      // fact read and the dim join.
+      // ... tagged AFTER the checkpoint: the literal SrcFile then stays
+      // visible in the analyzed plan, so the view merge derives file_seq
+      // without a scan (CdcPipeline.literalSrcFile fast path).
+      // Unpersist in finally: a failure in the view merge must not leak
+      // the eager localCheckpoint blocks across streaming retries.
+      val ckpt = live.unionByName(dead).localCheckpoint(true)
+      try {
+        val viewBatch = ckpt
+          .withColumn(CdcPipeline.SrcFile, lit(f"view-batch-$batchId%012d"))
+          .withColumn(CdcPipeline.RowIdx, lit(0L)) // ≤ 1 row per key per batch
+        CdcPipeline.mergeTagged(spark, viewBatch, viewPath, viewCfg): Unit
+      } finally ckpt.unpersist(blocking = false): Unit
+    }
+
     // Copy-on-write facts hand back the merge's own output (the
     // post-merge rows of every impacted file — a SUPERSET of the batch
     // keys' live rows, since impacted = files holding batch keys), so
     // the view recompute probes a batch-sized cached frame instead of
     // re-scanning the whole fact lake per micro-batch: O(batch +
     // bystanders), not O(target) — the PK-pruned read the class doc
-    // promises. MOR facts keep the merged-view read (their commit is
+    // promises. The view maintenance rides the merge's `onRetained`
+    // hook, so it runs CONCURRENTLY with the fact lake's write+delete
+    // tail (guide §2.6 — the two halves touch disjoint tables; a crash
+    // on either side is the same torn-between-tables state the
+    // sequential order had, and the streaming replay converges both).
+    // MOR facts keep the sequential merged-view read (their commit is
     // already O(batch); the live view resolves base∖deletes lazily).
-    val retain = !factCfg.mergeOnRead && factCfg.hasPrimaryKey
-    val stats = CdcPipeline.mergeTagged(spark, batch, factPath, factCfg,
-      retainOutput = retain)
-    val fact = stats.mergedOutput
-      .getOrElse(readLake(spark, factPath, factCfg))
-      .drop(Op.column)
-    val keys = batch.select(pkCols.map(col): _*).distinct()
-    // keys still alive after the merge → recomputed view rows (upserts);
-    // keys the merge removed → view deletes (typed-NULL non-key columns)
-    val live = fact.join(keys, pkCols, "left_semi")
-      .join(dim, usingCols, "left")
-      .withColumn(Op.column, lit(Op.Update))
-    val nonKey = live.schema
-      .filterNot(f => pkCols.contains(f.name) || f.name == Op.column)
-    val dead = keys.join(fact.select(pkCols.map(col): _*), pkCols, "left_anti")
-      .select(pkCols.map(col) ++
-        nonKey.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
-      .withColumn(Op.column, lit(Op.Delete))
-    // Materialize the synthesized batch ONCE (batch-sized): mergeTagged
-    // evaluates its input more than once (file-list distinct, then the
-    // merge itself), and this input is a join tree, not a parquet scan —
-    // without the checkpoint every evaluation would re-run the pruned
-    // fact read and the dim join.
-    // ... tagged AFTER the checkpoint: the literal SrcFile then stays
-    // visible in the analyzed plan, so the view merge derives file_seq
-    // without a scan (CdcPipeline.literalSrcFile fast path).
-    val ckpt = live.unionByName(dead).localCheckpoint(true)
-    val viewBatch = ckpt
-      .withColumn(CdcPipeline.SrcFile, lit(f"view-batch-$batchId%012d"))
-      .withColumn(CdcPipeline.RowIdx, lit(0L)) // ≤ 1 row per key per batch
-    CdcPipeline.mergeTagged(spark, viewBatch, viewPath, viewCfg): Unit
-    ckpt.unpersist(blocking = false): Unit
-    // the retained fact-merge output was consumed by viewBatch's eager
-    // checkpoint above; release its blocks
-    stats.mergedOutput.foreach(_.unpersist(blocking = false))
+    if (!factCfg.mergeOnRead && factCfg.hasPrimaryKey) {
+      val stats = CdcPipeline.mergeTagged(spark, batch, factPath, factCfg,
+        retainOutput = true, onRetained = Some(maintainView))
+      // the view batch's own eager checkpoint consumed the retained
+      // output inside the hook; release its blocks
+      stats.mergedOutput.foreach(_.unpersist(blocking = false))
+    } else {
+      CdcPipeline.mergeTagged(spark, batch, factPath, factCfg): Unit
+      maintainView(readLake(spark, factPath, factCfg))
+    }
   }
 
   /** Format-dispatched lake read (plain parquet for CoW, merged view of
