@@ -2422,6 +2422,145 @@ object Similarity {
       .select("vec_id", "comm1", "comm2")
   }
 
+  /** One synchronized Louvain local-move round (Blondel et al. 2008)
+    * over a mutual-kNN backbone — the `sim_louvain_move` query surface:
+    * seed communities are the components of the cos ≥ `hiCos`
+    * sub-backbone (other nodes start singleton), then every node
+    * simultaneously picks the neighbor community maximizing the EXACT
+    * LONG modularity-gain statistic
+    * `gain_num = 2m·links(i,C) − k_i·Σdeg(C∖{i})` (gain desc, community
+    * asc tie-break — engine-portable, no floats). Output:
+    * `(vec_id, old_comm, new_comm, moved)`.
+    *
+    * Driver gate (the [[louvainLevels]] pattern): an integral-id
+    * backbone probed at ≤ `localThreshold` rows solves on the driver in
+    * one bounded collect — union-find over the hi sub-backbone (rooted
+    * at the min id, matching [[graft.ops.Dedup.resolveClusters]]'s
+    * labeling), then per-node link counts and the same exact-LONG
+    * argmax — instead of the ~10 edge-sized jobs the distributed chain
+    * schedules (LouvainDriverSpec pins driver ≡ distributed). The probe
+    * aborts early (`limit`), so a corpus-scale backbone pays one bounded
+    * scan and keeps the distributed path; ids go back out as the exact
+    * input type. */
+  def louvainMoveRound(mut: DataFrame, hiCos: Double = 0.5,
+                       localThreshold: Long = 200000L): DataFrame = {
+    val spark = mut.sparkSession
+    val idType = mut.schema("src").dataType
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(idType) && idType == mut.schema("dst").dataType
+    }
+    if (integralIds) {
+      import spark.implicits._
+      val probe = mut.select(least(col("src"), col("dst")).cast("long"),
+          greatest(col("src"), col("dst")).cast("long"), col("cos").cast("double"))
+        .limit(localThreshold.toInt + 1).as[(Long, Long, Double)].collect()
+      if (probe.length <= localThreshold) {
+        // exact driver mirrors of the frame expressions below
+        val eg = probe.iterator.map(r => (r._1, r._2)).toArray.distinct
+        val m = eg.length.toLong
+        val deg = scala.collection.mutable.HashMap[Long, Long]()
+        eg.foreach { case (a, b) =>
+          deg.update(a, deg.getOrElse(a, 0L) + 1L)
+          deg.update(b, deg.getOrElse(b, 0L) + 1L)
+        }
+        // hi-subgraph components labeled by MIN member id: union always
+        // roots the larger root under the smaller, so find(n) IS the min
+        // member id (resolveClusters' labeling); nodes outside the hi
+        // subgraph are their own root — exactly the coalesce(comm, n)
+        // singleton rule.
+        val parent = scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val nx = parent(c); parent.update(c, r); c = nx
+          }
+          r
+        }
+        probe.iterator.filter(_._3 >= hiCos).foreach { r =>
+          val ra = find(r._1); val rb = find(r._2)
+          if (ra != rb) parent.update(math.max(ra, rb), math.min(ra, rb))
+        }
+        val comm = deg.keysIterator.map(n => n -> find(n)).toMap
+        val sumdeg = scala.collection.mutable.HashMap[Long, Long]()
+        deg.foreach { case (n, d) =>
+          val c = comm(n); sumdeg.update(c, sumdeg.getOrElse(c, 0L) + d)
+        }
+        // per-node links into each neighbor community (+ the stay-put
+        // zero candidate), then the exact-LONG argmax
+        val links = scala.collection.mutable.HashMap[Long,
+          scala.collection.mutable.HashMap[Long, Long]]()
+        def bump(n: Long, cand: Long): Unit = {
+          val mm = links.getOrElseUpdate(n,
+            scala.collection.mutable.HashMap[Long, Long]())
+          mm.update(cand, mm.getOrElse(cand, 0L) + 1L)
+        }
+        eg.foreach { case (a, b) => bump(a, comm(b)); bump(b, comm(a)) }
+        val rows = deg.keysIterator.toSeq.sorted.map { n =>
+          val own = comm(n)
+          val ki = deg(n)
+          val cands = links.getOrElseUpdate(n,
+            scala.collection.mutable.HashMap[Long, Long]())
+          if (!cands.contains(own)) cands.update(own, 0L)
+          var bestC = Long.MaxValue
+          var bestG = Long.MinValue
+          cands.foreach { case (cand, l) =>
+            val cExcl = sumdeg(cand) - (if (cand == own) ki else 0L)
+            val g = 2L * m * l - ki * cExcl
+            if (g > bestG || (g == bestG && cand < bestC)) { bestG = g; bestC = cand }
+          }
+          (n, own, bestC, bestC != own)
+        }
+        return rows.toDF("vec_id", "old_comm", "new_comm", "moved")
+          .select(col("vec_id").cast(idType).as("vec_id"),
+            col("old_comm").cast(idType).as("old_comm"),
+            col("new_comm").cast(idType).as("new_comm"), col("moved"))
+      }
+    }
+    val eg = mut.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+      .localCheckpoint(true)
+    val ed = eg.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(eg.select(col("b").as("src"), col("a").as("dst")))
+    val deg = ed.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+    val m = eg.agg(count(lit(1)).as("__m"))
+    val hi = mut.where(col("cos") >= hiCos)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val comp = graft.ops.Dedup.resolveClusters(hi, "a", "b")
+      .select(col("id").as("n"), col("cluster").as("comm"))
+    val lab = deg.select(col("n")).join(comp, Seq("n"), "left")
+      .select(col("n"), coalesce(col("comm"), col("n")).as("comm"))
+      .localCheckpoint(true)
+    val sumdeg = lab.join(deg, "n").groupBy("comm")
+      .agg(sum("deg").as("c_deg"))
+    val nbr = ed
+      .join(lab.select(col("n").as("dst"), col("comm").as("cand")), "dst")
+      .groupBy("src", "cand").agg(count(lit(1)).as("links"))
+    // the stay-put candidate must exist even with no same-community
+    // neighbor (links = 0): union a zero row per node, re-aggregate
+    val cands = nbr.select(col("src"), col("cand"), col("links"))
+      .unionByName(lab.select(col("n").as("src"), col("comm").as("cand"),
+        lit(0L).as("links")))
+      .groupBy("src", "cand").agg(sum("links").as("links"))
+    val w = Window.partitionBy("src").orderBy(col("gain_num").desc, col("cand"))
+    cands
+      .join(lab.select(col("n").as("src"), col("comm").as("own")), "src")
+      .join(deg.select(col("n").as("src"), col("deg").as("k_i")), "src")
+      .join(sumdeg.select(col("comm").as("cand"), col("c_deg")), "cand")
+      .crossJoin(broadcast(m))
+      .withColumn("c_excl", col("c_deg") -
+        when(col("cand") === col("own"), col("k_i")).otherwise(lit(0L)))
+      .withColumn("gain_num",
+        lit(2L) * col("__m") * col("links") - col("k_i") * col("c_excl"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("src").as("vec_id"), col("own").as("old_comm"),
+        col("cand").as("new_comm"), (col("cand") =!= col("own")).as("moved"))
+  }
+
   /** Bounded-round K-TRUSS decomposition over an undirected edge list —
     * the EDGE-centric cohesion peel beside [[kCore]]'s node-centric one:
     * each round computes every edge's triangle support via the

@@ -542,51 +542,13 @@ object SimilarityQueries {
     // its degree); community stats are one (comm) partial agg — the
     // synchronized-round shape that scales where sequential Louvain
     // cannot.
-    "sim_louvain_move" -> ((s, dir) => {
-      val mut = Similarity.mutualKnn(
-        Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
-          k = 3, bits = 6, maxBucketSize = 1000))
-      val eg = mut.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b")).distinct()
-        .localCheckpoint(true)
-      val ed = eg.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(eg.select(col("b").as("src"), col("a").as("dst")))
-      val deg = ed.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
-      val m = eg.agg(count(lit(1)).as("__m"))
-      val hi = mut.where(col("cos") >= 0.5)
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
-      val comp = graft.ops.Dedup.resolveClusters(hi, "a", "b")
-        .select(col("id").as("n"), col("cluster").as("comm"))
-      val lab = deg.select(col("n")).join(comp, Seq("n"), "left")
-        .select(col("n"), coalesce(col("comm"), col("n")).as("comm"))
-        .localCheckpoint(true)
-      val sumdeg = lab.join(deg, "n").groupBy("comm")
-        .agg(sum("deg").as("c_deg"))
-      val nbr = ed
-        .join(lab.select(col("n").as("dst"), col("comm").as("cand")), "dst")
-        .groupBy("src", "cand").agg(count(lit(1)).as("links"))
-      // the stay-put candidate must exist even with no same-community
-      // neighbor (links = 0): union a zero row per node, re-aggregate
-      val cands = nbr.select(col("src"), col("cand"), col("links"))
-        .unionByName(lab.select(col("n").as("src"), col("comm").as("cand"),
-          lit(0L).as("links")))
-        .groupBy("src", "cand").agg(sum("links").as("links"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("src").orderBy(col("gain_num").desc, col("cand"))
-      cands
-        .join(lab.select(col("n").as("src"), col("comm").as("own")), "src")
-        .join(deg.select(col("n").as("src"), col("deg").as("k_i")), "src")
-        .join(sumdeg.select(col("comm").as("cand"), col("c_deg")), "cand")
-        .crossJoin(broadcast(m))
-        .withColumn("c_excl", col("c_deg") -
-          when(col("cand") === col("own"), col("k_i")).otherwise(lit(0L)))
-        .withColumn("gain_num",
-          lit(2L) * col("__m") * col("links") - col("k_i") * col("c_excl"))
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("src").as("vec_id"), col("own").as("old_comm"),
-          col("cand").as("new_comm"), (col("cand") =!= col("own")).as("moved"))
-    }),
+    "sim_louvain_move" -> ((s, dir) =>
+      // formula + driver gate live in [[Similarity.louvainMoveRound]]
+      // (LouvainDriverSpec pins the gate ≡ the distributed chain)
+      Similarity.louvainMoveRound(
+        Similarity.mutualKnn(
+          Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+            k = 3, bits = 6, maxBucketSize = 1000)))),
 
     // MULTI-LEVEL Louvain (r10; the r9 verdict's "missing #3"): the full
     // Blondel pipeline rather than one demonstration round — local move

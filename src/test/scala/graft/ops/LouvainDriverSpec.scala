@@ -145,6 +145,79 @@ class LouvainDriverSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  // ---- MOVE-ROUND gate (Similarity.louvainMoveRound): one synchronized
+  // ---- local-move round with global m — the driver mirror must be
+  // ---- row-identical to the distributed chain (same components, links,
+  // ---- exact-LONG gains, tie-breaks)
+  private def moveRows(df: DataFrame): Set[(Long, Long, Long, Boolean)] =
+    df.select("vec_id", "old_comm", "new_comm", "moved")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+
+  test("louvainMoveRound driver gate == distributed on the real mutual-kNN backbone") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val mut = Similarity.mutualKnn(
+        Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 3, bits = 6, maxBucketSize = 1000))
+      .localCheckpoint(true)
+    assert(mut.count() > 50, "fixture must produce a non-trivial backbone")
+    val viaDriver = moveRows(Similarity.louvainMoveRound(mut))
+    val viaCluster = moveRows(Similarity.louvainMoveRound(mut, localThreshold = -1L))
+    assert(viaDriver == viaCluster && viaDriver.nonEmpty)
+    assert(viaDriver.exists(_._4), "sentinel: some node must move")
+  }
+
+  test("louvainMoveRound driver gate == distributed on seeded random backbones") {
+    var state = 0x2545f4914f6cdd1dL
+    def next(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % bound + bound) % bound).toInt
+    }
+    for (case_ <- 1 to 6) {
+      val nodes = 8 + next(30)
+      val nEdges = nodes + next(3 * nodes)
+      // symmetric duplicates included on purpose: mutualKnn emits both
+      // directions and the canonicalize-distinct must fold them equally
+      // on both paths
+      val pairs = (1 to nEdges).flatMap { _ =>
+        val a = next(nodes).toLong; val b = next(nodes).toLong
+        val cos = (4 + next(13)) / 16.0
+        if (a == b) Nil else Seq((a, b, cos), (b, a, cos))
+      }
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("src", "dst", "cos").localCheckpoint(true)
+        val viaDriver = moveRows(Similarity.louvainMoveRound(df))
+        val viaCluster = moveRows(Similarity.louvainMoveRound(df, localThreshold = -1L))
+        assert(viaDriver == viaCluster,
+          s"case $case_ diverged (nodes=$nodes edges=${pairs.size})")
+      }
+    }
+  }
+
+  test("louvainMoveRound gate preserves INT ids and skips string ids") {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val intEdges = Seq((1, 2, 0.9), (2, 3, 0.3), (3, 4, 0.9), (10, 11, 0.9))
+      .flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .toDF("src", "dst", "cos")
+    val viaDriver = Similarity.louvainMoveRound(intEdges)
+    val viaCluster = Similarity.louvainMoveRound(intEdges, localThreshold = -1L)
+    assert(viaDriver.schema("vec_id").dataType == IntegerType)
+    assert(viaDriver.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      viaCluster.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    def asInt(df: DataFrame) = df.select("vec_id", "old_comm", "new_comm", "moved")
+      .as[(Int, Int, Int, Boolean)].collect().toSet
+    assert(asInt(viaDriver) == asInt(viaCluster) && asInt(viaDriver).nonEmpty)
+    val strEdges = Seq(("d1", "d2", 0.9), ("d2", "d3", 0.4))
+      .toDF("src", "dst", "cos")
+    val viaGate = Similarity.louvainMoveRound(strEdges)
+    assert(viaGate.schema("vec_id").dataType == StringType)
+    val got = viaGate.select("vec_id", "old_comm", "new_comm", "moved")
+      .as[(String, String, String, Boolean)].collect().toSet
+    val want = Similarity.louvainMoveRound(strEdges, localThreshold = -1L)
+      .select("vec_id", "old_comm", "new_comm", "moved")
+      .as[(String, String, String, Boolean)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("the driver gate preserves non-long INTEGRAL id types and skips non-integral ids") {
     import org.apache.spark.sql.types.{IntegerType, StringType}
     val edges = Seq((1, 2, 1.0), (2, 3, 1.0), (10, 11, 0.9))
