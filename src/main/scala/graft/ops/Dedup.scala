@@ -618,14 +618,22 @@ object Dedup {
     val t = SI.resolve(spark, table)
     if (SI.hasBatch(spark, t, batchId)) return
     val seg = SI.nextSeg(spark, t)
-    val sketch = minHashed(changes.where(col(opCol) =!= "D"), idCol, textCol,
+    // ONE evaluation of the caller's change plan (§2.4): the sketch and
+    // the tombstone ids would otherwise each re-run it.
+    val ch = changes.localCheckpoint(true)
+    val sketch = minHashed(ch.where(col(opCol) =!= "D"), idCol, textCol,
         shingleWords, k, bands)
       .localCheckpoint(true)
-    SI.appendSegment(spark, t, sketch, "band_key", buckets, seg)
-    SI.tombstoneSegment(spark, t,
-      changes.select(col(idCol)).distinct()
-        .select(col(idCol), lit(seg).as("below_seg")), seg)
+    // sorted bucketed append + the tiny unsorted tombstone append:
+    // disjoint tables, checkpointed inputs, both seg-gated on replay —
+    // the §2.6 one-heavy-plus-cheap overlap shape
+    graft.io.Overlap.awaitAll(Seq(
+      () => SI.appendSegment(spark, t, sketch, "band_key", buckets, seg),
+      () => SI.tombstoneSegment(spark, t,
+        ch.select(col(idCol)).distinct()
+          .select(col(idCol), lit(seg).as("below_seg")), seg)))
     SI.appendLedger(spark, t, seg, batchId, sketch.count() / bands, 0L, idCol)
+    ch.unpersist(blocking = false): Unit
   }
 
   /** Fold accumulated segments and tombstones into a fresh segment-0 LSH

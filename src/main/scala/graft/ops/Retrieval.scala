@@ -180,14 +180,24 @@ object Retrieval {
     val t = SI.resolve(spark, table)
     if (SI.hasBatch(spark, t, batchId)) return
     val seg = SI.nextSeg(spark, t)
-    val rows = bigramRows(changes.where(col(opCol) =!= "D"), idCol, textCol)
+    // ONE evaluation of the caller's change plan (§2.4 — typically a
+    // join/union tree, not a scan): rows and the tombstone ids would
+    // otherwise each re-run it.
+    val ch = changes.localCheckpoint(true)
+    val rows = bigramRows(ch.where(col(opCol) =!= "D"), idCol, textCol)
       .localCheckpoint(true)
-    SI.appendSegment(spark, t, rows, "bigram", buckets, seg)
-    SI.tombstoneSegment(spark, t,
-      changes.select(col(idCol)).distinct()
-        .select(col(idCol), lit(seg).as("below_seg")), seg)
+    // sorted bucketed append + the tiny unsorted tombstone append:
+    // disjoint tables, checkpointed inputs, both seg-gated on replay —
+    // the §2.6 one-heavy-plus-cheap overlap shape (the KEPT pairing;
+    // two concurrent SORTED appends measured worse and stay sequential)
+    graft.io.Overlap.awaitAll(Seq(
+      () => SI.appendSegment(spark, t, rows, "bigram", buckets, seg),
+      () => SI.tombstoneSegment(spark, t,
+        ch.select(col(idCol)).distinct()
+          .select(col(idCol), lit(seg).as("below_seg")), seg)))
     SI.appendLedger(spark, t, seg, batchId,
       rows.select(col(idCol)).distinct().count(), 0L, idCol)
+    ch.unpersist(blocking = false): Unit
   }
 
   /** Fold the phrase index's segments and tombstones into a fresh
@@ -342,8 +352,11 @@ object Retrieval {
     val seg = SI.nextSeg(spark, t)
     val docsT = t + "_docs"
     val tombT = SI.tombstoneTable(t)
-    val changedIds = changes.select(col(idCol)).distinct().localCheckpoint(true)
-    val upserts = changes.where(col(opCol) =!= "D")
+    // ONE evaluation of the caller's change plan (§2.4): changedIds and
+    // the postings derivation would otherwise each re-run it.
+    val ch = changes.localCheckpoint(true)
+    val changedIds = ch.select(col(idCol)).distinct().localCheckpoint(true)
+    val upserts = ch.where(col(opCol) =!= "D")
 
     // Fresh postings for the upserted documents, tagged with this segment.
     val tf = upserts
@@ -376,6 +389,7 @@ object Retrieval {
 
     val s = dl.agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tt")).head()
     SI.appendLedger(spark, t, seg, batchId, s.getLong(0), s.getLong(1), idCol)
+    ch.unpersist(blocking = false): Unit
   }
 
   /** Fold accumulated segments and tombstones into a fresh segment-0
