@@ -53,7 +53,13 @@ object Detectors {
     * is cents-domain-bounded. Output: (event_type, n, med_cents,
     * mad_cents, n_outliers) — identical to the corpus-rank formulation
     * it replaced (the crossing picks the same lower median). */
-  def madOverHist(hist: DataFrame): DataFrame = {
+  def madOverHist(hist0: DataFrame): DataFrame = {
+    // the histogram subtree feeds n1, the median prefix-sum AND the
+    // deviation re-histogram — and each broadcast branch of the final
+    // plan evaluates its subtree separately, so an unmaterialized hist
+    // would re-run the corpus scan+agg ~5x per action. Both shared
+    // frames are cents-domain-bounded (tiny).
+    val hist = hist0.localCheckpoint(true)
     val n1 = hist.groupBy("event_type").agg(sum("cnt").as("n"))
     val c1 = Curation.parallelRunningSum(hist, Seq("event_type"),
       Seq("cents"), "cnt", "cum")
@@ -64,6 +70,7 @@ object Detectors {
       .groupBy(col("event_type"), col("med_cents"),
         abs(col("cents") - col("med_cents")).as("dev"))
       .agg(sum("cnt").as("cnt"))
+      .localCheckpoint(true) // feeds the MAD prefix-sum and the final agg
     val c2 = Curation.parallelRunningSum(devHist, Seq("event_type"),
       Seq("dev"), "cnt", "cum")
     val mad = c2.join(broadcast(n1), "event_type")

@@ -23,8 +23,11 @@ object SimilarityQueries {
   private def residualRecall(s: SparkSession, dir: String): DataFrame = {
     val cents = emb(s, dir).where(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding"))
+    // checkpointed: the truth subtree feeds BOTH recallAtK branches of
+    // the final join — unmaterialized, the corpus×queries brute pass
+    // would run twice in one action (the sim_nprobe_curve shape)
     val truth = Similarity.bruteForceKnn(emb(s, dir), queriesDf(s, dir),
-      "vec_id", "embedding", "qid", k = 5)
+      "vec_id", "embedding", "qid", k = 5).localCheckpoint(true)
     val cbq = emb(s, dir).where(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding"))
     val rawIdx = Similarity.pqCodes(
