@@ -2396,17 +2396,25 @@ object Similarity {
       lazy val canonical = probe.forall(r => r._1 <= r._2) &&
         probe.distinct.length == probe.length
       if (probe.length <= localThreshold && canonical) {
-        // seed collect BOUNDED by the probed edge nodes (seed-only nodes
-        // never reach the output on either path): a small-edge /
-        // large-seed input must not OOM the driver that the distributed
-        // path would have handled — the semi-join caps the collect at
-        // 2·threshold rows.
-        val nodesDf = probe.iterator
-          .flatMap(r => Iterator(r._1, r._2)).toArray.distinct.toSeq.toDF("n")
-        val seedMap = seed
+        // seed collect BOUNDED: one limit-probed collect (the same shape
+        // as the edge probe — no extra broadcast job) serves any seed up
+        // to 2·threshold rows; only a genuinely huge seed (legal for the
+        // public API, would OOM the driver) pays a semi-join against the
+        // probed edge nodes, which is sufficient because seed-only nodes
+        // never reach the output on either path.
+        val seedCap = 2 * localThreshold.toInt
+        val seedProbe = seed
           .select(col("n").cast("long").as("n"), col("comm").cast("long"))
-          .join(broadcast(nodesDf), Seq("n"), "left_semi")
-          .as[(Long, Long)].collect().toMap
+          .limit(seedCap + 1).as[(Long, Long)].collect()
+        val seedMap =
+          if (seedProbe.length <= seedCap) seedProbe.toMap
+          else {
+            val nodesDf = probe.iterator
+              .flatMap(r => Iterator(r._1, r._2)).toArray.distinct.toSeq.toDF("n")
+            seed.select(col("n").cast("long").as("n"), col("comm").cast("long"))
+              .join(broadcast(nodesDf), Seq("n"), "left_semi")
+              .as[(Long, Long)].collect().toMap
+          }
         val ls = louvainHierarchyDriver(probe, seedMap,
           compOf = Map.empty[Long, Long].withDefaultValue(0L), levels = 2)
         return ls(0).keys.toSeq.sorted
